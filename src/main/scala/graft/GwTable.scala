@@ -1,0 +1,53 @@
+package graft
+
+import graft.log.{CommitInfo, GwLog, Snapshot}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/**
+ * Query surface over an indexed table (SURVEY.md §3.3): log replay ->
+ * `spark.read.schema(...).parquet(files)`. The replay is pure driver-side
+ * metadata work; the scan itself is a standard Catalyst
+ * `FileSourceScanExec` with vectorized parquet reading, so column pruning,
+ * predicate pushdown and AQE all apply untouched. Time travel =
+ * `VERSION AS OF` semantics of the reference's README.md:81-84.
+ */
+final class GwTable private (spark: SparkSession, tablePath: String) {
+  private val gwLog = GwLog.forTable(spark.sparkContext.hadoopConfiguration, tablePath)
+
+  def log: GwLog = gwLog
+
+  def snapshot(versionAsOf: Option[Long] = None): Snapshot = gwLog.snapshot(versionAsOf)
+
+  /** Latest version. */
+  def toDF: DataFrame = asDF(gwLog.snapshot(None))
+
+  def versionAsOf(version: Long): DataFrame = asDF(gwLog.snapshot(Some(version)))
+
+  /** Greatest version whose commit timestamp is <= `ts`. */
+  def timestampAsOf(ts: Long): DataFrame = {
+    val candidates = gwLog.history().collect {
+      case (v, Some(ci)) if ci.timestamp <= ts => v
+    }
+    require(candidates.nonEmpty, s"No version at or before timestamp $ts for $tablePath")
+    versionAsOf(candidates.max)
+  }
+
+  /** Commit history as a DataFrame (version, timestamp, operation, ...). */
+  def history: DataFrame = {
+    import spark.implicits._
+    gwLog.history().map { case (v, ci) =>
+      val c = ci.getOrElse(CommitInfo(0L, "UNKNOWN", "", 0L, 0L, isBlindAppend = false, ""))
+      (v, c.timestamp, c.operation, c.mode, c.numFiles, c.numOutputBytes, c.isBlindAppend)
+    }.toDF("version", "timestamp", "operation", "mode", "numFiles", "numOutputBytes", "isBlindAppend")
+  }
+
+  private def asDF(snap: Snapshot): DataFrame =
+    if (snap.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
+    else
+      spark.read.schema(snap.schema).parquet(snap.filePaths: _*)
+}
+
+object GwTable {
+  def forPath(spark: SparkSession, tablePath: String): GwTable = new GwTable(spark, tablePath)
+}

@@ -1,0 +1,211 @@
+package graft
+
+import graft.log._
+import graft.sources.{CdaLayout, Manifest, ManifestEntry, SchemaProbe}
+import java.util.UUID
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.max
+import scala.jdk.CollectionConverters._
+
+/** One CDA commit folder -> one log version (reference package.scala:27-32). */
+final case class Batch(
+    schemaId: String,
+    commitTimestamp: Long,
+    filesToAdd: Seq[AddFile],
+    metadata: Option[Metadata])
+
+/** Checkpoint row (reference package.scala:34-38). */
+final case class BatchResult(
+    tableName: String,
+    processedSchema: String,
+    processedTimestamp: Long,
+    processedFiles: Int)
+
+/**
+ * Hadoop Configuration is not java-serializable; ship it to executors as a
+ * key/value list and rebuild lazily per task.
+ */
+final class SerializableHadoopConf(@transient private val conf: Configuration) extends Serializable {
+  private val props: Array[(String, String)] =
+    conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+  @transient private lazy val rebuilt: Configuration = {
+    val c = new Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  def value: Configuration = rebuilt
+}
+
+/**
+ * The indexer — reference `Guidewire.index` re-expressed Spark-first
+ * (SURVEY.md §3.1). Metadata-only: lists CDA folders, probes parquet
+ * footers for schema, generates the transaction log; never moves or reads
+ * data pages. Parallelism is one Spark task per table (the reference's D1
+ * fan-out, Guidewire.scala:71-74) — at 100 TB / thousands of tables the
+ * unit of work stays listing-scale, so this distributes linearly.
+ */
+object Indexer {
+  val CheckpointsTable = "_checkpoints"
+
+  def index(
+      manifestUri: String,
+      databasePath: String,
+      saveMode: SaveMode = SaveMode.Append,
+      enforceGuidewireTimestamp: Boolean = true)(implicit spark: SparkSession): Map[String, Seq[BatchResult]] = {
+    require(
+      saveMode == SaveMode.Append || saveMode == SaveMode.Overwrite,
+      s"Only Append and Overwrite save modes are supported, got $saveMode")
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val checkpoints: Map[String, Long] =
+      if (saveMode == SaveMode.Append) loadCheckpoints(databasePath) else Map.empty
+    val manifest = Manifest.read(hadoopConf, manifestUri)
+    val results = processManifest(manifest, checkpoints, databasePath, saveMode, enforceGuidewireTimestamp)
+    saveCheckpoints(results, databasePath, saveMode)
+    results
+  }
+
+  /** Fan out one task per table; discovery + commit run executor-side. */
+  def processManifest(
+      manifest: Map[String, ManifestEntry],
+      checkpoints: Map[String, Long],
+      databasePath: String,
+      saveMode: SaveMode,
+      enforceGuidewireTimestamp: Boolean)(implicit spark: SparkSession): Map[String, Seq[BatchResult]] = {
+    if (manifest.isEmpty) return Map.empty
+    val sc = spark.sparkContext
+    val confB = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
+    val checkpointsB = sc.broadcast(checkpoints)
+    val dbPathB = sc.broadcast(databasePath)
+    val overwrite = saveMode == SaveMode.Overwrite
+    val enforce = enforceGuidewireTimestamp
+    sc.makeRDD(manifest.toSeq, numSlices = manifest.size)
+      .map { case (tableName, entry) =>
+        val conf = confB.value.value
+        val lastProcessed = checkpointsB.value.getOrElse(tableName, -1L)
+        val batches = discoverBatches(conf, entry, lastProcessed, enforce)
+        val results = commitBatches(
+          conf, s"${dbPathB.value.stripSuffix("/")}/$tableName", tableName, batches,
+          bootstrap = overwrite || lastProcessed <= 0L)
+        tableName -> results
+      }
+      .collect()
+      .toMap
+  }
+
+  /**
+   * Per-table batch assembly (reference D4-D9, Guidewire.scala:111-181):
+   * fingerprints in schemaHistory-timestamp order; folders sorted; gated by
+   * the manifest watermark (EDGE CASE#1) and the incremental checkpoint;
+   * Metadata attached only to the first folder of each fingerprint.
+   */
+  def discoverBatches(
+      conf: Configuration,
+      entry: ManifestEntry,
+      lastProcessedTimestamp: Long,
+      enforceGuidewireTimestamp: Boolean): Seq[Batch] = {
+    val manifestGate = if (enforceGuidewireTimestamp) entry.lastWriteTs else Long.MaxValue
+    val fingerprints = entry.schemaHistory.toList.sortBy(_._2.toLong).map(_._1).zipWithIndex
+    val indexed = fingerprints.flatMap { case (schemaId, i) =>
+      val schemaDir = s"${entry.dataPath}/$schemaId"
+      val timestamps = CdaLayout.listTimestampDirectories(conf, schemaDir).sorted.zipWithIndex
+      timestamps
+        .filter { case (ts, _) => ts <= manifestGate && ts > lastProcessedTimestamp }
+        .flatMap { case (ts, j) =>
+          val files = CdaLayout.listParquetFiles(conf, s"$schemaDir/$ts")
+          if (files.isEmpty) None // record-less folder: no batch, not checkpointed
+          else {
+            val metadata =
+              if (j == 0) SchemaProbe.readSchemaFromFiles(conf, files.toSeq).map { schema =>
+                Metadata(
+                  id = UUID.randomUUID().toString,
+                  schemaString = schema.json,
+                  createdTime = ts)
+              }
+              else None
+            Some(((i, j), Batch(schemaId, ts, files.toSeq, metadata)))
+          }
+        }
+    }
+    indexed.sortBy(_._1).map(_._2)
+  }
+
+  /** Commit batches oldest->newest; one folder = one log version (K1-K3). */
+  def commitBatches(
+      conf: Configuration,
+      tablePath: String,
+      tableName: String,
+      batches: Seq[Batch],
+      bootstrap: Boolean): Seq[BatchResult] = {
+    if (batches.isEmpty) return Nil
+    val gwLog = GwLog.forTable(conf, tablePath)
+    if (bootstrap) gwLog.delete()
+    batches.map { batch =>
+      commitBatch(gwLog, batch)
+      BatchResult(tableName, batch.schemaId, batch.commitTimestamp, batch.filesToAdd.size)
+    }
+  }
+
+  /**
+   * K1 (blind append) / K2 (schema change = restatement: remove every live
+   * file, golden v2) / K3 (bootstrap: protocol + metaData, golden v0).
+   */
+  def commitBatch(gwLog: GwLog, batch: Batch): Long = {
+    val now = System.currentTimeMillis()
+    val tableExists = gwLog.exists()
+    batch.metadata match {
+      case Some(md) =>
+        val removes =
+          if (tableExists) gwLog.snapshot().files.map(f => RemoveFile(f.path, f.size, now))
+          else Nil
+        val protocol: Seq[Action] = if (tableExists) Nil else Seq(Protocol())
+        val info = CommitInfo(
+          timestamp = batch.commitTimestamp, operation = "WRITE", mode = "Overwrite",
+          numFiles = batch.filesToAdd.size, numOutputBytes = batch.filesToAdd.map(_.size).sum,
+          isBlindAppend = false, txnId = UUID.randomUUID().toString)
+        gwLog.commit(protocol ++ Seq(md) ++ batch.filesToAdd ++ removes ++ Seq(info))
+      case None =>
+        val info = CommitInfo(
+          timestamp = batch.commitTimestamp, operation = "WRITE", mode = "Append",
+          numFiles = batch.filesToAdd.size, numOutputBytes = batch.filesToAdd.map(_.size).sum,
+          isBlindAppend = true, txnId = UUID.randomUUID().toString)
+        gwLog.commit(batch.filesToAdd ++ Seq(info))
+    }
+  }
+
+  // ---- checkpoints (reference Guidewire.scala:248-282) ----
+
+  def checkpointsPath(databasePath: String): String =
+    s"${databasePath.stripSuffix("/")}/$CheckpointsTable"
+
+  /** Per-table high-watermark: groupBy(max) over the checkpoint table (R1). */
+  def loadCheckpoints(databasePath: String)(implicit spark: SparkSession): Map[String, Long] = {
+    val path = new Path(checkpointsPath(databasePath))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Map.empty
+    else {
+      import spark.implicits._
+      spark.read.parquet(path.toString)
+        .groupBy("tableName")
+        .agg(max("processedTimestamp").alias("processedTimestamp"))
+        .as[(String, Long)]
+        .collect()
+        .toMap
+    }
+  }
+
+  def saveCheckpoints(
+      results: Map[String, Seq[BatchResult]],
+      databasePath: String,
+      saveMode: SaveMode)(implicit spark: SparkSession): Unit = {
+    val rows = results.values.flatten.toSeq
+    if (rows.isEmpty) return
+    import spark.implicits._
+    rows.toDF("tableName", "processedSchema", "processedTimestamp", "processedFiles")
+      .write.mode(saveMode).parquet(checkpointsPath(databasePath))
+  }
+
+  def checkpointsDF(databasePath: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(checkpointsPath(databasePath))
+}

@@ -1,0 +1,168 @@
+package graft.log
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+/**
+ * Delta-protocol action model for the transaction log our engine generates.
+ *
+ * The target JSON-lines format is fixed by the reference's golden files
+ * (`/root/reference/src/test/resources/delta/00000000000000000000.json` ..
+ * `...03.json`): one action object per line, keys `protocol` / `metaData` /
+ * `add` / `remove` / `commitInfo`. See SURVEY.md §2.3.
+ *
+ * Serialization is hand-built on Jackson `ObjectNode`s so field order and
+ * shape match the golden files exactly; no reflection-based codecs.
+ */
+sealed trait Action
+
+final case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2) extends Action
+
+final case class Metadata(
+    id: String,
+    schemaString: String,
+    partitionColumns: Seq[String] = Nil,
+    configuration: Map[String, String] = Map.empty,
+    createdTime: Long = 0L) extends Action
+
+final case class AddFile(
+    path: String,
+    size: Long,
+    modificationTime: Long,
+    dataChange: Boolean = true,
+    partitionValues: Map[String, String] = Map.empty,
+    stats: Option[String] = None) extends Action
+
+final case class RemoveFile(
+    path: String,
+    size: Long,
+    deletionTimestamp: Long,
+    dataChange: Boolean = true,
+    partitionValues: Map[String, String] = Map.empty) extends Action
+
+final case class CommitInfo(
+    timestamp: Long,
+    operation: String, // WRITE
+    mode: String, // Append | Overwrite
+    numFiles: Long,
+    numOutputBytes: Long,
+    isBlindAppend: Boolean,
+    txnId: String) extends Action
+
+object Actions {
+  private val mapper = new ObjectMapper()
+
+  private def putMap(parent: ObjectNode, field: String, m: Map[String, String]): Unit = {
+    val node = parent.putObject(field)
+    m.foreach { case (k, v) => node.put(k, v) }
+  }
+
+  /** One action -> one JSON line (no trailing newline). */
+  def toJson(a: Action): String = {
+    val root = mapper.createObjectNode()
+    a match {
+      case Protocol(r, w) =>
+        val n = root.putObject("protocol")
+        n.put("minReaderVersion", r)
+        n.put("minWriterVersion", w)
+      case Metadata(id, schemaString, partCols, conf, createdTime) =>
+        val n = root.putObject("metaData")
+        n.put("id", id)
+        val fmt = n.putObject("format")
+        fmt.put("provider", "parquet")
+        fmt.putObject("options")
+        n.put("schemaString", schemaString)
+        putMap(n, "configuration", conf)
+        val pc = n.putArray("partitionColumns")
+        partCols.foreach(pc.add)
+        n.put("createdTime", createdTime)
+      case AddFile(path, size, mtime, dataChange, partVals, stats) =>
+        val n = root.putObject("add")
+        n.put("path", path)
+        n.put("size", size)
+        putMap(n, "partitionValues", partVals)
+        n.put("modificationTime", mtime)
+        n.put("dataChange", dataChange)
+        stats.foreach(s => n.put("stats", s))
+      case RemoveFile(path, size, dts, dataChange, partVals) =>
+        val n = root.putObject("remove")
+        n.put("path", path)
+        n.put("size", size)
+        putMap(n, "partitionValues", partVals)
+        n.put("deletionTimestamp", dts)
+        n.put("dataChange", dataChange)
+      case CommitInfo(ts, op, mode, numFiles, numBytes, blind, txnId) =>
+        val n = root.putObject("commitInfo")
+        n.put("timestamp", ts)
+        n.put("operation", op)
+        val p = n.putObject("operationParameters")
+        p.put("mode", mode)
+        p.put("partitionBy", "[]")
+        n.put("isolationLevel", "Serializable")
+        val m = n.putObject("operationMetrics")
+        m.put("numFiles", numFiles)
+        m.put("numOutputBytes", numBytes)
+        n.put("isBlindAppend", blind)
+        n.put("txnId", txnId)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private def strMap(n: JsonNode): Map[String, String] =
+    if (n == null) Map.empty
+    else {
+      val it = n.properties().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText) }
+      b.result()
+    }
+
+  /** One JSON line -> action. Unknown action keys yield None (forward compat). */
+  def fromJson(line: String): Option[Action] = {
+    val root = mapper.readTree(line)
+    if (root.has("protocol")) {
+      val n = root.get("protocol")
+      Some(Protocol(n.get("minReaderVersion").asInt, n.get("minWriterVersion").asInt))
+    } else if (root.has("metaData")) {
+      val n = root.get("metaData")
+      val parts = Option(n.get("partitionColumns")).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asText)
+      }.getOrElse(Nil)
+      Some(Metadata(
+        id = n.get("id").asText,
+        schemaString = n.get("schemaString").asText,
+        partitionColumns = parts,
+        configuration = strMap(n.get("configuration")),
+        createdTime = Option(n.get("createdTime")).map(_.asLong).getOrElse(0L)))
+    } else if (root.has("add")) {
+      val n = root.get("add")
+      Some(AddFile(
+        path = n.get("path").asText,
+        size = n.get("size").asLong,
+        modificationTime = n.get("modificationTime").asLong,
+        dataChange = Option(n.get("dataChange")).forall(_.asBoolean),
+        partitionValues = strMap(n.get("partitionValues")),
+        stats = Option(n.get("stats")).map(_.asText)))
+    } else if (root.has("remove")) {
+      val n = root.get("remove")
+      Some(RemoveFile(
+        path = n.get("path").asText,
+        size = Option(n.get("size")).map(_.asLong).getOrElse(0L),
+        deletionTimestamp = Option(n.get("deletionTimestamp")).map(_.asLong).getOrElse(0L),
+        dataChange = Option(n.get("dataChange")).forall(_.asBoolean),
+        partitionValues = strMap(n.get("partitionValues"))))
+    } else if (root.has("commitInfo")) {
+      val n = root.get("commitInfo")
+      val params = Option(n.get("operationParameters"))
+      val metrics = Option(n.get("operationMetrics"))
+      Some(CommitInfo(
+        timestamp = Option(n.get("timestamp")).map(_.asLong).getOrElse(0L),
+        operation = Option(n.get("operation")).map(_.asText).getOrElse("WRITE"),
+        mode = params.flatMap(p => Option(p.get("mode"))).map(_.asText).getOrElse(""),
+        numFiles = metrics.flatMap(m => Option(m.get("numFiles"))).map(_.asLong).getOrElse(0L),
+        numOutputBytes = metrics.flatMap(m => Option(m.get("numOutputBytes"))).map(_.asLong).getOrElse(0L),
+        isBlindAppend = Option(n.get("isBlindAppend")).exists(_.asBoolean),
+        txnId = Option(n.get("txnId")).map(_.asText).getOrElse("")))
+    } else None
+  }
+}

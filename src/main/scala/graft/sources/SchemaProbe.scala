@@ -1,0 +1,122 @@
+package graft.sources
+
+import graft.log.AddFile
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType, PrimitiveType, Type => PType}
+import org.apache.parquet.schema.LogicalTypeAnnotation._
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.types._
+import scala.annotation.tailrec
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+/**
+ * Schema inference from parquet footers — no record materialization, no
+ * Spark job, callable from executor tasks.
+ *
+ * Replaces the reference's parquet-avro sample-record pathway
+ * (GuidewireUtils.scala:51-62 + ParquetStream + ParquetUtils.toSqlTypeHelper,
+ * ~170 LoC) with a footer read:
+ *  1. primary — the `org.apache.spark.sql.parquet.row.metadata` footer key
+ *     (present in all CDA fixtures) parsed via `DataType.fromJson`;
+ *  2. fallback — our own parquet MessageType -> StructType conversion,
+ *     semantics mirroring ParquetUtils.scala:12-76 (widen, nullable unions
+ *     are already resolved by parquet; decimal/date/timestamp honored).
+ *
+ * Probe order is smallest-file-first with recursive fallback over files,
+ * preserving reference EDGE CASE#2 handling (GuidewireUtils.scala:33-49,
+ * Guidewire.scala:157-161): CDA emits record-less files, but footers exist
+ * even for 0-row files, so the first (smallest) file usually suffices.
+ */
+object SchemaProbe {
+  val SparkRowMetadataKey = "org.apache.spark.sql.parquet.row.metadata"
+
+  /** Schema of one parquet file, from its footer only. */
+  def readSchema(conf: Configuration, file: String): Option[StructType] = Try {
+    val in = HadoopInputFile.fromPath(new Path(file), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val fmd = reader.getFooter.getFileMetaData
+      val kv = fmd.getKeyValueMetaData
+      Option(kv.get(SparkRowMetadataKey))
+        .flatMap(json => Try(DataType.fromJson(json).asInstanceOf[StructType]).toOption)
+        .getOrElse(fromParquet(fmd.getSchema))
+    } finally reader.close()
+  }.toOption
+
+  /** Smallest-file-first recursive probe (S5 + S6). */
+  def readSchemaFromFiles(conf: Configuration, files: Seq[AddFile]): Option[StructType] = {
+    @tailrec
+    def loop(remaining: List[AddFile]): Option[StructType] = remaining match {
+      case Nil => None
+      case head :: tail =>
+        readSchema(conf, head.path) match {
+          case some @ Some(_) => some
+          case None => loop(tail)
+        }
+    }
+    loop(files.sortBy(_.size).toList)
+  }
+
+  // ---- parquet MessageType -> Spark StructType (fallback path) ----
+
+  def fromParquet(message: MessageType): StructType =
+    StructType(message.getFields.asScala.toSeq.map(field))
+
+  private def field(t: PType): StructField =
+    StructField(t.getName, dataType(t), nullable = t.getRepetition != PType.Repetition.REQUIRED)
+
+  private def dataType(t: PType): DataType =
+    if (t.getRepetition == PType.Repetition.REPEATED) ArrayType(elementType(t), containsNull = false)
+    else elementType(t)
+
+  private def elementType(t: PType): DataType = t match {
+    case p: PrimitiveType => primitive(p)
+    case g: GroupType =>
+      g.getLogicalTypeAnnotation match {
+        case _: ListLogicalTypeAnnotation =>
+          // Standard 3-level list: group (LIST) { repeated group list { <elem> } }
+          val repeated = g.getFields.get(0).asGroupType()
+          val elem = repeated.getFields.get(0)
+          ArrayType(dataType(elem), containsNull = elem.getRepetition != PType.Repetition.REQUIRED)
+        case _: MapLogicalTypeAnnotation =>
+          val kv = g.getFields.get(0).asGroupType()
+          val k = kv.getFields.get(0)
+          val v = kv.getFields.get(1)
+          MapType(dataType(k), dataType(v), valueContainsNull = v.getRepetition != PType.Repetition.REQUIRED)
+        case _ =>
+          StructType(g.getFields.asScala.toSeq.map(field))
+      }
+  }
+
+  private def primitive(p: PrimitiveType): DataType = {
+    val ann = p.getLogicalTypeAnnotation
+    (p.getPrimitiveTypeName, ann) match {
+      case (_, d: DecimalLogicalTypeAnnotation) => DecimalType(d.getPrecision, d.getScale)
+      case (BOOLEAN, _) => BooleanType
+      case (INT32, _: DateLogicalTypeAnnotation) => DateType
+      case (INT32, i: IntLogicalTypeAnnotation) =>
+        i.getBitWidth match {
+          case 8 => ByteType
+          case 16 => ShortType
+          case _ => IntegerType
+        }
+      case (INT32, _) => IntegerType
+      case (INT64, t: TimestampLogicalTypeAnnotation) =>
+        // matches Spark's inferTimestampNTZ default: non-UTC-adjusted -> NTZ
+        if (t.isAdjustedToUTC) TimestampType else TimestampNTZType
+      case (INT64, _) => LongType
+      case (INT96, _) => TimestampType
+      case (FLOAT, _) => FloatType
+      case (DOUBLE, _) => DoubleType
+      case (BINARY, _: StringLogicalTypeAnnotation) => StringType
+      case (BINARY, _: EnumLogicalTypeAnnotation) => StringType
+      case (BINARY, _) => BinaryType
+      case (FIXED_LEN_BYTE_ARRAY, _) => BinaryType
+      case (other, _) => throw new IllegalArgumentException(s"Unsupported parquet type: $other")
+    }
+  }
+}

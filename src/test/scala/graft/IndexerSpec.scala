@@ -1,0 +1,133 @@
+package graft
+
+import graft.log._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * M3 exit test (SURVEY.md §5.2.3): end-to-end index run over the mirrored
+ * policy_holders CDA fixture, validated against the reference's golden
+ * delta-log lineage (4 versions; snapshots 4/8/4/8 rows; 2-col -> 3-col
+ * schema restatement at v2).
+ */
+class IndexerSpec extends SparkSpec {
+
+  /** Copy the classpath fixture tree into a temp dir, return its file: URI. */
+  private def stageFixture(): (String, String) = {
+    val srcRoot = Paths.get(getClass.getResource("/guidewire/policy_holders").toURI)
+    val work = Files.createTempDirectory("gw-e2e")
+    val dataDir = work.resolve("cda/policy_holders")
+    Files.walk(srcRoot).forEach { p =>
+      val rel = srcRoot.relativize(p)
+      val dst = dataDir.resolve(rel.toString)
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else { Files.createDirectories(dst.getParent); Files.copy(p, dst) }
+    }
+    val manifest = s"""{
+      "policy_holders": {
+        "lastSuccessfulWriteTimestamp": "1680945093000",
+        "totalProcessedRecordsCount": 71027,
+        "dataFilesPath": "${dataDir.toUri}",
+        "schemaHistory": {
+          "301248659": "1680535502000",
+          "301248660": "1680945093000"
+        }
+      }
+    }"""
+    val manifestPath = work.resolve("manifest.json")
+    Files.write(manifestPath, manifest.getBytes(StandardCharsets.UTF_8))
+    (manifestPath.toUri.toString, work.resolve("db").toUri.toString)
+  }
+
+  test("end-to-end golden lineage: index -> 4 versions -> time travel reads") {
+    val (manifestUri, dbPath) = stageFixture()
+    val results = Indexer.index(manifestUri, dbPath)(spark)
+    assert(results.keySet == Set("policy_holders"))
+    assert(results("policy_holders").size == 4)
+
+    val table = GwTable.forPath(spark, s"$dbPath/policy_holders")
+    assert(table.log.listVersions() == Seq(0L, 1L, 2L, 3L))
+
+    // golden-structure comparison per version (paths/timestamps differ)
+    val v0 = table.log.readVersion(0)
+    assert(v0.collect { case p: Protocol => p } == Seq(Protocol(1, 2)))
+    assert(v0.collect { case a: AddFile => a.size } == Seq(752))
+    val md0 = v0.collectFirst { case m: Metadata => m }.get
+    assert(DataType.fromJson(md0.schemaString).asInstanceOf[StructType].fieldNames.toSeq == Seq("firstName", "age"))
+    val ci0 = v0.collectFirst { case c: CommitInfo => c }.get
+    assert(ci0.mode == "Overwrite" && !ci0.isBlindAppend)
+
+    val v1 = table.log.readVersion(1)
+    assert(v1.collect { case a: AddFile => a.size }.sorted == Seq(698, 717, 726))
+    assert(v1.collectFirst { case m: Metadata => m }.isEmpty)
+    assert(v1.collectFirst { case c: CommitInfo => c }.get.isBlindAppend)
+
+    val v2 = table.log.readVersion(2)
+    assert(v2.collect { case a: AddFile => a.size } == Seq(1025))
+    assert(v2.collect { case r: RemoveFile => r }.size == 4)
+    val md2 = v2.collectFirst { case m: Metadata => m }.get
+    assert(DataType.fromJson(md2.schemaString).asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("firstName", "lastName", "age"))
+
+    val v3 = table.log.readVersion(3)
+    assert(v3.collect { case a: AddFile => a }.size == 4)
+    assert(v3.collect { case r: RemoveFile => r }.isEmpty)
+
+    // read-path: row counts and schema per version (golden expectation 4/8/4/8)
+    assert(table.versionAsOf(0).count() == 4)
+    assert(table.versionAsOf(1).count() == 8)
+    assert(table.versionAsOf(2).count() == 4)
+    assert(table.versionAsOf(3).count() == 8)
+    assert(table.versionAsOf(1).schema.fieldNames.toSeq == Seq("firstName", "age"))
+    assert(table.toDF.schema.fieldNames.toSeq == Seq("firstName", "lastName", "age"))
+    val names = table.toDF.select("firstName").collect().map(_.getString(0)).toSet
+    assert(names == Set("Antoine", "Junta", "Marcela", "Eon"))
+
+    // timestampAsOf resolves via commitInfo timestamps
+    assert(table.timestampAsOf(1680535502000L).count() == 8)
+    assert(table.timestampAsOf(1680350543000L).count() == 4)
+
+    // history surface
+    assert(table.history.count() == 4)
+
+    // incremental rerun: watermark 1680945093000 -> no new versions
+    val rerun = Indexer.index(manifestUri, dbPath)(spark)
+    assert(rerun("policy_holders").isEmpty)
+    assert(table.log.listVersions() == Seq(0L, 1L, 2L, 3L))
+
+    // overwrite mode: full rebuild, same 4 versions
+    val redo = Indexer.index(manifestUri, dbPath, SaveMode.Overwrite)(spark)
+    assert(redo("policy_holders").size == 4)
+    assert(table.log.listVersions() == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("manifest gate (EDGE CASE#1) drops folders newer than the manifest watermark") {
+    val (manifestUri, dbPath) = stageFixture()
+    // rewrite manifest watermark to exclude the last folder
+    val p = Paths.get(java.net.URI.create(manifestUri))
+    val patched = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .replace("\"lastSuccessfulWriteTimestamp\": \"1680945093000\"",
+        "\"lastSuccessfulWriteTimestamp\": \"1680757005000\"")
+    Files.write(p, patched.getBytes(StandardCharsets.UTF_8))
+    val results = Indexer.index(manifestUri, dbPath)(spark)
+    assert(results("policy_holders").size == 3)
+    val table = GwTable.forPath(spark, s"$dbPath/policy_holders")
+    assert(table.log.listVersions() == Seq(0L, 1L, 2L))
+    assert(table.toDF.count() == 4) // restated v2 only
+  }
+
+  test("record-less folders are skipped with recursive schema fallback (EDGE CASE#2)") {
+    val (manifestUri, dbPath) = stageFixture()
+    // inject a folder containing only a zero-byte parquet -> no batch
+    val dataDir = Paths.get(java.net.URI.create(manifestUri)).getParent.resolve("cda/policy_holders")
+    val emptyDir = dataDir.resolve("301248660/1680900000000")
+    Files.createDirectories(emptyDir)
+    Files.write(emptyDir.resolve("part-00000-empty.parquet"), Array.emptyByteArray)
+    val results = Indexer.index(manifestUri, dbPath)(spark)
+    assert(results("policy_holders").size == 4) // unchanged: empty folder yields no version
+    assert(!results("policy_holders").exists(_.processedTimestamp == 1680900000000L))
+  }
+}
