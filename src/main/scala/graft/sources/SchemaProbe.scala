@@ -106,8 +106,11 @@ object SchemaProbe {
         }
       case (INT32, _) => IntegerType
       case (INT64, t: TimestampLogicalTypeAnnotation) =>
-        // matches Spark's inferTimestampNTZ default: non-UTC-adjusted -> NTZ
-        if (t.isAdjustedToUTC) TimestampType else TimestampNTZType
+        // NANOS matches our session default spark.sql.legacy.parquet.nanosAsLong;
+        // otherwise Spark's inferTimestampNTZ default: non-UTC-adjusted -> NTZ
+        if (t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS) LongType
+        else if (t.isAdjustedToUTC) TimestampType
+        else TimestampNTZType
       case (INT64, _) => LongType
       case (INT96, _) => TimestampType
       case (FLOAT, _) => FloatType
