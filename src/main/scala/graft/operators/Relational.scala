@@ -1,0 +1,472 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational query surface over the driver testdata tables (TESTDATA.md).
+ *
+ * The reference engine delegates all relational algebra to Spark at read
+ * time (reference README.md:39-43, 79-84; SURVEY §2.5) — these queries ARE
+ * that delegated surface, expressed Spark-first and validated row-for-row
+ * against a DuckDB oracle by the driver.
+ *
+ * Cross-engine determinism conventions (driver hash-compares values):
+ *  - money/quantity aggregates are computed as exact cents BIGINTs:
+ *    `round(x*100) :: long` per row, then integer sums — no float-order drift;
+ *  - any double that must be output is derived from identical integer inputs
+ *    (e.g. cents/100.0), so both engines produce bit-identical doubles;
+ *  - timestamps in output columns are formatted as 'yyyy-MM-dd' strings;
+ *  - every top-k has a unique-key tiebreak.
+ *
+ * Scale posture (100 TB): every query is a pure declarative plan — Catalyst
+ * handles partial aggregation, join strategy (dimension tables under the
+ * broadcast threshold auto-broadcast; `broadcast()` hints pin the small side
+ * of star joins), filter/column pushdown into the parquet scan, and AQE
+ * re-planning. Nothing collects to the driver.
+ */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact cents: round(x*100) as long — identical in Spark and DuckDB. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-style pricing summary: scan + filter + hash aggregate
+    * (partial+final via Catalyst). */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_c"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge_c"),
+        count(lit(1)).as("count_order"))
+
+  // ---------------------------------------------------------------- q02
+  /** Filter + projection — predicate and column pruning reach the scan. */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity").between(5, 10) &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price_c"))
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3-style: 3-way join + agg + deterministic top-k. */
+  def q03TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(o("o_orderkey"), date_format(o("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- q04
+  /** TPC-H Q4-style: EXISTS → left-semi join, count per priority. */
+  def q04OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val l = t(spark, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  // ---------------------------------------------------------------- q05
+  /** TPC-H Q5-style star join: two broadcast dims + three fact-side joins,
+    * revenue per nation. */
+  def q05RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = t(spark, dir, "lineitem")
+    val s = t(spark, dir, "supplier")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey") && s("s_nationkey") === c("c_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_c"))
+  }
+
+  // ---------------------------------------------------------------- q06
+  /** TPC-H Q6-style single-table forecast: tight filter, one-row sum. */
+  def q06ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_c"))
+
+  // ---------------------------------------------------------------- q07
+  /** Window rank: top-3 orders per customer (unique tiebreak on key). */
+  def q07WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"),
+        cents(col("o_totalprice")).as("price_c"))
+  }
+
+  // ---------------------------------------------------------------- q08
+  /** Window running aggregates + lag over the event stream (bigint nanos). */
+  def q08WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // micros, not nanos: the DuckDB oracle reads parquet ns-timestamps at
+    // microsecond precision, so the comparable granularity is us
+    t(spark, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("seq", row_number().over(byUser))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(byUser))
+      .filter(col("user_id") < 20)
+      .select("event_id", "user_id", "seq", "gap_us")
+  }
+
+  // ---------------------------------------------------------------- q09
+  /** Distinct aggregates: per-flag supplier/part cardinalities. */
+  def q09DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"),
+        count(lit(1)).as("n_rows"))
+
+  // ---------------------------------------------------------------- q10
+  /** Set operations: INTERSECT / EXCEPT / UNION with tagged counts. */
+  def q10SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val high = t(spark, dir, "orders").filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey").as("k"))
+    val urgent = t(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k"))
+    val tag = (name: String, df: DataFrame) =>
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+    tag("intersect", high.intersect(urgent))
+      .unionAll(tag("except", high.except(urgent)))
+      .unionAll(tag("union", high.union(urgent).distinct()))
+  }
+
+  // ---------------------------------------------------------------- q11
+  /** ROLLUP over region/nation: grouping-set aggregation with subtotals. */
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "supplier").createOrReplaceTempView("v_supplier")
+    t(spark, dir, "nation").createOrReplaceTempView("v_nation")
+    t(spark, dir, "region").createOrReplaceTempView("v_region")
+    spark.sql(
+      """SELECT r_name, n_name,
+        | sum(CAST(round(s_acctbal*100) AS BIGINT)) AS bal_c, count(*) AS n_supp
+        |FROM v_supplier
+        |JOIN v_nation ON s_nationkey = n_nationkey
+        |JOIN v_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q12
+  /** Scalar-function zoo: string / math / conditional per-row transforms. */
+  def q12ScalarZoo(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(col("p_partkey") % 7 === 0)
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_pfx"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        (col("p_size") % 5).as("size_mod"),
+        abs(col("p_size") - 25).as("size_dev"),
+        floor(col("p_retailprice")).cast("long").as("price_floor"),
+        when(col("p_size") > 25, "large").otherwise("small").as("size_class"))
+
+  // ---------------------------------------------------------------- q13
+  /** TPC-H Q13-style: left outer join + two-level aggregation
+    * (orders-per-customer distribution). */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  // ---------------------------------------------------------------- q14
+  /** Scalar subquery vs global aggregate — exact-int avg so the comparison
+    * boundary is identical cross-engine. */
+  def q14AboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val avgRow = o.agg(
+      sum(cents(col("o_totalprice"))).as("s"), count(lit(1)).as("n"))
+    val joined = o.crossJoin(broadcast(avgRow))
+    joined
+      .filter(cents(col("o_totalprice")).cast("double") > lit(1.5) * (col("s").cast("double") / col("n")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_above"),
+        sum(cents(col("o_totalprice"))).as("sum_above_c"))
+  }
+
+  // ---------------------------------------------------------------- q15
+  /** Event-time bucketing on bigint nanos: integer floor-div hour buckets. */
+  def q15EventBuckets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"), col("value"))
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+
+  // ---------------------------------------------------------------- q16
+  /** JSON extraction from the event props payload. */
+  def q16JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("event_type"))
+      .groupBy(expr("k div 10").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_type")).as("n_types"))
+
+  // ---------------------------------------------------------------- q17
+  /** As-of join, Spark-first: latest signup at-or-before each purchase per
+    * user, via a single-pass window over the unioned stream (no shuffle
+    * beyond the one partitionBy — scales linearly; the naive inequality
+    * join would be O(n^2) per user). DuckDB oracle uses native ASOF JOIN. */
+  def q17AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    // order signups before purchases at identical ts: asof is s.ts <= p.ts
+    val tagged = e.filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "signup", 0).otherwise(1).as("kind"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("s_id", last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("s_ts", last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id").as("p_id"), col("user_id"), col("s_id"),
+        (expr("ts div 1000") - expr("s_ts div 1000")).as("wait_us"))
+  }
+
+  // ---------------------------------------------------------------- q18
+  /** Range join: equi key + date-interval band predicate. */
+  def q18RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    l.join(o, l("l_orderkey") === o("o_orderkey") &&
+        l("l_shipdate") >= o("o_orderdate") &&
+        l("l_shipdate") < o("o_orderdate") + expr("interval 30 days"))
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_fast_lines"))
+  }
+
+  // ---------------------------------------------------------------- q19
+  /** Pivot: per-user event-type counts as fixed columns. */
+  def q19Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(col("user_id") < 50)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0)
+
+  // ---------------------------------------------------------------- q20
+  /** Anti join: customers with no urgent order in 1996. */
+  def q20AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_quiet"), sum(cents(col("c_acctbal"))).as("bal_c"))
+  }
+
+  /** name -> query */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_filter_project" -> q02FilterProject _,
+    "q03_top_orders" -> q03TopOrders _,
+    "q04_order_priority" -> q04OrderPriority _,
+    "q05_region_revenue" -> q05RegionRevenue _,
+    "q06_forecast_revenue" -> q06ForecastRevenue _,
+    "q07_window_rank" -> q07WindowRank _,
+    "q08_window_running" -> q08WindowRunning _,
+    "q09_distinct_agg" -> q09DistinctAgg _,
+    "q10_set_ops" -> q10SetOps _,
+    "q11_rollup" -> q11Rollup _,
+    "q12_scalar_zoo" -> q12ScalarZoo _,
+    "q13_custdist" -> q13CustDist _,
+    "q14_above_avg" -> q14AboveAvg _,
+    "q15_event_buckets" -> q15EventBuckets _,
+    "q16_json_extract" -> q16JsonExtract _,
+    "q17_asof_join" -> q17AsofJoin _,
+    "q18_range_join" -> q18RangeJoin _,
+    "q19_pivot" -> q19Pivot _,
+    "q20_anti_join" -> q20AntiJoin _,
+  )
+
+  /** name -> DuckDB oracle SQL (column names/aliases must match exactly). */
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_c,
+        | sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS sum_disc_c,
+        | sum(CAST(round(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*100) AS BIGINT)) AS sum_charge_c,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT) AS disc_price_c
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 5 AND 10 AND l_shipdate >= TIMESTAMP '1997-01-01'""".stripMargin,
+    "q03_top_orders" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        | sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS revenue_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2
+        |ORDER BY revenue_c DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        | AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1""".stripMargin,
+    "q05_region_revenue" ->
+      """SELECT n_name,
+        | sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS revenue_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q06_forecast_revenue" ->
+      """SELECT sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS revenue_c
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        | AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q07_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rnk, CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+        |FROM (
+        | SELECT *, rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders
+        |) WHERE rnk <= 3""".stripMargin,
+    "q08_window_running" ->
+      """SELECT event_id, user_id, seq, gap_us
+        |FROM (
+        | SELECT event_id, user_id,
+        |  row_number() OVER w AS seq,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |) WHERE user_id < 20""".stripMargin,
+    "q09_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_suppkey) AS n_supp,
+        | count(DISTINCT l_partkey) AS n_part,
+        | count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q10_set_ops" ->
+      """WITH high AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
+        | urgent AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'intersect' AS op, count(*) AS n FROM (SELECT k FROM high INTERSECT SELECT k FROM urgent)
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS n FROM (SELECT k FROM high EXCEPT SELECT k FROM urgent)
+        |UNION ALL
+        |SELECT 'union' AS op, count(*) AS n FROM (SELECT k FROM high UNION SELECT k FROM urgent)""".stripMargin,
+    "q11_rollup" ->
+      """SELECT r_name, n_name,
+        | sum(CAST(round(s_acctbal*100) AS BIGINT)) AS bal_c, count(*) AS n_supp
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q12_scalar_zoo" ->
+      """SELECT p_partkey,
+        | upper(substring(p_name, 1, 8)) AS name_pfx,
+        | length(p_name) AS name_len,
+        | concat_ws('/', p_brand, p_type) AS brand_type,
+        | p_size % 5 AS size_mod,
+        | abs(p_size - 25) AS size_dev,
+        | CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        | CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class
+        |FROM part WHERE p_partkey % 7 = 0""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY c_custkey
+        |) GROUP BY c_count""".stripMargin,
+    "q14_above_avg" ->
+      """WITH a AS (SELECT sum(CAST(round(o_totalprice*100) AS BIGINT)) AS s, count(*) AS n FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_above,
+        | sum(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_above_c
+        |FROM orders, a
+        |WHERE CAST(CAST(round(o_totalprice*100) AS BIGINT) AS DOUBLE) > 1.5 * (CAST(s AS DOUBLE) / n)
+        |GROUP BY 1""".stripMargin,
+    "q15_event_buckets" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        | count(*) AS n, sum(CAST(round(value*100) AS BIGINT)) AS value_c
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q16_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+        | count(*) AS n, count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY 1""".stripMargin,
+    "q17_asof_join" ->
+      """SELECT p.event_id AS p_id, p.user_id, s.event_id AS s_id,
+        | epoch_us(p.ts) - epoch_us(s.ts) AS wait_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        | ON p.user_id = s.user_id AND s.ts <= p.ts""".stripMargin,
+    "q18_range_join" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        | count(*) AS n_fast_lines
+        |FROM lineitem JOIN orders
+        | ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1""".stripMargin,
+    "q19_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'view') AS view,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events WHERE user_id < 50 GROUP BY user_id""".stripMargin,
+    "q20_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_quiet,
+        | sum(CAST(round(c_acctbal*100) AS BIGINT)) AS bal_c
+        |FROM customer
+        |WHERE NOT EXISTS (
+        | SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+        |GROUP BY 1""".stripMargin,
+  )
+}
