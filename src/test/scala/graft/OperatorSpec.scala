@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Specs for the operators whose driver check is rows-only (hash-based, not
+ * SQL-expressible): assert quality properties against exact ground truth
+ * computed by the oracle-verified operators.
+ */
+class OperatorSpec extends AnyFunSuite {
+  private val spark = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("d02 MinHash LSH: finds high-jaccard pairs (recall) with verified precision") {
+    val exact = Dedup.d04NgramJaccard(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("jacc_permille") >= 700)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.d02MinHashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lshPairs = lsh.map(t => (t._1, t._2)).toSet
+    // recall: every exact pair with J>=0.7 must be caught by 8x4 LSH
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val missed = exact -- lshPairs
+    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
+    // precision by construction: every reported pair really has J>=0.5
+    assert(lsh.forall(_._3 >= 500))
+  }
+
+  test("d03 SimHash: identical docs get identical hashes; reported pairs are close") {
+    val pairs = Dedup.d03SimHash(spark, sf).collect()
+    assert(pairs.forall(_.getInt(2) <= 6))
+    // near-dup docs found by exact jaccard should be hamming-close too
+    val exact = Dedup.d04NgramJaccard(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("jacc_permille") >= 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simPairs = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- simPairs
+    assert(missed.isEmpty, s"simhash missed almost-identical pairs: $missed")
+  }
+
+  test("s02 ANN LSH: recall >= 0.5 of exact top-3 at sf0.001") {
+    val exact = Similarity.s01TopKBruteForce(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("rnk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.s02AnnLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall $recall too low (exact=${exact.size}, ann=${ann.size})")
+  }
+
+  test("m03 decode stub: one feature row per asset, deterministic values") {
+    val out = Multimodal.m03DecodeStub(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.length == nDocs)
+    assert(out.forall(_.getInt(2) == 3)) // feat_dim
+    // feat_sum is a deterministic function of the payload: recompute one doc
+    val doc0 = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("doc_id = 0").select("text").collect().head.getString(0)
+    val payload = doc0.getBytes("UTF-8")
+    val expected = payload.length.toLong +
+      payload.foldLeft(0L)((acc, b) => acc + (b & 0xff)) +
+      (payload.head & 0xff).toLong
+    val got = out.find(_.getLong(0) == 0L).get.getLong(1)
+    assert(got == expected)
+  }
+
+  test("hyperplanes are deterministic across invocations") {
+    val a = Similarity.hyperplanes(4, 8)
+    val b = Similarity.hyperplanes(4, 8)
+    assert(a.flatten.toSeq == b.flatten.toSeq)
+  }
+}
