@@ -13,7 +13,9 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.GwCore.queries ++
+      streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -22,5 +24,7 @@ object SparkEntry {
       operators.TextOps.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
-      operators.Multimodal.oracles
+      operators.Multimodal.oracles ++
+      operators.GwCore.oracles ++
+      streaming.StreamOps.oracles
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{GwTable, Indexer}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/**
+ * The core engine (CDA discovery -> transaction-log generation -> time-travel
+ * reads) exercised inside the driver's correctness gate: each query composes
+ * a CDA layout from a testdata table, indexes it, and reads it back through
+ * the generated log, so the DuckDB oracle over the ORIGINAL parquet validates
+ * the whole index->commit->replay->scan path end-to-end.
+ *
+ * Layout composed (reference layout, SURVEY §1.1):
+ *   <tmp>/data/<table>/<schemaId>/<commitTimestamp>/part-*.parquet
+ */
+object GwCore {
+
+  private def layout(tmp: Path, table: String, commits: Seq[(String, Long, Seq[String])]): String = {
+    // commits: (schemaId, commitTimestamp, source parquet files to copy)
+    commits.foreach { case (schemaId, ts, files) =>
+      val dir = tmp.resolve(s"data/$table/$schemaId/$ts")
+      Files.createDirectories(dir)
+      files.zipWithIndex.foreach { case (src, i) =>
+        Files.copy(Paths.get(src), dir.resolve(s"part-$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val schemaHistory = commits.groupBy(_._1).map { case (sid, cs) =>
+      s""""$sid": "${cs.map(_._2).min}""""
+    }.mkString(", ")
+    val manifest = tmp.resolve("manifest.json")
+    Files.writeString(manifest,
+      s"""{"$table": {"lastSuccessfulWriteTimestamp": "9999999999999",
+         |"totalProcessedRecordsCount": 1,
+         |"dataFilesPath": "${tmp.toAbsolutePath}/data/$table/",
+         |"schemaHistory": {$schemaHistory}}}""".stripMargin)
+    manifest.toAbsolutePath.toString
+  }
+
+  // ---------------------------------------------------------------- gw01
+  /** Index one commit of `nation`, read latest through the generated log. */
+  def gw01IndexRead(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("gw01")
+    val manifest = layout(tmp, "nation",
+      Seq(("100", 1700000000000L, Seq(s"$dir/nation.parquet"))))
+    val db = tmp.resolve("db").toString
+    Indexer.index(manifest, db, SaveMode.Overwrite)(spark)
+    GwTable.forPath(spark, s"$db/nation").toDF
+  }
+
+  // ---------------------------------------------------------------- gw02
+  /** Two append commits, then time-travel back to version 0: the replayed
+    * snapshot must equal the single original table. */
+  def gw02TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("gw02")
+    val manifest = layout(tmp, "region", Seq(
+      ("100", 1700000000000L, Seq(s"$dir/region.parquet")),
+      ("100", 1700000001000L, Seq(s"$dir/region.parquet"))))
+    val db = tmp.resolve("db").toString
+    Indexer.index(manifest, db, SaveMode.Overwrite)(spark)
+    GwTable.forPath(spark, s"$db/region").versionAsOf(0)
+  }
+
+  // ---------------------------------------------------------------- gw03
+  /** Schema-evolution restatement: a second fingerprint REPLACES the table
+    * (reference semantics, SURVEY §2.6.2) — latest snapshot = new fingerprint
+    * content only, with the new schema. */
+  def gw03Restatement(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("gw03")
+    val manifest = layout(tmp, "t", Seq(
+      ("100", 1700000000000L, Seq(s"$dir/nation.parquet")),
+      ("200", 1700000001000L, Seq(s"$dir/region.parquet"))))
+    val db = tmp.resolve("db").toString
+    Indexer.index(manifest, db, SaveMode.Overwrite)(spark)
+    GwTable.forPath(spark, s"$db/t").toDF
+  }
+
+  // ---------------------------------------------------------------- gw04
+  /** Incremental append: index, add a commit, index again in Append mode —
+    * checkpoints skip the already-processed folder; latest = union of both. */
+  def gw04IncrementalAppend(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("gw04")
+    val manifest = layout(tmp, "nation", Seq(
+      ("100", 1700000000000L, Seq(s"$dir/nation.parquet"))))
+    val db = tmp.resolve("db").toString
+    Indexer.index(manifest, db, SaveMode.Append)(spark)
+    // second CDA write arrives
+    layout(tmp, "nation", Seq(
+      ("100", 1700000000000L, Seq(s"$dir/nation.parquet")),
+      ("100", 1700000002000L, Seq(s"$dir/nation.parquet"))))
+    Indexer.index(manifest, db, SaveMode.Append)(spark)
+    GwTable.forPath(spark, s"$db/nation").toDF
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gw01_index_read" -> gw01IndexRead _,
+    "gw02_time_travel" -> gw02TimeTravel _,
+    "gw03_restatement" -> gw03Restatement _,
+    "gw04_incremental_append" -> gw04IncrementalAppend _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "gw01_index_read" -> "SELECT * FROM nation",
+    "gw02_time_travel" -> "SELECT * FROM region",
+    "gw03_restatement" -> "SELECT * FROM region",
+    "gw04_incremental_append" ->
+      "SELECT * FROM nation UNION ALL SELECT * FROM nation",
+  )
+}

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/**
+ * Structured Streaming surface over the `events` table.
+ *
+ * The reference's "streaming" is checkpointed incremental batch (its README
+ * points users at auto-loader/DLT on the generated tables for true streams —
+ * reference README.md:39-43); here the same event data is processed as a real
+ * Structured Streaming job: file source -> event-time transforms ->
+ * watermarked windowed aggregation / arbitrary stateful processing -> sink.
+ *
+ * `Trigger.AvailableNow` drains the source and terminates, which makes each
+ * stream's result deterministic and equal to its batch equivalent — that
+ * equivalence IS the driver's DuckDB-oracle check. At scale the same code
+ * runs unbounded: the watermark bounds state, `mapGroupsWithState` state is
+ * per-key and store-backed, and the file source becomes kafka/auto-ingest
+ * without touching the transform graph.
+ */
+object StreamOps {
+
+  private var streamSeq = 0
+  private def nextName(): String = synchronized { streamSeq += 1; s"graft_stream_$streamSeq" }
+
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    // the file stream source wants a directory to watch; stage the table
+    // file into one (hard-linked, zero copy) — in production this is the
+    // landing directory / kafka topic
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream")
+    val target = stage.resolve("events.parquet")
+    try java.nio.file.Files.createLink(target, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    catch { case _: Exception =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
+    }
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(stage.toString)
+  }
+
+  // ---------------------------------------------------------------- st01
+  /** Watermarked tumbling-window aggregation: events per (hour, type).
+    * Complete-mode memory sink so drained results equal the batch answer. */
+  def st01WindowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = nextName()
+    val q = eventStream(spark, dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+      .select(
+        (unix_timestamp(col("window.start")) / 3600).cast("long").as("hour_bucket"),
+        col("event_type"), col("n"), col("value_c"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  // ---------------------------------------------------------------- st02
+  /** Arbitrary stateful processing via mapGroupsWithState: per-user session
+    * summary (event count, distinct types, value total) — the custom-state
+    * shape (KeyValueGroupedDataset) that windowed aggs can't express. */
+  def st02StatefulSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = nextName()
+    val q = eventStream(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[(Long, Set[String], Long)]) =>
+          val prev = state.getOption.getOrElse((0L, Set.empty[String], 0L))
+          val next = rows.foldLeft(prev) { case ((n, types, v), (_, t, vc)) =>
+            (n + 1, types + t, v + vc)
+          }
+          state.update(next)
+          (userId, next._1, next._2.size, next._3)
+      }
+      .toDF("user_id", "n_events", "n_types", "value_c")
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // update-mode memory sink appends each batch's updates; AvailableNow may
+    // run several micro-batches, so keep only the final state per key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    spark.table(name)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_stream_window" -> st01WindowedCounts _,
+    "st02_stream_state" -> st02StatefulSessions _,
+  )
+
+  /** Batch equivalents: AvailableNow drains the source, so the streaming
+    * results must equal these exactly. */
+  val oracles: Map[String, String] = Map(
+    "st01_stream_window" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+        | count(*) AS n, sum(CAST(round(value*100) AS BIGINT)) AS value_c
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st02_stream_state" ->
+      """SELECT user_id, count(*) AS n_events,
+        | count(DISTINCT event_type) AS n_types,
+        | sum(CAST(round(value*100) AS BIGINT)) AS value_c
+        |FROM events GROUP BY 1""".stripMargin,
+  )
+}
