@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * The user-facing library surface: column-parameterized DataFrame transforms
+ * for the training-data-pipeline operators, exposed as extension syntax.
+ *
+ * {{{
+ *   import graft.api._
+ *
+ *   docs.exactDedup($"text", $"doc_id")
+ *   docs.minHashDedupPairs($"doc_id", $"text", threshold = 0.8)
+ *   corpus.cosineTopK(queries, $"vec_id", $"embedding", k = 10)
+ *   docs.langId($"text")
+ * }}}
+ *
+ * Everything is a pure plan transform (no driver materialization), so the
+ * operators compose with arbitrary Spark code and scale with the cluster.
+ */
+package object api {
+
+  implicit class TextPipelineOps(private val df: DataFrame) {
+
+    /** Language-ID columns (`pred_lang` + per-language stopword hit counts). */
+    def langId(text: Column): DataFrame = Pipelines.langId(df, text)
+
+    /** Quality-signal columns for filtering (word/punct/alpha/stopword stats). */
+    def textQuality(text: Column): DataFrame = Pipelines.textQuality(df, text)
+
+    /** Token/char counts per row (whitespace + regex word tokens). */
+    def tokenCounts(text: Column): DataFrame = Pipelines.tokenCounts(df, text)
+
+    /** Content fingerprints over normalized text (`fp_full`, `fp_head`). */
+    def fingerprint(text: Column): DataFrame = Pipelines.fingerprint(df, text)
+
+    /** Exact duplicate groups keyed by content digest. */
+    def exactDedup(key: Column, id: Column): DataFrame = Pipelines.exactDedup(df, key, id)
+
+    /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification. */
+    def minHashDedupPairs(id: Column, text: Column, numPerm: Int = 32,
+        bands: Int = 8, threshold: Double = 0.5): DataFrame =
+      Pipelines.minHashDedupPairs(df, id, text, numPerm, bands, threshold)
+
+    /** SimHash near-duplicate pairs (hamming <= maxHamming). */
+    def simHashDedupPairs(id: Column, text: Column, maxHamming: Int = 6): DataFrame =
+      Pipelines.simHashDedupPairs(df, id, text, maxHamming)
+
+    /** Exact n-gram-Jaccard pairs within blocks (inverted-index join). */
+    def ngramJaccardPairs(id: Column, text: Column, blocks: Seq[Column],
+        threshold: Double): DataFrame =
+      Pipelines.ngramJaccardPairs(df, id, text, blocks, threshold)
+  }
+
+  implicit class VectorPipelineOps(private val df: DataFrame) {
+
+    /** Cosine near-duplicate pairs within a blocking column. */
+    def cosineNearDupPairs(id: Column, vec: Column, block: Column,
+        threshold: Double): DataFrame =
+      Pipelines.cosineNearDupPairs(df, id, vec, block, threshold)
+
+    /** Exact cosine top-k neighbors of `queries` against this corpus. */
+    def cosineTopK(queries: DataFrame, id: Column, vec: Column, k: Int): DataFrame =
+      Pipelines.cosineTopK(df, queries, id, vec, k)
+
+    /** Approximate top-k via random-hyperplane LSH banding. */
+    def annTopK(queries: DataFrame, id: Column, vec: Column, k: Int,
+        dim: Int, nPlanes: Int = 32, bands: Int = 8): DataFrame =
+      Pipelines.annTopK(df, queries, id, vec, k, dim, nPlanes, bands)
+  }
+}

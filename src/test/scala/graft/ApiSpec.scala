@@ -1,0 +1,61 @@
+package graft
+
+import graft.api._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the user-facing extension syntax (`import graft.api._`) the way a
+  * library consumer would. */
+class ApiSpec extends AnyFunSuite {
+  private val spark = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("text pipeline syntax composes on arbitrary DataFrames") {
+    val out = docs
+      .langId(col("text"))
+      .textQuality(col("text"))
+      .fingerprint(col("text"))
+      .select("doc_id", "pred_lang", "keep", "fp_full")
+    assert(out.count() == docs.count())
+    assert(out.columns.toSet == Set("doc_id", "pred_lang", "keep", "fp_full"))
+  }
+
+  test("exactDedup groups by content digest") {
+    val doubled = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.select(col("doc_id") + 100000, col("text")))
+    val groups = doubled.exactDedup(col("text"), col("doc_id"))
+    assert(groups.count() == docs.count())
+    assert(groups.filter(col("n_copies") === 2).count() == docs.count())
+  }
+
+  test("minHashDedupPairs finds planted near-duplicates") {
+    // plant an exact duplicate pair: doc 0 cloned as id 999999
+    val planted = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") === 0)
+        .select(lit(999999L).as("doc_id"), col("text")))
+    val pairs = planted.minHashDedupPairs(col("doc_id"), col("text"))
+    val hit = pairs.filter(col("doc_a") === 0 && col("doc_b") === 999999 &&
+      col("jacc_permille") === 1000)
+    assert(hit.count() == 1)
+  }
+
+  test("minHashDedupPairs rejects numPerm not divisible by bands") {
+    val e = intercept[IllegalArgumentException] {
+      docs.minHashDedupPairs(col("doc_id"), col("text"), numPerm = 30, bands = 8)
+    }
+    assert(e.getMessage.contains("divisible"))
+  }
+
+  test("cosineTopK ranks the clone first") {
+    val clone = embs.filter(col("vec_id") === 0)
+      .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = embs.select("vec_id", "embedding", "label").unionAll(clone)
+    val top = corpus.cosineTopK(corpus.filter(col("vec_id") === 0),
+      col("vec_id"), col("embedding"), k = 1)
+    val row = top.collect().head
+    assert(row.getLong(1) == 999999L) // nearest neighbor is the clone
+    assert(row.getLong(3) == 1000000L) // cos = 1.0 exactly
+  }
+}

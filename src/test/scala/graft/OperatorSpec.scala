@@ -66,8 +66,8 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("hyperplanes are deterministic across invocations") {
-    val a = Similarity.hyperplanes(4, 8)
-    val b = Similarity.hyperplanes(4, 8)
+    val a = graft.api.Pipelines.hyperplanes(4, 8)
+    val b = graft.api.Pipelines.hyperplanes(4, 8)
     assert(a.flatten.toSeq == b.flatten.toSeq)
   }
 }
