@@ -178,10 +178,11 @@ object Pipelines {
 
   // ------------------------------------------------------------- vectors
 
-  /** Sequential-fold dot product in doubles — bit-reproducible everywhere. */
-  def dotProd(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product in doubles over array<float> columns —
+    * bit-reproducible everywhere. Native codegen'd expression
+    * (graft.functions.VecDot); numerically identical to
+    * `aggregate(zip_with(x, y, (p,q) -> double(p)*double(q)), 0d, +)`. */
+  def dotProd(x: Column, y: Column): Column = graft.functions.VecDot(x, y)
 
   /** Vector L2 norm (sequential fold). */
   def l2norm(x: Column): Column = sqrt(dotProd(x, x))
@@ -229,11 +230,11 @@ object Pipelines {
     val bitsPerBand = nPlanes / bands
     val planes = hyperplanes(nPlanes, dim)
 
+    // signature bits from native codegen'd plane dots (array<float> x
+    // array<double> literal)
     def bandKeys(e: Column): Seq[Column] = {
       val bits = (0 until nPlanes).map { p =>
-        val dot = aggregate(zip_with(e, lit(planes(p)), (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, v) => acc + v)
-        when(dot > 0, 1L).otherwise(0L)
+        when(dotProd(e, lit(planes(p))) > 0, 1L).otherwise(0L)
       }
       (0 until bands).map { b =>
         (0 until bitsPerBand).map(i => bits(b * bitsPerBand + i) * (1L << i)).reduce(_ + _)
@@ -242,16 +243,24 @@ object Pipelines {
 
     def banded(df: DataFrame, prefix: String): DataFrame =
       df.select(id.as(s"${prefix}_id"), vec.as(s"${prefix}_emb"))
-        .withColumn(s"${prefix}_nrm", l2norm(col(s"${prefix}_emb")))
-        .select(col(s"${prefix}_id"), col(s"${prefix}_emb"), col(s"${prefix}_nrm"),
+        .select(col(s"${prefix}_id"),
           posexplode(array(bandKeys(col(s"${prefix}_emb")).map(_.cast("long")): _*)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
 
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    banded(queries, "q").join(banded(corpus, "n"), Seq("band", "bucket"))
+    // candidates on ids only; embeddings re-attached once per surviving pair
+    val candidates = banded(queries, "q").join(banded(corpus, "n"), Seq("band", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "n_id", "q_emb", "n_emb", "q_nrm", "n_nrm").distinct()
+      .select("q_id", "n_id").distinct()
+
+    val q = queries.select(id.as("q_id"), vec.as("q_emb"))
+      .withColumn("q_nrm", l2norm(col("q_emb")))
+    val c = corpus.select(id.as("n_id"), vec.as("n_emb"))
+      .withColumn("n_nrm", l2norm(col("n_emb")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    candidates
+      .join(broadcast(q), Seq("q_id"))
+      .join(c, Seq("n_id"))
       .withColumn("cos", dotProd(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Column <-> Expression bridge for custom Catalyst expressions. Spark 4
+ * moved the classic converters behind `private[sql]`; extension libraries
+ * reach them from inside the `org.apache.spark.sql` package namespace (the
+ * same access path spark-internal function registration uses).
+ */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
