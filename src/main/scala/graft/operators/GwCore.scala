@@ -93,11 +93,26 @@ object GwCore {
     GwTable.forPath(spark, s"$db/nation").toDF
   }
 
+  // ---------------------------------------------------------------- gw05
+  /** The DSv2 connector surface: `format("gwdelta")` with time travel via
+    * SQL-style options; scan delegated to the parquet V2 table (pushdown
+    * verified in GwDeltaSourceSpec). */
+  def gw05DataSourceV2(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("gw05")
+    val manifest = layout(tmp, "nation", Seq(
+      ("100", 1700000000000L, Seq(s"$dir/nation.parquet")),
+      ("100", 1700000001000L, Seq(s"$dir/nation.parquet"))))
+    val db = tmp.resolve("db").toString
+    Indexer.index(manifest, db, SaveMode.Overwrite)(spark)
+    spark.read.format("gwdelta").option("versionAsOf", 0).load(s"$db/nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
     "gw03_restatement" -> gw03Restatement _,
     "gw04_incremental_append" -> gw04IncrementalAppend _,
+    "gw05_datasource_v2" -> gw05DataSourceV2 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -106,5 +121,6 @@ object GwCore {
     "gw03_restatement" -> "SELECT * FROM region",
     "gw04_incremental_append" ->
       "SELECT * FROM nation UNION ALL SELECT * FROM nation",
+    "gw05_datasource_v2" -> "SELECT * FROM nation",
   )
 }

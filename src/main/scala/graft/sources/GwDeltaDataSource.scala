@@ -1,0 +1,67 @@
+package graft.sources
+
+import graft.log.GwLog
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.util.{Map => JMap}
+
+/**
+ * DataSource V2 connector for the generated transaction log: the SQL-native
+ * face of `GwTable` (the reference exposes the same capability through
+ * Delta's connector — reference README.md:74-84).
+ *
+ * {{{
+ *   spark.read.format("gwdelta").load(tablePath)                    // latest
+ *   spark.read.format("gwdelta").option("versionAsOf", 2).load(p)   // time travel
+ *   spark.read.format("gwdelta").option("timestampAsOf", ms).load(p)
+ *
+ *   CREATE TEMPORARY VIEW ph USING gwdelta
+ *   OPTIONS (path '<table>', versionAsOf '2')
+ * }}}
+ *
+ * The log replay resolves the snapshot's file set + schema (pure driver-side
+ * metadata); the scan itself delegates to Spark's own parquet V2 table, so
+ * column pruning, filter pushdown, vectorized reading, and AQE apply exactly
+ * as they would on a plain parquet read.
+ */
+class GwDeltaDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "gwdelta"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def resolve(options: CaseInsensitiveStringMap): (StructType, Seq[String]) = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("gwdelta requires a path"))
+    val spark = SparkSession.active
+    val log = GwLog.forTable(spark.sparkContext.hadoopConfiguration, path)
+    val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+    val timestampAsOf = Option(options.get("timestampAsOf")).map(_.toLong)
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "specify at most one of versionAsOf / timestampAsOf")
+    val version = versionAsOf.orElse(timestampAsOf.map { ts =>
+      val candidates = log.history().collect { case (v, Some(ci)) if ci.timestamp <= ts => v }
+      require(candidates.nonEmpty, s"No version at or before timestamp $ts for $path")
+      candidates.max
+    })
+    val snap = log.snapshot(version)
+    (snap.schema, snap.filePaths)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolve(options)._1
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val (snapSchema, files) = resolve(options)
+    ParquetTable(s"gwdelta:${options.get("path")}", SparkSession.active, options,
+      files, Some(snapSchema), classOf[ParquetFileFormat])
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Drives the `gwdelta` DSv2 connector the way a SQL user would. */
+class GwDeltaSourceSpec extends AnyFunSuite {
+  private val spark = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val tablePath: String = {
+    val tmp = Files.createTempDirectory("gwdelta-spec")
+    // v0: nation (fingerprint 100); v1: restatement to region (fingerprint 200)
+    for ((sid, ts, src) <- Seq(("100", 1700000000000L, "nation"),
+        ("200", 1700000001000L, "region"))) {
+      val dir = tmp.resolve(s"data/t/$sid/$ts")
+      Files.createDirectories(dir)
+      Files.copy(Paths.get(s"$sf/$src.parquet"), dir.resolve("part-0.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.writeString(tmp.resolve("manifest.json"),
+      s"""{"t": {"lastSuccessfulWriteTimestamp": "9999999999999",
+         |"totalProcessedRecordsCount": 1,
+         |"dataFilesPath": "${tmp.toAbsolutePath}/data/t/",
+         |"schemaHistory": {"100": "1700000000000", "200": "1700000001000"}}}""".stripMargin)
+    val db = tmp.resolve("db").toString
+    Indexer.index(tmp.resolve("manifest.json").toString, db, SaveMode.Overwrite)(spark)
+    s"$db/t"
+  }
+
+  test("format(gwdelta) reads the latest snapshot (restated schema)") {
+    val df = spark.read.format("gwdelta").load(tablePath)
+    assert(df.columns.toSeq == Seq("r_regionkey", "r_name"))
+    assert(df.count() == 5)
+  }
+
+  test("versionAsOf option time-travels to the pre-restatement schema") {
+    val df = spark.read.format("gwdelta").option("versionAsOf", 0).load(tablePath)
+    assert(df.columns.contains("n_nationkey"))
+    assert(df.count() == 25)
+  }
+
+  test("timestampAsOf resolves to the greatest earlier commit") {
+    val history = GwTable.forPath(spark, tablePath).history
+      .select("version", "timestamp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val df = spark.read.format("gwdelta")
+      .option("timestampAsOf", history(0L)).load(tablePath)
+    assert(df.count() == 25)
+  }
+
+  test("SQL: CREATE TEMPORARY VIEW ... USING gwdelta with time travel") {
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW gw_v0
+                 |USING gwdelta OPTIONS (path '$tablePath', versionAsOf '0')""".stripMargin)
+    val out = spark.sql("SELECT count(*) AS n FROM gw_v0").collect().head.getLong(0)
+    assert(out == 25)
+  }
+
+  test("filters and pruning push into the delegated parquet scan") {
+    val df = spark.read.format("gwdelta").option("versionAsOf", 0).load(tablePath)
+      .filter(col("n_nationkey") < 5).select("n_name")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_nationkey), LessThan(n_nationkey,5)]"),
+      s"pushdown missing in:\n$plan")
+    assert(df.count() == 5)
+  }
+
+  test("conflicting time-travel options are rejected") {
+    val e = intercept[Exception] {
+      spark.read.format("gwdelta")
+        .option("versionAsOf", 0).option("timestampAsOf", 1L).load(tablePath).count()
+    }
+    assert(e.getMessage.contains("at most one"))
+  }
+}
