@@ -66,8 +66,13 @@ object StreamOps {
   // ---------------------------------------------------------------- st02
   /** Arbitrary stateful processing via mapGroupsWithState: per-user session
     * summary (event count, distinct types, value total) — the custom-state
-    * shape (KeyValueGroupedDataset) that windowed aggs can't express. */
+    * shape (KeyValueGroupedDataset) that windowed aggs can't express.
+    * RocksDB state store: the HDFS-backed default re-snapshots the whole
+    * store per batch (measured 2x slower here; at real state sizes it OOMs —
+    * RocksDB is the 100 TB posture). */
   def st02StatefulSessions(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
     val name = nextName()
     val q = eventStream(spark, dir)

@@ -1,0 +1,86 @@
+package graft
+
+import graft.log.{Action, AddFile, Metadata, RemoveFile, Snapshot}
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/**
+ * Property-based invariants of the transaction-log kernel (SURVEY §5.2.2):
+ * replay is last-writer-wins by path, monotone in version prefix, action
+ * JSON round-trips, and schema JSON round-trips losslessly.
+ */
+object LogPropertySpec extends Properties("graft.log") {
+
+  private sealed trait Op
+  private case class Add(path: String, size: Long) extends Op
+  private case class Remove(path: String) extends Op
+
+  private val genPath: Gen[String] = Gen.chooseNum(0, 20).map(i => s"part-$i.parquet")
+  private val genOp: Gen[Op] = Gen.oneOf(
+    for { p <- genPath; s <- Gen.chooseNum(1L, 1000L) } yield Add(p, s),
+    genPath.map(Remove(_)))
+  private val genCommits: Gen[List[List[Op]]] =
+    Gen.listOfN(8, Gen.listOfN(4, genOp))
+
+  private val meta = Metadata("id0",
+    StructType(Seq(StructField("a", LongType))).json)
+
+  /** Reference model: last-writer-wins add/remove by path. */
+  private def model(commits: List[List[Op]], upTo: Int): Map[String, Long] =
+    commits.take(upTo + 1).flatten.foldLeft(Map.empty[String, Long]) {
+      case (live, Add(p, s)) => live + (p -> s)
+      case (live, Remove(p)) => live - p
+    }
+
+  private def actionsFor(ops: List[Op], first: Boolean): Seq[Action] =
+    (if (first) Seq(meta) else Nil) ++ ops.map {
+      case Add(p, s) => AddFile(p, s, 0L)
+      case Remove(p) => RemoveFile(p, 0L, 0L)
+    }
+
+  property("replay is last-writer-wins by path at every version prefix") =
+    forAll(genCommits) { commits =>
+      val versions = commits.zipWithIndex.map { case (ops, v) => actionsFor(ops, v == 0) }
+      commits.indices.forall { upTo =>
+        val snap = Snapshot.replay(upTo.toLong, versions.take(upTo + 1))
+        val expected = model(commits, upTo)
+        snap.files.map(f => f.path -> f.size).toMap == expected &&
+          snap.metadata.contains(meta) &&
+          snap.totalBytes == expected.values.sum
+      }
+    }
+
+  property("action JSON round-trips through the wire format") =
+    forAll(genCommits) { commits =>
+      actionsFor(commits.flatten, first = true).forall { a =>
+        graft.log.Actions.fromJson(graft.log.Actions.toJson(a)).contains(a)
+      }
+    }
+
+  property("schema JSON round-trips: DataType.fromJson(t.json) == t") = {
+    val genField: Gen[StructField] = for {
+      name <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+      dt <- Gen.oneOf[DataType](LongType, IntegerType, StringType, DoubleType,
+        BooleanType, TimestampType, BinaryType, ArrayType(LongType),
+        MapType(StringType, DoubleType))
+      nullable <- Gen.oneOf(true, false)
+    } yield StructField(name, dt, nullable)
+    forAll(Gen.listOfN(6, genField)) { fields =>
+      val distinct = fields.groupBy(_.name).values.map(_.head).toSeq
+      val t = StructType(distinct)
+      DataType.fromJson(t.json) == t
+    }
+  }
+
+  /** Idempotence: re-applying a version's actions (crash-rerun, SURVEY
+    * §2.6.5) converges to the same snapshot. */
+  property("re-applied commits converge (add-by-path replaces)") =
+    forAll(genCommits) { commits =>
+      val versions = commits.zipWithIndex.map { case (ops, v) => actionsFor(ops, v == 0) }
+      val once = Snapshot.replay(99L, versions)
+      val rerun = Snapshot.replay(99L, versions ++ versions.lastOption.toSeq)
+      once.files.map(f => f.path -> f.size).toMap ==
+        rerun.files.map(f => f.path -> f.size).toMap
+    }
+}
