@@ -224,6 +224,48 @@ object Pipelines {
     Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+   * their nearest of `nCentroids` fixed centroids (the inverted lists);
+   * each query probes its `nProbe` closest lists and ranks exactly within
+   * them. Cost per query ~ nProbe/nCentroids of the corpus — the classic
+   * trade against recall. Centroids here are seeded random directions
+   * (data-independent); swapping in trained centroids changes nothing
+   * structurally.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+      k: Int, dim: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = hyperplanes(nCentroids, dim)
+    // per-vector centroid scores: dot with each centroid (codegen'd)
+    def scores(e: Column): Column = array((0 until nCentroids).map(c => dotProd(e, lit(cents(c)))): _*)
+    // corpus side: argmax centroid = its single inverted list
+    def assigned(e: Column): Column =
+      (array_position(scores(e), array_max(scores(e))) - 1).cast("int")
+    // query side: top-nProbe centroids by score
+    def probes(e: Column): Column = {
+      val ranked = sort_array(zip_with(scores(e),
+        sequence(lit(0), lit(nCentroids - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))), asc = false)
+      slice(transform(ranked, r => r.getField("i")), 1, nProbe)
+    }
+
+    val c = corpus.select(id.as("n_id"), vec.as("n_emb"))
+      .withColumn("list", assigned(col("n_emb")))
+      .withColumn("n_nrm", l2norm(col("n_emb")))
+    val q = queries.select(id.as("q_id"), vec.as("q_emb"))
+      .withColumn("list", explode(probes(col("q_emb"))))
+      .withColumn("q_nrm", l2norm(col("q_emb")))
+
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(c, Seq("list"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", dotProd(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"),
+        round(col("cos") * 1000000).cast("long").as("cos_micro"))
+  }
+
   def annTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
       k: Int, dim: Int, nPlanes: Int, bands: Int): DataFrame = {
     require(nPlanes % bands == 0, "nPlanes must be divisible by bands")

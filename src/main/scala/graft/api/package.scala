@@ -67,5 +67,10 @@ package object api {
     def annTopK(queries: DataFrame, id: Column, vec: Column, k: Int,
         dim: Int, nPlanes: Int = 32, bands: Int = 8): DataFrame =
       Pipelines.annTopK(df, queries, id, vec, k, dim, nPlanes, bands)
+
+    /** Approximate top-k via IVF inverted lists (probe nearest centroids). */
+    def ivfTopK(queries: DataFrame, id: Column, vec: Column, k: Int,
+        dim: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
+      Pipelines.ivfTopK(df, queries, id, vec, k, dim, nCentroids, nProbe)
   }
 }

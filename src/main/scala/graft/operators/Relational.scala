@@ -294,6 +294,25 @@ object Relational {
       .agg(count(lit(1)).as("n_quiet"), sum(cents(col("c_acctbal"))).as("bal_c"))
   }
 
+  // ---------------------------------------------------------------- q21
+  /** CUBE: all grouping-set combinations over two dimensions. */
+  def q21Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("price_c"))
+
+  // ---------------------------------------------------------------- q22
+  /** Explicit GROUPING SETS with grouping-id disambiguation. */
+  def q22GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, grouping(l_returnflag) AS g_flag,
+        | grouping(l_linestatus) AS g_status, count(*) AS n
+        |FROM v_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin)
+  }
+
   /** name -> query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -316,6 +335,8 @@ object Relational {
     "q18_range_join" -> q18RangeJoin _,
     "q19_pivot" -> q19Pivot _,
     "q20_anti_join" -> q20AntiJoin _,
+    "q21_cube" -> q21Cube _,
+    "q22_grouping_sets" -> q22GroupingSets _,
   )
 
   /** name -> DuckDB oracle SQL (column names/aliases must match exactly). */
@@ -468,5 +489,14 @@ object Relational {
         |  AND o_orderpriority = '1-URGENT'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
         |GROUP BY 1""".stripMargin,
+    "q21_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | sum(CAST(round(o_totalprice*100) AS BIGINT)) AS price_c
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q22_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, grouping(l_returnflag) AS g_flag,
+        | grouping(l_linestatus) AS g_status, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin,
   )
 }

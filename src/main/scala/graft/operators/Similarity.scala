@@ -27,9 +27,16 @@ object Similarity {
       col("vec_id"), col("embedding"), k = 3, dim = 64, nPlanes = 32, bands = 8)
   }
 
+  def s03IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Pipelines.ivfTopK(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 3, dim = 64, nCentroids = 16, nProbe = 8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
+    "s03_ivf_topk" -> s03IvfTopK _,
   )
 
   val oracles: Map[String, String] = Map(

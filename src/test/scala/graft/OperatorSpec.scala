@@ -49,6 +49,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall $recall too low (exact=${exact.size}, ann=${ann.size})")
   }
 
+  test("s03 IVF: recall >= 0.4 of exact top-3 at sf0.001; probing more lists raises candidates") {
+    val exact = Similarity.s01TopKBruteForce(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("rnk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.s03IvfTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+    // probing every list must recover exact top-k fully
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val full = graft.api.Pipelines.ivfTopK(e,
+      e.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"),
+      k = 3, dim = 64, nCentroids = 16, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "nProbe = nCentroids must equal the exact top-k")
+  }
+
   test("m03 decode stub: one feature row per asset, deterministic values") {
     val out = Multimodal.m03DecodeStub(spark, sf).collect()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
