@@ -37,11 +37,28 @@ object TextOps {
     Pipelines.fingerprint(docs(spark, dir), col("text"))
       .select("doc_id", "fp_full", "fp_head")
 
+  /** Corpus term statistics: per-language top terms by document frequency
+    * (the integer core of TF-IDF — idf's `ln` is libm-dependent, so ranking
+    * stays on exact counts). */
+  def t05TermStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("df").desc, col("tf").desc, col("word"))
+    terms.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select("lang", "word", "tf", "df", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
     "t03_tokens" -> t03Tokens _,
     "t04_fingerprint" -> t04Fingerprint _,
+    "t05_term_stats" -> t05TermStats _,
   )
 
   private def sqlList(lang: String): String =
@@ -88,5 +105,12 @@ object TextOps {
         |SELECT doc_id, md5(norm) AS fp_full,
         | md5(array_to_string(string_split(norm, ' ')[1:8], ' ')) AS fp_head
         |FROM n""".stripMargin,
+    "t05_term_stats" ->
+      """SELECT lang, word, tf, df, rnk FROM (
+        | SELECT lang, word, count(*) AS tf, count(DISTINCT doc_id) AS df,
+        |  row_number() OVER (PARTITION BY lang ORDER BY count(DISTINCT doc_id) DESC, count(*) DESC, word) AS rnk
+        | FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents)
+        | GROUP BY lang, word
+        |) WHERE rnk <= 10""".stripMargin,
   )
 }
