@@ -313,6 +313,24 @@ object Relational {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q23
+  /** Salted join: the skew-mitigation shape — replicate the build side S
+    * ways, spread probe rows across salts, join on (key, salt). Results are
+    * identical to the plain join (the oracle IS the plain join); at scale
+    * this breaks a hot key across S reducers when AQE skew-splitting isn't
+    * enough. */
+  def q23SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val l = t(spark, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+    val o = t(spark, dir, "orders")
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents(col("l_extendedprice"))).as("price_c"))
+  }
+
   /** name -> query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -337,6 +355,7 @@ object Relational {
     "q20_anti_join" -> q20AntiJoin _,
     "q21_cube" -> q21Cube _,
     "q22_grouping_sets" -> q22GroupingSets _,
+    "q23_salted_join" -> q23SaltedJoin _,
   )
 
   /** name -> DuckDB oracle SQL (column names/aliases must match exactly). */
@@ -498,5 +517,10 @@ object Relational {
         | grouping(l_linestatus) AS g_status, count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin,
+    "q23_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS price_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
   )
 }

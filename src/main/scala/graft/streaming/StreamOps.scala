@@ -108,9 +108,57 @@ object StreamOps {
       .drop("rn")
   }
 
+  // ---------------------------------------------------------------- st03
+  /** Gap-based sessionization via flatMapGroupsWithState (Append mode):
+    * events more than 30 min apart start a new session; emits one summary
+    * row per user. The flatMap shape (0..n output rows per group) is what
+    * mapGroups can't express. */
+  def st03Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000000
+    val name = nextName()
+    val q = eventStream(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[List[Long]]) =>
+          // accumulate timestamps; AvailableNow drains in one pass per key,
+          // so emit the final summary when the group is seen
+          val all = (state.getOption.getOrElse(Nil) ++ rows.map(_._2)).sorted
+          state.update(all)
+          val sessionLengths = all.foldLeft(List.empty[Long] -> Long.MinValue) {
+            case ((lens, prev), ts) =>
+              if (prev == Long.MinValue || ts - prev > gapUs) (1L :: lens, ts)
+              else ((lens.head + 1) :: lens.tail, ts)
+          }._1
+          Iterator((userId, sessionLengths.size.toLong, sessionLengths.max,
+            all.size.toLong))
+      }
+      .toDF("user_id", "n_sessions", "max_session_events", "n_events")
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // append-mode emits once per micro-batch a key appears in; keep the
+    // final (largest n_events) row per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    spark.table(name)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> st01WindowedCounts _,
     "st02_stream_state" -> st02StatefulSessions _,
+    "st03_sessionize" -> st03Sessionize _,
   )
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming
@@ -125,5 +173,18 @@ object StreamOps {
         | count(DISTINCT event_type) AS n_types,
         | sum(CAST(round(value*100) AS BIGINT)) AS value_c
         |FROM events GROUP BY 1""".stripMargin,
+    "st03_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        | g AS (SELECT user_id, us,
+        |   CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+        |        THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        | s AS (SELECT user_id, us,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        | per_session AS (SELECT user_id, sid, count(*) AS len FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(len) AS max_session_events,
+        | sum(len) AS n_events
+        |FROM per_session GROUP BY 1""".stripMargin,
   )
 }
