@@ -27,8 +27,9 @@ object Pipelines {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "pas"),
     "es" -> Seq("el", "los", "las", "y", "es", "un", "no"))
 
+  // int64 like the DuckDB oracle's len() (int32 would dtype-drift the gate)
   private def hitsFor(text: Column, lang: String): Column =
-    size(array_intersect(array_distinct(split(text, " ")), lit(stopwords(lang).toArray)))
+    size(array_intersect(array_distinct(split(text, " ")), lit(stopwords(lang).toArray))).cast("long")
 
   // ------------------------------------------------------------- text ops
 
@@ -47,9 +48,9 @@ object Pipelines {
   }
 
   def textQuality(df: DataFrame, text: Column): DataFrame =
-    df.withColumn("n_words", size(split(text, " ")))
-      .withColumn("punct_cnt", length(regexp_replace(text, "[^.,;:!?]", "")))
-      .withColumn("alpha_cnt", length(regexp_replace(text, "[^a-zA-Z]", "")))
+    df.withColumn("n_words", size(split(text, " ")).cast("long"))
+      .withColumn("punct_cnt", length(regexp_replace(text, "[^.,;:!?]", "")).cast("long"))
+      .withColumn("alpha_cnt", length(regexp_replace(text, "[^a-zA-Z]", "")).cast("long"))
       .withColumn("stop_hits", hitsFor(text, "en"))
       .withColumn("alpha_permille",
         round(lit(1000.0) * col("alpha_cnt") / length(text)).cast("long"))
@@ -212,7 +213,7 @@ object Pipelines {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     broadcast(q).join(c, col("q_id") =!= col("n_id"))
       .withColumn("cos", dotProd(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"),
         round(col("cos") * 1000000).cast("long").as("cos_micro"))
@@ -260,7 +261,7 @@ object Pipelines {
     broadcast(q).join(c, Seq("list"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", dotProd(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"),
         round(col("cos") * 1000000).cast("long").as("cos_micro"))
@@ -304,7 +305,7 @@ object Pipelines {
       .join(broadcast(q), Seq("q_id"))
       .join(c, Seq("n_id"))
       .withColumn("cos", dotProd(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"),
         round(col("cos") * 1000000).cast("long").as("cos_micro"))

@@ -119,7 +119,7 @@ object Relational {
   def q07WindowRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
     t(spark, dir, "orders")
-      .withColumn("rnk", rank().over(w))
+      .withColumn("rnk", rank().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("rnk"),
         cents(col("o_totalprice")).as("price_c"))
@@ -133,7 +133,7 @@ object Relational {
     // microsecond precision, so the comparable granularity is us
     t(spark, dir, "events")
       .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("seq", row_number().over(byUser))
+      .withColumn("seq", row_number().over(byUser).cast("long"))
       .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(byUser))
       .filter(col("user_id") < 20)
       .select("event_id", "user_id", "seq", "gap_us")
@@ -187,7 +187,7 @@ object Relational {
       .select(
         col("p_partkey"),
         upper(substring(col("p_name"), 1, 8)).as("name_pfx"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
         (col("p_size") % 5).as("size_mod"),
         abs(col("p_size") - 25).as("size_dev"),
@@ -307,8 +307,8 @@ object Relational {
   def q22GroupingSets(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "lineitem").createOrReplaceTempView("v_lineitem")
     spark.sql(
-      """SELECT l_returnflag, l_linestatus, grouping(l_returnflag) AS g_flag,
-        | grouping(l_linestatus) AS g_status, count(*) AS n
+      """SELECT l_returnflag, l_linestatus, CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        | CAST(grouping(l_linestatus) AS BIGINT) AS g_status, count(*) AS n
         |FROM v_lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin)
   }
@@ -362,10 +362,10 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
-        | sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_c,
-        | sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS sum_disc_c,
-        | sum(CAST(round(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*100) AS BIGINT)) AS sum_charge_c,
+        | CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        | CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+        | CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2""".stripMargin,
@@ -376,7 +376,7 @@ object Relational {
         |WHERE l_quantity BETWEEN 5 AND 10 AND l_shipdate >= TIMESTAMP '1997-01-01'""".stripMargin,
     "q03_top_orders" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        | sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS revenue_c
+        | CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -392,7 +392,7 @@ object Relational {
         |GROUP BY 1""".stripMargin,
     "q05_region_revenue" ->
       """SELECT n_name,
-        | sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS revenue_c
+        | CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -403,7 +403,7 @@ object Relational {
         | AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1""".stripMargin,
     "q06_forecast_revenue" ->
-      """SELECT sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS revenue_c
+      """SELECT CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         | AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
@@ -439,7 +439,7 @@ object Relational {
         |SELECT 'union' AS op, count(*) AS n FROM (SELECT k FROM high UNION SELECT k FROM urgent)""".stripMargin,
     "q11_rollup" ->
       """SELECT r_name, n_name,
-        | sum(CAST(round(s_acctbal*100) AS BIGINT)) AS bal_c, count(*) AS n_supp
+        | CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_c, count(*) AS n_supp
         |FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -465,13 +465,13 @@ object Relational {
     "q14_above_avg" ->
       """WITH a AS (SELECT sum(CAST(round(o_totalprice*100) AS BIGINT)) AS s, count(*) AS n FROM orders)
         |SELECT o_orderpriority, count(*) AS n_above,
-        | sum(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_above_c
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_above_c
         |FROM orders, a
         |WHERE CAST(CAST(round(o_totalprice*100) AS BIGINT) AS DOUBLE) > 1.5 * (CAST(s AS DOUBLE) / n)
         |GROUP BY 1""".stripMargin,
     "q15_event_buckets" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
-        | count(*) AS n, sum(CAST(round(value*100) AS BIGINT)) AS value_c
+        | count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q16_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
@@ -501,7 +501,7 @@ object Relational {
         |FROM events WHERE user_id < 50 GROUP BY user_id""".stripMargin,
     "q20_anti_join" ->
       """SELECT c_mktsegment, count(*) AS n_quiet,
-        | sum(CAST(round(c_acctbal*100) AS BIGINT)) AS bal_c
+        | CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_c
         |FROM customer
         |WHERE NOT EXISTS (
         | SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -510,16 +510,16 @@ object Relational {
         |GROUP BY 1""".stripMargin,
     "q21_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        | sum(CAST(round(o_totalprice*100) AS BIGINT)) AS price_c
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_c
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q22_grouping_sets" ->
-      """SELECT l_returnflag, l_linestatus, grouping(l_returnflag) AS g_flag,
-        | grouping(l_linestatus) AS g_status, count(*) AS n
+      """SELECT l_returnflag, l_linestatus, CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        | CAST(grouping(l_linestatus) AS BIGINT) AS g_status, count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin,
     "q23_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
-        | sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS price_c
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_c
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
   )

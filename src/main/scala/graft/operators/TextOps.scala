@@ -48,7 +48,7 @@ object TextOps {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
     val w = Window.partitionBy("lang")
       .orderBy(col("df").desc, col("tf").desc, col("word"))
-    terms.withColumn("rnk", row_number().over(w))
+    terms.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 10)
       .select("lang", "word", "tf", "df", "rnk")
   }
@@ -94,9 +94,9 @@ object TextOps {
          |FROM documents""".stripMargin,
     "t03_tokens" ->
       """SELECT lang, count(*) AS n_docs,
-        | sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_ws_tokens,
-        | sum(len(regexp_extract_all(text, '[a-zA-Z]+'))) AS total_word_tokens,
-        | sum(length(text)) AS total_chars
+        | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
+        | CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+'))) AS BIGINT) AS total_word_tokens,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1""".stripMargin,
     "t04_fingerprint" ->
       """WITH n AS (

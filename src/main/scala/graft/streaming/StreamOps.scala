@@ -16,35 +16,114 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * `Trigger.AvailableNow` drains the source and terminates, which makes each
  * stream's result deterministic and equal to its batch equivalent — that
  * equivalence IS the driver's DuckDB-oracle check. At scale the same code
- * runs unbounded: the watermark bounds state, `mapGroupsWithState` state is
- * per-key and store-backed, and the file source becomes kafka/auto-ingest
- * without touching the transform graph.
+ * runs unbounded: the watermark bounds state, stateful-op state is per-key,
+ * O(1)-sized and store-backed (RocksDB), expired by event-time timeout, and
+ * the file source becomes kafka/auto-ingest without touching the transform
+ * graph.
  */
 object StreamOps {
 
   private var streamSeq = 0
   private def nextName(): String = synchronized { streamSeq += 1; s"graft_stream_$streamSeq" }
 
-  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    // the file stream source wants a directory to watch; stage the table
-    // file into one (hard-linked, zero copy) — in production this is the
-    // landing directory / kafka topic
+  /** Sentinel event type used to push the watermark past the last real
+    * window so Append-mode queries flush everything on a drain run. Filtered
+    * out of every query's input before any aggregation. In an unbounded
+    * production run no sentinel is needed — later events advance the
+    * watermark naturally. */
+  private val SentinelType = "__graft_flush__"
+
+  private def eventStream(spark: SparkSession, dir: String): DataFrame =
+    eventStream(spark, dir, withSentinel = false)
+
+  /** Stage the events table into a watched directory (hard-linked, zero
+    * copy — in production this is the landing directory / kafka topic).
+    *
+    * With `withSentinel`, also write two far-future flush events as separate
+    * files and force one-file-per-batch: Append-mode emission in batch N
+    * uses the watermark computed from batch N-1's data, so finalizing every
+    * real window on a drain needs a batch whose *predecessor* already
+    * carried a past-the-data event time. Batch order (by mtime) is
+    * events -> sentinel1 (+4h) -> sentinel2 (+8h); during the sentinel2
+    * batch the watermark is sentinel1 - delay, past every real window. */
+  private def eventStream(spark: SparkSession, dir: String, withSentinel: Boolean): DataFrame = {
     val stage = java.nio.file.Files.createTempDirectory("graft-stream")
     val target = stage.resolve("events.parquet")
-    try java.nio.file.Files.createLink(target, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    catch { case _: Exception =>
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
+    val linked =
+      try { java.nio.file.Files.createLink(target, java.nio.file.Paths.get(s"$dir/events.parquet")); true }
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
+        false
+      }
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    if (withSentinel) {
+      val now = System.currentTimeMillis()
+      // a copied (not linked) events file has mtime=now; push it into the
+      // past so the file source orders it before the sentinels
+      if (!linked)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(now - 7200000L))
+      val maxTs = batch.agg(max("ts")).head.getLong(0)
+      def writeSentinel(tag: String, hoursAfter: Long, mtimeMs: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-sentinel-$tag")
+        batch.limit(1)
+          .withColumn("ts", lit(maxTs + hoursAfter * 3600L * 1000000000L))
+          .withColumn("event_type", lit(SentinelType))
+          .withColumn("user_id", lit(-1L))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = stage.resolve(s"zz_$tag.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+        tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
+      }
+      writeSentinel("s1", 4, now - 60000L)
+      writeSentinel("s2", 8, now - 30000L)
     }
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(stage.toString)
+    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      stage.toFile.listFiles().foreach(f => println(
+        s"DEBUG stage file=${f.getName} size=${f.length} mtime=${f.lastModified}"))
+    val reader = spark.readStream.schema(batch.schema)
+    (if (withSentinel) reader.option("maxFilesPerTrigger", 1) else reader)
+      .parquet(stage.toString)
+  }
+
+  /** Run `body` with the RocksDB state store configured, restoring the
+    * caller's previous setting afterwards (the provider is a session conf;
+    * mutating it permanently would leak into unrelated queries). RocksDB:
+    * the HDFS-backed default re-snapshots the whole store per batch
+    * (measured 2x slower here; at real state sizes it OOMs — RocksDB is
+    * the 100 TB posture). */
+  private def withRocksDb[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   // ---------------------------------------------------------------- st01
-  /** Watermarked tumbling-window aggregation: events per (hour, type).
-    * Complete-mode memory sink so drained results equal the batch answer. */
+  /** Watermarked tumbling-window aggregation: events per (hour, type), in
+    * production shape — Append mode, so each window is emitted exactly once
+    * when the watermark finalizes it and its state is then dropped. State
+    * and sink are O(open windows), not O(all windows ever), which is what
+    * makes this run unbounded. The drain-time sentinel (see `eventStream`)
+    * stands in for the later events that advance the watermark in a real
+    * deployment. */
   def st01WindowedCounts(spark: SparkSession, dir: String): DataFrame = {
     val name = nextName()
-    val q = eventStream(spark, dir)
+    // Sentinel rows must NOT be filtered before the aggregation: Catalyst
+    // pushes such a predicate below the watermark node into the parquet
+    // scan, whose footer stats then prune the sentinel files entirely — so
+    // the watermark never advances. They group into their own (window,
+    // SentinelType) rows instead and are dropped from the OUTPUT below.
+    val q = eventStream(spark, dir, withSentinel = true)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
@@ -56,23 +135,23 @@ object StreamOps {
       .writeStream
       .format("memory")
       .queryName(name)
-      .outputMode(OutputMode.Complete())
+      .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach(p => println(
+        s"DEBUG batch=${p.batchId} rows=${p.numInputRows} wm=${p.eventTime.get("watermark")} " +
+          s"sink=${p.sink.numOutputRows}"))
+    spark.table(name).filter(col("event_type") =!= SentinelType)
   }
 
   // ---------------------------------------------------------------- st02
   /** Arbitrary stateful processing via mapGroupsWithState: per-user session
     * summary (event count, distinct types, value total) — the custom-state
     * shape (KeyValueGroupedDataset) that windowed aggs can't express.
-    * RocksDB state store: the HDFS-backed default re-snapshots the whole
-    * store per batch (measured 2x slower here; at real state sizes it OOMs —
-    * RocksDB is the 100 TB posture). */
-  def st02StatefulSessions(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    * State is O(distinct event types) per key. */
+  def st02StatefulSessions(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
     import spark.implicits._
     val name = nextName()
     val q = eventStream(spark, dir)
@@ -88,7 +167,7 @@ object StreamOps {
             (n + 1, types + t, v + vc)
           }
           state.update(next)
-          (userId, next._1, next._2.size, next._3)
+          (userId, next._1, next._2.size.toLong, next._3)
       }
       .toDF("user_id", "n_events", "n_types", "value_c")
       .writeStream
@@ -110,32 +189,59 @@ object StreamOps {
 
   // ---------------------------------------------------------------- st03
   /** Gap-based sessionization via flatMapGroupsWithState (Append mode):
-    * events more than 30 min apart start a new session; emits one summary
-    * row per user. The flatMap shape (0..n output rows per group) is what
-    * mapGroups can't express. */
-  def st03Sessionize(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    * events more than 30 min apart start a new session.
+    *
+    * State per user is a constant-size carry
+    * `(lastUs, curLen, nSessions, maxLen, total)` — NOT the raw timestamps —
+    * so state size is independent of events-per-user. Each invocation folds
+    * the batch's rows (sorted within the batch; cross-batch order is what
+    * the watermark guarantees in production) into the carry and emits the
+    * running per-user summary; the event-time timeout fires once the
+    * watermark passes `lastTs + gap`, emitting the final summary and
+    * clearing the state, which bounds state lifetime for inactive users. */
+  def st03Sessionize(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
     import spark.implicits._
     val gapUs = 30L * 60 * 1000000
     val name = nextName()
-    val q = eventStream(spark, dir)
-      .select(col("user_id"), expr("ts div 1000").as("us"))
-      .as[(Long, Long)]
+    // sentinels keep flowing to the stateful op (see st01 note on filter
+    // pushdown vs the watermark); they carry user_id = -1 and their "user"
+    // summary is dropped from the output below
+    val q = eventStream(spark, dir, withSentinel = true)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "30 minutes")
+      // keep the watermarked event_time column in the typed view: the
+      // analyzer requires it present for EventTimeTimeout
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_time"))
+      .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[List[Long]]) =>
-          // accumulate timestamps; AvailableNow drains in one pass per key,
-          // so emit the final summary when the group is seen
-          val all = (state.getOption.getOrElse(Nil) ++ rows.map(_._2)).sorted
-          state.update(all)
-          val sessionLengths = all.foldLeft(List.empty[Long] -> Long.MinValue) {
-            case ((lens, prev), ts) =>
-              if (prev == Long.MinValue || ts - prev > gapUs) (1L :: lens, ts)
-              else ((lens.head + 1) :: lens.tail, ts)
-          }._1
-          Iterator((userId, sessionLengths.size.toLong, sessionLengths.max,
-            all.size.toLong))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastTs+gap: the user's current session is
+            // closed; emit the final summary and free the state
+            val (_, _, ns, mx, tot) = state.get
+            state.remove()
+            Iterator((userId, ns, mx, tot))
+          } else {
+            val sorted = rows.map(_._2).toArray
+            java.util.Arrays.sort(sorted)
+            val st0 = state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L, 0L))
+            val st1 = sorted.foldLeft(st0) {
+              case ((last, cur, ns, mx, tot), ts) =>
+                if (last == Long.MinValue || ts - last > gapUs)
+                  (ts, 1L, ns + 1, math.max(mx, 1L), tot + 1)
+                else
+                  (ts, cur + 1, ns, math.max(mx, cur + 1), tot + 1)
+            }
+            state.update(st1)
+            // expire once the watermark proves no event can extend the
+            // current session (must stay above the current watermark)
+            val timeoutMs = math.max(st1._1 / 1000 + gapUs / 1000 + 1,
+              state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(timeoutMs)
+            Iterator((userId, st1._3, st1._4, st1._5))
+          }
       }
       .toDF("user_id", "n_sessions", "max_session_events", "n_events")
       .writeStream
@@ -145,11 +251,12 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // append-mode emits once per micro-batch a key appears in; keep the
-    // final (largest n_events) row per user
+    // one summary row per (user, batch-seen) + one on timeout; keep the
+    // final (largest n_events) row per user, and drop the sentinel "user"
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_events").desc)
     spark.table(name)
+      .filter(col("user_id") =!= -1L)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
@@ -166,12 +273,12 @@ object StreamOps {
   val oracles: Map[String, String] = Map(
     "st01_stream_window" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
-        | count(*) AS n, sum(CAST(round(value*100) AS BIGINT)) AS value_c
+        | count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY 1, 2""".stripMargin,
     "st02_stream_state" ->
       """SELECT user_id, count(*) AS n_events,
         | count(DISTINCT event_type) AS n_types,
-        | sum(CAST(round(value*100) AS BIGINT)) AS value_c
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY 1""".stripMargin,
     "st03_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
@@ -184,7 +291,7 @@ object StreamOps {
         |  FROM g),
         | per_session AS (SELECT user_id, sid, count(*) AS len FROM s GROUP BY 1, 2)
         |SELECT user_id, count(*) AS n_sessions, max(len) AS max_session_events,
-        | sum(len) AS n_events
+        | CAST(sum(len) AS BIGINT) AS n_events
         |FROM per_session GROUP BY 1""".stripMargin,
   )
 }

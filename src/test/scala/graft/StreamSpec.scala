@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming operators must equal their batch equivalents after an
+ * AvailableNow drain — the same contract the driver's DuckDB oracle checks.
+ * Also pins the production-shape properties the scaladocs claim: st01 runs
+ * in Append mode (per-window emit-once, state dropped on finalize) and st03
+ * keeps O(1) per-key state (no raw-timestamp accumulation).
+ */
+class StreamSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def batchEvents: DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  private def assertSameRows(actual: DataFrame, expected: DataFrame): Unit = {
+    val a = actual.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val e = expected.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val extra = a.diff(e)
+    val missing = e.diff(a)
+    assert(extra.isEmpty && missing.isEmpty,
+      s"rows ${a.length} vs ${e.length}; " +
+        s"extra=${extra.take(5).mkString("; ")} missing=${missing.take(5).mkString("; ")}")
+  }
+
+  test("st01 windowed counts equal batch answer (Append mode)") {
+    val expected = batchEvents
+      .withColumn("hour_bucket", expr("(ts div 1000) div 3600000000"))
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+    assertSameRows(
+      StreamOps.st01WindowedCounts(spark, dir)
+        .select("hour_bucket", "event_type", "n", "value_c"),
+      expected)
+  }
+
+  test("st02 stateful sessions equal batch answer") {
+    val expected = batchEvents
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("event_type").as("n_types"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+    assertSameRows(
+      StreamOps.st02StatefulSessions(spark, dir)
+        .select("user_id", "n_events", "n_types", "value_c"),
+      expected)
+  }
+
+  test("st03 sessionization equals batch gap-sessionization") {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("us")
+    val sessions = batchEvents
+      .select(col("user_id"), expr("ts div 1000").as("us"))
+      .withColumn("new_s",
+        when(col("us") - lag("us", 1).over(byUser) > 1800000000L, 1)
+          .when(lag("us", 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid").agg(count(lit(1)).as("len"))
+    val expected = sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), max("len").as("max_session_events"),
+        sum("len").as("n_events"))
+    assertSameRows(
+      StreamOps.st03Sessionize(spark, dir)
+        .select("user_id", "n_sessions", "max_session_events", "n_events"),
+      expected)
+  }
+
+  test("streaming ops restore the caller's state-store provider conf") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    StreamOps.st02StatefulSessions(spark, dir).collect()
+    assert(spark.conf.getOption(key) == before)
+  }
+}

@@ -41,19 +41,25 @@ for name in sorted(os.listdir(out_dir)):
     s, d = canon(spark_df), canon(duck_df)
     ok_schema = list(s.columns) == list(d.columns)
     ok_rows = len(s) == len(d)
+    # dtype-faithful like the driver: a float64 sum vs int64 sum is a FAIL
+    # even when values match (DuckDB sum->HUGEINT->float64 drift); report it
+    # as DTYPE-MISMATCH so it's distinguishable from value divergence
     ok_vals = ok_schema and ok_rows and s.equals(d)
+    dtype_only = False
     if not ok_vals and ok_schema and ok_rows:
-        # retry with dtype alignment (int32 vs int64 etc.)
         try:
-            d2 = d.astype(s.dtypes.to_dict())
-            ok_vals = s.equals(d2)
+            dtype_only = s.equals(d.astype(s.dtypes.to_dict()))
         except Exception:
             pass
-    status = "OK" if ok_vals else "FAIL"
+    status = "OK" if ok_vals else ("DTYPE-MISMATCH" if dtype_only else "FAIL")
     if not ok_vals:
         fails += 1
         print(f"{name}: {status} schema={ok_schema} rows={len(s)}/{len(d)}")
-        if ok_schema and ok_rows:
+        if dtype_only:
+            mism = [f"{c}: {s[c].dtype} vs {d[c].dtype}"
+                    for c in s.columns if s[c].dtype != d[c].dtype]
+            print("  " + "; ".join(mism))
+        elif ok_schema and ok_rows:
             neq = (s != d) & ~(s.isna() & d.isna())
             bad_cols = [c for c in s.columns if neq[c].any()]
             for c in bad_cols[:3]:
