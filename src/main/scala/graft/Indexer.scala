@@ -66,6 +66,18 @@ object Indexer {
     results
   }
 
+  /** JVM proxy-related system properties currently set on this JVM — the
+    * settings executor-side FileSystem listings need in proxied
+    * environments, which exist only on the driver unless shipped
+    * (reference D2 behavior, Guidewire.scala:76-93). */
+  def proxyProperties(): Map[String, String] =
+    sys.props.toMap.filter { case (k, _) =>
+      k == "java.net.useSystemProxies" ||
+        ((k.startsWith("http.") || k.startsWith("https.") ||
+          k.startsWith("ftp.") || k.startsWith("socks")) &&
+          (k.contains("proxy") || k.contains("nonProxyHosts")))
+    }
+
   /** Fan out one task per table; discovery + commit run executor-side. */
   def processManifest(
       manifest: Map[String, ManifestEntry],
@@ -78,10 +90,12 @@ object Indexer {
     val confB = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
     val checkpointsB = sc.broadcast(checkpoints)
     val dbPathB = sc.broadcast(databasePath)
+    val proxyB = sc.broadcast(proxyProperties())
     val overwrite = saveMode == SaveMode.Overwrite
     val enforce = enforceGuidewireTimestamp
     sc.makeRDD(manifest.toSeq, numSlices = manifest.size)
       .map { case (tableName, entry) =>
+        proxyB.value.foreach { case (k, v) => System.setProperty(k, v) }
         val conf = confB.value.value
         val lastProcessed = checkpointsB.value.getOrElse(tableName, -1L)
         val batches = discoverBatches(conf, entry, lastProcessed, enforce)
@@ -110,18 +124,28 @@ object Indexer {
     val indexed = fingerprints.flatMap { case (schemaId, i) =>
       val schemaDir = s"${entry.dataPath}/$schemaId"
       val timestamps = CdaLayout.listTimestampDirectories(conf, schemaDir).sorted.zipWithIndex
-      timestamps
+      val inWindow = timestamps
         .filter { case (ts, _) => ts <= manifestGate && ts > lastProcessedTimestamp }
+      // the fingerprint's schema commit belongs on its chronologically first
+      // folder — but if that folder is record-less (dropped below), the
+      // restatement must ride the first folder that HAS files, else the
+      // fingerprint would blind-append under the previous schema
+      val isFingerprintStart = inWindow.headOption.exists(_._2 == 0)
+      var needMetadata = isFingerprintStart
+      inWindow
         .flatMap { case (ts, j) =>
-          val files = CdaLayout.listParquetFiles(conf, s"$schemaDir/$ts")
+          val files = CdaLayout.listParquetFiles(conf, s"$schemaDir/$ts", withStats = true)
           if (files.isEmpty) None // record-less folder: no batch, not checkpointed
           else {
             val metadata =
-              if (j == 0) SchemaProbe.readSchemaFromFiles(conf, files.toSeq).map { schema =>
-                Metadata(
-                  id = UUID.randomUUID().toString,
-                  schemaString = schema.json,
-                  createdTime = ts)
+              if (needMetadata) {
+                needMetadata = false
+                SchemaProbe.readSchemaFromFiles(conf, files.toSeq).map { schema =>
+                  Metadata(
+                    id = UUID.randomUUID().toString,
+                    schemaString = schema.json,
+                    createdTime = ts)
+                }
               }
               else None
             Some(((i, j), Batch(schemaId, ts, files.toSeq, metadata)))
@@ -166,6 +190,13 @@ object Indexer {
           isBlindAppend = false, txnId = UUID.randomUUID().toString)
         gwLog.commit(protocol ++ Seq(md) ++ batch.filesToAdd ++ removes ++ Seq(info))
       case None =>
+        // fail fast instead of writing a log whose snapshot has no
+        // protocol/metaData (unreadable table) — the invariant
+        // delta-standalone enforces for the reference at commit time
+        if (!tableExists) throw new IllegalStateException(
+          s"refusing bootstrap blind-append at ${gwLog.tablePath}: first commit of a " +
+            s"table needs a schema, but none could be probed for fingerprint ${batch.schemaId} " +
+            s"(ts=${batch.commitTimestamp})")
         val info = CommitInfo(
           timestamp = batch.commitTimestamp, operation = "WRITE", mode = "Append",
           numFiles = batch.filesToAdd.size, numOutputBytes = batch.filesToAdd.map(_.size).sum,

@@ -99,35 +99,42 @@ object Pipelines {
           .cast("long").as("jacc_permille"))
       .filter(col("jacc_permille") >= (threshold * 1000).toLong)
 
+  /** MinHash+LSH near-dup pairs. Materializes eagerly: the result is the
+    * duplicate-pair set (metadata-scale next to the corpus), so it is
+    * computed once, locally checkpointed, and the shingle cache released —
+    * repeated invocations in a long-lived session leak nothing. */
   def minHashDedupPairs(df: DataFrame, id: Column, text: Column,
       numPerm: Int, bands: Int, threshold: Double): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val rowsPerBand = numPerm / bands
     val sh = shingleRows(df, id, text).persist()
+    try {
+      // one shuffle over the shingles: all minhash lanes + the set size
+      val aggCols = (0 until numPerm).map(p => min(xxhash64(lit(p), col("s"))).as(s"mh$p")) :+
+        count(lit(1)).as("sz")
+      val mh = sh.groupBy("__id").agg(aggCols.head, aggCols.tail: _*)
+      val bandCols = (0 until bands).map { b =>
+        xxhash64((lit(b) +: (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}"))): _*)
+      }
+      val banded = mh.select(col("__id"), posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
 
-    val mhCols = (0 until numPerm).map(p => min(xxhash64(lit(p), col("s"))).as(s"mh$p"))
-    val mh = sh.groupBy("__id").agg(mhCols.head, mhCols.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      xxhash64((lit(b) +: (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}"))): _*)
-    }
-    val banded = mh.select(col("__id"), posexplode(array(bandCols: _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+      val candidates = banded.select(col("band"), col("bucket"), col("__id").as("doc_a"))
+        .join(banded.select(col("band"), col("bucket"), col("__id").as("doc_b")),
+          Seq("band", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
 
-    val candidates = banded.select(col("band"), col("bucket"), col("__id").as("doc_a"))
-      .join(banded.select(col("band"), col("bucket"), col("__id").as("doc_b")),
-        Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-
-    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("sz"))
-    val inter = candidates
-      .join(sh.select(col("__id").as("doc_a"), col("s")), Seq("doc_a"))
-      .join(sh.select(col("__id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    jaccardFromCounts(inter, sizes, threshold)
+      val sizes = mh.select(col("__id"), col("sz"))
+      val inter = candidates
+        .join(sh.select(col("__id").as("doc_a"), col("s")), Seq("doc_a"))
+        .join(sh.select(col("__id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"))
+      jaccardFromCounts(inter, sizes, threshold).localCheckpoint(true)
+    } finally { sh.unpersist(); () }
   }
 
   def simHashDedupPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int): DataFrame = {
@@ -163,18 +170,22 @@ object Pipelines {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Exact n-gram Jaccard pairs via inverted-index self-join within blocks.
+    * Eager for the same cache-hygiene reason as [[minHashDedupPairs]]. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       blocks: Seq[Column], threshold: Double): DataFrame = {
     val sh = shingleRows(df, id, text, blocks).persist()
-    val blockNames = sh.columns.filter(c => c != "__id" && c != "s").toSeq
-    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("sz"))
-    val joinKeys = blockNames :+ "s"
-    val inter = sh.select((joinKeys.map(col) :+ col("__id").as("doc_a")): _*)
-      .join(sh.select((joinKeys.map(col) :+ col("__id").as("doc_b")): _*), joinKeys)
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    jaccardFromCounts(inter, sizes, threshold)
+    try {
+      val blockNames = sh.columns.filter(c => c != "__id" && c != "s").toSeq
+      val sizes = sh.groupBy("__id").agg(count(lit(1)).as("sz"))
+      val joinKeys = blockNames :+ "s"
+      val inter = sh.select((joinKeys.map(col) :+ col("__id").as("doc_a")): _*)
+        .join(sh.select((joinKeys.map(col) :+ col("__id").as("doc_b")): _*), joinKeys)
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"))
+      jaccardFromCounts(inter, sizes, threshold).localCheckpoint(true)
+    } finally { sh.unpersist(); () }
   }
 
   // ------------------------------------------------------------- vectors
@@ -201,6 +212,53 @@ object Pipelines {
       .withColumn("cos", dotProd(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("__block").as("block"),
+        round(col("cos") * 1000000).cast("long").as("cos_micro"))
+  }
+
+  /**
+   * Scale path for cosine near-dup: random-hyperplane LSH banding generates
+   * candidate pairs sub-quadratically (only ids travel through the
+   * band-bucket shuffle), then each candidate is exact-verified with the
+   * codegen'd VecDot — same verify arithmetic as [[cosineNearDupPairs]], so
+   * emitted pairs are bit-identical to the all-pairs form; what is
+   * probabilistic is only candidate recall (two vectors at angle θ share a
+   * band with p = (1-θ/π)^bits per band). Unlike the all-pairs form this
+   * needs no blocking column: at 100 TB the bucket join replaces the
+   * O(n²/blocks) explosion, and recall is dialed with nPlanes/bands.
+   */
+  def cosineNearDupPairsAnn(df: DataFrame, id: Column, vec: Column,
+      threshold: Double, dim: Int, nPlanes: Int = 24, bands: Int = 8): DataFrame = {
+    require(nPlanes % bands == 0, "nPlanes must be divisible by bands")
+    val bitsPerBand = nPlanes / bands
+    val planes = hyperplanes(nPlanes, dim)
+    def bandKeys(e: Column): Seq[Column] = {
+      val bits = (0 until nPlanes).map { p =>
+        when(dotProd(e, lit(planes(p))) > 0, 1L).otherwise(0L)
+      }
+      (0 until bands).map { b =>
+        (0 until bitsPerBand).map(i => bits(b * bitsPerBand + i) * (1L << i)).reduce(_ + _)
+      }
+    }
+    val banded = df.select(id.as("__id"), vec.as("__vec"))
+      .select(col("__id"), posexplode(array(bandKeys(col("__vec")).map(_.cast("long")): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val candidates = banded.select(col("band"), col("bucket"), col("__id").as("vec_a"))
+      .join(banded.select(col("band"), col("bucket"), col("__id").as("vec_b")),
+        Seq("band", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    val e = df.select(id.as("__id"), vec.as("__vec"))
+      .withColumn("__nrm", l2norm(col("__vec")))
+    candidates
+      .join(e.select(col("__id").as("vec_a"), col("__vec").as("emb_a"), col("__nrm").as("nrm_a")),
+        Seq("vec_a"))
+      .join(e.select(col("__id").as("vec_b"), col("__vec").as("emb_b"), col("__nrm").as("nrm_b")),
+        Seq("vec_b"))
+      .withColumn("cos", dotProd(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"),
         round(col("cos") * 1000000).cast("long").as("cos_micro"))
   }
 

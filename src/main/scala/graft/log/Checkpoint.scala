@@ -1,0 +1,170 @@
+package graft.log
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport, GroupWriteSupport}
+import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetReader}
+import org.apache.parquet.schema.MessageTypeParser
+
+/**
+ * Parquet checkpoint codec for the transaction log — the O(1) snapshot
+ * resume the reference inherits from delta-standalone's log checkpointing
+ * (commits at `/root/reference/src/main/scala/com/databricks/labs/guidewire/Guidewire.scala:219-245`
+ * go through `DeltaLog`, which checkpoints every N commits). Without it,
+ * `snapshot()` opens every version JSON: CDA syncs every few hours for
+ * years, so tables reach tens of thousands of versions and snapshot
+ * construction becomes O(versions) driver-side file opens.
+ *
+ * A checkpoint row is one action in delta's checkpoint shape (struct
+ * columns `protocol` / `metaData` / `add`, exactly one non-null per row).
+ * Built on parquet-hadoop's Example API rather than a Spark write because
+ * the log is committed from executor-side table tasks where no
+ * SparkSession exists. A checkpoint stores the REPLAYED snapshot state
+ * (latest protocol + metadata + live files) — remove tombstones are
+ * already resolved away, so file count bounds checkpoint size.
+ */
+object Checkpoint {
+
+  private val SchemaText =
+    """message checkpoint {
+      |  optional group protocol {
+      |    optional int32 minReaderVersion;
+      |    optional int32 minWriterVersion;
+      |  }
+      |  optional group metaData {
+      |    optional binary id (UTF8);
+      |    optional binary schemaString (UTF8);
+      |    optional group partitionColumns (LIST) {
+      |      repeated group list {
+      |        optional binary element (UTF8);
+      |      }
+      |    }
+      |    optional group configuration (MAP) {
+      |      repeated group key_value {
+      |        required binary key (UTF8);
+      |        optional binary value (UTF8);
+      |      }
+      |    }
+      |    optional int64 createdTime;
+      |  }
+      |  optional group add {
+      |    optional binary path (UTF8);
+      |    optional group partitionValues (MAP) {
+      |      repeated group key_value {
+      |        required binary key (UTF8);
+      |        optional binary value (UTF8);
+      |      }
+      |    }
+      |    optional int64 size;
+      |    optional int64 modificationTime;
+      |    optional boolean dataChange;
+      |    optional binary stats (UTF8);
+      |  }
+      |}""".stripMargin
+
+  private val schema = MessageTypeParser.parseMessageType(SchemaText)
+
+  private def putMap(parent: Group, field: String, m: Map[String, String]): Unit = {
+    val g = parent.addGroup(field)
+    m.foreach { case (k, v) =>
+      val kv = g.addGroup("key_value")
+      kv.append("key", k)
+      kv.append("value", v)
+    }
+  }
+
+  private def readMap(parent: Group, field: String): Map[String, String] =
+    if (parent.getFieldRepetitionCount(field) == 0) Map.empty
+    else {
+      val g = parent.getGroup(field, 0)
+      (0 until g.getFieldRepetitionCount("key_value")).map { i =>
+        val kv = g.getGroup("key_value", i)
+        kv.getString("key", 0) -> kv.getString("value", 0)
+      }.toMap
+    }
+
+  /** Write snapshot-state actions (protocol / metadata / adds) to `target`. */
+  def write(target: Path, conf: Configuration, actions: Seq[Action]): Unit = {
+    val writer = ExampleParquetWriter.builder(target)
+      .withConf(conf)
+      .withType(schema)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+    try actions.foreach { a =>
+      val row = new SimpleGroup(schema)
+      a match {
+        case Protocol(r, w) =>
+          val g = row.addGroup("protocol")
+          g.append("minReaderVersion", r)
+          g.append("minWriterVersion", w)
+        case Metadata(id, schemaString, partCols, configuration, createdTime) =>
+          val g = row.addGroup("metaData")
+          g.append("id", id)
+          g.append("schemaString", schemaString)
+          val pc = g.addGroup("partitionColumns")
+          partCols.foreach(c => pc.addGroup("list").append("element", c))
+          putMap(g, "configuration", configuration)
+          g.append("createdTime", createdTime)
+        case AddFile(path, size, mtime, dataChange, partVals, stats) =>
+          val g = row.addGroup("add")
+          g.append("path", path)
+          putMap(g, "partitionValues", partVals)
+          g.append("size", size)
+          g.append("modificationTime", mtime)
+          g.append("dataChange", dataChange)
+          stats.foreach(s => g.append("stats", s))
+        case other =>
+          throw new IllegalArgumentException(
+            s"checkpoints store snapshot state, not $other")
+      }
+      writer.write(row)
+    } finally writer.close()
+  }
+
+  /** Read a checkpoint back into actions (order preserved). */
+  def read(target: Path, conf: Configuration): Seq[Action] = {
+    val reader = ParquetReader.builder(new GroupReadSupport(), target)
+      .withConf(conf)
+      .build()
+    try {
+      val out = Seq.newBuilder[Action]
+      var row = reader.read()
+      while (row != null) {
+        if (row.getFieldRepetitionCount("protocol") > 0) {
+          val g = row.getGroup("protocol", 0)
+          out += Protocol(g.getInteger("minReaderVersion", 0), g.getInteger("minWriterVersion", 0))
+        } else if (row.getFieldRepetitionCount("metaData") > 0) {
+          val g = row.getGroup("metaData", 0)
+          val parts =
+            if (g.getFieldRepetitionCount("partitionColumns") == 0) Nil
+            else {
+              val pc = g.getGroup("partitionColumns", 0)
+              (0 until pc.getFieldRepetitionCount("list"))
+                .map(i => pc.getGroup("list", i).getString("element", 0))
+            }
+          out += Metadata(
+            id = g.getString("id", 0),
+            schemaString = g.getString("schemaString", 0),
+            partitionColumns = parts,
+            configuration = readMap(g, "configuration"),
+            createdTime = g.getLong("createdTime", 0))
+        } else if (row.getFieldRepetitionCount("add") > 0) {
+          val g = row.getGroup("add", 0)
+          out += AddFile(
+            path = g.getString("path", 0),
+            size = g.getLong("size", 0),
+            modificationTime = g.getLong("modificationTime", 0),
+            dataChange = g.getBoolean("dataChange", 0),
+            partitionValues = readMap(g, "partitionValues"),
+            stats =
+              if (g.getFieldRepetitionCount("stats") > 0) Some(g.getString("stats", 0))
+              else None)
+        }
+        row = reader.read()
+      }
+      out.result()
+    } finally reader.close()
+  }
+}

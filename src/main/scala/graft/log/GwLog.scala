@@ -17,11 +17,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * (reference behavior: one Spark task per table, Guidewire.scala:71-74),
  * so collisions only occur on misuse; we fail fast rather than retry.
  */
-class GwLog(val tablePath: Path, conf: Configuration) {
+class GwLog(val tablePath: Path, conf: Configuration,
+    checkpointInterval: Int = GwLog.DefaultCheckpointInterval) {
   private val logDir = new Path(tablePath, GwLog.LogDirName)
   private def fs: FileSystem = logDir.getFileSystem(conf)
 
   def logPathFor(version: Long): Path = new Path(logDir, f"$version%020d.json")
+
+  def checkpointPathFor(version: Long): Path =
+    new Path(logDir, f"$version%020d.checkpoint.parquet")
+
+  private def lastCheckpointPath: Path = new Path(logDir, "_last_checkpoint")
 
   /** Sorted list of committed versions; empty when the table has no log. */
   def listVersions(): Seq[Long] = {
@@ -45,11 +51,44 @@ class GwLog(val tablePath: Path, conf: Configuration) {
     } finally in.close()
   }
 
-  /** Write `actions` as the next version; returns the committed version. */
+  /** Write `actions` as the next version; returns the committed version.
+    * Every `checkpointInterval` commits the replayed snapshot is also
+    * checkpointed to parquet so later reads resume in O(1) instead of
+    * replaying every version JSON (see [[Checkpoint]]). */
   def commit(actions: Seq[Action]): Long = {
     val version = latestVersion().map(_ + 1).getOrElse(0L)
     commitAt(version, actions)
+    if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0)
+      writeCheckpoint(version)
     version
+  }
+
+  /** Checkpoint the snapshot state as of `version` + update `_last_checkpoint`. */
+  def writeCheckpoint(version: Long): Unit = {
+    val snap = snapshot(Some(version))
+    val actions: Seq[Action] =
+      snap.protocol.toSeq ++ snap.metadata.toSeq ++ snap.files
+    Checkpoint.write(checkpointPathFor(version), conf, actions)
+    val out = fs.create(lastCheckpointPath, /* overwrite = */ true)
+    try out.write(
+      s"""{"version":$version,"size":${actions.size}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Committed checkpoint versions (from dir listing — `_last_checkpoint`
+    * is a hint, not the source of truth, exactly like delta). */
+  def listCheckpoints(): Seq[Long] = {
+    val f = fs
+    if (!f.exists(logDir)) Nil
+    else
+      f.listStatus(logDir).toSeq
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".checkpoint.parquet"))
+        .map(_.stripSuffix(".checkpoint.parquet"))
+        .filter(_.forall(_.isDigit))
+        .map(_.toLong)
+        .sorted
   }
 
   def commitAt(version: Long, actions: Seq[Action]): Unit = {
@@ -63,7 +102,11 @@ class GwLog(val tablePath: Path, conf: Configuration) {
     } finally out.close()
   }
 
-  /** Replay actions of versions 0..version (or all) into a snapshot. */
+  /** Materialize the snapshot at `versionAsOf` (default: latest). Resumes
+    * from the newest parquet checkpoint at or below the target version —
+    * only the JSON deltas after it are replayed — and falls back to full
+    * JSON replay when no checkpoint qualifies (e.g. time travel before the
+    * first checkpoint). */
   def snapshot(versionAsOf: Option[Long] = None): Snapshot = {
     val versions = listVersions()
     require(versions.nonEmpty, s"No transaction log at $logDir")
@@ -71,8 +114,14 @@ class GwLog(val tablePath: Path, conf: Configuration) {
     require(
       versions.contains(upTo),
       s"Version $upTo not found at $logDir (have ${versions.headOption.getOrElse(-1L)}..${versions.lastOption.getOrElse(-1L)})")
-    val replayed = versions.takeWhile(_ <= upTo)
-    Snapshot.replay(upTo, replayed.map(v => readVersion(v)))
+    listCheckpoints().filter(_ <= upTo).lastOption match {
+      case Some(cp) =>
+        val base = Checkpoint.read(checkpointPathFor(cp), conf)
+        val tail = versions.filter(v => v > cp && v <= upTo)
+        Snapshot.replay(upTo, base +: tail.map(v => readVersion(v)))
+      case None =>
+        Snapshot.replay(upTo, versions.takeWhile(_ <= upTo).map(v => readVersion(v)))
+    }
   }
 
   /** (version, commitInfo) per version — basis of `GwTable.history`. */
@@ -88,6 +137,10 @@ class GwLog(val tablePath: Path, conf: Configuration) {
 
 object GwLog {
   val LogDirName = "_delta_log"
+
+  /** Checkpoint every N commits — delta's default cadence. */
+  val DefaultCheckpointInterval = 10
+
   def forTable(conf: Configuration, tablePath: String): GwLog =
     new GwLog(new Path(tablePath), conf)
 }

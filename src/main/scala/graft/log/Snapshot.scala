@@ -25,9 +25,39 @@ final case class Snapshot(
   def filePaths: Seq[String] = files.map(_.path)
 
   def totalBytes: Long = files.map(_.size).sum
+
+  /**
+   * Stats-based file skipping over harvested footer min/max (see
+   * `SchemaProbe.readStats`): the live files whose value range for
+   * `column` can intersect `[lower, upper]`. Files without usable stats
+   * for the column are always kept — pruning may keep too much, never
+   * too little. At 100 TB this is the difference between opening every
+   * live file of a snapshot and opening only the ones a selective
+   * predicate can touch.
+   */
+  def filesForRange(column: String, lower: Double, upper: Double): Seq[AddFile] =
+    files.filter { f =>
+      Snapshot.statsBounds(f, column) match {
+        case Some((mn, mx)) => mx >= lower && mn <= upper
+        case None => true
+      }
+    }
 }
 
 object Snapshot {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Numeric (min, max) of `column` from a file's stats JSON, if present. */
+  private[log] def statsBounds(f: AddFile, column: String): Option[(Double, Double)] =
+    f.stats.flatMap { s =>
+      scala.util.Try {
+        val root = mapper.readTree(s)
+        val mn = root.path("minValues").path(column)
+        val mx = root.path("maxValues").path(column)
+        if (mn.isNumber && mx.isNumber) Some((mn.asDouble, mx.asDouble)) else None
+      }.toOption.flatten
+    }
+
   /** Fold per-version action batches (ordered by version) into a snapshot. */
   def replay(version: Long, versions: Seq[Seq[Action]]): Snapshot = {
     var protocol: Option[Protocol] = None

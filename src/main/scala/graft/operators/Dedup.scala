@@ -37,12 +37,20 @@ object Dedup {
       col("label"), threshold = 0.3)
       .withColumnRenamed("block", "label")
 
+  /** Blockless scale path for d05: LSH candidates + exact VecDot verify.
+    * Hash-based candidate set -> rows-only driver check; recall/precision
+    * vs the exact all-pairs answer asserted in OperatorSpec. */
+  def d06CosineNearDupAnn(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.cosineNearDupPairsAnn(embs(spark, dir), col("vec_id"), col("embedding"),
+      threshold = 0.3, dim = 64)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> d01ExactDedup _,
     "d02_dedup_minhash_lsh" -> d02MinHashLsh _,
     "d03_dedup_simhash" -> d03SimHash _,
     "d04_ngram_jaccard" -> d04NgramJaccard _,
     "d05_cosine_neardup" -> d05CosineNearDup _,
+    "d06_cosine_neardup_ann" -> d06CosineNearDupAnn _,
   )
 
   val oracles: Map[String, String] = Map(

@@ -37,7 +37,14 @@ object CdaLayout {
    * files dropped (reference S3Access.scala:40-41, Guidewire.scala:145).
    * Paths stay absolute — shallow clone, data never moves (K4).
    */
-  def listParquetFiles(conf: Configuration, timestampDir: String): Array[AddFile] = {
+  def listParquetFiles(conf: Configuration, timestampDir: String): Array[AddFile] =
+    listParquetFiles(conf, timestampDir, withStats = false)
+
+  /** As above; with `withStats` each file's footer min/max is harvested
+    * into `AddFile.stats` for snapshot-level file skipping (a documented
+    * deviation from the reference's `stats = null` — see
+    * [[SchemaProbe.readStats]]). */
+  def listParquetFiles(conf: Configuration, timestampDir: String, withStats: Boolean): Array[AddFile] = {
     val p = new Path(timestampDir)
     val f = fs(conf, p)
     if (!f.exists(p)) Array.empty
@@ -53,6 +60,7 @@ object CdaLayout {
           path = st.getPath.toString,
           size = st.getLen,
           modificationTime = st.getModificationTime,
-          dataChange = true))
+          dataChange = true,
+          stats = if (withStats) SchemaProbe.readStats(conf, st.getPath.toString) else None))
   }
 }

@@ -47,6 +47,92 @@ object SchemaProbe {
     } finally reader.close()
   }.toOption
 
+  /**
+   * Delta-style per-file stats from the parquet footer:
+   * `{"numRecords":N,"minValues":{..},"maxValues":{..},"nullCount":{..}}`
+   * for top-level primitive columns, aggregated across row groups.
+   *
+   * DEVIATION from the reference, which always writes `stats = null`
+   * (S3Access.scala:45): harvesting footer min/max at index time costs one
+   * footer read per data file (executor-side, parallel per table) and buys
+   * snapshot-level file skipping — without it every time-travel scan at
+   * 100 TB must open every live file. Timestamp/decimal byte-encodings are
+   * skipped rather than guessed; absent stats never exclude a file.
+   */
+  def readStats(conf: Configuration, file: String): Option[String] = Try {
+    val in = HadoopInputFile.fromPath(new Path(file), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val blocks = footer.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+      // candidate columns: top-level primitives with comparable stats
+      final case class Agg(var min: Any, var max: Any, var nulls: Long, var ok: Boolean)
+      val aggs = scala.collection.mutable.LinkedHashMap.empty[String, Agg]
+      blocks.foreach { block =>
+        block.getColumns.asScala.foreach { chunk =>
+          val pathParts = chunk.getPath.toArray
+          if (pathParts.length == 1) {
+            val name = pathParts.head
+            val st = chunk.getStatistics
+            val agg = aggs.getOrElseUpdate(name, Agg(null, null, 0L, ok = true))
+            if (st == null) agg.ok = false
+            else {
+              agg.nulls += math.max(st.getNumNulls, 0L)
+              if (st.hasNonNullValue) {
+                if (agg.min == null || comparable(st.genericGetMin, agg.min).exists(_ < 0))
+                  agg.min = st.genericGetMin
+                if (agg.max == null || comparable(st.genericGetMax, agg.max).exists(_ > 0))
+                  agg.max = st.genericGetMax
+              }
+            }
+          }
+        }
+      }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.createObjectNode()
+      root.put("numRecords", numRecords)
+      val minN = root.putObject("minValues")
+      val maxN = root.putObject("maxValues")
+      val nullN = root.putObject("nullCount")
+      aggs.foreach { case (name, agg) =>
+        if (agg.ok) {
+          putStat(minN, name, agg.min, schema)
+          putStat(maxN, name, agg.max, schema)
+          nullN.put(name, agg.nulls)
+        }
+      }
+      mapper.writeValueAsString(root)
+    } finally reader.close()
+  }.toOption
+
+  /** Compare two footer stat values of the same runtime type, if ordered. */
+  private def comparable(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.lang.Comparable[_], y) if x.getClass == y.getClass =>
+      Try(x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)).toOption
+    case _ => None
+  }
+
+  private def putStat(
+      node: com.fasterxml.jackson.databind.node.ObjectNode,
+      name: String, value: Any,
+      schema: MessageType): Unit = value match {
+    case null => ()
+    case b: java.lang.Boolean => node.put(name, b.booleanValue())
+    case i: java.lang.Integer => node.put(name, i.intValue())
+    case l: java.lang.Long => node.put(name, l.longValue())
+    case f: java.lang.Float => node.put(name, f.floatValue())
+    case d: java.lang.Double => node.put(name, d.doubleValue())
+    case bin: org.apache.parquet.io.api.Binary =>
+      val isString = Try {
+        schema.getType(Seq(name): _*).asPrimitiveType().getLogicalTypeAnnotation
+          .isInstanceOf[StringLogicalTypeAnnotation]
+      }.getOrElse(false)
+      if (isString) node.put(name, bin.toStringUsingUTF8)
+    case _ => ()
+  }
+
   /** Smallest-file-first recursive probe (S5 + S6). */
   def readSchemaFromFiles(conf: Configuration, files: Seq[AddFile]): Option[StructType] = {
     @tailrec

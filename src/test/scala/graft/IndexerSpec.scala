@@ -130,4 +130,39 @@ class IndexerSpec extends SparkSpec {
     assert(results("policy_holders").size == 4) // unchanged: empty folder yields no version
     assert(!results("policy_holders").exists(_.processedTimestamp == 1680900000000L))
   }
+
+  test("driver proxy properties are captured and applied inside task closures") {
+    val key = "http.proxyHost"
+    val prev = Option(System.getProperty(key))
+    System.setProperty(key, "proxy.example.test")
+    try {
+      assert(Indexer.proxyProperties().get(key).contains("proxy.example.test"))
+      // the broadcast value must reach task-side System properties
+      val seen = spark.sparkContext.parallelize(Seq(1), 1).map { _ =>
+        val b = Indexer.proxyProperties()
+        b.getOrElse(key, System.getProperty(key, "unset"))
+      }.collect().head
+      assert(seen == "proxy.example.test")
+    } finally prev match {
+      case Some(v) => System.setProperty(key, v); ()
+      case None => System.clearProperty(key); ()
+    }
+  }
+
+  test("harvested footer stats enable snapshot-level file pruning") {
+    val (manifestUri, dbPath) = stageFixture()
+    Indexer.index(manifestUri, dbPath)(spark)
+    val table = GwTable.forPath(spark, s"$dbPath/policy_holders")
+    val snap = table.log.snapshot()
+    // every live file carries harvested stats with numRecords + bounds
+    assert(snap.files.nonEmpty)
+    assert(snap.files.forall(_.stats.isDefined), "deviation: stats harvested at index time")
+    assert(snap.files.forall(_.stats.get.contains("numRecords")))
+    // age is a numeric column in the fixture: a selective range must skip
+    // at least one file while keeping every file whose range intersects
+    val pruned = snap.filesForRange("age", 1000, 2000) // out of any real age range
+    assert(pruned.size < snap.files.size, "selective predicate should skip files")
+    // sanity: an all-covering range keeps everything
+    assert(snap.filesForRange("age", Double.MinValue, Double.MaxValue).size == snap.files.size)
+  }
 }

@@ -80,4 +80,65 @@ class LogSpec extends AnyFunSuite {
     val snap = Snapshot.replay(2, Seq(Seq(a1, a2), Seq(a1b), Seq(RemoveFile("p2", 2, 9))))
     assert(snap.files == Seq(a1b))
   }
+
+  test("checkpoint parquet round-trips all action fields") {
+    val conf = new Configuration()
+    val dir = Files.createTempDirectory("gwlog-cp")
+    val target = new org.apache.hadoop.fs.Path(dir.toString, "cp.parquet")
+    val actions: Seq[Action] = Seq(
+      Protocol(1, 2),
+      Metadata("id0", new StructType().add("a", "long").json,
+        partitionColumns = Seq("pc1", "pc2"),
+        configuration = Map("k" -> "v"), createdTime = 42L),
+      AddFile("part-0.parquet", 10, 1000, dataChange = true,
+        partitionValues = Map("pc1" -> "x"), stats = Some("""{"numRecords":3}""")),
+      AddFile("part-1.parquet", 20, 2000, dataChange = false))
+    Checkpoint.write(target, conf, actions)
+    assert(Checkpoint.read(target, conf) == actions)
+  }
+
+  test("snapshot through a checkpoint equals full JSON replay over 100+ versions") {
+    val dir = Files.createTempDirectory("gwlog-100").toString
+    val conf = new Configuration()
+    val log = new GwLog(new org.apache.hadoop.fs.Path(dir), conf)
+    log.commit(Seq(Protocol(), Metadata("id0", new StructType().add("a", "long").json, createdTime = 1L),
+      AddFile("part-0.parquet", 1, 1),
+      CommitInfo(1L, "WRITE", "Overwrite", 1, 1, isBlindAppend = false, "t0")))
+    (1 to 120).foreach { v =>
+      val actions = Seq.newBuilder[Action]
+      actions += AddFile(s"part-$v.parquet", v.toLong, v.toLong)
+      if (v % 7 == 0) actions += RemoveFile(s"part-${v - 3}.parquet", (v - 3).toLong, v.toLong)
+      if (v == 60) actions += Metadata("id0", new StructType().add("a", "long").add("b", "string").json, createdTime = 60L)
+      actions += CommitInfo(v.toLong, "WRITE", "Append", 1, v.toLong, isBlindAppend = true, s"t$v")
+      log.commit(actions.result())
+    }
+    assert(log.listCheckpoints().nonEmpty, "interval checkpoints should have been written")
+    assert(log.listCheckpoints().last == 120L)
+
+    // independent ground truth: replay every JSON, ignoring checkpoints
+    def fullReplay(upTo: Long): Snapshot =
+      Snapshot.replay(upTo, (0L to upTo).map(v => log.readVersion(v)))
+
+    for (v <- Seq(5L, 59L, 60L, 100L, 120L)) {
+      val viaCp = log.snapshot(Some(v))
+      val full = fullReplay(v)
+      assert(viaCp.protocol == full.protocol, s"protocol diverged at v$v")
+      assert(viaCp.metadata == full.metadata, s"metadata diverged at v$v")
+      assert(viaCp.files.toSet == full.files.toSet, s"file set diverged at v$v")
+    }
+    // resume cost: latest snapshot must not reread early JSONs — spot-check
+    // by corrupting an early version file and reading the latest snapshot
+    val v3 = log.logPathFor(3L)
+    val fs = v3.getFileSystem(conf)
+    val out = fs.create(v3, true); out.write("garbage".getBytes); out.close()
+    assert(log.snapshot().files.toSet == fullReplayAfterCorruption(log))
+  }
+
+  /** Latest snapshot via the newest checkpoint + tail (versions > cp). */
+  private def fullReplayAfterCorruption(log: GwLog): Set[AddFile] = {
+    val cp = log.listCheckpoints().last
+    val base = Checkpoint.read(log.checkpointPathFor(cp), new Configuration())
+    val tail = log.listVersions().filter(_ > cp).map(log.readVersion)
+    Snapshot.replay(log.listVersions().last, base +: tail).files.toSet
+  }
 }

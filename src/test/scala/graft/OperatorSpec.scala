@@ -68,6 +68,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(full == exact, "nProbe = nCentroids must equal the exact top-k")
   }
 
+  test("d06 ANN near-dup: precision exact by construction, recall vs all-pairs") {
+    import org.apache.spark.sql.functions.col
+    // ground truth: blockless all-pairs (no label restriction) at sf0.001
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = graft.api.Pipelines.cosineNearDupPairs(
+      e.withColumn("one", org.apache.spark.sql.functions.lit(1)),
+      col("vec_id"), col("embedding"), col("one"), threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val ann = Dedup.d06CosineNearDupAnn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // every emitted pair must carry the bit-identical exact cosine
+    assert(ann.subsetOf(exact), s"ANN emitted non-exact pairs: ${(ann -- exact).take(3)}")
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN near-dup recall $recall too low (exact=${exact.size})")
+  }
+
   test("m03 decode stub: one feature row per asset, deterministic values") {
     val out = Multimodal.m03DecodeStub(spark, sf).collect()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
