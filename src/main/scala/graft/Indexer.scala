@@ -174,6 +174,13 @@ object Indexer {
   /**
    * K1 (blind append) / K2 (schema change = restatement: remove every live
    * file, golden v2) / K3 (bootstrap: protocol + metaData, golden v0).
+   *
+   * Commit operations mirror the reference's runtime behavior
+   * (Guidewire.scala:231-240 via delta-standalone `Operation`): CREATE
+   * TABLE for the bootstrap commit, UPGRADE SCHEMA for a fingerprint
+   * restatement, WRITE for appends. (The reference repo's hand-made golden
+   * fixtures say WRITE everywhere; its runtime does not — we match the
+   * runtime, so `GwTable.history` shows the real operation per commit.)
    */
   def commitBatch(gwLog: GwLog, batch: Batch): Long = {
     val now = System.currentTimeMillis()
@@ -185,7 +192,9 @@ object Indexer {
           else Nil
         val protocol: Seq[Action] = if (tableExists) Nil else Seq(Protocol())
         val info = CommitInfo(
-          timestamp = batch.commitTimestamp, operation = "WRITE", mode = "Overwrite",
+          timestamp = batch.commitTimestamp,
+          operation = if (tableExists) "UPGRADE SCHEMA" else "CREATE TABLE",
+          mode = "Overwrite",
           numFiles = batch.filesToAdd.size, numOutputBytes = batch.filesToAdd.map(_.size).sum,
           isBlindAppend = false, txnId = UUID.randomUUID().toString)
         gwLog.commit(protocol ++ Seq(md) ++ batch.filesToAdd ++ removes ++ Seq(info))

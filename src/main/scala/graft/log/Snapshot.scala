@@ -36,10 +36,16 @@ final case class Snapshot(
    * predicate can touch.
    */
   def filesForRange(column: String, lower: Double, upper: Double): Seq[AddFile] =
+    filesForRanges(Seq((column, lower, upper)))
+
+  /** Conjunction of range constraints `(column, lower, upper)`. */
+  def filesForRanges(constraints: Seq[(String, Double, Double)]): Seq[AddFile] =
     files.filter { f =>
-      Snapshot.statsBounds(f, column) match {
-        case Some((mn, mx)) => mx >= lower && mn <= upper
-        case None => true
+      constraints.forall { case (column, lower, upper) =>
+        Snapshot.statsBounds(f, column) match {
+          case Some((mn, mx)) => mx >= lower && mn <= upper
+          case None => true
+        }
       }
     }
 }

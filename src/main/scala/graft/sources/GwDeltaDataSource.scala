@@ -4,8 +4,6 @@ import graft.log.GwLog
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -36,7 +34,7 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = false
 
-  private def resolve(options: CaseInsensitiveStringMap): (StructType, Seq[String]) = {
+  private def resolve(options: CaseInsensitiveStringMap): graft.log.Snapshot = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("gwdelta requires a path"))
     val spark = SparkSession.active
@@ -50,18 +48,18 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister {
       require(candidates.nonEmpty, s"No version at or before timestamp $ts for $path")
       candidates.max
     })
-    val snap = log.snapshot(version)
-    (snap.schema, snap.filePaths)
+    log.snapshot(version)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolve(options)._1
+    resolve(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    val (snapSchema, files) = resolve(options)
-    ParquetTable(s"gwdelta:${options.get("path")}", SparkSession.active, options,
-      files, Some(snapSchema), classOf[ParquetFileFormat])
+    // GwDeltaTable file-skips with the log's harvested footer stats, then
+    // delegates the scan to Spark's parquet V2 machinery
+    new org.apache.spark.sql.graftbridge.GwDeltaTable(
+      s"gwdelta:${options.get("path")}", SparkSession.active, options, resolve(options))
   }
 }

@@ -39,55 +39,32 @@ object StreamOps {
   /** Stage the events table into a watched directory (hard-linked, zero
     * copy — in production this is the landing directory / kafka topic).
     *
-    * With `withSentinel`, also write two far-future flush events as separate
-    * files and force one-file-per-batch: Append-mode emission in batch N
-    * uses the watermark computed from batch N-1's data, so finalizing every
-    * real window on a drain needs a batch whose *predecessor* already
-    * carried a past-the-data event time. Batch order (by mtime) is
-    * events -> sentinel1 (+4h) -> sentinel2 (+8h); during the sentinel2
-    * batch the watermark is sentinel1 - delay, past every real window. */
+    * With `withSentinel`, also stage one far-future flush event: after the
+    * data batch the watermark advances past every real window, and the
+    * trailing no-data micro-batch (which AvailableNow runs before
+    * terminating) finalizes and emits all remaining state. */
   private def eventStream(spark: SparkSession, dir: String, withSentinel: Boolean): DataFrame = {
     val stage = java.nio.file.Files.createTempDirectory("graft-stream")
     val target = stage.resolve("events.parquet")
-    val linked =
-      try { java.nio.file.Files.createLink(target, java.nio.file.Paths.get(s"$dir/events.parquet")); true }
-      catch { case _: Exception =>
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
-        false
-      }
+    try java.nio.file.Files.createLink(target, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    catch { case _: Exception =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
+    }
     val batch = spark.read.parquet(s"$dir/events.parquet")
     if (withSentinel) {
-      val now = System.currentTimeMillis()
-      // a copied (not linked) events file has mtime=now; push it into the
-      // past so the file source orders it before the sentinels
-      if (!linked)
-        java.nio.file.Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(now - 7200000L))
       val maxTs = batch.agg(max("ts")).head.getLong(0)
-      def writeSentinel(tag: String, hoursAfter: Long, mtimeMs: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft-sentinel-$tag")
-        batch.limit(1)
-          .withColumn("ts", lit(maxTs + hoursAfter * 3600L * 1000000000L))
-          .withColumn("event_type", lit(SentinelType))
-          .withColumn("user_id", lit(-1L))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
-        val dest = stage.resolve(s"zz_$tag.parquet")
-        java.nio.file.Files.move(part.toPath, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
-        tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
-      }
-      writeSentinel("s1", 4, now - 60000L)
-      writeSentinel("s2", 8, now - 30000L)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sentinel")
+      batch.limit(1)
+        .withColumn("ts", lit(maxTs + 4L * 3600L * 1000000000L))
+        .withColumn("event_type", lit(SentinelType))
+        .withColumn("user_id", lit(-1L))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, stage.resolve("zz_sentinel.parquet"))
+      tmp.toFile.listFiles().foreach(_.delete()); tmp.toFile.delete()
     }
-    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
-      stage.toFile.listFiles().foreach(f => println(
-        s"DEBUG stage file=${f.getName} size=${f.length} mtime=${f.lastModified}"))
-    val reader = spark.readStream.schema(batch.schema)
-    (if (withSentinel) reader.option("maxFilesPerTrigger", 1) else reader)
-      .parquet(stage.toString)
+    spark.readStream.schema(batch.schema).parquet(stage.toString)
   }
 
   /** Run `body` with the RocksDB state store configured, restoring the

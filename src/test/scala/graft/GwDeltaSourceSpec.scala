@@ -74,4 +74,43 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("at most one"))
   }
+
+  test("harvested stats skip files at scan planning, not just row groups") {
+    // table of 3 files with disjoint n_nationkey ranges
+    val tmp = Files.createTempDirectory("gwdelta-prune")
+    val folder = tmp.resolve("data/t/100/1700000000000")
+    Files.createDirectories(folder)
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    for ((lo, hi, i) <- Seq((0, 8, 0), (9, 16, 1), (17, 24, 2))) {
+      val part = Files.createTempDirectory(s"prune-part-$i")
+      nation.filter(col("n_nationkey").between(lo, hi)).coalesce(1)
+        .write.mode("overwrite").parquet(part.toString)
+      val f = part.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, folder.resolve(s"part-$i.parquet"))
+    }
+    Files.writeString(tmp.resolve("manifest.json"),
+      s"""{"t": {"lastSuccessfulWriteTimestamp": "9999999999999",
+         |"totalProcessedRecordsCount": 25,
+         |"dataFilesPath": "${tmp.toAbsolutePath}/data/t/",
+         |"schemaHistory": {"100": "1700000000000"}}}""".stripMargin)
+    val db = tmp.resolve("db").toString
+    Indexer.index(tmp.resolve("manifest.json").toString, db, SaveMode.Overwrite)(spark)
+
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
+      }.head
+
+    val all = spark.read.format("gwdelta").load(s"$db/t")
+    assert(plannedFiles(all) == 3)
+    val selective = all.filter(col("n_nationkey") === 20)
+    assert(plannedFiles(selective) == 1, "stats should exclude 2 of 3 files")
+    assert(selective.count() == 1)
+    // a range straddling two files keeps exactly those two
+    val straddle = all.filter(col("n_nationkey") >= 7 && col("n_nationkey") <= 10)
+    assert(plannedFiles(straddle) == 2)
+    assert(straddle.count() == 4)
+  }
 }
