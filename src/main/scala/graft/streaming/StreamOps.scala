@@ -239,10 +239,43 @@ object StreamOps {
       .drop("rn")
   }
 
+  // ---------------------------------------------------------------- st04
+  /** Native `session_window` gap sessionization: one row per closed
+    * session, emitted exactly once when the watermark passes the session's
+    * end + gap (Append mode). This is the declarative sibling of st03 —
+    * Catalyst manages merge/expiry state, so it's the first choice when
+    * per-session aggregates are enough and custom carry state (st03) isn't
+    * needed. Spark merges an event into a session iff it arrives strictly
+    * inside lastEvent + gap; the oracle encodes the same boundary (a gap of
+    * exactly 30min starts a new session). */
+  def st04SessionWindow(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
+    val name = nextName()
+    val q = eventStream(spark, dir, withSentinel = true)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+      .select(col("user_id"),
+        expr("unix_micros(session_window.start)").as("session_start_us"),
+        col("n_events"), col("value_c"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the sentinel's own (never-finalized) session stays in state; its user
+    // is filtered from the output either way
+    spark.table(name).filter(col("user_id") =!= -1L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> st01WindowedCounts _,
     "st02_stream_state" -> st02StatefulSessions _,
     "st03_sessionize" -> st03Sessionize _,
+    "st04_session_window" -> st04SessionWindow _,
   )
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming
@@ -270,5 +303,18 @@ object StreamOps {
         |SELECT user_id, count(*) AS n_sessions, max(len) AS max_session_events,
         | CAST(sum(len) AS BIGINT) AS n_events
         |FROM per_session GROUP BY 1""".stripMargin,
+    "st04_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |  CAST(round(value*100) AS BIGINT) AS vc FROM events),
+        | g AS (SELECT user_id, us, vc,
+        |   CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+        |        THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        | s AS (SELECT user_id, us, vc,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+        | count(*) AS n_events, CAST(sum(vc) AS BIGINT) AS value_c
+        |FROM s GROUP BY user_id, sid""".stripMargin,
   )
 }

@@ -71,6 +71,26 @@ class StreamSpec extends SparkSpec {
       expected)
   }
 
+  test("st04 session_window equals batch gap-sessionization per session") {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("us")
+    val expected = batchEvents
+      .select(col("user_id"), expr("ts div 1000").as("us"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("new_s",
+        when(col("us") - lag("us", 1).over(byUser) >= 1800000000L, 1)
+          .when(lag("us", 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("us").as("session_start_us"), count(lit(1)).as("n_events"),
+        sum("vc").as("value_c"))
+      .select("user_id", "session_start_us", "n_events", "value_c")
+    assertSameRows(
+      StreamOps.st04SessionWindow(spark, dir)
+        .select("user_id", "session_start_us", "n_events", "value_c"),
+      expected)
+  }
+
   test("streaming ops restore the caller's state-store provider conf") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val before = spark.conf.getOption(key)
