@@ -12,6 +12,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up codegen/JIT/FS metadata so the first timed query doesn't
+    // absorb JVM startup (was ~5s of pure warmup on whichever query ran
+    // first); touches each input table's footer without timing it
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Seq("lineitem", "orders", "events", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect())
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -59,6 +59,12 @@ package object api {
         threshold: Double): DataFrame =
       Pipelines.cosineNearDupPairs(df, id, vec, block, threshold)
 
+    /** Blockless cosine near-dup: LSH candidates + exact VecDot verify
+      * (the sub-quadratic form that survives 100 TB). */
+    def cosineNearDupPairsAnn(id: Column, vec: Column, threshold: Double,
+        dim: Int, nPlanes: Int = 24, bands: Int = 8): DataFrame =
+      Pipelines.cosineNearDupPairsAnn(df, id, vec, threshold, dim, nPlanes, bands)
+
     /** Exact cosine top-k neighbors of `queries` against this corpus. */
     def cosineTopK(queries: DataFrame, id: Column, vec: Column, k: Int): DataFrame =
       Pipelines.cosineTopK(df, queries, id, vec, k)
