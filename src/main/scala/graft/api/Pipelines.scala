@@ -170,8 +170,19 @@ object Pipelines {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard pairs via inverted-index self-join within blocks.
-    * Eager for the same cache-hygiene reason as [[minHashDedupPairs]]. */
+  /**
+   * Exact n-gram Jaccard pairs within blocks, with prefix-filtered
+   * candidate generation: shingles are ranked rarest-first by corpus
+   * document frequency, and each document exposes only its first
+   * `|A| - ceil(t*|A|) + 1` shingles to the candidate self-join — the
+   * classic prefix-filter theorem guarantees any pair with J >= t shares
+   * at least one prefix shingle, so the exact verify (full intersection
+   * count over candidate pairs) emits exactly the all-pairs answer. This
+   * removes the inverted-index skew hazard at 100 TB: high-frequency
+   * shingles land at the END of the frequency order and never generate
+   * candidates. Eager for the same cache-hygiene reason as
+   * [[minHashDedupPairs]].
+   */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       blocks: Seq[Column], threshold: Double): DataFrame = {
     val sh = shingleRows(df, id, text, blocks).persist()
@@ -179,9 +190,29 @@ object Pipelines {
       val blockNames = sh.columns.filter(c => c != "__id" && c != "s").toSeq
       val sizes = sh.groupBy("__id").agg(count(lit(1)).as("sz"))
       val joinKeys = blockNames :+ "s"
-      val inter = sh.select((joinKeys.map(col) :+ col("__id").as("doc_a")): _*)
-        .join(sh.select((joinKeys.map(col) :+ col("__id").as("doc_b")): _*), joinKeys)
+
+      // rarest-first total order (ties broken by shingle hash), then keep
+      // each document's prefix
+      val freq = sh.groupBy(joinKeys.map(col): _*).agg(count(lit(1)).as("df"))
+      val byRarity = Window.partitionBy("__id").orderBy(col("df"), col("s"))
+      val prefix = sh
+        .join(freq, joinKeys)
+        .withColumn("pos_in_doc", row_number().over(byRarity))
+        .join(sizes, Seq("__id"))
+        // epsilon guards double rounding (0.2*10 = 2.0000000000000004 would
+        // ceil to 3 and shave the prefix below the safe length)
+        .filter(col("pos_in_doc") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+        .select((joinKeys.map(col) :+ col("__id")): _*)
+
+      val candidates = prefix.select((joinKeys.map(col) :+ col("__id").as("doc_a")): _*)
+        .join(prefix.select((joinKeys.map(col) :+ col("__id").as("doc_b")): _*), joinKeys)
         .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+
+      val inter = candidates
+        .join(sh.select(col("__id").as("doc_a"), col("s")), Seq("doc_a"))
+        .join(sh.select(col("__id").as("doc_b"), col("s")), Seq("doc_b", "s"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("inter"))
       jaccardFromCounts(inter, sizes, threshold).localCheckpoint(true)

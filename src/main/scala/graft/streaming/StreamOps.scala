@@ -52,7 +52,18 @@ object StreamOps {
     }
     val batch = spark.read.parquet(s"$dir/events.parquet")
     if (withSentinel) {
-      val maxTs = batch.agg(max("ts")).head.getLong(0)
+      // max event time from the parquet footer (no data scan); fall back to
+      // a full aggregate only if the footer carries no usable ts stats
+      val maxTs = graft.sources.SchemaProbe
+        .readStats(spark.sessionState.newHadoopConf(), s"$dir/events.parquet")
+        .flatMap { json =>
+          scala.util.Try {
+            val n = new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(json).path("maxValues").path("ts")
+            if (n.isNumber) Some(n.asLong) else None
+          }.toOption.flatten
+        }
+        .getOrElse(batch.agg(max("ts")).head.getLong(0))
       val tmp = java.nio.file.Files.createTempDirectory("graft-sentinel")
       batch.limit(1)
         .withColumn("ts", lit(maxTs + 4L * 3600L * 1000000000L))
