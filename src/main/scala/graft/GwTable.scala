@@ -19,9 +19,9 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
   def snapshot(versionAsOf: Option[Long] = None): Snapshot = gwLog.snapshot(versionAsOf)
 
   /** Latest version. */
-  def toDF: DataFrame = asDF(gwLog.snapshot(None))
+  def toDF: DataFrame = asDF(None)
 
-  def versionAsOf(version: Long): DataFrame = asDF(gwLog.snapshot(Some(version)))
+  def versionAsOf(version: Long): DataFrame = asDF(Some(version))
 
   /** Greatest version whose commit timestamp is <= `ts`. */
   def timestampAsOf(ts: Long): DataFrame = {
@@ -41,11 +41,18 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     }.toDF("version", "timestamp", "operation", "mode", "numFiles", "numOutputBytes", "isBlindAppend")
   }
 
-  private def asDF(snap: Snapshot): DataFrame =
+  /** Reads go through the `gwdelta` connector so they inherit stats-based
+    * file skipping on top of Catalyst's pushdown/pruning. */
+  private def asDF(version: Option[Long]): DataFrame = {
+    val snap = gwLog.snapshot(version)
     if (snap.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
-    else
-      spark.read.schema(snap.schema).parquet(snap.filePaths: _*)
+    else {
+      val reader = spark.read.format("gwdelta")
+      version.foreach(v => reader.option("versionAsOf", v))
+      reader.load(tablePath)
+    }
+  }
 }
 
 object GwTable {

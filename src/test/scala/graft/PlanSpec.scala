@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Relational, Similarity}
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Physical-plan assertions for the headline queries: the "would this
+ * survive a 100x scale-up" properties — pushdown reaching the scan,
+ * map-side partial aggregation, broadcast (not shuffle) joins for
+ * dimensions, top-k as TakeOrderedAndProject, as-of join without a
+ * cartesian, hot paths inside whole-stage codegen. A regression here means
+ * the query still returns correct rows but stopped scaling.
+ */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Post-execution plan: under AQE, codegen stages (`*(n)` markers) only
+    * appear once the final plan is materialized. */
+  private def executedPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 scan gets pushed filters and a pruned read schema") {
+    val p = plan(Relational.q02FilterProject(spark, sf))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("l_quantity"), p)
+    // projection needs 5 of lineitem's 16 columns; the wide rest must not
+    // reach the scan
+    assert(!p.contains("l_comment"), s"unpruned scan:\n$p")
+    assert(!p.contains("l_shipmode"), s"unpruned scan:\n$p")
+  }
+
+  test("q01 aggregation is partial (map-side) before the shuffle, in codegen") {
+    val p = executedPlan(Relational.q01PricingSummary(spark, sf))
+    assert(p.contains("partial_sum"), s"no map-side combine:\n$p")
+    assert(p.contains("*("), s"agg fell out of whole-stage codegen:\n$p")
+  }
+
+  test("q03 star join broadcasts dimensions and plans top-k as TakeOrdered") {
+    val p = plan(Relational.q03TopOrders(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"dimension not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact shuffled for a dim join:\n$p")
+  }
+
+  test("q05 five-way star join stays all-broadcast (zero fact shuffles)") {
+    val p = plan(Relational.q05RegionRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"fact shuffled for a dim join:\n$p")
+  }
+
+  test("q17 as-of join is a single window pass, no cartesian explosion") {
+    val p = plan(Relational.q17AsofJoin(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"as-of went cartesian:\n$p")
+    assert(p.contains("Window"), s"expected the window formulation:\n$p")
+  }
+
+  test("q18 range join is an equi join with a band filter, not a cartesian") {
+    val p = plan(Relational.q18RangeJoin(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("s01 brute-force top-k broadcasts the query side only") {
+    val p = plan(Similarity.s01TopKBruteForce(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    // corpus must not be exchanged before the join (only the tiny query set)
+    assert(p.contains("TakeOrderedAndProject") || p.contains("Window"), p)
+  }
+}
