@@ -331,6 +331,23 @@ object Relational {
         sum(cents(col("l_extendedprice"))).as("price_c"))
   }
 
+  // ---------------------------------------------------------------- q24
+  /** Ordered-set / array aggregation: per event type, the sorted distinct
+    * user set flattened to CSV (collect_set -> sort_array -> array_join)
+    * and an exact median (doubled so it stays integral for even counts —
+    * (a+b) rather than (a+b)/2). collect_set is bounded by group
+    * cardinality, not row count: safe at scale only when the set is known
+    * small (distinct users per type here); the CSV keeps the oracle
+    * comparison deterministic. */
+  def q24EventProfiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        array_join(sort_array(collect_set(col("user_id"))), ",").as("users_csv"),
+        round(expr("percentile(value_c, 0.5)") * 2).cast("long").as("med2_c"))
+
   /** name -> query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -356,6 +373,7 @@ object Relational {
     "q21_cube" -> q21Cube _,
     "q22_grouping_sets" -> q22GroupingSets _,
     "q23_salted_join" -> q23SaltedJoin _,
+    "q24_event_profiles" -> q24EventProfiles _,
   )
 
   /** name -> DuckDB oracle SQL (column names/aliases must match exactly). */
@@ -522,5 +540,10 @@ object Relational {
         | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_c
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    "q24_event_profiles" ->
+      """SELECT event_type, count(*) AS n,
+        | array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users_csv,
+        | CAST(round(2*quantile_cont(CAST(round(value*100) AS BIGINT), 0.5)) AS BIGINT) AS med2_c
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }
