@@ -348,6 +348,24 @@ object Relational {
         array_join(sort_array(collect_set(col("user_id"))), ",").as("users_csv"),
         round(expr("percentile(value_c, 0.5)") * 2).cast("long").as("med2_c"))
 
+  // ---------------------------------------------------------------- q25
+  /** Sketch aggregations: HyperLogLog++ distinct counts and a KLL-style
+    * approximate percentile per return flag. Sketches are the 100 TB answer
+    * when exact distinct/quantile state would not fit: fixed-size state,
+    * map-side mergeable, one shuffle of sketch bytes instead of values.
+    * Hash-seeded and approximate, so the driver check is rows-only; the
+    * relative-error bound vs the exact answers is asserted in OperatorSpec. */
+  def q25SketchAggs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice")).as("price_c"))
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("nd_part_hll"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("nd_supp_hll"),
+        expr("approx_percentile(price_c, 0.5, 10000)").as("p50_c_approx"),
+        expr("approx_percentile(price_c, 0.99, 10000)").as("p99_c_approx"))
+
   /** name -> query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -374,6 +392,7 @@ object Relational {
     "q22_grouping_sets" -> q22GroupingSets _,
     "q23_salted_join" -> q23SaltedJoin _,
     "q24_event_profiles" -> q24EventProfiles _,
+    "q25_sketch_aggs" -> q25SketchAggs _,
   )
 
   /** name -> DuckDB oracle SQL (column names/aliases must match exactly). */

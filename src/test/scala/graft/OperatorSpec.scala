@@ -100,6 +100,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q25 sketches stay within error bounds of the exact answers") {
+    import org.apache.spark.sql.functions._
+    val approx = Relational.q25SketchAggs(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("nd_part"),
+        countDistinct("l_suppkey").as("nd_supp"),
+        expr("percentile(price_c, 0.5)").as("p50"),
+        expr("percentile(price_c, 0.99)").as("p99"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((flag, a) <- approx) {
+      val e = exact(flag)
+      def relErr(x: Double, y: Double): Double = math.abs(x - y) / math.max(y, 1.0)
+      assert(relErr(a.getLong(1).toDouble, e.getLong(1).toDouble) < 0.05,
+        s"$flag nd_part ${a.getLong(1)} vs ${e.getLong(1)}")
+      assert(relErr(a.getLong(2).toDouble, e.getLong(2).toDouble) < 0.05,
+        s"$flag nd_supp ${a.getLong(2)} vs ${e.getLong(2)}")
+      assert(relErr(a.getLong(3).toDouble, e.getDouble(3)) < 0.05,
+        s"$flag p50 ${a.getLong(3)} vs ${e.getDouble(3)}")
+      assert(relErr(a.getLong(4).toDouble, e.getDouble(4)) < 0.05,
+        s"$flag p99 ${a.getLong(4)} vs ${e.getDouble(4)}")
+    }
+  }
+
   test("hyperplanes are deterministic across invocations") {
     val a = graft.api.Pipelines.hyperplanes(4, 8)
     val b = graft.api.Pipelines.hyperplanes(4, 8)
