@@ -144,15 +144,10 @@ object Pipelines {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("word")))
 
-    val bitVotes = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"v$j")
-    }
-    val fingerprintCol = (0 until 64).map { j =>
-      when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    val sims = wordCounts.groupBy("__id").agg(bitVotes.head, bitVotes.tail: _*)
-      .select(col("__id"), fingerprintCol.as("simhash"))
+    // one custom TypedImperativeAggregate (fixed 64-counter buffer) instead
+    // of a 64-column sum(when(...)) bank — same votes, constant state
+    val sims = wordCounts.groupBy("__id")
+      .agg(graft.functions.SimHashAgg(col("h"), col("cnt")).as("simhash"))
 
     // pigeonhole banding over 16-bit chunks
     val chunks = sims.select(col("__id"), col("simhash"), posexplode(

@@ -128,6 +128,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHashAgg equals the declarative 64-column vote bank") {
+    import org.apache.spark.sql.functions._
+    val wordCounts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("word")))
+      .repartition(7, col("doc_id")) // force partial/merge paths
+    val custom = wordCounts.groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg(col("h"), col("cnt")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bitVotes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"v$j")
+    }
+    val fingerprintCol = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    val declarative = wordCounts.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"), fingerprintCol.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(custom == declarative)
+  }
+
   test("hyperplanes are deterministic across invocations") {
     val a = graft.api.Pipelines.hyperplanes(4, 8)
     val b = graft.api.Pipelines.hyperplanes(4, 8)
