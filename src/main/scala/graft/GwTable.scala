@@ -32,6 +32,23 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     versionAsOf(candidates.max)
   }
 
+  /** Incremental consumption: rows of files that are live in the LATEST
+    * snapshot but were not part of the snapshot at `sinceVersion` — i.e.
+    * everything a downstream pipeline still has to process after having
+    * consumed up to `sinceVersion`. After a restatement every current file
+    * is new by definition (the table was replaced), which is exactly the
+    * reprocess-all signal a consumer needs. Metadata-only diff: no data is
+    * read to compute the file set. */
+  def changesSince(sinceVersion: Long): DataFrame = {
+    val latest = gwLog.snapshot(None)
+    val before = gwLog.snapshot(Some(sinceVersion)).files.map(_.path).toSet
+    val added = latest.files.filterNot(f => before.contains(f.path))
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], latest.schema)
+    else
+      spark.read.schema(latest.schema).parquet(added.map(_.path): _*)
+  }
+
   /** Commit history as a DataFrame (version, timestamp, operation, ...). */
   def history: DataFrame = {
     import spark.implicits._

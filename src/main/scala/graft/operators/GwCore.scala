@@ -107,12 +107,27 @@ object GwCore {
     spark.read.format("gwdelta").option("versionAsOf", 0).load(s"$db/nation")
   }
 
+  // ---------------------------------------------------------------- gw06
+  /** Incremental consumption via `changesSince`: after a second commit, a
+    * consumer that already processed v0 reads ONLY the newly added files —
+    * the metadata-level file diff, no reprocessing of old data. */
+  def gw06ChangesSince(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("gw06")
+    val manifest = layout(tmp, "region", Seq(
+      ("100", 1700000000000L, Seq(s"$dir/region.parquet")),
+      ("100", 1700000001000L, Seq(s"$dir/region.parquet"))))
+    val db = tmp.resolve("db").toString
+    Indexer.index(manifest, db, SaveMode.Overwrite)(spark)
+    GwTable.forPath(spark, s"$db/region").changesSince(0L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
     "gw03_restatement" -> gw03Restatement _,
     "gw04_incremental_append" -> gw04IncrementalAppend _,
     "gw05_datasource_v2" -> gw05DataSourceV2 _,
+    "gw06_changes_since" -> gw06ChangesSince _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -122,5 +137,6 @@ object GwCore {
     "gw04_incremental_append" ->
       "SELECT * FROM nation UNION ALL SELECT * FROM nation",
     "gw05_datasource_v2" -> "SELECT * FROM nation",
+    "gw06_changes_since" -> "SELECT * FROM region",
   )
 }
