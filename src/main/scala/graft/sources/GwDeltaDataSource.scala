@@ -18,6 +18,7 @@ import java.util.{Map => JMap}
  *   spark.read.format("gwdelta").load(tablePath)                    // latest
  *   spark.read.format("gwdelta").option("versionAsOf", 2).load(p)   // time travel
  *   spark.read.format("gwdelta").option("timestampAsOf", ms).load(p)
+ *   spark.readStream.format("gwdelta").load(tablePath)              // tail the log
  *
  *   CREATE TEMPORARY VIEW ph USING gwdelta
  *   OPTIONS (path '<table>', versionAsOf '2')
@@ -26,9 +27,12 @@ import java.util.{Map => JMap}
  * The log replay resolves the snapshot's file set + schema (pure driver-side
  * metadata); the scan itself delegates to Spark's own parquet V2 table, so
  * column pruning, filter pushdown, vectorized reading, and AQE apply exactly
- * as they would on a plain parquet read.
+ * as they would on a plain parquet read. Batch reads additionally file-skip
+ * with harvested footer stats; streaming reads tail the log one version
+ * range per micro-batch (see `GwDeltaStreamSource`).
  */
-class GwDeltaDataSource extends TableProvider with DataSourceRegister {
+class GwDeltaDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "gwdelta"
 
@@ -62,4 +66,30 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister {
     new org.apache.spark.sql.graftbridge.GwDeltaTable(
       s"gwdelta:${options.get("path")}", SparkSession.active, options, resolve(options))
   }
+
+  // ---- streaming tail (spark.readStream.format("gwdelta")) ----
+
+  private def streamPath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("gwdelta requires a path"))
+
+  override def sourceSchema(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = streamPath(parameters)
+    val log = GwLog.forTable(
+      sqlContext.sparkSession.sparkContext.hadoopConfiguration, path)
+    (shortName(), schema.getOrElse(log.snapshot(None).schema))
+  }
+
+  override def createSource(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new org.apache.spark.sql.graftbridge.GwDeltaStreamSource(
+      sqlContext, streamPath(parameters))
 }

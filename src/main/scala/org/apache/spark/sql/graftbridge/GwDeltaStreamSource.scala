@@ -1,0 +1,81 @@
+package org.apache.spark.sql.graftbridge
+
+import graft.log.{AddFile, GwLog, Metadata}
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Streaming tail of a gwdelta transaction log:
+ * `spark.readStream.format("gwdelta").load(tablePath)`.
+ *
+ * Offsets are log versions. Each micro-batch reads exactly the files
+ * committed in `(startVersion, endVersion]` — a metadata diff, no
+ * reprocessing — so the generated tables feed Structured Streaming
+ * pipelines directly (the auto-ingest story the reference delegates to
+ * platform tooling). The first batch (no start offset) is the full live
+ * snapshot at the end version, matching delta's initial-snapshot
+ * semantics.
+ *
+ * A schema restatement inside a consumed range stops the stream with an
+ * explicit error (same contract as delta): the new fingerprint REPLACES
+ * the table, so a consumer must restart from the restated snapshot.
+ */
+class GwDeltaStreamSource(
+    sqlContext: SQLContext,
+    tablePath: String) extends Source {
+
+  private val spark = sqlContext.sparkSession.asInstanceOf[ClassicSession]
+  private val log = GwLog.forTable(spark.sparkContext.hadoopConfiguration, tablePath)
+  private val streamSchema: StructType = log.snapshot(None).schema
+
+  override def schema: StructType = streamSchema
+
+  override def getOffset: Option[OffsetV1] =
+    log.latestVersion().map(v => LongOffset(v))
+
+  private def versionOf(o: OffsetV1): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = versionOf(end)
+    val files: Seq[AddFile] = start match {
+      case None =>
+        // initial batch: the live snapshot at endV
+        log.snapshot(Some(endV)).files
+      case Some(s) =>
+        val startV = versionOf(s)
+        val range = (startV + 1) to endV
+        val actions = range.flatMap(v => log.readVersion(v))
+        actions.collectFirst {
+          case m: Metadata if m.schemaString != streamSchema.json => m
+        }.foreach { _ =>
+          throw new IllegalStateException(
+            s"gwdelta stream at $tablePath hit a schema restatement in versions " +
+              s"(${startV}, $endV]: the table was replaced under the new schema; " +
+              "restart the stream to consume the restated snapshot")
+        }
+        actions.collect { case a: AddFile if a.dataChange => a }
+    }
+    if (files.isEmpty) {
+      Dataset.ofRows(spark,
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(streamSchema)))
+    } else {
+      // the leaf must carry isStreaming=true for MicroBatchExecution
+      val relation = DataSource(
+        sparkSession = spark,
+        className = "parquet",
+        paths = files.map(_.path),
+        userSpecifiedSchema = Some(streamSchema)).resolveRelation(checkFilesExist = false)
+      Dataset.ofRows(spark, LogicalRelation(relation, isStreaming = true))
+    }
+  }
+
+  override def stop(): Unit = ()
+}

@@ -75,6 +75,54 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("at most one"))
   }
 
+  test("readStream format(gwdelta) tails the log incrementally across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    // fresh table with one commit (5 region rows)
+    val tmp = Files.createTempDirectory("gwdelta-stream")
+    def stage(commits: Seq[Long]): Unit = {
+      for (ts <- commits) {
+        val dir = tmp.resolve(s"data/t/100/$ts")
+        Files.createDirectories(dir)
+        Files.copy(Paths.get(s"$sf/region.parquet"), dir.resolve("part-0.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      Files.writeString(tmp.resolve("manifest.json"),
+        s"""{"t": {"lastSuccessfulWriteTimestamp": "9999999999999",
+           |"totalProcessedRecordsCount": 1,
+           |"dataFilesPath": "${tmp.toAbsolutePath}/data/t/",
+           |"schemaHistory": {"100": "1700000000000"}}}""".stripMargin)
+    }
+    stage(Seq(1700000000000L))
+    val db = tmp.resolve("db").toString
+    Indexer.index(tmp.resolve("manifest.json").toString, db, SaveMode.Append)(spark)
+    val cp = tmp.resolve("cp").toString
+    val out = tmp.resolve("out").toString
+
+    // memory sink can't recover from a checkpoint; a parquet sink proves
+    // the realistic restart story
+    def sunkRows(): Long =
+      if (!Files.exists(Paths.get(out))) 0L
+      else spark.read.parquet(out).count()
+    def drain(): Long = {
+      val before = sunkRows()
+      val q = spark.readStream.format("gwdelta").load(s"$db/t")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sunkRows() - before
+    }
+
+    assert(drain() == 5, "initial snapshot batch")
+    // two more commits arrive; a restarted stream reads ONLY their rows
+    stage(Seq(1700000000000L, 1700000001000L, 1700000002000L))
+    Indexer.index(tmp.resolve("manifest.json").toString, db, SaveMode.Append)(spark)
+    assert(drain() == 10, "incremental batches only")
+    // nothing new: a third restart reads zero rows
+    assert(drain() == 0, "no new versions -> empty drain")
+  }
+
   test("harvested stats skip files at scan planning, not just row groups") {
     // table of 3 files with disjoint n_nationkey ranges
     val tmp = Files.createTempDirectory("gwdelta-prune")
