@@ -193,7 +193,8 @@ object Pipelines {
       val prefix = sh
         .join(freq, joinKeys)
         .withColumn("pos_in_doc", row_number().over(byRarity))
-        .join(sizes, Seq("__id"))
+        // set size over the same partitioning — no extra shuffle for a join
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("__id")))
         // epsilon guards double rounding (0.2*10 = 2.0000000000000004 would
         // ceil to 3 and shave the prefix below the safe length)
         .filter(col("pos_in_doc") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
