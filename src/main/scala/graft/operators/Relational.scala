@@ -366,6 +366,37 @@ object Relational {
         expr("approx_percentile(price_c, 0.5, 10000)").as("p50_c_approx"),
         expr("approx_percentile(price_c, 0.99, 10000)").as("p99_c_approx"))
 
+  // ---------------------------------------------------------------- q26
+  /** Bucketed co-located join: both sides written bucketed (and the probe
+    * side sorted) on the join key into catalog tables, so the sort-merge
+    * join needs NO exchange on either side — the shuffle is paid ONCE at
+    * write time and amortized over every later join, the pattern for fact
+    * tables joined repeatedly on the same key at 100 TB. The merge hint
+    * keeps the small side out of a broadcast so the co-location is what the
+    * plan actually exercises (asserted exchange-free in PlanSpec). */
+  def q26BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("price_c"))
+      .write.mode("overwrite")
+      .option("path", s"$wh/orders")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_bucketed_orders")
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite")
+      .option("path", s"$wh/customer")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_bucketed_customer")
+    spark.table("graft_bucketed_orders")
+      .hint("merge")
+      .join(spark.table("graft_bucketed_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price_c")).as("price_c"))
+  }
+
   /** name -> query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -393,6 +424,7 @@ object Relational {
     "q23_salted_join" -> q23SaltedJoin _,
     "q24_event_profiles" -> q24EventProfiles _,
     "q25_sketch_aggs" -> q25SketchAggs _,
+    "q26_bucketed_join" -> q26BucketedJoin _,
   )
 
   /** name -> DuckDB oracle SQL (column names/aliases must match exactly). */
@@ -564,5 +596,10 @@ object Relational {
         | array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users_csv,
         | CAST(round(2*quantile_cont(CAST(round(value*100) AS BIGINT), 0.5)) AS BIGINT) AS med2_c
         |FROM events GROUP BY 1""".stripMargin,
+    "q26_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
   )
 }

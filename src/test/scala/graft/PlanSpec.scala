@@ -66,6 +66,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q26 bucketed join shuffles neither side (exchange-free SMJ)") {
+    val p = executedPlan(Relational.q26BucketedJoin(spark, sf))
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+    assert(!p.contains("hashpartitioning(o_custkey"),
+      s"orders side re-shuffled despite bucketing:\n$p")
+    assert(!p.contains("hashpartitioning(c_custkey"),
+      s"customer side re-shuffled despite bucketing:\n$p")
+  }
+
   test("s01 brute-force top-k broadcasts the query side only") {
     val p = plan(Similarity.s01TopKBruteForce(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
