@@ -73,6 +73,28 @@ object LogPropertySpec extends Properties("graft.log") {
     }
   }
 
+  property("parquet checkpoint round-trips arbitrary snapshot-state actions") = {
+    val genStats: Gen[Option[String]] = Gen.oneOf(
+      Gen.const(None),
+      Gen.chooseNum(0L, 999L).map(n => Some(s"""{"numRecords":$n}""")))
+    val genAdd: Gen[AddFile] = for {
+      p <- genPath
+      s <- Gen.chooseNum(1L, 1000L)
+      m <- Gen.chooseNum(0L, 1000L)
+      dc <- Gen.oneOf(true, false)
+      pv <- Gen.mapOf(Gen.zip(Gen.identifier.map(_.take(4)), Gen.identifier.map(_.take(4))))
+      st <- genStats
+    } yield AddFile(p, s, m, dc, pv, st)
+    forAll(Gen.listOfN(10, genAdd)) { adds =>
+      val actions: Seq[Action] = Seq(graft.log.Protocol(1, 2), meta) ++ adds
+      val dir = java.nio.file.Files.createTempDirectory("cp-prop")
+      val target = new org.apache.hadoop.fs.Path(dir.toString, "cp.parquet")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      graft.log.Checkpoint.write(target, conf, actions)
+      graft.log.Checkpoint.read(target, conf) == actions
+    }
+  }
+
   /** Idempotence: re-applying a version's actions (crash-rerun, SURVEY
     * §2.6.5) converges to the same snapshot. */
   property("re-applied commits converge (add-by-path replaces)") =
