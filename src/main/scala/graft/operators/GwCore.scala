@@ -121,6 +121,27 @@ object GwCore {
     GwTable.forPath(spark, s"$db/region").changesSince(0L)
   }
 
+  // ---------------------------------------------------------------- gw07
+  /** Streaming tail of the generated log: `readStream.format("gwdelta")`
+    * drained with AvailableNow — the initial batch is the live snapshot, so
+    * a two-commit table yields both commits' rows through the streaming
+    * path (same result the batch read gives, which is what the oracle
+    * checks). */
+  def gw07StreamTail(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("gw07")
+    val manifest = layout(tmp, "region", Seq(
+      ("100", 1700000000000L, Seq(s"$dir/region.parquet")),
+      ("100", 1700000001000L, Seq(s"$dir/region.parquet"))))
+    val db = tmp.resolve("db").toString
+    Indexer.index(manifest, db, SaveMode.Overwrite)(spark)
+    val name = s"gw07_drain_${System.nanoTime()}"
+    val q = spark.readStream.format("gwdelta").load(s"$db/region")
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -128,6 +149,7 @@ object GwCore {
     "gw04_incremental_append" -> gw04IncrementalAppend _,
     "gw05_datasource_v2" -> gw05DataSourceV2 _,
     "gw06_changes_since" -> gw06ChangesSince _,
+    "gw07_stream_tail" -> gw07StreamTail _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -138,5 +160,7 @@ object GwCore {
       "SELECT * FROM nation UNION ALL SELECT * FROM nation",
     "gw05_datasource_v2" -> "SELECT * FROM nation",
     "gw06_changes_since" -> "SELECT * FROM region",
+    "gw07_stream_tail" ->
+      "SELECT * FROM region UNION ALL SELECT * FROM region",
   )
 }
