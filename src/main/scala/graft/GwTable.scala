@@ -1,6 +1,7 @@
 package graft
 
-import graft.log.{CommitInfo, GwLog, Snapshot}
+import graft.log.{AddFile, CommitInfo, GwLog, RemoveFile, Snapshot}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 /**
@@ -42,11 +43,60 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
   def changesSince(sinceVersion: Long): DataFrame = {
     val latest = gwLog.snapshot(None)
     val before = gwLog.snapshot(Some(sinceVersion)).files.map(_.path).toSet
-    val added = latest.files.filterNot(f => before.contains(f.path))
+    // dataChange=false adds are rewrites of existing rows (compaction) —
+    // not new data, so incremental consumers must not see them
+    val added = latest.files.filterNot(f => before.contains(f.path)).filter(_.dataChange)
     if (added.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], latest.schema)
     else
       spark.read.schema(latest.schema).parquet(added.map(_.path): _*)
+  }
+
+  /**
+   * Compaction (OPTIMIZE): rewrite the snapshot's small files into
+   * ~`targetFileBytes` files under `<table>/_compacted/`, committed as
+   * `dataChange = false` adds/removes — readers see fewer files, while
+   * streaming tails and `changesSince` correctly emit nothing.
+   *
+   * This is OPT-IN maintenance and the one place the engine writes data:
+   * the indexer itself never moves bytes (shallow clone), but CDA drops
+   * thousands of small files per table over time and a 100 TB reader pays
+   * per-file open costs forever without consolidation.
+   *
+   * Returns the committed version, or -1 if there was nothing to compact.
+   */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snap = gwLog.snapshot(None)
+    val small = snap.files.filter(_.size < targetFileBytes)
+    if (small.size < 2) return -1L
+    val now = System.currentTimeMillis()
+    val outDir = new Path(tablePath, s"_compacted/${java.util.UUID.randomUUID()}")
+    val nOut = math.max(1, math.ceil(
+      small.map(_.size).sum.toDouble / targetFileBytes).toInt)
+    spark.read.schema(snap.schema).parquet(small.map(_.path): _*)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outDir.toString)
+    val fs = outDir.getFileSystem(conf)
+    val newFiles = fs.listStatus(outDir)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith(".") && !n.startsWith("_") && n.endsWith(".parquet") &&
+          st.getLen > 0
+      }
+      .map(st => AddFile(
+        path = st.getPath.toString,
+        size = st.getLen,
+        modificationTime = st.getModificationTime,
+        dataChange = false,
+        stats = graft.sources.SchemaProbe.readStats(conf, st.getPath.toString)))
+      .toSeq
+    val removes = small.map(f => RemoveFile(f.path, f.size, now, dataChange = false))
+    val info = CommitInfo(
+      timestamp = now, operation = "OPTIMIZE", mode = "Compact",
+      numFiles = newFiles.size, numOutputBytes = newFiles.map(_.size).sum,
+      isBlindAppend = false, txnId = java.util.UUID.randomUUID().toString)
+    gwLog.commit(newFiles ++ removes ++ Seq(info))
   }
 
   /** Commit history as a DataFrame (version, timestamp, operation, ...). */

@@ -63,9 +63,13 @@ class GwDeltaStreamSource(
         actions.collect { case a: AddFile if a.dataChange => a }
     }
     if (files.isEmpty) {
+      // a version range can be metadata-only (e.g. a compaction commit's
+      // dataChange=false rewrites); the empty relation must still carry
+      // isStreaming=true for MicroBatchExecution's sanity check
       Dataset.ofRows(spark,
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(streamSchema)))
+          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(streamSchema),
+          Seq.empty, isStreaming = true))
     } else {
       // the leaf must carry isStreaming=true for MicroBatchExecution
       val relation = DataSource(

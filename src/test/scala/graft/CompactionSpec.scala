@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** OPTIMIZE semantics: fewer files, identical rows, no phantom changes for
+  * incremental consumers (dataChange=false adds/removes). */
+class CompactionSpec extends AnyFunSuite {
+  private val spark = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("compact consolidates files without changing rows or leaking changes") {
+    // stage a table whose single commit has 3 small files
+    val tmp = Files.createTempDirectory("compact-spec")
+    val folder = tmp.resolve("data/t/100/1700000000000")
+    Files.createDirectories(folder)
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    for ((lo, hi, i) <- Seq((0, 8, 0), (9, 16, 1), (17, 24, 2))) {
+      val part = Files.createTempDirectory(s"compact-part-$i")
+      nation.filter(col("n_nationkey").between(lo, hi)).coalesce(1)
+        .write.mode("overwrite").parquet(part.toString)
+      val f = part.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, folder.resolve(s"part-$i.parquet"))
+    }
+    Files.writeString(tmp.resolve("manifest.json"),
+      s"""{"t": {"lastSuccessfulWriteTimestamp": "9999999999999",
+         |"totalProcessedRecordsCount": 25,
+         |"dataFilesPath": "${tmp.toAbsolutePath}/data/t/",
+         |"schemaHistory": {"100": "1700000000000"}}}""".stripMargin)
+    val db = tmp.resolve("db").toString
+    Indexer.index(tmp.resolve("manifest.json").toString, db, SaveMode.Overwrite)(spark)
+
+    val table = GwTable.forPath(spark, s"$db/t")
+    val preVersion = table.log.latestVersion().get
+    val before = table.toDF.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(table.snapshot().files.size == 3)
+
+    // a streaming consumer is already caught up
+    val cp = tmp.resolve("cp").toString
+    val out = tmp.resolve("out").toString
+    def drain(): Long = {
+      val pre = if (Files.exists(Paths.get(out))) spark.read.parquet(out).count() else 0L
+      val q = spark.readStream.format("gwdelta").load(s"$db/t")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).count() - pre
+    }
+    assert(drain() == 25)
+
+    val v = table.compact()
+    assert(v == preVersion + 1)
+    assert(table.snapshot().files.size == 1, "3 small files -> 1")
+    assert(table.snapshot().files.head.stats.isDefined, "compacted file carries stats")
+    val after = table.toDF.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(after.toSeq == before.toSeq, "rows unchanged by compaction")
+
+    // incremental consumers see nothing new
+    assert(table.changesSince(preVersion).count() == 0)
+    assert(drain() == 0, "stream must not re-emit compacted rows")
+    // history records the maintenance op
+    val lastOp = table.history.orderBy(col("version").desc)
+      .select("operation").head.getString(0)
+    assert(lastOp == "OPTIMIZE")
+    // nothing left to compact at this size
+    assert(table.compact() == -1L)
+  }
+}
