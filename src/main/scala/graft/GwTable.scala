@@ -99,6 +99,34 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     gwLog.commit(newFiles ++ removes ++ Seq(info))
   }
 
+  /**
+   * Vacuum: physically delete compaction outputs that are no longer live
+   * and older than `retentionMs`. ONLY files under `<table>/_compacted/`
+   * are candidates — the original CDA files are a read-only source tree the
+   * engine shallow-clones and must never delete, even when a restatement
+   * removed them from the snapshot. Returns the number of files deleted.
+   */
+  def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val compactedDir = new Path(tablePath, "_compacted")
+    val fs = compactedDir.getFileSystem(conf)
+    if (!fs.exists(compactedDir)) return 0
+    val live = gwLog.snapshot(None).files.map(_.path).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val it = fs.listFiles(compactedDir, /* recursive = */ true)
+    var deleted = 0
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath.toString
+      val n = st.getPath.getName
+      val isData = !n.startsWith(".") && !n.startsWith("_") && n.endsWith(".parquet")
+      if (st.isFile && isData && !live.contains(p) && st.getModificationTime < cutoff) {
+        if (fs.delete(st.getPath, false)) deleted += 1
+      }
+    }
+    deleted
+  }
+
   /** Commit history as a DataFrame (version, timestamp, operation, ...). */
   def history: DataFrame = {
     import spark.implicits._

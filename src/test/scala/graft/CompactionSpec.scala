@@ -67,5 +67,25 @@ class CompactionSpec extends AnyFunSuite {
     assert(lastOp == "OPTIMIZE")
     // nothing left to compact at this size
     assert(table.compact() == -1L)
+
+    // vacuum: a later commit + second compaction round orphans the first
+    // round's output; zero-retention vacuum deletes exactly the orphan
+    val extra = tmp.resolve("data/t/100/1700000001000")
+    Files.createDirectories(extra)
+    val part = Files.createTempDirectory("compact-extra")
+    nation.filter(col("n_nationkey") < 3).coalesce(1)
+      .write.mode("overwrite").parquet(part.toString)
+    val f2 = part.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.move(f2.toPath, extra.resolve("part-0.parquet"))
+    Indexer.index(tmp.resolve("manifest.json").toString, db, SaveMode.Append)(spark)
+    assert(table.snapshot().files.size == 2)
+    val firstCompacted = table.snapshot().files
+      .map(_.path).find(_.contains("_compacted")).get
+    assert(table.compact() > 0)
+    assert(table.snapshot().files.size == 1)
+    assert(!table.snapshot().files.map(_.path).contains(firstCompacted))
+    assert(table.vacuum(retentionMs = 0) == 1, "exactly the orphaned rewrite")
+    assert(table.toDF.count() == 28, "rows intact after vacuum")
+    assert(table.vacuum(retentionMs = 0) == 0, "live output survives vacuum")
   }
 }
