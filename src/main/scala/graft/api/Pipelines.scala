@@ -62,6 +62,36 @@ object Pipelines {
       .withColumn("word_tokens", regexp_count(text, lit("[a-zA-Z]+")))
       .withColumn("chars", length(text))
 
+  /**
+   * Repetition-based quality signals (the word-level analogue of the
+   * published "duplicate n-gram fraction" filters for training corpora):
+   * per document, the share of bigram occurrences taken by the most
+   * frequent bigram and the distinct-word ratio. High rep_permille / low
+   * distinct_permille = degenerate repetitive text. Integer permille
+   * outputs keep the oracle comparison exact. Narrow explode + window
+   * pairing, two partial aggregates — no all-pairs anything.
+   */
+  def repetitionStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val byDoc = Window.partitionBy("__id").orderBy("pos")
+    val words = df.select(id.as("__id"), posexplode(split(text, " ")))
+    val wordStats = words.groupBy("__id").agg(
+      count(lit(1)).as("n_words"),
+      countDistinct(col("col")).as("n_distinct"))
+    val bigramCounts = words
+      .withColumn("w2", lead("col", 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("__id"), col("col"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val bigramStats = bigramCounts.groupBy("__id").agg(
+      sum(col("c")).as("n_bigrams"),
+      max(col("c")).as("top_bigram_n"))
+    wordStats.join(bigramStats, Seq("__id"))
+      .select(col("__id"), col("n_words"), col("n_distinct"),
+        round(lit(1000.0) * col("n_distinct") / col("n_words")).cast("long").as("distinct_permille"),
+        col("n_bigrams"), col("top_bigram_n"),
+        round(lit(1000.0) * col("top_bigram_n") / col("n_bigrams")).cast("long").as("rep_permille"))
+  }
+
   def fingerprint(df: DataFrame, text: Column): DataFrame = {
     val norm = trim(regexp_replace(lower(text), "\\s+", " "))
     df.withColumn("fp_full", md5(norm))

@@ -34,6 +34,10 @@ package object api {
     /** Content fingerprints over normalized text (`fp_full`, `fp_head`). */
     def fingerprint(text: Column): DataFrame = Pipelines.fingerprint(df, text)
 
+    /** Repetition quality signals (top-bigram share, distinct-word ratio). */
+    def repetitionStats(id: Column, text: Column): DataFrame =
+      Pipelines.repetitionStats(df, id, text)
+
     /** Exact duplicate groups keyed by content digest. */
     def exactDedup(key: Column, id: Column): DataFrame = Pipelines.exactDedup(df, key, id)
 

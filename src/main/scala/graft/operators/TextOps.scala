@@ -53,12 +53,19 @@ object TextOps {
       .select("lang", "word", "tf", "df", "rnk")
   }
 
+  /** Gopher-style repetition filters: top-bigram share + distinct-word
+    * ratio per document (integer permille — see Pipelines.repetitionStats). */
+  def t06Repetition(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.repetitionStats(docs(spark, dir), col("doc_id"), col("text"))
+      .withColumnRenamed("__id", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
     "t03_tokens" -> t03Tokens _,
     "t04_fingerprint" -> t04Fingerprint _,
     "t05_term_stats" -> t05TermStats _,
+    "t06_repetition" -> t06Repetition _,
   )
 
   private def sqlList(lang: String): String =
@@ -105,6 +112,21 @@ object TextOps {
         |SELECT doc_id, md5(norm) AS fp_full,
         | md5(array_to_string(string_split(norm, ' ')[1:8], ' ')) AS fp_head
         |FROM n""".stripMargin,
+    "t06_repetition" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1])) AS bigram FROM ws),
+        | bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        | bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |        max(c) AS top_bigram_n FROM bc GROUP BY 1),
+        | wstats AS (SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct
+        |   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |   GROUP BY 1)
+        |SELECT w.doc_id, n_words, n_distinct,
+        | CAST(round(1000.0 * n_distinct / n_words) AS BIGINT) AS distinct_permille,
+        | n_bigrams, top_bigram_n,
+        | CAST(round(1000.0 * top_bigram_n / n_bigrams) AS BIGINT) AS rep_permille
+        |FROM wstats w JOIN bs USING (doc_id)""".stripMargin,
     "t05_term_stats" ->
       """SELECT lang, word, tf, df, rnk FROM (
         | SELECT lang, word, count(*) AS tf, count(DISTINCT doc_id) AS df,
