@@ -92,6 +92,23 @@ object Pipelines {
         round(lit(1000.0) * col("top_bigram_n") / col("n_bigrams")).cast("long").as("rep_permille"))
   }
 
+  /**
+   * Deterministic stratified sampling: keep `k` rows per group, chosen by
+   * ranking on a content hash of the id — reproducible across runs,
+   * engines, and cluster layouts (no RNG state), which is what a curation
+   * pipeline needs for auditable subsets. One window per group partition;
+   * no global shuffle beyond the group hash partitioning.
+   */
+  def stratifiedSample(df: DataFrame, group: Column, id: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy("__g").orderBy(col("__r"), col("__id"))
+    df.withColumn("__g", group)
+      .withColumn("__id", id)
+      .withColumn("__r", md5(id.cast("string")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .drop("__g", "__id", "__r")
+  }
+
   def fingerprint(df: DataFrame, text: Column): DataFrame = {
     val norm = trim(regexp_replace(lower(text), "\\s+", " "))
     df.withColumn("fp_full", md5(norm))

@@ -38,6 +38,10 @@ package object api {
     def repetitionStats(id: Column, text: Column): DataFrame =
       Pipelines.repetitionStats(df, id, text)
 
+    /** Deterministic k-per-group sample ranked by content hash. */
+    def stratifiedSample(group: Column, id: Column, k: Int): DataFrame =
+      Pipelines.stratifiedSample(df, group, id, k)
+
     /** Exact duplicate groups keyed by content digest. */
     def exactDedup(key: Column, id: Column): DataFrame = Pipelines.exactDedup(df, key, id)
 

@@ -59,6 +59,14 @@ object TextOps {
     Pipelines.repetitionStats(docs(spark, dir), col("doc_id"), col("text"))
       .withColumnRenamed("__id", "doc_id")
 
+  /** Deterministic per-language sample: 10 docs per lang ranked by content
+    * hash — reproducible curation subsets (see Pipelines.stratifiedSample). */
+  def t07Sample(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.stratifiedSample(
+      docs(spark, dir).select(col("doc_id"), col("lang")),
+      col("lang"), col("doc_id"), k = 10)
+      .select("doc_id", "lang", "rn")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -66,6 +74,7 @@ object TextOps {
     "t04_fingerprint" -> t04Fingerprint _,
     "t05_term_stats" -> t05TermStats _,
     "t06_repetition" -> t06Repetition _,
+    "t07_sample" -> t07Sample _,
   )
 
   private def sqlList(lang: String): String =
@@ -112,6 +121,13 @@ object TextOps {
         |SELECT doc_id, md5(norm) AS fp_full,
         | md5(array_to_string(string_split(norm, ' ')[1:8], ' ')) AS fp_head
         |FROM n""".stripMargin,
+    "t07_sample" ->
+      """SELECT doc_id, lang, rn FROM (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents
+        |) WHERE rn <= 10""".stripMargin,
     "t06_repetition" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         | bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
