@@ -121,6 +121,16 @@ object Pipelines {
     df.groupBy(md5(key).as("content_hash"))
       .agg(min(id).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Materialize the deduplicated corpus: keep exactly one row (lowest id)
+    * per duplicate-key group, with all original columns — the apply side of
+    * [[exactDedup]]'s report. One window keyed by the content hash. */
+  def applyExactDedup(df: DataFrame, key: Column, id: Column): DataFrame = {
+    val w = Window.partitionBy(md5(key)).orderBy(id)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /**
    * One row per distinct (id, 3-gram-shingle-hash), plus any blocking
    * columns. Codegen-friendly shingle representation (see object scaladoc).

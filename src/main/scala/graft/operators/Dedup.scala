@@ -44,6 +44,14 @@ object Dedup {
     Pipelines.cosineNearDupPairsAnn(embs(spark, dir), col("vec_id"), col("embedding"),
       threshold = 0.3, dim = 64)
 
+  /** Apply side of exact dedup: keep one doc per (lang, n_chars) group —
+    * exercises keep-lowest-id-per-group with real reduction (the corpus has
+    * no exact text duplicates by construction). */
+  def d07DedupApply(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.applyExactDedup(
+      docs(spark, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      concat_ws("|", col("lang"), col("n_chars")), col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> d01ExactDedup _,
     "d02_dedup_minhash_lsh" -> d02MinHashLsh _,
@@ -51,6 +59,7 @@ object Dedup {
     "d04_ngram_jaccard" -> d04NgramJaccard _,
     "d05_cosine_neardup" -> d05CosineNearDup _,
     "d06_cosine_neardup_ann" -> d06CosineNearDupAnn _,
+    "d07_dedup_apply" -> d07DedupApply _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -58,6 +67,12 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         | count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "d07_dedup_apply" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        | SELECT doc_id, lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang, n_chars ORDER BY doc_id) AS rn
+        | FROM documents
+        |) WHERE rn = 1""".stripMargin,
     "d04_ngram_jaccard" ->
       """WITH s AS (
         | SELECT doc_id, lang, n_chars // 100 AS len_block,

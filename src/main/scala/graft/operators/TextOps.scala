@@ -67,6 +67,19 @@ object TextOps {
       col("lang"), col("doc_id"), k = 10)
       .select("doc_id", "lang", "rn")
 
+  /** End-to-end curation composition: quality filter -> exact dedup ->
+    * deterministic per-language sample. Exercises that the library stages
+    * compose as plain DataFrame transforms with one Catalyst plan. */
+  def t08Curation(spark: SparkSession, dir: String): DataFrame = {
+    val kept = Pipelines.textQuality(docs(spark, dir), col("text"))
+      .filter(col("keep") === 1)
+    val deduped = Pipelines.applyExactDedup(kept, col("text"), col("doc_id"))
+    Pipelines.stratifiedSample(
+      deduped.select(col("doc_id"), col("lang")),
+      col("lang"), col("doc_id"), k = 5)
+      .select("doc_id", "lang", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -75,6 +88,7 @@ object TextOps {
     "t05_term_stats" -> t05TermStats _,
     "t06_repetition" -> t06Repetition _,
     "t07_sample" -> t07Sample _,
+    "t08_curation" -> t08Curation _,
   )
 
   private def sqlList(lang: String): String =
@@ -121,6 +135,21 @@ object TextOps {
         |SELECT doc_id, md5(norm) AS fp_full,
         | md5(array_to_string(string_split(norm, ' ')[1:8], ' ')) AS fp_head
         |FROM n""".stripMargin,
+    "t08_curation" ->
+      """WITH q AS (
+        | SELECT doc_id, lang, text FROM documents
+        | WHERE len(string_split(text, ' ')) >= 5
+        |  AND CAST(round(1000.0 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text)) AS BIGINT) >= 500),
+        | d AS (
+        | SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS drn
+        |  FROM q) WHERE drn = 1),
+        | s AS (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM d)
+        |SELECT doc_id, lang, rn FROM s WHERE rn <= 5""".stripMargin,
     "t07_sample" ->
       """SELECT doc_id, lang, rn FROM (
         | SELECT doc_id, lang,
