@@ -45,6 +45,10 @@ package object api {
     /** Exact duplicate groups keyed by content digest. */
     def exactDedup(key: Column, id: Column): DataFrame = Pipelines.exactDedup(df, key, id)
 
+    /** Keep one (lowest-id) row per duplicate-key group, all columns. */
+    def applyExactDedup(key: Column, id: Column): DataFrame =
+      Pipelines.applyExactDedup(df, key, id)
+
     /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification. */
     def minHashDedupPairs(id: Column, text: Column, numPerm: Int = 32,
         bands: Int = 8, threshold: Double = 0.5): DataFrame =
