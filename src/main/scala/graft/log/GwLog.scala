@@ -58,8 +58,13 @@ class GwLog(val tablePath: Path, conf: Configuration,
   def commit(actions: Seq[Action]): Long = {
     val version = latestVersion().map(_ + 1).getOrElse(0L)
     commitAt(version, actions)
-    if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0)
-      writeCheckpoint(version)
+    if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0) {
+      // checkpoints are a read optimization: the version JSON above IS the
+      // committed truth, so a failed checkpoint write must not fail the
+      // commit (the next interval retries; reads fall back to JSON replay)
+      try writeCheckpoint(version)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     version
   }
 
@@ -114,13 +119,18 @@ class GwLog(val tablePath: Path, conf: Configuration,
     require(
       versions.contains(upTo),
       s"Version $upTo not found at $logDir (have ${versions.headOption.getOrElse(-1L)}..${versions.lastOption.getOrElse(-1L)})")
+    def fullReplay(): Snapshot =
+      Snapshot.replay(upTo, versions.takeWhile(_ <= upTo).map(v => readVersion(v)))
     listCheckpoints().filter(_ <= upTo).lastOption match {
       case Some(cp) =>
-        val base = Checkpoint.read(checkpointPathFor(cp), conf)
-        val tail = versions.filter(v => v > cp && v <= upTo)
-        Snapshot.replay(upTo, base +: tail.map(v => readVersion(v)))
-      case None =>
-        Snapshot.replay(upTo, versions.takeWhile(_ <= upTo).map(v => readVersion(v)))
+        // a torn/corrupt checkpoint (crash mid-write) must never brick the
+        // table — the version JSONs are always sufficient on their own
+        try {
+          val base = Checkpoint.read(checkpointPathFor(cp), conf)
+          val tail = versions.filter(v => v > cp && v <= upTo)
+          Snapshot.replay(upTo, base +: tail.map(v => readVersion(v)))
+        } catch { case scala.util.control.NonFatal(_) => fullReplay() }
+      case None => fullReplay()
     }
   }
 

@@ -134,6 +134,27 @@ class LogSpec extends AnyFunSuite {
     assert(log.snapshot().files.toSet == fullReplayAfterCorruption(log))
   }
 
+  test("a corrupt checkpoint falls back to full JSON replay") {
+    val dir = Files.createTempDirectory("gwlog-torn").toString
+    val conf = new Configuration()
+    val log = new GwLog(new org.apache.hadoop.fs.Path(dir), conf, checkpointInterval = 5)
+    log.commit(Seq(Protocol(), Metadata("id0", new StructType().add("a", "long").json, createdTime = 1L),
+      AddFile("part-0.parquet", 1, 1),
+      CommitInfo(1L, "WRITE", "Overwrite", 1, 1, isBlindAppend = false, "t0")))
+    (1 to 7).foreach { v =>
+      log.commit(Seq(AddFile(s"part-$v.parquet", v.toLong, v.toLong),
+        CommitInfo(v.toLong, "WRITE", "Append", 1, v.toLong, isBlindAppend = true, s"t$v")))
+    }
+    val cp = log.checkpointPathFor(5L)
+    val fs = cp.getFileSystem(conf)
+    assert(fs.exists(cp))
+    // tear the checkpoint: truncate to garbage
+    val out = fs.create(cp, true); out.write("not parquet".getBytes); out.close()
+    val snap = log.snapshot()
+    assert(snap.files.size == 8, "fallback replay must still see every file")
+    assert(snap.version == 7L)
+  }
+
   /** Latest snapshot via the newest checkpoint + tail (versions > cp). */
   private def fullReplayAfterCorruption(log: GwLog): Set[AddFile] = {
     val cp = log.listCheckpoints().last
