@@ -368,17 +368,66 @@ object Pipelines {
   }
 
   /**
+   * Spherical k-means (Lloyd) training for IVF centroids, fully
+   * distributed: each iteration is one narrow assignment pass (the same
+   * codegen'd argmax-dot ivfTopK uses) plus a (cluster, dim)-keyed partial
+   * aggregate — k*dim rows shuffle, and centroids (k x dim doubles) are
+   * the ONLY driver-side state, so iterations cost the same at 100 TB as
+   * the scan does. Seeded from the deterministic hyperplanes; centroids
+   * are re-normalized each round (dot-based assignment = cosine on unit
+   * vectors) and empty clusters keep their previous direction.
+   */
+  def trainIvfCentroids(corpus: DataFrame, vec: Column, dim: Int,
+      nCentroids: Int = 16, iterations: Int = 3): Array[Array[Double]] = {
+    var cents = normalizeRows(hyperplanes(nCentroids, dim))
+    for (_ <- 0 until iterations) {
+      def scores(e: Column): Column =
+        array((0 until nCentroids).map(c => dotProd(e, lit(cents(c)))): _*)
+      def assigned(e: Column): Column =
+        (array_position(scores(e), array_max(scores(e))) - 1).cast("int")
+      val sums = corpus
+        .select(assigned(vec).as("cl"), posexplode(vec.cast("array<double>")))
+        .groupBy("cl", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(nCentroids, dim)((c, d) => cents(c)(d))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      cents = normalizeRows(next)
+    }
+    cents
+  }
+
+  private def normalizeRows(m: Array[Array[Double]]): Array[Array[Double]] =
+    m.map { row =>
+      val n = math.sqrt(row.map(x => x * x).sum)
+      if (n == 0.0) row else row.map(_ / n)
+    }
+
+  /** Mean best-centroid similarity over the corpus — the spherical k-means
+    * objective; Lloyd iterations must not decrease it on training data. */
+  def ivfObjective(corpus: DataFrame, vec: Column, centroids: Array[Array[Double]]): Double = {
+    val unit = normalizeRows(centroids)
+    val scores = array(unit.indices.map(c =>
+      dotProd(vec, lit(unit(c))) / l2norm(vec)): _*)
+    corpus.select(avg(array_max(scores)).as("o")).head.getDouble(0)
+  }
+
+  /**
    * IVF (inverted-file) approximate top-k: corpus vectors are assigned to
    * their nearest of `nCentroids` fixed centroids (the inverted lists);
    * each query probes its `nProbe` closest lists and ranks exactly within
    * them. Cost per query ~ nProbe/nCentroids of the corpus — the classic
-   * trade against recall. Centroids here are seeded random directions
-   * (data-independent); swapping in trained centroids changes nothing
-   * structurally.
+   * trade against recall. Default centroids are seeded random directions
+   * (data-independent); pass [[trainIvfCentroids]] output to probe trained
+   * lists instead — nothing else changes.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
-      k: Int, dim: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = hyperplanes(nCentroids, dim)
+      k: Int, dim: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(hyperplanes(nCentroids, dim))
+    require(cents.length == nCentroids, "centroid count must match nCentroids")
     // per-vector centroid scores: dot with each centroid (codegen'd)
     def scores(e: Column): Column = array((0 until nCentroids).map(c => dotProd(e, lit(cents(c)))): _*)
     // corpus side: argmax centroid = its single inverted list

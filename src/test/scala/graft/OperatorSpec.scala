@@ -152,6 +152,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(custom == declarative)
   }
 
+  test("IVF centroid training monotonically improves the spherical objective") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = graft.api.Pipelines
+    val random = p.hyperplanes(16, 64)
+    val trained = p.trainIvfCentroids(e, col("embedding"), dim = 64,
+      nCentroids = 16, iterations = 3)
+    val before = p.ivfObjective(e, col("embedding"), random)
+    val after = p.ivfObjective(e, col("embedding"), trained)
+    assert(after >= before - 1e-9,
+      s"Lloyd iterations degraded the objective: $before -> $after")
+    // trained centroids plug into the same probe machinery
+    val out = p.ivfTopK(e, e.filter(col("vec_id") < 5),
+      col("vec_id"), col("embedding"), k = 3, dim = 64,
+      centroids = Some(trained))
+    assert(out.count() == 15)
+    // determinism: same seed + data -> same centroids
+    val again = p.trainIvfCentroids(e, col("embedding"), dim = 64,
+      nCentroids = 16, iterations = 3)
+    assert(trained.flatten.toSeq == again.flatten.toSeq)
+  }
+
   test("hyperplanes are deterministic across invocations") {
     val a = graft.api.Pipelines.hyperplanes(4, 8)
     val b = graft.api.Pipelines.hyperplanes(4, 8)
