@@ -1,6 +1,6 @@
 package graft
 
-import graft.log.{AddFile, CommitInfo, GwLog, RemoveFile, Snapshot}
+import graft.log.{AddFile, CommitInfo, GwLog, Metadata, RemoveFile, Snapshot}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
@@ -33,19 +33,33 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     versionAsOf(candidates.max)
   }
 
-  /** Incremental consumption: rows of files that are live in the LATEST
-    * snapshot but were not part of the snapshot at `sinceVersion` — i.e.
-    * everything a downstream pipeline still has to process after having
-    * consumed up to `sinceVersion`. After a restatement every current file
-    * is new by definition (the table was replaced), which is exactly the
-    * reprocess-all signal a consumer needs. Metadata-only diff: no data is
-    * read to compute the file set. */
+  /** Incremental consumption: everything a downstream pipeline still has
+    * to process after having consumed up to `sinceVersion`, computed by
+    * walking the log's per-version actions (metadata only, no data read):
+    *
+    *  - normal case: the union of `dataChange = true` AddFiles committed in
+    *    `(sinceVersion, latest]`. A later compaction may have REMOVED such
+    *    a file from the live set, but its bytes survive until `vacuum`'s
+    *    retention passes, so the increment is still served from the
+    *    original files (consume within the retention window);
+    *  - a restatement in the range (any `metaData` action — appends never
+    *    carry one) replaced the table, so the full live snapshot is
+    *    returned as the reprocess-all signal. */
   def changesSince(sinceVersion: Long): DataFrame = {
     val latest = gwLog.snapshot(None)
-    val before = gwLog.snapshot(Some(sinceVersion)).files.map(_.path).toSet
-    // dataChange=false adds are rewrites of existing rows (compaction) —
-    // not new data, so incremental consumers must not see them
-    val added = latest.files.filterNot(f => before.contains(f.path)).filter(_.dataChange)
+    val range = (sinceVersion + 1) to latest.version
+    val actions = range.flatMap(v => gwLog.readVersion(v))
+    val added: Seq[AddFile] =
+      if (actions.exists(_.isInstanceOf[Metadata])) latest.files
+      else {
+        // last add per path wins (a path re-asserted twice is one file)
+        val byPath = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+        actions.foreach {
+          case a: AddFile if a.dataChange => byPath(a.path) = a
+          case _ => ()
+        }
+        byPath.values.toSeq
+      }
     if (added.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], latest.schema)
     else

@@ -72,10 +72,12 @@ object Indexer {
     * (reference D2 behavior, Guidewire.scala:76-93). */
   def proxyProperties(): Map[String, String] =
     sys.props.toMap.filter { case (k, _) =>
+      val lower = k.toLowerCase
       k == "java.net.useSystemProxies" ||
-        ((k.startsWith("http.") || k.startsWith("https.") ||
-          k.startsWith("ftp.") || k.startsWith("socks")) &&
-          (k.contains("proxy") || k.contains("nonProxyHosts")))
+        ((lower.startsWith("http.") || lower.startsWith("https.") ||
+          lower.startsWith("ftp.") || lower.startsWith("socks")) &&
+          // case-insensitive: the SOCKS keys are socksProxyHost/Port
+          (lower.contains("proxy") || lower.contains("nonproxyhosts")))
     }
 
   /** Fan out one task per table; discovery + commit run executor-side. */
@@ -139,8 +141,16 @@ object Indexer {
           else {
             val metadata =
               if (needMetadata) {
+                // the fingerprint's restatement MUST ride its first folder
+                // with files; committing that folder without a schema would
+                // blind-append new-fingerprint files under the old schema
+                val probed = SchemaProbe.readSchemaFromFiles(conf, files.toSeq)
+                if (probed.isEmpty) throw new IllegalStateException(
+                  s"cannot probe a schema for fingerprint $schemaId from any file of " +
+                    s"$schemaDir/$ts — refusing to commit the fingerprint without its " +
+                    "restatement metadata")
                 needMetadata = false
-                SchemaProbe.readSchemaFromFiles(conf, files.toSeq).map { schema =>
+                probed.map { schema =>
                   Metadata(
                     id = UUID.randomUUID().toString,
                     schemaString = schema.json,

@@ -38,7 +38,20 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
 
   override def supportsExternalMetadata(): Boolean = false
 
+  // one provider instance serves one load(): inferSchema and getTable both
+  // resolve the same snapshot, so replay the log once, not twice
+  @volatile private var cachedResolve: (String, graft.log.Snapshot) = _
+
   private def resolve(options: CaseInsensitiveStringMap): graft.log.Snapshot = {
+    val key = options.asCaseSensitiveMap.toString
+    val cached = cachedResolve
+    if (cached != null && cached._1 == key) return cached._2
+    val snap = doResolve(options)
+    cachedResolve = (key, snap)
+    snap
+  }
+
+  private def doResolve(options: CaseInsensitiveStringMap): graft.log.Snapshot = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("gwdelta requires a path"))
     val spark = SparkSession.active
@@ -78,10 +91,14 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
+    // the stream always serves the log's schema; accepting a user schema
+    // here would bind the query against columns the batches don't produce
+    require(schema.isEmpty,
+      "gwdelta streams read the table's log schema; drop .schema(...)")
     val path = streamPath(parameters)
     val log = GwLog.forTable(
       sqlContext.sparkSession.sparkContext.hadoopConfiguration, path)
-    (shortName(), schema.getOrElse(log.snapshot(None).schema))
+    (shortName(), log.snapshot(None).schema)
   }
 
   override def createSource(

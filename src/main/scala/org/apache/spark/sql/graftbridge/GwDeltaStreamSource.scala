@@ -52,14 +52,16 @@ class GwDeltaStreamSource(
         val startV = versionOf(s)
         val range = (startV + 1) to endV
         val actions = range.flatMap(v => log.readVersion(v))
-        actions.collectFirst {
-          case m: Metadata if m.schemaString != streamSchema.json => m
-        }.foreach { _ =>
+        // ANY metaData action in the range is a restatement (appends never
+        // carry one) — including a restart that captured the post-
+        // restatement schema, or a restatement to an identical schema; the
+        // table content was REPLACED, so an incremental append would
+        // silently duplicate/corrupt the sink
+        if (actions.exists(_.isInstanceOf[Metadata]))
           throw new IllegalStateException(
             s"gwdelta stream at $tablePath hit a schema restatement in versions " +
-              s"(${startV}, $endV]: the table was replaced under the new schema; " +
-              "restart the stream to consume the restated snapshot")
-        }
+              s"(${startV}, $endV]: the table was replaced; restart the stream " +
+              "from a fresh checkpoint to consume the restated snapshot")
         actions.collect { case a: AddFile if a.dataChange => a }
     }
     if (files.isEmpty) {

@@ -87,5 +87,11 @@ class CompactionSpec extends AnyFunSuite {
     assert(table.vacuum(retentionMs = 0) == 1, "exactly the orphaned rewrite")
     assert(table.toDF.count() == 28, "rows intact after vacuum")
     assert(table.vacuum(retentionMs = 0) == 0, "live output survives vacuum")
+
+    // lagging consumer: rows appended AFTER its position and then compacted
+    // away must still be delivered (served from the original files, which
+    // survive until vacuum retention passes)
+    assert(table.changesSince(preVersion).count() == 3,
+      "append swallowed by a later compaction")
   }
 }
