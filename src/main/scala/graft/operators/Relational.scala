@@ -397,6 +397,21 @@ object Relational {
         sum(col("price_c")).as("price_c"))
   }
 
+  // ---------------------------------------------------------------- q27
+  /** Sliding event-time windows (2h length, 1h slide): every event lands
+    * in exactly two overlapping buckets — `window()` plans this as a
+    * generator (one output row per covering window) feeding a hash
+    * aggregate, so the fan-out is the window overlap factor, not a join. */
+  def q27SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("event_time"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+      .select(
+        (unix_timestamp(col("window.start")) / 3600).cast("long").as("start_bucket"),
+        col("event_type"), col("n"), col("value_c"))
+
   /** name -> query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -425,6 +440,7 @@ object Relational {
     "q24_event_profiles" -> q24EventProfiles _,
     "q25_sketch_aggs" -> q25SketchAggs _,
     "q26_bucketed_join" -> q26BucketedJoin _,
+    "q27_sliding_window" -> q27SlidingWindow _,
   )
 
   /** name -> DuckDB oracle SQL (column names/aliases must match exactly). */
@@ -601,5 +617,12 @@ object Relational {
         | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_c
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+    "q27_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hb, event_type,
+        |  CAST(round(value*100) AS BIGINT) AS vc FROM events)
+        |SELECT hb - i AS start_bucket, event_type, count(*) AS n,
+        | CAST(sum(vc) AS BIGINT) AS value_c
+        |FROM e CROSS JOIN (VALUES (0), (1)) t(i)
+        |GROUP BY 1, 2""".stripMargin,
   )
 }
