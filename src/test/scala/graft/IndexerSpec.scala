@@ -131,6 +131,31 @@ class IndexerSpec extends SparkSpec {
     assert(!results("policy_holders").exists(_.processedTimestamp == 1680900000000L))
   }
 
+  test("a fingerprint whose first folder cannot be probed fails discovery") {
+    val (manifestUri, dbPath) = stageFixture()
+    Indexer.index(manifestUri, dbPath)(spark) // healthy table first
+    // new fingerprint arrives whose only file has an unparseable footer
+    val root = Paths.get(java.net.URI.create(manifestUri)).getParent
+    val badDir = root.resolve("cda/policy_holders/999999999/1680950000000")
+    Files.createDirectories(badDir)
+    Files.write(badDir.resolve("part-00000-bad.parquet"),
+      "this is not a parquet file".getBytes(StandardCharsets.UTF_8))
+    val patched = new String(Files.readAllBytes(Paths.get(java.net.URI.create(manifestUri))), StandardCharsets.UTF_8)
+      .replace("\"schemaHistory\": {",
+        "\"schemaHistory\": {\n          \"999999999\": \"1680950000000\",")
+      .replace("\"lastSuccessfulWriteTimestamp\": \"1680945093000\"",
+        "\"lastSuccessfulWriteTimestamp\": \"1680950000000\"")
+    Files.write(Paths.get(java.net.URI.create(manifestUri)), patched.getBytes(StandardCharsets.UTF_8))
+    val e = intercept[Exception] { Indexer.index(manifestUri, dbPath)(spark) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("cannot probe a schema")),
+      s"unexpected failure: ${messages(e).mkString(" | ")}")
+    // the healthy table state is untouched (no partial blind-append)
+    val table = GwTable.forPath(spark, s"$dbPath/policy_holders")
+    assert(table.log.listVersions() == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("driver proxy properties are captured and applied inside task closures") {
     val key = "http.proxyHost"
     val prev = Option(System.getProperty(key))
