@@ -47,6 +47,13 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     *    returned as the reprocess-all signal. */
   def changesSince(sinceVersion: Long): DataFrame = {
     val latest = gwLog.snapshot(None)
+    // a watermark beyond the log means the log was rebuilt under the
+    // consumer (e.g. an Overwrite re-index) — silence here would read as
+    // "caught up" and the consumer would permanently miss the rebuilt table
+    require(sinceVersion <= latest.version,
+      s"changesSince($sinceVersion) is beyond the log's latest version " +
+        s"${latest.version} at $tablePath — the table was rebuilt; " +
+        "restart consumption from a full snapshot")
     val range = (sinceVersion + 1) to latest.version
     val actions = range.flatMap(v => gwLog.readVersion(v))
     val added: Seq[AddFile] =

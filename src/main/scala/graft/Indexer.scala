@@ -61,9 +61,18 @@ object Indexer {
     val checkpoints: Map[String, Long] =
       if (saveMode == SaveMode.Append) loadCheckpoints(databasePath) else Map.empty
     val manifest = Manifest.read(hadoopConf, manifestUri)
-    val results = processManifest(manifest, checkpoints, databasePath, saveMode, enforceGuidewireTimestamp)
-    saveCheckpoints(results, databasePath, saveMode)
-    results
+    val outcomes = processManifest(manifest, checkpoints, databasePath, saveMode, enforceGuidewireTimestamp)
+    // per-table failure isolation: commits of healthy tables are already
+    // durable, so their watermarks MUST be checkpointed even when a sibling
+    // table failed — otherwise the next run re-commits their folders and
+    // incremental consumers see the rows twice
+    val ok = outcomes.collect { case (t, Right(r)) => t -> r }
+    saveCheckpoints(ok, databasePath, saveMode)
+    val errors = outcomes.collect { case (_, Left(msg)) => msg }
+    if (errors.nonEmpty)
+      throw new IllegalStateException(
+        s"indexing failed for ${errors.size} table(s): ${errors.mkString("; ")}")
+    ok
   }
 
   /** JVM proxy-related system properties currently set on this JVM — the
@@ -80,13 +89,16 @@ object Indexer {
           (lower.contains("proxy") || lower.contains("nonproxyhosts")))
     }
 
-  /** Fan out one task per table; discovery + commit run executor-side. */
+  /** Fan out one task per table; discovery + commit run executor-side.
+    * Failures are isolated per table (Left(error)) so one bad table cannot
+    * abort the job before healthy siblings' watermarks are checkpointed. */
   def processManifest(
       manifest: Map[String, ManifestEntry],
       checkpoints: Map[String, Long],
       databasePath: String,
       saveMode: SaveMode,
-      enforceGuidewireTimestamp: Boolean)(implicit spark: SparkSession): Map[String, Seq[BatchResult]] = {
+      enforceGuidewireTimestamp: Boolean)(
+      implicit spark: SparkSession): Map[String, Either[String, Seq[BatchResult]]] = {
     if (manifest.isEmpty) return Map.empty
     val sc = spark.sparkContext
     val confB = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
@@ -100,11 +112,17 @@ object Indexer {
         proxyB.value.foreach { case (k, v) => System.setProperty(k, v) }
         val conf = confB.value.value
         val lastProcessed = checkpointsB.value.getOrElse(tableName, -1L)
-        val batches = discoverBatches(conf, entry, lastProcessed, enforce)
-        val results = commitBatches(
-          conf, s"${dbPathB.value.stripSuffix("/")}/$tableName", tableName, batches,
-          bootstrap = overwrite || lastProcessed <= 0L)
-        tableName -> results
+        val outcome =
+          try {
+            val batches = discoverBatches(conf, entry, lastProcessed, enforce)
+            Right(commitBatches(
+              conf, s"${dbPathB.value.stripSuffix("/")}/$tableName", tableName, batches,
+              bootstrap = overwrite || lastProcessed <= 0L))
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              Left(s"$tableName: ${e.getMessage}")
+          }
+        tableName -> outcome
       }
       .collect()
       .toMap

@@ -407,7 +407,7 @@ object Relational {
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("event_time"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("value_c"))
+        sum(cents(col("value"))).as("value_c"))
       .select(
         (unix_timestamp(col("window.start")) / 3600).cast("long").as("start_bucket"),
         col("event_type"), col("n"), col("value_c"))

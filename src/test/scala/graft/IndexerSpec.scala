@@ -156,6 +156,43 @@ class IndexerSpec extends SparkSpec {
     assert(table.log.listVersions() == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("a failing table does not lose healthy siblings' checkpoints") {
+    val work = Files.createTempDirectory("gw-partial")
+    val goodDir = work.resolve("cda/good/100/1700000000000")
+    Files.createDirectories(goodDir)
+    Files.copy(Paths.get("/root/testdata/sf0.001/nation.parquet"),
+      goodDir.resolve("part-0.parquet"))
+    val badDir = work.resolve("cda/bad/200/1700000000000")
+    Files.createDirectories(badDir)
+    Files.write(badDir.resolve("part-0.parquet"), "garbage".getBytes(StandardCharsets.UTF_8))
+    val manifest = work.resolve("manifest.json")
+    Files.write(manifest,
+      s"""{"good": {"lastSuccessfulWriteTimestamp": "9999999999999",
+         |"totalProcessedRecordsCount": 1,
+         |"dataFilesPath": "${work.toAbsolutePath}/cda/good/",
+         |"schemaHistory": {"100": "1700000000000"}},
+         |"bad": {"lastSuccessfulWriteTimestamp": "9999999999999",
+         |"totalProcessedRecordsCount": 1,
+         |"dataFilesPath": "${work.toAbsolutePath}/cda/bad/",
+         |"schemaHistory": {"200": "1700000000000"}}}""".stripMargin
+        .getBytes(StandardCharsets.UTF_8))
+    val db = work.resolve("db").toString
+    val e = intercept[IllegalStateException] {
+      Indexer.index(manifest.toUri.toString, db)(spark)
+    }
+    assert(e.getMessage.contains("bad:"))
+    // the healthy table committed AND its watermark was checkpointed, so a
+    // rerun must not re-commit its folder (no duplicate rows downstream)
+    assert(GwTable.forPath(spark, s"$db/good").toDF.count() == 25)
+    assert(Indexer.loadCheckpoints(db)(spark).get("good").contains(1700000000000L))
+    val rerun = intercept[IllegalStateException] {
+      Indexer.index(manifest.toUri.toString, db)(spark)
+    }
+    assert(rerun.getMessage.contains("bad:"))
+    assert(GwTable.forPath(spark, s"$db/good").log.listVersions() == Seq(0L),
+      "rerun must not re-commit the already-checkpointed folder")
+  }
+
   test("driver proxy properties are captured and applied inside task closures") {
     val key = "http.proxyHost"
     val prev = Option(System.getProperty(key))
