@@ -13,4 +13,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register function builders on a LIVE session (the extensions hook only
+    * covers sessions built after the config is set). */
+  def registerFunctions(
+      spark: org.apache.spark.sql.SparkSession,
+      fns: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+        org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+        Seq[Expression] => Expression)]): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    fns.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
 }

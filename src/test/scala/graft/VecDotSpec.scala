@@ -41,4 +41,26 @@ class VecDotSpec extends AnyFunSuite {
     val got = df.select(VecDot(col("x"), col("y")).as("d")).collect().map(_.getDouble(0))
     assert(got.toSeq == Seq(0.0, 6.0))
   }
+
+  test("SQL registration: vec_dot and simhash_agg callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val d = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head.getDouble(0)
+    assert(d == 11.0)
+    Seq((1L, 42L, 2L), (1L, 7L, 1L)).toDF("g", "h", "w").createOrReplaceTempView("sh_in")
+    val fp = spark.sql("SELECT simhash_agg(h, w) AS fp FROM sh_in GROUP BY g")
+      .head.getLong(0)
+    // votes: bits of 42 get +2, others -2; bits of 7 get +1, others -1 —
+    // positive total only where both agree or 42's weight wins
+    val expected = {
+      val votes = Array.tabulate(64) { j =>
+        (if (((42L >> j) & 1L) == 1L) 2L else -2L) +
+          (if (((7L >> j) & 1L) == 1L) 1L else -1L)
+      }
+      votes.zipWithIndex.collect { case (v, j) if v > 0 => 1L << j }.sum
+    }
+    assert(fp == expected)
+  }
 }
