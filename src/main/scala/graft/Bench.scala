@@ -16,8 +16,12 @@ object Bench {
     // absorb JVM startup (was ~5s of pure warmup on whichever query ran
     // first); touches each input table's footer without timing it
     spark.range(1000000).selectExpr("sum(id)").collect()
-    Seq("lineitem", "orders", "events", "documents", "embeddings")
-      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect())
+    Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
+      // warmup must never abort the bench (per-query failures are reported
+      // in the JSON instead)
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -43,8 +43,10 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     *    retention passes, so the increment is still served from the
     *    original files (consume within the retention window);
     *  - a restatement in the range (any `metaData` action — appends never
-    *    carry one) replaced the table, so the full live snapshot is
-    *    returned as the reprocess-all signal. */
+    *    carry one) replaced the table: an "increment" is undefined, so the
+    *    call FAILS like the streaming source does — an appending consumer
+    *    must truncate and reload `toDF` instead of stacking the restated
+    *    table on top of stale rows. */
   def changesSince(sinceVersion: Long): DataFrame = {
     val latest = gwLog.snapshot(None)
     // a watermark beyond the log means the log was rebuilt under the
@@ -56,17 +58,18 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         "restart consumption from a full snapshot")
     val range = (sinceVersion + 1) to latest.version
     val actions = range.flatMap(v => gwLog.readVersion(v))
-    val added: Seq[AddFile] =
-      if (actions.exists(_.isInstanceOf[Metadata])) latest.files
-      else {
-        // last add per path wins (a path re-asserted twice is one file)
-        val byPath = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
-        actions.foreach {
-          case a: AddFile if a.dataChange => byPath(a.path) = a
-          case _ => ()
-        }
-        byPath.values.toSeq
-      }
+    if (actions.exists(_.isInstanceOf[Metadata]))
+      throw new IllegalStateException(
+        s"changesSince($sinceVersion) at $tablePath crosses a schema " +
+          "restatement: the table was replaced, so no increment exists — " +
+          "truncate the sink and reload from toDF")
+    // last add per path wins (a path re-asserted twice is one file)
+    val byPath = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    actions.foreach {
+      case a: AddFile if a.dataChange => byPath(a.path) = a
+      case _ => ()
+    }
+    val added: Seq[AddFile] = byPath.values.toSeq
     if (added.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], latest.schema)
     else
@@ -121,11 +124,16 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
   }
 
   /**
-   * Vacuum: physically delete compaction outputs that are no longer live
-   * and older than `retentionMs`. ONLY files under `<table>/_compacted/`
-   * are candidates — the original CDA files are a read-only source tree the
-   * engine shallow-clones and must never delete, even when a restatement
-   * removed them from the snapshot. Returns the number of files deleted.
+   * Vacuum: physically delete compaction outputs whose REMOVAL from the
+   * live set is older than `retentionMs` — retention is measured from the
+   * remove tombstone's deletionTimestamp (like delta), NOT from the file's
+   * mtime: an output written long ago but superseded only a minute ago must
+   * survive the full window so time travel and in-flight `changesSince`
+   * consumers can still read it. ONLY files under `<table>/_compacted/`
+   * are candidates — the original CDA files are a read-only source tree
+   * the engine shallow-clones and must never delete. Compaction outputs
+   * never referenced by any commit (crash debris) are swept by file mtime.
+   * Returns the number of files deleted.
    */
   def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -134,14 +142,37 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     if (!fs.exists(compactedDir)) return 0
     val live = gwLog.snapshot(None).files.map(_.path).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
-    val it = fs.listFiles(compactedDir, /* recursive = */ true)
+    val marker = "/_compacted/"
+    // walk the log once: latest removal tombstone per rewrite path (a later
+    // re-add cancels it) + every rewrite path any commit ever referenced
+    val removedAt = scala.collection.mutable.Map.empty[String, Long]
+    val referenced = scala.collection.mutable.Set.empty[String]
+    gwLog.listVersions().foreach { v =>
+      gwLog.readVersion(v).foreach {
+        case r: graft.log.RemoveFile if r.path.contains(marker) =>
+          removedAt(r.path) = r.deletionTimestamp
+        case a: AddFile if a.path.contains(marker) =>
+          referenced += a.path
+          removedAt -= a.path
+        case _ => ()
+      }
+    }
     var deleted = 0
+    removedAt.foreach { case (p, removedTs) =>
+      if (!live.contains(p) && removedTs < cutoff) {
+        val path = new Path(p)
+        if (fs.exists(path) && fs.delete(path, false)) deleted += 1
+      }
+    }
+    // crash debris: data files under _compacted that no commit references
+    val it = fs.listFiles(compactedDir, /* recursive = */ true)
     while (it.hasNext) {
       val st = it.next()
       val p = st.getPath.toString
       val n = st.getPath.getName
       val isData = !n.startsWith(".") && !n.startsWith("_") && n.endsWith(".parquet")
-      if (st.isFile && isData && !live.contains(p) && st.getModificationTime < cutoff) {
+      if (st.isFile && isData && !referenced.contains(p) && !live.contains(p) &&
+        st.getModificationTime < cutoff) {
         if (fs.delete(st.getPath, false)) deleted += 1
       }
     }
@@ -158,16 +189,13 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
   }
 
   /** Reads go through the `gwdelta` connector so they inherit stats-based
-    * file skipping on top of Catalyst's pushdown/pruning. */
+    * file skipping on top of Catalyst's pushdown/pruning; the connector
+    * resolves the snapshot exactly once per read (empty file sets included —
+    * covered by GwDeltaSourceSpec). */
   private def asDF(version: Option[Long]): DataFrame = {
-    val snap = gwLog.snapshot(version)
-    if (snap.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
-    else {
-      val reader = spark.read.format("gwdelta")
-      version.foreach(v => reader.option("versionAsOf", v))
-      reader.load(tablePath)
-    }
+    val reader = spark.read.format("gwdelta")
+    version.foreach(v => reader.option("versionAsOf", v))
+    reader.load(tablePath)
   }
 }
 

@@ -49,6 +49,10 @@ final class SerializableHadoopConf(@transient private val conf: Configuration) e
 object Indexer {
   val CheckpointsTable = "_checkpoints"
 
+  /** Metadata.configuration key recording which schema fingerprint a
+    * restatement commit belongs to. */
+  val FingerprintKey = "gwFingerprint"
+
   def index(
       manifestUri: String,
       databasePath: String,
@@ -172,6 +176,9 @@ object Indexer {
                   Metadata(
                     id = UUID.randomUUID().toString,
                     schemaString = schema.json,
+                    // the fingerprint travels with the schema commit so a
+                    // later run can detect an uncommitted restatement
+                    configuration = Map(FingerprintKey -> schemaId),
                     createdTime = ts)
                 }
               }
@@ -193,10 +200,39 @@ object Indexer {
     if (batches.isEmpty) return Nil
     val gwLog = GwLog.forTable(conf, tablePath)
     if (bootstrap) gwLog.delete()
-    batches.map { batch =>
+    batches.map { raw =>
+      val batch = promoteUncommittedRestatement(conf, gwLog, raw)
       commitBatch(gwLog, batch)
       BatchResult(tableName, batch.schemaId, batch.commitTimestamp, batch.filesToAdd.size)
     }
+  }
+
+  /**
+   * Cross-run restatement guard: discovery only attaches Metadata when the
+   * fingerprint's chronologically-first folder is inside the current
+   * incremental window — but that folder can be record-less and fall below
+   * the watermark in an earlier run. If the table's committed fingerprint
+   * (stamped in `Metadata.configuration`) differs from this batch's, the
+   * restatement never landed: probe the schema from THIS batch's files and
+   * commit it as the restatement instead of blind-appending files of a new
+   * fingerprint under the old schema.
+   */
+  private def promoteUncommittedRestatement(
+      conf: Configuration, gwLog: GwLog, batch: Batch): Batch = {
+    if (batch.metadata.isDefined || !gwLog.exists()) return batch
+    val committedFp = gwLog.snapshot(None).metadata
+      .flatMap(_.configuration.get(FingerprintKey))
+    if (!committedFp.exists(_ != batch.schemaId)) return batch
+    val schema = SchemaProbe.readSchemaFromFiles(conf, batch.filesToAdd)
+      .getOrElse(throw new IllegalStateException(
+        s"fingerprint ${batch.schemaId} differs from the table's committed " +
+          s"fingerprint ${committedFp.get} but no schema could be probed from " +
+          s"its files (ts=${batch.commitTimestamp}) — refusing to blind-append"))
+    batch.copy(metadata = Some(Metadata(
+      id = UUID.randomUUID().toString,
+      schemaString = schema.json,
+      configuration = Map(FingerprintKey -> batch.schemaId),
+      createdTime = batch.commitTimestamp)))
   }
 
   /**

@@ -114,10 +114,22 @@ object SchemaProbe {
     case _ => None
   }
 
+  /** Columns whose raw footer values would MISLEAD pruning get no stats:
+    * decimals store unscaled ints (12.34 at scale 2 is 1234 — comparing a
+    * scaled predicate against it prunes files that match), and unsigned
+    * ints surface as negative signed values. Absent stats = file kept. */
+  private def statSafe(name: String, schema: MessageType): Boolean = Try {
+    schema.getType(Seq(name): _*).asPrimitiveType().getLogicalTypeAnnotation match {
+      case _: DecimalLogicalTypeAnnotation => false
+      case i: IntLogicalTypeAnnotation => i.isSigned
+      case _ => true
+    }
+  }.getOrElse(true)
+
   private def putStat(
       node: com.fasterxml.jackson.databind.node.ObjectNode,
       name: String, value: Any,
-      schema: MessageType): Unit = value match {
+      schema: MessageType): Unit = if (statSafe(name, schema)) value match {
     case null => ()
     case b: java.lang.Boolean => node.put(name, b.booleanValue())
     case i: java.lang.Integer => node.put(name, i.intValue())

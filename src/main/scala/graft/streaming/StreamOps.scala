@@ -131,7 +131,7 @@ object StreamOps {
       q.recentProgress.foreach(p => println(
         s"DEBUG batch=${p.batchId} rows=${p.numInputRows} wm=${p.eventTime.get("watermark")} " +
           s"sink=${p.sink.numOutputRows}"))
-    spark.table(name).filter(col("event_type") =!= SentinelType)
+    spark.table(name).filter(!(col("event_type") <=> lit(SentinelType)))
   }
 
   // ---------------------------------------------------------------- st02
@@ -244,7 +244,7 @@ object StreamOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_events").desc)
     spark.table(name)
-      .filter(col("user_id") =!= -1L)
+      .filter(!(col("user_id") <=> lit(-1L)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
@@ -279,7 +279,7 @@ object StreamOps {
     q.awaitTermination()
     // the sentinel's own (never-finalized) session stays in state; its user
     // is filtered from the output either way
-    spark.table(name).filter(col("user_id") =!= -1L)
+    spark.table(name).filter(!(col("user_id") <=> lit(-1L)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -96,7 +96,11 @@ object GwStatsPruning {
     filters.flatMap(rangeOf)
 
   private def num(l: Literal): Option[Double] = l.dataType match {
-    case _: NumericType => Option(l.value).map(_.toString.toDouble)
+    case _: NumericType =>
+      // NaN compares false against every stats bound, which would prune
+      // files that DO contain NaN rows (Spark's NaN = NaN is true) — treat
+      // it as "no constraint"
+      Option(l.value).map(_.toString.toDouble).filterNot(_.isNaN)
     case _ => None
   }
 

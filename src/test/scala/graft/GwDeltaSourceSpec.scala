@@ -123,6 +123,21 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     assert(drain() == 0, "no new versions -> empty drain")
   }
 
+  test("a snapshot with zero live files reads as an empty table with schema") {
+    import graft.log._
+    val dir = Files.createTempDirectory("gwdelta-empty").toString
+    val log = GwLog.forTable(new org.apache.hadoop.conf.Configuration(), dir)
+    val schema = spark.read.parquet(s"$sf/region.parquet").schema
+    log.commit(Seq(Protocol(), Metadata("id0", schema.json, createdTime = 1L),
+      AddFile(s"$sf/region.parquet", 10, 1000),
+      CommitInfo(1L, "WRITE", "Overwrite", 1, 10, isBlindAppend = false, "t0")))
+    log.commit(Seq(RemoveFile(s"$sf/region.parquet", 10, 2L),
+      CommitInfo(2L, "WRITE", "Append", 0, 0, isBlindAppend = false, "t1")))
+    val df = GwTable.forPath(spark, dir).toDF
+    assert(df.columns.toSeq == Seq("r_regionkey", "r_name"))
+    assert(df.count() == 0)
+  }
+
   test("harvested stats skip files at scan planning, not just row groups") {
     // table of 3 files with disjoint n_nationkey ranges
     val tmp = Files.createTempDirectory("gwdelta-prune")

@@ -156,6 +156,44 @@ class IndexerSpec extends SparkSpec {
     assert(table.log.listVersions() == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("restatement survives a record-less first folder below the watermark") {
+    // run 1: fingerprint A commits (watermark 130); fingerprint B's first
+    // folder (ts=120, record-less) is dropped and NOT checkpointed
+    val work = Files.createTempDirectory("gw-crossrun")
+    val aDir = work.resolve("cda/t/A/130")
+    Files.createDirectories(aDir)
+    Files.copy(Paths.get("/root/testdata/sf0.001/nation.parquet"), aDir.resolve("part-0.parquet"))
+    val bEmpty = work.resolve("cda/t/B/120")
+    Files.createDirectories(bEmpty)
+    Files.write(bEmpty.resolve("part-0.parquet"), Array.emptyByteArray)
+    val manifest = work.resolve("manifest.json")
+    def writeManifest(): Unit = Files.write(manifest,
+      s"""{"t": {"lastSuccessfulWriteTimestamp": "9999999999999",
+         |"totalProcessedRecordsCount": 1,
+         |"dataFilesPath": "${work.toAbsolutePath}/cda/t/",
+         |"schemaHistory": {"A": "100", "B": "120"}}}""".stripMargin
+        .getBytes(StandardCharsets.UTF_8))
+    writeManifest()
+    val db = work.resolve("db").toString
+    Indexer.index(manifest.toUri.toString, db)(spark)
+    val table = GwTable.forPath(spark, s"$db/t")
+    assert(table.toDF.columns.contains("n_nationkey"))
+
+    // run 2: fingerprint B's next folder has files with a DIFFERENT schema;
+    // it must commit as the restatement even though B's chronologically
+    // first folder is now below the watermark
+    val bData = work.resolve("cda/t/B/150")
+    Files.createDirectories(bData)
+    Files.copy(Paths.get("/root/testdata/sf0.001/region.parquet"), bData.resolve("part-0.parquet"))
+    Indexer.index(manifest.toUri.toString, db)(spark)
+    assert(table.toDF.columns.toSeq == Seq("r_regionkey", "r_name"),
+      "new fingerprint must restate the schema, not blind-append")
+    assert(table.toDF.count() == 5)
+    val lastOp = table.history.orderBy(org.apache.spark.sql.functions.col("version").desc)
+      .select("operation").head.getString(0)
+    assert(lastOp == "UPGRADE SCHEMA")
+  }
+
   test("a failing table does not lose healthy siblings' checkpoints") {
     val work = Files.createTempDirectory("gw-partial")
     val goodDir = work.resolve("cda/good/100/1700000000000")
