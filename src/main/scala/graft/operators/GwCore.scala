@@ -142,6 +142,23 @@ object GwCore {
     spark.table(name)
   }
 
+  // ---------------------------------------------------------------- gw08
+  /** Compaction in-gate: consolidate a two-commit table's files via
+    * OPTIMIZE and read the result — rows must equal the uncompacted oracle
+    * exactly (the rewrite is content-neutral by contract). */
+  def gw08Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("gw08")
+    val manifest = layout(tmp, "region", Seq(
+      ("100", 1700000000000L, Seq(s"$dir/region.parquet")),
+      ("100", 1700000001000L, Seq(s"$dir/region.parquet"))))
+    val db = tmp.resolve("db").toString
+    Indexer.index(manifest, db, SaveMode.Overwrite)(spark)
+    val table = graft.GwTable.forPath(spark, s"$db/region")
+    require(table.compact() > 0, "expected a compaction commit")
+    require(table.snapshot().files.size == 1, "2 files -> 1")
+    table.toDF
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -150,6 +167,7 @@ object GwCore {
     "gw05_datasource_v2" -> gw05DataSourceV2 _,
     "gw06_changes_since" -> gw06ChangesSince _,
     "gw07_stream_tail" -> gw07StreamTail _,
+    "gw08_compaction" -> gw08Compaction _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -161,6 +179,8 @@ object GwCore {
     "gw05_datasource_v2" -> "SELECT * FROM nation",
     "gw06_changes_since" -> "SELECT * FROM region",
     "gw07_stream_tail" ->
+      "SELECT * FROM region UNION ALL SELECT * FROM region",
+    "gw08_compaction" ->
       "SELECT * FROM region UNION ALL SELECT * FROM region",
   )
 }

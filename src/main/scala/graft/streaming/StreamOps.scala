@@ -282,11 +282,50 @@ object StreamOps {
     spark.table(name).filter(!(col("user_id") <=> lit(-1L)))
   }
 
+  // ---------------------------------------------------------------- st05
+  /** Stream-stream interval join: each purchase joins the signups of the
+    * same user that happened up to 24h BEFORE it. Both sides are
+    * watermarked and the join condition bounds event-time distance, so
+    * Spark expires join state once the watermark passes `signup + 24h` —
+    * the state-bounded shape; an unconstrained stream-stream join would
+    * keep every row forever. Inner join: every match is emitted exactly
+    * once, so the drained result equals the batch join. */
+  def st05StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = nextName()
+    val src = eventStream(spark, dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val purchases = src
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "1 hour")
+    val signups = src
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("s_id"),
+        col("event_time").as("s_time"))
+      .withWatermark("s_time", "1 hour")
+    val q = purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("p_time") >= col("s_time") &&
+        col("p_time") <= col("s_time") + expr("INTERVAL 24 HOURS"))
+      .select(col("p_id"), col("s_id"), col("p_user").as("user_id"),
+        (expr("unix_micros(p_time)") - expr("unix_micros(s_time)")).as("wait_us"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> st01WindowedCounts _,
     "st02_stream_state" -> st02StatefulSessions _,
     "st03_sessionize" -> st03Sessionize _,
     "st04_session_window" -> st04SessionWindow _,
+    "st05_stream_join" -> st05StreamJoin _,
   )
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming
@@ -314,6 +353,14 @@ object StreamOps {
         |SELECT user_id, count(*) AS n_sessions, max(len) AS max_session_events,
         | CAST(sum(len) AS BIGINT) AS n_events
         |FROM per_session GROUP BY 1""".stripMargin,
+    "st05_stream_join" ->
+      """SELECT p.event_id AS p_id, s.event_id AS s_id, p.user_id,
+        | epoch_us(p.ts) - epoch_us(s.ts) AS wait_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        | ON p.user_id = s.user_id
+        | AND epoch_us(p.ts) >= epoch_us(s.ts)
+        | AND epoch_us(p.ts) <= epoch_us(s.ts) + 86400000000""".stripMargin,
     "st04_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
         |  CAST(round(value*100) AS BIGINT) AS vc FROM events),
