@@ -194,6 +194,55 @@ object Pipelines {
     } finally { sh.unpersist(); () }
   }
 
+  /**
+   * Connected components over duplicate pairs — the clustering step that
+   * turns pairwise near-dup hits into dedup groups (component label = min
+   * member id, so the canonical doc falls out of the label).
+   *
+   * Iterative min-label propagation: each round every node takes the
+   * minimum label among itself and its neighbors; converges in O(graph
+   * diameter) rounds, which for near-dup graphs (dense cliquish clusters)
+   * is tiny. Each round is one join + one aggregate; lineage is truncated
+   * per round (`localCheckpoint`) so plans stay flat, and convergence is a
+   * changed-label count — no driver-side graph state, only the loop
+   * counter. For adversarial long-chain graphs at extreme scale the
+   * alternating large-star/small-star variant drops rounds to
+   * O(log diameter); the shape here is the same join+agg building block.
+   */
+  def connectedComponents(pairs: DataFrame, a: Column, b: Column,
+      maxIterations: Int = 25): DataFrame = {
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .union(pairs.select(b.as("src"), a.as("dst")))
+      .distinct()
+      .persist()
+    try {
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIterations) {
+        val neighborMin = edges
+          .join(labels, edges("dst") === labels("node"))
+          .groupBy(col("src"))
+          .agg(min(col("label")).as("nlabel"))
+        val updated = labels
+          .join(neighborMin, labels("node") === neighborMin("src"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        val changed = updated.withColumnRenamed("label", "nl")
+          .join(labels.withColumnRenamed("label", "ol"), "node")
+          .filter(col("nl") =!= col("ol"))
+          .count()
+        labels = updated
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("node"), col("label").as("component"))
+    } finally { edges.unpersist(); () }
+  }
+
   def simHashDedupPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int): DataFrame = {
     val wordCounts = df
       .select(id.as("__id"), explode(split(text, " ")).as("word"))

@@ -49,6 +49,10 @@ package object api {
     def applyExactDedup(key: Column, id: Column): DataFrame =
       Pipelines.applyExactDedup(df, key, id)
 
+    /** Cluster duplicate pairs into components (label = min member id). */
+    def connectedComponents(a: Column, b: Column): DataFrame =
+      Pipelines.connectedComponents(df, a, b)
+
     /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification. */
     def minHashDedupPairs(id: Column, text: Column, numPerm: Int = 32,
         bands: Int = 8, threshold: Double = 0.5): DataFrame =

@@ -52,6 +52,13 @@ object Dedup {
       docs(spark, dir).select(col("doc_id"), col("lang"), col("n_chars")),
       concat_ws("|", col("lang"), col("n_chars")), col("doc_id"))
 
+  /** Duplicate clusters: n-gram Jaccard pairs -> connected components
+    * (component = min member doc_id = the canonical doc per group). */
+  def d08DupComponents(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.connectedComponents(
+      d04NgramJaccard(spark, dir), col("doc_a"), col("doc_b"))
+      .select(col("node").as("doc_id"), col("component"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> d01ExactDedup _,
     "d02_dedup_minhash_lsh" -> d02MinHashLsh _,
@@ -60,6 +67,7 @@ object Dedup {
     "d05_cosine_neardup" -> d05CosineNearDup _,
     "d06_cosine_neardup_ann" -> d06CosineNearDupAnn _,
     "d07_dedup_apply" -> d07DedupApply _,
+    "d08_dup_components" -> d08DupComponents _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -73,6 +81,26 @@ object Dedup {
         |  row_number() OVER (PARTITION BY lang, n_chars ORDER BY doc_id) AS rn
         | FROM documents
         |) WHERE rn = 1""".stripMargin,
+    "d08_dup_components" ->
+      """WITH RECURSIVE s AS (
+        | SELECT doc_id, lang, n_chars // 100 AS len_block,
+        |  list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
+        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+        | FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM s a JOIN s b
+        |  ON a.lang = b.lang AND a.len_block = b.len_block AND a.doc_id < b.doc_id
+        | WHERE CAST(round(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= 200),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach(node, label) AS (
+        | SELECT node, node FROM nodes
+        | UNION
+        | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
+        |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+        |FROM reach GROUP BY 1""".stripMargin,
     "d04_ngram_jaccard" ->
       """WITH s AS (
         | SELECT doc_id, lang, n_chars // 100 AS len_block,
