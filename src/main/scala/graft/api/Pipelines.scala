@@ -219,6 +219,12 @@ object Pipelines {
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
         .localCheckpoint(true)
+      // labels are monotonically non-increasing per node, so the label sum
+      // (decimal — no overflow at any scale) is a fixpoint detector without
+      // a per-round join
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
       while (!converged && iter < maxIterations) {
@@ -231,12 +237,10 @@ object Pipelines {
           .select(col("node"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
           .localCheckpoint(true)
-        val changed = updated.withColumnRenamed("label", "nl")
-          .join(labels.withColumnRenamed("label", "ol"), "node")
-          .filter(col("nl") =!= col("ol"))
-          .count()
+        val newSum = labelSum(updated)
         labels = updated
-        converged = changed == 0
+        converged = newSum.compareTo(prevSum) == 0
+        prevSum = newSum
         iter += 1
       }
       labels.select(col("node"), col("label").as("component"))
