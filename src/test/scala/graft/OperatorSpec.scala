@@ -174,6 +174,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(trained.flatten.toSeq == again.flatten.toSeq)
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: plain union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val got = graft.api.Pipelines.connectedComponents(
+        edges.toDF("a", "b"),
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: component mismatch")
+    }
+  }
+
   test("hyperplanes are deterministic across invocations") {
     val a = graft.api.Pipelines.hyperplanes(4, 8)
     val b = graft.api.Pipelines.hyperplanes(4, 8)
