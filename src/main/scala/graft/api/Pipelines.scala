@@ -223,7 +223,7 @@ object Pipelines {
       // (decimal — no overflow at any scale) is a fixpoint detector without
       // a per-round join
       def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+        df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       var prevSum = labelSum(labels)
       var converged = false
       var iter = 0
@@ -464,7 +464,7 @@ object Pipelines {
     val unit = normalizeRows(centroids)
     val scores = array(unit.indices.map(c =>
       dotProd(vec, lit(unit(c))) / l2norm(vec)): _*)
-    corpus.select(avg(array_max(scores)).as("o")).head.getDouble(0)
+    corpus.select(avg(array_max(scores)).as("o")).head().getDouble(0)
   }
 
   /**

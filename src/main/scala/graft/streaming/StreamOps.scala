@@ -63,7 +63,7 @@ object StreamOps {
             if (n.isNumber) Some(n.asLong) else None
           }.toOption.flatten
         }
-        .getOrElse(batch.agg(max("ts")).head.getLong(0))
+        .getOrElse(batch.agg(max("ts")).head().getLong(0))
       val tmp = java.nio.file.Files.createTempDirectory("graft-sentinel")
       batch.limit(1)
         .withColumn("ts", lit(maxTs + 4L * 3600L * 1000000000L))
