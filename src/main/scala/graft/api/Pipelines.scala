@@ -216,15 +216,15 @@ object Pipelines {
       .distinct()
       .persist()
     try {
+      // per-round localCheckpoint blocks (a (node, label) pair table) are
+      // released by the ContextCleaner once the previous round's dataset
+      // becomes unreachable — no public API unpersists a checkpointed
+      // dataset eagerly, and the table is small next to the corpus
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
         .localCheckpoint(true)
-      // labels are monotonically non-increasing per node, so the label sum
-      // (decimal — no overflow at any scale) is a fixpoint detector without
-      // a per-round join
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-      var prevSum = labelSum(labels)
+      if (labels.isEmpty)
+        return labels.select(col("node"), col("label").as("component"))
       var converged = false
       var iter = 0
       while (!converged && iter < maxIterations) {
@@ -237,12 +237,21 @@ object Pipelines {
           .select(col("node"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
           .localCheckpoint(true)
-        val newSum = labelSum(updated)
+        // any-change detector: type-agnostic, null-safe, short-circuits at
+        // the first changed label
+        val changed = updated.withColumnRenamed("label", "nl")
+          .join(labels.withColumnRenamed("label", "ol"), "node")
+          .filter(!(col("nl") <=> col("ol")))
+          .limit(1)
+          .count()
         labels = updated
-        converged = newSum.compareTo(prevSum) == 0
-        prevSum = newSum
+        converged = changed == 0
         iter += 1
       }
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIterations rounds " +
+          "(graph diameter exceeds the budget) — raise maxIterations or use " +
+          "an alternating large-star/small-star formulation for long chains")
       labels.select(col("node"), col("label").as("component"))
     } finally { edges.unpersist(); () }
   }

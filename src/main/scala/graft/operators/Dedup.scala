@@ -70,6 +70,20 @@ object Dedup {
     "d08_dup_components" -> d08DupComponents _,
   )
 
+  // shared SQL pieces so the d04 and d08 oracles cannot silently diverge
+  // (both must mirror ngramJaccardPairs(threshold = 0.2) on (lang, len_block))
+  private val ShingleCte =
+    """s AS (
+      | SELECT doc_id, lang, n_chars // 100 AS len_block,
+      |  list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
+      |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+      | FROM documents WHERE len(string_split(text, ' ')) >= 3)""".stripMargin
+  private val JaccExpr =
+    "CAST(round(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) AS BIGINT)"
+  private val PairJoin =
+    """FROM s a JOIN s b
+      | ON a.lang = b.lang AND a.len_block = b.len_block AND a.doc_id < b.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
@@ -82,16 +96,11 @@ object Dedup {
         | FROM documents
         |) WHERE rn = 1""".stripMargin,
     "d08_dup_components" ->
-      """WITH RECURSIVE s AS (
-        | SELECT doc_id, lang, n_chars // 100 AS len_block,
-        |  list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
-        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
-        | FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      s"""WITH RECURSIVE $ShingleCte,
         |pairs AS (
         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        | FROM s a JOIN s b
-        |  ON a.lang = b.lang AND a.len_block = b.len_block AND a.doc_id < b.doc_id
-        | WHERE CAST(round(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= 200),
+        | $PairJoin
+        | WHERE $JaccExpr >= 200),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
         |          UNION SELECT doc_b, doc_a FROM pairs),
         |nodes AS (SELECT DISTINCT src AS node FROM edges),
@@ -102,16 +111,11 @@ object Dedup {
         |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
         |FROM reach GROUP BY 1""".stripMargin,
     "d04_ngram_jaccard" ->
-      """WITH s AS (
-        | SELECT doc_id, lang, n_chars // 100 AS len_block,
-        |  list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
-        |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
-        | FROM documents WHERE len(string_split(text, ' ')) >= 3)
+      s"""WITH $ShingleCte
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        | CAST(round(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) AS BIGINT) AS jacc_permille
-        |FROM s a JOIN s b
-        | ON a.lang = b.lang AND a.len_block = b.len_block AND a.doc_id < b.doc_id
-        |WHERE CAST(round(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= 200""".stripMargin,
+        | $JaccExpr AS jacc_permille
+        |$PairJoin
+        |WHERE $JaccExpr >= 200""".stripMargin,
     "d05_cosine_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
         | CAST(round(1000000 * list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) AS BIGINT) AS cos_micro

@@ -290,7 +290,7 @@ object StreamOps {
     * the state-bounded shape; an unconstrained stream-stream join would
     * keep every row forever. Inner join: every match is emitted exactly
     * once, so the drained result equals the batch join. */
-  def st05StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  def st05StreamJoin(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
     val name = nextName()
     val src = eventStream(spark, dir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
