@@ -232,19 +232,20 @@ object Pipelines {
           .join(labels, edges("dst") === labels("node"))
           .groupBy(col("src"))
           .agg(min(col("label")).as("nlabel"))
+        // the old label rides along into the checkpoint so convergence is a
+        // filter over the already-materialized round output — no second join
         val updated = labels
           .join(neighborMin, labels("node") === neighborMin("src"), "left")
-          .select(col("node"),
+          .select(col("node"), col("label").as("__ol"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
           .localCheckpoint(true)
         // any-change detector: type-agnostic, null-safe, short-circuits at
         // the first changed label
-        val changed = updated.withColumnRenamed("label", "nl")
-          .join(labels.withColumnRenamed("label", "ol"), "node")
-          .filter(!(col("nl") <=> col("ol")))
+        val changed = updated
+          .filter(!(col("label") <=> col("__ol")))
           .limit(1)
           .count()
-        labels = updated
+        labels = updated.select("node", "label")
         converged = changed == 0
         iter += 1
       }

@@ -159,6 +159,31 @@ object GwCore {
     table.toDF
   }
 
+  // ---------------------------------------------------------------- gw09
+  /** Full storage-maintenance lifecycle in-gate: compact, take another CDA
+    * append, compact again (orphaning the first rewrite), zero-retention
+    * vacuum (must delete exactly that orphan — CDA source files are never
+    * vacuum candidates: shallow-clone semantics, the originals belong to
+    * the producer), then read. Content must equal the three raw commits. */
+  def gw09Vacuum(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("gw09")
+    val manifest = layout(tmp, "region", Seq(
+      ("100", 1700000000000L, Seq(s"$dir/region.parquet")),
+      ("100", 1700000001000L, Seq(s"$dir/region.parquet"))))
+    val db = tmp.resolve("db").toString
+    Indexer.index(manifest, db, SaveMode.Append)(spark)
+    val table = GwTable.forPath(spark, s"$db/region")
+    require(table.compact() > 0, "first compaction commits")
+    layout(tmp, "region", Seq(
+      ("100", 1700000000000L, Seq(s"$dir/region.parquet")),
+      ("100", 1700000001000L, Seq(s"$dir/region.parquet")),
+      ("100", 1700000002000L, Seq(s"$dir/region.parquet"))))
+    Indexer.index(manifest, db, SaveMode.Append)(spark)
+    require(table.compact() > 0, "second compaction supersedes the first")
+    require(table.vacuum(retentionMs = 0) == 1, "exactly the orphaned rewrite")
+    table.toDF
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -168,6 +193,7 @@ object GwCore {
     "gw06_changes_since" -> gw06ChangesSince _,
     "gw07_stream_tail" -> gw07StreamTail _,
     "gw08_compaction" -> gw08Compaction _,
+    "gw09_vacuum" -> gw09Vacuum _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -182,5 +208,8 @@ object GwCore {
       "SELECT * FROM region UNION ALL SELECT * FROM region",
     "gw08_compaction" ->
       "SELECT * FROM region UNION ALL SELECT * FROM region",
+    "gw09_vacuum" ->
+      """SELECT * FROM region UNION ALL SELECT * FROM region
+        |UNION ALL SELECT * FROM region""".stripMargin,
   )
 }

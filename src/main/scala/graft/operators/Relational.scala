@@ -412,6 +412,43 @@ object Relational {
         (unix_timestamp(col("window.start")) / 3600).cast("long").as("start_bucket"),
         col("event_type"), col("n"), col("value_c"))
 
+  // ---------------------------------------------------------------- q28
+  /** Exact discrete percentiles (SQL-standard `percentile_disc`): smallest
+    * value whose cume_dist >= p — returns an actual element, so on integer
+    * cents the result is dtype-exact cross-engine (DuckDB `quantile_disc`
+    * implements the same selection rule; verified for p in {.25,.5,.75,.95}).
+    * Exact percentiles sort within each group — fine while groups fit a
+    * partition; at unbounded group size the q25 sketch path is the answer. */
+  def q28Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"), cents(col("value")).as("value_c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value_c)").cast("long").as("p25_c"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value_c)").cast("long").as("p50_c"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value_c)").cast("long").as("p95_c"))
+
+  // ---------------------------------------------------------------- q29
+  /** TPC-H Q17-style correlated scalar subquery: lineitems of one brand
+    * whose quantity is below 20% of that part's average quantity. Catalyst
+    * decorrelates the subquery into a per-part aggregate joined back on
+    * l_partkey — one extra aggregation pass instead of a per-row probe, the
+    * shape that survives 100 TB. The avg comparison is exact cross-engine:
+    * quantities are integer-valued doubles, so the sum (and thus sum/count)
+    * is order-independent. */
+  def q29CorrScalar(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("graft_q29_lineitem")
+    t(spark, dir, "part").createOrReplaceTempView("graft_q29_part")
+    spark.sql(
+      """SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        | count(*) AS n_lines
+        |FROM graft_q29_lineitem JOIN graft_q29_part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4'
+        | AND l_quantity < 0.2 * (
+        |  SELECT avg(l_quantity) FROM graft_q29_lineitem l2
+        |  WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
   /** name -> query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -441,6 +478,8 @@ object Relational {
     "q25_sketch_aggs" -> q25SketchAggs _,
     "q26_bucketed_join" -> q26BucketedJoin _,
     "q27_sliding_window" -> q27SlidingWindow _,
+    "q28_percentiles" -> q28Percentiles _,
+    "q29_corr_scalar" -> q29CorrScalar _,
   )
 
   /** name -> DuckDB oracle SQL (column names/aliases must match exactly). */
@@ -624,5 +663,18 @@ object Relational {
         | CAST(sum(vc) AS BIGINT) AS value_c
         |FROM e CROSS JOIN (VALUES (0), (1)) t(i)
         |GROUP BY 1, 2""".stripMargin,
+    "q28_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(quantile_disc(CAST(round(value*100) AS BIGINT), 0.25) AS BIGINT) AS p25_c,
+        | CAST(quantile_disc(CAST(round(value*100) AS BIGINT), 0.5) AS BIGINT) AS p50_c,
+        | CAST(quantile_disc(CAST(round(value*100) AS BIGINT), 0.95) AS BIGINT) AS p95_c
+        |FROM events GROUP BY 1""".stripMargin,
+    "q29_corr_scalar" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4'
+        | AND l_quantity < 0.2 * (
+        |  SELECT avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
   )
 }

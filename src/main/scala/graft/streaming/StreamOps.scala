@@ -320,12 +320,52 @@ object StreamOps {
     spark.table(name)
   }
 
+  // ---------------------------------------------------------------- st06
+  /** Streaming exact dedup via `dropDuplicatesWithinWatermark`: the staged
+    * source delivers every event TWICE (two links of the same file, one file
+    * per micro-batch), modeling an at-least-once upstream (kafka replay,
+    * file re-delivery); the dedup emits exactly one copy per event_id.
+    * Unlike `dropDuplicates` — whose key state grows forever — dedup state
+    * here holds only keys younger than the watermark delay and is evicted as
+    * the watermark advances, so state is O(keys per delay window): the shape
+    * that runs unbounded. A duplicate older than the watermark is dropped as
+    * late data before the operator, which for dedup is the same outcome. */
+  def st06StreamDedup(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
+    val name = nextName()
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-dup")
+    for (n <- Seq("a_events.parquet", "b_events.parquet")) {
+      val target = stage.resolve(n)
+      try java.nio.file.Files.createLink(target, src)
+      catch { case _: Exception => java.nio.file.Files.copy(src, target) }
+    }
+    val schema = spark.read.parquet(src.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_c"),
+        expr("ts div 1000").as("us"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> st01WindowedCounts _,
     "st02_stream_state" -> st02StatefulSessions _,
     "st03_sessionize" -> st03Sessionize _,
     "st04_session_window" -> st04SessionWindow _,
     "st05_stream_join" -> st05StreamJoin _,
+    "st06_stream_dedup" -> st06StreamDedup _,
   )
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming
@@ -361,6 +401,10 @@ object StreamOps {
         | ON p.user_id = s.user_id
         | AND epoch_us(p.ts) >= epoch_us(s.ts)
         | AND epoch_us(p.ts) <= epoch_us(s.ts) + 86400000000""".stripMargin,
+    "st06_stream_dedup" ->
+      """SELECT event_id, user_id, event_type,
+        | CAST(round(value*100) AS BIGINT) AS value_c, epoch_us(ts) AS us
+        |FROM events""".stripMargin,
     "st04_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
         |  CAST(round(value*100) AS BIGINT) AS vc FROM events),
