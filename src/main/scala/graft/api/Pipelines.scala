@@ -132,6 +132,47 @@ object Pipelines {
   }
 
   /**
+   * Corpus-level chunk dedup — the C4-style boilerplate rule applied to
+   * fixed word windows: split each document into consecutive `chunkWords`-
+   * word chunks, drop EVERY occurrence of any chunk text that appears more
+   * than once anywhere in the corpus, and reassemble the survivors in
+   * order. Returns (id, n_chunks, n_kept, kept_text).
+   *
+   * Shapes: chunk assembly is a hash aggregate over (doc, chunk#) with one
+   * codegen'd max(when(pos % k = slot)) per slot — no collect_list ordering
+   * hazard, no interpreted lambda per word; the corpus-frequency filter is
+   * one count aggregate keyed by chunk text and a left-anti join back —
+   * both partial-aggregated map-side. The only higher-order expression is
+   * the final per-document reassembly (once per doc, not per word).
+   */
+  def chunkDedup(df: DataFrame, id: Column, text: Column, chunkWords: Int = 5): DataFrame = {
+    require(chunkWords >= 1, "chunkWords must be positive")
+    val words = df.select(id.as("__id"), posexplode(split(text, " ")))
+    val slots = (0 until chunkWords).map(k =>
+      max(when(pmod(col("pos"), lit(chunkWords)) === k, col("col"))))
+    val chunks = words
+      .groupBy(col("__id"), (col("pos") / chunkWords).cast("long").as("chunk"))
+      .agg(concat_ws(" ", slots: _*).as("chunk_text"))
+    val dupTexts = chunks
+      .groupBy("chunk_text").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select("chunk_text")
+    val kept = chunks.join(dupTexts, Seq("chunk_text"), "left_anti")
+    val before = chunks.groupBy("__id").agg(count(lit(1)).as("n_chunks"))
+    val keptAgg = kept.groupBy("__id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("chunk"), col("chunk_text")))),
+          x => x("chunk_text")),
+        " ").as("kept_text"))
+    before.join(keptAgg, Seq("__id"), "left")
+      .select(col("__id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /**
    * One row per distinct (id, 3-gram-shingle-hash), plus any blocking
    * columns. Codegen-friendly shingle representation (see object scaladoc).
    */
@@ -238,7 +279,10 @@ object Pipelines {
           .join(neighborMin, labels("node") === neighborMin("src"), "left")
           .select(col("node"), col("label").as("__ol"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-          .localCheckpoint(true)
+          // lazy: the convergence count right below is the first action, so
+          // it materializes the checkpoint — an eager one would pay a whole
+          // extra Spark job per round for the same blocks
+          .localCheckpoint(false)
         // any-change detector: type-agnostic, null-safe, short-circuits at
         // the first changed label
         val changed = updated

@@ -49,6 +49,10 @@ package object api {
     def applyExactDedup(key: Column, id: Column): DataFrame =
       Pipelines.applyExactDedup(df, key, id)
 
+    /** Corpus-level C4-style chunk dedup; see [[Pipelines.chunkDedup]]. */
+    def chunkDedup(id: Column, text: Column, chunkWords: Int = 5): DataFrame =
+      Pipelines.chunkDedup(df, id, text, chunkWords)
+
     /** Cluster duplicate pairs into components (label = min member id). */
     def connectedComponents(a: Column, b: Column): DataFrame =
       Pipelines.connectedComponents(df, a, b)

@@ -59,6 +59,13 @@ object Dedup {
       d04NgramJaccard(spark, dir), col("doc_a"), col("doc_b"))
       .select(col("node").as("doc_id"), col("component"))
 
+  /** Corpus-level chunk dedup (C4-style boilerplate rule over 5-word
+    * windows): every occurrence of a chunk text seen more than once in the
+    * corpus is dropped, documents reassembled from the survivors. */
+  def d09ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.chunkDedup(docs(spark, dir), col("doc_id"), col("text"), chunkWords = 5)
+      .withColumnRenamed("__id", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> d01ExactDedup _,
     "d02_dedup_minhash_lsh" -> d02MinHashLsh _,
@@ -68,6 +75,7 @@ object Dedup {
     "d06_cosine_neardup_ann" -> d06CosineNearDupAnn _,
     "d07_dedup_apply" -> d07DedupApply _,
     "d08_dup_components" -> d08DupComponents _,
+    "d09_chunk_dedup" -> d09ChunkDedup _,
   )
 
   // shared SQL pieces so the d04 and d08 oracles cannot silently diverge
@@ -116,6 +124,24 @@ object Dedup {
         | $JaccExpr AS jacc_permille
         |$PairJoin
         |WHERE $JaccExpr >= 200""".stripMargin,
+    "d09_chunk_dedup" ->
+      """WITH w AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |  generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, pos // 5 AS chunk, string_agg(w, ' ' ORDER BY pos) AS chunk_text
+        | FROM w GROUP BY 1, 2),
+        |dup AS (SELECT chunk_text FROM c GROUP BY 1 HAVING count(*) > 1),
+        |k AS (SELECT c.* FROM c LEFT JOIN dup USING (chunk_text)
+        |      WHERE dup.chunk_text IS NULL),
+        |b AS (SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY 1),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(chunk_text, ' ' ORDER BY chunk) AS kept_text
+        |       FROM k GROUP BY 1)
+        |SELECT b.doc_id, b.n_chunks, coalesce(ka.n_kept, 0) AS n_kept,
+        | coalesce(ka.kept_text, '') AS kept_text
+        |FROM b LEFT JOIN ka USING (doc_id)""".stripMargin,
     "d05_cosine_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
         | CAST(round(1000000 * list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) AS BIGINT) AS cos_micro

@@ -184,6 +184,39 @@ object GwCore {
     table.toDF
   }
 
+  // ---------------------------------------------------------------- gw10
+  /** Streaming WRITE path: a file stream drained through
+    * `foreachBatch -> GwSink.append`, one log commit per micro-batch
+    * (two staged copies, one file per trigger -> CREATE TABLE bootstrap
+    * then a WRITE append), read back through the generated log. Closes the
+    * loop with gw07: the engine both tails and feeds its own table format
+    * from Structured Streaming. */
+  def gw10StreamSink(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("gw10")
+    val tablePath = tmp.resolve("db/region_sunk").toString
+    val src = Paths.get(s"$dir/region.parquet")
+    val stage = Files.createTempDirectory("gw10-stage")
+    for (n <- Seq("a.parquet", "b.parquet")) {
+      val target = stage.resolve(n)
+      try Files.createLink(target, src)
+      catch { case _: Exception => Files.copy(src, target) }
+    }
+    val schema = spark.read.parquet(src.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.streaming.GwSink.append(batch, tablePath); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val table = GwTable.forPath(spark, tablePath)
+    require(table.snapshot().version >= 1L, "one commit per micro-batch")
+    table.toDF
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -194,6 +227,7 @@ object GwCore {
     "gw07_stream_tail" -> gw07StreamTail _,
     "gw08_compaction" -> gw08Compaction _,
     "gw09_vacuum" -> gw09Vacuum _,
+    "gw10_stream_sink" -> gw10StreamSink _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -211,5 +245,7 @@ object GwCore {
     "gw09_vacuum" ->
       """SELECT * FROM region UNION ALL SELECT * FROM region
         |UNION ALL SELECT * FROM region""".stripMargin,
+    "gw10_stream_sink" ->
+      "SELECT * FROM region UNION ALL SELECT * FROM region",
   )
 }

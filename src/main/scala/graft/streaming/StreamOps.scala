@@ -78,21 +78,38 @@ object StreamOps {
     spark.readStream.schema(batch.schema).parquet(stage.toString)
   }
 
-  /** Run `body` with the RocksDB state store configured, restoring the
-    * caller's previous setting afterwards (the provider is a session conf;
-    * mutating it permanently would leak into unrelated queries). RocksDB:
-    * the HDFS-backed default re-snapshots the whole store per batch
-    * (measured 2x slower here; at real state sizes it OOMs — RocksDB is
-    * the 100 TB posture). */
+  /** Run `body` with the streaming state confs set, restoring the caller's
+    * previous settings afterwards (these are session confs; mutating them
+    * permanently would leak into unrelated queries).
+    *
+    *  - RocksDB state store: the HDFS-backed default re-snapshots the whole
+    *    store per batch (measured 2x slower here; at real state sizes it
+    *    OOMs — RocksDB is the 100 TB posture).
+    *  - shuffle partitions = 8 for the stateful exchange: a stateful op
+    *    instantiates one state store per shuffle partition per micro-batch,
+    *    so partitions are sized to the state load (stream batches), not to
+    *    the batch-query default — the standard streaming sizing rule. The
+    *    partition count is baked into each query's (ephemeral) checkpoint,
+    *    so scoping it per-drain is safe here; a production job would pick
+    *    its own value once at first start. */
   private def withRocksDb[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevPart = spark.conf.getOption(partKey)
+    spark.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(partKey, "8")
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+      prevPart match {
+        case Some(v) => spark.conf.set(partKey, v)
+        case None    => spark.conf.unset(partKey)
+      }
     }
   }
 
@@ -104,7 +121,7 @@ object StreamOps {
     * makes this run unbounded. The drain-time sentinel (see `eventStream`)
     * stands in for the later events that advance the watermark in a real
     * deployment. */
-  def st01WindowedCounts(spark: SparkSession, dir: String): DataFrame = {
+  def st01WindowedCounts(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
     val name = nextName()
     // Sentinel rows must NOT be filtered before the aggregation: Catalyst
     // pushes such a predicate below the watermark node into the parquet
@@ -359,6 +376,31 @@ object StreamOps {
     spark.table(name)
   }
 
+  // ---------------------------------------------------------------- st07
+  /** Stream-static broadcast join: each event is enriched with its user's
+    * market segment from a STATIC dimension table. Stateless — no
+    * watermark, no state store, rows emitted as they arrive; the static
+    * side is re-resolved every micro-batch (so dimension updates are picked
+    * up) and broadcast, so the unbounded stream side never shuffles — the
+    * standard enrichment shape at any scale. */
+  def st07StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = nextName()
+    val customers = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = eventStream(spark, dir)
+      .join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> st01WindowedCounts _,
     "st02_stream_state" -> st02StatefulSessions _,
@@ -366,6 +408,7 @@ object StreamOps {
     "st04_session_window" -> st04SessionWindow _,
     "st05_stream_join" -> st05StreamJoin _,
     "st06_stream_dedup" -> st06StreamDedup _,
+    "st07_stream_static" -> st07StreamStaticJoin _,
   )
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming
@@ -405,6 +448,10 @@ object StreamOps {
       """SELECT event_id, user_id, event_type,
         | CAST(round(value*100) AS BIGINT) AS value_c, epoch_us(ts) AS us
         |FROM events""".stripMargin,
+    "st07_stream_static" ->
+      """SELECT event_id, user_id, c_mktsegment,
+        | CAST(round(value*100) AS BIGINT) AS value_c
+        |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
     "st04_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
         |  CAST(round(value*100) AS BIGINT) AS vc FROM events),

@@ -176,4 +176,22 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     assert(plannedFiles(straddle) == 2)
     assert(straddle.count() == 4)
   }
+
+  test("GwSink.append: bootstrap then blind append; empty batches commit nothing") {
+    val path = Files.createTempDirectory("gwsink-spec").resolve("t").toString
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    assert(graft.streaming.GwSink.append(region.limit(0), path) == -1L,
+      "empty batch must not bootstrap a log")
+    assert(graft.streaming.GwSink.append(region, path) == 0L)
+    assert(graft.streaming.GwSink.append(region, path) == 1L)
+    assert(graft.streaming.GwSink.append(region.limit(0), path) == -1L,
+      "empty batch must not advance the version")
+    val table = GwTable.forPath(spark, path)
+    val hist = table.history.orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(6)))
+    assert(hist.toSeq == Seq((0L, "CREATE TABLE", false), (1L, "WRITE", true)))
+    assert(table.toDF.count() == 10)
+    // the sunk table round-trips through the incremental consumer too
+    assert(table.changesSince(0L).count() == 5)
+  }
 }

@@ -206,4 +206,26 @@ class OperatorSpec extends AnyFunSuite {
     val b = graft.api.Pipelines.hyperplanes(4, 8)
     assert(a.flatten.toSeq == b.flatten.toSeq)
   }
+
+  test("d09 chunk dedup equals an in-memory reimplementation at sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val chunksOf = docs.map { case (id, t) =>
+      id -> t.split(" ").grouped(5).map(_.mkString(" ")).toVector
+    }.toMap
+    val counts = chunksOf.values.flatten.groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    val expected = docs.map { case (id, _) =>
+      val cs = chunksOf(id)
+      val kept = cs.filter(c => counts(c) == 1)
+      (id, cs.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }.toSet
+    val got = Dedup.d09ChunkDedup(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(counts.exists(_._2 > 1), "fixture should contain repeated chunks")
+    assert(got == expected)
+  }
 }
