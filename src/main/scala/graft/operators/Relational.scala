@@ -449,6 +449,28 @@ object Relational {
         |  WHERE l2.l_partkey = p_partkey)""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q30
+  /** Distribution window functions: ntile / percent_rank / cume_dist plus
+    * first/last value over an explicit whole-partition frame. The ORDER BY
+    * carries a unique tiebreak (orderkey), so every rank — and therefore
+    * every derived ratio — is deterministic; percent_rank's (rank-1)/(n-1)
+    * and cume_dist's rank/n are single divisions of identical integers in
+    * both engines, so even the permille roundings agree bit-for-bit. */
+  def q30WindowZoo(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("price_c").desc, col("o_orderkey"))
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_c"))
+      .withColumn("nt4", ntile(4).over(w).cast("long"))
+      .withColumn("pr_permille", round(percent_rank().over(w) * 1000).cast("long"))
+      .withColumn("cd_permille", round(cume_dist().over(w) * 1000).cast("long"))
+      .withColumn("top_key", first("o_orderkey").over(whole))
+      .withColumn("bottom_key", last("o_orderkey").over(whole))
+  }
+
   /** name -> query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -480,6 +502,7 @@ object Relational {
     "q27_sliding_window" -> q27SlidingWindow _,
     "q28_percentiles" -> q28Percentiles _,
     "q29_corr_scalar" -> q29CorrScalar _,
+    "q30_window_zoo" -> q30WindowZoo _,
   )
 
   /** name -> DuckDB oracle SQL (column names/aliases must match exactly). */
@@ -676,5 +699,20 @@ object Relational {
         |WHERE p_brand = 'Brand#4'
         | AND l_quantity < 0.2 * (
         |  SELECT avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q30_window_zoo" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+        | CAST(ntile(4) OVER w AS BIGINT) AS nt4,
+        | CAST(round(percent_rank() OVER w * 1000) AS BIGINT) AS pr_permille,
+        | CAST(round(cume_dist() OVER w * 1000) AS BIGINT) AS cd_permille,
+        | first_value(o_orderkey) OVER w2 AS top_key,
+        | last_value(o_orderkey) OVER w2 AS bottom_key
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW
+        | w AS (PARTITION BY o_orderpriority
+        |       ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey),
+        | w2 AS (PARTITION BY o_orderpriority
+        |       ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
   )
 }

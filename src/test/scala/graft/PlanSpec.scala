@@ -82,4 +82,28 @@ class PlanSpec extends SparkSpec {
     // corpus must not be exchanged before the join (only the tiny query set)
     assert(p.contains("TakeOrderedAndProject") || p.contains("Window"), p)
   }
+
+  test("q29 correlated scalar subquery decorrelates to an aggregate join") {
+    val p = plan(Relational.q29CorrScalar(spark, sf))
+    // the per-row probe must become a per-part aggregate joined back on the
+    // key — a nested-loop re-execution per row would never survive scale
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_avg") || p.contains("avg("),
+      s"no decorrelated aggregate in plan:\n$p")
+  }
+
+  test("q30 distribution windows compute in a single window pass per frame") {
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count
+    // operators in the final plan only
+    val p = executedPlan(Relational.q30WindowZoo(spark, sf))
+      .split("== Initial Plan ==").head
+    // all five functions share the partition ordering, so Spark fuses them
+    // into at most two Window operators (running frame + whole frame) over
+    // ONE exchange; more means a frame split re-sorted the partition
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows <= 2, s"expected <= 2 window operators, got $windows:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"windows should share one partition exchange:\n$p")
+  }
 }
