@@ -206,8 +206,8 @@ object GwCore {
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.streaming.GwSink.append(batch, tablePath); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.streaming.GwSink.append(batch, tablePath, Some(s"batch-$batchId")); ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

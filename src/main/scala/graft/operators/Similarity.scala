@@ -33,10 +33,28 @@ object Similarity {
       col("vec_id"), col("embedding"), k = 3, dim = 64, nCentroids = 16, nProbe = 8)
   }
 
+  /** The SQL surface of the native expressions: `vec_dot` live-registered
+    * into the gate session (`GraftExtensions.register`, same builders as the
+    * `spark.sql.extensions` config path) and invoked from plain SQL — every
+    * vector dotted against vector 0, broadcast one-row cross join. The
+    * micro-rounded results must match DuckDB's list_dot_product bit-for-bit,
+    * which pins the expression's sequential-fold contract through the SQL
+    * registration path too. */
+  def s04SqlVecDot(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    embs(spark, dir).createOrReplaceTempView("graft_s04_emb")
+    spark.sql(
+      """SELECT e.vec_id, e.label,
+        | CAST(round(1000000 * vec_dot(e.embedding, q.embedding)) AS BIGINT) AS dot_micro
+        |FROM graft_s04_emb e
+        |CROSS JOIN (SELECT embedding FROM graft_s04_emb WHERE vec_id = 0) q""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
     "s03_ivf_topk" -> s03IvfTopK _,
+    "s04_sql_vecdot" -> s04SqlVecDot _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -52,5 +70,10 @@ object Similarity {
         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         | WHERE q.vec_id < 10
         |) WHERE rnk <= 5""".stripMargin,
+    "s04_sql_vecdot" ->
+      """SELECT e.vec_id, e.label,
+        | CAST(round(1000000 * list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])) AS BIGINT) AS dot_micro
+        |FROM embeddings e
+        |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q""".stripMargin,
   )
 }

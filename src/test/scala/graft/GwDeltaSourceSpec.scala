@@ -193,5 +193,11 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     assert(table.toDF.count() == 10)
     // the sunk table round-trips through the incremental consumer too
     assert(table.changesSince(0L).count() == 5)
+    // crash-replay idempotence: re-delivering the last batch id is a no-op
+    assert(graft.streaming.GwSink.append(region, path, Some("b2")) == 2L)
+    assert(graft.streaming.GwSink.append(region, path, Some("b2")) == 2L,
+      "replayed batch must not commit twice")
+    assert(table.toDF.count() == 15)
+    assert(graft.streaming.GwSink.append(region, path, Some("b3")) == 3L)
   }
 }
