@@ -101,20 +101,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     spark.read.schema(snap.schema).parquet(small.map(_.path): _*)
       .repartition(nOut)
       .write.mode("overwrite").parquet(outDir.toString)
-    val fs = outDir.getFileSystem(conf)
-    val newFiles = fs.listStatus(outDir)
-      .filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith(".") && !n.startsWith("_") && n.endsWith(".parquet") &&
-          st.getLen > 0
-      }
-      .map(st => AddFile(
-        path = st.getPath.toString,
-        size = st.getLen,
-        modificationTime = st.getModificationTime,
-        dataChange = false,
-        stats = graft.sources.SchemaProbe.readStats(conf, st.getPath.toString)))
-      .toSeq
+    val newFiles = graft.sources.SchemaProbe
+      .harvestAddFiles(conf, outDir, dataChange = false)
     val removes = small.map(f => RemoveFile(f.path, f.size, now, dataChange = false))
     val info = CommitInfo(
       timestamp = now, operation = "OPTIMIZE", mode = "Compact",
@@ -124,34 +112,38 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
   }
 
   /**
-   * Vacuum: physically delete compaction outputs whose REMOVAL from the
-   * live set is older than `retentionMs` — retention is measured from the
-   * remove tombstone's deletionTimestamp (like delta), NOT from the file's
-   * mtime: an output written long ago but superseded only a minute ago must
-   * survive the full window so time travel and in-flight `changesSince`
-   * consumers can still read it. ONLY files under `<table>/_compacted/`
-   * are candidates — the original CDA files are a read-only source tree
-   * the engine shallow-clones and must never delete. Compaction outputs
-   * never referenced by any commit (crash debris) are swept by file mtime.
-   * Returns the number of files deleted.
+   * Vacuum: physically delete engine-written data files whose REMOVAL from
+   * the live set is older than `retentionMs` — retention is measured from
+   * the remove tombstone's deletionTimestamp (like delta), NOT from the
+   * file's mtime: an output written long ago but superseded only a minute
+   * ago must survive the full window so time travel and in-flight
+   * `changesSince` consumers can still read it. ONLY files under the
+   * engine-owned namespaces — `<table>/_compacted/` (compaction rewrites)
+   * and `<table>/_stream/` (GwSink batches) — are candidates: the original
+   * CDA files are a read-only source tree the engine shallow-clones and
+   * must never delete. Engine outputs never referenced by any commit
+   * (crash debris, e.g. a sink batch written but not committed) are swept
+   * by file mtime. Returns the number of files deleted.
    */
   def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val compactedDir = new Path(tablePath, "_compacted")
-    val fs = compactedDir.getFileSystem(conf)
-    if (!fs.exists(compactedDir)) return 0
+    val ownedDirs = Seq("_compacted", "_stream").map(new Path(tablePath, _))
+    val fs = ownedDirs.head.getFileSystem(conf)
+    val presentDirs = ownedDirs.filter(fs.exists)
+    if (presentDirs.isEmpty) return 0
     val live = gwLog.snapshot(None).files.map(_.path).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
-    val marker = "/_compacted/"
-    // walk the log once: latest removal tombstone per rewrite path (a later
-    // re-add cancels it) + every rewrite path any commit ever referenced
+    val markers = Seq("/_compacted/", "/_stream/")
+    def owned(p: String): Boolean = markers.exists(p.contains)
+    // walk the log once: latest removal tombstone per engine-owned path (a
+    // later re-add cancels it) + every owned path any commit ever referenced
     val removedAt = scala.collection.mutable.Map.empty[String, Long]
     val referenced = scala.collection.mutable.Set.empty[String]
     gwLog.listVersions().foreach { v =>
       gwLog.readVersion(v).foreach {
-        case r: graft.log.RemoveFile if r.path.contains(marker) =>
+        case r: graft.log.RemoveFile if owned(r.path) =>
           removedAt(r.path) = r.deletionTimestamp
-        case a: AddFile if a.path.contains(marker) =>
+        case a: AddFile if owned(a.path) =>
           referenced += a.path
           removedAt -= a.path
         case _ => ()
@@ -164,16 +156,18 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         if (fs.exists(path) && fs.delete(path, false)) deleted += 1
       }
     }
-    // crash debris: data files under _compacted that no commit references
-    val it = fs.listFiles(compactedDir, /* recursive = */ true)
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath.toString
-      val n = st.getPath.getName
-      val isData = !n.startsWith(".") && !n.startsWith("_") && n.endsWith(".parquet")
-      if (st.isFile && isData && !referenced.contains(p) && !live.contains(p) &&
-        st.getModificationTime < cutoff) {
-        if (fs.delete(st.getPath, false)) deleted += 1
+    // crash debris: data files in owned namespaces that no commit references
+    presentDirs.foreach { dir =>
+      val it = fs.listFiles(dir, /* recursive = */ true)
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath.toString
+        val n = st.getPath.getName
+        val isData = !n.startsWith(".") && !n.startsWith("_") && n.endsWith(".parquet")
+        if (st.isFile && isData && !referenced.contains(p) && !live.contains(p) &&
+          st.getModificationTime < cutoff) {
+          if (fs.delete(st.getPath, false)) deleted += 1
+        }
       }
     }
     deleted

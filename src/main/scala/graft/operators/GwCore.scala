@@ -196,11 +196,7 @@ object GwCore {
     val tablePath = tmp.resolve("db/region_sunk").toString
     val src = Paths.get(s"$dir/region.parquet")
     val stage = Files.createTempDirectory("gw10-stage")
-    for (n <- Seq("a.parquet", "b.parquet")) {
-      val target = stage.resolve(n)
-      try Files.createLink(target, src)
-      catch { case _: Exception => Files.copy(src, target) }
-    }
+    graft.streaming.StreamOps.stageLinks(src, stage, Seq("a.parquet", "b.parquet"))
     val schema = spark.read.parquet(src.toString).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")

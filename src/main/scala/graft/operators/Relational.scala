@@ -426,6 +426,7 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value_c)").cast("long").as("p25_c"),
         expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value_c)").cast("long").as("p50_c"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value_c)").cast("long").as("p75_c"),
         expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value_c)").cast("long").as("p95_c"))
 
   // ---------------------------------------------------------------- q29
@@ -690,6 +691,7 @@ object Relational {
       """SELECT event_type, count(*) AS n,
         | CAST(quantile_disc(CAST(round(value*100) AS BIGINT), 0.25) AS BIGINT) AS p25_c,
         | CAST(quantile_disc(CAST(round(value*100) AS BIGINT), 0.5) AS BIGINT) AS p50_c,
+        | CAST(quantile_disc(CAST(round(value*100) AS BIGINT), 0.75) AS BIGINT) AS p75_c,
         | CAST(quantile_disc(CAST(round(value*100) AS BIGINT), 0.95) AS BIGINT) AS p95_c
         |FROM events GROUP BY 1""".stripMargin,
     "q29_corr_scalar" ->

@@ -220,4 +220,32 @@ object SchemaProbe {
       case (other, _) => throw new IllegalArgumentException(s"Unsupported parquet type: $other")
     }
   }
+
+  /** List an engine-written parquet output directory as commit-ready
+    * AddFiles: hidden/underscore files skipped, zero-row part files
+    * (footer `numRecords == 0`) dropped, footer stats harvested. The ONE
+    * harvesting rule, shared by compaction and the streaming sink so the
+    * two writers cannot diverge. */
+  def harvestAddFiles(conf: Configuration, dir: Path, dataChange: Boolean): Seq[AddFile] = {
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith(".") && !n.startsWith("_") &&
+          n.endsWith(".parquet") && st.getLen > 0
+      }
+      .flatMap { st =>
+        val stats = readStats(conf, st.getPath.toString)
+        // a zero-row part file is footer-only output: committing it would
+        // only add a file-open cost to every future scan
+        if (stats.exists(_.contains("\"numRecords\":0"))) None
+        else Some(AddFile(
+          path = st.getPath.toString,
+          size = st.getLen,
+          modificationTime = st.getModificationTime,
+          dataChange = dataChange,
+          stats = stats))
+      }
+      .toSeq
+  }
 }

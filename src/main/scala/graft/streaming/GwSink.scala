@@ -21,54 +21,41 @@ import org.apache.spark.sql.DataFrame
  *
  * Exactly-once: pass the micro-batch id as `txnId`. A batch replayed after
  * a crash between sink write and stream checkpoint re-arrives with the SAME
- * id, and a replay can only re-deliver the LAST committed batch (earlier
- * ones are covered by the stream checkpoint), so comparing against the
- * latest commit's txnId is sufficient — the duplicate commit is skipped and
- * the original version returned. One readVersion of the log tail per batch,
- * no full log scan.
+ * id; only the last committed batch can be re-delivered, but OTHER writers
+ * (a concurrent `compact()`/`vacuum()` maintenance commit) may have landed
+ * after it — so the dedup check walks the log tail backwards over a bounded
+ * window of recent commits rather than only the single latest one. The
+ * window (64 versions) only needs to cover commits racing within one
+ * micro-batch interval; the scan stays O(1) in table history.
  */
 object GwSink {
 
+  /** How many log-tail versions the txnId dedup check inspects. */
+  private val DedupWindow = 64
+
   /** Append one batch to the table at `tablePath`; returns the committed
     * version, or -1 if the batch was empty (no commit written). With
-    * `txnId` set, a batch whose id equals the latest commit's txnId is
-    * skipped (crash-replay idempotence) and its version returned. */
+    * `txnId` set, a batch whose id matches a recent commit's txnId is
+    * skipped (crash-replay idempotence) and that version returned. */
   def append(df: DataFrame, tablePath: String, txnId: Option[String] = None): Long = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     for (id <- txnId) {
       val log0 = GwLog.forTable(conf, tablePath)
-      log0.listVersions().lastOption.foreach { latest =>
-        val already = log0.readVersion(latest).exists {
+      val recent = log0.listVersions().takeRight(DedupWindow).reverse
+      recent.foreach { v =>
+        val already = log0.readVersion(v).exists {
           case ci: CommitInfo => ci.txnId == id
           case _ => false
         }
-        if (already) return latest
+        if (already) return v
       }
     }
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(outDir.toString)
     val fs = outDir.getFileSystem(conf)
-    val files: Seq[AddFile] = fs.listStatus(outDir)
-      .filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith(".") && !n.startsWith("_") &&
-          n.endsWith(".parquet") && st.getLen > 0
-      }
-      .flatMap { st =>
-        val stats = graft.sources.SchemaProbe.readStats(conf, st.getPath.toString)
-        // a zero-row batch still writes a footer-only part file — the same
-        // empty-output filter the indexer applies (reference S4 semantics)
-        val empty = stats.exists(_.contains("\"numRecords\":0"))
-        if (empty) None
-        else Some(AddFile(
-          path = st.getPath.toString,
-          size = st.getLen,
-          modificationTime = st.getModificationTime,
-          dataChange = true,
-          stats = stats))
-      }
-      .toSeq
+    val files: Seq[AddFile] =
+      graft.sources.SchemaProbe.harvestAddFiles(conf, outDir, dataChange = true)
     if (files.isEmpty) { fs.delete(outDir, true); return -1L }
     val log = GwLog.forTable(conf, tablePath)
     val bootstrap = log.listVersions().isEmpty

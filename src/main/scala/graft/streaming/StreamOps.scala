@@ -26,6 +26,18 @@ object StreamOps {
   private var streamSeq = 0
   private def nextName(): String = synchronized { streamSeq += 1; s"graft_stream_$streamSeq" }
 
+  /** Hard-link `src` into `stage` under each of `names` (copy fallback for
+    * filesystems without link support) — zero-copy staging for the
+    * drain-mode streams. One shared helper so mtime/ordering behavior
+    * cannot drift between the staging sites. */
+  private[graft] def stageLinks(src: java.nio.file.Path,
+      stage: java.nio.file.Path, names: Seq[String]): Unit =
+    names.foreach { n =>
+      val target = stage.resolve(n)
+      try { java.nio.file.Files.createLink(target, src); () }
+      catch { case _: Exception => java.nio.file.Files.copy(src, target); () }
+    }
+
   /** Sentinel event type used to push the watermark past the last real
     * window so Append-mode queries flush everything on a drain run. Filtered
     * out of every query's input before any aggregation. In an unbounded
@@ -45,11 +57,8 @@ object StreamOps {
     * terminating) finalizes and emits all remaining state. */
   private def eventStream(spark: SparkSession, dir: String, withSentinel: Boolean): DataFrame = {
     val stage = java.nio.file.Files.createTempDirectory("graft-stream")
-    val target = stage.resolve("events.parquet")
-    try java.nio.file.Files.createLink(target, java.nio.file.Paths.get(s"$dir/events.parquet"))
-    catch { case _: Exception =>
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), target)
-    }
+    stageLinks(java.nio.file.Paths.get(s"$dir/events.parquet"), stage,
+      Seq("events.parquet"))
     val batch = spark.read.parquet(s"$dir/events.parquet")
     if (withSentinel) {
       // max event time from the parquet footer (no data scan); fall back to
@@ -351,11 +360,7 @@ object StreamOps {
     val name = nextName()
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val stage = java.nio.file.Files.createTempDirectory("graft-stream-dup")
-    for (n <- Seq("a_events.parquet", "b_events.parquet")) {
-      val target = stage.resolve(n)
-      try java.nio.file.Files.createLink(target, src)
-      catch { case _: Exception => java.nio.file.Files.copy(src, target) }
-    }
+    stageLinks(src, stage, Seq("a_events.parquet", "b_events.parquet"))
     val schema = spark.read.parquet(src.toString).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -380,9 +385,11 @@ object StreamOps {
   /** Stream-static broadcast join: each event is enriched with its user's
     * market segment from a STATIC dimension table. Stateless — no
     * watermark, no state store, rows emitted as they arrive; the static
-    * side is re-resolved every micro-batch (so dimension updates are picked
-    * up) and broadcast, so the unbounded stream side never shuffles — the
-    * standard enrichment shape at any scale. */
+    * side is re-executed per micro-batch and broadcast, so the unbounded
+    * stream side never shuffles — the standard enrichment shape at any
+    * scale. Note a plain parquet read pins its FILE LISTING at plan time
+    * (only the listed files are re-read each batch); a dimension that
+    * gains/loses files needs a catalog table or a restarted query. */
   def st07StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     val name = nextName()
     val customers = spark.read.parquet(s"$dir/customer.parquet")

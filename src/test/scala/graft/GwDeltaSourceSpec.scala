@@ -199,5 +199,13 @@ class GwDeltaSourceSpec extends AnyFunSuite {
       "replayed batch must not commit twice")
     assert(table.toDF.count() == 15)
     assert(graft.streaming.GwSink.append(region, path, Some("b3")) == 3L)
+    // ... even with a maintenance commit interleaved between sink commits
+    assert(table.compact() == 4L, "compaction rewrites the sink batches")
+    assert(graft.streaming.GwSink.append(region, path, Some("b3")) == 3L,
+      "replay after a maintenance commit must still dedup")
+    // vacuum reclaims the engine-owned _stream originals the compaction
+    // tombstoned (CDA semantics protect only SOURCE trees, not sink output)
+    assert(table.vacuum(retentionMs = 0) == 4, "four superseded sink files")
+    assert(table.toDF.count() == 20, "rows intact after vacuum")
   }
 }

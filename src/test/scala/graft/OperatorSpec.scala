@@ -212,7 +212,9 @@ class OperatorSpec extends AnyFunSuite {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val chunksOf = docs.map { case (id, t) =>
-      id -> t.split(" ").grouped(5).map(_.mkString(" ")).toVector
+      // limit -1: keep trailing empty strings, matching Spark split() and
+      // DuckDB string_split (Java's default drops them)
+      id -> t.split(" ", -1).grouped(5).map(_.mkString(" ")).toVector
     }.toMap
     val counts = chunksOf.values.flatten.groupBy(identity)
       .map { case (k, v) => k -> v.size }
