@@ -472,6 +472,30 @@ object Relational {
       .withColumn("bottom_key", last("o_orderkey").over(whole))
   }
 
+  // ---------------------------------------------------------------- q31
+  /** Time-series gap fill: per user, an hourly date spine from their first
+    * to last active hour (`sequence` + explode — a generator, no join
+    * against a calendar table), left-joined with the hourly totals and
+    * forward-filled with `last(_, ignoreNulls)` over a running frame. The
+    * spine generator fans out rows executor-side proportionally to each
+    * user's span; nothing is driver-materialized, and the fill is one
+    * window pass over the user partition. */
+  def q31GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = t(spark, dir, "events")
+      .filter(col("user_id") < 20)
+      .groupBy(col("user_id"), expr("ts div 3600000000000").as("hb"))
+      .agg(sum(cents(col("value"))).as("value_c"))
+    val spine = hourly.groupBy("user_id")
+      .agg(min("hb").as("h0"), max("hb").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hb"))
+    val w = Window.partitionBy("user_id").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "hb"), "left")
+      .select(col("user_id"), col("hb"),
+        last(col("value_c"), ignoreNulls = true).over(w).as("value_c_filled"),
+        when(col("value_c").isNull, 1L).otherwise(0L).as("was_gap"))
+  }
+
   /** name -> query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -504,6 +528,7 @@ object Relational {
     "q28_percentiles" -> q28Percentiles _,
     "q29_corr_scalar" -> q29CorrScalar _,
     "q30_window_zoo" -> q30WindowZoo _,
+    "q31_gap_fill" -> q31GapFill _,
   )
 
   /** name -> DuckDB oracle SQL (column names/aliases must match exactly). */
@@ -716,5 +741,18 @@ object Relational {
         | w2 AS (PARTITION BY o_orderpriority
         |       ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q31_gap_fill" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) // 3600000000 AS hb,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        | FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(hb) AS h0, max(hb) AS h1 FROM e GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hb FROM b),
+        |j AS (SELECT s.user_id, s.hb, e.value_c FROM spine s LEFT JOIN e USING (user_id, hb))
+        |SELECT user_id, hb,
+        | last_value(value_c IGNORE NULLS) OVER (
+        |   PARTITION BY user_id ORDER BY hb ROWS UNBOUNDED PRECEDING) AS value_c_filled,
+        | CAST(CASE WHEN value_c IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
+        |FROM j""".stripMargin,
   )
 }
