@@ -213,6 +213,33 @@ object GwCore {
     table.toDF
   }
 
+  // ---------------------------------------------------------------- gw11
+  /** The declarative face of gw10: `writeStream.format("gwdelta")` — the
+    * connector's V1 sink bootstraps the log on the first commit (the sink
+    * target starts with no log at all) and appends one version per
+    * micro-batch with batchId-keyed idempotence. Source and sink are now
+    * the same `format("gwdelta")` surface. */
+  def gw11StreamSinkFormat(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("gw11")
+    val tablePath = tmp.resolve("db/region_sunk").toString
+    val src = Paths.get(s"$dir/region.parquet")
+    val stage = Files.createTempDirectory("gw11-stage")
+    graft.streaming.StreamOps.stageLinks(src, stage, Seq("a.parquet", "b.parquet"))
+    val schema = spark.read.parquet(src.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .writeStream
+      .format("gwdelta")
+      .option("checkpointLocation", tmp.resolve("cp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(tablePath)
+    q.awaitTermination()
+    val table = GwTable.forPath(spark, tablePath)
+    require(table.snapshot().version >= 1L, "one commit per micro-batch")
+    table.toDF
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -224,6 +251,7 @@ object GwCore {
     "gw08_compaction" -> gw08Compaction _,
     "gw09_vacuum" -> gw09Vacuum _,
     "gw10_stream_sink" -> gw10StreamSink _,
+    "gw11_sink_format" -> gw11StreamSinkFormat _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -242,6 +270,8 @@ object GwCore {
       """SELECT * FROM region UNION ALL SELECT * FROM region
         |UNION ALL SELECT * FROM region""".stripMargin,
     "gw10_stream_sink" ->
+      "SELECT * FROM region UNION ALL SELECT * FROM region",
+    "gw11_sink_format" ->
       "SELECT * FROM region UNION ALL SELECT * FROM region",
   )
 }

@@ -19,6 +19,7 @@ import java.util.{Map => JMap}
  *   spark.read.format("gwdelta").option("versionAsOf", 2).load(p)   // time travel
  *   spark.read.format("gwdelta").option("timestampAsOf", ms).load(p)
  *   spark.readStream.format("gwdelta").load(tablePath)              // tail the log
+ *   df.writeStream.format("gwdelta").start(tablePath)               // feed a table
  *
  *   CREATE TEMPORARY VIEW ph USING gwdelta
  *   OPTIONS (path '<table>', versionAsOf '2')
@@ -32,17 +33,21 @@ import java.util.{Map => JMap}
  * range per micro-batch (see `GwDeltaStreamSource`).
  */
 class GwDeltaDataSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "gwdelta"
 
   override def supportsExternalMetadata(): Boolean = false
 
   // one provider instance serves one load(): inferSchema and getTable both
-  // resolve the same snapshot, so replay the log once, not twice
-  @volatile private var cachedResolve: (String, graft.log.Snapshot) = _
+  // resolve the same snapshot, so replay the log once, not twice.
+  // `None` = the path has no transaction log yet: legal as a writeStream
+  // TARGET (the sink's first commit bootstraps it), capability-less for
+  // reads (see `getTable`).
+  @volatile private var cachedResolve: (String, Option[graft.log.Snapshot]) = _
 
-  private def resolve(options: CaseInsensitiveStringMap): graft.log.Snapshot = {
+  private def resolve(options: CaseInsensitiveStringMap): Option[graft.log.Snapshot] = {
     val key = options.asCaseSensitiveMap.toString
     val cached = cachedResolve
     if (cached != null && cached._1 == key) return cached._2
@@ -51,11 +56,12 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
     snap
   }
 
-  private def doResolve(options: CaseInsensitiveStringMap): graft.log.Snapshot = {
+  private def doResolve(options: CaseInsensitiveStringMap): Option[graft.log.Snapshot] = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("gwdelta requires a path"))
     val spark = SparkSession.active
     val log = GwLog.forTable(spark.sparkContext.hadoopConfiguration, path)
+    if (log.latestVersion().isEmpty) return None
     val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
     val timestampAsOf = Option(options.get("timestampAsOf")).map(_.toLong)
     require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
@@ -65,19 +71,35 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
       require(candidates.nonEmpty, s"No version at or before timestamp $ts for $path")
       candidates.max
     })
-    log.snapshot(version)
+    Some(log.snapshot(version))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolve(options).schema
+    resolve(options).map(_.schema).getOrElse(new StructType())
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    // GwDeltaTable file-skips with the log's harvested footer stats, then
-    // delegates the scan to Spark's parquet V2 machinery
-    new org.apache.spark.sql.graftbridge.GwDeltaTable(
-      s"gwdelta:${options.get("path")}", SparkSession.active, options, resolve(options))
+    resolve(options) match {
+      case Some(snap) =>
+        // GwDeltaTable file-skips with the log's harvested footer stats,
+        // then delegates the scan to Spark's parquet V2 machinery
+        new org.apache.spark.sql.graftbridge.GwDeltaTable(
+          s"gwdelta:${options.get("path")}", SparkSession.active, options, snap)
+      case None =>
+        // no log yet: a capability-less table — readable by nothing, which
+        // makes DataStreamWriter fall back to the V1 sink below (whose
+        // first commit bootstraps the log); batch reads fail on the missing
+        // read capability with the table name spelling out why
+        new Table {
+          override def name(): String =
+            s"gwdelta:${options.get("path")} (no transaction log yet)"
+          override def schema(): StructType = new StructType()
+          override def capabilities(): java.util.Set[
+            org.apache.spark.sql.connector.catalog.TableCapability] =
+            java.util.Collections.emptySet()
+        }
+    }
   }
 
   // ---- streaming tail (spark.readStream.format("gwdelta")) ----
@@ -109,4 +131,18 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
     new org.apache.spark.sql.graftbridge.GwDeltaStreamSource(
       sqlContext, streamPath(parameters))
+
+  override def createSink(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"gwdelta sink writes append-only commits; got $outputMode " +
+        "(complete/update would need remove+rewrite semantics per batch)")
+    require(partitionColumns.isEmpty,
+      "gwdelta sink does not support partitioned writes")
+    new org.apache.spark.sql.graftbridge.GwDeltaStreamSink(streamPath(parameters))
+  }
 }

@@ -97,4 +97,35 @@ class StreamSpec extends SparkSpec {
     StreamOps.st02StatefulSessions(spark, dir).collect()
     assert(spark.conf.getOption(key) == before)
   }
+
+  test("writeStream.format(gwdelta) commits one version per micro-batch and resumes") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("gwsink-v1")
+    val tablePath = root.resolve("t").toString
+    val cp = root.resolve("cp").toString
+    val stage = Files.createTempDirectory("gwsink-v1-stage")
+    val src = java.nio.file.Paths.get(s"$dir/region.parquet")
+    StreamOps.stageLinks(src, stage, Seq("a.parquet", "b.parquet"))
+    val schema = spark.read.parquet(src.toString).schema
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+        .writeStream
+        .format("gwdelta")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(tablePath)
+      q.awaitTermination()
+    }
+    drain()
+    val table = GwTable.forPath(spark, tablePath)
+    assert(table.toDF.count() == 10, "two staged files, one commit each")
+    assert(table.snapshot().version == 1L)
+    // restart from the checkpoint with one NEW file: exactly one more commit
+    StreamOps.stageLinks(src, stage, Seq("c.parquet"))
+    drain()
+    assert(table.toDF.count() == 15, "only the new file's rows were appended")
+    assert(table.snapshot().version == 2L, "no duplicate commits on resume")
+  }
 }
