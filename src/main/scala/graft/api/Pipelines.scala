@@ -115,6 +115,24 @@ object Pipelines {
       .withColumn("fp_head", md5(concat_ws(" ", slice(split(norm, " "), 1, 8))))
   }
 
+  /**
+   * Per-group heavy hitters with bounded state: one Misra-Gries summary
+   * (`capacity` counters) per group — see [[graft.functions.FreqItemsAgg]]
+   * for the sketch, its merge rule, and the frequency guarantee. Returns
+   * one row per (group, reported item): the top `k` surviving counters,
+   * highest first.
+   */
+  def heavyHitters(df: DataFrame, groups: Seq[Column], item: Column,
+      k: Int, capacity: Int): DataFrame =
+    df.groupBy(groups: _*)
+      .agg(graft.functions.FreqItemsAgg(item, k, capacity).as("__top"))
+      .select(col("*"), posexplode(col("__top")).as(Seq("__rnk", "__hit")))
+      .select(col("*"),
+        (col("__rnk") + 1).cast("long").as("rnk"),
+        col("__hit.item").as("item"),
+        col("__hit.count").as("count_lo"))
+      .drop("__top", "__rnk", "__hit")
+
   // ------------------------------------------------------------- dedup
 
   def exactDedup(df: DataFrame, key: Column, id: Column): DataFrame =

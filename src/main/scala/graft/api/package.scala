@@ -53,6 +53,11 @@ package object api {
     def chunkDedup(id: Column, text: Column, chunkWords: Int = 5): DataFrame =
       Pipelines.chunkDedup(df, id, text, chunkWords)
 
+    /** Bounded-state per-group heavy hitters; see [[Pipelines.heavyHitters]]. */
+    def heavyHitters(groups: Seq[Column], item: Column, k: Int,
+        capacity: Int = 256): DataFrame =
+      Pipelines.heavyHitters(df, groups, item, k, capacity)
+
     /** Cluster duplicate pairs into components (label = min member id). */
     def connectedComponents(a: Column, b: Column): DataFrame =
       Pipelines.connectedComponents(df, a, b)

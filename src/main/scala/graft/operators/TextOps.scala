@@ -80,6 +80,17 @@ object TextOps {
       .select("doc_id", "lang", "rn")
   }
 
+  /** Sketch-based heavy hitters: t05's question (frequent terms per
+    * language) answered with bounded state — one Misra-Gries summary of 64
+    * counters per language instead of an exact (lang, word) aggregate over
+    * every distinct term. Counter values are order-dependent within the MG
+    * error band, so the driver check is rows-only; the frequency bound vs
+    * exact ground truth is asserted in OperatorSpec. */
+  def t09HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.heavyHitters(
+      docs(spark, dir).select(col("lang"), explode(split(col("text"), " ")).as("word")),
+      Seq(col("lang")), col("word"), k = 5, capacity = 64)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -89,6 +100,7 @@ object TextOps {
     "t06_repetition" -> t06Repetition _,
     "t07_sample" -> t07Sample _,
     "t08_curation" -> t08Curation _,
+    "t09_heavy_hitters" -> t09HeavyHitters _,
   )
 
   private def sqlList(lang: String): String =

@@ -207,6 +207,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(a.flatten.toSeq == b.flatten.toSeq)
   }
 
+  test("t09 heavy hitters: MG bounds hold vs exact counts; guaranteed items present") {
+    import org.apache.spark.sql.functions._
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+    val exact = words.groupBy("lang", "word").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = exact.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val capacity = 64
+    val sketch = graft.api.Pipelines.heavyHitters(
+      words, Seq(col("lang")), col("word"), k = 5, capacity = capacity)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3)))
+    assert(sketch.nonEmpty)
+    sketch.foreach { case (lang, item, countLo) =>
+      val truth = exact.getOrElse((lang, item), 0L)
+      val slack = totals(lang) / (capacity + 1)
+      assert(countLo <= truth, s"($lang,$item): sketch $countLo > true $truth")
+      assert(countLo >= truth - slack,
+        s"($lang,$item): sketch $countLo below true $truth - n/(m+1) $slack")
+    }
+    // every item frequent enough for the MG guarantee must be reported
+    // (k=5 caps the report, so check only the top-5 guaranteed items)
+    val reported = sketch.map(t => (t._1, t._2)).toSet
+    totals.keys.foreach { lang =>
+      val guaranteed = exact.collect {
+        case ((l, w), n) if l == lang && n > totals(lang) / (capacity + 1) => (w, n)
+      }.toSeq.sortBy { case (w, n) => (-n, w) }.take(5)
+      guaranteed.foreach { case (w, _) =>
+        assert(reported.contains((lang, w)), s"guaranteed item ($lang,$w) missing")
+      }
+    }
+  }
+
   test("d09 chunk dedup equals an in-memory reimplementation at sf0.001") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
