@@ -156,7 +156,13 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         if (fs.exists(path) && fs.delete(path, false)) deleted += 1
       }
     }
-    // crash debris: data files in owned namespaces that no commit references
+    // crash debris: data files in owned namespaces that no commit
+    // references. mtime cannot distinguish true debris from an IN-FLIGHT
+    // write (a sink batch written but not yet committed), so the sweep
+    // applies a minimum age floor regardless of how short `retentionMs`
+    // is — an uncommitted write older than the floor is a real crash.
+    val debrisCutoff = math.min(cutoff,
+      System.currentTimeMillis() - GwTable.DebrisMinAgeMs)
     presentDirs.foreach { dir =>
       val it = fs.listFiles(dir, /* recursive = */ true)
       while (it.hasNext) {
@@ -165,7 +171,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         val n = st.getPath.getName
         val isData = !n.startsWith(".") && !n.startsWith("_") && n.endsWith(".parquet")
         if (st.isFile && isData && !referenced.contains(p) && !live.contains(p) &&
-          st.getModificationTime < cutoff) {
+          st.getModificationTime < debrisCutoff) {
           if (fs.delete(st.getPath, false)) deleted += 1
         }
       }
@@ -195,4 +201,10 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
 
 object GwTable {
   def forPath(spark: SparkSession, tablePath: String): GwTable = new GwTable(spark, tablePath)
+
+  /** Minimum age before an UNREFERENCED engine-owned file counts as crash
+    * debris for `vacuum` — must exceed the longest plausible gap between a
+    * sink's parquet write and its log commit (tombstoned files are exempt:
+    * a tombstone proves the write completed and was superseded). */
+  val DebrisMinAgeMs: Long = 15L * 60 * 1000
 }

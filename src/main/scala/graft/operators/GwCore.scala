@@ -198,12 +198,15 @@ object GwCore {
     val stage = Files.createTempDirectory("gw10-stage")
     graft.streaming.StreamOps.stageLinks(src, stage, Seq("a.parquet", "b.parquet"))
     val schema = spark.read.parquet(src.toString).schema
+    // stream identity in the txnId (see GwSink scaladoc): batch ids alone
+    // would collide with a different stream's commits on the same table
+    val streamId = java.util.UUID.randomUUID().toString
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.streaming.GwSink.append(batch, tablePath, Some(s"batch-$batchId")); ()
+        graft.streaming.GwSink.append(batch, tablePath, Some(s"$streamId/$batchId")); ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

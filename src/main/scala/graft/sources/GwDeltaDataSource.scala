@@ -143,6 +143,7 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
         "(complete/update would need remove+rewrite semantics per batch)")
     require(partitionColumns.isEmpty,
       "gwdelta sink does not support partitioned writes")
-    new org.apache.spark.sql.graftbridge.GwDeltaStreamSink(streamPath(parameters))
+    new org.apache.spark.sql.graftbridge.GwDeltaStreamSink(
+      streamPath(parameters), parameters.get("checkpointLocation"))
   }
 }

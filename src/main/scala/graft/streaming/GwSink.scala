@@ -19,37 +19,62 @@ import org.apache.spark.sql.DataFrame
  * parquet write is the executors' work; the commit is one driver-side log
  * append, same as the indexer's.
  *
- * Exactly-once: pass the micro-batch id as `txnId`. A batch replayed after
- * a crash between sink write and stream checkpoint re-arrives with the SAME
- * id; only the last committed batch can be re-delivered, but OTHER writers
- * (a concurrent `compact()`/`vacuum()` maintenance commit) may have landed
- * after it — so the dedup check walks the log tail backwards over a bounded
- * window of recent commits rather than only the single latest one. The
- * window (64 versions) only needs to cover commits racing within one
- * micro-batch interval; the scan stays O(1) in table history.
+ * Exactly-once: pass `"<streamId>/<batchId>"` as `txnId`, where streamId
+ * identifies the LOGICAL stream (stable across restarts of the same query,
+ * distinct between different queries — e.g. the checkpoint location). A
+ * batch replayed after a crash between sink write and stream checkpoint
+ * re-arrives with the SAME id; only this stream's last committed batch can
+ * be re-delivered, so the dedup walk runs backwards from the log tail and
+ * stops at the FIRST commit carrying this stream's prefix — a match is the
+ * replay (skip), a different batch id means fresh data (commit). Commits
+ * from other writers (maintenance `compact()`/`vacuum()`, other streams)
+ * are skipped on the way, bounded by a 64-version window; in steady state
+ * the walk reads one or two commit files, not the whole log. Keying on the
+ * stream identity is what keeps two different streams feeding one table
+ * from colliding on equal batch ids (delta's app-id transaction pattern).
  */
 object GwSink {
 
-  /** How many log-tail versions the txnId dedup check inspects. */
+  /** Backstop on how many log-tail versions the txnId dedup walk inspects
+    * when no commit of the same stream is found. */
   private val DedupWindow = 64
 
   /** Append one batch to the table at `tablePath`; returns the committed
     * version, or -1 if the batch was empty (no commit written). With
-    * `txnId` set, a batch whose id matches a recent commit's txnId is
-    * skipped (crash-replay idempotence) and that version returned. */
+    * `txnId` set (format `"<streamId>/<batchId>"`), a batch whose id
+    * matches a recent commit's txnId is skipped (crash-replay idempotence)
+    * and that version returned. Non-bootstrap appends require the batch
+    * schema to match the table's logged schema (nullability ignored). */
   def append(df: DataFrame, tablePath: String, txnId: Option[String] = None): Long = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
+    val log = GwLog.forTable(conf, tablePath)
     for (id <- txnId) {
-      val log0 = GwLog.forTable(conf, tablePath)
-      val recent = log0.listVersions().takeRight(DedupWindow).reverse
-      recent.foreach { v =>
-        val already = log0.readVersion(v).exists {
-          case ci: CommitInfo => ci.txnId == id
-          case _ => false
-        }
-        if (already) return v
+      val prefix = id.lastIndexOf('/') match {
+        case -1 => ""
+        case i  => id.substring(0, i + 1)
       }
+      val recent = log.listVersions().takeRight(DedupWindow).reverseIterator
+      var stop = false
+      while (recent.hasNext && !stop) {
+        val v = recent.next()
+        log.readVersion(v).collectFirst { case ci: CommitInfo => ci }.foreach { ci =>
+          if (ci.txnId == id) return v
+          // a different batch of the SAME stream: anything older cannot be
+          // this batch's commit — fresh data, stop walking
+          if (prefix.nonEmpty && ci.txnId.startsWith(prefix)) stop = true
+        }
+      }
+    }
+    val bootstrap = log.listVersions().isEmpty
+    if (!bootstrap) {
+      // fail BEFORE writing bytes: an append in a different shape would be
+      // read back under the logged schema (missing columns null, new
+      // columns invisible, type changes failing at scan time)
+      val existing = log.snapshot(None).schema
+      require(org.apache.spark.sql.graftbridge.Bridge.sameType(existing, df.schema),
+        s"batch schema does not match the table schema at $tablePath\n" +
+          s"  table: ${existing.catalogString}\n  batch: ${df.schema.catalogString}")
     }
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(outDir.toString)
@@ -57,8 +82,6 @@ object GwSink {
     val files: Seq[AddFile] =
       graft.sources.SchemaProbe.harvestAddFiles(conf, outDir, dataChange = true)
     if (files.isEmpty) { fs.delete(outDir, true); return -1L }
-    val log = GwLog.forTable(conf, tablePath)
-    val bootstrap = log.listVersions().isEmpty
     val now = System.currentTimeMillis()
     val head: Seq[Action] =
       if (bootstrap)

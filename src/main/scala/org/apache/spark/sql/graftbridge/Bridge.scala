@@ -14,6 +14,10 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `DataType.sameType` (equality ignoring nullability) is private[sql]. */
+  def sameType(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
+
   /** Register function builders on a LIVE session (the extensions hook only
     * covers sessions built after the config is set). */
   def registerFunctions(

@@ -208,4 +208,21 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     assert(table.vacuum(retentionMs = 0) == 4, "four superseded sink files")
     assert(table.toDF.count() == 20, "rows intact after vacuum")
   }
+
+  test("GwSink: streams do not collide on batch ids; schema drift rejected") {
+    val path = Files.createTempDirectory("gwsink-multi").resolve("t").toString
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    assert(graft.streaming.GwSink.append(region, path, Some("s1/0")) == 0L)
+    assert(graft.streaming.GwSink.append(region, path, Some("s2/0")) == 1L,
+      "a different stream's batch 0 is fresh data, not a replay")
+    assert(graft.streaming.GwSink.append(region, path, Some("s1/0")) == 0L,
+      "s1's replay is still detected past s2's commit")
+    val drifted = region.withColumnRenamed("r_name", "renamed")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.GwSink.append(drifted, path)
+    }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+    // nullability alone is not drift
+    assert(graft.streaming.GwSink.append(region, path, Some("s1/1")) == 2L)
+  }
 }

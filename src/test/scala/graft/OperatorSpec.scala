@@ -226,15 +226,17 @@ class OperatorSpec extends AnyFunSuite {
       assert(countLo >= truth - slack,
         s"($lang,$item): sketch $countLo below true $truth - n/(m+1) $slack")
     }
-    // every item frequent enough for the MG guarantee must be reported
-    // (k=5 caps the report, so check only the top-5 guaranteed items)
-    val reported = sketch.map(t => (t._1, t._2)).toSet
+    // every item frequent enough for the MG guarantee must survive in the
+    // sketch — checked against the FULL counter set (k = capacity): a k=5
+    // report may legitimately order near-tied items differently than the
+    // true counts, which is the error band, not a bug
+    val full = graft.api.Pipelines.heavyHitters(
+      words, Seq(col("lang")), col("word"), k = capacity, capacity = capacity)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
     totals.keys.foreach { lang =>
-      val guaranteed = exact.collect {
-        case ((l, w), n) if l == lang && n > totals(lang) / (capacity + 1) => (w, n)
-      }.toSeq.sortBy { case (w, n) => (-n, w) }.take(5)
-      guaranteed.foreach { case (w, _) =>
-        assert(reported.contains((lang, w)), s"guaranteed item ($lang,$w) missing")
+      exact.foreach { case ((l, w), n) =>
+        if (l == lang && n > totals(lang) / (capacity + 1))
+          assert(full.contains((lang, w)), s"guaranteed item ($lang,$w) missing")
       }
     }
   }
