@@ -408,6 +408,36 @@ object StreamOps {
     spark.table(name)
   }
 
+  // ---------------------------------------------------------------- st08
+  /** Sketch state in streaming aggregation: per (4h window, event type),
+    * HyperLogLog++ distinct users — the state-store entry per open window
+    * is a fixed-size sketch instead of a distinct-user set, which is what
+    * keeps windowed COUNT(DISTINCT) viable unbounded (exact distinct state
+    * grows with cardinality; Append mode + watermark still bound the number
+    * of open windows). HLL merge is commutative/associative, so the drained
+    * result equals the batch aggregate EXACTLY (asserted in StreamSpec);
+    * the driver check is rows-only because DuckDB's approx sketch differs. */
+  def st08StreamSketch(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
+    val name = nextName()
+    val q = eventStream(spark, dir, withSentinel = true)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "4 hours"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("nd_users_hll"),
+        count(lit(1)).as("n"))
+      .select(
+        (unix_timestamp(col("window.start")) / 14400).cast("long").as("win_bucket"),
+        col("event_type"), col("nd_users_hll"), col("n"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).filter(!(col("event_type") <=> lit(SentinelType)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> st01WindowedCounts _,
     "st02_stream_state" -> st02StatefulSessions _,
@@ -416,6 +446,7 @@ object StreamOps {
     "st05_stream_join" -> st05StreamJoin _,
     "st06_stream_dedup" -> st06StreamDedup _,
     "st07_stream_static" -> st07StreamStaticJoin _,
+    "st08_stream_sketch" -> st08StreamSketch _,
   )
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming

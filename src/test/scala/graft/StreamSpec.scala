@@ -98,6 +98,17 @@ class StreamSpec extends SparkSpec {
     assert(spark.conf.getOption(key) == before)
   }
 
+  test("st08 sketch-state windowed distinct equals batch HLL exactly") {
+    // HLL merge is order-independent, so streaming state must produce the
+    // IDENTICAL estimate the one-shot batch aggregate does
+    val expected = batchEvents
+      .withColumn("win_bucket", expr("(ts div 1000) div 14400000000"))
+      .groupBy("win_bucket", "event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("nd_users_hll"),
+        count(lit(1)).as("n"))
+    assertSameRows(StreamOps.st08StreamSketch(spark, dir), expected)
+  }
+
   test("writeStream.format(gwdelta) commits one version per micro-batch and resumes") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("gwsink-v1")
