@@ -284,19 +284,26 @@ object Pipelines {
         .localCheckpoint(true)
       if (labels.isEmpty)
         return labels.select(col("node"), col("label").as("component"))
+      // one min-label propagation pass (pure plan, no action)
+      def propagate(ls: DataFrame): DataFrame = {
+        val neighborMin = edges
+          .join(ls, edges("dst") === ls("node"))
+          .groupBy(col("src"))
+          .agg(min(col("label")).as("nlabel"))
+        ls.join(neighborMin, ls("node") === neighborMin("src"), "left")
+          .select(ls("node"), least(ls("label"), coalesce(col("nlabel"), ls("label"))).as("label"))
+      }
       var converged = false
       var iter = 0
       while (!converged && iter < maxIterations) {
-        val neighborMin = edges
-          .join(labels, edges("dst") === labels("node"))
-          .groupBy(col("src"))
-          .agg(min(col("label")).as("nlabel"))
+        // TWO hops per materialization: checkpoint + convergence count are
+        // the per-round fixed cost (two Spark jobs), so unrolling halves
+        // the job count; an extra hop on converged labels is a no-op
         // the old label rides along into the checkpoint so convergence is a
         // filter over the already-materialized round output — no second join
-        val updated = labels
-          .join(neighborMin, labels("node") === neighborMin("src"), "left")
-          .select(col("node"), col("label").as("__ol"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        val updated = propagate(propagate(labels))
+          .join(labels.select(col("node"), col("label").as("__ol")), "node")
+          .select(col("node"), col("__ol"), col("label"))
           // lazy: the convergence count right below is the first action, so
           // it materializes the checkpoint — an eager one would pay a whole
           // extra Spark job per round for the same blocks
