@@ -75,7 +75,13 @@ object StreamOps {
         .getOrElse(batch.agg(max("ts")).head().getLong(0))
       val tmp = java.nio.file.Files.createTempDirectory("graft-sentinel")
       batch.limit(1)
-        .withColumn("ts", lit(maxTs + 4L * 3600L * 1000000000L))
+        // the flush margin must exceed (longest window span + watermark
+        // delay) across every sentinel query, else the final window's end
+        // can sit beyond the drained watermark and Append never emits it
+        // (st08's 4h windows with a 1h delay need > 5h; 26h also covers a
+        // future daily window). Data-dependent: maxTs mod windowSpan decides
+        // how much of the span the margin must bridge.
+        .withColumn("ts", lit(maxTs + 26L * 3600L * 1000000000L))
         .withColumn("event_type", lit(SentinelType))
         .withColumn("user_id", lit(-1L))
         .coalesce(1)
