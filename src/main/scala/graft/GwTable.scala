@@ -25,13 +25,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
   def versionAsOf(version: Long): DataFrame = asDF(Some(version))
 
   /** Greatest version whose commit timestamp is <= `ts`. */
-  def timestampAsOf(ts: Long): DataFrame = {
-    val candidates = gwLog.history().collect {
-      case (v, Some(ci)) if ci.timestamp <= ts => v
-    }
-    require(candidates.nonEmpty, s"No version at or before timestamp $ts for $tablePath")
-    versionAsOf(candidates.max)
-  }
+  def timestampAsOf(ts: Long): DataFrame =
+    versionAsOf(gwLog.versionAtTimestamp(ts))
 
   /** Incremental consumption: everything a downstream pipeline still has
     * to process after having consumed up to `sinceVersion`, computed by

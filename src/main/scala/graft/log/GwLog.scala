@@ -140,6 +140,18 @@ class GwLog(val tablePath: Path, conf: Configuration,
       v -> readVersion(v).collectFirst { case ci: CommitInfo => ci }
     }
 
+  /** Greatest version whose commit timestamp is <= `tsMillis` — the one
+    * `TIMESTAMP AS OF` resolution rule, shared by every time-travel surface
+    * (GwTable, the DSv2 options, the SQL catalog). */
+  def versionAtTimestamp(tsMillis: Long): Long = {
+    val candidates = history().collect {
+      case (v, Some(ci)) if ci.timestamp <= tsMillis => v
+    }
+    require(candidates.nonEmpty,
+      s"No version at or before timestamp $tsMillis for $tablePath")
+    candidates.max
+  }
+
   def delete(): Unit = { fs.delete(tablePath, true); () }
 
   def exists(): Boolean = fs.exists(logDir) && listVersions().nonEmpty

@@ -36,31 +36,84 @@ final case class Snapshot(
    * predicate can touch.
    */
   def filesForRange(column: String, lower: Double, upper: Double): Seq[AddFile] =
-    filesForRanges(Seq((column, lower, upper)))
+    filesForRanges(Seq(ColRange(column,
+      Some(Bound.Num(BigDecimal(lower))), Some(Bound.Num(BigDecimal(upper))))))
 
-  /** Conjunction of range constraints `(column, lower, upper)`. */
-  def filesForRanges(constraints: Seq[(String, Double, Double)]): Seq[AddFile] =
+  /** Conjunction of typed range constraints (see [[ColRange]]). */
+  def filesForRanges(constraints: Seq[ColRange]): Seq[AddFile] =
     files.filter { f =>
-      constraints.forall { case (column, lower, upper) =>
-        Snapshot.statsBounds(f, column) match {
-          case Some((mn, mx)) => mx >= lower && mn <= upper
+      constraints.forall { c =>
+        Snapshot.statsBounds(f, c.column) match {
+          case Some((mn, mx)) =>
+            // keep unless the file's range PROVABLY misses [lower, upper];
+            // incomparable kinds (e.g. string stats vs numeric bound) prove
+            // nothing and keep the file
+            val belowLower = c.lower.exists(lo => Bound.cmp(mx, lo).exists(_ < 0))
+            val aboveUpper = c.upper.exists(up => Bound.cmp(mn, up).exists(_ > 0))
+            !belowLower && !aboveUpper
           case None => true
         }
       }
     }
 }
 
+/**
+ * Exact typed stats bound. Numeric bounds are `BigDecimal` so int64 values
+ * beyond 2^53 never round through `Double` (a long predicate and a long
+ * stat compare exactly); string bounds compare lexicographically, matching
+ * parquet's UNSIGNED UTF-8 stat ordering for ASCII and, conservatively,
+ * keeping files whenever kinds are incomparable. Timestamp and date bounds
+ * travel as numbers (micros / days), the same encoding the harvest writes
+ * (SchemaProbe.putStat) and Catalyst literals carry.
+ */
+sealed trait Bound
+object Bound {
+  final case class Num(v: BigDecimal) extends Bound
+  final case class Str(v: String) extends Bound
+
+  /** Three-way compare within a kind; None across kinds (= prove nothing). */
+  def cmp(a: Bound, b: Bound): Option[Int] = (a, b) match {
+    case (Num(x), Num(y)) => Some(x.compare(y))
+    case (Str(x), Str(y)) => Some(utf8Cmp(x, y))
+    case _ => None
+  }
+
+  /** Unsigned UTF-8 byte ordering — parquet's binary stat order and Spark's
+    * UTF8String order (Java String.compareTo diverges on supplementary
+    * chars, which would prune files that match). */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return Integer.signum(c)
+      i += 1
+    }
+    Integer.signum(x.length - y.length)
+  }
+}
+
+/** `[lower, upper]` constraint on `column`; `None` = unbounded on that side. */
+final case class ColRange(column: String, lower: Option[Bound], upper: Option[Bound])
+
 object Snapshot {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Numeric (min, max) of `column` from a file's stats JSON, if present. */
-  private[log] def statsBounds(f: AddFile, column: String): Option[(Double, Double)] =
+  /** Typed (min, max) of `column` from a file's stats JSON, if present. */
+  private[log] def statsBounds(f: AddFile, column: String): Option[(Bound, Bound)] =
     f.stats.flatMap { s =>
       scala.util.Try {
         val root = mapper.readTree(s)
-        val mn = root.path("minValues").path(column)
-        val mx = root.path("maxValues").path(column)
-        if (mn.isNumber && mx.isNumber) Some((mn.asDouble, mx.asDouble)) else None
+        def bound(node: com.fasterxml.jackson.databind.JsonNode): Option[Bound] =
+          if (node.isNumber) Some(Bound.Num(BigDecimal(node.decimalValue())))
+          else if (node.isTextual) Some(Bound.Str(node.asText()))
+          else None
+        for {
+          mn <- bound(root.path("minValues").path(column))
+          mx <- bound(root.path("maxValues").path(column))
+        } yield (mn, mx)
       }.toOption.flatten
     }
 

@@ -243,6 +243,35 @@ object GwCore {
     table.toDF
   }
 
+  // ---------------------------------------------------------------- gw12
+  /** The reference's showcase SQL surface (reference README.md:74-84) end
+    * to end: register the catalog, CREATE TABLE ... USING gwdelta LOCATION,
+    * then time-travel with native `VERSION AS OF` SQL. The result is v0 of
+    * a two-commit table — one copy of nation — read entirely through
+    * Spark's catalog + time-travel resolution (no options, no temp views). */
+  def gw12SqlCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("gw12")
+    val manifest = layout(tmp, "nation", Seq(
+      ("100", 1700000000000L, Seq(s"$dir/nation.parquet")),
+      ("100", 1700000001000L, Seq(s"$dir/nation.parquet"))))
+    val db = tmp.resolve("db").toString
+    Indexer.index(manifest, db, SaveMode.Overwrite)(spark)
+    // the catalog is resolved lazily from conf, once per session; the
+    // warehouse only holds pointer files, so a shared one is fine
+    if (!spark.conf.getOption("spark.sql.catalog.gw").contains(
+        classOf[graft.sources.GwCatalog].getName)) {
+      spark.conf.set("spark.sql.catalog.gw", classOf[graft.sources.GwCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gw.warehouse",
+        Files.createTempDirectory("gw-warehouse").toString)
+    }
+    // unique namespace per invocation: the gate and bench re-run queries
+    // inside one session, and CREATE TABLE is (correctly) create-once
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta LOCATION '$db/nation'")
+    spark.sql(s"SELECT * FROM gw.$ns.nation VERSION AS OF 0")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -255,6 +284,7 @@ object GwCore {
     "gw09_vacuum" -> gw09Vacuum _,
     "gw10_stream_sink" -> gw10StreamSink _,
     "gw11_sink_format" -> gw11StreamSinkFormat _,
+    "gw12_sql_catalog" -> gw12SqlCatalog _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -276,5 +306,6 @@ object GwCore {
       "SELECT * FROM region UNION ALL SELECT * FROM region",
     "gw11_sink_format" ->
       "SELECT * FROM region UNION ALL SELECT * FROM region",
+    "gw12_sql_catalog" -> "SELECT * FROM nation",
   )
 }

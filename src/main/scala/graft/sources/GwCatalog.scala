@@ -1,0 +1,243 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.log.GwLog
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.util.Try
+
+/**
+ * SQL catalog for gwdelta tables — the reference's end-user surface
+ * (reference README.md:74-84):
+ *
+ * {{{
+ *   SET spark.sql.catalog.gw = graft.sources.GwCatalog
+ *   SET spark.sql.catalog.gw.warehouse = /path/to/warehouse
+ *
+ *   CREATE NAMESPACE gw.guidewire;
+ *   CREATE TABLE gw.guidewire.policy_holders USING gwdelta
+ *     LOCATION '/path/to/db/policy_holders';
+ *   SELECT * FROM gw.guidewire.policy_holders;
+ *   SELECT * FROM gw.guidewire.policy_holders VERSION AS OF 2;
+ *   SELECT * FROM gw.guidewire.policy_holders TIMESTAMP AS OF '...';
+ * }}}
+ *
+ * The catalog persists only metadata-scale state: one JSON pointer file per
+ * table (`<warehouse>/_catalog/<ns...>/<table>.json` holding the table
+ * location) and one directory per namespace. The table's schema and file
+ * set always come from its transaction log at load time, so a catalog table
+ * tracks the indexer's commits with no ALTER ceremony — exactly the
+ * reference's external-table semantics, where the Delta log is the single
+ * source of truth and the metastore entry is just a pointer.
+ *
+ * Time travel implements `TableCatalog.loadTable(ident, version|timestamp)`,
+ * which is what Spark's `VERSION AS OF` / `TIMESTAMP AS OF` SQL resolves to;
+ * both route through the same snapshot replay as every other read surface.
+ * Loaded tables are `GwDeltaTable`, so catalog reads inherit stats-based
+ * file skipping and the delegated parquet scan (pushdown, vectorization,
+ * AQE) unchanged.
+ *
+ * Writes go through the indexer and the streaming sink, not SQL DML: the
+ * engine is a shallow-clone indexer, so INSERT/UPDATE/DELETE are out of
+ * scope by design (same posture as the reference, which documents its
+ * output as read-only downstream of CDA).
+ */
+class GwCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  private def conf: Configuration =
+    SparkSession.active.sparkContext.hadoopConfiguration
+  private def fs: FileSystem = warehouse.getFileSystem(conf)
+  private val mapper = new ObjectMapper()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = new Path(Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.warehouse must be set")))
+  }
+
+  override def name(): String = catalogName
+
+  // ---- layout: <warehouse>/_catalog/<ns...>/ dirs + <table>.json pointers
+
+  private def metaDir(ns: Seq[String]): Path =
+    ns.foldLeft(new Path(warehouse, "_catalog"))((p, n) => new Path(p, n))
+
+  private def pointerPath(ident: Identifier): Path =
+    new Path(metaDir(ident.namespace.toSeq), s"${ident.name}.json")
+
+  private def readPointer(ident: Identifier): Option[(String, Boolean)] = {
+    val p = pointerPath(ident)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val root = mapper.readTree(
+          new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8))
+        Some((root.path("location").asText(), root.path("managed").asBoolean(false)))
+      } finally in.close()
+    }
+  }
+
+  private def locationOf(ident: Identifier): String =
+    readPointer(ident).map(_._1).getOrElse(throw new NoSuchTableException(ident))
+
+  // ---- TableCatalog ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = metaDir(namespace.toSeq)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map(st => Identifier.of(namespace, st.getPath.getName.stripSuffix(".json")))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = fs.exists(pointerPath(ident))
+
+  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+
+  /** `VERSION AS OF v` (Spark passes the version literal as a string). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = Try(version.trim.toLong).getOrElse(throw new IllegalArgumentException(
+      s"gwdelta versions are numeric; got VERSION AS OF '$version'"))
+    loadAt(ident, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF ts` (Spark passes epoch MICROseconds). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val log = GwLog.forTable(conf, locationOf(ident))
+    loadAt(ident, Some(log.versionAtTimestamp(timestampMicros / 1000L)))
+  }
+
+  private def loadAt(ident: Identifier, version: Option[Long]): Table = {
+    val location = locationOf(ident)
+    val log = GwLog.forTable(conf, location)
+    val displayName = (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+    if (!log.exists()) {
+      // registered before any commit: schema-less until the first commit
+      // lands (the log is the source of truth; see class scaladoc)
+      new Table {
+        override def name(): String = s"$displayName (no transaction log yet at $location)"
+        override def schema(): StructType = new StructType()
+        override def capabilities(): java.util.Set[
+          org.apache.spark.sql.connector.catalog.TableCapability] =
+          java.util.Collections.emptySet()
+      }
+    } else {
+      val opts = new CaseInsensitiveStringMap(java.util.Collections.singletonMap("path", location))
+      new org.apache.spark.sql.graftbridge.GwDeltaTable(
+        displayName, SparkSession.active, opts, log.snapshot(version))
+    }
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val ns = ident.namespace.toSeq
+    if (!fs.exists(metaDir(ns))) throw new NoSuchNamespaceException(ident.namespace)
+    Option(properties.get(TableCatalog.PROP_PROVIDER)).foreach { p =>
+      require(p.equalsIgnoreCase("gwdelta"),
+        s"GwCatalog stores gwdelta tables only; got USING $p")
+    }
+    require(partitions.isEmpty,
+      "gwdelta tables derive layout from the transaction log; PARTITIONED BY is not supported")
+    require(schema.isEmpty,
+      "gwdelta tables take their schema from the transaction log; " +
+        "declare no columns (CREATE TABLE c.ns.t USING gwdelta LOCATION ...)")
+    val explicit = Option(properties.get(TableCatalog.PROP_LOCATION))
+    val location = explicit.getOrElse(
+      ns.foldLeft(warehouse)((p, n) => new Path(p, n)).suffix(s"/${ident.name}").toString)
+    val node = mapper.createObjectNode()
+    node.put("location", location)
+    node.put("managed", explicit.isEmpty)
+    node.put("createdTime", System.currentTimeMillis())
+    // create-no-overwrite: concurrent CREATE of the same name — one wins
+    val out =
+      try fs.create(pointerPath(ident), /* overwrite = */ false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new TableAlreadyExistsException(ident)
+        case _: java.io.IOException if fs.exists(pointerPath(ident)) =>
+          throw new TableAlreadyExistsException(ident)
+      }
+    try out.write(mapper.writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    loadAt(ident, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "gwdelta table metadata lives in the transaction log; ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    readPointer(ident) match {
+      case None => false
+      case Some((location, managed)) =>
+        // external tables: drop the pointer only — the data and its log
+        // belong to the indexer (shallow-clone semantics). Managed tables
+        // (no LOCATION given) own their directory, so drop reclaims it.
+        if (managed) fs.delete(new Path(location), true)
+        fs.delete(pointerPath(ident), false)
+    }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (!fs.exists(metaDir(newIdent.namespace.toSeq)))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    require(fs.rename(pointerPath(oldIdent), pointerPath(newIdent)),
+      s"rename failed: $oldIdent -> $newIdent")
+  }
+
+  // ---- SupportsNamespaces ----
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = metaDir(namespace.toSeq)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(st => namespace :+ st.getPath.getName)
+      .toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!fs.exists(metaDir(namespace.toSeq))) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    val dir = metaDir(namespace.toSeq)
+    if (fs.exists(dir)) throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(dir)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("GwCatalog namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = metaDir(namespace.toSeq)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    if (!cascade)
+      require(fs.listStatus(dir).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    fs.delete(dir, true)
+  }
+}

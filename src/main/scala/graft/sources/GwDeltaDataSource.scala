@@ -66,11 +66,7 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
     val timestampAsOf = Option(options.get("timestampAsOf")).map(_.toLong)
     require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
       "specify at most one of versionAsOf / timestampAsOf")
-    val version = versionAsOf.orElse(timestampAsOf.map { ts =>
-      val candidates = log.history().collect { case (v, Some(ci)) if ci.timestamp <= ts => v }
-      require(candidates.nonEmpty, s"No version at or before timestamp $ts for $path")
-      candidates.max
-    })
+    val version = versionAsOf.orElse(timestampAsOf.map(log.versionAtTimestamp))
     Some(log.snapshot(version))
   }
 

@@ -133,7 +133,21 @@ object SchemaProbe {
     case null => ()
     case b: java.lang.Boolean => node.put(name, b.booleanValue())
     case i: java.lang.Integer => node.put(name, i.intValue())
-    case l: java.lang.Long => node.put(name, l.longValue())
+    case l: java.lang.Long =>
+      // store timestamps in the encoding read-side literals use: MILLIS
+      // normalize to micros (Catalyst TimestampType is always micros);
+      // MICROS stay; NANOS stay raw — those columns read as LongType
+      // (session nanosAsLong) so predicates are raw nanos too. A sentinel
+      // millis value that overflows x1000 gets no stat (file always kept).
+      val isMillis = Try {
+        schema.getType(Seq(name): _*).asPrimitiveType().getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS
+          case _ => false
+        }
+      }.getOrElse(false)
+      if (!isMillis) node.put(name, l.longValue())
+      else Try(Math.multiplyExact(l.longValue(), 1000L)).foreach(node.put(name, _))
     case f: java.lang.Float => node.put(name, f.floatValue())
     case d: java.lang.Double => node.put(name, d.doubleValue())
     case bin: org.apache.parquet.io.api.Binary =>

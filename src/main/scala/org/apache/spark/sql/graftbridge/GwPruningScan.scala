@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftbridge
 
 import graft.log.Snapshot
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, StartsWith}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownR
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-import org.apache.spark.sql.types.{NumericType, StructType}
+import org.apache.spark.sql.types.{DateType, DoubleType, FloatType, NumericType, StringType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /**
@@ -87,35 +87,86 @@ class GwPruningScanBuilder(
   override def build(): Scan = ensureInner().build()
 }
 
-/** Conservative filter -> per-column numeric range extraction: only shapes
+/** Conservative filter -> per-column typed range extraction: only shapes
   * that IMPLY a bound on a direct column are used; everything else prunes
-  * nothing (pruning may keep too much, never too little). */
+  * nothing (pruning may keep too much, never too little).
+  *
+  * Bounds are exact ([[graft.log.Bound]]): int64 literals never round
+  * through Double, timestamps travel as micros and dates as days (exactly
+  * what Catalyst literals carry and what the stats harvest writes —
+  * SchemaProbe.putStat), strings compare in UTF-8 byte order. CDA
+  * workloads filter on commit/event time above all, so the
+  * timestamp/date/string coverage is what makes skipping bite there. */
 object GwStatsPruning {
+  import graft.log.{Bound, ColRange}
 
-  def ranges(filters: Seq[Expression]): Seq[(String, Double, Double)] =
-    filters.flatMap(rangeOf)
+  def ranges(filters: Seq[Expression]): Seq[ColRange] = filters.flatMap(rangeOf)
 
-  private def num(l: Literal): Option[Double] = l.dataType match {
-    case _: NumericType =>
-      // NaN compares false against every stats bound, which would prune
-      // files that DO contain NaN rows (Spark's NaN = NaN is true) — treat
-      // it as "no constraint"
-      Option(l.value).map(_.toString.toDouble).filterNot(_.isNaN)
+  /** Literal -> typed bound, for every stats-comparable literal type. */
+  private def bound(l: Literal): Option[Bound] = (l.dataType, l.value) match {
+    case (_, null) => None
+    case (FloatType, v: java.lang.Float) if v.isNaN => None
+    case (DoubleType, v: java.lang.Double) if v.isNaN => None
+    // NaN compares false against every stats bound, which would prune
+    // files that DO contain NaN rows (Spark's NaN = NaN is true) — treat
+    // it as "no constraint" (the two cases above)
+    case (_: NumericType, v) => Some(Bound.Num(BigDecimal(v.toString)))
+    // Catalyst encodes timestamps as Long micros and dates as Int days —
+    // the same numbers the harvest stores for those columns
+    case (TimestampType | TimestampNTZType, v: java.lang.Long) =>
+      Some(Bound.Num(BigDecimal(v.longValue())))
+    case (DateType, v: java.lang.Integer) => Some(Bound.Num(BigDecimal(v.intValue())))
+    case (StringType, v) => Some(Bound.Str(v.toString))
     case _ => None
   }
 
-  private def rangeOf(e: Expression): Seq[(String, Double, Double)] = e match {
+  private def eq(a: AttributeReference, l: Literal): Seq[ColRange] =
+    bound(l).map(b => ColRange(a.name, Some(b), Some(b))).toSeq
+  private def atLeast(a: AttributeReference, l: Literal): Seq[ColRange] =
+    bound(l).map(b => ColRange(a.name, Some(b), None)).toSeq
+  private def atMost(a: AttributeReference, l: Literal): Seq[ColRange] =
+    bound(l).map(b => ColRange(a.name, None, Some(b))).toSeq
+
+  private def rangeOf(e: Expression): Seq[ColRange] = e match {
     case And(l, r) => rangeOf(l) ++ rangeOf(r)
-    case EqualTo(a: AttributeReference, l: Literal) => num(l).map(v => (a.name, v, v)).toSeq
-    case EqualTo(l: Literal, a: AttributeReference) => num(l).map(v => (a.name, v, v)).toSeq
-    case GreaterThan(a: AttributeReference, l: Literal) => num(l).map(v => (a.name, v, Double.MaxValue)).toSeq
-    case GreaterThanOrEqual(a: AttributeReference, l: Literal) => num(l).map(v => (a.name, v, Double.MaxValue)).toSeq
-    case LessThan(a: AttributeReference, l: Literal) => num(l).map(v => (a.name, Double.MinValue, v)).toSeq
-    case LessThanOrEqual(a: AttributeReference, l: Literal) => num(l).map(v => (a.name, Double.MinValue, v)).toSeq
-    case GreaterThan(l: Literal, a: AttributeReference) => num(l).map(v => (a.name, Double.MinValue, v)).toSeq
-    case GreaterThanOrEqual(l: Literal, a: AttributeReference) => num(l).map(v => (a.name, Double.MinValue, v)).toSeq
-    case LessThan(l: Literal, a: AttributeReference) => num(l).map(v => (a.name, v, Double.MaxValue)).toSeq
-    case LessThanOrEqual(l: Literal, a: AttributeReference) => num(l).map(v => (a.name, v, Double.MaxValue)).toSeq
+    case EqualTo(a: AttributeReference, l: Literal) => eq(a, l)
+    case EqualTo(l: Literal, a: AttributeReference) => eq(a, l)
+    case GreaterThan(a: AttributeReference, l: Literal) => atLeast(a, l)
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) => atLeast(a, l)
+    case LessThan(a: AttributeReference, l: Literal) => atMost(a, l)
+    case LessThanOrEqual(a: AttributeReference, l: Literal) => atMost(a, l)
+    case GreaterThan(l: Literal, a: AttributeReference) => atMost(a, l)
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) => atMost(a, l)
+    case LessThan(l: Literal, a: AttributeReference) => atLeast(a, l)
+    case LessThanOrEqual(l: Literal, a: AttributeReference) => atLeast(a, l)
+    // IN (v1..vn) implies [min(vi), max(vi)] — useful when the list is a
+    // handful of nearby dates/keys, harmless otherwise
+    case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      val bs = vs.map(v => bound(v.asInstanceOf[Literal]))
+      if (bs.exists(_.isEmpty)) Nil
+      else {
+        val sorted = bs.flatten.sortWith((x, y) => Bound.cmp(x, y).exists(_ < 0))
+        // mixed-kind lists can't sort meaningfully; same-kind lists can
+        if (sorted.sliding(2).forall(p => p.size < 2 || Bound.cmp(p(0), p(1)).isDefined))
+          Seq(ColRange(a.name, sorted.headOption, sorted.lastOption))
+        else Nil
+      }
+    // col LIKE 'abc%': matching strings are >= 'abc' and < prefixSuccessor
+    case StartsWith(a: AttributeReference, Literal(prefix, StringType)) if prefix != null =>
+      Seq(ColRange(a.name, Some(Bound.Str(prefix.toString)),
+        prefixSuccessor(prefix.toString).map(Bound.Str.apply)))
     case _ => Nil
+  }
+
+  /** Smallest string greater than every string with this prefix: increment
+    * the last non-maximal char, dropping what follows. All-maximal prefixes
+    * have no successor -> unbounded above. Used INCLUSIVELY by the range
+    * check, which only widens the kept set (conservative). */
+  private[graftbridge] def prefixSuccessor(prefix: String): Option[String] = {
+    val cs = prefix.toCharArray
+    var i = cs.length - 1
+    while (i >= 0 && cs(i) == Char.MaxValue) i -= 1
+    if (i < 0) None
+    else Some(new String(cs, 0, i) + (cs(i) + 1).toChar)
   }
 }

@@ -177,6 +177,66 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     assert(straddle.count() == 4)
   }
 
+  // ---- SQL catalog (CREATE TABLE ... USING gwdelta + native time travel)
+
+  private lazy val catalogReady: Unit = {
+    spark.conf.set("spark.sql.catalog.gwtest", classOf[graft.sources.GwCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwtest.warehouse",
+      Files.createTempDirectory("gwtest-warehouse").toString)
+    spark.sql("CREATE NAMESPACE gwtest.cda")
+    spark.sql(s"CREATE TABLE gwtest.cda.t USING gwdelta LOCATION '$tablePath'")
+  }
+
+  test("catalog: CREATE TABLE USING gwdelta resolves the latest snapshot") {
+    catalogReady
+    val df = spark.sql("SELECT * FROM gwtest.cda.t")
+    assert(df.columns.toSeq == Seq("r_regionkey", "r_name"))
+    assert(df.count() == 5)
+    assert(spark.sql("SHOW TABLES IN gwtest.cda").collect()
+      .map(_.getString(1)).contains("t"))
+  }
+
+  test("catalog: native VERSION AS OF SQL time-travels through loadTable") {
+    catalogReady
+    val df = spark.sql("SELECT * FROM gwtest.cda.t VERSION AS OF 0")
+    assert(df.columns.contains("n_nationkey"))
+    assert(df.count() == 25)
+  }
+
+  test("catalog: native TIMESTAMP AS OF SQL resolves the greatest earlier commit") {
+    catalogReady
+    val tsV0 = GwTable.forPath(spark, tablePath).history
+      .select("version", "timestamp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap.apply(0L)
+    val df = spark.sql(
+      s"SELECT * FROM gwtest.cda.t TIMESTAMP AS OF timestamp_millis($tsV0)")
+    assert(df.count() == 25)
+  }
+
+  test("catalog: catalog reads keep stats pruning and filter pushdown") {
+    catalogReady
+    val plan = spark.sql(
+      "SELECT n_name FROM gwtest.cda.t VERSION AS OF 0 WHERE n_nationkey < 5")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_nationkey), LessThan(n_nationkey,5)]"),
+      s"pushdown missing in:\n$plan")
+  }
+
+  test("catalog: duplicate CREATE fails; DROP removes the pointer, not the data") {
+    catalogReady
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE gwtest.cda.t USING gwdelta LOCATION '$tablePath'")
+    }
+    assert(e.getMessage.toUpperCase.contains("ALREADY EXISTS") ||
+      e.getMessage.contains("TABLE_OR_VIEW_ALREADY_EXISTS"), e.getMessage)
+    spark.sql(s"CREATE TABLE gwtest.cda.dropme USING gwdelta LOCATION '$tablePath'")
+    spark.sql("DROP TABLE gwtest.cda.dropme")
+    assert(!spark.sql("SHOW TABLES IN gwtest.cda").collect()
+      .map(_.getString(1)).contains("dropme"))
+    // external data untouched: the original catalog table still reads
+    assert(spark.sql("SELECT * FROM gwtest.cda.t").count() == 5)
+  }
+
   test("GwSink.append: bootstrap then blind append; empty batches commit nothing") {
     val path = Files.createTempDirectory("gwsink-spec").resolve("t").toString
     val region = spark.read.parquet(s"$sf/region.parquet")
