@@ -177,6 +177,78 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     assert(straddle.count() == 4)
   }
 
+  test("harvested stats skip files for timestamp, date, and string predicates") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("gwdelta-prune-typed")
+    val folder = tmp.resolve("data/t/100/1700000000000")
+    Files.createDirectories(folder)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("ts", TimestampType),
+      StructField("d", DateType), StructField("s", StringType)))
+    def row(id: Int, ts: String, d: String, s: String) =
+      Row(id, java.sql.Timestamp.valueOf(ts), java.sql.Date.valueOf(d), s)
+    val months = Seq(
+      (Seq(row(0, "2024-01-05 00:00:00", "2024-01-05", "apple"),
+           row(1, "2024-01-20 00:00:00", "2024-01-20", "banana")), 0),
+      (Seq(row(2, "2024-02-05 00:00:00", "2024-02-05", "mango"),
+           row(3, "2024-02-20 00:00:00", "2024-02-20", "melon")), 1),
+      (Seq(row(4, "2024-03-05 00:00:00", "2024-03-05", "zebra"),
+           row(5, "2024-03-20 00:00:00", "2024-03-20", "zucchini")), 2))
+    // write as TIMESTAMP_MILLIS so the harvest's millis->micros
+    // normalization is what the pruning depends on
+    val prevTsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      for ((rows, i) <- months) {
+        val part = Files.createTempDirectory(s"typed-part-$i")
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+          .coalesce(1).write.mode("overwrite").parquet(part.toString)
+        val f = part.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+        Files.move(f.toPath, folder.resolve(s"part-$i.parquet"))
+      }
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
+    Files.writeString(tmp.resolve("manifest.json"),
+      s"""{"t": {"lastSuccessfulWriteTimestamp": "9999999999999",
+         |"totalProcessedRecordsCount": 6,
+         |"dataFilesPath": "${tmp.toAbsolutePath}/data/t/",
+         |"schemaHistory": {"100": "1700000000000"}}}""".stripMargin)
+    val db = tmp.resolve("db").toString
+    Indexer.index(tmp.resolve("manifest.json").toString, db, SaveMode.Overwrite)(spark)
+
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
+      }.head
+
+    val t = spark.read.format("gwdelta").load(s"$db/t")
+    assert(plannedFiles(t) == 3)
+    // timestamp: equality and range
+    val tsEq = t.filter(col("ts") === lit(java.sql.Timestamp.valueOf("2024-02-05 00:00:00")))
+    assert(plannedFiles(tsEq) == 1, "timestamp equality -> 1 file")
+    assert(tsEq.count() == 1)
+    val tsRange = t.filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-02-25 00:00:00")))
+    assert(plannedFiles(tsRange) == 1, "timestamp lower bound -> March file only")
+    assert(tsRange.count() == 2)
+    // date: equality and IN-list
+    val dEq = t.filter(col("d") === lit(java.sql.Date.valueOf("2024-01-20")))
+    assert(plannedFiles(dEq) == 1, "date equality -> 1 file")
+    assert(dEq.count() == 1)
+    val dIn = t.filter(col("d").isin(
+      java.sql.Date.valueOf("2024-03-05"), java.sql.Date.valueOf("2024-03-20")))
+    assert(plannedFiles(dIn) == 1, "date IN-list -> 1 file")
+    assert(dIn.count() == 2)
+    // string: equality and prefix (LIKE 'm%')
+    val sEq = t.filter(col("s") === "zebra")
+    assert(plannedFiles(sEq) == 1, "string equality -> 1 file")
+    assert(sEq.count() == 1)
+    val sPrefix = t.filter(col("s").startsWith("m"))
+    assert(plannedFiles(sPrefix) == 1, "string prefix -> 1 file")
+    assert(sPrefix.count() == 2)
+  }
+
   // ---- SQL catalog (CREATE TABLE ... USING gwdelta + native time travel)
 
   private lazy val catalogReady: Unit = {
