@@ -314,21 +314,55 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- q23
-  /** Salted join: the skew-mitigation shape — replicate the build side S
-    * ways, spread probe rows across salts, join on (key, salt). Results are
-    * identical to the plain join (the oracle IS the plain join); at scale
-    * this breaks a hot key across S reducers when AQE skew-splitting isn't
-    * enough. */
+  /** Salted join, HOT KEYS ONLY: the scale-safe skew-mitigation shape.
+    * Blanket salting replicates the entire build side S times — at 100 TB
+    * that S-tuples the shuffle to fix skew that touches a handful of keys.
+    * Here a seeded sample of the probe side nominates hot keys (projected
+    * frequency above a threshold), the small hot set is broadcast to tag
+    * both sides, and ONLY hot build rows explode across S salts; the cold
+    * majority keeps a constant salt and joins exactly once. Results are
+    * identical to the plain join (the oracle IS the plain join); the
+    * replication factor is pinned in PlanSpec. */
   def q23SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val salts = 8
-    val l = t(spark, dir, "lineitem")
-      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
-    val o = t(spark, dir, "orders")
-      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
-    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+    val (lTagged, oTagged) = saltedJoinSides(
+      spark, dir, salts = 8, sampleFraction = 0.5, hotSampleCount = 6)
+    lTagged.join(oTagged,
+      lTagged("l_orderkey") === oTagged("o_orderkey") && lTagged("salt") === oTagged("salt"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_lines"),
         sum(cents(col("l_extendedprice"))).as("price_c"))
+  }
+
+  /** The salt-tagged (probe, build) sides of q23, exposed so PlanSpec can
+    * pin the replication behavior. `hotSampleCount` is the sampled-frequency
+    * threshold: a key is hot when its count within the `sampleFraction`
+    * sample reaches it (i.e. projected true frequency >=
+    * hotSampleCount / sampleFraction). */
+  private[graft] def saltedJoinSides(
+      spark: SparkSession, dir: String,
+      salts: Int, sampleFraction: Double, hotSampleCount: Long): (DataFrame, DataFrame) = {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    // hot-key nomination never touches the full probe side: a seeded
+    // sample shuffles only (key, count) with map-side partial aggregation,
+    // and the surviving set is small by construction (it's the skew tail)
+    val hotKeys = l.sample(withReplacement = false, sampleFraction, seed = 42L)
+      .groupBy(col("l_orderkey").as("hot_key")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= hotSampleCount)
+      .select("hot_key")
+    val lTagged = l.join(broadcast(hotKeys), l("l_orderkey") === col("hot_key"), "left")
+      .withColumn("salt",
+        when(col("hot_key").isNotNull,
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+          .otherwise(lit(0L)))
+      .drop("hot_key")
+    val oTagged = o.join(broadcast(hotKeys), o("o_orderkey") === col("hot_key"), "left")
+      // only hot rows fan out: cold rows carry the single salt 0
+      .withColumn("salt", explode(
+        when(col("hot_key").isNotNull, sequence(lit(0L), lit(salts - 1L)))
+          .otherwise(array(lit(0L)))))
+      .drop("hot_key")
+    (lTagged, oTagged)
   }
 
   // ---------------------------------------------------------------- q24

@@ -106,4 +106,25 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       s"windows should share one partition exchange:\n$p")
   }
+
+  test("q23 salting replicates only the hot-key slice of the build side") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    val nOrders = orders.count()
+    // gate parameters: with unskewed TPC-H-ish data only the frequency
+    // tail is nominated, so the build side must stay far below the 8x a
+    // blanket salt would cost — that delta IS the fix
+    val (lTagged, oTagged) = Relational.saltedJoinSides(
+      spark, sf, salts = 8, sampleFraction = 0.5, hotSampleCount = 6)
+    val factor = oTagged.count().toDouble / nOrders
+    assert(factor < 1.5, f"build side replicated $factor%.2fx — salting is not hot-key-gated")
+    // the hot branch is genuinely exercised (some keys replicate) ...
+    assert(oTagged.count() > nOrders, "no key was nominated hot; branch untested")
+    // ... and the salted join still returns exactly the plain join's rows
+    val salted = lTagged.join(oTagged,
+      lTagged("l_orderkey") === oTagged("o_orderkey") && lTagged("salt") === oTagged("salt"))
+    val plain = lineitem.join(orders,
+      lineitem("l_orderkey") === orders("o_orderkey"))
+    assert(salted.count() == plain.count(), "salted join changed the result")
+  }
 }
