@@ -415,7 +415,19 @@ object Pipelines {
   /** Vector L2 norm (sequential fold). */
   def l2norm(x: Column): Column = sqrt(dotProd(x, x))
 
-  def cosineNearDupPairs(df: DataFrame, id: Column, vec: Column, block: Column,
+  /** DEFAULT near-dup entry point: routes to the sub-quadratic
+    * LSH-candidate + exact-verify path ([[cosineNearDupPairsAnn]]) — the
+    * form that survives 100 TB. The exhaustive all-pairs variant is the
+    * explicit opt-in [[cosineNearDupPairsExact]]. */
+  def cosineNearDupPairs(df: DataFrame, id: Column, vec: Column,
+      threshold: Double, dim: Int, nPlanes: Int = 24, bands: Int = 8): DataFrame =
+    cosineNearDupPairsAnn(df, id, vec, threshold, dim, nPlanes, bands)
+
+  /** Exhaustive all-pairs cosine near-dup within a blocking column: exact
+    * recall by construction (and therefore DuckDB-oracle-checkable — the
+    * d05 gate), but O(n²/blocks) comparisons: small corpora or tight
+    * blocking only. At 100 TB use the default [[cosineNearDupPairs]]. */
+  def cosineNearDupPairsExact(df: DataFrame, id: Column, vec: Column, block: Column,
       threshold: Double): DataFrame = {
     val e = df.select(block.as("__block"), id.as("__id"), vec.as("__vec"))
       .withColumn("__nrm", l2norm(col("__vec")))

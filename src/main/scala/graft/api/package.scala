@@ -79,16 +79,24 @@ package object api {
 
   implicit class VectorPipelineOps(private val df: DataFrame) {
 
-    /** Cosine near-duplicate pairs within a blocking column. */
-    def cosineNearDupPairs(id: Column, vec: Column, block: Column,
-        threshold: Double): DataFrame =
-      Pipelines.cosineNearDupPairs(df, id, vec, block, threshold)
+    /** Cosine near-duplicate pairs — DEFAULTS to the blockless LSH
+      * candidate + exact VecDot verify path, the sub-quadratic form that
+      * survives 100 TB. Exhaustive all-pairs is the explicit opt-in
+      * [[cosineNearDupPairsExact]]. */
+    def cosineNearDupPairs(id: Column, vec: Column, threshold: Double,
+        dim: Int, nPlanes: Int = 24, bands: Int = 8): DataFrame =
+      Pipelines.cosineNearDupPairs(df, id, vec, threshold, dim, nPlanes, bands)
 
-    /** Blockless cosine near-dup: LSH candidates + exact VecDot verify
-      * (the sub-quadratic form that survives 100 TB). */
+    /** Same as the default (kept as the explicit name for the scale path). */
     def cosineNearDupPairsAnn(id: Column, vec: Column, threshold: Double,
         dim: Int, nPlanes: Int = 24, bands: Int = 8): DataFrame =
       Pipelines.cosineNearDupPairsAnn(df, id, vec, threshold, dim, nPlanes, bands)
+
+    /** Exhaustive all-pairs within a blocking column: exact recall,
+      * O(n²/blocks) — oracled gate form; opt-in, does not survive 100 TB. */
+    def cosineNearDupPairsExact(id: Column, vec: Column, block: Column,
+        threshold: Double): DataFrame =
+      Pipelines.cosineNearDupPairsExact(df, id, vec, block, threshold)
 
     /** Exact cosine top-k neighbors of `queries` against this corpus. */
     def cosineTopK(queries: DataFrame, id: Column, vec: Column, k: Int): DataFrame =

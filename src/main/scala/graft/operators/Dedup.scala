@@ -32,8 +32,11 @@ object Dedup {
     Pipelines.ngramJaccardPairs(docs(spark, dir), col("doc_id"), col("text"),
       Seq(col("lang"), expr("n_chars div 100").as("len_block")), threshold = 0.2)
 
+  /** Explicitly the EXACT all-pairs form: d05 is the oracle-checkable gate
+    * for near-dup arithmetic; the library default (`cosineNearDupPairs`)
+    * routes to the sub-quadratic ANN path gated as d06. */
   def d05CosineNearDup(spark: SparkSession, dir: String): DataFrame =
-    Pipelines.cosineNearDupPairs(embs(spark, dir), col("vec_id"), col("embedding"),
+    Pipelines.cosineNearDupPairsExact(embs(spark, dir), col("vec_id"), col("embedding"),
       col("label"), threshold = 0.3)
       .withColumnRenamed("block", "label")
 

@@ -59,14 +59,21 @@ class ApiSpec extends AnyFunSuite {
     assert(row.getLong(3) == 1000000L) // cos = 1.0 exactly
   }
 
-  test("cosineNearDupPairsAnn finds a planted exact clone blocklessly") {
+  test("cosineNearDupPairs DEFAULTS to the blockless ANN path and finds a planted clone") {
     val clone = embs.filter(col("vec_id") === 0)
       .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
     val corpus = embs.select("vec_id", "embedding", "label").unionAll(clone)
-    val pairs = corpus.cosineNearDupPairsAnn(col("vec_id"), col("embedding"),
+    // the default entry point takes NO blocking column: it must be the
+    // sub-quadratic LSH form (the 100 TB path), per SCALE.md
+    val pairs = corpus.cosineNearDupPairs(col("vec_id"), col("embedding"),
       threshold = 0.99, dim = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // identical vectors share every LSH band, so the clone pair must appear
     assert(pairs.exists(p => p._1 == 0L && p._2 == 999999L && p._3 == 1000000L))
+    // the explicit ANN name stays available and agrees with the default
+    val annPairs = corpus.cosineNearDupPairsAnn(col("vec_id"), col("embedding"),
+      threshold = 0.99, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(annPairs.toSet == pairs.toSet)
   }
 }

@@ -72,7 +72,7 @@ class OperatorSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     // ground truth: blockless all-pairs (no label restriction) at sf0.001
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
-    val exact = graft.api.Pipelines.cosineNearDupPairs(
+    val exact = graft.api.Pipelines.cosineNearDupPairsExact(
       e.withColumn("one", org.apache.spark.sql.functions.lit(1)),
       col("vec_id"), col("embedding"), col("one"), threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
