@@ -22,20 +22,31 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
       catch { case scala.util.control.NonFatal(_) => () }
     }
+    // n runs per query, report the per-query MIN: the bench host has ~3x
+    // load noise, and the min is the least-noisy estimator of the plan's
+    // intrinsic cost (regressions show as a raised floor, not a bad draw)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to runs).flatMap { _ =>
+        if (failed.contains(name)) None // don't re-run a known-failing query
+        else {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            failed ::= name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            Some((System.nanoTime() - t0) / 1e9)
+          }
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
