@@ -11,11 +11,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * files, SURVEY.md §2.3): `<tablePath>/_delta_log/<%020d-version>.json`,
  * JSON-lines, one action per line. Works on `file://`, `hdfs://`, `s3a://`.
  *
- * Commits use `FileSystem.create(path, overwrite = false)` — atomic
- * create-no-overwrite on HDFS/local — as optimistic concurrency control.
+ * Commit concurrency control is optimistic and scheme-aware (see
+ * [[GwLog.commitAt]]): atomic create-no-overwrite where the filesystem
+ * provides it (file/hdfs), write-temp + rename-claim on object stores.
  * The indexer's fan-out guarantees a single writer per table
  * (reference behavior: one Spark task per table, Guidewire.scala:71-74),
- * so collisions only occur on misuse; we fail fast rather than retry.
+ * so conflicts only arise from concurrent maintenance writers; losers get
+ * a [[VersionConflictException]] rather than a silent clobber, and we fail
+ * fast rather than retry.
  */
 class GwLog(val tablePath: Path, conf: Configuration,
     checkpointInterval: Int = GwLog.DefaultCheckpointInterval) {
@@ -96,16 +99,67 @@ class GwLog(val tablePath: Path, conf: Configuration,
         .sorted
   }
 
+  /**
+   * Write `actions` as exactly `version`, failing with
+   * [[VersionConflictException]] if another writer got there first.
+   *
+   * Two commit protocols, chosen by filesystem scheme (the same split
+   * delta's LogStores make):
+   *
+   *  - filesystems with atomic create-no-overwrite (file/hdfs/viewfs):
+   *    `create(target, overwrite = false)` — the O_EXCL/NameNode create IS
+   *    the winner election, and a torn write can't be mistaken for a
+   *    commit because the loser's create fails up front;
+   *  - object stores (s3a & friends), where create-no-overwrite is a
+   *    non-atomic HEAD-then-PUT spanning the whole upload: write the
+   *    payload to a hidden temp object first, then claim the version with
+   *    a rename that fails when the destination exists. The claim window
+   *    shrinks from "the full payload upload" to the rename's metadata op,
+   *    and a loser can never leave a half-written version file because the
+   *    only thing ever AT the version path is a fully-written object.
+   *
+   * Single-writer-per-table remains the design center (one indexer task
+   * per table); this protects the maintenance writers — concurrent
+   * compact/vacuum/sink on one table — from silently clobbering a version.
+   */
   def commitAt(version: Long, actions: Seq[Action]): Unit = {
     val f = fs
     f.mkdirs(logDir)
     val target = logPathFor(version)
-    val out = f.create(target, /* overwrite = */ false)
-    try {
-      val payload = actions.map(Actions.toJson).mkString("", "\n", "\n")
-      out.write(payload.getBytes(StandardCharsets.UTF_8))
-    } finally out.close()
+    val payload = actions.map(Actions.toJson).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    if (GwLog.atomicCreateScheme(f.getScheme)) commitViaCreate(version, target, payload)
+    else commitViaRename(version, target, payload)
   }
+
+  private[graft] def commitViaCreate(version: Long, target: Path, payload: Array[Byte]): Unit = {
+    val f = fs
+    val out =
+      try f.create(target, /* overwrite = */ false)
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new VersionConflictException(version, target, e)
+        case e: java.io.IOException if f.exists(target) =>
+          throw new VersionConflictException(version, target, e)
+      }
+    try out.write(payload) finally out.close()
+  }
+
+  private[graft] def commitViaRename(version: Long, target: Path, payload: Array[Byte]): Unit = {
+    val f = fs
+    val tmp = new Path(logDir, s".${java.util.UUID.randomUUID()}-$version.json.tmp")
+    val out = f.create(tmp, /* overwrite = */ true)
+    try out.write(payload) finally out.close()
+    try {
+      if (f.exists(target) || !f.rename(tmp, target))
+        throw new VersionConflictException(version, target, null)
+    } finally {
+      if (f.exists(tmp)) { f.delete(tmp, false); () }
+    }
+  }
+
+  private[graft] def payloadFor(actions: Seq[Action]): Array[Byte] =
+    actions.map(Actions.toJson).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
 
   /** Materialize the snapshot at `versionAsOf` (default: latest). Resumes
     * from the newest parquet checkpoint at or below the target version —
@@ -163,6 +217,23 @@ object GwLog {
   /** Checkpoint every N commits — delta's default cadence. */
   val DefaultCheckpointInterval = 10
 
+  /** Schemes whose `create(path, overwrite = false)` is atomic; everything
+    * else (object stores) takes the write-temp + rename-claim protocol.
+    * Unknown schemes default to rename: it is correct (if slightly slower)
+    * everywhere, while assuming atomic create on an object store is not. */
+  private[log] def atomicCreateScheme(scheme: String): Boolean =
+    scheme != null && (scheme match {
+      case "file" | "hdfs" | "viewfs" | "webhdfs" | "har" => true
+      case _ => false
+    })
+
   def forTable(conf: Configuration, tablePath: String): GwLog =
     new GwLog(new Path(tablePath), conf)
 }
+
+/** Another writer committed this version first. The losing writer's state
+  * is NOT on disk; re-read the log (the winner's actions included) and
+  * re-derive the commit before retrying at the next version. */
+class VersionConflictException(version: Long, target: Path, cause: Throwable)
+  extends RuntimeException(
+    s"Concurrent commit: version $version already exists at $target", cause)

@@ -170,7 +170,11 @@ object StreamOps {
   /** Arbitrary stateful processing via mapGroupsWithState: per-user session
     * summary (event count, distinct types, value total) — the custom-state
     * shape (KeyValueGroupedDataset) that windowed aggs can't express.
-    * State is O(distinct event types) per key. */
+    * State is O(distinct event types) per key. NoTimeout is deliberate:
+    * this op computes LIFETIME per-user totals, so state lives as long as
+    * the key does — the same posture as any update-mode aggregation keyed
+    * on an unbounded id. A deployment that only needs recent activity
+    * should key state eviction with EventTimeTimeout the way st03 does. */
   def st02StatefulSessions(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
     import spark.implicits._
     val name = nextName()

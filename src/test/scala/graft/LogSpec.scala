@@ -155,6 +155,55 @@ class LogSpec extends AnyFunSuite {
     assert(snap.version == 7L)
   }
 
+  test("concurrent commits at one version: the second writer loses, per protocol") {
+    def oneWins(commit: (GwLog, Long, Seq[Action]) => Unit): Unit = {
+      val dir = Files.createTempDirectory("gwlog-race").toString
+      val conf = new Configuration()
+      def actionsFor(i: Int): Seq[Action] = Seq(
+        Protocol(), Metadata(s"id$i", new StructType().json, createdTime = 1L),
+        AddFile(s"/data/w$i.parquet", 10, 1000),
+        CommitInfo(1L, "WRITE", "Overwrite", 1, 10, isBlindAppend = false, s"w$i"))
+      // each writer gets its OWN GwLog handle, as two real processes would
+      commit(GwLog.forTable(conf, dir), 0L, actionsFor(1))
+      intercept[VersionConflictException] {
+        commit(GwLog.forTable(conf, dir), 0L, actionsFor(2))
+      }
+      // the loser must not have clobbered or torn the winner's commit
+      val log = GwLog.forTable(conf, dir)
+      assert(log.listVersions() == Seq(0L))
+      val snap = log.snapshot()
+      assert(snap.files.map(_.path) == Seq("/data/w1.parquet"),
+        "winner's content survived intact")
+      assert(snap.metadata.map(_.id).contains("id1"))
+    }
+    // atomic-create protocol (file/hdfs)
+    oneWins((log, v, as) => log.commitAt(v, as))
+    // rename-claim protocol (what s3a & friends route through)
+    oneWins((log, v, as) =>
+      log.commitViaRename(v, log.logPathFor(v), log.payloadFor(as)))
+  }
+
+  test("rename-claim commit leaves no temp debris and rejects a second commit") {
+    val dir = Files.createTempDirectory("gwlog-rename").toString
+    val conf = new Configuration()
+    val log = GwLog.forTable(conf, dir)
+    val actions: Seq[Action] = Seq(
+      Protocol(), Metadata("id0", new StructType().json, createdTime = 1L),
+      AddFile("/data/a.parquet", 10, 1000),
+      CommitInfo(1L, "WRITE", "Overwrite", 1, 10, isBlindAppend = false, "t0"))
+    log.commitViaRename(0L, log.logPathFor(0L), log.payloadFor(actions))
+    assert(log.listVersions() == Seq(0L))
+    intercept[VersionConflictException] {
+      log.commitViaRename(0L, log.logPathFor(0L), log.payloadFor(actions))
+    }
+    // no .tmp files left behind by winner or loser
+    val fs = log.logPathFor(0L).getFileSystem(conf)
+    val leftovers = fs.listStatus(log.logPathFor(0L).getParent)
+      .map(_.getPath.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"temp debris: ${leftovers.mkString(",")}")
+    assert(log.snapshot().files.size == 1)
+  }
+
   /** Latest snapshot via the newest checkpoint + tail (versions > cp). */
   private def fullReplayAfterCorruption(log: GwLog): Set[AddFile] = {
     val cp = log.listCheckpoints().last
