@@ -6,7 +6,7 @@ import java.util.UUID
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.max
+import org.apache.spark.sql.functions.{col, max}
 import scala.jdk.CollectionConverters._
 
 /** One CDA commit folder -> one log version (reference package.scala:27-32). */
@@ -190,7 +190,24 @@ object Indexer {
     indexed.sortBy(_._1).map(_._2)
   }
 
-  /** Commit batches oldest->newest; one folder = one log version (K1-K3). */
+  /** txnId stamped on a folder's commit: the folder IS the batch identity
+    * (schema fingerprint + epoch-ms folder name are unique per table), so a
+    * rerun can recognize its own earlier commit. The `gwindex/` prefix
+    * namespaces indexer commits away from sink/maintenance txnIds. */
+  def indexTxnId(batch: Batch): String =
+    s"gwindex/${batch.schemaId}/${batch.commitTimestamp}"
+
+  /** Commit batches oldest->newest; one folder = one log version (K1-K3).
+    *
+    * Re-commit idempotence (documented deviation from the reference,
+    * SURVEY §2.6.5): checkpoints are saved only after every table
+    * succeeds, so a crash between a table's commits and the checkpoint
+    * write re-delivers already-committed folders on rerun. The reference
+    * re-commits them as duplicate versions (snapshot converges, history
+    * polluted); here the folder's txnId is matched against the recent log
+    * tail and an already-committed folder is SKIPPED — but still reported
+    * in `BatchResult`s so this run's checkpoint write repairs the
+    * watermark. */
   def commitBatches(
       conf: Configuration,
       tablePath: String,
@@ -200,12 +217,24 @@ object Indexer {
     if (batches.isEmpty) return Nil
     val gwLog = GwLog.forTable(conf, tablePath)
     if (bootstrap) gwLog.delete()
+    // the walk is bounded: a rerun can only re-deliver folders since the
+    // last successful checkpoint, which the next commits would follow
+    val window = math.max(GwSinkDedupWindow, batches.size + 8)
+    val committedTxns: Set[String] =
+      if (!gwLog.exists()) Set.empty
+      else gwLog.listVersions().takeRight(window).flatMap { v =>
+        gwLog.readVersion(v).collectFirst {
+          case ci: CommitInfo if ci.txnId.startsWith("gwindex/") => ci.txnId
+        }
+      }.toSet
     batches.map { raw =>
       val batch = promoteUncommittedRestatement(conf, gwLog, raw)
-      commitBatch(gwLog, batch)
+      if (!committedTxns.contains(indexTxnId(batch))) commitBatch(gwLog, batch)
       BatchResult(tableName, batch.schemaId, batch.commitTimestamp, batch.filesToAdd.size)
     }
   }
+
+  private val GwSinkDedupWindow = 64
 
   /**
    * Cross-run restatement guard: discovery only attaches Metadata when the
@@ -260,7 +289,7 @@ object Indexer {
           operation = if (tableExists) "UPGRADE SCHEMA" else "CREATE TABLE",
           mode = "Overwrite",
           numFiles = batch.filesToAdd.size, numOutputBytes = batch.filesToAdd.map(_.size).sum,
-          isBlindAppend = false, txnId = UUID.randomUUID().toString)
+          isBlindAppend = false, txnId = indexTxnId(batch))
         gwLog.commit(protocol ++ Seq(md) ++ batch.filesToAdd ++ removes ++ Seq(info))
       case None =>
         // fail fast instead of writing a log whose snapshot has no
@@ -273,7 +302,7 @@ object Indexer {
         val info = CommitInfo(
           timestamp = batch.commitTimestamp, operation = "WRITE", mode = "Append",
           numFiles = batch.filesToAdd.size, numOutputBytes = batch.filesToAdd.map(_.size).sum,
-          isBlindAppend = true, txnId = UUID.randomUUID().toString)
+          isBlindAppend = true, txnId = indexTxnId(batch))
         gwLog.commit(batch.filesToAdd ++ Seq(info))
     }
   }
@@ -290,7 +319,7 @@ object Indexer {
     if (!fs.exists(path)) Map.empty
     else {
       import spark.implicits._
-      spark.read.parquet(path.toString)
+      checkpointsDF(databasePath)
         .groupBy("tableName")
         .agg(max("processedTimestamp").alias("processedTimestamp"))
         .as[(String, Long)]
@@ -299,6 +328,15 @@ object Indexer {
     }
   }
 
+  /**
+   * Checkpoints ride the engine's OWN transaction log (a gwdelta table,
+   * like the reference persists `_checkpoints` as a Delta table,
+   * Guidewire.scala:261): each run's rows are one atomic `GwSink.append`
+   * commit, so a crash mid-write can no longer leave a partial parquet
+   * file that poisons every later `loadCheckpoints` — readers only see
+   * committed files. Append mode accumulates history exactly like the
+   * reference; Overwrite drops the table first.
+   */
   def saveCheckpoints(
       results: Map[String, Seq[BatchResult]],
       databasePath: String,
@@ -306,10 +344,30 @@ object Indexer {
     val rows = results.values.flatten.toSeq
     if (rows.isEmpty) return
     import spark.implicits._
-    rows.toDF("tableName", "processedSchema", "processedTimestamp", "processedFiles")
-      .write.mode(saveMode).parquet(checkpointsPath(databasePath))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = checkpointsPath(databasePath)
+    if (saveMode == SaveMode.Overwrite) GwLog.forTable(conf, path).delete()
+    var df = rows.toDF("tableName", "processedSchema", "processedTimestamp", "processedFiles")
+    // legacy migration: a pre-log plain-parquet checkpoint dir would become
+    // invisible the moment a log bootstraps next to it — fold its rows into
+    // the bootstrap commit (duplicates are harmless under groupBy/max)
+    val fsPath = new Path(path)
+    val fs = fsPath.getFileSystem(conf)
+    if (saveMode == SaveMode.Append && fs.exists(fsPath) &&
+        !GwLog.forTable(conf, path).exists()) {
+      val legacy = spark.read.parquet(path).select(df.columns.map(col): _*)
+      df = df.unionByName(legacy)
+    }
+    graft.streaming.GwSink.append(df, path)
+    ()
   }
 
-  def checkpointsDF(databasePath: String)(implicit spark: SparkSession): DataFrame =
-    spark.read.parquet(checkpointsPath(databasePath))
+  /** The checkpoint table through its log; legacy plain-parquet checkpoint
+    * directories (pre-log layouts) read via a raw parquet scan. */
+  def checkpointsDF(databasePath: String)(implicit spark: SparkSession): DataFrame = {
+    val path = checkpointsPath(databasePath)
+    val log = GwLog.forTable(spark.sparkContext.hadoopConfiguration, path)
+    if (log.exists()) GwTable.forPath(spark, path).toDF
+    else spark.read.parquet(path)
+  }
 }

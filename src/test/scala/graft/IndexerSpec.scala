@@ -104,6 +104,62 @@ class IndexerSpec extends SparkSpec {
     assert(table.log.listVersions() == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("crash between commits and checkpoint save: rerun converges without duplicate versions") {
+    val (manifestUri, dbPath) = stageFixture()
+    Indexer.index(manifestUri, dbPath)(spark)
+    val table = GwTable.forPath(spark, s"$dbPath/policy_holders")
+    assert(table.log.listVersions() == Seq(0L, 1L, 2L, 3L))
+    // checkpoints ride the engine's own log now (atomic commit per run)
+    val cpLog = GwLog.forTable(spark.sparkContext.hadoopConfiguration,
+      Indexer.checkpointsPath(dbPath))
+    assert(cpLog.exists(), "checkpoints must be a gwdelta table")
+
+    // a new CDA folder arrives and the manifest watermark advances
+    val manifestPath = Paths.get(java.net.URI.create(manifestUri))
+    val dataDir = manifestPath.getParent.resolve("cda/policy_holders")
+    val srcDir = dataDir.resolve("301248660/1680945093000")
+    val srcFile = {
+      val s = Files.list(srcDir)
+      try s.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally s.close()
+    }
+    val newFolder = dataDir.resolve("301248660/1680945094000")
+    Files.createDirectories(newFolder)
+    Files.copy(srcFile, newFolder.resolve("part-extra.parquet"))
+    Files.write(manifestPath, s"""{
+      "policy_holders": {
+        "lastSuccessfulWriteTimestamp": "1680945094000",
+        "totalProcessedRecordsCount": 71027,
+        "dataFilesPath": "${dataDir.toUri}",
+        "schemaHistory": {
+          "301248659": "1680535502000",
+          "301248660": "1680945093000"
+        }
+      }
+    }""".getBytes(StandardCharsets.UTF_8))
+
+    // run 2 "crashes" after its table commits, BEFORE the checkpoint save
+    // (processManifest commits; index() is what writes checkpoints)
+    val entries = graft.sources.Manifest.read(
+      spark.sparkContext.hadoopConfiguration, manifestUri)
+    val crashed = Indexer.processManifest(entries,
+      Indexer.loadCheckpoints(dbPath)(spark), dbPath, SaveMode.Append,
+      enforceGuidewireTimestamp = true)(spark)
+    assert(crashed("policy_holders").isRight)
+    assert(table.log.listVersions() == Seq(0L, 1L, 2L, 3L, 4L))
+
+    // the watermark is stale, so a full rerun re-discovers the folder —
+    // it must repair the checkpoint WITHOUT committing a duplicate version
+    val repaired = Indexer.index(manifestUri, dbPath)(spark)
+    assert(repaired("policy_holders").map(_.processedTimestamp) == Seq(1680945094000L),
+      "re-delivered folder must be reported so the checkpoint is repaired")
+    assert(table.log.listVersions() == Seq(0L, 1L, 2L, 3L, 4L),
+      "rerun must not commit the folder twice")
+    assert(table.toDF.count() == 9) // 8 + the one-row copied part file
+    // converged: a third run discovers nothing
+    assert(Indexer.index(manifestUri, dbPath)(spark)("policy_holders").isEmpty)
+  }
+
   test("manifest gate (EDGE CASE#1) drops folders newer than the manifest watermark") {
     val (manifestUri, dbPath) = stageFixture()
     // rewrite manifest watermark to exclude the last folder
