@@ -367,11 +367,16 @@ object StreamOps {
     * that runs unbounded. A duplicate older than the watermark is dropped as
     * late data before the operator, which for dedup is the same outcome. */
   def st06StreamDedup(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
-    val name = nextName()
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val stage = java.nio.file.Files.createTempDirectory("graft-stream-dup")
     stageLinks(src, stage, Seq("a_events.parquet", "b_events.parquet"))
     val schema = spark.read.parquet(src.toString).schema
+    // parquet sink, not memory: the memory sink materializes the full O(N)
+    // deduped stream on the driver, which both breaks at scale and makes
+    // the bench time the driver copy instead of the operator — executors
+    // write the sink files here, exactly like production
+    val out = java.nio.file.Files.createTempDirectory("graft-st06-out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-st06-cp").toString
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
@@ -382,13 +387,14 @@ object StreamOps {
         round(col("value") * 100).cast("long").as("value_c"),
         expr("ts div 1000").as("us"))
       .writeStream
-      .format("memory")
-      .queryName(name)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", cp)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    spark.read.parquet(out)
   }
 
   // ---------------------------------------------------------------- st07
@@ -401,21 +407,25 @@ object StreamOps {
     * (only the listed files are re-read each batch); a dimension that
     * gains/loses files needs a catalog table or a restarted query. */
   def st07StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
-    val name = nextName()
     val customers = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
+    // parquet sink for the same reason as st06: the enriched stream is
+    // O(N) and must land on executors, not the driver
+    val out = java.nio.file.Files.createTempDirectory("graft-st07-out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-st07-cp").toString
     val q = eventStream(spark, dir)
       .join(broadcast(customers), col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("c_mktsegment"),
         round(col("value") * 100).cast("long").as("value_c"))
       .writeStream
-      .format("memory")
-      .queryName(name)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", cp)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    spark.read.parquet(out)
   }
 
   // ---------------------------------------------------------------- st08
