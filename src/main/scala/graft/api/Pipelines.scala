@@ -63,6 +63,43 @@ object Pipelines {
       .withColumn("chars", length(text))
 
   /**
+   * Sequence packing (t10): greedy next-fit packing of documents into
+   * fixed token-budget rows — the standard pre-training batching step.
+   * Deterministic: docs are processed in `id` order within each `shard`
+   * and appended to the current pack until the budget would overflow,
+   * which opens the next pack (an oversized doc occupies a pack alone).
+   *
+   * Scale shape: packing is inherently sequential, so it is SHARDED —
+   * each shard (e.g. language, source, date bucket) packs independently,
+   * which is exactly how production pipelines run it. One repartition by
+   * shard + an in-partition sort; the scan itself carries O(1) state
+   * (running pack id / budget fill), never buffering a shard. Returns
+   * (shard, id, tokens, pack_id, pack_pos), all int64.
+   */
+  def packSequences(df: DataFrame, shard: Column, id: Column, tokens: Column,
+      budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(shard.cast("string").as("__shard"), id.cast("long").as("__id"),
+        tokens.cast("long").as("__tokens"))
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__id"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        // secondary-sort scan: shards arrive contiguously, docs id-ordered
+        var curShard: String = null
+        var pack = 0L; var fill = 0L; var pos = 0L
+        it.map { case (s, docId, tk) =>
+          if (s != curShard) { curShard = s; pack = 0L; fill = tk; pos = 0L }
+          else if (fill + tk > budget) { pack += 1; fill = tk; pos = 0L }
+          else { fill += tk; pos += 1 }
+          (s, docId, tk, pack, pos)
+        }
+      }
+      .toDF("shard", "id", "tokens", "pack_id", "pack_pos")
+  }
+
+  /**
    * Repetition-based quality signals (the word-level analogue of the
    * published "duplicate n-gram fraction" filters for training corpora):
    * per document, the share of bigram occurrences taken by the most

@@ -75,6 +75,13 @@ package object api {
     def ngramJaccardPairs(id: Column, text: Column, blocks: Seq[Column],
         threshold: Double): DataFrame =
       Pipelines.ngramJaccardPairs(df, id, text, blocks, threshold)
+
+    /** Greedy next-fit sequence packing into `budget`-token rows, sharded
+      * by `shard`, deterministic in `id` order (the pre-training batching
+      * step). */
+    def packSequences(shard: Column, id: Column, tokens: Column,
+        budget: Long): DataFrame =
+      Pipelines.packSequences(df, shard, id, tokens, budget)
   }
 
   implicit class VectorPipelineOps(private val df: DataFrame) {

@@ -91,6 +91,19 @@ object TextOps {
       docs(spark, dir).select(col("lang"), explode(split(col("text"), " ")).as("word")),
       Seq(col("lang")), col("word"), k = 5, capacity = 64)
 
+  /** Sequence packing: greedy next-fit of documents into 1000-token rows,
+    * sharded by language, deterministic by doc_id order — the pre-training
+    * batching step. Oracle = the same greedy recurrence as a DuckDB
+    * recursive CTE over the identical whitespace token counts. */
+  def t10SequencePacking(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.packSequences(
+      docs(spark, dir),
+      col("lang"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long"),
+      budget = 1000L)
+      .withColumnRenamed("shard", "lang")
+      .withColumnRenamed("id", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -101,6 +114,7 @@ object TextOps {
     "t07_sample" -> t07Sample _,
     "t08_curation" -> t08Curation _,
     "t09_heavy_hitters" -> t09HeavyHitters _,
+    "t10_sequence_packing" -> t10SequencePacking _,
   )
 
   private def sqlList(lang: String): String =
@@ -191,5 +205,23 @@ object TextOps {
         | FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents)
         | GROUP BY lang, word
         |) WHERE rnk <= 10""".stripMargin,
+    // greedy next-fit recurrence, one step per doc in (lang, doc_id) order
+    "t10_sequence_packing" ->
+      """WITH RECURSIVE d AS (
+        | SELECT lang, doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens,
+        |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        | FROM documents),
+        |p AS (
+        | SELECT lang, doc_id, tokens, rn,
+        |  CAST(0 AS BIGINT) AS pack_id, tokens AS fill, CAST(0 AS BIGINT) AS pack_pos
+        | FROM d WHERE rn = 1
+        | UNION ALL
+        | SELECT d.lang, d.doc_id, d.tokens, d.rn,
+        |  CASE WHEN p.fill + d.tokens > 1000 THEN p.pack_id + 1 ELSE p.pack_id END,
+        |  CASE WHEN p.fill + d.tokens > 1000 THEN d.tokens ELSE p.fill + d.tokens END,
+        |  CASE WHEN p.fill + d.tokens > 1000 THEN CAST(0 AS BIGINT) ELSE p.pack_pos + 1 END
+        | FROM d JOIN p ON d.lang = p.lang AND d.rn = p.rn + 1)
+        |SELECT lang, doc_id, tokens, pack_id, pack_pos FROM p""".stripMargin,
   )
 }

@@ -59,6 +59,41 @@ class ApiSpec extends AnyFunSuite {
     assert(row.getLong(3) == 1000000L) // cos = 1.0 exactly
   }
 
+  test("packSequences: greedy next-fit invariants hold and the scan is deterministic") {
+    val budget = 1000L
+    val packed = docs.packSequences(col("lang"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long"), budget)
+    val rows = packed.collect()
+    assert(rows.length == docs.count())
+    // per (shard, pack): fill <= budget unless the pack is a single
+    // oversized doc; positions are 0..n-1 in doc_id order
+    val byPack = rows.groupBy(r => (r.getString(0), r.getLong(3)))
+    byPack.foreach { case ((s, p), ps) =>
+      val fill = ps.map(_.getLong(2)).sum
+      assert(fill <= budget || ps.length == 1, s"pack ($s,$p) overflows: $fill")
+      val sorted = ps.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(4)).toSeq == ps.indices.map(_.toLong),
+        s"pack ($s,$p) positions not contiguous in id order")
+    }
+    // greedy = no doc could have stayed in the previous pack: the first doc
+    // of pack p+1 must not fit after pack p's fill
+    byPack.toSeq.groupBy(_._1._1).foreach { case (_, packs) =>
+      val ordered = packs.sortBy(_._1._2)
+      ordered.sliding(2).foreach {
+        case Seq((_, prev), (_, next)) =>
+          val prevFill = prev.map(_.getLong(2)).sum
+          val firstNext = next.minBy(_.getLong(1)).getLong(2)
+          assert(prevFill + firstNext > budget,
+            "doc moved to a new pack while the previous still had room")
+        case _ => ()
+      }
+    }
+    // deterministic: a second run produces the identical assignment
+    val again = docs.packSequences(col("lang"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long"), budget).collect()
+    assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+  }
+
   test("cosineNearDupPairs DEFAULTS to the blockless ANN path and finds a planted clone") {
     val clone = embs.filter(col("vec_id") === 0)
       .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
