@@ -272,6 +272,35 @@ object GwCore {
     spark.sql(s"SELECT * FROM gw.$ns.nation VERSION AS OF 0")
   }
 
+  // ---------------------------------------------------------------- gw13
+  /** SQL DML surface: CREATE TABLE with declared columns (no log yet),
+    * INSERT INTO bootstrapping the log, a second append, then INSERT
+    * OVERWRITE truncating to one copy atomically — all through the
+    * catalog, no API calls. Final content = exactly one copy of region
+    * (the oracle), with the append history still time-travelable. */
+  def gw13SqlInsert(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("gw13")
+    if (!spark.conf.getOption("spark.sql.catalog.gw").contains(
+        classOf[graft.sources.GwCatalog].getName)) {
+      spark.conf.set("spark.sql.catalog.gw", classOf[graft.sources.GwCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gw.warehouse",
+        Files.createTempDirectory("gw-warehouse").toString)
+    }
+    val ns = s"ns${System.nanoTime()}"
+    spark.read.parquet(s"$dir/region.parquet").createOrReplaceTempView("gw13_region_src")
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    // INT like the source parquet: INSERT's store assignment would silently
+    // widen into a declared BIGINT and dtype-drift the oracle compare
+    spark.sql(s"CREATE TABLE gw.$ns.region (r_regionkey INT, r_name STRING) " +
+      s"USING gwdelta LOCATION '${tmp.resolve("db/region").toString}'")
+    spark.sql(s"INSERT INTO gw.$ns.region SELECT r_regionkey, r_name FROM gw13_region_src")
+    spark.sql(s"INSERT INTO gw.$ns.region SELECT r_regionkey, r_name FROM gw13_region_src")
+    require(spark.sql(s"SELECT * FROM gw.$ns.region").count() == 2 *
+      spark.table("gw13_region_src").count(), "two appends before the overwrite")
+    spark.sql(s"INSERT OVERWRITE gw.$ns.region SELECT r_regionkey, r_name FROM gw13_region_src")
+    spark.sql(s"SELECT * FROM gw.$ns.region")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -285,6 +314,7 @@ object GwCore {
     "gw10_stream_sink" -> gw10StreamSink _,
     "gw11_sink_format" -> gw11StreamSinkFormat _,
     "gw12_sql_catalog" -> gw12SqlCatalog _,
+    "gw13_sql_insert" -> gw13SqlInsert _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -307,5 +337,6 @@ object GwCore {
     "gw11_sink_format" ->
       "SELECT * FROM region UNION ALL SELECT * FROM region",
     "gw12_sql_catalog" -> "SELECT * FROM nation",
+    "gw13_sql_insert" -> "SELECT r_regionkey, r_name FROM region",
   )
 }

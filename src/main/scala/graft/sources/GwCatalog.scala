@@ -44,10 +44,13 @@ import scala.util.Try
  * file skipping and the delegated parquet scan (pushdown, vectorization,
  * AQE) unchanged.
  *
- * Writes go through the indexer and the streaming sink, not SQL DML: the
- * engine is a shallow-clone indexer, so INSERT/UPDATE/DELETE are out of
- * scope by design (same posture as the reference, which documents its
- * output as read-only downstream of CDA).
+ * Writes: `INSERT INTO` appends one atomic commit and `INSERT OVERWRITE`
+ * truncates-and-replaces in one commit (both via the engine's sink commit
+ * path; old files stay time-travelable until vacuum). A table created with
+ * declared columns is INSERT-ready before any data — the first insert
+ * bootstraps its log. CDA-mirror tables remain read-only by convention
+ * (the indexer owns them); UPDATE/DELETE/MERGE are out of scope — the
+ * engine is an append/restate log, not a row-mutation store.
  */
 class GwCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -76,7 +79,9 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
   private def pointerPath(ident: Identifier): Path =
     new Path(metaDir(ident.namespace.toSeq), s"${ident.name}.json")
 
-  private def readPointer(ident: Identifier): Option[(String, Boolean)] = {
+  private case class Pointer(location: String, managed: Boolean, declared: Option[StructType])
+
+  private def readPointer(ident: Identifier): Option[Pointer] = {
     val p = pointerPath(ident)
     if (!fs.exists(p)) None
     else {
@@ -84,13 +89,17 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
       try {
         val root = mapper.readTree(
           new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8))
-        Some((root.path("location").asText(), root.path("managed").asBoolean(false)))
+        val declared = Option(root.get("schemaJson")).map(_.asText())
+          .flatMap(j => Try(org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[StructType]).toOption)
+        Some(Pointer(root.path("location").asText(),
+          root.path("managed").asBoolean(false), declared))
       } finally in.close()
     }
   }
 
   private def locationOf(ident: Identifier): String =
-    readPointer(ident).map(_._1).getOrElse(throw new NoSuchTableException(ident))
+    readPointer(ident).map(_.location).getOrElse(throw new NoSuchTableException(ident))
 
   // ---- TableCatalog ----
 
@@ -121,23 +130,21 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   private def loadAt(ident: Identifier, version: Option[Long]): Table = {
-    val location = locationOf(ident)
+    val pointer = readPointer(ident).getOrElse(throw new NoSuchTableException(ident))
+    val location = pointer.location
     val log = GwLog.forTable(conf, location)
     val displayName = (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
     if (!log.exists()) {
-      // registered before any commit: schema-less until the first commit
-      // lands (the log is the source of truth; see class scaladoc)
-      new Table {
-        override def name(): String = s"$displayName (no transaction log yet at $location)"
-        override def schema(): StructType = new StructType()
-        override def capabilities(): java.util.Set[
-          org.apache.spark.sql.connector.catalog.TableCapability] =
-          java.util.Collections.emptySet()
-      }
+      // registered before any commit: the table serves its DECLARED columns
+      // (if any) and accepts the first INSERT, which bootstraps the log
+      new org.apache.spark.sql.graftbridge.GwDeltaPendingTable(
+        displayName, pointer.declared.getOrElse(new StructType()), location)
     } else {
       val opts = new CaseInsensitiveStringMap(java.util.Collections.singletonMap("path", location))
       new org.apache.spark.sql.graftbridge.GwDeltaTable(
-        displayName, SparkSession.active, opts, log.snapshot(version))
+        displayName, SparkSession.active, opts, log.snapshot(version),
+        // only the LATEST snapshot accepts writes; time travel is read-only
+        writable = version.isEmpty)
     }
   }
 
@@ -154,16 +161,27 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
     }
     require(partitions.isEmpty,
       "gwdelta tables derive layout from the transaction log; PARTITIONED BY is not supported")
-    require(schema.isEmpty,
-      "gwdelta tables take their schema from the transaction log; " +
-        "declare no columns (CREATE TABLE c.ns.t USING gwdelta LOCATION ...)")
     val explicit = Option(properties.get(TableCatalog.PROP_LOCATION))
     val location = explicit.getOrElse(
       ns.foldLeft(warehouse)((p, n) => new Path(p, n)).suffix(s"/${ident.name}").toString)
+    // columns are optional: pointing at an EXISTING log needs none (the log
+    // is the schema authority — declared columns must agree with it);
+    // declaring columns on a fresh location makes the table INSERT-ready
+    // before its first commit (GwDeltaPendingTable)
+    if (schema.nonEmpty) {
+      val log = GwLog.forTable(conf, location)
+      if (log.exists()) {
+        val logged = log.snapshot(None).schema
+        require(org.apache.spark.sql.graftbridge.Bridge.sameType(logged, schema),
+          s"declared columns do not match the transaction log at $location\n" +
+            s"  log:      ${logged.catalogString}\n  declared: ${schema.catalogString}")
+      }
+    }
     val node = mapper.createObjectNode()
     node.put("location", location)
     node.put("managed", explicit.isEmpty)
     node.put("createdTime", System.currentTimeMillis())
+    if (schema.nonEmpty) node.put("schemaJson", schema.json)
     // create-no-overwrite: concurrent CREATE of the same name — one wins
     val out =
       try fs.create(pointerPath(ident), /* overwrite = */ false)
@@ -185,7 +203,7 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean =
     readPointer(ident) match {
       case None => false
-      case Some((location, managed)) =>
+      case Some(Pointer(location, managed, _)) =>
         // external tables: drop the pointer only — the data and its log
         // belong to the indexer (shallow-clone semantics). Managed tables
         // (no LOCATION given) own their directory, so drop reclaims it.

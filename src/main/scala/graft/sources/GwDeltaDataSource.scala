@@ -34,7 +34,8 @@ import java.util.{Map => JMap}
  */
 class GwDeltaDataSource extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSourceProvider
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "gwdelta"
 
@@ -79,9 +80,14 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
     resolve(options) match {
       case Some(snap) =>
         // GwDeltaTable file-skips with the log's harvested footer stats,
-        // then delegates the scan to Spark's parquet V2 machinery
+        // then delegates the scan to Spark's parquet V2 machinery; batch
+        // writes (df.write.format("gwdelta").mode(...)) are allowed at the
+        // LATEST snapshot only — a time-travel load is read-only
+        val timeTravel = options.containsKey("versionAsOf") ||
+          options.containsKey("timestampAsOf")
         new org.apache.spark.sql.graftbridge.GwDeltaTable(
-          s"gwdelta:${options.get("path")}", SparkSession.active, options, snap)
+          s"gwdelta:${options.get("path")}", SparkSession.active, options, snap,
+          writable = !timeTravel)
       case None =>
         // no log yet: a capability-less table — readable by nothing, which
         // makes DataStreamWriter fall back to the V1 sink below (whose
@@ -95,6 +101,43 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
             org.apache.spark.sql.connector.catalog.TableCapability] =
             java.util.Collections.emptySet()
         }
+    }
+  }
+
+  // ---- batch write (df.write.format("gwdelta").mode(...).save(path)) ----
+
+  /** `DataFrameWriter.save` routes plain TableProviders without a full V2
+    * BatchWrite through the V1 `CreatableRelationProvider` hook — which is
+    * all the engine needs: the parquet write is executor work and the
+    * commit is one log append (`GwSink`), including the bootstrap of a
+    * log-less path. Overwrite is a single atomic remove-all+add commit. */
+  override def createRelation(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    require(!parameters.contains("versionAsOf") && !parameters.contains("timestampAsOf"),
+      "writes target the LATEST snapshot; drop versionAsOf/timestampAsOf")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("gwdelta requires a path"))
+    val exists = graft.log.GwLog
+      .forTable(sqlContext.sparkSession.sparkContext.hadoopConfiguration, path).exists()
+    mode match {
+      case org.apache.spark.sql.SaveMode.Append =>
+        graft.streaming.GwSink.append(data, path)
+      case org.apache.spark.sql.SaveMode.Overwrite =>
+        graft.streaming.GwSink.overwrite(data, path)
+      case org.apache.spark.sql.SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"gwdelta table already exists at $path (mode ErrorIfExists)")
+        graft.streaming.GwSink.append(data, path)
+      case org.apache.spark.sql.SaveMode.Ignore =>
+        if (!exists) { graft.streaming.GwSink.append(data, path); () }
+    }
+    val ctx = sqlContext
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = data.schema
     }
   }
 

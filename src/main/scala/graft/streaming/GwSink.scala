@@ -100,4 +100,48 @@ object GwSink {
       txnId = txnId.getOrElse(java.util.UUID.randomUUID().toString))
     log.commit(head ++ files :+ info)
   }
+
+  /** Truncating write (INSERT OVERWRITE): one commit that removes every
+    * live file and adds the batch's files — readers switch atomically from
+    * the old content to the new; the tombstoned files stay readable for
+    * time travel until `vacuum`. An EMPTY batch is a plain TRUNCATE (the
+    * remove-all commit still happens, unlike `append`'s no-op). */
+  def overwrite(df: DataFrame, tablePath: String): Long = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val log = GwLog.forTable(conf, tablePath)
+    val bootstrap = log.listVersions().isEmpty
+    val removes: Seq[Action] =
+      if (bootstrap) Nil
+      else {
+        val snap = log.snapshot(None)
+        require(org.apache.spark.sql.graftbridge.Bridge.sameType(snap.schema, df.schema),
+          s"batch schema does not match the table schema at $tablePath\n" +
+            s"  table: ${snap.schema.catalogString}\n  batch: ${df.schema.catalogString}")
+        val now = System.currentTimeMillis()
+        snap.files.map(f => graft.log.RemoveFile(f.path, f.size, now))
+      }
+    val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(outDir.toString)
+    val files: Seq[AddFile] =
+      graft.sources.SchemaProbe.harvestAddFiles(conf, outDir, dataChange = true)
+    if (files.isEmpty) outDir.getFileSystem(conf).delete(outDir, true)
+    val now = System.currentTimeMillis()
+    val head: Seq[Action] =
+      if (bootstrap)
+        Seq(Protocol(), Metadata(
+          id = java.util.UUID.randomUUID().toString,
+          schemaString = df.schema.json,
+          createdTime = now))
+      else Nil
+    val info = CommitInfo(
+      timestamp = now,
+      operation = if (bootstrap) "CREATE TABLE" else "WRITE",
+      mode = "Overwrite",
+      numFiles = files.size,
+      numOutputBytes = files.map(_.size).sum,
+      isBlindAppend = false,
+      txnId = java.util.UUID.randomUUID().toString)
+    log.commit(head ++ removes ++ files :+ info)
+  }
 }

@@ -30,16 +30,83 @@ class GwDeltaTable(
     tableName: String,
     spark: SparkSession,
     options: CaseInsensitiveStringMap,
-    snapshot: Snapshot) extends Table with SupportsRead {
+    snapshot: Snapshot,
+    writable: Boolean = false) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = tableName
   override def schema(): StructType = snapshot.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (writable)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def partitioning(): Array[Transform] = Array.empty
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new GwPruningScanBuilder(tableName, spark, opts, snapshot)
+
+  /** INSERT INTO / INSERT OVERWRITE / df.writeTo(...): a V1Write bridge
+    * into the engine's own commit path (`GwSink`) — the parquet write is
+    * executor work, the commit one log append; INSERT OVERWRITE is a
+    * single atomic remove-all+add commit (old files stay for time travel).
+    * Only the LATEST snapshot is writable; a time-travel load is read-only
+    * by construction (`writable = false`). */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    GwWriteBuilders.forPath(options.get("path"))
+}
+
+/** Shared V1Write builders for gwdelta tables (live + pending). */
+private[graftbridge] object GwWriteBuilders {
+  import org.apache.spark.sql.connector.write.{SupportsTruncate, V1Write, Write, WriteBuilder}
+  import org.apache.spark.sql.sources.InsertableRelation
+
+  def forPath(path: String, declared: Option[StructType] = None): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              declared.filter(_.nonEmpty).foreach { s =>
+                require(Bridge.sameType(s, data.schema),
+                  s"insert schema does not match the declared table schema\n" +
+                    s"  table: ${s.catalogString}\n  batch: ${data.schema.catalogString}")
+              }
+              if (truncateFirst || overwrite) graft.streaming.GwSink.overwrite(data, path)
+              else graft.streaming.GwSink.append(data, path)
+              ()
+            }
+          }
+      }
+    }
+}
+
+/** A catalog table whose location has no transaction log yet (CREATE TABLE
+  * before any data): serves the DECLARED schema and accepts the first
+  * INSERT, whose commit bootstraps the log. Not readable — there is no
+  * committed content to read; a SELECT fails on the missing capability
+  * with the name spelling out why. */
+class GwDeltaPendingTable(
+    tableName: String,
+    declaredSchema: StructType,
+    path: String) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String =
+    s"$tableName (no transaction log yet at $path)"
+  override def schema(): StructType = declaredSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    GwWriteBuilders.forPath(path, Some(declaredSchema))
 }
 
 class GwPruningScanBuilder(

@@ -309,6 +309,48 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gwtest.cda.t").count() == 5)
   }
 
+  test("catalog: INSERT INTO appends a commit; INSERT OVERWRITE truncates atomically") {
+    catalogReady
+    // a fresh writable table over its own location (don't mutate the shared fixture)
+    val loc = Files.createTempDirectory("gwtest-dml").resolve("t").toString
+    spark.sql(s"CREATE TABLE gwtest.cda.dml (r_regionkey BIGINT, r_name STRING) " +
+      s"USING gwdelta LOCATION '$loc'")
+    // first INSERT bootstraps the log from the declared schema
+    spark.sql("INSERT INTO gwtest.cda.dml SELECT r_regionkey, r_name FROM gwtest.cda.t")
+    assert(spark.sql("SELECT * FROM gwtest.cda.dml").count() == 5)
+    spark.sql("INSERT INTO gwtest.cda.dml VALUES (99, 'NEWLAND')")
+    assert(spark.sql("SELECT * FROM gwtest.cda.dml").count() == 6)
+    val table = GwTable.forPath(spark, loc)
+    assert(table.log.listVersions() == Seq(0L, 1L))
+    // OVERWRITE replaces content in ONE commit; old versions stay readable
+    spark.sql("INSERT OVERWRITE gwtest.cda.dml VALUES (1, 'ONLY')")
+    assert(spark.sql("SELECT * FROM gwtest.cda.dml").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "ONLY")))
+    assert(spark.sql("SELECT count(*) AS n FROM gwtest.cda.dml VERSION AS OF 1")
+      .head().getLong(0) == 6, "pre-overwrite content must remain time-travelable")
+    // time-travel relations are read-only
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gwtest.cda.dml VERSION AS OF 0 VALUES (2, 'X')")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("df.write.format(gwdelta) bootstraps, appends, and overwrites through the connector") {
+    val loc = Files.createTempDirectory("gwdelta-dfw").resolve("t").toString
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    region.write.format("gwdelta").mode("append").save(loc) // bootstrap
+    region.write.format("gwdelta").mode("append").save(loc)
+    assert(spark.read.format("gwdelta").load(loc).count() == 10)
+    region.limit(2).write.format("gwdelta").mode("overwrite").save(loc)
+    assert(spark.read.format("gwdelta").load(loc).count() == 2)
+    // pre-overwrite content still time-travels
+    assert(spark.read.format("gwdelta").option("versionAsOf", 1).load(loc).count() == 10)
+    val e = intercept[Exception] {
+      region.write.format("gwdelta").option("versionAsOf", 0).mode("append").save(loc)
+    }
+    assert(e.getMessage.contains("LATEST"), e.getMessage)
+  }
+
   test("GwSink.append: bootstrap then blind append; empty batches commit nothing") {
     val path = Files.createTempDirectory("gwsink-spec").resolve("t").toString
     val region = spark.read.parquet(s"$sf/region.parquet")
