@@ -82,19 +82,38 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
    * thousands of small files per table over time and a 100 TB reader pays
    * per-file open costs forever without consolidation.
    *
+   * `clusterBy` additionally range-partitions and sorts the rewrite on the
+   * given columns (the OPTIMIZE ... ZORDER role): each output file covers
+   * a disjoint range, so its harvested min/max become tight and the
+   * stats-based file skipping (`GwPruningScan`) can drop whole files for
+   * selective predicates on those columns. CDA tables are commit-time
+   * ordered but query-time filtered on BUSINESS time/keys — one clustered
+   * rewrite converts that mismatch into file-level locality.
+   *
    * Returns the committed version, or -1 if there was nothing to compact.
    */
-  def compact(targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val snap = gwLog.snapshot(None)
     val small = snap.files.filter(_.size < targetFileBytes)
     if (small.size < 2) return -1L
+    clusterBy.foreach { c =>
+      require(snap.schema.fieldNames.contains(c),
+        s"clusterBy column '$c' is not in the table schema " +
+          s"(${snap.schema.fieldNames.mkString(", ")})")
+    }
     val now = System.currentTimeMillis()
     val outDir = new Path(tablePath, s"_compacted/${java.util.UUID.randomUUID()}")
     val nOut = math.max(1, math.ceil(
       small.map(_.size).sum.toDouble / targetFileBytes).toInt)
-    spark.read.schema(snap.schema).parquet(small.map(_.path): _*)
-      .repartition(nOut)
+    val base = spark.read.schema(snap.schema).parquet(small.map(_.path): _*)
+    val arranged =
+      if (clusterBy.isEmpty) base.repartition(nOut)
+      else base
+        .repartitionByRange(nOut, clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+    arranged
       .write.mode("overwrite").parquet(outDir.toString)
     val newFiles = graft.sources.SchemaProbe
       .harvestAddFiles(conf, outDir, dataChange = false)

@@ -94,4 +94,61 @@ class CompactionSpec extends AnyFunSuite {
     assert(table.changesSince(preVersion).count() == 3,
       "append swallowed by a later compaction")
   }
+
+  test("clustered compaction makes selective scans plan fewer files") {
+    // 3 commit files that INTERLEAVE the key space: every file spans almost
+    // the whole o_orderkey range, so stats skipping can't drop any of them
+    val tmp = Files.createTempDirectory("compact-cluster")
+    val folder = tmp.resolve("data/t/100/1700000000000")
+    Files.createDirectories(folder)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val nRows = orders.count()
+    for (i <- 0 until 3) {
+      val part = Files.createTempDirectory(s"cluster-part-$i")
+      orders.filter(col("o_orderkey") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(part.toString)
+      val f = part.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(f.toPath, folder.resolve(s"part-$i.parquet"))
+    }
+    Files.writeString(tmp.resolve("manifest.json"),
+      s"""{"t": {"lastSuccessfulWriteTimestamp": "9999999999999",
+         |"totalProcessedRecordsCount": $nRows,
+         |"dataFilesPath": "${tmp.toAbsolutePath}/data/t/",
+         |"schemaHistory": {"100": "1700000000000"}}}""".stripMargin)
+    val db = tmp.resolve("db").toString
+    Indexer.index(tmp.resolve("manifest.json").toString, db, SaveMode.Overwrite)(spark)
+    val table = GwTable.forPath(spark, s"$db/t")
+
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
+      }.head
+
+    val maxKey = orders.agg(org.apache.spark.sql.functions.max(col("o_orderkey")))
+      .head().getLong(0)
+    val selective = () => table.toDF.filter(col("o_orderkey") < maxKey / 10)
+    val selectiveRows = selective().count()
+    assert(plannedFiles(selective()) == 3,
+      "interleaved files must all survive pruning before clustering")
+
+    // cluster the rewrite on the filter column into range-disjoint files
+    // (target sized so every part qualifies as small and >= 2 files emerge)
+    assert(table.compact(targetFileBytes = 24L * 1024,
+      clusterBy = Seq("o_orderkey")) > 0)
+    val filesAfter = table.snapshot().files.size
+    assert(filesAfter > 1, "rewrite kept multiple files")
+    val planned = plannedFiles(selective())
+    assert(planned < filesAfter,
+      s"clustered stats should prune: planned $planned of $filesAfter")
+    // content is untouched
+    assert(selective().count() == selectiveRows)
+    assert(table.toDF.count() == nRows)
+    // bad column fails fast
+    val e = intercept[IllegalArgumentException] {
+      table.compact(clusterBy = Seq("nope"))
+    }
+    assert(e.getMessage.contains("clusterBy"))
+  }
 }
