@@ -1,0 +1,103 @@
+package org.apache.spark.sql.graftbridge
+
+import graft.log.{AddFile, GwLog, Metadata}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => OffsetV2}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetTable}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * V2 streaming tail of a gwdelta table — what `spark.readStream.table("c.ns.t")`
+ * resolves to on catalog tables (the V1 `GwDeltaStreamSource` serves the
+ * path-based `format("gwdelta")` form; both share the same semantics):
+ *
+ *  - offsets are log versions (`LongOffset`, the same wire JSON as the V1
+ *    source, so a checkpoint written by one form restarts under the other);
+ *  - the first batch is the full live snapshot at the end version, then
+ *    each batch reads exactly the `dataChange` files of `(start, end]` —
+ *    a metadata diff, never a reprocess;
+ *  - a schema restatement in a consumed range stops the stream (the table
+ *    was REPLACED; an incremental append would corrupt the sink);
+ *  - each batch's partitions come from a parquet V2 scan over just that
+ *    batch's files, so vectorized reading and partition sizing behave
+ *    exactly like a batch read of those files.
+ */
+class GwMicroBatchStream(
+    spark: SparkSession,
+    tablePath: String,
+    streamSchema: StructType) extends MicroBatchStream {
+
+  private val log = GwLog.forTable(spark.sparkContext.hadoopConfiguration, tablePath)
+
+  /** -1 = nothing consumed: the next batch delivers the initial snapshot. */
+  override def initialOffset(): OffsetV2 = LongOffset(-1L)
+
+  override def latestOffset(): OffsetV2 =
+    LongOffset(log.latestVersion().getOrElse(-1L))
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    LongOffset(json.trim.toLong)
+
+  override def commit(end: OffsetV2): Unit = ()
+
+  override def stop(): Unit = ()
+
+  private def versionOf(o: OffsetV2): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  private def filesFor(startV: Long, endV: Long): Seq[AddFile] =
+    if (endV < 0) Nil
+    else if (startV < 0) log.snapshot(Some(endV)).files
+    else {
+      val actions = ((startV + 1) to endV).flatMap(v => log.readVersion(v))
+      if (actions.exists(_.isInstanceOf[Metadata]))
+        throw new IllegalStateException(
+          s"gwdelta stream at $tablePath hit a schema restatement in versions " +
+            s"($startV, $endV]: the table was replaced; restart the stream " +
+            "from a fresh checkpoint to consume the restated snapshot")
+      actions.collect { case a: AddFile if a.dataChange => a }
+    }
+
+  private def parquetScan(paths: Seq[String]): ParquetScan = {
+    val options = new CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("path", tablePath))
+    ParquetTable(s"gwdelta-stream:$tablePath", spark, options, paths,
+      Some(streamSchema), classOf[ParquetFileFormat])
+      .newScanBuilder(options).build().asInstanceOf[ParquetScan]
+  }
+
+  override def planInputPartitions(start: OffsetV2, end: OffsetV2): Array[InputPartition] = {
+    val files = filesFor(versionOf(start), versionOf(end))
+    if (files.isEmpty) Array.empty
+    else parquetScan(files.map(_.path)).toBatch.planInputPartitions()
+  }
+
+  /** Partition readers only depend on the read schema and parquet options
+    * (the file list rides inside each partition), so one factory serves
+    * every batch. */
+  override def createReaderFactory(): PartitionReaderFactory =
+    parquetScan(Nil).toBatch.createReaderFactory()
+}
+
+/** Scan wrapper that adds the streaming entry point to the pruning scan. */
+class GwDeltaScan(
+    inner: Scan,
+    spark: SparkSession,
+    tablePath: String,
+    streamSchema: StructType) extends Scan {
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+  override def description(): String = inner.description()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GwMicroBatchStream(spark, tablePath, streamSchema)
+}

@@ -31,20 +31,28 @@ class GwDeltaTable(
     spark: SparkSession,
     options: CaseInsensitiveStringMap,
     snapshot: Snapshot,
-    writable: Boolean = false) extends Table with SupportsRead
+    writable: Boolean = false,
+    streaming: Boolean = false) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = tableName
   override def schema(): StructType = snapshot.schema
-  override def capabilities(): java.util.Set[TableCapability] =
-    if (writable)
-      java.util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
-    else java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (writable) { caps.add(TableCapability.V1_BATCH_WRITE); caps.add(TableCapability.TRUNCATE) }
+    if (streaming) caps.add(TableCapability.MICRO_BATCH_READ)
+    caps
+  }
   override def partitioning(): Array[Transform] = Array.empty
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new GwPruningScanBuilder(tableName, spark, opts, snapshot)
+    if (!streaming) new GwPruningScanBuilder(tableName, spark, opts, snapshot)
+    else new GwPruningScanBuilder(tableName, spark, opts, snapshot) {
+      // same pruning batch scan, plus the streaming entry point
+      // (spark.readStream.table) that tails the log version by version
+      override def build(): Scan =
+        new GwDeltaScan(super.build(), spark, options.get("path"), snapshot.schema)
+    }
 
   /** INSERT INTO / INSERT OVERWRITE / df.writeTo(...): a V1Write bridge
     * into the engine's own commit path (`GwSink`) — the parquet write is

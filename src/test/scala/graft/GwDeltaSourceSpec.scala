@@ -309,6 +309,36 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gwtest.cda.t").count() == 5)
   }
 
+  test("catalog: spark.readStream.table tails the log incrementally across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    catalogReady
+    val loc = Files.createTempDirectory("gwtest-stream").resolve("t").toString
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    graft.streaming.GwSink.append(region, loc)
+    spark.sql(s"CREATE TABLE gwtest.cda.tail USING gwdelta LOCATION '$loc'")
+    val work = Files.createTempDirectory("gwtest-stream-out")
+    val out = work.resolve("out").toString
+    val cp = work.resolve("cp").toString
+    def sunk(): Long =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out))) 0L
+      else spark.read.parquet(out).count()
+    def drain(): Long = {
+      val before = sunk()
+      val q = spark.readStream.table("gwtest.cda.tail")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sunk() - before
+    }
+    assert(drain() == 5, "initial snapshot batch")
+    graft.streaming.GwSink.append(region, loc)
+    // the catalog resolves a FRESH snapshot per query, so a restarted
+    // stream picks up the new commit and reads ONLY its rows
+    assert(drain() == 5, "incremental batch only")
+    assert(drain() == 0, "no new versions -> empty drain")
+  }
+
   test("catalog: INSERT INTO appends a commit; INSERT OVERWRITE truncates atomically") {
     catalogReady
     // a fresh writable table over its own location (don't mutate the shared fixture)
