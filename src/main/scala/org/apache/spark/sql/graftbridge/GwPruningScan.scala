@@ -233,15 +233,32 @@ object GwStatsPruning {
     case _ => Nil
   }
 
-  /** Smallest string greater than every string with this prefix: increment
-    * the last non-maximal char, dropping what follows. All-maximal prefixes
-    * have no successor -> unbounded above. Used INCLUSIVELY by the range
+  /** A string greater (in UTF-8 byte order) than every string with this
+    * prefix: increment the last non-maximal CODE POINT (UTF-8 order is
+    * code-point order — incrementing UTF-16 chars instead would fabricate
+    * unpaired surrogates, which Java's UTF-8 encoder mangles to '?' and
+    * which a scalacheck property falsified), dropping what follows.
+    * All-maximal prefixes have no successor -> unbounded above. An
+    * increment landing in the surrogate block jumps to U+E000 (still an
+    * upper bound); a prefix already containing lone surrogates is not
+    * valid UTF-8 and gets no bound at all. Used INCLUSIVELY by the range
     * check, which only widens the kept set (conservative). */
-  private[graftbridge] def prefixSuccessor(prefix: String): Option[String] = {
-    val cs = prefix.toCharArray
-    var i = cs.length - 1
-    while (i >= 0 && cs(i) == Char.MaxValue) i -= 1
+  def prefixSuccessor(prefix: String): Option[String] = {
+    val cps = prefix.codePoints().toArray
+    if (cps.exists(cp => cp >= Character.MIN_SURROGATE && cp <= Character.MAX_SURROGATE))
+      return None // lone surrogates don't UTF-8-encode in order
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= Character.MAX_CODE_POINT) i -= 1
     if (i < 0) None
-    else Some(new String(cs, 0, i) + (cs(i) + 1).toChar)
+    else {
+      val next0 = cps(i) + 1
+      val next =
+        if (next0 >= Character.MIN_SURROGATE && next0 <= Character.MAX_SURROGATE) 0xE000
+        else next0
+      val sb = new java.lang.StringBuilder()
+      (0 until i).foreach(j => sb.appendCodePoint(cps(j)))
+      sb.appendCodePoint(next)
+      Some(sb.toString)
+    }
   }
 }
