@@ -26,6 +26,7 @@ object Bench {
     // load noise, and the min is the least-noisy estimator of the plan's
     // intrinsic cost (regressions show as a raised floor, not a bad draw)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>

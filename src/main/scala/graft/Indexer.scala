@@ -217,16 +217,29 @@ object Indexer {
     if (batches.isEmpty) return Nil
     val gwLog = GwLog.forTable(conf, tablePath)
     if (bootstrap) gwLog.delete()
-    // the walk is bounded: a rerun can only re-deliver folders since the
-    // last successful checkpoint, which the next commits would follow
-    val window = math.max(GwSinkDedupWindow, batches.size + 8)
-    val committedTxns: Set[String] =
-      if (!gwLog.exists()) Set.empty
-      else gwLog.listVersions().takeRight(window).flatMap { v =>
-        gwLog.readVersion(v).collectFirst {
-          case ci: CommitInfo if ci.txnId.startsWith("gwindex/") => ci.txnId
+    // lazy BACKWARD walk with early stop: indexer commits land in folder-
+    // timestamp order (CDA timestamps increase, §2.6.4), so the first
+    // gwindex commit older than the oldest candidate proves nothing
+    // earlier can match — in the steady state this reads ONE version
+    // file, not a 64-version tail; the window stays as a backstop
+    val committedTxns = scala.collection.mutable.Set.empty[String]
+    if (gwLog.exists()) {
+      val oldestCandidate = batches.map(_.commitTimestamp).min
+      val window = math.max(IndexTxnWalkWindow, batches.size + 8)
+      val versions = gwLog.listVersions().reverseIterator
+      var inspected = 0
+      var stop = false
+      while (versions.hasNext && !stop && inspected < window) {
+        val v = versions.next()
+        inspected += 1
+        gwLog.readVersion(v).collectFirst { case ci: CommitInfo => ci }.foreach { ci =>
+          if (ci.txnId.startsWith("gwindex/")) {
+            committedTxns += ci.txnId
+            if (ci.timestamp < oldestCandidate) stop = true
+          }
         }
-      }.toSet
+      }
+    }
     batches.map { raw =>
       val batch = promoteUncommittedRestatement(conf, gwLog, raw)
       if (!committedTxns.contains(indexTxnId(batch))) commitBatch(gwLog, batch)
@@ -234,7 +247,9 @@ object Indexer {
     }
   }
 
-  private val GwSinkDedupWindow = 64
+  /** Backstop on the backward txn walk when the early-stop condition never
+    * fires (e.g. a log whose tail is all maintenance commits). */
+  private val IndexTxnWalkWindow = 64
 
   /**
    * Cross-run restatement guard: discovery only attaches Metadata when the
@@ -312,11 +327,24 @@ object Indexer {
   def checkpointsPath(databasePath: String): String =
     s"${databasePath.stripSuffix("/")}/$CheckpointsTable"
 
-  /** Per-table high-watermark: groupBy(max) over the checkpoint table (R1). */
-  def loadCheckpoints(databasePath: String)(implicit spark: SparkSession): Map[String, Long] = {
+  /** Legacy pre-log checkpoint layouts kept plain parquet files directly in
+    * the directory; engine dirs (`_delta_log`, `_stream`) don't count — a
+    * crash that wrote a `_stream` batch but never its bootstrap commit
+    * must read as "no checkpoints yet", not poison every later load. */
+  private def hasLegacyParquet(databasePath: String)(implicit spark: SparkSession): Boolean = {
     val path = new Path(checkpointsPath(databasePath))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Map.empty
+    fs.exists(path) && fs.listStatus(path).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith(".") && !n.startsWith("_")
+    }
+  }
+
+  /** Per-table high-watermark: groupBy(max) over the checkpoint table (R1). */
+  def loadCheckpoints(databasePath: String)(implicit spark: SparkSession): Map[String, Long] = {
+    val log = GwLog.forTable(
+      spark.sparkContext.hadoopConfiguration, checkpointsPath(databasePath))
+    if (!log.exists() && !hasLegacyParquet(databasePath)) Map.empty
     else {
       import spark.implicits._
       checkpointsDF(databasePath)
@@ -351,10 +379,8 @@ object Indexer {
     // legacy migration: a pre-log plain-parquet checkpoint dir would become
     // invisible the moment a log bootstraps next to it — fold its rows into
     // the bootstrap commit (duplicates are harmless under groupBy/max)
-    val fsPath = new Path(path)
-    val fs = fsPath.getFileSystem(conf)
-    if (saveMode == SaveMode.Append && fs.exists(fsPath) &&
-        !GwLog.forTable(conf, path).exists()) {
+    if (saveMode == SaveMode.Append && !GwLog.forTable(conf, path).exists() &&
+        hasLegacyParquet(databasePath)) {
       val legacy = spark.read.parquet(path).select(df.columns.map(col): _*)
       df = df.unionByName(legacy)
     }
@@ -363,11 +389,16 @@ object Indexer {
   }
 
   /** The checkpoint table through its log; legacy plain-parquet checkpoint
-    * directories (pre-log layouts) read via a raw parquet scan. */
+    * directories (pre-log layouts) read via a raw parquet scan. A dir
+    * holding neither (only crash debris) has no rows to serve. */
   def checkpointsDF(databasePath: String)(implicit spark: SparkSession): DataFrame = {
     val path = checkpointsPath(databasePath)
     val log = GwLog.forTable(spark.sparkContext.hadoopConfiguration, path)
     if (log.exists()) GwTable.forPath(spark, path).toDF
-    else spark.read.parquet(path)
+    else {
+      require(hasLegacyParquet(databasePath),
+        s"no checkpoint table at $path (neither a transaction log nor legacy parquet)")
+      spark.read.parquet(path)
+    }
   }
 }

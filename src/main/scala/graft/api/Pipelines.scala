@@ -86,11 +86,16 @@ object Pipelines {
       .sortWithinPartitions(col("__shard"), col("__id"))
       .as[(String, Long, Long)]
       .mapPartitions { it =>
-        // secondary-sort scan: shards arrive contiguously, docs id-ordered
+        // secondary-sort scan: shards arrive contiguously, docs id-ordered.
+        // An explicit first-row flag (not a null sentinel: a NULL shard
+        // value would alias it and skip the reset) starts each partition.
+        var first = true
         var curShard: String = null
         var pack = 0L; var fill = 0L; var pos = 0L
         it.map { case (s, docId, tk) =>
-          if (s != curShard) { curShard = s; pack = 0L; fill = tk; pos = 0L }
+          if (first || s != curShard) {
+            first = false; curShard = s; pack = 0L; fill = tk; pos = 0L
+          }
           else if (fill + tk > budget) { pack += 1; fill = tk; pos = 0L }
           else { fill += tk; pos += 1 }
           (s, docId, tk, pack, pos)

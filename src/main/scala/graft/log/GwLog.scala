@@ -151,8 +151,17 @@ class GwLog(val tablePath: Path, conf: Configuration,
     val out = f.create(tmp, /* overwrite = */ true)
     try out.write(payload) finally out.close()
     try {
-      if (f.exists(target) || !f.rename(tmp, target))
+      if (f.exists(target))
         throw new VersionConflictException(version, target, null)
+      if (!f.rename(tmp, target)) {
+        // only a conflict if a winner actually appeared: a rename that
+        // failed with NO file at the target is a plain IO failure, and
+        // reporting it as a conflict would tell the caller a winner's
+        // commit exists when none does
+        if (f.exists(target)) throw new VersionConflictException(version, target, null)
+        throw new java.io.IOException(
+          s"rename $tmp -> $target failed without a competing commit at the target")
+      }
     } finally {
       if (f.exists(tmp)) { f.delete(tmp, false); () }
     }

@@ -43,7 +43,11 @@ final case class Snapshot(
   def filesForRanges(constraints: Seq[ColRange]): Seq[AddFile] =
     files.filter { f =>
       constraints.forall { c =>
-        Snapshot.statsBounds(f, c.column) match {
+        // timestamp constraints are micros-encoded; only stats harvested
+        // with the micros normalization (gwStatsV >= 2) may serve them —
+        // v1 stats stored raw millis and would mis-prune matching files
+        if (c.minStatsVersion > Snapshot.statsVersion(f)) true
+        else Snapshot.statsBounds(f, c.column) match {
           case Some((mn, mx)) =>
             // keep unless the file's range PROVABLY misses [lower, upper];
             // incomparable kinds (e.g. string stats vs numeric bound) prove
@@ -95,11 +99,24 @@ object Bound {
   }
 }
 
-/** `[lower, upper]` constraint on `column`; `None` = unbounded on that side. */
-final case class ColRange(column: String, lower: Option[Bound], upper: Option[Bound])
+/** `[lower, upper]` constraint on `column`; `None` = unbounded on that side.
+  * `minStatsVersion` gates the constraint on the stats-encoding version a
+  * file was harvested with (see SchemaProbe's `gwStatsV`): files with older
+  * stats are always KEPT for this constraint. */
+final case class ColRange(
+    column: String,
+    lower: Option[Bound],
+    upper: Option[Bound],
+    minStatsVersion: Int = 0)
 
 object Snapshot {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Stats-encoding version of a file's harvested stats (0 = pre-marker). */
+  private[log] def statsVersion(f: AddFile): Int =
+    f.stats.flatMap { s =>
+      scala.util.Try(mapper.readTree(s).path("gwStatsV").asInt(0)).toOption
+    }.getOrElse(0)
 
   /** Typed (min, max) of `column` from a file's stats JSON, if present. */
   private[log] def statsBounds(f: AddFile, column: String): Option[(Bound, Bound)] =

@@ -243,6 +243,20 @@ object GwCore {
     table.toDF
   }
 
+  /** Register the `gw` catalog in this session if absent (resolved lazily
+    * from conf, cached per session; the warehouse only holds pointer
+    * files, so one shared temp dir serves every gate invocation). Sets
+    * the warehouse too when only the catalog key is present, so a
+    * half-configured session can't fail catalog init. */
+  private def ensureGwCatalog(spark: SparkSession): Unit = {
+    if (!spark.conf.getOption("spark.sql.catalog.gw").contains(
+        classOf[graft.sources.GwCatalog].getName))
+      spark.conf.set("spark.sql.catalog.gw", classOf[graft.sources.GwCatalog].getName)
+    if (spark.conf.getOption("spark.sql.catalog.gw.warehouse").isEmpty)
+      spark.conf.set("spark.sql.catalog.gw.warehouse",
+        Files.createTempDirectory("gw-warehouse").toString)
+  }
+
   // ---------------------------------------------------------------- gw12
   /** The reference's showcase SQL surface (reference README.md:74-84) end
     * to end: register the catalog, CREATE TABLE ... USING gwdelta LOCATION,
@@ -256,14 +270,7 @@ object GwCore {
       ("100", 1700000001000L, Seq(s"$dir/nation.parquet"))))
     val db = tmp.resolve("db").toString
     Indexer.index(manifest, db, SaveMode.Overwrite)(spark)
-    // the catalog is resolved lazily from conf, once per session; the
-    // warehouse only holds pointer files, so a shared one is fine
-    if (!spark.conf.getOption("spark.sql.catalog.gw").contains(
-        classOf[graft.sources.GwCatalog].getName)) {
-      spark.conf.set("spark.sql.catalog.gw", classOf[graft.sources.GwCatalog].getName)
-      spark.conf.set("spark.sql.catalog.gw.warehouse",
-        Files.createTempDirectory("gw-warehouse").toString)
-    }
+    ensureGwCatalog(spark)
     // unique namespace per invocation: the gate and bench re-run queries
     // inside one session, and CREATE TABLE is (correctly) create-once
     val ns = s"ns${System.nanoTime()}"
@@ -280,12 +287,7 @@ object GwCore {
     * (the oracle), with the append history still time-travelable. */
   def gw13SqlInsert(spark: SparkSession, dir: String): DataFrame = {
     val tmp = Files.createTempDirectory("gw13")
-    if (!spark.conf.getOption("spark.sql.catalog.gw").contains(
-        classOf[graft.sources.GwCatalog].getName)) {
-      spark.conf.set("spark.sql.catalog.gw", classOf[graft.sources.GwCatalog].getName)
-      spark.conf.set("spark.sql.catalog.gw.warehouse",
-        Files.createTempDirectory("gw-warehouse").toString)
-    }
+    ensureGwCatalog(spark)
     val ns = s"ns${System.nanoTime()}"
     spark.read.parquet(s"$dir/region.parquet").createOrReplaceTempView("gw13_region_src")
     spark.sql(s"CREATE NAMESPACE gw.$ns")

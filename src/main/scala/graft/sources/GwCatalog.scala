@@ -258,6 +258,15 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
     if (!cascade)
       require(fs.listStatus(dir).isEmpty,
         s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    else {
+      // CASCADE must honor per-table drop semantics — in particular delete
+      // MANAGED tables' data dirs, which only their pointer files know about
+      def dropAll(ns: Array[String]): Unit = {
+        listTables(ns).foreach(dropTable)
+        listNamespaces(ns).foreach(dropAll)
+      }
+      dropAll(namespace)
+    }
     fs.delete(dir, true)
   }
 }

@@ -93,6 +93,11 @@ object SchemaProbe {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = mapper.createObjectNode()
       root.put("numRecords", numRecords)
+      // stats-encoding version: 2 = timestamp bounds normalized to micros.
+      // Readers must NOT apply timestamp constraints to files without this
+      // marker — v1 harvests stored raw millis, and comparing those against
+      // micros literals would silently prune files that match.
+      root.put("gwStatsV", 2)
       val minN = root.putObject("minValues")
       val maxN = root.putObject("maxValues")
       val nullN = root.putObject("nullCount")

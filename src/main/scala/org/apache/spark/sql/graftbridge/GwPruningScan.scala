@@ -180,14 +180,14 @@ object GwStatsPruning {
   /** Literal -> typed bound, for every stats-comparable literal type. */
   private def bound(l: Literal): Option[Bound] = (l.dataType, l.value) match {
     case (_, null) => None
-    case (FloatType, v: java.lang.Float) if v.isNaN => None
-    case (DoubleType, v: java.lang.Double) if v.isNaN => None
+    case (FloatType, v: java.lang.Float) if v.isNaN || v.isInfinite => None
+    case (DoubleType, v: java.lang.Double) if v.isNaN || v.isInfinite => None
     // NaN compares false against every stats bound, which would prune
-    // files that DO contain NaN rows (Spark's NaN = NaN is true) — treat
-    // it as "no constraint" (the two cases above)
+    // files that DO contain NaN rows (Spark's NaN = NaN is true), and
+    // +/-Infinity has no BigDecimal form — both mean "no constraint"
     case (_: NumericType, v) => Some(Bound.Num(BigDecimal(v.toString)))
     // Catalyst encodes timestamps as Long micros and dates as Int days —
-    // the same numbers the harvest stores for those columns
+    // the same numbers the v2 harvest stores for those columns
     case (TimestampType | TimestampNTZType, v: java.lang.Long) =>
       Some(Bound.Num(BigDecimal(v.longValue())))
     case (DateType, v: java.lang.Integer) => Some(Bound.Num(BigDecimal(v.intValue())))
@@ -195,12 +195,20 @@ object GwStatsPruning {
     case _ => None
   }
 
+  /** Timestamp constraints only trust stats harvested with the micros
+    * normalization (gwStatsV 2) — v1 stats stored raw millis, and a micros
+    * literal against a millis stat would prune files that match. */
+  private def minStatsVersion(l: Literal): Int = l.dataType match {
+    case TimestampType | TimestampNTZType => 2
+    case _ => 0
+  }
+
   private def eq(a: AttributeReference, l: Literal): Seq[ColRange] =
-    bound(l).map(b => ColRange(a.name, Some(b), Some(b))).toSeq
+    bound(l).map(b => ColRange(a.name, Some(b), Some(b), minStatsVersion(l))).toSeq
   private def atLeast(a: AttributeReference, l: Literal): Seq[ColRange] =
-    bound(l).map(b => ColRange(a.name, Some(b), None)).toSeq
+    bound(l).map(b => ColRange(a.name, Some(b), None, minStatsVersion(l))).toSeq
   private def atMost(a: AttributeReference, l: Literal): Seq[ColRange] =
-    bound(l).map(b => ColRange(a.name, None, Some(b))).toSeq
+    bound(l).map(b => ColRange(a.name, None, Some(b), minStatsVersion(l))).toSeq
 
   private def rangeOf(e: Expression): Seq[ColRange] = e match {
     case And(l, r) => rangeOf(l) ++ rangeOf(r)
@@ -223,7 +231,8 @@ object GwStatsPruning {
         val sorted = bs.flatten.sortWith((x, y) => Bound.cmp(x, y).exists(_ < 0))
         // mixed-kind lists can't sort meaningfully; same-kind lists can
         if (sorted.sliding(2).forall(p => p.size < 2 || Bound.cmp(p(0), p(1)).isDefined))
-          Seq(ColRange(a.name, sorted.headOption, sorted.lastOption))
+          Seq(ColRange(a.name, sorted.headOption, sorted.lastOption,
+            vs.map(v => minStatsVersion(v.asInstanceOf[Literal])).max))
         else Nil
       }
     // col LIKE 'abc%': matching strings are >= 'abc' and < prefixSuccessor
