@@ -66,8 +66,7 @@ object GwSink {
         }
       }
     }
-    val bootstrap = log.listVersions().isEmpty
-    if (!bootstrap) {
+    if (log.listVersions().nonEmpty) {
       // fail BEFORE writing bytes: an append in a different shape would be
       // read back under the logged schema (missing columns null, new
       // columns invisible, type changes failing at scan time)
@@ -82,23 +81,47 @@ object GwSink {
     val files: Seq[AddFile] =
       graft.sources.SchemaProbe.harvestAddFiles(conf, outDir, dataChange = true)
     if (files.isEmpty) { fs.delete(outDir, true); return -1L }
-    val now = System.currentTimeMillis()
-    val head: Seq[Action] =
-      if (bootstrap)
-        Seq(Protocol(), Metadata(
-          id = java.util.UUID.randomUUID().toString,
-          schemaString = df.schema.json,
-          createdTime = now))
-      else Nil
-    val info = CommitInfo(
-      timestamp = now,
-      operation = if (bootstrap) "CREATE TABLE" else "WRITE",
-      mode = "Append",
-      numFiles = files.size,
-      numOutputBytes = files.map(_.size).sum,
-      isBlindAppend = !bootstrap,
-      txnId = txnId.getOrElse(java.util.UUID.randomUUID().toString))
-    log.commit(head ++ files :+ info)
+    commitWithRetry(log) { bootstrap =>
+      val now = System.currentTimeMillis()
+      val head: Seq[Action] =
+        if (bootstrap)
+          Seq(Protocol(), Metadata(
+            id = java.util.UUID.randomUUID().toString,
+            schemaString = df.schema.json,
+            createdTime = now))
+        else Nil
+      val info = CommitInfo(
+        timestamp = now,
+        operation = if (bootstrap) "CREATE TABLE" else "WRITE",
+        mode = "Append",
+        numFiles = files.size,
+        numOutputBytes = files.map(_.size).sum,
+        isBlindAppend = !bootstrap,
+        txnId = txnId.getOrElse(java.util.UUID.randomUUID().toString))
+      head ++ files :+ info
+    }
+  }
+
+  /**
+   * Commit actions rebuilt per attempt against the CURRENT log state: on a
+   * [[graft.log.VersionConflictException]] (a concurrent maintenance or
+   * sink commit won the version), re-derive and retry at the next version
+   * — a blind append stays valid no matter what the winner committed, and
+   * overwrite removes are recomputed from the fresh snapshot inside
+   * `build`. Bounded so writers never spin on a hot table.
+   */
+  private[graft] def commitWithRetry(log: GwLog, maxAttempts: Int = 3)(
+      build: Boolean => Seq[Action]): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val bootstrap = log.listVersions().isEmpty
+      try return log.commit(build(bootstrap))
+      catch {
+        case _: graft.log.VersionConflictException if attempt < maxAttempts => ()
+      }
+    }
+    -1L // unreachable
   }
 
   /** Truncating write (INSERT OVERWRITE): one commit that removes every
@@ -110,38 +133,40 @@ object GwSink {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val log = GwLog.forTable(conf, tablePath)
-    val bootstrap = log.listVersions().isEmpty
-    val removes: Seq[Action] =
-      if (bootstrap) Nil
-      else {
-        val snap = log.snapshot(None)
-        require(org.apache.spark.sql.graftbridge.Bridge.sameType(snap.schema, df.schema),
-          s"batch schema does not match the table schema at $tablePath\n" +
-            s"  table: ${snap.schema.catalogString}\n  batch: ${df.schema.catalogString}")
-        val now = System.currentTimeMillis()
-        snap.files.map(f => graft.log.RemoveFile(f.path, f.size, now))
-      }
+    if (log.listVersions().nonEmpty) {
+      val existing = log.snapshot(None).schema
+      require(org.apache.spark.sql.graftbridge.Bridge.sameType(existing, df.schema),
+        s"batch schema does not match the table schema at $tablePath\n" +
+          s"  table: ${existing.catalogString}\n  batch: ${df.schema.catalogString}")
+    }
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(outDir.toString)
     val files: Seq[AddFile] =
       graft.sources.SchemaProbe.harvestAddFiles(conf, outDir, dataChange = true)
     if (files.isEmpty) outDir.getFileSystem(conf).delete(outDir, true)
-    val now = System.currentTimeMillis()
-    val head: Seq[Action] =
-      if (bootstrap)
-        Seq(Protocol(), Metadata(
-          id = java.util.UUID.randomUUID().toString,
-          schemaString = df.schema.json,
-          createdTime = now))
-      else Nil
-    val info = CommitInfo(
-      timestamp = now,
-      operation = if (bootstrap) "CREATE TABLE" else "WRITE",
-      mode = "Overwrite",
-      numFiles = files.size,
-      numOutputBytes = files.map(_.size).sum,
-      isBlindAppend = false,
-      txnId = java.util.UUID.randomUUID().toString)
-    log.commit(head ++ removes ++ files :+ info)
+    commitWithRetry(log) { bootstrap =>
+      val now = System.currentTimeMillis()
+      // removes recomputed per attempt: a conflicting commit may have
+      // changed the live set this overwrite must tombstone
+      val removes: Seq[Action] =
+        if (bootstrap) Nil
+        else log.snapshot(None).files.map(f => graft.log.RemoveFile(f.path, f.size, now))
+      val head: Seq[Action] =
+        if (bootstrap)
+          Seq(Protocol(), Metadata(
+            id = java.util.UUID.randomUUID().toString,
+            schemaString = df.schema.json,
+            createdTime = now))
+        else Nil
+      val info = CommitInfo(
+        timestamp = now,
+        operation = if (bootstrap) "CREATE TABLE" else "WRITE",
+        mode = "Overwrite",
+        numFiles = files.size,
+        numOutputBytes = files.map(_.size).sum,
+        isBlindAppend = false,
+        txnId = java.util.UUID.randomUUID().toString)
+      head ++ removes ++ files :+ info
+    }
   }
 }

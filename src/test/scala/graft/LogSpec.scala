@@ -183,6 +183,51 @@ class LogSpec extends AnyFunSuite {
       log.commitViaRename(v, log.logPathFor(v), log.payloadFor(as)))
   }
 
+  test("sink commits retry past version conflicts and rebuild against fresh state") {
+    val dir = Files.createTempDirectory("gwlog-retry").toString
+    val conf = new Configuration()
+    // a log that loses the race twice before succeeding
+    val log = new GwLog(new org.apache.hadoop.fs.Path(dir), conf) {
+      var conflicts = 2
+      override def commitAt(version: Long, actions: Seq[Action]): Unit = {
+        if (conflicts > 0) {
+          conflicts -= 1
+          // the "winner": an interleaved commit takes this version first
+          super.commitAt(version, Seq(
+            CommitInfo(version, "OPTIMIZE", "Compact", 0, 0,
+              isBlindAppend = false, s"winner$version")))
+          throw new VersionConflictException(version, logPathFor(version), null)
+        }
+        super.commitAt(version, actions)
+      }
+    }
+    // each attempt rebuilds against the current log: the first sees an
+    // empty log (bootstrap), the retries see the winner's commits
+    var observed = List.empty[Boolean]
+    val v = graft.streaming.GwSink.commitWithRetry(log) { bootstrap =>
+      observed :+= bootstrap
+      Seq(AddFile(s"/data/retry.parquet", 10, 1000),
+        CommitInfo(2L, "WRITE", "Append", 1, 10, isBlindAppend = true,
+          s"a${observed.size}"))
+    }
+    assert(observed == List(true, false, false),
+      "two conflicts -> two rebuilds against the winner's state")
+    assert(v == 2L, "winner took v0 and v1; retry landed at v2")
+    assert(log.readVersion(v).exists {
+      case ci: CommitInfo => ci.txnId == "a3"
+      case _ => false
+    })
+    // a conflict storm beyond the bound surfaces the error
+    val stormy = new GwLog(new org.apache.hadoop.fs.Path(
+      Files.createTempDirectory("gwlog-storm").toString), conf) {
+      override def commitAt(version: Long, actions: Seq[Action]): Unit =
+        throw new VersionConflictException(version, logPathFor(version), null)
+    }
+    intercept[VersionConflictException] {
+      graft.streaming.GwSink.commitWithRetry(stormy) { _ => Seq.empty }
+    }
+  }
+
   test("rename-claim commit leaves no temp debris and rejects a second commit") {
     val dir = Files.createTempDirectory("gwlog-rename").toString
     val conf = new Configuration()
