@@ -303,6 +303,35 @@ object GwCore {
     spark.sql(s"SELECT * FROM gw.$ns.region")
   }
 
+  // ---------------------------------------------------------------- gw14
+  /** Clustered compaction in-gate: two region commits rewritten with
+    * compact(clusterBy = r_regionkey) — the rewrite is content-neutral
+    * (oracle = both commits), range-sorted so harvested stats become
+    * file-level partition bounds, and a selective read must plan fewer
+    * files than the snapshot holds. */
+  def gw14ClusteredCompact(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("gw14")
+    val manifest = layout(tmp, "region", Seq(
+      ("100", 1700000000000L, Seq(s"$dir/region.parquet")),
+      ("100", 1700000001000L, Seq(s"$dir/region.parquet"))))
+    val db = tmp.resolve("db").toString
+    Indexer.index(manifest, db, SaveMode.Overwrite)(spark)
+    val table = GwTable.forPath(spark, s"$db/region")
+    // tiny target so the rewrite still yields >= 2 range-disjoint files
+    require(table.compact(targetFileBytes = 2048, clusterBy = Seq("r_regionkey")) > 0,
+      "expected a clustered compaction commit")
+    val files = table.snapshot().files.size
+    require(files >= 2, s"expected >= 2 clustered files, got $files")
+    val planned = table.toDF.filter(org.apache.spark.sql.functions.col("r_regionkey") === 0)
+      .queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
+      }.head
+    require(planned < files, s"clustered stats must prune: planned $planned of $files")
+    table.toDF
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -317,6 +346,7 @@ object GwCore {
     "gw11_sink_format" -> gw11StreamSinkFormat _,
     "gw12_sql_catalog" -> gw12SqlCatalog _,
     "gw13_sql_insert" -> gw13SqlInsert _,
+    "gw14_clustered_compact" -> gw14ClusteredCompact _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -340,5 +370,7 @@ object GwCore {
       "SELECT * FROM region UNION ALL SELECT * FROM region",
     "gw12_sql_catalog" -> "SELECT * FROM nation",
     "gw13_sql_insert" -> "SELECT r_regionkey, r_name FROM region",
+    "gw14_clustered_compact" ->
+      "SELECT * FROM region UNION ALL SELECT * FROM region",
   )
 }
