@@ -114,6 +114,11 @@ package object api {
         dim: Int, nPlanes: Int = 32, bands: Int = 8): DataFrame =
       Pipelines.annTopK(df, queries, id, vec, k, dim, nPlanes, bands)
 
+    /** Int8 max-abs quantization: (vec_id, scale_micro, q, qsum, qnorm2) —
+      * 4x smaller embedding storage with bounded dequantization error. */
+    def quantizeEmbeddings(id: Column, vec: Column): DataFrame =
+      Pipelines.quantizeEmbeddings(df, id, vec)
+
     /** Approximate top-k via IVF inverted lists (probe nearest centroids). */
     def ivfTopK(queries: DataFrame, id: Column, vec: Column, k: Int,
         dim: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame =

@@ -50,14 +50,40 @@ object Similarity {
         |CROSS JOIN (SELECT embedding FROM graft_s04_emb WHERE vec_id = 0) q""".stripMargin)
   }
 
+  /** Int8 max-abs quantization checksums: integer qsum/qnorm2 per vector
+    * make the gate exact — any drift in scale math, rounding rule, or a
+    * single code flips them. The dequantization error bound is property-
+    * tested in OperatorSpec. */
+  def s05QuantizedEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.quantizeEmbeddings(embs(spark, dir), col("vec_id"), col("embedding"))
+      .select("vec_id", "scale_micro", "qsum", "qnorm2")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
     "s03_ivf_topk" -> s03IvfTopK _,
     "s04_sql_vecdot" -> s04SqlVecDot _,
+    "s05_quantized_embeddings" -> s05QuantizedEmbeddings _,
   )
 
   val oracles: Map[String, String] = Map(
+    "s05_quantized_embeddings" ->
+      """WITH m AS (
+        | SELECT vec_id, embedding,
+        |  CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE) AS mx
+        | FROM embeddings),
+        |qz AS (
+        | SELECT vec_id,
+        |  CAST(round(mx * 1000000) AS BIGINT) AS scale_micro,
+        |  CASE WHEN mx = 0
+        |    THEN list_transform(embedding, y -> 0)
+        |    ELSE list_transform(embedding, y -> CAST(round(CAST(y AS DOUBLE) * 127.0 / mx) AS INT))
+        |  END AS q
+        | FROM m)
+        |SELECT vec_id, scale_micro,
+        | CAST(list_sum(q) AS BIGINT) AS qsum,
+        | CAST(list_sum(list_transform(q, v -> CAST(v AS BIGINT) * v)) AS BIGINT) AS qnorm2
+        |FROM qz""".stripMargin,
     "s01_topk_bruteforce" ->
       """SELECT q_id, n_id, rnk, CAST(round(1000000 * cos) AS BIGINT) AS cos_micro
         |FROM (

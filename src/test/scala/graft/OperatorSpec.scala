@@ -68,6 +68,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(full == exact, "nProbe = nCentroids must equal the exact top-k")
   }
 
+  test("s05 quantization: dequantized vectors stay within the half-step error bound") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val quantized = graft.api.Pipelines.quantizeEmbeddings(e, col("vec_id"), col("embedding"))
+      .select("vec_id", "scale_micro", "q")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2))).toMap
+    val originals = e.select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(quantized.keySet == originals.keySet)
+    originals.foreach { case (id, xs) =>
+      val (scaleMicro, q) = quantized(id)
+      val scale = scaleMicro / 1e6
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec $id codes out of int8 range")
+      // reconstruction error per element is at most half a quantization
+      // step (scale/127/2), plus slack for the micro-rounded scale
+      val step = scale / 127.0
+      xs.zip(q).foreach { case (x, v) =>
+        val err = math.abs(x.toDouble - v * step)
+        assert(err <= step / 2 + 1e-5, s"vec $id: |$x - $v*$step| = $err > ${step / 2}")
+      }
+    }
+  }
+
   test("d06 ANN near-dup: precision exact by construction, recall vs all-pairs") {
     import org.apache.spark.sql.functions.col
     // ground truth: blockless all-pairs (no label restriction) at sf0.001
