@@ -69,6 +69,22 @@ object Dedup {
     Pipelines.chunkDedup(docs(spark, dir), col("doc_id"), col("text"), chunkWords = 5)
       .withColumnRenamed("__id", "doc_id")
 
+  /** End-to-end semantic dedup over embeddings, the full composed pipeline:
+    * exact near-dup pairs (d05 arithmetic) -> connected components (d08
+    * operator) -> keep one canonical vector per duplicate cluster plus
+    * every unpaired vector. The oracle replays the identical recurrence in
+    * SQL, so the whole composition is hash-exact; at 100 TB the pair stage
+    * swaps to the ANN default with the same downstream shape. */
+  def d10SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val pairs = Pipelines.cosineNearDupPairsExact(
+      e, col("vec_id"), col("embedding"), col("label"), threshold = 0.3)
+    val comps = Pipelines.connectedComponents(pairs, col("vec_a"), col("vec_b"))
+    e.join(comps, e("vec_id") === comps("node"), "left")
+      .filter(col("node").isNull || col("component") === col("vec_id"))
+      .select(e("vec_id"), e("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> d01ExactDedup _,
     "d02_dedup_minhash_lsh" -> d02MinHashLsh _,
@@ -79,6 +95,7 @@ object Dedup {
     "d07_dedup_apply" -> d07DedupApply _,
     "d08_dup_components" -> d08DupComponents _,
     "d09_chunk_dedup" -> d09ChunkDedup _,
+    "d10_semantic_dedup" -> d10SemanticDedup _,
   )
 
   // shared SQL pieces so the d04 and d08 oracles cannot silently diverge
@@ -151,5 +168,23 @@ object Dedup {
         |FROM embeddings a JOIN embeddings b
         | ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3""".stripMargin,
+    // d05's pair rule -> d08's component recurrence -> keep-canonical apply
+    "d10_semantic_dedup" ->
+      """WITH RECURSIVE pairs AS (
+        | SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        | FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        | WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach(node, lbl) AS (
+        | SELECT node, node FROM nodes
+        | UNION
+        | SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+        |comp AS (SELECT node, CAST(min(lbl) AS BIGINT) AS component FROM reach GROUP BY 1)
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |LEFT JOIN comp ON e.vec_id = comp.node
+        |WHERE comp.node IS NULL OR comp.component = e.vec_id""".stripMargin,
   )
 }
