@@ -1,8 +1,9 @@
 package graft
 
-import graft.log.{AddFile, CommitInfo, GwLog, Metadata, RemoveFile, Snapshot}
+import graft.log.{Action, AddFile, CommitInfo, GwLog, Metadata, RemoveFile, Snapshot}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, not, sum, when}
 
 /**
  * Query surface over an indexed table (SURVEY.md §3.3): log replay ->
@@ -132,8 +133,9 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
    * file's mtime: an output written long ago but superseded only a minute
    * ago must survive the full window so time travel and in-flight
    * `changesSince` consumers can still read it. ONLY files under the
-   * engine-owned namespaces — `<table>/_compacted/` (compaction rewrites)
-   * and `<table>/_stream/` (GwSink batches) — are candidates: the original
+   * engine-owned namespaces — `<table>/_compacted/` (compaction rewrites),
+   * `<table>/_stream/` (GwSink batches) and `<table>/_dml/` (DELETE
+   * rewrites) — are candidates: the original
    * CDA files are a read-only source tree the engine shallow-clones and
    * must never delete. Engine outputs never referenced by any commit
    * (crash debris, e.g. a sink batch written but not committed) are swept
@@ -141,13 +143,13 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
    */
   def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val ownedDirs = Seq("_compacted", "_stream").map(new Path(tablePath, _))
+    val ownedDirs = Seq("_compacted", "_stream", "_dml").map(new Path(tablePath, _))
     val fs = ownedDirs.head.getFileSystem(conf)
     val presentDirs = ownedDirs.filter(fs.exists)
     if (presentDirs.isEmpty) return 0
     val live = gwLog.snapshot(None).files.map(_.path).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
-    val markers = Seq("/_compacted/", "/_stream/")
+    val markers = Seq("/_compacted/", "/_stream/", "/_dml/")
     def owned(p: String): Boolean = markers.exists(p.contains)
     // walk the log once: latest removal tombstone per engine-owned path (a
     // later re-add cancels it) + every owned path any commit ever referenced
@@ -193,6 +195,106 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     deleted
   }
 
+  /**
+   * Row-level DELETE (copy-on-write): remove every row matching `cond` in
+   * one atomic commit — the SQL `DELETE FROM t WHERE ...` surface routes
+   * here through the connector's `SupportsDelete`. Work stays proportional
+   * to the predicate, not the table:
+   *
+   *  1. stats pruning — files whose harvested min/max PROVE no row can
+   *     match are never opened (the 100 TB majority under a selective
+   *     predicate), exactly the read path's skipping logic;
+   *  2. one distributed count pass over the surviving candidates
+   *     classifies each file: untouched (0 hits), fully matching (every
+   *     row hits — tombstoned metadata-only, no bytes move), or partial;
+   *  3. only partial files are rewritten (their kept rows, under
+   *     `<table>/_dml/`) and swapped in with the tombstones in a single
+   *     commit, so readers switch atomically.
+   *
+   * `cond` evaluating to NULL keeps the row (SQL DELETE semantics).
+   * Removed rows stay time-travelable until `vacuum`. Returns the
+   * committed version, or -1 when no row matched (no commit written).
+   */
+  def delete(cond: Column): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snap = gwLog.snapshot(None)
+    if (snap.files.isEmpty) return -1L
+    // resolve the predicate against the table schema once (typed literals,
+    // real AttributeReferences) so the scan path's stats pruning can read
+    // its conjuncts; an unresolvable column fails here, before any IO
+    val resolvedCond = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], snap.schema)
+      .filter(cond).queryExecution.analyzed.collectFirst {
+        case f: logical.Filter => f.condition
+      }.getOrElse(throw new IllegalArgumentException(
+        s"could not resolve delete predicate $cond"))
+    if (resolvedCond == Literal.TrueLiteral) return truncate()
+    val ranges = org.apache.spark.sql.graftbridge.GwStatsPruning.ranges(Seq(resolvedCond))
+    val candidates = if (ranges.isEmpty) snap.files else snap.filesForRanges(ranges)
+    if (candidates.isEmpty) return -1L
+    val hit = coalesce(cond, lit(false))
+    // one row per candidate file — metadata scale on the driver
+    val counts = spark.read.schema(snap.schema).parquet(candidates.map(_.path): _*)
+      .groupBy(col("_metadata.file_path").as("f"))
+      .agg(count(lit(1)).as("total"), sum(when(hit, 1L).otherwise(0L)).as("hits"))
+      .collect()
+    val byKey = candidates.map(f => GwTable.uriKey(f.path) -> f).toMap
+    val full = Seq.newBuilder[AddFile]
+    val partial = Seq.newBuilder[AddFile]
+    counts.foreach { r =>
+      val add = byKey.getOrElse(GwTable.uriKey(r.getString(0)),
+        throw new IllegalStateException(s"scanned file ${r.getString(0)} not in snapshot"))
+      val (total, hits) = (r.getLong(1), r.getLong(2))
+      if (hits == total && total > 0) full += add
+      else if (hits > 0) partial += add
+    }
+    val (fullFiles, partialFiles) = (full.result(), partial.result())
+    if (fullFiles.isEmpty && partialFiles.isEmpty) return -1L
+    val newAdds: Seq[AddFile] =
+      if (partialFiles.isEmpty) Nil
+      else {
+        val outDir = new Path(tablePath, s"_dml/${java.util.UUID.randomUUID()}")
+        spark.read.schema(snap.schema).parquet(partialFiles.map(_.path): _*)
+          .filter(not(hit))
+          .coalesce(math.max(1, partialFiles.size))
+          .write.mode("overwrite").parquet(outDir.toString)
+        graft.sources.SchemaProbe.harvestAddFiles(conf, outDir, dataChange = true)
+      }
+    val removes = fullFiles ++ partialFiles
+    graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+      val now = System.currentTimeMillis()
+      // a concurrent commit (compaction, overwrite) may have replaced files
+      // this delete classified — abort rather than resurrect or double-remove
+      val live = gwLog.snapshot(None).files.map(_.path).toSet
+      val gone = removes.filterNot(f => live.contains(f.path))
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"concurrent commit replaced ${gone.size} file(s) mid-DELETE at " +
+          s"$tablePath (e.g. ${gone.head.path}); re-run the delete")
+      val rms: Seq[Action] = removes.map(f => RemoveFile(f.path, f.size, now))
+      val info = CommitInfo(now, "DELETE", "CopyOnWrite",
+        numFiles = newAdds.size, numOutputBytes = newAdds.map(_.size).sum,
+        isBlindAppend = false, txnId = java.util.UUID.randomUUID().toString)
+      rms ++ newAdds :+ info
+    }
+  }
+
+  /** TRUNCATE: one metadata-only commit tombstoning every live file — no
+    * data is read or written; the content stays time-travelable until
+    * `vacuum`. Returns the committed version, or -1 on an empty log. */
+  def truncate(): Long = {
+    if (gwLog.listVersions().isEmpty) return -1L
+    graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+      val now = System.currentTimeMillis()
+      val removes: Seq[Action] =
+        gwLog.snapshot(None).files.map(f => RemoveFile(f.path, f.size, now))
+      removes :+ CommitInfo(now, "DELETE", "Truncate",
+        numFiles = 0, numOutputBytes = 0, isBlindAppend = false,
+        txnId = java.util.UUID.randomUUID().toString)
+    }
+  }
+
   /** Commit history as a DataFrame (version, timestamp, operation, ...). */
   def history: DataFrame = {
     import spark.implicits._
@@ -221,4 +323,12 @@ object GwTable {
     * sink's parquet write and its log commit (tombstoned files are exempt:
     * a tombstone proves the write completed and was superseded). */
   val DebrisMinAgeMs: Long = 15L * 60 * 1000
+
+  /** Scheme-insensitive identity for a file path: the scan's
+    * `_metadata.file_path` comes back as a full URI (`file:///t/p.parquet`)
+    * while log paths may be plain (`/t/p.parquet`) — both must key equal. */
+  private[graft] def uriKey(p: String): String = {
+    val u = new Path(p).toUri
+    Option(u.getAuthority).getOrElse("") + u.getPath
+  }
 }

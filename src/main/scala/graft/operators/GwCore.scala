@@ -248,7 +248,7 @@ object GwCore {
     * files, so one shared temp dir serves every gate invocation). Sets
     * the warehouse too when only the catalog key is present, so a
     * half-configured session can't fail catalog init. */
-  private def ensureGwCatalog(spark: SparkSession): Unit = {
+  private[graft] def ensureGwCatalog(spark: SparkSession): Unit = {
     if (!spark.conf.getOption("spark.sql.catalog.gw").contains(
         classOf[graft.sources.GwCatalog].getName))
       spark.conf.set("spark.sql.catalog.gw", classOf[graft.sources.GwCatalog].getName)
@@ -332,6 +332,51 @@ object GwCore {
     table.toDF
   }
 
+  // ---------------------------------------------------------------- gw15
+  /** SQL row-level DELETE end to end: four INSERTs with known disjoint
+    * o_orderkey ranges, then `DELETE FROM ... WHERE o_orderkey < 5600`
+    * through the catalog — the first range's file fully matches (tombstoned
+    * metadata-only, no bytes move), the second partially (copy-on-write
+    * rewrite under `_dml/`), and the upper two ranges must survive
+    * untouched (their files stats-pruned out of the delete's scan). The
+    * removed rows stay time-travelable: the pre-delete version still counts
+    * every row. Result = the table after DELETE (timestamps formatted — the
+    * source is parquet timestamp[ms], which pandas would otherwise compare
+    * at mismatched precision). */
+  def gw15SqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("gw15")
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("gw15_orders_src")
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val loc = tmp.resolve("db/orders").toString
+    spark.sql(s"CREATE TABLE gw.$ns.orders (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP, " +
+      s"o_orderpriority STRING) USING gwdelta LOCATION '$loc'")
+    Seq(0 -> 3750, 3750 -> 7500, 7500 -> 11250, 11250 -> 15000).foreach { case (lo, hi) =>
+      spark.sql(s"INSERT INTO gw.$ns.orders SELECT * FROM gw15_orders_src " +
+        s"WHERE o_orderkey >= $lo AND o_orderkey < $hi")
+    }
+    val table = GwTable.forPath(spark, loc)
+    val before = table.snapshot().files.map(_.path)
+    val preDeleteVersion = table.snapshot().version
+    spark.sql(s"DELETE FROM gw.$ns.orders WHERE o_orderkey < 5600")
+    val after = table.snapshot()
+    val live = after.files.map(_.path).toSet
+    require(after.files.exists(_.path.contains("/_dml/")),
+      "expected a copy-on-write rewrite file for the partially-matching range")
+    require(before.count(p => !live.contains(p)) >= 2,
+      "expected the fully- and partially-matching files tombstoned")
+    require(before.count(live.contains) >= 2,
+      "expected the upper ranges' files to survive untouched")
+    require(spark.sql(
+      s"SELECT * FROM gw.$ns.orders VERSION AS OF $preDeleteVersion").count() == 15000,
+      "pre-delete version must still serve every row (time travel)")
+    spark.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+      "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s, " +
+      s"o_orderpriority FROM gw.$ns.orders")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -347,6 +392,7 @@ object GwCore {
     "gw12_sql_catalog" -> gw12SqlCatalog _,
     "gw13_sql_insert" -> gw13SqlInsert _,
     "gw14_clustered_compact" -> gw14ClusteredCompact _,
+    "gw15_sql_delete" -> gw15SqlDelete _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -372,5 +418,10 @@ object GwCore {
     "gw13_sql_insert" -> "SELECT r_regionkey, r_name FROM region",
     "gw14_clustered_compact" ->
       "SELECT * FROM region UNION ALL SELECT * FROM region",
+    "gw15_sql_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        | o_orderpriority
+        |FROM orders WHERE o_orderkey >= 5600""".stripMargin,
   )
 }

@@ -33,7 +33,8 @@ class GwDeltaTable(
     snapshot: Snapshot,
     writable: Boolean = false,
     streaming: Boolean = false) extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = tableName
   override def schema(): StructType = snapshot.schema
@@ -64,6 +65,37 @@ class GwDeltaTable(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
       org.apache.spark.sql.connector.write.WriteBuilder =
     GwWriteBuilders.forPath(options.get("path"))
+
+  // ---- SQL DELETE FROM / TRUNCATE TABLE (SupportsDelete) ----
+
+  /** Spark only plans `DELETE FROM` against this table when every WHERE
+    * conjunct translated to a V1 filter AND this check accepts it; an
+    * untranslatable predicate (or a time-travel relation) fails the
+    * statement instead of deleting the wrong rows. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    writable && filters.forall(f => GwFilters.toColumn(f).isDefined)
+
+  /** Copy-on-write delete through the engine's own commit path: stats-pruned
+    * candidate selection, metadata-only drops for fully-matching files, a
+    * rewrite of partial files, one atomic commit ([[graft.GwTable.delete]]). */
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(writable,
+      "DELETE targets the LATEST snapshot; drop versionAsOf/timestampAsOf")
+    val cond = filters.toSeq.map(f => GwFilters.toColumn(f).getOrElse(
+        throw new IllegalArgumentException(s"untranslatable delete predicate: $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    graft.GwTable.forPath(spark, options.get("path")).delete(cond)
+    ()
+  }
+
+  /** `TRUNCATE TABLE`: one metadata-only tombstone-all commit. */
+  override def truncateTable(): Boolean = {
+    require(writable,
+      "TRUNCATE targets the LATEST snapshot; drop versionAsOf/timestampAsOf")
+    graft.GwTable.forPath(spark, options.get("path")).truncate()
+    true
+  }
 }
 
 /** Shared V1Write builders for gwdelta tables (live + pending). */

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Row-level DELETE / TRUNCATE: GwTable.delete's three-tier classification
+  * (untouched / full metadata-only drop / partial copy-on-write rewrite),
+  * SQL DELETE FROM + TRUNCATE TABLE through the catalog, null predicate
+  * semantics, and vacuum reclaim of superseded `_dml/` rewrites. */
+class DmlSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Fresh gwdelta table holding `nation` split into two known key ranges
+    * (one commit each): file A = n_nationkey < 12, file B = the rest. */
+  private def twoRangeTable(): (String, GwTable) = {
+    val dir = Files.createTempDirectory("dml").resolve("nation").toString
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    src.filter(col("n_nationkey") < 12).coalesce(1)
+      .write.format("gwdelta").mode("append").save(dir)
+    src.filter(col("n_nationkey") >= 12).coalesce(1)
+      .write.format("gwdelta").mode("append").save(dir)
+    (dir, GwTable.forPath(spark, dir))
+  }
+
+  private def rows(df: DataFrame): Long = df.count()
+
+  test("delete classifies files: untouched / full drop / partial rewrite") {
+    val (_, t) = twoRangeTable()
+    val before = t.snapshot().files.map(_.path)
+    assert(before.size == 2)
+    // matches ALL of file A (0..11) and none of file B -> metadata-only
+    val v1 = t.delete(col("n_nationkey") < 12)
+    assert(v1 > 0)
+    val afterFull = t.snapshot().files.map(_.path)
+    assert(afterFull.size == 1 && !afterFull.head.contains("/_dml/"),
+      "full-file delete must not rewrite anything")
+    // partial: file B keeps its upper half through a _dml rewrite
+    val v2 = t.delete(col("n_nationkey") < 20)
+    assert(v2 == v1 + 1)
+    val afterPartial = t.snapshot().files.map(_.path)
+    assert(afterPartial.size == 1 && afterPartial.head.contains("/_dml/"))
+    assert(rows(t.toDF) ==
+      rows(spark.read.parquet(s"$sf/nation.parquet").filter(col("n_nationkey") >= 20)))
+    // content, not just counts
+    assert(t.toDF.select("n_nationkey").collect().map(_.getAs[Number](0).longValue)
+        .sorted.toSeq ==
+      spark.read.parquet(s"$sf/nation.parquet").filter(col("n_nationkey") >= 20)
+        .select("n_nationkey").collect().map(_.getAs[Number](0).longValue).sorted.toSeq)
+  }
+
+  test("delete with no matching row is a no-op (no commit)") {
+    val (_, t) = twoRangeTable()
+    val before = t.snapshot().version
+    assert(t.delete(col("n_nationkey") > 1000) == -1L)
+    assert(t.snapshot().version == before)
+  }
+
+  test("NULL predicate keeps the row (SQL DELETE semantics)") {
+    val dir = Files.createTempDirectory("dml").resolve("t").toString
+    import spark.implicits._
+    Seq((1L, Some("a")), (2L, None: Option[String]), (3L, Some("b")))
+      .toDF("id", "s").coalesce(1)
+      .write.format("gwdelta").mode("append").save(dir)
+    val t = GwTable.forPath(spark, dir)
+    // s != 'a' is NULL for id=2 -> that row must SURVIVE
+    assert(t.delete(col("s") =!= lit("a")) > 0)
+    assert(t.toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("delete(lit(true)) and truncate are metadata-only remove-alls") {
+    val (_, t) = twoRangeTable()
+    val v = t.delete(lit(true))
+    assert(v > 0)
+    assert(t.snapshot().files.isEmpty)
+    assert(rows(t.toDF) == 0)
+    // truncate on already-empty table still commits (INSERT OVERWRITE parity)
+    assert(t.truncate() == v + 1)
+    // and the content is still time-travelable
+    assert(rows(t.versionAsOf(v - 1)) == rows(spark.read.parquet(s"$sf/nation.parquet")))
+  }
+
+  test("SQL DELETE FROM + TRUNCATE TABLE through the catalog") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    val (dir, t) = twoRangeTable()
+    val ns = s"dml${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta LOCATION '$dir'")
+    // predicate algebra beyond plain comparison: IN-list + conjunction
+    spark.sql(s"DELETE FROM gw.$ns.nation " +
+      "WHERE n_nationkey IN (0, 1, 2, 3) AND n_name IS NOT NULL")
+    assert(rows(spark.table(s"gw.$ns.nation")) ==
+      rows(spark.read.parquet(s"$sf/nation.parquet").filter(col("n_nationkey") > 3)))
+    val preTruncate = t.snapshot().version
+    spark.sql(s"TRUNCATE TABLE gw.$ns.nation")
+    assert(rows(spark.table(s"gw.$ns.nation")) == 0)
+    assert(rows(spark.sql(
+      s"SELECT * FROM gw.$ns.nation VERSION AS OF $preTruncate")) > 0)
+  }
+
+  test("delete scans only stats-surviving candidate files") {
+    // files have disjoint harvested n_nationkey ranges; a predicate on the
+    // upper range must not classify (or rewrite) the lower file even
+    // though its rows would also be read in a naive full scan
+    val (_, t) = twoRangeTable()
+    val lower = t.snapshot().files.map(_.path).head
+    assert(t.delete(col("n_nationkey") >= 12) > 0)
+    val live = t.snapshot().files.map(_.path)
+    assert(live == Seq(lower), "lower-range file must survive byte-identical")
+  }
+
+  test("vacuum reclaims superseded _dml rewrites but never live ones") {
+    val (dir, t) = twoRangeTable()
+    assert(t.delete(col("n_nationkey") < 20) > 0) // leaves one _dml file live
+    val dmlLive = t.snapshot().files.map(_.path).filter(_.contains("/_dml/"))
+    assert(dmlLive.size == 1)
+    // supersede the rewrite itself, then vacuum with zero retention
+    assert(t.delete(lit(true)) > 0)
+    val deleted = t.vacuum(retentionMs = 0L)
+    assert(deleted >= 1, s"expected the tombstoned _dml rewrite reclaimed, got $deleted")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dmlLive.head)))
+    // original source-namespace files are NEVER vacuum candidates — but for
+    // a gwdelta-written table they live under _stream/, which IS owned and
+    // tombstoned, so they are reclaimed too; time travel past them now 404s
+    // (documented retention contract), while the latest (empty) snapshot reads
+    assert(rows(t.toDF) == 0)
+  }
+}
