@@ -217,25 +217,180 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
    */
   def delete(cond: Column): Long = {
     import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.plans.logical
-    val conf = spark.sparkContext.hadoopConfiguration
     val snap = gwLog.snapshot(None)
     if (snap.files.isEmpty) return -1L
-    // resolve the predicate against the table schema once (typed literals,
-    // real AttributeReferences) so the scan path's stats pruning can read
-    // its conjuncts; an unresolvable column fails here, before any IO
-    val resolvedCond = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], snap.schema)
-      .filter(cond).queryExecution.analyzed.collectFirst {
-        case f: logical.Filter => f.condition
-      }.getOrElse(throw new IllegalArgumentException(
-        s"could not resolve delete predicate $cond"))
-    if (resolvedCond == Literal.TrueLiteral) return truncate()
-    val ranges = org.apache.spark.sql.graftbridge.GwStatsPruning.ranges(Seq(resolvedCond))
-    val candidates = if (ranges.isEmpty) snap.files else snap.filesForRanges(ranges)
-    if (candidates.isEmpty) return -1L
+    if (resolveCond(snap, cond) == Literal.TrueLiteral) return truncate()
+    val (fullFiles, partialFiles) = classifyByPredicate(snap, cond)
+    if (fullFiles.isEmpty && partialFiles.isEmpty) return -1L
     val hit = coalesce(cond, lit(false))
-    // one row per candidate file — metadata scale on the driver
+    val newAdds: Seq[AddFile] =
+      if (partialFiles.isEmpty) Nil
+      else rewriteFiles(snap, partialFiles,
+        df => df.filter(not(hit)).coalesce(math.max(1, partialFiles.size)))
+    commitDml("DELETE", fullFiles ++ partialFiles, newAdds)
+  }
+
+  /**
+   * Row-level UPDATE (copy-on-write): for every row matching `cond`, each
+   * `set` assignment replaces the column's value (cast to the column's
+   * logged type, so the table schema is preserved exactly); every other row
+   * and column passes through untouched. Same three-tier file handling as
+   * [[delete]] — stats pruning, a classifying count pass, rewrite of ONLY
+   * the files containing matching rows — except a fully-matching file must
+   * of course be rewritten too, not just tombstoned. Assignments may
+   * reference any of the table's columns (the pre-update values, SQL UPDATE
+   * semantics). Returns the committed version, or -1 when no row matched.
+   */
+  def update(cond: Column, set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    val snap = gwLog.snapshot(None)
+    if (snap.files.isEmpty) return -1L
+    val fields = snap.schema.fields
+    set.keys.foreach { k =>
+      require(fields.exists(_.name == k),
+        s"SET column '$k' is not in the table schema " +
+          s"(${snap.schema.fieldNames.mkString(", ")})")
+    }
+    resolveCond(snap, cond) // fail on unresolvable predicates before any IO
+    val (fullFiles, partialFiles) = classifyByPredicate(snap, cond)
+    val touched = fullFiles ++ partialFiles
+    if (touched.isEmpty) return -1L
+    val hit = coalesce(cond, lit(false))
+    // SQL UPDATE evaluates every assignment against the PRE-update row, so
+    // one select with per-column conditionals is exactly the semantics
+    val projected = fields.map { f =>
+      set.get(f.name) match {
+        case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    val newAdds = rewriteFiles(snap, touched,
+      df => df.select(projected.toIndexedSeq: _*)
+        .coalesce(math.max(1, touched.size)))
+    commitDml("UPDATE", touched, newAdds)
+  }
+
+  /**
+   * MERGE (upsert): join `source` against the table on `on` — matched
+   * target rows take the `whenMatchedSet` assignments (each cast to the
+   * column's logged type; values may reference both sides via the `t` /
+   * `s` aliases), source rows matching nothing are appended when
+   * `insertNotMatched` (their columns mapped to the target schema by
+   * name) — all in one atomic copy-on-write commit.
+   *
+   * Aliases: inside `on` and the assignments, reference the target as
+   * `t` and the source as `s`, e.g.
+   * `on = col("t.o_orderkey") === col("s.o_orderkey")`,
+   * `whenMatchedSet = Map("o_totalprice" -> col("s.o_totalprice"))`.
+   *
+   * Shape at scale: the match pass touches only (matched rows → their
+   * files) with partial aggregation; only files that actually contain a
+   * matched row are rewritten; the not-matched anti-join is the one
+   * full-table join, exactly the cost Delta's MERGE pays. A target row
+   * matched by more than one source row fails (non-deterministic update —
+   * SQL MERGE cardinality rule). Returns the committed version, or -1
+   * when nothing matched and nothing was inserted.
+   */
+  def merge(source: DataFrame, on: Column,
+      whenMatchedSet: Map[String, Column] = Map.empty,
+      insertNotMatched: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{first, max, monotonically_increasing_id}
+    require(whenMatchedSet.nonEmpty || insertNotMatched,
+      "MERGE needs a matched-update and/or a not-matched-insert action")
+    require(gwLog.exists(), s"MERGE target has no transaction log at $tablePath")
+    require(!source.columns.exists(_.startsWith("__gw_")),
+      "source columns must not use the reserved __gw_ prefix")
+    val snap = gwLog.snapshot(None)
+    val fields = snap.schema.fields
+    whenMatchedSet.keys.foreach { k =>
+      require(fields.exists(_.name == k),
+        s"SET column '$k' is not in the table schema " +
+          s"(${snap.schema.fieldNames.mkString(", ")})")
+    }
+    if (insertNotMatched) fields.foreach { f =>
+      require(source.columns.contains(f.name),
+        s"insertNotMatched requires source column '${f.name}' (by-name mapping)")
+    }
+    val tgtAll =
+      if (snap.files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
+      else spark.read.schema(snap.schema).parquet(snap.filePaths: _*)
+    // match pass: per-file max source-match count, over matched rows only
+    // (partial-agg'd) — one row per touched file reaches the driver
+    val perFile =
+      if (snap.files.isEmpty) Array.empty[Row]
+      else tgtAll
+        .withColumn("__gw_file", col("_metadata.file_path"))
+        .withColumn("__gw_rid", monotonically_increasing_id())
+        .alias("t")
+        .join(source.alias("s"), on, "inner")
+        .groupBy(col("__gw_rid"))
+        .agg(first(col("__gw_file")).as("f"), count(lit(1)).as("n"))
+        .groupBy(col("f")).agg(max(col("n")).as("maxn"))
+        .collect()
+    perFile.find(_.getLong(1) > 1).foreach { r =>
+      throw new IllegalStateException(
+        s"MERGE matched a target row in ${r.getString(0)} with " +
+          s"${r.getLong(1)} source rows — updates would be non-deterministic")
+    }
+    val byKey = snap.files.map(f => GwTable.uriKey(f.path) -> f).toMap
+    val touched = perFile.toSeq.map(r => byKey.getOrElse(GwTable.uriKey(r.getString(0)),
+      throw new IllegalStateException(s"matched file ${r.getString(0)} not in snapshot")))
+    val rewritten: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else {
+        val matched = coalesce(col("__gw_matched"), lit(false))
+        Some(spark.read.schema(snap.schema).parquet(touched.map(_.path): _*)
+          .alias("t")
+          .join(source.withColumn("__gw_matched", lit(true)).alias("s"), on, "left")
+          .select(fields.map { f =>
+            whenMatchedSet.get(f.name) match {
+              case Some(v) =>
+                when(matched, v.cast(f.dataType)).otherwise(col(s"t.${f.name}")).as(f.name)
+              case None => col(s"t.${f.name}").as(f.name)
+            }
+          }.toIndexedSeq: _*))
+      }
+    val inserts: Option[DataFrame] =
+      if (!insertNotMatched) None
+      else {
+        val anti = source.alias("s").join(tgtAll.alias("t"), on, "left_anti")
+        Some(anti.select(fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*))
+      }
+    val out = (rewritten, inserts) match {
+      case (Some(r), Some(i)) => Some(r.unionByName(i))
+      case (r, i) => r.orElse(i)
+    }
+    out match {
+      case None => -1L
+      case Some(df) =>
+        val newAdds = writeDml(df.coalesce(math.max(1, touched.size + 1)))
+        if (touched.isEmpty && newAdds.isEmpty) -1L // no match, empty insert set
+        else commitDml("MERGE", touched, newAdds)
+    }
+  }
+
+  /** Resolve a predicate against the table schema (typed literals, real
+    * AttributeReferences) so the scan path's stats pruning can read its
+    * conjuncts; an unresolvable column fails here, before any IO. */
+  private def resolveCond(snap: Snapshot, cond: Column):
+      org.apache.spark.sql.catalyst.expressions.Expression =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
+      .filter(cond).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(throw new IllegalArgumentException(
+        s"could not resolve predicate $cond"))
+
+  /** One distributed count pass over the stats-surviving candidate files:
+    * (fully matching, partially matching). One row per file — metadata
+    * scale on the driver. */
+  private def classifyByPredicate(snap: Snapshot, cond: Column): (Seq[AddFile], Seq[AddFile]) = {
+    val ranges = org.apache.spark.sql.graftbridge.GwStatsPruning
+      .ranges(Seq(resolveCond(snap, cond)))
+    val candidates = if (ranges.isEmpty) snap.files else snap.filesForRanges(ranges)
+    if (candidates.isEmpty) return (Nil, Nil)
+    val hit = coalesce(cond, lit(false))
     val counts = spark.read.schema(snap.schema).parquet(candidates.map(_.path): _*)
       .groupBy(col("_metadata.file_path").as("f"))
       .agg(count(lit(1)).as("total"), sum(when(hit, 1L).otherwise(0L)).as("hits"))
@@ -250,35 +405,42 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       if (hits == total && total > 0) full += add
       else if (hits > 0) partial += add
     }
-    val (fullFiles, partialFiles) = (full.result(), partial.result())
-    if (fullFiles.isEmpty && partialFiles.isEmpty) return -1L
-    val newAdds: Seq[AddFile] =
-      if (partialFiles.isEmpty) Nil
-      else {
-        val outDir = new Path(tablePath, s"_dml/${java.util.UUID.randomUUID()}")
-        spark.read.schema(snap.schema).parquet(partialFiles.map(_.path): _*)
-          .filter(not(hit))
-          .coalesce(math.max(1, partialFiles.size))
-          .write.mode("overwrite").parquet(outDir.toString)
-        graft.sources.SchemaProbe.harvestAddFiles(conf, outDir, dataChange = true)
-      }
-    val removes = fullFiles ++ partialFiles
+    (full.result(), partial.result())
+  }
+
+  /** Rewrite `files` through `transform` into a fresh `_dml/` dir and
+    * harvest the outputs (footer stats included) as AddFiles. */
+  private def rewriteFiles(snap: Snapshot, files: Seq[AddFile],
+      transform: DataFrame => DataFrame): Seq[AddFile] =
+    writeDml(transform(spark.read.schema(snap.schema).parquet(files.map(_.path): _*)))
+
+  /** Write a DML output batch under `<table>/_dml/` and harvest it. */
+  private def writeDml(df: DataFrame): Seq[AddFile] = {
+    val outDir = new Path(tablePath, s"_dml/${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(outDir.toString)
+    graft.sources.SchemaProbe.harvestAddFiles(
+      spark.sparkContext.hadoopConfiguration, outDir, dataChange = true)
+  }
+
+  /** One atomic DML commit: tombstone `removes`, add `newAdds`. Retries past
+    * foreign version conflicts, but aborts if a concurrent commit replaced
+    * any file this operation classified — resurrecting or double-removing
+    * would corrupt the table. */
+  private def commitDml(operation: String, removes: Seq[AddFile],
+      newAdds: Seq[AddFile]): Long =
     graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
       val now = System.currentTimeMillis()
-      // a concurrent commit (compaction, overwrite) may have replaced files
-      // this delete classified — abort rather than resurrect or double-remove
       val live = gwLog.snapshot(None).files.map(_.path).toSet
       val gone = removes.filterNot(f => live.contains(f.path))
       if (gone.nonEmpty) throw new IllegalStateException(
-        s"concurrent commit replaced ${gone.size} file(s) mid-DELETE at " +
-          s"$tablePath (e.g. ${gone.head.path}); re-run the delete")
+        s"concurrent commit replaced ${gone.size} file(s) mid-$operation at " +
+          s"$tablePath (e.g. ${gone.head.path}); re-run the operation")
       val rms: Seq[Action] = removes.map(f => RemoveFile(f.path, f.size, now))
-      val info = CommitInfo(now, "DELETE", "CopyOnWrite",
+      val info = CommitInfo(now, operation, "CopyOnWrite",
         numFiles = newAdds.size, numOutputBytes = newAdds.map(_.size).sum,
         isBlindAppend = false, txnId = java.util.UUID.randomUUID().toString)
       rms ++ newAdds :+ info
     }
-  }
 
   /** TRUNCATE: one metadata-only commit tombstoning every live file — no
     * data is read or written; the content stays time-travelable until

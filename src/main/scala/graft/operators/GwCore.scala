@@ -344,23 +344,11 @@ object GwCore {
     * source is parquet timestamp[ms], which pandas would otherwise compare
     * at mismatched precision). */
   def gw15SqlDelete(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("gw15")
-    ensureGwCatalog(spark)
-    val ns = s"ns${System.nanoTime()}"
-    spark.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("gw15_orders_src")
-    spark.sql(s"CREATE NAMESPACE gw.$ns")
-    val loc = tmp.resolve("db/orders").toString
-    spark.sql(s"CREATE TABLE gw.$ns.orders (o_orderkey BIGINT, o_custkey BIGINT, " +
-      "o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP, " +
-      s"o_orderpriority STRING) USING gwdelta LOCATION '$loc'")
-    Seq(0 -> 3750, 3750 -> 7500, 7500 -> 11250, 11250 -> 15000).foreach { case (lo, hi) =>
-      spark.sql(s"INSERT INTO gw.$ns.orders SELECT * FROM gw15_orders_src " +
-        s"WHERE o_orderkey >= $lo AND o_orderkey < $hi")
-    }
+    val (name, loc) = rangedOrdersTable(spark, dir, "gw15")
     val table = GwTable.forPath(spark, loc)
     val before = table.snapshot().files.map(_.path)
     val preDeleteVersion = table.snapshot().version
-    spark.sql(s"DELETE FROM gw.$ns.orders WHERE o_orderkey < 5600")
+    spark.sql(s"DELETE FROM $name WHERE o_orderkey < 5600")
     val after = table.snapshot()
     val live = after.files.map(_.path).toSet
     require(after.files.exists(_.path.contains("/_dml/")),
@@ -370,11 +358,83 @@ object GwCore {
     require(before.count(live.contains) >= 2,
       "expected the upper ranges' files to survive untouched")
     require(spark.sql(
-      s"SELECT * FROM gw.$ns.orders VERSION AS OF $preDeleteVersion").count() == 15000,
+      s"SELECT * FROM $name VERSION AS OF $preDeleteVersion").count() == 15000,
       "pre-delete version must still serve every row (time travel)")
     spark.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
       "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s, " +
-      s"o_orderpriority FROM gw.$ns.orders")
+      s"o_orderpriority FROM $name")
+  }
+
+  /** Shared gw15-17 fixture: a gwdelta `orders` table committed as four
+    * files with known disjoint o_orderkey ranges (so DML file
+    * classification is observable), registered in the catalog under a
+    * fresh namespace. Returns (qualified SQL name, table path). */
+  private def rangedOrdersTable(spark: SparkSession, dir: String,
+      tag: String): (String, String) = {
+    val tmp = Files.createTempDirectory(tag)
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView(s"${tag}_orders_src")
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val loc = tmp.resolve("db/orders").toString
+    spark.sql(s"CREATE TABLE gw.$ns.orders (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP, " +
+      s"o_orderpriority STRING) USING gwdelta LOCATION '$loc'")
+    Seq(0 -> 3750, 3750 -> 7500, 7500 -> 11250, 11250 -> 15000).foreach { case (lo, hi) =>
+      spark.sql(s"INSERT INTO gw.$ns.orders SELECT * FROM ${tag}_orders_src " +
+        s"WHERE o_orderkey >= $lo AND o_orderkey < $hi")
+    }
+    (s"gw.$ns.orders", loc)
+  }
+
+  // ---------------------------------------------------------------- gw16
+  /** Row-level UPDATE end to end: reprice every order below the cutoff
+    * (assignments see the PRE-update row; `* 2` is an exact IEEE doubling,
+    * so the oracle compares bit-identical doubles). Files above the cutoff
+    * must survive untouched — only the matching ranges rewrite. */
+  def gw16ApiUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (name, loc) = rangedOrdersTable(spark, dir, "gw16")
+    val table = GwTable.forPath(spark, loc)
+    val before = table.snapshot().files.map(_.path)
+    require(table.update(col("o_orderkey") < 5600, Map(
+      "o_totalprice" -> (col("o_totalprice") * 2),
+      "o_orderpriority" -> lit("REPRICED"))) > 0, "expected an UPDATE commit")
+    val live = table.snapshot().files.map(_.path).toSet
+    require(before.count(live.contains) >= 2,
+      "files above the cutoff must survive untouched")
+    require(live.exists(_.contains("/_dml/")), "expected rewritten files")
+    spark.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+      "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s, " +
+      s"o_orderpriority FROM $name")
+  }
+
+  // ---------------------------------------------------------------- gw17
+  /** MERGE (upsert) end to end: source = a repriced upper slice — matched
+    * target rows take the source price (`* 3`, exact in IEEE), source rows
+    * beyond the target's range are appended, and the target file wholly
+    * below the source's key range must survive byte-identical. */
+  def gw17ApiMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (name, loc) = rangedOrdersTable(spark, dir, "gw17")
+    val table = GwTable.forPath(spark, loc)
+    // shrink the target to the two lower ranges so the merge both updates
+    // (5600..7500) and inserts (7500..9000)
+    require(table.delete(col("o_orderkey") >= 7500) > 0)
+    val before = table.snapshot().files.map(_.path)
+    val src = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") >= 5600 && col("o_orderkey") < 9000)
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+    require(table.merge(src, col("t.o_orderkey") === col("s.o_orderkey"),
+      whenMatchedSet = Map("o_totalprice" -> col("s.o_totalprice"))) > 0,
+      "expected a MERGE commit")
+    val live = table.snapshot().files.map(_.path).toSet
+    require(live.contains(before.head),
+      "the file below the source's key range must survive untouched")
+    require(!live.contains(before(1)), "the overlapping file must be rewritten")
+    spark.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+      "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s, " +
+      s"o_orderpriority FROM $name")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -393,6 +453,8 @@ object GwCore {
     "gw13_sql_insert" -> gw13SqlInsert _,
     "gw14_clustered_compact" -> gw14ClusteredCompact _,
     "gw15_sql_delete" -> gw15SqlDelete _,
+    "gw16_api_update" -> gw16ApiUpdate _,
+    "gw17_api_merge" -> gw17ApiMerge _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -423,5 +485,32 @@ object GwCore {
         | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
         | o_orderpriority
         |FROM orders WHERE o_orderkey >= 5600""".stripMargin,
+    // UPDATE = CASE over the pre-update row; * 2 is exact in IEEE, so the
+    // doubles compare bit-identical across engines
+    "gw16_api_update" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_orderkey < 5600 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        | CASE WHEN o_orderkey < 5600 THEN 'REPRICED'
+        |      ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders""".stripMargin,
+    // MERGE = left join for the matched update + the not-matched inserts
+    "gw17_api_merge" ->
+      """WITH src AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus,
+        |        o_totalprice * 3 AS o_totalprice, o_orderdate, o_orderpriority
+        | FROM orders WHERE o_orderkey >= 5600 AND o_orderkey < 9000),
+        |tgt AS (SELECT * FROM orders WHERE o_orderkey < 7500)
+        |SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+        | COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+        | strftime(t.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        | t.o_orderpriority
+        |FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        | o_orderpriority
+        |FROM src WHERE o_orderkey >= 7500""".stripMargin,
   )
 }

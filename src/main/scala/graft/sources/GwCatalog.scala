@@ -48,9 +48,10 @@ import scala.util.Try
  * truncates-and-replaces in one commit (both via the engine's sink commit
  * path; old files stay time-travelable until vacuum). A table created with
  * declared columns is INSERT-ready before any data — the first insert
- * bootstraps its log. CDA-mirror tables remain read-only by convention
- * (the indexer owns them); UPDATE/DELETE/MERGE are out of scope — the
- * engine is an append/restate log, not a row-mutation store.
+ * bootstraps its log. `DELETE FROM` / `TRUNCATE TABLE` run as stats-pruned
+ * copy-on-write commits (SupportsDelete on the loaded table); row-level
+ * UPDATE and MERGE are the `GwTable.update` / `GwTable.merge` API surface.
+ * CDA-mirror tables remain read-only by convention (the indexer owns them).
  */
 class GwCatalog extends TableCatalog with SupportsNamespaces {
 

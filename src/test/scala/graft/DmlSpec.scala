@@ -110,6 +110,76 @@ class DmlSpec extends SparkSpec {
     assert(live == Seq(lower), "lower-range file must survive byte-identical")
   }
 
+  test("update rewrites only files containing matches, preserving schema") {
+    val (_, t) = twoRangeTable()
+    val before = t.snapshot().files.map(_.path)
+    val schemaBefore = t.toDF.schema
+    // assignment references the PRE-update value (SQL UPDATE semantics)
+    val v = t.update(col("n_nationkey") < 5,
+      Map("n_name" -> org.apache.spark.sql.functions.concat(lit("X_"), col("n_name"))))
+    assert(v > 0)
+    val after = t.snapshot().files.map(_.path)
+    assert(after.contains(before(1)), "upper-range file must survive untouched")
+    assert(!after.contains(before(0)) && after.exists(_.contains("/_dml/")))
+    assert(t.toDF.schema == schemaBefore)
+    val names = t.toDF.orderBy("n_nationkey").select("n_name")
+      .collect().map(_.getString(0)).toSeq
+    val expected = spark.read.parquet(s"$sf/nation.parquet").orderBy("n_nationkey")
+      .select(org.apache.spark.sql.functions.when(col("n_nationkey") < 5,
+        org.apache.spark.sql.functions.concat(lit("X_"), col("n_name")))
+        .otherwise(col("n_name")))
+      .collect().map(_.getString(0)).toSeq
+    assert(names == expected)
+    assert(t.update(col("n_nationkey") > 1000, Map("n_name" -> lit("z"))) == -1L)
+  }
+
+  test("merge updates matched rows and appends unmatched source rows") {
+    val (_, t) = twoRangeTable()
+    val before = t.snapshot().files.map(_.path)
+    import spark.implicits._
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+      .filter(col("n_nationkey") < 3)
+      .withColumn("n_name", org.apache.spark.sql.functions.concat(lit("M_"), col("n_name")))
+      .unionByName(
+        spark.read.parquet(s"$sf/nation.parquet").filter(col("n_nationkey") === 0)
+          .withColumn("n_nationkey", lit(100).cast("int"))
+          .withColumn("n_name", lit("NEWLAND")))
+    val v = t.merge(src, col("t.n_nationkey") === col("s.n_nationkey"),
+      whenMatchedSet = Map("n_name" -> col("s.n_name")))
+    assert(v > 0)
+    // only the lower-range file held matches; the upper one survives as-is
+    assert(t.snapshot().files.map(_.path).contains(before(1)))
+    val byKey = t.toDF.select("n_nationkey", "n_name").collect()
+      .map(r => r.getAs[Number](0).intValue -> r.getString(1)).toMap
+    assert(byKey(0).startsWith("M_") && byKey(2).startsWith("M_"))
+    assert(!byKey(5).startsWith("M_"))
+    assert(byKey(100) == "NEWLAND")
+    assert(byKey.size == 26) // 25 originals + 1 insert
+  }
+
+  test("merge rejects a target row matched by multiple source rows") {
+    val (_, t) = twoRangeTable()
+    val src = spark.read.parquet(s"$sf/nation.parquet").filter(col("n_nationkey") === 1)
+    val dup = src.unionByName(src)
+    val e = intercept[IllegalStateException] {
+      t.merge(dup, col("t.n_nationkey") === col("s.n_nationkey"),
+        whenMatchedSet = Map("n_name" -> col("s.n_name")))
+    }
+    assert(e.getMessage.contains("non-deterministic"))
+  }
+
+  test("merge into a truncated table is a pure insert") {
+    val (_, t) = twoRangeTable()
+    t.truncate()
+    val src = spark.read.parquet(s"$sf/nation.parquet").filter(col("n_nationkey") < 4)
+    assert(t.merge(src, col("t.n_nationkey") === col("s.n_nationkey")) > 0)
+    assert(rows(t.toDF) == 4)
+    // and a merge with nothing to do commits nothing
+    val vBefore = t.snapshot().version
+    assert(t.merge(src.limit(0), col("t.n_nationkey") === col("s.n_nationkey")) == -1L)
+    assert(t.snapshot().version == vBefore)
+  }
+
   test("vacuum reclaims superseded _dml rewrites but never live ones") {
     val (dir, t) = twoRangeTable()
     assert(t.delete(col("n_nationkey") < 20) > 0) // leaves one _dml file live
