@@ -457,6 +457,84 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     }
   }
 
+  /** Row-level change feed (CDF): the inserted/deleted ROWS per commit in
+    * `(sinceVersion, latest]`, derived from the log's file diff — no
+    * change-tracking columns are stored. Per version, inserted =
+    * bag-difference(added files, removed files) and deleted = the reverse,
+    * so a copy-on-write rewrite's surviving rows cancel out and only the
+    * true row changes remain (an UPDATE surfaces as delete + insert of the
+    * changed rows). Output = table columns + `_change_type`
+    * ('insert'|'delete') + `_commit_version`.
+    *
+    * Scale: each version's diff touches only that commit's files (bounded
+    * by the write, not the table); the bag-difference shuffles those files
+    * once. `dataChange = false` commits (compaction) contribute nothing by
+    * construction and are skipped without reading. Crossing a restatement
+    * or schema change fails fast, like [[changesSince]]. */
+  def rowChanges(sinceVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val latest = gwLog.snapshot(None)
+    require(sinceVersion <= latest.version,
+      s"rowChanges($sinceVersion) is beyond the log's latest version " +
+        s"${latest.version} at $tablePath — the table was rebuilt; " +
+        "restart consumption from a full snapshot")
+    val schema = gwLog.snapshot(Some(sinceVersion)).schema
+    def read(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty)
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+      else spark.read.schema(schema).parquet(paths: _*)
+    val parts = ((sinceVersion + 1) to latest.version).flatMap { v =>
+      val actions = gwLog.readVersion(v)
+      if (actions.exists(_.isInstanceOf[Metadata]))
+        throw new IllegalStateException(
+          s"rowChanges($sinceVersion) at $tablePath crosses a schema change " +
+            s"at version $v: row identity is undefined across schemas — " +
+            "restart consumption from a full snapshot")
+      val adds = actions.collect { case a: AddFile if a.dataChange => a.path }
+      val rms = actions.collect { case r: RemoveFile if r.dataChange => r.path }
+      if (adds.isEmpty && rms.isEmpty) Nil
+      else {
+        val added = read(adds)
+        val removed = read(rms)
+        Seq(
+          added.exceptAll(removed).withColumn("_change_type", lit("insert")),
+          removed.exceptAll(added).withColumn("_change_type", lit("delete")))
+          .map(_.withColumn("_commit_version", lit(v)))
+      }
+    }
+    if (parts.isEmpty)
+      read(Nil).withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L)).limit(0)
+    else parts.reduce(_ unionAll _)
+  }
+
+  /** ALTER TABLE ADD COLUMNS — a metadata-only schema-evolution commit:
+    * the new fields append (forced nullable) to the snapshot schema, and
+    * existing parquet files simply lack the columns — the vectorized
+    * reader null-fills them at scan time, so no data is read or
+    * rewritten. Streams tailing the log and `changesSince` treat the
+    * Metadata action as a schema change and stop (deliberately: a
+    * downstream consumer must re-derive its schema). Returns the
+    * committed version. */
+  def addColumns(cols: org.apache.spark.sql.types.StructField*): Long = {
+    require(cols.nonEmpty, "no columns to add")
+    graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+      val snap = gwLog.snapshot(None)
+      val meta = snap.metadata.getOrElse(throw new IllegalStateException(
+        s"cannot ALTER a table with no schema in its log: $tablePath"))
+      val existing = snap.schema.fieldNames.map(_.toLowerCase).toSet
+      cols.map(_.name).find(n => existing.contains(n.toLowerCase)).foreach(n =>
+        throw new IllegalArgumentException(s"column already exists: $n"))
+      val widened = org.apache.spark.sql.types.StructType(
+        snap.schema.fields ++ cols.map(_.copy(nullable = true)))
+      Seq(
+        meta.copy(schemaString = widened.json),
+        CommitInfo(System.currentTimeMillis(), "ADD COLUMNS", "Upgrade",
+          numFiles = 0, numOutputBytes = 0, isBlindAppend = false,
+          txnId = java.util.UUID.randomUUID().toString))
+    }
+  }
+
   /** Commit history as a DataFrame (version, timestamp, operation, ...). */
   def history: DataFrame = {
     import spark.implicits._

@@ -233,6 +233,68 @@ object Pipelines {
   }
 
   /**
+   * Mixture sampling — deterministic per-group Bernoulli subsampling for
+   * domain/language reweighting (the static data-mixture step of a
+   * pretraining pipeline). A row is kept iff its content-hash bucket
+   * (first 4 hex chars of md5(id), a uniform 16-bit draw) falls below the
+   * group's permille weight; groups absent from `weightsPermille` keep
+   * `defaultPermille`. Fully deterministic — the same id always draws the
+   * same bucket, so reruns and retries keep identical rows.
+   *
+   * Scale: one codegen'd hash + comparison per row, no shuffle, no state;
+   * the filter reaches the scan untouched by group size or skew.
+   */
+  def mixtureSample(df: DataFrame, group: Column, id: Column,
+      weightsPermille: Map[String, Int], defaultPermille: Int = 1000): DataFrame = {
+    val bucket = substring(md5(id.cast("string")), 1, 4)
+    val threshold = weightsPermille.foldLeft(lit(hexThreshold(defaultPermille))) {
+      case (acc, (g, w)) => when(group === g, lit(hexThreshold(w))).otherwise(acc)
+    }
+    df.withColumn("bucket", bucket).filter(bucket < threshold)
+  }
+
+  /** 4-hex-char threshold for a permille weight: bucket < threshold keeps
+    * ~permille/1000 of uniform buckets ("zzzz" > every hex string = keep
+    * all; "0000" keeps none under strict <). */
+  private[graft] def hexThreshold(permille: Int): String = {
+    require(permille >= 0 && permille <= 1000, s"permille out of range: $permille")
+    if (permille >= 1000) "zzzz" else f"${permille * 65536 / 1000}%04x"
+  }
+
+  /**
+   * Train/eval decontamination — flag training documents that share any
+   * word n-gram with a held-out evaluation set (the GPT-3/Pile overlap
+   * hygiene step). Returns (id, n_shared): contaminated train ids with the
+   * count of DISTINCT eval n-grams they contain.
+   *
+   * Shapes for 100 TB: eval suites are benchmark-sized, not crawl-sized —
+   * their distinct gram set broadcasts, so the corpus side sees a map-side
+   * hash join with NO shuffle of train grams; only the surviving
+   * (contaminated) rows reach the per-doc distinct aggregate, which is
+   * partial-aggregated on the candidate set, not the corpus.
+   */
+  def decontaminationReport(train: DataFrame, evalSet: DataFrame,
+      id: Column, text: Column, n: Int = 5): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val evalGrams = wordGrams(evalSet, id, text, n).select("gram").distinct()
+    wordGrams(train, id, text, n)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("__id")
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
+  /** One row per (id, consecutive word n-gram) — duplicates preserved. */
+  private def wordGrams(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val w = split(text, " ")
+    df.select(id.as("__id"), w.as("__w"))
+      .select(col("__id"), explode(
+        when(size(col("__w")) >= n,
+          transform(sequence(lit(0), size(col("__w")) - n),
+            i => array_join(slice(col("__w"), i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+  }
+
+  /**
    * One row per distinct (id, 3-gram-shingle-hash), plus any blocking
    * columns. Codegen-friendly shingle representation (see object scaladoc).
    */

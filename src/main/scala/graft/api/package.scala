@@ -82,6 +82,12 @@ package object api {
     def packSequences(shard: Column, id: Column, tokens: Column,
         budget: Long): DataFrame =
       Pipelines.packSequences(df, shard, id, tokens, budget)
+
+    /** Train docs sharing any word n-gram with `evalSet` (contamination
+      * report: id + distinct shared-gram count); eval grams broadcast. */
+    def decontaminationReport(evalSet: DataFrame, id: Column, text: Column,
+        n: Int = 5): DataFrame =
+      Pipelines.decontaminationReport(df, evalSet, id, text, n)
   }
 
   implicit class VectorPipelineOps(private val df: DataFrame) {

@@ -85,6 +85,19 @@ object Dedup {
       .select(e("vec_id"), e("label"))
   }
 
+  /** Train/eval decontamination: held-out eval split = doc_id % 10 == 0,
+    * train = the rest; a train doc is contaminated if it shares any word
+    * 5-gram with any eval doc. Oracle replays the same gram fan-out and
+    * distinct-overlap count in SQL. */
+  def d11Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Pipelines.decontaminationReport(
+      d.filter(col("doc_id") % 10 =!= 0),
+      d.filter(col("doc_id") % 10 === 0),
+      col("doc_id"), col("text"), n = 5)
+      .withColumnRenamed("__id", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> d01ExactDedup _,
     "d02_dedup_minhash_lsh" -> d02MinHashLsh _,
@@ -96,6 +109,7 @@ object Dedup {
     "d08_dup_components" -> d08DupComponents _,
     "d09_chunk_dedup" -> d09ChunkDedup _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
+    "d11_decontamination" -> d11Decontamination _,
   )
 
   // shared SQL pieces so the d04 and d08 oracles cannot silently diverge
@@ -186,5 +200,16 @@ object Dedup {
         |SELECT e.vec_id, e.label FROM embeddings e
         |LEFT JOIN comp ON e.vec_id = comp.node
         |WHERE comp.node IS NULL OR comp.component = e.vec_id""".stripMargin,
+    // same 5-gram fan-out, broadcast-eval semantics as decontaminationReport
+    "d11_decontamination" ->
+      """WITH g AS (
+        | SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+        |   i -> array_to_string(w[i:i+4], ' '))) AS gram
+        | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
+        |SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
+        |FROM g JOIN ev USING (gram)
+        |WHERE g.doc_id % 10 <> 0
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -437,6 +437,63 @@ object GwCore {
       s"o_orderpriority FROM $name")
   }
 
+  // ---------------------------------------------------------------- gw18
+  /** Schema evolution end to end: a declared-schema table, one INSERT, then
+    * `ALTER TABLE ... ADD COLUMNS (r_flag STRING)` — a metadata-only commit
+    * (asserted: zero files rewritten) — then a second INSERT carrying the
+    * new column. The read must null-fill the pre-evolution file and serve
+    * the new column from the post-evolution file; the pre-ALTER version
+    * still time-travels with the narrow schema. */
+  def gw18SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("gw18")
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.read.parquet(s"$dir/region.parquet").createOrReplaceTempView("gw18_region_src")
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val loc = tmp.resolve("db/region").toString
+    spark.sql(s"CREATE TABLE gw.$ns.region (r_regionkey INT, r_name STRING) " +
+      s"USING gwdelta LOCATION '$loc'")
+    spark.sql(s"INSERT INTO gw.$ns.region SELECT r_regionkey, r_name FROM gw18_region_src")
+    val table = GwTable.forPath(spark, loc)
+    val preAlter = table.snapshot().version
+    val filesBefore = table.snapshot().files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE gw.$ns.region ADD COLUMNS (r_flag STRING)")
+    require(table.snapshot().files.map(_.path).toSet == filesBefore,
+      "ADD COLUMNS must be metadata-only: no files rewritten")
+    require(spark.sql(s"SELECT * FROM gw.$ns.region VERSION AS OF $preAlter")
+      .columns.sameElements(Array("r_regionkey", "r_name")),
+      "pre-ALTER version must keep the narrow schema")
+    spark.sql(s"INSERT INTO gw.$ns.region " +
+      "SELECT r_regionkey + 100, r_name, 'NEW' FROM gw18_region_src")
+    spark.sql(s"SELECT r_regionkey, r_name, r_flag FROM gw.$ns.region")
+  }
+
+  // ---------------------------------------------------------------- gw19
+  /** Row-level change feed end to end: a DELETE (partial copy-on-write,
+    * so the rewrite's surviving rows must cancel out of the diff) then an
+    * INSERT, consumed as `rowChanges(v0)` — exactly the deleted rows
+    * surface as 'delete' at the first commit and the appended rows as
+    * 'insert' at the second. `change_seq` = commit offset from v0, making
+    * the oracle version-number-independent. */
+  def gw19RowChanges(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (name, loc) = rangedOrdersTable(spark, dir, "gw19")
+    val table = GwTable.forPath(spark, loc)
+    val v0 = table.snapshot().version
+    spark.sql(s"DELETE FROM $name WHERE o_orderkey < 2000")
+    spark.sql(s"INSERT INTO $name SELECT o_orderkey + 100000, o_custkey, " +
+      "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
+      "FROM gw19_orders_src WHERE o_orderkey < 500")
+    table.rowChanges(v0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        org.apache.spark.sql.functions.date_format(
+          col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate_s"),
+        col("o_orderpriority"),
+        (col("_commit_version") - v0).as("change_seq"),
+        col("_change_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -455,6 +512,8 @@ object GwCore {
     "gw15_sql_delete" -> gw15SqlDelete _,
     "gw16_api_update" -> gw16ApiUpdate _,
     "gw17_api_merge" -> gw17ApiMerge _,
+    "gw18_schema_evolution" -> gw18SchemaEvolution _,
+    "gw19_row_changes" -> gw19RowChanges _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -512,5 +571,24 @@ object GwCore {
         | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
         | o_orderpriority
         |FROM src WHERE o_orderkey >= 7500""".stripMargin,
+    // pre-evolution rows null-fill the added column; post-evolution rows carry it
+    "gw18_schema_evolution" ->
+      """SELECT r_regionkey, r_name, CAST(NULL AS VARCHAR) AS r_flag FROM region
+        |UNION ALL
+        |SELECT r_regionkey + 100, r_name, 'NEW' AS r_flag FROM region""".stripMargin,
+    // the DELETE's rows at commit 1, the INSERT's rows at commit 2; the
+    // rewrite's surviving rows cancel out of the bag difference
+    "gw19_row_changes" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        | o_orderpriority, CAST(1 AS BIGINT) AS change_seq,
+        | 'delete' AS _change_type
+        |FROM orders WHERE o_orderkey < 2000
+        |UNION ALL
+        |SELECT o_orderkey + 100000, o_custkey, o_orderstatus, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        | o_orderpriority, CAST(2 AS BIGINT) AS change_seq,
+        | 'insert' AS _change_type
+        |FROM orders WHERE o_orderkey < 500""".stripMargin,
   )
 }

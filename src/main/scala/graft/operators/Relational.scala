@@ -530,6 +530,25 @@ object Relational {
         when(col("value_c").isNull, 1L).otherwise(0L).as("was_gap"))
   }
 
+  // ---------------------------------------------------------------- q32
+  /** RANGE-interval window frame: per event, the same user's trailing
+    * 10 minutes of activity — count + exact-cents sum over a time-range
+    * frame (`rangeBetween` on event-time micros), the shape ROWS frames
+    * cannot express when event spacing is irregular. RANGE semantics
+    * include all peer rows (ties on ts) on both engines, so the result
+    * is deterministic without a tiebreak; one exchange on user_id serves
+    * both window aggregates. */
+  def q32IntervalWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-600000000L, 0L) // trailing 10 min in micros
+    t(spark, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("n_10m", count(lit(1)).over(w))
+      .withColumn("val_c_10m", sum(cents(col("value"))).over(w))
+      .filter(col("user_id") < 20)
+      .select("event_id", "user_id", "n_10m", "val_c_10m")
+  }
+
   /** name -> query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -563,6 +582,7 @@ object Relational {
     "q29_corr_scalar" -> q29CorrScalar _,
     "q30_window_zoo" -> q30WindowZoo _,
     "q31_gap_fill" -> q31GapFill _,
+    "q32_interval_window" -> q32IntervalWindow _,
   )
 
   /** name -> DuckDB oracle SQL (column names/aliases must match exactly). */
@@ -788,5 +808,14 @@ object Relational {
         |   PARTITION BY user_id ORDER BY hb ROWS UNBOUNDED PRECEDING) AS value_c_filled,
         | CAST(CASE WHEN value_c IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
         |FROM j""".stripMargin,
+    "q32_interval_window" ->
+      """SELECT event_id, user_id, n_10m, val_c_10m FROM (
+        | SELECT event_id, user_id,
+        |  count(*) OVER w AS n_10m,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS val_c_10m
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |   RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |) WHERE user_id < 20""".stripMargin,
   )
 }

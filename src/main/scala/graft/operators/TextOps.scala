@@ -104,6 +104,20 @@ object TextOps {
       .withColumnRenamed("shard", "lang")
       .withColumnRenamed("id", "doc_id")
 
+  /** t11's language mixture — shared between the Spark query and the
+    * DuckDB oracle so the permille weights cannot drift. */
+  private val MixtureWeights = Map(
+    "en" -> 600, "de" -> 1000, "fr" -> 250, "es" -> 0, "zh" -> 125)
+
+  /** Deterministic mixture sampling: per-language hash-threshold Bernoulli
+    * keep (static domain reweighting). Same hash on both engines (md5 of
+    * the id string), so the kept set is hash-exact. */
+  def t11MixtureSample(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.mixtureSample(
+      docs(spark, dir).select(col("doc_id"), col("lang")),
+      col("lang"), col("doc_id"), MixtureWeights)
+      .select("doc_id", "lang", "bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -115,6 +129,7 @@ object TextOps {
     "t08_curation" -> t08Curation _,
     "t09_heavy_hitters" -> t09HeavyHitters _,
     "t10_sequence_packing" -> t10SequencePacking _,
+    "t11_mixture_sample" -> t11MixtureSample _,
   )
 
   private def sqlList(lang: String): String =
@@ -205,6 +220,15 @@ object TextOps {
         | FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents)
         | GROUP BY lang, word
         |) WHERE rnk <= 10""".stripMargin,
+    "t11_mixture_sample" -> {
+      val cases = MixtureWeights.toSeq.sortBy(_._1).map { case (g, w) =>
+        s"WHEN '$g' THEN '${Pipelines.hexThreshold(w)}'"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+         |FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+         |  CASE lang $cases ELSE 'zzzz' END""".stripMargin
+    },
     // greedy next-fit recurrence, one step per doc in (lang, doc_id) order
     "t10_sequence_packing" ->
       """WITH RECURSIVE d AS (

@@ -199,9 +199,24 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
     loadAt(ident, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "gwdelta table metadata lives in the transaction log; ALTER TABLE is not supported")
+  /** ALTER TABLE ADD COLUMNS — the one schema evolution the log supports
+    * natively (a metadata-only commit; old files null-fill at scan time).
+    * Everything else (drop/rename/retype) would orphan existing file data
+    * and stays unsupported. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val unsupported = changes.filterNot(_.isInstanceOf[TableChange.AddColumn])
+    if (unsupported.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"gwdelta supports ALTER TABLE ADD COLUMNS only; got: ${unsupported.mkString(", ")}")
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      require(a.fieldNames.length == 1,
+        s"cannot add a nested field: ${a.fieldNames.mkString(".")}")
+      org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType, nullable = true)
+    }
+    val spark = SparkSession.active
+    graft.GwTable.forPath(spark, locationOf(ident)).addColumns(adds: _*)
+    loadAt(ident, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     readPointer(ident) match {

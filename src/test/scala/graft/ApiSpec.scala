@@ -111,4 +111,18 @@ class ApiSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(annPairs.toSet == pairs.toSet)
   }
+
+  test("decontaminationReport flags exactly the planted gram overlap") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a b c d e f g"), // contains eval 5-gram "a b c d e"
+      (2L, "z y x w v u t"), // clean
+      (3L, "q a b c d e r"), // contains "a b c d e"
+      (4L, "a b")            // shorter than n: no grams, must not crash
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val out = train.decontaminationReport(evalSet, col("doc_id"), col("text"), n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 3L -> 1L))
+  }
 }

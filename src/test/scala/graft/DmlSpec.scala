@@ -99,6 +99,30 @@ class DmlSpec extends SparkSpec {
       s"SELECT * FROM gw.$ns.nation VERSION AS OF $preTruncate")) > 0)
   }
 
+  test("ALTER TABLE ADD COLUMNS: metadata-only, null-fill on read, time travel keeps old schema") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    val (dir, t) = twoRangeTable()
+    val ns = s"dml${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta LOCATION '$dir'")
+    val preAlter = t.snapshot().version
+    val filesBefore = t.snapshot().files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE gw.$ns.nation ADD COLUMNS (score BIGINT, tag STRING)")
+    assert(t.snapshot().files.map(_.path).toSet == filesBefore,
+      "ADD COLUMNS must not rewrite any file")
+    val widened = spark.table(s"gw.$ns.nation")
+    assert(widened.columns.takeRight(2).toSeq == Seq("score", "tag"))
+    assert(widened.filter(col("score").isNotNull || col("tag").isNotNull).count() == 0,
+      "pre-evolution rows must null-fill the new columns")
+    assert(!spark.sql(s"SELECT * FROM gw.$ns.nation VERSION AS OF $preAlter")
+      .columns.contains("score"), "time travel must keep the pre-ALTER schema")
+    // duplicate and non-AddColumn changes are rejected
+    assertThrows[Exception](
+      spark.sql(s"ALTER TABLE gw.$ns.nation ADD COLUMNS (n_name STRING)"))
+    assertThrows[Exception](
+      spark.sql(s"ALTER TABLE gw.$ns.nation RENAME COLUMN tag TO tag2"))
+  }
+
   test("delete scans only stats-surviving candidate files") {
     // files have disjoint harvested n_nationkey ranges; a predicate on the
     // upper range must not classify (or rewrite) the lower file even
