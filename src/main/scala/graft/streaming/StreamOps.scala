@@ -356,6 +356,48 @@ object StreamOps {
     spark.table(name)
   }
 
+  // ---------------------------------------------------------------- st09
+  /** Watermarked stream-stream LEFT OUTER join: every signup emits — paired
+    * with each purchase in its following 24 hours, or once with nulls if no
+    * purchase arrives before the watermark closes the join window. Unlike
+    * the inner join (st05), the null row can only be emitted when the
+    * watermark PROVES no match can still arrive, so state eviction and
+    * result completeness ride the same clock: buffered left rows older than
+    * (watermark - 24h - delay) flush as unmatched and drop from the store.
+    * The sentinel flows through BOTH side filters (then out of the result)
+    * so the drain advances the watermark the way later traffic would in an
+    * unbounded run. */
+  def st09StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
+    val name = nextName()
+    val src = eventStream(spark, dir, withSentinel = true)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val signups = src
+      .filter(col("event_type") === "signup" || col("event_type") === SentinelType)
+      .select(col("user_id").as("s_user"), col("event_id").as("s_id"),
+        col("event_time").as("s_time"))
+      .withWatermark("s_time", "1 hour")
+    val purchases = src
+      .filter(col("event_type") === "purchase" || col("event_type") === SentinelType)
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "1 hour")
+    val q = signups.join(purchases,
+      col("s_user") === col("p_user") &&
+        col("p_time") >= col("s_time") &&
+        col("p_time") <= col("s_time") + expr("INTERVAL 24 HOURS"),
+      "leftOuter")
+      .select(col("s_id"), col("s_user").as("user_id"), col("p_id"),
+        when(col("p_id").isNull, 0L).otherwise(1L).as("matched"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).filter(col("user_id") =!= -1L)
+  }
+
   // ---------------------------------------------------------------- st06
   /** Streaming exact dedup via `dropDuplicatesWithinWatermark`: the staged
     * source delivers every event TWICE (two links of the same file, one file
@@ -467,6 +509,7 @@ object StreamOps {
     "st06_stream_dedup" -> st06StreamDedup _,
     "st07_stream_static" -> st07StreamStaticJoin _,
     "st08_stream_sketch" -> st08StreamSketch _,
+    "st09_stream_outer_join" -> st09StreamOuterJoin _,
   )
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming
@@ -500,6 +543,14 @@ object StreamOps {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         | ON p.user_id = s.user_id
+        | AND epoch_us(p.ts) >= epoch_us(s.ts)
+        | AND epoch_us(p.ts) <= epoch_us(s.ts) + 86400000000""".stripMargin,
+    "st09_stream_outer_join" ->
+      """SELECT s.event_id AS s_id, s.user_id, p.event_id AS p_id,
+        | CAST(CASE WHEN p.event_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS matched
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        | ON s.user_id = p.user_id
         | AND epoch_us(p.ts) >= epoch_us(s.ts)
         | AND epoch_us(p.ts) <= epoch_us(s.ts) + 86400000000""".stripMargin,
     "st06_stream_dedup" ->

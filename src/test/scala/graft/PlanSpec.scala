@@ -107,6 +107,30 @@ class PlanSpec extends SparkSpec {
       s"windows should share one partition exchange:\n$p")
   }
 
+  test("d11 decontamination broadcasts the eval grams; the corpus side never shuffles") {
+    val p = plan(graft.operators.Dedup.d11Decontamination(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus grams shuffled for the join:\n$p")
+    // the per-doc distinct count is partial-aggregated on the candidate set
+    assert(p.contains("partial_count"), s"no map-side combine after the join:\n$p")
+  }
+
+  test("q32 interval-range window computes both aggregates in one window pass") {
+    val p = plan(Relational.q32IntervalWindow(spark, sf))
+    assert(p.contains("Window"), p)
+    // one exchange on user_id serves the whole query: the range frame must
+    // not introduce a second shuffle or a second window operator
+    assert("RunningWindowFunction|Window\\b".r.findAllIn(p).size >= 1, p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"expected exactly one user_id exchange:\n$p")
+  }
+
+  test("t11 mixture sampling is a pure scan-side filter (no shuffle, no agg)") {
+    val p = plan(graft.operators.TextOps.t11MixtureSample(spark, sf))
+    assert(!p.contains("Exchange"), s"mixture sampling must not shuffle:\n$p")
+    assert(!p.contains("Aggregate"), s"mixture sampling must not aggregate:\n$p")
+  }
+
   test("q23 salting replicates only the hot-key slice of the build side") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
