@@ -442,6 +442,26 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       rms ++ newAdds :+ info
     }
 
+  /** Connector commit hook for SQL UPDATE / MERGE INTO (`ReplaceData`,
+    * group-based row-level operations): one atomic copy-on-write commit
+    * that tombstones exactly `removePaths` (the files the operation's scan
+    * was planned over) and adds `newAdds` (the rewritten groups plus any
+    * merge-inserted rows). Same concurrency contract as the API DML:
+    * retries past foreign version conflicts, aborts if a classified file
+    * was replaced mid-operation. No-ops (nothing scanned, nothing written)
+    * commit nothing and return -1. */
+  def replaceFiles(operation: String, removePaths: Set[String],
+      newAdds: Seq[AddFile]): Long = {
+    val keys = removePaths.map(GwTable.uriKey)
+    val removes = gwLog.snapshot(None).files
+      .filter(f => keys.contains(GwTable.uriKey(f.path)))
+    require(removes.size == keys.size,
+      s"row-level operation scanned ${keys.size} file(s) but only " +
+        s"${removes.size} are live at $tablePath — concurrent commit; re-run")
+    if (removes.isEmpty && newAdds.isEmpty) -1L
+    else commitDml(operation, removes, newAdds)
+  }
+
   /** TRUNCATE: one metadata-only commit tombstoning every live file — no
     * data is read or written; the content stays time-travelable until
     * `vacuum`. Returns the committed version, or -1 on an empty log. */

@@ -88,6 +88,13 @@ package object api {
     def decontaminationReport(evalSet: DataFrame, id: Column, text: Column,
         n: Int = 5): DataFrame =
       Pipelines.decontaminationReport(df, evalSet, id, text, n)
+
+    /** Deterministic per-group hash-threshold subsampling (domain/language
+      * mixture reweighting); weights in permille, absent groups keep
+      * `defaultPermille`. */
+    def mixtureSample(group: Column, id: Column, weightsPermille: Map[String, Int],
+        defaultPermille: Int = 1000): DataFrame =
+      Pipelines.mixtureSample(df, group, id, weightsPermille, defaultPermille)
   }
 
   implicit class VectorPipelineOps(private val df: DataFrame) {

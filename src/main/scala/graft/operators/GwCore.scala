@@ -494,6 +494,50 @@ object GwCore {
         col("_change_type"))
   }
 
+  // ---------------------------------------------------------------- gw20
+  /** SQL `UPDATE` end to end (SupportsRowLevelOperations, group-based
+    * copy-on-write): same repricing as gw16 but through the parser — the
+    * condition is pushed to the operation's scan for stats-based group
+    * selection, so the two files above the cutoff survive untouched, and
+    * the replacement commits atomically through the engine's log. */
+  def gw20SqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val (name, loc) = rangedOrdersTable(spark, dir, "gw20")
+    val table = GwTable.forPath(spark, loc)
+    val before = table.snapshot().files.map(_.path)
+    spark.sql(s"UPDATE $name SET o_totalprice = o_totalprice * 2, " +
+      "o_orderpriority = 'REPRICED' WHERE o_orderkey < 5600")
+    val live = table.snapshot().files.map(_.path).toSet
+    require(before.count(live.contains) >= 2,
+      "files above the cutoff must survive untouched (stats-pruned groups)")
+    require(live.exists(_.contains("/_dml/")), "expected rewritten files")
+    spark.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+      "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s, " +
+      s"o_orderpriority FROM $name")
+  }
+
+  // ---------------------------------------------------------------- gw21
+  /** SQL `MERGE INTO` end to end: gw17's upsert through the parser —
+    * matched target rows take the source's tripled price, source rows
+    * beyond the target's range insert by position (`INSERT *`), one
+    * atomic ReplaceData commit. */
+  def gw21SqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (name, loc) = rangedOrdersTable(spark, dir, "gw21")
+    val table = GwTable.forPath(spark, loc)
+    require(table.delete(col("o_orderkey") >= 7500) > 0)
+    spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") >= 5600 && col("o_orderkey") < 9000)
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+      .createOrReplaceTempView("gw21_src")
+    spark.sql(s"""MERGE INTO $name t USING gw21_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+      WHEN NOT MATCHED THEN INSERT *""")
+    spark.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+      "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s, " +
+      s"o_orderpriority FROM $name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -514,6 +558,8 @@ object GwCore {
     "gw17_api_merge" -> gw17ApiMerge _,
     "gw18_schema_evolution" -> gw18SchemaEvolution _,
     "gw19_row_changes" -> gw19RowChanges _,
+    "gw20_sql_update" -> gw20SqlUpdate _,
+    "gw21_sql_merge" -> gw21SqlMerge _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -590,5 +636,31 @@ object GwCore {
         | o_orderpriority, CAST(2 AS BIGINT) AS change_seq,
         | 'insert' AS _change_type
         |FROM orders WHERE o_orderkey < 500""".stripMargin,
+    // identical answer shape to gw16 (the API form) - * 2 is exact in IEEE
+    "gw20_sql_update" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_orderkey < 5600 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        | CASE WHEN o_orderkey < 5600 THEN 'REPRICED'
+        |      ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders""".stripMargin,
+    // identical answer shape to gw17 (the API form)
+    "gw21_sql_merge" ->
+      """WITH src AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus,
+        |        o_totalprice * 3 AS o_totalprice, o_orderdate, o_orderpriority
+        | FROM orders WHERE o_orderkey >= 5600 AND o_orderkey < 9000),
+        |tgt AS (SELECT * FROM orders WHERE o_orderkey < 7500)
+        |SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+        | COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+        | strftime(t.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        | t.o_orderpriority
+        |FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        | o_orderpriority
+        |FROM src WHERE o_orderkey >= 7500""".stripMargin,
   )
 }

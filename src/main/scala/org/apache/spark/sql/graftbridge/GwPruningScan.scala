@@ -34,7 +34,8 @@ class GwDeltaTable(
     writable: Boolean = false,
     streaming: Boolean = false) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = tableName
   override def schema(): StructType = snapshot.schema
@@ -43,6 +44,19 @@ class GwDeltaTable(
     if (writable) { caps.add(TableCapability.V1_BATCH_WRITE); caps.add(TableCapability.TRUNCATE) }
     if (streaming) caps.add(TableCapability.MICRO_BATCH_READ)
     caps
+  }
+
+  /** SQL UPDATE / MERGE INTO (and DELETEs `canDeleteWhere` declines):
+    * group-based copy-on-write rewrites committed through the engine's log
+    * (see [[GwRowLevelOperation]]). Translatable DELETEs still take the
+    * cheaper classified path via [[deleteWhere]] — Spark's
+    * `OptimizeMetadataOnlyDeleteFromTable` prefers it when available. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(writable,
+      s"$tableName: row-level DML targets the LATEST snapshot; drop versionAsOf/timestampAsOf")
+    new GwRowLevelOperationBuilder(spark, options.get("path"), snapshot, info)
   }
   override def partitioning(): Array[Transform] = Array.empty
 

@@ -123,6 +123,69 @@ class DmlSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE gw.$ns.nation RENAME COLUMN tag TO tag2"))
   }
 
+  test("SQL UPDATE rewrites only stats-surviving files; pre-update version intact") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    val (dir, t) = twoRangeTable()
+    val ns = s"dml${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta LOCATION '$dir'")
+    val before = t.snapshot().files.map(_.path)
+    val preUpdate = t.snapshot().version
+    spark.sql(s"UPDATE gw.$ns.nation SET n_name = concat('X_', n_name) " +
+      "WHERE n_nationkey < 5") // strictly inside file A: B (min=12) must stats-prune
+    val live = t.snapshot().files.map(_.path)
+    assert(live.contains(before(1)),
+      "the upper-range file must survive untouched (stats-pruned out of the groups)")
+    assert(!live.contains(before.head), "the matching file must be rewritten")
+    assert(live.exists(_.contains("/_dml/")))
+    val out = spark.table(s"gw.$ns.nation")
+    assert(out.filter(col("n_nationkey") < 5 && !col("n_name").startsWith("X_")).count() == 0)
+    assert(out.filter(col("n_nationkey") >= 5 && col("n_name").startsWith("X_")).count() == 0)
+    assert(out.count() == rows(spark.read.parquet(s"$sf/nation.parquet")))
+    assert(spark.sql(s"SELECT * FROM gw.$ns.nation VERSION AS OF $preUpdate")
+      .filter(col("n_name").startsWith("X_")).count() == 0,
+      "pre-update version must serve the original rows")
+  }
+
+  test("SQL MERGE INTO updates matched rows and inserts unmatched source rows") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    val (dir, t) = twoRangeTable()
+    val ns = s"dml${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta LOCATION '$dir'")
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+    // source: rekeyed lower rows (match -> update) + new keys (insert)
+    n.filter(col("n_nationkey") < 5)
+      .withColumn("n_name", lit("MERGED"))
+      .unionAll(n.filter(col("n_nationkey") >= 20)
+        .withColumn("n_nationkey", col("n_nationkey") + 1000))
+      .createOrReplaceTempView(s"${ns}_src")
+    spark.sql(s"""MERGE INTO gw.$ns.nation t USING ${ns}_src s
+      ON t.n_nationkey = s.n_nationkey
+      WHEN MATCHED THEN UPDATE SET n_name = s.n_name
+      WHEN NOT MATCHED THEN INSERT *""")
+    val out = spark.table(s"gw.$ns.nation")
+    assert(out.filter(col("n_name") === "MERGED").count() == 5)
+    assert(out.filter(col("n_nationkey") >= 1000).count() ==
+      rows(n.filter(col("n_nationkey") >= 20)))
+    assert(out.count() == rows(n) + rows(n.filter(col("n_nationkey") >= 20)))
+  }
+
+  test("DELETE with a predicate canDeleteWhere declines takes the row-level path") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    val (dir, t) = twoRangeTable()
+    val ns = s"dml${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta LOCATION '$dir'")
+    // modulo arithmetic has no V1 filter translation -> group-based rewrite
+    spark.sql(s"DELETE FROM gw.$ns.nation WHERE n_nationkey % 2 = 0")
+    val out = spark.table(s"gw.$ns.nation")
+    assert(out.filter(col("n_nationkey") % 2 === 0).count() == 0)
+    assert(out.count() ==
+      rows(spark.read.parquet(s"$sf/nation.parquet").filter(col("n_nationkey") % 2 =!= 0)))
+    assert(t.snapshot().files.exists(_.path.contains("/_dml/")))
+  }
+
   test("delete scans only stats-surviving candidate files") {
     // files have disjoint harvested n_nationkey ranges; a predicate on the
     // upper range must not classify (or rewrite) the lower file even
