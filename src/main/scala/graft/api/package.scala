@@ -132,6 +132,12 @@ package object api {
     def quantizeEmbeddings(id: Column, vec: Column): DataFrame =
       Pipelines.quantizeEmbeddings(df, id, vec)
 
+    /** Deterministic two-tier top-k: int8-code integer-dot shortlist of
+      * `candidates` per query, exact float rerank of the shortlist only. */
+    def quantizedTopK(queries: DataFrame, id: Column, vec: Column, k: Int,
+        candidates: Int): DataFrame =
+      Pipelines.quantizedTopK(df, queries, id, vec, k, candidates)
+
     /** Approximate top-k via IVF inverted lists (probe nearest centroids). */
     def ivfTopK(queries: DataFrame, id: Column, vec: Column, k: Int,
         dim: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame =

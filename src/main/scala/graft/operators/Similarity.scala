@@ -58,12 +58,23 @@ object Similarity {
     Pipelines.quantizeEmbeddings(embs(spark, dir), col("vec_id"), col("embedding"))
       .select("vec_id", "scale_micro", "qsum", "qnorm2")
 
+  /** Quantized-prefilter + exact rerank: the int8 codes choose a
+    * deterministic 20-candidate shortlist per query (pure integer dots),
+    * the float arithmetic re-scores only that shortlist — the two-tier
+    * compressed-scan serving shape, oracle-exact end to end. */
+  def s06QuantizedRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Pipelines.quantizedTopK(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 5, candidates = 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
     "s03_ivf_topk" -> s03IvfTopK _,
     "s04_sql_vecdot" -> s04SqlVecDot _,
     "s05_quantized_embeddings" -> s05QuantizedEmbeddings _,
+    "s06_quantized_rerank" -> s06QuantizedRerank _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -95,6 +106,72 @@ object Similarity {
         |             c.vec_id) AS rnk
         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         | WHERE q.vec_id < 10
+        |) WHERE rnk <= 5""".stripMargin,
+    // same quantization CTE as s05, integer prefilter, exact rerank
+    "s06_quantized_rerank" ->
+      """WITH m AS (
+        | SELECT vec_id, embedding,
+        |  CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE) AS mx
+        | FROM embeddings),
+        |qz AS (
+        | SELECT vec_id,
+        |  CASE WHEN mx = 0
+        |    THEN list_transform(embedding, y -> 0)
+        |    ELSE list_transform(embedding, y -> CAST(round(CAST(y AS DOUBLE) * 127.0 / mx) AS INT))
+        |  END AS q
+        | FROM m),
+        |pre AS (
+        | SELECT qq.vec_id AS q_id, cc.vec_id AS n_id,
+        |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |    list_sum(list_transform(generate_series(1, len(qq.q)),
+        |      i -> CAST(qq.q[i] AS BIGINT) * cc.q[i])) DESC,
+        |    cc.vec_id) AS prernk
+        | FROM qz qq JOIN qz cc ON qq.vec_id <> cc.vec_id
+        | WHERE qq.vec_id < 10),
+        |short AS (SELECT q_id, n_id FROM pre WHERE prernk <= 20)
+        |SELECT q_id, n_id, rnk, CAST(round(1000000 * cos) AS BIGINT) AS cos_micro
+        |FROM (
+        | SELECT s.q_id, s.n_id,
+        |  list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+        |  row_number() OVER (PARTITION BY s.q_id
+        |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |             s.n_id) AS rnk
+        | FROM short s
+        | JOIN embeddings q ON q.vec_id = s.q_id
+        | JOIN embeddings c ON c.vec_id = s.n_id
+        |) WHERE rnk <= 5""".stripMargin,
+    // same quantization CTE as s05, integer prefilter, exact rerank
+    "s06_quantized_rerank" ->
+      """WITH m AS (
+        | SELECT vec_id, embedding,
+        |  CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE) AS mx
+        | FROM embeddings),
+        |qz AS (
+        | SELECT vec_id,
+        |  CASE WHEN mx = 0
+        |    THEN list_transform(embedding, y -> 0)
+        |    ELSE list_transform(embedding, y -> CAST(round(CAST(y AS DOUBLE) * 127.0 / mx) AS INT))
+        |  END AS q
+        | FROM m),
+        |pre AS (
+        | SELECT qq.vec_id AS q_id, cc.vec_id AS n_id,
+        |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |    list_sum(list_transform(generate_series(1, len(qq.q)),
+        |      i -> CAST(qq.q[i] AS BIGINT) * cc.q[i])) DESC,
+        |    cc.vec_id) AS prernk
+        | FROM qz qq JOIN qz cc ON qq.vec_id <> cc.vec_id
+        | WHERE qq.vec_id < 10),
+        |short AS (SELECT q_id, n_id FROM pre WHERE prernk <= 20)
+        |SELECT q_id, n_id, rnk, CAST(round(1000000 * cos) AS BIGINT) AS cos_micro
+        |FROM (
+        | SELECT s.q_id, s.n_id,
+        |  list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+        |  row_number() OVER (PARTITION BY s.q_id
+        |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |             s.n_id) AS rnk
+        | FROM short s
+        | JOIN embeddings q ON q.vec_id = s.q_id
+        | JOIN embeddings c ON c.vec_id = s.n_id
         |) WHERE rnk <= 5""".stripMargin,
     "s04_sql_vecdot" ->
       """SELECT e.vec_id, e.label,

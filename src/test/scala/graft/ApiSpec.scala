@@ -112,6 +112,17 @@ class ApiSpec extends AnyFunSuite {
     assert(annPairs.toSet == pairs.toSet)
   }
 
+  test("quantizedTopK ranks the exact clone first through the integer prefilter") {
+    val clone = embs.filter(col("vec_id") === 0)
+      .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = embs.select("vec_id", "embedding", "label").unionAll(clone)
+    val top = corpus.quantizedTopK(corpus.filter(col("vec_id") === 0),
+      col("vec_id"), col("embedding"), k = 1, candidates = 8)
+    val row = top.collect().head
+    assert(row.getLong(1) == 999999L) // identical codes -> max integer dot
+    assert(row.getLong(3) == 1000000L) // exact rerank: cos = 1.0
+  }
+
   test("decontaminationReport flags exactly the planted gram overlap") {
     import spark.implicits._
     val train = Seq(
