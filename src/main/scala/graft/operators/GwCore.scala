@@ -538,6 +538,26 @@ object GwCore {
       s"o_orderpriority FROM $name")
   }
 
+  // ---------------------------------------------------------------- gw22
+  /** CTAS / RTAS through the catalog: `CREATE TABLE ... USING gwdelta AS
+    * SELECT` materializes the query into a fresh log-backed table (create +
+    * first-commit bootstrap), and `REPLACE TABLE ... AS SELECT` swaps both
+    * schema and content. Final table = the replaced (projected) content,
+    * which is what the oracle checks. */
+  def gw22SqlCtas(spark: SparkSession, dir: String): DataFrame = {
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.read.parquet(s"$dir/region.parquet").createOrReplaceTempView("gw22_region_src")
+    spark.sql(s"CREATE TABLE gw.$ns.region USING gwdelta AS SELECT * FROM gw22_region_src")
+    require(spark.table(s"gw.$ns.region").columns.length == 2, "CTAS must carry the query schema")
+    require(spark.table(s"gw.$ns.region").count() ==
+      spark.table("gw22_region_src").count(), "CTAS must materialize the query")
+    spark.sql(s"REPLACE TABLE gw.$ns.region USING gwdelta " +
+      "AS SELECT r_regionkey, upper(r_name) AS r_name_u FROM gw22_region_src")
+    spark.sql(s"SELECT r_regionkey, r_name_u FROM gw.$ns.region")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -560,6 +580,7 @@ object GwCore {
     "gw19_row_changes" -> gw19RowChanges _,
     "gw20_sql_update" -> gw20SqlUpdate _,
     "gw21_sql_merge" -> gw21SqlMerge _,
+    "gw22_sql_ctas" -> gw22SqlCtas _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -662,5 +683,7 @@ object GwCore {
         | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
         | o_orderpriority
         |FROM src WHERE o_orderkey >= 7500""".stripMargin,
+    "gw22_sql_ctas" ->
+      "SELECT r_regionkey, upper(r_name) AS r_name_u FROM region",
   )
 }
