@@ -186,6 +186,27 @@ class DmlSpec extends SparkSpec {
     assert(t.snapshot().files.exists(_.path.contains("/_dml/")))
   }
 
+  test("rowChanges: compaction emits nothing, schema change fails fast, no-op range is empty") {
+    val (_, t) = twoRangeTable()
+    val v0 = t.snapshot().version
+    // DELETE half of file A -> one delete commit; CDF = exactly the deleted rows
+    assert(t.delete(col("n_nationkey") < 6) > 0)
+    val cdf = t.rowChanges(v0)
+    assert(cdf.filter(col("_change_type") === "delete").count() == 6)
+    assert(cdf.filter(col("_change_type") === "insert").count() == 0,
+      "the rewrite's surviving rows must cancel out of the bag difference")
+    // compaction is dataChange=false: a consumer at the current version sees nothing
+    val v1 = t.snapshot().version
+    assert(t.compact(targetFileBytes = 1L << 30) > 0)
+    assert(t.rowChanges(v1).count() == 0)
+    // empty range short-circuits
+    assert(t.rowChanges(t.snapshot().version).count() == 0)
+    // a schema change in range must fail fast, like changesSince
+    t.addColumns(org.apache.spark.sql.types.StructField("tag",
+      org.apache.spark.sql.types.StringType))
+    assertThrows[IllegalStateException](t.rowChanges(v1).count())
+  }
+
   test("delete scans only stats-surviving candidate files") {
     // files have disjoint harvested n_nationkey ranges; a predicate on the
     // upper range must not classify (or rewrite) the lower file even
