@@ -233,6 +233,30 @@ object Pipelines {
   }
 
   /**
+   * Edit-distance near-dup pairs: exact Levenshtein verification within
+   * blocking columns — the character-level complement to token-level
+   * n-gram Jaccard (d04), catching the small in-word edits shingles
+   * over-penalize. Blocks bound the O(block²) candidate generation the
+   * same way the oracle-exact cosine form does; at 100 TB the identical
+   * verify runs over LSH candidate pairs instead (minHashDedupPairs →
+   * levenshtein rescore), so the primitive is the reusable piece.
+   */
+  def editDistancePairs(df: DataFrame, id: Column, text: Column,
+      blocks: Seq[Column], maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val bcols = blocks.zipWithIndex.map { case (c, i) => c.as(s"__b$i") }
+    val left = df.select((id.as("doc_a") +: text.as("__ta") +: bcols): _*)
+    val right = df.select((id.as("doc_b") +: text.as("__tb") +: bcols): _*)
+    val cond = blocks.indices
+      .map(i => left(s"__b$i") === right(s"__b$i"))
+      .foldLeft(left("doc_a") < right("doc_b"))(_ && _)
+    left.join(right, cond)
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .select("doc_a", "doc_b", "edit_dist")
+  }
+
+  /**
    * Mixture sampling — deterministic per-group Bernoulli subsampling for
    * domain/language reweighting (the static data-mixture step of a
    * pretraining pipeline). A row is kept iff its content-hash bucket

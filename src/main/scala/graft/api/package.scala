@@ -71,6 +71,11 @@ package object api {
     def simHashDedupPairs(id: Column, text: Column, maxHamming: Int = 6): DataFrame =
       Pipelines.simHashDedupPairs(df, id, text, maxHamming)
 
+    /** Exact Levenshtein near-dup pairs within blocks (char-level verify). */
+    def editDistancePairs(id: Column, text: Column, blocks: Seq[Column],
+        maxDist: Int): DataFrame =
+      Pipelines.editDistancePairs(df, id, text, blocks, maxDist)
+
     /** Exact n-gram-Jaccard pairs within blocks (inverted-index join). */
     def ngramJaccardPairs(id: Column, text: Column, blocks: Seq[Column],
         threshold: Double): DataFrame =

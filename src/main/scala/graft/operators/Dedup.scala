@@ -98,6 +98,13 @@ object Dedup {
       .withColumnRenamed("__id", "doc_id")
   }
 
+  /** Character-level near-dup: exact Levenshtein within the same blocks as
+    * d04 — catches the planted one-word edits at distance <= 20 (the corpus
+    * noise floor sits at ~39). */
+  def d12EditDistance(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.editDistancePairs(docs(spark, dir), col("doc_id"), col("text"),
+      Seq(col("lang"), expr("n_chars div 100")), maxDist = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> d01ExactDedup _,
     "d02_dedup_minhash_lsh" -> d02MinHashLsh _,
@@ -110,6 +117,7 @@ object Dedup {
     "d09_chunk_dedup" -> d09ChunkDedup _,
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "d11_decontamination" -> d11Decontamination _,
+    "d12_edit_distance" -> d12EditDistance _,
   )
 
   // shared SQL pieces so the d04 and d08 oracles cannot silently diverge
@@ -211,5 +219,12 @@ object Dedup {
         |FROM g JOIN ev USING (gram)
         |WHERE g.doc_id % 10 <> 0
         |GROUP BY 1""".stripMargin,
+    "d12_edit_distance" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        |FROM documents a JOIN documents b
+        | ON a.lang = b.lang AND a.n_chars // 100 = b.n_chars // 100
+        |    AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
   )
 }
