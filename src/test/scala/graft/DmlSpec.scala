@@ -207,6 +207,16 @@ class DmlSpec extends SparkSpec {
     assertThrows[IllegalStateException](t.rowChanges(v1).count())
   }
 
+  test("replaceFiles aborts when a scanned file is no longer live (concurrent replacement)") {
+    val (_, t) = twoRangeTable()
+    val stale = t.snapshot().files.map(_.path)
+    // a competing commit replaces file A before the row-level commit lands
+    assert(t.delete(col("n_nationkey") < 6) > 0)
+    val e = intercept[IllegalArgumentException](
+      t.replaceFiles("UPDATE", stale.toSet, Nil))
+    assert(e.getMessage.contains("concurrent commit"))
+  }
+
   test("delete scans only stats-surviving candidate files") {
     // files have disjoint harvested n_nationkey ranges; a predicate on the
     // upper range must not classify (or rewrite) the lower file even
