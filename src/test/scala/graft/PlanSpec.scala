@@ -131,6 +131,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Aggregate"), s"mixture sampling must not aggregate:\n$p")
   }
 
+  test("s06 quantized rerank broadcasts the query codes; corpus side never shuffles for the prefilter") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.api.Pipelines.quantizedTopK(
+      e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"), k = 5, candidates = 20)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query codes not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"prefilter went cartesian:\n$p")
+  }
+
+  test("d12 edit-distance pairs stay an equi join on the blocks, not a cartesian") {
+    val p = plan(graft.operators.Dedup.d12EditDistance(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q23 salting replicates only the hot-key slice of the build side") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
