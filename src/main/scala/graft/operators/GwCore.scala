@@ -558,6 +558,39 @@ object GwCore {
     spark.sql(s"SELECT r_regionkey, r_name_u FROM gw.$ns.region")
   }
 
+  // ---------------------------------------------------------------- gw23
+  /** `writeStream.toTable` end to end (V2 STREAMING_WRITE): a declared-
+    * schema catalog table receives a two-micro-batch stream — each epoch is
+    * one atomic log commit with `"<queryId>/<epochId>"` txnIds (crash
+    * replay skips), the first epoch bootstrapping the log. Result = both
+    * staged copies of region through the catalog read. */
+  def gw23StreamToTable(spark: SparkSession, dir: String): DataFrame = {
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val tmp = Files.createTempDirectory("gw23")
+    val loc = tmp.resolve("db/region").toString
+    spark.sql(s"CREATE TABLE gw.$ns.region (r_regionkey INT, r_name STRING) " +
+      s"USING gwdelta LOCATION '$loc'")
+    val stage = Files.createTempDirectory("gw23-stage")
+    graft.streaming.StreamOps.stageLinks(
+      Paths.get(s"$dir/region.parquet"), stage,
+      Seq("a_region.parquet", "b_region.parquet"))
+    val schema = spark.read.parquet(s"$dir/region.parquet").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("gw23-cp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"gw.$ns.region")
+    q.awaitTermination()
+    val t = GwTable.forPath(spark, loc)
+    require(t.snapshot().version >= 1,
+      "expected one commit per micro-batch (two epochs)")
+    spark.sql(s"SELECT * FROM gw.$ns.region")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -581,6 +614,7 @@ object GwCore {
     "gw20_sql_update" -> gw20SqlUpdate _,
     "gw21_sql_merge" -> gw21SqlMerge _,
     "gw22_sql_ctas" -> gw22SqlCtas _,
+    "gw23_stream_totable" -> gw23StreamToTable _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -685,5 +719,7 @@ object GwCore {
         |FROM src WHERE o_orderkey >= 7500""".stripMargin,
     "gw22_sql_ctas" ->
       "SELECT r_regionkey, upper(r_name) AS r_name_u FROM region",
+    "gw23_stream_totable" ->
+      "SELECT * FROM region UNION ALL SELECT * FROM region",
   )
 }

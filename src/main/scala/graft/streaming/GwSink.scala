@@ -49,6 +49,34 @@ object GwSink {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val log = GwLog.forTable(conf, tablePath)
+    replayedVersion(log, txnId).foreach(v => return v)
+    checkAppendSchema(log, tablePath, df.schema)
+    val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(outDir.toString)
+    val fs = outDir.getFileSystem(conf)
+    val files: Seq[AddFile] =
+      graft.sources.SchemaProbe.harvestAddFiles(conf, outDir, dataChange = true)
+    if (files.isEmpty) { fs.delete(outDir, true); return -1L }
+    commitAppend(log, df.schema, files, txnId)
+  }
+
+  /** Commit ALREADY-WRITTEN parquet files as one atomic append — the V2
+    * streaming write's epoch commit ([[org.apache.spark.sql.graftbridge]]
+    * GwStreamingWrite). Same txnId replay dedup, schema check and bootstrap
+    * rules as [[append]]; returns -1 when `files` is empty (no commit). */
+  def commitHarvested(conf: org.apache.hadoop.conf.Configuration, tablePath: String,
+      schema: org.apache.spark.sql.types.StructType, files: Seq[AddFile],
+      txnId: Option[String]): Long = {
+    val log = GwLog.forTable(conf, tablePath)
+    replayedVersion(log, txnId).foreach(v => return v)
+    if (files.isEmpty) return -1L
+    checkAppendSchema(log, tablePath, schema)
+    commitAppend(log, schema, files, txnId)
+  }
+
+  /** The version already carrying `txnId`, if this batch is a crash replay
+    * (see the exactly-once note in the object scaladoc). */
+  private def replayedVersion(log: GwLog, txnId: Option[String]): Option[Long] = {
     for (id <- txnId) {
       val prefix = id.lastIndexOf('/') match {
         case -1 => ""
@@ -59,35 +87,37 @@ object GwSink {
       while (recent.hasNext && !stop) {
         val v = recent.next()
         log.readVersion(v).collectFirst { case ci: CommitInfo => ci }.foreach { ci =>
-          if (ci.txnId == id) return v
+          if (ci.txnId == id) return Some(v)
           // a different batch of the SAME stream: anything older cannot be
           // this batch's commit — fresh data, stop walking
           if (prefix.nonEmpty && ci.txnId.startsWith(prefix)) stop = true
         }
       }
     }
+    None
+  }
+
+  /** Non-bootstrap appends must match the logged schema (fail BEFORE bytes
+    * when possible: a mismatched append would read back with missing
+    * columns null, new columns invisible, type changes failing at scan). */
+  private def checkAppendSchema(log: GwLog, tablePath: String,
+      schema: org.apache.spark.sql.types.StructType): Unit =
     if (log.listVersions().nonEmpty) {
-      // fail BEFORE writing bytes: an append in a different shape would be
-      // read back under the logged schema (missing columns null, new
-      // columns invisible, type changes failing at scan time)
       val existing = log.snapshot(None).schema
-      require(org.apache.spark.sql.graftbridge.Bridge.sameType(existing, df.schema),
+      require(org.apache.spark.sql.graftbridge.Bridge.sameType(existing, schema),
         s"batch schema does not match the table schema at $tablePath\n" +
-          s"  table: ${existing.catalogString}\n  batch: ${df.schema.catalogString}")
+          s"  table: ${existing.catalogString}\n  batch: ${schema.catalogString}")
     }
-    val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(outDir.toString)
-    val fs = outDir.getFileSystem(conf)
-    val files: Seq[AddFile] =
-      graft.sources.SchemaProbe.harvestAddFiles(conf, outDir, dataChange = true)
-    if (files.isEmpty) { fs.delete(outDir, true); return -1L }
+
+  private def commitAppend(log: GwLog, schema: org.apache.spark.sql.types.StructType,
+      files: Seq[AddFile], txnId: Option[String]): Long =
     commitWithRetry(log) { bootstrap =>
       val now = System.currentTimeMillis()
       val head: Seq[Action] =
         if (bootstrap)
           Seq(Protocol(), Metadata(
             id = java.util.UUID.randomUUID().toString,
-            schemaString = df.schema.json,
+            schemaString = schema.json,
             createdTime = now))
         else Nil
       val info = CommitInfo(
@@ -100,7 +130,6 @@ object GwSink {
         txnId = txnId.getOrElse(java.util.UUID.randomUUID().toString))
       head ++ files :+ info
     }
-  }
 
   /**
    * Commit actions rebuilt per attempt against the CURRENT log state: on a

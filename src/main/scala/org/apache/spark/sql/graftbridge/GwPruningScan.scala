@@ -41,7 +41,11 @@ class GwDeltaTable(
   override def schema(): StructType = snapshot.schema
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ)
-    if (writable) { caps.add(TableCapability.V1_BATCH_WRITE); caps.add(TableCapability.TRUNCATE) }
+    if (writable) {
+      caps.add(TableCapability.V1_BATCH_WRITE)
+      caps.add(TableCapability.TRUNCATE)
+      caps.add(TableCapability.STREAMING_WRITE)
+    }
     if (streaming) caps.add(TableCapability.MICRO_BATCH_READ)
     caps
   }
@@ -73,12 +77,13 @@ class GwDeltaTable(
     * into the engine's own commit path (`GwSink`) — the parquet write is
     * executor work, the commit one log append; INSERT OVERWRITE is a
     * single atomic remove-all+add commit (old files stay for time travel).
-    * Only the LATEST snapshot is writable; a time-travel load is read-only
-    * by construction (`writable = false`). */
+    * `writeStream.toTable` rides the same builder's V2 streaming face
+    * ([[GwStreamingWrite]]). Only the LATEST snapshot is writable; a
+    * time-travel load is read-only by construction (`writable = false`). */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
       org.apache.spark.sql.connector.write.WriteBuilder =
-    GwWriteBuilders.forPath(options.get("path"))
+    GwWriteBuilders.forPath(options.get("path"), spark = Some(spark), info = Some(info))
 
   // ---- SQL DELETE FROM / TRUNCATE TABLE (SupportsDelete) ----
 
@@ -112,12 +117,17 @@ class GwDeltaTable(
   }
 }
 
-/** Shared V1Write builders for gwdelta tables (live + pending). */
+/** Shared V1Write builders for gwdelta tables (live + pending); when the
+  * session + write info are supplied, the built Write also carries the V2
+  * streaming face, so `writeStream.toTable` works on the same tables. */
 private[graftbridge] object GwWriteBuilders {
-  import org.apache.spark.sql.connector.write.{SupportsTruncate, V1Write, Write, WriteBuilder}
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+  import org.apache.spark.sql.connector.write.streaming.StreamingWrite
   import org.apache.spark.sql.sources.InsertableRelation
 
-  def forPath(path: String, declared: Option[StructType] = None): WriteBuilder =
+  def forPath(path: String, declared: Option[StructType] = None,
+      spark: Option[SparkSession] = None,
+      info: Option[LogicalWriteInfo] = None): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var truncateFirst = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -136,6 +146,10 @@ private[graftbridge] object GwWriteBuilders {
               ()
             }
           }
+        override def toStreaming: StreamingWrite = (spark, info) match {
+          case (Some(s), Some(i)) => new GwStreamingWrite(s, path, i)
+          case _ => super.toStreaming // informative "doesn't support" error
+        }
       }
     }
 }
@@ -155,12 +169,14 @@ class GwDeltaPendingTable(
     s"$tableName (no transaction log yet at $path)"
   override def schema(): StructType = declaredSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
       org.apache.spark.sql.connector.write.WriteBuilder =
-    GwWriteBuilders.forPath(path, Some(declaredSchema))
+    GwWriteBuilders.forPath(path, Some(declaredSchema),
+      spark = Some(SparkSession.active), info = Some(info))
 }
 
 class GwPruningScanBuilder(

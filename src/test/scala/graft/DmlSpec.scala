@@ -207,6 +207,22 @@ class DmlSpec extends SparkSpec {
     assertThrows[IllegalStateException](t.rowChanges(v1).count())
   }
 
+  test("V2 epoch commit (commitHarvested) dedups crash-replayed epochs by txnId") {
+    val dir = Files.createTempDirectory("v2sink").resolve("t").toString
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    val out = new org.apache.hadoop.fs.Path(dir, "_stream/manual/0")
+    src.coalesce(1).write.mode("overwrite").parquet(out.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val adds = graft.sources.SchemaProbe.harvestAddFiles(conf, out, dataChange = true)
+    val v1 = graft.streaming.GwSink.commitHarvested(conf, dir, src.schema, adds, Some("q1/0"))
+    val v2 = graft.streaming.GwSink.commitHarvested(conf, dir, src.schema, adds, Some("q1/0"))
+    assert(v1 >= 0 && v2 == v1, "a replayed epoch must return the original version, not recommit")
+    assert(GwTable.forPath(spark, dir).toDF.count() == rows(src))
+    // a different epoch of the same stream commits normally
+    val v3 = graft.streaming.GwSink.commitHarvested(conf, dir, src.schema, adds, Some("q1/1"))
+    assert(v3 == v1 + 1)
+  }
+
   test("replaceFiles aborts when a scanned file is no longer live (concurrent replacement)") {
     val (_, t) = twoRangeTable()
     val stale = t.snapshot().files.map(_.path)
