@@ -247,12 +247,18 @@ object Pipelines {
     val bcols = blocks.zipWithIndex.map { case (c, i) => c.as(s"__b$i") }
     val left = df.select((id.as("doc_a") +: text.as("__ta") +: bcols): _*)
     val right = df.select((id.as("doc_b") +: text.as("__tb") +: bcols): _*)
+    // |len(a) - len(b)| <= maxDist is NECESSARY for dist <= maxDist: the
+    // length gate kills most block pairs before any DP runs, and the
+    // THRESHOLD-BOUNDED levenshtein (O(maxDist * len) banded DP, -1 past
+    // the bound) replaces the O(len²) full matrix on the survivors —
+    // identical results, an order of magnitude less work per pair
     val cond = blocks.indices
       .map(i => left(s"__b$i") === right(s"__b$i"))
-      .foldLeft(left("doc_a") < right("doc_b"))(_ && _)
+      .foldLeft(left("doc_a") < right("doc_b") &&
+        abs(length(left("__ta")) - length(right("__tb"))) <= maxDist)(_ && _)
     left.join(right, cond)
-      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
-      .filter(col("edit_dist") <= maxDist)
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select("doc_a", "doc_b", "edit_dist")
   }
 
