@@ -123,6 +123,20 @@ class ApiSpec extends AnyFunSuite {
     assert(row.getLong(3) == 1000000L) // exact rerank: cos = 1.0
   }
 
+  test("editDistancePairs: bounded distances, length gate, block isolation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "abcdefghij", "b"),
+      (2L, "abcdefghiX", "b"), // dist 1 to id 1
+      (3L, "a completely different long text", "b"), // length gap > maxDist: gated out
+      (4L, "abcdef", "b"),     // dist 4 to ids 1 and 2 (4 deletions)
+      (5L, "abcdefghij", "OTHER_BLOCK") // identical text, different block: excluded
+    ).toDF("id", "text", "blk")
+    val pairs = df.editDistancePairs(col("id"), col("text"), Seq(col("blk")), maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 1L), (1L, 4L, 4L), (2L, 4L, 4L)))
+  }
+
   test("decontaminationReport flags exactly the planted gram overlap") {
     import spark.implicits._
     val train = Seq(
