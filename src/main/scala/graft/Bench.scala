@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.state.StateStore
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,16 +39,50 @@ object Bench {
             failed ::= name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             Some((System.nanoTime() - t0) / 1e9)
+          } finally {
+            // Each run drains its streaming queries against a fresh ephemeral
+            // checkpoint, so providers left loaded by a finished run are never
+            // reused — they are leaked native (RocksDB) memory plus a
+            // maintenance thread, and ~100 streaming runs in one JVM raise
+            // the floor of everything after them (round-3 st05/d06
+            // regressions). Unload after every run; no-op for batch queries.
+            try StateStore.stop()
+            catch { case scala.util.control.NonFatal(_) => () }
           }
         }
       }
-      name -> times.min
+      val best = times.min
+      // One small self-contained JSON line per query as it completes: the
+      // driver keeps only a ~2 KB tail of stdout, so a single monolithic
+      // line gets its head truncated (round 3 lost 36 of 96 timings).
+      println(f"""{"query":"$name","sec":$best%.4f,"runs":${times.size}}""")
+      name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
+    // Full-fidelity record (full names, full precision) — one line, too big
+    // for the driver's stdout tail window, so it goes to a repo file and to
+    // stderr instead.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () }
+    System.err.println(fullLine)
+    // Final stdout line must carry all 96 timings INSIDE the ~2 KB tail
+    // window: full names need ~3.4 KB, so keys are abbreviated to the query
+    // id prefix (q01, st05, gw24, ...), which is unique by construction —
+    // guarded below, colliding names fall back to the full form.
+    def shortKey(n: String) = n.takeWhile(_ != '_')
+    val shortNames = results.keys.groupBy(shortKey).flatMap { case (s, full) =>
+      if (full.size == 1) full.map(_ -> s) else full.map(f => f -> f)
+    }
+    val compactQs = results.map { case (k, v) =>
+      "\"" + shortNames(k) + "\":" + f"$v%.4g"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$compactQs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir","note":"query keys = id prefix of SparkEntry.queries names; full map in BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -545,6 +545,13 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       val existing = snap.schema.fieldNames.map(_.toLowerCase).toSet
       cols.map(_.name).find(n => existing.contains(n.toLowerCase)).foreach(n =>
         throw new IllegalArgumentException(s"column already exists: $n"))
+      // also reject duplicates WITHIN the new columns themselves —
+      // ADD COLUMNS (a INT, a STRING) would otherwise commit a schema with
+      // duplicate field names and corrupt every subsequent read
+      cols.groupBy(_.name.toLowerCase).collectFirst {
+        case (_, dupes) if dupes.size > 1 => dupes.head.name
+      }.foreach(n =>
+        throw new IllegalArgumentException(s"duplicate column in ADD COLUMNS: $n"))
       val widened = org.apache.spark.sql.types.StructType(
         snap.schema.fields ++ cols.map(_.copy(nullable = true)))
       Seq(

@@ -554,8 +554,9 @@ object Pipelines {
     * form that survives 100 TB. The exhaustive all-pairs variant is the
     * explicit opt-in [[cosineNearDupPairsExact]]. */
   def cosineNearDupPairs(df: DataFrame, id: Column, vec: Column,
-      threshold: Double, dim: Int, nPlanes: Int = 24, bands: Int = 8): DataFrame =
-    cosineNearDupPairsAnn(df, id, vec, threshold, dim, nPlanes, bands)
+      threshold: Double, dim: Int, nPlanes: Int = 24, bands: Int = 8,
+      bucketCap: Int = 1024): DataFrame =
+    cosineNearDupPairsAnn(df, id, vec, threshold, dim, nPlanes, bands, bucketCap)
 
   /** Exhaustive all-pairs cosine near-dup within a blocking column: exact
     * recall by construction (and therefore DuckDB-oracle-checkable — the
@@ -577,6 +578,28 @@ object Pipelines {
         round(col("cos") * 1000000).cast("long").as("cos_micro"))
   }
 
+  /** Deterministic sub-sample of oversized LSH buckets: keep at most `cap`
+    * members per (band, bucket), ranked by a seedless hash of the id (so
+    * the kept set is stable across runs and partitionings). A degenerate
+    * bucket — near-duplicate-heavy mass, or all-zero vectors agreeing on
+    * every hyperplane — otherwise produces m²/2 candidate pairs: the
+    * classic LSH skew blowup, and at 100 TB a single hot bucket is a
+    * straggler that never finishes. With the cap, candidates are bounded by
+    * cap²/2 per bucket no matter how adversarial the corpus. The recall
+    * trade: a true pair inside a bucket of m > cap members survives that
+    * band with p ≈ (cap/m)²; near-duplicate mass dense enough to overflow a
+    * bucket is better handled by exact dedup upstream. cap <= 0 disables.
+    * The window shuffles only (band, bucket, id) rows — ids-only, like the
+    * candidate join itself. */
+  private def capBucketMembers(banded: DataFrame, idCol: String, cap: Int): DataFrame =
+    if (cap <= 0) banded
+    else {
+      val w = Window.partitionBy("band", "bucket")
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+      banded.withColumn("__bkrank", row_number().over(w))
+        .filter(col("__bkrank") <= cap).drop("__bkrank")
+    }
+
   /**
    * Scale path for cosine near-dup: random-hyperplane LSH banding generates
    * candidate pairs sub-quadratically (only ids travel through the
@@ -587,9 +610,12 @@ object Pipelines {
    * band with p = (1-θ/π)^bits per band). Unlike the all-pairs form this
    * needs no blocking column: at 100 TB the bucket join replaces the
    * O(n²/blocks) explosion, and recall is dialed with nPlanes/bands.
+   * `bucketCap` bounds the members of any one (band, bucket) — see
+   * [[capBucketMembers]] for the skew-blowup rationale.
    */
   def cosineNearDupPairsAnn(df: DataFrame, id: Column, vec: Column,
-      threshold: Double, dim: Int, nPlanes: Int = 24, bands: Int = 8): DataFrame = {
+      threshold: Double, dim: Int, nPlanes: Int = 24, bands: Int = 8,
+      bucketCap: Int = 1024): DataFrame = {
     require(nPlanes % bands == 0, "nPlanes must be divisible by bands")
     val bitsPerBand = nPlanes / bands
     val planes = hyperplanes(nPlanes, dim)
@@ -601,10 +627,12 @@ object Pipelines {
         (0 until bitsPerBand).map(i => bits(b * bitsPerBand + i) * (1L << i)).reduce(_ + _)
       }
     }
-    val banded = df.select(id.as("__id"), vec.as("__vec"))
-      .select(col("__id"), posexplode(array(bandKeys(col("__vec")).map(_.cast("long")): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    val banded = capBucketMembers(
+      df.select(id.as("__id"), vec.as("__vec"))
+        .select(col("__id"), posexplode(array(bandKeys(col("__vec")).map(_.cast("long")): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket"),
+      "__id", bucketCap)
     val candidates = banded.select(col("band"), col("bucket"), col("__id").as("vec_a"))
       .join(banded.select(col("band"), col("bucket"), col("__id").as("vec_b")),
         Seq("band", "bucket"))
@@ -802,7 +830,7 @@ object Pipelines {
   }
 
   def annTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
-      k: Int, dim: Int, nPlanes: Int, bands: Int): DataFrame = {
+      k: Int, dim: Int, nPlanes: Int, bands: Int, bucketCap: Int = 1024): DataFrame = {
     require(nPlanes % bands == 0, "nPlanes must be divisible by bands")
     val bitsPerBand = nPlanes / bands
     val planes = hyperplanes(nPlanes, dim)
@@ -825,8 +853,12 @@ object Pipelines {
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
 
-    // candidates on ids only; embeddings re-attached once per surviving pair
-    val candidates = banded(queries, "q").join(banded(corpus, "n"), Seq("band", "bucket"))
+    // candidates on ids only; embeddings re-attached once per surviving pair.
+    // Only the corpus side is capped: the query side is small by contract,
+    // and a hot corpus bucket is what turns the bucket join quadratic.
+    val candidates = banded(queries, "q")
+      .join(capBucketMembers(banded(corpus, "n"), "n_id", bucketCap),
+        Seq("band", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select("q_id", "n_id").distinct()
 

@@ -109,13 +109,15 @@ package object api {
       * survives 100 TB. Exhaustive all-pairs is the explicit opt-in
       * [[cosineNearDupPairsExact]]. */
     def cosineNearDupPairs(id: Column, vec: Column, threshold: Double,
-        dim: Int, nPlanes: Int = 24, bands: Int = 8): DataFrame =
-      Pipelines.cosineNearDupPairs(df, id, vec, threshold, dim, nPlanes, bands)
+        dim: Int, nPlanes: Int = 24, bands: Int = 8,
+        bucketCap: Int = 1024): DataFrame =
+      Pipelines.cosineNearDupPairs(df, id, vec, threshold, dim, nPlanes, bands, bucketCap)
 
     /** Same as the default (kept as the explicit name for the scale path). */
     def cosineNearDupPairsAnn(id: Column, vec: Column, threshold: Double,
-        dim: Int, nPlanes: Int = 24, bands: Int = 8): DataFrame =
-      Pipelines.cosineNearDupPairsAnn(df, id, vec, threshold, dim, nPlanes, bands)
+        dim: Int, nPlanes: Int = 24, bands: Int = 8,
+        bucketCap: Int = 1024): DataFrame =
+      Pipelines.cosineNearDupPairsAnn(df, id, vec, threshold, dim, nPlanes, bands, bucketCap)
 
     /** Exhaustive all-pairs within a blocking column: exact recall,
       * O(n²/blocks) — oracled gate form; opt-in, does not survive 100 TB. */
@@ -129,8 +131,9 @@ package object api {
 
     /** Approximate top-k via random-hyperplane LSH banding. */
     def annTopK(queries: DataFrame, id: Column, vec: Column, k: Int,
-        dim: Int, nPlanes: Int = 32, bands: Int = 8): DataFrame =
-      Pipelines.annTopK(df, queries, id, vec, k, dim, nPlanes, bands)
+        dim: Int, nPlanes: Int = 32, bands: Int = 8,
+        bucketCap: Int = 1024): DataFrame =
+      Pipelines.annTopK(df, queries, id, vec, k, dim, nPlanes, bands, bucketCap)
 
     /** Int8 max-abs quantization: (vec_id, scale_micro, q, qsum, qnorm2) —
       * 4x smaller embedding storage with bounded dequantization error. */

@@ -348,17 +348,23 @@ object GwCore {
     val table = GwTable.forPath(spark, loc)
     val before = table.snapshot().files.map(_.path)
     val preDeleteVersion = table.snapshot().version
+    val preCount = spark.table(name).count()
     spark.sql(s"DELETE FROM $name WHERE o_orderkey < 5600")
     val after = table.snapshot()
     val live = after.files.map(_.path).toSet
-    require(after.files.exists(_.path.contains("/_dml/")),
-      "expected a copy-on-write rewrite file for the partially-matching range")
-    require(before.count(p => !live.contains(p)) >= 2,
-      "expected the fully- and partially-matching files tombstoned")
-    require(before.count(live.contains) >= 2,
-      "expected the upper ranges' files to survive untouched")
+    // the file-level classification is only observable when the fixture got
+    // its full 4-file shape (keys reach 15000, i.e. sf >= 0.01); at smaller
+    // SFs the DELETE is still row-correct, there is just one file to touch
+    if (before.size == 4) {
+      require(after.files.exists(_.path.contains("/_dml/")),
+        "expected a copy-on-write rewrite file for the partially-matching range")
+      require(before.count(p => !live.contains(p)) >= 2,
+        "expected the fully- and partially-matching files tombstoned")
+      require(before.count(live.contains) >= 2,
+        "expected the upper ranges' files to survive untouched")
+    }
     require(spark.sql(
-      s"SELECT * FROM $name VERSION AS OF $preDeleteVersion").count() == 15000,
+      s"SELECT * FROM $name VERSION AS OF $preDeleteVersion").count() == preCount,
       "pre-delete version must still serve every row (time travel)")
     spark.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
       "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s, " +
@@ -401,9 +407,12 @@ object GwCore {
       "o_totalprice" -> (col("o_totalprice") * 2),
       "o_orderpriority" -> lit("REPRICED"))) > 0, "expected an UPDATE commit")
     val live = table.snapshot().files.map(_.path).toSet
-    require(before.count(live.contains) >= 2,
-      "files above the cutoff must survive untouched")
-    require(live.exists(_.contains("/_dml/")), "expected rewritten files")
+    // file-survival only observable with the full 4-file fixture (sf >= 0.01)
+    if (before.size == 4) {
+      require(before.count(live.contains) >= 2,
+        "files above the cutoff must survive untouched")
+      require(live.exists(_.contains("/_dml/")), "expected rewritten files")
+    }
     spark.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
       "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s, " +
       s"o_orderpriority FROM $name")
@@ -418,20 +427,27 @@ object GwCore {
     import org.apache.spark.sql.functions.col
     val (name, loc) = rangedOrdersTable(spark, dir, "gw17")
     val table = GwTable.forPath(spark, loc)
+    // full fixture shape (4 range files; keys reach 15000) exists at
+    // sf >= 0.01; below that the merge is a row-correct no-op upsert and
+    // the file-level assertions have nothing to observe
+    val full = table.snapshot().files.size == 4
     // shrink the target to the two lower ranges so the merge both updates
     // (5600..7500) and inserts (7500..9000)
-    require(table.delete(col("o_orderkey") >= 7500) > 0)
+    val deleted = table.delete(col("o_orderkey") >= 7500)
+    if (full) require(deleted > 0)
     val before = table.snapshot().files.map(_.path)
     val src = spark.read.parquet(s"$dir/orders.parquet")
       .filter(col("o_orderkey") >= 5600 && col("o_orderkey") < 9000)
       .withColumn("o_totalprice", col("o_totalprice") * 3)
-    require(table.merge(src, col("t.o_orderkey") === col("s.o_orderkey"),
-      whenMatchedSet = Map("o_totalprice" -> col("s.o_totalprice"))) > 0,
-      "expected a MERGE commit")
-    val live = table.snapshot().files.map(_.path).toSet
-    require(live.contains(before.head),
-      "the file below the source's key range must survive untouched")
-    require(!live.contains(before(1)), "the overlapping file must be rewritten")
+    val merged = table.merge(src, col("t.o_orderkey") === col("s.o_orderkey"),
+      whenMatchedSet = Map("o_totalprice" -> col("s.o_totalprice")))
+    if (full) {
+      require(merged > 0, "expected a MERGE commit")
+      val live = table.snapshot().files.map(_.path).toSet
+      require(live.contains(before.head),
+        "the file below the source's key range must survive untouched")
+      require(!live.contains(before(1)), "the overlapping file must be rewritten")
+    }
     spark.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
       "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s, " +
       s"o_orderpriority FROM $name")
@@ -507,9 +523,12 @@ object GwCore {
     spark.sql(s"UPDATE $name SET o_totalprice = o_totalprice * 2, " +
       "o_orderpriority = 'REPRICED' WHERE o_orderkey < 5600")
     val live = table.snapshot().files.map(_.path).toSet
-    require(before.count(live.contains) >= 2,
-      "files above the cutoff must survive untouched (stats-pruned groups)")
-    require(live.exists(_.contains("/_dml/")), "expected rewritten files")
+    // file-survival only observable with the full 4-file fixture (sf >= 0.01)
+    if (before.size == 4) {
+      require(before.count(live.contains) >= 2,
+        "files above the cutoff must survive untouched (stats-pruned groups)")
+      require(live.exists(_.contains("/_dml/")), "expected rewritten files")
+    }
     spark.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
       "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s, " +
       s"o_orderpriority FROM $name")
@@ -524,7 +543,9 @@ object GwCore {
     import org.apache.spark.sql.functions.col
     val (name, loc) = rangedOrdersTable(spark, dir, "gw21")
     val table = GwTable.forPath(spark, loc)
-    require(table.delete(col("o_orderkey") >= 7500) > 0)
+    val full = table.snapshot().files.size == 4
+    val deleted = table.delete(col("o_orderkey") >= 7500)
+    if (full) require(deleted > 0)
     spark.read.parquet(s"$dir/orders.parquet")
       .filter(col("o_orderkey") >= 5600 && col("o_orderkey") < 9000)
       .withColumn("o_totalprice", col("o_totalprice") * 3)

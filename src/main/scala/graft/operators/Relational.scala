@@ -416,7 +416,13 @@ object Relational {
     // bucketed write is memoized per (session, sf dir): the first call pays
     // the shuffle-at-write, repeated calls (bench runs 3x and reports the
     // min) measure the exchange-free join — the steady-state cost the
-    // pattern buys at 100 TB, not the amortized setup
+    // pattern buys at 100 TB, not the amortized setup. The dir hash is part
+    // of the table names: with session-global names, a second dir in the
+    // same session would overwrite the tables while the first (session, dir)
+    // key stayed memoized, silently serving the wrong data.
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val (ordersTbl, custTbl) =
+      (s"graft_bucketed_orders_$tag", s"graft_bucketed_customer_$tag")
     q26Setup.synchronized {
       if (!q26Setup.contains((spark, dir))) {
         val wh = java.nio.file.Files.createTempDirectory("graft-bucketed")
@@ -425,19 +431,19 @@ object Relational {
           .write.mode("overwrite")
           .option("path", s"$wh/orders")
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
-          .saveAsTable("graft_bucketed_orders")
+          .saveAsTable(ordersTbl)
         t(spark, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
           .write.mode("overwrite")
           .option("path", s"$wh/customer")
           .bucketBy(8, "c_custkey").sortBy("c_custkey")
-          .saveAsTable("graft_bucketed_customer")
+          .saveAsTable(custTbl)
         q26Setup += ((spark, dir))
       }
     }
-    spark.table("graft_bucketed_orders")
+    spark.table(ordersTbl)
       .hint("merge")
-      .join(spark.table("graft_bucketed_customer"),
+      .join(spark.table(custTbl),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),

@@ -140,39 +140,6 @@ object Similarity {
         | JOIN embeddings q ON q.vec_id = s.q_id
         | JOIN embeddings c ON c.vec_id = s.n_id
         |) WHERE rnk <= 5""".stripMargin,
-    // same quantization CTE as s05, integer prefilter, exact rerank
-    "s06_quantized_rerank" ->
-      """WITH m AS (
-        | SELECT vec_id, embedding,
-        |  CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE) AS mx
-        | FROM embeddings),
-        |qz AS (
-        | SELECT vec_id,
-        |  CASE WHEN mx = 0
-        |    THEN list_transform(embedding, y -> 0)
-        |    ELSE list_transform(embedding, y -> CAST(round(CAST(y AS DOUBLE) * 127.0 / mx) AS INT))
-        |  END AS q
-        | FROM m),
-        |pre AS (
-        | SELECT qq.vec_id AS q_id, cc.vec_id AS n_id,
-        |  row_number() OVER (PARTITION BY qq.vec_id ORDER BY
-        |    list_sum(list_transform(generate_series(1, len(qq.q)),
-        |      i -> CAST(qq.q[i] AS BIGINT) * cc.q[i])) DESC,
-        |    cc.vec_id) AS prernk
-        | FROM qz qq JOIN qz cc ON qq.vec_id <> cc.vec_id
-        | WHERE qq.vec_id < 10),
-        |short AS (SELECT q_id, n_id FROM pre WHERE prernk <= 20)
-        |SELECT q_id, n_id, rnk, CAST(round(1000000 * cos) AS BIGINT) AS cos_micro
-        |FROM (
-        | SELECT s.q_id, s.n_id,
-        |  list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
-        |  row_number() OVER (PARTITION BY s.q_id
-        |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-        |             s.n_id) AS rnk
-        | FROM short s
-        | JOIN embeddings q ON q.vec_id = s.q_id
-        | JOIN embeddings c ON c.vec_id = s.n_id
-        |) WHERE rnk <= 5""".stripMargin,
     "s04_sql_vecdot" ->
       """SELECT e.vec_id, e.label,
         | CAST(round(1000000 * list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])) AS BIGINT) AS dot_micro

@@ -62,7 +62,13 @@ class GwRowLevelOperation(
     new WriteBuilder {
       override def build(): Write = new GwReplaceDataWrite(
         spark, tablePath, cmd.toString, info,
-        () => groupScan.map(_.plannedPaths).getOrElse(Nil))
+        // fail loudly if Spark ever builds the write without the operation's
+        // scan: defaulting to an empty remove set would commit the full
+        // replacement rows without tombstoning any source file — silent
+        // row duplication instead of an error
+        () => groupScan.map(_.plannedPaths).getOrElse(throw new IllegalStateException(
+          s"$cmd write committed before its group scan was planned — " +
+            "no candidate files to replace; refusing to append duplicates")))
     }
 }
 

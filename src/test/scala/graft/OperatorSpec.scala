@@ -107,6 +107,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN near-dup recall $recall too low (exact=${exact.size})")
   }
 
+  test("d06 LSH bucket cap bounds candidates on an adversarial identical-vector corpus") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // every vector identical -> all n land in the SAME (band, bucket) for
+    // every band: uncapped, that is n(n-1)/2 candidate pairs (the classic
+    // LSH skew blowup); with the cap, at most cap members survive per
+    // bucket, so emitted pairs are bounded by cap(cap-1)/2
+    val n = 200
+    val cap = 16
+    val vec = Array.fill(64)(0.5f)
+    val corpus = (0 until n).map(i => (i.toLong, vec)).toDF("vec_id", "embedding")
+    val capped = graft.api.Pipelines.cosineNearDupPairsAnn(
+      corpus, col("vec_id"), col("embedding"),
+      threshold = 0.9, dim = 64, bucketCap = cap).count()
+    assert(capped > 0, "capped run must still emit pairs among kept members")
+    assert(capped <= cap.toLong * (cap - 1) / 2,
+      s"cap=$cap must bound pairs to ${cap * (cap - 1) / 2}, got $capped")
+    // disabled cap (<= 0) restores the exhaustive behavior
+    val uncapped = graft.api.Pipelines.cosineNearDupPairsAnn(
+      corpus, col("vec_id"), col("embedding"),
+      threshold = 0.9, dim = 64, bucketCap = 0).count()
+    assert(uncapped == n.toLong * (n - 1) / 2,
+      s"uncapped identical corpus must emit all ${n * (n - 1) / 2} pairs, got $uncapped")
+  }
+
   test("m03 decode stub: one feature row per asset, deterministic values") {
     val out = Multimodal.m03DecodeStub(spark, sf).collect()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
