@@ -28,8 +28,16 @@ object Bench {
     // intrinsic cost (regressions show as a raised floor, not a bad draw)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
+    // dev-only: comma-separated query names to bench in isolation (used to
+    // separate a plan's intrinsic cost from suite-order JVM effects)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val selected = filter match {
+      case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
+      case None    => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         if (failed.contains(name)) None // don't re-run a known-failing query
         else {
