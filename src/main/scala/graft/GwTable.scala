@@ -334,7 +334,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
           s"${r.getLong(1)} source rows — updates would be non-deterministic")
     }
     val byKey = snap.files.map(f => GwTable.uriKey(f.path) -> f).toMap
-    val touched = perFile.toSeq.map(r => byKey.getOrElse(GwTable.uriKey(r.getString(0)),
+    val touched = perFile.toSeq.map(r => byKey.getOrElse(GwTable.uriKeyScanned(r.getString(0)),
       throw new IllegalStateException(s"matched file ${r.getString(0)} not in snapshot")))
     val rewritten: Option[DataFrame] =
       if (touched.isEmpty) None
@@ -388,7 +388,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
   private def classifyByPredicate(snap: Snapshot, cond: Column): (Seq[AddFile], Seq[AddFile]) = {
     val ranges = org.apache.spark.sql.graftbridge.GwStatsPruning
       .ranges(Seq(resolveCond(snap, cond)))
-    val candidates = if (ranges.isEmpty) snap.files else snap.filesForRanges(ranges)
+    val candidates = if (ranges.isEmpty) snap.files else snap.filesForConstraints(ranges)
     if (candidates.isEmpty) return (Nil, Nil)
     val hit = coalesce(cond, lit(false))
     val counts = spark.read.schema(snap.schema).parquet(candidates.map(_.path): _*)
@@ -399,7 +399,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val full = Seq.newBuilder[AddFile]
     val partial = Seq.newBuilder[AddFile]
     counts.foreach { r =>
-      val add = byKey.getOrElse(GwTable.uriKey(r.getString(0)),
+      val add = byKey.getOrElse(GwTable.uriKeyScanned(r.getString(0)),
         throw new IllegalStateException(s"scanned file ${r.getString(0)} not in snapshot"))
       val (total, hits) = (r.getLong(1), r.getLong(2))
       if (hits == total && total > 0) full += add
@@ -598,4 +598,12 @@ object GwTable {
     val u = new Path(p).toUri
     Option(u.getAuthority).getOrElse("") + u.getPath
   }
+
+  /** Key for a path that came back from `_metadata.file_path`, which is the
+    * URL-ENCODED rendering (space -> %20, literal %xx -> %25xx). Decoding
+    * through java.net.URI converges it onto [[uriKey]]'s raw form — without
+    * this, files inside partition directories whose values needed escaping
+    * (e.g. `grp=a%2Fb c`) fail the snapshot lookup. */
+  private[graft] def uriKeyScanned(p: String): String =
+    scala.util.Try(uriKey(new Path(new java.net.URI(p)).toString)).getOrElse(uriKey(p))
 }

@@ -41,22 +41,58 @@ final case class Snapshot(
 
   /** Conjunction of typed range constraints (see [[ColRange]]). */
   def filesForRanges(constraints: Seq[ColRange]): Seq[AddFile] =
-    files.filter { f =>
-      constraints.forall { c =>
-        // timestamp constraints are micros-encoded; only stats harvested
-        // with the micros normalization (gwStatsV >= 2) may serve them —
-        // v1 stats stored raw millis and would mis-prune matching files
-        if (c.minStatsVersion > Snapshot.statsVersion(f)) true
-        else Snapshot.statsBounds(f, c.column) match {
-          case Some((mn, mx)) =>
-            // keep unless the file's range PROVABLY misses [lower, upper];
-            // incomparable kinds (e.g. string stats vs numeric bound) prove
-            // nothing and keep the file
-            val belowLower = c.lower.exists(lo => Bound.cmp(mx, lo).exists(_ < 0))
-            val aboveUpper = c.upper.exists(up => Bound.cmp(mn, up).exists(_ > 0))
-            !belowLower && !aboveUpper
-          case None => true
+    files.filter(f => statsKeep(f, constraints))
+
+  /** Full file-skipping pipeline: PARTITION pruning first (exact, from the
+    * log's `partitionValues` — no footer or stats read needed), then footer
+    * stats pruning on the survivors. Partition pruning is the cheaper and
+    * stronger prune: a `p = v` predicate eliminates whole directories by
+    * metadata equality, which is what keeps a selective query on a 100 TB
+    * partitioned table from even LISTING the other partitions' files. Files
+    * without a value for a constrained partition column (pre-partitioning
+    * commits, compaction/DML rewrites) are always KEPT — conservative, like
+    * stats pruning. */
+  def filesForConstraints(constraints: Seq[ColRange]): Seq[AddFile] = {
+    val partCols = metadata.map(_.partitionColumns).getOrElse(Nil)
+    val afterPartition =
+      if (partCols.isEmpty || constraints.isEmpty) files
+      else {
+        val types = schema.fields.map(f => f.name -> f.dataType).toMap
+        val partConstraints = constraints.filter(c => partCols.contains(c.column))
+        if (partConstraints.isEmpty) files
+        else files.filter { f =>
+          partConstraints.forall { c =>
+            f.partitionValues.get(c.column)
+              .flatMap(tok => Snapshot.partitionBound(tok, types.get(c.column))) match {
+              case None => true // no value or unparseable -> keep
+              case Some(b) =>
+                // the partition value is the column's single value for the
+                // whole file: keep iff it can sit inside [lower, upper]
+                val belowLower = c.lower.exists(lo => Bound.cmp(b, lo).exists(_ < 0))
+                val aboveUpper = c.upper.exists(up => Bound.cmp(b, up).exists(_ > 0))
+                !belowLower && !aboveUpper
+            }
+          }
         }
+      }
+    afterPartition.filter(f => statsKeep(f, constraints))
+  }
+
+  private def statsKeep(f: AddFile, constraints: Seq[ColRange]): Boolean =
+    constraints.forall { c =>
+      // timestamp constraints are micros-encoded; only stats harvested
+      // with the micros normalization (gwStatsV >= 2) may serve them —
+      // v1 stats stored raw millis and would mis-prune matching files
+      if (c.minStatsVersion > Snapshot.statsVersion(f)) true
+      else Snapshot.statsBounds(f, c.column) match {
+        case Some((mn, mx)) =>
+          // keep unless the file's range PROVABLY misses [lower, upper];
+          // incomparable kinds (e.g. string stats vs numeric bound) prove
+          // nothing and keep the file
+          val belowLower = c.lower.exists(lo => Bound.cmp(mx, lo).exists(_ < 0))
+          val aboveUpper = c.upper.exists(up => Bound.cmp(mn, up).exists(_ > 0))
+          !belowLower && !aboveUpper
+        case None => true
       }
     }
 }
@@ -117,6 +153,26 @@ object Snapshot {
     f.stats.flatMap { s =>
       scala.util.Try(mapper.readTree(s).path("gwStatsV").asInt(0)).toOption
     }.getOrElse(0)
+
+  /** Partition-directory token -> typed bound, by the column's schema type.
+    * Tokens that cannot parse (or the hive null marker) yield None = the
+    * file is kept. Dates become epoch days and timestamps are skipped
+    * entirely — Catalyst timestamp literals are micros while dir tokens are
+    * rendered local datetimes, and guessing the zone would mis-prune. */
+  private[log] def partitionBound(token: String,
+      dataType: Option[org.apache.spark.sql.types.DataType]): Option[Bound] = {
+    import org.apache.spark.sql.types._
+    if (token == "__HIVE_DEFAULT_PARTITION__") return None
+    dataType match {
+      case Some(_: NumericType) =>
+        scala.util.Try(Bound.Num(BigDecimal(token))).toOption
+      case Some(DateType) =>
+        scala.util.Try(
+          Bound.Num(BigDecimal(java.time.LocalDate.parse(token).toEpochDay))).toOption
+      case Some(StringType) => Some(Bound.Str(token))
+      case _ => None
+    }
+  }
 
   /** Typed (min, max) of `column` from a file's stats JSON, if present. */
   private[log] def statsBounds(f: AddFile, column: String): Option[(Bound, Bound)] =

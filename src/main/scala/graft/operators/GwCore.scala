@@ -612,6 +612,59 @@ object GwCore {
     spark.sql(s"SELECT * FROM gw.$ns.region")
   }
 
+  // ---------------------------------------------------------------- gw24
+  /** Partitioned gwdelta table end to end: PARTITIONED BY CTAS lays the
+    * data out hive-style (one directory per n_regionkey), the commit logs
+    * `metaData.partitionColumns` + per-file `add.partitionValues`, a plain
+    * INSERT INTO re-derives the layout from the log, and a partition
+    * predicate plans ONLY that partition's files — asserted against the
+    * log's own partitionValues (partition pruning runs before stats
+    * pruning in the scan; at 100 TB this is what keeps a one-partition
+    * query from listing the other partitions at all). */
+  def gw24PartitionedTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.read.parquet(s"$dir/nation.parquet").createOrReplaceTempView("gw24_nation_src")
+    val tmp = Files.createTempDirectory("gw24")
+    val loc = tmp.resolve("db/nation").toString
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta " +
+      s"PARTITIONED BY (n_regionkey) LOCATION '$loc' " +
+      "AS SELECT n_nationkey, n_name, n_regionkey FROM gw24_nation_src")
+    val table = GwTable.forPath(spark, loc)
+    val snap0 = table.snapshot()
+    require(snap0.metadata.exists(_.partitionColumns == Seq("n_regionkey")),
+      "CTAS must log PARTITIONED BY into metaData.partitionColumns")
+    val regions = snap0.files.flatMap(_.partitionValues.get("n_regionkey")).distinct
+    require(regions.size == 5, s"expected 5 region partitions, got $regions")
+    // second commit: INSERT INTO with NO explicit partitioning — the sink
+    // re-derives the layout from the log, keeping the table partitioned
+    spark.sql(s"INSERT INTO gw.$ns.nation " +
+      "SELECT n_nationkey + 100, n_name, n_regionkey FROM gw24_nation_src")
+    val snap1 = table.snapshot()
+    require(snap1.files.forall(_.partitionValues.contains("n_regionkey")),
+      "INSERT INTO must keep every file partition-addressed")
+    // a partition predicate must plan exactly that partition's files
+    val planned = spark.table(s"gw.$ns.nation")
+      .filter(col("n_regionkey") === 2)
+      .queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          val batchScan = b.scan match {
+            case w: org.apache.spark.sql.graftbridge.GwDeltaScan => w.innerScan
+            case s => s
+          }
+          batchScan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
+      }.head
+    val expected = snap1.files.count(_.partitionValues.get("n_regionkey").contains("2"))
+    require(planned == expected && planned < snap1.files.size,
+      s"partition pruning must plan only region 2's files: planned=$planned " +
+        s"expected=$expected of ${snap1.files.size}")
+    spark.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM gw.$ns.nation " +
+      "WHERE n_regionkey = 2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -636,6 +689,7 @@ object GwCore {
     "gw21_sql_merge" -> gw21SqlMerge _,
     "gw22_sql_ctas" -> gw22SqlCtas _,
     "gw23_stream_totable" -> gw23StreamToTable _,
+    "gw24_partitioned_table" -> gw24PartitionedTable _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -742,5 +796,10 @@ object GwCore {
       "SELECT r_regionkey, upper(r_name) AS r_name_u FROM region",
     "gw23_stream_totable" ->
       "SELECT * FROM region UNION ALL SELECT * FROM region",
+    "gw24_partitioned_table" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey = 2
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey = 2""".stripMargin,
   )
 }

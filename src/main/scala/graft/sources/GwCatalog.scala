@@ -80,7 +80,8 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
   private def pointerPath(ident: Identifier): Path =
     new Path(metaDir(ident.namespace.toSeq), s"${ident.name}.json")
 
-  private case class Pointer(location: String, managed: Boolean, declared: Option[StructType])
+  private case class Pointer(location: String, managed: Boolean,
+      declared: Option[StructType], partitionColumns: Seq[String])
 
   private def readPointer(ident: Identifier): Option[Pointer] = {
     val p = pointerPath(ident)
@@ -93,8 +94,11 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
         val declared = Option(root.get("schemaJson")).map(_.asText())
           .flatMap(j => Try(org.apache.spark.sql.types.DataType.fromJson(j)
             .asInstanceOf[StructType]).toOption)
+        val partCols = Option(root.get("partitionColumns"))
+          .map(arr => (0 until arr.size()).map(arr.get(_).asText()).toSeq)
+          .getOrElse(Nil)
         Some(Pointer(root.path("location").asText(),
-          root.path("managed").asBoolean(false), declared))
+          root.path("managed").asBoolean(false), declared, partCols))
       } finally in.close()
     }
   }
@@ -138,8 +142,10 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
     if (!log.exists()) {
       // registered before any commit: the table serves its DECLARED columns
       // (if any) and accepts the first INSERT, which bootstraps the log
+      // (carrying the declared PARTITIONED BY layout into the metadata)
       new org.apache.spark.sql.graftbridge.GwDeltaPendingTable(
-        displayName, pointer.declared.getOrElse(new StructType()), location)
+        displayName, pointer.declared.getOrElse(new StructType()), location,
+        pointer.partitionColumns)
     } else {
       val opts = new CaseInsensitiveStringMap(java.util.Collections.singletonMap("path", location))
       new org.apache.spark.sql.graftbridge.GwDeltaTable(
@@ -162,8 +168,18 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
       require(p.equalsIgnoreCase("gwdelta"),
         s"GwCatalog stores gwdelta tables only; got USING $p")
     }
-    require(partitions.isEmpty,
-      "gwdelta tables derive layout from the transaction log; PARTITIONED BY is not supported")
+    // identity partition transforms only: hive-style value directories are
+    // the layout the log's partitionValues field models; bucket/temporal
+    // transforms would need a different addressing scheme
+    val partCols = partitions.toSeq.map { t =>
+      if (t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1)
+        t.references.head.fieldNames.head
+      else throw new UnsupportedOperationException(
+        s"gwdelta supports PARTITIONED BY (column) identity partitioning only; got $t")
+    }
+    partCols.foreach(c => require(schema.isEmpty || schema.fieldNames.contains(c),
+      s"partition column '$c' is not among the declared columns"))
     val explicit = Option(properties.get(TableCatalog.PROP_LOCATION))
     val location = explicit.getOrElse(
       ns.foldLeft(warehouse)((p, n) => new Path(p, n)).suffix(s"/${ident.name}").toString)
@@ -174,10 +190,15 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
     if (schema.nonEmpty) {
       val log = GwLog.forTable(conf, location)
       if (log.exists()) {
-        val logged = log.snapshot(None).schema
+        val snap = log.snapshot(None)
+        val logged = snap.schema
         require(org.apache.spark.sql.graftbridge.Bridge.sameType(logged, schema),
           s"declared columns do not match the transaction log at $location\n" +
             s"  log:      ${logged.catalogString}\n  declared: ${schema.catalogString}")
+        val loggedParts = snap.metadata.map(_.partitionColumns).getOrElse(Nil)
+        require(partCols.isEmpty || partCols == loggedParts,
+          s"PARTITIONED BY (${partCols.mkString(",")}) does not match the log's " +
+            s"partitionColumns (${loggedParts.mkString(",")}) at $location")
       }
     }
     val node = mapper.createObjectNode()
@@ -185,6 +206,10 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
     node.put("managed", explicit.isEmpty)
     node.put("createdTime", System.currentTimeMillis())
     if (schema.nonEmpty) node.put("schemaJson", schema.json)
+    if (partCols.nonEmpty) {
+      val arr = node.putArray("partitionColumns")
+      partCols.foreach(c => arr.add(c))
+    }
     // create-no-overwrite: concurrent CREATE of the same name — one wins
     val out =
       try fs.create(pointerPath(ident), /* overwrite = */ false)
@@ -221,7 +246,7 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean =
     readPointer(ident) match {
       case None => false
-      case Some(Pointer(location, managed, _)) =>
+      case Some(Pointer(location, managed, _, _)) =>
         // external tables: drop the pointer only — the data and its log
         // belong to the indexer (shallow-clone semantics). Managed tables
         // (no LOCATION given) own their directory, so drop reclaims it.

@@ -122,17 +122,21 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
       throw new IllegalArgumentException("gwdelta requires a path"))
     val exists = graft.log.GwLog
       .forTable(sqlContext.sparkSession.sparkContext.hadoopConfiguration, path).exists()
+    // df.write.partitionBy(...) arrives JSON-encoded in the options map
+    val parts = org.apache.spark.sql.graftbridge.Bridge.partitioningColumns(parameters)
     mode match {
       case org.apache.spark.sql.SaveMode.Append =>
-        graft.streaming.GwSink.append(data, path)
+        graft.streaming.GwSink.append(data, path, txnId = None, partitionBy = parts)
       case org.apache.spark.sql.SaveMode.Overwrite =>
-        graft.streaming.GwSink.overwrite(data, path)
+        graft.streaming.GwSink.overwrite(data, path, parts)
       case org.apache.spark.sql.SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"gwdelta table already exists at $path (mode ErrorIfExists)")
-        graft.streaming.GwSink.append(data, path)
+        graft.streaming.GwSink.append(data, path, txnId = None, partitionBy = parts)
       case org.apache.spark.sql.SaveMode.Ignore =>
-        if (!exists) { graft.streaming.GwSink.append(data, path); () }
+        if (!exists) {
+          graft.streaming.GwSink.append(data, path, txnId = None, partitionBy = parts); ()
+        }
     }
     val ctx = sqlContext
     new org.apache.spark.sql.sources.BaseRelation {
@@ -180,9 +184,7 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"gwdelta sink writes append-only commits; got $outputMode " +
         "(complete/update would need remove+rewrite semantics per batch)")
-    require(partitionColumns.isEmpty,
-      "gwdelta sink does not support partitioned writes")
     new org.apache.spark.sql.graftbridge.GwDeltaStreamSink(
-      streamPath(parameters), parameters.get("checkpointLocation"))
+      streamPath(parameters), parameters.get("checkpointLocation"), partitionColumns)
   }
 }

@@ -245,26 +245,70 @@ object SchemaProbe {
     * (footer `numRecords == 0`) dropped, footer stats harvested. The ONE
     * harvesting rule, shared by compaction and the streaming sink so the
     * two writers cannot diverge. */
-  def harvestAddFiles(conf: Configuration, dir: Path, dataChange: Boolean): Seq[AddFile] = {
+  def harvestAddFiles(conf: Configuration, dir: Path, dataChange: Boolean): Seq[AddFile] =
+    harvestPartitioned(conf, dir, dataChange, Nil)
+
+  /** Directory-name prefix under which partitioned writes stage their
+    * hive-style layout: `__gwp_<col>=<escaped value>/part-*.parquet`. The
+    * prefix keeps the layout column distinct from the REAL column, which
+    * stays in the data files (an RLE-constant column costs ~nothing and
+    * keeps every read path, schema check and footer stat identical to the
+    * unpartitioned case — unlike Delta, no scan-side reconstruction). */
+  val PartitionDirPrefix = "__gwp_"
+
+  /** [[harvestAddFiles]], but also descending into `__gwp_<col>=<value>`
+    * partition directories (depth = partitionColumns.length), recording the
+    * decoded values as the AddFile's `partitionValues` — the Delta-protocol
+    * field partition pruning reads back (Snapshot.filesForConstraints). */
+  def harvestPartitioned(conf: Configuration, dir: Path, dataChange: Boolean,
+      partitionColumns: Seq[String]): Seq[AddFile] = {
     val fs = dir.getFileSystem(conf)
-    fs.listStatus(dir)
-      .filter { st =>
+    def walk(d: Path, values: Map[String, String]): Seq[AddFile] =
+      fs.listStatus(d).toSeq.flatMap { st =>
         val n = st.getPath.getName
-        st.isFile && !n.startsWith(".") && !n.startsWith("_") &&
-          n.endsWith(".parquet") && st.getLen > 0
+        if (st.isDirectory && n.startsWith(PartitionDirPrefix) && n.contains("=")) {
+          val (col, tok) = n.splitAt(n.indexOf('='))
+          walk(st.getPath,
+            values + (col.stripPrefix(PartitionDirPrefix) -> unescapePathToken(tok.tail)))
+        } else if (st.isFile && !n.startsWith(".") && !n.startsWith("_") &&
+            n.endsWith(".parquet") && st.getLen > 0) {
+          val stats = readStats(conf, st.getPath.toString)
+          // a zero-row part file is footer-only output: committing it would
+          // only add a file-open cost to every future scan
+          if (stats.exists(_.contains("\"numRecords\":0"))) None
+          else Some(AddFile(
+            path = st.getPath.toString,
+            size = st.getLen,
+            modificationTime = st.getModificationTime,
+            dataChange = dataChange,
+            partitionValues = values,
+            stats = stats))
+        } else Nil
       }
-      .flatMap { st =>
-        val stats = readStats(conf, st.getPath.toString)
-        // a zero-row part file is footer-only output: committing it would
-        // only add a file-open cost to every future scan
-        if (stats.exists(_.contains("\"numRecords\":0"))) None
-        else Some(AddFile(
-          path = st.getPath.toString,
-          size = st.getLen,
-          modificationTime = st.getModificationTime,
-          dataChange = dataChange,
-          stats = stats))
-      }
-      .toSeq
+    val files = walk(dir, Map.empty)
+    // every partition column the caller declared must be present on every
+    // harvested file — a miss means the staged layout is malformed
+    partitionColumns.foreach { c =>
+      files.foreach(f => require(f.partitionValues.contains(c),
+        s"partitioned write lost partition value for '$c': ${f.path}"))
+    }
+    files
+  }
+
+  /** Inverse of Spark's `escapePathName` (%xx escapes for chars illegal in
+    * dir names). Malformed escapes pass through as-is (conservative). */
+  private def unescapePathToken(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val hex = if (c == '%' && i + 2 < s.length) s.substring(i + 1, i + 3) else ""
+      if (hex.length == 2 && hex.forall(h => Character.digit(h, 16) >= 0)) {
+        sb.append(Integer.parseInt(hex, 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 }

@@ -45,20 +45,55 @@ object GwSink {
     * matches a recent commit's txnId is skipped (crash-replay idempotence)
     * and that version returned. Non-bootstrap appends require the batch
     * schema to match the table's logged schema (nullability ignored). */
-  def append(df: DataFrame, tablePath: String, txnId: Option[String] = None): Long = {
+  def append(df: DataFrame, tablePath: String, txnId: Option[String] = None,
+      partitionBy: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val log = GwLog.forTable(conf, tablePath)
     replayedVersion(log, txnId).foreach(v => return v)
     checkAppendSchema(log, tablePath, df.schema)
+    val parts = effectivePartitioning(log, df, partitionBy)
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(outDir.toString)
+    stageWrite(df, outDir, parts)
     val fs = outDir.getFileSystem(conf)
     val files: Seq[AddFile] =
-      graft.sources.SchemaProbe.harvestAddFiles(conf, outDir, dataChange = true)
+      graft.sources.SchemaProbe.harvestPartitioned(conf, outDir, dataChange = true, parts)
     if (files.isEmpty) { fs.delete(outDir, true); return -1L }
-    commitAppend(log, df.schema, files, txnId)
+    commitAppend(log, df.schema, files, txnId, parts)
   }
+
+  /** Partitioning a write actually uses: an explicit `partitionBy` on a
+    * table that already declares partitionColumns must MATCH them (one
+    * layout per table); with no explicit columns the table's logged
+    * partitioning applies automatically, so plain INSERT INTO / streaming
+    * appends keep a partitioned table partitioned. */
+  private def effectivePartitioning(log: GwLog, df: DataFrame,
+      partitionBy: Seq[String]): Seq[String] = {
+    val logged =
+      if (log.listVersions().isEmpty) Nil
+      else log.snapshot(None).metadata.map(_.partitionColumns).getOrElse(Nil)
+    if (partitionBy.nonEmpty && logged.nonEmpty)
+      require(partitionBy == logged,
+        s"partitionBy ${partitionBy.mkString(",")} does not match the table's " +
+          s"partitionColumns ${logged.mkString(",")}")
+    val parts = if (partitionBy.nonEmpty) partitionBy else logged
+    parts.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the write schema ${df.schema.fieldNames.mkString(",")}"))
+    parts
+  }
+
+  /** Write the batch, hive-laying-out by `__gwp_<col>=` copies of the
+    * partition columns so the REAL columns stay in the data files (see
+    * SchemaProbe.PartitionDirPrefix for why). */
+  private def stageWrite(df: DataFrame, outDir: Path, parts: Seq[String]): Unit =
+    if (parts.isEmpty) df.write.mode("overwrite").parquet(outDir.toString)
+    else {
+      import org.apache.spark.sql.functions.col
+      val pfx = graft.sources.SchemaProbe.PartitionDirPrefix
+      val staged = parts.foldLeft(df)((d, c) => d.withColumn(s"$pfx$c", col(c)))
+      staged.write.mode("overwrite")
+        .partitionBy(parts.map(pfx + _): _*).parquet(outDir.toString)
+    }
 
   /** Commit ALREADY-WRITTEN parquet files as one atomic append — the V2
     * streaming write's epoch commit ([[org.apache.spark.sql.graftbridge]]
@@ -110,7 +145,8 @@ object GwSink {
     }
 
   private def commitAppend(log: GwLog, schema: org.apache.spark.sql.types.StructType,
-      files: Seq[AddFile], txnId: Option[String]): Long =
+      files: Seq[AddFile], txnId: Option[String],
+      partitionColumns: Seq[String] = Nil): Long =
     commitWithRetry(log) { bootstrap =>
       val now = System.currentTimeMillis()
       val head: Seq[Action] =
@@ -118,6 +154,7 @@ object GwSink {
           Seq(Protocol(), Metadata(
             id = java.util.UUID.randomUUID().toString,
             schemaString = schema.json,
+            partitionColumns = partitionColumns,
             createdTime = now))
         else Nil
       val info = CommitInfo(
@@ -158,7 +195,8 @@ object GwSink {
     * the old content to the new; the tombstoned files stay readable for
     * time travel until `vacuum`. An EMPTY batch is a plain TRUNCATE (the
     * remove-all commit still happens, unlike `append`'s no-op). */
-  def overwrite(df: DataFrame, tablePath: String): Long = {
+  def overwrite(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val log = GwLog.forTable(conf, tablePath)
@@ -168,10 +206,11 @@ object GwSink {
         s"batch schema does not match the table schema at $tablePath\n" +
           s"  table: ${existing.catalogString}\n  batch: ${df.schema.catalogString}")
     }
+    val parts = effectivePartitioning(log, df, partitionBy)
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(outDir.toString)
+    stageWrite(df, outDir, parts)
     val files: Seq[AddFile] =
-      graft.sources.SchemaProbe.harvestAddFiles(conf, outDir, dataChange = true)
+      graft.sources.SchemaProbe.harvestPartitioned(conf, outDir, dataChange = true, parts)
     if (files.isEmpty) outDir.getFileSystem(conf).delete(outDir, true)
     commitWithRetry(log) { bootstrap =>
       val now = System.currentTimeMillis()
@@ -185,6 +224,7 @@ object GwSink {
           Seq(Protocol(), Metadata(
             id = java.util.UUID.randomUUID().toString,
             schemaString = df.schema.json,
+            partitionColumns = parts,
             createdTime = now))
         else Nil
       val info = CommitInfo(

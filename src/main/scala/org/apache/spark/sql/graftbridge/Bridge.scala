@@ -18,6 +18,16 @@ object Bridge {
   def sameType(a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
 
+  /** The partition columns `df.write.partitionBy(...)` smuggles to a V1
+    * CreatableRelationProvider (JSON-encoded under `__partition_columns`);
+    * the codec lives in private[sql] DataSourceUtils. */
+  def partitioningColumns(parameters: Map[String, String]): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.DataSourceUtils
+    parameters.get(DataSourceUtils.PARTITIONING_COLUMNS_KEY)
+      .map(DataSourceUtils.decodePartitioningColumns)
+      .getOrElse(Nil)
+  }
+
   /** Register function builders on a LIVE session (the extensions hook only
     * covers sessions built after the config is set). */
   def registerFunctions(

@@ -20,7 +20,8 @@ import org.apache.spark.sql.execution.streaming.Sink
  * RDD-backed batch plan before writing, so the parquet write does not
  * re-execute the source side of the plan.
  */
-class GwDeltaStreamSink(tablePath: String, checkpointLocation: Option[String]) extends Sink {
+class GwDeltaStreamSink(tablePath: String, checkpointLocation: Option[String],
+    partitionBy: Seq[String] = Nil) extends Sink {
 
   private val streamId: String = checkpointLocation match {
     case Some(cp) =>
@@ -37,7 +38,8 @@ class GwDeltaStreamSink(tablePath: String, checkpointLocation: Option[String]) e
     val node = LogicalRDD.fromDataset(
       classic.queryExecution.toRdd, classic, isStreaming = false)
     val batchDf = Dataset.ofRows(spark, node)
-    graft.streaming.GwSink.append(batchDf, tablePath, Some(s"$streamId/$batchId"))
+    graft.streaming.GwSink.append(batchDf, tablePath, Some(s"$streamId/$batchId"),
+      partitionBy)
     ()
   }
 

@@ -91,6 +91,8 @@ class GwDeltaScan(
     spark: SparkSession,
     tablePath: String,
     streamSchema: StructType) extends Scan {
+  /** The wrapped batch scan (plan observability in tests/gates). */
+  def innerScan: Scan = inner
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
   override def description(): String = inner.description()

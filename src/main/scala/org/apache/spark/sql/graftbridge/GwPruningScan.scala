@@ -62,7 +62,10 @@ class GwDeltaTable(
       s"$tableName: row-level DML targets the LATEST snapshot; drop versionAsOf/timestampAsOf")
     new GwRowLevelOperationBuilder(spark, options.get("path"), snapshot, info)
   }
-  override def partitioning(): Array[Transform] = Array.empty
+  override def partitioning(): Array[Transform] =
+    snapshot.metadata.map(_.partitionColumns).getOrElse(Nil)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     if (!streaming) new GwPruningScanBuilder(tableName, spark, opts, snapshot)
@@ -127,7 +130,8 @@ private[graftbridge] object GwWriteBuilders {
 
   def forPath(path: String, declared: Option[StructType] = None,
       spark: Option[SparkSession] = None,
-      info: Option[LogicalWriteInfo] = None): WriteBuilder =
+      info: Option[LogicalWriteInfo] = None,
+      partitionBy: Seq[String] = Nil): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var truncateFirst = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -141,8 +145,13 @@ private[graftbridge] object GwWriteBuilders {
                   s"insert schema does not match the declared table schema\n" +
                     s"  table: ${s.catalogString}\n  batch: ${data.schema.catalogString}")
               }
-              if (truncateFirst || overwrite) graft.streaming.GwSink.overwrite(data, path)
-              else graft.streaming.GwSink.append(data, path)
+              // partitionBy matters on the BOOTSTRAP insert (it fixes the
+              // table's partitionColumns); later appends re-derive the
+              // layout from the log either way
+              if (truncateFirst || overwrite)
+                graft.streaming.GwSink.overwrite(data, path, partitionBy)
+              else graft.streaming.GwSink.append(data, path,
+                txnId = None, partitionBy = partitionBy)
               ()
             }
           }
@@ -162,12 +171,17 @@ private[graftbridge] object GwWriteBuilders {
 class GwDeltaPendingTable(
     tableName: String,
     declaredSchema: StructType,
-    path: String) extends Table
+    path: String,
+    partitionColumns: Seq[String] = Nil) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String =
     s"$tableName (no transaction log yet at $path)"
   override def schema(): StructType = declaredSchema
+  override def partitioning(): Array[Transform] =
+    partitionColumns
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
@@ -176,7 +190,8 @@ class GwDeltaPendingTable(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
       org.apache.spark.sql.connector.write.WriteBuilder =
     GwWriteBuilders.forPath(path, Some(declaredSchema),
-      spark = Some(SparkSession.active), info = Some(info))
+      spark = Some(SparkSession.active), info = Some(info),
+      partitionBy = partitionColumns)
 }
 
 class GwPruningScanBuilder(
@@ -209,7 +224,8 @@ class GwPruningScanBuilder(
     val constraints = GwStatsPruning.ranges(filters)
     val paths =
       if (constraints.isEmpty) snapshot.filePaths
-      else snapshot.filesForRanges(constraints).map(_.path)
+      // partition pruning (exact, metadata-only) runs before stats pruning
+      else snapshot.filesForConstraints(constraints).map(_.path)
     inner = makeInner(paths)
     inner.pushFilters(filters)
   }

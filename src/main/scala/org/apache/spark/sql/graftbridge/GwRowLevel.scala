@@ -90,7 +90,7 @@ class GwGroupScanBuilder(
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val constraints = GwStatsPruning.ranges(filters)
-    if (constraints.nonEmpty) paths = snapshot.filesForRanges(constraints).map(_.path)
+    if (constraints.nonEmpty) paths = snapshot.filesForConstraints(constraints).map(_.path)
     filters // residuals: group selection only, no data-level pushdown
   }
 

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Partitioned gwdelta tables: hive-style layout with the partition column
+  * KEPT in the data files, partitionValues in the log, partition pruning
+  * ahead of stats pruning, layout re-derivation on later appends. */
+class PartitionSpec extends AnyFunSuite {
+  private val spark = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        val s = b.scan match {
+          case w: org.apache.spark.sql.graftbridge.GwDeltaScan => w.innerScan
+          case s => s
+        }
+        s.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+          .fileIndex.inputFiles.length
+    }.head
+
+  test("partitionBy write: values logged, columns retained, pruning exact") {
+    val loc = Files.createTempDirectory("part-spec").resolve("nation").toString
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    nation.write.format("gwdelta").partitionBy("n_regionkey").save(loc)
+
+    val snap = GwTable.forPath(spark, loc).snapshot()
+    assert(snap.metadata.exists(_.partitionColumns == Seq("n_regionkey")))
+    assert(snap.files.nonEmpty)
+    assert(snap.files.forall(_.partitionValues.contains("n_regionkey")))
+
+    val back = spark.read.format("gwdelta").load(loc)
+    // the partition column is REAL data (not reconstructed): full fidelity
+    assert(back.columns.sorted.sameElements(nation.columns.sorted))
+    assert(back.count() == nation.count())
+    assert(back.filter(col("n_regionkey") === 2).count() ==
+      nation.filter(col("n_regionkey") === 2).count())
+
+    // partition predicate plans exactly that partition's files
+    val expected = snap.files.count(_.partitionValues.get("n_regionkey").contains("2"))
+    val planned = plannedFiles(back.filter(col("n_regionkey") === 2))
+    assert(planned == expected && planned < snap.files.size,
+      s"planned=$planned expected=$expected total=${snap.files.size}")
+  }
+
+  test("append without partitionBy re-derives the logged layout; mismatch rejected") {
+    val loc = Files.createTempDirectory("part-spec2").resolve("nation").toString
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    nation.write.format("gwdelta").partitionBy("n_regionkey").save(loc)
+    // plain append: no partitionBy, layout comes from the log
+    nation.write.format("gwdelta").mode("append").save(loc)
+    val snap = GwTable.forPath(spark, loc).snapshot()
+    assert(snap.files.forall(_.partitionValues.contains("n_regionkey")),
+      "appended files must stay partition-addressed")
+    // a DIFFERENT explicit layout is refused
+    val err = intercept[Exception] {
+      nation.write.format("gwdelta").mode("append").partitionBy("n_name").save(loc)
+    }
+    assert(err.getMessage.contains("partitionColumns"))
+  }
+
+  test("string partition values round-trip escaping; DML rewrite stays conservative") {
+    val loc = Files.createTempDirectory("part-spec3").resolve("t").toString
+    import spark.implicits._
+    val df = Seq((1L, "a/b c"), (2L, "plain"), (3L, "a/b c")).toDF("id", "grp")
+    df.write.format("gwdelta").partitionBy("grp").save(loc)
+    val snap = GwTable.forPath(spark, loc).snapshot()
+    val vals = snap.files.flatMap(_.partitionValues.get("grp")).distinct.sorted
+    assert(vals == Seq("a/b c", "plain"), s"escaped round-trip broke: $vals")
+    val back = spark.read.format("gwdelta").load(loc)
+    assert(back.filter(col("grp") === "a/b c").count() == 2)
+    assert(plannedFiles(back.filter(col("grp") === "plain")) <
+      snap.files.size)
+    // copy-on-write DELETE rewrites lose partitionValues -> files are KEPT
+    // by partition pruning (conservative), and results stay correct because
+    // the column itself is in the data
+    val t = GwTable.forPath(spark, loc)
+    t.delete(col("id") === 1L)
+    val after = spark.read.format("gwdelta").load(loc)
+    assert(after.count() == 2)
+    assert(after.filter(col("grp") === "a/b c").count() == 1)
+  }
+}
