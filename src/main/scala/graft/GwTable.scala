@@ -59,10 +59,14 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         s"changesSince($sinceVersion) at $tablePath crosses a schema " +
           "restatement: the table was replaced, so no increment exists — " +
           "truncate the sink and reload from toDF")
-    // last add per path wins (a path re-asserted twice is one file)
+    // last add per path wins (a path re-asserted twice is one file). An add
+    // carrying a deletion vector is a merge-on-read DELETE re-assertion —
+    // no NEW data, so an appending consumer gets nothing from it (the same
+    // contract as a copy-on-write delete's tombstones; deletes don't flow
+    // through changesSince).
     val byPath = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     actions.foreach {
-      case a: AddFile if a.dataChange => byPath(a.path) = a
+      case a: AddFile if a.dataChange && a.dv.isEmpty => byPath(a.path) = a
       case _ => ()
     }
     val added: Seq[AddFile] = byPath.values.toSeq
@@ -108,7 +112,9 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val outDir = new Path(tablePath, s"_compacted/${java.util.UUID.randomUUID()}")
     val nOut = math.max(1, math.ceil(
       small.map(_.size).sum.toDouble / targetFileBytes).toInt)
-    val base = spark.read.schema(snap.schema).parquet(small.map(_.path): _*)
+    // live rows only: compaction is what FOLDS deletion vectors away — the
+    // rewritten files carry no DV and the originals tombstone out
+    val base = Dv.readLive(spark, snap.schema, small)
     val arranged =
       if (clusterBy.isEmpty) base.repartition(nOut)
       else base
@@ -143,25 +149,30 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
    */
   def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val ownedDirs = Seq("_compacted", "_stream", "_dml").map(new Path(tablePath, _))
+    val ownedDirs = Seq("_compacted", "_stream", "_dml", "_dv").map(new Path(tablePath, _))
     val fs = ownedDirs.head.getFileSystem(conf)
     val presentDirs = ownedDirs.filter(fs.exists)
     if (presentDirs.isEmpty) return 0
     val live = gwLog.snapshot(None).files.map(_.path).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
-    val markers = Seq("/_compacted/", "/_stream/", "/_dml/")
+    val markers = Seq("/_compacted/", "/_stream/", "/_dml/", "/_dv/")
     def owned(p: String): Boolean = markers.exists(p.contains)
     // walk the log once: latest removal tombstone per engine-owned path (a
     // later re-add cancels it) + every owned path any commit ever referenced
+    // — including DV sidecars, which carry no actions of their own but must
+    // outlive every version whose adds point at them (time travel)
     val removedAt = scala.collection.mutable.Map.empty[String, Long]
     val referenced = scala.collection.mutable.Set.empty[String]
     gwLog.listVersions().foreach { v =>
       gwLog.readVersion(v).foreach {
         case r: graft.log.RemoveFile if owned(r.path) =>
           removedAt(r.path) = r.deletionTimestamp
-        case a: AddFile if owned(a.path) =>
-          referenced += a.path
-          removedAt -= a.path
+        case a: AddFile =>
+          if (owned(a.path)) {
+            referenced += a.path
+            removedAt -= a.path
+          }
+          a.dv.foreach(d => referenced += d.path)
         case _ => ()
       }
     }
@@ -215,7 +226,17 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
    * Removed rows stay time-travelable until `vacuum`. Returns the
    * committed version, or -1 when no row matched (no commit written).
    */
-  def delete(cond: Column): Long = {
+  def delete(cond: Column): Long = delete(cond, mergeOnRead = false)
+
+  /** [[delete]], selecting the rewrite strategy. `mergeOnRead = true` never
+    * rewrites data: partially-matching files get a DELETION VECTOR — a
+    * sidecar of deleted row positions re-asserted on the same AddFile — and
+    * scans reconcile at read time. The right tool when the predicate is
+    * broad relative to file layout (a copy-on-write DELETE at 100 TB can
+    * rewrite most of the table in one commit); copy-on-write stays the
+    * default, and `compact()` folds accumulated DVs back into clean files.
+    * Fully-matching files tombstone metadata-only under BOTH strategies. */
+  def delete(cond: Column, mergeOnRead: Boolean): Long = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val snap = gwLog.snapshot(None)
     if (snap.files.isEmpty) return -1L
@@ -223,12 +244,63 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val (fullFiles, partialFiles) = classifyByPredicate(snap, cond)
     if (fullFiles.isEmpty && partialFiles.isEmpty) return -1L
     val hit = coalesce(cond, lit(false))
-    val newAdds: Seq[AddFile] =
-      if (partialFiles.isEmpty) Nil
-      else rewriteFiles(snap, partialFiles,
-        df => df.filter(not(hit)).coalesce(math.max(1, partialFiles.size)))
-    commitDml("DELETE", fullFiles ++ partialFiles, newAdds)
+    if (!mergeOnRead) {
+      val newAdds: Seq[AddFile] =
+        if (partialFiles.isEmpty) Nil
+        else rewriteFiles(snap, partialFiles,
+          df => df.filter(not(hit)).coalesce(math.max(1, partialFiles.size)))
+      commitDml("DELETE", fullFiles ++ partialFiles, newAdds)
+    } else {
+      // positions of every matching row in the partial files (including
+      // rows an earlier DV already deleted — the union below dedups)
+      val dvAdds: Seq[AddFile] =
+        if (partialFiles.isEmpty) Nil
+        else {
+          val mapping = Dv.pathMapping(spark, partialFiles)
+          val newRows = spark.read.schema(snap.schema)
+            .parquet(partialFiles.map(_.path): _*)
+            .filter(hit)
+            .select(col("_metadata.file_path").as("enc_path"),
+              col("_metadata.row_index").as("pos"))
+            .join(org.apache.spark.sql.functions.broadcast(mapping), Seq("enc_path"))
+            .select("dv_path", "pos")
+          val allRows = newRows
+            .unionByName(Dv.positionsDF(spark, partialFiles))
+            .distinct()
+          val sidecar = Dv.writeSidecar(spark, tablePath, allRows)
+          // per-file cardinality: one row per touched file (metadata scale)
+          val cards = spark.read.parquet(sidecar)
+            .groupBy("dv_path").agg(count(lit(1)).as("n")).collect()
+            .map(r => GwTable.uriKey(r.getString(0)) -> r.getLong(1)).toMap
+          partialFiles.map { f =>
+            f.copy(dv = Some(graft.log.DvDescriptor(
+              sidecar, cards.getOrElse(GwTable.uriKey(f.path), 0L))))
+          }
+        }
+      // a DV now covering EVERY physical row upgrades to a plain remove
+      val (emptied, kept) = dvAdds.partition(f =>
+        Dv.numRecords(f).exists(n => f.dv.exists(_.cardinality >= n)))
+      commitMor(fullFiles ++ emptied, kept)
+    }
   }
+
+  /** One atomic merge-on-read DELETE commit: tombstone `removes`, re-assert
+    * `dvAdds` (same paths, new deletion vectors). Both sets must still be
+    * live — a concurrent replacement would resurrect or double-remove. */
+  private def commitMor(removes: Seq[AddFile], dvAdds: Seq[AddFile]): Long =
+    graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+      val now = System.currentTimeMillis()
+      val live = gwLog.snapshot(None).files.map(_.path).toSet
+      val gone = (removes ++ dvAdds).filterNot(f => live.contains(f.path))
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"concurrent commit replaced ${gone.size} file(s) mid-DELETE at " +
+          s"$tablePath (e.g. ${gone.head.path}); re-run the operation")
+      val rms: Seq[Action] = removes.map(f => RemoveFile(f.path, f.size, now))
+      val info = CommitInfo(now, "DELETE", "MergeOnRead",
+        numFiles = dvAdds.size, numOutputBytes = 0L,
+        isBlindAppend = false, txnId = java.util.UUID.randomUUID().toString)
+      rms ++ dvAdds :+ info
+    }
 
   /**
    * Row-level UPDATE (copy-on-write): for every row matching `cond`, each
@@ -314,7 +386,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val tgtAll =
       if (snap.files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
-      else spark.read.schema(snap.schema).parquet(snap.filePaths: _*)
+      else Dv.readLive(spark, snap.schema, snap.files)
     // match pass: per-file max source-match count, over matched rows only
     // (partial-agg'd) — one row per touched file reaches the driver
     val perFile =
@@ -409,10 +481,12 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
   }
 
   /** Rewrite `files` through `transform` into a fresh `_dml/` dir and
-    * harvest the outputs (footer stats included) as AddFiles. */
+    * harvest the outputs (footer stats included) as AddFiles. Reads LIVE
+    * rows only — a file carrying a deletion vector must not resurrect its
+    * deleted rows in the rewrite. */
   private def rewriteFiles(snap: Snapshot, files: Seq[AddFile],
       transform: DataFrame => DataFrame): Seq[AddFile] =
-    writeDml(transform(spark.read.schema(snap.schema).parquet(files.map(_.path): _*)))
+    writeDml(transform(Dv.readLive(spark, snap.schema, files)))
 
   /** Write a DML output batch under `<table>/_dml/` and harvest it. */
   private def writeDml(df: DataFrame): Seq[AddFile] = {
@@ -510,17 +584,53 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
           s"rowChanges($sinceVersion) at $tablePath crosses a schema change " +
             s"at version $v: row identity is undefined across schemas — " +
             "restart consumption from a full snapshot")
-      val adds = actions.collect { case a: AddFile if a.dataChange => a.path }
+      // a DV re-assertion is a merge-on-read DELETE: the change is exactly
+      // the positions in the NEW deletion vector that the file's PREVIOUS
+      // vector (if any) did not already cover — read those rows and emit
+      // them as deletes; nothing was inserted
+      val (dvAdds, plainAdds) = actions
+        .collect { case a: AddFile if a.dataChange => a }
+        .partition(_.dv.isDefined)
+      val adds = plainAdds.map(_.path)
       val rms = actions.collect { case r: RemoveFile if r.dataChange => r.path }
-      if (adds.isEmpty && rms.isEmpty) Nil
-      else {
-        val added = read(adds)
-        val removed = read(rms)
-        Seq(
-          added.exceptAll(removed).withColumn("_change_type", lit("insert")),
-          removed.exceptAll(added).withColumn("_change_type", lit("delete")))
-          .map(_.withColumn("_commit_version", lit(v)))
+      val dvParts: Seq[DataFrame] = if (dvAdds.isEmpty) Nil else {
+        val prev = gwLog.snapshot(Some(v - 1)).files
+          .map(f => f.path -> f).toMap
+        val newPos = Dv.positionsDF(spark, dvAdds)
+        val oldPos = Dv.positionsDF(spark,
+          dvAdds.flatMap(a => prev.get(a.path)).filter(_.dv.isDefined))
+        val freshly = newPos.exceptAll(oldPos) // (dv_path, pos)
+        val mapping = Dv.pathMapping(spark, dvAdds)
+        val del = freshly
+          .join(org.apache.spark.sql.functions.broadcast(mapping), Seq("dv_path"))
+          .select(col("enc_path"), col("pos"))
+        val raw = spark.read.schema(schema).parquet(dvAdds.map(_.path): _*)
+        Seq(raw.join(del,
+          raw.col("_metadata.file_path") === del.col("enc_path") &&
+            raw.col("_metadata.row_index") === del.col("pos"),
+          "left_semi")
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(v)))
       }
+      val filedParts =
+        if (adds.isEmpty && rms.isEmpty) Nil
+        else {
+          val prev = gwLog.snapshot(Some(v - 1)).files.map(f => f.path -> f).toMap
+          val added = read(adds)
+          // a removed file that carried a DV contributes only its rows that
+          // were LIVE at v-1 — its already-deleted rows were reported at
+          // their own deleting commit
+          val removedFiles = rms.map(p =>
+            prev.getOrElse(p, AddFile(p, 0L, 0L)))
+          val removed =
+            if (removedFiles.isEmpty) read(Nil)
+            else Dv.readLive(spark, schema, removedFiles)
+          Seq(
+            added.exceptAll(removed).withColumn("_change_type", lit("insert")),
+            removed.exceptAll(added).withColumn("_change_type", lit("delete")))
+            .map(_.withColumn("_commit_version", lit(v)))
+        }
+      filedParts ++ dvParts
     }
     if (parts.isEmpty)
       read(Nil).withColumn("_change_type", lit(""))
@@ -594,7 +704,7 @@ object GwTable {
   /** Scheme-insensitive identity for a file path: the scan's
     * `_metadata.file_path` comes back as a full URI (`file:///t/p.parquet`)
     * while log paths may be plain (`/t/p.parquet`) — both must key equal. */
-  private[graft] def uriKey(p: String): String = {
+  def uriKey(p: String): String = {
     val u = new Path(p).toUri
     Option(u.getAuthority).getOrElse("") + u.getPath
   }
@@ -604,6 +714,6 @@ object GwTable {
     * through java.net.URI converges it onto [[uriKey]]'s raw form — without
     * this, files inside partition directories whose values needed escaping
     * (e.g. `grp=a%2Fb c`) fail the snapshot lookup. */
-  private[graft] def uriKeyScanned(p: String): String =
+  def uriKeyScanned(p: String): String =
     scala.util.Try(uriKey(new Path(new java.net.URI(p)).toString)).getOrElse(uriKey(p))
 }

@@ -25,13 +25,22 @@ final case class Metadata(
     configuration: Map[String, String] = Map.empty,
     createdTime: Long = 0L) extends Action
 
+/** Merge-on-read deletion vector attached to an [[AddFile]]: `path` is a
+  * sidecar parquet of (dv_path, pos) rows — the row POSITIONS of this data
+  * file that are deleted — and `cardinality` their count. A DV'd file's
+  * bytes never move on DELETE; scans reconcile positions at read time and
+  * compaction folds the DV away. (Delta's deletionVector field models the
+  * same thing with a roaring-bitmap sidecar.) */
+final case class DvDescriptor(path: String, cardinality: Long)
+
 final case class AddFile(
     path: String,
     size: Long,
     modificationTime: Long,
     dataChange: Boolean = true,
     partitionValues: Map[String, String] = Map.empty,
-    stats: Option[String] = None) extends Action
+    stats: Option[String] = None,
+    dv: Option[DvDescriptor] = None) extends Action
 
 final case class RemoveFile(
     path: String,
@@ -76,7 +85,7 @@ object Actions {
         val pc = n.putArray("partitionColumns")
         partCols.foreach(pc.add)
         n.put("createdTime", createdTime)
-      case AddFile(path, size, mtime, dataChange, partVals, stats) =>
+      case AddFile(path, size, mtime, dataChange, partVals, stats, dv) =>
         val n = root.putObject("add")
         n.put("path", path)
         n.put("size", size)
@@ -84,6 +93,13 @@ object Actions {
         n.put("modificationTime", mtime)
         n.put("dataChange", dataChange)
         stats.foreach(s => n.put("stats", s))
+        // only written when present, so pre-DV logs stay byte-identical
+        dv.foreach { d =>
+          val dn = n.putObject("deletionVector")
+          dn.put("storageType", "p") // engine convention: sidecar parquet path
+          dn.put("pathOrInlineDv", d.path)
+          dn.put("cardinality", d.cardinality)
+        }
       case RemoveFile(path, size, dts, dataChange, partVals) =>
         val n = root.putObject("remove")
         n.put("path", path)
@@ -142,7 +158,10 @@ object Actions {
         modificationTime = n.get("modificationTime").asLong,
         dataChange = Option(n.get("dataChange")).forall(_.asBoolean),
         partitionValues = strMap(n.get("partitionValues")),
-        stats = Option(n.get("stats")).map(_.asText)))
+        stats = Option(n.get("stats")).map(_.asText),
+        dv = Option(n.get("deletionVector")).map(d => DvDescriptor(
+          d.path("pathOrInlineDv").asText,
+          d.path("cardinality").asLong))))
     } else if (root.has("remove")) {
       val n = root.get("remove")
       Some(RemoveFile(

@@ -61,6 +61,11 @@ object Checkpoint {
       |    optional int64 modificationTime;
       |    optional boolean dataChange;
       |    optional binary stats (UTF8);
+      |    optional group deletionVector {
+      |      optional binary storageType (UTF8);
+      |      optional binary pathOrInlineDv (UTF8);
+      |      optional int64 cardinality;
+      |    }
       |  }
       |}""".stripMargin
 
@@ -107,7 +112,7 @@ object Checkpoint {
           partCols.foreach(c => pc.addGroup("list").append("element", c))
           putMap(g, "configuration", configuration)
           g.append("createdTime", createdTime)
-        case AddFile(path, size, mtime, dataChange, partVals, stats) =>
+        case AddFile(path, size, mtime, dataChange, partVals, stats, dv) =>
           val g = row.addGroup("add")
           g.append("path", path)
           putMap(g, "partitionValues", partVals)
@@ -115,6 +120,12 @@ object Checkpoint {
           g.append("modificationTime", mtime)
           g.append("dataChange", dataChange)
           stats.foreach(s => g.append("stats", s))
+          dv.foreach { d =>
+            val dg = g.addGroup("deletionVector")
+            dg.append("storageType", "p")
+            dg.append("pathOrInlineDv", d.path)
+            dg.append("cardinality", d.cardinality)
+          }
         case other =>
           throw new IllegalArgumentException(
             s"checkpoints store snapshot state, not $other")
@@ -160,7 +171,14 @@ object Checkpoint {
             partitionValues = readMap(g, "partitionValues"),
             stats =
               if (g.getFieldRepetitionCount("stats") > 0) Some(g.getString("stats", 0))
-              else None)
+              else None,
+            dv =
+              if (g.getFieldRepetitionCount("deletionVector") > 0) {
+                val dg = g.getGroup("deletionVector", 0)
+                Some(DvDescriptor(
+                  dg.getString("pathOrInlineDv", 0),
+                  dg.getLong("cardinality", 0)))
+              } else None)
         }
         row = reader.read()
       }

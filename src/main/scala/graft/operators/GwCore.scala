@@ -665,6 +665,46 @@ object GwCore {
       "WHERE n_regionkey = 2")
   }
 
+  // ---------------------------------------------------------------- gw25
+  /** Merge-on-read DELETE end to end (deletion vectors): a broad predicate
+    * (every third customer — matches in every file) deletes WITHOUT moving
+    * a byte: the commit re-asserts each touched file with a deletion-vector
+    * sidecar of row positions; the catalog read reconciles positions at
+    * scan time (GwMorScan), time travel still serves the pre-delete rows,
+    * and compaction folds the DVs back into clean files with identical
+    * content. The returned DataFrame is the PRE-compaction read, so the
+    * oracle compare exercises the DV-reconciling scan itself. */
+  def gw25DeletionVectors(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (name, loc) = rangedOrdersTable(spark, dir, "gw25")
+    val table = GwTable.forPath(spark, loc)
+    val before = table.snapshot()
+    val preCount = spark.table(name).count()
+    require(table.delete(col("o_custkey") % 3 === 0, mergeOnRead = true) > 0,
+      "expected a merge-on-read DELETE commit")
+    val snap = table.snapshot()
+    require(snap.files.map(_.path).toSet == before.files.map(_.path).toSet,
+      "merge-on-read must not rewrite or remove data files")
+    require(snap.files.exists(_.dv.isDefined), "expected deletion vectors")
+    require(spark.sql(s"SELECT * FROM $name VERSION AS OF ${before.version}")
+      .count() == preCount,
+      "pre-delete version must still serve every row (time travel)")
+    // the DV-reconciling catalog read — returned for the oracle compare
+    val morRead = spark.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, " +
+      "o_totalprice, date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s, " +
+      s"o_orderpriority FROM $name")
+    val morCount = morRead.count()
+    // compaction folds the DVs away: clean files, same content
+    require(table.compact(targetFileBytes = 1L << 30) > 0,
+      "expected a folding compaction commit")
+    val folded = table.snapshot()
+    require(folded.files.forall(_.dv.isEmpty),
+      "compaction must fold deletion vectors away")
+    require(spark.read.format("gwdelta").load(loc).count() == morCount,
+      "folded content must equal the DV-reconciled content")
+    morRead
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -690,6 +730,7 @@ object GwCore {
     "gw22_sql_ctas" -> gw22SqlCtas _,
     "gw23_stream_totable" -> gw23StreamToTable _,
     "gw24_partitioned_table" -> gw24PartitionedTable _,
+    "gw25_deletion_vectors" -> gw25DeletionVectors _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -801,5 +842,10 @@ object GwCore {
         |UNION ALL
         |SELECT n_nationkey + 100, n_name, n_regionkey FROM nation
         |WHERE n_regionkey = 2""".stripMargin,
+    "gw25_deletion_vectors" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        | o_orderpriority
+        |FROM orders WHERE o_custkey % 3 <> 0""".stripMargin,
   )
 }

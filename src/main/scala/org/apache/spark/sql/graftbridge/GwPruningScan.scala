@@ -203,10 +203,12 @@ class GwPruningScanBuilder(
 
   private var inner: ParquetScanBuilder = _
   private var required: Option[StructType] = None
+  // pruned candidate set (partition + stats pruning); starts at all live
+  private var candidates: Seq[graft.log.AddFile] = snapshot.files
 
-  /** The file paths the scan was actually planned over (test observability). */
-  def plannedPaths: Seq[String] =
-    if (inner == null) snapshot.filePaths else inner.fileIndex.inputFiles.toSeq
+  /** The file paths the scan was actually planned over (test observability).
+    * Includes both clean and DV'd files. */
+  def plannedPaths: Seq[String] = candidates.map(_.path)
 
   private def makeInner(paths: Seq[String]): ParquetScanBuilder = {
     val b = ParquetTable(tableName, spark, options, paths, Some(snapshot.schema),
@@ -215,19 +217,30 @@ class GwPruningScanBuilder(
     b
   }
 
+  private def cleanFiles = candidates.filter(_.dv.isEmpty)
+  private def dvFiles = candidates.filter(_.dv.isDefined)
+
   private def ensureInner(): ParquetScanBuilder = {
-    if (inner == null) inner = makeInner(snapshot.filePaths)
+    // the filter-pushdown side of the scan covers the CLEAN files only; a
+    // DV'd file must stream every physical row for its position counter
+    // (see GwMorScan), so its scan is built filter-free at build() time
+    if (inner == null) inner = makeInner(cleanFiles.map(_.path))
     inner
   }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val constraints = GwStatsPruning.ranges(filters)
-    val paths =
-      if (constraints.isEmpty) snapshot.filePaths
-      // partition pruning (exact, metadata-only) runs before stats pruning
-      else snapshot.filesForConstraints(constraints).map(_.path)
-    inner = makeInner(paths)
-    inner.pushFilters(filters)
+    // partition pruning (exact, metadata-only) runs before stats pruning
+    if (constraints.nonEmpty) candidates = snapshot.filesForConstraints(constraints)
+    inner = makeInner(cleanFiles.map(_.path))
+    val residual = inner.pushFilters(filters)
+    // the parquet builder reports every data filter as a residual, which is
+    // what makes the filter-free DV side correct (Spark re-filters above
+    // the scan); a future builder that swallowed filters would silently
+    // unfilter DV'd files, so pin the contract here
+    require(dvFiles.isEmpty || residual == filters,
+      s"parquet scan builder consumed filters over a DV'd snapshot: $filters")
+    residual
   }
 
   override def pushedFilters: Array[Predicate] = ensureInner().pushedFilters
@@ -237,7 +250,16 @@ class GwPruningScanBuilder(
     if (inner != null) inner.pruneColumns(s)
   }
 
-  override def build(): Scan = ensureInner().build()
+  override def build(): Scan = {
+    val dvd = dvFiles
+    if (dvd.isEmpty) ensureInner().build()
+    else {
+      val cleanScan = if (cleanFiles.isEmpty) None else Some(ensureInner().build())
+      // filter-free, column-pruned scan over the DV'd files
+      val dvScan = makeInner(dvd.map(_.path)).build()
+      new GwMorScan(cleanScan, dvScan, graft.Dv.positionsByFile(spark, dvd))
+    }
+  }
 }
 
 /** Conservative filter -> per-column typed range extraction: only shapes

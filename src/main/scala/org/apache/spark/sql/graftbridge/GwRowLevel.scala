@@ -82,15 +82,15 @@ class GwGroupScanBuilder(
     snapshot: Snapshot)
   extends SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns {
 
-  private var paths: Seq[String] = snapshot.filePaths
+  private var candidates: Seq[graft.log.AddFile] = snapshot.files
   private var required: Option[StructType] = None
 
   /** The files this operation classified as groups (exact snapshot paths). */
-  def plannedPaths: Seq[String] = paths
+  def plannedPaths: Seq[String] = candidates.map(_.path)
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val constraints = GwStatsPruning.ranges(filters)
-    if (constraints.nonEmpty) paths = snapshot.filesForConstraints(constraints).map(_.path)
+    if (constraints.nonEmpty) candidates = snapshot.filesForConstraints(constraints)
     filters // residuals: group selection only, no data-level pushdown
   }
 
@@ -98,11 +98,22 @@ class GwGroupScanBuilder(
 
   override def pruneColumns(s: StructType): Unit = required = Some(s)
 
-  override def build(): Scan = {
-    val b = ParquetTable(tableName, spark, options, paths, Some(snapshot.schema),
-      classOf[ParquetFileFormat]).newScanBuilder(options)
+  private def makeScan(files: Seq[graft.log.AddFile]): Scan = {
+    val b = ParquetTable(tableName, spark, options, files.map(_.path),
+      Some(snapshot.schema), classOf[ParquetFileFormat]).newScanBuilder(options)
     required.foreach(b.pruneColumns)
     b.build()
+  }
+
+  override def build(): Scan = {
+    // a candidate file carrying a deletion vector must serve LIVE rows only
+    // — the replacement write would otherwise resurrect its deleted rows
+    val (dvd, clean) = candidates.partition(_.dv.isDefined)
+    if (dvd.isEmpty) makeScan(clean)
+    else new GwMorScan(
+      if (clean.isEmpty) None else Some(makeScan(clean)),
+      makeScan(dvd),
+      graft.Dv.positionsByFile(spark, dvd))
   }
 }
 

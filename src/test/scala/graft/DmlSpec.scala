@@ -332,4 +332,87 @@ class DmlSpec extends SparkSpec {
     // (documented retention contract), while the latest (empty) snapshot reads
     assert(rows(t.toDF) == 0)
   }
+
+  // ---------------------------------------------------------- deletion vectors
+
+  test("merge-on-read delete: no byte moves, V2 scan reconciles, DVs accumulate") {
+    val (_, t) = twoRangeTable()
+    val before = t.snapshot()
+    // partial in both files
+    assert(t.delete(col("n_nationkey") % 2 === 0, mergeOnRead = true) > 0)
+    val snap = t.snapshot()
+    assert(snap.files.map(_.path).toSet == before.files.map(_.path).toSet,
+      "MOR delete must re-assert the same paths")
+    assert(snap.files.forall(_.dv.isDefined))
+    // V2 connector read (GwMorScan) reconciles
+    assert(rows(t.toDF) == 12) // odd keys 1..23
+    assert(t.toDF.filter(col("n_nationkey") === 2).count() == 0)
+    assert(t.toDF.filter(col("n_nationkey") === 3).count() == 1)
+    // a second MOR delete UNIONS into the vectors
+    assert(t.delete(col("n_nationkey") === 3, mergeOnRead = true) > 0)
+    assert(rows(t.toDF) == 11)
+    val card = t.snapshot().files.flatMap(_.dv).map(_.cardinality).sum
+    assert(card == 14, s"expected 13 even + key 3 = 14 deleted positions, got $card")
+    // time travel serves every historical state
+    assert(t.versionAsOf(before.version).count() == 25)
+  }
+
+  test("MOR delete covering a file's every row upgrades to a plain remove") {
+    val (_, t) = twoRangeTable()
+    assert(t.delete(col("n_nationkey") < 12, mergeOnRead = true) > 0)
+    val snap = t.snapshot()
+    assert(snap.files.size == 1, "fully-covered file must tombstone, not carry a DV")
+    assert(snap.files.forall(_.dv.isEmpty))
+    assert(rows(t.toDF) == 13)
+  }
+
+  test("UPDATE and SQL UPDATE on DV'd files do not resurrect deleted rows") {
+    val (dir, t) = twoRangeTable()
+    assert(t.delete(col("n_nationkey") === 0, mergeOnRead = true) > 0)
+    // API update rewrites via readLive
+    assert(t.update(col("n_nationkey") < 5, Map("n_name" -> lit("X"))) > 0)
+    assert(rows(t.toDF) == 24, "deleted row must stay deleted through UPDATE")
+    assert(t.toDF.filter(col("n_name") === "X").count() == 4) // keys 1..4
+    // SQL UPDATE routes through the row-level group scan (GwMorScan there)
+    assert(t.delete(col("n_nationkey") === 1, mergeOnRead = true) > 0)
+    val ns = s"dv${System.nanoTime()}"
+    operators.GwCore.ensureGwCatalog(spark)
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta LOCATION '$dir'")
+    spark.sql(s"UPDATE gw.$ns.nation SET n_name = 'Y' WHERE n_nationkey < 5")
+    assert(spark.table(s"gw.$ns.nation").count() == 23)
+    assert(spark.table(s"gw.$ns.nation").filter(col("n_name") === "Y").count() == 3)
+  }
+
+  test("rowChanges surfaces exactly the MOR-deleted rows as deletes") {
+    val (_, t) = twoRangeTable()
+    val v0 = t.snapshot().version
+    assert(t.delete(col("n_nationkey").isin(2, 13), mergeOnRead = true) > 0)
+    val changes = t.rowChanges(v0).collect()
+    assert(changes.length == 2)
+    assert(changes.forall(_.getString(changes.head.length - 2) == "delete"))
+    assert(changes.map(_.getInt(0)).sorted.toSeq == Seq(2, 13))
+    // a second MOR delete reports only the NEWLY deleted row
+    val v1 = t.snapshot().version
+    assert(t.delete(col("n_nationkey").isin(2, 5), mergeOnRead = true) > 0)
+    val second = t.rowChanges(v1).collect()
+    assert(second.map(_.getInt(0)).toSeq == Seq(5),
+      s"already-deleted key 2 must not re-report: ${second.mkString(",")}")
+  }
+
+  test("DV actions round-trip the JSON log and the parquet checkpoint") {
+    val add = graft.log.AddFile("/t/p.parquet", 10L, 1L,
+      stats = Some("""{"numRecords":5}"""),
+      dv = Some(graft.log.DvDescriptor("/t/_dv/x.parquet", 3L)))
+    val json = graft.log.Actions.toJson(add)
+    assert(json.contains("\"deletionVector\""))
+    assert(graft.log.Actions.fromJson(json).contains(add))
+    // a DV-less add keeps the byte-identical legacy shape
+    assert(!graft.log.Actions.toJson(add.copy(dv = None)).contains("deletionVector"))
+    val tmp = Files.createTempDirectory("dv-ckpt")
+    val target = new org.apache.hadoop.fs.Path(s"$tmp/ckpt.parquet")
+    val conf = spark.sparkContext.hadoopConfiguration
+    graft.log.Checkpoint.write(target, conf, Seq(add))
+    assert(graft.log.Checkpoint.read(target, conf) == Seq(add))
+  }
 }
