@@ -7,23 +7,29 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /**
- * SQL surface for the engine's native expressions:
+ * SQL surface for the engine's native expressions and maintenance
+ * statements:
  *
  *  - `vec_dot(a, b)` — codegen'd sequential-fold dot product (VecDot);
- *  - `simhash_agg(termHash, weight)` — 64-bit SimHash aggregate.
+ *  - `simhash_agg(termHash, weight)` — 64-bit SimHash aggregate;
+ *  - `OPTIMIZE` / `VACUUM` / `DESCRIBE HISTORY` over gwdelta tables
+ *    ([[org.apache.spark.sql.graftbridge.GwMaintenance]]).
  *
  * Two registration paths:
  *
  *  - new sessions: `.config("spark.sql.extensions", "graft.GraftExtensions")`
  *    (the standard SparkSessionExtensions hook);
- *  - existing sessions: `GraftExtensions.register(spark)` (same builders,
- *    injected through the session's function registry).
+ *  - existing sessions: `GraftExtensions.register(spark)` (functions only —
+ *    a live session's parser cannot be swapped).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectParser((_, delegate) =>
+      new org.apache.spark.sql.graftbridge.GwSqlParser(delegate))
+  }
 }
 
 object GraftExtensions {

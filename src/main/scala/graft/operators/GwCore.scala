@@ -705,6 +705,43 @@ object GwCore {
     morRead
   }
 
+  // ---------------------------------------------------------------- gw26
+  /** SQL maintenance surface end to end (GwSqlParser via
+    * spark.sql.extensions): `DESCRIBE HISTORY` lists every commit,
+    * `OPTIMIZE ... ZORDER BY` compacts the two insert files into one
+    * clustered rewrite, the post-OPTIMIZE history gains the OPTIMIZE
+    * commit, and `VACUUM ... RETAIN 0 HOURS` reclaims the superseded
+    * originals — all through spark.sql, no API calls. */
+  def gw26SqlMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val tmp = Files.createTempDirectory("gw26")
+    val loc = tmp.resolve("db/region").toString
+    spark.read.parquet(s"$dir/region.parquet").createOrReplaceTempView("gw26_region_src")
+    spark.sql(s"CREATE TABLE gw.$ns.region (r_regionkey INT, r_name STRING) " +
+      s"USING gwdelta LOCATION '$loc'")
+    spark.sql(s"INSERT INTO gw.$ns.region SELECT * FROM gw26_region_src")
+    spark.sql(s"INSERT INTO gw.$ns.region SELECT * FROM gw26_region_src")
+    val history0 = spark.sql(s"DESCRIBE HISTORY gw.$ns.region").collect()
+    require(history0.length == 2, s"expected 2 commits, got ${history0.length}")
+    require(history0.map(_.getString(2)).count(_ == "WRITE") >= 1,
+      "history must carry the insert commits")
+    val table = GwTable.forPath(spark, loc)
+    require(table.snapshot().files.size == 2, "fixture wants two insert files")
+    val opt = spark.sql(s"OPTIMIZE gw.$ns.region ZORDER BY (r_regionkey)").collect()
+    require(opt.length == 1 && opt.head.getLong(1) > 0, "OPTIMIZE must commit")
+    require(table.snapshot().files.forall(_.path.contains("/_compacted/")),
+      "OPTIMIZE must swap in the compacted rewrite")
+    val history1 = spark.sql(s"DESCRIBE HISTORY gw.$ns.region").collect()
+    require(history1.exists(_.getString(2) == "OPTIMIZE"),
+      "history must gain the OPTIMIZE commit")
+    val vac = spark.sql(s"VACUUM gw.$ns.region RETAIN 0 HOURS").collect()
+    require(vac.length == 1 && vac.head.getInt(1) >= 2,
+      s"VACUUM must reclaim the superseded insert files, got ${vac.head.getInt(1)}")
+    spark.sql(s"SELECT r_regionkey, r_name FROM gw.$ns.region")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -731,6 +768,7 @@ object GwCore {
     "gw23_stream_totable" -> gw23StreamToTable _,
     "gw24_partitioned_table" -> gw24PartitionedTable _,
     "gw25_deletion_vectors" -> gw25DeletionVectors _,
+    "gw26_sql_maintenance" -> gw26SqlMaintenance _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -847,5 +885,8 @@ object GwCore {
         | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
         | o_orderpriority
         |FROM orders WHERE o_custkey % 3 <> 0""".stripMargin,
+    "gw26_sql_maintenance" ->
+      """SELECT r_regionkey, r_name FROM region
+        |UNION ALL SELECT r_regionkey, r_name FROM region""".stripMargin,
   )
 }

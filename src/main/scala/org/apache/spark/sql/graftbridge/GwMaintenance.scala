@@ -1,0 +1,151 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParameterContext}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructType}
+
+/**
+ * SQL maintenance surface over [[graft.GwTable]]'s API maintenance ops —
+ * the statements a Delta user types, parsed by a thin delegating parser
+ * (everything else falls through to Spark's own):
+ *
+ * {{{
+ *   OPTIMIZE <table> [ZORDER BY (col [, ...])]
+ *   VACUUM <table> [RETAIN <n> HOURS]
+ *   DESCRIBE HISTORY <table>
+ * }}}
+ *
+ * `<table>` is a catalog identifier (`gw.ns.t`) or a quoted path
+ * (`'/path/to/table'`). Activated by
+ * `.config("spark.sql.extensions", "graft.GraftExtensions")` at session
+ * build (parsers cannot be injected into a live session).
+ */
+object GwMaintenance {
+
+  private val TableRef = """(`[^`]+`|'[^']+'|"[^"]+"|[\w.]+)"""
+  private val Optimize =
+    ("""(?is)^\s*OPTIMIZE\s+""" + TableRef +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
+  private val Vacuum =
+    ("""(?is)^\s*VACUUM\s+""" + TableRef +
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*$""").r
+  private val History =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + TableRef + """\s*;?\s*$""").r
+
+  /** Maintenance statement -> command plan; None = not ours. */
+  def parse(sql: String): Option[LogicalPlan] = sql match {
+    case Optimize(ref, zorder) =>
+      val cols = Option(zorder).toSeq
+        .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty)
+      Some(GwOptimizeCommand(ref, cols))
+    case Vacuum(ref, hours) =>
+      Some(GwVacuumCommand(ref, Option(hours).map(_.toLong)))
+    case History(ref) => Some(GwDescribeHistoryCommand(ref))
+    case _ => None
+  }
+
+  /** Resolve a statement's table reference to the gwdelta table PATH:
+    * quoted forms are paths; identifier forms resolve through the session's
+    * V2 catalogs to the loaded table's location. */
+  def resolvePath(spark: SparkSession, ref: String): String = {
+    def unquote(q: Char): Option[String] =
+      if (ref.length >= 2 && ref.head == q && ref.last == q)
+        Some(ref.substring(1, ref.length - 1))
+      else None
+    unquote('\'').orElse(unquote('"')).getOrElse {
+      val parts =
+        if (ref.head == '`') Seq(ref.stripPrefix("`").stripSuffix("`"))
+        else ref.split("\\.").toSeq
+      val mgr = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.catalogManager
+      val (catalog, ident) =
+        if (parts.length >= 2 && mgr.isCatalogRegistered(parts.head))
+          (mgr.catalog(parts.head), parts.tail)
+        else (mgr.currentCatalog, parts)
+      val table = catalog.asInstanceOf[TableCatalog]
+        .loadTable(Identifier.of(ident.init.toArray, ident.last))
+      table match {
+        case t: GwDeltaTable => t.tablePath
+        case other => throw new UnsupportedOperationException(
+          s"$ref is not a gwdelta table (got ${other.getClass.getSimpleName}); " +
+            "maintenance SQL operates on gwdelta tables only")
+      }
+    }
+  }
+}
+
+case class GwOptimizeCommand(ref: String, zorderBy: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GwMaintenance.resolvePath(spark, ref)
+    val v = graft.GwTable.forPath(spark, path).compact(clusterBy = zorderBy)
+    Seq(Row(path, v))
+  }
+}
+
+case class GwVacuumCommand(ref: String, retainHours: Option[Long])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("deleted_files", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GwMaintenance.resolvePath(spark, ref)
+    val table = graft.GwTable.forPath(spark, path)
+    val deleted = retainHours match {
+      case Some(h) => table.vacuum(retentionMs = h * 3600L * 1000L)
+      case None => table.vacuum()
+    }
+    Seq(Row(path, deleted))
+  }
+}
+
+case class GwDescribeHistoryCommand(ref: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("mode", StringType, nullable = false)(),
+    AttributeReference("numFiles", LongType, nullable = false)(),
+    AttributeReference("numOutputBytes", LongType, nullable = false)(),
+    AttributeReference("isBlindAppend", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GwMaintenance.resolvePath(spark, ref)
+    graft.GwTable.forPath(spark, path).history.collect().toSeq
+  }
+}
+
+/** Delegating parser: the three maintenance statements parse here,
+  * everything else falls through untouched. */
+class GwSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GwMaintenance.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: ParameterContext): LogicalPlan =
+    GwMaintenance.parse(sqlText)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}

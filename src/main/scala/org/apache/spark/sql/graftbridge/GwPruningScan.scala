@@ -39,6 +39,8 @@ class GwDeltaTable(
 
   override def name(): String = tableName
   override def schema(): StructType = snapshot.schema
+  /** Filesystem location of the table (maintenance SQL resolution). */
+  def tablePath: String = options.get("path")
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ)
     if (writable) {

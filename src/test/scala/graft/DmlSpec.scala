@@ -400,6 +400,21 @@ class DmlSpec extends SparkSpec {
       s"already-deleted key 2 must not re-report: ${second.mkString(",")}")
   }
 
+  test("maintenance SQL: OPTIMIZE / VACUUM / DESCRIBE HISTORY on a quoted path") {
+    val (dir, t) = twoRangeTable()
+    val hist = spark.sql(s"DESCRIBE HISTORY '$dir'").collect()
+    assert(hist.length == 2, s"expected 2 commits, got ${hist.length}")
+    val opt = spark.sql(s"OPTIMIZE '$dir'").collect()
+    assert(opt.head.getLong(1) > 0)
+    assert(t.snapshot().files.size == 1, "OPTIMIZE must consolidate the two files")
+    assert(spark.sql(s"DESCRIBE HISTORY '$dir'")
+      .collect().exists(_.getString(2) == "OPTIMIZE"))
+    val vac = spark.sql(s"VACUUM '$dir' RETAIN 0 HOURS").collect()
+    assert(vac.head.getInt(1) >= 2,
+      s"expected the superseded insert files reclaimed, got ${vac.head.getInt(1)}")
+    assert(rows(t.toDF) == 25)
+  }
+
   test("DV actions round-trip the JSON log and the parquet checkpoint") {
     val add = graft.log.AddFile("/t/p.parquet", 10L, 1L,
       stats = Some("""{"numRecords":5}"""),
