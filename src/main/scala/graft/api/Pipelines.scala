@@ -698,24 +698,42 @@ object Pipelines {
     val intDot = aggregate(
       zip_with(col("q_q"), col("n_q"), (x, y) => (x * y).cast("long")),
       lit(0L), (acc, v) => acc + v)
-    val wPre = Window.partitionBy("q_id").orderBy(col("idot").desc, col("n_id"))
+    // integer-dot prefilter via the bounded heap: k*partitions rows per
+    // query reach the exchange (int8 dots are exact in double up to 2^53 —
+    // dim 127^2 ~ 16k per element, far inside)
     val shortlist = broadcast(qCodes).join(nCodes, col("q_id") =!= col("n_id"))
-      .withColumn("idot", intDot)
-      .withColumn("prernk", row_number().over(wPre))
-      .filter(col("prernk") <= candidates)
-      .select("q_id", "n_id")
+      .select(col("q_id"), intDot.cast("double").as("idot"), col("n_id"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.topk(
+        col("idot"), col("n_id").cast("long"), candidates).as("top"))
+      .select(col("q_id"), explode(col("top.n_id")).as("n_id"))
     val c = corpus.select(id.as("n_id"), vec.as("n_emb"))
       .withColumn("n_nrm", l2norm(col("n_emb")))
     val q = queries.select(id.as("q_id"), vec.as("q_emb"))
       .withColumn("q_nrm", l2norm(col("q_emb")))
-    val wFin = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    shortlist.join(c, Seq("n_id")).join(broadcast(q), Seq("q_id"))
-      .withColumn("cos", dotProd(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rnk", row_number().over(wFin).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), col("rnk"),
-        round(col("cos") * 1000000).cast("long").as("cos_micro"))
+    topKByCosine(
+      shortlist.join(c, Seq("n_id")).join(broadcast(q), Seq("q_id")), k)
   }
+
+  /** Shared exact-rerank tail: score with the codegen'd VecDot, keep each
+    * query's k best via the bounded-heap aggregate ([[graft.functions
+    * .TopKAgg]]). The heap replaces `row_number() OVER (PARTITION BY q_id)`,
+    * which had to SHUFFLE the whole |queries| x |corpus| scored product to
+    * rank it — the aggregate's map-side partials cap the exchange at
+    * k * partitions rows per query, the shape that survives 100 TB. Output
+    * and ordering ((cos DESC, n_id ASC), ranks 1..k) are identical. */
+  private def topKByCosine(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .select(col("q_id"),
+        (dotProd(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("cos"),
+        col("n_id"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.topk(
+        col("cos"), col("n_id").cast("long"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.n_id").as("n_id"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        round(col("col.score") * 1000000).cast("long").as("cos_micro"))
 
   def cosineTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
       k: Int): DataFrame = {
@@ -723,13 +741,7 @@ object Pipelines {
       .withColumn("q_nrm", l2norm(col("q_emb")))
     val c = corpus.select(id.as("n_id"), vec.as("n_emb"))
       .withColumn("n_nrm", l2norm(col("n_emb")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    broadcast(q).join(c, col("q_id") =!= col("n_id"))
-      .withColumn("cos", dotProd(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), col("rnk"),
-        round(col("cos") * 1000000).cast("long").as("cos_micro"))
+    topKByCosine(broadcast(q).join(c, col("q_id") =!= col("n_id")), k)
   }
 
   /** Deterministic random hyperplanes (fixed seed, data-independent). */

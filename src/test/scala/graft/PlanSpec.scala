@@ -79,8 +79,12 @@ class PlanSpec extends SparkSpec {
     val p = plan(Similarity.s01TopKBruteForce(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n$p")
-    // corpus must not be exchanged before the join (only the tiny query set)
-    assert(p.contains("TakeOrderedAndProject") || p.contains("Window"), p)
+    // the bounded-heap aggregate must run a PARTIAL pass before the
+    // exchange (k rows per query per partition cross the wire, not the
+    // whole scored product) and the old sort-the-product window is gone
+    assert(p.contains("partial_topk_agg"),
+      s"no map-side partial top-k before the exchange:\n$p")
+    assert(!p.contains("Window"), s"product-sorting window crept back:\n$p")
   }
 
   test("q29 correlated scalar subquery decorrelates to an aggregate join") {
@@ -141,6 +145,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query codes not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"prefilter went cartesian:\n$p")
+    // both ranking stages ride the bounded-heap aggregate with map-side
+    // partials; no window over the query x corpus product anywhere
+    assert(p.contains("partial_topk_agg"),
+      s"no map-side partial top-k before the exchange:\n$p")
+    assert(!p.contains("Window"), s"product-sorting window crept back:\n$p")
   }
 
   test("d12 edit-distance pairs stay an equi join on the blocks, not a cartesian") {
