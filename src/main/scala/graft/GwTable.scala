@@ -251,55 +251,61 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
           df => df.filter(not(hit)).coalesce(math.max(1, partialFiles.size)))
       commitDml("DELETE", fullFiles ++ partialFiles, newAdds)
     } else {
-      // positions of every matching row in the partial files (including
-      // rows an earlier DV already deleted — the union below dedups)
-      val dvAdds: Seq[AddFile] =
-        if (partialFiles.isEmpty) Nil
-        else {
-          val mapping = Dv.pathMapping(spark, partialFiles)
-          val newRows = spark.read.schema(snap.schema)
-            .parquet(partialFiles.map(_.path): _*)
-            .filter(hit)
-            .select(col("_metadata.file_path").as("enc_path"),
-              col("_metadata.row_index").as("pos"))
-            .join(org.apache.spark.sql.functions.broadcast(mapping), Seq("enc_path"))
-            .select("dv_path", "pos")
-          val allRows = newRows
-            .unionByName(Dv.positionsDF(spark, partialFiles))
-            .distinct()
-          val sidecar = Dv.writeSidecar(spark, tablePath, allRows)
-          // per-file cardinality: one row per touched file (metadata scale)
-          val cards = spark.read.parquet(sidecar)
-            .groupBy("dv_path").agg(count(lit(1)).as("n")).collect()
-            .map(r => GwTable.uriKey(r.getString(0)) -> r.getLong(1)).toMap
-          partialFiles.map { f =>
-            f.copy(dv = Some(graft.log.DvDescriptor(
-              sidecar, cards.getOrElse(GwTable.uriKey(f.path), 0L))))
-          }
-        }
+      val dvAdds = buildDvAdds(snap, partialFiles, hit)
       // a DV now covering EVERY physical row upgrades to a plain remove
       val (emptied, kept) = dvAdds.partition(f =>
         Dv.numRecords(f).exists(n => f.dv.exists(_.cardinality >= n)))
-      commitMor(fullFiles ++ emptied, kept)
+      commitMor("DELETE", fullFiles ++ emptied, kept, Nil)
     }
   }
 
-  /** One atomic merge-on-read DELETE commit: tombstone `removes`, re-assert
-    * `dvAdds` (same paths, new deletion vectors). Both sets must still be
-    * live — a concurrent replacement would resurrect or double-remove. */
-  private def commitMor(removes: Seq[AddFile], dvAdds: Seq[AddFile]): Long =
+  /** Re-assert `files` with deletion vectors grown by the positions of
+    * every row matching `hit` (rows an earlier DV already deleted union
+    * in harmlessly). One sidecar per commit; cardinalities exact. */
+  private def buildDvAdds(snap: Snapshot, files: Seq[AddFile], hit: Column): Seq[AddFile] =
+    if (files.isEmpty) Nil
+    else {
+      val mapping = Dv.pathMapping(spark, files)
+      val newRows = spark.read.schema(snap.schema)
+        .parquet(files.map(_.path): _*)
+        .filter(hit)
+        .select(col("_metadata.file_path").as("enc_path"),
+          col("_metadata.row_index").as("pos"))
+        .join(org.apache.spark.sql.functions.broadcast(mapping), Seq("enc_path"))
+        .select("dv_path", "pos")
+      val allRows = newRows
+        .unionByName(Dv.positionsDF(spark, files))
+        .distinct()
+      val sidecar = Dv.writeSidecar(spark, tablePath, allRows)
+      // per-file cardinality: one row per touched file (metadata scale)
+      val cards = spark.read.parquet(sidecar)
+        .groupBy("dv_path").agg(count(lit(1)).as("n")).collect()
+        .map(r => GwTable.uriKey(r.getString(0)) -> r.getLong(1)).toMap
+      files.map { f =>
+        f.copy(dv = Some(graft.log.DvDescriptor(
+          sidecar, cards.getOrElse(GwTable.uriKey(f.path), 0L))))
+      }
+    }
+
+  /** One atomic merge-on-read commit: tombstone `removes`, re-assert
+    * `dvAdds` (same paths, new deletion vectors), add `newAdds` (UPDATE's
+    * updated-row files). Removed/re-asserted paths must still be live — a
+    * concurrent replacement would resurrect or double-remove. */
+  private def commitMor(operation: String, removes: Seq[AddFile],
+      dvAdds: Seq[AddFile], newAdds: Seq[AddFile]): Long =
     graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
       val now = System.currentTimeMillis()
       val live = gwLog.snapshot(None).files.map(_.path).toSet
       val gone = (removes ++ dvAdds).filterNot(f => live.contains(f.path))
       if (gone.nonEmpty) throw new IllegalStateException(
-        s"concurrent commit replaced ${gone.size} file(s) mid-DELETE at " +
+        s"concurrent commit replaced ${gone.size} file(s) mid-$operation at " +
           s"$tablePath (e.g. ${gone.head.path}); re-run the operation")
       val rms: Seq[Action] = removes.map(f => RemoveFile(f.path, f.size, now))
-      val info = CommitInfo(now, "DELETE", "MergeOnRead",
-        numFiles = dvAdds.size, numOutputBytes = 0L,
+      val info = CommitInfo(now, operation, "MergeOnRead",
+        numFiles = dvAdds.size + newAdds.size,
+        numOutputBytes = newAdds.map(_.size).sum,
         isBlindAppend = false, txnId = java.util.UUID.randomUUID().toString)
-      rms ++ dvAdds :+ info
+      rms ++ dvAdds ++ newAdds :+ info
     }
 
   /**
@@ -313,7 +319,17 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
    * reference any of the table's columns (the pre-update values, SQL UPDATE
    * semantics). Returns the committed version, or -1 when no row matched.
    */
-  def update(cond: Column, set: Map[String, Column]): Long = {
+  def update(cond: Column, set: Map[String, Column]): Long =
+    update(cond, set, mergeOnRead = false)
+
+  /** [[update]], selecting the rewrite strategy. `mergeOnRead = true` never
+    * rewrites the matched files: their matched positions join the deletion
+    * vector and the UPDATED copies of those rows land as a NEW file in the
+    * same commit — write cost tracks the MATCHED rows, not the files they
+    * sit in, which is what survives a broad-predicate UPDATE at 100 TB.
+    * Copy-on-write (the default) remains the long-term layout-friendly
+    * path; `compact()` folds either way. */
+  def update(cond: Column, set: Map[String, Column], mergeOnRead: Boolean): Long = {
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     val snap = gwLog.snapshot(None)
     if (snap.files.isEmpty) return -1L
@@ -328,18 +344,38 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val touched = fullFiles ++ partialFiles
     if (touched.isEmpty) return -1L
     val hit = coalesce(cond, lit(false))
-    // SQL UPDATE evaluates every assignment against the PRE-update row, so
-    // one select with per-column conditionals is exactly the semantics
-    val projected = fields.map { f =>
-      set.get(f.name) match {
-        case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-        case None => col(f.name)
+    if (!mergeOnRead) {
+      // SQL UPDATE evaluates every assignment against the PRE-update row, so
+      // one select with per-column conditionals is exactly the semantics
+      val projected = fields.map { f =>
+        set.get(f.name) match {
+          case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
       }
+      val newAdds = rewriteFiles(snap, touched,
+        df => df.select(projected.toIndexedSeq: _*)
+          .coalesce(math.max(1, touched.size)))
+      commitDml("UPDATE", touched, newAdds)
+    } else {
+      // updated copies of the matched LIVE rows (a row an earlier DV
+      // deleted must not resurrect through the update)
+      val projected = fields.map { f =>
+        set.get(f.name) match {
+          case Some(v) => v.cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }
+      val newAdds = writeDml(
+        Dv.readLive(spark, snap.schema, touched).filter(hit)
+          .select(projected.toIndexedSeq: _*).coalesce(1))
+      // pre-update versions of the matched rows leave via the deletion
+      // vector; a DV covering a whole file upgrades to a plain remove
+      val dvAdds = buildDvAdds(snap, touched, hit)
+      val (emptied, kept) = dvAdds.partition(f =>
+        Dv.numRecords(f).exists(n => f.dv.exists(_.cardinality >= n)))
+      commitMor("UPDATE", emptied, kept, newAdds)
     }
-    val newAdds = rewriteFiles(snap, touched,
-      df => df.select(projected.toIndexedSeq: _*)
-        .coalesce(math.max(1, touched.size)))
-    commitDml("UPDATE", touched, newAdds)
   }
 
   /**

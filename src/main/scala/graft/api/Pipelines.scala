@@ -831,14 +831,8 @@ object Pipelines {
       .withColumn("list", explode(probes(col("q_emb"))))
       .withColumn("q_nrm", l2norm(col("q_emb")))
 
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    broadcast(q).join(c, Seq("list"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", dotProd(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), col("rnk"),
-        round(col("cos") * 1000000).cast("long").as("cos_micro"))
+    topKByCosine(
+      broadcast(q).join(c, Seq("list")).filter(col("q_id") =!= col("n_id")), k)
   }
 
   def annTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
@@ -878,14 +872,7 @@ object Pipelines {
       .withColumn("q_nrm", l2norm(col("q_emb")))
     val c = corpus.select(id.as("n_id"), vec.as("n_emb"))
       .withColumn("n_nrm", l2norm(col("n_emb")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    candidates
-      .join(broadcast(q), Seq("q_id"))
-      .join(c, Seq("n_id"))
-      .withColumn("cos", dotProd(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), col("rnk"),
-        round(col("cos") * 1000000).cast("long").as("cos_micro"))
+    topKByCosine(
+      candidates.join(broadcast(q), Seq("q_id")).join(c, Seq("n_id")), k)
   }
 }

@@ -400,6 +400,34 @@ class DmlSpec extends SparkSpec {
       s"already-deleted key 2 must not re-report: ${second.mkString(",")}")
   }
 
+  test("merge-on-read UPDATE: matched rows move to a new file via DV, no rewrite") {
+    val (_, t) = twoRangeTable()
+    val before = t.snapshot().files.map(_.path).toSet
+    assert(t.update(col("n_nationkey") < 3, Map("n_name" -> lit("U")),
+      mergeOnRead = true) > 0)
+    val snap = t.snapshot()
+    assert(before.subsetOf(snap.files.map(_.path).toSet),
+      "MOR update must keep the original files live (DV'd), not rewrite them")
+    assert(snap.files.exists(f => f.path.contains("/_dml/") && f.dv.isEmpty),
+      "updated rows must land as a fresh clean file")
+    assert(rows(t.toDF) == 25)
+    assert(t.toDF.filter(col("n_name") === "U").count() == 3)
+    assert(t.toDF.filter(col("n_nationkey") < 3).count() == 3, "no duplicates")
+    // layered: MOR delete then MOR update over the same key space — the
+    // deleted row must not resurrect, updates hit live rows only
+    assert(t.delete(col("n_nationkey") === 5, mergeOnRead = true) > 0)
+    assert(t.update(col("n_nationkey") < 6, Map("n_name" -> lit("V")),
+      mergeOnRead = true) > 0)
+    assert(rows(t.toDF) == 24, "deleted key 5 must stay deleted")
+    assert(t.toDF.filter(col("n_name") === "V").count() == 5) // keys 0..4
+    assert(t.toDF.filter(col("n_name") === "U").count() == 0)
+    // full-coverage MOR update upgrades the emptied file to a plain remove
+    assert(t.update(col("n_nationkey") < 12, Map("n_name" -> lit("W")),
+      mergeOnRead = true) > 0)
+    assert(rows(t.toDF) == 24)
+    assert(t.toDF.filter(col("n_name") === "W").count() == 11) // 0..11 minus 5
+  }
+
   test("maintenance SQL: OPTIMIZE / VACUUM / DESCRIBE HISTORY on a quoted path") {
     val (dir, t) = twoRangeTable()
     val hist = spark.sql(s"DESCRIBE HISTORY '$dir'").collect()
