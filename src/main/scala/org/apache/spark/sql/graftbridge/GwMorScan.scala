@@ -36,6 +36,14 @@ class GwMorScan(
     cleanScan.map(_.readSchema()).getOrElse(dvScan.readSchema())
   override def description(): String =
     s"GwMorScan(dvFiles=${positions.size}, ${dvScan.description()})"
+
+  /** Planned files across both sides (test/plan observability). */
+  def inputFiles: Array[String] =
+    (cleanScan.toSeq :+ dvScan).flatMap {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.fileIndex.inputFiles
+      case _ => Nil
+    }.toArray
   // mixed vectorized/row partitions are not expressible to BatchScanExec;
   // row-based everywhere while DVs exist
   override def columnarSupportMode(): Scan.ColumnarSupportMode =

@@ -132,6 +132,26 @@ class OperatorSpec extends AnyFunSuite {
       s"uncapped identical corpus must emit all ${n * (n - 1) / 2} pairs, got $uncapped")
   }
 
+  test("TopKAgg: any partitioning equals global sort-take-k, ties broken by id") {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // few distinct scores -> heavy ties at the k boundary; ids unique
+    val rows = (0L until 500L).map(i => (rng.nextInt(20).toDouble, i))
+    for (parts <- Seq(1, 7, 32)) {
+      val got = rows.toDF("score", "id").repartition(parts)
+        .groupBy()
+        .agg(graft.functions.TopKAgg.topk(col("score"), col("id"), 10).as("t"))
+        .select(posexplode(col("t")))
+        .collect().map(r => (r.getInt(0),
+          r.getStruct(1).getLong(0), r.getStruct(1).getDouble(1))).toSeq
+      val expect = rows.sortBy { case (s, i) => (-s, i) }.take(10)
+        .zipWithIndex.map { case ((s, i), p) => (p, i, s) }
+      assert(got.sortBy(_._1) == expect,
+        s"parts=$parts diverged from the global order")
+    }
+  }
+
   test("m03 decode stub: one feature row per asset, deterministic values") {
     val out = Multimodal.m03DecodeStub(spark, sf).collect()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()

@@ -14,12 +14,15 @@ class PartitionSpec extends AnyFunSuite {
   private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        val s = b.scan match {
+        (b.scan match {
           case w: org.apache.spark.sql.graftbridge.GwDeltaScan => w.innerScan
           case s => s
+        }) match {
+          case m: org.apache.spark.sql.graftbridge.GwMorScan => m.inputFiles.length
+          case p => p
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
         }
-        s.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
-          .fileIndex.inputFiles.length
     }.head
 
   test("partitionBy write: values logged, columns retained, pruning exact") {
@@ -82,5 +85,26 @@ class PartitionSpec extends AnyFunSuite {
     val after = spark.read.format("gwdelta").load(loc)
     assert(after.count() == 2)
     assert(after.filter(col("grp") === "a/b c").count() == 1)
+  }
+
+  test("merge-on-read delete on a partitioned table keeps values and pruning") {
+    val loc = Files.createTempDirectory("part-dv").resolve("nation").toString
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    nation.write.format("gwdelta").partitionBy("n_regionkey").save(loc)
+    val t = GwTable.forPath(spark, loc)
+    assert(t.delete(col("n_nationkey") % 2 === 0, mergeOnRead = true) > 0)
+    val snap = t.snapshot()
+    // the DV re-assertion copies the AddFile, so partitionValues survive
+    assert(snap.files.forall(_.partitionValues.contains("n_regionkey")))
+    assert(snap.files.exists(_.dv.isDefined))
+    val back = spark.read.format("gwdelta").load(loc)
+    assert(back.count() == nation.filter(col("n_nationkey") % 2 =!= 0).count())
+    // a partition predicate still prunes to that partition's files, and the
+    // MOR scan reconciles inside them
+    val expected = snap.files.count(_.partitionValues.get("n_regionkey").contains("2"))
+    val pruned = back.filter(col("n_regionkey") === 2)
+    assert(plannedFiles(pruned) == expected)
+    assert(pruned.count() ==
+      nation.filter(col("n_regionkey") === 2 && col("n_nationkey") % 2 =!= 0).count())
   }
 }
