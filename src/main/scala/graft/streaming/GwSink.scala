@@ -101,12 +101,12 @@ object GwSink {
     * rules as [[append]]; returns -1 when `files` is empty (no commit). */
   def commitHarvested(conf: org.apache.hadoop.conf.Configuration, tablePath: String,
       schema: org.apache.spark.sql.types.StructType, files: Seq[AddFile],
-      txnId: Option[String]): Long = {
+      txnId: Option[String], partitionColumns: Seq[String] = Nil): Long = {
     val log = GwLog.forTable(conf, tablePath)
     replayedVersion(log, txnId).foreach(v => return v)
     if (files.isEmpty) return -1L
     checkAppendSchema(log, tablePath, schema)
-    commitAppend(log, schema, files, txnId)
+    commitAppend(log, schema, files, txnId, partitionColumns)
   }
 
   /** The version already carrying `txnId`, if this batch is a crash replay

@@ -99,9 +99,11 @@ class GwDeltaTable(
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     writable && filters.forall(f => GwFilters.toColumn(f).isDefined)
 
-  /** Copy-on-write delete through the engine's own commit path: stats-pruned
-    * candidate selection, metadata-only drops for fully-matching files, a
-    * rewrite of partial files, one atomic commit ([[graft.GwTable.delete]]). */
+  /** Delete through the engine's own commit path: stats-pruned candidate
+    * selection, metadata-only drops for fully-matching files, then either a
+    * copy-on-write rewrite of partial files (default) or — with
+    * `spark.graft.mergeOnRead = true` — a deletion-vector re-assertion that
+    * moves no bytes ([[graft.GwTable.delete]]). */
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     require(writable,
       "DELETE targets the LATEST snapshot; drop versionAsOf/timestampAsOf")
@@ -109,7 +111,8 @@ class GwDeltaTable(
         throw new IllegalArgumentException(s"untranslatable delete predicate: $f")))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    graft.GwTable.forPath(spark, options.get("path")).delete(cond)
+    val mor = spark.conf.getOption("spark.graft.mergeOnRead").exists(_.toBoolean)
+    graft.GwTable.forPath(spark, options.get("path")).delete(cond, mergeOnRead = mor)
     ()
   }
 
@@ -158,7 +161,7 @@ private[graftbridge] object GwWriteBuilders {
             }
           }
         override def toStreaming: StreamingWrite = (spark, info) match {
-          case (Some(s), Some(i)) => new GwStreamingWrite(s, path, i)
+          case (Some(s), Some(i)) => new GwStreamingWrite(s, path, i, partitionBy)
           case _ => super.toStreaming // informative "doesn't support" error
         }
       }

@@ -11,8 +11,9 @@ import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, Physi
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.OutputWriterFactory
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.util.SerializableConfiguration
+import scala.collection.mutable
 
 /**
  * V2 streaming write for gwdelta tables — what `df.writeStream.toTable(
@@ -27,36 +28,53 @@ import org.apache.spark.util.SerializableConfiguration
  * by committed tasks enter the commit; stray output from failed/speculative
  * attempts stays uncommitted under `_stream/` where `vacuum`'s debris rule
  * owns it.
+ *
+ * Partitioned tables: each task routes rows to one open writer per
+ * partition-value combination (hive-style `__gwp_<col>=<value>` dirs, the
+ * partition column KEPT in the data — same layout as the batch sink), so
+ * streaming appends stay partition-addressed and partition-prunable.
  */
 class GwStreamingWrite(
     spark: SparkSession,
     tablePath: String,
-    info: LogicalWriteInfo) extends StreamingWrite {
+    info: LogicalWriteInfo,
+    declaredPartitionBy: Seq[String] = Nil) extends StreamingWrite {
 
   private val writeId = UUID.randomUUID().toString
   private def epochBase = s"$tablePath/_stream/$writeId"
+
+  /** The table's partition layout: the log's metaData wins; a pending table
+    * (first epoch bootstraps the log) uses its declared PARTITIONED BY. */
+  private val partitionColumns: Seq[String] = {
+    val log = graft.log.GwLog.forTable(
+      spark.sparkContext.hadoopConfiguration, tablePath)
+    if (log.listVersions().nonEmpty)
+      log.snapshot(None).metadata.map(_.partitionColumns).getOrElse(Nil)
+    else declaredPartitionBy
+  }
 
   override def createStreamingWriterFactory(pinfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val factory = new ParquetFileFormat().prepareWrite(
       spark, job, Map.empty[String, String], info.schema())
     new GwEpochWriterFactory(epochBase, info.schema(), factory,
-      new SerializableConfiguration(job.getConfiguration))
+      new SerializableConfiguration(job.getConfiguration), partitionColumns)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val written = messages.collect { case GwFilesWritten(ps) => ps }.flatten.toSet
     val epochDir = new Path(s"$epochBase/$epochId")
-    // the shared harvesting rule (stats, zero-row drop), restricted to the
-    // files committed tasks actually reported
+    // the shared harvesting rule (stats, zero-row drop, partition values
+    // from the __gwp_ layout), restricted to files committed tasks reported
     val files: Seq[AddFile] =
       if (written.isEmpty) Nil
-      else graft.sources.SchemaProbe.harvestAddFiles(conf, epochDir, dataChange = true)
+      else graft.sources.SchemaProbe
+        .harvestPartitioned(conf, epochDir, dataChange = true, partitionColumns)
         .filter(f => written.contains(f.path) ||
           written.contains(new Path(f.path).toUri.getPath))
     graft.streaming.GwSink.commitHarvested(conf, tablePath, info.schema(), files,
-      Some(s"${info.queryId()}/$epochId"))
+      Some(s"${info.queryId()}/$epochId"), partitionColumns)
     ()
   }
 
@@ -76,56 +94,97 @@ class GwEpochWriterFactory(
     epochBase: String,
     schema: StructType,
     factory: OutputWriterFactory,
-    conf: SerializableConfiguration) extends StreamingDataWriterFactory {
+    conf: SerializableConfiguration,
+    partitionColumns: Seq[String]) extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new GwEpochFileWriter(s"$epochBase/$epochId", partitionId, taskId, schema, factory, conf)
+    new GwEpochFileWriter(s"$epochBase/$epochId", partitionId, taskId, schema,
+      factory, conf, partitionColumns)
 }
 
-/** One parquet file per (task, epoch), created lazily on the first row so
-  * empty partitions write nothing. */
+/** One parquet file per (task, epoch, partition-value combination), created
+  * lazily on the first routed row so empty partitions write nothing. */
 class GwEpochFileWriter(
     dir: String,
     partitionId: Int,
     taskId: Long,
     schema: StructType,
     factory: OutputWriterFactory,
-    conf: SerializableConfiguration) extends DataWriter[InternalRow] {
+    conf: SerializableConfiguration,
+    partitionColumns: Seq[String]) extends DataWriter[InternalRow] {
 
-  private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
-  private var filePath: String = _
+  private val writers =
+    mutable.LinkedHashMap.empty[String, (org.apache.spark.sql.execution.datasources.OutputWriter, String)]
   private var closed = false
 
-  private def ensure(): org.apache.spark.sql.execution.datasources.OutputWriter = {
-    if (writer == null) {
+  // partition-column ordinals + renderers resolved once; tokens render the
+  // way Spark's own partitionBy does (so partition pruning parses them back)
+  private val partFields: Seq[(Int, DataType)] = partitionColumns.map { c =>
+    val i = schema.fieldIndex(c)
+    (i, schema.fields(i).dataType)
+  }
+
+  private def token(row: InternalRow, ordinal: Int, dt: DataType): String = {
+    if (row.isNullAt(ordinal)) return "__HIVE_DEFAULT_PARTITION__"
+    dt match {
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(row.getInt(ordinal).toLong).toString
+      case StringType => row.getUTF8String(ordinal).toString
+      case _: NumericType | BooleanType => row.get(ordinal, dt).toString
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition column type for streaming writes: $other")
+    }
+  }
+
+  /** Minimal escapePathName: %-escape the characters that are illegal or
+    * ambiguous in a hive-style dir token (the harvest side unescapes any
+    * %xx, so this only has to be INJECTIVE, not byte-identical to Spark). */
+  private def escape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    s.foreach { c =>
+      if (c < 0x20 || "%/=:#?\\{}[]^".indexOf(c) >= 0)
+        sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def subdirOf(row: InternalRow): String =
+    partFields.zip(partitionColumns).map { case ((i, dt), c) =>
+      s"${graft.sources.SchemaProbe.PartitionDirPrefix}$c=${escape(token(row, i, dt))}"
+    }.mkString("/")
+
+  private def ensure(sub: String): org.apache.spark.sql.execution.datasources.OutputWriter =
+    writers.getOrElseUpdate(sub, {
       val attempt = new TaskAttemptID(
         new TaskID(new JobID("gwstream", 0), TaskType.MAP, partitionId),
         (taskId & 0x7fffffff).toInt)
       val ctx = new TaskAttemptContextImpl(conf.value, attempt)
-      filePath = f"$dir/part-$partitionId%05d-${UUID.randomUUID()}${factory.getFileExtension(ctx)}"
-      writer = factory.newInstance(filePath, schema, ctx)
-    }
-    writer
-  }
+      val base = if (sub.isEmpty) dir else s"$dir/$sub"
+      val filePath =
+        f"$base/part-$partitionId%05d-${UUID.randomUUID()}${factory.getFileExtension(ctx)}"
+      (factory.newInstance(filePath, schema, ctx), filePath)
+    })._1
 
-  override def write(row: InternalRow): Unit = ensure().write(row)
+  override def write(row: InternalRow): Unit =
+    ensure(if (partFields.isEmpty) "" else subdirOf(row)).write(row)
 
-  private def closeWriter(): Unit =
-    if (writer != null && !closed) { writer.close(); closed = true }
+  private def closeWriters(): Unit =
+    if (!closed) { writers.values.foreach(_._1.close()); closed = true }
 
   override def commit(): WriterCommitMessage = {
-    closeWriter()
-    GwFilesWritten(Option(filePath).toSeq)
+    closeWriters()
+    GwFilesWritten(writers.values.map(_._2).toSeq)
   }
 
   override def abort(): Unit = {
-    closeWriter()
-    if (filePath != null) {
+    closeWriters()
+    writers.values.foreach { case (_, filePath) =>
       val p = new Path(filePath)
       val fs = p.getFileSystem(conf.value)
       if (fs.exists(p)) { fs.delete(p, false); () }
     }
   }
 
-  override def close(): Unit = closeWriter()
+  override def close(): Unit = closeWriters()
 }

@@ -87,6 +87,46 @@ class PartitionSpec extends AnyFunSuite {
     assert(after.filter(col("grp") === "a/b c").count() == 1)
   }
 
+  test("streaming sink appends stay partition-addressed (layout from the log)") {
+    val loc = Files.createTempDirectory("part-stream").resolve("nation").toString
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    nation.write.format("gwdelta").partitionBy("n_regionkey").save(loc)
+    val stage = Files.createTempDirectory("part-stream-src")
+    graft.streaming.StreamOps.stageLinks(
+      java.nio.file.Paths.get(s"$sf/nation.parquet"), stage, Seq("a.parquet"))
+    val q = spark.readStream.schema(nation.schema).parquet(stage.toString)
+      .writeStream.format("gwdelta")
+      .option("checkpointLocation",
+        Files.createTempDirectory("part-stream-cp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(loc)
+    q.awaitTermination()
+    val snap = GwTable.forPath(spark, loc).snapshot()
+    assert(snap.files.forall(_.partitionValues.contains("n_regionkey")),
+      "the streaming batch must re-derive the partitioned layout")
+    assert(spark.read.format("gwdelta").load(loc).count() == 50)
+  }
+
+  test("SQL DELETE takes the merge-on-read path under spark.graft.mergeOnRead") {
+    val loc = Files.createTempDirectory("sql-mor").resolve("nation").toString
+    spark.read.parquet(s"$sf/nation.parquet").coalesce(1)
+      .write.format("gwdelta").save(loc)
+    val t = GwTable.forPath(spark, loc)
+    val before = t.snapshot().files.map(_.path).toSet
+    operators.GwCore.ensureGwCatalog(spark)
+    val ns = s"mor${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta LOCATION '$loc'")
+    spark.conf.set("spark.graft.mergeOnRead", "true")
+    try spark.sql(s"DELETE FROM gw.$ns.nation WHERE n_nationkey < 5")
+    finally spark.conf.unset("spark.graft.mergeOnRead")
+    val snap = t.snapshot()
+    assert(snap.files.map(_.path).toSet == before,
+      "SQL DELETE under the conf must re-assert, not rewrite")
+    assert(snap.files.exists(_.dv.exists(_.cardinality == 5)))
+    assert(spark.table(s"gw.$ns.nation").count() == 20)
+  }
+
   test("merge-on-read delete on a partitioned table keeps values and pruning") {
     val loc = Files.createTempDirectory("part-dv").resolve("nation").toString
     val nation = spark.read.parquet(s"$sf/nation.parquet")
