@@ -156,6 +156,13 @@ class GwEpochFileWriter(
 
   private def ensure(sub: String): org.apache.spark.sql.execution.datasources.OutputWriter =
     writers.getOrElseUpdate(sub, {
+      // one OPEN parquet writer per partition value per task: unbounded
+      // cardinality is the classic dynamic-partition OOM, so fail loudly
+      // with the fix in hand instead of dying in the parquet allocator
+      require(writers.size < 256,
+        s"task $partitionId opened ${writers.size} partition writers — " +
+          "repartition the stream by its partition columns (or reduce " +
+          "partition cardinality) before writing")
       val attempt = new TaskAttemptID(
         new TaskID(new JobID("gwstream", 0), TaskType.MAP, partitionId),
         (taskId & 0x7fffffff).toInt)
