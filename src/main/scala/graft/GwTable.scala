@@ -253,16 +253,20 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     } else {
       val dvAdds = buildDvAdds(snap, partialFiles, hit)
       // a DV now covering EVERY physical row upgrades to a plain remove
-      val (emptied, kept) = dvAdds.partition(f =>
-        Dv.numRecords(f).exists(n => f.dv.exists(_.cardinality >= n)))
-      commitMor("DELETE", fullFiles ++ emptied, kept, Nil)
+      val (emptied, kept) = dvAdds.partition { case (_, f) =>
+        Dv.numRecords(f).exists(n => f.dv.exists(_.cardinality >= n))
+      }
+      commitMor("DELETE", fullFiles ++ emptied.map(_._1), kept, Nil)
     }
   }
 
   /** Re-assert `files` with deletion vectors grown by the positions of
     * every row matching `hit` (rows an earlier DV already deleted union
-    * in harmlessly). One sidecar per commit; cardinalities exact. */
-  private def buildDvAdds(snap: Snapshot, files: Seq[AddFile], hit: Column): Seq[AddFile] =
+    * in harmlessly). One sidecar per commit; cardinalities exact. Returns
+    * (original snapshot entry, DV'd re-assertion) pairs — the commit needs
+    * the original to detect concurrent mutation. */
+  private def buildDvAdds(snap: Snapshot, files: Seq[AddFile],
+      hit: Column): Seq[(AddFile, AddFile)] =
     if (files.isEmpty) Nil
     else {
       val mapping = Dv.pathMapping(spark, files)
@@ -282,24 +286,30 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         .groupBy("dv_path").agg(count(lit(1)).as("n")).collect()
         .map(r => GwTable.uriKey(r.getString(0)) -> r.getLong(1)).toMap
       files.map { f =>
-        f.copy(dv = Some(graft.log.DvDescriptor(
+        f -> f.copy(dv = Some(graft.log.DvDescriptor(
           sidecar, cards.getOrElse(GwTable.uriKey(f.path), 0L))))
       }
     }
 
-  /** One atomic merge-on-read commit: tombstone `removes`, re-assert
-    * `dvAdds` (same paths, new deletion vectors), add `newAdds` (UPDATE's
-    * updated-row files). Removed/re-asserted paths must still be live — a
-    * concurrent replacement would resurrect or double-remove. */
+  /** One atomic merge-on-read commit: tombstone `removes` (exact snapshot
+    * entries), re-assert `dvPairs` (original -> DV'd copy), add `newAdds`
+    * (UPDATE's updated-row files). The live entry for every removed or
+    * re-asserted path must EQUAL the original this operation classified —
+    * a concurrent commit that replaced a file (resurrect/double-remove) or
+    * grew its deletion vector (whose deletes this re-assertion would
+    * silently drop) aborts the operation instead. */
   private def commitMor(operation: String, removes: Seq[AddFile],
-      dvAdds: Seq[AddFile], newAdds: Seq[AddFile]): Long =
+      dvPairs: Seq[(AddFile, AddFile)], newAdds: Seq[AddFile]): Long =
     graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
       val now = System.currentTimeMillis()
-      val live = gwLog.snapshot(None).files.map(_.path).toSet
-      val gone = (removes ++ dvAdds).filterNot(f => live.contains(f.path))
+      val live = gwLog.snapshot(None).files.map(f => f.path -> f).toMap
+      val gone = (removes ++ dvPairs.map(_._1))
+        .filterNot(f => live.get(f.path).contains(f))
       if (gone.nonEmpty) throw new IllegalStateException(
-        s"concurrent commit replaced ${gone.size} file(s) mid-$operation at " +
-          s"$tablePath (e.g. ${gone.head.path}); re-run the operation")
+        s"concurrent commit replaced or mutated ${gone.size} file(s) " +
+          s"mid-$operation at $tablePath (e.g. ${gone.head.path}); " +
+          "re-run the operation")
+      val dvAdds = dvPairs.map(_._2)
       val rms: Seq[Action] = removes.map(f => RemoveFile(f.path, f.size, now))
       val info = CommitInfo(now, operation, "MergeOnRead",
         numFiles = dvAdds.size + newAdds.size,
@@ -372,9 +382,10 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       // pre-update versions of the matched rows leave via the deletion
       // vector; a DV covering a whole file upgrades to a plain remove
       val dvAdds = buildDvAdds(snap, touched, hit)
-      val (emptied, kept) = dvAdds.partition(f =>
-        Dv.numRecords(f).exists(n => f.dv.exists(_.cardinality >= n)))
-      commitMor("UPDATE", emptied, kept, newAdds)
+      val (emptied, kept) = dvAdds.partition { case (_, f) =>
+        Dv.numRecords(f).exists(n => f.dv.exists(_.cardinality >= n))
+      }
+      commitMor("UPDATE", emptied.map(_._1), kept, newAdds)
     }
   }
 
@@ -534,17 +545,20 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
 
   /** One atomic DML commit: tombstone `removes`, add `newAdds`. Retries past
     * foreign version conflicts, but aborts if a concurrent commit replaced
-    * any file this operation classified — resurrecting or double-removing
-    * would corrupt the table. */
+    * OR MUTATED any file this operation classified — `removes` are the
+    * exact snapshot entries the operation read, so the equality check also
+    * catches a concurrent merge-on-read delete growing a file's deletion
+    * vector (whose rows this rewrite would silently resurrect/drop). */
   private def commitDml(operation: String, removes: Seq[AddFile],
       newAdds: Seq[AddFile]): Long =
     graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
       val now = System.currentTimeMillis()
-      val live = gwLog.snapshot(None).files.map(_.path).toSet
-      val gone = removes.filterNot(f => live.contains(f.path))
+      val live = gwLog.snapshot(None).files.map(f => f.path -> f).toMap
+      val gone = removes.filterNot(f => live.get(f.path).contains(f))
       if (gone.nonEmpty) throw new IllegalStateException(
-        s"concurrent commit replaced ${gone.size} file(s) mid-$operation at " +
-          s"$tablePath (e.g. ${gone.head.path}); re-run the operation")
+        s"concurrent commit replaced or mutated ${gone.size} file(s) " +
+          s"mid-$operation at $tablePath (e.g. ${gone.head.path}); " +
+          "re-run the operation")
       val rms: Seq[Action] = removes.map(f => RemoveFile(f.path, f.size, now))
       val info = CommitInfo(now, operation, "CopyOnWrite",
         numFiles = newAdds.size, numOutputBytes = newAdds.map(_.size).sum,
@@ -561,13 +575,25 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     * was replaced mid-operation. No-ops (nothing scanned, nothing written)
     * commit nothing and return -1. */
   def replaceFiles(operation: String, removePaths: Set[String],
-      newAdds: Seq[AddFile]): Long = {
+      newAdds: Seq[AddFile], scannedFiles: Seq[AddFile] = Nil): Long = {
     val keys = removePaths.map(GwTable.uriKey)
     val removes = gwLog.snapshot(None).files
       .filter(f => keys.contains(GwTable.uriKey(f.path)))
     require(removes.size == keys.size,
       s"row-level operation scanned ${keys.size} file(s) but only " +
         s"${removes.size} are live at $tablePath — concurrent commit; re-run")
+    // when the caller supplies the exact AddFiles its scan planned, a file
+    // whose deletion vector changed under the operation (concurrent MOR
+    // delete — its deletes would vanish in this rewrite) aborts too
+    if (scannedFiles.nonEmpty) {
+      val planned = scannedFiles.map(f => GwTable.uriKey(f.path) -> f).toMap
+      val mutated = removes.filterNot(f =>
+        planned.get(GwTable.uriKey(f.path)).contains(f))
+      require(mutated.isEmpty,
+        s"row-level operation raced a concurrent commit on " +
+          s"${mutated.size} file(s) at $tablePath " +
+          s"(e.g. ${mutated.headOption.map(_.path).getOrElse("")}); re-run")
+    }
     if (removes.isEmpty && newAdds.isEmpty) -1L
     else commitDml(operation, removes, newAdds)
   }

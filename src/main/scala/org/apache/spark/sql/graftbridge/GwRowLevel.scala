@@ -66,7 +66,7 @@ class GwRowLevelOperation(
         // scan: defaulting to an empty remove set would commit the full
         // replacement rows without tombstoning any source file — silent
         // row duplication instead of an error
-        () => groupScan.map(_.plannedPaths).getOrElse(throw new IllegalStateException(
+        () => groupScan.map(_.plannedFiles).getOrElse(throw new IllegalStateException(
           s"$cmd write committed before its group scan was planned — " +
             "no candidate files to replace; refusing to append duplicates")))
     }
@@ -87,6 +87,10 @@ class GwGroupScanBuilder(
 
   /** The files this operation classified as groups (exact snapshot paths). */
   def plannedPaths: Seq[String] = candidates.map(_.path)
+
+  /** The exact snapshot entries the scan planned (DV state included), for
+    * the commit's concurrent-mutation check. */
+  def plannedFiles: Seq[graft.log.AddFile] = candidates
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val constraints = GwStatsPruning.ranges(filters)
@@ -127,7 +131,7 @@ class GwReplaceDataWrite(
     tablePath: String,
     operation: String,
     info: LogicalWriteInfo,
-    scannedPaths: () => Seq[String]) extends Write {
+    scannedFiles: () => Seq[graft.log.AddFile]) extends Write {
 
   private val outDir = new Path(tablePath, s"_dml/${UUID.randomUUID()}")
 
@@ -160,8 +164,9 @@ class GwReplaceDataWrite(
       inner.commit(messages)
       val conf = spark.sparkContext.hadoopConfiguration
       val adds = graft.sources.SchemaProbe.harvestAddFiles(conf, outDir, dataChange = true)
+      val scanned = scannedFiles()
       graft.GwTable.forPath(spark, tablePath)
-        .replaceFiles(operation, scannedPaths().toSet, adds)
+        .replaceFiles(operation, scanned.map(_.path).toSet, adds, scanned)
       ()
     }
 

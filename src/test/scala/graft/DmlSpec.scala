@@ -443,6 +443,18 @@ class DmlSpec extends SparkSpec {
     assert(rows(t.toDF) == 25)
   }
 
+  test("replaceFiles aborts when a scanned file's deletion vector changed (concurrent MOR)") {
+    val (_, t) = twoRangeTable()
+    val stale = t.snapshot().files.head // planned scan state: no DV
+    // a concurrent merge-on-read delete grows the file's deletion vector
+    assert(t.delete(col("n_nationkey") === 1, mergeOnRead = true) > 0)
+    val err = intercept[IllegalArgumentException] {
+      t.replaceFiles("UPDATE", Set(stale.path), Nil, Seq(stale))
+    }
+    assert(err.getMessage.contains("raced"),
+      s"stale-DV rewrite must abort, got: ${err.getMessage}")
+  }
+
   test("DV actions round-trip the JSON log and the parquet checkpoint") {
     val add = graft.log.AddFile("/t/p.parquet", 10L, 1L,
       stats = Some("""{"numRecords":5}"""),
