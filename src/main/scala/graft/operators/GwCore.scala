@@ -694,14 +694,18 @@ object GwCore {
       "o_totalprice, date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s, " +
       s"o_orderpriority FROM $name")
     val morCount = morRead.count()
-    // compaction folds the DVs away: clean files, same content
-    require(table.compact(targetFileBytes = 1L << 30) > 0,
-      "expected a folding compaction commit")
-    val folded = table.snapshot()
-    require(folded.files.forall(_.dv.isEmpty),
-      "compaction must fold deletion vectors away")
-    require(spark.read.format("gwdelta").load(loc).count() == morCount,
-      "folded content must equal the DV-reconciled content")
+    // compaction folds the DVs away: clean files, same content. compact()
+    // needs >= 2 live files to have work — only guaranteed when the
+    // fixture got its full multi-file shape (sf >= 0.01)
+    if (snap.files.size >= 2) {
+      require(table.compact(targetFileBytes = 1L << 30) > 0,
+        "expected a folding compaction commit")
+      val folded = table.snapshot()
+      require(folded.files.forall(_.dv.isEmpty),
+        "compaction must fold deletion vectors away")
+      require(spark.read.format("gwdelta").load(loc).count() == morCount,
+        "folded content must equal the DV-reconciled content")
+    }
     morRead
   }
 
