@@ -36,6 +36,8 @@ object GwMaintenance {
       """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*$""").r
   private val History =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + TableRef + """\s*;?\s*$""").r
+  private val Detail =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+""" + TableRef + """\s*;?\s*$""").r
 
   /** Maintenance statement -> command plan; None = not ours. */
   def parse(sql: String): Option[LogicalPlan] = sql match {
@@ -47,6 +49,7 @@ object GwMaintenance {
     case Vacuum(ref, hours) =>
       Some(GwVacuumCommand(ref, Option(hours).map(_.toLong)))
     case History(ref) => Some(GwDescribeHistoryCommand(ref))
+    case Detail(ref) => Some(GwDescribeDetailCommand(ref))
     case _ => None
   }
 
@@ -123,8 +126,29 @@ case class GwDescribeHistoryCommand(ref: String) extends LeafRunnableCommand {
   }
 }
 
-/** Delegating parser: the three maintenance statements parse here,
-  * everything else falls through untouched. */
+case class GwDescribeDetailCommand(ref: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("numFiles", LongType, nullable = false)(),
+    AttributeReference("sizeInBytes", LongType, nullable = false)(),
+    AttributeReference("partitionColumns", StringType, nullable = false)(),
+    AttributeReference("numDeletionVectorFiles", LongType, nullable = false)(),
+    AttributeReference("numDeletedRows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GwMaintenance.resolvePath(spark, ref)
+    val snap = graft.GwTable.forPath(spark, path).snapshot()
+    val dvd = snap.files.flatMap(_.dv)
+    Seq(Row("gwdelta", path, snap.version, snap.files.size.toLong,
+      snap.totalBytes,
+      snap.metadata.map(_.partitionColumns.mkString(",")).getOrElse(""),
+      dvd.size.toLong, dvd.map(_.cardinality).sum))
+  }
+}
+
+/** Delegating parser: the maintenance statements parse here, everything
+  * else falls through untouched. */
 class GwSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GwMaintenance.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))

@@ -441,6 +441,13 @@ class DmlSpec extends SparkSpec {
     assert(vac.head.getInt(1) >= 2,
       s"expected the superseded insert files reclaimed, got ${vac.head.getInt(1)}")
     assert(rows(t.toDF) == 25)
+    // DESCRIBE DETAIL: snapshot facts, including deletion-vector totals
+    assert(t.delete(col("n_nationkey") === 1, mergeOnRead = true) > 0)
+    val detail = spark.sql(s"DESCRIBE DETAIL '$dir'").collect().head
+    assert(detail.getString(0) == "gwdelta")
+    assert(detail.getLong(3) == t.snapshot().files.size.toLong)
+    assert(detail.getLong(6) == 1L && detail.getLong(7) == 1L,
+      s"expected one DV file with one deleted row: $detail")
   }
 
   test("replaceFiles aborts when a scanned file's deletion vector changed (concurrent MOR)") {
