@@ -1,6 +1,8 @@
 package graft
 
-import graft.log.{AddFile, Snapshot}
+import graft.log.{AddFile, DvDescriptor, RoaringBitmapArray, Snapshot}
+import java.util.zip.CRC32
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col}
@@ -8,20 +10,30 @@ import org.apache.spark.sql.functions.{broadcast, col}
 /**
  * Merge-on-read deletion-vector plumbing (see [[graft.log.DvDescriptor]]).
  *
- * A DV sidecar is one parquet file of `(dv_path: string, pos: long)` rows —
- * the deleted row POSITIONS per data file — written once per MOR commit
- * under `<table>/_dv/`. Readers reconcile by anti-joining (file, position)
- * pairs; positions come from `_metadata.row_index`, which Spark computes as
- * the PHYSICAL row index in the file (stable under row-group skipping), the
- * same identity Delta's deletion vectors use.
+ * A deletion vector is a roaring bitmap of a data file's deleted row
+ * POSITIONS ([[RoaringBitmapArray]]): small bitmaps ride INLINE in the log
+ * action (Z85 text), larger ones are framed into one binary sidecar per
+ * commit under `<table>/_dv/` (version byte, then per DV:
+ * [4-byte size][bitmap][4-byte CRC-32], each descriptor holding its
+ * offset). Positions are `_metadata.row_index` — the PHYSICAL row index in
+ * the file (stable under row-group skipping), the same identity Delta's
+ * deletion vectors use.
  *
- * Scale notes: a sidecar's size is proportional to the rows DELETED by that
- * commit, not the table; the V2 scan ships each file's positions with that
- * file's task only. Heavily-deleted files should be folded by `compact()`
- * (which reads live rows and drops the DV) — the library keeps
- * copy-on-write as the default for exactly this reason.
+ * Scale posture: the driver only ever holds DESCRIPTORS (path + offset +
+ * size + cardinality, O(DV'd files)); the positions themselves are decoded
+ * by whichever TASK reads the file, so planning cost and driver memory are
+ * independent of how many rows are deleted. A sidecar's size is
+ * proportional to the rows deleted by its commit, not the table; heavily
+ * deleted files should be folded by `compact()` (which reads live rows and
+ * drops the DV) — the library keeps copy-on-write as the default for
+ * exactly this reason.
  */
 object Dv {
+
+  /** Bitmaps at or under this serialized size are stored inline in the log
+    * action instead of the sidecar (a few hundred positions in array
+    * containers) — one less file open per scan task for small DVs. */
+  val InlineMaxBytes: Int = 512
 
   /** `_metadata.file_path` renders paths URL-ENCODED; the log stores raw
     * Hadoop strings. One mapping row per form, so joins hit either. */
@@ -33,33 +45,100 @@ object Dv {
     }.toDF("dv_path", "enc_path")
   }
 
-  private val sidecarSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("dv_path",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("pos",
-      org.apache.spark.sql.types.LongType)))
-
-  /** All (dv_path, pos) rows that apply to `files`' CURRENT deletion
-    * vectors: each file's positions are read from ITS OWN sidecar only, so
-    * superseded sidecars (earlier DVs of the same file, still on disk for
-    * time travel) contribute nothing. */
-  def positionsDF(spark: SparkSession, files: Seq[AddFile]): DataFrame = {
-    val dvd = files.filter(_.dv.isDefined)
-    if (dvd.isEmpty)
-      return spark.createDataFrame(java.util.Collections.emptyList[Row](), sidecarSchema)
-    dvd.groupBy(_.dv.get.path).map { case (sidecar, group) =>
-      val keep = group.map(_.path)
-      spark.read.schema(sidecarSchema).parquet(sidecar)
-        .filter(col("dv_path").isin(keep: _*))
-    }.reduce(_ unionAll _)
+  /** Decode a descriptor's deleted positions (sorted ascending). Runs
+    * wherever the caller is — in scan tasks this is executor-side, so the
+    * driver never materializes positions. */
+  def readPositions(conf: Configuration, d: DvDescriptor): Array[Long] = d.storageType match {
+    case "i" =>
+      RoaringBitmapArray.deserialize(
+        RoaringBitmapArray.z85Decode(d.pathOrInlineDv, d.sizeInBytes))
+    case "p" =>
+      val p = new Path(d.pathOrInlineDv)
+      val in = p.getFileSystem(conf).open(p)
+      try {
+        in.seek(d.offset.getOrElse(0).toLong)
+        val len = in.readInt()
+        require(len == d.sizeInBytes,
+          s"DV at $p offset ${d.offset} frames $len bytes; descriptor says ${d.sizeInBytes}")
+        val data = new Array[Byte](len)
+        in.readFully(data)
+        val stored = in.readInt()
+        val crc = new CRC32()
+        crc.update(data)
+        require(crc.getValue.toInt == stored, s"DV checksum mismatch at $p offset ${d.offset}")
+        RoaringBitmapArray.deserialize(data)
+      } finally in.close()
+    case other =>
+      throw new IllegalArgumentException(s"unknown deletionVector storageType '$other'")
   }
 
-  /** Driver-side positions per data-file uriKey (V2 scan construction).
-    * Memory = deleted rows of the SCANNED DV'd files. */
-  def positionsByFile(spark: SparkSession, files: Seq[AddFile]): Map[String, Array[Long]] =
-    positionsDF(spark, files).collect()
-      .groupBy(r => GwTable.uriKey(r.getString(0)))
-      .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted }
+  /** Persist one commit's deletion vectors. Input: (data-file path,
+    * serialized bitmap, cardinality) per DV'd file. Small bitmaps become
+    * inline descriptors; the rest are concatenated into ONE sidecar file —
+    * version byte 1, then per DV `[4-byte BE size][bitmap][4-byte BE
+    * CRC-32]` with each descriptor recording its offset. Returns
+    * descriptors keyed by `GwTable.uriKey(data-file path)`. */
+  def writeDvs(conf: Configuration, tablePath: String,
+      perFile: Seq[(String, Array[Byte], Long)]): Map[String, DvDescriptor] = {
+    val (small, large) = perFile.partition(_._2.length <= InlineMaxBytes)
+    val inline = small.map { case (p, bytes, card) =>
+      GwTable.uriKey(p) -> DvDescriptor(
+        "i", RoaringBitmapArray.z85Encode(bytes), None, bytes.length, card)
+    }.toMap
+    val onDisk =
+      if (large.isEmpty) Map.empty[String, DvDescriptor]
+      else {
+        val unqualified = new Path(tablePath, s"_dv/${java.util.UUID.randomUUID()}.bin")
+        val fs = unqualified.getFileSystem(conf)
+        // store the QUALIFIED path: vacuum compares descriptors against
+        // fs.listFiles output, which is always fully qualified
+        val target = fs.makeQualified(unqualified)
+        fs.mkdirs(target.getParent)
+        val out = fs.create(target, false)
+        val descs = Map.newBuilder[String, DvDescriptor]
+        try {
+          out.write(1) // sidecar format version
+          var offset = 1L
+          large.foreach { case (p, bytes, card) =>
+            require(offset <= Int.MaxValue.toLong - bytes.length - 8,
+              s"DV sidecar exceeds 2 GiB at $target — split the operation")
+            descs += GwTable.uriKey(p) -> DvDescriptor(
+              "p", target.toString, Some(offset.toInt), bytes.length, card)
+            out.writeInt(bytes.length)
+            out.write(bytes)
+            val crc = new CRC32()
+            crc.update(bytes)
+            out.writeInt(crc.getValue.toInt)
+            offset += 4L + bytes.length + 4L
+          }
+        } finally out.close()
+        descs.result()
+      }
+    inline ++ onDisk
+  }
+
+  /** All (dv_path, pos) rows of `files`' CURRENT deletion vectors as a
+    * distributed DataFrame: the driver ships descriptors only; each task
+    * decodes its slice of bitmaps executor-side. `dv_path` is the DATA
+    * file's logged path. */
+  def positionsDF(spark: SparkSession, files: Seq[AddFile]): DataFrame = {
+    import spark.implicits._
+    val dvd = files.filter(_.dv.isDefined)
+    if (dvd.isEmpty)
+      return spark.emptyDataset[(String, Long)].toDF("dv_path", "pos")
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val descs = dvd.map { f =>
+      val d = f.dv.get
+      (f.path, d.storageType, d.pathOrInlineDv, d.offset.getOrElse(-1), d.sizeInBytes)
+    }
+    val slices = math.max(1, math.min(descs.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(descs).repartition(slices)
+      .flatMap { case (p, st, inline, off, size) =>
+        val d = DvDescriptor(st, inline, if (off < 0) None else Some(off), size, 0L)
+        readPositions(conf.value, d).iterator.map(pos => (p, pos))
+      }
+      .toDF("dv_path", "pos")
+  }
 
   /** LIVE rows of `files` under `schema`: raw parquet scan minus each DV'd
     * file's deleted positions (anti join on (encoded path, row_index)). The
@@ -86,23 +165,6 @@ object Dv {
   /** Convenience: live rows of a snapshot. */
   def readLive(spark: SparkSession, snap: Snapshot): DataFrame =
     readLive(spark, snap.schema, snap.files)
-
-  /** Persist one MOR commit's (dv_path, pos) rows as a single sidecar file
-    * under `<table>/_dv/`; returns its path. */
-  def writeSidecar(spark: SparkSession, tablePath: String, rows: DataFrame): String = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val stage = new Path(tablePath, s"_dv/stage-${java.util.UUID.randomUUID()}")
-    rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val fs = stage.getFileSystem(conf)
-    val part = fs.listStatus(stage).map(_.getPath)
-      .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
-      .getOrElse(throw new IllegalStateException(s"no sidecar part file under $stage"))
-    val target = new Path(tablePath, s"_dv/${java.util.UUID.randomUUID()}.parquet")
-    fs.mkdirs(target.getParent)
-    require(fs.rename(part, target), s"could not place DV sidecar at $target")
-    fs.delete(stage, true)
-    target.toString
-  }
 
   /** Physical row count of a file from its harvested stats, if recorded —
     * lets a DV that covers every row upgrade to a plain remove. */

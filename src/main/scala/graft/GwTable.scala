@@ -153,14 +153,19 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val fs = ownedDirs.head.getFileSystem(conf)
     val presentDirs = ownedDirs.filter(fs.exists)
     if (presentDirs.isEmpty) return 0
-    val live = gwLog.snapshot(None).files.map(_.path).toSet
+    // ALL membership sets hold uriKeys: the log stores paths as written
+    // (possibly scheme-less) while fs.listFiles returns fully-qualified
+    // `file:/...` URIs — comparing raw strings would make every lookup
+    // miss and the debris sweep would reap LIVE files (DV sidecars above
+    // the age floor, most dangerously)
+    val live = gwLog.snapshot(None).files.map(f => GwTable.uriKey(f.path)).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     val markers = Seq("/_compacted/", "/_stream/", "/_dml/", "/_dv/")
     def owned(p: String): Boolean = markers.exists(p.contains)
     // walk the log once: latest removal tombstone per engine-owned path (a
     // later re-add cancels it) + every owned path any commit ever referenced
-    // — including DV sidecars, which carry no actions of their own but must
-    // outlive every version whose adds point at them (time travel)
+    // — including on-disk DV sidecars, which carry no actions of their own
+    // but must outlive every version whose adds point at them (time travel)
     val removedAt = scala.collection.mutable.Map.empty[String, Long]
     val referenced = scala.collection.mutable.Set.empty[String]
     gwLog.listVersions().foreach { v =>
@@ -169,16 +174,17 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
           removedAt(r.path) = r.deletionTimestamp
         case a: AddFile =>
           if (owned(a.path)) {
-            referenced += a.path
+            referenced += GwTable.uriKey(a.path)
             removedAt -= a.path
           }
-          a.dv.foreach(d => referenced += d.path)
+          a.dv.filter(_.isOnDisk).foreach(d =>
+            referenced += GwTable.uriKey(d.pathOrInlineDv))
         case _ => ()
       }
     }
     var deleted = 0
     removedAt.foreach { case (p, removedTs) =>
-      if (!live.contains(p) && removedTs < cutoff) {
+      if (!live.contains(GwTable.uriKey(p)) && removedTs < cutoff) {
         val path = new Path(p)
         if (fs.exists(path) && fs.delete(path, false)) deleted += 1
       }
@@ -194,10 +200,12 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       val it = fs.listFiles(dir, /* recursive = */ true)
       while (it.hasNext) {
         val st = it.next()
-        val p = st.getPath.toString
+        val key = GwTable.uriKey(st.getPath.toString)
         val n = st.getPath.getName
-        val isData = !n.startsWith(".") && !n.startsWith("_") && n.endsWith(".parquet")
-        if (st.isFile && isData && !referenced.contains(p) && !live.contains(p) &&
+        // .bin = DV sidecars: crash debris too when no commit references them
+        val isData = !n.startsWith(".") && !n.startsWith("_") &&
+          (n.endsWith(".parquet") || n.endsWith(".bin"))
+        if (st.isFile && isData && !referenced.contains(key) && !live.contains(key) &&
           st.getModificationTime < debrisCutoff) {
           if (fs.delete(st.getPath, false)) deleted += 1
         }
@@ -241,7 +249,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val snap = gwLog.snapshot(None)
     if (snap.files.isEmpty) return -1L
     if (resolveCond(snap, cond) == Literal.TrueLiteral) return truncate()
-    val (fullFiles, partialFiles) = classifyByPredicate(snap, cond)
+    val (fullFiles, partialFiles, _) = classifyByPredicate(snap, cond)
     if (fullFiles.isEmpty && partialFiles.isEmpty) return -1L
     val hit = coalesce(cond, lit(false))
     if (!mergeOnRead) {
@@ -262,13 +270,17 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
 
   /** Re-assert `files` with deletion vectors grown by the positions of
     * every row matching `hit` (rows an earlier DV already deleted union
-    * in harmlessly). One sidecar per commit; cardinalities exact. Returns
-    * (original snapshot entry, DV'd re-assertion) pairs — the commit needs
-    * the original to detect concurrent mutation. */
+    * in harmlessly). Each file's bitmap is built by the EXECUTORS
+    * (groupByKey on the file path); the driver collects only the
+    * compressed bitmaps — ≈ cardinality/8 bits worst case, usually far
+    * less — and frames them into one sidecar (small ones inline).
+    * Returns (original snapshot entry, DV'd re-assertion) pairs — the
+    * commit needs the original to detect concurrent mutation. */
   private def buildDvAdds(snap: Snapshot, files: Seq[AddFile],
       hit: Column): Seq[(AddFile, AddFile)] =
     if (files.isEmpty) Nil
     else {
+      import spark.implicits._
       val mapping = Dv.pathMapping(spark, files)
       val newRows = spark.read.schema(snap.schema)
         .parquet(files.map(_.path): _*)
@@ -277,17 +289,25 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
           col("_metadata.row_index").as("pos"))
         .join(org.apache.spark.sql.functions.broadcast(mapping), Seq("enc_path"))
         .select("dv_path", "pos")
-      val allRows = newRows
+      val perFile = newRows
         .unionByName(Dv.positionsDF(spark, files))
         .distinct()
-      val sidecar = Dv.writeSidecar(spark, tablePath, allRows)
-      // per-file cardinality: one row per touched file (metadata scale)
-      val cards = spark.read.parquet(sidecar)
-        .groupBy("dv_path").agg(count(lit(1)).as("n")).collect()
-        .map(r => GwTable.uriKey(r.getString(0)) -> r.getLong(1)).toMap
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (path, rows) =>
+          val pos = rows.map(_._2).toArray
+          java.util.Arrays.sort(pos)
+          (path, graft.log.RoaringBitmapArray.serialize(pos), pos.length.toLong)
+        }
+        .collect().toSeq
+      val descs = Dv.writeDvs(
+        spark.sparkContext.hadoopConfiguration, tablePath, perFile)
       files.map { f =>
-        f -> f.copy(dv = Some(graft.log.DvDescriptor(
-          sidecar, cards.getOrElse(GwTable.uriKey(f.path), 0L))))
+        val d = descs.getOrElse(GwTable.uriKey(f.path),
+          throw new IllegalStateException(
+            s"no deletion vector built for classified file ${f.path} — " +
+              "rows changed under the operation; re-run"))
+        f -> f.copy(dv = Some(d))
       }
     }
 
@@ -350,7 +370,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
           s"(${snap.schema.fieldNames.mkString(", ")})")
     }
     resolveCond(snap, cond) // fail on unresolvable predicates before any IO
-    val (fullFiles, partialFiles) = classifyByPredicate(snap, cond)
+    val (fullFiles, partialFiles, matchedBytes) = classifyByPredicate(snap, cond)
     val touched = fullFiles ++ partialFiles
     if (touched.isEmpty) return -1L
     val hit = coalesce(cond, lit(false))
@@ -376,9 +396,14 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
           case None => col(f.name)
         }
       }
+      // size the output by MATCHED volume (like compact()): a constant 1
+      // would serialize exactly the broad-predicate case this mode exists
+      // for and grow one giant file per commit
+      val nOut = math.max(1, math.ceil(
+        matchedBytes.toDouble / GwTable.TargetDmlFileBytes).toInt)
       val newAdds = writeDml(
         Dv.readLive(spark, snap.schema, touched).filter(hit)
-          .select(projected.toIndexedSeq: _*).coalesce(1))
+          .select(projected.toIndexedSeq: _*).coalesce(nOut))
       // pre-update versions of the matched rows leave via the deletion
       // vector; a DV covering a whole file upgrades to a plain remove
       val dvAdds = buildDvAdds(snap, touched, hit)
@@ -502,13 +527,16 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         s"could not resolve predicate $cond"))
 
   /** One distributed count pass over the stats-surviving candidate files:
-    * (fully matching, partially matching). One row per file — metadata
-    * scale on the driver. */
-  private def classifyByPredicate(snap: Snapshot, cond: Column): (Seq[AddFile], Seq[AddFile]) = {
+    * (fully matching, partially matching, estimated MATCHED bytes — each
+    * file's size scaled by its hit fraction, what a merge-on-read UPDATE
+    * will roughly rewrite). One row per file — metadata scale on the
+    * driver. */
+  private def classifyByPredicate(snap: Snapshot, cond: Column):
+      (Seq[AddFile], Seq[AddFile], Long) = {
     val ranges = org.apache.spark.sql.graftbridge.GwStatsPruning
       .ranges(Seq(resolveCond(snap, cond)))
     val candidates = if (ranges.isEmpty) snap.files else snap.filesForConstraints(ranges)
-    if (candidates.isEmpty) return (Nil, Nil)
+    if (candidates.isEmpty) return (Nil, Nil, 0L)
     val hit = coalesce(cond, lit(false))
     val counts = spark.read.schema(snap.schema).parquet(candidates.map(_.path): _*)
       .groupBy(col("_metadata.file_path").as("f"))
@@ -517,14 +545,17 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val byKey = candidates.map(f => GwTable.uriKey(f.path) -> f).toMap
     val full = Seq.newBuilder[AddFile]
     val partial = Seq.newBuilder[AddFile]
+    var matchedBytes = 0L
     counts.foreach { r =>
       val add = byKey.getOrElse(GwTable.uriKeyScanned(r.getString(0)),
         throw new IllegalStateException(s"scanned file ${r.getString(0)} not in snapshot"))
       val (total, hits) = (r.getLong(1), r.getLong(2))
+      if (hits > 0 && total > 0)
+        matchedBytes += (add.size.toDouble * hits / total).toLong
       if (hits == total && total > 0) full += add
       else if (hits > 0) partial += add
     }
-    (full.result(), partial.result())
+    (full.result(), partial.result(), matchedBytes)
   }
 
   /** Rewrite `files` through `transform` into a fresh `_dml/` dir and
@@ -762,6 +793,11 @@ object GwTable {
     * sink's parquet write and its log commit (tombstoned files are exempt:
     * a tombstone proves the write completed and was superseded). */
   val DebrisMinAgeMs: Long = 15L * 60 * 1000
+
+  /** Target output-file size for DML rewrites sized by matched volume
+    * (merge-on-read UPDATE's updated-row files) — same default as
+    * `compact()`. */
+  val TargetDmlFileBytes: Long = 128L * 1024 * 1024
 
   /** Scheme-insensitive identity for a file path: the scan's
     * `_metadata.file_path` comes back as a full URI (`file:///t/p.parquet`)

@@ -25,13 +25,33 @@ final case class Metadata(
     configuration: Map[String, String] = Map.empty,
     createdTime: Long = 0L) extends Action
 
-/** Merge-on-read deletion vector attached to an [[AddFile]]: `path` is a
-  * sidecar parquet of (dv_path, pos) rows — the row POSITIONS of this data
-  * file that are deleted — and `cardinality` their count. A DV'd file's
-  * bytes never move on DELETE; scans reconcile positions at read time and
-  * compaction folds the DV away. (Delta's deletionVector field models the
-  * same thing with a roaring-bitmap sidecar.) */
-final case class DvDescriptor(path: String, cardinality: Long)
+/** Merge-on-read deletion vector attached to an [[AddFile]] — the deleted
+  * row POSITIONS of this data file, encoded as a portable roaring bitmap
+  * ([[RoaringBitmapArray]]), in the Delta protocol's `deletionVector`
+  * action shape:
+  *
+  *  - `storageType` `"p"`: `pathOrInlineDv` is the absolute path of a
+  *    sidecar file under `<table>/_dv/`; the bitmap's bytes sit at
+  *    `offset` framed as [4-byte BE size][bitmap][4-byte BE CRC-32].
+  *    One sidecar holds every on-disk DV of its commit.
+  *  - `storageType` `"i"`: `pathOrInlineDv` IS the bitmap, Z85-encoded
+  *    (zero-padded to 4 bytes; `sizeInBytes` trims it back).
+  *
+  * `sizeInBytes` is the serialized bitmap length, `cardinality` the number
+  * of deleted positions. A DV'd file's bytes never move on DELETE; scans
+  * decode the bitmap task-side and reconcile positions at read time, and
+  * compaction folds the DV away. The driver only ever holds descriptors —
+  * never materialized positions — so planning cost is O(DV'd files), not
+  * O(deleted rows). */
+final case class DvDescriptor(
+    storageType: String,
+    pathOrInlineDv: String,
+    offset: Option[Int],
+    sizeInBytes: Int,
+    cardinality: Long) {
+  def isOnDisk: Boolean = storageType == "p"
+  def isInline: Boolean = storageType == "i"
+}
 
 final case class AddFile(
     path: String,
@@ -96,8 +116,10 @@ object Actions {
         // only written when present, so pre-DV logs stay byte-identical
         dv.foreach { d =>
           val dn = n.putObject("deletionVector")
-          dn.put("storageType", "p") // engine convention: sidecar parquet path
-          dn.put("pathOrInlineDv", d.path)
+          dn.put("storageType", d.storageType)
+          dn.put("pathOrInlineDv", d.pathOrInlineDv)
+          d.offset.foreach(o => dn.put("offset", o))
+          dn.put("sizeInBytes", d.sizeInBytes)
           dn.put("cardinality", d.cardinality)
         }
       case RemoveFile(path, size, dts, dataChange, partVals) =>
@@ -160,8 +182,11 @@ object Actions {
         partitionValues = strMap(n.get("partitionValues")),
         stats = Option(n.get("stats")).map(_.asText),
         dv = Option(n.get("deletionVector")).map(d => DvDescriptor(
-          d.path("pathOrInlineDv").asText,
-          d.path("cardinality").asLong))))
+          storageType = Option(d.get("storageType")).map(_.asText).getOrElse("p"),
+          pathOrInlineDv = d.path("pathOrInlineDv").asText,
+          offset = Option(d.get("offset")).map(_.asInt),
+          sizeInBytes = d.path("sizeInBytes").asInt,
+          cardinality = d.path("cardinality").asLong))))
     } else if (root.has("remove")) {
       val n = root.get("remove")
       Some(RemoveFile(

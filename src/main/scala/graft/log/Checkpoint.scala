@@ -64,6 +64,8 @@ object Checkpoint {
       |    optional group deletionVector {
       |      optional binary storageType (UTF8);
       |      optional binary pathOrInlineDv (UTF8);
+      |      optional int32 offset;
+      |      optional int32 sizeInBytes;
       |      optional int64 cardinality;
       |    }
       |  }
@@ -122,8 +124,10 @@ object Checkpoint {
           stats.foreach(s => g.append("stats", s))
           dv.foreach { d =>
             val dg = g.addGroup("deletionVector")
-            dg.append("storageType", "p")
-            dg.append("pathOrInlineDv", d.path)
+            dg.append("storageType", d.storageType)
+            dg.append("pathOrInlineDv", d.pathOrInlineDv)
+            d.offset.foreach(o => dg.append("offset", o))
+            dg.append("sizeInBytes", d.sizeInBytes)
             dg.append("cardinality", d.cardinality)
           }
         case other =>
@@ -176,8 +180,14 @@ object Checkpoint {
               if (g.getFieldRepetitionCount("deletionVector") > 0) {
                 val dg = g.getGroup("deletionVector", 0)
                 Some(DvDescriptor(
-                  dg.getString("pathOrInlineDv", 0),
-                  dg.getLong("cardinality", 0)))
+                  storageType = dg.getString("storageType", 0),
+                  pathOrInlineDv = dg.getString("pathOrInlineDv", 0),
+                  offset =
+                    if (dg.getFieldRepetitionCount("offset") > 0)
+                      Some(dg.getInteger("offset", 0))
+                    else None,
+                  sizeInBytes = dg.getInteger("sizeInBytes", 0),
+                  cardinality = dg.getLong("cardinality", 0)))
               } else None)
         }
         row = reader.read()

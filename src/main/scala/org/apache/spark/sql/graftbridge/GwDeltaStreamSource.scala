@@ -46,8 +46,20 @@ class GwDeltaStreamSource(
     val endV = versionOf(end)
     val files: Seq[AddFile] = start match {
       case None =>
-        // initial batch: the live snapshot at endV
-        log.snapshot(Some(endV)).files
+        // initial batch: the live snapshot at endV. This V1 path reads
+        // through a plain parquet relation with no position reconciliation,
+        // so a snapshot holding deletion vectors must fail loudly instead
+        // of serving deleted rows (the V2 catalog stream reconciles them;
+        // compact() folds DVs away for this path)
+        val snap = log.snapshot(Some(endV)).files
+        val dvd = snap.count(_.dv.isDefined)
+        if (dvd > 0)
+          throw new IllegalStateException(
+            s"gwdelta V1 stream at $tablePath: the initial snapshot has $dvd " +
+              "file(s) carrying deletion vectors, which this path cannot " +
+              "reconcile — run compact() on the table first, or stream " +
+              "through the catalog (spark.readStream.table) instead")
+        snap
       case Some(s) =>
         val startV = versionOf(s)
         val range = (startV + 1) to endV
@@ -62,7 +74,9 @@ class GwDeltaStreamSource(
             s"gwdelta stream at $tablePath hit a schema restatement in versions " +
               s"(${startV}, $endV]: the table was replaced; restart the stream " +
               "from a fresh checkpoint to consume the restated snapshot")
-        actions.collect { case a: AddFile if a.dataChange => a }
+        // skip DV re-assertions: a merge-on-read DELETE adds no new rows
+        // (same contract as changesSince and the V2 stream)
+        actions.collect { case a: AddFile if a.dataChange && a.dv.isEmpty => a }
     }
     if (files.isEmpty) {
       // a version range can be metadata-only (e.g. a compaction commit's

@@ -61,7 +61,12 @@ class GwMicroBatchStream(
           s"gwdelta stream at $tablePath hit a schema restatement in versions " +
             s"($startV, $endV]: the table was replaced; restart the stream " +
             "from a fresh checkpoint to consume the restated snapshot")
-      actions.collect { case a: AddFile if a.dataChange => a }
+      // an add carrying a deletion vector is a merge-on-read DELETE
+      // re-assertion — no NEW rows, so an appending consumer must get
+      // nothing from it (same contract as changesSince; without this guard
+      // the stream would re-emit the whole re-asserted file: every
+      // already-consumed row plus the supposedly deleted ones)
+      actions.collect { case a: AddFile if a.dataChange && a.dv.isEmpty => a }
     }
 
   private def parquetScan(paths: Seq[String]): ParquetScan = {
@@ -74,15 +79,33 @@ class GwMicroBatchStream(
 
   override def planInputPartitions(start: OffsetV2, end: OffsetV2): Array[InputPartition] = {
     val files = filesFor(versionOf(start), versionOf(end))
-    if (files.isEmpty) Array.empty
-    else parquetScan(files.map(_.path)).toBatch.planInputPartitions()
+    if (files.isEmpty) return Array.empty
+    // only the INITIAL snapshot can contain DV'd files (incremental batches
+    // skip DV re-assertions above): serve their LIVE rows through the same
+    // per-file skipping partitions the batch MOR scan uses — a plain
+    // parquet read would resurrect the deleted rows
+    val (dvd, clean) = files.partition(_.dv.isDefined)
+    val cleanParts: Array[InputPartition] =
+      if (clean.isEmpty) Array.empty
+      else parquetScan(clean.map(_.path)).toBatch.planInputPartitions()
+    val dvParts: Array[InputPartition] =
+      if (dvd.isEmpty) Array.empty
+      else GwMorScan.groupDvPartitions(
+        parquetScan(dvd.map(_.path)).toBatch.planInputPartitions(),
+        dvd.map(f => graft.GwTable.uriKey(f.path) -> f.dv.get).toMap)
+    cleanParts ++ dvParts
   }
 
   /** Partition readers only depend on the read schema and parquet options
     * (the file list rides inside each partition), so one factory serves
-    * every batch. */
-  override def createReaderFactory(): PartitionReaderFactory =
-    parquetScan(Nil).toBatch.createReaderFactory()
+    * every batch. The MOR wrapper routes DV partitions (initial snapshot
+    * only) through the position-skipping row reader and everything else —
+    * columnar reads included — straight to the parquet factory. */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val parquet = parquetScan(Nil).toBatch.createReaderFactory()
+    new GwMorReaderFactory(Some(parquet), parquet,
+      new graft.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+  }
 }
 
 /** Scan wrapper that adds the streaming entry point to the pruning scan. */

@@ -1,9 +1,12 @@
 package org.apache.spark.sql.graftbridge
 
+import graft.SerializableHadoopConf
+import graft.log.DvDescriptor
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.vectorized.ColumnarBatch
 
 /**
  * Merge-on-read V2 scan: serves a snapshot whose file set includes files
@@ -11,9 +14,12 @@ import org.apache.spark.sql.types.StructType
  *
  * Clean files flow through the inner parquet scan untouched. Each DV'd file
  * becomes ONE input partition holding all of its splits in offset order and
- * its own deleted positions (shipped with that task only); its reader wraps
- * the parquet row reader with a physical-position counter and a two-pointer
- * skip over the sorted positions. Two invariants make the counter correct:
+ * its file's DV DESCRIPTOR — positions are decoded from the bitmap by the
+ * TASK that reads the file ([[GwMorReaderFactory.createReader]] runs
+ * executor-side), so the driver's planning cost is O(DV'd files) and
+ * independent of how many rows are deleted. The reader wraps the parquet
+ * row reader with a physical-position counter and a two-pointer skip over
+ * the sorted positions. Two invariants make the counter correct:
  *
  *  - the DV-side parquet scan is built with NO pushed filters, so no row
  *    group is skipped and rows stream in physical order;
@@ -29,13 +35,14 @@ import org.apache.spark.sql.types.StructType
 class GwMorScan(
     cleanScan: Option[Scan],
     dvScan: Scan,
-    // uriKey(data-file path) -> sorted deleted positions
-    positions: Map[String, Array[Long]]) extends Scan {
+    conf: SerializableHadoopConf,
+    // uriKey(data-file path) -> its deletion-vector descriptor
+    dvByKey: Map[String, DvDescriptor]) extends Scan {
 
   override def readSchema(): StructType =
     cleanScan.map(_.readSchema()).getOrElse(dvScan.readSchema())
   override def description(): String =
-    s"GwMorScan(dvFiles=${positions.size}, ${dvScan.description()})"
+    s"GwMorScan(dvFiles=${dvByKey.size}, ${dvScan.description()})"
 
   /** Planned files across both sides (test/plan observability). */
   def inputFiles: Array[String] =
@@ -55,50 +62,79 @@ class GwMorScan(
 
     override def planInputPartitions(): Array[InputPartition] = {
       val clean = cleanBatch.map(_.planInputPartitions()).getOrElse(Array.empty)
-      // regroup the DV side: every split of one file -> one partition
-      val byFile = dvBatch.planInputPartitions().flatMap {
-        case fp: FilePartition => fp.files
-        case other => throw new IllegalStateException(
-          s"expected FilePartition from the parquet scan, got $other")
-      }.groupBy(_.filePath.toPath.toString)
-      val dv: Array[InputPartition] = byFile.toArray.zipWithIndex.map {
-        case ((path, splits), i) =>
-          val sorted = splits.sortBy(_.start)
-          val deleted = positions.getOrElse(graft.GwTable.uriKey(path), Array.empty[Long])
-          GwMorPartition(FilePartition(i, sorted), deleted): InputPartition
-      }
-      clean ++ dv
+      clean ++ GwMorScan.groupDvPartitions(dvBatch.planInputPartitions(), dvByKey)
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
       new GwMorReaderFactory(
         cleanBatch.map(_.createReaderFactory()),
-        dvBatch.createReaderFactory())
+        dvBatch.createReaderFactory(),
+        conf)
   }
 }
 
-/** One whole DV'd file (offset-sorted splits) + its deleted positions. */
-case class GwMorPartition(inner: FilePartition, deleted: Array[Long])
+object GwMorScan {
+  /** Regroup a parquet batch's partitions so every split of one DV'd file
+    * lands in ONE offset-sorted partition tagged with that file's
+    * descriptor (see the class invariants). */
+  def groupDvPartitions(parts: Array[InputPartition],
+      dvByKey: Map[String, DvDescriptor]): Array[InputPartition] = {
+    val byFile = parts.flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"expected FilePartition from the parquet scan, got $other")
+    }.groupBy(_.filePath.toPath.toString)
+    byFile.toArray.zipWithIndex.map {
+      case ((path, splits: Array[PartitionedFile]), i) =>
+        val sorted = splits.sortBy(_.start)
+        val dv = dvByKey.getOrElse(graft.GwTable.uriKey(path),
+          throw new IllegalStateException(s"no deletion vector planned for $path"))
+        GwMorPartition(FilePartition(i, sorted), dv): InputPartition
+    }
+  }
+}
+
+/** One whole DV'd file (offset-sorted splits) + its DV descriptor; the
+  * positions bitmap is decoded task-side, never on the driver. */
+case class GwMorPartition(inner: FilePartition, dv: DvDescriptor)
   extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
+/** Serves both MOR batch scans and the streaming tail: DV partitions get
+  * the skipping row reader; anything else delegates to the clean factory —
+  * including columnar reads, so clean streaming batches stay vectorized
+  * (the batch GwMorScan pins row-based at the scan level instead). */
 class GwMorReaderFactory(
     cleanFactory: Option[PartitionReaderFactory],
-    dvFactory: PartitionReaderFactory) extends PartitionReaderFactory {
+    dvFactory: PartitionReaderFactory,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+
+  private def clean(p: InputPartition): PartitionReaderFactory =
+    cleanFactory.getOrElse(throw new IllegalStateException(
+      s"no clean-side reader factory for $p"))
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case m: GwMorPartition =>
-        new GwDvSkippingReader(dvFactory.createReader(m.inner), m.deleted)
-      case other =>
-        cleanFactory
-          .getOrElse(throw new IllegalStateException(
-            s"no clean-side reader factory for $other"))
-          .createReader(other)
+        // executor-side: DataSourceRDD calls createReader in the task
+        new GwDvSkippingReader(dvFactory.createReader(m.inner),
+          graft.Dv.readPositions(conf.value, m.dv))
+      case other => clean(other).createReader(other)
     }
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = false
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    partition match {
+      case _: GwMorPartition =>
+        throw new IllegalStateException("DV partitions are row-based")
+      case other => clean(other).createColumnarReader(other)
+    }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition match {
+      case _: GwMorPartition => false
+      case other => cleanFactory.exists(_.supportColumnarReads(other))
+    }
 }
 
 /** Row reader that drops the rows at `deleted` (sorted) physical positions;

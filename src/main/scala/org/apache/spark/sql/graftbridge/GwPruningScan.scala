@@ -262,7 +262,9 @@ class GwPruningScanBuilder(
       val cleanScan = if (cleanFiles.isEmpty) None else Some(ensureInner().build())
       // filter-free, column-pruned scan over the DV'd files
       val dvScan = makeInner(dvd.map(_.path)).build()
-      new GwMorScan(cleanScan, dvScan, graft.Dv.positionsByFile(spark, dvd))
+      new GwMorScan(cleanScan, dvScan,
+        new graft.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
+        dvd.map(f => graft.GwTable.uriKey(f.path) -> f.dv.get).toMap)
     }
   }
 }

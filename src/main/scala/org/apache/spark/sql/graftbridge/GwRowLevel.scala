@@ -117,7 +117,8 @@ class GwGroupScanBuilder(
     else new GwMorScan(
       if (clean.isEmpty) None else Some(makeScan(clean)),
       makeScan(dvd),
-      graft.Dv.positionsByFile(spark, dvd))
+      new graft.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
+      dvd.map(f => graft.GwTable.uriKey(f.path) -> f.dv.get).toMap)
   }
 }
 

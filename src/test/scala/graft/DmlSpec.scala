@@ -463,18 +463,112 @@ class DmlSpec extends SparkSpec {
   }
 
   test("DV actions round-trip the JSON log and the parquet checkpoint") {
-    val add = graft.log.AddFile("/t/p.parquet", 10L, 1L,
+    // both descriptor shapes: on-disk sidecar ("p", offset-framed) and
+    // inline bitmap ("i", Z85 text, no offset)
+    val onDisk = graft.log.AddFile("/t/p.parquet", 10L, 1L,
       stats = Some("""{"numRecords":5}"""),
-      dv = Some(graft.log.DvDescriptor("/t/_dv/x.parquet", 3L)))
-    val json = graft.log.Actions.toJson(add)
-    assert(json.contains("\"deletionVector\""))
-    assert(graft.log.Actions.fromJson(json).contains(add))
+      dv = Some(graft.log.DvDescriptor("p", "file:/t/_dv/x.bin", Some(1), 42, 3L)))
+    val inline = graft.log.AddFile("/t/q.parquet", 10L, 1L,
+      dv = Some(graft.log.DvDescriptor("i",
+        graft.log.RoaringBitmapArray.z85Encode(
+          graft.log.RoaringBitmapArray.serialize(Array(0L, 2L, 5L))),
+        None,
+        graft.log.RoaringBitmapArray.serialize(Array(0L, 2L, 5L)).length, 3L)))
+    Seq(onDisk, inline).foreach { add =>
+      val json = graft.log.Actions.toJson(add)
+      assert(json.contains("\"deletionVector\""))
+      assert(graft.log.Actions.fromJson(json).contains(add))
+    }
     // a DV-less add keeps the byte-identical legacy shape
-    assert(!graft.log.Actions.toJson(add.copy(dv = None)).contains("deletionVector"))
+    assert(!graft.log.Actions.toJson(onDisk.copy(dv = None)).contains("deletionVector"))
     val tmp = Files.createTempDirectory("dv-ckpt")
     val target = new org.apache.hadoop.fs.Path(s"$tmp/ckpt.parquet")
     val conf = spark.sparkContext.hadoopConfiguration
-    graft.log.Checkpoint.write(target, conf, Seq(add))
-    assert(graft.log.Checkpoint.read(target, conf) == Seq(add))
+    graft.log.Checkpoint.write(target, conf, Seq(onDisk, inline))
+    assert(graft.log.Checkpoint.read(target, conf) == Seq(onDisk, inline))
+  }
+
+  test("roaring bitmap + Z85 codec round-trips across container shapes") {
+    import graft.log.RoaringBitmapArray._
+    val shapes: Seq[Array[Long]] = Seq(
+      Array.empty[Long],
+      Array(0L),
+      Array(7L, 8L, 65535L, 65536L, 131071L), // array containers, 2 keys
+      (0L until 5000L).toArray, // bitmap container (card > 4096)
+      (0L until 5000L).map(_ * 2).toArray, // sparse bitmap container
+      Array(0L, (1L << 32) + 3, (5L << 32) + 70000), // multiple 32-bit bitmaps
+      (0L until 70000L).toArray) // spans containers, mixed kinds
+    shapes.foreach { pos =>
+      val bytes = serialize(pos)
+      assert(deserialize(bytes).toSeq == pos.toSeq, s"bitmap n=${pos.length}")
+      val z = z85Encode(bytes)
+      assert(z85Decode(z, bytes.length).toSeq == bytes.toSeq, s"z85 n=${pos.length}")
+    }
+    // deterministic: the same positions always serialize identically
+    assert(serialize(Array(1L, 2L, 3L)).toSeq == serialize(Array(1L, 2L, 3L)).toSeq)
+  }
+
+  test("large MOR delete writes one on-disk sidecar; vacuum RETAIN 0 keeps it live") {
+    import org.apache.spark.sql.functions.expr
+    val dir = Files.createTempDirectory("dml-big").resolve("t").toString
+    spark.range(3000).selectExpr("id", "id % 7 AS grp").coalesce(1)
+      .write.format("gwdelta").mode("append").save(dir)
+    val t = GwTable.forPath(spark, dir)
+    // 1500 deleted positions -> ~3 KB array-container bitmap -> on-disk "p"
+    assert(t.delete(expr("id % 2 = 0"), mergeOnRead = true) > 0)
+    val dvs = t.snapshot().files.flatMap(_.dv)
+    assert(dvs.nonEmpty && dvs.forall(_.isOnDisk),
+      s"1500 positions must spill to a sidecar, got $dvs")
+    assert(dvs.forall(_.cardinality == 1500L))
+    val sidecar = new org.apache.hadoop.fs.Path(dvs.head.pathOrInlineDv)
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(sidecar))
+    // the ADVICE regression: vacuum's debris sweep compares fully-qualified
+    // listing paths against descriptor paths — a LIVE sidecar past the
+    // debris age floor must never be reaped. RETAIN 0 HOURS exercises the
+    // tombstone path; the age floor shields the sidecar from the debris
+    // path, and the uriKey-normalized referenced-set keeps it shielded
+    // even when the floor passes (simulated by backdating the mtime)
+    fs.setTimes(sidecar, System.currentTimeMillis() - 16L * 60 * 1000, -1)
+    t.vacuum(retentionMs = 0L)
+    assert(fs.exists(sidecar), "vacuum deleted a LIVE table's DV sidecar")
+    assert(t.toDF.count() == 1500)
+    assert(t.toDF.filter(expr("id % 2 = 0")).count() == 0)
+    // an UNREFERENCED stale sidecar (crash debris) past the floor IS reaped
+    val debris = new org.apache.hadoop.fs.Path(sidecar.getParent, "debris.bin")
+    val out = fs.create(debris); out.write(1); out.close()
+    fs.setTimes(debris, System.currentTimeMillis() - 16L * 60 * 1000, -1)
+    t.vacuum(retentionMs = 0L)
+    assert(!fs.exists(debris), "crash-debris sidecar must be reclaimed")
+    assert(fs.exists(sidecar))
+  }
+
+  test("MOR scan planning never materializes DV positions driver-side") {
+    import org.apache.spark.sql.functions.expr
+    val dir = Files.createTempDirectory("dml-plan").resolve("t").toString
+    spark.range(3000).selectExpr("id", "id % 7 AS grp").coalesce(1)
+      .write.format("gwdelta").mode("append").save(dir)
+    val t = GwTable.forPath(spark, dir)
+    assert(t.delete(expr("id % 2 = 0"), mergeOnRead = true) > 0)
+    val sidecars = t.snapshot().files.flatMap(_.dv)
+      .filter(_.isOnDisk).map(_.pathOrInlineDv).distinct
+    assert(sidecars.size == 1, s"expected one on-disk sidecar, got $sidecars")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // hide the sidecar: planning must still succeed (descriptors only);
+    // only EXECUTION — the task-side bitmap decode — may touch its bytes
+    val p = new org.apache.hadoop.fs.Path(sidecars.head)
+    val hidden = new org.apache.hadoop.fs.Path(p.getParent, s".hidden-${p.getName}")
+    assert(fs.rename(p, hidden))
+    try {
+      val df = t.toDF.filter(expr("id >= 0"))
+      df.queryExecution.executedPlan // plan fully (scan construction included)
+      intercept[Exception] { df.collect() } // decode happens task-side
+    } finally fs.rename(hidden, p)
+    assert(t.toDF.count() == 1500)
+    // a second delete UNIONS into the bitmap (1500 + 1 positions)
+    assert(t.delete(expr("id = 1"), mergeOnRead = true) > 0)
+    assert(t.snapshot().files.flatMap(_.dv).exists(_.cardinality == 1501L))
+    assert(t.toDF.count() == 1499)
   }
 }

@@ -339,6 +339,61 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     assert(drain() == 0, "no new versions -> empty drain")
   }
 
+  test("streams honor deletion vectors: V2 reconciles, V1 fails loudly / skips") {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.streaming.Trigger
+    catalogReady
+    val loc = Files.createTempDirectory("gwtest-dv-stream").resolve("t").toString
+    spark.range(3000).selectExpr("id", "id % 7 AS grp").coalesce(1)
+      .write.format("gwdelta").mode("append").save(loc)
+    val t = GwTable.forPath(spark, loc)
+    assert(t.delete(expr("id % 2 = 0"), mergeOnRead = true) > 0)
+    assert(t.snapshot().files.exists(_.dv.isDefined))
+    spark.sql(s"CREATE TABLE gwtest.cda.dvtail USING gwdelta LOCATION '$loc'")
+    val work = Files.createTempDirectory("gwtest-dv-stream-out")
+    val out = work.resolve("out").toString
+    val cp = work.resolve("cp").toString
+    def sunk(): Long =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out))) 0L
+      else spark.read.parquet(out).count()
+    def drain(): Long = {
+      val before = sunk()
+      val q = spark.readStream.table("gwtest.cda.dvtail")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sunk() - before
+    }
+    // V2 initial snapshot: LIVE rows only — a plain parquet read of the
+    // re-asserted file would deliver all 3000 (deleted rows included)
+    assert(drain() == 1500, "initial snapshot must reconcile deletion vectors")
+    assert(spark.read.parquet(out).filter(expr("id % 2 = 0")).count() == 0)
+    // an incremental MOR delete is a re-assertion with NO new rows: the
+    // stream must emit nothing (not re-deliver the whole file)
+    assert(t.delete(expr("id = 1"), mergeOnRead = true) > 0)
+    assert(drain() == 0, "a MOR delete commit must not re-emit the file")
+    // a real append still flows
+    spark.range(3000, 3005).selectExpr("id", "id % 7 AS grp")
+      .write.format("gwdelta").mode("append").save(loc)
+    assert(drain() == 5)
+    // V1 path-based stream: a DV'd initial snapshot cannot be reconciled
+    // there — must fail loudly, not serve deleted rows
+    val v1cp = work.resolve("v1cp").toString
+    val v1out = work.resolve("v1out").toString
+    val q = spark.readStream.format("gwdelta").load(loc)
+      .writeStream.format("parquet")
+      .option("path", v1out).option("checkpointLocation", v1cp)
+      .trigger(Trigger.AvailableNow()).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def rootMessages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => x.getMessage +: rootMessages(x.getCause))
+    assert(rootMessages(err).exists(m => m != null && m.contains("deletion vectors")),
+      s"V1 stream over a DV'd snapshot must name the problem: ${err.getMessage}")
+  }
+
   test("catalog: INSERT INTO appends a commit; INSERT OVERWRITE truncates atomically") {
     catalogReady
     // a fresh writable table over its own location (don't mutate the shared fixture)
