@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked mains (Bench/Verify) print machine-readable JSON lines the round
+// driver parses: route their stdout STRAIGHT through instead of through
+// sbt's logger, which prefixes every line with "[info] " and breaks the
+// parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

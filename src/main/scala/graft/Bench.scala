@@ -91,7 +91,15 @@ object Bench {
     val compactQs = results.map { case (k, v) =>
       "\"" + shortNames(k) + "\":" + f"$v%.4g"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$compactQs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir","note":"query keys = id prefix of SparkEntry.queries names; full map in BENCH_FULL.json"}""")
+    val finalLine =
+      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$compactQs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir","note":"query keys = id prefix of SparkEntry.queries names; full map in BENCH_FULL.json"}"""
+    // belt and braces for the driver's parser: the bare line on stdout
+    // (build.sbt routes forked stdout straight through, no sbt prefix) AND
+    // a fixed-path file it can read regardless of stdout capture
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench-results.json"),
+      (finalLine + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () }
+    println(finalLine)
     spark.stop()
   }
 }

@@ -705,7 +705,7 @@ object Pipelines {
       .select(col("q_id"), intDot.cast("double").as("idot"), col("n_id"))
       .groupBy("q_id")
       .agg(graft.functions.TopKAgg.topk(
-        col("idot"), col("n_id").cast("long"), candidates).as("top"))
+        col("idot"), col("n_id"), candidates).as("top"))
       .select(col("q_id"), explode(col("top.n_id")).as("n_id"))
     val c = corpus.select(id.as("n_id"), vec.as("n_emb"))
       .withColumn("n_nrm", l2norm(col("n_emb")))
@@ -721,7 +721,9 @@ object Pipelines {
     * which had to SHUFFLE the whole |queries| x |corpus| scored product to
     * rank it — the aggregate's map-side partials cap the exchange at
     * k * partitions rows per query, the shape that survives 100 TB. Output
-    * and ordering ((cos DESC, n_id ASC), ranks 1..k) are identical. */
+    * and ordering ((cos DESC, n_id ASC), ranks 1..k) are identical, and
+    * `n_id` KEEPS the caller's id type (string doc ids included — the
+    * aggregate is id-generic, nothing is cast). */
   private def topKByCosine(scored: DataFrame, k: Int): DataFrame =
     scored
       .select(col("q_id"),
@@ -729,7 +731,7 @@ object Pipelines {
         col("n_id"))
       .groupBy("q_id")
       .agg(graft.functions.TopKAgg.topk(
-        col("cos"), col("n_id").cast("long"), k).as("top"))
+        col("cos"), col("n_id"), k).as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), col("col.n_id").as("n_id"),
         (col("pos") + 1).cast("long").as("rnk"),

@@ -21,6 +21,12 @@ import scala.collection.mutable
  *
  * State is a min-heap on goodness (root = worst kept pair, O(log k)
  * insert/evict); eval returns `array<struct<n_id, score>>` best-first.
+ *
+ * The id is GENERIC: `n_id` keeps the id expression's own type (string doc
+ * ids included) — ids ride through as internal Catalyst values, tie-broken
+ * by the type's interpreted ordering, and partial states serialize each id
+ * through a single-field UnsafeProjection. Nothing is cast, so no id is
+ * ever silently nulled out.
  */
 case class TopKAgg(
     score: Expression,
@@ -28,66 +34,93 @@ case class TopKAgg(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Any)]] {
 
   require(k >= 1, s"need k >= 1, got $k")
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("n_id", LongType, nullable = false),
+    StructField("n_id", id.dataType, nullable = false),
     StructField("score", DoubleType, nullable = false))), containsNull = false)
   override def prettyName: String = "topk_agg"
 
+  @transient private lazy val idOrd: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(id.dataType)
+
   // worst-first ordering: a pair is WORSE when its score is lower, or equal
   // with a larger id — so the queue's head is the eviction candidate
-  private val worstFirst: Ordering[(Double, Long)] =
-    Ordering.fromLessThan[(Double, Long)]((a, b) =>
-      a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)).reverse
+  private def worstFirst: Ordering[(Double, Any)] =
+    Ordering.fromLessThan[(Double, Any)]((a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && idOrd.gt(a._2, b._2))).reverse
 
-  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Any)] =
     mutable.PriorityQueue.empty(worstFirst)
 
-  private def push(buf: mutable.PriorityQueue[(Double, Long)], s: Double, i: Long): Unit =
+  private def push(buf: mutable.PriorityQueue[(Double, Any)], s: Double, i: Any): Unit =
     if (buf.size < k) buf.enqueue((s, i))
     else {
       val (ws, wi) = buf.head
-      if (s > ws || (s == ws && i < wi)) { buf.dequeue(); buf.enqueue((s, i)) }
+      if (s > ws || (s == ws && idOrd.lt(i, wi))) { buf.dequeue(); buf.enqueue((s, i)) }
     }
 
-  override def update(buffer: mutable.PriorityQueue[(Double, Long)],
-      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+  override def update(buffer: mutable.PriorityQueue[(Double, Any)],
+      input: InternalRow): mutable.PriorityQueue[(Double, Any)] = {
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null)
-      push(buffer, s.asInstanceOf[Double], i.asInstanceOf[Long])
+      // copy: non-primitive values (UTF8String, arrays) may point into a
+      // reused row buffer that the next input overwrites
+      push(buffer, s.asInstanceOf[Double], InternalRow.copyValue(i))
     buffer
   }
 
-  override def merge(buffer: mutable.PriorityQueue[(Double, Long)],
-      other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+  override def merge(buffer: mutable.PriorityQueue[(Double, Any)],
+      other: mutable.PriorityQueue[(Double, Any)]): mutable.PriorityQueue[(Double, Any)] = {
     other.foreach { case (s, i) => push(buffer, s, i) }
     buffer
   }
 
-  override def eval(buffer: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val best = buffer.toArray.sortBy { case (s, i) => (-s, i) }
+  override def eval(buffer: mutable.PriorityQueue[(Double, Any)]): Any = {
+    // worstFirst ranks worse pairs larger, so ascending = best-first
+    val best = buffer.toArray.sorted(worstFirst)
     new GenericArrayData(best.map { case (s, i) => InternalRow(i, s) }.toArray[Any])
   }
 
-  override def serialize(buffer: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buffer.size * 16)
-    bb.putInt(buffer.size)
-    buffer.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+  @transient private lazy val idProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(Array(id.dataType))
+
+  override def serialize(buffer: mutable.PriorityQueue[(Double, Any)]): Array[Byte] = {
+    val entries = buffer.toArray.map { case (s, i) =>
+      // the projection reuses one result buffer across calls — copy() or
+      // every entry aliases the LAST id's bytes
+      (s, idProj(InternalRow(i)).copy().getBytes)
+    }
+    val bb = ByteBuffer.allocate(4 + entries.map(12 + _._2.length).sum)
+    bb.putInt(entries.length)
+    entries.foreach { case (s, b) =>
+      bb.putDouble(s)
+      bb.putInt(b.length)
+      bb.put(b)
+    }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Any)] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt()
     val buf = createAggregationBuffer()
+    val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(1)
     var i = 0
-    while (i < n) { buf.enqueue((bb.getDouble(), bb.getLong())); i += 1 }
+    while (i < n) {
+      val s = bb.getDouble()
+      val len = bb.getInt()
+      val b = new Array[Byte](len)
+      bb.get(b)
+      row.pointTo(b, len)
+      buf.enqueue((s, InternalRow.copyValue(row.get(0, id.dataType))))
+      i += 1
+    }
     buf
   }
 

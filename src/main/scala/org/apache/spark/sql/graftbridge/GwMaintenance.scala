@@ -55,7 +55,9 @@ object GwMaintenance {
 
   /** Resolve a statement's table reference to the gwdelta table PATH:
     * quoted forms are paths; identifier forms resolve through the session's
-    * V2 catalogs to the loaded table's location. */
+    * V2 catalogs to the loaded table's location. A single-part identifier
+    * resolves in the session's CURRENT namespace (`USE gw.ns; OPTIMIZE t`),
+    * like any other table reference. */
   def resolvePath(spark: SparkSession, ref: String): String = {
     def unquote(q: Char): Option[String] =
       if (ref.length >= 2 && ref.head == q && ref.last == q)
@@ -70,6 +72,8 @@ object GwMaintenance {
       val (catalog, ident) =
         if (parts.length >= 2 && mgr.isCatalogRegistered(parts.head))
           (mgr.catalog(parts.head), parts.tail)
+        else if (parts.length == 1)
+          (mgr.currentCatalog, mgr.currentNamespace.toSeq ++ parts)
         else (mgr.currentCatalog, parts)
       val table = catalog.asInstanceOf[TableCatalog]
         .loadTable(Identifier.of(ident.init.toArray, ident.last))
@@ -81,10 +85,26 @@ object GwMaintenance {
       }
     }
   }
+
+  /** True when `ref` RESOLVES to a table another connector owns (loadTable
+    * succeeds but the table is not gwdelta-backed): the statement then
+    * falls through to the delegate parser instead of dying here — a Delta
+    * table's OPTIMIZE belongs to Delta's parser, not ours. Quoted paths
+    * and unresolvable identifiers stay OURS, so the user sees
+    * table-not-found from the command, not a delegate syntax error. */
+  def targetIsForeign(spark: SparkSession, ref: String): Boolean =
+    scala.util.Try(resolvePath(spark, ref)).failed.toOption
+      .exists(_.isInstanceOf[UnsupportedOperationException])
+}
+
+/** Common shape of the maintenance commands (the parser needs the ref to
+  * decide ownership before claiming the statement). */
+sealed trait GwMaintenanceCommand extends LeafRunnableCommand {
+  def ref: String
 }
 
 case class GwOptimizeCommand(ref: String, zorderBy: Seq[String])
-  extends LeafRunnableCommand {
+  extends GwMaintenanceCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
     AttributeReference("version", LongType, nullable = false)())
@@ -96,7 +116,7 @@ case class GwOptimizeCommand(ref: String, zorderBy: Seq[String])
 }
 
 case class GwVacuumCommand(ref: String, retainHours: Option[Long])
-  extends LeafRunnableCommand {
+  extends GwMaintenanceCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
     AttributeReference("deleted_files", IntegerType, nullable = false)())
@@ -111,7 +131,7 @@ case class GwVacuumCommand(ref: String, retainHours: Option[Long])
   }
 }
 
-case class GwDescribeHistoryCommand(ref: String) extends LeafRunnableCommand {
+case class GwDescribeHistoryCommand(ref: String) extends GwMaintenanceCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("timestamp", LongType, nullable = false)(),
@@ -126,7 +146,7 @@ case class GwDescribeHistoryCommand(ref: String) extends LeafRunnableCommand {
   }
 }
 
-case class GwDescribeDetailCommand(ref: String) extends LeafRunnableCommand {
+case class GwDescribeDetailCommand(ref: String) extends GwMaintenanceCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("format", StringType, nullable = false)(),
     AttributeReference("location", StringType, nullable = false)(),
@@ -147,14 +167,23 @@ case class GwDescribeDetailCommand(ref: String) extends LeafRunnableCommand {
   }
 }
 
-/** Delegating parser: the maintenance statements parse here, everything
-  * else falls through untouched. */
+/** Delegating parser: the maintenance statements parse here — UNLESS the
+  * target resolves to another connector's table, in which case the whole
+  * statement falls through to the delegate (whose own extensions may own
+  * OPTIMIZE/VACUUM for it) — and everything else falls through untouched. */
 class GwSqlParser(delegate: ParserInterface) extends ParserInterface {
+  private def claim(sqlText: String): Option[LogicalPlan] =
+    GwMaintenance.parse(sqlText).filter {
+      case c: GwMaintenanceCommand =>
+        SparkSession.getActiveSession
+          .forall(s => !GwMaintenance.targetIsForeign(s, c.ref))
+      case _ => true
+    }
   override def parsePlan(sqlText: String): LogicalPlan =
-    GwMaintenance.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    claim(sqlText).getOrElse(delegate.parsePlan(sqlText))
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan =
-    GwMaintenance.parse(sqlText)
+    claim(sqlText)
       .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -59,6 +59,26 @@ class ApiSpec extends AnyFunSuite {
     assert(row.getLong(3) == 1000000L) // cos = 1.0 exactly
   }
 
+  test("cosineTopK keeps non-numeric ids intact (no silent long cast)") {
+    // string doc ids: the old row_number path handled these; the bounded
+    // heap must too — ids pass through the aggregate untouched and typed
+    val named = embs.select(
+      concat(lit("doc-"), col("vec_id")).as("vec_id"),
+      col("embedding"))
+    val top = named.cosineTopK(named.filter(col("vec_id") === "doc-0"),
+      col("vec_id"), col("embedding"), k = 3)
+    val rows = top.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getString(0) == "doc-0"))
+    assert(rows.forall(r => r.getString(1).startsWith("doc-")), "ids must survive typed")
+    assert(rows.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    // same neighbors as the numeric-id run, modulo the prefix
+    val numeric = embs.select("vec_id", "embedding")
+      .cosineTopK(embs.filter(col("vec_id") === 0), col("vec_id"), col("embedding"), k = 3)
+      .collect().map(r => s"doc-${r.getLong(1)}").toSeq
+    assert(rows.map(_.getString(1)).toSeq == numeric)
+  }
+
   test("packSequences: greedy next-fit invariants hold and the scan is deterministic") {
     val budget = 1000L
     val packed = docs.packSequences(col("lang"), col("doc_id"),

@@ -450,6 +450,30 @@ class DmlSpec extends SparkSpec {
       s"expected one DV file with one deleted row: $detail")
   }
 
+  test("maintenance SQL resolves bare names in the current namespace; foreign tables fall through") {
+    val (dir, _) = twoRangeTable()
+    val ns = s"mnt${System.nanoTime()}"
+    operators.GwCore.ensureGwCatalog(spark)
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta LOCATION '$dir'")
+    try {
+      spark.sql(s"USE gw.$ns")
+      // single-part identifier: must resolve through the CURRENT namespace
+      assert(spark.sql("DESCRIBE HISTORY nation").collect().length == 2)
+      assert(spark.sql("DESCRIBE DETAIL nation").collect().head.getString(0) == "gwdelta")
+    } finally spark.sql("USE spark_catalog.default")
+    // a table another connector owns: the statement must fall through to
+    // the delegate parser (here: Spark, which rejects the syntax), NOT die
+    // in our command with UnsupportedOperationException
+    val name = s"mnt_pq_${System.nanoTime()}"
+    spark.sql(s"CREATE TABLE $name (a INT) USING parquet")
+    try {
+      val e = intercept[Exception] { spark.sql(s"OPTIMIZE $name") }
+      assert(!e.isInstanceOf[UnsupportedOperationException],
+        s"foreign-table OPTIMIZE must reach the delegate, got: $e")
+    } finally spark.sql(s"DROP TABLE $name")
+  }
+
   test("replaceFiles aborts when a scanned file's deletion vector changed (concurrent MOR)") {
     val (_, t) = twoRangeTable()
     val stale = t.snapshot().files.head // planned scan state: no DV
