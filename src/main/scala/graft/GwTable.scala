@@ -319,11 +319,12 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     * grew its deletion vector (whose deletes this re-assertion would
     * silently drop) aborts the operation instead. */
   private def commitMor(operation: String, removes: Seq[AddFile],
-      dvPairs: Seq[(AddFile, AddFile)], newAdds: Seq[AddFile]): Long =
+      dvPairs: Seq[(AddFile, AddFile)], newAdds: Seq[AddFile],
+      verify: Seq[AddFile] = Nil): Long =
     graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
       val now = System.currentTimeMillis()
       val live = gwLog.snapshot(None).files.map(f => f.path -> f).toMap
-      val gone = (removes ++ dvPairs.map(_._1))
+      val gone = (removes ++ dvPairs.map(_._1) ++ verify)
         .filterNot(f => live.get(f.path).contains(f))
       if (gone.nonEmpty) throw new IllegalStateException(
         s"concurrent commit replaced or mutated ${gone.size} file(s) " +
@@ -337,6 +338,83 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         isBlindAppend = false, txnId = java.util.UUID.randomUUID().toString)
       rms ++ dvAdds ++ newAdds :+ info
     }
+
+  /**
+   * Connector commit hook for DELTA-BASED row-level SQL DML
+   * (`SupportsDelta` — merge-on-read UPDATE / MERGE / DELETE,
+   * [[org.apache.spark.sql.graftbridge.GwDeltaRowLevelOperation]]): the
+   * write's tasks deliver each touched file's deleted positions as
+   * COMPRESSED bitmap chunks; this merges every file's chunks with its
+   * existing deletion vector IN EXECUTORS (one small job over the touched
+   * files — the driver never materializes positions, only serialized
+   * bitmaps), upgrades a DV that now covers every physical row to a plain
+   * remove, and lands one atomic merge-on-read commit: grown-DV
+   * re-assertions + `newAdds` (the update/insert rows' files).
+   *
+   * Concurrency: the live entry of EVERY file in `scanned` (the operation's
+   * planned candidate set, untouched candidates included — a MERGE decides
+   * inserts from rows it read there) must equal the planned entry, or the
+   * commit aborts; same contract as the group-based `replaceFiles`.
+   *
+   * @param deletes logged data-file path -> this operation's serialized
+   *                position-bitmap chunks (one per writing task)
+   */
+  def commitDeltaDml(operation: String, scanned: Seq[AddFile],
+      deletes: Seq[(String, Seq[Array[Byte]])], newAdds: Seq[AddFile]): Long = {
+    if (deletes.isEmpty && newAdds.isEmpty) return -1L
+    val byKey = scanned.map(f => (GwTable.uriKey(f.path), f)).toMap
+    val (removes: Seq[AddFile], dvPairs: Seq[(AddFile, AddFile)]) =
+      if (deletes.isEmpty) (Nil, Nil) else {
+      import spark.implicits._
+      val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+      val items = deletes.map { case (path, chunks) =>
+        val f = byKey.getOrElse(GwTable.uriKey(path), throw new IllegalStateException(
+          s"delta $operation deleted rows of a file its scan never planned: $path"))
+        (path, chunks, f.dv.map(d =>
+          (d.storageType, d.pathOrInlineDv, d.offset.getOrElse(-1), d.sizeInBytes)))
+      }
+      val slices = math.max(1,
+        math.min(items.size, spark.sparkContext.defaultParallelism))
+      // executor-side: decode this op's chunks + the file's current DV,
+      // union, re-serialize; only compressed bytes come back to the driver
+      val merged = spark.createDataset(items).repartition(slices)
+        .map { case (path, chunks, dOpt) =>
+          val existing = dOpt.map { case (st, pd, off, sz) =>
+            Dv.readPositions(conf.value, graft.log.DvDescriptor(
+              st, pd, if (off < 0) None else Some(off), sz, 0L))
+          }.getOrElse(Array.emptyLongArray)
+          val all = chunks.foldLeft(existing) { (acc, c) =>
+            acc ++ graft.log.RoaringBitmapArray.deserialize(c)
+          }
+          java.util.Arrays.sort(all)
+          var w = 0
+          var i = 0
+          while (i < all.length) {
+            if (w == 0 || all(w - 1) != all(i)) { all(w) = all(i); w += 1 }
+            i += 1
+          }
+          val distinct = java.util.Arrays.copyOf(all, w)
+          (path, graft.log.RoaringBitmapArray.serialize(distinct), w.toLong)
+        }
+        .collect().toSeq
+      // a merged DV covering every physical row upgrades to a plain remove
+      // BEFORE the sidecar write — no bitmap is framed for a dead file
+      val (emptied, kept) = merged.partition { case (path, _, card) =>
+        Dv.numRecords(byKey(GwTable.uriKey(path))).exists(card >= _)
+      }
+      val descs = Dv.writeDvs(
+        spark.sparkContext.hadoopConfiguration, tablePath, kept)
+      (emptied.map { case (path, _, _) => byKey(GwTable.uriKey(path)) },
+        kept.map { case (path, _, _) =>
+          val f = byKey(GwTable.uriKey(path))
+          f -> f.copy(dv = Some(descs(GwTable.uriKey(path))))
+        })
+    }
+    val touchedKeys = (removes ++ dvPairs.map(_._1))
+      .map(f => GwTable.uriKey(f.path)).toSet
+    commitMor(operation, removes, dvPairs, newAdds,
+      verify = scanned.filterNot(f => touchedKeys.contains(GwTable.uriKey(f.path))))
+  }
 
   /**
    * Row-level UPDATE (copy-on-write): for every row matching `cond`, each

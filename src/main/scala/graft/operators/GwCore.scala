@@ -746,6 +746,79 @@ object GwCore {
     spark.sql(s"SELECT r_regionkey, r_name FROM gw.$ns.region")
   }
 
+  private def withMergeOnRead[A](spark: SparkSession)(body: => A): A = {
+    spark.conf.set("spark.graft.mergeOnRead", "true")
+    try body finally spark.conf.unset("spark.graft.mergeOnRead")
+  }
+
+  // ---------------------------------------------------------------- gw27
+  /** SQL `UPDATE` under merge-on-read (`SupportsDelta`, delta-based
+    * row-level operation): gw20's repricing, but NO group rewrite — the
+    * pre-update rows of the two matching files leave via deletion-vector
+    * bitmaps and only the 5600 updated rows land as fresh files. Every
+    * original file must still be LIVE after the update (re-asserted with a
+    * grown DV or untouched), which is the 100 TB posture: write cost
+    * tracks the MATCHED rows, not the groups they live in. */
+  def gw27MorSqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val (name, loc) = rangedOrdersTable(spark, dir, "gw27")
+    val table = GwTable.forPath(spark, loc)
+    val before = table.snapshot().files.map(_.path)
+    withMergeOnRead(spark) {
+      spark.sql(s"UPDATE $name SET o_totalprice = o_totalprice * 2, " +
+        "o_orderpriority = 'REPRICED' WHERE o_orderkey < 5600")
+    }
+    val after = table.snapshot().files
+    val live = after.map(_.path).toSet
+    // no group rewrite: live files are originals (DV'd or untouched) plus
+    // fresh _dml files holding ONLY the updated rows
+    require(after.forall(f => before.contains(f.path) || f.path.contains("/_dml/")),
+      "merge-on-read UPDATE must not rewrite groups")
+    require(after.exists(f => f.dv.isEmpty && f.path.contains("/_dml/")),
+      "updated rows must land in fresh _dml files")
+    // partial-match detail only observable with the full 4-file fixture
+    // (sf0.001 holds keys 0..1499 — every row matches, and a DV covering
+    // a whole file upgrades to a metadata-only remove)
+    if (before.size == 4) {
+      require(before.count(live.contains) >= before.size - 1,
+        "only the fully-matched file may upgrade to a plain remove")
+      require(after.exists(_.dv.isDefined),
+        "the partially-matched file must stay live with a deletion vector")
+    }
+    spark.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+      "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s, " +
+      s"o_orderpriority FROM $name")
+  }
+
+  // ---------------------------------------------------------------- gw28
+  /** SQL `MERGE INTO` under merge-on-read: gw21's upsert through the
+    * delta operation — matched rows' pre-images leave via DVs, updated
+    * copies + unmatched inserts append, originals stay live. */
+  def gw28MorSqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (name, loc) = rangedOrdersTable(spark, dir, "gw28")
+    val table = GwTable.forPath(spark, loc)
+    val full = table.snapshot().files.size == 4
+    val deleted = table.delete(col("o_orderkey") >= 7500)
+    if (full) require(deleted > 0)
+    val before = table.snapshot().files.map(_.path)
+    spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") >= 5600 && col("o_orderkey") < 9000)
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+      .createOrReplaceTempView("gw28_src")
+    withMergeOnRead(spark) {
+      spark.sql(s"""MERGE INTO $name t USING gw28_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED THEN INSERT *""")
+    }
+    val live = table.snapshot().files.map(_.path).toSet
+    require(before.forall(live.contains),
+      "merge-on-read MERGE must never replace an original file")
+    spark.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+      "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s, " +
+      s"o_orderpriority FROM $name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -773,6 +846,8 @@ object GwCore {
     "gw24_partitioned_table" -> gw24PartitionedTable _,
     "gw25_deletion_vectors" -> gw25DeletionVectors _,
     "gw26_sql_maintenance" -> gw26SqlMaintenance _,
+    "gw27_mor_sql_update" -> gw27MorSqlUpdate _,
+    "gw28_mor_sql_merge" -> gw28MorSqlMerge _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -892,5 +967,32 @@ object GwCore {
     "gw26_sql_maintenance" ->
       """SELECT r_regionkey, r_name FROM region
         |UNION ALL SELECT r_regionkey, r_name FROM region""".stripMargin,
+    // same answer as gw20 — only the rewrite strategy differs (DVs, no
+    // group rewrite), which the in-query file-survival requires pin
+    "gw27_mor_sql_update" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_orderkey < 5600 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        | CASE WHEN o_orderkey < 5600 THEN 'REPRICED'
+        |      ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders""".stripMargin,
+    // same answer as gw21 — delta-based rewrite, same rows
+    "gw28_mor_sql_merge" ->
+      """WITH src AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus,
+        |        o_totalprice * 3 AS o_totalprice, o_orderdate, o_orderpriority
+        | FROM orders WHERE o_orderkey >= 5600 AND o_orderkey < 9000),
+        |tgt AS (SELECT * FROM orders WHERE o_orderkey < 7500)
+        |SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+        | COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+        | strftime(t.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        | t.o_orderpriority
+        |FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        | o_orderpriority
+        |FROM src WHERE o_orderkey >= 7500""".stripMargin,
   )
 }

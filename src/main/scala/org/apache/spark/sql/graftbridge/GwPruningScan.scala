@@ -35,10 +35,17 @@ class GwDeltaTable(
     streaming: Boolean = false) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = tableName
   override def schema(): StructType = snapshot.schema
+
+  /** Hidden row-identity columns (`__gw_file`, `__gw_pos`) — provenance
+    * when selected explicitly, and the rowId() the delta-based row-level
+    * operations resolve against this relation ([[GwRowId]]). */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GwRowId.metadataColumns
   /** Filesystem location of the table (maintenance SQL resolution). */
   def tablePath: String = options.get("path")
   override def capabilities(): java.util.Set[TableCapability] = {
@@ -256,6 +263,13 @@ class GwPruningScanBuilder(
   }
 
   override def build(): Scan = {
+    // a query referencing the hidden row-identity columns (provenance
+    // SELECT of __gw_file/__gw_pos) routes through the row-id scan: the
+    // same pruned candidates, inner scan filter-free (every filter here is
+    // residual — Spark re-filters above), DV'd positions skipped task-side
+    if (required.exists(_.fieldNames.exists(GwRowId.names.contains)))
+      return GwRowId.buildScan(tableName, spark, options, snapshot,
+        candidates, required.get)
     val dvd = dvFiles
     if (dvd.isEmpty) ensureInner().build()
     else {

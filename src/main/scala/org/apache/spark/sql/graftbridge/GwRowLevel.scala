@@ -215,12 +215,17 @@ class GwRowProjectingWriterFactory(
   }
 }
 
-/** Builder handed to Spark from `SupportsRowLevelOperations`. */
+/** Builder handed to Spark from `SupportsRowLevelOperations`: group-based
+  * copy-on-write by default, the delta-based merge-on-read operation
+  * ([[GwDeltaRowLevelOperation]]) under `spark.graft.mergeOnRead = true` —
+  * same switch the classified DELETE path honors. */
 class GwRowLevelOperationBuilder(
     spark: SparkSession,
     tablePath: String,
     snapshot: Snapshot,
     info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
-    new GwRowLevelOperation(spark, tablePath, snapshot, info.command())
+    if (spark.conf.getOption("spark.graft.mergeOnRead").exists(_.toBoolean))
+      new GwDeltaRowLevelOperation(spark, tablePath, snapshot, info.command())
+    else new GwRowLevelOperation(spark, tablePath, snapshot, info.command())
 }

@@ -595,4 +595,126 @@ class DmlSpec extends SparkSpec {
     assert(t.snapshot().files.flatMap(_.dv).exists(_.cardinality == 1501L))
     assert(t.toDF.count() == 1499)
   }
+
+  private def withMor[A](body: => A): A = {
+    spark.conf.set("spark.graft.mergeOnRead", "true")
+    try body finally spark.conf.unset("spark.graft.mergeOnRead")
+  }
+
+  test("SQL UPDATE under mergeOnRead: delta op grows DVs, untouched rows never move") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    val (dir, t) = twoRangeTable()
+    val ns = s"dml${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta LOCATION '$dir'")
+    val before = t.snapshot().files.map(_.path)
+    val preUpdate = t.snapshot().version
+    withMor {
+      spark.sql(s"UPDATE gw.$ns.nation SET n_name = concat('X_', n_name) " +
+        "WHERE n_nationkey < 5")
+    }
+    val after = t.snapshot().files
+    // BOTH original files stay live: A re-asserted with a DV, B untouched
+    assert(before.forall(p => after.exists(_.path == p)),
+      "merge-on-read UPDATE must not replace any original file")
+    val dvd = after.filter(_.dv.isDefined)
+    assert(dvd.map(_.path) == Seq(before.head),
+      "exactly the matching file must carry a deletion vector")
+    assert(dvd.head.dv.get.cardinality == 5L)
+    assert(after.filter(_.dv.isEmpty).exists(_.path.contains("/_dml/")),
+      "the 5 updated rows must land in a fresh _dml file")
+    val out = spark.table(s"gw.$ns.nation")
+    assert(out.filter(col("n_nationkey") < 5 && !col("n_name").startsWith("X_")).count() == 0)
+    assert(out.filter(col("n_nationkey") >= 5 && col("n_name").startsWith("X_")).count() == 0)
+    assert(out.count() == rows(spark.read.parquet(s"$sf/nation.parquet")))
+    assert(spark.sql(s"SELECT * FROM gw.$ns.nation VERSION AS OF $preUpdate")
+      .filter(col("n_name").startsWith("X_")).count() == 0)
+    // a second MOR UPDATE on the same file UNIONS into the existing DV
+    withMor {
+      spark.sql(s"UPDATE gw.$ns.nation SET n_name = concat('Y_', n_name) " +
+        "WHERE n_nationkey = 5")
+    }
+    assert(t.snapshot().files.flatMap(_.dv).exists(_.cardinality == 6L))
+    assert(spark.table(s"gw.$ns.nation").filter(col("n_name").startsWith("Y_"))
+      .count() == 1)
+  }
+
+  test("SQL MERGE INTO under mergeOnRead: matched rows via DV, inserts appended") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    val (dir, t) = twoRangeTable()
+    val ns = s"dml${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta LOCATION '$dir'")
+    val before = t.snapshot().files.map(_.path)
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+    n.filter(col("n_nationkey") < 5)
+      .withColumn("n_name", lit("MERGED"))
+      .unionAll(n.filter(col("n_nationkey") >= 20)
+        .withColumn("n_nationkey", col("n_nationkey") + 1000))
+      .createOrReplaceTempView(s"${ns}_src")
+    withMor {
+      spark.sql(s"""MERGE INTO gw.$ns.nation t USING ${ns}_src s
+        ON t.n_nationkey = s.n_nationkey
+        WHEN MATCHED THEN UPDATE SET n_name = s.n_name
+        WHEN NOT MATCHED THEN INSERT *""")
+    }
+    val after = t.snapshot().files
+    assert(before.forall(p => after.exists(_.path == p)),
+      "merge-on-read MERGE must not replace any original file")
+    assert(after.filter(_.dv.isDefined).map(_.path) == Seq(before.head))
+    val out = spark.table(s"gw.$ns.nation")
+    assert(out.filter(col("n_name") === "MERGED").count() == 5)
+    assert(out.filter(col("n_nationkey") >= 1000).count() ==
+      rows(n.filter(col("n_nationkey") >= 20)))
+    assert(out.count() == rows(n) + rows(n.filter(col("n_nationkey") >= 20)))
+  }
+
+  test("SQL DELETE (untranslatable predicate) under mergeOnRead takes the delta path") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    val (dir, t) = twoRangeTable()
+    val ns = s"dml${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta LOCATION '$dir'")
+    val before = t.snapshot().files.map(_.path)
+    // modulo has no V1 translation -> row-level rewrite -> delta op under MOR
+    withMor { spark.sql(s"DELETE FROM gw.$ns.nation WHERE n_nationkey % 2 = 0") }
+    val after = t.snapshot().files
+    assert(before.forall(p => after.exists(_.path == p)),
+      "merge-on-read DELETE must keep every original file live")
+    assert(after.forall(_.dv.isDefined), "both files lose even keys -> both get DVs")
+    assert(!after.exists(_.path.contains("/_dml/")),
+      "a pure delete writes no replacement rows")
+    val out = spark.table(s"gw.$ns.nation")
+    assert(out.filter(col("n_nationkey") % 2 === 0).count() == 0)
+    assert(out.count() ==
+      rows(spark.read.parquet(s"$sf/nation.parquet").filter(col("n_nationkey") % 2 =!= 0)))
+  }
+
+  test("row-identity metadata columns: provenance SELECT, DV'd positions excluded") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    val (dir, t) = twoRangeTable()
+    val ns = s"dml${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta LOCATION '$dir'")
+    val prov = spark.sql(
+      s"SELECT __gw_file, __gw_pos, n_nationkey FROM gw.$ns.nation")
+    assert(prov.count() == rows(spark.read.parquet(s"$sf/nation.parquet")))
+    assert(prov.select("__gw_file").distinct().count() == 2)
+    // (file, pos) is unique — it IS the row identity
+    assert(prov.select("__gw_file", "__gw_pos").distinct().count() == prov.count())
+    // filters still apply above the filter-free row-id scan
+    assert(spark.sql(s"SELECT __gw_pos FROM gw.$ns.nation WHERE n_nationkey = 3")
+      .count() == 1)
+    // after a MOR delete, deleted positions vanish but survivors keep theirs
+    val posBefore = prov.filter(col("n_nationkey") === 7)
+      .select("__gw_file", "__gw_pos").collect().head
+    assert(t.delete(col("n_nationkey") < 5, mergeOnRead = true) > 0)
+    val provAfter = spark.sql(
+      s"SELECT __gw_file, __gw_pos, n_nationkey FROM gw.$ns.nation")
+    assert(provAfter.count() == prov.count() - 5)
+    val posAfter = provAfter.filter(col("n_nationkey") === 7)
+      .select("__gw_file", "__gw_pos").collect().head
+    assert(posAfter == posBefore,
+      "surviving rows keep their file-absolute identity under a DV")
+  }
 }
