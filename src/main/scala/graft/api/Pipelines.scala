@@ -401,21 +401,33 @@ object Pipelines {
    * counter. For adversarial long-chain graphs at extreme scale the
    * alternating large-star/small-star variant drops rounds to
    * O(log diameter); the shape here is the same join+agg building block.
+   *
+   * `checkpointDir` selects the round-truncation storage: `None` (default)
+   * uses `localCheckpoint` — blocks live on executors, the right local/
+   * notebook choice but UNRECOVERABLE if an executor dies mid-iteration
+   * (truncated lineage cannot recompute). On a real cluster pass a
+   * reliable location (HDFS/object store): rounds then write through
+   * `df.checkpoint()` and survive executor loss.
    */
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
-      maxIterations: Int = 25): DataFrame = {
+      maxIterations: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
     val edges = pairs.select(a.as("src"), b.as("dst"))
       .union(pairs.select(b.as("src"), a.as("dst")))
       .distinct()
       .persist()
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // per-round checkpoint of the (node, label) table; reliable when a
+    // checkpointDir is given, executor-local otherwise
+    def truncate(df: DataFrame, eager: Boolean): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager)
+      else df.localCheckpoint(eager)
     try {
-      // per-round localCheckpoint blocks (a (node, label) pair table) are
+      // per-round checkpoint blocks (a (node, label) pair table) are
       // released by the ContextCleaner once the previous round's dataset
       // becomes unreachable — no public API unpersists a checkpointed
       // dataset eagerly, and the table is small next to the corpus
-      var labels = edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .localCheckpoint(true)
+      var labels = truncate(edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")), eager = true)
       if (labels.isEmpty)
         return labels.select(col("node"), col("label").as("component"))
       // one min-label propagation pass (pure plan, no action)
@@ -435,13 +447,13 @@ object Pipelines {
         // the job count; an extra hop on converged labels is a no-op
         // the old label rides along into the checkpoint so convergence is a
         // filter over the already-materialized round output — no second join
-        val updated = propagate(propagate(labels))
+        val updated = truncate(propagate(propagate(labels))
           .join(labels.select(col("node"), col("label").as("__ol")), "node")
-          .select(col("node"), col("__ol"), col("label"))
+          .select(col("node"), col("__ol"), col("label")),
           // lazy: the convergence count right below is the first action, so
           // it materializes the checkpoint — an eager one would pay a whole
           // extra Spark job per round for the same blocks
-          .localCheckpoint(false)
+          eager = false)
         // any-change detector: type-agnostic, null-safe, short-circuits at
         // the first changed label
         val changed = updated

@@ -269,6 +269,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents with a reliable checkpointDir: identical labels, files written") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val edges = Seq.fill(60)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    val cA = org.apache.spark.sql.functions.col("a")
+    val cB = org.apache.spark.sql.functions.col("b")
+    val local = graft.api.Pipelines.connectedComponents(edges, cA, cB)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val reliable = graft.api.Pipelines.connectedComponents(edges, cA, cB,
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    // the rounds really went through the reliable path: checkpoint files exist
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
+    assert(wrote, s"no reliable checkpoint written under $dir")
+  }
+
   test("hyperplanes are deterministic across invocations") {
     val a = graft.api.Pipelines.hyperplanes(4, 8)
     val b = graft.api.Pipelines.hyperplanes(4, 8)
