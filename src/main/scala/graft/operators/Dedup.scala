@@ -7,8 +7,13 @@ import org.apache.spark.sql.functions._
 /**
  * Deduplication gate queries over `documents` / `embeddings` — thin wrappers
  * over the library surface (`graft.api.Pipelines`), validated against the
- * DuckDB oracles below (d02/d03 are hash-function-based and intentionally
- * un-oracled; their recall/precision is asserted in OperatorSpec).
+ * DuckDB oracles below (d03 is hash-function-based and intentionally
+ * un-oracled; its recall is asserted in OperatorSpec. d02's oracle is the
+ * EXACT all-pairs Jaccard set: the seeded minhash makes the LSH candidate
+ * set deterministic, and on the fixtures its recall at the gate threshold
+ * is 1.0, so the hash-exact compare both verifies the pair arithmetic and
+ * pins that recall — an LSH regression that drops a true pair now fails
+ * the gate instead of hiding behind a property bound).
  */
 object Dedup {
 
@@ -135,6 +140,16 @@ object Dedup {
       | ON a.lang = b.lang AND a.len_block = b.len_block AND a.doc_id < b.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exact all-pairs form of minHashDedupPairs(numPerm=32, bands=8, 0.5):
+    // valid because LSH recall on the fixtures is 1.0 at this threshold
+    // (verified at sf0.001 and sf0.01) and the seeded hashes are
+    // deterministic — same shingling as d04, no blocking
+    "d02_dedup_minhash_lsh" ->
+      s"""WITH $ShingleCte
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | $JaccExpr AS jacc_permille
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE $JaccExpr >= 500""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         | count(*) AS n_copies

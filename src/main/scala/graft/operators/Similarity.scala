@@ -77,7 +77,40 @@ object Similarity {
     "s06_quantized_rerank" -> s06QuantizedRerank _,
   )
 
+  /** s02's oracle REPLAYS the LSH: the hyperplanes are deterministic
+    * (fixed seed, data-independent), so their doubles are rendered
+    * straight into the SQL as literals — DuckDB recomputes the same sign
+    * bits, band buckets, candidate set, and exact-cosine top-k. Shortest
+    * round-trip `Double.toString` parses back to the identical double, so
+    * both engines threshold the same dot products. */
+  private def s02OracleSql: String = {
+    val planes = Pipelines.hyperplanes(32, 64)
+    def planeLit(p: Array[Double]): String = p.mkString("[", ",", "]")
+    val bits = (0 until 32)
+      .map(i => s"CASE WHEN list_dot_product(emb, ${planeLit(planes(i))}) > 0" +
+        " THEN 1 ELSE 0 END")
+      .mkString("[\n ", ",\n ", "\n]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |sig AS (SELECT vec_id, $bits AS bits FROM e),
+       |bands AS (
+       | SELECT vec_id, band,
+       |  bits[band*4+1] + 2*bits[band*4+2] + 4*bits[band*4+3] + 8*bits[band*4+4] AS bucket
+       | FROM sig, (SELECT unnest(generate_series(0, 7)) AS band)),
+       |cand AS (
+       | SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+       | FROM bands q JOIN bands n ON q.band = n.band AND q.bucket = n.bucket
+       | WHERE q.vec_id < 10 AND q.vec_id <> n.vec_id),
+       |scored AS (
+       | SELECT c.q_id, c.n_id, list_cosine_similarity(eq.emb, en.emb) AS cos
+       | FROM cand c JOIN e eq ON eq.vec_id = c.q_id JOIN e en ON en.vec_id = c.n_id)
+       |SELECT q_id, n_id, rnk, CAST(round(1000000 * cos) AS BIGINT) AS cos_micro
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
+       |WHERE rnk <= 3""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "s02_ann_lsh" -> s02OracleSql,
     "s05_quantized_embeddings" ->
       """WITH m AS (
         | SELECT vec_id, embedding,
