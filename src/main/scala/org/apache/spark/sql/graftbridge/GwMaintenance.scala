@@ -154,16 +154,20 @@ case class GwDescribeDetailCommand(ref: String) extends GwMaintenanceCommand {
     AttributeReference("numFiles", LongType, nullable = false)(),
     AttributeReference("sizeInBytes", LongType, nullable = false)(),
     AttributeReference("partitionColumns", StringType, nullable = false)(),
+    AttributeReference("numPartitions", LongType, nullable = false)(),
     AttributeReference("numDeletionVectorFiles", LongType, nullable = false)(),
     AttributeReference("numDeletedRows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GwMaintenance.resolvePath(spark, ref)
     val snap = graft.GwTable.forPath(spark, path).snapshot()
     val dvd = snap.files.flatMap(_.dv)
+    // distinct partition-value tuples among LIVE files; 0 = unpartitioned
+    val nParts = snap.files.map(_.partitionValues).filter(_.nonEmpty)
+      .distinct.size.toLong
     Seq(Row("gwdelta", path, snap.version, snap.files.size.toLong,
       snap.totalBytes,
       snap.metadata.map(_.partitionColumns.mkString(",")).getOrElse(""),
-      dvd.size.toLong, dvd.map(_.cardinality).sum))
+      nParts, dvd.size.toLong, dvd.map(_.cardinality).sum))
   }
 }
 

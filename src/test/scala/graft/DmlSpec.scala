@@ -446,7 +446,8 @@ class DmlSpec extends SparkSpec {
     val detail = spark.sql(s"DESCRIBE DETAIL '$dir'").collect().head
     assert(detail.getString(0) == "gwdelta")
     assert(detail.getLong(3) == t.snapshot().files.size.toLong)
-    assert(detail.getLong(6) == 1L && detail.getLong(7) == 1L,
+    assert(detail.getLong(6) == 0L, s"unpartitioned table: numPartitions=0: $detail")
+    assert(detail.getLong(7) == 1L && detail.getLong(8) == 1L,
       s"expected one DV file with one deleted row: $detail")
   }
 

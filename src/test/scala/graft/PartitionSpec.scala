@@ -35,6 +35,13 @@ class PartitionSpec extends AnyFunSuite {
     assert(snap.files.nonEmpty)
     assert(snap.files.forall(_.partitionValues.contains("n_regionkey")))
 
+    // DESCRIBE DETAIL surfaces the layout: columns + live partition count
+    val detail = spark.sql(s"DESCRIBE DETAIL '$loc'").collect().head
+    assert(detail.getString(5) == "n_regionkey")
+    assert(detail.getLong(6) ==
+      nation.select("n_regionkey").distinct().count(),
+      s"numPartitions must count distinct live partition values: $detail")
+
     val back = spark.read.format("gwdelta").load(loc)
     // the partition column is REAL data (not reconstructed): full fidelity
     assert(back.columns.sorted.sameElements(nation.columns.sorted))
