@@ -487,6 +487,39 @@ class DmlSpec extends SparkSpec {
       s"stale-DV rewrite must abort, got: ${err.getMessage}")
   }
 
+  test("commitDeltaDml aborts when a planned file mutated mid-operation") {
+    val (_, t) = twoRangeTable()
+    val planned = t.snapshot().files // delta scan's candidate set: no DVs
+    // a concurrent MOR delete grows a DV on the first file
+    assert(t.delete(col("n_nationkey") === 1, mergeOnRead = true) > 0)
+    val chunk = graft.log.RoaringBitmapArray.serialize(Array(2L))
+    val err = intercept[IllegalStateException] {
+      t.commitDeltaDml("UPDATE", planned,
+        Seq(planned.head.path -> Seq(chunk)), Nil)
+    }
+    assert(err.getMessage.contains("concurrent"),
+      s"stale planned set must abort, got: ${err.getMessage}")
+    // and an UNTOUCHED-but-planned file mutating also aborts (verify set):
+    // deletes target file B, but file A changed under the scan
+    val planned2 = planned
+    val err2 = intercept[IllegalStateException] {
+      t.commitDeltaDml("MERGE", planned2,
+        Seq(planned2(1).path -> Seq(chunk)), Nil)
+    }
+    assert(err2.getMessage.contains("concurrent"))
+  }
+
+  test("commitDeltaDml rejects deletes for a file outside the planned set") {
+    val (_, t) = twoRangeTable()
+    val planned = t.snapshot().files.take(1)
+    val chunk = graft.log.RoaringBitmapArray.serialize(Array(0L))
+    val err = intercept[IllegalStateException] {
+      t.commitDeltaDml("UPDATE", planned,
+        Seq("file:/nowhere/else.parquet" -> Seq(chunk)), Nil)
+    }
+    assert(err.getMessage.contains("never planned"))
+  }
+
   test("DV actions round-trip the JSON log and the parquet checkpoint") {
     // both descriptor shapes: on-disk sidecar ("p", offset-framed) and
     // inline bitmap ("i", Z85 text, no offset)
