@@ -673,6 +673,41 @@ class DmlSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("delta scan stats-prunes candidates: only the matching file is planned") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    val (dir, _) = twoRangeTable()
+    val ns = s"dml${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta LOCATION '$dir'")
+    val scans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        qe.executedPlan.foreach {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            scans.add(b.scan.description()); ()
+          case _ => ()
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try withMor {
+      // strictly inside file A (min 0..11); file B (min 12) must stats-prune
+      spark.sql(s"UPDATE gw.$ns.nation SET n_name = concat('X_', n_name) " +
+        "WHERE n_nationkey < 5")
+      // listener delivery is async on the listener bus; poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!scans.toArray.exists(_.toString.contains("GwRowIdScan")) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      val rowIdScans = scans.toArray.map(_.toString).filter(_.contains("GwRowIdScan"))
+      assert(rowIdScans.nonEmpty, s"expected a row-id scan in the DML plan: $scans")
+      assert(rowIdScans.exists(_.contains("files=1")),
+        s"stats pruning must plan exactly the matching file: $rowIdScans")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("SQL MERGE INTO under mergeOnRead: matched rows via DV, inserts appended") {
     graft.operators.GwCore.ensureGwCatalog(spark)
     val (dir, t) = twoRangeTable()
