@@ -154,4 +154,35 @@ class PartitionSpec extends AnyFunSuite {
     assert(pruned.count() ==
       nation.filter(col("n_regionkey") === 2 && col("n_nationkey") % 2 =!= 0).count())
   }
+
+  test("delta MOR SQL UPDATE on a partitioned table: values survive, rows correct") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    val loc = Files.createTempDirectory("part-delta").resolve("nation").toString
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    nation.write.format("gwdelta").partitionBy("n_regionkey").save(loc)
+    val ns = s"pd${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta LOCATION '$loc'")
+    val before = GwTable.forPath(spark, loc).snapshot().files.map(_.path).toSet
+    spark.conf.set("spark.graft.mergeOnRead", "true")
+    try spark.sql(s"UPDATE gw.$ns.nation SET n_name = concat('X_', n_name) " +
+      "WHERE n_nationkey % 2 = 0")
+    finally spark.conf.unset("spark.graft.mergeOnRead")
+    val snap = GwTable.forPath(spark, loc).snapshot()
+    // originals re-asserted with their partitionValues; updated rows in
+    // fresh _dml files (flat — pruning stays conservative for them)
+    assert(before.forall(p => snap.files.exists(_.path == p)))
+    assert(snap.files.filter(f => before(f.path))
+      .forall(_.partitionValues.contains("n_regionkey")))
+    assert(snap.files.exists(f => f.dv.isEmpty && f.path.contains("/_dml/")))
+    val back = spark.table(s"gw.$ns.nation")
+    assert(back.count() == nation.count())
+    assert(back.filter(col("n_nationkey") % 2 === 0 &&
+      !col("n_name").startsWith("X_")).count() == 0)
+    assert(back.filter(col("n_nationkey") % 2 =!= 0 &&
+      col("n_name").startsWith("X_")).count() == 0)
+    // partition predicate still prunes originals; updated rows still found
+    assert(back.filter(col("n_regionkey") === 2).count() ==
+      nation.filter(col("n_regionkey") === 2).count())
+  }
 }
