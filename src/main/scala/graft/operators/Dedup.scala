@@ -139,7 +139,38 @@ object Dedup {
     """FROM s a JOIN s b
       | ON a.lang = b.lang AND a.len_block = b.len_block AND a.doc_id < b.doc_id""".stripMargin
 
+  /** d06's oracle replays the LSH like s02's: the deterministic
+    * hyperplanes (24 planes, 8 bands x 3 bits) render into the SQL as
+    * double literals; DuckDB recomputes the sign bits, buckets, candidate
+    * pairs, and the exact-cosine verify. Valid while the gate corpus stays
+    * under `bucketCap` per (band, bucket) — 500 vectors over 8 buckets
+    * never approaches 1024, and a future fixture that binds the cap fails
+    * the compare loudly rather than silently diverging. */
+  private def d06OracleSql: String = {
+    val planes = Pipelines.hyperplanes(24, 64)
+    def planeLit(p: Array[Double]): String = p.mkString("[", ",", "]")
+    val bits = (0 until 24)
+      .map(i => s"CASE WHEN list_dot_product(emb, ${planeLit(planes(i))}) > 0" +
+        " THEN 1 ELSE 0 END")
+      .mkString("[\n ", ",\n ", "\n]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |sig AS (SELECT vec_id, $bits AS bits FROM e),
+       |bands AS (
+       | SELECT vec_id, band,
+       |  bits[band*3+1] + 2*bits[band*3+2] + 4*bits[band*3+3] AS bucket
+       | FROM sig, (SELECT unnest(generate_series(0, 7)) AS band)),
+       |cand AS (
+       | SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       | FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       | WHERE a.vec_id < b.vec_id)
+       |SELECT c.vec_a, c.vec_b,
+       | CAST(round(1000000 * list_cosine_similarity(ea.emb, eb.emb)) AS BIGINT) AS cos_micro
+       |FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+       |WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.3""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d06_cosine_neardup_ann" -> d06OracleSql,
     // exact all-pairs form of minHashDedupPairs(numPerm=32, bands=8, 0.5):
     // valid because LSH recall on the fixtures is 1.0 at this threshold
     // (verified at sf0.001 and sf0.01) and the seeded hashes are
