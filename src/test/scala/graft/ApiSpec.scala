@@ -157,6 +157,29 @@ class ApiSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L, 1L), (1L, 4L, 4L), (2L, 4L, 4L)))
   }
 
+  test("char_hist_l1 bound: l1 <= 2 * levenshtein on random string pairs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val alphabets = Seq("ab", "abcdefgh", "日本語中文字漢")
+    val pairs = (1 to 300).map { i =>
+      val alpha = alphabets(i % alphabets.size)
+      def mk(n: Int) = Seq.fill(n)(alpha(rng.nextInt(alpha.length))).mkString
+      (mk(1 + rng.nextInt(30)), mk(1 + rng.nextInt(30)))
+    }
+    val out = pairs.toDF("a", "b")
+      .select(graft.functions.CharHistL1(col("a"), col("b")).as("l1"),
+        org.apache.spark.sql.functions.levenshtein(col("a"), col("b")).as("d"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getInt(0) <= 2 * r.getInt(1),
+        s"bound violated: l1=${r.getInt(0)} dist=${r.getInt(1)}")
+    }
+    // and it is exactly 0 on equal strings (sanity of the bucketing)
+    val z = Seq(("同じ文字列です", "同じ文字列です")).toDF("a", "b")
+      .select(graft.functions.CharHistL1(col("a"), col("b"))).collect().head.getInt(0)
+    assert(z == 0)
+  }
+
   test("decontaminationReport flags exactly the planted gram overlap") {
     import spark.implicits._
     val train = Seq(
