@@ -722,6 +722,63 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     }
   }
 
+  /**
+   * RESTORE: make the live state equal the snapshot at `version` with ONE
+   * metadata-scale commit — removes files the target lacks, re-asserts
+   * files the target has that the live set lost or mutated (deletion-vector
+   * state included: a file whose DV grew since the target is re-asserted
+   * with the target's DV), and re-commits the target's `metaData` when the
+   * schema was restated since. No data moves; the restore itself is a new
+   * version, so the pre-restore state stays time-travelable, and the file
+   * diff gives CDF exactly the rows the restore brought back/dropped.
+   *
+   * Files re-added after a `vacuum` may no longer exist — that would
+   * resurrect a dangling entry, so existence is verified (distributed, one
+   * stat per candidate file) and the restore fails fast listing the first
+   * missing file. Returns the committed version, or -1 if the live state
+   * already equals the target.
+   */
+  def restore(version: Long): Long = {
+    val target = gwLog.snapshot(Some(version)) // fails on unknown version
+    val cur0 = gwLog.snapshot(None)
+    if (cur0.version == version) return -1L
+    val tgtByPath = target.files.map(f => f.path -> f).toMap
+    // files to re-assert: in the target but missing-or-mutated live now
+    val curByPath0 = cur0.files.map(f => f.path -> f).toMap
+    val candidates = target.files.filterNot(f => curByPath0.get(f.path).contains(f))
+    if (candidates.nonEmpty) {
+      val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+      val missing = spark.sparkContext
+        .parallelize(candidates.map(_.path),
+          math.max(1, math.min(candidates.size, spark.sparkContext.defaultParallelism)))
+        .filter(p => !new Path(p).getFileSystem(conf.value).exists(new Path(p)))
+        .take(1)
+      require(missing.isEmpty,
+        s"cannot RESTORE $tablePath to version $version: data file " +
+          s"${missing.headOption.getOrElse("")} no longer exists (vacuumed); " +
+          "restore to a newer version")
+    }
+    graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+      val now = System.currentTimeMillis()
+      val cur = gwLog.snapshot(None)
+      val curByPath = cur.files.map(f => f.path -> f).toMap
+      val removes: Seq[Action] = cur.files
+        .filterNot(f => tgtByPath.get(f.path).contains(f))
+        .map(f => RemoveFile(f.path, f.size, now))
+      val adds: Seq[Action] = target.files
+        .filterNot(f => curByPath.get(f.path).contains(f))
+        // a re-assertion is a data change for consumers even when the
+        // original add was a compaction's dataChange=false — rows reappear
+        .map(_.copy(dataChange = true))
+      val meta: Seq[Action] =
+        if (target.metadata == cur.metadata) Nil else target.metadata.toSeq
+      val info = CommitInfo(now, "RESTORE", s"toVersion=$version",
+        numFiles = adds.size, numOutputBytes = 0,
+        isBlindAppend = false, txnId = java.util.UUID.randomUUID().toString)
+      meta ++ removes ++ adds :+ info
+    }
+  }
+
   /** Row-level change feed (CDF): the inserted/deleted ROWS per commit in
     * `(sinceVersion, latest]`, derived from the log's file diff — no
     * change-tracking columns are stored. Per version, inserted =

@@ -819,6 +819,38 @@ object GwCore {
       s"o_orderpriority FROM $name")
   }
 
+  // ---------------------------------------------------------------- gw29
+  /** `RESTORE TABLE ... TO VERSION AS OF n` end to end: insert, DELETE
+    * half, restore to the pre-delete version with one metadata-scale
+    * commit — the file set must equal the target's exactly, the deleted
+    * state stays time-travelable one version back, and the final content
+    * is the original table (the oracle). */
+  def gw29Restore(spark: SparkSession, dir: String): DataFrame = {
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val tmp = Files.createTempDirectory("gw29")
+    val loc = tmp.resolve("db/nation").toString
+    spark.read.parquet(s"$dir/nation.parquet").createOrReplaceTempView("gw29_nation_src")
+    spark.sql(s"CREATE TABLE gw.$ns.nation (n_nationkey INT, n_name STRING, " +
+      s"n_regionkey INT) USING gwdelta LOCATION '$loc'")
+    spark.sql(s"INSERT INTO gw.$ns.nation SELECT * FROM gw29_nation_src")
+    val table = GwTable.forPath(spark, loc)
+    val v0 = table.snapshot().version
+    val filesV0 = table.snapshot().files.toSet
+    spark.sql(s"DELETE FROM gw.$ns.nation WHERE n_nationkey % 2 = 0")
+    require(spark.table(s"gw.$ns.nation")
+      .filter(org.apache.spark.sql.functions.col("n_nationkey") % 2 === 0).count() == 0)
+    val res = spark.sql(s"RESTORE TABLE gw.$ns.nation TO VERSION AS OF $v0").collect()
+    require(res.length == 1 && res.head.getLong(1) == v0, "RESTORE must report the target")
+    require(table.snapshot().files.toSet == filesV0,
+      "restored file set must equal the target version's exactly")
+    require(spark.sql(s"SELECT * FROM gw.$ns.nation VERSION AS OF ${res.head.getLong(0) - 1}")
+      .count() < spark.table(s"gw.$ns.nation").count(),
+      "pre-restore (deleted) state must stay time-travelable")
+    spark.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM gw.$ns.nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -848,6 +880,7 @@ object GwCore {
     "gw26_sql_maintenance" -> gw26SqlMaintenance _,
     "gw27_mor_sql_update" -> gw27MorSqlUpdate _,
     "gw28_mor_sql_merge" -> gw28MorSqlMerge _,
+    "gw29_restore" -> gw29Restore _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -994,5 +1027,8 @@ object GwCore {
         | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
         | o_orderpriority
         |FROM src WHERE o_orderkey >= 7500""".stripMargin,
+    // RESTORE undoes the DELETE: final content = the original table
+    "gw29_restore" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
   )
 }

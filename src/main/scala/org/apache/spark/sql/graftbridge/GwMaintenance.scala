@@ -18,6 +18,8 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringTyp
  *   OPTIMIZE <table> [ZORDER BY (col [, ...])]
  *   VACUUM <table> [RETAIN <n> HOURS]
  *   DESCRIBE HISTORY <table>
+ *   DESCRIBE DETAIL <table>
+ *   RESTORE [TABLE] <table> TO VERSION AS OF <n>
  * }}}
  *
  * `<table>` is a catalog identifier (`gw.ns.t`) or a quoted path
@@ -38,6 +40,9 @@ object GwMaintenance {
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + TableRef + """\s*;?\s*$""").r
   private val Detail =
     ("""(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+""" + TableRef + """\s*;?\s*$""").r
+  private val Restore =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + TableRef +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
 
   /** Maintenance statement -> command plan; None = not ours. */
   def parse(sql: String): Option[LogicalPlan] = sql match {
@@ -50,6 +55,7 @@ object GwMaintenance {
       Some(GwVacuumCommand(ref, Option(hours).map(_.toLong)))
     case History(ref) => Some(GwDescribeHistoryCommand(ref))
     case Detail(ref) => Some(GwDescribeDetailCommand(ref))
+    case Restore(ref, v) => Some(GwRestoreCommand(ref, v.toLong))
     case _ => None
   }
 
@@ -168,6 +174,20 @@ case class GwDescribeDetailCommand(ref: String) extends GwMaintenanceCommand {
       snap.totalBytes,
       snap.metadata.map(_.partitionColumns.mkString(",")).getOrElse(""),
       nParts, dvd.size.toLong, dvd.map(_.cardinality).sum))
+  }
+}
+
+/** `RESTORE [TABLE] t TO VERSION AS OF n`: one metadata-scale commit
+  * re-asserting version n's file set ([[graft.GwTable.restore]]); the
+  * pre-restore state stays time-travelable. */
+case class GwRestoreCommand(ref: String, version: Long) extends GwMaintenanceCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("restored_to", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GwMaintenance.resolvePath(spark, ref)
+    val v = graft.GwTable.forPath(spark, path).restore(version)
+    Seq(Row(v, version))
   }
 }
 

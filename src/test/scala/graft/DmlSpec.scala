@@ -520,6 +520,47 @@ class DmlSpec extends SparkSpec {
     assert(err.getMessage.contains("never planned"))
   }
 
+  test("RESTORE: file set + rows return to the target version, old state time-travelable") {
+    val (dir, t) = twoRangeTable()
+    val v0 = t.snapshot().version
+    val filesV0 = t.snapshot().files.toSet
+    assert(t.delete(col("n_nationkey") < 12) > 0) // full-file drop
+    assert(t.delete(col("n_nationkey") < 20) > 0) // partial rewrite
+    assert(rows(t.toDF) == 5)
+    val restored = spark.sql(s"RESTORE TABLE '$dir' TO VERSION AS OF $v0")
+      .collect().head
+    assert(restored.getLong(0) > v0 && restored.getLong(1) == v0)
+    assert(t.snapshot().files.toSet == filesV0,
+      "live file set must equal the target version's exactly")
+    assert(rows(t.toDF) == 25)
+    // the pre-restore (deleted) state is still one version back
+    assert(spark.read.format("gwdelta")
+      .option("versionAsOf", restored.getLong(0) - 1).load(dir).count() == 5)
+    // CDF across the restore surfaces the resurrected rows as inserts
+    val cdf = t.rowChanges(restored.getLong(0) - 1)
+    assert(cdf.filter(col("_change_type") === "insert").count() == 20)
+    // restoring to the current state is a no-op
+    assert(t.restore(t.snapshot().version) == -1L)
+    // and a DV'd file restores WITH its deletion vector state
+    assert(t.delete(col("n_nationkey") === 3, mergeOnRead = true) > 0)
+    val vDv = t.snapshot().version
+    assert(t.delete(col("n_nationkey") === 4, mergeOnRead = true) > 0)
+    assert(t.restore(vDv) > 0)
+    assert(t.snapshot().files.flatMap(_.dv).map(_.cardinality).sum == 1L,
+      "restore must bring back the target's DV state, not the newer one")
+    assert(rows(t.toDF) == 24)
+  }
+
+  test("RESTORE to a vacuumed-away version fails fast naming the missing file") {
+    val (_, t) = twoRangeTable()
+    val v0 = t.snapshot().version
+    assert(t.delete(col("n_nationkey") < 20) > 0) // rewrites file A+B -> _dml
+    t.vacuum(retentionMs = 0L) // reclaims the superseded originals
+    val err = intercept[IllegalArgumentException] { t.restore(v0) }
+    assert(err.getMessage.contains("no longer exists"),
+      s"expected missing-file failure, got: ${err.getMessage}")
+  }
+
   test("DV actions round-trip the JSON log and the parquet checkpoint") {
     // both descriptor shapes: on-disk sidecar ("p", offset-framed) and
     // inline bitmap ("i", Z85 text, no offset)
