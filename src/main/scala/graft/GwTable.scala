@@ -779,6 +779,42 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     }
   }
 
+  /**
+   * SHALLOW CLONE: bootstrap a NEW table at `targetPath` whose first
+   * commit re-asserts this table's snapshot (at `versionAsOf`, default
+   * latest) — zero data copied; the log stores absolute paths, so the
+   * clone reads the source's files (deletion-vector state included)
+   * directly. The clone then evolves independently: its DML/compaction
+   * writes land under ITS directory, and its vacuum only ever lists its
+   * own tree, so source files are never reclaimed by the clone. The
+   * standing caveat is the mirror image: a source `vacuum` can reclaim
+   * files a clone still references (same contract as Delta's shallow
+   * clones) — clone for dev/test/branching, not archival. Returns the
+   * clone's bootstrap version (0).
+   */
+  def cloneTo(targetPath: String, versionAsOf: Option[Long] = None): Long = {
+    val snap = gwLog.snapshot(versionAsOf)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tgt = graft.log.GwLog.forTable(conf, targetPath)
+    require(tgt.listVersions().isEmpty,
+      s"cannot SHALLOW CLONE into $targetPath: a table already exists there")
+    graft.streaming.GwSink.commitWithRetry(tgt) { bootstrap =>
+      if (!bootstrap) throw new IllegalStateException(
+        s"concurrent table creation at $targetPath raced the clone; re-run")
+      val now = System.currentTimeMillis()
+      val meta = snap.metadata
+        .map(m => m.copy(id = java.util.UUID.randomUUID().toString, createdTime = now))
+        .getOrElse(graft.log.Metadata(
+          id = java.util.UUID.randomUUID().toString,
+          schemaString = snap.schema.json, createdTime = now))
+      val adds: Seq[Action] = snap.files.map(_.copy(dataChange = true))
+      val info = CommitInfo(now, "CLONE", s"from=$tablePath@v${snap.version}",
+        numFiles = snap.files.size, numOutputBytes = 0,
+        isBlindAppend = true, txnId = java.util.UUID.randomUUID().toString)
+      (graft.log.Protocol(): Action) +: (meta: Action) +: adds :+ info
+    }
+  }
+
   /** Row-level change feed (CDF): the inserted/deleted ROWS per commit in
     * `(sinceVersion, latest]`, derived from the log's file diff — no
     * change-tracking columns are stored. Per version, inserted =

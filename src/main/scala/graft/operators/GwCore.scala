@@ -851,6 +851,35 @@ object GwCore {
     spark.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM gw.$ns.nation")
   }
 
+  // ---------------------------------------------------------------- gw30
+  /** `CREATE TABLE ... SHALLOW CLONE` end to end: two insert commits,
+    * clone (zero copy — the clone's log re-asserts the source's
+    * absolute-path files), then DELETE on the CLONE — the source must be
+    * unaffected and the clone serves the delete; final read = the clone
+    * (one region copy), oracle-checked. */
+  def gw30ShallowClone(spark: SparkSession, dir: String): DataFrame = {
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val tmp = Files.createTempDirectory("gw30")
+    val loc = tmp.resolve("db/region").toString
+    spark.read.parquet(s"$dir/region.parquet").createOrReplaceTempView("gw30_region_src")
+    spark.sql(s"CREATE TABLE gw.$ns.region (r_regionkey INT, r_name STRING) " +
+      s"USING gwdelta LOCATION '$loc'")
+    spark.sql(s"INSERT INTO gw.$ns.region SELECT * FROM gw30_region_src")
+    spark.sql(s"INSERT INTO gw.$ns.region SELECT * FROM gw30_region_src")
+    val res = spark.sql(s"CREATE TABLE gw.$ns.copy SHALLOW CLONE gw.$ns.region")
+      .collect()
+    require(res.length == 1 && res.head.getLong(0) == 0L, "clone bootstraps at v0")
+    val srcRows = spark.table(s"gw.$ns.region").count()
+    // the clone evolves independently: drop one copy's worth of rows
+    spark.sql(s"DELETE FROM gw.$ns.copy WHERE r_regionkey >= 0")
+    spark.sql(s"INSERT INTO gw.$ns.copy SELECT * FROM gw30_region_src")
+    require(spark.table(s"gw.$ns.region").count() == srcRows,
+      "source must be unaffected by DML on the clone")
+    spark.sql(s"SELECT r_regionkey, r_name FROM gw.$ns.copy")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -881,6 +910,7 @@ object GwCore {
     "gw27_mor_sql_update" -> gw27MorSqlUpdate _,
     "gw28_mor_sql_merge" -> gw28MorSqlMerge _,
     "gw29_restore" -> gw29Restore _,
+    "gw30_shallow_clone" -> gw30ShallowClone _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1030,5 +1060,8 @@ object GwCore {
     // RESTORE undoes the DELETE: final content = the original table
     "gw29_restore" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // the clone ends at exactly one region copy (delete-all + one insert)
+    "gw30_shallow_clone" ->
+      "SELECT r_regionkey, r_name FROM region",
   )
 }

@@ -43,6 +43,10 @@ object GwMaintenance {
   private val Restore =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + TableRef +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val Clone =
+    ("""(?is)^\s*CREATE\s+TABLE\s+""" + TableRef + """\s+SHALLOW\s+CLONE\s+""" +
+      TableRef + """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
 
   /** Maintenance statement -> command plan; None = not ours. */
   def parse(sql: String): Option[LogicalPlan] = sql match {
@@ -56,6 +60,9 @@ object GwMaintenance {
     case History(ref) => Some(GwDescribeHistoryCommand(ref))
     case Detail(ref) => Some(GwDescribeDetailCommand(ref))
     case Restore(ref, v) => Some(GwRestoreCommand(ref, v.toLong))
+    case Clone(target, source, v, loc) =>
+      Some(GwCloneCommand(target, source,
+        Option(v).map(_.toLong), Option(loc)))
     case _ => None
   }
 
@@ -64,33 +71,44 @@ object GwMaintenance {
     * V2 catalogs to the loaded table's location. A single-part identifier
     * resolves in the session's CURRENT namespace (`USE gw.ns; OPTIMIZE t`),
     * like any other table reference. */
-  def resolvePath(spark: SparkSession, ref: String): String = {
+  /** A quoted table reference's path, if `ref` is the quoted form. */
+  private[graftbridge] def unquotedPath(ref: String): Option[String] = {
     def unquote(q: Char): Option[String] =
       if (ref.length >= 2 && ref.head == q && ref.last == q)
         Some(ref.substring(1, ref.length - 1))
       else None
-    unquote('\'').orElse(unquote('"')).getOrElse {
-      val parts =
-        if (ref.head == '`') Seq(ref.stripPrefix("`").stripSuffix("`"))
-        else ref.split("\\.").toSeq
-      val mgr = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .sessionState.catalogManager
-      val (catalog, ident) =
-        if (parts.length >= 2 && mgr.isCatalogRegistered(parts.head))
-          (mgr.catalog(parts.head), parts.tail)
-        else if (parts.length == 1)
-          (mgr.currentCatalog, mgr.currentNamespace.toSeq ++ parts)
-        else (mgr.currentCatalog, parts)
-      val table = catalog.asInstanceOf[TableCatalog]
-        .loadTable(Identifier.of(ident.init.toArray, ident.last))
-      table match {
+    unquote('\'').orElse(unquote('"'))
+  }
+
+  /** Resolve an identifier-form reference through the session's V2
+    * catalogs (single-part identifiers resolve in the current namespace). */
+  private[graftbridge] def catalogIdent(
+      spark: SparkSession, ref: String): (TableCatalog, Identifier) = {
+    val parts =
+      if (ref.head == '`') Seq(ref.stripPrefix("`").stripSuffix("`"))
+      else ref.split("\\.").toSeq
+    val mgr = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager
+    val (catalog, ident) =
+      if (parts.length >= 2 && mgr.isCatalogRegistered(parts.head))
+        (mgr.catalog(parts.head), parts.tail)
+      else if (parts.length == 1)
+        (mgr.currentCatalog, mgr.currentNamespace.toSeq ++ parts)
+      else (mgr.currentCatalog, parts)
+    (catalog.asInstanceOf[TableCatalog],
+      Identifier.of(ident.init.toArray, ident.last))
+  }
+
+  def resolvePath(spark: SparkSession, ref: String): String =
+    unquotedPath(ref).getOrElse {
+      val (catalog, ident) = catalogIdent(spark, ref)
+      catalog.loadTable(ident) match {
         case t: GwDeltaTable => t.tablePath
         case other => throw new UnsupportedOperationException(
           s"$ref is not a gwdelta table (got ${other.getClass.getSimpleName}); " +
             "maintenance SQL operates on gwdelta tables only")
       }
     }
-  }
 
   /** True when `ref` RESOLVES to a table another connector owns (loadTable
     * succeeds but the table is not gwdelta-backed): the statement then
@@ -188,6 +206,38 @@ case class GwRestoreCommand(ref: String, version: Long) extends GwMaintenanceCom
     val path = GwMaintenance.resolvePath(spark, ref)
     val v = graft.GwTable.forPath(spark, path).restore(version)
     Seq(Row(v, version))
+  }
+}
+
+/** `CREATE TABLE t2 SHALLOW CLONE t1 [VERSION AS OF n] [LOCATION 'p']`:
+  * zero-copy clone ([[graft.GwTable.cloneTo]]) — the new table's bootstrap
+  * commit re-asserts the source snapshot's absolute-path files. An
+  * identifier target is registered in its catalog (managed location unless
+  * LOCATION is given); a quoted-path target clones straight to the path. */
+case class GwCloneCommand(target: String, source: String,
+    version: Option[Long], location: Option[String]) extends GwMaintenanceCommand {
+  override def ref: String = source // foreign-table fall-through checks the SOURCE
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("source_path", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcPath = GwMaintenance.resolvePath(spark, source)
+    val tgtPath = GwMaintenance.unquotedPath(target).getOrElse {
+      val (catalog, ident) = GwMaintenance.catalogIdent(spark, target)
+      val props = new java.util.HashMap[String, String]()
+      props.put(TableCatalog.PROP_PROVIDER, "gwdelta")
+      location.foreach(l => props.put(TableCatalog.PROP_LOCATION, l))
+      catalog.createTable(ident, new StructType(),
+        Array.empty[org.apache.spark.sql.connector.expressions.Transform], props) match {
+        case p: GwDeltaPendingTable => p.path
+        case t: GwDeltaTable => t.tablePath
+        case other => throw new IllegalStateException(
+          s"catalog returned a non-gwdelta table for $target: ${other.getClass}")
+      }
+    }
+    val v = graft.GwTable.forPath(spark, srcPath).cloneTo(tgtPath, version)
+    Seq(Row(v, srcPath, tgtPath))
   }
 }
 

@@ -183,7 +183,7 @@ private[graftbridge] object GwWriteBuilders {
 class GwDeltaPendingTable(
     tableName: String,
     declaredSchema: StructType,
-    path: String,
+    val path: String,
     partitionColumns: Seq[String] = Nil) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 

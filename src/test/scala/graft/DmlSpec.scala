@@ -561,6 +561,43 @@ class DmlSpec extends SparkSpec {
       s"expected missing-file failure, got: ${err.getMessage}")
   }
 
+  test("SHALLOW CLONE: zero-copy bootstrap, independent evolution, DV state carried") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    val (dir, t) = twoRangeTable()
+    assert(t.delete(col("n_nationkey") === 1, mergeOnRead = true) > 0)
+    val srcFiles = t.snapshot().files.toSet
+    val ns = s"cl${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.src USING gwdelta LOCATION '$dir'")
+    // identifier target, managed location
+    val res = spark.sql(s"CREATE TABLE gw.$ns.copy SHALLOW CLONE gw.$ns.src")
+      .collect().head
+    assert(res.getLong(0) == 0L, "clone bootstrap must be version 0")
+    val cloneLoc = res.getString(2)
+    val clone = GwTable.forPath(spark, cloneLoc)
+    // zero copy: the clone's files ARE the source's entries (DV included)
+    assert(clone.snapshot().files.toSet == srcFiles)
+    assert(spark.table(s"gw.$ns.copy").count() == 24)
+    // no data under the clone's directory
+    val fs = new org.apache.hadoop.fs.Path(cloneLoc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(cloneLoc, "_stream")))
+    // independent evolution: clone DML doesn't touch the source
+    assert(clone.delete(col("n_nationkey") === 2) > 0)
+    assert(spark.table(s"gw.$ns.copy").count() == 23)
+    assert(rows(t.toDF) == 24, "source must be unaffected by clone DML")
+    // version-pinned clone of the PRE-delete source state
+    val tmp2 = Files.createTempDirectory("clone2").resolve("t").toString
+    spark.sql(s"CREATE TABLE '$tmp2' SHALLOW CLONE '$dir' VERSION AS OF 0")
+    assert(GwTable.forPath(spark, tmp2).toDF.count() == 12,
+      "VERSION AS OF 0 clone must see only the first commit")
+    // cloning onto an existing table fails
+    val err = intercept[Exception] {
+      GwTable.forPath(spark, dir).cloneTo(tmp2)
+    }
+    assert(err.getMessage.contains("already exists"))
+  }
+
   test("DV actions round-trip the JSON log and the parquet checkpoint") {
     // both descriptor shapes: on-disk sidecar ("p", offset-framed) and
     // inline bitmap ("i", Z85 text, no offset)
