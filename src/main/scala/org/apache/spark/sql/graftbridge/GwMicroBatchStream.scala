@@ -113,9 +113,22 @@ class GwDeltaScan(
     inner: Scan,
     spark: SparkSession,
     tablePath: String,
-    streamSchema: StructType) extends Scan {
+    streamSchema: StructType) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   /** The wrapped batch scan (plan observability in tests/gates). */
   def innerScan: Scan = inner
+  /** Forward the wrapped scan's statistics (parquet estimate or
+    * log-exact GwScanStats) — a wrapper must not hide them or Spark
+    * assumes "huge" and never broadcasts the table. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
   override def description(): String = inner.description()

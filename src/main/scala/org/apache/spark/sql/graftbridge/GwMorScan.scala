@@ -1,9 +1,10 @@
 package org.apache.spark.sql.graftbridge
 
 import graft.SerializableHadoopConf
-import graft.log.DvDescriptor
+import graft.log.{AddFile, DvDescriptor}
+import java.util.OptionalLong
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, Statistics, SupportsReportStatistics}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -37,7 +38,15 @@ class GwMorScan(
     dvScan: Scan,
     conf: SerializableHadoopConf,
     // uriKey(data-file path) -> its deletion-vector descriptor
-    dvByKey: Map[String, DvDescriptor]) extends Scan {
+    dvByKey: Map[String, DvDescriptor],
+    // every planned AddFile (clean + DV'd) — log-exact plan statistics
+    planned: Seq[AddFile] = Nil) extends Scan with SupportsReportStatistics {
+
+  /** Log-exact statistics: on-disk bytes of the planned files, live rows =
+    * harvested numRecords minus DV cardinalities. Joins against a MOR
+    * snapshot stay broadcast-able — without this the wrapper would hide the
+    * inner parquet scan's estimate and Spark would assume "huge". */
+  override def estimateStatistics(): Statistics = GwScanStats.of(planned)
 
   override def readSchema(): StructType =
     cleanScan.map(_.readSchema()).getOrElse(dvScan.readSchema())
@@ -70,6 +79,28 @@ class GwMorScan(
         cleanBatch.map(_.createReaderFactory()),
         dvBatch.createReaderFactory(),
         conf)
+  }
+}
+
+/** Plan statistics from the transaction log — better than the parquet
+  * scan's own estimate (it guesses rows from bytes; the log KNOWS
+  * `numRecords` from the footer harvest and the DV cardinalities).
+  * Feeds Spark's join-strategy and AQE decisions via
+  * `SupportsReportStatistics`. */
+object GwScanStats {
+  def of(files: Seq[AddFile]): Statistics = {
+    val size = files.map(_.size).sum
+    // exact only when EVERY planned file carries harvested numRecords
+    // (pre-stats log versions may not) — otherwise rows stay unknown
+    val rows = files.foldLeft(Option(0L)) { (acc, f) =>
+      for (a <- acc; n <- graft.Dv.numRecords(f))
+        yield a + n - f.dv.map(_.cardinality).getOrElse(0L)
+    }
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(size)
+      override def numRows(): OptionalLong =
+        rows.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+    }
   }
 }
 

@@ -278,7 +278,8 @@ class GwPruningScanBuilder(
       val dvScan = makeInner(dvd.map(_.path)).build()
       new GwMorScan(cleanScan, dvScan,
         new graft.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
-        dvd.map(f => graft.GwTable.uriKey(f.path) -> f.dv.get).toMap)
+        dvd.map(f => graft.GwTable.uriKey(f.path) -> f.dv.get).toMap,
+        planned = candidates)
     }
   }
 }

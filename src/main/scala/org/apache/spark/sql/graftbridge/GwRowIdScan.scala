@@ -63,7 +63,8 @@ object GwRowId {
     new GwRowIdScan(inner.build(), StructType(required.fields),
       idFields.map(_.name).toIndexedSeq,
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
-      candidates.map(f => graft.GwTable.uriKey(f.path) -> (f.path, f.dv)).toMap)
+      candidates.map(f => graft.GwTable.uriKey(f.path) -> (f.path, f.dv)).toMap,
+      planned = candidates)
   }
 }
 
@@ -80,8 +81,13 @@ class GwRowIdScan(
     idCols: Seq[String], // subset of GwRowId.names actually requested, in order
     conf: SerializableHadoopConf,
     // uriKey(path) -> (logged path, existing deletion vector)
-    fileByKey: Map[String, (String, Option[DvDescriptor])]) extends Scan {
+    fileByKey: Map[String, (String, Option[DvDescriptor])],
+    // every planned AddFile — log-exact plan statistics (GwScanStats)
+    planned: Seq[AddFile] = Nil)
+    extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    GwScanStats.of(planned)
   override def readSchema(): StructType = out
   override def description(): String =
     s"GwRowIdScan(files=${fileByKey.size}, ${inner.description()})"

@@ -118,7 +118,8 @@ class GwGroupScanBuilder(
       if (clean.isEmpty) None else Some(makeScan(clean)),
       makeScan(dvd),
       new graft.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
-      dvd.map(f => graft.GwTable.uriKey(f.path) -> f.dv.get).toMap)
+      dvd.map(f => graft.GwTable.uriKey(f.path) -> f.dv.get).toMap,
+      planned = candidates)
   }
 }
 

@@ -357,6 +357,28 @@ class DmlSpec extends SparkSpec {
     assert(t.versionAsOf(before.version).count() == 25)
   }
 
+  test("MOR scan reports log-exact statistics; small MOR join auto-broadcasts") {
+    val (_, t) = twoRangeTable()
+    assert(t.delete(col("n_nationkey") % 2 === 0, mergeOnRead = true) > 0)
+    val df = t.toDF
+    // the optimizer sees the log's exact live row count (25 - 13 deleted)
+    val stats = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.computeStats()
+    }
+    assert(stats.nonEmpty, "expected a V2 scan relation in the plan")
+    assert(stats.head.rowCount.contains(BigInt(12)),
+      s"expected log-exact rowCount 12, got ${stats.head.rowCount}")
+    // and therefore auto-broadcasts the MOR side without a hint
+    val big = spark.range(0, 1000).selectExpr("id % 25 as k")
+    val joined = big.join(df, big("k") === df("n_nationkey"))
+    val hasBroadcast = joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    assert(hasBroadcast, "small MOR table should plan a broadcast join:\n" +
+      joined.queryExecution.executedPlan)
+    assert(joined.count() == 480) // 12 live keys x 40 each
+  }
+
   test("MOR delete covering a file's every row upgrades to a plain remove") {
     val (_, t) = twoRangeTable()
     assert(t.delete(col("n_nationkey") < 12, mergeOnRead = true) > 0)
