@@ -173,7 +173,7 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
       providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
     new org.apache.spark.sql.graftbridge.GwDeltaStreamSource(
-      sqlContext, streamPath(parameters))
+      sqlContext, streamPath(parameters), parameters)
 
   override def createSink(
       sqlContext: org.apache.spark.sql.SQLContext,

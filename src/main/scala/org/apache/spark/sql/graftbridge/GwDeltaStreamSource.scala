@@ -4,6 +4,7 @@ import graft.log.{AddFile, GwLog, Metadata}
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.types.StructType
@@ -26,58 +27,58 @@ import org.apache.spark.sql.types.StructType
  */
 class GwDeltaStreamSource(
     sqlContext: SQLContext,
-    tablePath: String) extends Source {
+    tablePath: String,
+    parameters: Map[String, String] = Map.empty) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession.asInstanceOf[ClassicSession]
   private val log = GwLog.forTable(spark.sparkContext.hadoopConfiguration, tablePath)
   private val streamSchema: StructType = log.snapshot(None).schema
+  private val params =
+    org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters)
 
   override def schema: StructType = streamSchema
 
   override def getOffset: Option[OffsetV1] =
     log.latestVersion().map(v => LongOffset(v))
 
-  private def versionOf(o: OffsetV1): Long = o match {
-    case LongOffset(v) => v
-    case other => other.json.trim.toLong
-  }
+  /** Trigger.AvailableNow's pin (versions after stream start wait for the
+    * next run). */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(log.latestVersion().getOrElse(-1L))
+
+  override def getDefaultReadLimit: ReadLimit =
+    GwStreamAdmission.defaultLimit(params.get)
+
+  /** Rate-limited admission, shared with the V2 face
+    * ([[GwStreamAdmission.nextOffset]]): the initial snapshot is sliced by
+    * file index, tailing admits whole versions. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
+    GwStreamAdmission.nextOffset(log, GwStreamOffset.of(start), limit,
+      availableNowCap)
+
+  override def reportLatestOffset(): OffsetV2 =
+    log.latestVersion().map(v => LongOffset(v): OffsetV2).orNull
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val endV = versionOf(end)
-    val files: Seq[AddFile] = start match {
-      case None =>
-        // initial batch: the live snapshot at endV. This V1 path reads
-        // through a plain parquet relation with no position reconciliation,
-        // so a snapshot holding deletion vectors must fail loudly instead
-        // of serving deleted rows (the V2 catalog stream reconciles them;
-        // compact() folds DVs away for this path)
-        val snap = log.snapshot(Some(endV)).files
-        val dvd = snap.count(_.dv.isDefined)
-        if (dvd > 0)
-          throw new IllegalStateException(
-            s"gwdelta V1 stream at $tablePath: the initial snapshot has $dvd " +
-              "file(s) carrying deletion vectors, which this path cannot " +
-              "reconcile — run compact() on the table first, or stream " +
-              "through the catalog (spark.readStream.table) instead")
-        snap
-      case Some(s) =>
-        val startV = versionOf(s)
-        val range = (startV + 1) to endV
-        val actions = range.flatMap(v => log.readVersion(v))
-        // ANY metaData action in the range is a restatement (appends never
-        // carry one) — including a restart that captured the post-
-        // restatement schema, or a restatement to an identical schema; the
-        // table content was REPLACED, so an incremental append would
-        // silently duplicate/corrupt the sink
-        if (actions.exists(_.isInstanceOf[Metadata]))
-          throw new IllegalStateException(
-            s"gwdelta stream at $tablePath hit a schema restatement in versions " +
-              s"(${startV}, $endV]: the table was replaced; restart the stream " +
-              "from a fresh checkpoint to consume the restated snapshot")
-        // skip DV re-assertions: a merge-on-read DELETE adds no new rows
-        // (same contract as changesSince and the V2 stream)
-        actions.collect { case a: AddFile if a.dataChange && a.dv.isEmpty => a }
-    }
+    val s = start.map(o => GwStreamOffset.of(o)).getOrElse(GwStreamOffset(-1L))
+    val e = GwStreamOffset.of(end)
+    // restatement stop + DV re-assertion skip live in rangeFiles (same
+    // contract as changesSince and the V2 stream)
+    val files: Seq[AddFile] = GwStreamAdmission.rangeFiles(log, tablePath, s, e)
+    // initial-snapshot slices read through a plain parquet relation with no
+    // position reconciliation, so a slice holding deletion vectors must
+    // fail loudly instead of serving deleted rows (the V2 catalog stream
+    // reconciles them; compact() folds DVs away for this path)
+    val dvd = files.count(_.dv.isDefined)
+    if (dvd > 0)
+      throw new IllegalStateException(
+        s"gwdelta V1 stream at $tablePath: the initial snapshot has $dvd " +
+          "file(s) carrying deletion vectors, which this path cannot " +
+          "reconcile — run compact() on the table first, or stream " +
+          "through the catalog (spark.readStream.table) instead")
     if (files.isEmpty) {
       // a version range can be metadata-only (e.g. a compaction commit's
       // dataChange=false rewrites); the empty relation must still carry

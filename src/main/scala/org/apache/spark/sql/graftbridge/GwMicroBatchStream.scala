@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftbridge
 import graft.log.{AddFile, GwLog, Metadata}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => OffsetV2}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => OffsetV2, ReadLimit}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetTable}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -29,45 +29,53 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GwMicroBatchStream(
     spark: SparkSession,
     tablePath: String,
-    streamSchema: StructType) extends MicroBatchStream {
+    streamSchema: StructType,
+    readOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val log = GwLog.forTable(spark.sparkContext.hadoopConfiguration, tablePath)
 
+  /** Trigger.AvailableNow's pin: versions committed after the stream
+    * started are left for the next run. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(log.latestVersion().getOrElse(-1L))
+
+  override def getDefaultReadLimit: ReadLimit =
+    GwStreamAdmission.defaultLimit(k => Option(readOptions.get(k)))
+
   /** -1 = nothing consumed: the next batch delivers the initial snapshot. */
-  override def initialOffset(): OffsetV2 = LongOffset(-1L)
+  override def initialOffset(): OffsetV2 = GwStreamOffset(-1L)
 
   override def latestOffset(): OffsetV2 =
     LongOffset(log.latestVersion().getOrElse(-1L))
 
+  /** Rate-limited admission ([[GwStreamAdmission.nextOffset]]): the initial
+    * snapshot is sliced by file index, tailing admits whole versions. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
+    GwStreamAdmission.nextOffset(log, GwStreamOffset.of(start), limit,
+      availableNowCap)
+
+  override def reportLatestOffset(): OffsetV2 =
+    LongOffset(log.latestVersion().getOrElse(-1L))
+
   override def deserializeOffset(json: String): OffsetV2 =
-    LongOffset(json.trim.toLong)
+    GwStreamOffset.parse(json)
 
   override def commit(end: OffsetV2): Unit = ()
 
   override def stop(): Unit = ()
 
-  private def versionOf(o: OffsetV2): Long = o match {
-    case LongOffset(v) => v
-    case other => other.json.trim.toLong
-  }
-
-  private def filesFor(startV: Long, endV: Long): Seq[AddFile] =
-    if (endV < 0) Nil
-    else if (startV < 0) log.snapshot(Some(endV)).files
-    else {
-      val actions = ((startV + 1) to endV).flatMap(v => log.readVersion(v))
-      if (actions.exists(_.isInstanceOf[Metadata]))
-        throw new IllegalStateException(
-          s"gwdelta stream at $tablePath hit a schema restatement in versions " +
-            s"($startV, $endV]: the table was replaced; restart the stream " +
-            "from a fresh checkpoint to consume the restated snapshot")
-      // an add carrying a deletion vector is a merge-on-read DELETE
-      // re-assertion — no NEW rows, so an appending consumer must get
-      // nothing from it (same contract as changesSince; without this guard
-      // the stream would re-emit the whole re-asserted file: every
-      // already-consumed row plus the supposedly deleted ones)
-      actions.collect { case a: AddFile if a.dataChange && a.dv.isEmpty => a }
-    }
+  private def filesFor(start: OffsetV2, end: OffsetV2): Seq[AddFile] =
+    // deletion-vector re-assertions are skipped in incremental ranges (a
+    // merge-on-read DELETE adds no NEW rows — same contract as
+    // changesSince; without the guard the stream would re-emit the whole
+    // re-asserted file); the initial snapshot serves DV'd files through
+    // the MOR partitions below
+    GwStreamAdmission.rangeFiles(log, tablePath,
+      GwStreamOffset.of(start), GwStreamOffset.of(end))
 
   private def parquetScan(paths: Seq[String]): ParquetScan = {
     val options = new CaseInsensitiveStringMap(
@@ -78,7 +86,7 @@ class GwMicroBatchStream(
   }
 
   override def planInputPartitions(start: OffsetV2, end: OffsetV2): Array[InputPartition] = {
-    val files = filesFor(versionOf(start), versionOf(end))
+    val files = filesFor(start, end)
     if (files.isEmpty) return Array.empty
     // only the INITIAL snapshot can contain DV'd files (incremental batches
     // skip DV re-assertions above): serve their LIVE rows through the same
@@ -113,7 +121,9 @@ class GwDeltaScan(
     inner: Scan,
     spark: SparkSession,
     tablePath: String,
-    streamSchema: StructType) extends Scan
+    streamSchema: StructType,
+    readOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   /** The wrapped batch scan (plan observability in tests/gates). */
   def innerScan: Scan = inner
@@ -137,5 +147,5 @@ class GwDeltaScan(
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     inner.supportedCustomMetrics()
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GwMicroBatchStream(spark, tablePath, streamSchema)
+    new GwMicroBatchStream(spark, tablePath, streamSchema, readOptions)
 }

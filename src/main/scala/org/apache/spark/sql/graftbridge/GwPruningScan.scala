@@ -80,9 +80,11 @@ class GwDeltaTable(
     if (!streaming) new GwPruningScanBuilder(tableName, spark, opts, snapshot)
     else new GwPruningScanBuilder(tableName, spark, opts, snapshot) {
       // same pruning batch scan, plus the streaming entry point
-      // (spark.readStream.table) that tails the log version by version
+      // (spark.readStream.table) that tails the log version by version;
+      // the per-read options carry the stream's rate limits
       override def build(): Scan =
-        new GwDeltaScan(super.build(), spark, options.get("path"), snapshot.schema)
+        new GwDeltaScan(super.build(), spark, options.get("path"),
+          snapshot.schema, opts)
     }
 
   /** INSERT INTO / INSERT OVERWRITE / df.writeTo(...): a V1Write bridge

@@ -468,6 +468,99 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     assert(table.toDF.count() == 20, "rows intact after vacuum")
   }
 
+  test("stream admission: snapshot slices and version admission under read limits") {
+    import org.apache.spark.sql.graftbridge.{GwStreamAdmission, GwStreamOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.log._
+    val dir = Files.createTempDirectory("gw-admission").toString
+    val log = GwLog.forTable(new org.apache.hadoop.conf.Configuration(), dir)
+    val schema = spark.read.parquet(s"$sf/region.parquet").schema
+    // v0: five 100-byte files
+    log.commit(Seq(Protocol(), Metadata("id0", schema.json, createdTime = 1L)) ++
+      (0 until 5).map(i => AddFile(s"$dir/f$i.parquet", 100, 1000L)) :+
+      CommitInfo(1L, "WRITE", "Overwrite", 5, 500, isBlindAppend = false, "t0"))
+
+    // offset wire compat: bare-long checkpoints parse; mid-snapshot offsets
+    // round-trip; consumed positions serialize as the old bare form
+    assert(GwStreamOffset.parse("7") == GwStreamOffset(7))
+    assert(GwStreamOffset(7).json == "7")
+    assert(GwStreamOffset.parse(GwStreamOffset(0, 3).json) == GwStreamOffset(0, 3))
+
+    // initial snapshot slices by file index, two at a time
+    val s0 = GwStreamOffset(-1)
+    val o1 = GwStreamAdmission.nextOffset(log, s0, ReadLimit.maxFiles(2), None)
+    assert(o1 == GwStreamOffset(0, 2), s"got $o1")
+    val o2 = GwStreamAdmission.nextOffset(log, o1, ReadLimit.maxFiles(2), None)
+    assert(o2 == GwStreamOffset(0, 4))
+    val o3 = GwStreamAdmission.nextOffset(log, o2, ReadLimit.maxFiles(2), None)
+    assert(o3 == GwStreamOffset(0), "final slice completes the snapshot")
+    assert(GwStreamAdmission.rangeFiles(log, dir, o1, o2).map(_.path) ==
+      Seq(s"$dir/f2.parquet", s"$dir/f3.parquet"))
+    // byte-capped slicing admits at least one file per batch
+    val b1 = GwStreamAdmission.nextOffset(log, s0, ReadLimit.maxBytes(250), None)
+    assert(b1 == GwStreamOffset(0, 2), "250B admits two 100B files")
+    assert(GwStreamAdmission.nextOffset(log, s0, ReadLimit.maxBytes(10), None) ==
+      GwStreamOffset(0, 1), "an undersized cap still admits one file")
+
+    // incremental: whole versions, capped by cumulative files
+    def appendV(n: Int): Unit = log.commit(
+      (0 until n).map(i => AddFile(s"$dir/v${log.latestVersion().get + 1}_$i.parquet",
+        100, 2000L)) :+
+        CommitInfo(2L, "WRITE", "Append", n, n * 100L, isBlindAppend = true, "tx"))
+    appendV(2) // v1
+    appendV(2) // v2
+    val i1 = GwStreamAdmission.nextOffset(log, o3, ReadLimit.maxFiles(2), None)
+    assert(i1 == GwStreamOffset(1), "v2 would exceed the cap")
+    val i2 = GwStreamAdmission.nextOffset(log, i1, ReadLimit.maxFiles(2), None)
+    assert(i2 == GwStreamOffset(2))
+    assert(GwStreamAdmission.nextOffset(log, o3, ReadLimit.allAvailable(), None) ==
+      GwStreamOffset(2))
+    // an oversized single version is still admitted (progress guarantee)
+    appendV(5) // v3
+    assert(GwStreamAdmission.nextOffset(log, i2, ReadLimit.maxFiles(2), None) ==
+      GwStreamOffset(3))
+    // Trigger.AvailableNow's cap pins the end version
+    assert(GwStreamAdmission.nextOffset(log, o3, ReadLimit.allAvailable(), Some(1L)) ==
+      GwStreamOffset(1))
+  }
+
+  test("maxFilesPerTrigger rate-limits both stream faces under AvailableNow") {
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.jdk.CollectionConverters._
+    catalogReady
+    val loc = Files.createTempDirectory("gwtest-rated").resolve("t").toString
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    // three commits, one file each (the initial snapshot = 3 files)
+    graft.streaming.GwSink.append(region.coalesce(1), loc)
+    graft.streaming.GwSink.append(region.coalesce(1), loc)
+    graft.streaming.GwSink.append(region.coalesce(1), loc)
+    spark.sql(s"CREATE TABLE gwtest.cda.rated USING gwdelta LOCATION '$loc'")
+    val work = Files.createTempDirectory("gwtest-rated-out")
+    def batches(cp: String): Int = {
+      val d = java.nio.file.Paths.get(cp, "offsets")
+      if (!java.nio.file.Files.exists(d)) 0
+      else java.nio.file.Files.list(d).iterator().asScala
+        .count(p => !p.getFileName.toString.endsWith(".tmp"))
+    }
+    def drain(streamDf: org.apache.spark.sql.DataFrame, tag: String): Long = {
+      val out = work.resolve(s"$tag-out").toString
+      val cp = work.resolve(s"$tag-cp").toString
+      val q = streamDf.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(batches(cp) >= 3,
+        s"$tag: expected the 3-file snapshot split into >=3 batches, got ${batches(cp)}")
+      spark.read.parquet(out).count()
+    }
+    // V2 catalog face
+    assert(drain(spark.readStream.option("maxFilesPerTrigger", "1")
+      .table("gwtest.cda.rated"), "v2") == 15)
+    // V1 path face
+    assert(drain(spark.readStream.format("gwdelta")
+      .option("maxFilesPerTrigger", "1").load(loc), "v1") == 15)
+  }
+
   test("GwSink: streams do not collide on batch ids; schema drift rejected") {
     val path = Files.createTempDirectory("gwsink-multi").resolve("t").toString
     val region = spark.read.parquet(s"$sf/region.parquet")
