@@ -117,9 +117,28 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val base = Dv.readLive(spark, snap.schema, small)
     val arranged =
       if (clusterBy.isEmpty) base.repartition(nOut)
-      else base
+      else if (clusterBy.size == 1) base
         .repartitionByRange(nOut, clusterBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+      else {
+        // multi-column clustering is true Z-ORDER: a lexicographic range
+        // sort would leave every non-leading column spanning the full
+        // range per file (no stats skipping on them); interleaving the
+        // rank-bucket bits tiles the space so EVERY listed column gets
+        // tight per-file min/max (graft.functions.ZOrder)
+        import org.apache.spark.sql.functions.col
+        val est = {
+          val ns = small.map(Dv.numRecords)
+          if (ns.forall(_.isDefined))
+            ns.flatten.sum - small.flatMap(_.dv).map(_.cardinality).sum
+          else base.count()
+        }
+        val z = graft.functions.ZOrder.zvalue(base, clusterBy, est)
+        base.withColumn("__gw_zvalue", z)
+          .repartitionByRange(nOut, col("__gw_zvalue"))
+          .sortWithinPartitions(col("__gw_zvalue"))
+          .drop("__gw_zvalue")
+      }
     arranged
       .write.mode("overwrite").parquet(outDir.toString)
     val newFiles = graft.sources.SchemaProbe

@@ -880,6 +880,62 @@ object GwCore {
     spark.sql(s"SELECT r_regionkey, r_name FROM gw.$ns.copy")
   }
 
+  // ---------------------------------------------------------------- gw31
+  /** Multi-column OPTIMIZE is true Z-ORDER (bit-interleaved rank buckets,
+    * [[graft.functions.ZOrder]]): eight interleaving insert slices of
+    * orders — each spanning the FULL o_custkey and o_orderdate ranges —
+    * are rewritten into a clustered tiling where BOTH columns get tight
+    * per-file stats, so a selective filter on EITHER column plans fewer
+    * files than the rewrite produced. A lexicographic (custkey, date)
+    * sort could only ever prune the leading column. Content unchanged,
+    * oracle-checked. */
+  def gw31ZorderCompact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw31")
+    val loc = tmp.resolve("db/orders").toString
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    for (i <- 0 until 8)
+      orders.filter(col("o_orderkey") % 8 === i).coalesce(1)
+        .write.format("gwdelta").mode("append").save(loc)
+    val table = GwTable.forPath(spark, loc)
+    // target = 2x the largest slice: every input qualifies as small and the
+    // rewrite tiles into ~4 files at ANY scale factor
+    val target = table.snapshot().files.map(_.size).max * 2
+    require(table.compact(targetFileBytes = target,
+      clusterBy = Seq("o_custkey", "o_orderdate")) > 0, "OPTIMIZE must commit")
+    val nFiles = table.snapshot().files.size
+    def planned(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
+      }.head
+    val read = spark.read.format("gwdelta").load(loc)
+    // the tiling only emerges with enough rows for several output files
+    if (nFiles >= 4) {
+      val maxCust = orders.agg(org.apache.spark.sql.functions.max("o_custkey"))
+        .head().getLong(0)
+      require(planned(read.filter(col("o_custkey") < maxCust / 8)) < nFiles,
+        "z-order must give the FIRST clustered column pruning")
+      // a cutoff one-eighth into the date range: a lexicographic
+      // (custkey, date) rewrite leaves every file spanning the full date
+      // range, so only the z-curve tiling can skip files here
+      val mm = orders.agg(
+        org.apache.spark.sql.functions.min("o_orderdate"),
+        org.apache.spark.sql.functions.max("o_orderdate")).head()
+      val lo = mm.getAs[java.time.LocalDateTime](0)
+      val cutoff = lo.plus(
+        java.time.Duration.between(lo, mm.getAs[java.time.LocalDateTime](1))
+          .dividedBy(8))
+      require(planned(read.filter(
+          col("o_orderdate") < org.apache.spark.sql.functions.lit(cutoff))) < nFiles,
+        "z-order must give the SECOND clustered column pruning")
+    }
+    read.selectExpr("o_orderkey", "o_custkey",
+      "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -911,6 +967,7 @@ object GwCore {
     "gw28_mor_sql_merge" -> gw28MorSqlMerge _,
     "gw29_restore" -> gw29Restore _,
     "gw30_shallow_clone" -> gw30ShallowClone _,
+    "gw31_zorder_compact" -> gw31ZorderCompact _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1063,5 +1120,11 @@ object GwCore {
     // the clone ends at exactly one region copy (delete-all + one insert)
     "gw30_shallow_clone" ->
       "SELECT r_regionkey, r_name FROM region",
+    // the z-order rewrite must not change content: 8 modulo slices
+    // reassemble to exactly the source table
+    "gw31_zorder_compact" ->
+      """SELECT o_orderkey, o_custkey,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s
+        |FROM orders""".stripMargin,
   )
 }

@@ -95,6 +95,68 @@ class CompactionSpec extends AnyFunSuite {
       "append swallowed by a later compaction")
   }
 
+  test("zorder expressions: rank bucketing and bit interleaving") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.{BucketByBoundaries, InterleaveBits}
+    val bounds: Array[AnyRef] =
+      Array(java.lang.Double.valueOf(10.0), java.lang.Double.valueOf(20.0))
+    def bucketOf(v: Double, scaleTo: Int = 3): Int = {
+      val c = Bridge.column(BucketByBoundaries(
+        Bridge.expression(lit(v).cast("double")), bounds, scaleTo))
+      spark.range(1).select(c.as("b")).head().getInt(0)
+    }
+    assert(bucketOf(5.0) == 0)
+    assert(bucketOf(10.0) == 1, "an exact boundary hit lands above it")
+    assert(bucketOf(15.0) == 1)
+    assert(bucketOf(25.0) == 2)
+    // a low-cardinality column rescales onto the full bit range: 2
+    // boundaries spread over [0, 256) as 0 / 127 / 255
+    assert(bucketOf(5.0, 256) == 0)
+    assert(bucketOf(15.0, 256) == 127)
+    assert(bucketOf(25.0, 256) == 255)
+    // interleave buckets 3 (011) and 5 (101) over 3 bits:
+    // pos0=b0.0=1, pos1=b1.0=1, pos2=b0.1=1, pos3=b1.1=0, pos4=b0.2=0,
+    // pos5=b1.2=1 -> 1+2+4+32 = 39
+    val z = Bridge.column(InterleaveBits(Seq(
+      Bridge.expression(lit(3)), Bridge.expression(lit(5))), 3))
+    assert(spark.range(1).select(z.as("z")).head().getLong(0) == 39L)
+  }
+
+  test("multi-column clustering is Z-order: the SECOND column also prunes") {
+    val tmp = Files.createTempDirectory("compact-zorder")
+    val loc = tmp.resolve("t").toString
+    // 16 small commits; a and b are independent grid coordinates, and every
+    // commit file spans the FULL a range (b is the slowly-varying one)
+    for (i <- 0 until 16) {
+      spark.range(i * 2500L, (i + 1) * 2500L)
+        .selectExpr("id % 500 AS a", "CAST(id DIV 500 AS BIGINT) AS b")
+        .coalesce(1).write.format("gwdelta").mode("append").save(loc)
+    }
+    val table = GwTable.forPath(spark, loc)
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
+      }.head
+
+    assert(table.compact(targetFileBytes = 24L * 1024,
+      clusterBy = Seq("a", "b")) > 0)
+    val filesAfter = table.snapshot().files.size
+    assert(filesAfter >= 4, s"need a real tiling to test pruning: $filesAfter")
+    val onA = plannedFiles(table.toDF.filter(col("a") < 60))
+    val onB = plannedFiles(table.toDF.filter(col("b") < 10))
+    // a lexicographic (a, b) sort leaves every file spanning b's full
+    // range — pruning on b alone is the Z-order win
+    assert(onA < filesAfter, s"a-filter planned $onA of $filesAfter")
+    assert(onB < filesAfter, s"b-filter planned $onB of $filesAfter")
+    // content untouched
+    assert(table.toDF.count() == 40000)
+    assert(table.toDF.agg(sum(col("a") + col("b") * 500)).head().getLong(0) ==
+      (0L until 40000L).sum)
+    assert(table.toDF.filter(col("b") < 10).count() == 5000)
+  }
+
   test("clustered compaction makes selective scans plan fewer files") {
     // 3 commit files that INTERLEAVE the key space: every file spans almost
     // the whole o_orderkey range, so stats skipping can't drop any of them
