@@ -78,6 +78,16 @@ final case class CommitInfo(
     isBlindAppend: Boolean,
     txnId: String) extends Action
 
+/** Delta's `txn` action — an application's (streaming writer's) high-water
+  * mark: a committed batch `version` for `appId` means every batch at or
+  * below it is durably in the table. Carried in checkpoints, so
+  * exactly-once replay detection survives any log length (the tail walk
+  * over `CommitInfo.txnId` is bounded — see `GwSink.DedupWindow`). */
+final case class SetTransaction(
+    appId: String,
+    version: Long,
+    lastUpdated: Option[Long] = None) extends Action
+
 object Actions {
   private val mapper = new ObjectMapper()
 
@@ -129,6 +139,11 @@ object Actions {
         putMap(n, "partitionValues", partVals)
         n.put("deletionTimestamp", dts)
         n.put("dataChange", dataChange)
+      case SetTransaction(appId, version, lastUpdated) =>
+        val n = root.putObject("txn")
+        n.put("appId", appId)
+        n.put("version", version)
+        lastUpdated.foreach(ts => n.put("lastUpdated", ts))
       case CommitInfo(ts, op, mode, numFiles, numBytes, blind, txnId) =>
         val n = root.putObject("commitInfo")
         n.put("timestamp", ts)
@@ -195,6 +210,12 @@ object Actions {
         deletionTimestamp = Option(n.get("deletionTimestamp")).map(_.asLong).getOrElse(0L),
         dataChange = Option(n.get("dataChange")).forall(_.asBoolean),
         partitionValues = strMap(n.get("partitionValues"))))
+    } else if (root.has("txn")) {
+      val n = root.get("txn")
+      Some(SetTransaction(
+        appId = n.get("appId").asText,
+        version = n.get("version").asLong,
+        lastUpdated = Option(n.get("lastUpdated")).map(_.asLong)))
     } else if (root.has("commitInfo")) {
       val n = root.get("commitInfo")
       val params = Option(n.get("operationParameters"))

@@ -18,12 +18,15 @@ import org.apache.parquet.schema.MessageTypeParser
  * construction becomes O(versions) driver-side file opens.
  *
  * A checkpoint row is one action in delta's checkpoint shape (struct
- * columns `protocol` / `metaData` / `add`, exactly one non-null per row).
- * Built on parquet-hadoop's Example API rather than a Spark write because
- * the log is committed from executor-side table tasks where no
- * SparkSession exists. A checkpoint stores the REPLAYED snapshot state
- * (latest protocol + metadata + live files) — remove tombstones are
- * already resolved away, so file count bounds checkpoint size.
+ * columns `protocol` / `metaData` / `add` / `remove` / `txn`, exactly one
+ * non-null per row). Built on parquet-hadoop's Example API rather than a
+ * Spark write because the log is committed from executor-side table tasks
+ * where no SparkSession exists. A checkpoint stores the REPLAYED snapshot
+ * state: latest protocol + metadata + live files, plus — per the Delta
+ * spec — unexpired remove tombstones (vacuum semantics survive a future
+ * log cleanup) and the app-transaction high-water marks (`txn`), so
+ * streaming exactly-once replay detection does not depend on how much
+ * JSON history remains.
  */
 object Checkpoint {
 
@@ -68,6 +71,23 @@ object Checkpoint {
       |      optional int32 sizeInBytes;
       |      optional int64 cardinality;
       |    }
+      |  }
+      |  optional group remove {
+      |    optional binary path (UTF8);
+      |    optional int64 size;
+      |    optional int64 deletionTimestamp;
+      |    optional boolean dataChange;
+      |    optional group partitionValues (MAP) {
+      |      repeated group key_value {
+      |        required binary key (UTF8);
+      |        optional binary value (UTF8);
+      |      }
+      |    }
+      |  }
+      |  optional group txn {
+      |    optional binary appId (UTF8);
+      |    optional int64 version;
+      |    optional int64 lastUpdated;
       |  }
       |}""".stripMargin
 
@@ -130,6 +150,18 @@ object Checkpoint {
             dg.append("sizeInBytes", d.sizeInBytes)
             dg.append("cardinality", d.cardinality)
           }
+        case RemoveFile(path, size, dts, dataChange, partVals) =>
+          val g = row.addGroup("remove")
+          g.append("path", path)
+          g.append("size", size)
+          g.append("deletionTimestamp", dts)
+          g.append("dataChange", dataChange)
+          putMap(g, "partitionValues", partVals)
+        case SetTransaction(appId, version, lastUpdated) =>
+          val g = row.addGroup("txn")
+          g.append("appId", appId)
+          g.append("version", version)
+          lastUpdated.foreach(ts => g.append("lastUpdated", ts))
         case other =>
           throw new IllegalArgumentException(
             s"checkpoints store snapshot state, not $other")
@@ -189,6 +221,23 @@ object Checkpoint {
                   sizeInBytes = dg.getInteger("sizeInBytes", 0),
                   cardinality = dg.getLong("cardinality", 0)))
               } else None)
+        } else if (row.getFieldRepetitionCount("remove") > 0) {
+          val g = row.getGroup("remove", 0)
+          out += RemoveFile(
+            path = g.getString("path", 0),
+            size = g.getLong("size", 0),
+            deletionTimestamp = g.getLong("deletionTimestamp", 0),
+            dataChange = g.getBoolean("dataChange", 0),
+            partitionValues = readMap(g, "partitionValues"))
+        } else if (row.getFieldRepetitionCount("txn") > 0) {
+          val g = row.getGroup("txn", 0)
+          out += SetTransaction(
+            appId = g.getString("appId", 0),
+            version = g.getLong("version", 0),
+            lastUpdated =
+              if (g.getFieldRepetitionCount("lastUpdated") > 0)
+                Some(g.getLong("lastUpdated", 0))
+              else None)
         }
         row = reader.read()
       }

@@ -71,11 +71,18 @@ class GwLog(val tablePath: Path, conf: Configuration,
     version
   }
 
-  /** Checkpoint the snapshot state as of `version` + update `_last_checkpoint`. */
+  /** Checkpoint the snapshot state as of `version` + update `_last_checkpoint`.
+    * Alongside protocol/metadata/adds, the checkpoint carries the Delta
+    * spec's other snapshot state: app-transaction high-water marks (`txn`)
+    * and remove tombstones still inside the vacuum retention window. */
   def writeCheckpoint(version: Long): Unit = {
     val snap = snapshot(Some(version))
+    val tombstoneFloor = System.currentTimeMillis() - GwLog.TombstoneRetentionMs
     val actions: Seq[Action] =
-      snap.protocol.toSeq ++ snap.metadata.toSeq ++ snap.files
+      snap.protocol.toSeq ++ snap.metadata.toSeq ++
+        snap.transactions.toSeq.map { case (app, v) => SetTransaction(app, v) } ++
+        snap.files ++
+        snap.tombstones.filter(_.deletionTimestamp >= tombstoneFloor)
     Checkpoint.write(checkpointPathFor(version), conf, actions)
     val out = fs.create(lastCheckpointPath, /* overwrite = */ true)
     try out.write(
@@ -225,6 +232,12 @@ object GwLog {
 
   /** Checkpoint every N commits — delta's default cadence. */
   val DefaultCheckpointInterval = 10
+
+  /** Remove tombstones older than this are dropped from checkpoints
+    * (Delta's default deleted-file retention — same window as vacuum's
+    * default, so a tombstone outlives every reader that could still
+    * reference its file). */
+  val TombstoneRetentionMs: Long = 7L * 24 * 3600 * 1000
 
   /** Schemes whose `create(path, overwrite = false)` is atomic; everything
     * else (object stores) takes the write-temp + rename-claim protocol.

@@ -15,7 +15,12 @@ final case class Snapshot(
     version: Long,
     protocol: Option[Protocol],
     metadata: Option[Metadata],
-    files: Seq[AddFile]) {
+    files: Seq[AddFile],
+    // appId -> highest committed batch version (Delta `txn` state)
+    transactions: Map[String, Long] = Map.empty,
+    // latest remove tombstone per still-gone path (checkpointed within
+    // retention so vacuum semantics survive a future log cleanup)
+    tombstones: Seq[RemoveFile] = Nil) {
 
   def schema: StructType =
     metadata
@@ -196,15 +201,23 @@ object Snapshot {
     var metadata: Option[Metadata] = None
     // LinkedHashMap keeps commit order of surviving files deterministic.
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    // remove tombstones (latest per path, dropped if the path re-adds) and
+    // app-transaction high-water marks — both checkpoint state per the
+    // Delta spec (vacuum safety / exactly-once past a checkpoint)
+    val gone = scala.collection.mutable.LinkedHashMap.empty[String, RemoveFile]
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     versions.foreach { actions =>
       actions.foreach {
         case p: Protocol => protocol = Some(p)
         case m: Metadata => metadata = Some(m)
-        case a: AddFile => live(a.path) = a
-        case r: RemoveFile => live.remove(r.path)
+        case a: AddFile => live(a.path) = a; gone.remove(a.path)
+        case r: RemoveFile => live.remove(r.path); gone(r.path) = r
+        case t: SetTransaction =>
+          if (txns.get(t.appId).forall(_ <= t.version)) txns(t.appId) = t.version
         case _: CommitInfo => ()
       }
     }
-    Snapshot(version, protocol, metadata, live.values.toSeq)
+    Snapshot(version, protocol, metadata, live.values.toSeq,
+      transactions = txns.toMap, tombstones = gone.values.toSeq)
   }
 }

@@ -109,25 +109,51 @@ object GwSink {
     commitAppend(log, schema, files, txnId, partitionColumns)
   }
 
+  /** `"<streamId>/<batchId>"` -> (streamId, batchId) when the suffix is a
+    * number — the shape the streaming writers use, and the shape that maps
+    * onto the log's `txn` (SetTransaction) high-water marks. */
+  private def parseTxnId(id: String): Option[(String, Long)] =
+    id.lastIndexOf('/') match {
+      case -1 => None
+      case i => id.substring(i + 1).toLongOption.map(id.substring(0, i) -> _)
+    }
+
   /** The version already carrying `txnId`, if this batch is a crash replay
-    * (see the exactly-once note in the object scaladoc). */
+    * (see the exactly-once note in the object scaladoc). The snapshot's
+    * `txn` high-water mark is the primary signal — it survives checkpoints
+    * and ANY log length; the bounded tail walk over `CommitInfo.txnId`
+    * resolves the exact version (and remains the only detector for legacy
+    * logs written before `txn` actions). */
   private def replayedVersion(log: GwLog, txnId: Option[String]): Option[Long] = {
     for (id <- txnId) {
-      val prefix = id.lastIndexOf('/') match {
-        case -1 => ""
-        case i  => id.substring(0, i + 1)
-      }
-      val recent = log.listVersions().takeRight(DedupWindow).reverseIterator
-      var stop = false
-      while (recent.hasNext && !stop) {
-        val v = recent.next()
-        log.readVersion(v).collectFirst { case ci: CommitInfo => ci }.foreach { ci =>
-          if (ci.txnId == id) return Some(v)
-          // a different batch of the SAME stream: anything older cannot be
-          // this batch's commit — fresh data, stop walking
-          if (prefix.nonEmpty && ci.txnId.startsWith(prefix)) stop = true
+      def walk(): Option[Long] = {
+        val prefix = id.lastIndexOf('/') match {
+          case -1 => ""
+          case i  => id.substring(0, i + 1)
         }
+        val recent = log.listVersions().takeRight(DedupWindow).reverseIterator
+        var stop = false
+        while (recent.hasNext && !stop) {
+          val v = recent.next()
+          log.readVersion(v).collectFirst { case ci: CommitInfo => ci }.foreach { ci =>
+            if (ci.txnId == id) return Some(v)
+            // a different batch of the SAME stream: anything older cannot be
+            // this batch's commit — fresh data, stop walking
+            if (prefix.nonEmpty && ci.txnId.startsWith(prefix)) stop = true
+          }
+        }
+        None
       }
+      val byTxnMark = parseTxnId(id).exists { case (app, batch) =>
+        log.latestVersion().isDefined &&
+          log.snapshot(None).transactions.get(app).exists(_ >= batch)
+      }
+      if (byTxnMark) {
+        // committed for sure; -1 when the commit is older than the walk
+        // window (same "no new commit" sentinel as an empty batch)
+        return Some(walk().getOrElse(-1L))
+      }
+      walk().foreach(v => return Some(v))
     }
     None
   }
@@ -165,7 +191,12 @@ object GwSink {
         numOutputBytes = files.map(_.size).sum,
         isBlindAppend = !bootstrap,
         txnId = txnId.getOrElse(java.util.UUID.randomUUID().toString))
-      head ++ files :+ info
+      // a parseable stream batch id also commits the spec's txn action, so
+      // replay detection survives checkpoints and any log length
+      val txn = txnId.flatMap(parseTxnId).map { case (app, batch) =>
+        graft.log.SetTransaction(app, batch, Some(now))
+      }
+      head ++ files ++ txn.toSeq :+ info
     }
 
   /**

@@ -577,4 +577,23 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     // nullability alone is not drift
     assert(graft.streaming.GwSink.append(region, path, Some("s1/1")) == 2L)
   }
+
+  test("GwSink: replay detection survives past the dedup walk window via txn marks") {
+    val path = Files.createTempDirectory("gwsink-txn").resolve("t").toString
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    assert(graft.streaming.GwSink.append(region, path, Some("s1/0")) == 0L)
+    // push s1's commit far beyond the 64-version walk window with commits
+    // from OTHER streams (no same-stream prefix to early-stop the walk)
+    for (i <- 0 until 70)
+      graft.streaming.GwSink.append(region.limit(1), path, Some(s"other$i/0"))
+    val before = spark.read.format("gwdelta").load(path).count()
+    // the crash replay of batch 0 must still be detected — the snapshot's
+    // txn high-water mark says s1 >= 0 even though the walk can't see it
+    val v = graft.streaming.GwSink.append(region, path, Some("s1/0"))
+    assert(v == -1L, s"replay must not commit (got version $v)")
+    assert(spark.read.format("gwdelta").load(path).count() == before,
+      "replayed batch must not duplicate rows")
+    // fresh batches still flow
+    assert(graft.streaming.GwSink.append(region, path, Some("s1/1")) > 0L)
+  }
 }

@@ -92,9 +92,54 @@ class LogSpec extends AnyFunSuite {
         configuration = Map("k" -> "v"), createdTime = 42L),
       AddFile("part-0.parquet", 10, 1000, dataChange = true,
         partitionValues = Map("pc1" -> "x"), stats = Some("""{"numRecords":3}""")),
-      AddFile("part-1.parquet", 20, 2000, dataChange = false))
+      AddFile("part-1.parquet", 20, 2000, dataChange = false),
+      RemoveFile("part-2.parquet", 30, 3000, dataChange = true,
+        partitionValues = Map("pc1" -> "y")),
+      SetTransaction("stream-1", 41, Some(4100L)),
+      SetTransaction("stream-2", 7))
     Checkpoint.write(target, conf, actions)
     assert(Checkpoint.read(target, conf) == actions)
+  }
+
+  test("checkpoint carries txn marks + unexpired tombstones; snapshot resumes them") {
+    val conf = new Configuration()
+    val dir = Files.createTempDirectory("gwlog-txncp").toString
+    val log = new GwLog(new org.apache.hadoop.fs.Path(dir), conf)
+    val now = System.currentTimeMillis()
+    log.commit(Seq(Protocol(),
+      Metadata("id0", new StructType().add("a", "long").json, createdTime = 1L),
+      AddFile("f0.parquet", 1, 1),
+      CommitInfo(1L, "WRITE", "Overwrite", 1, 1, isBlindAppend = false, "t0")))
+    log.commit(Seq(
+      AddFile("f1.parquet", 2, 2),
+      RemoveFile("f0.parquet", 1, deletionTimestamp = now),
+      // an ancient tombstone: must NOT survive into the checkpoint
+      RemoveFile("fold.parquet", 1,
+        deletionTimestamp = now - 8L * 24 * 3600 * 1000),
+      SetTransaction("s1", 5, Some(now)),
+      CommitInfo(2L, "WRITE", "Append", 1, 2, isBlindAppend = true, "s1/5")))
+    log.writeCheckpoint(1L)
+    val cpActions = Checkpoint.read(log.checkpointPathFor(1L), conf)
+    // lastUpdated is optional in the spec and not tracked through the
+    // snapshot's high-water map — the checkpointed mark carries None
+    assert(cpActions.contains(SetTransaction("s1", 5, None)))
+    assert(cpActions.exists {
+      case r: RemoveFile => r.path == "f0.parquet"; case _ => false
+    }, "the fresh tombstone must be checkpointed")
+    assert(!cpActions.exists {
+      case r: RemoveFile => r.path == "fold.parquet"; case _ => false
+    }, "expired tombstones must be dropped from the checkpoint")
+    // a snapshot RESUMED from the checkpoint still knows the txn mark
+    log.commit(Seq(AddFile("f2.parquet", 3, 3),
+      CommitInfo(3L, "WRITE", "Append", 1, 3, isBlindAppend = true, "t2")))
+    val snap = log.snapshot(None)
+    assert(snap.transactions == Map("s1" -> 5L))
+    assert(snap.files.map(_.path).toSet == Set("f1.parquet", "f2.parquet"))
+    assert(snap.tombstones.exists(_.path == "f0.parquet"))
+    // a re-added path clears its tombstone
+    log.commit(Seq(AddFile("f0.parquet", 4, 4),
+      CommitInfo(4L, "WRITE", "Append", 1, 4, isBlindAppend = true, "t3")))
+    assert(!log.snapshot(None).tombstones.exists(_.path == "f0.parquet"))
   }
 
   test("snapshot through a checkpoint equals full JSON replay over 100+ versions") {
