@@ -118,6 +118,20 @@ object TextOps {
       col("lang"), col("doc_id"), MixtureWeights)
       .select("doc_id", "lang", "bucket")
 
+  /** PII redaction (emails / IPv4 / phone numbers). The corpus itself is
+    * clean, so the gate appends deterministic PII derived from `doc_id` —
+    * the oracle builds the IDENTICAL text in SQL, so the redacted output
+    * and the per-kind counts are hash-compared exactly. */
+  def t12PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = docs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com or 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0.1 tel +1555"), col("doc_id").cast("string")).as("text"))
+    Pipelines.redactPii(withPii, col("text"))
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -130,6 +144,7 @@ object TextOps {
     "t09_heavy_hitters" -> t09HeavyHitters _,
     "t10_sequence_packing" -> t10SequencePacking _,
     "t11_mixture_sample" -> t11MixtureSample _,
+    "t12_pii_redact" -> t12PiiRedact _,
   )
 
   private def sqlList(lang: String): String =
@@ -229,6 +244,25 @@ object TextOps {
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
          |  CASE lang $cases ELSE 'zzzz' END""".stripMargin
     },
+    // identical synthesized PII, redacted with the same RE2/Java-common
+    // regexes ('g' = replace all, matching Spark's regexp_replace)
+    "t12_pii_redact" ->
+      """WITH pii AS (
+        | SELECT doc_id,
+        |  text || ' contact u' || doc_id || '@example.com or 10.' ||
+        |   (doc_id % 256) || '.0.1 tel +1555' || doc_id AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text,
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        | CAST(len(regexp_extract_all(text, '\+\d{5,15}')) AS BIGINT) AS n_phones,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\+\d{5,15}', '<PHONE>', 'g') AS redacted
+        |FROM pii""".stripMargin,
     // greedy next-fit recurrence, one step per doc in (lang, doc_id) order
     "t10_sequence_packing" ->
       """WITH RECURSIVE d AS (

@@ -193,4 +193,21 @@ class ApiSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out == Map(1L -> 1L, 3L -> 1L))
   }
+
+  test("redactPii replaces every email/IP/phone and counts each kind") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org, host 10.0.0.1 then 192.168.1.255, call +4915512345"),
+      (2L, "clean text with version 1.2 and price +99")).toDF("id", "text")
+    val out = Pipelines.redactPii(df, col("text")).orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_emails") == 2)
+    assert(out(0).getAs[Long]("n_ips") == 2)
+    assert(out(0).getAs[Long]("n_phones") == 1)
+    assert(out(0).getAs[String]("redacted") ==
+      "mail <EMAIL> and <EMAIL>, host <IP> then <IP>, call <PHONE>")
+    // short digit runs and bare version numbers are not PII
+    assert(out(1).getAs[Long]("n_emails") + out(1).getAs[Long]("n_ips") +
+      out(1).getAs[Long]("n_phones") == 0)
+    assert(out(1).getAs[String]("redacted").endsWith("price +99"))
+  }
 }
