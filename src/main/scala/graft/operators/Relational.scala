@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.EventTime
+
 /**
  * Relational query surface over the driver testdata tables (TESTDATA.md).
  *
@@ -129,13 +131,13 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- q08
-  /** Window running aggregates + lag over the event stream (bigint nanos). */
+  /** Window running aggregates + lag over the event stream. Event-time is
+    * normalized to micros (EventTime.micros) — the granularity DuckDB's
+    * epoch_us compares at, whatever the fixture's physical ts encoding. */
   def q08WindowRunning(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    // micros, not nanos: the DuckDB oracle reads parquet ns-timestamps at
-    // microsecond precision, so the comparable granularity is us
-    t(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val e = t(spark, dir, "events")
+    e.withColumn("ts_us", EventTime.micros(e))
       .withColumn("seq", row_number().over(byUser).cast("long"))
       .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(byUser))
       .filter(col("user_id") < 20)
@@ -226,12 +228,15 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- q15
-  /** Event-time bucketing on bigint nanos: integer floor-div hour buckets. */
-  def q15EventBuckets(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .select(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"), col("value"))
+  /** Event-time bucketing: integer floor-div hour buckets over normalized
+    * micros. */
+  def q15EventBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    e.select(EventTime.micros(e).as("ts_us"), col("event_type"), col("value"))
+      .select(expr("ts_us div 3600000000").as("hour_bucket"), col("event_type"), col("value"))
       .groupBy("hour_bucket", "event_type")
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+  }
 
   // ---------------------------------------------------------------- q16
   /** JSON extraction from the event props payload. */
@@ -250,16 +255,16 @@ object Relational {
     val e = t(spark, dir, "events")
     // order signups before purchases at identical ts: asof is s.ts <= p.ts
     val tagged = e.filter(col("event_type").isin("signup", "purchase"))
-      .select(col("user_id"), col("ts"), col("event_id"),
+      .select(col("user_id"), EventTime.micros(e).as("ts_us"), col("event_id"),
         when(col("event_type") === "signup", 0).otherwise(1).as("kind"))
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("s_id", last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("s_ts", last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("s_us", last(when(col("kind") === 0, col("ts_us")), ignoreNulls = true).over(w))
       .filter(col("kind") === 1)
       .select(col("event_id").as("p_id"), col("user_id"), col("s_id"),
-        (expr("ts div 1000") - expr("s_ts div 1000")).as("wait_us"))
+        (col("ts_us") - col("s_us")).as("wait_us"))
   }
 
   // ---------------------------------------------------------------- q18
@@ -455,15 +460,16 @@ object Relational {
     * in exactly two overlapping buckets — `window()` plans this as a
     * generator (one output row per covering window) feeding a hash
     * aggregate, so the fan-out is the window overlap factor, not a join. */
-  def q27SlidingWindow(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  def q27SlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    e.withColumn("event_time", timestamp_micros(EventTime.micros(e)))
       .groupBy(window(col("event_time"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(cents(col("value"))).as("value_c"))
       .select(
         (unix_timestamp(col("window.start")) / 3600).cast("long").as("start_bucket"),
         col("event_type"), col("n"), col("value_c"))
+  }
 
   // ---------------------------------------------------------------- q28
   /** Exact discrete percentiles (SQL-standard `percentile_disc`): smallest
@@ -534,9 +540,11 @@ object Relational {
     * user's span; nothing is driver-materialized, and the fill is one
     * window pass over the user partition. */
   def q31GapFill(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = t(spark, dir, "events")
+    val e = t(spark, dir, "events")
+    val hourly = e
       .filter(col("user_id") < 20)
-      .groupBy(col("user_id"), expr("ts div 3600000000000").as("hb"))
+      .select(col("user_id"), EventTime.micros(e).as("ts_us"), col("value"))
+      .groupBy(col("user_id"), expr("ts_us div 3600000000").as("hb"))
       .agg(sum(cents(col("value"))).as("value_c"))
     val spine = hourly.groupBy("user_id")
       .agg(min("hb").as("h0"), max("hb").as("h1"))
@@ -560,8 +568,8 @@ object Relational {
   def q32IntervalWindow(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
       .rangeBetween(-600000000L, 0L) // trailing 10 min in micros
-    t(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val e = t(spark, dir, "events")
+    e.withColumn("ts_us", EventTime.micros(e))
       .withColumn("n_10m", count(lit(1)).over(w))
       .withColumn("val_c_10m", sum(cents(col("value"))).over(w))
       .filter(col("user_id") < 20)
@@ -716,7 +724,7 @@ object Relational {
         |WHERE CAST(CAST(round(o_totalprice*100) AS BIGINT) AS DOUBLE) > 1.5 * (CAST(s AS DOUBLE) / n)
         |GROUP BY 1""".stripMargin,
     "q15_event_buckets" ->
-      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+      """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
         | count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q16_json_extract" ->

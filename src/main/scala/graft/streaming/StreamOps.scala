@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
+import graft.functions.EventTime
+
 /**
  * Structured Streaming surface over the `events` table.
  *
@@ -60,19 +62,22 @@ object StreamOps {
     stageLinks(java.nio.file.Paths.get(s"$dir/events.parquet"), stage,
       Seq("events.parquet"))
     val batch = spark.read.parquet(s"$dir/events.parquet")
+    val tsType = batch.schema("ts").dataType
     if (withSentinel) {
-      // max event time from the parquet footer (no data scan); fall back to
-      // a full aggregate only if the footer carries no usable ts stats
-      val maxTs = graft.sources.SchemaProbe
+      // max event time (micros) from the parquet footer (no data scan); fall
+      // back to a full aggregate only if the footer carries no usable stats.
+      // Footer encoding is type-dependent: raw nanos for BIGINT-nanos ts,
+      // raw micros for TIMESTAMP(MICROS) — EventTime.statToMicros adapts.
+      val maxUs = graft.sources.SchemaProbe
         .readStats(spark.sessionState.newHadoopConf(), s"$dir/events.parquet")
         .flatMap { json =>
           scala.util.Try {
             val n = new com.fasterxml.jackson.databind.ObjectMapper()
               .readTree(json).path("maxValues").path("ts")
-            if (n.isNumber) Some(n.asLong) else None
+            if (n.isNumber) Some(EventTime.statToMicros(tsType, n.asLong)) else None
           }.toOption.flatten
         }
-        .getOrElse(batch.agg(max("ts")).head().getLong(0))
+        .getOrElse(batch.agg(max(EventTime.micros(batch))).head().getLong(0))
       val tmp = java.nio.file.Files.createTempDirectory("graft-sentinel")
       batch.limit(1)
         // the flush margin must exceed (longest window span + watermark
@@ -81,7 +86,8 @@ object StreamOps {
         // (st08's 4h windows with a 1h delay need > 5h; 26h also covers a
         // future daily window). Data-dependent: maxTs mod windowSpan decides
         // how much of the span the margin must bridge.
-        .withColumn("ts", lit(maxTs + 26L * 3600L * 1000000000L))
+        .withColumn("ts",
+          EventTime.fromMicros(tsType, lit(maxUs + 26L * 3600L * 1000000L)))
         .withColumn("event_type", lit(SentinelType))
         .withColumn("user_id", lit(-1L))
         .coalesce(1)
@@ -92,6 +98,12 @@ object StreamOps {
     }
     spark.readStream.schema(batch.schema).parquet(stage.toString)
   }
+
+  /** Derive the canonical `event_time` column (TimestampType, micro
+    * precision) from `ts`, whatever the fixture's physical encoding —
+    * BIGINT nanos or TIMESTAMP(_NTZ) micros (see EventTime). */
+  private def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", timestamp_micros(EventTime.micros(df)))
 
   /** Run `body` with the streaming state confs set, restoring the caller's
     * previous settings afterwards (these are session confs; mutating them
@@ -143,8 +155,7 @@ object StreamOps {
     // scan, whose footer stats then prune the sentinel files entirely — so
     // the watermark never advances. They group into their own (window,
     // SentinelType) rows instead and are dropped from the OUTPUT below.
-    val q = eventStream(spark, dir, withSentinel = true)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val q = withEventTime(eventStream(spark, dir, withSentinel = true))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -230,12 +241,12 @@ object StreamOps {
     // sentinels keep flowing to the stateful op (see st01 note on filter
     // pushdown vs the watermark); they carry user_id = -1 and their "user"
     // summary is dropped from the output below
-    val q = eventStream(spark, dir, withSentinel = true)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val src = withEventTime(eventStream(spark, dir, withSentinel = true))
       .withWatermark("event_time", "30 minutes")
+    val q = src
       // keep the watermarked event_time column in the typed view: the
       // analyzer requires it present for EventTimeTimeout
-      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_time"))
+      .select(col("user_id"), EventTime.micros(src).as("us"), col("event_time"))
       .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
@@ -297,8 +308,7 @@ object StreamOps {
     * exactly 30min starts a new session). */
   def st04SessionWindow(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
     val name = nextName()
-    val q = eventStream(spark, dir, withSentinel = true)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val q = withEventTime(eventStream(spark, dir, withSentinel = true))
       .withWatermark("event_time", "30 minutes")
       .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"),
@@ -328,8 +338,7 @@ object StreamOps {
     * once, so the drained result equals the batch join. */
   def st05StreamJoin(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
     val name = nextName()
-    val src = eventStream(spark, dir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val src = withEventTime(eventStream(spark, dir))
     val purchases = src
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
@@ -369,8 +378,7 @@ object StreamOps {
     * unbounded run. */
   def st09StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
     val name = nextName()
-    val src = eventStream(spark, dir, withSentinel = true)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val src = withEventTime(eventStream(spark, dir, withSentinel = true))
     val signups = src
       .filter(col("event_type") === "signup" || col("event_type") === SentinelType)
       .select(col("user_id").as("s_user"), col("event_id").as("s_id"),
@@ -419,15 +427,15 @@ object StreamOps {
     // write the sink files here, exactly like production
     val out = java.nio.file.Files.createTempDirectory("graft-st06-out").toString
     val cp = java.nio.file.Files.createTempDirectory("graft-st06-cp").toString
-    val q = spark.readStream.schema(schema)
+    val deduped = withEventTime(spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(stage.toString)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .parquet(stage.toString))
       .withWatermark("event_time", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped
       .select(col("event_id"), col("user_id"), col("event_type"),
         round(col("value") * 100).cast("long").as("value_c"),
-        expr("ts div 1000").as("us"))
+        EventTime.micros(deduped).as("us"))
       .writeStream
       .format("parquet")
       .option("path", out)
@@ -481,8 +489,7 @@ object StreamOps {
     * the driver check is rows-only because DuckDB's approx sketch differs. */
   def st08StreamSketch(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
     val name = nextName()
-    val q = eventStream(spark, dir, withSentinel = true)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val q = withEventTime(eventStream(spark, dir, withSentinel = true))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "4 hours"), col("event_type"))
       .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("nd_users_hll"),

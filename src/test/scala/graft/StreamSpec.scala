@@ -18,6 +18,13 @@ class StreamSpec extends SparkSpec {
   private def batchEvents: DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
 
+  /** Batch copy of the events table with `ts` normalized to micros (`us`) —
+    * same type-adaptive path the streaming ops use. */
+  private def batchEventsUs: DataFrame = {
+    val e = batchEvents
+    e.withColumn("us", graft.functions.EventTime.micros(e))
+  }
+
   private def assertSameRows(actual: DataFrame, expected: DataFrame): Unit = {
     val a = actual.collect().map(_.toSeq).sortBy(_.mkString("|"))
     val e = expected.collect().map(_.toSeq).sortBy(_.mkString("|"))
@@ -29,8 +36,8 @@ class StreamSpec extends SparkSpec {
   }
 
   test("st01 windowed counts equal batch answer (Append mode)") {
-    val expected = batchEvents
-      .withColumn("hour_bucket", expr("(ts div 1000) div 3600000000"))
+    val expected = batchEventsUs
+      .withColumn("hour_bucket", expr("us div 3600000000"))
       .groupBy("hour_bucket", "event_type")
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("value_c"))
@@ -55,8 +62,8 @@ class StreamSpec extends SparkSpec {
   test("st03 sessionization equals batch gap-sessionization") {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("us")
-    val sessions = batchEvents
-      .select(col("user_id"), expr("ts div 1000").as("us"))
+    val sessions = batchEventsUs
+      .select(col("user_id"), col("us"))
       .withColumn("new_s",
         when(col("us") - lag("us", 1).over(byUser) > 1800000000L, 1)
           .when(lag("us", 1).over(byUser).isNull, 1).otherwise(0))
@@ -74,8 +81,8 @@ class StreamSpec extends SparkSpec {
   test("st04 session_window equals batch gap-sessionization per session") {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("us")
-    val expected = batchEvents
-      .select(col("user_id"), expr("ts div 1000").as("us"),
+    val expected = batchEventsUs
+      .select(col("user_id"), col("us"),
         round(col("value") * 100).cast("long").as("vc"))
       .withColumn("new_s",
         when(col("us") - lag("us", 1).over(byUser) >= 1800000000L, 1)
@@ -101,8 +108,8 @@ class StreamSpec extends SparkSpec {
   test("st08 sketch-state windowed distinct equals batch HLL exactly") {
     // HLL merge is order-independent, so streaming state must produce the
     // IDENTICAL estimate the one-shot batch aggregate does
-    val expected = batchEvents
-      .withColumn("win_bucket", expr("(ts div 1000) div 14400000000"))
+    val expected = batchEventsUs
+      .withColumn("win_bucket", expr("us div 14400000000"))
       .groupBy("win_bucket", "event_type")
       .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("nd_users_hll"),
         count(lit(1)).as("n"))
