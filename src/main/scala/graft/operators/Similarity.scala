@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 
 /**
  * Similarity-search gate queries over `embeddings` — thin wrappers over the
- * library surface (`graft.api.Pipelines`): exact brute-force cosine top-k
- * (oracle-checked) and random-hyperplane LSH ANN (recall asserted in
- * OperatorSpec; hash-bucket layout is engine-specific so no SQL oracle).
+ * library surface (`graft.api.Pipelines`). All six are DuckDB-oracle-exact:
+ * the approximate ones (s02 LSH, s03 IVF) render their seeded,
+ * data-independent constants (hyperplanes / centroids) into the oracle SQL
+ * as literals so DuckDB replays the same candidate generation; recall
+ * properties are additionally asserted in OperatorSpec.
  */
 object Similarity {
 
@@ -109,8 +111,47 @@ object Similarity {
        |WHERE rnk <= 3""".stripMargin
   }
 
+  /** s03's oracle replays the IVF the way s02 replays its LSH: the 16
+    * seeded centroids are data-independent doubles rendered straight into
+    * the SQL as literals, and DuckDB recomputes every vector's centroid
+    * scores, the corpus argmax assignment (first index on score ties —
+    * `list_position` = Spark's `array_position`), each query's top-8
+    * probed lists (score DESC, index DESC on ties — `sort_array`'s
+    * descending struct order), and the exact-cosine top-3 within the
+    * probed lists. Valid because both engines compute the identical
+    * double dot products (the s04 gate pins vec_dot == list_dot_product),
+    * so every comparison falls the same way. */
+  private def s03OracleSql: String = {
+    val cents = Pipelines.hyperplanes(16, 64)
+    def centLit(p: Array[Double]): String = p.mkString("[", ",", "]")
+    val scores = (0 until 16)
+      .map(c => s"list_dot_product(emb, ${centLit(cents(c))})")
+      .mkString("[\n ", ",\n ", "\n]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |sc AS (SELECT vec_id, emb, $scores AS s FROM e),
+       |corpus AS (SELECT vec_id, list_position(s, list_max(s)) - 1 AS cl FROM sc),
+       |probe AS (
+       | SELECT q.vec_id AS q_id, c.cl
+       | FROM (SELECT vec_id, s FROM sc WHERE vec_id < 10) q
+       | CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS cl) c
+       | QUALIFY row_number() OVER (
+       |   PARTITION BY q.vec_id ORDER BY q.s[c.cl+1] DESC, c.cl DESC) <= 8),
+       |cand AS (
+       | SELECT p.q_id, n.vec_id AS n_id
+       | FROM probe p JOIN corpus n ON n.cl = p.cl
+       | WHERE n.vec_id <> p.q_id),
+       |scored AS (
+       | SELECT c.q_id, c.n_id, list_cosine_similarity(eq.emb, en.emb) AS cos
+       | FROM cand c JOIN e eq ON eq.vec_id = c.q_id JOIN e en ON en.vec_id = c.n_id)
+       |SELECT q_id, n_id, rnk, CAST(round(1000000 * cos) AS BIGINT) AS cos_micro
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
+       |WHERE rnk <= 3""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "s02_ann_lsh" -> s02OracleSql,
+    "s03_ivf_topk" -> s03OracleSql,
     "s05_quantized_embeddings" ->
       """WITH m AS (
         | SELECT vec_id, embedding,
