@@ -6,15 +6,17 @@ import org.apache.spark.sql.types._
 
 /**
  * Multimodal-column plumbing: image/audio/video payloads travel as opaque
- * `binary` columns with typed metadata alongside. The decode step itself is
- * STUBBED (no codec libraries in this environment — see `FakeDecoder`), but
- * everything Spark-side is real: schema shape, per-row metadata extraction,
- * frame fan-out, and batch-iterator decoding via `mapPartitions` (the Scala
- * equivalent of a Pandas-UDF `mapInPandas` pass: one decoder instantiation
- * per partition, streaming row batches through it).
+ * `binary` columns with typed metadata alongside. The image path is REAL:
+ * m03 synthesizes one PNG per asset and decodes it with the JDK's built-in
+ * `javax.imageio` codec (no external jars) inside a `mapPartitions` pass —
+ * the Scala equivalent of a Pandas-UDF `mapInPandas` stage: one decoder
+ * instantiation per partition, streaming row batches through it. PNG is
+ * lossless, so the decoded features are exactly predictable and the driver
+ * hash-checks the full encode->decode round trip against a DuckDB oracle.
  *
- * The `documents.text` bytes stand in for media payloads; a real deployment
- * swaps `FakeDecoder.decode` for an actual codec and nothing else changes.
+ * For m01/m02 the `documents.text` bytes stand in for media payloads; a
+ * video/audio deployment swaps the codec class only — the Spark-side
+ * schema, partitioning, and batch shape are the product.
  */
 object Multimodal {
 
@@ -48,42 +50,106 @@ object Multimodal {
         md5(concat_ws("_", col("doc_id"), col("frame_idx"))).as("frame_key"))
 
   // ---------------------------------------------------------------- m03
-  /** Batch decode via mapPartitions: the decoder is constructed once per
-    * partition and fed a row iterator — the streaming-batch shape a real
-    * (expensive, stateful) codec needs. Deterministic fake features.
-    * Engine-specific iteration -> rows-only driver check + MultimodalSpec. */
-  def m03DecodeStub(spark: SparkSession, dir: String): DataFrame = {
-    val input = withPayload(docs(spark, dir)).select("doc_id", "payload")
+  /** Real image decode via mapPartitions: each asset's stored payload is a
+    * genuine PNG (pixel values a pure function of (doc_id, x, y, channel) —
+    * see [[PngCodec]]), and the decode is a real `ImageIO.read`, one decoder
+    * per partition, streaming rows through — the stateful-codec batch shape.
+    * Because PNG is lossless, width/height/pixel-sum are exactly the encode
+    * formula's values, which the DuckDB oracle recomputes — the whole
+    * encode->decode round trip is hash-checked. */
+  def m03Decode(spark: SparkSession, dir: String): DataFrame = {
+    val input = pngPayloads(docs(spark, dir))
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
-      StructField("feat_sum", LongType, nullable = false),
-      StructField("feat_dim", IntegerType, nullable = false)))
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("pix_sum", LongType, nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     input.mapPartitions { rows =>
-      val decoder = new FakeDecoder // one per partition, like mapInPandas
+      val decoder = new PngDecoder // one per partition, like mapInPandas
       rows.map { r =>
-        val feats = decoder.decode(r.getAs[Array[Byte]]("payload"))
-        Row(r.getAs[Long]("doc_id"), feats.sum, feats.length)
+        val (w, h, sum) = decoder.decode(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), w, h, sum)
       }
     }(encoder)
   }
 
-  /** Stand-in for an image/audio codec: deterministic "features" from bytes.
-    * A real deployment replaces this class only. */
-  final class FakeDecoder {
-    def decode(payload: Array[Byte]): Array[Long] =
-      Array(payload.length.toLong,
-        payload.foldLeft(0L)((acc, b) => acc + (b & 0xff)),
-        if (payload.isEmpty) 0L else (payload.head & 0xff).toLong)
+  /** Synthetic stored media: one real PNG per doc, built executor-side in
+    * its own mapPartitions pass (standing in for media ingested from object
+    * storage — the decode stage sees only an opaque binary column). */
+  private def pngPayloads(df: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), PngCodec.encode(r.getLong(0), r.getLong(1)))
+        }
+      }(enc)
+  }
+
+  /** Deterministic PNG synthesis: dims and every channel value are pure
+    * integer functions of (doc_id, n_chars, x, y, channel), so the decoded
+    * image is SQL-predictable. TYPE_INT_RGB + PNG = lossless round trip. */
+  object PngCodec {
+    def dims(docId: Long, nChars: Long): (Int, Int) =
+      ((nChars % 40 + 8).toInt, (docId % 24 + 8).toInt)
+    def pixel(docId: Long, x: Int, y: Int, c: Int): Int =
+      ((x * 31L + y * 17L + docId * 7L + c * 11L) % 256L).toInt
+    def encode(docId: Long, nChars: Long): Array[Byte] = {
+      val (w, h) = dims(docId, nChars)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            (pixel(docId, x, y, 0) << 16) |
+              (pixel(docId, x, y, 1) << 8) |
+              pixel(docId, x, y, 2))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Real image codec: JDK `javax.imageio` PNG decode (headless-safe,
+    * memory-only). An audio/video deployment replaces this class only. */
+  final class PngDecoder {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+    def decode(payload: Array[Byte]): (Long, Long, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (w.toLong, h.toLong, sum)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> m01BinaryMeta _,
     "m02_frame_sample" -> m02FrameSample _,
-    "m03_decode_stub" -> m03DecodeStub _,
+    "m03_decode" -> m03Decode _,
   )
 
-  /** m03 iterates partition-side -> rows-only driver check. */
   val oracles: Map[String, String] = Map(
     "m01_binary_meta" ->
       """SELECT doc_id,
@@ -99,5 +165,21 @@ object Multimodal {
         |FROM (
         | SELECT doc_id, unnest(generate_series(0, n_chars // 50)) AS frame_idx
         | FROM documents)""".stripMargin,
+    // replays PngCodec's pixel formula: lossless PNG means the decoded
+    // sum equals the generation formula exactly
+    "m03_decode" ->
+      """WITH d AS (
+        | SELECT doc_id, n_chars % 40 + 8 AS w, doc_id % 24 + 8 AS h
+        | FROM documents)
+        |SELECT d.doc_id,
+        | CAST(d.w AS BIGINT) AS width,
+        | CAST(d.h AS BIGINT) AS height,
+        | CAST(sum((x.x*31 + y.y*17 + d.doc_id*7) % 256
+        |        + (x.x*31 + y.y*17 + d.doc_id*7 + 11) % 256
+        |        + (x.x*31 + y.y*17 + d.doc_id*7 + 22) % 256) AS BIGINT) AS pix_sum
+        |FROM d
+        |JOIN (SELECT unnest(generate_series(0, 46)) AS x) x ON x.x < d.w
+        |JOIN (SELECT unnest(generate_series(0, 30)) AS y) y ON y.y < d.h
+        |GROUP BY d.doc_id, d.w, d.h""".stripMargin,
   )
 }

@@ -152,20 +152,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("m03 decode stub: one feature row per asset, deterministic values") {
-    val out = Multimodal.m03DecodeStub(spark, sf).collect()
-    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
-    assert(out.length == nDocs)
-    assert(out.forall(_.getInt(2) == 3)) // feat_dim
-    // feat_sum is a deterministic function of the payload: recompute one doc
-    val doc0 = spark.read.parquet(s"$sf/documents.parquet")
-      .filter("doc_id = 0").select("text").collect().head.getString(0)
-    val payload = doc0.getBytes("UTF-8")
-    val expected = payload.length.toLong +
-      payload.foldLeft(0L)((acc, b) => acc + (b & 0xff)) +
-      (payload.head & 0xff).toLong
-    val got = out.find(_.getLong(0) == 0L).get.getLong(1)
-    assert(got == expected)
+  test("m03 real PNG decode: ImageIO round trip returns the encode formula exactly") {
+    import org.apache.spark.sql.functions.col
+    val out = Multimodal.m03Decode(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val docId = r.getLong(0)
+      val (w, h) = Multimodal.PngCodec.dims(docId, docs(docId))
+      assert(r.getLong(1) == w && r.getLong(2) == h,
+        s"doc $docId dims ${(r.getLong(1), r.getLong(2))} != ${(w, h)}")
+      var expected = 0L
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        expected += Multimodal.PngCodec.pixel(docId, x, y, c)
+      assert(r.getLong(3) == expected, s"doc $docId pixel sum drifted")
+    }
   }
 
   test("q25 sketches stay within error bounds of the exact answers") {
