@@ -101,6 +101,71 @@ class LogSpec extends AnyFunSuite {
     assert(Checkpoint.read(target, conf) == actions)
   }
 
+  test("checkpoint parquet schema matches the Delta protocol checkpoint shape (golden)") {
+    // Transcribed from the Delta transaction-log protocol's checkpoint
+    // schema (one optional struct per action type; string-keyed maps for
+    // partitionValues/configuration). An external Delta reader binds these
+    // columns BY NAME, so this golden set — independent of the writer's own
+    // schema constant — is the offline interop contract: any drift in
+    // column paths or physical types fails here before a foreign reader
+    // ever sees the table.
+    val conf = new Configuration()
+    val dir = Files.createTempDirectory("gwlog-cpschema")
+    val target = new org.apache.hadoop.fs.Path(dir.toString, "cp.parquet")
+    Checkpoint.write(target, conf, Seq(Protocol(1, 2)))
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(target, conf))
+    val schema = try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+    val cols = schema.getColumns.asScala
+      .map(c => c.getPath.mkString(".") ->
+        c.getPrimitiveType.getPrimitiveTypeName.toString)
+      .toSet
+    val golden = Set(
+      "protocol.minReaderVersion" -> "INT32",
+      "protocol.minWriterVersion" -> "INT32",
+      "metaData.id" -> "BINARY",
+      "metaData.schemaString" -> "BINARY",
+      "metaData.partitionColumns.list.element" -> "BINARY",
+      "metaData.configuration.key_value.key" -> "BINARY",
+      "metaData.configuration.key_value.value" -> "BINARY",
+      "metaData.createdTime" -> "INT64",
+      "add.path" -> "BINARY",
+      "add.partitionValues.key_value.key" -> "BINARY",
+      "add.partitionValues.key_value.value" -> "BINARY",
+      "add.size" -> "INT64",
+      "add.modificationTime" -> "INT64",
+      "add.dataChange" -> "BOOLEAN",
+      "add.stats" -> "BINARY",
+      "add.deletionVector.storageType" -> "BINARY",
+      "add.deletionVector.pathOrInlineDv" -> "BINARY",
+      "add.deletionVector.offset" -> "INT32",
+      "add.deletionVector.sizeInBytes" -> "INT32",
+      "add.deletionVector.cardinality" -> "INT64",
+      "remove.path" -> "BINARY",
+      "remove.size" -> "INT64",
+      "remove.deletionTimestamp" -> "INT64",
+      "remove.dataChange" -> "BOOLEAN",
+      "remove.partitionValues.key_value.key" -> "BINARY",
+      "remove.partitionValues.key_value.value" -> "BINARY",
+      "txn.appId" -> "BINARY",
+      "txn.version" -> "INT64",
+      "txn.lastUpdated" -> "INT64")
+    assert(cols == golden,
+      s"checkpoint schema drifted from the Delta spec:\n" +
+        s" unexpected=${(cols -- golden).toSeq.sorted.mkString(", ")}\n" +
+        s" missing=${(golden -- cols).toSeq.sorted.mkString(", ")}")
+    // every BINARY column must carry the UTF8/string annotation — name-
+    // binding readers type these as string, not raw bytes
+    val unannotated = schema.getColumns.asScala
+      .filter(_.getPrimitiveType.getPrimitiveTypeName.toString == "BINARY")
+      .filterNot(c => Option(c.getPrimitiveType.getLogicalTypeAnnotation)
+        .exists(_.isInstanceOf[
+          org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]))
+      .map(_.getPath.mkString("."))
+    assert(unannotated.isEmpty,
+      s"BINARY columns missing the UTF8 annotation: ${unannotated.mkString(", ")}")
+  }
+
   test("checkpoint carries txn marks + unexpired tombstones; snapshot resumes them") {
     val conf = new Configuration()
     val dir = Files.createTempDirectory("gwlog-txncp").toString
