@@ -134,7 +134,13 @@ case class GwOptimizeCommand(ref: String, zorderBy: Seq[String])
     AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GwMaintenance.resolvePath(spark, ref)
-    val v = graft.GwTable.forPath(spark, path).compact(clusterBy = zorderBy)
+    // conf-driven output sizing, the Delta OPTIMIZE convention (its
+    // optimize.maxFileSize conf) — SQL has no inline size clause
+    val target = spark.conf
+      .getOption("spark.graft.optimize.targetFileBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val v = graft.GwTable.forPath(spark, path)
+      .compact(targetFileBytes = target, clusterBy = zorderBy)
     Seq(Row(path, v))
   }
 }

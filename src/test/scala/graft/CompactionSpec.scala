@@ -157,6 +157,50 @@ class CompactionSpec extends AnyFunSuite {
     assert(table.toDF.filter(col("b") < 10).count() == 5000)
   }
 
+  test("SQL OPTIMIZE ZORDER BY gives the SECOND clustered column pruning") {
+    // same grid fixture as the API-path test above, but driven end to end
+    // through spark.sql: catalog table, INSERTs, conf-sized OPTIMIZE —
+    // pinning the parser -> GwOptimizeCommand -> Morton-compact plumbing
+    // against a regression to a lexicographic clustered sort (which would
+    // leave every output file spanning b's full range).
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    val ns = s"zns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val loc = Files.createTempDirectory("sql-zorder").resolve("t").toString
+    spark.sql(s"CREATE TABLE gw.$ns.t (a BIGINT, b BIGINT) USING gwdelta " +
+      s"LOCATION '$loc'")
+    for (i <- 0 until 16) {
+      spark.range(i * 2500L, (i + 1) * 2500L)
+        .selectExpr("id % 500 AS a", "CAST(id DIV 500 AS BIGINT) AS b")
+        .coalesce(1).createOrReplaceTempView("sql_zorder_src")
+      spark.sql(s"INSERT INTO gw.$ns.t SELECT * FROM sql_zorder_src")
+    }
+    val sizeKey = "spark.graft.optimize.targetFileBytes"
+    spark.conf.set(sizeKey, (24L * 1024).toString)
+    try {
+      val opt = spark.sql(s"OPTIMIZE gw.$ns.t ZORDER BY (a, b)").collect()
+      assert(opt.length == 1 && opt.head.getLong(1) > 0, "OPTIMIZE must commit")
+    } finally spark.conf.unset(sizeKey)
+    val table = GwTable.forPath(spark, loc)
+    val filesAfter = table.snapshot().files.size
+    assert(filesAfter >= 4, s"conf-sized OPTIMIZE must tile: $filesAfter files")
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          val inner = b.scan match {
+            case w: org.apache.spark.sql.graftbridge.GwDeltaScan => w.innerScan
+            case s => s
+          }
+          inner.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
+      }.head
+    val onA = plannedFiles(spark.sql(s"SELECT * FROM gw.$ns.t WHERE a < 60"))
+    val onB = plannedFiles(spark.sql(s"SELECT * FROM gw.$ns.t WHERE b < 10"))
+    assert(onA < filesAfter, s"a-filter planned $onA of $filesAfter")
+    assert(onB < filesAfter, s"b-filter planned $onB of $filesAfter")
+    assert(spark.sql(s"SELECT count(*) FROM gw.$ns.t").head().getLong(0) == 40000L)
+  }
+
   test("clustered compaction makes selective scans plan fewer files") {
     // 3 commit files that INTERLEAVE the key space: every file spans almost
     // the whole o_orderkey range, so stats skipping can't drop any of them
