@@ -61,21 +61,31 @@ object Bench {
         }
       }
       val best = times.min
+      val ok = !failed.contains(name)
       // One small self-contained JSON line per query as it completes: the
       // driver keeps only a ~2 KB tail of stdout, so a single monolithic
       // line gets its head truncated (round 3 lost 36 of 96 timings).
-      println(f"""{"query":"$name","sec":$best%.4f,"runs":${times.size}}""")
-      name -> best
+      if (ok) println(f"""{"query":"$name","sec":$best%.4f,"runs":${times.size}}""")
+      else println(f"""{"query":"$name","sec":null,"failed":true,"runs":${times.size}}""")
+      name -> (best, ok)
     }
+    // failed queries are EXCLUDED from `queries` and from `value`: their
+    // fail-fast wall time is not a measurement, and summing it made the
+    // total incomparable across rounds. They are still recorded — names in
+    // `failed`, observed abort time in `failed_times`.
+    val good = results.collect { case (n, (t, true)) => n -> t }
+    val failedTimes = results.collect { case (n, (t, false)) => n -> t }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (good.nonEmpty) good.values.sum else 0.0
     // Full-fidelity record (full names, full precision) — one line, too big
     // for the driver's stdout tail window, so it goes to a repo file and to
     // stderr instead.
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val fullQs = good.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failedTimesJson = failedTimes.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failedJson,"failed_times":$failedTimesJson,"runs":$runs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
@@ -88,11 +98,14 @@ object Bench {
     val shortNames = results.keys.groupBy(shortKey).flatMap { case (s, full) =>
       if (full.size == 1) full.map(_ -> s) else full.map(f => f -> f)
     }
-    val compactQs = results.map { case (k, v) =>
+    val compactQs = good.map { case (k, v) =>
       "\"" + shortNames(k) + "\":" + f"$v%.4g"
     }.mkString("{", ",", "}")
+    // failed list uses the SAME key form as `queries` so the two join
+    val compactFailed = failed.map(n => "\"" + shortNames(n) + "\"")
+      .mkString("[", ",", "]")
     val finalLine =
-      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$compactQs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir","note":"query keys = id prefix of SparkEntry.queries names; full map in BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$compactQs,"failed":$compactFailed,"runs":$runs,"sf":"$sfDir","note":"query keys = id prefix of SparkEntry.queries names; full map in BENCH_FULL.json"}"""
     // belt and braces for the driver's parser: the bare line on stdout
     // (build.sbt routes forked stdout straight through, no sbt prefix) AND
     // a fixed-path file it can read regardless of stdout capture
