@@ -86,7 +86,12 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failedJson,"failed_times":$failedTimesJson,"runs":$runs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // a FILTERED run must never overwrite the committed full-suite
+    // artifacts (that mistake has been made twice); it records to
+    // *_FILTERED files instead
+    val artifactSuffix = if (filter.isDefined) "_FILTERED" else ""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"BENCH_FULL$artifactSuffix.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     System.err.println(fullLine)
@@ -109,7 +114,8 @@ object Bench {
     // belt and braces for the driver's parser: the bare line on stdout
     // (build.sbt routes forked stdout straight through, no sbt prefix) AND
     // a fixed-path file it can read regardless of stdout capture
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench-results.json"),
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"bench-results$artifactSuffix.json"),
       (finalLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     println(finalLine)
