@@ -87,6 +87,69 @@ object Pipelines {
           email, "<EMAIL>"), ipv4, "<IP>"), phone, "<PHONE>"))
   }
 
+  /** Query parameters dropped by [[canonicalizeUrls]]: tracking/attribution
+    * noise that fragments otherwise-identical fetches. */
+  val TrackingParamRegex: String =
+    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref|mc_cid|mc_eid)="
+
+  /**
+   * URL canonicalization (t13) — the zero-cost FIRST dedup pass of a web
+   * corpus (CommonCrawl-style pipelines drop duplicate fetches by URL
+   * before reading any content): strips the fragment and scheme,
+   * lowercases the host and drops a leading `www.`, removes tracking
+   * query parameters ([[TrackingParamRegex]]) while preserving the order
+   * of the survivors, and trims a trailing path slash. Adds
+   * `host` + `canonical_url`. Per-row string work only — no shuffle; runs
+   * at scan speed at any corpus size (the one interpreted higher-order
+   * filter over the query-param list is per-row-once).
+   */
+  def canonicalizeUrls(df: DataFrame, url: Column): DataFrame = {
+    val noScheme = regexp_replace(
+      regexp_replace(url, "#.*", ""), "^https?://", "")
+    val rawHost = regexp_extract(noScheme, "^[^/?]+", 0)
+    val host = regexp_replace(lower(rawHost), "^www\\.", "")
+    val rest = noScheme.substr(length(rawHost) + 1, length(noScheme))
+    val path = regexp_extract(rest, "^[^?]*", 0)
+    val query = rest.substr(length(path) + 2, length(rest))
+    val cleanPath = regexp_replace(path, "/$", "")
+    val params = filter(split(query, "&"),
+      p => !(p === "" || p.rlike(TrackingParamRegex)))
+    df.withColumn("host", host)
+      .withColumn("canonical_url", concat(host, cleanPath,
+        when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+          .otherwise(lit(""))))
+  }
+
+  /**
+   * Overlapping token-window chunking (t14) — the context-window prep
+   * step for RAG indexing and long-document pretraining: each document's
+   * whitespace tokens are windowed into chunks of `chunkTokens` advancing
+   * by `stride = chunkTokens - overlap`, so consecutive chunks share
+   * `overlap` tokens and every token is covered. Chunks per doc =
+   * `max(1, ceil((n - overlap) / stride))` — each chunk past the first
+   * must contribute at least one new token, so a short tail never emits a
+   * chunk fully contained in its predecessor. Pure generator fan-out
+   * (`sequence` + `explode` + `slice`): zero shuffle, output rows ~
+   * corpus tokens / stride — scan-speed at 100 TB.
+   */
+  def chunkByTokens(df: DataFrame, id: Column, text: Column,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need chunkTokens > overlap >= 0, got chunk=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    df.select(id.as("doc_id"), split(text, " ").as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("__n_chunks",
+        expr(s"greatest(1L, (__n - $overlap + ${stride - 1}) div $stride)"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("__n_chunks") - 1)))
+      .withColumn("chunk_start", col("chunk_idx") * stride)
+      .withColumn("__chunk", slice(col("__toks"),
+        (col("chunk_start") + 1).cast("int"), lit(chunkTokens)))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        size(col("__chunk")).cast("long").as("chunk_tokens"),
+        md5(array_join(col("__chunk"), " ")).as("chunk_md5"))
+  }
+
   /**
    * Sequence packing (t10): greedy next-fit packing of documents into
    * fixed token-budget rows — the standard pre-training batching step.

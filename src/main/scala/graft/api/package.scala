@@ -58,6 +58,17 @@ package object api {
         capacity: Int = 256): DataFrame =
       Pipelines.heavyHitters(df, groups, item, k, capacity)
 
+    /** `host` + `canonical_url` columns (scheme/www/tracking-param/fragment
+      * noise stripped) — the zero-cost web-corpus URL dedup key. */
+    def canonicalizeUrls(url: Column): DataFrame =
+      Pipelines.canonicalizeUrls(df, url)
+
+    /** Overlapping token-window chunks (RAG / long-doc prep); one row per
+      * (doc, chunk) with md5 chunk identity. */
+    def chunkByTokens(id: Column, text: Column, chunkTokens: Int,
+        overlap: Int = 0): DataFrame =
+      Pipelines.chunkByTokens(df, id, text, chunkTokens, overlap)
+
     /** Cluster duplicate pairs into components (label = min member id). */
     def connectedComponents(a: Column, b: Column): DataFrame =
       Pipelines.connectedComponents(df, a, b)

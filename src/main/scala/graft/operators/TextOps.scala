@@ -132,6 +132,34 @@ object TextOps {
       .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
   }
 
+  /** t13: URL canonicalization + dedup report. The corpus carries no URL
+    * column, so the gate synthesizes one per doc — two variants per base id
+    * that must COLLIDE after canonicalization (scheme case, www, tracking
+    * params, fragment, trailing slash all differ); the oracle rebuilds the
+    * identical URLs and replays the canonicalization in SQL. */
+  def t13UrlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    val base = expr("doc_id div 2").cast("string")
+    val withUrl = docs(spark, dir).select(col("doc_id")).withColumn("url",
+      when(col("doc_id") % 2 === 0,
+        concat(lit("https://WWW.News-Site.com/articles/item-"), base,
+          lit("/?utm_source=rss&utm_medium=feed&page="),
+          (expr("doc_id div 2") % 3).cast("string"), lit("#top")))
+        .otherwise(
+          concat(lit("http://news-site.com/articles/item-"), base,
+            lit("?page="), (expr("doc_id div 2") % 3).cast("string"),
+            lit("&gclid=g"), col("doc_id").cast("string"))))
+    Pipelines.canonicalizeUrls(withUrl, col("url"))
+      .groupBy("canonical_url", "host")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("canonical_id"))
+  }
+
+  /** t14: overlapping token-window chunking (64-token chunks, 16-token
+    * overlap) — chunk identity carried as md5 so the gate output stays
+    * row-per-chunk without shipping the text twice. */
+  def t14ChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.chunkByTokens(docs(spark, dir), col("doc_id"), col("text"),
+      chunkTokens = 64, overlap = 16)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -145,6 +173,8 @@ object TextOps {
     "t10_sequence_packing" -> t10SequencePacking _,
     "t11_mixture_sample" -> t11MixtureSample _,
     "t12_pii_redact" -> t12PiiRedact _,
+    "t13_url_canonicalize" -> t13UrlCanonicalize _,
+    "t14_chunk_docs" -> t14ChunkDocs _,
   )
 
   private def sqlList(lang: String): String =
@@ -263,6 +293,50 @@ object TextOps {
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |   '\+\d{5,15}', '<PHONE>', 'g') AS redacted
         |FROM pii""".stripMargin,
+    // rebuilds the identical synthesized URLs, then replays the
+    // canonicalization (fragment/scheme strip, host lowercase + www strip,
+    // tracking-param filter with survivor order preserved, trailing-slash
+    // trim); the tracking regex is shared with the engine so it cannot drift
+    "t13_url_canonicalize" ->
+      s"""WITH raw AS (
+         | SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0
+         |   THEN 'https://WWW.News-Site.com/articles/item-' || (doc_id // 2) ||
+         |        '/?utm_source=rss&utm_medium=feed&page=' || ((doc_id // 2) % 3) || '#top'
+         |   ELSE 'http://news-site.com/articles/item-' || (doc_id // 2) ||
+         |        '?page=' || ((doc_id // 2) % 3) || '&gclid=g' || doc_id
+         |  END AS url
+         | FROM documents),
+         |nos AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(url, '#.*', ''), '^https?://', '') AS u FROM raw),
+         |hp AS (SELECT doc_id, u, regexp_extract(u, '^[^/?]+') AS raw_host FROM nos),
+         |rp AS (SELECT doc_id, regexp_replace(lower(raw_host), '^www\\.', '') AS host,
+         |        substr(u, length(raw_host) + 1) AS rest FROM hp),
+         |pq AS (SELECT doc_id, host, regexp_extract(rest, '^[^?]*') AS path,
+         |        substr(rest, length(regexp_extract(rest, '^[^?]*')) + 2) AS query FROM rp),
+         |cn AS (SELECT doc_id, host,
+         |        regexp_replace(path, '/$$', '') AS cpath,
+         |        list_filter(string_split(query, '&'),
+         |          x -> x <> '' AND NOT regexp_matches(x, '${Pipelines.TrackingParamRegex}')) AS params
+         |       FROM pq)
+         |SELECT host || cpath ||
+         |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url,
+         | host, count(*) AS n_copies, min(doc_id) AS canonical_id
+         |FROM cn GROUP BY 1, 2""".stripMargin,
+    // windows of 64 tokens advancing by 48: max(1, ceil((n-16)/48)) chunks,
+    // list_slice clamps the tail exactly like Spark's slice
+    "t14_chunk_docs" ->
+      """WITH d AS (
+        | SELECT doc_id, string_split(text, ' ') AS w,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        | FROM documents),
+        |nc AS (SELECT doc_id, w, greatest(1, (n - 16 + 47) // 48) AS n_chunks FROM d),
+        |c AS (SELECT doc_id, w,
+        |  unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM nc)
+        |SELECT doc_id, chunk_idx, chunk_idx * 48 AS chunk_start,
+        | CAST(len(w[chunk_idx*48+1 : chunk_idx*48+64]) AS BIGINT) AS chunk_tokens,
+        | md5(array_to_string(w[chunk_idx*48+1 : chunk_idx*48+64], ' ')) AS chunk_md5
+        |FROM c""".stripMargin,
     // greedy next-fit recurrence, one step per doc in (lang, doc_id) order
     "t10_sequence_packing" ->
       """WITH RECURSIVE d AS (

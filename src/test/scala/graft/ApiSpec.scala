@@ -210,4 +210,45 @@ class ApiSpec extends AnyFunSuite {
       out(1).getAs[Long]("n_phones") == 0)
     assert(out(1).getAs[String]("redacted").endsWith("price +99"))
   }
+
+  test("canonicalizeUrls strips scheme/www/tracking/fragment/trailing-slash noise") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://WWW.Example.com/A/B/?utm_source=x&page=2#frag"),
+      (2L, "http://example.com/A/B?page=2&gclid=zz"),   // same canonical as 1
+      (3L, "example.com/A/B?page=2"),                   // schemeless: same again
+      (4L, "https://example.com/A/B?page=3"),           // different surviving param
+      (5L, "https://other.org"),                        // bare host, no path
+      (6L, "http://Other.ORG/?utm_medium=a&utm_term=b") // all params tracked away
+    ).toDF("id", "url")
+    val out = urls.canonicalizeUrls(col("url"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("host"), r.getAs[String]("canonical_url"))).toMap
+    assert(out(1) == ("example.com", "example.com/A/B?page=2"))
+    assert(out(2) == out(1) && out(3) == out(1), "noise variants must collide")
+    assert(out(4) == ("example.com", "example.com/A/B?page=3"))
+    assert(out(5) == ("other.org", "other.org"))
+    assert(out(6) == ("other.org", "other.org"), "tracked-only query drops entirely")
+  }
+
+  test("chunkByTokens covers every token; overlap and tail semantics exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than one chunk
+      (3L, "")                                        // degenerate: [""] = 1 token
+    ).toDF("id", "text")
+    val out = docs.chunkByTokens(col("id"), col("text"), chunkTokens = 8, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: n=10, stride=4 -> ceil((10-4)/4)=2 chunks: [0,8) and [4,10)
+    assert(out.filter(_._1 == 1L).toSet ==
+      Set((1L, 0L, 0L, 8L), (1L, 1L, 4L, 6L)))
+    // short and empty docs emit exactly one chunk each
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 2L)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 0L, 1L)))
+    // no chunk may be fully contained in its predecessor: every chunk past
+    // idx 0 must end strictly later than the previous one
+    val ends = out.filter(_._1 == 1L).sortBy(_._2).map(c => c._3 + c._4)
+    assert(ends.sameElements(ends.sorted.distinct), s"chunk ends $ends")
+  }
 }

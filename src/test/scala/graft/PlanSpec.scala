@@ -178,4 +178,17 @@ class PlanSpec extends SparkSpec {
       lineitem("l_orderkey") === orders("o_orderkey"))
     assert(salted.count() == plain.count(), "salted join changed the result")
   }
+
+  test("t14 chunking is a pure generator fan-out: no exchange, no shuffle") {
+    val p = plan(graft.operators.TextOps.t14ChunkDocs(spark, sf))
+    assert(p.contains("Generate"), s"expected explode generator:\n$p")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("t13 URL canonicalization shuffles only for the final dedup group-by") {
+    val p = plan(graft.operators.TextOps.t13UrlCanonicalize(spark, sf))
+    // exactly one exchange: the canonical-url aggregation; the per-row
+    // canonicalization itself must not repartition anything
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected one exchange:\n$p")
+  }
 }
