@@ -936,6 +936,36 @@ object GwCore {
       "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s")
   }
 
+  // ---------------------------------------------------------------- gw32
+  /** Streaming change-feed read (`readChangeFeed`): two appends then a
+    * full-table DELETE (stats-classified metadata-only drop — a
+    * remove-only commit), consumed as a CDF stream — each insert commit's
+    * rows arrive tagged 'insert' and the delete commit re-emits every
+    * removed row tagged 'delete', with the commit version alongside. The
+    * drained feed equals the batch `rowChanges` answer by construction
+    * (asserted in GwDeltaSourceSpec); here the oracle replays the
+    * known content per commit. */
+  def gw32CdfStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw32")
+    val loc = tmp.resolve("db/region").toString
+    val region = spark.read.parquet(s"$dir/region.parquet")
+    region.write.format("gwdelta").mode("append").save(loc) // v0 bootstrap
+    region.write.format("gwdelta").mode("append").save(loc) // v1 append
+    val table = GwTable.forPath(spark, loc)
+    require(table.delete(col("r_regionkey") >= 0) == 2L,
+      "full-file delete must commit as version 2")
+    val name = s"gw32_cdf_${System.nanoTime()}"
+    val q = spark.readStream.format("gwdelta")
+      .option("readChangeFeed", "true").load(loc)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).select(col("r_regionkey"), col("r_name"),
+      col("_commit_version").as("change_seq"), col("_change_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -968,6 +998,7 @@ object GwCore {
     "gw29_restore" -> gw29Restore _,
     "gw30_shallow_clone" -> gw30ShallowClone _,
     "gw31_zorder_compact" -> gw31ZorderCompact _,
+    "gw32_cdf_stream" -> gw32CdfStream _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1126,5 +1157,13 @@ object GwCore {
       """SELECT o_orderkey, o_custkey,
         | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s
         |FROM orders""".stripMargin,
+    "gw32_cdf_stream" ->
+      """SELECT r_regionkey, r_name, CAST(0 AS BIGINT) AS change_seq, 'insert' AS _change_type FROM region
+        |UNION ALL
+        |SELECT r_regionkey, r_name, CAST(1 AS BIGINT), 'insert' FROM region
+        |UNION ALL
+        |SELECT r_regionkey, r_name, CAST(2 AS BIGINT), 'delete' FROM region
+        |UNION ALL
+        |SELECT r_regionkey, r_name, CAST(2 AS BIGINT), 'delete' FROM region""".stripMargin,
   )
 }

@@ -163,7 +163,12 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
     val path = streamPath(parameters)
     val log = GwLog.forTable(
       sqlContext.sparkSession.sparkContext.hadoopConfiguration, path)
-    (shortName(), log.snapshot(None).schema)
+    val base = log.snapshot(None).schema
+    val cdf = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters)
+      .get("readChangeFeed").exists(_.toBoolean)
+    (shortName(),
+      if (cdf) org.apache.spark.sql.graftbridge.GwDeltaStreamSource.cdfSchema(base)
+      else base)
   }
 
   override def createSource(

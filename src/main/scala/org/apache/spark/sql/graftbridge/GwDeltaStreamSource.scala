@@ -1,13 +1,14 @@
 package org.apache.spark.sql.graftbridge
 
-import graft.log.{AddFile, GwLog, Metadata}
+import graft.log.{AddFile, GwLog, Metadata, RemoveFile}
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 /**
  * Streaming tail of a gwdelta transaction log:
@@ -24,6 +25,17 @@ import org.apache.spark.sql.types.StructType
  * A schema restatement inside a consumed range stops the stream with an
  * explicit error (same contract as delta): the new fingerprint REPLACES
  * the table, so a consumer must restart from the restated snapshot.
+ *
+ * With `option("readChangeFeed", "true")` the stream serves the row-level
+ * CHANGE FEED instead: per version, insert-only commits emit their added
+ * rows tagged `_change_type = 'insert'` and remove-only commits emit the
+ * removed files' rows tagged `'delete'`, each with `_commit_version` —
+ * pure file reads, so the micro-batch plan stays a valid streaming plan
+ * (no joins/exceptAll). A commit that MIXES added and removed data files
+ * (a copy-on-write rewrite) or carries deletion vectors has no
+ * join-free row diff; the stream stops with explicit guidance to the
+ * batch API (`GwTable.rowChanges`), the same contract as Delta's CDF
+ * without CDC files.
  */
 class GwDeltaStreamSource(
     sqlContext: SQLContext,
@@ -36,8 +48,10 @@ class GwDeltaStreamSource(
   private val streamSchema: StructType = log.snapshot(None).schema
   private val params =
     org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters)
+  private val cdf = params.get("readChangeFeed").exists(_.toBoolean)
 
-  override def schema: StructType = streamSchema
+  override def schema: StructType =
+    if (cdf) GwDeltaStreamSource.cdfSchema(streamSchema) else streamSchema
 
   override def getOffset: Option[OffsetV1] =
     log.latestVersion().map(v => LongOffset(v))
@@ -56,15 +70,83 @@ class GwDeltaStreamSource(
     * ([[GwStreamAdmission.nextOffset]]): the initial snapshot is sliced by
     * file index, tailing admits whole versions. */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
-    GwStreamAdmission.nextOffset(log, GwStreamOffset.of(start), limit,
+    if (cdf)
+      // CDF admits whole versions (a commit is the change-feed unit; the
+      // snapshot file-index slicing below is meaningless for a row diff)
+      availableNowCap.orElse(log.latestVersion())
+        .map(v => LongOffset(v): OffsetV2).orNull
+    else GwStreamAdmission.nextOffset(log, GwStreamOffset.of(start), limit,
       availableNowCap)
 
   override def reportLatestOffset(): OffsetV2 =
     log.latestVersion().map(v => LongOffset(v): OffsetV2).orNull
 
+  /** Streaming-leaf relation over `paths` (isStreaming=true for
+    * MicroBatchExecution), or an empty streaming LocalRelation. */
+  private def streamingRelation(paths: Seq[String], sch: StructType): DataFrame =
+    if (paths.isEmpty)
+      Dataset.ofRows(spark,
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(sch),
+          Seq.empty, isStreaming = true))
+    else {
+      val relation = DataSource(
+        sparkSession = spark,
+        className = "parquet",
+        paths = paths,
+        userSpecifiedSchema = Some(sch)).resolveRelation(checkFilesExist = false)
+      Dataset.ofRows(spark, LogicalRelation(relation, isStreaming = true))
+    }
+
+  /** Change-feed micro-batch for versions `(s, e]`: per-version tagged file
+    * reads — see the class doc for the supported commit shapes. */
+  private def cdfBatch(s: Long, e: Long): DataFrame = {
+    val parts = ((s + 1) to e).flatMap { v =>
+      val actions = log.readVersion(v)
+      if (v > 0 && actions.exists(_.isInstanceOf[Metadata]))
+        throw new IllegalStateException(
+          s"gwdelta CDF stream at $tablePath: version $v restates the " +
+            "table's schema; row identity is undefined across schemas — " +
+            "restart consumption from a full snapshot")
+      val adds = actions.collect { case a: AddFile if a.dataChange => a }
+      val rms = actions.collect { case r: RemoveFile if r.dataChange => r.path }
+      if (adds.exists(_.dv.isDefined))
+        throw new IllegalStateException(
+          s"gwdelta CDF stream at $tablePath: version $v asserts deletion " +
+            "vectors; the position-level diff needs the batch API — " +
+            "GwTable.rowChanges")
+      if (adds.nonEmpty && rms.nonEmpty)
+        throw new IllegalStateException(
+          s"gwdelta CDF stream at $tablePath: version $v mixes added and " +
+            "removed data files (a rewrite); the row-level diff needs the " +
+            "batch API — GwTable.rowChanges")
+      if (rms.nonEmpty) {
+        // removed rows must be LIVE rows: a tombstoned file that carried a
+        // deletion vector needs position reconciliation this path cannot do
+        val prev = log.snapshot(Some(v - 1)).files.map(f => f.path -> f).toMap
+        if (rms.exists(p => prev.get(p).exists(_.dv.isDefined)))
+          throw new IllegalStateException(
+            s"gwdelta CDF stream at $tablePath: version $v removes a file " +
+              "carrying a deletion vector — use GwTable.rowChanges")
+      }
+      val tagged =
+        if (adds.nonEmpty)
+          Some(streamingRelation(adds.map(_.path), streamSchema)
+            .withColumn("_change_type", lit("insert")))
+        else if (rms.nonEmpty)
+          Some(streamingRelation(rms, streamSchema)
+            .withColumn("_change_type", lit("delete")))
+        else None
+      tagged.map(_.withColumn("_commit_version", lit(v)))
+    }
+    parts.reduceOption(_ unionAll _)
+      .getOrElse(streamingRelation(Nil, GwDeltaStreamSource.cdfSchema(streamSchema)))
+  }
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val s = start.map(o => GwStreamOffset.of(o)).getOrElse(GwStreamOffset(-1L))
     val e = GwStreamOffset.of(end)
+    if (cdf) return cdfBatch(s.version, e.version)
     // restatement stop + DV re-assertion skip live in rangeFiles (same
     // contract as changesSince and the V2 stream)
     val files: Seq[AddFile] = GwStreamAdmission.rangeFiles(log, tablePath, s, e)
@@ -79,24 +161,17 @@ class GwDeltaStreamSource(
           "file(s) carrying deletion vectors, which this path cannot " +
           "reconcile — run compact() on the table first, or stream " +
           "through the catalog (spark.readStream.table) instead")
-    if (files.isEmpty) {
-      // a version range can be metadata-only (e.g. a compaction commit's
-      // dataChange=false rewrites); the empty relation must still carry
-      // isStreaming=true for MicroBatchExecution's sanity check
-      Dataset.ofRows(spark,
-        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(streamSchema),
-          Seq.empty, isStreaming = true))
-    } else {
-      // the leaf must carry isStreaming=true for MicroBatchExecution
-      val relation = DataSource(
-        sparkSession = spark,
-        className = "parquet",
-        paths = files.map(_.path),
-        userSpecifiedSchema = Some(streamSchema)).resolveRelation(checkFilesExist = false)
-      Dataset.ofRows(spark, LogicalRelation(relation, isStreaming = true))
-    }
+    // a version range can be metadata-only (e.g. a compaction commit's
+    // dataChange=false rewrites); the empty relation must still carry
+    // isStreaming=true for MicroBatchExecution's sanity check
+    streamingRelation(files.map(_.path), streamSchema)
   }
 
   override def stop(): Unit = ()
+}
+
+object GwDeltaStreamSource {
+  /** Table schema + the change-feed metadata columns. */
+  def cdfSchema(base: StructType): StructType =
+    base.add("_change_type", StringType).add("_commit_version", LongType)
 }

@@ -578,6 +578,64 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     assert(graft.streaming.GwSink.append(region, path, Some("s1/1")) == 2L)
   }
 
+  test("streaming CDF equals batch rowChanges; rewrite commits stop the stream") {
+    val root = Files.createTempDirectory("gwdelta-cdf")
+    val loc = root.resolve("t").toString
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    region.write.format("gwdelta").mode("append").save(loc) // v0
+    region.write.format("gwdelta").mode("append").save(loc) // v1
+    val table = GwTable.forPath(spark, loc)
+    assert(table.delete(col("r_regionkey") >= 3) == 2L) // partial: rewrite? no —
+    // r_regionkey 3..4 spans both files partially -> copy-on-write rewrite
+    // at v2 (adds + removes in one commit): the CDF stream must STOP there
+    def drain(): org.apache.spark.sql.DataFrame = {
+      val name = s"cdf_spec_${System.nanoTime()}"
+      val q = spark.readStream.format("gwdelta")
+        .option("readChangeFeed", "true").load(loc)
+        .writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain())
+    assert(err.getMessage.contains("rowChanges") ||
+      Option(err.getCause).exists(_.getMessage.contains("rowChanges")),
+      s"rewrite commit must point at the batch API: ${err.getMessage}")
+
+    // append-only + full-file-delete history streams cleanly and equals
+    // the batch change feed exactly
+    val loc2 = root.resolve("t2").toString
+    region.write.format("gwdelta").mode("append").save(loc2) // v0
+    region.write.format("gwdelta").mode("append").save(loc2) // v1
+    val t2 = GwTable.forPath(spark, loc2)
+    assert(t2.delete(col("r_regionkey") >= 0) == 2L) // metadata-only drop
+    val streamed = drainAt(loc2)
+    // batch rowChanges starts AFTER a version; compare the common range
+    // (v1..v2) and pin v0's bootstrap inserts separately
+    val batch = t2.rowChanges(0L)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select("r_regionkey", "r_name", "_change_type", "_commit_version")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(key(streamed.filter(col("_commit_version") > 0))
+      .sameElements(key(batch)),
+      "drained CDF stream must equal batch rowChanges over (0, latest]")
+    assert(streamed.filter(col("_commit_version") === 0 &&
+      col("_change_type") === "insert").count() == region.count(),
+      "the bootstrap commit must stream as inserts")
+  }
+
+  private def drainAt(loc: String): org.apache.spark.sql.DataFrame = {
+    val name = s"cdf_spec_${System.nanoTime()}"
+    val q = spark.readStream.format("gwdelta")
+      .option("readChangeFeed", "true").load(loc)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   test("GwSink: replay detection survives past the dedup walk window via txn marks") {
     val path = Files.createTempDirectory("gwsink-txn").resolve("t").toString
     val region = spark.read.parquet(s"$sf/region.parquet")
