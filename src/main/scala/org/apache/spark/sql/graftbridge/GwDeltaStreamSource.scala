@@ -50,6 +50,22 @@ class GwDeltaStreamSource(
     org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters)
   private val cdf = params.get("readChangeFeed").exists(_.toBoolean)
 
+  /** `startingVersion`: first log version the stream serves (skipping the
+    * initial-snapshot read — the consumer declares it already holds state
+    * up to N-1). Absent = initial snapshot (plain stream) / full history
+    * (CDF). Applied only when nothing is consumed yet; a checkpointed
+    * offset always wins. */
+  private val startingVersion: Option[Long] = params.get("startingVersion")
+    .map { v =>
+      val n = v.toLong
+      require(n >= 0, s"startingVersion must be >= 0, got $n")
+      n
+    }
+
+  private def adjustStart(s: GwStreamOffset): GwStreamOffset =
+    if (s.version >= 0) s
+    else startingVersion.map(n => GwStreamOffset(n - 1)).getOrElse(s)
+
   override def schema: StructType =
     if (cdf) GwDeltaStreamSource.cdfSchema(streamSchema) else streamSchema
 
@@ -75,8 +91,8 @@ class GwDeltaStreamSource(
       // snapshot file-index slicing below is meaningless for a row diff)
       availableNowCap.orElse(log.latestVersion())
         .map(v => LongOffset(v): OffsetV2).orNull
-    else GwStreamAdmission.nextOffset(log, GwStreamOffset.of(start), limit,
-      availableNowCap)
+    else GwStreamAdmission.nextOffset(log, adjustStart(GwStreamOffset.of(start)),
+      limit, availableNowCap)
 
   override def reportLatestOffset(): OffsetV2 =
     log.latestVersion().map(v => LongOffset(v): OffsetV2).orNull
@@ -144,7 +160,8 @@ class GwDeltaStreamSource(
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val s = start.map(o => GwStreamOffset.of(o)).getOrElse(GwStreamOffset(-1L))
+    val s = adjustStart(
+      start.map(o => GwStreamOffset.of(o)).getOrElse(GwStreamOffset(-1L)))
     val e = GwStreamOffset.of(end)
     if (cdf) return cdfBatch(s.version, e.version)
     // restatement stop + DV re-assertion skip live in rangeFiles (same

@@ -625,15 +625,47 @@ class GwDeltaSourceSpec extends AnyFunSuite {
       "the bootstrap commit must stream as inserts")
   }
 
-  private def drainAt(loc: String): org.apache.spark.sql.DataFrame = {
+  private def drainAt(loc: String, opts: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.DataFrame = {
     val name = s"cdf_spec_${System.nanoTime()}"
-    val q = spark.readStream.format("gwdelta")
-      .option("readChangeFeed", "true").load(loc)
+    val q = opts.foldLeft(spark.readStream.format("gwdelta")
+        .option("readChangeFeed", "true")) { case (r, (k, v)) => r.option(k, v) }
+      .load(loc)
       .writeStream.format("memory").queryName(name)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  test("startingVersion skips the initial snapshot on both stream faces") {
+    val root = Files.createTempDirectory("gwdelta-startv")
+    val loc = root.resolve("t").toString
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    region.write.format("gwdelta").mode("append").save(loc) // v0
+    region.write.format("gwdelta").mode("append").save(loc) // v1
+    val n = region.count()
+    def drainPlain(opts: Map[String, String]): Long = {
+      val name = s"startv_${System.nanoTime()}"
+      val q = opts.foldLeft(spark.readStream.format("gwdelta")) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load(loc)
+        .writeStream.format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).count()
+    }
+    assert(drainPlain(Map.empty) == 2 * n, "default = full initial snapshot")
+    assert(drainPlain(Map("startingVersion" -> "1")) == n,
+      "startingVersion=1 must serve only v1's commit, no snapshot")
+    // CDF face: start at the delete commit only
+    val t = GwTable.forPath(spark, loc)
+    assert(t.delete(col("r_regionkey") >= 0) == 2L)
+    val cdfTail = drainAt(loc, Map("startingVersion" -> "2"))
+    assert(cdfTail.count() == 2 * n &&
+      cdfTail.filter(col("_change_type") === "delete").count() == 2 * n,
+      "CDF with startingVersion=2 must emit exactly the delete commit")
   }
 
   test("GwSink: replay detection survives past the dedup walk window via txn marks") {
