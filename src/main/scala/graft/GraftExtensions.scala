@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectParser((_, delegate) =>
       new org.apache.spark.sql.graftbridge.GwSqlParser(delegate))
   }
@@ -51,7 +52,42 @@ object GraftExtensions {
         SimHashAgg(children(0), children(1)).toAggregateExpression()
       }))
 
+  /** `table_changes('t' | '/path/to/table', sinceVersion)` — the batch
+    * row-level change feed ([[GwTable.rowChanges]]) as a SQL table-valued
+    * function, Delta's TVF shape:
+    * `SELECT * FROM table_changes('gw.ns.t', 3)`. A reference containing
+    * `/` is taken as a table path; anything else resolves through the
+    * session catalog. */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    (FunctionIdentifier("table_changes"),
+      info("graft.GwTable", "table_changes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "table_changes(table, sinceVersion) takes exactly 2 arguments")
+        def literal(e: Expression, what: String): Any = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v
+          case other => throw new IllegalArgumentException(
+            s"table_changes needs a literal $what, got $other")
+        }
+        val ref = String.valueOf(literal(children(0), "table reference"))
+        val since = literal(children(1), "version") match {
+          case i: java.lang.Integer => i.longValue()
+          case l: java.lang.Long => l.longValue()
+          case other => throw new IllegalArgumentException(
+            s"table_changes version must be an integer, got $other")
+        }
+        val spark = SparkSession.active
+        val path =
+          if (ref.contains("/")) ref
+          else org.apache.spark.sql.graftbridge.GwMaintenance.resolvePath(spark, ref)
+        org.apache.spark.sql.graftbridge.Bridge.logicalPlan(
+          GwTable.forPath(spark, path).rowChanges(since))
+      }))
+
   /** Register the functions on an already-running session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.graftbridge.Bridge.registerFunctions(spark, functions)
+    org.apache.spark.sql.graftbridge.Bridge.registerTableFunctions(spark, tableFunctions)
+  }
 }

@@ -28,6 +28,26 @@ object Bridge {
       .getOrElse(Nil)
   }
 
+  /** A DataFrame's analyzed logical plan (private[sql] on the classic
+    * Dataset) — lets a table-valued function splice an engine-built frame
+    * into the calling query. */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** Register table-function builders on a LIVE session. */
+  def registerTableFunctions(
+      spark: org.apache.spark.sql.SparkSession,
+      fns: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+        org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+        Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+    fns.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
+
   /** Register function builders on a LIVE session (the extensions hook only
     * covers sessions built after the config is set). */
   def registerFunctions(

@@ -886,4 +886,34 @@ class DmlSpec extends SparkSpec {
     assert(posAfter == posBefore,
       "surviving rows keep their file-absolute identity under a DV")
   }
+
+  test("table_changes TVF serves the batch change feed from SQL") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    GraftExtensions.register(spark)
+    val (dir, t) = twoRangeTable()
+    val ns = s"dml${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta LOCATION '$dir'")
+    val v0 = t.snapshot().version
+    spark.sql(s"DELETE FROM gw.$ns.nation WHERE n_nationkey < 12")
+    // by catalog identifier AND by path — both resolve to the same feed
+    val byIdent = spark.sql(
+      s"SELECT n_nationkey, _change_type, _commit_version " +
+        s"FROM table_changes('gw.$ns.nation', $v0)")
+    val byPath = spark.sql(
+      s"SELECT n_nationkey, _change_type, _commit_version " +
+        s"FROM table_changes('$dir', $v0)")
+    val expected = t.rowChanges(v0)
+      .select("n_nationkey", "_change_type", "_commit_version")
+    def canon(df: DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(canon(byIdent).sameElements(canon(expected)))
+    assert(canon(byPath).sameElements(canon(expected)))
+    assert(byIdent.filter(col("_change_type") === "delete").count() == 12)
+    // the TVF composes with ordinary SQL (aggregation over the feed)
+    val agg = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM table_changes('$dir', $v0) " +
+        "GROUP BY 1").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg == Map("delete" -> 12L))
+  }
 }
