@@ -98,57 +98,128 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
    * Returns the committed version, or -1 if there was nothing to compact.
    */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024,
-      clusterBy: Seq[String] = Nil): Long = {
+      clusterBy: Seq[String] = Nil): Long =
+    compact(targetFileBytes, clusterBy, None)
+
+  /** [[compact]] with an optional partition predicate (the
+    * `OPTIMIZE ... WHERE` surface): only files whose partition tuple
+    * satisfies the predicate are rewritten — maintenance windows touch the
+    * hot partitions without paying for the whole table. On a partitioned
+    * table, compaction groups by partition tuple (a rewrite may never merge
+    * rows across partition values) and the rewritten AddFiles carry their
+    * group's `partitionValues`, so partition pruning and `numPartitions`
+    * survive OPTIMIZE unchanged. The predicate may reference partition
+    * columns only, and is evaluated driver-side over one row per distinct
+    * live partition tuple — metadata scale, never a data scan. */
+  def compact(targetFileBytes: Long, clusterBy: Seq[String],
+      partitionPredicate: Option[Column]): Long = {
+    import org.apache.spark.sql.functions.col
     val conf = spark.sparkContext.hadoopConfiguration
     val snap = gwLog.snapshot(None)
-    val small = snap.files.filter(_.size < targetFileBytes)
-    if (small.size < 2) return -1L
+    val partCols = snap.metadata.map(_.partitionColumns).getOrElse(Nil)
+    require(partitionPredicate.isEmpty || partCols.nonEmpty,
+      "OPTIMIZE ... WHERE selects partition values, but the table is " +
+        "unpartitioned — drop the WHERE clause")
     clusterBy.foreach { c =>
       require(snap.schema.fieldNames.contains(c),
         s"clusterBy column '$c' is not in the table schema " +
           s"(${snap.schema.fieldNames.mkString(", ")})")
     }
+    val small0 = snap.files.filter(_.size < targetFileBytes)
+    val small = partitionPredicate match {
+      case None => small0
+      case Some(p) =>
+        val keptTuples = keepPartitionTuples(
+          small0.map(f => partCols.map(c => f.partitionValues.getOrElse(c, null)))
+            .distinct,
+          partCols, snap.schema, p)
+        small0.filter(f =>
+          keptTuples.contains(partCols.map(c => f.partitionValues.getOrElse(c, null))))
+    }
+    // group by partition tuple: a rewrite must never merge rows across
+    // partition values (and each group's AddFiles re-assert those values)
+    val groups: Seq[(Map[String, String], Seq[AddFile])] =
+      if (partCols.isEmpty) Seq(Map.empty[String, String] -> small)
+      else small.groupBy(_.partitionValues).toSeq.sortBy(_._1.toSeq.mkString("|"))
+    val groupsToDo = groups.filter(_._2.size >= 2)
+    if (groupsToDo.isEmpty) return -1L
     val now = System.currentTimeMillis()
-    val outDir = new Path(tablePath, s"_compacted/${java.util.UUID.randomUUID()}")
-    val nOut = math.max(1, math.ceil(
-      small.map(_.size).sum.toDouble / targetFileBytes).toInt)
-    // live rows only: compaction is what FOLDS deletion vectors away — the
-    // rewritten files carry no DV and the originals tombstone out
-    val base = Dv.readLive(spark, snap.schema, small)
-    val arranged =
-      if (clusterBy.isEmpty) base.repartition(nOut)
-      else if (clusterBy.size == 1) base
-        .repartitionByRange(nOut, clusterBy.map(org.apache.spark.sql.functions.col): _*)
-        .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
-      else {
-        // multi-column clustering is true Z-ORDER: a lexicographic range
-        // sort would leave every non-leading column spanning the full
-        // range per file (no stats skipping on them); interleaving the
-        // rank-bucket bits tiles the space so EVERY listed column gets
-        // tight per-file min/max (graft.functions.ZOrder)
-        import org.apache.spark.sql.functions.col
-        val est = {
-          val ns = small.map(Dv.numRecords)
-          if (ns.forall(_.isDefined))
-            ns.flatten.sum - small.flatMap(_.dv).map(_.cardinality).sum
-          else base.count()
+    val rewritten: Seq[Action] = groupsToDo.flatMap { case (partVals, files) =>
+      val outDir = new Path(tablePath, s"_compacted/${java.util.UUID.randomUUID()}")
+      val nOut = math.max(1, math.ceil(
+        files.map(_.size).sum.toDouble / targetFileBytes).toInt)
+      // live rows only: compaction is what FOLDS deletion vectors away —
+      // the rewritten files carry no DV and the originals tombstone out
+      val base = Dv.readLive(spark, snap.schema, files)
+      val arranged =
+        if (clusterBy.isEmpty) base.repartition(nOut)
+        else if (clusterBy.size == 1) base
+          .repartitionByRange(nOut, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+        else {
+          // multi-column clustering is true Z-ORDER: a lexicographic range
+          // sort would leave every non-leading column spanning the full
+          // range per file (no stats skipping on them); interleaving the
+          // rank-bucket bits tiles the space so EVERY listed column gets
+          // tight per-file min/max (graft.functions.ZOrder)
+          val est = {
+            val ns = files.map(Dv.numRecords)
+            if (ns.forall(_.isDefined))
+              ns.flatten.sum - files.flatMap(_.dv).map(_.cardinality).sum
+            else base.count()
+          }
+          val z = graft.functions.ZOrder.zvalue(base, clusterBy, est)
+          base.withColumn("__gw_zvalue", z)
+            .repartitionByRange(nOut, col("__gw_zvalue"))
+            .sortWithinPartitions(col("__gw_zvalue"))
+            .drop("__gw_zvalue")
         }
-        val z = graft.functions.ZOrder.zvalue(base, clusterBy, est)
-        base.withColumn("__gw_zvalue", z)
-          .repartitionByRange(nOut, col("__gw_zvalue"))
-          .sortWithinPartitions(col("__gw_zvalue"))
-          .drop("__gw_zvalue")
-      }
-    arranged
-      .write.mode("overwrite").parquet(outDir.toString)
-    val newFiles = graft.sources.SchemaProbe
-      .harvestAddFiles(conf, outDir, dataChange = false)
-    val removes = small.map(f => RemoveFile(f.path, f.size, now, dataChange = false))
+      arranged.write.mode("overwrite").parquet(outDir.toString)
+      val adds = graft.sources.SchemaProbe
+        .harvestAddFiles(conf, outDir, dataChange = false)
+        .map(_.copy(partitionValues = partVals))
+      val removes = files.map(f =>
+        RemoveFile(f.path, f.size, now, dataChange = false,
+          partitionValues = f.partitionValues))
+      adds ++ removes
+    }
+    val newBytes = rewritten.collect { case a: AddFile => a.size }
     val info = CommitInfo(
       timestamp = now, operation = "OPTIMIZE", mode = "Compact",
-      numFiles = newFiles.size, numOutputBytes = newFiles.map(_.size).sum,
+      numFiles = newBytes.size, numOutputBytes = newBytes.sum,
       isBlindAppend = false, txnId = java.util.UUID.randomUUID().toString)
-    gwLog.commit(newFiles ++ removes ++ Seq(info))
+    gwLog.commit(rewritten :+ info)
+  }
+
+  /** Which of `tuples` (partition-column string values, in `partCols`
+    * order) satisfy `predicate` — values cast to the table types first, so
+    * `WHERE n_regionkey = 2` works on the stringly-stored tuple. One local
+    * row per tuple; metadata scale. */
+  private def keepPartitionTuples(tuples: Seq[Seq[String]], partCols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      predicate: Column): Set[Seq[String]] = {
+    import org.apache.spark.sql.functions.col
+    if (tuples.isEmpty) return Set.empty
+    val raw = org.apache.spark.sql.types.StructType(
+      partCols.map(c => org.apache.spark.sql.types.StructField(
+        s"__raw_$c", org.apache.spark.sql.types.StringType)))
+    val rows: Seq[Row] = tuples.map(Row.fromSeq)
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), raw)
+    val typed = partCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, col(s"__raw_$c").cast(schema(c).dataType))
+    }
+    val kept =
+      try typed.filter(predicate).collect()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"OPTIMIZE ... WHERE may reference partition columns only " +
+              s"(${partCols.mkString(", ")}): ${e.getMessage}", e)
+      }
+    kept.map(r => partCols.map(c => r.getAs[String](s"__raw_$c")))
+      .map(_.toSeq).toSet
   }
 
   /**

@@ -32,6 +32,7 @@ object GwMaintenance {
   private val TableRef = """(`[^`]+`|'[^']+'|"[^"]+"|[\w.]+)"""
   private val Optimize =
     ("""(?is)^\s*OPTIMIZE\s+""" + TableRef +
+      """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val Vacuum =
     ("""(?is)^\s*VACUUM\s+""" + TableRef +
@@ -50,11 +51,11 @@ object GwMaintenance {
 
   /** Maintenance statement -> command plan; None = not ours. */
   def parse(sql: String): Option[LogicalPlan] = sql match {
-    case Optimize(ref, zorder) =>
+    case Optimize(ref, where, zorder) =>
       val cols = Option(zorder).toSeq
         .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty)
-      Some(GwOptimizeCommand(ref, cols))
+      Some(GwOptimizeCommand(ref, cols, Option(where).map(_.trim)))
     case Vacuum(ref, hours) =>
       Some(GwVacuumCommand(ref, Option(hours).map(_.toLong)))
     case History(ref) => Some(GwDescribeHistoryCommand(ref))
@@ -127,7 +128,8 @@ sealed trait GwMaintenanceCommand extends LeafRunnableCommand {
   def ref: String
 }
 
-case class GwOptimizeCommand(ref: String, zorderBy: Seq[String])
+case class GwOptimizeCommand(ref: String, zorderBy: Seq[String],
+    where: Option[String] = None)
   extends GwMaintenanceCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
@@ -140,7 +142,8 @@ case class GwOptimizeCommand(ref: String, zorderBy: Seq[String])
       .getOption("spark.graft.optimize.targetFileBytes")
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
     val v = graft.GwTable.forPath(spark, path)
-      .compact(targetFileBytes = target, clusterBy = zorderBy)
+      .compact(target, zorderBy,
+        where.map(org.apache.spark.sql.functions.expr))
     Seq(Row(path, v))
   }
 }

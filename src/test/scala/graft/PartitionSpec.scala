@@ -185,4 +185,56 @@ class PartitionSpec extends AnyFunSuite {
     assert(back.filter(col("n_regionkey") === 2).count() ==
       nation.filter(col("n_regionkey") === 2).count())
   }
+
+  test("OPTIMIZE on a partitioned table: per-partition rewrite, WHERE-filtered") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    val loc = Files.createTempDirectory("part-opt").resolve("nation").toString
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    // 3 small commits -> 3 files per live partition value
+    for (_ <- 0 until 3)
+      nation.write.format("gwdelta").mode("append")
+        .partitionBy("n_regionkey").save(loc)
+    val ns = s"popt${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta LOCATION '$loc'")
+    val t = GwTable.forPath(spark, loc)
+    val before = t.snapshot().files
+    val beforeR2 = before.filter(_.partitionValues.get("n_regionkey").contains("2"))
+    assert(beforeR2.size == 3)
+
+    // WHERE-filtered OPTIMIZE rewrites ONLY the matching partition
+    val opt = spark.sql(
+      s"OPTIMIZE gw.$ns.nation WHERE n_regionkey = 2").collect()
+    assert(opt.length == 1 && opt.head.getLong(1) > 0, "OPTIMIZE must commit")
+    val mid = t.snapshot().files
+    assert(mid.count(_.partitionValues.get("n_regionkey").contains("2")) == 1,
+      "region 2 must compact to one file")
+    assert(mid.filterNot(_.partitionValues.get("n_regionkey").contains("2"))
+      .toSet == before.filterNot(_.partitionValues.get("n_regionkey").contains("2"))
+      .toSet, "other partitions must be untouched")
+    // the rewrite re-asserts partitionValues: pruning keeps working
+    assert(mid.forall(_.partitionValues.contains("n_regionkey")))
+    val back = spark.table(s"gw.$ns.nation")
+    assert(plannedFiles(back.filter(col("n_regionkey") === 2)) == 1)
+    assert(back.count() == 3 * nation.count())
+
+    // unfiltered OPTIMIZE folds the remaining partitions, values intact
+    assert(t.compact(targetFileBytes = 128L * 1024 * 1024) > 0)
+    val after = t.snapshot().files
+    assert(after.forall(_.partitionValues.contains("n_regionkey")),
+      "compaction must preserve partition addressing")
+    assert(after.size == nation.select("n_regionkey").distinct().count(),
+      "one compacted file per partition value")
+    assert(spark.table(s"gw.$ns.nation").count() == 3 * nation.count())
+
+    // guardrails: non-partition column / unpartitioned table
+    val err1 = intercept[Exception](spark.sql(
+      s"OPTIMIZE gw.$ns.nation WHERE n_name = 'KENYA'"))
+    assert(err1.getMessage.contains("partition columns only"), err1.getMessage)
+    val flatLoc = Files.createTempDirectory("part-opt-flat").resolve("t").toString
+    nation.write.format("gwdelta").save(flatLoc)
+    val err2 = intercept[Exception](spark.sql(
+      s"OPTIMIZE '$flatLoc' WHERE n_regionkey = 2"))
+    assert(err2.getMessage.contains("unpartitioned"), err2.getMessage)
+  }
 }
