@@ -238,6 +238,18 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
    * by file mtime. Returns the number of files deleted.
    */
   def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    // Delta's retention guard: a vacuum under the time-travel/streaming
+    // retention window can reap files a concurrent reader (or an
+    // in-flight-but-uncommitted write) still needs. Short retention is a
+    // deliberate act — disable the check explicitly, like Delta's
+    // retentionDurationCheck.enabled.
+    val checkOn = spark.conf
+      .getOption("spark.graft.vacuum.retentionCheck").forall(_.toBoolean)
+    require(!checkOn || retentionMs >= 7L * 24 * 3600 * 1000,
+      s"vacuum retention ${retentionMs}ms is below the 7-day default; " +
+        "readers time-traveling or streaming within the window could lose " +
+        "files mid-query. Set spark.graft.vacuum.retentionCheck=false to " +
+        "force a short retention deliberately")
     val conf = spark.sparkContext.hadoopConfiguration
     val ownedDirs = Seq("_compacted", "_stream", "_dml", "_dv").map(new Path(tablePath, _))
     val fs = ownedDirs.head.getFileSystem(conf)
@@ -1048,6 +1060,20 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
 
 object GwTable {
   def forPath(spark: SparkSession, tablePath: String): GwTable = new GwTable(spark, tablePath)
+
+  /** Run `body` with the vacuum retention guard disabled (scoped): the
+    * explicit opt-in for DELIBERATE short-retention vacuums — CI cleanup,
+    * storage-pressure maintenance on a quiesced table. */
+  def withRetentionCheckDisabled[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.graft.vacuum.retentionCheck"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   /** Minimum age before an UNREFERENCED engine-owned file counts as crash
     * debris for `vacuum` — must exceed the longest plausible gap between a

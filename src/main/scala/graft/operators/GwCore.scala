@@ -180,7 +180,8 @@ object GwCore {
       ("100", 1700000002000L, Seq(s"$dir/region.parquet"))))
     Indexer.index(manifest, db, SaveMode.Append)(spark)
     require(table.compact() > 0, "second compaction supersedes the first")
-    require(table.vacuum(retentionMs = 0) == 1, "exactly the orphaned rewrite")
+    require(GwTable.withRetentionCheckDisabled(spark)(
+      table.vacuum(retentionMs = 0)) == 1, "exactly the orphaned rewrite")
     table.toDF
   }
 
@@ -740,7 +741,16 @@ object GwCore {
     val history1 = spark.sql(s"DESCRIBE HISTORY gw.$ns.region").collect()
     require(history1.exists(_.getString(2) == "OPTIMIZE"),
       "history must gain the OPTIMIZE commit")
-    val vac = spark.sql(s"VACUUM gw.$ns.region RETAIN 0 HOURS").collect()
+    // deliberate short retention: the guard must be explicitly disabled
+    // (Delta's retentionDurationCheck contract), asserted as part of the
+    // maintenance-surface gate
+    val guard =
+      try { spark.sql(s"VACUUM gw.$ns.region RETAIN 0 HOURS").collect(); None }
+      catch { case e: Exception => Some(e) }
+    require(guard.exists(_.getMessage.contains("retentionCheck")),
+      s"short-retention vacuum must be guarded, got: $guard")
+    val vac = GwTable.withRetentionCheckDisabled(spark)(
+      spark.sql(s"VACUUM gw.$ns.region RETAIN 0 HOURS").collect())
     require(vac.length == 1 && vac.head.getInt(1) >= 2,
       s"VACUUM must reclaim the superseded insert files, got ${vac.head.getInt(1)}")
     spark.sql(s"SELECT r_regionkey, r_name FROM gw.$ns.region")

@@ -314,6 +314,13 @@ class DmlSpec extends SparkSpec {
     assert(t.snapshot().version == vBefore)
   }
 
+  test("vacuum retention guard blocks short retention unless explicitly disabled") {
+    val (_, t) = twoRangeTable()
+    val err = intercept[IllegalArgumentException](t.vacuum(retentionMs = 0L))
+    assert(err.getMessage.contains("retentionCheck"), err.getMessage)
+    assert(t.vacuum() == 0, "default 7-day retention passes the guard")
+  }
+
   test("vacuum reclaims superseded _dml rewrites but never live ones") {
     val (dir, t) = twoRangeTable()
     assert(t.delete(col("n_nationkey") < 20) > 0) // leaves one _dml file live
@@ -321,7 +328,7 @@ class DmlSpec extends SparkSpec {
     assert(dmlLive.size == 1)
     // supersede the rewrite itself, then vacuum with zero retention
     assert(t.delete(lit(true)) > 0)
-    val deleted = t.vacuum(retentionMs = 0L)
+    val deleted = GwTable.withRetentionCheckDisabled(spark)(t.vacuum(retentionMs = 0L))
     assert(deleted >= 1, s"expected the tombstoned _dml rewrite reclaimed, got $deleted")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -459,7 +466,8 @@ class DmlSpec extends SparkSpec {
     assert(t.snapshot().files.size == 1, "OPTIMIZE must consolidate the two files")
     assert(spark.sql(s"DESCRIBE HISTORY '$dir'")
       .collect().exists(_.getString(2) == "OPTIMIZE"))
-    val vac = spark.sql(s"VACUUM '$dir' RETAIN 0 HOURS").collect()
+    val vac = GwTable.withRetentionCheckDisabled(spark)(
+      spark.sql(s"VACUUM '$dir' RETAIN 0 HOURS").collect())
     assert(vac.head.getInt(1) >= 2,
       s"expected the superseded insert files reclaimed, got ${vac.head.getInt(1)}")
     assert(rows(t.toDF) == 25)
@@ -577,7 +585,7 @@ class DmlSpec extends SparkSpec {
     val (_, t) = twoRangeTable()
     val v0 = t.snapshot().version
     assert(t.delete(col("n_nationkey") < 20) > 0) // rewrites file A+B -> _dml
-    t.vacuum(retentionMs = 0L) // reclaims the superseded originals
+    GwTable.withRetentionCheckDisabled(spark)(t.vacuum(retentionMs = 0L)) // reclaims the superseded originals
     val err = intercept[IllegalArgumentException] { t.restore(v0) }
     assert(err.getMessage.contains("no longer exists"),
       s"expected missing-file failure, got: ${err.getMessage}")
@@ -688,7 +696,7 @@ class DmlSpec extends SparkSpec {
     // path, and the uriKey-normalized referenced-set keeps it shielded
     // even when the floor passes (simulated by backdating the mtime)
     fs.setTimes(sidecar, System.currentTimeMillis() - 16L * 60 * 1000, -1)
-    t.vacuum(retentionMs = 0L)
+    GwTable.withRetentionCheckDisabled(spark)(t.vacuum(retentionMs = 0L))
     assert(fs.exists(sidecar), "vacuum deleted a LIVE table's DV sidecar")
     assert(t.toDF.count() == 1500)
     assert(t.toDF.filter(expr("id % 2 = 0")).count() == 0)
@@ -696,7 +704,7 @@ class DmlSpec extends SparkSpec {
     val debris = new org.apache.hadoop.fs.Path(sidecar.getParent, "debris.bin")
     val out = fs.create(debris); out.write(1); out.close()
     fs.setTimes(debris, System.currentTimeMillis() - 16L * 60 * 1000, -1)
-    t.vacuum(retentionMs = 0L)
+    GwTable.withRetentionCheckDisabled(spark)(t.vacuum(retentionMs = 0L))
     assert(!fs.exists(debris), "crash-debris sidecar must be reclaimed")
     assert(fs.exists(sidecar))
   }

@@ -464,7 +464,8 @@ class GwDeltaSourceSpec extends AnyFunSuite {
       "replay after a maintenance commit must still dedup")
     // vacuum reclaims the engine-owned _stream originals the compaction
     // tombstoned (CDA semantics protect only SOURCE trees, not sink output)
-    assert(table.vacuum(retentionMs = 0) == 4, "four superseded sink files")
+    assert(GwTable.withRetentionCheckDisabled(spark)(
+      table.vacuum(retentionMs = 0)) == 4, "four superseded sink files")
     assert(table.toDF.count() == 20, "rows intact after vacuum")
   }
 
