@@ -46,8 +46,20 @@ class GwMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit =
     GwStreamAdmission.defaultLimit(k => Option(readOptions.get(k)))
 
-  /** -1 = nothing consumed: the next batch delivers the initial snapshot. */
-  override def initialOffset(): OffsetV2 = GwStreamOffset(-1L)
+  /** `startingVersion`: first version served, skipping the initial
+    * snapshot (same contract as the V1 face; a checkpointed offset always
+    * wins because Spark only asks for initialOffset on a fresh stream). */
+  private val startingVersion: Option[Long] =
+    Option(readOptions.get("startingVersion")).map { v =>
+      val n = v.toLong
+      require(n >= 0, s"startingVersion must be >= 0, got $n")
+      n
+    }
+
+  /** -1 = nothing consumed: the next batch delivers the initial snapshot
+    * (or starts at `startingVersion` when given). */
+  override def initialOffset(): OffsetV2 =
+    GwStreamOffset(startingVersion.map(_ - 1).getOrElse(-1L))
 
   override def latestOffset(): OffsetV2 =
     LongOffset(log.latestVersion().getOrElse(-1L))

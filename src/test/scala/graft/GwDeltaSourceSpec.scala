@@ -560,6 +560,17 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     // V1 path face
     assert(drain(spark.readStream.format("gwdelta")
       .option("maxFilesPerTrigger", "1").load(loc), "v1") == 15)
+    // startingVersion on the V2 face skips the snapshot (v1..v2 = 10 rows);
+    // one batch, so bypass the >=3-batch drain helper
+    val out2 = work.resolve("v2-startv-out").toString
+    val q2 = spark.readStream.option("startingVersion", "1")
+      .table("gwtest.cda.rated")
+      .writeStream.format("parquet").option("path", out2)
+      .option("checkpointLocation", work.resolve("v2-startv-cp").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(out2).count() == 10,
+      "V2 startingVersion=1 must serve exactly versions 1..2")
   }
 
   test("GwSink: streams do not collide on batch ids; schema drift rejected") {
