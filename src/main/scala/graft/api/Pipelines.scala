@@ -87,6 +87,32 @@ object Pipelines {
           email, "<EMAIL>"), ipv4, "<IP>"), phone, "<PHONE>"))
   }
 
+  /**
+   * C4-style cleanup filters (t15) — the published page/line heuristics
+   * from the C4 corpus construction: keep only lines that end in terminal
+   * punctuation, carry at least 5 words, and don't mention javascript;
+   * drop entire pages that contain a curly brace (code), the phrase
+   * "lorem ipsum" (boilerplate placeholder), or retain fewer than 3 lines
+   * after the line pass. Adds `n_lines` / `n_kept` / `page_keep` /
+   * `cleaned` (the kept lines rejoined; empty when the page drops).
+   * Per-row array/regex work only — no shuffle, scan speed at 100 TB.
+   */
+  def c4Filters(df: DataFrame, text: Column): DataFrame = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]\\s*$") &&
+        size(split(trim(l), "\\s+")) >= 5 &&
+        not(lower(l).contains("javascript")))
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept", size(kept).cast("long"))
+      .withColumn("page_keep",
+        when(text.contains("{") ||
+          lower(text).contains("lorem ipsum") ||
+          col("n_kept") < 3, 0L).otherwise(1L))
+      .withColumn("cleaned",
+        when(col("page_keep") === 1, array_join(kept, "\n")).otherwise(lit("")))
+  }
+
   /** Query parameters dropped by [[canonicalizeUrls]]: tracking/attribution
     * noise that fragments otherwise-identical fetches. */
   val TrackingParamRegex: String =

@@ -58,6 +58,11 @@ package object api {
         capacity: Int = 256): DataFrame =
       Pipelines.heavyHitters(df, groups, item, k, capacity)
 
+    /** C4-style page/line cleanup filters (terminal-punct lines, >= 5
+      * words, javascript/brace/lorem-ipsum drops); adds
+      * n_lines/n_kept/page_keep/cleaned. */
+    def c4Filters(text: Column): DataFrame = Pipelines.c4Filters(df, text)
+
     /** `host` + `canonical_url` columns (scheme/www/tracking-param/fragment
       * noise stripped) — the zero-cost web-corpus URL dedup key. */
     def canonicalizeUrls(url: Column): DataFrame =

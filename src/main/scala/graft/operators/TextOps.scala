@@ -160,6 +160,37 @@ object TextOps {
     Pipelines.chunkByTokens(docs(spark, dir), col("doc_id"), col("text"),
       chunkTokens = 64, overlap = 16)
 
+  /** t15: C4-style page/line filters. The corpus is single-line and
+    * punctuation-free, so the gate synthesizes page structure
+    * deterministically — 7-word lines, a terminal period on 2 of 3 lines,
+    * and per-doc-id injections of the C4 drop markers (lorem ipsum, a
+    * curly-brace code line, a javascript notice). The oracle rebuilds the
+    * identical pages and replays the filters in SQL. */
+  def t15C4Filters(spark: SparkSession, dir: String): DataFrame = {
+    val synth = docs(spark, dir).select(col("doc_id"), col("text"))
+      .withColumn("__w", split(col("text"), " "))
+      .withColumn("__nl", expr("greatest(1L, (size(__w) + 6) div 7)"))
+      .withColumn("__lines", expr(
+        "transform(sequence(0L, __nl - 1), i -> " +
+          "array_join(slice(__w, cast(i*7+1 as int), 7), ' ') || " +
+          "(case when (doc_id + i) % 3 = 0 then '' else '.' end))"))
+      .withColumn("__lines2", concat(
+        when(col("doc_id") % 13 === 0,
+          array(lit("lorem ipsum dolor sit amet consectetur adipiscing.")))
+          .otherwise(lit(Array.empty[String])),
+        col("__lines"),
+        when(col("doc_id") % 17 === 0,
+          array(lit("function() { return 1; }.")))
+          .otherwise(lit(Array.empty[String])),
+        when(col("doc_id") % 11 === 0,
+          array(lit("enable javascript to view this page properly.")))
+          .otherwise(lit(Array.empty[String]))))
+      .withColumn("page_text", array_join(col("__lines2"), "\n"))
+    Pipelines.c4Filters(synth, col("page_text"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("page_keep"),
+        md5(col("cleaned")).as("clean_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -175,6 +206,7 @@ object TextOps {
     "t12_pii_redact" -> t12PiiRedact _,
     "t13_url_canonicalize" -> t13UrlCanonicalize _,
     "t14_chunk_docs" -> t14ChunkDocs _,
+    "t15_c4_filters" -> t15C4Filters _,
   )
 
   private def sqlList(lang: String): String =
@@ -323,6 +355,46 @@ object TextOps {
          |  CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url,
          | host, count(*) AS n_copies, min(doc_id) AS canonical_id
          |FROM cn GROUP BY 1, 2""".stripMargin,
+    // rebuilds the identical synthesized pages (7-word lines, 2-of-3
+    // terminal periods, the per-doc-id drop-marker injections) and replays
+    // the C4 line + page filters
+    "t15_c4_filters" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split(text, ' ') AS ws,
+        |  greatest(1, (len(string_split(text, ' ')) + 6) // 7) AS nl
+        | FROM documents),
+        |base AS (
+        | SELECT doc_id,
+        |  list_transform(generate_series(0, nl - 1), i ->
+        |    array_to_string(ws[i*7+1 : i*7+7], ' ') ||
+        |    CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END) AS lines
+        | FROM w),
+        |aug AS (
+        | SELECT doc_id,
+        |  (CASE WHEN doc_id % 13 = 0 THEN ['lorem ipsum dolor sit amet consectetur adipiscing.'] ELSE [] END)
+        |  || lines
+        |  || (CASE WHEN doc_id % 17 = 0 THEN ['function() { return 1; }.'] ELSE [] END)
+        |  || (CASE WHEN doc_id % 11 = 0 THEN ['enable javascript to view this page properly.'] ELSE [] END) AS lines
+        | FROM base),
+        |f AS (
+        | SELECT doc_id, lines,
+        |  array_to_string(lines, chr(10)) AS page_text,
+        |  list_filter(lines, l ->
+        |    regexp_matches(l, '[.!?"]\s*$')
+        |    AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+        |    AND NOT contains(lower(l), 'javascript')) AS kept
+        | FROM aug),
+        |p AS (
+        | SELECT doc_id, lines, kept,
+        |  CASE WHEN contains(page_text, '{') OR contains(lower(page_text), 'lorem ipsum')
+        |        OR len(kept) < 3 THEN 0 ELSE 1 END AS pk
+        | FROM f)
+        |SELECT doc_id,
+        | CAST(len(lines) AS BIGINT) AS n_lines,
+        | CAST(len(kept) AS BIGINT) AS n_kept,
+        | CAST(pk AS BIGINT) AS page_keep,
+        | md5(CASE WHEN pk = 1 THEN array_to_string(kept, chr(10)) ELSE '' END) AS clean_md5
+        |FROM p""".stripMargin,
     // windows of 64 tokens advancing by 48: max(1, ceil((n-16)/48)) chunks,
     // list_slice clamps the tail exactly like Spark's slice
     "t14_chunk_docs" ->

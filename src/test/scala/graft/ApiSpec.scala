@@ -211,6 +211,29 @@ class ApiSpec extends AnyFunSuite {
     assert(out(1).getAs[String]("redacted").endsWith("price +99"))
   }
 
+  test("c4Filters applies the published line and page rules exactly") {
+    import spark.implicits._
+    val good = "this line has enough words to survive."
+    val pages = Seq(
+      (1L, Seq(good, good, good).mkString("\n")),                    // clean keep
+      (2L, Seq(good, "too short.", "no terminal punct here at all",
+        good, good).mkString("\n")),                                 // line drops only
+      (3L, Seq(good, good, "please enable javascript to continue.").mkString("\n")), // js line -> <3 kept
+      (4L, Seq(good, good, good, "code { inside } page.").mkString("\n")), // brace page drop
+      (5L, Seq(good, good, good, "classic lorem ipsum filler text here.").mkString("\n")) // lorem drop
+    ).toDF("id", "text")
+    val out = pages.c4Filters(col("text"))
+      .select("id", "n_lines", "n_kept", "page_keep", "cleaned")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1) == (3L, 3L, 1L, Seq(good, good, good).mkString("\n")))
+    assert(out(2) == (5L, 3L, 1L, Seq(good, good, good).mkString("\n")),
+      "short and punctuation-less lines drop; page survives with 3 kept")
+    assert(out(3)._3 == 0L, "fewer than 3 surviving lines drops the page")
+    assert(out(4)._3 == 0L && out(4)._4 == "", "curly brace drops the page")
+    assert(out(5)._3 == 0L, "lorem ipsum drops the page")
+  }
+
   test("canonicalizeUrls strips scheme/www/tracking/fragment/trailing-slash noise") {
     import spark.implicits._
     val urls = Seq(

@@ -185,6 +185,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
   }
 
+  test("t15 C4 filters are pure per-row work: no exchange anywhere") {
+    val p = plan(graft.operators.TextOps.t15C4Filters(spark, sf))
+    assert(!p.contains("Exchange"), s"C4 filters must not shuffle:\n$p")
+  }
+
   test("t13 URL canonicalization shuffles only for the final dedup group-by") {
     val p = plan(graft.operators.TextOps.t13UrlCanonicalize(spark, sf))
     // exactly one exchange: the canonical-url aggregation; the per-row
