@@ -967,6 +967,47 @@ object Pipelines {
       broadcast(q).join(c, Seq("list")).filter(col("q_id") =!= col("n_id")), k)
   }
 
+  /**
+   * k-NN graph (s07): each corpus vector's k nearest neighbors by exact
+   * cosine over LSH band-bucket candidates — the input of graph
+   * clustering, semantic dedup, and diversity sampling. Unlike
+   * [[annTopK]] (whose query side is small by contract and broadcast),
+   * both sides here are the corpus: candidates come from a capped bucket
+   * SELF-join (never all-pairs; the cap bounds a hot bucket's fan-out at
+   * members x cap, linear not quadratic) and the embedding re-attach is
+   * two shuffle joins — the 100 TB shape. A pair sharing no bucket is
+   * simply absent: recall is the LSH trade, same as d06/s02.
+   */
+  def knnGraph(corpus: DataFrame, id: Column, vec: Column, k: Int, dim: Int,
+      nPlanes: Int = 24, bands: Int = 8, bucketCap: Int = 1024): DataFrame = {
+    require(nPlanes % bands == 0, "nPlanes must be divisible by bands")
+    val bitsPerBand = nPlanes / bands
+    val planes = hyperplanes(nPlanes, dim)
+    def bandKeys(e: Column): Seq[Column] = {
+      val bits = (0 until nPlanes).map { p =>
+        when(dotProd(e, lit(planes(p))) > 0, 1L).otherwise(0L)
+      }
+      (0 until bands).map { b =>
+        (0 until bitsPerBand).map(i => bits(b * bitsPerBand + i) * (1L << i)).reduce(_ + _)
+      }
+    }
+    def banded(prefix: String): DataFrame =
+      corpus.select(id.as(s"${prefix}_id"), vec.as(s"${prefix}_emb"))
+        .select(col(s"${prefix}_id"),
+          posexplode(array(bandKeys(col(s"${prefix}_emb")).map(_.cast("long")): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+    val candidates = banded("q")
+      .join(capBucketMembers(banded("n"), "n_id", bucketCap), Seq("band", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct()
+    val q = corpus.select(id.as("q_id"), vec.as("q_emb"))
+      .withColumn("q_nrm", l2norm(col("q_emb")))
+    val c = corpus.select(id.as("n_id"), vec.as("n_emb"))
+      .withColumn("n_nrm", l2norm(col("n_emb")))
+    topKByCosine(candidates.join(q, Seq("q_id")).join(c, Seq("n_id")), k)
+  }
+
   def annTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
       k: Int, dim: Int, nPlanes: Int, bands: Int, bucketCap: Int = 1024): DataFrame = {
     require(nPlanes % bands == 0, "nPlanes must be divisible by bands")

@@ -162,6 +162,12 @@ package object api {
         candidates: Int): DataFrame =
       Pipelines.quantizedTopK(df, queries, id, vec, k, candidates)
 
+    /** k-NN graph over the whole corpus (capped LSH bucket self-join +
+      * exact-cosine bounded-heap top-k per node). */
+    def knnGraph(id: Column, vec: Column, k: Int, dim: Int,
+        nPlanes: Int = 24, bands: Int = 8, bucketCap: Int = 1024): DataFrame =
+      Pipelines.knnGraph(df, id, vec, k, dim, nPlanes, bands, bucketCap)
+
     /** Approximate top-k via IVF inverted lists (probe nearest centroids). */
     def ivfTopK(queries: DataFrame, id: Column, vec: Column, k: Int,
         dim: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame =

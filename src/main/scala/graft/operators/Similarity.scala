@@ -70,6 +70,13 @@ object Similarity {
       col("vec_id"), col("embedding"), k = 5, candidates = 20)
   }
 
+  /** s07: k-NN graph over the whole embedding corpus (LSH candidates,
+    * exact-cosine top-3 per node) — same hyperplane family as s02, so the
+    * oracle is the s02 replay without the query restriction. */
+  def s07KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.knnGraph(embs(spark, dir),
+      col("vec_id"), col("embedding"), k = 3, dim = 64, nPlanes = 32, bands = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
@@ -77,6 +84,7 @@ object Similarity {
     "s04_sql_vecdot" -> s04SqlVecDot _,
     "s05_quantized_embeddings" -> s05QuantizedEmbeddings _,
     "s06_quantized_rerank" -> s06QuantizedRerank _,
+    "s07_knn_graph" -> s07KnnGraph _,
   )
 
   /** s02's oracle REPLAYS the LSH: the hyperplanes are deterministic
@@ -85,7 +93,13 @@ object Similarity {
     * bits, band buckets, candidate set, and exact-cosine top-k. Shortest
     * round-trip `Double.toString` parses back to the identical double, so
     * both engines threshold the same dot products. */
-  private def s02OracleSql: String = {
+  private def s02OracleSql: String = lshTopKOracle("q.vec_id < 10 AND ")
+
+  /** Shared LSH-replay oracle for s02 (restricted query side) and the s07
+    * k-NN graph (every vector is a query): hyperplanes rendered as double
+    * literals, DuckDB recomputes sign bits, band buckets, candidates, and
+    * the exact-cosine top-3. */
+  private def lshTopKOracle(queryFilter: String): String = {
     val planes = Pipelines.hyperplanes(32, 64)
     def planeLit(p: Array[Double]): String = p.mkString("[", ",", "]")
     val bits = (0 until 32)
@@ -101,7 +115,7 @@ object Similarity {
        |cand AS (
        | SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
        | FROM bands q JOIN bands n ON q.band = n.band AND q.bucket = n.bucket
-       | WHERE q.vec_id < 10 AND q.vec_id <> n.vec_id),
+       | WHERE ${queryFilter}q.vec_id <> n.vec_id),
        |scored AS (
        | SELECT c.q_id, c.n_id, list_cosine_similarity(eq.emb, en.emb) AS cos
        | FROM cand c JOIN e eq ON eq.vec_id = c.q_id JOIN e en ON en.vec_id = c.n_id)
@@ -152,6 +166,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s02_ann_lsh" -> s02OracleSql,
     "s03_ivf_topk" -> s03OracleSql,
+    "s07_knn_graph" -> lshTopKOracle(""),
     "s05_quantized_embeddings" ->
       """WITH m AS (
         | SELECT vec_id, embedding,

@@ -185,6 +185,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
   }
 
+  test("s07 knn graph stays an equi join on band buckets, no cartesian") {
+    val p = plan(Similarity.s07KnnGraph(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"knn graph went all-pairs:\n$p")
+    assert(p.contains("band"), s"expected the bucket equi join:\n$p")
+  }
+
   test("t15 C4 filters are pure per-row work: no exchange anywhere") {
     val p = plan(graft.operators.TextOps.t15C4Filters(spark, sf))
     assert(!p.contains("Exchange"), s"C4 filters must not shuffle:\n$p")
