@@ -595,7 +595,14 @@ object Pipelines {
       .select(id.as("__id"), explode(split(text, " ")).as("word"))
       .groupBy("__id", "word")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("word")))
+      // 60-bit md5-prefix term hash, NOT xxhash64: md5 is the one keyed
+      // hash DuckDB and Spark compute identically, which makes the whole
+      // SimHash pipeline SQL-replayable (the d03 oracle re-derives every
+      // bit vote from the same hex). Top 4 simhash bits are structurally 0
+      // (votes there are always negative) — harmless to similarity, and
+      // identical on both engines.
+      .withColumn("h",
+        conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
 
     // one custom TypedImperativeAggregate (fixed 64-counter buffer) instead
     // of a 64-column sum(when(...)) bank — same votes, constant state

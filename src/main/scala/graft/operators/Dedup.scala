@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 /**
  * Deduplication gate queries over `documents` / `embeddings` — thin wrappers
  * over the library surface (`graft.api.Pipelines`), validated against the
- * DuckDB oracles below (d03 is hash-function-based and intentionally
- * un-oracled; its recall is asserted in OperatorSpec. d02's oracle is the
+ * DuckDB oracles below (all twelve hash-exact since round 6: d03's term
+ * hash is a cross-engine md5 prefix, so its oracle re-derives every
+ * SimHash bit vote, the chunk pigeonhole, and the hamming verify in SQL;
+ * recall is additionally asserted in OperatorSpec. d02's oracle is the
  * EXACT all-pairs Jaccard set: the seeded minhash makes the LSH candidate
  * set deterministic, and on the fixtures its recall at the gate threshold
  * is 1.0, so the hash-exact compare both verifies the pair arithmetic and
@@ -206,6 +208,37 @@ object Dedup {
         | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
         |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
         |FROM reach GROUP BY 1""".stripMargin,
+    // full SimHash replay: 60-bit md5-prefix term hash (identical hex on
+    // both engines), per-bit weighted votes, 16-bit chunk pigeonhole,
+    // exact hamming verify — same constants as simHashDedupPairs(6)
+    "d03_dedup_simhash" ->
+      """WITH words AS (
+        | SELECT doc_id, word, count(*) AS cnt
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        | GROUP BY 1, 2),
+        |h AS (SELECT doc_id,
+        |  CAST(CONCAT('0x', substr(md5(word), 1, 15)) AS BIGINT) AS hv, cnt
+        | FROM words),
+        |votes AS (
+        | SELECT doc_id, j.j AS j,
+        |  sum(CASE WHEN (hv >> j.j) & 1 = 1 THEN cnt ELSE -cnt END) AS vote
+        | FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+        | GROUP BY 1, 2),
+        |sim AS (
+        | SELECT doc_id,
+        |  CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        | FROM votes GROUP BY 1),
+        |chunks AS (
+        | SELECT doc_id, simhash, c.c AS chunk, (simhash >> (c.c * 16)) & 65535 AS chunk_val
+        | FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.simhash AS sim_a, b.simhash AS sim_b
+        | FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+        | WHERE a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        | CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6""".stripMargin,
     "d04_ngram_jaccard" ->
       s"""WITH $ShingleCte
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
