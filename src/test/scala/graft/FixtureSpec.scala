@@ -61,7 +61,10 @@ class FixtureSpec extends SparkSpec {
       "n_chars" -> Set(LongType)),
     "embeddings" -> Seq(
       "vec_id" -> Set(LongType),
-      "embedding" -> Set(ArrayType(FloatType), ArrayType(FloatType, false)),
+      // float is the shipped encoding; double is tolerated — VecDot and
+      // the quantization/LSH paths are element-type adaptive (guard below)
+      "embedding" -> Set(ArrayType(FloatType), ArrayType(FloatType, false),
+        ArrayType(DoubleType), ArrayType(DoubleType, false)),
       "label" -> Set(IntegerType)))
 
   test("driver fixture schemas match what the query surface binds against") {
@@ -83,5 +86,29 @@ class FixtureSpec extends SparkSpec {
       "the driver regenerated /root/testdata with a different shape — " +
         "fix the affected operators (see events-ts round-5 postmortem in " +
         s"SCALE.md / EventTime) then update this pin:\n  ${drift.mkString("\n  ")}")
+  }
+
+  test("similarity ops are embedding-element-type invariant (float vs double)") {
+    import org.apache.spark.sql.functions._
+    import graft.api.Pipelines
+    val f = spark.read.parquet(s"$sf/embeddings.parquet")
+    // same VALUES, double encoding — the drift a fixture regeneration
+    // could introduce; every result must be bit-identical because the
+    // engine computes in doubles either way
+    val d = f.withColumn("embedding", col("embedding").cast("array<double>"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSeq.sortBy(_.mkString("|"))
+    def topk(src: org.apache.spark.sql.DataFrame) =
+      Pipelines.cosineTopK(src, src.filter(col("vec_id") < 5),
+        col("vec_id"), col("embedding"), k = 3)
+    def ann(src: org.apache.spark.sql.DataFrame) =
+      Pipelines.annTopK(src, src.filter(col("vec_id") < 5),
+        col("vec_id"), col("embedding"), k = 3, dim = 64, nPlanes = 32, bands = 8)
+    def quant(src: org.apache.spark.sql.DataFrame) =
+      Pipelines.quantizeEmbeddings(src, col("vec_id"), col("embedding"))
+        .select("vec_id", "scale_micro", "qsum", "qnorm2")
+    assert(canon(topk(f)) == canon(topk(d)), "cosineTopK diverged on dtype")
+    assert(canon(ann(f)) == canon(ann(d)), "annTopK diverged on dtype")
+    assert(canon(quant(f)) == canon(quant(d)), "quantization diverged on dtype")
   }
 }
