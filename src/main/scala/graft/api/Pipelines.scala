@@ -289,6 +289,43 @@ object Pipelines {
         col("__hit.count").as("count_lo"))
       .drop("__top", "__rnk", "__hit")
 
+  /**
+   * Two-pass VERIFIED heavy hitters — the deterministic upgrade of
+   * [[heavyHitters]]: pass 1 runs the Misra-Gries sketch with `capacity`
+   * counters per group purely as a CANDIDATE GENERATOR (its guarantee:
+   * every item with true frequency > n/(capacity+1) survives the sketch,
+   * whatever the row order or merge tree); pass 2 broadcast-joins the tiny
+   * candidate set (<= capacity rows per group) back onto the corpus,
+   * counts candidates EXACTLY, keeps the items whose exact count clears
+   * the same n/(capacity+1) bar, and ranks the top `k` by (count desc,
+   * item asc). The output is therefore a pure function of the input set —
+   * "the provable heavy hitters, exactly counted" — and hash-exact against
+   * a plain GROUP BY oracle, while the corpus is still never aggregated
+   * per-distinct-item: the exact pass only counts the broadcast candidates.
+   *
+   * 100 TB posture: pass 1 is bounded-state map-side-combined aggregation;
+   * pass 2 is a broadcast-semi-join + count over (groups x <=capacity)
+   * keys. Nothing scales with distinct-item cardinality.
+   */
+  def verifiedHeavyHitters(df: DataFrame, groups: Seq[String], item: Column,
+      k: Int, capacity: Int): DataFrame = {
+    val gcols = groups.map(col)
+    val base = df.select(gcols :+ item.cast("string").as("__item"): _*)
+    val cand = base.groupBy(gcols: _*)
+      .agg(graft.functions.FreqItemsAgg(col("__item"), capacity, capacity).as("__top"),
+        count(lit(1)).as("__n"))
+      .select(gcols ++ Seq(col("__n"), explode(col("__top.item")).as("__item")): _*)
+    val w = Window.partitionBy(gcols: _*).orderBy(col("cnt").desc, col("item"))
+    base.join(broadcast(cand), groups :+ "__item")
+      .groupBy(gcols :+ col("__item"): _*)
+      .agg(count(lit(1)).as("cnt"), first("__n").as("__n"))
+      .filter(col("cnt") * (capacity + 1) > col("__n"))
+      .withColumnRenamed("__item", "item")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(gcols ++ Seq(col("rnk"), col("item"), col("cnt")): _*)
+  }
+
   // ------------------------------------------------------------- dedup
 
   def exactDedup(df: DataFrame, key: Column, id: Column): DataFrame =

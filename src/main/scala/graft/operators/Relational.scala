@@ -391,22 +391,55 @@ object Relational {
         round(expr("percentile(value_c, 0.5)") * 2).cast("long").as("med2_c"))
 
   // ---------------------------------------------------------------- q25
-  /** Sketch aggregations: HyperLogLog++ distinct counts and a KLL-style
-    * approximate percentile per return flag. Sketches are the 100 TB answer
-    * when exact distinct/quantile state would not fit: fixed-size state,
-    * map-side mergeable, one shuffle of sketch bytes instead of values.
-    * Hash-seeded and approximate, so the driver check is rows-only; the
-    * relative-error bound vs the exact answers is asserted in OperatorSpec. */
-  def q25SketchAggs(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"),
+  /** Sketch aggregations, DETERMINISTIC flavor: KMV (bottom-k) distinct
+    * counts and a fixed-width integer-histogram percentile per return flag.
+    * Sketches are the 100 TB answer when exact distinct/quantile state
+    * would not fit: fixed-size state, map-side mergeable, one shuffle of
+    * sketch payloads instead of values. Unlike `approx_count_distinct` /
+    * `approx_percentile` (whose HLL/KLL states hinge on Spark-internal
+    * hashing and are irreproducible outside Spark), every number here is a
+    * pure function of the input SET in integer/md5 arithmetic, so the
+    * DuckDB oracle replays the estimates bit-for-bit (hash-exact gate).
+    * Accuracy vs the exact answers is additionally bounded in OperatorSpec.
+    *
+    * Shapes: one pass computes both KMV sketches plus the histogram frame
+    * (min/max/count); a second bucket-count pass + a 4096-row cumulative
+    * window yields the quantiles. All joins broadcast (3-row frame). */
+  def q25SketchAggs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KmvDistinctAgg
+    val K = 1024 // KMV size: rel. error ~ 1/sqrt(K) ~ 3%
+    val B = 4096L // histogram buckets: value error <= range/B
+    val base = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        KmvDistinctAgg.hash60(col("l_partkey")).as("hp"),
+        KmvDistinctAgg.hash60(col("l_suppkey")).as("hs"),
         cents(col("l_extendedprice")).as("price_c"))
-      .groupBy("l_returnflag")
-      .agg(
-        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("nd_part_hll"),
-        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("nd_supp_hll"),
-        expr("approx_percentile(price_c, 0.5, 10000)").as("p50_c_approx"),
-        expr("approx_percentile(price_c, 0.99, 10000)").as("p99_c_approx"))
+    val frame = base.groupBy("l_returnflag")
+      .agg(KmvDistinctAgg(col("hp"), K).as("nd_part_kmv"),
+        KmvDistinctAgg(col("hs"), K).as("nd_supp_kmv"),
+        min("price_c").as("mn"), max("price_c").as("mx"),
+        count(lit(1)).as("n"))
+    val cum = base
+      .join(broadcast(frame.select("l_returnflag", "mn", "mx", "n")), "l_returnflag")
+      .groupBy(col("l_returnflag"),
+        expr(s"(price_c - mn) * $B div (mx - mn + 1)").as("bkt"))
+      .agg(count(lit(1)).as("c"),
+        first("mn").as("mn"), first("mx").as("mx"), first("n").as("n"))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("l_returnflag").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // first bucket whose cumulative count reaches ceil(p*n), in pure
+    // integer comparisons (2*cum >= n+1 <=> cum >= ceil(n/2), etc.)
+    val pq = cum.groupBy("l_returnflag")
+      .agg(min(when(col("cum") * 2 >= col("n") + 1, col("bkt"))).as("b50"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("bkt"))).as("b99"),
+        first("mn").as("mn"), first("mx").as("mx"))
+      .select(col("l_returnflag"),
+        expr(s"mn + b50 * (mx - mn + 1) div $B").as("p50_c_hist"),
+        expr(s"mn + b99 * (mx - mn + 1) div $B").as("p99_c_hist"))
+    frame.select("l_returnflag", "nd_part_kmv", "nd_supp_kmv")
+      .join(broadcast(pq), "l_returnflag")
+  }
 
   // ---------------------------------------------------------------- q26
   /** Bucketed co-located join: both sides written bucketed (and the probe
@@ -781,6 +814,60 @@ object Relational {
         | array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users_csv,
         | CAST(round(2*quantile_cont(CAST(round(value*100) AS BIGINT), 0.5)) AS BIGINT) AS med2_c
         |FROM events GROUP BY 1""".stripMargin,
+    "q25_sketch_aggs" ->
+      // Bit-exact replay of the deterministic sketches: KMV distinct count
+      // over the same 60-bit md5-prefix hash (exact below K=1024, else
+      // floor((K-1)*2^60/h_K)) and the 4096-bucket integer-histogram
+      // percentile — every step is integer / IEEE-double arithmetic both
+      // engines implement identically.
+      """WITH base AS (
+        |  SELECT l_returnflag,
+        |    CAST(CONCAT('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hp,
+        |    CAST(CONCAT('0x', substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hs,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_c
+        |  FROM lineitem),
+        |kmv_p AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN max(rn) < 1024 THEN max(rn)
+        |         ELSE CAST(floor(1023 * 1152921504606846976.0
+        |                         / max(CASE WHEN rn = 1024 THEN hv END)) AS BIGINT)
+        |    END AS nd_part_kmv
+        |  FROM (SELECT l_returnflag, hv,
+        |          row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+        |        FROM (SELECT DISTINCT l_returnflag, hp AS hv FROM base))
+        |  GROUP BY 1),
+        |kmv_s AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN max(rn) < 1024 THEN max(rn)
+        |         ELSE CAST(floor(1023 * 1152921504606846976.0
+        |                         / max(CASE WHEN rn = 1024 THEN hv END)) AS BIGINT)
+        |    END AS nd_supp_kmv
+        |  FROM (SELECT l_returnflag, hv,
+        |          row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+        |        FROM (SELECT DISTINCT l_returnflag, hs AS hv FROM base))
+        |  GROUP BY 1),
+        |frame AS (
+        |  SELECT l_returnflag, min(price_c) AS mn, max(price_c) AS mx, count(*) AS n
+        |  FROM base GROUP BY 1),
+        |cum AS (
+        |  SELECT l_returnflag, bkt, mn, mx, n,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY bkt) AS cum
+        |  FROM (SELECT b.l_returnflag,
+        |          (price_c - f.mn) * 4096 // (f.mx - f.mn + 1) AS bkt,
+        |          count(*) AS c, min(f.mn) AS mn, min(f.mx) AS mx, min(f.n) AS n
+        |        FROM base b JOIN frame f USING (l_returnflag)
+        |        GROUP BY 1, 2)),
+        |pq AS (
+        |  SELECT l_returnflag,
+        |    CAST(mn + b50 * (mx - mn + 1) // 4096 AS BIGINT) AS p50_c_hist,
+        |    CAST(mn + b99 * (mx - mn + 1) // 4096 AS BIGINT) AS p99_c_hist
+        |  FROM (SELECT l_returnflag,
+        |          min(CASE WHEN 2*cum >= n+1 THEN bkt END) AS b50,
+        |          min(CASE WHEN 100*cum >= 99*n THEN bkt END) AS b99,
+        |          min(mn) AS mn, min(mx) AS mx
+        |        FROM cum GROUP BY 1))
+        |SELECT p.l_returnflag, nd_part_kmv, nd_supp_kmv, p50_c_hist, p99_c_hist
+        |FROM pq p JOIN kmv_p USING (l_returnflag) JOIN kmv_s USING (l_returnflag)""".stripMargin,
     "q26_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_c

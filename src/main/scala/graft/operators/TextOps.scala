@@ -81,15 +81,17 @@ object TextOps {
   }
 
   /** Sketch-based heavy hitters: t05's question (frequent terms per
-    * language) answered with bounded state — one Misra-Gries summary of 64
-    * counters per language instead of an exact (lang, word) aggregate over
-    * every distinct term. Counter values are order-dependent within the MG
-    * error band, so the driver check is rows-only; the frequency bound vs
-    * exact ground truth is asserted in OperatorSpec. */
+    * language) answered with bounded state — a Misra-Gries summary of 64
+    * counters per language generates candidates, then a broadcast-join
+    * second pass counts them exactly and keeps the provable heavy hitters
+    * (frequency > n/65), so the result is deterministic and hash-exact
+    * against a plain GROUP BY oracle while no per-distinct-term aggregate
+    * ever materializes. The MG retention bound itself is additionally
+    * asserted vs exact ground truth in OperatorSpec. */
   def t09HeavyHitters(spark: SparkSession, dir: String): DataFrame =
-    Pipelines.heavyHitters(
+    Pipelines.verifiedHeavyHitters(
       docs(spark, dir).select(col("lang"), explode(split(col("text"), " ")).as("word")),
-      Seq(col("lang")), col("word"), k = 5, capacity = 64)
+      Seq("lang"), col("word"), k = 5, capacity = 64)
 
   /** Sequence packing: greedy next-fit of documents into 1000-token rows,
     * sharded by language, deterministic by doc_id order — the pre-training
@@ -290,6 +292,21 @@ object TextOps {
         | n_bigrams, top_bigram_n,
         | CAST(round(1000.0 * top_bigram_n / n_bigrams) AS BIGINT) AS rep_permille
         |FROM wstats w JOIN bs USING (doc_id)""".stripMargin,
+    "t09_heavy_hitters" ->
+      // The verified-heavy-hitter contract is oracle-expressible exactly:
+      // items with true frequency > n/(capacity+1), exact counts, top-5
+      // by (count desc, item asc). capacity=64 -> the *65 comparison.
+      """WITH words AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tot AS (SELECT lang, count(*) AS n FROM words GROUP BY 1),
+        |cnt AS (SELECT lang, word, count(*) AS c FROM words GROUP BY 1, 2)
+        |SELECT lang, rnk, item, cnt FROM (
+        |  SELECT c.lang,
+        |    CAST(row_number() OVER (PARTITION BY c.lang ORDER BY c DESC, word) AS BIGINT) AS rnk,
+        |    word AS item, c AS cnt
+        |  FROM cnt c JOIN tot t USING (lang)
+        |  WHERE c * 65 > n)
+        |WHERE rnk <= 5""".stripMargin,
     "t05_term_stats" ->
       """SELECT lang, word, tf, df, rnk FROM (
         | SELECT lang, word, count(*) AS tf, count(DISTINCT doc_id) AS df,

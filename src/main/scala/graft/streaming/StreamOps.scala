@@ -480,23 +480,28 @@ object StreamOps {
 
   // ---------------------------------------------------------------- st08
   /** Sketch state in streaming aggregation: per (4h window, event type),
-    * HyperLogLog++ distinct users — the state-store entry per open window
+    * KMV (bottom-k) distinct users — the state-store entry per open window
     * is a fixed-size sketch instead of a distinct-user set, which is what
     * keeps windowed COUNT(DISTINCT) viable unbounded (exact distinct state
     * grows with cardinality; Append mode + watermark still bound the number
-    * of open windows). HLL merge is commutative/associative, so the drained
-    * result equals the batch aggregate EXACTLY (asserted in StreamSpec);
-    * the driver check is rows-only because DuckDB's approx sketch differs. */
+    * of open windows). KMV insert/merge is commutative, associative AND
+    * idempotent over an explicit cross-engine md5-prefix hash, so the
+    * drained result equals the batch aggregate EXACTLY (asserted in
+    * StreamSpec) and the DuckDB oracle replays the estimate bit-for-bit —
+    * unlike the prior HLL flavor, whose register state only Spark can
+    * reproduce. k=64: estimator path exercised at sf0.01 cardinalities. */
   def st08StreamSketch(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
+    import graft.functions.KmvDistinctAgg
     val name = nextName()
     val q = withEventTime(eventStream(spark, dir, withSentinel = true))
+      .withColumn("__h", KmvDistinctAgg.hash60(col("user_id")))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "4 hours"), col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("nd_users_hll"),
+      .agg(KmvDistinctAgg(col("__h"), 64).as("nd_users_kmv"),
         count(lit(1)).as("n"))
       .select(
         (unix_timestamp(col("window.start")) / 14400).cast("long").as("win_bucket"),
-        col("event_type"), col("nd_users_hll"), col("n"))
+        col("event_type"), col("nd_users_kmv"), col("n"))
       .writeStream
       .format("memory")
       .queryName(name)
@@ -552,6 +557,30 @@ object StreamOps {
         | ON p.user_id = s.user_id
         | AND epoch_us(p.ts) >= epoch_us(s.ts)
         | AND epoch_us(p.ts) <= epoch_us(s.ts) + 86400000000""".stripMargin,
+    "st08_stream_sketch" ->
+      // Bit-exact KMV replay: same 60-bit md5-prefix user hash, exact
+      // distinct below k=64, else floor(63*2^60/h_64) — identical integer
+      // and IEEE-double steps in both engines.
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 14400000000 AS win_bucket, event_type,
+        |    CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT win_bucket, event_type, hv,
+        |    row_number() OVER (PARTITION BY win_bucket, event_type ORDER BY hv) AS rn
+        |  FROM (SELECT DISTINCT win_bucket, event_type, hv FROM e)),
+        |k AS (
+        |  SELECT win_bucket, event_type,
+        |    CASE WHEN max(rn) < 64 THEN max(rn)
+        |         ELSE CAST(floor(63 * 1152921504606846976.0
+        |                         / max(CASE WHEN rn = 64 THEN hv END)) AS BIGINT)
+        |    END AS nd_users_kmv
+        |  FROM r GROUP BY 1, 2),
+        |n AS (
+        |  SELECT epoch_us(ts) // 14400000000 AS win_bucket, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT k.win_bucket, k.event_type, nd_users_kmv, n
+        |FROM k JOIN n USING (win_bucket, event_type)""".stripMargin,
     "st09_stream_outer_join" ->
       """SELECT s.event_id AS s_id, s.user_id, p.event_id AS p_id,
         | CAST(CASE WHEN p.event_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS matched

@@ -332,6 +332,57 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV distinct sketch: exact below k, bounded error above, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.KmvDistinctAgg
+    val k = 64
+    def est(parts: Int): Map[String, Long] =
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .repartition(parts)
+        .select(col("l_returnflag"), KmvDistinctAgg.hash60(col("l_partkey")).as("h"))
+        .groupBy("l_returnflag").agg(KmvDistinctAgg(col("h"), k).as("nd"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merge-order / partitioning invariance: the estimate is a pure
+    // function of the input SET
+    val a = est(1)
+    assert(a == est(7) && a == est(32))
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((flag, nd) <- exact) {
+      if (nd < k) assert(a(flag) == nd, s"$flag: below-k estimate must be exact")
+      else {
+        val rel = math.abs(a(flag).toDouble - nd) / nd
+        assert(rel < 4.0 / math.sqrt(k), s"$flag: KMV rel err $rel out of bound")
+      }
+    }
+  }
+
+  test("verified heavy hitters: exact counts, provable threshold, deterministic") {
+    import org.apache.spark.sql.functions._
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+    val capacity = 64
+    val got = graft.api.Pipelines.verifiedHeavyHitters(
+      words, Seq("lang"), col("word"), k = 5, capacity = capacity)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val exact = words.groupBy("lang", "word").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = exact.groupMapReduce(_._1._1)(_._2)(_ + _)
+    // every reported count is the exact count and clears the n/(cap+1) bar
+    got.foreach { case (lang, _, item, cnt) =>
+      assert(cnt == exact((lang, item)), s"($lang,$item) count not exact")
+      assert(cnt * (capacity + 1) > totals(lang), s"($lang,$item) below bar")
+    }
+    // rank order is (count desc, item asc) within each language
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(r => (-r._4, r._3)).sorted.toSeq ==
+        sorted.map(r => (-r._4, r._3)).toSeq)
+    }
+  }
+
   test("d09 chunk dedup equals an in-memory reimplementation at sf0.001") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()

@@ -105,13 +105,14 @@ class StreamSpec extends SparkSpec {
     assert(spark.conf.getOption(key) == before)
   }
 
-  test("st08 sketch-state windowed distinct equals batch HLL exactly") {
-    // HLL merge is order-independent, so streaming state must produce the
-    // IDENTICAL estimate the one-shot batch aggregate does
+  test("st08 sketch-state windowed distinct equals batch KMV exactly") {
+    // KMV merge is order-independent AND idempotent, so streaming state
+    // must produce the IDENTICAL estimate the one-shot batch aggregate does
     val expected = batchEventsUs
       .withColumn("win_bucket", expr("us div 14400000000"))
+      .withColumn("__h", graft.functions.KmvDistinctAgg.hash60(col("user_id")))
       .groupBy("win_bucket", "event_type")
-      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("nd_users_hll"),
+      .agg(graft.functions.KmvDistinctAgg(col("__h"), 64).as("nd_users_kmv"),
         count(lit(1)).as("n"))
     assertSameRows(StreamOps.st08StreamSketch(spark, dir), expected)
   }
