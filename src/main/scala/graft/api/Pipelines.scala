@@ -384,6 +384,57 @@ object Pipelines {
   }
 
   /**
+   * Exact substring dedup spans — the sliding-window, ANY-OFFSET exact
+   * dedup of "Deduplicating Training Data Makes Language Models Better"
+   * (Lee et al., 2022), re-expressed as distributed hash aggregation
+   * instead of the paper's single-node suffix array: every length-`L`
+   * character window of every document is keyed by the cross-engine
+   * 60-bit md5-prefix hash; a window occurring >= 2 times ANYWHERE in the
+   * corpus (other documents or elsewhere in the same one) marks all its
+   * occurrences; per document the marked offsets merge into maximal
+   * duplicated spans (gaps-and-islands over the fixed window length).
+   * This is the complement of [[chunkDedup]] (C4's fixed non-overlapping
+   * chunks): arbitrary-offset duplication is caught even when the copies
+   * are shifted by a single character.
+   *
+   * Returns (id, start, end_pos, span_len): 0-based character intervals
+   * `[start, end_pos)` of corpus-duplicated text, one row per maximal
+   * span.
+   *
+   * 100 TB posture: the window fan-out shuffles one (hash, id, pos)
+   * tuple per input character — the honest cost of any-offset exact
+   * dedup, and still linear (the suffix-array original is super-linear
+   * in memory and single-node). The duplicate-hash set comes from one
+   * partial-aggregated count and joins back hash-partitioned — never
+   * broadcast, it scales with the corpus; span merging is one window
+   * scan per document. Skew-safe: window hashes are near-uniform, and
+   * per-document work is bounded by document length.
+   */
+  def substringDedupSpans(df: DataFrame, id: Column, text: Column, L: Int = 40): DataFrame = {
+    require(L >= 8, s"window length must be >= 8 chars; got $L")
+    val base = df.select(id.as("__id"), text.as("__t")).filter(length(col("__t")) >= L)
+    val grams = base
+      .select(col("__id"),
+        explode(sequence(lit(0), length(col("__t")) - L)).as("__p"),
+        col("__t"))
+      .select(col("__id"), col("__p").cast("long").as("pos"),
+        expr(s"CAST(conv(substr(md5(substring(__t, __p + 1, $L)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("h")
+    val w = Window.partitionBy("__id").orderBy("pos")
+    grams.join(dup, "h")
+      .select("__id", "pos")
+      .withColumn("__prev", lag("pos", 1).over(w))
+      .withColumn("__isl",
+        sum(when(col("__prev").isNull || col("pos") > col("__prev") + L, 1L).otherwise(0L)).over(w))
+      .groupBy(col("__id"), col("__isl"))
+      .agg(min("pos").as("start"), (max(col("pos")) + L).as("end_pos"))
+      .select(col("__id").as("id"), col("start"), col("end_pos"),
+        (col("end_pos") - col("start")).as("span_len"))
+  }
+
+  /**
    * Edit-distance near-dup pairs: exact Levenshtein verification within
    * blocking columns — the character-level complement to token-level
    * n-gram Jaccard (d04), catching the small in-word edits shingles

@@ -58,6 +58,17 @@ package object api {
         capacity: Int = 256): DataFrame =
       Pipelines.heavyHitters(df, groups, item, k, capacity)
 
+    /** Deterministic two-pass heavy hitters (exact counts, provable
+      * threshold); see [[Pipelines.verifiedHeavyHitters]]. */
+    def verifiedHeavyHitters(groups: Seq[String], item: Column, k: Int,
+        capacity: Int = 256): DataFrame =
+      Pipelines.verifiedHeavyHitters(df, groups, item, k, capacity)
+
+    /** Any-offset exact substring dedup spans (Lee et al. 2022); see
+      * [[Pipelines.substringDedupSpans]]. */
+    def substringDedupSpans(id: Column, text: Column, L: Int = 40): DataFrame =
+      Pipelines.substringDedupSpans(df, id, text, L)
+
     /** C4-style page/line cleanup filters (terminal-punct lines, >= 5
       * words, javascript/brace/lorem-ipsum drops); adds
       * n_lines/n_kept/page_keep/cleaned. */

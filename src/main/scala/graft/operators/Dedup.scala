@@ -112,6 +112,15 @@ object Dedup {
     Pipelines.editDistancePairs(docs(spark, dir), col("doc_id"), col("text"),
       Seq(col("lang"), expr("n_chars div 100")), maxDist = 20)
 
+  /** Any-offset exact substring dedup (Lee et al. 2022): maximal per-doc
+    * character spans covered by a 40-char window text occurring >= 2 times
+    * anywhere in the corpus — catches shifted copies d09's fixed chunks
+    * miss. Hash fan-out + gaps-and-islands merge; see
+    * [[graft.api.Pipelines.substringDedupSpans]]. */
+  def d13SubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.substringDedupSpans(docs(spark, dir), col("doc_id"), col("text"), L = 40)
+      .withColumnRenamed("id", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> d01ExactDedup _,
     "d02_dedup_minhash_lsh" -> d02MinHashLsh _,
@@ -125,6 +134,7 @@ object Dedup {
     "d10_semantic_dedup" -> d10SemanticDedup _,
     "d11_decontamination" -> d11Decontamination _,
     "d12_edit_distance" -> d12EditDistance _,
+    "d13_substring_dedup" -> d13SubstringDedup _,
   )
 
   // shared SQL pieces so the d04 and d08 oracles cannot silently diverge
@@ -305,5 +315,25 @@ object Dedup {
         | ON a.lang = b.lang AND a.n_chars // 100 = b.n_chars // 100
         |    AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.text, b.text) <= 20""".stripMargin,
+    "d13_substring_dedup" ->
+      // Exact replay of the sliding-window dedup: same 40-char windows,
+      // same 60-bit md5-prefix hash, same gaps-and-islands span merge.
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    CAST(CONCAT('0x', substr(md5(substr(text, i + 1, 40)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents, UNNEST(range(0, length(text) - 39)) AS t(i)),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+        |pr AS (SELECT doc_id, pos,
+        |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |       FROM hits),
+        |isl AS (SELECT doc_id, pos,
+        |          sum(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM pr)
+        |SELECT doc_id, min(pos) AS start,
+        | CAST(max(pos) + 40 AS BIGINT) AS end_pos,
+        | CAST(max(pos) + 40 - min(pos) AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
   )
 }

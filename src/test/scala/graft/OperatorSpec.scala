@@ -383,6 +383,42 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("d13 substring dedup equals an in-memory sliding-window reimplementation") {
+    import org.apache.spark.sql.functions._
+    val L = 40
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    // corpus-wide window counts (code points, mirroring Spark/DuckDB substr)
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    def windows(t: String): Seq[(Int, String)] = {
+      val cps = t.codePointCount(0, t.length)
+      (0 to cps - L).map { i =>
+        val a = t.offsetByCodePoints(0, i)
+        val b = t.offsetByCodePoints(0, i + L)
+        (i, t.substring(a, b))
+      }
+    }
+    docs.foreach { case (_, t) => windows(t).foreach { case (_, w) =>
+      counts(w) = counts.getOrElse(w, 0) + 1 } }
+    val expected = docs.flatMap { case (id, t) =>
+      val hits = windows(t).collect { case (i, w) if counts(w) >= 2 => i }
+      // merge [i, i+L) islands
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      // chain while pos <= prevHit + L (= current span end), else new span
+      hits.sorted.foreach { i =>
+        if (spans.nonEmpty && i.toLong <= spans.last._2)
+          spans(spans.length - 1) = (spans.last._1, i + L.toLong)
+        else spans += ((i.toLong, i + L.toLong))
+      }
+      spans.map { case (s, e) => (id, s, e, e - s) }
+    }.toSet
+    val got = graft.api.Pipelines.substringDedupSpans(
+      spark.read.parquet(s"$sf/documents.parquet"), col("doc_id"), col("text"), L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"spans diverge: extra=${got -- expected} missing=${expected -- got}")
+    assert(got.nonEmpty, "fixture should contain duplicated substrings")
+  }
+
   test("d09 chunk dedup equals an in-memory reimplementation at sf0.001") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
