@@ -971,6 +971,91 @@ object Pipelines {
     topKByCosine(broadcast(q).join(c, col("q_id") =!= col("n_id")), k)
   }
 
+  /**
+   * MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+   * diversified top-k: a relevance shortlist per query (bounded-heap exact
+   * cosine, `candidates` members), then the greedy re-rank
+   * `argmax 0.5*rel(c) - 0.5*max_{s in picked} sim(c, s)` — the standard
+   * redundancy-penalized retrieval used to keep near-duplicate results out
+   * of a RAG context window or a curated training batch. Every arithmetic
+   * step is an IEEE-double both engines produce bit-identically (the s01
+   * VecDot contract), ties break on vec_id, and max-over-empty is 0.0 by
+   * convention — so the greedy trajectory, not just the set, is
+   * deterministic and the DuckDB oracle replays it with a recursive CTE.
+   *
+   * Returns (q_id, rnk, n_id, mmr_micro), `k` rows per query in pick
+   * order.
+   *
+   * 100 TB posture: the corpus is touched once by the shortlist stage
+   * (broadcast queries, bounded-heap top-`candidates` — k*partitions rows
+   * cross the exchange); the quadratic part (pair sims + greedy) runs on
+   * `candidates^2` rows PER QUERY, a driver-independent constant, and the
+   * greedy itself is one typed map over a single grouped row per query —
+   * sequential by nature (each pick conditions the next), tiny by
+   * construction.
+   */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+      k: Int, candidates: Int): DataFrame = {
+    require(k >= 1 && candidates >= k, s"need candidates >= k >= 1, got k=$k candidates=$candidates")
+    val c = corpus.select(id.as("n_id"), vec.as("n_emb"))
+      .withColumn("n_nrm", l2norm(col("n_emb")))
+    val q = queries.select(id.as("q_id"), vec.as("q_emb"))
+      .withColumn("q_nrm", l2norm(col("q_emb")))
+    val short = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"),
+        (dotProd(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))).as("rel"),
+        col("n_id"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.topk(col("rel"), col("n_id"), candidates).as("top"))
+      .select(col("q_id"), explode(col("top")).as("s"))
+      .select(col("q_id"), col("s.n_id").as("n_id"), col("s.score").as("rel"))
+    val m = short.join(c, "n_id")
+    val pairs = m.select(col("q_id"), col("n_id").as("a_id"), col("n_emb").as("a_emb"),
+        col("n_nrm").as("a_nrm"))
+      .join(m.select(col("q_id").as("__q2"), col("n_id").as("b_id"),
+        col("n_emb").as("b_emb"), col("n_nrm").as("b_nrm")),
+        col("q_id") === col("__q2") && col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        (dotProd(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))).as("sim"))
+    val packed = short.groupBy("q_id")
+      .agg(collect_list(struct(col("n_id").as("_1"), col("rel").as("_2"))).as("cands"))
+      .join(pairs.groupBy("q_id")
+        .agg(collect_list(struct(col("a_id").as("_1"), col("b_id").as("_2"),
+          col("sim").as("_3"))).as("sims")),
+        Seq("q_id"))
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed
+      .select(col("q_id").cast("long"), col("cands"), col("sims"))
+      .as[(Long, Seq[(Long, Double)], Seq[(Long, Long, Double)])]
+      .flatMap { case (qid, cands, sims) =>
+        val sim = sims.map(s => (s._1, s._2) -> s._3).toMap
+        // ascending-id scan: the first maximum wins, i.e. ties break on
+        // the smaller vec_id — mirrored by the oracle's ORDER BY
+        val remaining = cands.sortBy(_._1).toBuffer
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        while (picked.size < k && remaining.nonEmpty) {
+          var bi = 0
+          var bs = Double.NegativeInfinity
+          for (i <- remaining.indices) {
+            val (nid, rel) = remaining(i)
+            val maxSim = if (picked.isEmpty) 0.0
+              else picked.iterator.map(p => sim.getOrElse((nid, p._1), 0.0)).max
+            val sc = 0.5 * rel - 0.5 * maxSim
+            if (sc > bs) { bs = sc; bi = i }
+          }
+          picked += ((remaining(bi)._1, bs))
+          remaining.remove(bi)
+        }
+        picked.iterator.zipWithIndex.map { case ((nid, sc), i) =>
+          (qid, (i + 1).toLong, nid, sc)
+        }
+      }
+      .toDF("q_id", "rnk", "n_id", "score")
+      .withColumn("mmr_micro", round(col("score") * 1000000).cast("long"))
+      .drop("score")
+  }
+
   /** Deterministic random hyperplanes (fixed seed, data-independent). */
   def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
     val rng = new scala.util.Random(42)

@@ -77,6 +77,16 @@ object Similarity {
     Pipelines.knnGraph(embs(spark, dir),
       col("vec_id"), col("embedding"), k = 3, dim = 64, nPlanes = 32, bands = 8)
 
+  /** s08: MMR-diversified retrieval — exact-cosine shortlist (20) per
+    * query, then the greedy 0.5*rel - 0.5*maxSim re-rank to top-10. The
+    * greedy trajectory is IEEE-deterministic, so the oracle replays it
+    * with a recursive CTE (pick-by-pick, same tiebreaks). */
+  def s08MmrTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Pipelines.mmrTopK(e, e.filter(col("vec_id") < 5),
+      col("vec_id"), col("embedding"), k = 10, candidates = 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
@@ -85,6 +95,7 @@ object Similarity {
     "s05_quantized_embeddings" -> s05QuantizedEmbeddings _,
     "s06_quantized_rerank" -> s06QuantizedRerank _,
     "s07_knn_graph" -> s07KnnGraph _,
+    "s08_mmr_topk" -> s08MmrTopK _,
   )
 
   /** s02's oracle REPLAYS the LSH: the hyperplanes are deterministic
@@ -167,6 +178,43 @@ object Similarity {
     "s02_ann_lsh" -> s02OracleSql,
     "s03_ivf_topk" -> s03OracleSql,
     "s07_knn_graph" -> lshTopKOracle(""),
+    "s08_mmr_topk" ->
+      // Recursive replay of the greedy MMR trajectory: each recursion
+      // step picks argmax(0.5*rel - 0.5*max sim-to-picked) with the same
+      // empty-max=0.0 convention and vec_id tiebreak; list_cosine_similarity
+      // doubles are bit-identical to VecDot/l2norm (s01 contract).
+      """WITH RECURSIVE
+        |qv AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 5),
+        |cv AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |rel AS (
+        |  SELECT qv.vec_id AS q_id, cv.vec_id AS n_id,
+        |    list_cosine_similarity(qv.emb, cv.emb) AS rel,
+        |    row_number() OVER (PARTITION BY qv.vec_id
+        |      ORDER BY list_cosine_similarity(qv.emb, cv.emb) DESC, cv.vec_id) AS rnk
+        |  FROM qv JOIN cv ON qv.vec_id <> cv.vec_id),
+        |short AS (SELECT q_id, n_id, rel FROM rel WHERE rnk <= 20),
+        |sims AS (
+        |  SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+        |    list_cosine_similarity(ca.emb, cb.emb) AS sim
+        |  FROM short a JOIN short b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+        |  JOIN cv ca ON ca.vec_id = a.n_id JOIN cv cb ON cb.vec_id = b.n_id),
+        |sel AS (
+        |  SELECT q_id, 0 AS it, CAST([] AS BIGINT[]) AS picked, CAST([] AS DOUBLE[]) AS scores
+        |  FROM (SELECT DISTINCT q_id FROM short)
+        |  UNION ALL
+        |  SELECT s.q_id, s.it + 1, list_append(s.picked, nxt.n_id), list_append(s.scores, nxt.score)
+        |  FROM sel s, LATERAL (
+        |    SELECT c.n_id,
+        |      0.5*c.rel - 0.5*coalesce((SELECT max(m.sim) FROM sims m
+        |         WHERE m.q_id = s.q_id AND m.a_id = c.n_id AND list_contains(s.picked, m.b_id)), 0.0) AS score
+        |    FROM short c
+        |    WHERE c.q_id = s.q_id AND NOT list_contains(s.picked, c.n_id)
+        |    ORDER BY score DESC, c.n_id LIMIT 1) nxt
+        |  WHERE s.it < 10)
+        |SELECT q_id, CAST(u.i AS BIGINT) AS rnk, picked[CAST(u.i AS INT)] AS n_id,
+        |  CAST(round(1000000 * scores[CAST(u.i AS INT)]) AS BIGINT) AS mmr_micro
+        |FROM (SELECT q_id, picked, scores FROM sel WHERE it = 10) f,
+        |  LATERAL (SELECT unnest(range(1, 11)) AS i) u""".stripMargin,
     "s05_quantized_embeddings" ->
       """WITH m AS (
         | SELECT vec_id, embedding,

@@ -332,6 +332,31 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("s08 MMR: first pick is top-1 relevance, no repeats, diversification reorders") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val mmr = graft.api.Pipelines.mmrTopK(e, q, col("vec_id"), col("embedding"),
+      k = 10, candidates = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val rel = graft.api.Pipelines.cosineTopK(e, q, col("vec_id"), col("embedding"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSeq // (q, rnk, n)
+    val mmrByQ = mmr.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val relByQ = rel.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(mmrByQ.keySet == relByQ.keySet && mmrByQ.nonEmpty)
+    mmrByQ.foreach { case (qid, picks) =>
+      assert(picks.size == picks.distinct.size, s"query $qid repeats a pick")
+      assert(picks.head == relByQ(qid).head,
+        s"query $qid: first MMR pick must be the relevance top-1")
+      assert(picks.toSet.subsetOf(relByQ(qid).toSet),
+        s"query $qid: picks must come from the relevance shortlist")
+    }
+    // the redundancy penalty must actually change at least one trajectory
+    assert(mmrByQ.exists { case (qid, picks) =>
+      picks != relByQ(qid).take(picks.size) },
+      "MMR never deviated from pure relevance order — penalty had no effect")
+  }
+
   test("KMV distinct sketch: exact below k, bounded error above, partition-invariant") {
     import org.apache.spark.sql.functions._
     import graft.functions.KmvDistinctAgg
