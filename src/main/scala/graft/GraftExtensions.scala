@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
     ext.injectParser((_, delegate) =>
       new org.apache.spark.sql.graftbridge.GwSqlParser(delegate))
+    // write-path CHECK constraint enforcement (graft.constraints.* table
+    // properties) — runs once after resolution, wraps batch ingest plans
+    ext.injectPostHocResolutionRule(session =>
+      org.apache.spark.sql.graftbridge.GwConstraintRule(session))
   }
 }
 

@@ -1038,6 +1038,36 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     }
   }
 
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES — a metadata-only commit that
+    * merges `set` into (and drops `unset` from) the snapshot's
+    * configuration map. Properties under `graft.constraints.<name>` are
+    * CHECK constraints: their value is a boolean SQL expression every
+    * ingested row must satisfy (null passes, SQL-standard), enforced on
+    * the write path by the injected analysis rule
+    * ([[org.apache.spark.sql.graftbridge.GwConstraintRule]]). Constraint
+    * expressions are validated (parse + bind against the current schema)
+    * HERE, at set time, so a typo fails the ALTER and not some later
+    * INSERT. Returns the committed version. */
+  def updateProperties(set: Map[String, String], unset: Seq[String] = Nil): Long = {
+    set.foreach { case (k, v) =>
+      if (k.startsWith(GwTable.ConstraintPrefix))
+        org.apache.spark.sql.graftbridge.GwConstraintRule
+          .validate(spark, k.stripPrefix(GwTable.ConstraintPrefix), v, snapshot().schema)
+    }
+    graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+      val snap = gwLog.snapshot(None)
+      val meta = snap.metadata.getOrElse(throw new IllegalStateException(
+        s"cannot ALTER a table with no schema in its log: $tablePath"))
+      val conf = meta.configuration ++ set -- unset
+      Seq(
+        meta.copy(configuration = conf),
+        CommitInfo(System.currentTimeMillis(),
+          if (set.nonEmpty) "SET TBLPROPERTIES" else "UNSET TBLPROPERTIES",
+          "Upgrade", numFiles = 0, numOutputBytes = 0, isBlindAppend = false,
+          txnId = java.util.UUID.randomUUID().toString))
+    }
+  }
+
   /** Commit history as a DataFrame (version, timestamp, operation, ...). */
   def history: DataFrame = {
     import spark.implicits._
@@ -1060,6 +1090,11 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
 
 object GwTable {
   def forPath(spark: SparkSession, tablePath: String): GwTable = new GwTable(spark, tablePath)
+
+  /** Table-property namespace whose values are CHECK constraint SQL
+    * expressions (Delta stores its constraints the same way, under
+    * `delta.constraints.*`). */
+  val ConstraintPrefix = "graft.constraints."
 
   /** Run `body` with the vacuum retention guard disabled (scoped): the
     * explicit opt-in for DELIBERATE short-retention vacuums — CI cleanup,

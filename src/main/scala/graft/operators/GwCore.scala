@@ -976,6 +976,57 @@ object GwCore {
       col("_commit_version").as("change_seq"), col("_change_type"))
   }
 
+  // ---------------------------------------------------------------- gw33
+  /** Write-path CHECK constraints (Delta `delta.constraints.*` parity,
+    * stored under `graft.constraints.*`): `ALTER TABLE ... SET
+    * TBLPROPERTIES` persists the constraint as a metadata-only commit
+    * (validated at set time — a bad expression fails the ALTER), every
+    * batch ingest is wrapped by the injected analysis rule so a violating
+    * row fails the INSERT before any commit (the log never sees the bad
+    * batch), `UNSET TBLPROPERTIES` lifts the rule again, and `SHOW
+    * TBLPROPERTIES` reads the constraint back from the log metadata. */
+  def gw33CheckConstraint(spark: SparkSession, dir: String): DataFrame = {
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val tmp = Files.createTempDirectory("gw33")
+    val loc = tmp.resolve("db/region").toString
+    spark.read.parquet(s"$dir/region.parquet").createOrReplaceTempView("gw33_region_src")
+    spark.sql(s"CREATE TABLE gw.$ns.region (r_regionkey INT, r_name STRING) " +
+      s"USING gwdelta LOCATION '$loc'")
+    spark.sql(s"INSERT INTO gw.$ns.region SELECT * FROM gw33_region_src")
+    spark.sql(s"ALTER TABLE gw.$ns.region SET TBLPROPERTIES " +
+      "('graft.constraints.nonneg' = 'r_regionkey >= 0')")
+    // the constraint must be persisted log-side and readable back
+    val shown = spark.sql(s"SHOW TBLPROPERTIES gw.$ns.region").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(shown.get("graft.constraints.nonneg").contains("r_regionkey >= 0"),
+      s"constraint not visible in TBLPROPERTIES: $shown")
+    // a bad expression must fail the ALTER itself, not a later INSERT
+    val badAlter =
+      try { spark.sql(s"ALTER TABLE gw.$ns.region SET TBLPROPERTIES " +
+        "('graft.constraints.typo' = 'r_regionkeyy > 0')"); None }
+      catch { case e: Exception => Some(e) }
+    require(badAlter.exists(_.getMessage.contains("unknown column")),
+      s"typo'd constraint must fail at set time, got: $badAlter")
+    // the violating batch must fail BEFORE commit: no partial data lands
+    val violation =
+      try { spark.sql(s"INSERT INTO gw.$ns.region VALUES (-1, 'bad')"); None }
+      catch { case e: Exception => Some(e) }
+    require(violation.exists(e =>
+      (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+        .contains("CHECK constraint nonneg")),
+      s"violating insert must raise the named constraint, got: $violation")
+    val table = GwTable.forPath(spark, loc)
+    require(table.snapshot().files.size == 1,
+      "failed insert must leave no committed files behind")
+    // UNSET lifts enforcement; the same row now lands
+    spark.sql(s"ALTER TABLE gw.$ns.region UNSET TBLPROPERTIES " +
+      "('graft.constraints.nonneg')")
+    spark.sql(s"INSERT INTO gw.$ns.region VALUES (-1, 'unchecked')")
+    spark.sql(s"SELECT r_regionkey, r_name FROM gw.$ns.region")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1009,6 +1060,7 @@ object GwCore {
     "gw30_shallow_clone" -> gw30ShallowClone _,
     "gw31_zorder_compact" -> gw31ZorderCompact _,
     "gw32_cdf_stream" -> gw32CdfStream _,
+    "gw33_check_constraint" -> gw33CheckConstraint _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1128,6 +1180,11 @@ object GwCore {
     "gw26_sql_maintenance" ->
       """SELECT r_regionkey, r_name FROM region
         |UNION ALL SELECT r_regionkey, r_name FROM region""".stripMargin,
+    // the guarded insert is invisible (never committed); only the fixture
+    // rows and the post-UNSET row survive
+    "gw33_check_constraint" ->
+      """SELECT r_regionkey, r_name FROM region
+        |UNION ALL SELECT -1, 'unchecked'""".stripMargin,
     // same answer as gw20 — only the rewrite strategy differs (DVs, no
     // group rewrite), which the in-query file-survival requires pin
     "gw27_mor_sql_update" ->

@@ -224,22 +224,34 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
     loadAt(ident, None)
   }
 
-  /** ALTER TABLE ADD COLUMNS — the one schema evolution the log supports
-    * natively (a metadata-only commit; old files null-fill at scan time).
-    * Everything else (drop/rename/retype) would orphan existing file data
-    * and stays unsupported. */
+  /** ALTER TABLE ADD COLUMNS / SET TBLPROPERTIES / UNSET TBLPROPERTIES —
+    * the schema evolution and property changes the log supports natively
+    * (both metadata-only commits; old files null-fill at scan time, and
+    * `graft.constraints.*` properties become write-path CHECK constraints
+    * validated at set time). Everything else (drop/rename/retype) would
+    * orphan existing file data and stays unsupported. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val unsupported = changes.filterNot(_.isInstanceOf[TableChange.AddColumn])
+    val unsupported = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
-        s"gwdelta supports ALTER TABLE ADD COLUMNS only; got: ${unsupported.mkString(", ")}")
+        "gwdelta supports ALTER TABLE ADD COLUMNS and SET/UNSET TBLPROPERTIES only; " +
+          s"got: ${unsupported.mkString(", ")}")
     val adds = changes.collect { case a: TableChange.AddColumn =>
       require(a.fieldNames.length == 1,
         s"cannot add a nested field: ${a.fieldNames.mkString(".")}")
       org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType, nullable = true)
     }
+    val sets = changes.collect { case s: TableChange.SetProperty =>
+      s.property -> s.value }
+    val removes = changes.collect { case r: TableChange.RemoveProperty => r.property }
     val spark = SparkSession.active
-    graft.GwTable.forPath(spark, locationOf(ident)).addColumns(adds: _*)
+    val table = graft.GwTable.forPath(spark, locationOf(ident))
+    if (adds.nonEmpty) table.addColumns(adds: _*)
+    if (sets.nonEmpty || removes.nonEmpty)
+      table.updateProperties(sets.toMap, removes.toSeq)
     loadAt(ident, None)
   }
 

@@ -41,6 +41,16 @@ class GwDeltaTable(
   override def name(): String = tableName
   override def schema(): StructType = snapshot.schema
 
+  /** Log-metadata configuration (TBLPROPERTIES), exposed so analysis-time
+    * consumers — the CHECK-constraint rule ([[GwConstraintRule]]), SHOW
+    * TBLPROPERTIES — see the table's persisted properties. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    snapshot.metadata.foreach(_.configuration.foreach { case (k, v) => m.put(k, v) })
+    m.put("location", options.get("path"))
+    m
+  }
+
   /** Hidden row-identity columns (`__gw_file`, `__gw_pos`) — provenance
     * when selected explicitly, and the rowId() the delta-based row-level
     * operations resolve against this relation ([[GwRowId]]). */

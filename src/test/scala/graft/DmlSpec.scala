@@ -924,4 +924,35 @@ class DmlSpec extends SparkSpec {
         "GROUP BY 1").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(agg == Map("delete" -> 12L))
   }
+
+  test("CHECK constraints: SQL-null passes, overwrite enforced, multi-constraint names") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    val ns = s"ck${System.nanoTime()}"
+    val dir = Files.createTempDirectory("ck").resolve("t").toString
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.t (k INT, v STRING) USING gwdelta LOCATION '$dir'")
+    // seed with a null so the bootstrapped log schema keeps k nullable
+    spark.sql(s"INSERT INTO gw.$ns.t SELECT * FROM VALUES (1, 'a'), (CAST(null AS INT), 'seed') AS s(k, v)")
+    spark.sql(s"ALTER TABLE gw.$ns.t SET TBLPROPERTIES (" +
+      "'graft.constraints.pos' = 'k > 0', " +
+      "'graft.constraints.named' = \"v != 'forbidden'\")")
+    // SQL-standard CHECK: NULL constraint result passes (k null -> null > 0)
+    spark.sql(s"INSERT INTO gw.$ns.t VALUES (null, 'nullk')")
+    // each constraint rejects under its own name
+    def failing(sqlText: String): String = {
+      val e = intercept[Exception](spark.sql(sqlText))
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    }
+    assert(failing(s"INSERT INTO gw.$ns.t VALUES (0, 'z')")
+      .contains("CHECK constraint pos"))
+    assert(failing(s"INSERT INTO gw.$ns.t VALUES (5, 'forbidden')")
+      .contains("CHECK constraint named"))
+    // INSERT OVERWRITE takes the same guard
+    assert(failing(s"INSERT OVERWRITE gw.$ns.t VALUES (-3, 'x')")
+      .contains("CHECK constraint pos"))
+    // valid overwrite still works and the state is exactly what passed
+    spark.sql(s"INSERT OVERWRITE gw.$ns.t VALUES (7, 'ok')")
+    val fin = spark.table(s"gw.$ns.t").collect().map(r => (r.get(0), r.getString(1)))
+    assert(fin.toSet == Set((7, "ok")))
+  }
 }
