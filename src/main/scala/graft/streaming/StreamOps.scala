@@ -512,6 +512,61 @@ object StreamOps {
     spark.table(name).filter(!(col("event_type") <=> lit(SentinelType)))
   }
 
+  // ---------------------------------------------------------------- st10
+  /** Streaming UPSERT — the production pattern for maintaining a serving
+    * table from a stream (Delta's streaming-upsert recipe): an Update-mode
+    * per-user aggregation emits only the user rows each micro-batch
+    * changed, and `foreachBatch` MERGEs them into a gwdelta table — one
+    * atomic log commit per batch, matched users updated in place, new
+    * users inserted. The staged source is split into two files
+    * (`maxFilesPerTrigger = 1` → two micro-batches), so users spanning
+    * both halves exercise the matched-update path; the in-gate history
+    * assertion pins that a real MERGE commit happened. The final table
+    * equals the one-shot batch aggregate whatever the batch order —
+    * Update-mode state carries cumulative values, and MERGE is
+    * last-writer-wins per key.
+    *
+    * 100 TB posture: per-batch work is one aggregation delta + one MERGE
+    * whose match pass prunes to the files holding touched keys; the
+    * serving table is never rewritten wholesale. */
+  def st10StreamUpsert(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft-st10-src").toString
+    batch.repartition(2, col("event_id")).write.mode("overwrite").parquet(stage)
+    val tbl = java.nio.file.Files.createTempDirectory("graft-st10-tbl")
+      .resolve("user_aggs").toString
+    val upsert: (DataFrame, Long) => Unit = (b: DataFrame, _: Long) => {
+      if (!new java.io.File(s"$tbl/_delta_log").exists())
+        b.write.format("gwdelta").mode("append").save(tbl)
+      else {
+        graft.GwTable.forPath(b.sparkSession, tbl).merge(b,
+          col("t.user_id") === col("s.user_id"),
+          whenMatchedSet = Map(
+            "n_events" -> col("s.n_events"),
+            "value_c" -> col("s.value_c")))
+        ()
+      }
+    }
+    val q = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-st10-cp").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(upsert)
+      .start()
+    q.awaitTermination()
+    val hist = graft.GwTable.forPath(spark, tbl).history.collect()
+    require(hist.length >= 2 && hist.exists(_.getString(2) == "MERGE"),
+      s"expected a bootstrap + >=1 MERGE commit, got ${hist.map(_.getString(2)).toSeq}")
+    spark.read.format("gwdelta").load(tbl)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> st01WindowedCounts _,
     "st02_stream_state" -> st02StatefulSessions _,
@@ -522,6 +577,7 @@ object StreamOps {
     "st07_stream_static" -> st07StreamStaticJoin _,
     "st08_stream_sketch" -> st08StreamSketch _,
     "st09_stream_outer_join" -> st09StreamOuterJoin _,
+    "st10_stream_upsert" -> st10StreamUpsert _,
   )
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming
@@ -557,6 +613,10 @@ object StreamOps {
         | ON p.user_id = s.user_id
         | AND epoch_us(p.ts) >= epoch_us(s.ts)
         | AND epoch_us(p.ts) <= epoch_us(s.ts) + 86400000000""".stripMargin,
+    "st10_stream_upsert" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events GROUP BY 1""".stripMargin,
     "st08_stream_sketch" ->
       // Bit-exact KMV replay: same 60-bit md5-prefix user hash, exact
       // distinct below k=64, else floor(63*2^60/h_64) — identical integer

@@ -117,6 +117,14 @@ class StreamSpec extends SparkSpec {
     assertSameRows(StreamOps.st08StreamSketch(spark, dir), expected)
   }
 
+  test("st10 streaming upsert equals the one-shot batch aggregate") {
+    val expected = batchEvents
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+    assertSameRows(StreamOps.st10StreamUpsert(spark, dir), expected)
+  }
+
   test("writeStream.format(gwdelta) commits one version per micro-batch and resumes") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("gwsink-v1")
