@@ -86,10 +86,15 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failedJson,"failed_times":$failedTimesJson,"runs":$runs,"sf":"$sfDir"}"""
-    // a FILTERED run must never overwrite the committed full-suite
-    // artifacts (that mistake has been made twice); it records to
-    // *_FILTERED files instead
-    val artifactSuffix = if (filter.isDefined) "_FILTERED" else ""
+    // a FILTERED or non-sf0.1 run must never overwrite the committed
+    // full-suite artifact (that mistake has been made THREE times now —
+    // twice with filters, once with an sf0.001 smoke run); anything that
+    // is not the canonical full-suite-at-sf0.1 shape records to a
+    // suffixed file instead
+    val artifactSuffix =
+      if (filter.isDefined) "_FILTERED"
+      else if (!sfDir.endsWith("sf0.1")) "_" + sfDir.split('/').last
+      else ""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(s"BENCH_FULL$artifactSuffix.json"),
       (fullLine + "\n").getBytes("UTF-8"))

@@ -420,10 +420,13 @@ object Pipelines {
       .select(col("__id"), col("__p").cast("long").as("pos"),
         expr(s"CAST(conv(substr(md5(substring(__t, __p + 1, $L)), 1, 15), 16, 10) AS BIGINT)")
           .as("h"))
-    val dup = grams.groupBy("h").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= 2).select("h")
+    // corpus-duplicate marking as ONE hash-partitioned window count —
+    // same shuffle a groupBy would pay, but no join back, and the gram
+    // fan-out (explode + md5 per character) is evaluated once, not twice
     val w = Window.partitionBy("__id").orderBy("pos")
-    grams.join(dup, "h")
+    grams
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("__c") >= 2)
       .select("__id", "pos")
       .withColumn("__prev", lag("pos", 1).over(w))
       .withColumn("__isl",
@@ -432,6 +435,57 @@ object Pipelines {
       .agg(min("pos").as("start"), (max(col("pos")) + L).as("end_pos"))
       .select(col("__id").as("id"), col("start"), col("end_pos"),
         (col("end_pos") - col("start")).as("span_len"))
+  }
+
+  /**
+   * Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+   * algorithm): hash every `k`-char gram, slide a window of `w`
+   * consecutive gram hashes over each document, and select each window's
+   * minimum hash (rightmost position on ties — the robust-winnowing
+   * rule). The selected (position, hash) set is the document's
+   * fingerprint: any shared substring of length >= w + k - 1 between two
+   * documents is GUARANTEED to surface as a shared fingerprint, at ~2/(w+1)
+   * the density of full k-gram shingling — the local, position-robust
+   * complement to [[Pipelines.exactDedup]]'s whole-text digests (t04).
+   *
+   * Determinism trick: (hash, rightmost-tie) window minima come from ONE
+   * `min` over a fixed-width sortable encoding — 19-digit zero-padded
+   * hash || 7-digit zero-padded REVERSED position — so the whole
+   * selection is a single codegen'd window pass both engines replay
+   * byte-identically; no per-window argmin join.
+   *
+   * Returns distinct (id, pos, fp) rows.
+   *
+   * 100 TB posture: one generator fan-out (a row per character, like
+   * [[substringDedupSpans]]), one window pass partitioned by document, one
+   * distinct — per-document work is linear and partition-local after the
+   * id-hash shuffle; no joins, no driver state.
+   */
+  def winnowFingerprints(df: DataFrame, id: Column, text: Column,
+      k: Int = 8, w: Int = 8): DataFrame = {
+    require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2; got k=$k w=$w")
+    require(k + w <= 64, "k + w beyond any plausible fingerprint scale")
+    val base = df.select(id.as("__id"), text.as("__t"))
+      .filter(length(col("__t")) >= k + w - 1)
+    val grams = base
+      .select(col("__id"),
+        explode(sequence(lit(0), length(col("__t")) - k)).as("__p"),
+        col("__t"))
+      .select(col("__id"), col("__p").cast("long").as("pos"),
+        expr(s"CAST(conv(substr(md5(substring(__t, __p + 1, $k)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+    val key = concat(
+      lpad(col("h").cast("string"), 19, "0"),
+      lpad((lit(1048575L) - col("pos")).cast("string"), 7, "0"))
+    val frame = Window.partitionBy("__id").orderBy("pos").rowsBetween(0, w - 1)
+    grams
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__id")))
+      .withColumn("__sel", min(key).over(frame))
+      .filter(col("pos") <= col("__n") - w)
+      .select(col("__id").as("id"),
+        (lit(1048575L) - expr("CAST(substr(__sel, 20, 7) AS BIGINT)")).as("pos"),
+        expr("CAST(substr(__sel, 1, 19) AS BIGINT)").as("fp"))
+      .distinct()
   }
 
   /**

@@ -69,6 +69,11 @@ package object api {
     def substringDedupSpans(id: Column, text: Column, L: Int = 40): DataFrame =
       Pipelines.substringDedupSpans(df, id, text, L)
 
+    /** Winnowing (MOSS) document fingerprints; see
+      * [[Pipelines.winnowFingerprints]]. */
+    def winnowFingerprints(id: Column, text: Column, k: Int = 8, w: Int = 8): DataFrame =
+      Pipelines.winnowFingerprints(df, id, text, k, w)
+
     /** C4-style page/line cleanup filters (terminal-punct lines, >= 5
       * words, javascript/brace/lorem-ipsum drops); adds
       * n_lines/n_kept/page_keep/cleaned. */

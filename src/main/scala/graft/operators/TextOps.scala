@@ -193,6 +193,16 @@ object TextOps {
         md5(col("cleaned")).as("clean_md5"))
   }
 
+  /** Winnowing fingerprints (MOSS): per-document (pos, hash) selections —
+    * every shared substring of length >= w+k-1 = 15 chars is guaranteed to
+    * surface as a shared fingerprint at ~2/(w+1) shingling density. The
+    * coverage guarantee is property-tested in OperatorSpec; the oracle
+    * replays the single-window-pass selection byte-identically. */
+  def t16WinnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.winnowFingerprints(docs(spark, dir), col("doc_id"), col("text"),
+      k = 8, w = 8)
+      .withColumnRenamed("id", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -209,6 +219,7 @@ object TextOps {
     "t13_url_canonicalize" -> t13UrlCanonicalize _,
     "t14_chunk_docs" -> t14ChunkDocs _,
     "t15_c4_filters" -> t15C4Filters _,
+    "t16_winnow_fingerprints" -> t16WinnowFingerprints _,
   )
 
   private def sqlList(lang: String): String =
@@ -292,6 +303,30 @@ object TextOps {
         | n_bigrams, top_bigram_n,
         | CAST(round(1000.0 * top_bigram_n / n_bigrams) AS BIGINT) AS rep_permille
         |FROM wstats w JOIN bs USING (doc_id)""".stripMargin,
+    "t16_winnow_fingerprints" ->
+      // Byte-identical replay of the one-pass winnowing selection: same
+      // 8-gram md5-prefix hashes, same fixed-width (hash || reversed-pos)
+      // sortable encoding, same 8-row window min, same valid-start filter.
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    CAST(CONCAT('0x', substr(md5(substr(text, i + 1, 8)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents, UNNEST(range(0, length(text) - 7)) AS t(i)
+        |  WHERE length(text) >= 15),
+        |e AS (
+        |  SELECT doc_id, pos,
+        |    lpad(CAST(h AS VARCHAR), 19, '0')
+        |      || lpad(CAST(1048575 - pos AS VARCHAR), 7, '0') AS key,
+        |    count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id, pos, n,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel
+        |  FROM e)
+        |SELECT DISTINCT doc_id,
+        |  1048575 - CAST(substr(sel, 20, 7) AS BIGINT) AS pos,
+        |  CAST(substr(sel, 1, 19) AS BIGINT) AS fp
+        |FROM s WHERE pos <= n - 8""".stripMargin,
     "t09_heavy_hitters" ->
       // The verified-heavy-hitter contract is oracle-expressible exactly:
       // items with true frequency > n/(capacity+1), exact counts, top-5

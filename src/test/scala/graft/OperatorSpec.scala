@@ -444,6 +444,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture should contain duplicated substrings")
   }
 
+  test("t16 winnowing: every window covered, selections are true window minima") {
+    import org.apache.spark.sql.functions._
+    val (k, w) = (8, 8)
+    val got = graft.api.Pipelines.winnowFingerprints(
+      spark.read.parquet(s"$sf/documents.parquet"), col("doc_id"), col("text"), k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val byDoc = got.groupBy(_._1)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    byDoc.foreach { case (id, rows) =>
+      val t = texts(id)
+      val grams = (0 to t.length - k).map(i => h60(t.substring(i, i + k)))
+      val sel = rows.map(r => r._2.toInt -> r._3).toMap
+      // every selection is a real gram hash at its position
+      sel.foreach { case (p, fp) => assert(grams(p) == fp, s"doc $id pos $p hash") }
+      // winnowing guarantee: every w-window of grams contains a selection,
+      // and that selection is the window's minimum hash
+      (0 to grams.length - w).foreach { s =>
+        val inWin = sel.keys.filter(p => p >= s && p < s + w)
+        assert(inWin.nonEmpty, s"doc $id window $s has no fingerprint")
+        val winMin = (s until s + w).map(grams).min
+        assert(inWin.exists(p => grams(p) == winMin),
+          s"doc $id window $s: no selected position carries the window min")
+      }
+      // density sanity: far below full shingling
+      assert(sel.size <= grams.length / 2 + 1, s"doc $id selected too densely")
+    }
+    // ASCII-only corpus assumption for the in-memory check would be wrong
+    // for zh docs — substring here is code-point-safe because the fixture's
+    // zh text stays in the BMP; the cross-engine gate is the real contract
+  }
+
   test("d09 chunk dedup equals an in-memory reimplementation at sf0.001") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
