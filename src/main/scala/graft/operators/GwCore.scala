@@ -1027,6 +1027,44 @@ object GwCore {
     spark.sql(s"SELECT r_regionkey, r_name FROM gw.$ns.region")
   }
 
+  // ---------------------------------------------------------------- gw34
+  /** Idempotent batch writes (Delta txnAppId/txnVersion parity): a write
+    * tagged `.option("txnAppId", app).option("txnVersion", n)` commits a
+    * `txn` high-water action; re-running the same (app, n) — the
+    * foreachBatch crash-replay, the re-run ETL job — is a silent no-op,
+    * as is any n at or below the recorded mark (monotonic contract). A
+    * higher version commits; a different appId is independent. The gate
+    * pins the no-ops via commit-count equality and the final content via
+    * the oracle. */
+  def gw34IdempotentWrite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw34")
+    val loc = tmp.resolve("db/region").toString
+    val region = spark.read.parquet(s"$dir/region.parquet")
+    def writeTagged(df: org.apache.spark.sql.DataFrame, app: String, v: Long): Unit =
+      df.write.format("gwdelta").mode("append")
+        .option("txnAppId", app).option("txnVersion", v.toString).save(loc)
+    writeTagged(region, "etl", 1)
+    val table = GwTable.forPath(spark, loc)
+    val commits1 = table.history.count()
+    writeTagged(region, "etl", 1) // crash replay: same (app, version)
+    writeTagged(region, "etl", 0) // below the high-water mark
+    require(table.history.count() == commits1,
+      "replayed and below-mark writes must not commit")
+    writeTagged(region.filter(col("r_regionkey") < 2), "etl", 2)
+    writeTagged(region.filter(col("r_regionkey") === 4), "audit", 1)
+    require(table.history.count() == commits1 + 2,
+      "fresh versions and independent appIds must commit")
+    // overwrite path honors the same contract: this replayed (etl, 2)
+    // overwrite must NOT wipe the table
+    region.limit(1).write.format("gwdelta").mode("overwrite")
+      .option("txnAppId", "etl").option("txnVersion", "2").save(loc)
+    require(table.history.count() == commits1 + 2,
+      "replayed overwrite must be a no-op")
+    spark.read.format("gwdelta").load(loc)
+      .select("r_regionkey", "r_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1061,6 +1099,7 @@ object GwCore {
     "gw31_zorder_compact" -> gw31ZorderCompact _,
     "gw32_cdf_stream" -> gw32CdfStream _,
     "gw33_check_constraint" -> gw33CheckConstraint _,
+    "gw34_idempotent_write" -> gw34IdempotentWrite _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1185,6 +1224,12 @@ object GwCore {
     "gw33_check_constraint" ->
       """SELECT r_regionkey, r_name FROM region
         |UNION ALL SELECT -1, 'unchecked'""".stripMargin,
+    // replayed/below-mark writes are no-ops; only the first full write,
+    // the (etl,2) slice and the (audit,1) slice land
+    "gw34_idempotent_write" ->
+      """SELECT r_regionkey, r_name FROM region
+        |UNION ALL SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 2
+        |UNION ALL SELECT r_regionkey, r_name FROM region WHERE r_regionkey = 4""".stripMargin,
     // same answer as gw20 — only the rewrite strategy differs (DVs, no
     // group rewrite), which the in-query file-survival requires pin
     "gw27_mor_sql_update" ->

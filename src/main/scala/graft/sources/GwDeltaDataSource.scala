@@ -124,18 +124,34 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
       .forTable(sqlContext.sparkSession.sparkContext.hadoopConfiguration, path).exists()
     // df.write.partitionBy(...) arrives JSON-encoded in the options map
     val parts = org.apache.spark.sql.graftbridge.Bridge.partitioningColumns(parameters)
+    // Delta-style idempotent writes: .option("txnAppId", app)
+    // .option("txnVersion", n) — a (app, version) already recorded in the
+    // log's txn high-water marks makes this write a silent no-op, the
+    // foreachBatch exactly-once contract. Encoded as the sink's
+    // "<app>/<version>" txnId so replay detection shares the streaming
+    // path (SetTransaction action + bounded CommitInfo walk).
+    val txnId = (parameters.get("txnAppId"), parameters.get("txnVersion")) match {
+      case (Some(app), Some(v)) =>
+        require(!app.contains("/"), s"txnAppId must not contain '/': $app")
+        val ver = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"txnVersion must be a long, got '$v'"))
+        Some(s"$app/$ver")
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "txnAppId and txnVersion must be set together")
+    }
     mode match {
       case org.apache.spark.sql.SaveMode.Append =>
-        graft.streaming.GwSink.append(data, path, txnId = None, partitionBy = parts)
+        graft.streaming.GwSink.append(data, path, txnId = txnId, partitionBy = parts)
       case org.apache.spark.sql.SaveMode.Overwrite =>
-        graft.streaming.GwSink.overwrite(data, path, parts)
+        graft.streaming.GwSink.overwrite(data, path, parts, txnId = txnId)
       case org.apache.spark.sql.SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"gwdelta table already exists at $path (mode ErrorIfExists)")
-        graft.streaming.GwSink.append(data, path, txnId = None, partitionBy = parts)
+        graft.streaming.GwSink.append(data, path, txnId = txnId, partitionBy = parts)
       case org.apache.spark.sql.SaveMode.Ignore =>
         if (!exists) {
-          graft.streaming.GwSink.append(data, path, txnId = None, partitionBy = parts); ()
+          graft.streaming.GwSink.append(data, path, txnId = txnId, partitionBy = parts); ()
         }
     }
     val ctx = sqlContext

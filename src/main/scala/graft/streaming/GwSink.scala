@@ -227,10 +227,11 @@ object GwSink {
     * time travel until `vacuum`. An EMPTY batch is a plain TRUNCATE (the
     * remove-all commit still happens, unlike `append`'s no-op). */
   def overwrite(df: DataFrame, tablePath: String,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, txnId: Option[String] = None): Long = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val log = GwLog.forTable(conf, tablePath)
+    replayedVersion(log, txnId).foreach(v => return v)
     if (log.listVersions().nonEmpty) {
       val existing = log.snapshot(None).schema
       require(org.apache.spark.sql.graftbridge.Bridge.sameType(existing, df.schema),
@@ -265,8 +266,11 @@ object GwSink {
         numFiles = files.size,
         numOutputBytes = files.map(_.size).sum,
         isBlindAppend = false,
-        txnId = java.util.UUID.randomUUID().toString)
-      head ++ removes ++ files :+ info
+        txnId = txnId.getOrElse(java.util.UUID.randomUUID().toString))
+      val txn = txnId.flatMap(parseTxnId).map { case (app, v) =>
+        graft.log.SetTransaction(app, v, Some(now))
+      }
+      head ++ removes ++ files ++ txn.toSeq :+ info
     }
   }
 }

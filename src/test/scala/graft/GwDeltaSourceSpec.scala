@@ -698,4 +698,28 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     // fresh batches still flow
     assert(graft.streaming.GwSink.append(region, path, Some("s1/1")) > 0L)
   }
+
+  test("txnAppId/txnVersion writer options: validation and monotonic no-ops") {
+    val path = Files.createTempDirectory("gwdelta-txn").resolve("t").toString
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    def tagged(v: String): Unit = region.write.format("gwdelta").mode("append")
+      .option("txnAppId", "job").option("txnVersion", v).save(path)
+    tagged("5")
+    val n = spark.read.format("gwdelta").load(path).count()
+    tagged("5"); tagged("3") // replay + below-mark: both no-ops
+    assert(spark.read.format("gwdelta").load(path).count() == n)
+    tagged("6")
+    assert(spark.read.format("gwdelta").load(path).count() == 2 * n)
+    // option pair must be complete, version numeric, appId slash-free
+    def fails(body: => Unit): String =
+      intercept[Exception](body).getMessage
+    assert(fails(region.write.format("gwdelta").mode("append")
+      .option("txnAppId", "job").save(path)).contains("set together"))
+    assert(fails(region.write.format("gwdelta").mode("append")
+      .option("txnAppId", "job").option("txnVersion", "x").save(path))
+      .contains("txnVersion"))
+    assert(fails(region.write.format("gwdelta").mode("append")
+      .option("txnAppId", "a/b").option("txnVersion", "1").save(path))
+      .contains("txnAppId"))
+  }
 }
