@@ -202,4 +202,38 @@ class PlanSpec extends SparkSpec {
     // canonicalization itself must not repartition anything
     assert("Exchange".r.findAllIn(p).size == 1, s"expected one exchange:\n$p")
   }
+
+  test("d13 substring dedup marks duplicates in one window pass, no join") {
+    val p = plan(graft.operators.Dedup.d13SubstringDedup(spark, sf))
+    // duplicate marking is a window count over the hash partitioning —
+    // a join-back would evaluate the per-character gram fan-out twice
+    assert(!p.contains("Join"), s"duplicate marking regressed to a join:\n$p")
+    assert(p.contains("Window"), s"expected the window count:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t16 winnowing is generator + window passes, no join anywhere") {
+    val p = plan(graft.operators.TextOps.t16WinnowFingerprints(spark, sf))
+    assert(p.contains("Generate"), s"expected the gram generator:\n$p")
+    assert(p.contains("Window"), s"expected the window min pass:\n$p")
+    assert(!p.contains("Join"), s"winnowing must not join:\n$p")
+  }
+
+  test("q25 sketch aggregation partial-aggregates and broadcasts the tiny frames") {
+    val p = executedPlan(Relational.q25SketchAggs(spark, sf))
+    // the KMV/min/max/count pass must map-side combine (ObjectHashAggregate
+    // for the TypedImperative KMV state), and the 3-row frame/quantile
+    // joins must broadcast, never shuffle the fact side
+    assert(p.contains("ObjectHashAggregate"), s"KMV agg not object-hash:\n$p")
+    assert(p.contains("partial"), s"no map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"frame join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side shuffled for a 3-row join:\n$p")
+  }
+
+  test("t09 verified heavy hitters broadcast the candidate set onto the corpus") {
+    val p = plan(graft.operators.TextOps.t09HeavyHitters(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"candidates not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled against <=capacity candidates:\n$p")
+  }
 }
