@@ -188,7 +188,20 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       timestamp = now, operation = "OPTIMIZE", mode = "Compact",
       numFiles = newBytes.size, numOutputBytes = newBytes.sum,
       isBlindAppend = false, txnId = java.util.UUID.randomUUID().toString)
-    gwLog.commit(rewritten :+ info)
+    // conflict-checked commit: a compaction re-adds every row of the files
+    // it read, so a concurrent DML that removed one of them (or grew its
+    // deletion vector) mid-rewrite would be silently UNDONE — rows
+    // resurrected — if this committed blindly. Retry past benign winners
+    // (appends land files this rewrite never touched); abort with the
+    // typed taxonomy when the plan is invalidated (graft.log.Occ).
+    graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+      val fresh = gwLog.snapshot(None)
+      graft.log.Occ.checkTableState(tablePath.toString, snap, fresh)
+      val live = fresh.files.map(f => f.path -> f).toMap
+      graft.log.Occ.checkFiles(tablePath.toString, live,
+        deletes = groupsToDo.flatMap(_._2))
+      rewritten :+ info
+    }
   }
 
   /** Which of `tuples` (partition-column string values, in `partCols`
@@ -359,14 +372,15 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         if (partialFiles.isEmpty) Nil
         else rewriteFiles(snap, partialFiles,
           df => df.filter(not(hit)).coalesce(math.max(1, partialFiles.size)))
-      commitDml("DELETE", fullFiles ++ partialFiles, newAdds)
+      commitDml("DELETE", fullFiles ++ partialFiles, newAdds, Some(snap))
     } else {
       val dvAdds = buildDvAdds(snap, partialFiles, hit)
       // a DV now covering EVERY physical row upgrades to a plain remove
       val (emptied, kept) = dvAdds.partition { case (_, f) =>
         Dv.numRecords(f).exists(n => f.dv.exists(_.cardinality >= n))
       }
-      commitMor("DELETE", fullFiles ++ emptied.map(_._1), kept, Nil)
+      commitMor("DELETE", fullFiles ++ emptied.map(_._1), kept, Nil,
+        readSnap = Some(snap))
     }
   }
 
@@ -422,16 +436,16 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     * silently drop) aborts the operation instead. */
   private def commitMor(operation: String, removes: Seq[AddFile],
       dvPairs: Seq[(AddFile, AddFile)], newAdds: Seq[AddFile],
-      verify: Seq[AddFile] = Nil): Long =
+      verify: Seq[AddFile] = Nil, readSnap: Option[Snapshot] = None): Long =
     graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
       val now = System.currentTimeMillis()
-      val live = gwLog.snapshot(None).files.map(f => f.path -> f).toMap
-      val gone = (removes ++ dvPairs.map(_._1) ++ verify)
-        .filterNot(f => live.get(f.path).contains(f))
-      if (gone.nonEmpty) throw new IllegalStateException(
-        s"concurrent commit replaced or mutated ${gone.size} file(s) " +
-          s"mid-$operation at $tablePath (e.g. ${gone.head.path}); " +
-          "re-run the operation")
+      val fresh = gwLog.snapshot(None)
+      readSnap.foreach(r => graft.log.Occ.checkTableState(tablePath.toString, r, fresh))
+      val live = fresh.files.map(f => f.path -> f).toMap
+      // tombstoned + DV-re-asserted files are this op's DELETES; untouched
+      // candidates it only read classify separately (Occ taxonomy)
+      graft.log.Occ.checkFiles(tablePath.toString, live,
+        deletes = removes ++ dvPairs.map(_._1), reads = verify)
       val dvAdds = dvPairs.map(_._2)
       val rms: Seq[Action] = removes.map(f => RemoveFile(f.path, f.size, now))
       val info = CommitInfo(now, operation, "MergeOnRead",
@@ -462,7 +476,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
    *                position-bitmap chunks (one per writing task)
    */
   def commitDeltaDml(operation: String, scanned: Seq[AddFile],
-      deletes: Seq[(String, Seq[Array[Byte]])], newAdds: Seq[AddFile]): Long = {
+      deletes: Seq[(String, Seq[Array[Byte]])], newAdds: Seq[AddFile],
+      readSnap: Option[Snapshot] = None): Long = {
     if (deletes.isEmpty && newAdds.isEmpty) return -1L
     val byKey = scanned.map(f => (GwTable.uriKey(f.path), f)).toMap
     val (removes: Seq[AddFile], dvPairs: Seq[(AddFile, AddFile)]) =
@@ -515,7 +530,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val touchedKeys = (removes ++ dvPairs.map(_._1))
       .map(f => GwTable.uriKey(f.path)).toSet
     commitMor(operation, removes, dvPairs, newAdds,
-      verify = scanned.filterNot(f => touchedKeys.contains(GwTable.uriKey(f.path))))
+      verify = scanned.filterNot(f => touchedKeys.contains(GwTable.uriKey(f.path))),
+      readSnap = readSnap)
   }
 
   /**
@@ -566,7 +582,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       val newAdds = rewriteFiles(snap, touched,
         df => df.select(projected.toIndexedSeq: _*)
           .coalesce(math.max(1, touched.size)))
-      commitDml("UPDATE", touched, newAdds)
+      commitDml("UPDATE", touched, newAdds, Some(snap))
     } else {
       // updated copies of the matched LIVE rows (a row an earlier DV
       // deleted must not resurrect through the update)
@@ -590,7 +606,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       val (emptied, kept) = dvAdds.partition { case (_, f) =>
         Dv.numRecords(f).exists(n => f.dv.exists(_.cardinality >= n))
       }
-      commitMor("UPDATE", emptied.map(_._1), kept, newAdds)
+      commitMor("UPDATE", emptied.map(_._1), kept, newAdds, readSnap = Some(snap))
     }
   }
 
@@ -691,7 +707,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       case Some(df) =>
         val newAdds = writeDml(df.coalesce(math.max(1, touched.size + 1)))
         if (touched.isEmpty && newAdds.isEmpty) -1L // no match, empty insert set
-        else commitDml("MERGE", touched, newAdds)
+        else commitDml("MERGE", touched, newAdds, Some(snap))
     }
   }
 
@@ -755,21 +771,23 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
   }
 
   /** One atomic DML commit: tombstone `removes`, add `newAdds`. Retries past
-    * foreign version conflicts, but aborts if a concurrent commit replaced
-    * OR MUTATED any file this operation classified — `removes` are the
-    * exact snapshot entries the operation read, so the equality check also
-    * catches a concurrent merge-on-read delete growing a file's deletion
-    * vector (whose rows this rewrite would silently resurrect/drop). */
+    * foreign version conflicts (benign blind appends — WriteSerializable),
+    * but aborts with the typed taxonomy ([[graft.log.Occ]]) if a
+    * concurrent commit replaced OR MUTATED any file this operation
+    * classified — `removes` are the exact snapshot entries the operation
+    * read, so the equality check also catches a concurrent merge-on-read
+    * delete growing a file's deletion vector (whose rows this rewrite
+    * would silently resurrect/drop) — or restated the metadata/protocol
+    * this operation's replacement rows were shaped against (`readSnap`,
+    * the snapshot the operation planned on). */
   private def commitDml(operation: String, removes: Seq[AddFile],
-      newAdds: Seq[AddFile]): Long =
+      newAdds: Seq[AddFile], readSnap: Option[Snapshot] = None): Long =
     graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
       val now = System.currentTimeMillis()
-      val live = gwLog.snapshot(None).files.map(f => f.path -> f).toMap
-      val gone = removes.filterNot(f => live.get(f.path).contains(f))
-      if (gone.nonEmpty) throw new IllegalStateException(
-        s"concurrent commit replaced or mutated ${gone.size} file(s) " +
-          s"mid-$operation at $tablePath (e.g. ${gone.head.path}); " +
-          "re-run the operation")
+      val fresh = gwLog.snapshot(None)
+      readSnap.foreach(r => graft.log.Occ.checkTableState(tablePath.toString, r, fresh))
+      val live = fresh.files.map(f => f.path -> f).toMap
+      graft.log.Occ.checkFiles(tablePath.toString, live, deletes = removes)
       val rms: Seq[Action] = removes.map(f => RemoveFile(f.path, f.size, now))
       val info = CommitInfo(now, operation, "CopyOnWrite",
         numFiles = newAdds.size, numOutputBytes = newAdds.map(_.size).sum,
@@ -782,31 +800,37 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     * that tombstones exactly `removePaths` (the files the operation's scan
     * was planned over) and adds `newAdds` (the rewritten groups plus any
     * merge-inserted rows). Same concurrency contract as the API DML:
-    * retries past foreign version conflicts, aborts if a classified file
-    * was replaced mid-operation. No-ops (nothing scanned, nothing written)
-    * commit nothing and return -1. */
+    * retries past foreign version conflicts (WriteSerializable — benign
+    * blind appends never abort the operation), raises the typed
+    * [[graft.log.Occ]] taxonomy if a classified file was removed/replaced
+    * or the metadata restated mid-operation (`readSnap`: the snapshot the
+    * operation's scan was planned on). No-ops (nothing scanned, nothing
+    * written) commit nothing and return -1. */
   def replaceFiles(operation: String, removePaths: Set[String],
-      newAdds: Seq[AddFile], scannedFiles: Seq[AddFile] = Nil): Long = {
+      newAdds: Seq[AddFile], scannedFiles: Seq[AddFile] = Nil,
+      readSnap: Option[Snapshot] = None): Long = {
     val keys = removePaths.map(GwTable.uriKey)
-    val removes = gwLog.snapshot(None).files
-      .filter(f => keys.contains(GwTable.uriKey(f.path)))
-    require(removes.size == keys.size,
-      s"row-level operation scanned ${keys.size} file(s) but only " +
-        s"${removes.size} are live at $tablePath — concurrent commit; re-run")
+    val liveByKey = gwLog.snapshot(None).files
+      .map(f => GwTable.uriKey(f.path) -> f).toMap
+    // a planned file no longer live = a winner removed what this operation
+    // tombstones (its rewritten rows would double back without the
+    // winner's delete — the classic lost-update)
+    keys.find(k => !liveByKey.contains(k)).foreach { k =>
+      throw new graft.log.ConcurrentDeleteDeleteException(tablePath, k)
+    }
+    val removes = keys.toSeq.map(liveByKey)
     // when the caller supplies the exact AddFiles its scan planned, a file
     // whose deletion vector changed under the operation (concurrent MOR
     // delete — its deletes would vanish in this rewrite) aborts too
     if (scannedFiles.nonEmpty) {
       val planned = scannedFiles.map(f => GwTable.uriKey(f.path) -> f).toMap
-      val mutated = removes.filterNot(f =>
-        planned.get(GwTable.uriKey(f.path)).contains(f))
-      require(mutated.isEmpty,
-        s"row-level operation raced a concurrent commit on " +
-          s"${mutated.size} file(s) at $tablePath " +
-          s"(e.g. ${mutated.headOption.map(_.path).getOrElse("")}); re-run")
+      removes.find(f => !planned.get(GwTable.uriKey(f.path)).contains(f))
+        .foreach { f =>
+          throw new graft.log.ConcurrentDeleteDeleteException(tablePath, f.path)
+        }
     }
     if (removes.isEmpty && newAdds.isEmpty) -1L
-    else commitDml(operation, removes, newAdds)
+    else commitDml(operation, removes, newAdds, readSnap)
   }
 
   /** TRUNCATE: one metadata-only commit tombstoning every live file — no

@@ -1065,6 +1065,73 @@ object GwCore {
       .select("r_regionkey", "r_name")
   }
 
+  /** gw35: optimistic concurrency control with Delta's typed conflict
+    * taxonomy (`graft.log.Occ`). The reference's design center is a single
+    * writer per table (Guidewire.scala:71-74), so concurrency is where this
+    * engine goes beyond it: (1) WriteSerializable — a planned row-level
+    * DELETE retries past a benign blind append and still commits; (2) a
+    * double-delete race aborts with `ConcurrentDeleteDeleteException` and
+    * commits NOTHING; (3) concurrent blind appends from racing threads all
+    * land via version-conflict retry, no clobbers; (4) a metadata
+    * restatement (schema evolution) mid-operation aborts the planned DML
+    * with `MetadataChangedException`. */
+  def gw35OccConflicts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw35")
+    val loc = tmp.resolve("db/nation").toString
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    nation.filter(col("n_nationkey") < 12).coalesce(1)
+      .write.format("gwdelta").mode("append").save(loc)
+    nation.filter(col("n_nationkey") >= 12).coalesce(1)
+      .write.format("gwdelta").mode("append").save(loc)
+    val t = GwTable.forPath(spark, loc)
+    // (1) benign race: plan against readSnap, let a blind append win the
+    // next version, then land the planned removal of file B (keys >= 12)
+    val readSnap = t.snapshot()
+    val fileB = readSnap.files(1) // replay order: v0 add, then v1 add
+    graft.streaming.GwSink.append(
+      nation.filter(col("n_nationkey") < 3).coalesce(1), loc)
+    require(t.replaceFiles("DELETE", Set(fileB.path), Nil,
+      Seq(fileB), Some(readSnap)) > 0,
+      "a planned DELETE must retry past a benign concurrent append")
+    // (2) double delete: the same plan re-landed must abort, typed, and
+    // leave no commit behind
+    val vBefore = t.snapshot().version
+    val dd = try {
+      t.replaceFiles("DELETE", Set(fileB.path), Nil, Seq(fileB), Some(readSnap))
+      false
+    } catch { case _: graft.log.ConcurrentDeleteDeleteException => true }
+    require(dd && t.snapshot().version == vBefore,
+      "a double-delete race must abort without committing")
+    // (3) racing blind appends: every writer retries to its own version
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val racers = (0 until 3).map { i =>
+      new Thread(() => {
+        try {
+          graft.streaming.GwSink.append(
+            nation.filter(col("n_nationkey") >= 12 && col("n_nationkey") % 3 === i)
+              .coalesce(1), loc)
+          ()
+        } catch { case e: Throwable => errs.add(e); () }
+      })
+    }
+    racers.foreach(_.start()); racers.foreach(_.join())
+    require(errs.isEmpty,
+      s"concurrent appends must all commit: ${Option(errs.peek())}")
+    // (4) metadata restatement mid-operation aborts the planned DML
+    val readSnap2 = t.snapshot()
+    val fileA = readSnap2.files.head
+    require(t.addColumns(org.apache.spark.sql.types.StructField("gw35_extra",
+      org.apache.spark.sql.types.LongType, nullable = true)) > 0)
+    val md = try {
+      t.replaceFiles("DELETE", Set(fileA.path), Nil, Seq(fileA), Some(readSnap2))
+      false
+    } catch { case _: graft.log.MetadataChangedException => true }
+    require(md, "a metadata race must abort with MetadataChangedException")
+    spark.read.format("gwdelta").load(loc)
+      .select("n_nationkey", "n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1100,6 +1167,7 @@ object GwCore {
     "gw32_cdf_stream" -> gw32CdfStream _,
     "gw33_check_constraint" -> gw33CheckConstraint _,
     "gw34_idempotent_write" -> gw34IdempotentWrite _,
+    "gw35_occ_conflicts" -> gw35OccConflicts _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1230,6 +1298,13 @@ object GwCore {
       """SELECT r_regionkey, r_name FROM region
         |UNION ALL SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 2
         |UNION ALL SELECT r_regionkey, r_name FROM region WHERE r_regionkey = 4""".stripMargin,
+    // file A survives, file B's removal lands past the benign append, the
+    // aborted races commit nothing, and the three racing appends restore
+    // the upper keys
+    "gw35_occ_conflicts" ->
+      """SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 12
+        |UNION ALL SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 3
+        |UNION ALL SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 12""".stripMargin,
     // same answer as gw20 — only the rewrite strategy differs (DVs, no
     // group rewrite), which the in-query file-survival requires pin
     "gw27_mor_sql_update" ->

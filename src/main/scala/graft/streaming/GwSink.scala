@@ -51,7 +51,8 @@ object GwSink {
     val conf = spark.sparkContext.hadoopConfiguration
     val log = GwLog.forTable(conf, tablePath)
     replayedVersion(log, txnId).foreach(v => return v)
-    checkAppendSchema(log, tablePath, df.schema)
+    val readMeta = tableMeta(log)
+    checkAppendSchema(readMeta, tablePath, df.schema)
     val parts = effectivePartitioning(log, df, partitionBy)
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
     stageWrite(df, outDir, parts)
@@ -59,7 +60,7 @@ object GwSink {
     val files: Seq[AddFile] =
       graft.sources.SchemaProbe.harvestPartitioned(conf, outDir, dataChange = true, parts)
     if (files.isEmpty) { fs.delete(outDir, true); return -1L }
-    commitAppend(log, df.schema, files, txnId, parts)
+    commitAppend(log, df.schema, files, txnId, parts, readMeta)
   }
 
   /** Partitioning a write actually uses: an explicit `partitionBy` on a
@@ -105,8 +106,9 @@ object GwSink {
     val log = GwLog.forTable(conf, tablePath)
     replayedVersion(log, txnId).foreach(v => return v)
     if (files.isEmpty) return -1L
-    checkAppendSchema(log, tablePath, schema)
-    commitAppend(log, schema, files, txnId, partitionColumns)
+    val readMeta = tableMeta(log)
+    checkAppendSchema(readMeta, tablePath, schema)
+    commitAppend(log, schema, files, txnId, partitionColumns, readMeta)
   }
 
   /** `"<streamId>/<batchId>"` -> (streamId, batchId) when the suffix is a
@@ -158,13 +160,18 @@ object GwSink {
     None
   }
 
+  /** The table's current metadata, or None before the bootstrap commit. */
+  private def tableMeta(log: GwLog): Option[Metadata] =
+    if (log.listVersions().isEmpty) None else log.snapshot(None).metadata
+
   /** Non-bootstrap appends must match the logged schema (fail BEFORE bytes
     * when possible: a mismatched append would read back with missing
     * columns null, new columns invisible, type changes failing at scan). */
-  private def checkAppendSchema(log: GwLog, tablePath: String,
+  private def checkAppendSchema(meta: Option[Metadata], tablePath: String,
       schema: org.apache.spark.sql.types.StructType): Unit =
-    if (log.listVersions().nonEmpty) {
-      val existing = log.snapshot(None).schema
+    meta.foreach { m =>
+      val existing = org.apache.spark.sql.types.DataType.fromJson(m.schemaString)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
       require(org.apache.spark.sql.graftbridge.Bridge.sameType(existing, schema),
         s"batch schema does not match the table schema at $tablePath\n" +
           s"  table: ${existing.catalogString}\n  batch: ${schema.catalogString}")
@@ -172,8 +179,12 @@ object GwSink {
 
   private def commitAppend(log: GwLog, schema: org.apache.spark.sql.types.StructType,
       files: Seq[AddFile], txnId: Option[String],
-      partitionColumns: Seq[String] = Nil): Long =
-    commitWithRetry(log) { bootstrap =>
+      partitionColumns: Seq[String] = Nil,
+      readMeta: Option[Metadata] = None): Long =
+    commitReplayable(log, txnId) { bootstrap =>
+      if (!bootstrap)
+        graft.log.Occ.checkAppendState(
+          log.tablePath.toString, readMeta, log.snapshot(None).metadata)
       val now = System.currentTimeMillis()
       val head: Seq[Action] =
         if (bootstrap)
@@ -199,6 +210,34 @@ object GwSink {
       head ++ files ++ txn.toSeq :+ info
     }
 
+  /** Control flow for the in-loop idempotence re-check: a racer committed
+    * this writer's (txnAppId, txnVersion) between the entry replay check
+    * and the commit attempt — the batch IS committed, so the write becomes
+    * a silent no-op rather than a duplicate (and rather than delta's
+    * ConcurrentTransactionException: for the foreachBatch exactly-once
+    * contract a skip is strictly safer — see [[graft.log.Occ]]). */
+  private final class ReplayedCommit extends RuntimeException
+
+  /** [[commitWithRetry]] for TAGGED commits: before each attempt, re-check
+    * the fresh snapshot's txn high-water mark for this writer's appId —
+    * the entry-time replay check leaves a window in which a concurrent
+    * writer of the SAME logical stream can commit the same batch, and
+    * committing again would double the data. Untagged commits pass
+    * through untouched. */
+  private[graft] def commitReplayable(log: GwLog, txnId: Option[String])(
+      build: Boolean => Seq[Action]): Long = {
+    val tag = txnId.flatMap(parseTxnId)
+    try commitWithRetry(log) { bootstrap =>
+      tag.foreach { case (app, batch) =>
+        if (!bootstrap && log.snapshot(None).transactions.get(app).exists(_ >= batch))
+          throw new ReplayedCommit
+      }
+      build(bootstrap)
+    } catch {
+      case _: ReplayedCommit => replayedVersion(log, txnId).getOrElse(-1L)
+    }
+  }
+
   /**
    * Commit actions rebuilt per attempt against the CURRENT log state: on a
    * [[graft.log.VersionConflictException]] (a concurrent maintenance or
@@ -207,7 +246,7 @@ object GwSink {
    * overwrite removes are recomputed from the fresh snapshot inside
    * `build`. Bounded so writers never spin on a hot table.
    */
-  private[graft] def commitWithRetry(log: GwLog, maxAttempts: Int = 3)(
+  private[graft] def commitWithRetry(log: GwLog, maxAttempts: Int = 10)(
       build: Boolean => Seq[Action]): Long = {
     var attempt = 0
     while (true) {
@@ -232,19 +271,18 @@ object GwSink {
     val conf = spark.sparkContext.hadoopConfiguration
     val log = GwLog.forTable(conf, tablePath)
     replayedVersion(log, txnId).foreach(v => return v)
-    if (log.listVersions().nonEmpty) {
-      val existing = log.snapshot(None).schema
-      require(org.apache.spark.sql.graftbridge.Bridge.sameType(existing, df.schema),
-        s"batch schema does not match the table schema at $tablePath\n" +
-          s"  table: ${existing.catalogString}\n  batch: ${df.schema.catalogString}")
-    }
+    val readMeta = tableMeta(log)
+    checkAppendSchema(readMeta, tablePath, df.schema)
     val parts = effectivePartitioning(log, df, partitionBy)
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
     stageWrite(df, outDir, parts)
     val files: Seq[AddFile] =
       graft.sources.SchemaProbe.harvestPartitioned(conf, outDir, dataChange = true, parts)
     if (files.isEmpty) outDir.getFileSystem(conf).delete(outDir, true)
-    commitWithRetry(log) { bootstrap =>
+    commitReplayable(log, txnId) { bootstrap =>
+      if (!bootstrap)
+        graft.log.Occ.checkAppendState(
+          log.tablePath.toString, readMeta, log.snapshot(None).metadata)
       val now = System.currentTimeMillis()
       // removes recomputed per attempt: a conflicting commit may have
       // changed the live set this overwrite must tombstone

@@ -69,7 +69,8 @@ class GwDeltaRowLevelOperation(
         spark, tablePath, cmd.toString, info,
         () => idScan.map(_.plannedFiles).getOrElse(throw new IllegalStateException(
           s"$cmd delta write committed before its scan was planned — " +
-            "no candidate files; refusing to commit blind deletion vectors")))
+            "no candidate files; refusing to commit blind deletion vectors")),
+        readSnap = snapshot)
     }
 }
 
@@ -119,7 +120,8 @@ class GwDeltaWrite(
     tablePath: String,
     operation: String,
     info: LogicalWriteInfo,
-    scannedFiles: () => Seq[graft.log.AddFile]) extends DeltaWrite {
+    scannedFiles: () => Seq[graft.log.AddFile],
+    readSnap: Snapshot) extends DeltaWrite {
 
   private val outDir = new Path(tablePath, s"_dml/${UUID.randomUUID()}")
 
@@ -170,7 +172,8 @@ class GwDeltaWrite(
         case (path, chunks) => (path, chunks.map(_._2).toSeq)
       }
       graft.GwTable.forPath(spark, tablePath)
-        .commitDeltaDml(operation, scannedFiles(), deletes, adds)
+        .commitDeltaDml(operation, scannedFiles(), deletes, adds,
+          readSnap = Some(readSnap))
       ()
     }
 

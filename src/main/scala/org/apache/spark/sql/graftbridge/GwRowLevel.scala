@@ -68,7 +68,8 @@ class GwRowLevelOperation(
         // row duplication instead of an error
         () => groupScan.map(_.plannedFiles).getOrElse(throw new IllegalStateException(
           s"$cmd write committed before its group scan was planned — " +
-            "no candidate files to replace; refusing to append duplicates")))
+            "no candidate files to replace; refusing to append duplicates")),
+        readSnap = snapshot)
     }
 }
 
@@ -133,7 +134,8 @@ class GwReplaceDataWrite(
     tablePath: String,
     operation: String,
     info: LogicalWriteInfo,
-    scannedFiles: () => Seq[graft.log.AddFile]) extends Write {
+    scannedFiles: () => Seq[graft.log.AddFile],
+    readSnap: Snapshot) extends Write {
 
   private val outDir = new Path(tablePath, s"_dml/${UUID.randomUUID()}")
 
@@ -168,7 +170,8 @@ class GwReplaceDataWrite(
       val adds = graft.sources.SchemaProbe.harvestAddFiles(conf, outDir, dataChange = true)
       val scanned = scannedFiles()
       graft.GwTable.forPath(spark, tablePath)
-        .replaceFiles(operation, scanned.map(_.path).toSet, adds, scanned)
+        .replaceFiles(operation, scanned.map(_.path).toSet, adds, scanned,
+          readSnap = Some(readSnap))
       ()
     }
 

@@ -228,7 +228,7 @@ class DmlSpec extends SparkSpec {
     val stale = t.snapshot().files.map(_.path)
     // a competing commit replaces file A before the row-level commit lands
     assert(t.delete(col("n_nationkey") < 6) > 0)
-    val e = intercept[IllegalArgumentException](
+    val e = intercept[graft.log.ConcurrentDeleteDeleteException](
       t.replaceFiles("UPDATE", stale.toSet, Nil))
     assert(e.getMessage.contains("concurrent commit"))
   }
@@ -510,10 +510,10 @@ class DmlSpec extends SparkSpec {
     val stale = t.snapshot().files.head // planned scan state: no DV
     // a concurrent merge-on-read delete grows the file's deletion vector
     assert(t.delete(col("n_nationkey") === 1, mergeOnRead = true) > 0)
-    val err = intercept[IllegalArgumentException] {
+    val err = intercept[graft.log.ConcurrentDeleteDeleteException] {
       t.replaceFiles("UPDATE", Set(stale.path), Nil, Seq(stale))
     }
-    assert(err.getMessage.contains("raced"),
+    assert(err.getMessage.contains("concurrent"),
       s"stale-DV rewrite must abort, got: ${err.getMessage}")
   }
 
@@ -523,7 +523,7 @@ class DmlSpec extends SparkSpec {
     // a concurrent MOR delete grows a DV on the first file
     assert(t.delete(col("n_nationkey") === 1, mergeOnRead = true) > 0)
     val chunk = graft.log.RoaringBitmapArray.serialize(Array(2L))
-    val err = intercept[IllegalStateException] {
+    val err = intercept[graft.log.ConcurrentDeleteDeleteException] {
       t.commitDeltaDml("UPDATE", planned,
         Seq(planned.head.path -> Seq(chunk)), Nil)
     }
@@ -532,7 +532,10 @@ class DmlSpec extends SparkSpec {
     // and an UNTOUCHED-but-planned file mutating also aborts (verify set):
     // deletes target file B, but file A changed under the scan
     val planned2 = planned
-    val err2 = intercept[IllegalStateException] {
+    // the mutated file is only in the VERIFY set here (deletes target file
+    // B), so the taxonomy distinguishes: read-dependency broken, not a
+    // double delete
+    val err2 = intercept[graft.log.ConcurrentDeleteReadException] {
       t.commitDeltaDml("MERGE", planned2,
         Seq(planned2(1).path -> Seq(chunk)), Nil)
     }
