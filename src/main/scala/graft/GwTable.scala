@@ -1073,10 +1073,26 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     * HERE, at set time, so a typo fails the ALTER and not some later
     * INSERT. Returns the committed version. */
   def updateProperties(set: Map[String, String], unset: Seq[String] = Nil): Long = {
+    val snapForValidate =
+      if (set.keys.exists(k => k.startsWith(GwTable.ConstraintPrefix) ||
+        k.startsWith(GwTable.GeneratedPrefix))) Some(snapshot()) else None
     set.foreach { case (k, v) =>
       if (k.startsWith(GwTable.ConstraintPrefix))
         org.apache.spark.sql.graftbridge.GwConstraintRule
-          .validate(spark, k.stripPrefix(GwTable.ConstraintPrefix), v, snapshot().schema)
+          .validate(spark, k.stripPrefix(GwTable.ConstraintPrefix), v,
+            snapForValidate.get.schema)
+      else if (k.startsWith(GwTable.GeneratedPrefix)) {
+        // every generated name in play: this ALTER's plus the table's
+        val existing = snapForValidate.get.metadata
+          .map(_.configuration.keys.toSeq).getOrElse(Nil)
+          .filter(_.startsWith(GwTable.GeneratedPrefix))
+          .map(_.stripPrefix(GwTable.GeneratedPrefix))
+        val declared = set.keys.filter(_.startsWith(GwTable.GeneratedPrefix))
+          .map(_.stripPrefix(GwTable.GeneratedPrefix))
+        org.apache.spark.sql.graftbridge.GwConstraintRule
+          .validateGenerated(spark, k.stripPrefix(GwTable.GeneratedPrefix), v,
+            snapForValidate.get.schema, (existing ++ declared).toSet)
+      }
     }
     graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
       val snap = gwLog.snapshot(None)
@@ -1119,6 +1135,13 @@ object GwTable {
     * expressions (Delta stores its constraints the same way, under
     * `delta.constraints.*`). */
   val ConstraintPrefix = "graft.constraints."
+
+  /** Table-property namespace declaring GENERATED columns: the value is
+    * the generation SQL expression over the row's non-generated columns
+    * (Delta's `GENERATED ALWAYS AS`, property form — enforced/computed on
+    * the ingest path by the injected rule, see
+    * [[org.apache.spark.sql.graftbridge.GwConstraintRule]]). */
+  val GeneratedPrefix = "graft.generated."
 
   /** Run `body` with the vacuum retention guard disabled (scoped): the
     * explicit opt-in for DELIBERATE short-retention vacuums — CI cleanup,

@@ -573,6 +573,92 @@ object Pipelines {
       .agg(countDistinct(col("gram")).as("n_shared"))
   }
 
+  /**
+   * Cross-corpus exact-membership report (blocklist / reference-corpus
+   * dedup): the corpus rows whose `key` also occurs in `reference` —
+   * the "drop training docs that appear in a do-not-train list / an
+   * already-trained-on corpus" step.
+   *
+   * 100 TB shape: the reference aggregates into ONE Bloom sketch
+   * (Spark's `BloomFilterAggregate` — executor-side partial merge, a few
+   * MB at the driver) that rides into the corpus scan as a broadcast
+   * literal inside a codegen'd `BloomFilterMightContain` filter. The
+   * corpus therefore NEVER shuffles: only the sketch's survivors — true
+   * matches plus its false-positive share of the corpus — pay the exact
+   * semi-join that makes the answer exact. This is the same machinery
+   * Spark's own `InjectRuntimeFilter` uses for join runtime filters,
+   * applied explicitly so the pipeline controls sizing.
+   *
+   * A Bloom sketch has no false negatives: the prefilter can only keep
+   * too much, never drop a true member, so the verify join's output is
+   * EXACT — the sketch only bounds how many rows reach the join.
+   * `expectedItems` should be ~ the reference's distinct key count; with
+   * `fpp` it sizes the sketch (`optimalNumOfBits`).
+   */
+  def membershipReport(corpus: DataFrame, id: Column, key: Column,
+      reference: DataFrame, refKey: Column,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"need expectedItems > 0 and fpp in (0,1), got $expectedItems / $fpp")
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(Bridge.expression(refKey))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    // one row of sketch bytes: metadata-scale driver traffic by design
+    val sketch = reference.agg(Bridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val out = corpus.select(id.as("id"), key.as("__k"))
+    if (sketch == null) return out.select("id").limit(0) // empty reference
+    val mightContain = Bridge.column(new BloomFilterMightContain(
+      Literal(sketch, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(Bridge.expression(col("__k"))))))
+    out.filter(mightContain)
+      .join(reference.select(refKey.as("__k")).distinct(), Seq("__k"), "left_semi")
+      .select("id")
+  }
+
+  /**
+   * Model-based quality scoring (the fastText / CCNet-style linear
+   * classifier step of a pretraining pipeline): token unigrams and bigrams
+   * hash into `buckets` feature slots (the hashing trick — vocabulary-free,
+   * fixed model width), and a document's quality logit is the sum of its
+   * features' trained weights. `weights` is the model: one row per
+   * (bucket, weight_milli) — at most `buckets` rows, so it BROADCASTS onto
+   * the feature stream; the corpus pays one doc-keyed exchange for the
+   * bigram window + per-doc sum and nothing else.
+   *
+   * Determinism contract: weights are INTEGER millis and the per-doc
+   * fold is an integer sum — order-independent, so the gate can be
+   * hash-exact across engines (a float-weight fold would be
+   * reduction-order-dependent). `keep` thresholds the logit at 0, which
+   * equals thresholding the sigmoid at 0.5 (monotone link) without ever
+   * computing a float. Returns (id, n_features, logit_milli, keep).
+   */
+  def linearQualityScore(df: DataFrame, id: Column, text: Column,
+      weights: DataFrame, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val byDoc = Window.partitionBy("__id").orderBy("pos")
+    val toks = df.select(id.as("__id"), posexplode(split(lower(text), " ")))
+      .withColumn("w2", lead("col", 1).over(byDoc))
+    val feats = toks.select(col("__id"), col("col").as("f"))
+      .unionAll(toks.filter(col("w2").isNotNull)
+        .select(col("__id"), concat_ws(" ", col("col"), col("w2")).as("f")))
+    feats
+      .select(col("__id"),
+        pmod(graft.functions.KmvDistinctAgg.hash60(col("f")), lit(buckets.toLong))
+          .as("bucket"))
+      .join(broadcast(weights.select(col("bucket"), col("weight_milli"))),
+        Seq("bucket"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_features"),
+        sum(coalesce(col("weight_milli"), lit(0L))).as("logit_milli"))
+      .withColumn("keep", col("logit_milli") >= 0L)
+  }
+
   /** One row per (id, consecutive word n-gram) — duplicates preserved. */
   private def wordGrams(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     val w = split(text, " ")

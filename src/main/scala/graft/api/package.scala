@@ -126,6 +126,20 @@ package object api {
         n: Int = 5): DataFrame =
       Pipelines.decontaminationReport(df, evalSet, id, text, n)
 
+    /** Hashed-feature linear quality classifier (fastText-style): integer
+      * logit per doc from a broadcast (bucket, weight_milli) model; see
+      * [[Pipelines.linearQualityScore]]. */
+    def qualityClassifierScore(id: Column, text: Column, weights: DataFrame,
+        buckets: Int): DataFrame =
+      Pipelines.linearQualityScore(df, id, text, weights, buckets)
+
+    /** Rows whose `key` occurs in `reference` (Bloom prefilter + exact
+      * verify — exact answer, corpus never shuffles). */
+    def membershipReport(key: Column, id: Column, reference: DataFrame,
+        refKey: Column, expectedItems: Long = 1000000L,
+        fpp: Double = 0.03): DataFrame =
+      Pipelines.membershipReport(df, id, key, reference, refKey, expectedItems, fpp)
+
     /** Deterministic per-group hash-threshold subsampling (domain/language
       * mixture reweighting); weights in permille, absent groups keep
       * `defaultPermille`. */

@@ -121,6 +121,21 @@ object Dedup {
     Pipelines.substringDedupSpans(docs(spark, dir), col("doc_id"), col("text"), L = 40)
       .withColumnRenamed("id", "doc_id")
 
+  /** Cross-corpus membership dedup: which non-held-out docs share their
+    * (lang, length-decade) key with the held-out slice (doc_id % 7 == 0) —
+    * blocklist-style exact membership, Bloom-prefiltered corpus side.
+    * The sketch has no false negatives and the verify join kills its false
+    * positives, so the answer is exact whatever the sketch's fpp. */
+  def d14MembershipDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val key = concat_ws("|", col("lang"), expr("n_chars div 10"))
+    Pipelines.membershipReport(
+      d.filter(col("doc_id") % 7 =!= 0), col("doc_id"), key,
+      d.filter(col("doc_id") % 7 === 0), key,
+      expectedItems = 1000L, fpp = 0.03)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> d01ExactDedup _,
     "d02_dedup_minhash_lsh" -> d02MinHashLsh _,
@@ -135,6 +150,7 @@ object Dedup {
     "d11_decontamination" -> d11Decontamination _,
     "d12_edit_distance" -> d12EditDistance _,
     "d13_substring_dedup" -> d13SubstringDedup _,
+    "d14_membership_dedup" -> d14MembershipDedup _,
   )
 
   // shared SQL pieces so the d04 and d08 oracles cannot silently diverge
@@ -335,5 +351,14 @@ object Dedup {
         | CAST(max(pos) + 40 AS BIGINT) AS end_pos,
         | CAST(max(pos) + 40 - min(pos) AS BIGINT) AS span_len
         |FROM isl GROUP BY doc_id, island""".stripMargin,
+    // the Bloom prefilter only bounds the join input (no false negatives,
+    // FPs die in the exact verify), so the oracle is the plain semi-join
+    "d14_membership_dedup" ->
+      """SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 7 <> 0 AND EXISTS (
+        |  SELECT 1 FROM documents r
+        |  WHERE r.doc_id % 7 = 0
+        |    AND concat_ws('|', d.lang, d.n_chars // 10)
+        |      = concat_ws('|', r.lang, r.n_chars // 10))""".stripMargin,
   )
 }

@@ -203,6 +203,23 @@ object TextOps {
       k = 8, w = 8)
       .withColumnRenamed("id", "doc_id")
 
+  /** Model-based quality classifier (t17): hashed-feature linear scorer
+    * with a synthesized deterministic weight table (bucket b's weight =
+    * hash60(b) % 2001 - 1000 millis) — the model values are arbitrary by
+    * design; what the gate pins is the full scoring pipeline: tokenize,
+    * bigram, hash-trick bucketing, broadcast weight join, integer logit
+    * fold, monotone-link thresholding. A real model drops in as the same
+    * (bucket, weight_milli) table. */
+  def t17QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val b = 1024
+    val weights = spark.range(b).select(col("id").as("bucket"),
+      (pmod(graft.functions.KmvDistinctAgg.hash60(col("id")), lit(2001L)) - 1000L)
+        .as("weight_milli"))
+    Pipelines.linearQualityScore(docs(spark, dir), col("doc_id"), col("text"),
+      weights, buckets = b)
+      .withColumnRenamed("__id", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -220,6 +237,7 @@ object TextOps {
     "t14_chunk_docs" -> t14ChunkDocs _,
     "t15_c4_filters" -> t15C4Filters _,
     "t16_winnow_fingerprints" -> t16WinnowFingerprints _,
+    "t17_quality_classifier" -> t17QualityClassifier _,
   )
 
   private def sqlList(lang: String): String =
@@ -327,6 +345,31 @@ object TextOps {
         |  1048575 - CAST(substr(sel, 20, 7) AS BIGINT) AS pos,
         |  CAST(substr(sel, 1, 19) AS BIGINT) AS fp
         |FROM s WHERE pos <= n - 8""".stripMargin,
+    "t17_quality_classifier" ->
+      // Full replay of the hashed-linear scorer: same tokens + bigrams,
+      // same 60-bit md5-prefix feature hash mod 1024, same synthesized
+      // integer weight table, same integer logit fold and 0-threshold.
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |f AS (
+        |  SELECT doc_id, unnest(w) AS f FROM t
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i + 1])) AS f FROM t),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(CONCAT('0x', substr(md5(f), 1, 15)) AS BIGINT) % 1024 AS bucket
+        |  FROM f),
+        |wt AS (
+        |  SELECT bucket,
+        |    CAST(CONCAT('0x', substr(md5(CAST(bucket AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 2001 - 1000 AS weight_milli
+        |  FROM (SELECT unnest(range(0, 1024)) AS bucket)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_features,
+        |    CAST(sum(wt.weight_milli) AS BIGINT) AS logit_milli
+        |  FROM b JOIN wt USING (bucket) GROUP BY 1)
+        |SELECT doc_id, n_features, logit_milli, logit_milli >= 0 AS keep
+        |FROM agg""".stripMargin,
     "t09_heavy_hitters" ->
       // The verified-heavy-hitter contract is oracle-expressible exactly:
       // items with true frequency > n/(capacity+1), exact counts, top-5

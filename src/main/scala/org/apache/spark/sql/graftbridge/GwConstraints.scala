@@ -2,31 +2,42 @@ package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression, If, IsNull, Or, RaiseError}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, EqualNullSafe, Expression, If, IsNull, Literal, Or, RaiseError}
 import org.apache.spark.sql.catalyst.plans.logical.{AppendData, LogicalPlan, OverwriteByExpression, OverwritePartitionsDynamic, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{BooleanType, StructType}
 
 /**
- * Write-path CHECK constraint enforcement — the Delta invariant-checker
- * pattern re-expressed as an injected analysis rule: a gwdelta table whose
- * metadata configuration carries `graft.constraints.<name> = <boolean sql>`
- * entries gets every batch ingest plan (`INSERT INTO` / `INSERT OVERWRITE`
- * / `df.writeTo(...).append` — AppendData, OverwriteByExpression,
- * OverwritePartitionsDynamic) wrapped so each incoming row evaluates the
- * constraints BEFORE it reaches a parquet writer: the first output column
- * is rewritten to `If(pass, col, raise_error(...))`, which whole-stage
- * codegen executes inline — no extra exec node, no second pass over the
- * data, nothing on the driver. A violation fails the write before any
- * commit; the log never sees the bad batch (the engine's atomic-commit
- * contract makes the failed write invisible).
+ * Write-path CHECK constraint + GENERATED COLUMN enforcement — the Delta
+ * invariant-checker pattern re-expressed as an injected analysis rule over
+ * batch ingest plans (`INSERT INTO` / `INSERT OVERWRITE` /
+ * `df.writeTo(...).append` — AppendData, OverwriteByExpression,
+ * OverwritePartitionsDynamic).
  *
- * Null semantics are SQL-standard CHECK: a constraint evaluating to NULL
- * passes; only a definite FALSE rejects. Expressions are validated at
- * `ALTER TABLE ... SET TBLPROPERTIES` time (parse + bind + boolean check,
- * [[GwConstraintRule.validate]]) so typos fail the ALTER, not a later
- * ingest. Row-level rewrites (UPDATE/MERGE ReplaceData/WriteDelta) carry
+ * CHECK constraints (`graft.constraints.<name> = <boolean sql>`): each
+ * incoming row evaluates the constraints BEFORE it reaches a parquet
+ * writer — the first output column is rewritten to
+ * `If(pass, col, raise_error(...))`, which whole-stage codegen executes
+ * inline (no extra exec node, no second pass, nothing on the driver). A
+ * violation fails the write before any commit; the log never sees the bad
+ * batch. Null semantics are SQL-standard CHECK: NULL passes, only a
+ * definite FALSE rejects.
+ *
+ * Generated columns (`graft.generated.<col> = <sql expr>`, Delta's
+ * `GENERATED ALWAYS AS (expr)` in property form): the ingest projection
+ * rewrites the column slot so a NULL arriving there is COMPUTED from the
+ * expression — Spark's by-name INSERT fills omitted columns with NULL, so
+ * simply omitting the column computes it — while a provided non-NULL value
+ * must EQUAL the expression (null-safe) or the write fails pre-commit.
+ * (Delta rejects explicit NULLs instead of computing them; folding the
+ * omitted-column and explicit-NULL cases into "compute" keeps the
+ * one-projection codegen shape and is strictly more permissive.) The
+ * expression may reference only non-generated columns of the same row —
+ * validated at `ALTER TABLE ... SET TBLPROPERTIES` time, like constraint
+ * expressions, so typos fail the ALTER and not a later ingest.
+ *
+ * Row-level rewrites (UPDATE/MERGE ReplaceData/WriteDelta) carry
  * pre-existing rows and are out of scope by design — parity with the
  * ingest-side enforcement this engine's CDA write path needs.
  */
@@ -35,40 +46,76 @@ case class GwConstraintRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case a @ AppendData(r: DataSourceV2Relation, query, _, _, _, _)
         if needsWrap(r, query) =>
-      a.copy(query = wrap(query, constraintsOf(r)))
+      a.copy(query = wrapAll(r, query))
     case o @ OverwriteByExpression(r: DataSourceV2Relation, _, query, _, _, _, _)
         if needsWrap(r, query) =>
-      o.copy(query = wrap(query, constraintsOf(r)))
+      o.copy(query = wrapAll(r, query))
     case o @ OverwritePartitionsDynamic(r: DataSourceV2Relation, query, _, _, _)
         if needsWrap(r, query) =>
-      o.copy(query = wrap(query, constraintsOf(r)))
+      o.copy(query = wrapAll(r, query))
   }
 
   private def needsWrap(r: DataSourceV2Relation, query: LogicalPlan): Boolean =
     query.resolved && query.output.nonEmpty &&
-      constraintsOf(r).nonEmpty && !alreadyWrapped(query)
+      (constraintsOf(r).nonEmpty || generatedOf(r).nonEmpty) &&
+      !alreadyWrapped(query)
 
-  private def constraintsOf(r: DataSourceV2Relation): Seq[(String, String)] = {
+  private def propsOf(r: DataSourceV2Relation, prefix: String): Seq[(String, String)] = {
     import scala.jdk.CollectionConverters._
     r.table.properties().asScala.toSeq
-      .collect { case (k, v) if k.startsWith(graft.GwTable.ConstraintPrefix) =>
-        k.stripPrefix(graft.GwTable.ConstraintPrefix) -> v
-      }
+      .collect { case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v }
       .sortBy(_._1)
   }
+
+  private def constraintsOf(r: DataSourceV2Relation): Seq[(String, String)] =
+    propsOf(r, graft.GwTable.ConstraintPrefix)
+
+  private def generatedOf(r: DataSourceV2Relation): Seq[(String, String)] =
+    propsOf(r, graft.GwTable.GeneratedPrefix)
 
   private def alreadyWrapped(query: LogicalPlan): Boolean = query match {
     case p: Project => p.projectList.exists(_.collectFirst { case r: RaiseError => r }.isDefined)
     case _ => false
   }
 
-  private def wrap(query: LogicalPlan, constraints: Seq[(String, String)]): LogicalPlan = {
+  private def wrapAll(r: DataSourceV2Relation, query: LogicalPlan): LogicalPlan =
+    wrapConstraints(generateColumns(query, generatedOf(r)), constraintsOf(r))
+
+  /** Rewrite each generated column's slot: NULL computes, a provided value
+    * must match the expression. The expression binds against the OTHER
+    * output columns only (self/cross-generated references were rejected at
+    * set time; binding without the slot makes that structural). */
+  private def generateColumns(query: LogicalPlan,
+      gens: Seq[(String, String)]): LogicalPlan = {
+    if (gens.isEmpty) return query
+    val projected = query.output.map { attr =>
+      gens.find(_._1.equalsIgnoreCase(attr.name)) match {
+        case None => attr: org.apache.spark.sql.catalyst.expressions.NamedExpression
+        case Some((name, sql)) =>
+          val others = query.output.filterNot(_.name.equalsIgnoreCase(name))
+          val expected = Cast(
+            GwConstraintRule.bindExpr(spark, sql, others), attr.dataType)
+          val err = RaiseError(Literal(
+            s"generated column $name = ($sql) does not match the value " +
+              "provided by the ingest"))
+          Alias(
+            If(IsNull(attr), expected,
+              If(EqualNullSafe(attr, expected), attr, Cast(err, attr.dataType))),
+            attr.name)()
+      }
+    }
+    Project(projected, query)
+  }
+
+  private def wrapConstraints(query: LogicalPlan,
+      constraints: Seq[(String, String)]): LogicalPlan = {
+    if (constraints.isEmpty) return query
     val head = query.output.head
     val guarded = constraints.foldLeft(head: Expression) { case (inner, (name, sql)) =>
       val cond = GwConstraintRule.bind(spark, sql, query.output)
       // SQL-standard CHECK: NULL passes, only definite FALSE rejects
       val pass = Or(IsNull(cond), cond)
-      val err = RaiseError(org.apache.spark.sql.catalyst.expressions.Literal(
+      val err = RaiseError(Literal(
         s"CHECK constraint $name ($sql) violated by an ingested row"))
       If(pass, inner, Cast(err, head.dataType))
     }
@@ -83,18 +130,24 @@ case class GwConstraintRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object GwConstraintRule {
 
-  /** Parse `sql`, bind its attribute references against `out` by
-    * case-insensitive name, and require a boolean result type. */
-  private[graftbridge] def bind(
+  /** Parse `sql` and bind its attribute references against `out` by
+    * case-insensitive name. */
+  private[graftbridge] def bindExpr(
       spark: SparkSession, sql: String, out: Seq[Attribute]): Expression = {
     val parsed = spark.sessionState.sqlParser.parseExpression(sql)
-    val bound = parsed.transformUp {
+    parsed.transformUp {
       case u: UnresolvedAttribute =>
         out.find(_.name.equalsIgnoreCase(u.nameParts.mkString(".")))
           .getOrElse(throw new IllegalArgumentException(
-            s"CHECK constraint references unknown column '${u.nameParts.mkString(".")}'" +
+            s"expression references unknown column '${u.nameParts.mkString(".")}'" +
               s" (have: ${out.map(_.name).mkString(", ")})"))
     }
+  }
+
+  /** [[bindExpr]] + require a boolean result (CHECK constraint shape). */
+  private[graftbridge] def bind(
+      spark: SparkSession, sql: String, out: Seq[Attribute]): Expression = {
+    val bound = bindExpr(spark, sql, out)
     if (bound.dataType != BooleanType)
       throw new IllegalArgumentException(
         s"CHECK constraint must be boolean, got ${bound.dataType.sql}: $sql")
@@ -106,9 +159,34 @@ object GwConstraintRule {
     * [[graft.GwTable.updateProperties]] before the metadata commit. */
   def validate(spark: SparkSession, name: String, sql: String, schema: StructType): Unit = {
     require(name.nonEmpty, "constraint name must be non-empty")
-    val out = schema.fields.toSeq.map(f =>
+    bind(spark, sql, attrsOf(schema))
+  }
+
+  /** Set-time validation for a generated column: the column must exist,
+    * and the expression must parse, bind against the OTHER non-generated
+    * columns (Delta's rule: a generation expression may not reference
+    * itself or another generated column), and be castable to the column's
+    * declared type. `allGenerated` = every generated column name being
+    * declared (this ALTER's set plus the ones already on the table). */
+  def validateGenerated(spark: SparkSession, colName: String, sql: String,
+      schema: StructType, allGenerated: Set[String]): Unit = {
+    val field = schema.fields.find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"generated column '$colName' is not in the table schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+    val lowerGen = allGenerated.map(_.toLowerCase)
+    val others = attrsOf(schema).filterNot(a =>
+      lowerGen.contains(a.name.toLowerCase))
+    val bound = bindExpr(spark, sql, others)
+    if (!org.apache.spark.sql.catalyst.expressions.Cast
+        .canCast(bound.dataType, field.dataType))
+      throw new IllegalArgumentException(
+        s"generated column '$colName' has type ${field.dataType.sql} but its " +
+          s"expression types as ${bound.dataType.sql}: $sql")
+  }
+
+  private def attrsOf(schema: StructType): Seq[Attribute] =
+    schema.fields.toSeq.map(f =>
       org.apache.spark.sql.catalyst.expressions.AttributeReference(
         f.name, f.dataType, f.nullable)())
-    bind(spark, sql, out)
-  }
 }

@@ -194,6 +194,48 @@ class ApiSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 3L -> 1L))
   }
 
+  test("membershipReport is exact even at an absurd sketch fpp") {
+    import spark.implicits._
+    val corpus = (1L to 200L).map(i => (i, s"key-${i % 50}")).toDF("id", "k")
+    val reference = Seq("key-7", "key-13", "key-999").toDF("k")
+    // fpp 0.5 floods the prefilter with false positives; the verify join
+    // must still return exactly the true members
+    val got = corpus.membershipReport(col("k"), col("id"), reference, col("k"),
+      expectedItems = 3L, fpp = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val want = (1L to 200L).filter(i => i % 50 == 7 || i % 50 == 13).toSet
+    assert(got == want)
+    // empty reference: nothing can match, no crash on the null sketch
+    assert(corpus.membershipReport(col("k"), col("id"),
+      reference.limit(0), col("k")).count() == 0L)
+  }
+
+  test("qualityClassifierScore: integer logit fold, bigram features, 0-threshold keep") {
+    import spark.implicits._
+    val df = Seq((1L, "good good"), (2L, "bad"), (3L, "x")).toDF("doc_id", "text")
+    val b = 64
+    def bucketOf(s: String): Long = {
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s).take(15), 16)
+      h % b
+    }
+    // weights: +500 for every "good"-related feature, -500 for "bad", else 0
+    val pos = Set(bucketOf("good"), bucketOf("good good"))
+    val neg = Set(bucketOf("bad"))
+    val weights = (0 until b).map { bk =>
+      (bk.toLong, if (pos.contains(bk.toLong)) 500L
+        else if (neg.contains(bk.toLong)) -500L else 0L)
+    }.toDF("bucket", "weight_milli")
+    val out = df.qualityClassifierScore(col("doc_id"), col("text"), weights, b)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // doc 1: features good, good, "good good" -> n=3, logit 1500, keep
+    assert(out(1L) == ((3L, 1500L, true)), s"got ${out(1L)}")
+    assert(out(2L) == ((1L, -500L, false)))
+    // unknown feature: weight 0 counts as neutral, keeps at threshold 0
+    assert(out(3L)._1 == 1L && out(3L)._3)
+  }
+
   test("redactPii replaces every email/IP/phone and counts each kind") {
     import spark.implicits._
     val df = Seq(

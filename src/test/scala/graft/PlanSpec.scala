@@ -119,6 +119,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"no map-side combine after the join:\n$p")
   }
 
+  test("d14 membership dedup: Bloom prefilter sits scan-side, verify join is the only shuffle consumer") {
+    val p = plan(graft.operators.Dedup.d14MembershipDedup(spark, sf))
+    assert(p.contains("might_contain"),
+      s"Bloom might_contain prefilter missing from the corpus scan stage:\n$p")
+    // the sketch is a resolved literal at plan time: no subquery, no extra
+    // aggregation on the corpus side — the only join input is the
+    // prefiltered candidates
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t17 quality classifier broadcasts the weight table; one doc exchange for window+sum") {
+    val p = plan(graft.operators.TextOps.t17QualityClassifier(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"weight table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"feature stream shuffled for the model join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"logit fold must partial-aggregate before the doc exchange:\n$p")
+  }
+
   test("q32 interval-range window computes both aggregates in one window pass") {
     val p = plan(Relational.q32IntervalWindow(spark, sf))
     assert(p.contains("Window"), p)
