@@ -1132,6 +1132,54 @@ object GwCore {
       .select("n_nationkey", "n_name")
   }
 
+  /** gw36: generated columns (Delta `GENERATED ALWAYS AS (expr)` parity,
+    * property form `graft.generated.<col> = <expr>`): an ingest that omits
+    * the column (Spark by-name fill = NULL) gets it COMPUTED inside the
+    * write's codegen projection; a provided value must EQUAL the
+    * expression or the write fails BEFORE any commit; expression typos /
+    * self-references fail the ALTER itself. */
+  def gw36GeneratedColumns(spark: SparkSession, dir: String): DataFrame = {
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val tmp = Files.createTempDirectory("gw36")
+    val loc = tmp.resolve("db/orders").toString
+    spark.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("gw36_src")
+    spark.sql(s"CREATE TABLE gw.$ns.t (o_orderkey BIGINT, o_custkey BIGINT, " +
+      s"ok2 BIGINT) USING gwdelta LOCATION '$loc'")
+    // declared-schema tables bootstrap their log on the first INSERT, so
+    // the property lands after a bootstrap slice (explicit correct values)
+    spark.sql(s"INSERT INTO gw.$ns.t SELECT o_orderkey, o_custkey, " +
+      "o_orderkey * 2 FROM gw36_src WHERE o_orderkey < 500")
+    spark.sql(s"ALTER TABLE gw.$ns.t SET TBLPROPERTIES " +
+      "('graft.generated.ok2' = 'o_orderkey * 2')")
+    // a generation expression referencing itself fails the ALTER
+    val selfRef =
+      try { spark.sql(s"ALTER TABLE gw.$ns.t SET TBLPROPERTIES " +
+        "('graft.generated.ok2' = 'ok2 + 1')"); None }
+      catch { case e: Exception => Some(e) }
+    require(selfRef.exists(_.getMessage.contains("unknown column")),
+      s"self-referencing generation expression must fail at set time: $selfRef")
+    // omitted column (NULL slot) -> computed in the ingest projection
+    spark.sql(s"INSERT INTO gw.$ns.t SELECT o_orderkey, o_custkey, NULL " +
+      "FROM gw36_src WHERE o_orderkey >= 500 AND o_orderkey < 1000")
+    // provided-and-correct value -> accepted
+    spark.sql(s"INSERT INTO gw.$ns.t SELECT o_orderkey, o_custkey, " +
+      "o_orderkey * 2 FROM gw36_src WHERE o_orderkey >= 1000")
+    // provided-but-wrong value -> the write fails, nothing commits
+    val before = GwTable.forPath(spark, loc).snapshot().version
+    val bad =
+      try { spark.sql(s"INSERT INTO gw.$ns.t VALUES (9999L, 1L, 9998L)"); None }
+      catch { case e: Exception => Some(e) }
+    require(bad.exists(e =>
+      (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+        .contains("generated column ok2")),
+      s"mismatched generated value must fail the write, got: $bad")
+    require(GwTable.forPath(spark, loc).snapshot().version == before,
+      "failed generated-column write must leave no commit behind")
+    spark.sql(s"SELECT o_orderkey, o_custkey, ok2 FROM gw.$ns.t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1168,6 +1216,7 @@ object GwCore {
     "gw33_check_constraint" -> gw33CheckConstraint _,
     "gw34_idempotent_write" -> gw34IdempotentWrite _,
     "gw35_occ_conflicts" -> gw35OccConflicts _,
+    "gw36_generated_columns" -> gw36GeneratedColumns _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1305,6 +1354,11 @@ object GwCore {
       """SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 12
         |UNION ALL SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 3
         |UNION ALL SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 12""".stripMargin,
+    // the omitted-column slice is computed, the correct-value slice lands
+    // verbatim, and the mismatched row never committed
+    "gw36_generated_columns" ->
+      """SELECT o_orderkey, o_custkey, o_orderkey * 2 AS ok2
+        |FROM orders""".stripMargin,
     // same answer as gw20 — only the rewrite strategy differs (DVs, no
     // group rewrite), which the in-query file-survival requires pin
     "gw27_mor_sql_update" ->

@@ -130,18 +130,28 @@ case class GwConstraintRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object GwConstraintRule {
 
-  /** Parse `sql` and bind its attribute references against `out` by
-    * case-insensitive name. */
+  /** Parse `sql`, bind its attribute references against `out` by
+    * case-insensitive name, and run the analyzer's type coercion (so e.g.
+    * `bigint_col * 2` gets its literal promoted exactly as it would in a
+    * SELECT) — the expression must come out fully resolved. */
   private[graftbridge] def bindExpr(
       spark: SparkSession, sql: String, out: Seq[Attribute]): Expression = {
     val parsed = spark.sessionState.sqlParser.parseExpression(sql)
-    parsed.transformUp {
+    val bound = parsed.transformUp {
       case u: UnresolvedAttribute =>
         out.find(_.name.equalsIgnoreCase(u.nameParts.mkString(".")))
           .getOrElse(throw new IllegalArgumentException(
             s"expression references unknown column '${u.nameParts.mkString(".")}'" +
               s" (have: ${out.map(_.name).mkString(", ")})"))
     }
+    val probe = Project(
+      Seq(Alias(bound, "__gw_expr")()),
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(out))
+    val analyzed = spark.sessionState.analyzer.execute(probe)
+    spark.sessionState.analyzer.checkAnalysis(analyzed)
+    analyzed.collectFirst { case Project(Seq(a: Alias), _) => a.child }
+      .getOrElse(throw new IllegalStateException(
+        s"analyzer did not return the probed expression for: $sql"))
   }
 
   /** [[bindExpr]] + require a boolean result (CHECK constraint shape). */

@@ -505,6 +505,36 @@ class DmlSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE $name")
   }
 
+  test("generated columns: set-time validation rejects bad declarations") {
+    val (_, t) = twoRangeTable()
+    // unknown target column
+    val e1 = intercept[IllegalArgumentException] {
+      t.updateProperties(Map("graft.generated.nope" -> "n_nationkey * 2"))
+    }
+    assert(e1.getMessage.contains("not in the table schema"))
+    // expression referencing an unknown column
+    val e2 = intercept[IllegalArgumentException] {
+      t.updateProperties(Map("graft.generated.n_name" -> "n_nationkeyy * 2"))
+    }
+    assert(e2.getMessage.contains("unknown column"))
+    // expression not castable to the column type
+    val e3 = intercept[IllegalArgumentException] {
+      t.updateProperties(Map("graft.generated.n_regionkey" -> "array(n_nationkey)"))
+    }
+    assert(e3.getMessage.contains("types as"))
+    // one generated column may not reference another (both in one ALTER)
+    val e4 = intercept[IllegalArgumentException] {
+      t.updateProperties(Map(
+        "graft.generated.n_regionkey" -> "n_nationkey + 1",
+        "graft.generated.n_name" -> "cast(n_regionkey as string)"))
+    }
+    assert(e4.getMessage.contains("unknown column"))
+    // a valid declaration commits metadata-only
+    val files = t.snapshot().files.size
+    assert(t.updateProperties(Map("graft.generated.n_regionkey" -> "n_nationkey % 5")) > 0)
+    assert(t.snapshot().files.size == files)
+  }
+
   test("replaceFiles aborts when a scanned file's deletion vector changed (concurrent MOR)") {
     val (_, t) = twoRangeTable()
     val stale = t.snapshot().files.head // planned scan state: no DV
