@@ -1081,6 +1081,27 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         org.apache.spark.sql.graftbridge.GwConstraintRule
           .validate(spark, k.stripPrefix(GwTable.ConstraintPrefix), v,
             snapForValidate.get.schema)
+      else if (k.startsWith(GwTable.IdentityPrefix)) {
+        if (!k.endsWith(".highWaterMark")) {
+          val colName = k.stripPrefix(GwTable.IdentityPrefix)
+          GwTable.parseIdentitySpec(v)
+          val snapI = snapshot()
+          val field = snapI.schema.fields.find(_.name.equalsIgnoreCase(colName))
+            .getOrElse(throw new IllegalArgumentException(
+              s"identity column '$colName' is not in the table schema " +
+                s"(${snapI.schema.fieldNames.mkString(", ")})"))
+          require(field.dataType == org.apache.spark.sql.types.LongType ||
+            field.dataType == org.apache.spark.sql.types.IntegerType,
+            s"identity column '$colName' must be BIGINT or INT, " +
+              s"got ${field.dataType.sql}")
+          // the NULL-slot-means-allocate convention needs a nullable slot:
+          // on a NOT NULL column Spark's own null assertion fires before
+          // the allocator can run
+          require(field.nullable,
+            s"identity column '$colName' must be nullable (the omitted " +
+              "column arrives as a NULL slot and is allocated in-flight)")
+        }
+      }
       else if (k.startsWith(GwTable.GeneratedPrefix)) {
         // every generated name in play: this ALTER's plus the table's
         val existing = snapForValidate.get.metadata
@@ -1135,6 +1156,23 @@ object GwTable {
     * expressions (Delta stores its constraints the same way, under
     * `delta.constraints.*`). */
   val ConstraintPrefix = "graft.constraints."
+
+  /** Table-property namespace declaring IDENTITY columns: the value is
+    * `"<start>,<step>"` (Delta `GENERATED ALWAYS AS IDENTITY (START WITH s
+    * INCREMENT BY k)`); the engine maintains
+    * `graft.identity.<col>.highWaterMark` — the furthest allocated value —
+    * and advances it atomically inside every allocating commit. */
+  val IdentityPrefix = "graft.identity."
+
+  /** Parse an identity spec `"<start>,<step>"`; step must be nonzero. */
+  def parseIdentitySpec(spec: String): (Long, Long) = {
+    val parts = spec.split(",").map(_.trim)
+    require(parts.length == 2 && parts.forall(p => scala.util.Try(p.toLong).isSuccess),
+      s"identity spec must be '<start>,<step>', got: '$spec'")
+    val (start, step) = (parts(0).toLong, parts(1).toLong)
+    require(step != 0L, "identity step must be nonzero")
+    (start, step)
+  }
 
   /** Table-property namespace declaring GENERATED columns: the value is
     * the generation SQL expression over the row's non-generated columns

@@ -98,20 +98,24 @@ object Occ {
   }
 
   /** Blind-append safety, run inside the append retry loop: an append's
-    * plan depends only on the table's SCHEMA (its staged files' shape) and
-    * the write-path CHECK constraints (validated pre-commit against the
-    * metadata it read), so only those two facets abort it — a winner that
-    * merely touched unrelated table properties doesn't kill an ingest.
-    * Delta aborts appends on ANY metadata change; this is the precise
-    * subset that is actually load-bearing for an append. */
+    * plan depends only on the table's SCHEMA (its staged files' shape),
+    * the write-path CHECK constraints, and any identity/generated column
+    * declarations (all validated/computed pre-commit against the metadata
+    * it read), so only those facets abort it — a winner that merely
+    * touched unrelated table properties doesn't kill an ingest. Delta
+    * aborts appends on ANY metadata change; this is the precise subset
+    * that is actually load-bearing for an append. Identity watermarks are
+    * in the guarded set deliberately: a concurrent allocation means this
+    * plan's ids may collide, so the loser must re-run, not retry. */
   def checkAppendState(table: String, read: Option[Metadata],
       fresh: Option[Metadata]): Unit = {
+    val prefixes = Seq("graft.constraints.", "graft.generated.", "graft.identity.")
     def schemaOf(m: Option[Metadata]) = m.map(_.schemaString).getOrElse("")
-    def constraintsOf(m: Option[Metadata]) =
-      m.map(_.configuration.filter(_._1.startsWith("graft.constraints.")))
+    def guardedOf(m: Option[Metadata]) =
+      m.map(_.configuration.filter(kv => prefixes.exists(kv._1.startsWith)))
         .getOrElse(Map.empty[String, String])
     if (schemaOf(read) != schemaOf(fresh) ||
-      constraintsOf(read) != constraintsOf(fresh))
+      guardedOf(read) != guardedOf(fresh))
       throw new MetadataChangedException(table)
   }
 }

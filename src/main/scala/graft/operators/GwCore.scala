@@ -1180,6 +1180,76 @@ object GwCore {
     spark.sql(s"SELECT o_orderkey, o_custkey, ok2 FROM gw.$ns.t")
   }
 
+  /** gw37: identity columns (Delta `GENERATED ALWAYS AS IDENTITY` parity,
+    * property form `graft.identity.<col> = '<start>,<step>'`): omitted
+    * slots allocate unique values beyond the table's watermark (gaps
+    * allowed — the per-partition id stride, Delta's own contract), the
+    * watermark advances ATOMICALLY with the files from harvested footer
+    * stats, explicit values are rejected (ALWAYS), and a raced allocation
+    * aborts typed. Exact id values depend on partitioning, so the oracle
+    * pins the CONTENT; the identity invariants (uniqueness, beyond-the-
+    * watermark, atomic advance) are required in-gate. */
+  def gw37IdentityColumns(spark: SparkSession, dir: String): DataFrame = {
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val tmp = Files.createTempDirectory("gw37")
+    val loc = tmp.resolve("db/orders").toString
+    spark.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("gw37_src")
+    spark.sql(s"CREATE TABLE gw.$ns.t (id BIGINT, o_orderkey BIGINT, " +
+      s"o_custkey BIGINT) USING gwdelta LOCATION '$loc'")
+    // pre-identity seed with an explicitly NULLABLE schema: the log
+    // bootstraps from the first batch, and identity's NULL-slot convention
+    // needs nullable columns (validated at SET time)
+    val seedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("o_custkey",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(0L, -1L, -1L)),
+      seedSchema).coalesce(1)
+      .write.format("gwdelta").mode("append").save(loc)
+    spark.sql(s"ALTER TABLE gw.$ns.t SET TBLPROPERTIES " +
+      "('graft.identity.id' = '1,1')")
+    val t = GwTable.forPath(spark, loc)
+    def hw(): Long = t.snapshot().metadata.get
+      .configuration("graft.identity.id.highWaterMark").toLong
+    spark.sql(s"INSERT INTO gw.$ns.t SELECT NULL, o_orderkey, o_custkey " +
+      "FROM gw37_src WHERE o_orderkey < 700")
+    val idsA = spark.sql(s"SELECT id FROM gw.$ns.t WHERE o_orderkey >= 0")
+      .collect().map(_.getLong(0))
+    require(idsA.length == 700 && idsA.distinct.length == 700 && idsA.min > 0,
+      "first allocation must be 700 unique ids above the start")
+    require(hw() == idsA.max,
+      s"watermark must advance atomically to the furthest id: ${hw()} vs ${idsA.max}")
+    val hw1 = hw()
+    spark.sql(s"INSERT INTO gw.$ns.t SELECT NULL, o_orderkey, o_custkey " +
+      "FROM gw37_src WHERE o_orderkey >= 700")
+    val idsAll = spark.sql(s"SELECT id FROM gw.$ns.t").collect().map(_.getLong(0))
+    require(idsAll.distinct.length == idsAll.length,
+      "allocations across commits must never collide")
+    val idsB = idsAll.filterNot(i => i == 0L || idsA.contains(i))
+    require(idsB.nonEmpty && idsB.min > hw1,
+      "the second allocation must start beyond the first's watermark")
+    require(hw() == idsAll.max, "watermark tracks the furthest id")
+    // explicit values are rejected (GENERATED ALWAYS), nothing commits
+    val before = t.snapshot().version
+    val bad =
+      try { spark.sql(s"INSERT INTO gw.$ns.t VALUES (42L, -2L, -2L)"); None }
+      catch { case e: Exception => Some(e) }
+    require(bad.exists(e =>
+      (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+        .contains("identity column id is GENERATED ALWAYS")),
+      s"explicit identity value must be rejected, got: $bad")
+    require(t.snapshot().version == before,
+      "rejected identity write must leave no commit behind")
+    spark.sql(s"SELECT id IS NOT NULL AS id_assigned, o_orderkey, o_custkey " +
+      s"FROM gw.$ns.t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1217,6 +1287,7 @@ object GwCore {
     "gw34_idempotent_write" -> gw34IdempotentWrite _,
     "gw35_occ_conflicts" -> gw35OccConflicts _,
     "gw36_generated_columns" -> gw36GeneratedColumns _,
+    "gw37_identity_columns" -> gw37IdentityColumns _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1359,6 +1430,13 @@ object GwCore {
     "gw36_generated_columns" ->
       """SELECT o_orderkey, o_custkey, o_orderkey * 2 AS ok2
         |FROM orders""".stripMargin,
+    // every row (seed + both allocated slices) carries an id; exact id
+    // values are partition-stride-dependent, pinned in-gate instead
+    "gw37_identity_columns" ->
+      """SELECT CAST(1 AS BOOLEAN) AS id_assigned,
+        | CAST(-1 AS BIGINT) AS o_orderkey, CAST(-1 AS BIGINT) AS o_custkey
+        |UNION ALL
+        |SELECT CAST(1 AS BOOLEAN), o_orderkey, o_custkey FROM orders""".stripMargin,
     // same answer as gw20 — only the rewrite strategy differs (DVs, no
     // group rewrite), which the in-query file-survival requires pin
     "gw27_mor_sql_update" ->

@@ -182,9 +182,10 @@ object GwSink {
       partitionColumns: Seq[String] = Nil,
       readMeta: Option[Metadata] = None): Long =
     commitReplayable(log, txnId) { bootstrap =>
+      val freshMeta = if (bootstrap) None else log.snapshot(None).metadata
       if (!bootstrap)
-        graft.log.Occ.checkAppendState(
-          log.tablePath.toString, readMeta, log.snapshot(None).metadata)
+        graft.log.Occ.checkAppendState(log.tablePath.toString, readMeta, freshMeta)
+      val idMeta = identityAdvance(log.tablePath.toString, files, freshMeta)
       val now = System.currentTimeMillis()
       val head: Seq[Action] =
         if (bootstrap)
@@ -207,8 +208,67 @@ object GwSink {
       val txn = txnId.flatMap(parseTxnId).map { case (app, batch) =>
         graft.log.SetTransaction(app, batch, Some(now))
       }
-      head ++ files ++ txn.toSeq :+ info
+      idMeta.toSeq ++ head ++ files ++ txn.toSeq :+ info
     }
+
+  /**
+   * Identity-column commit support ([[graft.GwTable.IdentityPrefix]]): from
+   * the batch's harvested footer stats, the furthest allocated value per
+   * identity column. Two jobs, both inside the commit retry loop so they
+   * see the freshest state:
+   *
+   *  - GUARD: the batch's nearest allocated value must lie strictly beyond
+   *    the CURRENT watermark in the step's direction. The ids were computed
+   *    at plan time from the relation's watermark; if another allocation
+   *    landed since (even inside the analysis-to-commit window), committing
+   *    would duplicate ids — abort typed instead
+   *    ([[graft.log.MetadataChangedException]], same class the
+   *    checkAppendState facet raises). This also fails loudly when a write
+   *    path that bypasses the ingest rule (direct `df.write`) smuggles NULL
+   *    identity values in: all-null stats carry no bounds.
+   *  - ADVANCE: return the metadata action moving the watermark to the
+   *    batch's furthest value, committed atomically WITH the files.
+   */
+  private def identityAdvance(table: String, files: Seq[AddFile],
+      meta: Option[Metadata]): Option[Metadata] = {
+    val m = meta.getOrElse(return None)
+    val pfx = graft.GwTable.IdentityPrefix
+    val cols = m.configuration.keys.toSeq
+      .filter(k => k.startsWith(pfx) && !k.endsWith(".highWaterMark"))
+      .map(_.stripPrefix(pfx)).sorted
+    if (cols.isEmpty || files.isEmpty) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var conf = m.configuration
+    var changed = false
+    cols.foreach { col =>
+      val (start, step) = graft.GwTable.parseIdentitySpec(conf(pfx + col))
+      val hwKey = s"$pfx$col.highWaterMark"
+      val hw = conf.get(hwKey).map(_.toLong).getOrElse(start - step)
+      val bounds = files.map { f =>
+        val root = mapper.readTree(f.stats.getOrElse(
+          throw new IllegalStateException(
+            s"identity column '$col' of $table requires footer stats on " +
+              s"every committed file; ${f.path} has none")))
+        val lo = root.path("minValues").path(col)
+        val hi = root.path("maxValues").path(col)
+        if (lo.isMissingNode || hi.isMissingNode)
+          throw new IllegalStateException(
+            s"identity column '$col' of $table has no stats bounds in " +
+              s"${f.path} — NULL identity values can only come from a " +
+              "write path that bypassed the ingest rule; rejected")
+        (lo.asLong(), hi.asLong())
+      }
+      // nearest = the batch value closest to the watermark; far = furthest
+      val (nearest, far) =
+        if (step > 0) (bounds.map(_._1).min, bounds.map(_._2).max)
+        else (bounds.map(_._2).max, bounds.map(_._1).min)
+      val beyond = if (step > 0) nearest > hw else nearest < hw
+      if (!beyond) throw new graft.log.MetadataChangedException(table)
+      conf += hwKey -> far.toString
+      changed = true
+    }
+    if (changed) Some(m.copy(configuration = conf)) else None
+  }
 
   /** Control flow for the in-loop idempotence re-check: a racer committed
     * this writer's (txnAppId, txnVersion) between the entry replay check
@@ -280,9 +340,12 @@ object GwSink {
       graft.sources.SchemaProbe.harvestPartitioned(conf, outDir, dataChange = true, parts)
     if (files.isEmpty) outDir.getFileSystem(conf).delete(outDir, true)
     commitReplayable(log, txnId) { bootstrap =>
+      val freshMeta = if (bootstrap) None else log.snapshot(None).metadata
       if (!bootstrap)
-        graft.log.Occ.checkAppendState(
-          log.tablePath.toString, readMeta, log.snapshot(None).metadata)
+        graft.log.Occ.checkAppendState(log.tablePath.toString, readMeta, freshMeta)
+      // the watermark only ever ADVANCES: an overwrite replaces content but
+      // never reuses identity values (Delta's contract)
+      val idMeta = identityAdvance(log.tablePath.toString, files, freshMeta)
       val now = System.currentTimeMillis()
       // removes recomputed per attempt: a conflicting commit may have
       // changed the live set this overwrite must tombstone
@@ -308,7 +371,7 @@ object GwSink {
       val txn = txnId.flatMap(parseTxnId).map { case (app, v) =>
         graft.log.SetTransaction(app, v, Some(now))
       }
-      head ++ removes ++ files ++ txn.toSeq :+ info
+      idMeta.toSeq ++ head ++ removes ++ files ++ txn.toSeq :+ info
     }
   }
 }

@@ -57,7 +57,8 @@ case class GwConstraintRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def needsWrap(r: DataSourceV2Relation, query: LogicalPlan): Boolean =
     query.resolved && query.output.nonEmpty &&
-      (constraintsOf(r).nonEmpty || generatedOf(r).nonEmpty) &&
+      (constraintsOf(r).nonEmpty || generatedOf(r).nonEmpty ||
+        identityOf(r).nonEmpty) &&
       !alreadyWrapped(query)
 
   private def propsOf(r: DataSourceV2Relation, prefix: String): Seq[(String, String)] = {
@@ -73,13 +74,63 @@ case class GwConstraintRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def generatedOf(r: DataSourceV2Relation): Seq[(String, String)] =
     propsOf(r, graft.GwTable.GeneratedPrefix)
 
+  /** (col, start, step, highWaterMark) per identity column. The engine
+    * maintains `graft.identity.<col>.highWaterMark`; absent means nothing
+    * allocated yet (watermark = start - step). */
+  private def identityOf(r: DataSourceV2Relation): Seq[(String, Long, Long, Long)] = {
+    val props = propsOf(r, graft.GwTable.IdentityPrefix)
+    props.collect {
+      case (col, spec) if !col.endsWith(".highWaterMark") =>
+        val (start, step) = graft.GwTable.parseIdentitySpec(spec)
+        val hw = props.collectFirst {
+          case (k, v) if k == s"$col.highWaterMark" => v.toLong
+        }.getOrElse(start - step)
+        (col, start, step, hw)
+    }
+  }
+
   private def alreadyWrapped(query: LogicalPlan): Boolean = query match {
     case p: Project => p.projectList.exists(_.collectFirst { case r: RaiseError => r }.isDefined)
     case _ => false
   }
 
   private def wrapAll(r: DataSourceV2Relation, query: LogicalPlan): LogicalPlan =
-    wrapConstraints(generateColumns(query, generatedOf(r)), constraintsOf(r))
+    wrapConstraints(
+      identityColumns(generateColumns(query, generatedOf(r)), identityOf(r)),
+      constraintsOf(r))
+
+  /** Rewrite each identity column's slot (Delta `GENERATED ALWAYS AS
+    * IDENTITY` semantics): a NULL slot (= the column was omitted) receives
+    * `hw + step * (monotonically_increasing_id() + 1)` — unique per row,
+    * strictly beyond the watermark in the step's direction, gaps allowed
+    * (the per-partition id stride), exactly Delta's contract; a provided
+    * value raises (ALWAYS forbids explicit values). The plan-time
+    * watermark is re-verified at commit from the written files' footer
+    * stats ([[graft.streaming.GwSink]]), so a raced allocation aborts
+    * typed instead of双 colliding. */
+  private def identityColumns(query: LogicalPlan,
+      idents: Seq[(String, Long, Long, Long)]): LogicalPlan = {
+    if (idents.isEmpty) return query
+    import org.apache.spark.sql.catalyst.expressions.{Add, Multiply, MonotonicallyIncreasingID}
+    val projected = query.output.map { attr =>
+      idents.find(_._1.equalsIgnoreCase(attr.name)) match {
+        case None => attr: org.apache.spark.sql.catalyst.expressions.NamedExpression
+        case Some((name, _, step, hw)) =>
+          val next = Add(Literal(hw),
+            Multiply(Literal(step), Add(MonotonicallyIncreasingID(), Literal(1L))))
+          val err = RaiseError(Literal(
+            s"identity column $name is GENERATED ALWAYS: explicit values " +
+              "are not accepted — omit the column (or insert NULL)"))
+          val v = If(IsNull(attr), Cast(next, attr.dataType), Cast(err, attr.dataType))
+          // the raise_error branch throws, never returns — restore the
+          // slot's static nullability for the write's outputResolved
+          Alias(if (attr.nullable) v
+            else org.apache.spark.sql.catalyst.expressions.KnownNotNull(v),
+            attr.name)()
+      }
+    }
+    Project(projected, query)
+  }
 
   /** Rewrite each generated column's slot: NULL computes, a provided value
     * must match the expression. The expression binds against the OTHER
@@ -98,9 +149,13 @@ case class GwConstraintRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val err = RaiseError(Literal(
             s"generated column $name = ($sql) does not match the value " +
               "provided by the ingest"))
-          Alias(
-            If(IsNull(attr), expected,
-              If(EqualNullSafe(attr, expected), attr, Cast(err, attr.dataType))),
+          val v = If(IsNull(attr), expected,
+            If(EqualNullSafe(attr, expected), attr, Cast(err, attr.dataType)))
+          // computing for a NULL slot genuinely widens nullability only if
+          // the generation expression itself is nullable; the raise branch
+          // must not (it throws)
+          Alias(if (attr.nullable || expected.nullable) v
+            else org.apache.spark.sql.catalyst.expressions.KnownNotNull(v),
             attr.name)()
       }
     }
