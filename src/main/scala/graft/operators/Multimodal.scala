@@ -144,10 +144,102 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------- m04
+  /** Real audio decode via mapPartitions: each asset's payload is a genuine
+    * RIFF/PCM16 WAV (samples a pure integer function of (doc_id, i) — see
+    * [[WavCodec]]) and the decode is a real `javax.sound.sampled.
+    * AudioSystem.getAudioInputStream` (JDK-builtin, headless), one decoder
+    * state per partition. PCM is lossless, so sample count, rate and the
+    * integer energy (sum of squared samples — order-independent, no float
+    * fold) replay exactly in SQL: the full encode->decode round trip is
+    * hash-checked, same contract as m03's PNG path. */
+  def m04AudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    val input = wavPayloads(docs(spark, dir))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    input.mapPartitions { rows =>
+      val decoder = new WavDecoder
+      rows.map { r =>
+        val (rate, n, energy) = decoder.decode(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), rate, n, energy)
+      }
+    }(encoder)
+  }
+
+  private def wavPayloads(df: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), WavCodec.encode(r.getLong(0), r.getLong(1)))
+        }
+      }(enc)
+  }
+
+  /** Deterministic WAV synthesis: mono PCM16 @8kHz, sample i of doc d =
+    * `(d*31 + i*7) % 2001 - 1000` — pure integers, SQL-replayable. */
+  object WavCodec {
+    val SampleRate = 8000f
+    def nSamples(nChars: Long): Int = (nChars % 400 + 100).toInt
+    def sample(docId: Long, i: Int): Short =
+      ((docId * 31L + i * 7L) % 2001L - 1000L).toShort
+    def encode(docId: Long, nChars: Long): Array[Byte] = {
+      val n = nSamples(nChars)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = sample(docId, i)
+        pcm(2 * i) = (v & 0xff).toByte // little-endian PCM16
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1,
+        /* signed = */ true, /* bigEndian = */ false)
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Real audio codec: JDK `javax.sound.sampled` WAV decode (memory-only).
+    * Returns (sampleRate, nSamples, energy = sum of squared samples). */
+  final class WavDecoder {
+    def decode(payload: Array[Byte]): (Long, Long, Long) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"unexpected WAV shape: $fmt")
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        var energy = 0L
+        var i = 0
+        while (i < n) {
+          val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+          energy += v * v
+          i += 1
+        }
+        (fmt.getSampleRate.toLong, n.toLong, energy)
+      } finally in.close()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> m01BinaryMeta _,
     "m02_frame_sample" -> m02FrameSample _,
     "m03_decode" -> m03Decode _,
+    "m04_audio_decode" -> m04AudioDecode _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -181,5 +273,16 @@ object Multimodal {
         |JOIN (SELECT unnest(generate_series(0, 46)) AS x) x ON x.x < d.w
         |JOIN (SELECT unnest(generate_series(0, 30)) AS y) y ON y.y < d.h
         |GROUP BY d.doc_id, d.w, d.h""".stripMargin,
+    // replays WavCodec's sample formula: lossless PCM means the decoded
+    // integer energy equals the generation formula exactly
+    "m04_audio_decode" ->
+      """SELECT doc_id,
+        | CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(n_chars % 400 + 100 AS BIGINT) AS n_samples,
+        | CAST((SELECT sum(((doc_id*31 + i.i*7) % 2001 - 1000)
+        |            * ((doc_id*31 + i.i*7) % 2001 - 1000))
+        |       FROM (SELECT unnest(generate_series(0, 499)) AS i) i
+        |       WHERE i.i < n_chars % 400 + 100) AS BIGINT) AS energy
+        |FROM documents""".stripMargin,
   )
 }

@@ -171,6 +171,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("m04 real WAV decode: javax.sound round trip returns the encode formula exactly") {
+    import org.apache.spark.sql.functions.col
+    val out = Multimodal.m04AudioDecode(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val docId = r.getLong(0)
+      val n = Multimodal.WavCodec.nSamples(docs(docId))
+      assert(r.getLong(1) == 8000L && r.getLong(2) == n.toLong,
+        s"doc $docId rate/samples ${(r.getLong(1), r.getLong(2))} != (8000, $n)")
+      var expected = 0L
+      for (i <- 0 until n) {
+        val v = Multimodal.WavCodec.sample(docId, i).toLong
+        expected += v * v
+      }
+      assert(r.getLong(3) == expected, s"doc $docId energy drifted")
+    }
+  }
+
   test("q25 sketches stay within error bounds of the exact answers") {
     import org.apache.spark.sql.functions._
     val approx = Relational.q25SketchAggs(spark, sf)
