@@ -146,20 +146,28 @@ object Dv {
     * bounded by the operation, broadcast under AQE at typical DV sizes. */
   def readLive(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
       files: Seq[AddFile]): DataFrame = {
+    import graft.log.ColumnMapping
     if (files.isEmpty)
-      return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-    val raw = spark.read.schema(schema).parquet(files.map(_.path): _*)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        ColumnMapping.stripMeta(schema))
+    // files carry PHYSICAL names (column mapping); rename to logical after
+    // the DV anti-join so _metadata stays resolvable on the scan relation
+    val raw = spark.read.schema(ColumnMapping.physicalSchema(schema))
+      .parquet(files.map(_.path): _*)
     val dvd = files.filter(_.dv.isDefined)
-    if (dvd.isEmpty) raw
-    else {
-      val del = positionsDF(spark, dvd)
-        .join(broadcast(pathMapping(spark, dvd)), Seq("dv_path"))
-        .select(col("enc_path"), col("pos"))
-      raw.join(del,
-        raw.col("_metadata.file_path") === del.col("enc_path") &&
-          raw.col("_metadata.row_index") === del.col("pos"),
-        "left_anti")
-    }
+    val live =
+      if (dvd.isEmpty) raw
+      else {
+        val del = positionsDF(spark, dvd)
+          .join(broadcast(pathMapping(spark, dvd)), Seq("dv_path"))
+          .select(col("enc_path"), col("pos"))
+        raw.join(del,
+          raw.col("_metadata.file_path") === del.col("enc_path") &&
+            raw.col("_metadata.row_index") === del.col("pos"),
+          "left_anti")
+      }
+    if (!ColumnMapping.hasMapping(schema)) live
+    else live.toDF(schema.fieldNames.toIndexedSeq: _*)
   }
 
   /** Convenience: live rows of a snapshot. */

@@ -71,9 +71,10 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     }
     val added: Seq[AddFile] = byPath.values.toSeq
     if (added.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], latest.schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        graft.log.ColumnMapping.stripMeta(latest.schema))
     else
-      spark.read.schema(latest.schema).parquet(added.map(_.path): _*)
+      graft.log.ColumnMapping.readLogical(spark, latest.schema, added.map(_.path))
   }
 
   /**
@@ -174,7 +175,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
             .sortWithinPartitions(col("__gw_zvalue"))
             .drop("__gw_zvalue")
         }
-      arranged.write.mode("overwrite").parquet(outDir.toString)
+      graft.log.ColumnMapping.toPhysicalDf(arranged, snap.schema)
+        .write.mode("overwrite").parquet(outDir.toString)
       val adds = graft.sources.SchemaProbe
         .harvestAddFiles(conf, outDir, dataChange = false)
         .map(_.copy(partitionValues = partVals))
@@ -398,11 +400,17 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     else {
       import spark.implicits._
       val mapping = Dv.pathMapping(spark, files)
-      val newRows = spark.read.schema(snap.schema)
-        .parquet(files.map(_.path): _*)
+      // physical read + logical aliases in ONE select so both the logical
+      // predicate and the _metadata columns resolve (column mapping)
+      val physSchema = graft.log.ColumnMapping.physicalSchema(snap.schema)
+      val raw = spark.read.schema(physSchema).parquet(files.map(_.path): _*)
+      val dataCols = snap.schema.fields.zip(physSchema.fields).toSeq
+        .map { case (lf, pf) => raw(pf.name).as(lf.name) }
+      val newRows = raw
+        .select(dataCols :+ col("_metadata.file_path").as("enc_path") :+
+          col("_metadata.row_index").as("pos"): _*)
         .filter(hit)
-        .select(col("_metadata.file_path").as("enc_path"),
-          col("_metadata.row_index").as("pos"))
+        .select(col("enc_path"), col("pos"))
         .join(org.apache.spark.sql.functions.broadcast(mapping), Seq("enc_path"))
         .select("dv_path", "pos")
       val perFile = newRows
@@ -599,7 +607,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         matchedBytes.toDouble / GwTable.TargetDmlFileBytes).toInt)
       val newAdds = writeDml(
         Dv.readLive(spark, snap.schema, touched).filter(hit)
-          .select(projected.toIndexedSeq: _*).coalesce(nOut))
+          .select(projected.toIndexedSeq: _*).coalesce(nOut), snap)
       // pre-update versions of the matched rows leave via the deletion
       // vector; a DV covering a whole file upgrades to a plain remove
       val dvAdds = buildDvAdds(snap, touched, hit)
@@ -680,7 +688,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       if (touched.isEmpty) None
       else {
         val matched = coalesce(col("__gw_matched"), lit(false))
-        Some(spark.read.schema(snap.schema).parquet(touched.map(_.path): _*)
+        Some(graft.log.ColumnMapping.readLogical(spark, snap.schema,
+            touched.map(_.path))
           .alias("t")
           .join(source.withColumn("__gw_matched", lit(true)).alias("s"), on, "left")
           .select(fields.map { f =>
@@ -705,7 +714,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     out match {
       case None => -1L
       case Some(df) =>
-        val newAdds = writeDml(df.coalesce(math.max(1, touched.size + 1)))
+        val newAdds = writeDml(df.coalesce(math.max(1, touched.size + 1)), snap)
         if (touched.isEmpty && newAdds.isEmpty) -1L // no match, empty insert set
         else commitDml("MERGE", touched, newAdds, Some(snap))
     }
@@ -729,13 +738,19 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     * driver. */
   private def classifyByPredicate(snap: Snapshot, cond: Column):
       (Seq[AddFile], Seq[AddFile], Long) = {
-    val ranges = org.apache.spark.sql.graftbridge.GwStatsPruning
-      .ranges(Seq(resolveCond(snap, cond)))
+    val ranges = graft.log.ColumnMapping.physRanges(snap.schema,
+      org.apache.spark.sql.graftbridge.GwStatsPruning
+        .ranges(Seq(resolveCond(snap, cond))))
     val candidates = if (ranges.isEmpty) snap.files else snap.filesForConstraints(ranges)
     if (candidates.isEmpty) return (Nil, Nil, 0L)
     val hit = coalesce(cond, lit(false))
-    val counts = spark.read.schema(snap.schema).parquet(candidates.map(_.path): _*)
-      .groupBy(col("_metadata.file_path").as("f"))
+    val physSchema = graft.log.ColumnMapping.physicalSchema(snap.schema)
+    val raw = spark.read.schema(physSchema).parquet(candidates.map(_.path): _*)
+    val dataCols = snap.schema.fields.zip(physSchema.fields).toSeq
+      .map { case (lf, pf) => raw(pf.name).as(lf.name) }
+    val counts = raw
+      .select(dataCols :+ col("_metadata.file_path").as("__gw_f"): _*)
+      .groupBy(col("__gw_f").as("f"))
       .agg(count(lit(1)).as("total"), sum(when(hit, 1L).otherwise(0L)).as("hits"))
       .collect()
     val byKey = candidates.map(f => GwTable.uriKey(f.path) -> f).toMap
@@ -760,12 +775,15 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     * deleted rows in the rewrite. */
   private def rewriteFiles(snap: Snapshot, files: Seq[AddFile],
       transform: DataFrame => DataFrame): Seq[AddFile] =
-    writeDml(transform(Dv.readLive(spark, snap.schema, files)))
+    writeDml(transform(Dv.readLive(spark, snap.schema, files)), snap)
 
-  /** Write a DML output batch under `<table>/_dml/` and harvest it. */
-  private def writeDml(df: DataFrame): Seq[AddFile] = {
+  /** Write a DML output batch under `<table>/_dml/` and harvest it; the
+    * frame arrives in LOGICAL names and lands in the table's PHYSICAL
+    * layout (column mapping). */
+  private def writeDml(df: DataFrame, snap: Snapshot): Seq[AddFile] = {
     val outDir = new Path(tablePath, s"_dml/${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(outDir.toString)
+    graft.log.ColumnMapping.toPhysicalDf(df, snap.schema)
+      .write.mode("overwrite").parquet(outDir.toString)
     graft.sources.SchemaProbe.harvestAddFiles(
       spark.sparkContext.hadoopConfiguration, outDir, dataChange = true)
   }
@@ -965,8 +983,9 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val schema = gwLog.snapshot(Some(sinceVersion)).schema
     def read(paths: Seq[String]): DataFrame =
       if (paths.isEmpty)
-        spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
-      else spark.read.schema(schema).parquet(paths: _*)
+        spark.createDataFrame(java.util.Collections.emptyList[Row](),
+          graft.log.ColumnMapping.stripMeta(schema))
+      else graft.log.ColumnMapping.readLogical(spark, schema, paths)
     val parts = ((sinceVersion + 1) to latest.version).flatMap { v =>
       val actions = gwLog.readVersion(v)
       if (actions.exists(_.isInstanceOf[Metadata]))
@@ -994,11 +1013,16 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         val del = freshly
           .join(org.apache.spark.sql.functions.broadcast(mapping), Seq("dv_path"))
           .select(col("enc_path"), col("pos"))
-        val raw = spark.read.schema(schema).parquet(dvAdds.map(_.path): _*)
-        Seq(raw.join(del,
+        val physSchema = graft.log.ColumnMapping.physicalSchema(schema)
+        val raw = spark.read.schema(physSchema).parquet(dvAdds.map(_.path): _*)
+        val joined = raw.join(del,
           raw.col("_metadata.file_path") === del.col("enc_path") &&
             raw.col("_metadata.row_index") === del.col("pos"),
           "left_semi")
+        val logical =
+          if (!graft.log.ColumnMapping.hasMapping(schema)) joined
+          else joined.toDF(schema.fieldNames.toIndexedSeq: _*)
+        Seq(logical
           .withColumn("_change_type", lit("delete"))
           .withColumn("_commit_version", lit(v)))
       }
@@ -1052,11 +1076,118 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         case (_, dupes) if dupes.size > 1 => dupes.head.name
       }.foreach(n =>
         throw new IllegalArgumentException(s"duplicate column in ADD COLUMNS: $n"))
+      val dropped = meta.configuration.keys
+        .filter(_.startsWith(GwTable.DroppedPhysicalPrefix))
+        .map(_.stripPrefix(GwTable.DroppedPhysicalPrefix)).toSet
+      val added = cols.map { c =>
+        val base = c.copy(nullable = true)
+        // a re-added name binds to a FRESH on-file column; the dropped
+        // bytes stay dead (old files simply lack the new physical name)
+        if (!dropped.contains(c.name.toLowerCase)) base
+        else base.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(base.metadata)
+            .putString(graft.log.ColumnMapping.PhysicalNameKey,
+              s"gwcm_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+            .build())
+      }
       val widened = org.apache.spark.sql.types.StructType(
-        snap.schema.fields ++ cols.map(_.copy(nullable = true)))
+        snap.schema.fields ++ added)
       Seq(
         meta.copy(schemaString = widened.json),
         CommitInfo(System.currentTimeMillis(), "ADD COLUMNS", "Upgrade",
+          numFiles = 0, numOutputBytes = 0, isBlindAppend = false,
+          txnId = java.util.UUID.randomUUID().toString))
+    }
+  }
+
+  /** Guardrail shared by RENAME/DROP COLUMN: the column must exist, must
+    * not key the partition layout, and must not be referenced by any
+    * engine table property (CHECK constraint / generated / identity) —
+    * those expressions would silently dangle. Returns the field. */
+  private def mappableColumn(meta: Metadata,
+      schema: org.apache.spark.sql.types.StructType,
+      name: String, op: String): org.apache.spark.sql.types.StructField = {
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot $op column '$name': not in the table schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+    require(!meta.partitionColumns.exists(_.equalsIgnoreCase(name)),
+      s"cannot $op partition column '$name' — partition values and the " +
+        "directory layout are keyed by it; repartition via CTAS instead")
+    val token = java.util.regex.Pattern.compile(
+      "(?i)\\b" + java.util.regex.Pattern.quote(field.name) + "\\b")
+    meta.configuration.foreach { case (k, v) =>
+      val engineKey = k.startsWith(GwTable.ConstraintPrefix) ||
+        k.startsWith(GwTable.GeneratedPrefix) || k.startsWith(GwTable.IdentityPrefix)
+      // referenced BY KEY (the column is the declared target) or BY VALUE
+      // (the column appears as a token in a declared SQL expression)
+      val byKey = k.equalsIgnoreCase(GwTable.GeneratedPrefix + field.name) ||
+        k.equalsIgnoreCase(GwTable.IdentityPrefix + field.name) ||
+        k.equalsIgnoreCase(s"${GwTable.IdentityPrefix}${field.name}.highWaterMark")
+      val references = engineKey && (byKey || token.matcher(v).find())
+      require(!references,
+        s"cannot $op column '$name': table property $k = '$v' references " +
+          "it — UNSET the property first")
+    }
+    field
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN old TO new` — a METADATA-ONLY commit
+    * (Delta column-mapping `name` mode): the logical name changes, the
+    * ON-FILE name is pinned in the field's metadata
+    * ([[graft.log.ColumnMapping.PhysicalNameKey]]), and no data file
+    * moves. Old versions keep the old name via time travel; scans on the
+    * new schema read the same bytes under the new name. */
+  def renameColumn(oldName: String, newName: String): Long = {
+    require(newName.nonEmpty && newName.forall(c =>
+      !c.isWhitespace && !"=,;{}()".contains(c)),
+      s"invalid column name: '$newName'")
+    graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+      val snap = gwLog.snapshot(None)
+      val meta = snap.metadata.getOrElse(throw new IllegalStateException(
+        s"cannot ALTER a table with no schema in its log: $tablePath"))
+      val field = mappableColumn(meta, snap.schema, oldName, "rename")
+      require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+        s"cannot rename '$oldName' to '$newName': the name is taken")
+      val renamed = org.apache.spark.sql.types.StructType(snap.schema.fields.map { f =>
+        if (f.name != field.name) f
+        else f.copy(name = newName, metadata =
+          new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+            .putString(graft.log.ColumnMapping.PhysicalNameKey,
+              graft.log.ColumnMapping.physicalName(f))
+            .build())
+      })
+      Seq(
+        meta.copy(schemaString = renamed.json),
+        CommitInfo(System.currentTimeMillis(), "RENAME COLUMN",
+          s"$oldName->$newName", numFiles = 0, numOutputBytes = 0,
+          isBlindAppend = false, txnId = java.util.UUID.randomUUID().toString))
+    }
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN` — a METADATA-ONLY commit: the field
+    * leaves the logical schema; the bytes stay in the files (pre-drop
+    * versions read them via time travel), new scans never request them. */
+  def dropColumn(name: String): Long = {
+    graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+      val snap = gwLog.snapshot(None)
+      val meta = snap.metadata.getOrElse(throw new IllegalStateException(
+        s"cannot ALTER a table with no schema in its log: $tablePath"))
+      val field = mappableColumn(meta, snap.schema, name, "drop")
+      require(snap.schema.fields.length > 1,
+        s"cannot drop '$name': it is the table's only column")
+      val narrowed = org.apache.spark.sql.types.StructType(
+        snap.schema.fields.filterNot(_.name == field.name))
+      // tombstone the ON-FILE name: a later ADD COLUMNS reusing the logical
+      // name must get a FRESH physical name, or old files' bytes would
+      // resurrect as the "new" column
+      val dropKey = GwTable.DroppedPhysicalPrefix +
+        graft.log.ColumnMapping.physicalName(field).toLowerCase
+      Seq(
+        meta.copy(schemaString = narrowed.json,
+          configuration = meta.configuration + (dropKey -> "true")),
+        CommitInfo(System.currentTimeMillis(), "DROP COLUMN", name,
           numFiles = 0, numOutputBytes = 0, isBlindAppend = false,
           txnId = java.util.UUID.randomUUID().toString))
     }
@@ -1156,6 +1287,11 @@ object GwTable {
     * expressions (Delta stores its constraints the same way, under
     * `delta.constraints.*`). */
   val ConstraintPrefix = "graft.constraints."
+
+  /** Table-property namespace recording the ON-FILE names of DROPPED
+    * columns (column mapping): a re-added logical name gets a fresh
+    * physical name so dropped bytes never resurrect. */
+  val DroppedPhysicalPrefix = "graft.columnMapping.dropped."
 
   /** Table-property namespace declaring IDENTITY columns: the value is
     * `"<start>,<step>"` (Delta `GENERATED ALWAYS AS IDENTITY (START WITH s

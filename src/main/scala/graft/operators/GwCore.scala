@@ -1250,6 +1250,44 @@ object GwCore {
       s"FROM gw.$ns.t")
   }
 
+  /** gw38: column mapping — `ALTER TABLE ... RENAME COLUMN / DROP COLUMN`
+    * as METADATA-ONLY commits (Delta columnMapping `name` mode): no file
+    * moves, reads serve the same bytes under the new name (old files keep
+    * their physical names; post-rename writes land physical names), time
+    * travel keeps the old-era schema. */
+  def gw38ColumnMapping(spark: SparkSession, dir: String): DataFrame = {
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val tmp = Files.createTempDirectory("gw38")
+    val loc = tmp.resolve("db/nation").toString
+    spark.read.parquet(s"$dir/nation.parquet").createOrReplaceTempView("gw38_src")
+    spark.sql(s"CREATE TABLE gw.$ns.t (n_nationkey BIGINT, n_name STRING, " +
+      s"n_regionkey BIGINT) USING gwdelta LOCATION '$loc'")
+    spark.sql(s"INSERT INTO gw.$ns.t SELECT n_nationkey, n_name, n_regionkey " +
+      "FROM gw38_src")
+    val t = GwTable.forPath(spark, loc)
+    val preVersion = t.snapshot().version
+    val files = t.snapshot().files.map(_.path).toSet
+    spark.sql(s"ALTER TABLE gw.$ns.t RENAME COLUMN n_name TO nation_name")
+    require(t.snapshot().files.map(_.path).toSet == files,
+      "RENAME COLUMN must not move a single data file")
+    // post-rename ingest: lands the PHYSICAL layout, reads logical
+    spark.sql(s"INSERT INTO gw.$ns.t SELECT n_nationkey, nation_name, " +
+      s"n_regionkey FROM gw.$ns.t WHERE n_nationkey < 4")
+    // pre-rename version still serves the OLD name via time travel
+    require(spark.sql(s"SELECT n_name FROM gw.$ns.t VERSION AS OF $preVersion")
+      .count() == 25, "time travel must keep the pre-rename schema")
+    spark.sql(s"ALTER TABLE gw.$ns.t DROP COLUMN n_regionkey")
+    require(t.snapshot().files.map(_.path).size == files.size + 1,
+      "DROP COLUMN must not move a single data file")
+    val cols = spark.table(s"gw.$ns.t").columns.toSeq
+    require(cols == Seq("n_nationkey", "nation_name"),
+      s"post-drop schema drifted: $cols")
+    spark.sql(s"SELECT n_nationkey, nation_name FROM gw.$ns.t " +
+      "WHERE n_nationkey >= 2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1288,6 +1326,7 @@ object GwCore {
     "gw35_occ_conflicts" -> gw35OccConflicts _,
     "gw36_generated_columns" -> gw36GeneratedColumns _,
     "gw37_identity_columns" -> gw37IdentityColumns _,
+    "gw38_column_mapping" -> gw38ColumnMapping _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1432,6 +1471,14 @@ object GwCore {
         |FROM orders""".stripMargin,
     // every row (seed + both allocated slices) carries an id; exact id
     // values are partition-stride-dependent, pinned in-gate instead
+    // 25 originals + the re-ingested keys 0..3, filtered at >= 2: the
+    // renamed column serves the same bytes under its new name
+    "gw38_column_mapping" ->
+      """SELECT n_nationkey, n_name AS nation_name FROM nation
+        |WHERE n_nationkey >= 2
+        |UNION ALL
+        |SELECT n_nationkey, n_name FROM nation
+        |WHERE n_nationkey >= 2 AND n_nationkey < 4""".stripMargin,
     "gw37_identity_columns" ->
       """SELECT CAST(1 AS BOOLEAN) AS id_assigned,
         | CAST(-1 AS BIGINT) AS o_orderkey, CAST(-1 AS BIGINT) AS o_custkey

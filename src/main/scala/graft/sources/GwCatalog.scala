@@ -192,7 +192,8 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
       if (log.exists()) {
         val snap = log.snapshot(None)
         val logged = snap.schema
-        require(org.apache.spark.sql.graftbridge.Bridge.sameType(logged, schema),
+        require(org.apache.spark.sql.graftbridge.Bridge.sameType(
+          graft.log.ColumnMapping.stripMeta(logged), schema),
           s"declared columns do not match the transaction log at $location\n" +
             s"  log:      ${logged.catalogString}\n  declared: ${schema.catalogString}")
         val loggedParts = snap.metadata.map(_.partitionColumns).getOrElse(Nil)
@@ -234,11 +235,24 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.SetProperty] ||
-        c.isInstanceOf[TableChange.RemoveProperty])
+        c.isInstanceOf[TableChange.RemoveProperty] ||
+        c.isInstanceOf[TableChange.RenameColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn])
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
-        "gwdelta supports ALTER TABLE ADD COLUMNS and SET/UNSET TBLPROPERTIES only; " +
+        "gwdelta supports ALTER TABLE ADD COLUMNS, RENAME COLUMN, " +
+          "DROP COLUMN and SET/UNSET TBLPROPERTIES only; " +
           s"got: ${unsupported.mkString(", ")}")
+    val renames = changes.collect { case r: TableChange.RenameColumn =>
+      require(r.fieldNames.length == 1,
+        s"cannot rename a nested field: ${r.fieldNames.mkString(".")}")
+      r.fieldNames.head -> r.newName
+    }
+    val drops = changes.collect { case d: TableChange.DeleteColumn =>
+      require(d.fieldNames.length == 1,
+        s"cannot drop a nested field: ${d.fieldNames.mkString(".")}")
+      d.fieldNames.head
+    }
     val adds = changes.collect { case a: TableChange.AddColumn =>
       require(a.fieldNames.length == 1,
         s"cannot add a nested field: ${a.fieldNames.mkString(".")}")
@@ -250,6 +264,8 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
     val spark = SparkSession.active
     val table = graft.GwTable.forPath(spark, locationOf(ident))
     if (adds.nonEmpty) table.addColumns(adds: _*)
+    renames.foreach { case (from, to) => table.renameColumn(from, to) }
+    drops.foreach(table.dropColumn)
     if (sets.nonEmpty || removes.nonEmpty)
       table.updateProperties(sets.toMap, removes.toSeq)
     loadAt(ident, None)

@@ -55,7 +55,7 @@ object GwSink {
     checkAppendSchema(readMeta, tablePath, df.schema)
     val parts = effectivePartitioning(log, df, partitionBy)
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
-    stageWrite(df, outDir, parts)
+    stageWrite(physicalFrame(df, readMeta), outDir, parts)
     val fs = outDir.getFileSystem(conf)
     val files: Seq[AddFile] =
       graft.sources.SchemaProbe.harvestPartitioned(conf, outDir, dataChange = true, parts)
@@ -107,6 +107,13 @@ object GwSink {
     replayedVersion(log, txnId).foreach(v => return v)
     if (files.isEmpty) return -1L
     val readMeta = tableMeta(log)
+    readMeta.foreach { m =>
+      require(!graft.log.ColumnMapping.hasMapping(schemaOfMeta(m)),
+        s"streaming writes into the column-mapped table at $tablePath are " +
+          "not supported: the epoch's files were written before the commit " +
+          "could apply the logical->physical rename; write via foreachBatch " +
+          "+ GwSink.append instead")
+    }
     checkAppendSchema(readMeta, tablePath, schema)
     commitAppend(log, schema, files, txnId, partitionColumns, readMeta)
   }
@@ -164,14 +171,25 @@ object GwSink {
   private def tableMeta(log: GwLog): Option[Metadata] =
     if (log.listVersions().isEmpty) None else log.snapshot(None).metadata
 
+  /** Batches arrive in LOGICAL names; files land in the table's PHYSICAL
+    * layout (column mapping — a no-op on unmapped tables). */
+  private def physicalFrame(df: DataFrame, meta: Option[Metadata]): DataFrame =
+    meta.map(m => graft.log.ColumnMapping.toPhysicalDf(df, schemaOfMeta(m)))
+      .getOrElse(df)
+
+  private def schemaOfMeta(m: Metadata): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(m.schemaString)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
   /** Non-bootstrap appends must match the logged schema (fail BEFORE bytes
     * when possible: a mismatched append would read back with missing
     * columns null, new columns invisible, type changes failing at scan). */
   private def checkAppendSchema(meta: Option[Metadata], tablePath: String,
       schema: org.apache.spark.sql.types.StructType): Unit =
     meta.foreach { m =>
-      val existing = org.apache.spark.sql.types.DataType.fromJson(m.schemaString)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      // compare LOGICAL names with the mapping pins stripped — batches
+      // never carry the mapping layer
+      val existing = graft.log.ColumnMapping.stripMeta(schemaOfMeta(m))
       require(org.apache.spark.sql.graftbridge.Bridge.sameType(existing, schema),
         s"batch schema does not match the table schema at $tablePath\n" +
           s"  table: ${existing.catalogString}\n  batch: ${schema.catalogString}")
@@ -335,7 +353,7 @@ object GwSink {
     checkAppendSchema(readMeta, tablePath, df.schema)
     val parts = effectivePartitioning(log, df, partitionBy)
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
-    stageWrite(df, outDir, parts)
+    stageWrite(physicalFrame(df, readMeta), outDir, parts)
     val files: Seq[AddFile] =
       graft.sources.SchemaProbe.harvestPartitioned(conf, outDir, dataChange = true, parts)
     if (files.isEmpty) outDir.getFileSystem(conf).delete(outDir, true)

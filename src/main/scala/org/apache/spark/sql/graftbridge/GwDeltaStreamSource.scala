@@ -46,6 +46,9 @@ class GwDeltaStreamSource(
   private val spark = sqlContext.sparkSession.asInstanceOf[ClassicSession]
   private val log = GwLog.forTable(spark.sparkContext.hadoopConfiguration, tablePath)
   private val streamSchema: StructType = log.snapshot(None).schema
+  require(!graft.log.ColumnMapping.hasMapping(streamSchema),
+    s"streaming a column-mapped (renamed-column) table is not supported " +
+      s"yet at $tablePath: restart consumption from a batch read")
   private val params =
     org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters)
   private val cdf = params.get("readChangeFeed").exists(_.toBoolean)

@@ -34,6 +34,11 @@ class GwMicroBatchStream(
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
+  require(!graft.log.ColumnMapping.hasMapping(streamSchema),
+    s"streaming a column-mapped (renamed-column) table is not supported " +
+      s"yet at $tablePath: restart consumption from a batch read")
+
+
   private val log = GwLog.forTable(spark.sparkContext.hadoopConfiguration, tablePath)
 
   /** Trigger.AvailableNow's pin: versions committed after the stream

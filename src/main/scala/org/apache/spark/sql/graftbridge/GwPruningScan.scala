@@ -79,6 +79,10 @@ class GwDeltaTable(
       org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(writable,
       s"$tableName: row-level DML targets the LATEST snapshot; drop versionAsOf/timestampAsOf")
+    require(!graft.log.ColumnMapping.hasMapping(snapshot.schema),
+      s"$tableName: SQL UPDATE/MERGE on a column-mapped (renamed-column) " +
+        "table is not supported; use the API DML " +
+        "(GwTable.update/merge), which is mapping-aware")
     new GwRowLevelOperationBuilder(spark, options.get("path"), snapshot, info)
   }
   override def partitioning(): Array[Transform] =
@@ -230,14 +234,40 @@ class GwPruningScanBuilder(
   // pruned candidate set (partition + stats pruning); starts at all live
   private var candidates: Seq[graft.log.AddFile] = snapshot.files
 
-  /** The file paths the scan was actually planned over (test observability).
-    * Includes both clean and DV'd files. */
-  def plannedPaths: Seq[String] = candidates.map(_.path)
+  // column mapping (RENAME COLUMN, metadata-only): the parquet side of
+  // this scan works in PHYSICAL names — the inner scan's schema, the
+  // pushed filters, the stats-pruning constraints — while Spark above
+  // sees only logical names. Rows are positional, so only the name layer
+  // translates; an unmapped table takes the identical old paths.
+  private val mapped = graft.log.ColumnMapping.hasMapping(snapshot.schema)
+  private val toPhys: Map[String, String] =
+    graft.log.ColumnMapping.toPhysical(snapshot.schema)
+  private val toLogi: Map[String, String] =
+    graft.log.ColumnMapping.toLogical(snapshot.schema)
+
+  private def physType(t: StructType): StructType =
+    if (!mapped) t
+    else StructType(t.fields.map(f =>
+      f.copy(name = toPhys.getOrElse(f.name.toLowerCase, f.name),
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
+
+  private def logiType(t: StructType): StructType =
+    if (!mapped) t
+    else StructType(t.fields.map(f =>
+      f.copy(name = toLogi.getOrElse(f.name.toLowerCase, f.name))))
+
+  private def physFilters(filters: Seq[Expression]): Seq[Expression] =
+    if (!mapped) filters
+    else filters.map(_.transform {
+      case a: AttributeReference if toPhys.contains(a.name.toLowerCase) =>
+        a.withName(toPhys(a.name.toLowerCase))
+    })
 
   private def makeInner(paths: Seq[String]): ParquetScanBuilder = {
-    val b = ParquetTable(tableName, spark, options, paths, Some(snapshot.schema),
-      classOf[ParquetFileFormat]).newScanBuilder(options)
-    required.foreach(b.pruneColumns)
+    val b = ParquetTable(tableName, spark, options, paths,
+      Some(physType(snapshot.schema)), classOf[ParquetFileFormat])
+      .newScanBuilder(options)
+    required.foreach(r => b.pruneColumns(physType(r)))
     b
   }
 
@@ -253,25 +283,42 @@ class GwPruningScanBuilder(
   }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-    val constraints = GwStatsPruning.ranges(filters)
+    // physical names from here down: footer stats and partitionValues are
+    // keyed by the ON-FILE names (partition columns are unrenameable, so
+    // their logical == physical)
+    val pf = physFilters(filters)
+    val constraints = GwStatsPruning.ranges(pf)
     // partition pruning (exact, metadata-only) runs before stats pruning
     if (constraints.nonEmpty) candidates = snapshot.filesForConstraints(constraints)
     inner = makeInner(cleanFiles.map(_.path))
-    val residual = inner.pushFilters(filters)
+    val residual = inner.pushFilters(pf)
     // the parquet builder reports every data filter as a residual, which is
     // what makes the filter-free DV side correct (Spark re-filters above
     // the scan); a future builder that swallowed filters would silently
     // unfilter DV'd files, so pin the contract here
-    require(dvFiles.isEmpty || residual == filters,
+    require(dvFiles.isEmpty || residual == pf,
       s"parquet scan builder consumed filters over a DV'd snapshot: $filters")
-    residual
+    // Spark keeps whatever we return and re-applies it ABOVE the scan —
+    // that layer lives in logical names. Under a mapping, hand back the
+    // original logical filters wherever the physical form survived.
+    if (!mapped) residual
+    else if (residual == pf) filters
+    else logicalResidual(filters, pf, residual)
+  }
+
+  /** Map the inner builder's physical residuals back to their logical
+    * originals (positional over the translated list). */
+  private def logicalResidual(filters: Seq[Expression], pf: Seq[Expression],
+      residual: Seq[Expression]): Seq[Expression] = {
+    val byPhys = pf.zip(filters).toMap
+    residual.map(r => byPhys.getOrElse(r, r))
   }
 
   override def pushedFilters: Array[Predicate] = ensureInner().pushedFilters
 
   override def pruneColumns(s: StructType): Unit = {
     required = Some(s)
-    if (inner != null) inner.pruneColumns(s)
+    if (inner != null) inner.pruneColumns(physType(s))
   }
 
   override def build(): Scan = {
@@ -279,21 +326,56 @@ class GwPruningScanBuilder(
     // SELECT of __gw_file/__gw_pos) routes through the row-id scan: the
     // same pruned candidates, inner scan filter-free (every filter here is
     // residual — Spark re-filters above), DV'd positions skipped task-side
-    if (required.exists(_.fieldNames.exists(GwRowId.names.contains)))
+    if (required.exists(_.fieldNames.exists(GwRowId.names.contains))) {
+      require(!mapped,
+        s"$tableName: row-identity reads (and the SQL row-level DML built " +
+          "on them) are not supported on a column-mapped table; use the " +
+          "API DML (GwTable.delete/update/merge)")
       return GwRowId.buildScan(tableName, spark, options, snapshot,
         candidates, required.get)
-    val dvd = dvFiles
-    if (dvd.isEmpty) ensureInner().build()
-    else {
-      val cleanScan = if (cleanFiles.isEmpty) None else Some(ensureInner().build())
-      // filter-free, column-pruned scan over the DV'd files
-      val dvScan = makeInner(dvd.map(_.path)).build()
-      new GwMorScan(cleanScan, dvScan,
-        new graft.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
-        dvd.map(f => graft.GwTable.uriKey(f.path) -> f.dv.get).toMap,
-        planned = candidates)
     }
+    val dvd = dvFiles
+    val scan =
+      if (dvd.isEmpty) ensureInner().build()
+      else {
+        val cleanScan = if (cleanFiles.isEmpty) None else Some(ensureInner().build())
+        // filter-free, column-pruned scan over the DV'd files
+        val dvScan = makeInner(dvd.map(_.path)).build()
+        new GwMorScan(cleanScan, dvScan,
+          new graft.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
+          dvd.map(f => graft.GwTable.uriKey(f.path) -> f.dv.get).toMap,
+          planned = candidates)
+      }
+    // surface LOGICAL names to Spark: rows are positional, only the
+    // reported schema translates
+    if (!mapped) scan else new GwLogicalNamesScan(scan, logiType(scan.readSchema()))
   }
+}
+
+/** Scan wrapper for column-mapped tables: the inner scan reads parquet in
+  * PHYSICAL names; this reports the LOGICAL read schema upward (rows are
+  * positional — no per-row work). Statistics pass through so join planning
+  * still sees log-exact sizes. Runtime-filtering interfaces are
+  * deliberately not forwarded — DPP is forgone on mapped tables. */
+class GwLogicalNamesScan(inner: Scan, logical: StructType) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  def innerScan: Scan = inner
+  override def readSchema(): StructType = logical
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+  override def description(): String = inner.description()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
 }
 
 /** Conservative filter -> per-column typed range extraction: only shapes

@@ -116,11 +116,12 @@ class DmlSpec extends SparkSpec {
       "pre-evolution rows must null-fill the new columns")
     assert(!spark.sql(s"SELECT * FROM gw.$ns.nation VERSION AS OF $preAlter")
       .columns.contains("score"), "time travel must keep the pre-ALTER schema")
-    // duplicate and non-AddColumn changes are rejected
+    // duplicate columns and unsupported change kinds are rejected
+    // (RENAME/DROP COLUMN are supported since round 6 — MappingSpec/gw38)
     assertThrows[Exception](
       spark.sql(s"ALTER TABLE gw.$ns.nation ADD COLUMNS (n_name STRING)"))
     assertThrows[Exception](
-      spark.sql(s"ALTER TABLE gw.$ns.nation RENAME COLUMN tag TO tag2"))
+      spark.sql(s"ALTER TABLE gw.$ns.nation ALTER COLUMN score TYPE STRING"))
   }
 
   test("SQL UPDATE rewrites only stats-surviving files; pre-update version intact") {

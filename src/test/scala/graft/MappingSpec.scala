@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions.col
+import graft.log.ColumnMapping
+
+/** Column mapping ([[graft.log.ColumnMapping]]): RENAME/DROP COLUMN as
+  * metadata-only commits — physical-name reads, logical-name surface,
+  * pruning through the mapping, mapped writes, drop-readd tombstones, and
+  * the documented restrictions. */
+class MappingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshTable(): (String, GwTable) = {
+    val dir = Files.createTempDirectory("map").resolve("nation").toString
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    src.filter(col("n_nationkey") < 12).coalesce(1)
+      .write.format("gwdelta").mode("append").save(dir)
+    src.filter(col("n_nationkey") >= 12).coalesce(1)
+      .write.format("gwdelta").mode("append").save(dir)
+    (dir, GwTable.forPath(spark, dir))
+  }
+
+  test("rename is metadata-only: same files, new name, old values; time travel keeps the old name") {
+    val (_, t) = freshTable()
+    val preVersion = t.snapshot().version
+    val files = t.snapshot().files.map(_.path).toSet
+    assert(t.renameColumn("n_name", "nation_name") > 0)
+    assert(t.snapshot().files.map(_.path).toSet == files, "no data file may move")
+    val df = t.toDF
+    assert(df.columns.toSeq == Seq("n_nationkey", "nation_name", "n_regionkey"))
+    val vals = df.select("n_nationkey", "nation_name").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val orig = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    assert(vals == orig, "renamed column must serve the same bytes")
+    // pre-rename version still reads under the old name
+    assert(t.versionAsOf(preVersion).columns.contains("n_name"))
+  }
+
+  test("writes after a rename land PHYSICAL names; reads stay logical") {
+    val (dir, t) = freshTable()
+    assert(t.renameColumn("n_name", "nation_name") > 0)
+    val before = t.snapshot().files.map(_.path).toSet
+    val extra = t.toDF.filter(col("n_nationkey") < 3)
+    graft.streaming.GwSink.append(extra, dir)
+    val newFile = t.snapshot().files.map(_.path).filterNot(before).head
+    // the new file carries the ORIGINAL on-file name (mapping contract)
+    val raw = spark.read.parquet(newFile)
+    assert(raw.columns.contains("n_name") && !raw.columns.contains("nation_name"),
+      s"new file must use the physical name, got ${raw.columns.toSeq}")
+    assert(t.toDF.count() == 28)
+    assert(t.toDF.filter(col("nation_name").isNotNull).count() == 28)
+  }
+
+  test("filter pushdown + stats pruning work through the mapping") {
+    val (_, t) = freshTable()
+    assert(t.renameColumn("n_nationkey", "nation_key") > 0)
+    val df = t.toDF.filter(col("nation_key") >= 12)
+    assert(df.count() == 13)
+    val plan = df.queryExecution.executedPlan.toString
+    // the parquet scan carries the pushed filter in the PHYSICAL name
+    assert(plan.contains("PushedFilters") && plan.contains("n_nationkey"),
+      s"pushdown lost through the mapping:\n$plan")
+    def plannedFiles(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case s: org.apache.spark.sql.graftbridge.GwLogicalNamesScan =>
+              s.innerScan.asInstanceOf[
+                org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+                .fileIndex.inputFiles.length
+            case s => s.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+              .fileIndex.inputFiles.length
+          }
+      }.head
+    assert(t.snapshot().files.size == 2)
+    // stats pruning through the mapping: only file B (keys >= 12) planned
+    assert(plannedFiles(t.toDF.filter(col("nation_key") >= 12)) == 1,
+      "footer stats must prune the lower file through the renamed column")
+  }
+
+  test("API DML on a renamed column: delete classifies, rewrites physically") {
+    val (_, t) = freshTable()
+    assert(t.renameColumn("n_name", "nation_name") > 0)
+    assert(t.delete(col("n_nationkey") < 5) > 0)
+    assert(t.toDF.count() == 20)
+    // rewritten file still answers under the logical name
+    assert(t.toDF.filter(col("nation_name").isNotNull).count() == 20)
+  }
+
+  test("drop column is metadata-only; re-added name never resurrects old bytes") {
+    val (_, t) = freshTable()
+    val preVersion = t.snapshot().version
+    assert(t.dropColumn("n_regionkey") > 0)
+    assert(t.toDF.columns.toSeq == Seq("n_nationkey", "n_name"))
+    // time travel still reads the dropped bytes
+    assert(t.versionAsOf(preVersion)
+      .filter(col("n_regionkey").isNotNull).count() == 25)
+    // re-add the same logical name: values must be NULL, not the old bytes
+    assert(t.addColumns(org.apache.spark.sql.types.StructField("n_regionkey",
+      org.apache.spark.sql.types.LongType)) > 0)
+    assert(t.toDF.filter(col("n_regionkey").isNull).count() == 25,
+      "re-added column must be fresh, not the dropped bytes")
+  }
+
+  test("restrictions: partition columns, property references, SQL row-level DML, streaming") {
+    val dir = Files.createTempDirectory("map").resolve("p").toString
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    src.write.format("gwdelta").mode("append")
+      .partitionBy("n_regionkey").save(dir)
+    val t = GwTable.forPath(spark, dir)
+    val e1 = intercept[IllegalArgumentException](t.renameColumn("n_regionkey", "rk"))
+    assert(e1.getMessage.contains("partition column"))
+    // a CHECK constraint referencing the column blocks the rename
+    t.updateProperties(Map("graft.constraints.pos" -> "n_nationkey >= 0"))
+    val e2 = intercept[IllegalArgumentException](t.renameColumn("n_nationkey", "k"))
+    assert(e2.getMessage.contains("references"))
+    t.updateProperties(Map.empty, unset = Seq("graft.constraints.pos"))
+    assert(t.renameColumn("n_nationkey", "k") > 0)
+    // SQL row-level ops are rejected on mapped tables (typed message)
+    val mappedSnap = t.snapshot()
+    assert(graft.log.ColumnMapping.hasMapping(mappedSnap.schema))
+    // streaming a mapped table is rejected loudly
+    val e3 = intercept[Exception] {
+      spark.readStream.format("gwdelta").load(dir).writeStream
+        .format("noop").start().processAllAvailable()
+    }
+    assert(e3.getMessage.contains("column-mapped"), s"got: ${e3.getMessage}")
+  }
+
+  test("rename to a taken name / unknown column / invalid name all fail") {
+    val (_, t) = freshTable()
+    intercept[IllegalArgumentException](t.renameColumn("n_name", "n_regionkey"))
+    intercept[IllegalArgumentException](t.renameColumn("nope", "x"))
+    intercept[IllegalArgumentException](t.renameColumn("n_name", "bad name"))
+    intercept[IllegalArgumentException](t.dropColumn("nope"))
+  }
+}

@@ -52,7 +52,7 @@ class OccSpec extends SparkSpec {
   test("planned DML retries past a benign concurrent append (WriteSerializable)") {
     val (dir, t) = twoRangeTable()
     val readSnap = t.snapshot()
-    val fileB = readSnap.files.maxBy(_.path) // deterministic pick
+    val fileB = readSnap.files(1) // replay order: v0's add, then v1's
     // winner: a blind append lands AFTER the operation planned its scan
     val extra = spark.read.parquet(s"$sf/nation.parquet")
       .filter(col("n_nationkey") < 3).coalesce(1)
@@ -66,7 +66,7 @@ class OccSpec extends SparkSpec {
   test("double-delete race raises ConcurrentDeleteDeleteException") {
     val (_, t) = twoRangeTable()
     val readSnap = t.snapshot()
-    val fileA = readSnap.files.minBy(_.path)
+    val fileA = readSnap.files.head // replay order: v0's add = keys < 12
     assert(t.delete(col("n_nationkey") < 12) > 0) // winner removes file A
     intercept[ConcurrentDeleteDeleteException] {
       t.replaceFiles("DELETE", Set(fileA.path), Nil,
@@ -77,7 +77,7 @@ class OccSpec extends SparkSpec {
   test("metadata restated mid-operation raises MetadataChangedException") {
     val (_, t) = twoRangeTable()
     val readSnap = t.snapshot()
-    val fileA = readSnap.files.minBy(_.path)
+    val fileA = readSnap.files.head
     assert(t.addColumns(StructField("extra", LongType, nullable = true)) > 0)
     intercept[MetadataChangedException] {
       t.replaceFiles("DELETE", Set(fileA.path), Nil,
