@@ -141,6 +141,15 @@ class GwLog(val tablePath: Path, conf: Configuration,
 
   private[graft] def commitViaCreate(version: Long, target: Path, payload: Array[Byte]): Unit = {
     val f = fs
+    // local filesystems: Hadoop's create(overwrite = false) is a
+    // check-then-create (TOCTOU) — two racing writers can BOTH pass the
+    // exists check and the second silently overwrites the first's commit
+    // (observed losing a racer's rows under a threaded append stress).
+    // POSIX link(2) is the real atomic claim: write the payload to a temp
+    // file, hard-link it to the version path — EEXIST names the loser
+    // with the winner's commit intact, and the only bytes ever AT the
+    // version path are a complete payload.
+    if (f.getScheme == "file") return commitViaLink(version, target, payload)
     val out =
       try f.create(target, /* overwrite = */ false)
       catch {
@@ -150,6 +159,37 @@ class GwLog(val tablePath: Path, conf: Configuration,
           throw new VersionConflictException(version, target, e)
       }
     try out.write(payload) finally out.close()
+  }
+
+  /** Atomic local-FS claim: temp write + hard link (see commitViaCreate). */
+  private[graft] def commitViaLink(version: Long, target: Path, payload: Array[Byte]): Unit = {
+    val dir = java.nio.file.Paths.get(logDir.toUri.getPath)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s".${java.util.UUID.randomUUID()}-$version.json.tmp")
+    java.nio.file.Files.write(tmp, payload)
+    try {
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(target.toUri.getPath), tmp)
+      ()
+    } catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionConflictException(version, target, e)
+      case _: UnsupportedOperationException =>
+        // no hard links (exotic local FS): O_EXCL create is still atomic
+        try {
+          val out = java.nio.file.Files.newOutputStream(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          try out.write(payload) finally out.close()
+        } catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            throw new VersionConflictException(version, target, e)
+        }
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp)
+      ()
+    }
   }
 
   private[graft] def commitViaRename(version: Long, target: Path, payload: Array[Byte]): Unit = {

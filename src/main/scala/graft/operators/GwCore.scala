@@ -1288,6 +1288,52 @@ object GwCore {
       "WHERE n_nationkey >= 2")
   }
 
+  /** gw39: mergeSchema appends (Delta auto schema evolution):
+    * `.option("mergeSchema", "true")` lets a widening batch commit its NEW
+    * nullable columns ATOMICALLY with its files (one commit: restated
+    * metadata + adds); without the option the strict schema check holds;
+    * overlapping columns may never change type; a batch MISSING table
+    * columns is fine (its files null-fill on read). */
+  def gw39MergeSchema(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, length}
+    val tmp = Files.createTempDirectory("gw39")
+    val loc = tmp.resolve("db/region").toString
+    val region = spark.read.parquet(s"$dir/region.parquet")
+      .select("r_regionkey", "r_name")
+    region.write.format("gwdelta").mode("append").save(loc)
+    val widened = region.withColumn("name_len", length(col("r_name")).cast("long"))
+    // widening WITHOUT the option keeps the strict contract
+    val strict =
+      try { widened.write.format("gwdelta").mode("append").save(loc); None }
+      catch { case e: Exception => Some(e) }
+    require(strict.exists(_.getMessage.contains("does not match")),
+      s"unsanctioned widening must fail, got: $strict")
+    // with the option: files + restated schema in ONE commit
+    val t = GwTable.forPath(spark, loc)
+    val vBefore = t.snapshot().version
+    widened.write.format("gwdelta").mode("append")
+      .option("mergeSchema", "true").save(loc)
+    require(t.snapshot().version == vBefore + 1,
+      "the widening must be one atomic commit")
+    require(t.snapshot().schema.fieldNames.toSeq ==
+      Seq("r_regionkey", "r_name", "name_len"),
+      s"schema not widened: ${t.snapshot().schema.fieldNames.toSeq}")
+    // a type change is rejected even with the option
+    val conflict =
+      try { region.withColumn("name_len", col("r_name"))
+        .write.format("gwdelta").mode("append")
+        .option("mergeSchema", "true").save(loc); None }
+      catch { case e: Exception => Some(e) }
+    require(conflict.exists(_.getMessage.contains("cannot change column")),
+      s"type conflict must fail, got: $conflict")
+    // a batch missing table columns null-fills on read
+    region.filter(col("r_regionkey") < 2).select("r_regionkey")
+      .write.format("gwdelta").mode("append")
+      .option("mergeSchema", "true").save(loc)
+    spark.read.format("gwdelta").load(loc)
+      .select("r_regionkey", "r_name", "name_len")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1327,6 +1373,7 @@ object GwCore {
     "gw36_generated_columns" -> gw36GeneratedColumns _,
     "gw37_identity_columns" -> gw37IdentityColumns _,
     "gw38_column_mapping" -> gw38ColumnMapping _,
+    "gw39_merge_schema" -> gw39MergeSchema _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1471,6 +1518,15 @@ object GwCore {
         |FROM orders""".stripMargin,
     // every row (seed + both allocated slices) carries an id; exact id
     // values are partition-stride-dependent, pinned in-gate instead
+    // pre-widening rows null-fill the new column; the widened batch
+    // carries it; the column-subset batch null-fills the rest
+    "gw39_merge_schema" ->
+      """SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS name_len FROM region
+        |UNION ALL
+        |SELECT r_regionkey, r_name, CAST(length(r_name) AS BIGINT) FROM region
+        |UNION ALL
+        |SELECT r_regionkey, NULL, CAST(NULL AS BIGINT) FROM region
+        |WHERE r_regionkey < 2""".stripMargin,
     // 25 originals + the re-ingested keys 0..3, filtered at >= 2: the
     // renamed column serves the same bytes under its new name
     "gw38_column_mapping" ->

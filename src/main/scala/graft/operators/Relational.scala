@@ -609,6 +609,26 @@ object Relational {
       .select("event_id", "user_id", "n_10m", "val_c_10m")
   }
 
+  /** Recursive CTE (native in Spark 4: `WITH RECURSIVE`): ancestor chains
+    * over the implicit binary-heap hierarchy `parent(k) = k div 2` on
+    * nation keys — the hierarchical-walk shape (org charts, BOM
+    * explosions, category trees) that previously needed an external
+    * iterative driver (d08's loop). The engine's recursion and DuckDB's
+    * replay the identical fixpoint. */
+  def q33RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "nation").createOrReplaceTempView("q33_nation")
+    spark.sql(
+      """WITH RECURSIVE anc(node, anc, depth) AS (
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+        |    CAST(0 AS BIGINT) FROM q33_nation
+        |  UNION ALL
+        |  SELECT node, anc DIV 2, depth + 1 FROM anc WHERE anc > 0
+        |)
+        |SELECT node, anc AS ancestor, depth FROM anc""".stripMargin)
+      .select(col("node").cast("long").as("node"),
+        col("ancestor").cast("long").as("ancestor"), col("depth"))
+  }
+
   /** name -> query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -643,6 +663,7 @@ object Relational {
     "q30_window_zoo" -> q30WindowZoo _,
     "q31_gap_fill" -> q31GapFill _,
     "q32_interval_window" -> q32IntervalWindow _,
+    "q33_recursive_cte" -> q33RecursiveCte _,
   )
 
   /** name -> DuckDB oracle SQL (column names/aliases must match exactly). */
@@ -931,5 +952,13 @@ object Relational {
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |   RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         |) WHERE user_id < 20""".stripMargin,
+    "q33_recursive_cte" ->
+      """WITH RECURSIVE anc(node, anc, depth) AS (
+        |  SELECT n_nationkey, n_nationkey, CAST(0 AS BIGINT) FROM nation
+        |  UNION ALL
+        |  SELECT node, anc // 2, depth + 1 FROM anc WHERE anc > 0
+        |)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(anc AS BIGINT) AS ancestor,
+        |  depth FROM anc""".stripMargin,
   )
 }

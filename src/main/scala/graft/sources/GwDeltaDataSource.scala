@@ -140,9 +140,12 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
       case _ => throw new IllegalArgumentException(
         "txnAppId and txnVersion must be set together")
     }
+    // Delta-style auto schema evolution: .option("mergeSchema", "true")
+    val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
     mode match {
       case org.apache.spark.sql.SaveMode.Append =>
-        graft.streaming.GwSink.append(data, path, txnId = txnId, partitionBy = parts)
+        graft.streaming.GwSink.append(data, path, txnId = txnId,
+          partitionBy = parts, mergeSchema = mergeSchema)
       case org.apache.spark.sql.SaveMode.Overwrite =>
         graft.streaming.GwSink.overwrite(data, path, parts, txnId = txnId)
       case org.apache.spark.sql.SaveMode.ErrorIfExists =>

@@ -46,21 +46,66 @@ object GwSink {
     * and that version returned. Non-bootstrap appends require the batch
     * schema to match the table's logged schema (nullability ignored). */
   def append(df: DataFrame, tablePath: String, txnId: Option[String] = None,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val log = GwLog.forTable(conf, tablePath)
     replayedVersion(log, txnId).foreach(v => return v)
     val readMeta = tableMeta(log)
-    checkAppendSchema(readMeta, tablePath, df.schema)
+    // Delta mergeSchema: a widening batch (new nullable columns appended)
+    // restates the schema ATOMICALLY with its files; overlapping columns
+    // must still type-match, and without the option the strict check holds
+    val widened: Option[org.apache.spark.sql.types.StructType] =
+      if (!mergeSchema) { checkAppendSchema(readMeta, tablePath, df.schema); None }
+      else widenedSchema(readMeta, tablePath, df.schema)
     val parts = effectivePartitioning(log, df, partitionBy)
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
-    stageWrite(physicalFrame(df, readMeta), outDir, parts)
+    val physTarget = widened.orElse(readMeta.map(schemaOfMeta))
+    stageWrite(physTarget.map(graft.log.ColumnMapping.toPhysicalDf(df, _))
+      .getOrElse(df), outDir, parts)
     val fs = outDir.getFileSystem(conf)
     val files: Seq[AddFile] =
       graft.sources.SchemaProbe.harvestPartitioned(conf, outDir, dataChange = true, parts)
     if (files.isEmpty) { fs.delete(outDir, true); return -1L }
-    commitAppend(log, df.schema, files, txnId, parts, readMeta)
+    commitAppend(log, df.schema, files, txnId, parts, readMeta, widened)
+  }
+
+  /** The union schema a `mergeSchema` append commits: existing fields
+    * unchanged (mapping pins included), the batch's NEW fields appended
+    * nullable — with a FRESH physical name when the logical name was
+    * previously dropped (old bytes must not resurrect). Overlapping
+    * columns must type-match exactly (this engine does not widen types);
+    * a batch MISSING table columns is fine (its files null-fill on read).
+    * Returns None when nothing widens. */
+  private def widenedSchema(meta: Option[Metadata], tablePath: String,
+      batch: org.apache.spark.sql.types.StructType):
+      Option[org.apache.spark.sql.types.StructType] = {
+    val m = meta.getOrElse(return None) // bootstrap: batch IS the schema
+    val existing = schemaOfMeta(m)
+    val byName = existing.fields.map(f => f.name.toLowerCase -> f).toMap
+    batch.fields.foreach { bf =>
+      byName.get(bf.name.toLowerCase).foreach { ef =>
+        require(org.apache.spark.sql.graftbridge.Bridge.sameType(ef.dataType, bf.dataType),
+          s"mergeSchema cannot change column '${ef.name}' from " +
+            s"${ef.dataType.sql} to ${bf.dataType.sql} at $tablePath")
+      }
+    }
+    val dropped = m.configuration.keys
+      .filter(_.startsWith(graft.GwTable.DroppedPhysicalPrefix))
+      .map(_.stripPrefix(graft.GwTable.DroppedPhysicalPrefix)).toSet
+    val fresh = batch.fields.filterNot(bf => byName.contains(bf.name.toLowerCase))
+      .map { bf =>
+        val base = bf.copy(nullable = true)
+        if (!dropped.contains(bf.name.toLowerCase)) base
+        else base.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(base.metadata)
+            .putString(graft.log.ColumnMapping.PhysicalNameKey,
+              s"gwcm_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+            .build())
+      }
+    if (fresh.isEmpty) None
+    else Some(org.apache.spark.sql.types.StructType(existing.fields ++ fresh))
   }
 
   /** Partitioning a write actually uses: an explicit `partitionBy` on a
@@ -198,12 +243,22 @@ object GwSink {
   private def commitAppend(log: GwLog, schema: org.apache.spark.sql.types.StructType,
       files: Seq[AddFile], txnId: Option[String],
       partitionColumns: Seq[String] = Nil,
-      readMeta: Option[Metadata] = None): Long =
+      readMeta: Option[Metadata] = None,
+      widened: Option[org.apache.spark.sql.types.StructType] = None): Long =
     commitReplayable(log, txnId) { bootstrap =>
       val freshMeta = if (bootstrap) None else log.snapshot(None).metadata
       if (!bootstrap)
         graft.log.Occ.checkAppendState(log.tablePath.toString, readMeta, freshMeta)
-      val idMeta = identityAdvance(log.tablePath.toString, files, freshMeta)
+      // a mergeSchema widening restates the metadata in THIS commit; the
+      // identity advance (if any) builds on the widened copy so one
+      // metadata action carries both
+      val widenedMeta = (freshMeta, widened) match {
+        case (Some(m), Some(w)) => Some(m.copy(schemaString = w.json))
+        case _ => None
+      }
+      val idMeta = identityAdvance(log.tablePath.toString, files,
+        widenedMeta.orElse(freshMeta))
+      val metaAction: Option[Metadata] = idMeta.orElse(widenedMeta)
       val now = System.currentTimeMillis()
       val head: Seq[Action] =
         if (bootstrap)
@@ -226,7 +281,7 @@ object GwSink {
       val txn = txnId.flatMap(parseTxnId).map { case (app, batch) =>
         graft.log.SetTransaction(app, batch, Some(now))
       }
-      idMeta.toSeq ++ head ++ files ++ txn.toSeq :+ info
+      metaAction.toSeq ++ head ++ files ++ txn.toSeq :+ info
     }
 
   /**

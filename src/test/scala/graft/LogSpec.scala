@@ -265,6 +265,26 @@ class LogSpec extends AnyFunSuite {
     assert(snap.version == 7L)
   }
 
+  test("local claim is link-atomic: the loser never clobbers the winner's payload") {
+    // the old Hadoop create(overwrite=false) local path was check-then-
+    // create: a racing loser could overwrite the winner's committed bytes.
+    // Pin the fix: after a losing commitViaLink, the winner's payload is
+    // byte-intact and no temp debris remains.
+    val dir = java.nio.file.Files.createTempDirectory("linklog").resolve("t").toString
+    val log = GwLog.forTable(new org.apache.hadoop.conf.Configuration(), dir)
+    val winner = "winner-payload".getBytes("UTF-8")
+    log.commitViaLink(0L, log.logPathFor(0L), winner)
+    intercept[VersionConflictException] {
+      log.commitViaLink(0L, log.logPathFor(0L), "loser-payload".getBytes("UTF-8"))
+    }
+    val onDisk = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(log.logPathFor(0L).toUri.getPath))
+    assert(java.util.Arrays.equals(onDisk, winner), "loser clobbered the winner")
+    val debris = new java.io.File(s"$dir/_delta_log").listFiles()
+      .filter(_.getName.endsWith(".tmp"))
+    assert(debris.isEmpty, s"temp debris left: ${debris.toSeq}")
+  }
+
   test("concurrent commits at one version: the second writer loses, per protocol") {
     def oneWins(commit: (GwLog, Long, Seq[Action]) => Unit): Unit = {
       val dir = Files.createTempDirectory("gwlog-race").toString

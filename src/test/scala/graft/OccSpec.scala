@@ -30,12 +30,15 @@ class OccSpec extends SparkSpec {
     // bootstrap first so the racers contend on appends, not on CREATE
     src.filter(col("n_nationkey") === 24).coalesce(1)
       .write.format("gwdelta").mode("append").save(dir)
+    // 8 racers maximize the claim-contention window: this test found the
+    // local-FS check-then-create TOCTOU (a loser overwriting the winner's
+    // version file) that commitViaLink now closes with a hard-link claim
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val threads = (0 until 4).map { i =>
+    val threads = (0 until 8).map { i =>
       new Thread(() => {
         try {
           val slice = src
-            .filter(col("n_nationkey") < 24 && col("n_nationkey") % 4 === i)
+            .filter(col("n_nationkey") < 24 && col("n_nationkey") % 8 === i)
             .coalesce(1)
           assert(graft.streaming.GwSink.append(slice, dir) > 0)
         } catch { case e: Throwable => errors.add(e); () }
@@ -46,7 +49,7 @@ class OccSpec extends SparkSpec {
     assert(errors.isEmpty, s"racer failed: ${Option(errors.peek())}")
     val t = GwTable.forPath(spark, dir)
     assert(t.toDF.count() == src.count(), "every racer's rows must land")
-    assert(t.snapshot().version == 4L, "one commit per racer, no clobbers")
+    assert(t.snapshot().version == 8L, "one commit per racer, no clobbers")
   }
 
   test("planned DML retries past a benign concurrent append (WriteSerializable)") {
