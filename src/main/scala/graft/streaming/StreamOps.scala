@@ -567,6 +567,46 @@ object StreamOps {
     spark.read.format("gwdelta").load(tbl)
   }
 
+  /** st11: arbitrary state through Spark 4's `transformWithState` — the
+    * StatefulProcessor successor to mapGroupsWithState (typed state
+    * primitives, timers, TTL). A bounded per-user ListState carries the
+    * global TOP-3 (value, event_id) pairs under a total order, so the
+    * final state is ORDER-INDEPENDENT across batch boundaries and arrival
+    * interleavings — which is what makes the gate oracle-exact. State per
+    * user is exactly 3 tuples + one counter: O(1), the only shape that
+    * survives an unbounded stream. Update-mode emissions carry a monotone
+    * n_seen marker; the final per-user state wins below (same memory-sink
+    * dedup as st02). */
+  def st11TransformWithState(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
+    import spark.implicits._
+    val name = nextName()
+    val q = eventStream(spark, dir)
+      .filter(col("user_id") < 30)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("value_c"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new Top3Processor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF("user_id", "n_seen", "rank", "value_c", "event_id")
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_seen").desc)
+    spark.table(name)
+      .withColumn("mx", max(col("n_seen")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .filter(col("n_seen") === col("mx"))
+      .select("user_id", "rank", "value_c", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> st01WindowedCounts _,
     "st02_stream_state" -> st02StatefulSessions _,
@@ -578,6 +618,7 @@ object StreamOps {
     "st08_stream_sketch" -> st08StreamSketch _,
     "st09_stream_outer_join" -> st09StreamOuterJoin _,
     "st10_stream_upsert" -> st10StreamUpsert _,
+    "st11_transform_with_state" -> st11TransformWithState _,
   )
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming
@@ -617,6 +658,17 @@ object StreamOps {
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY 1""".stripMargin,
+    // the bounded ListState converges to the exact global top-3 per user
+    // under (value desc, event_id asc) whatever the batch interleaving
+    "st11_transform_with_state" ->
+      """SELECT user_id, rank, value_c, event_id FROM (
+        | SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY value_c DESC, event_id) AS BIGINT) AS rank,
+        |  value_c, event_id
+        | FROM (SELECT user_id, CAST(round(value*100) AS BIGINT) AS value_c,
+        |       event_id FROM events WHERE user_id < 30))
+        |WHERE rank <= 3""".stripMargin,
     "st08_stream_sketch" ->
       // Bit-exact KMV replay: same 60-bit md5-prefix user hash, exact
       // distinct below k=64, else floor(63*2^60/h_64) — identical integer
@@ -671,4 +723,40 @@ object StreamOps {
         | count(*) AS n_events, CAST(sum(vc) AS BIGINT) AS value_c
         |FROM s GROUP BY user_id, sid""".stripMargin,
   )
+}
+
+/** Bounded top-3 processor for st11 (see
+  * [[StreamOps.st11TransformWithState]]): ListState = the best 3
+  * (value_c, event_id) pairs so far, ValueState = rows seen (the
+  * Update-mode dedup marker). */
+class Top3Processor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Long), (Long, Long, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{ListState, TTLConfig, ValueState}
+
+  @transient private var top: ListState[(Long, Long)] = _
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    top = getHandle.getListState[(Long, Long)]("top3",
+      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    seen = getHandle.getValueState[Long]("seen",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(userId: Long,
+      rows: Iterator[(Long, Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues):
+      Iterator[(Long, Long, Long, Long, Long)] = {
+    val cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    if (top.exists()) cur ++= top.get()
+    var n = if (seen.exists()) seen.get() else 0L
+    rows.foreach { case (_, vc, eid) => cur += ((vc, eid)); n += 1 }
+    val best = cur.sortBy { case (vc, eid) => (-vc, eid) }.take(3)
+    top.put(best.toArray)
+    seen.update(n)
+    best.iterator.zipWithIndex.map { case ((vc, eid), i) =>
+      (userId, n, (i + 1).toLong, vc, eid)
+    }
+  }
 }

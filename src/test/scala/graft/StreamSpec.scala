@@ -117,6 +117,20 @@ class StreamSpec extends SparkSpec {
     assertSameRows(StreamOps.st08StreamSketch(spark, dir), expected)
   }
 
+  test("st11 transformWithState equals the batch top-3 per user") {
+    val expected = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("value_c").desc, col("event_id"))
+      batchEvents.filter(col("user_id") < 30)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("value_c"), col("event_id"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("user_id", "rank", "value_c", "event_id")
+    }
+    assertSameRows(StreamOps.st11TransformWithState(spark, dir), expected)
+  }
+
   test("st10 streaming upsert equals the one-shot batch aggregate") {
     val expected = batchEvents
       .groupBy("user_id")
