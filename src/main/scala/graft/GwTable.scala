@@ -1101,6 +1101,77 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     }
   }
 
+  /**
+   * `REORG TABLE ... APPLY (PURGE)`: physically rebase the table — rewrite
+   * the live files that still carry old physical layouts (renamed
+   * columns), possibly-dropped column bytes, or deletion vectors, and
+   * CLEAR the mapping layer in the same commit (physical pins dropped from
+   * the schema, dropped-name tombstones removed from the properties).
+   * After a REORG the table is mapping-free: SQL row-level DML and
+   * streaming work again, and a later `vacuum` physically sheds the
+   * dropped columns' bytes — Delta's `REORG ... APPLY (PURGE)` contract.
+   *
+   * Under a mapping (or dropped-name tombstones) EVERY live file rewrites
+   * (the log does not record which era wrote a file's layout); otherwise
+   * only DV'd files rewrite (pure purge). Grouped per partition tuple like
+   * `compact`; `dataChange = false` (no logical row changes — streams and
+   * changesSince stay silent about the rewrite, though the metadata
+   * restatement itself stops streams, as every schema restatement does).
+   * Returns the committed version, or -1 when nothing needs reorging.
+   */
+  def reorg(targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    import graft.log.ColumnMapping
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snap = gwLog.snapshot(None)
+    val meta = snap.metadata.getOrElse(return -1L)
+    val mapped = ColumnMapping.hasMapping(snap.schema)
+    val tombs = meta.configuration.keys
+      .filter(_.startsWith(GwTable.DroppedPhysicalPrefix)).toSeq
+    val toRewrite =
+      if (mapped || tombs.nonEmpty) snap.files
+      else snap.files.filter(_.dv.isDefined)
+    val cleanSchema = ColumnMapping.stripMeta(snap.schema)
+    val cleanConf = meta.configuration -- tombs
+    val metaChanged = mapped || tombs.nonEmpty
+    if (toRewrite.isEmpty && !metaChanged) return -1L
+    val partCols = meta.partitionColumns
+    val now = System.currentTimeMillis()
+    val groups: Seq[(Map[String, String], Seq[AddFile])] =
+      if (partCols.isEmpty) Seq(Map.empty[String, String] -> toRewrite)
+      else toRewrite.groupBy(_.partitionValues).toSeq.sortBy(_._1.toSeq.mkString("|"))
+    val rewritten: Seq[Action] = groups.filter(_._2.nonEmpty).flatMap {
+      case (partVals, files) =>
+        val outDir = new Path(tablePath, s"_compacted/${java.util.UUID.randomUUID()}")
+        val nOut = math.max(1, math.ceil(
+          files.map(_.size).sum.toDouble / targetFileBytes).toInt)
+        // logical rows out, CLEAN logical layout in the files (the commit
+        // below clears the mapping, so logical IS the new physical)
+        Dv.readLive(spark, snap.schema, files).coalesce(nOut)
+          .write.mode("overwrite").parquet(outDir.toString)
+        val adds = graft.sources.SchemaProbe
+          .harvestAddFiles(conf, outDir, dataChange = false)
+          .map(_.copy(partitionValues = partVals))
+        val removes = files.map(f =>
+          RemoveFile(f.path, f.size, now, dataChange = false,
+            partitionValues = f.partitionValues))
+        adds ++ removes
+    }
+    val info = CommitInfo(now, "REORG", "Purge",
+      numFiles = rewritten.count(_.isInstanceOf[AddFile]),
+      numOutputBytes = rewritten.collect { case a: AddFile => a.size }.sum,
+      isBlindAppend = false, txnId = java.util.UUID.randomUUID().toString)
+    graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+      val fresh = gwLog.snapshot(None)
+      graft.log.Occ.checkTableState(tablePath.toString, snap, fresh)
+      val live = fresh.files.map(f => f.path -> f).toMap
+      graft.log.Occ.checkFiles(tablePath.toString, live, deletes = toRewrite)
+      val newMeta: Seq[Action] =
+        if (!metaChanged) Nil
+        else Seq(meta.copy(schemaString = cleanSchema.json, configuration = cleanConf))
+      newMeta ++ rewritten :+ info
+    }
+  }
+
   /** Guardrail shared by RENAME/DROP COLUMN: the column must exist, must
     * not key the partition layout, and must not be referenced by any
     * engine table property (CHECK constraint / generated / identity) —

@@ -1334,6 +1334,52 @@ object GwCore {
       .select("r_regionkey", "r_name", "name_len")
   }
 
+  /** gw40: REORG TABLE ... APPLY (PURGE) — the mapping lifecycle's exit:
+    * after renames/drops/MOR deletes, one physical rebase folds the DVs
+    * away, rewrites renamed layouts, purges dropped bytes, and clears the
+    * mapping — so SQL row-level DML (rejected on mapped tables) works
+    * again. The gate drives the FULL lifecycle: rename -> drop -> MOR
+    * delete -> REORG -> SQL UPDATE. */
+  def gw40Reorg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val tmp = Files.createTempDirectory("gw40")
+    val loc = tmp.resolve("db/nation").toString
+    spark.read.parquet(s"$dir/nation.parquet").createOrReplaceTempView("gw40_src")
+    spark.sql(s"CREATE TABLE gw.$ns.t (n_nationkey BIGINT, n_name STRING, " +
+      s"n_regionkey BIGINT) USING gwdelta LOCATION '$loc'")
+    spark.sql(s"INSERT INTO gw.$ns.t SELECT * FROM gw40_src")
+    spark.sql(s"ALTER TABLE gw.$ns.t RENAME COLUMN n_name TO nation_name")
+    spark.sql(s"ALTER TABLE gw.$ns.t DROP COLUMN n_regionkey")
+    val t = GwTable.forPath(spark, loc)
+    require(t.delete(col("n_nationkey") < 3, mergeOnRead = true) > 0)
+    require(t.snapshot().files.exists(_.dv.isDefined), "setup needs a DV")
+    // mapped tables reject SQL row-level DML — the state REORG exits
+    val rejected =
+      try { spark.sql(s"UPDATE gw.$ns.t SET nation_name = 'X' " +
+        "WHERE n_nationkey = 24"); false }
+      catch { case e: Exception => e.getMessage.contains("column-mapped") ||
+        Option(e.getCause).exists(_.getMessage.contains("column-mapped")) }
+    require(rejected, "SQL UPDATE must be rejected while mapped")
+    val oldFiles = t.snapshot().files.map(_.path).toSet
+    val res = spark.sql(s"REORG TABLE gw.$ns.t APPLY (PURGE)").collect()
+    require(res.length == 1 && res.head.getLong(1) > 0, s"REORG failed: ${res.toSeq}")
+    val after = t.snapshot()
+    require(!graft.log.ColumnMapping.hasMapping(after.schema),
+      "REORG must clear the mapping pins")
+    require(after.files.forall(_.dv.isEmpty), "REORG must fold DVs away")
+    require(after.files.map(_.path).toSet.intersect(oldFiles).isEmpty,
+      "REORG must rewrite every mapped-era file")
+    require(!after.metadata.get.configuration.keys
+      .exists(_.startsWith(GwTable.DroppedPhysicalPrefix)),
+      "REORG must clear the dropped-name tombstones")
+    // the lifecycle completes: SQL UPDATE works on the reorged table
+    spark.sql(s"UPDATE gw.$ns.t SET nation_name = 'X' WHERE n_nationkey = 24")
+    spark.sql(s"SELECT n_nationkey, nation_name FROM gw.$ns.t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1374,6 +1420,7 @@ object GwCore {
     "gw37_identity_columns" -> gw37IdentityColumns _,
     "gw38_column_mapping" -> gw38ColumnMapping _,
     "gw39_merge_schema" -> gw39MergeSchema _,
+    "gw40_reorg_purge" -> gw40Reorg _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1518,6 +1565,11 @@ object GwCore {
         |FROM orders""".stripMargin,
     // every row (seed + both allocated slices) carries an id; exact id
     // values are partition-stride-dependent, pinned in-gate instead
+    // keys < 3 left via the MOR delete; key 24 repriced post-reorg
+    "gw40_reorg_purge" ->
+      """SELECT n_nationkey,
+        | CASE WHEN n_nationkey = 24 THEN 'X' ELSE n_name END AS nation_name
+        |FROM nation WHERE n_nationkey >= 3""".stripMargin,
     // pre-widening rows null-fill the new column; the widened batch
     // carries it; the column-subset batch null-fills the rest
     "gw39_merge_schema" ->

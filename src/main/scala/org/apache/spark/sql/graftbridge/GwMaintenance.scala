@@ -48,6 +48,9 @@ object GwMaintenance {
     ("""(?is)^\s*CREATE\s+TABLE\s+""" + TableRef + """\s+SHALLOW\s+CLONE\s+""" +
       TableRef + """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
+  private val Reorg =
+    ("""(?is)^\s*REORG\s+(?:TABLE\s+)?""" + TableRef +
+      """\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
 
   /** Maintenance statement -> command plan; None = not ours. */
   def parse(sql: String): Option[LogicalPlan] = sql match {
@@ -61,6 +64,7 @@ object GwMaintenance {
     case History(ref) => Some(GwDescribeHistoryCommand(ref))
     case Detail(ref) => Some(GwDescribeDetailCommand(ref))
     case Restore(ref, v) => Some(GwRestoreCommand(ref, v.toLong))
+    case Reorg(ref) => Some(GwReorgCommand(ref))
     case Clone(target, source, v, loc) =>
       Some(GwCloneCommand(target, source,
         Option(v).map(_.toLong), Option(loc)))
@@ -145,6 +149,22 @@ case class GwOptimizeCommand(ref: String, zorderBy: Seq[String],
       .compact(target, zorderBy,
         where.map(org.apache.spark.sql.functions.expr))
     Seq(Row(path, v))
+  }
+}
+
+/** `REORG TABLE t APPLY (PURGE)`: physical rebase — folds deletion
+  * vectors away, rewrites renamed-column layouts, purges dropped-column
+  * bytes, clears the mapping layer ([[graft.GwTable.reorg]]). */
+case class GwReorgCommand(ref: String) extends GwMaintenanceCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GwMaintenance.resolvePath(spark, ref)
+    val target = spark.conf
+      .getOption("spark.graft.optimize.targetFileBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    Seq(Row(path, graft.GwTable.forPath(spark, path).reorg(target)))
   }
 }
 
