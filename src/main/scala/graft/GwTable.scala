@@ -121,7 +121,13 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     require(partitionPredicate.isEmpty || partCols.nonEmpty,
       "OPTIMIZE ... WHERE selects partition values, but the table is " +
         "unpartitioned — drop the WHERE clause")
-    clusterBy.foreach { c =>
+    // liquid-style declared clustering: OPTIMIZE without an explicit
+    // ZORDER BY applies the table's graft.clusterBy property
+    val effectiveClusterBy =
+      if (clusterBy.nonEmpty) clusterBy
+      else snap.metadata.flatMap(_.configuration.get(GwTable.ClusterByProp))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    effectiveClusterBy.foreach { c =>
       require(snap.schema.fieldNames.contains(c),
         s"clusterBy column '$c' is not in the table schema " +
           s"(${snap.schema.fieldNames.mkString(", ")})")
@@ -153,10 +159,10 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       // the rewritten files carry no DV and the originals tombstone out
       val base = Dv.readLive(spark, snap.schema, files)
       val arranged =
-        if (clusterBy.isEmpty) base.repartition(nOut)
-        else if (clusterBy.size == 1) base
-          .repartitionByRange(nOut, clusterBy.map(col): _*)
-          .sortWithinPartitions(clusterBy.map(col): _*)
+        if (effectiveClusterBy.isEmpty) base.repartition(nOut)
+        else if (effectiveClusterBy.size == 1) base
+          .repartitionByRange(nOut, effectiveClusterBy.map(col): _*)
+          .sortWithinPartitions(effectiveClusterBy.map(col): _*)
         else {
           // multi-column clustering is true Z-ORDER: a lexicographic range
           // sort would leave every non-leading column spanning the full
@@ -169,7 +175,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
               ns.flatten.sum - files.flatMap(_.dv).map(_.cardinality).sum
             else base.count()
           }
-          val z = graft.functions.ZOrder.zvalue(base, clusterBy, est)
+          val z = graft.functions.ZOrder.zvalue(base, effectiveClusterBy, est)
           base.withColumn("__gw_zvalue", z)
             .repartitionByRange(nOut, col("__gw_zvalue"))
             .sortWithinPartitions(col("__gw_zvalue"))
@@ -1283,6 +1289,14 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         org.apache.spark.sql.graftbridge.GwConstraintRule
           .validate(spark, k.stripPrefix(GwTable.ConstraintPrefix), v,
             snapForValidate.get.schema)
+      else if (k == GwTable.ClusterByProp) {
+        val cols = v.split(",").map(_.trim).filter(_.nonEmpty)
+        val schemaV = snapshot().schema
+        require(cols.nonEmpty, "graft.clusterBy needs at least one column")
+        cols.foreach(c => require(schemaV.fieldNames.contains(c),
+          s"CLUSTER BY column '$c' is not in the table schema " +
+            s"(${schemaV.fieldNames.mkString(", ")})"))
+      }
       else if (k.startsWith(GwTable.IdentityPrefix)) {
         if (!k.endsWith(".highWaterMark")) {
           val colName = k.stripPrefix(GwTable.IdentityPrefix)
@@ -1358,6 +1372,11 @@ object GwTable {
     * expressions (Delta stores its constraints the same way, under
     * `delta.constraints.*`). */
   val ConstraintPrefix = "graft.constraints."
+
+  /** Declared clustering columns (liquid-clustering role): applied by
+    * every OPTIMIZE that has no explicit ZORDER BY. Set via
+    * `CREATE TABLE ... CLUSTER BY (a, b)` or TBLPROPERTIES. */
+  val ClusterByProp = "graft.clusterBy"
 
   /** Table-property namespace recording the ON-FILE names of DROPPED
     * columns (column mapping): a re-added logical name gets a fresh

@@ -1380,6 +1380,53 @@ object GwCore {
     spark.sql(s"SELECT n_nationkey, nation_name FROM gw.$ns.t")
   }
 
+  /** gw41: declared clustering (the liquid-clustering role): `CREATE
+    * TABLE ... CLUSTER BY (a, b)` persists the clustering columns as table
+    * metadata, and every `OPTIMIZE` WITHOUT an explicit ZORDER BY applies
+    * them — users declare layout intent once instead of remembering the
+    * right ZORDER clause in every maintenance window. In-gate: the
+    * bare-OPTIMIZE rewrite must prune on BOTH declared columns (the gw31
+    * Morton tiling through the property path). */
+  def gw41ClusterBy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val tmp = Files.createTempDirectory("gw41")
+    val loc = tmp.resolve("db/orders").toString
+    spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey").createOrReplaceTempView("gw41_src")
+    spark.sql(s"CREATE TABLE gw.$ns.t (o_orderkey BIGINT, o_custkey BIGINT) " +
+      s"USING gwdelta CLUSTER BY (o_orderkey, o_custkey) LOCATION '$loc'")
+    for (i <- 0 until 8)
+      spark.sql(s"INSERT INTO gw.$ns.t SELECT * FROM gw41_src " +
+        s"WHERE o_orderkey % 8 = $i")
+    val table = GwTable.forPath(spark, loc)
+    require(table.snapshot().metadata.get.configuration
+      .get(GwTable.ClusterByProp).contains("o_orderkey,o_custkey"),
+      "CLUSTER BY must persist into the table metadata at bootstrap")
+    val target = table.snapshot().files.map(_.size).max * 2
+    spark.conf.set("spark.graft.optimize.targetFileBytes", target.toString)
+    try { spark.sql(s"OPTIMIZE gw.$ns.t"); () } // NO zorder clause
+    finally spark.conf.unset("spark.graft.optimize.targetFileBytes")
+    val nFiles = table.snapshot().files.size
+    def planned(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
+      }.head
+    val read = spark.read.format("gwdelta").load(loc)
+    if (nFiles >= 4) {
+      val mx = spark.sql(s"SELECT max(o_orderkey), max(o_custkey) FROM gw.$ns.t").head()
+      require(planned(read.filter(col("o_orderkey") < mx.getLong(0) / 8)) < nFiles,
+        "declared clustering must prune the FIRST column on a bare OPTIMIZE")
+      require(planned(read.filter(col("o_custkey") < mx.getLong(1) / 8)) < nFiles,
+        "declared clustering must prune the SECOND column on a bare OPTIMIZE")
+    }
+    spark.sql(s"SELECT o_orderkey, o_custkey FROM gw.$ns.t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1421,6 +1468,7 @@ object GwCore {
     "gw38_column_mapping" -> gw38ColumnMapping _,
     "gw39_merge_schema" -> gw39MergeSchema _,
     "gw40_reorg_purge" -> gw40Reorg _,
+    "gw41_cluster_by" -> gw41ClusterBy _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1565,6 +1613,9 @@ object GwCore {
         |FROM orders""".stripMargin,
     // every row (seed + both allocated slices) carries an id; exact id
     // values are partition-stride-dependent, pinned in-gate instead
+    // layout-only feature: content is the plain projection
+    "gw41_cluster_by" ->
+      """SELECT o_orderkey, o_custkey FROM orders""".stripMargin,
     // keys < 3 left via the MOR delete; key 24 repriced post-reorg
     "gw40_reorg_purge" ->
       """SELECT n_nationkey,

@@ -81,7 +81,8 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
     new Path(metaDir(ident.namespace.toSeq), s"${ident.name}.json")
 
   private case class Pointer(location: String, managed: Boolean,
-      declared: Option[StructType], partitionColumns: Seq[String])
+      declared: Option[StructType], partitionColumns: Seq[String],
+      clusterBy: Seq[String] = Nil)
 
   private def readPointer(ident: Identifier): Option[Pointer] = {
     val p = pointerPath(ident)
@@ -94,11 +95,12 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
         val declared = Option(root.get("schemaJson")).map(_.asText())
           .flatMap(j => Try(org.apache.spark.sql.types.DataType.fromJson(j)
             .asInstanceOf[StructType]).toOption)
-        val partCols = Option(root.get("partitionColumns"))
+        def cols(field: String) = Option(root.get(field))
           .map(arr => (0 until arr.size()).map(arr.get(_).asText()).toSeq)
           .getOrElse(Nil)
         Some(Pointer(root.path("location").asText(),
-          root.path("managed").asBoolean(false), declared, partCols))
+          root.path("managed").asBoolean(false), declared,
+          cols("partitionColumns"), cols("clusterBy")))
       } finally in.close()
     }
   }
@@ -145,7 +147,7 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
       // (carrying the declared PARTITIONED BY layout into the metadata)
       new org.apache.spark.sql.graftbridge.GwDeltaPendingTable(
         displayName, pointer.declared.getOrElse(new StructType()), location,
-        pointer.partitionColumns)
+        pointer.partitionColumns, pointer.clusterBy)
     } else {
       val opts = new CaseInsensitiveStringMap(java.util.Collections.singletonMap("path", location))
       new org.apache.spark.sql.graftbridge.GwDeltaTable(
@@ -168,16 +170,26 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
       require(p.equalsIgnoreCase("gwdelta"),
         s"GwCatalog stores gwdelta tables only; got USING $p")
     }
-    // identity partition transforms only: hive-style value directories are
-    // the layout the log's partitionValues field models; bucket/temporal
-    // transforms would need a different addressing scheme
-    val partCols = partitions.toSeq.map { t =>
-      if (t.name == "identity" && t.references.length == 1 &&
-          t.references.head.fieldNames.length == 1)
-        t.references.head.fieldNames.head
-      else throw new UnsupportedOperationException(
-        s"gwdelta supports PARTITIONED BY (column) identity partitioning only; got $t")
-    }
+    // identity partition transforms (hive-style value directories, the
+    // layout the log's partitionValues models) and CLUSTER BY (liquid-
+    // style declared clustering: stored as the graft.clusterBy property,
+    // applied by every OPTIMIZE without an explicit ZORDER BY)
+    val clusterCols = partitions.toSeq.collect {
+      case c: org.apache.spark.sql.connector.expressions.ClusterByTransform =>
+        c.columnNames.map(_.fieldNames.mkString("."))
+    }.flatten
+    val partCols = partitions.toSeq
+      .filterNot(_.isInstanceOf[org.apache.spark.sql.connector.expressions.ClusterByTransform])
+      .map { t =>
+        if (t.name == "identity" && t.references.length == 1 &&
+            t.references.head.fieldNames.length == 1)
+          t.references.head.fieldNames.head
+        else throw new UnsupportedOperationException(
+          s"gwdelta supports PARTITIONED BY (column) identity partitioning " +
+            s"and CLUSTER BY (columns) only; got $t")
+      }
+    clusterCols.foreach(c => require(schema.isEmpty || schema.fieldNames.contains(c),
+      s"CLUSTER BY column '$c' is not among the declared columns"))
     partCols.foreach(c => require(schema.isEmpty || schema.fieldNames.contains(c),
       s"partition column '$c' is not among the declared columns"))
     val explicit = Option(properties.get(TableCatalog.PROP_LOCATION))
@@ -210,6 +222,10 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
     if (partCols.nonEmpty) {
       val arr = node.putArray("partitionColumns")
       partCols.foreach(c => arr.add(c))
+    }
+    if (clusterCols.nonEmpty) {
+      val arr = node.putArray("clusterBy")
+      clusterCols.foreach(c => arr.add(c))
     }
     // create-no-overwrite: concurrent CREATE of the same name — one wins
     val out =
@@ -274,7 +290,7 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean =
     readPointer(ident) match {
       case None => false
-      case Some(Pointer(location, managed, _, _)) =>
+      case Some(Pointer(location, managed, _, _, _)) =>
         // external tables: drop the pointer only — the data and its log
         // belong to the indexer (shallow-clone semantics). Managed tables
         // (no LOCATION given) own their directory, so drop reclaims it.

@@ -46,7 +46,8 @@ object GwSink {
     * and that version returned. Non-bootstrap appends require the batch
     * schema to match the table's logged schema (nullability ignored). */
   def append(df: DataFrame, tablePath: String, txnId: Option[String] = None,
-      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false): Long = {
+      partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false,
+      bootstrapProps: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val log = GwLog.forTable(conf, tablePath)
@@ -67,7 +68,8 @@ object GwSink {
     val files: Seq[AddFile] =
       graft.sources.SchemaProbe.harvestPartitioned(conf, outDir, dataChange = true, parts)
     if (files.isEmpty) { fs.delete(outDir, true); return -1L }
-    commitAppend(log, df.schema, files, txnId, parts, readMeta, widened)
+    commitAppend(log, df.schema, files, txnId, parts, readMeta, widened,
+      bootstrapProps)
   }
 
   /** The union schema a `mergeSchema` append commits: existing fields
@@ -244,7 +246,8 @@ object GwSink {
       files: Seq[AddFile], txnId: Option[String],
       partitionColumns: Seq[String] = Nil,
       readMeta: Option[Metadata] = None,
-      widened: Option[org.apache.spark.sql.types.StructType] = None): Long =
+      widened: Option[org.apache.spark.sql.types.StructType] = None,
+      bootstrapProps: Map[String, String] = Map.empty): Long =
     commitReplayable(log, txnId) { bootstrap =>
       val freshMeta = if (bootstrap) None else log.snapshot(None).metadata
       if (!bootstrap)
@@ -266,6 +269,7 @@ object GwSink {
             id = java.util.UUID.randomUUID().toString,
             schemaString = schema.json,
             partitionColumns = partitionColumns,
+            configuration = bootstrapProps,
             createdTime = now))
         else Nil
       val info = CommitInfo(
@@ -399,7 +403,8 @@ object GwSink {
     * time travel until `vacuum`. An EMPTY batch is a plain TRUNCATE (the
     * remove-all commit still happens, unlike `append`'s no-op). */
   def overwrite(df: DataFrame, tablePath: String,
-      partitionBy: Seq[String] = Nil, txnId: Option[String] = None): Long = {
+      partitionBy: Seq[String] = Nil, txnId: Option[String] = None,
+      bootstrapProps: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val log = GwLog.forTable(conf, tablePath)
@@ -431,6 +436,7 @@ object GwSink {
             id = java.util.UUID.randomUUID().toString,
             schemaString = df.schema.json,
             partitionColumns = parts,
+            configuration = bootstrapProps,
             createdTime = now))
         else Nil
       val info = CommitInfo(

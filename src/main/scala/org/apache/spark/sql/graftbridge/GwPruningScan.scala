@@ -159,7 +159,8 @@ private[graftbridge] object GwWriteBuilders {
   def forPath(path: String, declared: Option[StructType] = None,
       spark: Option[SparkSession] = None,
       info: Option[LogicalWriteInfo] = None,
-      partitionBy: Seq[String] = Nil): WriteBuilder =
+      partitionBy: Seq[String] = Nil,
+      bootstrapProps: Map[String, String] = Map.empty): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var truncateFirst = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -177,9 +178,11 @@ private[graftbridge] object GwWriteBuilders {
               // table's partitionColumns); later appends re-derive the
               // layout from the log either way
               if (truncateFirst || overwrite)
-                graft.streaming.GwSink.overwrite(data, path, partitionBy)
+                graft.streaming.GwSink.overwrite(data, path, partitionBy,
+                  bootstrapProps = bootstrapProps)
               else graft.streaming.GwSink.append(data, path,
-                txnId = None, partitionBy = partitionBy)
+                txnId = None, partitionBy = partitionBy,
+                bootstrapProps = bootstrapProps)
               ()
             }
           }
@@ -200,7 +203,8 @@ class GwDeltaPendingTable(
     tableName: String,
     declaredSchema: StructType,
     val path: String,
-    partitionColumns: Seq[String] = Nil) extends Table
+    partitionColumns: Seq[String] = Nil,
+    clusterBy: Seq[String] = Nil) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String =
@@ -219,7 +223,10 @@ class GwDeltaPendingTable(
       org.apache.spark.sql.connector.write.WriteBuilder =
     GwWriteBuilders.forPath(path, Some(declaredSchema),
       spark = Some(SparkSession.active), info = Some(info),
-      partitionBy = partitionColumns)
+      partitionBy = partitionColumns,
+      bootstrapProps =
+        if (clusterBy.isEmpty) Map.empty
+        else Map(graft.GwTable.ClusterByProp -> clusterBy.mkString(",")))
 }
 
 class GwPruningScanBuilder(
