@@ -1427,6 +1427,35 @@ object GwCore {
     spark.sql(s"SELECT o_orderkey, o_custkey FROM gw.$ns.t")
   }
 
+  /** gw42: auto-compaction — with `graft.autoOptimize.autoCompact = true`,
+    * an append that accumulates `spark.graft.autoCompact.minNumFiles`
+    * small files triggers an inline OPTIMIZE at the ingest site (the
+    * small-file problem self-heals; no maintenance window needed).
+    * Best-effort: concurrent conflicts skip silently. */
+  def gw42AutoCompact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw42")
+    val loc = tmp.resolve("db/nation").toString
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+      .select("n_nationkey", "n_name")
+    nation.filter(col("n_nationkey") === 0).coalesce(1)
+      .write.format("gwdelta").mode("append").save(loc)
+    val t = GwTable.forPath(spark, loc)
+    t.updateProperties(Map("graft.autoOptimize.autoCompact" -> "true"))
+    spark.conf.set("spark.graft.autoCompact.minNumFiles", "4")
+    try {
+      for (i <- 1 to 5)
+        nation.filter(col("n_nationkey") === i).coalesce(1)
+          .write.format("gwdelta").mode("append").save(loc)
+    } finally spark.conf.unset("spark.graft.autoCompact.minNumFiles")
+    val hist = t.history.collect().map(_.getString(2))
+    require(hist.contains("OPTIMIZE"),
+      s"auto-compact must have triggered an OPTIMIZE commit, got ${hist.toSeq}")
+    require(t.snapshot().files.size < 6,
+      s"small files must have been folded, got ${t.snapshot().files.size}")
+    spark.read.format("gwdelta").load(loc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1469,6 +1498,7 @@ object GwCore {
     "gw39_merge_schema" -> gw39MergeSchema _,
     "gw40_reorg_purge" -> gw40Reorg _,
     "gw41_cluster_by" -> gw41ClusterBy _,
+    "gw42_auto_compact" -> gw42AutoCompact _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1613,6 +1643,10 @@ object GwCore {
         |FROM orders""".stripMargin,
     // every row (seed + both allocated slices) carries an id; exact id
     // values are partition-stride-dependent, pinned in-gate instead
+    // compaction is content-neutral: keys 0..5 exactly once
+    "gw42_auto_compact" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_nationkey <= 5""".stripMargin,
     // layout-only feature: content is the plain projection
     "gw41_cluster_by" ->
       """SELECT o_orderkey, o_custkey FROM orders""".stripMargin,

@@ -68,8 +68,34 @@ object GwSink {
     val files: Seq[AddFile] =
       graft.sources.SchemaProbe.harvestPartitioned(conf, outDir, dataChange = true, parts)
     if (files.isEmpty) { fs.delete(outDir, true); return -1L }
-    commitAppend(log, df.schema, files, txnId, parts, readMeta, widened,
+    val v = commitAppend(log, df.schema, files, txnId, parts, readMeta, widened,
       bootstrapProps)
+    maybeAutoCompact(spark, log, tablePath)
+    v
+  }
+
+  /** Auto-compaction (Delta `autoOptimize.autoCompact` parity): with the
+    * `graft.autoOptimize.autoCompact = true` table property, an append
+    * that leaves at least `spark.graft.autoCompact.minNumFiles`
+    * (default 50) small files triggers an inline OPTIMIZE — the
+    * small-file problem self-heals at the ingest site instead of waiting
+    * for a maintenance window. Best-effort by design: a concurrent
+    * writer's conflict aborts the compaction silently (the append itself
+    * is already committed; the next trigger retries), and declared
+    * clustering (graft.clusterBy) applies automatically. */
+  private def maybeAutoCompact(spark: org.apache.spark.sql.SparkSession,
+      log: GwLog, tablePath: String): Unit = {
+    val snap = try log.snapshot(None) catch { case scala.util.control.NonFatal(_) => return }
+    val enabled = snap.metadata.exists(
+      _.configuration.get("graft.autoOptimize.autoCompact").exists(_.toBoolean))
+    if (!enabled) return
+    val minFiles = spark.conf.getOption("spark.graft.autoCompact.minNumFiles")
+      .map(_.toInt).getOrElse(50)
+    val target = spark.conf.getOption("spark.graft.optimize.targetFileBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    if (snap.files.count(_.size < target) < minFiles) return
+    try { graft.GwTable.forPath(spark, tablePath).compact(target); () }
+    catch { case _: graft.log.GwConcurrentModificationException => () }
   }
 
   /** The union schema a `mergeSchema` append commits: existing fields
