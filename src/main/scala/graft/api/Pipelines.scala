@@ -659,6 +659,33 @@ object Pipelines {
       .withColumn("keep", col("logit_milli") >= 0L)
   }
 
+  /**
+   * Rare-word scoring against a broadcast top-K vocabulary: pass 1 derives
+   * the corpus's K most document-frequent words (the "common" set — one
+   * aggregation over DISTINCT (doc, word) pairs, deterministic tiebreak);
+   * pass 2 scores every document's tokens against the BROADCAST set, so
+   * the corpus never shuffles for the scoring itself. High rare-token
+   * share flags OCR noise, boilerplate code, and exotic domains — the
+   * cheap vocabulary-based cousin of model-based quality scoring
+   * ([[linearQualityScore]]). All-integer outputs (permille) keep the
+   * gate hash-exact. Returns (id, n_tokens, n_rare, rare_permille).
+   */
+  def rareWordScore(df: DataFrame, id: Column, text: Column, topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val vocab = df
+      .select(explode(array_distinct(split(lower(text), " "))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w"))
+      .limit(topK)
+      .select("w")
+    df.select(id.as("__id"), explode(split(lower(text), " ")).as("w"))
+      .join(broadcast(vocab.withColumn("__common", lit(true))), Seq("w"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__common").isNull, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_permille", expr("n_rare * 1000 div n_tokens"))
+  }
+
   /** One row per (id, consecutive word n-gram) — duplicates preserved. */
   private def wordGrams(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     val w = split(text, " ")
@@ -1101,6 +1128,42 @@ object Pipelines {
       .select(col("q_id"), col("col.n_id").as("n_id"),
         (col("pos") + 1).cast("long").as("rnk"),
         round(col("col.score") * 1000000).cast("long").as("cos_micro"))
+
+  /**
+   * 1-bit (sign) quantized top-k: the extreme end of the quantization
+   * ladder (s04-s06 are the int8 rungs). Every embedding compresses to ONE
+   * BIGINT of sign bits (32x over float32 dim-64 — at 100 TB of
+   * embeddings the codes fit where the vectors never will), the candidate
+   * stage scores `bit_count(q XOR n)` — pure integer codegen on both
+   * engines — through the bounded-heap aggregate (k*partitions rows cross
+   * the exchange, never the product), and only the `candidates`-deep
+   * shortlist pays the exact float rerank. Charikar's SimHash bound makes
+   * the Hamming distance an angular-distance proxy; the final ranking is
+   * EXACT cosine over the shortlist, so the answer is deterministic and
+   * the whole pipeline replays in SQL (bit_count/XOR are native in both
+   * engines).
+   */
+  def signBitTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+      k: Int, candidates: Int): DataFrame = {
+    require(k >= 1 && candidates >= k, s"need candidates >= k >= 1, got k=$k candidates=$candidates")
+    import graft.functions.VecSignBits
+    val nCodes = corpus.select(id.as("n_id"), VecSignBits(vec).as("n_bits"))
+    val qCodes = queries.select(id.as("q_id"), VecSignBits(vec).as("q_bits"))
+    // negated Hamming so the shared max-heap keeps the SMALLEST distances;
+    // tiebreak inside the heap is the id, same contract as the cosine tail
+    val negHam = -bit_count(col("q_bits").bitwiseXOR(col("n_bits"))).cast("double")
+    val shortlist = broadcast(qCodes).join(nCodes, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), negHam.as("nh"), col("n_id"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.topk(col("nh"), col("n_id"), candidates).as("top"))
+      .select(col("q_id"), explode(col("top.n_id")).as("n_id"))
+    val c = corpus.select(id.as("n_id"), vec.as("n_emb"))
+      .withColumn("n_nrm", l2norm(col("n_emb")))
+    val q = queries.select(id.as("q_id"), vec.as("q_emb"))
+      .withColumn("q_nrm", l2norm(col("q_emb")))
+    topKByCosine(
+      shortlist.join(c, Seq("n_id")).join(broadcast(q), Seq("q_id")), k)
+  }
 
   def cosineTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
       k: Int): DataFrame = {

@@ -126,6 +126,17 @@ package object api {
         n: Int = 5): DataFrame =
       Pipelines.decontaminationReport(df, evalSet, id, text, n)
 
+    /** 1-bit sign-quantized top-k (Hamming prefilter + exact rerank);
+      * see [[Pipelines.signBitTopK]]. */
+    def signBitTopK(queries: DataFrame, id: Column, vec: Column,
+        k: Int, candidates: Int): DataFrame =
+      Pipelines.signBitTopK(df, queries, id, vec, k, candidates)
+
+    /** Rare-word scoring vs the corpus's broadcast top-K vocabulary;
+      * see [[Pipelines.rareWordScore]]. */
+    def rareWordScore(id: Column, text: Column, topK: Int = 65536): DataFrame =
+      Pipelines.rareWordScore(df, id, text, topK)
+
     /** Hashed-feature linear quality classifier (fastText-style): integer
       * logit per doc from a broadcast (bucket, weight_milli) model; see
       * [[Pipelines.linearQualityScore]]. */

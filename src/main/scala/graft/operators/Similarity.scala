@@ -87,6 +87,17 @@ object Similarity {
       col("vec_id"), col("embedding"), k = 10, candidates = 20)
   }
 
+  /** s09: 1-bit sign quantization + Hamming prefilter (the extreme rung
+    * of the s04-s06 quantization ladder: one BIGINT per vector, 32x
+    * compression) — bit_count(XOR) shortlist through the bounded heap,
+    * exact cosine rerank of the shortlist only. Both stages replay in
+    * SQL: DuckDB computes the identical sign bits, xor, bit_count. */
+  def s09SignBitTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Pipelines.signBitTopK(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 5, candidates = 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
@@ -96,6 +107,7 @@ object Similarity {
     "s06_quantized_rerank" -> s06QuantizedRerank _,
     "s07_knn_graph" -> s07KnnGraph _,
     "s08_mmr_topk" -> s08MmrTopK _,
+    "s09_signbit_topk" -> s09SignBitTopK _,
   )
 
   /** s02's oracle REPLAYS the LSH: the hyperplanes are deterministic
@@ -265,6 +277,32 @@ object Similarity {
         |    cc.vec_id) AS prernk
         | FROM qz qq JOIN qz cc ON qq.vec_id <> cc.vec_id
         | WHERE qq.vec_id < 10),
+        |short AS (SELECT q_id, n_id FROM pre WHERE prernk <= 20)
+        |SELECT q_id, n_id, rnk, CAST(round(1000000 * cos) AS BIGINT) AS cos_micro
+        |FROM (
+        | SELECT s.q_id, s.n_id,
+        |  list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+        |  row_number() OVER (PARTITION BY s.q_id
+        |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |             s.n_id) AS rnk
+        | FROM short s
+        | JOIN embeddings q ON q.vec_id = s.q_id
+        | JOIN embeddings c ON c.vec_id = s.n_id
+        |) WHERE rnk <= 5""".stripMargin,
+    "s09_signbit_topk" ->
+      // identical sign-bit packing (bit i set iff vec[i] > 0), integer
+      // Hamming shortlist, exact-cosine rerank — all engine-shared
+      """WITH b AS (
+        | SELECT vec_id,
+        |  list_sum(list_transform(generate_series(1, least(len(embedding), 63)),
+        |    i -> CASE WHEN embedding[i] > 0 THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END)) AS bits
+        | FROM embeddings),
+        |pre AS (
+        | SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |    bit_count(xor(q.bits, n.bits)) ASC, n.vec_id) AS prernk
+        | FROM b q JOIN b n ON q.vec_id <> n.vec_id
+        | WHERE q.vec_id < 10),
         |short AS (SELECT q_id, n_id FROM pre WHERE prernk <= 20)
         |SELECT q_id, n_id, rnk, CAST(round(1000000 * cos) AS BIGINT) AS cos_micro
         |FROM (

@@ -220,6 +220,13 @@ object TextOps {
       .withColumnRenamed("__id", "doc_id")
   }
 
+  /** t18: rare-word scoring — per-doc share of tokens outside the
+    * corpus's top-256 document-frequency vocabulary (broadcast set, zero
+    * corpus shuffle for the scoring). All-integer permille output. */
+  def t18RareWords(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.rareWordScore(docs(spark, dir), col("doc_id"), col("text"), topK = 256)
+      .withColumnRenamed("__id", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -238,6 +245,7 @@ object TextOps {
     "t15_c4_filters" -> t15C4Filters _,
     "t16_winnow_fingerprints" -> t16WinnowFingerprints _,
     "t17_quality_classifier" -> t17QualityClassifier _,
+    "t18_rare_words" -> t18RareWords _,
   )
 
   private def sqlList(lang: String): String =
@@ -370,6 +378,21 @@ object TextOps {
         |  FROM b JOIN wt USING (bucket) GROUP BY 1)
         |SELECT doc_id, n_features, logit_milli, logit_milli >= 0 AS keep
         |FROM agg""".stripMargin,
+    "t18_rare_words" ->
+      // same two passes: top-256 document-frequency vocabulary with the
+      // deterministic (df DESC, word ASC) tiebreak, then per-doc scoring
+      """WITH v AS (
+        |  SELECT w FROM (
+        |    SELECT w, count(*) AS df FROM (
+        |      SELECT DISTINCT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+        |      FROM documents)
+        |    GROUP BY w ORDER BY df DESC, w LIMIT 256)),
+        |t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS rare_permille
+        |FROM t LEFT JOIN v ON t.w = v.w
+        |GROUP BY doc_id""".stripMargin,
     "t09_heavy_hitters" ->
       // The verified-heavy-hitter contract is oracle-expressible exactly:
       // items with true frequency > n/(capacity+1), exact counts, top-5

@@ -137,6 +137,20 @@ class PlanSpec extends SparkSpec {
       s"logit fold must partial-aggregate before the doc exchange:\n$p")
   }
 
+  test("t18 rare-word scoring broadcasts the vocabulary; corpus tokens never shuffle for it") {
+    val p = plan(graft.operators.TextOps.t18RareWords(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"vocabulary not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream shuffled for the vocab join:\n$p")
+  }
+
+  test("s09 sign-bit shortlist keeps the heap shape: no window over the scored product") {
+    val p = plan(graft.operators.Similarity.s09SignBitTopK(spark, sf))
+    assert(p.contains("TopKAgg") || p.contains("topk"),
+      s"bounded-heap aggregate missing:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected join shape:\n$p")
+  }
+
   test("q32 interval-range window computes both aggregates in one window pass") {
     val p = plan(Relational.q32IntervalWindow(spark, sf))
     assert(p.contains("Window"), p)
