@@ -438,6 +438,64 @@ object Pipelines {
   }
 
   /**
+   * Content-defined chunking dedup (the CDC/FastCDC storage-dedup family,
+   * Muthitacharoen et al. 2001 LBFS): chunk boundaries are placed where a
+   * rolling window's hash satisfies `h % divisor == 0` — boundaries
+   * therefore move WITH the content, so an insertion early in a document
+   * shifts every byte yet only the chunk containing the edit changes,
+   * where fixed-size chunking ([[chunkDedup]]) would invalidate every
+   * chunk after the edit. Chunks are then deduplicated corpus-wide by
+   * digest.
+   *
+   * The boundary rule is a pure per-position predicate (md5-prefix hash of
+   * the `w`-char window starting at the position), so the whole pipeline
+   * is ONE declarative pass (generator fan-out -> boundary filter -> lag
+   * spans) and replays exactly in SQL. Textbook CDC additionally clamps
+   * chunk sizes to [min, max]; that suppression is sequential (a boundary
+   * depends on the previous boundary) and is deliberately omitted —
+   * expected chunk length is the divisor, and the duplicate-detection
+   * behavior on shifted copies is what the operator exists for.
+   *
+   * Returns one row per chunk occurring >= 2 times corpus-wide:
+   * (id, start, chunk_len, chunk_md5, n_occurrences).
+   *
+   * 100 TB posture: a row per character through codegen (like
+   * [[substringDedupSpans]]), one doc-keyed window for spans, one
+   * digest-keyed window for the corpus count — no joins, no driver state.
+   */
+  def cdcChunkDedup(df: DataFrame, id: Column, text: Column,
+      w: Int = 16, divisor: Int = 64): DataFrame = {
+    require(w >= 4 && divisor >= 2, s"need w >= 4, divisor >= 2; got $w/$divisor")
+    val base = df.select(id.as("__id"), text.as("__t"))
+    // cut AFTER position p+w when the window starting at p hash-matches;
+    // every document also cuts at its end (the final chunk)
+    val cuts = base
+      .filter(length(col("__t")) >= w)
+      .select(col("__id"),
+        explode(sequence(lit(0), length(col("__t")) - w)).as("__p"), col("__t"))
+      .filter(
+        expr(s"CAST(conv(substr(md5(substring(__t, __p + 1, $w)), 1, 15), 16, 10) AS BIGINT)")
+          % divisor === 0)
+      .select(col("__id"), (col("__p") + w).cast("long").as("cut"))
+      .unionByName(base.select(col("__id"), length(col("__t")).cast("long").as("cut")))
+      .distinct()
+    val byDoc = Window.partitionBy("__id").orderBy("cut")
+    val chunks = cuts
+      .withColumn("__prev", coalesce(lag("cut", 1).over(byDoc), lit(0L)))
+      .filter(col("cut") > col("__prev")) // zero-length tail when end is a cut
+      .join(base, Seq("__id"))
+      .select(col("__id"), col("__prev").as("start"),
+        (col("cut") - col("__prev")).as("chunk_len"),
+        md5(expr("substring(__t, __prev + 1, cut - __prev)")).as("chunk_md5"))
+    chunks
+      .withColumn("n_occurrences",
+        count(lit(1)).over(Window.partitionBy("chunk_md5")))
+      .filter(col("n_occurrences") >= 2)
+      .select(col("__id").as("id"), col("start"), col("chunk_len"),
+        col("chunk_md5"), col("n_occurrences"))
+  }
+
+  /**
    * Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
    * algorithm): hash every `k`-char gram, slide a window of `w`
    * consecutive gram hashes over each document, and select each window's

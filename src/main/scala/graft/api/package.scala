@@ -144,6 +144,12 @@ package object api {
         buckets: Int): DataFrame =
       Pipelines.linearQualityScore(df, id, text, weights, buckets)
 
+    /** Content-defined chunking dedup (rolling-hash boundaries); see
+      * [[Pipelines.cdcChunkDedup]]. */
+    def cdcChunkDedup(id: Column, text: Column, w: Int = 16,
+        divisor: Int = 64): DataFrame =
+      Pipelines.cdcChunkDedup(df, id, text, w, divisor)
+
     /** Rows whose `key` occurs in `reference` (Bloom prefilter + exact
       * verify — exact answer, corpus never shuffles). */
     def membershipReport(key: Column, id: Column, reference: DataFrame,

@@ -121,6 +121,14 @@ object Dedup {
     Pipelines.substringDedupSpans(docs(spark, dir), col("doc_id"), col("text"), L = 40)
       .withColumnRenamed("id", "doc_id")
 
+  /** Content-defined chunking dedup (d15): rolling-hash boundaries move
+    * with the content, so shifted copies still share chunk digests —
+    * the LBFS/FastCDC storage-dedup shape over the documents corpus. */
+  def d15CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.cdcChunkDedup(docs(spark, dir), col("doc_id"), col("text"),
+      w = 16, divisor = 64)
+      .withColumnRenamed("id", "doc_id")
+
   /** Cross-corpus membership dedup: which non-held-out docs share their
     * (lang, length-decade) key with the held-out slice (doc_id % 7 == 0) —
     * blocklist-style exact membership, Bloom-prefiltered corpus side.
@@ -151,6 +159,7 @@ object Dedup {
     "d12_edit_distance" -> d12EditDistance _,
     "d13_substring_dedup" -> d13SubstringDedup _,
     "d14_membership_dedup" -> d14MembershipDedup _,
+    "d15_cdc_chunks" -> d15CdcChunks _,
   )
 
   // shared SQL pieces so the d04 and d08 oracles cannot silently diverge
@@ -351,6 +360,31 @@ object Dedup {
         | CAST(max(pos) + 40 AS BIGINT) AS end_pos,
         | CAST(max(pos) + 40 - min(pos) AS BIGINT) AS span_len
         |FROM isl GROUP BY doc_id, island""".stripMargin,
+    // identical rolling-boundary rule: cut after pos+16 where the 60-bit
+    // md5-prefix window hash is 0 mod 64, plus the end-of-text cut
+    "d15_cdc_chunks" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |cuts AS (
+        |  SELECT DISTINCT doc_id, cut FROM (
+        |    SELECT doc_id, CAST(i + 16 AS BIGINT) AS cut
+        |    FROM base, UNNEST(range(0, length(text) - 15)) AS t(i)
+        |    WHERE CAST(CONCAT('0x', substr(md5(substr(text, i + 1, 16)), 1, 15)) AS BIGINT) % 64 = 0
+        |    UNION ALL
+        |    SELECT doc_id, CAST(length(text) AS BIGINT) FROM base)),
+        |chunks AS (
+        |  SELECT c.doc_id,
+        |    COALESCE(lag(cut) OVER (PARTITION BY c.doc_id ORDER BY cut), 0) AS start,
+        |    cut
+        |  FROM cuts c),
+        |hashed AS (
+        |  SELECT ch.doc_id, ch.start, ch.cut - ch.start AS chunk_len,
+        |    md5(substr(b.text, CAST(ch.start + 1 AS INT), CAST(ch.cut - ch.start AS INT))) AS chunk_md5
+        |  FROM chunks ch JOIN base b USING (doc_id)
+        |  WHERE ch.cut > ch.start)
+        |SELECT doc_id, start, chunk_len, chunk_md5,
+        |  count(*) OVER (PARTITION BY chunk_md5) AS n_occurrences
+        |FROM hashed
+        |QUALIFY n_occurrences >= 2""".stripMargin,
     // the Bloom prefilter only bounds the join input (no false negatives,
     // FPs die in the exact verify), so the oracle is the plain semi-join
     "d14_membership_dedup" ->
