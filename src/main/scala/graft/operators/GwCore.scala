@@ -1652,7 +1652,7 @@ object GwCore {
       """SELECT o_orderkey, o_custkey FROM orders""".stripMargin,
     // keys < 3 left via the MOR delete; key 24 repriced post-reorg
     "gw40_reorg_purge" ->
-      """SELECT n_nationkey,
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         | CASE WHEN n_nationkey = 24 THEN 'X' ELSE n_name END AS nation_name
         |FROM nation WHERE n_nationkey >= 3""".stripMargin,
     // pre-widening rows null-fill the new column; the widened batch
@@ -1667,10 +1667,11 @@ object GwCore {
     // 25 originals + the re-ingested keys 0..3, filtered at >= 2: the
     // renamed column serves the same bytes under its new name
     "gw38_column_mapping" ->
-      """SELECT n_nationkey, n_name AS nation_name FROM nation
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        | n_name AS nation_name FROM nation
         |WHERE n_nationkey >= 2
         |UNION ALL
-        |SELECT n_nationkey, n_name FROM nation
+        |SELECT CAST(n_nationkey AS BIGINT), n_name FROM nation
         |WHERE n_nationkey >= 2 AND n_nationkey < 4""".stripMargin,
     "gw37_identity_columns" ->
       """SELECT CAST(1 AS BOOLEAN) AS id_assigned,
