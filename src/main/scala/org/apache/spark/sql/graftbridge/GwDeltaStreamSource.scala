@@ -46,9 +46,6 @@ class GwDeltaStreamSource(
   private val spark = sqlContext.sparkSession.asInstanceOf[ClassicSession]
   private val log = GwLog.forTable(spark.sparkContext.hadoopConfiguration, tablePath)
   private val streamSchema: StructType = log.snapshot(None).schema
-  require(!graft.log.ColumnMapping.hasMapping(streamSchema),
-    s"streaming a column-mapped (renamed-column) table is not supported " +
-      s"yet at $tablePath: restart consumption from a batch read")
   private val params =
     org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters)
   private val cdf = params.get("readChangeFeed").exists(_.toBoolean)
@@ -102,20 +99,28 @@ class GwDeltaStreamSource(
 
   /** Streaming-leaf relation over `paths` (isStreaming=true for
     * MicroBatchExecution), or an empty streaming LocalRelation. */
-  private def streamingRelation(paths: Seq[String], sch: StructType): DataFrame =
+  /** Files are read under the PHYSICAL layout (column mapping); the
+    * logical names surface through a projection — an unmapped table's
+    * physicalSchema IS its logical schema, so the plain path is untouched. */
+  private def streamingRelation(paths: Seq[String], sch: StructType): DataFrame = {
+    val logical = graft.log.ColumnMapping.stripMeta(sch)
     if (paths.isEmpty)
       Dataset.ofRows(spark,
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(sch),
+          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(logical),
           Seq.empty, isStreaming = true))
     else {
+      val phys = graft.log.ColumnMapping.physicalSchema(sch)
       val relation = DataSource(
         sparkSession = spark,
         className = "parquet",
         paths = paths,
-        userSpecifiedSchema = Some(sch)).resolveRelation(checkFilesExist = false)
-      Dataset.ofRows(spark, LogicalRelation(relation, isStreaming = true))
+        userSpecifiedSchema = Some(phys)).resolveRelation(checkFilesExist = false)
+      val base = Dataset.ofRows(spark, LogicalRelation(relation, isStreaming = true))
+      if (!graft.log.ColumnMapping.hasMapping(sch)) base
+      else base.toDF(logical.fieldNames.toIndexedSeq: _*)
     }
+  }
 
   /** Change-feed micro-batch for versions `(s, e]`: per-version tagged file
     * reads — see the class doc for the supported commit shapes. */

@@ -34,9 +34,6 @@ class GwMicroBatchStream(
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  require(!graft.log.ColumnMapping.hasMapping(streamSchema),
-    s"streaming a column-mapped (renamed-column) table is not supported " +
-      s"yet at $tablePath: restart consumption from a batch read")
 
 
   private val log = GwLog.forTable(spark.sparkContext.hadoopConfiguration, tablePath)
@@ -97,8 +94,11 @@ class GwMicroBatchStream(
   private def parquetScan(paths: Seq[String]): ParquetScan = {
     val options = new CaseInsensitiveStringMap(
       java.util.Collections.singletonMap("path", tablePath))
+    // PHYSICAL layout into the parquet reader (column mapping); the stream
+    // reports logical names upward and rows are positional
     ParquetTable(s"gwdelta-stream:$tablePath", spark, options, paths,
-      Some(streamSchema), classOf[ParquetFileFormat])
+      Some(graft.log.ColumnMapping.physicalSchema(streamSchema)),
+      classOf[ParquetFileFormat])
       .newScanBuilder(options).build().asInstanceOf[ParquetScan]
   }
 

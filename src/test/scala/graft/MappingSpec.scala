@@ -124,12 +124,23 @@ class MappingSpec extends SparkSpec {
     // SQL row-level ops are rejected on mapped tables (typed message)
     val mappedSnap = t.snapshot()
     assert(graft.log.ColumnMapping.hasMapping(mappedSnap.schema))
-    // streaming a mapped table is rejected loudly
-    val e3 = intercept[Exception] {
-      spark.readStream.format("gwdelta").load(dir).writeStream
-        .format("noop").start().processAllAvailable()
-    }
-    assert(e3.getMessage.contains("column-mapped"), s"got: ${e3.getMessage}")
+  }
+
+  test("streaming a mapped table drains logical names equal to the batch read") {
+    val (dir, t) = freshTable()
+    assert(t.renameColumn("n_name", "nation_name") > 0)
+    graft.streaming.GwSink.append(t.toDF.filter(col("n_nationkey") < 3), dir)
+    val name = s"map_stream_${System.nanoTime()}"
+    val q = spark.readStream.format("gwdelta").load(dir)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+    assert(streamed.columns.toSeq == Seq("n_nationkey", "nation_name", "n_regionkey"))
+    assert(streamed.count() == t.toDF.count())
+    assert(streamed.filter(col("nation_name").isNull).count() == 0,
+      "renamed column must carry the bytes through the stream")
   }
 
   test("rename to a taken name / unknown column / invalid name all fail") {
