@@ -272,7 +272,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         "files mid-query. Set spark.graft.vacuum.retentionCheck=false to " +
         "force a short retention deliberately")
     val conf = spark.sparkContext.hadoopConfiguration
-    val ownedDirs = Seq("_compacted", "_stream", "_dml", "_dv").map(new Path(tablePath, _))
+    val ownedDirs = Seq("_compacted", "_stream", "_dml", "_dv", "_change_data")
+      .map(new Path(tablePath, _))
     val fs = ownedDirs.head.getFileSystem(conf)
     val presentDirs = ownedDirs.filter(fs.exists)
     if (presentDirs.isEmpty) return 0
@@ -283,7 +284,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     // the age floor, most dangerously)
     val live = gwLog.snapshot(None).files.map(f => GwTable.uriKey(f.path)).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
-    val markers = Seq("/_compacted/", "/_stream/", "/_dml/", "/_dv/")
+    val markers = Seq("/_compacted/", "/_stream/", "/_dml/", "/_dv/", "/_change_data/")
     def owned(p: String): Boolean = markers.exists(p.contains)
     // walk the log once: latest removal tombstone per engine-owned path (a
     // later re-add cancels it) + every owned path any commit ever referenced
@@ -302,6 +303,11 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
           }
           a.dv.filter(_.isOnDisk).foreach(d =>
             referenced += GwTable.uriKey(d.pathOrInlineDv))
+        // change-data files are referenced by their commit for as long as
+        // the log serves that version (same lifetime policy as on-disk DV
+        // sidecars); only UNCOMMITTED cdc output is debris-swept
+        case c: graft.log.CdcFile =>
+          referenced += GwTable.uriKey(c.path)
         case _ => ()
       }
     }
@@ -375,12 +381,20 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val (fullFiles, partialFiles, _) = classifyByPredicate(snap, cond)
     if (fullFiles.isEmpty && partialFiles.isEmpty) return -1L
     val hit = coalesce(cond, lit(false))
+    // CDF: the deleted rows are exactly the matched LIVE rows — a fully
+    // matching file contributes all its live rows, a partial one its hits
+    val cdc: Seq[Action] =
+      if (!Cdc.enabled(snap)) Nil
+      else Cdc.write(spark, tablePath, snap,
+        Dv.readLive(spark, snap.schema, fullFiles)
+          .unionAll(Dv.readLive(spark, snap.schema, partialFiles).filter(hit))
+          .withColumn(Cdc.ChangeTypeCol, lit(Cdc.Delete)))
     if (!mergeOnRead) {
       val newAdds: Seq[AddFile] =
         if (partialFiles.isEmpty) Nil
         else rewriteFiles(snap, partialFiles,
           df => df.filter(not(hit)).coalesce(math.max(1, partialFiles.size)))
-      commitDml("DELETE", fullFiles ++ partialFiles, newAdds, Some(snap))
+      commitDml("DELETE", fullFiles ++ partialFiles, newAdds, Some(snap), cdc)
     } else {
       val dvAdds = buildDvAdds(snap, partialFiles, hit)
       // a DV now covering EVERY physical row upgrades to a plain remove
@@ -388,7 +402,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         Dv.numRecords(f).exists(n => f.dv.exists(_.cardinality >= n))
       }
       commitMor("DELETE", fullFiles ++ emptied.map(_._1), kept, Nil,
-        readSnap = Some(snap))
+        readSnap = Some(snap), cdc = cdc)
     }
   }
 
@@ -450,7 +464,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     * silently drop) aborts the operation instead. */
   private def commitMor(operation: String, removes: Seq[AddFile],
       dvPairs: Seq[(AddFile, AddFile)], newAdds: Seq[AddFile],
-      verify: Seq[AddFile] = Nil, readSnap: Option[Snapshot] = None): Long =
+      verify: Seq[AddFile] = Nil, readSnap: Option[Snapshot] = None,
+      cdc: Seq[Action] = Nil): Long =
     graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
       val now = System.currentTimeMillis()
       val fresh = gwLog.snapshot(None)
@@ -466,7 +481,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         numFiles = dvAdds.size + newAdds.size,
         numOutputBytes = newAdds.map(_.size).sum,
         isBlindAppend = false, txnId = java.util.UUID.randomUUID().toString)
-      rms ++ dvAdds ++ newAdds :+ info
+      rms ++ dvAdds ++ newAdds ++ cdc :+ info
     }
 
   /**
@@ -494,8 +509,9 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       readSnap: Option[Snapshot] = None): Long = {
     if (deletes.isEmpty && newAdds.isEmpty) return -1L
     val byKey = scanned.map(f => (GwTable.uriKey(f.path), f)).toMap
-    val (removes: Seq[AddFile], dvPairs: Seq[(AddFile, AddFile)]) =
-      if (deletes.isEmpty) (Nil, Nil) else {
+    val (removes: Seq[AddFile], dvPairs: Seq[(AddFile, AddFile)],
+        freshItems: Seq[(String, Array[Byte])]) =
+      if (deletes.isEmpty) (Nil, Nil, Nil) else {
       import spark.implicits._
       val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
       val items = deletes.map { case (path, chunks) =>
@@ -507,45 +523,88 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       val slices = math.max(1,
         math.min(items.size, spark.sparkContext.defaultParallelism))
       // executor-side: decode this op's chunks + the file's current DV,
-      // union, re-serialize; only compressed bytes come back to the driver
+      // union, re-serialize; only compressed bytes come back to the driver.
+      // The FRESHLY deleted positions (ops minus existing) ride back too —
+      // they are this commit's row-level deletes (change feed).
       val merged = spark.createDataset(items).repartition(slices)
         .map { case (path, chunks, dOpt) =>
           val existing = dOpt.map { case (st, pd, off, sz) =>
             Dv.readPositions(conf.value, graft.log.DvDescriptor(
               st, pd, if (off < 0) None else Some(off), sz, 0L))
           }.getOrElse(Array.emptyLongArray)
-          val all = chunks.foldLeft(existing) { (acc, c) =>
+          java.util.Arrays.sort(existing)
+          val ops = chunks.foldLeft(Array.emptyLongArray) { (acc, c) =>
             acc ++ graft.log.RoaringBitmapArray.deserialize(c)
           }
+          java.util.Arrays.sort(ops)
+          val fresh = ops.distinct
+            .filter(p => java.util.Arrays.binarySearch(existing, p) < 0)
+          val all = existing ++ fresh
           java.util.Arrays.sort(all)
-          var w = 0
-          var i = 0
-          while (i < all.length) {
-            if (w == 0 || all(w - 1) != all(i)) { all(w) = all(i); w += 1 }
-            i += 1
-          }
-          val distinct = java.util.Arrays.copyOf(all, w)
-          (path, graft.log.RoaringBitmapArray.serialize(distinct), w.toLong)
+          (path, graft.log.RoaringBitmapArray.serialize(all), all.length.toLong,
+            graft.log.RoaringBitmapArray.serialize(fresh))
         }
         .collect().toSeq
       // a merged DV covering every physical row upgrades to a plain remove
       // BEFORE the sidecar write — no bitmap is framed for a dead file
-      val (emptied, kept) = merged.partition { case (path, _, card) =>
+      val (emptied, kept) = merged.partition { case (path, _, card, _) =>
         Dv.numRecords(byKey(GwTable.uriKey(path))).exists(card >= _)
       }
       val descs = Dv.writeDvs(
-        spark.sparkContext.hadoopConfiguration, tablePath, kept)
-      (emptied.map { case (path, _, _) => byKey(GwTable.uriKey(path)) },
-        kept.map { case (path, _, _) =>
+        spark.sparkContext.hadoopConfiguration, tablePath,
+        kept.map { case (p, b, c, _) => (p, b, c) })
+      (emptied.map { case (path, _, _, _) => byKey(GwTable.uriKey(path)) },
+        kept.map { case (path, _, _, _) =>
           val f = byKey(GwTable.uriKey(path))
           f -> f.copy(dv = Some(descs(GwTable.uriKey(path))))
-        })
+        },
+        merged.map { case (path, _, _, fresh) => (path, fresh) })
     }
+    // CDF: freshly-deleted positions' rows as deletes + the commit's new
+    // files (update/insert rows) as inserts — the derived net-change form,
+    // identical to what the batch reader's DV diff would produce, persisted
+    // so the change-feed STREAM can serve this commit
+    val snapForCdc = readSnap.getOrElse(gwLog.snapshot(None))
+    val cdc: Seq[Action] =
+      if (!Cdc.enabled(snapForCdc)) Nil
+      else {
+        import spark.implicits._
+        val schema = snapForCdc.schema
+        val delRows =
+          if (freshItems.isEmpty) Dv.readLive(spark, schema, Nil)
+          else {
+            val files = freshItems.map { case (p, _) => byKey(GwTable.uriKey(p)) }
+            val freshPos = spark.createDataset(freshItems)
+              .flatMap { case (p, b) =>
+                graft.log.RoaringBitmapArray.deserialize(b).map(pos => (p, pos))
+              }.toDF("dv_path", "pos")
+            val del = freshPos
+              .join(org.apache.spark.sql.functions.broadcast(
+                Dv.pathMapping(spark, files)), Seq("dv_path"))
+              .select(col("enc_path"), col("pos"))
+            val raw = spark.read
+              .schema(graft.log.ColumnMapping.physicalSchema(schema))
+              .parquet(files.map(_.path): _*)
+            val hitRows = raw.join(del,
+              raw.col("_metadata.file_path") === del.col("enc_path") &&
+                raw.col("_metadata.row_index") === del.col("pos"),
+              "left_semi")
+            if (!graft.log.ColumnMapping.hasMapping(schema)) hitRows
+            else hitRows.toDF(schema.fieldNames.toIndexedSeq: _*)
+          }
+        val insRows =
+          if (newAdds.isEmpty) Dv.readLive(spark, schema, Nil)
+          else graft.log.ColumnMapping.readLogical(
+            spark, schema, newAdds.map(_.path))
+        Cdc.write(spark, tablePath, snapForCdc,
+          delRows.withColumn(Cdc.ChangeTypeCol, lit(Cdc.Delete))
+            .unionAll(insRows.withColumn(Cdc.ChangeTypeCol, lit(Cdc.Insert))))
+      }
     val touchedKeys = (removes ++ dvPairs.map(_._1))
       .map(f => GwTable.uriKey(f.path)).toSet
     commitMor(operation, removes, dvPairs, newAdds,
       verify = scanned.filterNot(f => touchedKeys.contains(GwTable.uriKey(f.path))),
-      readSnap = readSnap)
+      readSnap = readSnap, cdc = cdc)
   }
 
   /**
@@ -584,6 +643,23 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val touched = fullFiles ++ partialFiles
     if (touched.isEmpty) return -1L
     val hit = coalesce(cond, lit(false))
+    // CDF: preimage = the matched LIVE rows, postimage = the assignments
+    // applied to them (pre-update references, SQL UPDATE semantics) —
+    // true row pairing, which only the writer can know
+    val cdc: Seq[Action] =
+      if (!Cdc.enabled(snap)) Nil
+      else {
+        val pre = Dv.readLive(spark, snap.schema, touched).filter(hit)
+        val post = pre.select(fields.map { f =>
+          set.get(f.name) match {
+            case Some(v) => v.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+        Cdc.write(spark, tablePath, snap,
+          pre.withColumn(Cdc.ChangeTypeCol, lit(Cdc.UpdatePre))
+            .unionAll(post.withColumn(Cdc.ChangeTypeCol, lit(Cdc.UpdatePost))))
+      }
     if (!mergeOnRead) {
       // SQL UPDATE evaluates every assignment against the PRE-update row, so
       // one select with per-column conditionals is exactly the semantics
@@ -596,7 +672,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       val newAdds = rewriteFiles(snap, touched,
         df => df.select(projected.toIndexedSeq: _*)
           .coalesce(math.max(1, touched.size)))
-      commitDml("UPDATE", touched, newAdds, Some(snap))
+      commitDml("UPDATE", touched, newAdds, Some(snap), cdc)
     } else {
       // updated copies of the matched LIVE rows (a row an earlier DV
       // deleted must not resurrect through the update)
@@ -620,7 +696,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       val (emptied, kept) = dvAdds.partition { case (_, f) =>
         Dv.numRecords(f).exists(n => f.dv.exists(_.cardinality >= n))
       }
-      commitMor("UPDATE", emptied.map(_._1), kept, newAdds, readSnap = Some(snap))
+      commitMor("UPDATE", emptied.map(_._1), kept, newAdds,
+        readSnap = Some(snap), cdc = cdc)
     }
   }
 
@@ -722,7 +799,37 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       case Some(df) =>
         val newAdds = writeDml(df.coalesce(math.max(1, touched.size + 1)), snap)
         if (touched.isEmpty && newAdds.isEmpty) -1L // no match, empty insert set
-        else commitDml("MERGE", touched, newAdds, Some(snap))
+        else {
+          // CDF: matched pairs as true pre/post images (the cardinality
+          // check above guarantees each matched LIVE row joins exactly one
+          // source row), not-matched source rows as inserts
+          val cdc: Seq[Action] =
+            if (!Cdc.enabled(snap)) Nil
+            else {
+              val matchedPairs =
+                if (touched.isEmpty || whenMatchedSet.isEmpty) None
+                else {
+                  val joined = Dv.readLive(spark, snap.schema, touched)
+                    .alias("t").join(source.alias("s"), on, "inner")
+                  val pre = joined.select(fields.map(f =>
+                    col(s"t.${f.name}").as(f.name)).toIndexedSeq: _*)
+                  val post = joined.select(fields.map { f =>
+                    whenMatchedSet.get(f.name) match {
+                      case Some(v) => v.cast(f.dataType).as(f.name)
+                      case None => col(s"t.${f.name}").as(f.name)
+                    }
+                  }.toIndexedSeq: _*)
+                  Some(pre.withColumn(Cdc.ChangeTypeCol, lit(Cdc.UpdatePre))
+                    .unionAll(post.withColumn(Cdc.ChangeTypeCol, lit(Cdc.UpdatePost))))
+                }
+              val insertRows = inserts
+                .map(_.withColumn(Cdc.ChangeTypeCol, lit(Cdc.Insert)))
+              (matchedPairs.toSeq ++ insertRows.toSeq).reduceOption(_ unionAll _)
+                .map(ch => Cdc.write(spark, tablePath, snap, ch))
+                .getOrElse(Nil)
+            }
+          commitDml("MERGE", touched, newAdds, Some(snap), cdc)
+        }
     }
   }
 
@@ -805,7 +912,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     * this operation's replacement rows were shaped against (`readSnap`,
     * the snapshot the operation planned on). */
   private def commitDml(operation: String, removes: Seq[AddFile],
-      newAdds: Seq[AddFile], readSnap: Option[Snapshot] = None): Long =
+      newAdds: Seq[AddFile], readSnap: Option[Snapshot] = None,
+      cdc: Seq[Action] = Nil): Long =
     graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
       val now = System.currentTimeMillis()
       val fresh = gwLog.snapshot(None)
@@ -816,7 +924,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       val info = CommitInfo(now, operation, "CopyOnWrite",
         numFiles = newAdds.size, numOutputBytes = newAdds.map(_.size).sum,
         isBlindAppend = false, txnId = java.util.UUID.randomUUID().toString)
-      rms ++ newAdds :+ info
+      rms ++ newAdds ++ cdc :+ info
     }
 
   /** Connector commit hook for SQL UPDATE / MERGE INTO (`ReplaceData`,
@@ -834,7 +942,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       newAdds: Seq[AddFile], scannedFiles: Seq[AddFile] = Nil,
       readSnap: Option[Snapshot] = None): Long = {
     val keys = removePaths.map(GwTable.uriKey)
-    val liveByKey = gwLog.snapshot(None).files
+    val current = gwLog.snapshot(None)
+    val liveByKey = current.files
       .map(f => GwTable.uriKey(f.path) -> f).toMap
     // a planned file no longer live = a winner removed what this operation
     // tombstones (its rewritten rows would double back without the
@@ -854,7 +963,28 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         }
     }
     if (removes.isEmpty && newAdds.isEmpty) -1L
-    else commitDml(operation, removes, newAdds, readSnap)
+    else {
+      // CDF: a group-based rewrite can't pair rows, so the change batch is
+      // the DERIVED net diff (removed live rows minus rewritten rows →
+      // delete; the reverse → insert) — the same rows the batch reader's
+      // bag-difference would produce, persisted once at write time so the
+      // CHANGE-FEED STREAM can serve this commit (a stream can't diff)
+      val cdc: Seq[Action] =
+        if (!Cdc.enabled(current)) Nil
+        else {
+          val removed = Dv.readLive(spark, current.schema, removes)
+          val added =
+            if (newAdds.isEmpty) Dv.readLive(spark, current.schema, Nil)
+            else graft.log.ColumnMapping.readLogical(
+              spark, current.schema, newAdds.map(_.path))
+          Cdc.write(spark, tablePath, current,
+            removed.exceptAll(added)
+              .withColumn(Cdc.ChangeTypeCol, lit(Cdc.Delete))
+              .unionAll(added.exceptAll(removed)
+                .withColumn(Cdc.ChangeTypeCol, lit(Cdc.Insert))))
+        }
+      commitDml(operation, removes, newAdds, readSnap, cdc)
+    }
   }
 
   /** TRUNCATE: one metadata-only commit tombstoning every live file — no
@@ -986,7 +1116,9 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       s"rowChanges($sinceVersion) is beyond the log's latest version " +
         s"${latest.version} at $tablePath — the table was rebuilt; " +
         "restart consumption from a full snapshot")
-    val schema = gwLog.snapshot(Some(sinceVersion)).schema
+    val since = gwLog.snapshot(Some(sinceVersion))
+    val schema = since.schema
+    var curMeta = since.metadata
     def read(paths: Seq[String]): DataFrame =
       if (paths.isEmpty)
         spark.createDataFrame(java.util.Collections.emptyList[Row](),
@@ -994,11 +1126,27 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       else graft.log.ColumnMapping.readLogical(spark, schema, paths)
     val parts = ((sinceVersion + 1) to latest.version).flatMap { v =>
       val actions = gwLog.readVersion(v)
-      if (actions.exists(_.isInstanceOf[Metadata]))
-        throw new IllegalStateException(
-          s"rowChanges($sinceVersion) at $tablePath crosses a schema change " +
-            s"at version $v: row identity is undefined across schemas — " +
-            "restart consumption from a full snapshot")
+      // a metadata restatement that keeps the schema + partitioning (a
+      // property change: enabling CDF itself, constraints, clustering…)
+      // is benign for row identity and passes through; a SCHEMA change
+      // still stops the feed
+      actions.collectFirst { case m: Metadata => m }.foreach { m =>
+        val benign = curMeta.exists(c => c.schemaString == m.schemaString &&
+          c.partitionColumns == m.partitionColumns)
+        if (!benign)
+          throw new IllegalStateException(
+            s"rowChanges($sinceVersion) at $tablePath crosses a schema change " +
+              s"at version $v: row identity is undefined across schemas — " +
+              "restart consumption from a full snapshot")
+        curMeta = Some(m)
+      }
+      // a commit carrying change-data files IS its own change feed — read
+      // it directly (bounded by the DML's changed rows); no diff needed
+      val cdcs = actions.collect { case c: graft.log.CdcFile => c }
+      if (cdcs.nonEmpty) {
+        Seq(Cdc.read(spark, schema, cdcs)
+          .withColumn("_commit_version", lit(v)))
+      } else {
       // a DV re-assertion is a merge-on-read DELETE: the change is exactly
       // the positions in the NEW deletion vector that the file's PREVIOUS
       // vector (if any) did not already cover — read those rows and emit
@@ -1051,6 +1199,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
             .map(_.withColumn("_commit_version", lit(v)))
         }
       filedParts ++ dvParts
+      }
     }
     if (parts.isEmpty)
       read(Nil).withColumn("_change_type", lit(""))

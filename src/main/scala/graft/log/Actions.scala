@@ -78,6 +78,21 @@ final case class CommitInfo(
     isBlindAppend: Boolean,
     txnId: String) extends Action
 
+/** Delta's `cdc` action — a CHANGE-DATA file under `<table>/_change_data/`
+  * carrying the commit's row-level changes (table columns +
+  * `_change_type`: `insert` / `delete` / `update_preimage` /
+  * `update_postimage`). Written by DML commits when the table property
+  * `graft.enableChangeDataFeed` (or `delta.enableChangeDataFeed`) is true;
+  * never part of the table's live state (`dataChange = false` per the
+  * Delta spec), read only by the change-feed surfaces (`rowChanges`,
+  * streaming `readChangeFeed`) — which prefer it over deriving the diff,
+  * making rewrite/DV commits streamable. */
+final case class CdcFile(
+    path: String,
+    size: Long,
+    dataChange: Boolean = false,
+    partitionValues: Map[String, String] = Map.empty) extends Action
+
 /** Delta's `txn` action — an application's (streaming writer's) high-water
   * mark: a committed batch `version` for `appId` means every batch at or
   * below it is durably in the table. Carried in checkpoints, so
@@ -138,6 +153,12 @@ object Actions {
         n.put("size", size)
         putMap(n, "partitionValues", partVals)
         n.put("deletionTimestamp", dts)
+        n.put("dataChange", dataChange)
+      case CdcFile(path, size, dataChange, partVals) =>
+        val n = root.putObject("cdc")
+        n.put("path", path)
+        putMap(n, "partitionValues", partVals)
+        n.put("size", size)
         n.put("dataChange", dataChange)
       case SetTransaction(appId, version, lastUpdated) =>
         val n = root.putObject("txn")
@@ -209,6 +230,13 @@ object Actions {
         size = Option(n.get("size")).map(_.asLong).getOrElse(0L),
         deletionTimestamp = Option(n.get("deletionTimestamp")).map(_.asLong).getOrElse(0L),
         dataChange = Option(n.get("dataChange")).forall(_.asBoolean),
+        partitionValues = strMap(n.get("partitionValues"))))
+    } else if (root.has("cdc")) {
+      val n = root.get("cdc")
+      Some(CdcFile(
+        path = n.get("path").asText,
+        size = Option(n.get("size")).map(_.asLong).getOrElse(0L),
+        dataChange = Option(n.get("dataChange")).exists(_.asBoolean),
         partitionValues = strMap(n.get("partitionValues"))))
     } else if (root.has("txn")) {
       val n = root.get("txn")

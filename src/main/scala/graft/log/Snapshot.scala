@@ -215,6 +215,9 @@ object Snapshot {
         case t: SetTransaction =>
           if (txns.get(t.appId).forall(_ <= t.version)) txns(t.appId) = t.version
         case _: CommitInfo => ()
+        // change-data files are commit-scoped metadata for the CDF readers,
+        // never table state (Delta spec: cdc actions don't affect snapshots)
+        case _: CdcFile => ()
       }
     }
     Snapshot(version, protocol, metadata, live.values.toSeq,

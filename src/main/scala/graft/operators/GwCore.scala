@@ -1456,6 +1456,60 @@ object GwCore {
     spark.read.format("gwdelta").load(loc)
   }
 
+  // ---------------------------------------------------------------- gw43
+  /** CHANGE DATA FEED with change-data files (Delta
+    * `delta.enableChangeDataFeed` parity, stored as
+    * `graft.enableChangeDataFeed`): DML commits on a CDF-enabled table
+    * persist their row-level changes under `_change_data/` ([[graft.Cdc]])
+    * referenced by `cdc` log actions — so the change feed no longer needs
+    * a derived diff. Exercised end to end: a copy-on-write UPDATE surfaces
+    * TRUE `update_preimage`/`update_postimage` pairs (not delete+insert), a
+    * partial DELETE its exact rows, and a merge-on-read DELETE (a
+    * deletion-vector commit) streams — all three previously stopped
+    * `readChangeFeed` with stop-and-use-the-batch-API guidance. In-gate:
+    * the streamed feed past the property commit must equal
+    * `rowChanges(1)` exactly (both faces read the same cdc files), and the
+    * property-only metadata commit (enabling CDF) must NOT stop the
+    * stream. */
+  def gw43ChangeDataFeed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, upper}
+    val tmp = Files.createTempDirectory("gw43")
+    val loc = tmp.resolve("db/region").toString
+    val region = spark.read.parquet(s"$dir/region.parquet")
+    region.write.format("gwdelta").mode("append").save(loc) // v0 bootstrap
+    val t = GwTable.forPath(spark, loc)
+    require(t.updateProperties(Map("graft.enableChangeDataFeed" -> "true")) == 1L,
+      "CDF property must commit as version 1")
+    require(t.update(col("r_regionkey") < 2,
+      Map("r_name" -> upper(col("r_name")))) == 2L,
+      "copy-on-write UPDATE must commit as version 2")
+    require(t.delete(col("r_regionkey") === 3) == 3L,
+      "partial DELETE must commit as version 3")
+    require(t.delete(col("r_regionkey") === 4, mergeOnRead = true) == 4L,
+      "merge-on-read DELETE must commit as version 4")
+    // batch reader: serves the commits' cdc files directly (no diff pass)
+    val batch = t.rowChanges(1)
+      .select(col("r_regionkey"), col("r_name"),
+        col("_change_type"), col("_commit_version"))
+    // streaming CDF drains across property + rewrite + DV commits
+    val name = s"gw43_cdf_${System.nanoTime()}"
+    val q = spark.readStream.format("gwdelta")
+      .option("readChangeFeed", "true").load(loc)
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(name).select(col("r_regionkey"), col("r_name"),
+      col("_change_type"), col("_commit_version"))
+    val tail = streamed.filter(col("_commit_version") >= 2)
+    require(tail.exceptAll(batch).isEmpty && batch.exceptAll(tail).isEmpty,
+      "streamed change feed past the CDF property commit must equal " +
+        "GwTable.rowChanges — both faces read the same change-data files")
+    streamed.select(col("r_regionkey"), col("r_name"),
+      col("_change_type").as("change_type"),
+      col("_commit_version").as("change_seq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1499,6 +1553,7 @@ object GwCore {
     "gw40_reorg_purge" -> gw40Reorg _,
     "gw41_cluster_by" -> gw41ClusterBy _,
     "gw42_auto_compact" -> gw42AutoCompact _,
+    "gw43_change_data_feed" -> gw43ChangeDataFeed _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1725,5 +1780,21 @@ object GwCore {
         |SELECT r_regionkey, r_name, CAST(2 AS BIGINT), 'delete' FROM region
         |UNION ALL
         |SELECT r_regionkey, r_name, CAST(2 AS BIGINT), 'delete' FROM region""".stripMargin,
+    "gw43_change_data_feed" ->
+      """SELECT r_regionkey, r_name, 'insert' AS change_type,
+        |       CAST(0 AS BIGINT) AS change_seq
+        |FROM region
+        |UNION ALL
+        |SELECT r_regionkey, r_name, 'update_preimage', CAST(2 AS BIGINT)
+        |FROM region WHERE r_regionkey < 2
+        |UNION ALL
+        |SELECT r_regionkey, upper(r_name), 'update_postimage', CAST(2 AS BIGINT)
+        |FROM region WHERE r_regionkey < 2
+        |UNION ALL
+        |SELECT r_regionkey, r_name, 'delete', CAST(3 AS BIGINT)
+        |FROM region WHERE r_regionkey = 3
+        |UNION ALL
+        |SELECT r_regionkey, r_name, 'delete', CAST(4 AS BIGINT)
+        |FROM region WHERE r_regionkey = 4""".stripMargin,
   )
 }

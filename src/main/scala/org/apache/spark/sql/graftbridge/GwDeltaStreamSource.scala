@@ -31,10 +31,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
  * rows tagged `_change_type = 'insert'` and remove-only commits emit the
  * removed files' rows tagged `'delete'`, each with `_commit_version` —
  * pure file reads, so the micro-batch plan stays a valid streaming plan
- * (no joins/exceptAll). A commit that MIXES added and removed data files
- * (a copy-on-write rewrite) or carries deletion vectors has no
- * join-free row diff; the stream stops with explicit guidance to the
- * batch API (`GwTable.rowChanges`), the same contract as Delta's CDF
+ * (no joins/exceptAll). A commit carrying CHANGE-DATA files (DML on a
+ * table with `graft.enableChangeDataFeed` — see [[graft.Cdc]]) serves
+ * them directly, so rewrite and deletion-vector commits stream too. Only
+ * on a NON-CDF table does such a commit stop the stream with guidance to
+ * the batch API (`GwTable.rowChanges`), the same contract as Delta's CDF
  * without CDC files.
  */
 class GwDeltaStreamSource(
@@ -125,13 +126,33 @@ class GwDeltaStreamSource(
   /** Change-feed micro-batch for versions `(s, e]`: per-version tagged file
     * reads — see the class doc for the supported commit shapes. */
   private def cdfBatch(s: Long, e: Long): DataFrame = {
+    var curMeta: Option[Metadata] =
+      if (s < 0) None else log.snapshot(Some(s)).metadata
     val parts = ((s + 1) to e).flatMap { v =>
       val actions = log.readVersion(v)
-      if (v > 0 && actions.exists(_.isInstanceOf[Metadata]))
-        throw new IllegalStateException(
-          s"gwdelta CDF stream at $tablePath: version $v restates the " +
-            "table's schema; row identity is undefined across schemas — " +
-            "restart consumption from a full snapshot")
+      // property-only restatements (enabling CDF, constraints, clustering…)
+      // keep row identity and pass through; a SCHEMA change stops the stream
+      actions.collectFirst { case m: Metadata => m }.foreach { m =>
+        val benign = v == 0 || curMeta.exists(c =>
+          c.schemaString == m.schemaString &&
+            c.partitionColumns == m.partitionColumns)
+        if (!benign)
+          throw new IllegalStateException(
+            s"gwdelta CDF stream at $tablePath: version $v restates the " +
+              "table's schema; row identity is undefined across schemas — " +
+              "restart consumption from a full snapshot")
+        curMeta = Some(m)
+      }
+      // a commit carrying CHANGE-DATA files (CDF-enabled DML) serves them
+      // directly — the tagged rows are already materialized, so rewrite
+      // and deletion-vector commits stream like any other
+      val cdcs = actions.collect { case c: graft.log.CdcFile => c }
+      if (cdcs.nonEmpty) {
+        val withType = streamSchema.add(
+          org.apache.spark.sql.types.StructField(graft.Cdc.ChangeTypeCol, StringType))
+        Some(streamingRelation(cdcs.map(_.path), withType)
+          .withColumn("_commit_version", lit(v)))
+      } else {
       val adds = actions.collect { case a: AddFile if a.dataChange => a }
       val rms = actions.collect { case r: RemoveFile if r.dataChange => r.path }
       if (adds.exists(_.dv.isDefined))
@@ -162,6 +183,7 @@ class GwDeltaStreamSource(
             .withColumn("_change_type", lit("delete")))
         else None
       tagged.map(_.withColumn("_commit_version", lit(v)))
+      }
     }
     parts.reduceOption(_ unionAll _)
       .getOrElse(streamingRelation(Nil, GwDeltaStreamSource.cdfSchema(streamSchema)))
