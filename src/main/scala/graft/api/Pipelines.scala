@@ -744,6 +744,46 @@ object Pipelines {
       .withColumn("rare_permille", expr("n_rare * 1000 div n_tokens"))
   }
 
+  /**
+   * Unigram-LM surprisal scoring (the CCNet/Wenzek et al. 2020
+   * perplexity-filter shape, made engine-exact): a unigram language model
+   * with add-one smoothing is estimated over the corpus itself — P(w) =
+   * (c(w)+1)/(N+V) — and every document scores its mean per-token
+   * surprisal. Unusually high surprisal flags OCR noise, gibberish, and
+   * wrong-language text; unusually LOW surprisal flags boilerplate — the
+   * standard both-tails curation cut.
+   *
+   * Determinism: real cross-entropy needs `ln`, whose last-ulp behavior
+   * differs across libm implementations — so the surprisal is quantized
+   * to INTEGER BITS via binary bit lengths: sb(w) = floor(log2(N+V)) -
+   * floor(log2(c(w)+1)), both computed as `length(bin(x)) - 1`, which
+   * every engine string-formats identically. The score is within 2 bits
+   * of -log2 P(w) per token — plenty for a filter threshold — and the
+   * gate stays hash-exact. A real KenLM drops in by swapping the count
+   * table for its own log-probs (quantized the same way).
+   *
+   * 100 TB posture: one word-keyed partial-agg shuffle builds the LM, the
+   * scoring join shuffles (doc, word) rows against it (vocab-sized build
+   * side — Spark broadcasts it when it fits), one doc-keyed aggregate
+   * finishes; totals ride a broadcast one-row frame, never the driver.
+   * Returns (id, n_tokens, surprisal_milli) — milli-bits per token.
+   */
+  def lmSurprisalScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = df.select(id.as("__id"), explode(split(text, " ")).as("w"))
+    val lm = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = lm.agg(sum("c").as("n"), count(lit(1)).as("v"))
+    def bits(x: Column): Column = length(bin(x)) - 1
+    words
+      .join(lm, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .select(col("__id"),
+        (bits(col("n") + col("v")) - bits(col("c") + 1)).as("sb"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(lit(1000.0) * sum(col("sb")) / count(lit(1))).cast("long")
+          .as("surprisal_milli"))
+  }
+
   /** One row per (id, consecutive word n-gram) — duplicates preserved. */
   private def wordGrams(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     val w = split(text, " ")
@@ -1406,6 +1446,147 @@ object Pipelines {
 
     topKByCosine(
       broadcast(q).join(c, Seq("list")).filter(col("q_id") =!= col("n_id")), k)
+  }
+
+  /** Seeded, data-independent PQ codebooks: `m` subspaces x `ks` centroids
+    * x (dim/m) doubles (the hyperplanes family, seed 4242). The default
+    * for [[pqTopK]]; [[trainPqCodebooks]] refines them on data. */
+  def pqCodebooks(dim: Int, m: Int, ks: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val rng = new scala.util.Random(4242)
+    Array.fill(m)(Array.fill(ks)(Array.fill(sub)(rng.nextGaussian())))
+  }
+
+  /** Per-subspace centroid L2 scores for PQ assignment: argmin distance =
+    * argmax (dot(x_m, c) - |c|^2/2) — the |x_m|^2 term is constant per
+    * row and drops out. Rendered identically into the DuckDB oracle. */
+  private def pqScores(vec: Column, mIdx: Int, sub: Int,
+      books: Array[Array[Array[Double]]]): Column = {
+    val xm = slice(vec, mIdx * sub + 1, sub)
+    array(books(mIdx).indices.map { c =>
+      val cb = books(mIdx)(c)
+      dotProd(xm, lit(cb)) - lit(cb.map(x => x * x).sum / 2.0)
+    }: _*)
+  }
+
+  /**
+   * Product-quantization top-k (Jégou et al. 2011) — the middle rung of
+   * the quantization ladder between int8 (s05/s06, 4x) and sign bits
+   * (s09, ~32x): each vector splits into `m` subvectors, each encoded as
+   * its nearest of `ks` per-subspace centroids, so dim-64 float32 (256 B)
+   * compresses to `m` small codes (8 B at m=8/ks=16 — and 4 bits/code
+   * packed, which a real deployment would). Queries never decode the
+   * corpus: each query precomputes one `ks`-entry lookup table of
+   * subspace dots (asymmetric distance computation), a candidate's
+   * approximate dot is m table lookups summed, and only the
+   * `candidates`-deep shortlist (bounded-heap, k*partitions rows per
+   * query cross the exchange) pays the exact float rerank.
+   *
+   * Deterministic end to end: seeded codebooks (or pass
+   * [[trainPqCodebooks]] output), first-index argmax ties, left-to-right
+   * ADC summation, (cos DESC, n_id) final order — so the whole pipeline
+   * replays in DuckDB with the codebooks rendered as literals (the
+   * s02/s03 oracle technique).
+   *
+   * 100 TB posture: the corpus is touched through its codes only (encode
+   * is a one-off storage-time pass, like s05's int8); the ADC scan reads
+   * m integers per candidate instead of the vector; float vectors load
+   * for the shortlist alone. Queries broadcast with their LUTs; no
+   * corpus shuffle anywhere.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+      k: Int, dim: Int, m: Int = 8, ks: Int = 16, candidates: Int = 20,
+      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    require(k >= 1 && candidates >= k,
+      s"need candidates >= k >= 1, got k=$k candidates=$candidates")
+    val books = codebooks.getOrElse(pqCodebooks(dim, m, ks))
+    require(books.length == m && books.forall(_.length == ks),
+      s"codebooks must be m=$m x ks=$ks")
+    val sub = dim / m
+    // corpus: m argmin codes per vector (first index on score ties —
+    // array_position = DuckDB's list_position)
+    def codes(e: Column): Column = array((0 until m).map { mi =>
+      val s = pqScores(e, mi, sub, books)
+      (array_position(s, array_max(s)) - 1).cast("int")
+    }: _*)
+    // query: one LUT per subspace — plain centroid dots (the constant
+    // -|c|^2/2 shift must NOT apply here: ADC approximates dot(q, x))
+    def lut(e: Column, mi: Int): Column = {
+      val qm = slice(e, mi * sub + 1, sub)
+      array(books(mi).indices.map(c => dotProd(qm, lit(books(mi)(c)))): _*)
+    }
+    val n = corpus.select(id.as("n_id"), codes(vec).as("n_codes"))
+    val qT = queries.select(
+      (id.as("q_id") +: (0 until m).map(mi => lut(vec, mi).as(s"lut_$mi"))): _*)
+    // ADC: m lookups summed left-to-right (IEEE order fixed for the oracle)
+    val adc = (0 until m).map { mi =>
+      element_at(col(s"lut_$mi"), element_at(col("n_codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+    val shortlist = broadcast(qT).join(n, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), adc.as("adc"), col("n_id"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.topk(col("adc"), col("n_id"), candidates).as("top"))
+      .select(col("q_id"), explode(col("top.n_id")).as("n_id"))
+    val c = corpus.select(id.as("n_id"), vec.as("n_emb"))
+      .withColumn("n_nrm", l2norm(col("n_emb")))
+    val q = queries.select(id.as("q_id"), vec.as("q_emb"))
+      .withColumn("q_nrm", l2norm(col("q_emb")))
+    topKByCosine(
+      shortlist.join(c, Seq("n_id")).join(broadcast(q), Seq("q_id")), k)
+  }
+
+  /**
+   * Per-subspace Lloyd refinement of PQ codebooks: each iteration is one
+   * distributed pass — every row's subvectors assign to their argmin
+   * centroid (the same codegen'd scores [[pqTopK]] uses) and a
+   * (subspace, cluster, dim)-keyed partial aggregate computes the means;
+   * only m*ks*sub doubles ever reach the driver, so iterations cost what
+   * the scan costs at any corpus size. Empty clusters keep their previous
+   * centroid. Average quantization distortion is non-increasing on the
+   * training data ([[pqDistortion]], property-tested).
+   */
+  def trainPqCodebooks(corpus: DataFrame, vec: Column, dim: Int,
+      m: Int = 8, ks: Int = 16, iterations: Int = 3): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    var books = pqCodebooks(dim, m, ks)
+    for (_ <- 0 until iterations) {
+      val perSub = (0 until m).map { mi =>
+        val s = pqScores(vec, mi, sub, books)
+        val code = (array_position(s, array_max(s)) - 1).cast("int")
+        corpus.select(lit(mi).as("mi"), code.as("cl"),
+          posexplode(slice(vec, mi * sub + 1, sub).cast("array<double>")))
+      }.reduce(_ unionAll _)
+      val sums = perSub
+        .groupBy("mi", "cl", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(m, ks, sub)((mi, c, d) => books(mi)(c)(d))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3) / r.getLong(4)
+      }
+      books = next
+    }
+    books
+  }
+
+  /** Mean total squared PQ reconstruction error over the corpus — the
+    * k-means objective summed across subspaces; Lloyd iterations must not
+    * increase it on training data. */
+  def pqDistortion(corpus: DataFrame, vec: Column, dim: Int,
+      books: Array[Array[Array[Double]]]): Double = {
+    val m = books.length
+    val sub = dim / m
+    val total = (0 until m).map { mi =>
+      val xm = slice(vec, mi * sub + 1, sub)
+      val s = pqScores(vec, mi, sub, books)
+      val code = array_position(s, array_max(s)) - 1
+      // ||x - c||^2 = |x|^2 - 2*(dot(x,c) - |c|^2/2) evaluated via the
+      // same score array (score = dot - |c|^2/2)
+      dotProd(xm, xm) - lit(2.0) * element_at(s, (code + 1).cast("int"))
+    }.reduce(_ + _)
+    corpus.select(avg(total).as("d")).head().getDouble(0)
   }
 
   /**

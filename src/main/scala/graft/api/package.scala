@@ -219,5 +219,17 @@ package object api {
     def ivfTopK(queries: DataFrame, id: Column, vec: Column, k: Int,
         dim: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
       Pipelines.ivfTopK(df, queries, id, vec, k, dim, nCentroids, nProbe)
+
+    /** Product-quantization top-k (ADC shortlist + exact rerank); pass
+      * [[Pipelines.trainPqCodebooks]] output for trained codebooks. */
+    def pqTopK(queries: DataFrame, id: Column, vec: Column, k: Int,
+        dim: Int, m: Int = 8, ks: Int = 16, candidates: Int = 20,
+        codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame =
+      Pipelines.pqTopK(df, queries, id, vec, k, dim, m, ks, candidates, codebooks)
+
+    /** Unigram-LM surprisal scoring (integer bits-per-token, CCNet
+      * perplexity-filter shape); see [[Pipelines.lmSurprisalScore]]. */
+    def lmSurprisalScore(id: Column, text: Column): DataFrame =
+      Pipelines.lmSurprisalScore(df, id, text)
   }
 }

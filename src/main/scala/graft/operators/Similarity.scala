@@ -98,6 +98,19 @@ object Similarity {
       col("vec_id"), col("embedding"), k = 5, candidates = 20)
   }
 
+  /** s10: product quantization (PQ) + asymmetric-distance shortlist — the
+    * rung between int8 (s05/s06) and sign bits (s09): m=8 subspaces x
+    * ks=16 centroids compress dim-64 float32 to 8 codes; candidates are
+    * ranked by ADC table lookups and only the 20-deep shortlist pays the
+    * exact cosine. Codebooks are seeded doubles rendered into the oracle
+    * as literals (the s02/s03 replay technique). */
+  def s10PqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Pipelines.pqTopK(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 5, dim = 64, m = 8, ks = 16,
+      candidates = 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
@@ -108,6 +121,7 @@ object Similarity {
     "s07_knn_graph" -> s07KnnGraph _,
     "s08_mmr_topk" -> s08MmrTopK _,
     "s09_signbit_topk" -> s09SignBitTopK _,
+    "s10_pq_topk" -> s10PqTopK _,
   )
 
   /** s02's oracle REPLAYS the LSH: the hyperplanes are deterministic
@@ -186,8 +200,63 @@ object Similarity {
        |WHERE rnk <= 3""".stripMargin
   }
 
+  /** s10's oracle replays the PQ end to end with the seeded codebooks as
+    * literals: per-subspace argmin codes (first index on ties, the shared
+    * list_position/array_position contract), per-query ADC lookup tables,
+    * the left-to-right ADC sum (IEEE order matches the Spark reduce), the
+    * (adc DESC, n_id) 20-deep shortlist, and the exact-cosine top-5. */
+  private def s10OracleSql: String = {
+    val books = Pipelines.pqCodebooks(64, 8, 16)
+    val m = 8
+    val sub = 8
+    def litArr(p: Array[Double]): String = p.mkString("[", ",", "]")
+    def sliceExpr(mi: Int): String = s"emb[${mi * sub + 1}:${(mi + 1) * sub}]"
+    def scoreArr(mi: Int): String =
+      books(mi).indices.map { c =>
+        val c2h = books(mi)(c).map(x => x * x).sum / 2.0
+        s"list_dot_product(${sliceExpr(mi)}, ${litArr(books(mi)(c))}) - ($c2h)"
+      }.mkString("[\n  ", ",\n  ", "\n ]")
+    def lutArr(mi: Int): String =
+      books(mi).indices
+        .map(c => s"list_dot_product(${sliceExpr(mi)}, ${litArr(books(mi)(c))})")
+        .mkString("[\n  ", ",\n  ", "\n ]")
+    val scoreCols = (0 until m).map(mi => s"${scoreArr(mi)} AS s$mi").mkString(",\n ")
+    val codeCols = (0 until m)
+      .map(mi => s"list_position(s$mi, list_max(s$mi)) - 1 AS c$mi").mkString(",\n ")
+    val lutCols = (0 until m).map(mi => s"${lutArr(mi)} AS l$mi").mkString(",\n ")
+    val adc = (0 until m).map(mi => s"q.l$mi[n.c$mi + 1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |nc AS (
+       | SELECT vec_id,
+       | $codeCols
+       | FROM (SELECT vec_id,
+       | $scoreCols
+       | FROM e)),
+       |q AS (
+       | SELECT vec_id,
+       | $lutCols
+       | FROM e WHERE vec_id < 10),
+       |pre AS (
+       | SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |    ($adc) DESC, n.vec_id) AS prernk
+       | FROM q JOIN nc n ON q.vec_id <> n.vec_id),
+       |short AS (SELECT q_id, n_id FROM pre WHERE prernk <= 20)
+       |SELECT q_id, n_id, rnk, CAST(round(1000000 * cos) AS BIGINT) AS cos_micro
+       |FROM (
+       | SELECT s.q_id, s.n_id,
+       |  list_cosine_similarity(eq.emb, en.emb) AS cos,
+       |  row_number() OVER (PARTITION BY s.q_id
+       |    ORDER BY list_cosine_similarity(eq.emb, en.emb) DESC, s.n_id) AS rnk
+       | FROM short s
+       | JOIN e eq ON eq.vec_id = s.q_id
+       | JOIN e en ON en.vec_id = s.n_id
+       |) WHERE rnk <= 5""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "s02_ann_lsh" -> s02OracleSql,
+    "s10_pq_topk" -> s10OracleSql,
     "s03_ivf_topk" -> s03OracleSql,
     "s07_knn_graph" -> lshTopKOracle(""),
     "s08_mmr_topk" ->

@@ -227,6 +227,13 @@ object TextOps {
     Pipelines.rareWordScore(docs(spark, dir), col("doc_id"), col("text"), topK = 256)
       .withColumnRenamed("__id", "doc_id")
 
+  /** t19: unigram-LM surprisal scoring (integer bits-per-token, the CCNet
+    * perplexity-filter shape) — high tail = gibberish/OCR noise, low tail
+    * = boilerplate. Engine-exact via binary bit lengths (no libm ln). */
+  def t19LmSurprisal(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.lmSurprisalScore(docs(spark, dir), col("doc_id"), col("text"))
+      .withColumnRenamed("__id", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -246,6 +253,7 @@ object TextOps {
     "t16_winnow_fingerprints" -> t16WinnowFingerprints _,
     "t17_quality_classifier" -> t17QualityClassifier _,
     "t18_rare_words" -> t18RareWords _,
+    "t19_lm_surprisal" -> t19LmSurprisal _,
   )
 
   private def sqlList(lang: String): String =
@@ -393,6 +401,20 @@ object TextOps {
         |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS rare_permille
         |FROM t LEFT JOIN v ON t.w = v.w
         |GROUP BY doc_id""".stripMargin,
+    "t19_lm_surprisal" ->
+      // identical integer-bits surprisal: length(bin(x)) - 1 = floor(log2 x)
+      // in both engines, add-one smoothing over the corpus unigram LM
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |lm AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM lm),
+        |sb AS (
+        |  SELECT w.doc_id,
+        |    (length(bin(CAST(tot.n + tot.v AS BIGINT))) - 1)
+        |      - (length(bin(CAST(lm.c + 1 AS BIGINT))) - 1) AS bits
+        |  FROM w JOIN lm ON w.w = lm.w CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(round(1000.0 * sum(bits) / count(*)) AS BIGINT) AS surprisal_milli
+        |FROM sb GROUP BY doc_id""".stripMargin,
     "t09_heavy_hitters" ->
       // The verified-heavy-hitter contract is oracle-expressible exactly:
       // items with true frequency > n/(capacity+1), exact counts, top-5

@@ -68,6 +68,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(full == exact, "nProbe = nCentroids must equal the exact top-k")
   }
 
+  test("s10 PQ: Lloyd training lowers distortion; trained codes raise recall machinery intact") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val seeded = graft.api.Pipelines.pqCodebooks(64, 8, 16)
+    val trained = graft.api.Pipelines.trainPqCodebooks(
+      e, col("embedding"), dim = 64, m = 8, ks = 16, iterations = 2)
+    val d0 = graft.api.Pipelines.pqDistortion(e, col("embedding"), 64, seeded)
+    val d1 = graft.api.Pipelines.pqDistortion(e, col("embedding"), 64, trained)
+    assert(d1 <= d0,
+      s"PQ training must not increase reconstruction distortion: $d0 -> $d1")
+    // 8 codes over dim-64 high-entropy vectors is an aggressively lossy
+    // quantizer, so the ABSOLUTE recall floor is loose; the trained
+    // codebooks must not lose to the seeded ones (both deterministic)
+    val exact = Similarity.s01TopKBruteForce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(books: Array[Array[Array[Double]]]): Double = {
+      val pq = graft.api.Pipelines.pqTopK(
+        e, e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        k = 5, dim = 64, candidates = 20, codebooks = Some(books))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pq.size == 50, "pqTopK must return k rows per query")
+      (exact & pq).size.toDouble / exact.size
+    }
+    val seededRecall = recallOf(seeded)
+    val trainedRecall = recallOf(trained)
+    assert(seededRecall >= 0.05, s"PQ machinery broken: seeded recall $seededRecall")
+    assert(trainedRecall >= seededRecall - 0.05,
+      s"training must not hurt recall: $seededRecall -> $trainedRecall")
+    // widening the shortlist must not lower recall (monotone candidates)
+    val wide = graft.api.Pipelines.pqTopK(
+      e, e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 5, dim = 64, candidates = 60, codebooks = Some(trained))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact & wide).size.toDouble / exact.size >= trainedRecall,
+      "a wider ADC shortlist must not lose exact neighbors")
+  }
+
   test("s05 quantization: dequantized vectors stay within the half-step error bound") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
