@@ -714,20 +714,32 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
    * `on = col("t.o_orderkey") === col("s.o_orderkey")`,
    * `whenMatchedSet = Map("o_totalprice" -> col("s.o_totalprice"))`.
    *
+   * Delta-parity conditional actions: `whenMatchedDeleteIf` is the WHEN
+   * MATCHED [AND cond] THEN DELETE branch — a matched target row whose
+   * joined row satisfies the condition (reference both sides via `t`/`s`)
+   * is DROPPED instead of updated; `insertNotMatchedIf` is WHEN NOT
+   * MATCHED AND cond THEN INSERT — source rows failing it never insert
+   * (bare source column names, evaluated before the join). Together they
+   * make one MERGE a complete CDC applier: upsert the postimages, drop
+   * the deletes, skip inserting delete markers (st12).
+   *
    * Shape at scale: the match pass touches only (matched rows → their
    * files) with partial aggregation; only files that actually contain a
    * matched row are rewritten; the not-matched anti-join is the one
    * full-table join, exactly the cost Delta's MERGE pays. A target row
    * matched by more than one source row fails (non-deterministic update —
-   * SQL MERGE cardinality rule). Returns the committed version, or -1
-   * when nothing matched and nothing was inserted.
+   * SQL MERGE cardinality rule; delete matches count too). Returns the
+   * committed version, or -1 when nothing matched and nothing was
+   * inserted.
    */
   def merge(source: DataFrame, on: Column,
       whenMatchedSet: Map[String, Column] = Map.empty,
-      insertNotMatched: Boolean = true): Long = {
+      insertNotMatched: Boolean = true,
+      whenMatchedDeleteIf: Option[Column] = None,
+      insertNotMatchedIf: Option[Column] = None): Long = {
     import org.apache.spark.sql.functions.{first, max, monotonically_increasing_id}
-    require(whenMatchedSet.nonEmpty || insertNotMatched,
-      "MERGE needs a matched-update and/or a not-matched-insert action")
+    require(whenMatchedSet.nonEmpty || insertNotMatched || whenMatchedDeleteIf.nonEmpty,
+      "MERGE needs a matched-update, matched-delete and/or not-matched-insert action")
     require(gwLog.exists(), s"MERGE target has no transaction log at $tablePath")
     require(!source.columns.exists(_.startsWith("__gw_")),
       "source columns must not use the reserved __gw_ prefix")
@@ -767,14 +779,20 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val byKey = snap.files.map(f => GwTable.uriKey(f.path) -> f).toMap
     val touched = perFile.toSeq.map(r => byKey.getOrElse(GwTable.uriKeyScanned(r.getString(0)),
       throw new IllegalStateException(s"matched file ${r.getString(0)} not in snapshot")))
+    // delete-branch condition over the joined row; NULL keeps the row
+    // (SQL condition semantics), unmatched rows never delete
+    val delCond = whenMatchedDeleteIf
+      .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
     val rewritten: Option[DataFrame] =
       if (touched.isEmpty) None
       else {
         val matched = coalesce(col("__gw_matched"), lit(false))
-        Some(graft.log.ColumnMapping.readLogical(spark, snap.schema,
-            touched.map(_.path))
+        // LIVE rows only: a touched file carrying a deletion vector must
+        // not resurrect its deleted rows through the rewrite
+        Some(Dv.readLive(spark, snap.schema, touched)
           .alias("t")
           .join(source.withColumn("__gw_matched", lit(true)).alias("s"), on, "left")
+          .filter(not(matched && delCond)) // WHEN MATCHED ... THEN DELETE
           .select(fields.map { f =>
             whenMatchedSet.get(f.name) match {
               case Some(v) =>
@@ -786,7 +804,9 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val inserts: Option[DataFrame] =
       if (!insertNotMatched) None
       else {
-        val anti = source.alias("s").join(tgtAll.alias("t"), on, "left_anti")
+        val src = insertNotMatchedIf.map(c => source.filter(coalesce(c, lit(false))))
+          .getOrElse(source)
+        val anti = src.alias("s").join(tgtAll.alias("t"), on, "left_anti")
         Some(anti.select(fields.map(f =>
           col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*))
       }
@@ -800,31 +820,37 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         val newAdds = writeDml(df.coalesce(math.max(1, touched.size + 1)), snap)
         if (touched.isEmpty && newAdds.isEmpty) -1L // no match, empty insert set
         else {
-          // CDF: matched pairs as true pre/post images (the cardinality
-          // check above guarantees each matched LIVE row joins exactly one
-          // source row), not-matched source rows as inserts
+          // CDF: matched rows split on the delete branch — deleted
+          // preimages tag 'delete', updated ones true pre/post pairs (the
+          // cardinality check above guarantees each matched LIVE row joins
+          // exactly one source row); not-matched source rows as inserts
           val cdc: Seq[Action] =
             if (!Cdc.enabled(snap)) Nil
             else {
-              val matchedPairs =
-                if (touched.isEmpty || whenMatchedSet.isEmpty) None
-                else {
-                  val joined = Dv.readLive(spark, snap.schema, touched)
-                    .alias("t").join(source.alias("s"), on, "inner")
-                  val pre = joined.select(fields.map(f =>
-                    col(s"t.${f.name}").as(f.name)).toIndexedSeq: _*)
-                  val post = joined.select(fields.map { f =>
-                    whenMatchedSet.get(f.name) match {
-                      case Some(v) => v.cast(f.dataType).as(f.name)
-                      case None => col(s"t.${f.name}").as(f.name)
-                    }
-                  }.toIndexedSeq: _*)
-                  Some(pre.withColumn(Cdc.ChangeTypeCol, lit(Cdc.UpdatePre))
-                    .unionAll(post.withColumn(Cdc.ChangeTypeCol, lit(Cdc.UpdatePost))))
-                }
+              val joined =
+                if (touched.isEmpty) None
+                else Some(Dv.readLive(spark, snap.schema, touched)
+                  .alias("t").join(source.alias("s"), on, "inner"))
+              val tSide = fields.map(f => col(s"t.${f.name}").as(f.name)).toIndexedSeq
+              val deletedPre = joined.filter(_ => whenMatchedDeleteIf.nonEmpty)
+                .map(_.filter(delCond).select(tSide: _*)
+                  .withColumn(Cdc.ChangeTypeCol, lit(Cdc.Delete)))
+              val updPairs = joined.filter(_ => whenMatchedSet.nonEmpty).map { j =>
+                val upd = j.filter(not(delCond))
+                val pre = upd.select(tSide: _*)
+                val post = upd.select(fields.map { f =>
+                  whenMatchedSet.get(f.name) match {
+                    case Some(v) => v.cast(f.dataType).as(f.name)
+                    case None => col(s"t.${f.name}").as(f.name)
+                  }
+                }.toIndexedSeq: _*)
+                pre.withColumn(Cdc.ChangeTypeCol, lit(Cdc.UpdatePre))
+                  .unionAll(post.withColumn(Cdc.ChangeTypeCol, lit(Cdc.UpdatePost)))
+              }
               val insertRows = inserts
                 .map(_.withColumn(Cdc.ChangeTypeCol, lit(Cdc.Insert)))
-              (matchedPairs.toSeq ++ insertRows.toSeq).reduceOption(_ unionAll _)
+              (deletedPre.toSeq ++ updPairs.toSeq ++ insertRows.toSeq)
+                .reduceOption(_ unionAll _)
                 .map(ch => Cdc.write(spark, tablePath, snap, ch))
                 .getOrElse(Nil)
             }

@@ -629,6 +629,29 @@ object Relational {
         col("ancestor").cast("long").as("ancestor"), col("depth"))
   }
 
+  // ---------------------------------------------------------------- q34
+  /** Semi-structured VARIANT processing (Spark 4's open variant encoding —
+    * the engine path for schemaless JSON at scale, distinct from q16's
+    * string-side get_json_object): `parse_json` builds the binary variant
+    * once, `variant_get` does typed path extraction with cast-or-null
+    * semantics (`try_variant_get`), and the grouped aggregate consumes the
+    * extracted typed columns. At 100 TB the variant's binary form is the
+    * point: parse once at ingest, skip re-tokenizing JSON strings per
+    * query. Oracle = DuckDB's native JSON path extraction on the same
+    * column. */
+  def q34Variant(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'long')").as("miss"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("k_sum"),
+        max(col("k")).as("k_max"),
+        countDistinct(col("k")).as("k_distinct"),
+        count(col("miss")).as("n_missing"))
+
   /** name -> query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -664,6 +687,7 @@ object Relational {
     "q31_gap_fill" -> q31GapFill _,
     "q32_interval_window" -> q32IntervalWindow _,
     "q33_recursive_cte" -> q33RecursiveCte _,
+    "q34_variant" -> q34Variant _,
   )
 
   /** name -> DuckDB oracle SQL (column names/aliases must match exactly). */
@@ -960,5 +984,12 @@ object Relational {
         |)
         |SELECT CAST(node AS BIGINT) AS node, CAST(anc AS BIGINT) AS ancestor,
         |  depth FROM anc""".stripMargin,
+    "q34_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS k_max,
+        |  CAST(count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_distinct,
+        |  count(CAST(props->>'$.missing' AS BIGINT)) AS n_missing
+        |FROM events GROUP BY event_type""".stripMargin,
   )
 }

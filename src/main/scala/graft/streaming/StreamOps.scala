@@ -607,6 +607,74 @@ object StreamOps {
       .select("user_id", "rank", "value_c", "event_id")
   }
 
+  /** st12: CDC REPLICATION — proof that the change feed is sufficient to
+    * reconstruct a table: a `readChangeFeed` stream of a CDF-enabled
+    * gwdelta source (bootstrap inserts, a second append, a copy-on-write
+    * UPDATE's pre/post images, a partial DELETE, and a merge-on-read
+    * DELETE whose deletion-vector commit was unstreamable before gw43)
+    * drives a foreachBatch applier into an INDEPENDENT replica table.
+    * Each micro-batch applies its versions in commit order with ONE
+    * MERGE per version using the Delta-parity conditional branches:
+    * postimages/inserts upsert, `_change_type = 'delete'` rows take WHEN
+    * MATCHED THEN DELETE, and delete markers never insert (`WHEN NOT
+    * MATCHED AND type <> 'delete'`). After the drain the replica must
+    * equal the source exactly (in-gate require; the oracle pins the
+    * reconstructed content). */
+  def st12CdcReplicate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.upper
+    val srcLoc = java.nio.file.Files.createTempDirectory("st12src")
+      .resolve("db/nation").toString
+    val repLoc = java.nio.file.Files.createTempDirectory("st12rep")
+      .resolve("db/nation").toString
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    nation.filter(col("n_nationkey") < 12).coalesce(1)
+      .write.format("gwdelta").mode("append").save(srcLoc) // v0
+    val t = graft.GwTable.forPath(spark, srcLoc)
+    require(t.updateProperties(Map("graft.enableChangeDataFeed" -> "true")) == 1L)
+    nation.filter(col("n_nationkey") >= 12).coalesce(1)
+      .write.format("gwdelta").mode("append").save(srcLoc) // v2
+    require(t.update(col("n_nationkey") < 3,
+      Map("n_name" -> upper(col("n_name")))) == 3L)
+    require(t.delete(col("n_nationkey") === 7) == 4L)
+    require(t.delete(col("n_nationkey") === 13, mergeOnRead = true) == 5L)
+    val applier: (DataFrame, Long) => Unit = (b: DataFrame, _: Long) => {
+      val versions = b.select("_commit_version").distinct()
+        .collect().map(_.getLong(0)).sorted
+      versions.foreach { v =>
+        val vb = b.filter(col("_commit_version") === v)
+          .filter(col("_change_type") =!= "update_preimage")
+          .drop("_commit_version")
+        if (!new java.io.File(s"$repLoc/_delta_log").exists())
+          vb.filter(col("_change_type") =!= "delete").drop("_change_type")
+            .write.format("gwdelta").mode("append").save(repLoc)
+        else {
+          graft.GwTable.forPath(b.sparkSession, repLoc).merge(vb,
+            col("t.n_nationkey") === col("s.n_nationkey"),
+            whenMatchedSet = Map(
+              "n_name" -> col("s.n_name"),
+              "n_regionkey" -> col("s.n_regionkey")),
+            whenMatchedDeleteIf = Some(col("s._change_type") === "delete"),
+            insertNotMatchedIf = Some(col("_change_type") =!= "delete"))
+          ()
+        }
+      }
+    }
+    val q = spark.readStream.format("gwdelta")
+      .option("readChangeFeed", "true").load(srcLoc)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("st12cp").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(applier)
+      .start()
+    q.awaitTermination()
+    val replica = spark.read.format("gwdelta").load(repLoc)
+    val source = spark.read.format("gwdelta").load(srcLoc)
+    require(replica.exceptAll(source).isEmpty && source.exceptAll(replica).isEmpty,
+      "replica reconstructed from the change feed must equal the source")
+    replica
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> st01WindowedCounts _,
     "st02_stream_state" -> st02StatefulSessions _,
@@ -619,6 +687,7 @@ object StreamOps {
     "st09_stream_outer_join" -> st09StreamOuterJoin _,
     "st10_stream_upsert" -> st10StreamUpsert _,
     "st11_transform_with_state" -> st11TransformWithState _,
+    "st12_cdc_replicate" -> st12CdcReplicate _,
   )
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming
@@ -669,6 +738,14 @@ object StreamOps {
         | FROM (SELECT user_id, CAST(round(value*100) AS BIGINT) AS value_c,
         |       event_id FROM events WHERE user_id < 30))
         |WHERE rank <= 3""".stripMargin,
+    // the replica reconstructed purely from the change feed = the source's
+    // final state: both appends, the uppercased update, minus the two
+    // deleted keys (one copy-on-write, one deletion-vector)
+    "st12_cdc_replicate" ->
+      """SELECT n_nationkey,
+        | CASE WHEN n_nationkey < 3 THEN upper(n_name) ELSE n_name END AS n_name,
+        | n_regionkey
+        |FROM nation WHERE n_nationkey NOT IN (7, 13)""".stripMargin,
     "st08_stream_sketch" ->
       // Bit-exact KMV replay: same 60-bit md5-prefix user hash, exact
       // distinct below k=64, else floor(63*2^60/h_64) — identical integer

@@ -414,6 +414,43 @@ class DmlSpec extends SparkSpec {
     assert(spark.table(s"gw.$ns.nation").filter(col("n_name") === "Y").count() == 3)
   }
 
+  test("MERGE on DV'd files does not resurrect deleted rows") {
+    val (_, t) = twoRangeTable()
+    assert(t.delete(col("n_nationkey") === 0, mergeOnRead = true) > 0)
+    // merge touches the file holding the DV'd row (key 2 lives with key 0)
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+      .filter(col("n_nationkey") === 2).withColumn("n_name", lit("M"))
+    assert(t.merge(src, col("t.n_nationkey") === col("s.n_nationkey"),
+      whenMatchedSet = Map("n_name" -> col("s.n_name"))) > 0)
+    assert(rows(t.toDF) == 24, "DV-deleted row must stay deleted through MERGE")
+    assert(t.toDF.filter(col("n_nationkey") === 0).isEmpty)
+    assert(t.toDF.filter(col("n_name") === "M").count() == 1)
+  }
+
+  test("MERGE conditional branches: WHEN MATCHED DELETE + guarded insert") {
+    val (_, t) = twoRangeTable()
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    // source: delete marker for key 3, update for key 4, insert for 99,
+    // and a delete marker for absent key 98 (must NOT insert)
+    val src = nation.filter(col("n_nationkey") === 3).withColumn("op", lit("delete"))
+      .union(nation.filter(col("n_nationkey") === 4)
+        .withColumn("n_name", lit("U")).withColumn("op", lit("upsert")))
+      .union(nation.filter(col("n_nationkey") === 5)
+        .withColumn("n_nationkey", lit(99)).withColumn("op", lit("upsert")))
+      .union(nation.filter(col("n_nationkey") === 5)
+        .withColumn("n_nationkey", lit(98)).withColumn("op", lit("delete")))
+    assert(t.merge(src, col("t.n_nationkey") === col("s.n_nationkey"),
+      whenMatchedSet = Map("n_name" -> col("s.n_name")),
+      whenMatchedDeleteIf = Some(col("s.op") === "delete"),
+      insertNotMatchedIf = Some(col("op") =!= "delete")) > 0)
+    val out = t.toDF
+    assert(out.filter(col("n_nationkey") === 3).isEmpty, "matched delete must drop the row")
+    assert(out.filter(col("n_nationkey") === 98).isEmpty, "delete marker must not insert")
+    assert(out.filter(col("n_nationkey") === 99).count() == 1, "guarded insert lands")
+    assert(out.filter(col("n_nationkey") === 4).select("n_name").head.getString(0) == "U")
+    assert(rows(out) == 25, "25 - 1 delete + 1 insert")
+  }
+
   test("rowChanges surfaces exactly the MOR-deleted rows as deletes") {
     val (_, t) = twoRangeTable()
     val v0 = t.snapshot().version
