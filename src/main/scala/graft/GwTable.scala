@@ -1525,7 +1525,9 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     import spark.implicits._
     gwLog.history().map { case (v, ci) =>
       val c = ci.getOrElse(CommitInfo(0L, "UNKNOWN", "", 0L, 0L, isBlindAppend = false, ""))
-      (v, c.timestamp, c.operation, c.mode, c.numFiles, c.numOutputBytes, c.isBlindAppend)
+      // the effective timestamp IS the time-travel clock: the monotonic
+      // in-commit timestamp when the table enables ICT, wall clock else
+      (v, c.effectiveTimestamp, c.operation, c.mode, c.numFiles, c.numOutputBytes, c.isBlindAppend)
     }.toDF("version", "timestamp", "operation", "mode", "numFiles", "numOutputBytes", "isBlindAppend")
   }
 

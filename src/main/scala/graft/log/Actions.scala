@@ -76,7 +76,16 @@ final case class CommitInfo(
     numFiles: Long,
     numOutputBytes: Long,
     isBlindAppend: Boolean,
-    txnId: String) extends Action
+    txnId: String,
+    /** Delta's in-commit timestamp (`delta.enableInCommitTimestamps`):
+      * a MONOTONIC commit clock stamped by [[GwLog.commit]] — strictly
+      * greater than the previous commit's, immune to wall-clock skew
+      * between writers; `TIMESTAMP AS OF` resolves on it when present.
+      * The wall-clock `timestamp` field stays for display parity. */
+    inCommitTimestamp: Option[Long] = None) extends Action {
+  /** The timestamp time travel resolves on. */
+  def effectiveTimestamp: Long = inCommitTimestamp.getOrElse(timestamp)
+}
 
 /** Delta's `cdc` action — a CHANGE-DATA file under `<table>/_change_data/`
   * carrying the commit's row-level changes (table columns +
@@ -165,9 +174,12 @@ object Actions {
         n.put("appId", appId)
         n.put("version", version)
         lastUpdated.foreach(ts => n.put("lastUpdated", ts))
-      case CommitInfo(ts, op, mode, numFiles, numBytes, blind, txnId) =>
+      case CommitInfo(ts, op, mode, numFiles, numBytes, blind, txnId, ict) =>
         val n = root.putObject("commitInfo")
         n.put("timestamp", ts)
+        // only written when the table enables in-commit timestamps, so
+        // pre-ICT logs stay byte-identical
+        ict.foreach(t => n.put("inCommitTimestamp", t))
         n.put("operation", op)
         val p = n.putObject("operationParameters")
         p.put("mode", mode)
@@ -255,7 +267,8 @@ object Actions {
         numFiles = metrics.flatMap(m => Option(m.get("numFiles"))).map(_.asLong).getOrElse(0L),
         numOutputBytes = metrics.flatMap(m => Option(m.get("numOutputBytes"))).map(_.asLong).getOrElse(0L),
         isBlindAppend = Option(n.get("isBlindAppend")).exists(_.asBoolean),
-        txnId = Option(n.get("txnId")).map(_.asText).getOrElse("")))
+        txnId = Option(n.get("txnId")).map(_.asText).getOrElse(""),
+        inCommitTimestamp = Option(n.get("inCommitTimestamp")).map(_.asLong)))
     } else None
   }
 }

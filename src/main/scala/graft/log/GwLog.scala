@@ -60,7 +60,7 @@ class GwLog(val tablePath: Path, conf: Configuration,
     * replaying every version JSON (see [[Checkpoint]]). */
   def commit(actions: Seq[Action]): Long = {
     val version = latestVersion().map(_ + 1).getOrElse(0L)
-    commitAt(version, actions)
+    commitAt(version, stampInCommitTimestamp(version, actions))
     if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0) {
       // checkpoints are a read optimization: the version JSON above IS the
       // committed truth, so a failed checkpoint write must not fail the
@@ -69,6 +69,41 @@ class GwLog(val tablePath: Path, conf: Configuration,
       catch { case scala.util.control.NonFatal(_) => () }
     }
     version
+  }
+
+  /** Delta in-commit timestamps (`delta.enableInCommitTimestamps`, stored
+    * as either the graft or the delta key): when enabled, the commit's
+    * CommitInfo gets `inCommitTimestamp = max(now, previous + 1)` — a
+    * monotonic commit clock that survives wall-clock skew/regression, the
+    * clock `TIMESTAMP AS OF` resolves on ([[versionAtTimestamp]]).
+    *
+    * Enablement is decided without a snapshot replay: a commit CARRYING a
+    * Metadata action answers from its own configuration (the
+    * property-setting commit stamps itself, and an unsetting one stops);
+    * any other commit inherits from whether the PREVIOUS CommitInfo was
+    * stamped — one O(1) version read, which the chain also needs for the
+    * previous timestamp. */
+  private def stampInCommitTimestamp(version: Long, actions: Seq[Action]): Seq[Action] = {
+    def enabledIn(m: Metadata): Boolean =
+      Seq("graft.enableInCommitTimestamps", "delta.enableInCommitTimestamps")
+        .exists(k => m.configuration.get(k).exists(_.trim.equalsIgnoreCase("true")))
+    val prevCi: Option[CommitInfo] =
+      if (version == 0) None
+      else scala.util.Try(readVersion(version - 1)
+        .collectFirst { case ci: CommitInfo => ci }).toOption.flatten
+    val enabled = actions.collectFirst { case m: Metadata => m } match {
+      case Some(m) => enabledIn(m)
+      case None => prevCi.exists(_.inCommitTimestamp.isDefined)
+    }
+    if (!enabled) actions
+    else {
+      val floor = prevCi.map(_.effectiveTimestamp + 1).getOrElse(0L)
+      val ict = math.max(System.currentTimeMillis(), floor)
+      actions.map {
+        case ci: CommitInfo => ci.copy(inCommitTimestamp = Some(ict))
+        case a => a
+      }
+    }
   }
 
   /** Checkpoint the snapshot state as of `version` + update `_last_checkpoint`.
@@ -255,7 +290,7 @@ class GwLog(val tablePath: Path, conf: Configuration,
     * (GwTable, the DSv2 options, the SQL catalog). */
   def versionAtTimestamp(tsMillis: Long): Long = {
     val candidates = history().collect {
-      case (v, Some(ci)) if ci.timestamp <= tsMillis => v
+      case (v, Some(ci)) if ci.effectiveTimestamp <= tsMillis => v
     }
     require(candidates.nonEmpty,
       s"No version at or before timestamp $tsMillis for $tablePath")

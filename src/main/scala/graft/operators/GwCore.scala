@@ -1510,6 +1510,45 @@ object GwCore {
       col("_commit_version").as("change_seq"))
   }
 
+  // ---------------------------------------------------------------- gw44
+  /** In-commit timestamps (Delta `delta.enableInCommitTimestamps` parity
+    * as `graft.enableInCommitTimestamps`): once enabled, every commit's
+    * CommitInfo carries `inCommitTimestamp = max(now, previous + 1)` — a
+    * STRICTLY MONOTONIC commit clock immune to wall-clock skew between
+    * writers — and `TIMESTAMP AS OF` + DESCRIBE HISTORY resolve on it.
+    * In-gate: the enabling commit stamps itself, pre-enable commits stay
+    * unstamped (logs byte-stable), rapid same-millisecond commits still
+    * get strictly increasing stamps, and timestamp time travel lands on
+    * exact version boundaries of the ICT clock. */
+  def gw44InCommitTimestamps(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("gw44")
+    val loc = tmp.resolve("db/region").toString
+    val region = spark.read.parquet(s"$dir/region.parquet")
+    region.write.format("gwdelta").mode("append").save(loc) // v0 pre-ICT
+    val t = GwTable.forPath(spark, loc)
+    require(t.updateProperties(
+      Map("graft.enableInCommitTimestamps" -> "true")) == 1L)
+    region.write.format("gwdelta").mode("append").save(loc) // v2
+    region.write.format("gwdelta").mode("append").save(loc) // v3
+    def ci(v: Long): graft.log.CommitInfo =
+      t.log.readVersion(v).collectFirst { case c: graft.log.CommitInfo => c }
+        .getOrElse(throw new IllegalStateException(s"no CommitInfo at v$v"))
+    require(ci(0).inCommitTimestamp.isEmpty,
+      "pre-enable commits must stay unstamped (byte-stable logs)")
+    val icts = (1L to 3L).map(v => ci(v).inCommitTimestamp.getOrElse(
+      throw new IllegalStateException(s"v$v missing inCommitTimestamp")))
+    require(icts.sliding(2).forall(p => p(1) > p(0)),
+      s"in-commit timestamps must be strictly monotonic, got $icts")
+    // TIMESTAMP AS OF resolves on the ICT clock at exact boundaries
+    require(t.log.versionAtTimestamp(icts(1)) == 2L &&
+      t.log.versionAtTimestamp(icts(2) - 1) == 2L &&
+      t.log.versionAtTimestamp(icts(2)) == 3L,
+      "timestamp time travel must resolve on the in-commit clock")
+    require(t.timestampAsOf(icts(1)).count() == 2 * region.count(),
+      "TIMESTAMP AS OF v2's stamp must serve exactly two appends")
+    t.toDF
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1554,6 +1593,7 @@ object GwCore {
     "gw41_cluster_by" -> gw41ClusterBy _,
     "gw42_auto_compact" -> gw42AutoCompact _,
     "gw43_change_data_feed" -> gw43ChangeDataFeed _,
+    "gw44_in_commit_timestamps" -> gw44InCommitTimestamps _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1796,5 +1836,8 @@ object GwCore {
         |UNION ALL
         |SELECT r_regionkey, r_name, 'delete', CAST(4 AS BIGINT)
         |FROM region WHERE r_regionkey = 4""".stripMargin,
+    "gw44_in_commit_timestamps" ->
+      """SELECT * FROM region UNION ALL SELECT * FROM region
+        |UNION ALL SELECT * FROM region""".stripMargin,
   )
 }

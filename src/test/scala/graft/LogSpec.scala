@@ -166,6 +166,42 @@ class LogSpec extends AnyFunSuite {
       s"BINARY columns missing the UTF8 annotation: ${unannotated.mkString(", ")}")
   }
 
+  test("in-commit timestamps: chained, strictly monotonic, clock-skew-proof") {
+    val conf = new Configuration()
+    val dir = Files.createTempDirectory("gwlog-ict").toString
+    val log = new GwLog(new org.apache.hadoop.fs.Path(dir), conf)
+    def ci(v: Long) = log.readVersion(v)
+      .collectFirst { case c: CommitInfo => c }.get
+    val meta = Metadata("id0", new StructType().add("a", "long").json,
+      configuration = Map("graft.enableInCommitTimestamps" -> "true"))
+    log.commit(Seq(Protocol(), meta, AddFile("f0.parquet", 1, 1),
+      CommitInfo(1L, "WRITE", "Overwrite", 1, 1, isBlindAppend = false, "t0")))
+    // the enabling commit stamps itself
+    assert(ci(0).inCommitTimestamp.isDefined)
+    // simulate a writer whose wall clock runs 60s AHEAD: hand-write its
+    // commit via commitAt (which never stamps) with a future ict
+    val future = System.currentTimeMillis() + 60000L
+    log.commitAt(1L, Seq(AddFile("f1.parquet", 1, 1),
+      CommitInfo(future, "WRITE", "Append", 1, 1, isBlindAppend = true, "t1",
+        inCommitTimestamp = Some(future))))
+    // the next NORMAL commit's clock has "regressed" — the chain floor
+    // must still stamp strictly after the future timestamp
+    log.commit(Seq(AddFile("f2.parquet", 1, 1),
+      CommitInfo(2L, "WRITE", "Append", 1, 1, isBlindAppend = true, "t2")))
+    assert(ci(2).inCommitTimestamp.contains(future + 1),
+      s"commit after a future-stamped one must take floor+1, got ${ci(2)}")
+    // TIMESTAMP AS OF resolves on the ict clock, not the wall clock
+    assert(log.versionAtTimestamp(future) == 1L)
+    assert(log.versionAtTimestamp(future + 1) == 2L)
+    // unsetting the property stops the stamping chain
+    log.commit(Seq(meta.copy(configuration = Map.empty),
+      CommitInfo(3L, "SET TBLPROPERTIES", "", 0, 0, isBlindAppend = false, "t3")))
+    assert(ci(3).inCommitTimestamp.isEmpty)
+    log.commit(Seq(AddFile("f3.parquet", 1, 1),
+      CommitInfo(4L, "WRITE", "Append", 1, 1, isBlindAppend = true, "t4")))
+    assert(ci(4).inCommitTimestamp.isEmpty, "chain must stop after unset")
+  }
+
   test("checkpoint carries txn marks + unexpired tombstones; snapshot resumes them") {
     val conf = new Configuration()
     val dir = Files.createTempDirectory("gwlog-txncp").toString
