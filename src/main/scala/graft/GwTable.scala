@@ -282,7 +282,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     // `file:/...` URIs — comparing raw strings would make every lookup
     // miss and the debris sweep would reap LIVE files (DV sidecars above
     // the age floor, most dangerously)
-    val live = gwLog.snapshot(None).files.map(f => GwTable.uriKey(f.path)).toSet
+    val liveSnap = gwLog.snapshot(None)
+    val live = liveSnap.files.map(f => GwTable.uriKey(f.path)).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     val markers = Seq("/_compacted/", "/_stream/", "/_dml/", "/_dv/", "/_change_data/")
     def owned(p: String): Boolean = markers.exists(p.contains)
@@ -292,6 +293,13 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     // but must outlive every version whose adds point at them (time travel)
     val removedAt = scala.collection.mutable.Map.empty[String, Long]
     val referenced = scala.collection.mutable.Set.empty[String]
+    // the LIVE snapshot's on-disk DV sidecars must be referenced from the
+    // SNAPSHOT, not only the log walk: after metadata cleanup
+    // (cleanupExpiredLogs) the add-commit that introduced a still-live DV
+    // may be gone, and the sweep below must never reap a sidecar the
+    // current table state reads through
+    liveSnap.files.flatMap(_.dv).filter(_.isOnDisk)
+      .foreach(d => referenced += GwTable.uriKey(d.pathOrInlineDv))
     gwLog.listVersions().foreach { v =>
       gwLog.readVersion(v).foreach {
         case r: graft.log.RemoveFile if owned(r.path) =>
@@ -342,6 +350,16 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     }
     deleted
   }
+
+  /** Metadata retention: delete version JSONs below the newest checkpoint
+    * that are older than `retentionMs`, plus superseded checkpoints —
+    * bounds `_delta_log` growth on long-lived tables (the listing itself
+    * is the bottleneck at thousands of commits/day). Runs automatically
+    * at checkpoint cadence when `graft.enableExpiredLogCleanup = true`
+    * (retention from `graft.logRetentionMs`, default 30 days). See
+    * [[graft.log.GwLog.cleanupExpiredLogs]] for exact semantics. */
+  def cleanupMetadata(retentionMs: Long = graft.log.GwLog.DefaultLogRetentionMs): Int =
+    gwLog.cleanupExpiredLogs(retentionMs)
 
   /**
    * Row-level DELETE (copy-on-write): remove every row matching `cond` in

@@ -65,8 +65,19 @@ class GwLog(val tablePath: Path, conf: Configuration,
       // checkpoints are a read optimization: the version JSON above IS the
       // committed truth, so a failed checkpoint write must not fail the
       // commit (the next interval retries; reads fall back to JSON replay)
-      try writeCheckpoint(version)
-      catch { case scala.util.control.NonFatal(_) => () }
+      try {
+        writeCheckpoint(version)
+        // Delta's enableExpiredLogCleanup hook: metadata retention runs at
+        // checkpoint cadence when the table opts in
+        val conf = snapshot(Some(version)).metadata
+          .map(_.configuration).getOrElse(Map.empty)
+        if (Seq("graft.enableExpiredLogCleanup", "delta.enableExpiredLogCleanup")
+            .exists(k => conf.get(k).exists(_.trim.equalsIgnoreCase("true")))) {
+          val retention = conf.get("graft.logRetentionMs").map(_.trim.toLong)
+            .getOrElse(GwLog.DefaultLogRetentionMs)
+          cleanupExpiredLogs(retention)
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     version
   }
@@ -264,8 +275,17 @@ class GwLog(val tablePath: Path, conf: Configuration,
     require(
       versions.contains(upTo),
       s"Version $upTo not found at $logDir (have ${versions.headOption.getOrElse(-1L)}..${versions.lastOption.getOrElse(-1L)})")
-    def fullReplay(): Snapshot =
+    def fullReplay(): Snapshot = {
+      // after metadata cleanup ([[cleanupExpiredLogs]]) the log may start
+      // past 0; a replay that silently skipped the missing prefix would
+      // fabricate a WRONG snapshot — reconstruction below the earliest
+      // checkpoint is only sound when version 0 is still present
+      require(versions.headOption.contains(0L),
+        s"Version $upTo at $logDir predates the earliest reconstructible " +
+          s"state: versions below ${versions.head} were cleaned up " +
+          "(logRetention) and no checkpoint at or below the target survives")
       Snapshot.replay(upTo, versions.takeWhile(_ <= upTo).map(v => readVersion(v)))
+    }
     listCheckpoints().filter(_ <= upTo).lastOption match {
       case Some(cp) =>
         // a torn/corrupt checkpoint (crash mid-write) must never brick the
@@ -277,6 +297,46 @@ class GwLog(val tablePath: Path, conf: Configuration,
         } catch { case scala.util.control.NonFatal(_) => fullReplay() }
       case None => fullReplay()
     }
+  }
+
+  /**
+   * Metadata retention (Delta `delta.logRetentionDuration` +
+   * `delta.enableExpiredLogCleanup` role): physically delete version
+   * JSONs that are (a) BELOW the newest parquet checkpoint — the current
+   * state and everything after the checkpoint never depend on them — and
+   * (b) older than `retentionMs` by file modification time, plus
+   * superseded checkpoint parquets under the same age rule. At 100 TB a
+   * busy table commits thousands of times a day; without cleanup the
+   * `_delta_log` listing itself becomes the bottleneck — this bounds it
+   * to the retention window, exactly Delta's contract.
+   *
+   * What survives, what breaks: the live snapshot and every version at or
+   * after the newest checkpoint replay exactly as before; time travel,
+   * `rowChanges` and stream restarts into the cleaned range now fail with
+   * explicit errors (they already required versions to exist) instead of
+   * serving data — the same trade Delta makes. Data files are NOT touched
+   * (that is [[GwTable.vacuum]]'s job); a gap never corrupts a replay
+   * ([[snapshot]]'s reconstruction-floor guard). Returns the number of
+   * files deleted.
+   */
+  def cleanupExpiredLogs(retentionMs: Long): Int = {
+    val cps = listCheckpoints()
+    if (cps.isEmpty) return 0
+    val newestCp = cps.last
+    val f = fs
+    val cutoff = System.currentTimeMillis() - retentionMs
+    var deleted = 0
+    listVersions().filter(_ < newestCp).foreach { v =>
+      val p = logPathFor(v)
+      if (f.getFileStatus(p).getModificationTime < cutoff && f.delete(p, false))
+        deleted += 1
+    }
+    cps.filter(_ < newestCp).foreach { v =>
+      val p = checkpointPathFor(v)
+      if (f.exists(p) && f.getFileStatus(p).getModificationTime < cutoff &&
+        f.delete(p, false)) deleted += 1
+    }
+    deleted
   }
 
   /** (version, commitInfo) per version — basis of `GwTable.history`. */
@@ -313,6 +373,9 @@ object GwLog {
     * default, so a tombstone outlives every reader that could still
     * reference its file). */
   val TombstoneRetentionMs: Long = 7L * 24 * 3600 * 1000
+
+  /** Default metadata retention (Delta's logRetentionDuration: 30 days). */
+  val DefaultLogRetentionMs: Long = 30L * 24 * 3600 * 1000
 
   /** Schemes whose `create(path, overwrite = false)` is atomic; everything
     * else (object stores) takes the write-temp + rename-claim protocol.

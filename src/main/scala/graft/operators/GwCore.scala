@@ -1549,6 +1549,49 @@ object GwCore {
     t.toDF
   }
 
+  // ---------------------------------------------------------------- gw45
+  /** Metadata retention (Delta `logRetentionDuration` +
+    * `enableExpiredLogCleanup` parity): 25 single-row commits roll two
+    * parquet checkpoints (interval 10), then `cleanupMetadata(0)` deletes
+    * every version JSON below the newest checkpoint plus the superseded
+    * checkpoint — the `_delta_log` listing shrinks from 25 entries to the
+    * retention tail, which is what keeps metadata listable at thousands
+    * of commits a day. In-gate: the live snapshot and every surviving
+    * version replay IDENTICALLY after cleanup (content oracle-exact),
+    * history shows only surviving versions, and time travel into the
+    * cleaned range fails with the explicit version-not-found error, never
+    * a fabricated partial replay. */
+  def gw45LogRetention(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw45")
+    val loc = tmp.resolve("db/nation").toString
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    for (i <- 0 until 25)
+      nation.filter(col("n_nationkey") === i).coalesce(1)
+        .write.format("gwdelta").mode("append").save(loc)
+    val t = GwTable.forPath(spark, loc)
+    require(t.log.listVersions().size == 25 &&
+      t.log.listCheckpoints() == Seq(10L, 20L),
+      "expected 25 commits with checkpoints at 10 and 20")
+    val before = t.toDF.collect().map(_.toSeq).toSet
+    val removed = t.cleanupMetadata(retentionMs = 0L)
+    require(removed == 21, s"20 version JSONs + 1 old checkpoint, got $removed")
+    require(t.log.listVersions() == (20L to 24L),
+      s"only the checkpoint tail survives, got ${t.log.listVersions()}")
+    // surviving versions replay exactly; the snapshot is unchanged
+    require(t.toDF.collect().map(_.toSeq).toSet == before,
+      "cleanup must not change the live snapshot")
+    require(t.versionAsOf(22).count() == 23,
+      "a surviving pre-head version must still time-travel")
+    // the cleaned range fails loudly, never a fabricated replay
+    val e = try { t.versionAsOf(5).count(); None }
+      catch { case ex: Exception => Some(ex) }
+    require(e.exists(_.getMessage.contains("not found")),
+      s"time travel into the cleaned range must fail explicitly, got $e")
+    require(t.history.count() == 5, "history lists surviving versions only")
+    t.toDF
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1594,6 +1637,7 @@ object GwCore {
     "gw42_auto_compact" -> gw42AutoCompact _,
     "gw43_change_data_feed" -> gw43ChangeDataFeed _,
     "gw44_in_commit_timestamps" -> gw44InCommitTimestamps _,
+    "gw45_log_retention" -> gw45LogRetention _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1839,5 +1883,7 @@ object GwCore {
     "gw44_in_commit_timestamps" ->
       """SELECT * FROM region UNION ALL SELECT * FROM region
         |UNION ALL SELECT * FROM region""".stripMargin,
+    "gw45_log_retention" ->
+      "SELECT * FROM nation WHERE n_nationkey < 25",
   )
 }

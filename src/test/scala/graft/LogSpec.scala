@@ -202,6 +202,34 @@ class LogSpec extends AnyFunSuite {
     assert(ci(4).inCommitTimestamp.isEmpty, "chain must stop after unset")
   }
 
+  test("log cleanup: a gap without a usable checkpoint fails loudly, never a partial replay") {
+    val conf = new Configuration()
+    val dir = Files.createTempDirectory("gwlog-clean").toString
+    val log = new GwLog(new org.apache.hadoop.fs.Path(dir), conf, checkpointInterval = 5)
+    log.commit(Seq(Protocol(),
+      Metadata("id0", new StructType().add("a", "long").json),
+      AddFile("f0.parquet", 1, 1),
+      CommitInfo(1L, "WRITE", "Overwrite", 1, 1, isBlindAppend = false, "t0")))
+    for (i <- 1 to 7)
+      log.commit(Seq(AddFile(s"f$i.parquet", 1, 1),
+        CommitInfo(i, "WRITE", "Append", 1, 1, isBlindAppend = true, s"t$i")))
+    assert(log.listCheckpoints() == Seq(5L))
+    assert(log.cleanupExpiredLogs(0L) == 5) // versions 0-4
+    assert(log.listVersions() == (5L to 7L))
+    // state reads fine through the surviving checkpoint
+    assert(log.snapshot(None).files.size == 8)
+    assert(log.snapshot(Some(6)).files.size == 7)
+    // cleaned version: explicit not-found
+    val miss = intercept[IllegalArgumentException](log.snapshot(Some(3)))
+    assert(miss.getMessage.contains("not found"))
+    // checkpoint gone too -> the guard refuses a fabricated partial replay
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(log.checkpointPathFor(5L), false)
+    val guard = intercept[IllegalArgumentException](log.snapshot(None))
+    assert(guard.getMessage.contains("reconstructible"),
+      s"expected the reconstruction-floor guard, got: ${guard.getMessage}")
+  }
+
   test("checkpoint carries txn marks + unexpired tombstones; snapshot resumes them") {
     val conf = new Configuration()
     val dir = Files.createTempDirectory("gwlog-txncp").toString
