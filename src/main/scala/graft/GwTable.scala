@@ -487,6 +487,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
       val now = System.currentTimeMillis()
       val fresh = gwLog.snapshot(None)
+      fresh.protocol.foreach(p =>
+        graft.log.Protocol.assertWritable(tablePath.toString, p))
       readSnap.foreach(r => graft.log.Occ.checkTableState(tablePath.toString, r, fresh))
       val live = fresh.files.map(f => f.path -> f).toMap
       // tombstoned + DV-re-asserted files are this op's DELETES; untouched
@@ -961,6 +963,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
       val now = System.currentTimeMillis()
       val fresh = gwLog.snapshot(None)
+      fresh.protocol.foreach(p =>
+        graft.log.Protocol.assertWritable(tablePath.toString, p))
       readSnap.foreach(r => graft.log.Occ.checkTableState(tablePath.toString, r, fresh))
       val live = fresh.files.map(f => f.path -> f).toMap
       graft.log.Occ.checkFiles(tablePath.toString, live, deletes = removes)

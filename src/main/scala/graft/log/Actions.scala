@@ -16,7 +16,54 @@ import com.fasterxml.jackson.databind.node.ObjectNode
  */
 sealed trait Action
 
-final case class Protocol(minReaderVersion: Int = 1, minWriterVersion: Int = 2) extends Action
+/** Delta protocol action. Plain tables stay at (1, 2) with no feature
+  * lists (logs byte-identical to the golden files); the first commit that
+  * USES a table feature upgrades to the Delta table-features protocol —
+  * (3, 7) with explicit `readerFeatures`/`writerFeatures` — in the same
+  * commit ([[GwLog]] auto-upgrade). Readers/writers refuse tables whose
+  * demanded features they don't implement ([[Protocol.assertReadable]] /
+  * [[Protocol.assertWritable]]) instead of corrupting them — the spec's
+  * forward-compatibility contract. */
+final case class Protocol(
+    minReaderVersion: Int = 1,
+    minWriterVersion: Int = 2,
+    readerFeatures: Option[Seq[String]] = None,
+    writerFeatures: Option[Seq[String]] = None) extends Action
+
+object Protocol {
+  /** Features this engine implements end to end. */
+  val SupportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
+  val SupportedWriterFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping", "timestampNtz", "changeDataFeed",
+      "checkConstraints", "generatedColumns", "identityColumns",
+      "inCommitTimestamp", "appendOnly", "invariants")
+  val MaxReaderVersion = 3
+  val MaxWriterVersion = 7
+
+  def assertReadable(table: String, p: Protocol): Unit = {
+    require(p.minReaderVersion <= MaxReaderVersion,
+      s"$table demands reader protocol version ${p.minReaderVersion} " +
+        s"(this engine supports up to $MaxReaderVersion) — a newer writer " +
+        "owns this table; refusing to read rather than misread it")
+    val unknown = p.readerFeatures.getOrElse(Nil).toSet -- SupportedReaderFeatures
+    require(unknown.isEmpty,
+      s"$table demands reader table features ${unknown.mkString(", ")} this " +
+        "engine does not implement — refusing to read rather than misread")
+  }
+
+  def assertWritable(table: String, p: Protocol): Unit = {
+    assertReadable(table, p)
+    require(p.minWriterVersion <= MaxWriterVersion,
+      s"$table demands writer protocol version ${p.minWriterVersion} " +
+        s"(this engine supports up to $MaxWriterVersion) — refusing to " +
+        "write rather than corrupt it")
+    val unknown = p.writerFeatures.getOrElse(Nil).toSet -- SupportedWriterFeatures
+    require(unknown.isEmpty,
+      s"$table demands writer table features ${unknown.mkString(", ")} this " +
+        "engine does not implement — refusing to write rather than corrupt")
+  }
+}
 
 final case class Metadata(
     id: String,
@@ -124,10 +171,14 @@ object Actions {
   def toJson(a: Action): String = {
     val root = mapper.createObjectNode()
     a match {
-      case Protocol(r, w) =>
+      case Protocol(r, w, rf, wf) =>
         val n = root.putObject("protocol")
         n.put("minReaderVersion", r)
         n.put("minWriterVersion", w)
+        // feature lists only when present: plain (1,2) logs stay byte-
+        // identical to the golden files
+        rf.foreach { fs => val a = n.putArray("readerFeatures"); fs.foreach(a.add) }
+        wf.foreach { fs => val a = n.putArray("writerFeatures"); fs.foreach(a.add) }
       case Metadata(id, schemaString, partCols, conf, createdTime) =>
         val n = root.putObject("metaData")
         n.put("id", id)
@@ -208,7 +259,10 @@ object Actions {
     val root = mapper.readTree(line)
     if (root.has("protocol")) {
       val n = root.get("protocol")
-      Some(Protocol(n.get("minReaderVersion").asInt, n.get("minWriterVersion").asInt))
+      def features(field: String): Option[Seq[String]] =
+        Option(n.get(field)).map(arr => (0 until arr.size()).map(arr.get(_).asText))
+      Some(Protocol(n.get("minReaderVersion").asInt, n.get("minWriterVersion").asInt,
+        features("readerFeatures"), features("writerFeatures")))
     } else if (root.has("metaData")) {
       val n = root.get("metaData")
       val parts = Option(n.get("partitionColumns")).map { arr =>

@@ -35,6 +35,16 @@ object Checkpoint {
       |  optional group protocol {
       |    optional int32 minReaderVersion;
       |    optional int32 minWriterVersion;
+      |    optional group readerFeatures (LIST) {
+      |      repeated group list {
+      |        optional binary element (UTF8);
+      |      }
+      |    }
+      |    optional group writerFeatures (LIST) {
+      |      repeated group list {
+      |        optional binary element (UTF8);
+      |      }
+      |    }
       |  }
       |  optional group metaData {
       |    optional binary id (UTF8);
@@ -122,10 +132,18 @@ object Checkpoint {
     try actions.foreach { a =>
       val row = new SimpleGroup(schema)
       a match {
-        case Protocol(r, w) =>
+        case Protocol(r, w, rf, wf) =>
           val g = row.addGroup("protocol")
           g.append("minReaderVersion", r)
           g.append("minWriterVersion", w)
+          rf.foreach { fs =>
+            val lg = g.addGroup("readerFeatures")
+            fs.foreach(f => lg.addGroup("list").append("element", f))
+          }
+          wf.foreach { fs =>
+            val lg = g.addGroup("writerFeatures")
+            fs.foreach(f => lg.addGroup("list").append("element", f))
+          }
         case Metadata(id, schemaString, partCols, configuration, createdTime) =>
           val g = row.addGroup("metaData")
           g.append("id", id)
@@ -181,7 +199,16 @@ object Checkpoint {
       while (row != null) {
         if (row.getFieldRepetitionCount("protocol") > 0) {
           val g = row.getGroup("protocol", 0)
-          out += Protocol(g.getInteger("minReaderVersion", 0), g.getInteger("minWriterVersion", 0))
+          def features(field: String): Option[Seq[String]] =
+            if (g.getFieldRepetitionCount(field) == 0) None
+            else {
+              val lg = g.getGroup(field, 0)
+              Some((0 until lg.getFieldRepetitionCount("list"))
+                .map(i => lg.getGroup("list", i).getString("element", 0)))
+            }
+          out += Protocol(g.getInteger("minReaderVersion", 0),
+            g.getInteger("minWriterVersion", 0),
+            features("readerFeatures"), features("writerFeatures"))
         } else if (row.getFieldRepetitionCount("metaData") > 0) {
           val g = row.getGroup("metaData", 0)
           val parts =

@@ -60,7 +60,8 @@ class GwLog(val tablePath: Path, conf: Configuration,
     * replaying every version JSON (see [[Checkpoint]]). */
   def commit(actions: Seq[Action]): Long = {
     val version = latestVersion().map(_ + 1).getOrElse(0L)
-    commitAt(version, stampInCommitTimestamp(version, actions))
+    commitAt(version,
+      stampInCommitTimestamp(version, upgradeProtocol(version, actions)))
     if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0) {
       // checkpoints are a read optimization: the version JSON above IS the
       // committed truth, so a failed checkpoint write must not fail the
@@ -80,6 +81,63 @@ class GwLog(val tablePath: Path, conf: Configuration,
       } catch { case scala.util.control.NonFatal(_) => () }
     }
     version
+  }
+
+  /** The Delta table features each action shape demands: (reader, writer)
+    * feature names, derived from THIS commit's actions alone (no snapshot
+    * replay — deletion vectors and cdc files announce themselves, property
+    * and mapping features ride the Metadata action that introduces them). */
+  private def requiredFeatures(actions: Seq[Action]): (Set[String], Set[String]) = {
+    var rf = Set.empty[String]
+    var wf = Set.empty[String]
+    actions.foreach {
+      case a: AddFile if a.dv.isDefined =>
+        rf += "deletionVectors"; wf += "deletionVectors"
+      case _: CdcFile => wf += "changeDataFeed"
+      case m: Metadata =>
+        val conf = m.configuration
+        def on(base: String) = Seq(s"graft.$base", s"delta.$base")
+          .exists(k => conf.get(k).exists(_.trim.equalsIgnoreCase("true")))
+        if (on("enableChangeDataFeed")) wf += "changeDataFeed"
+        if (on("enableInCommitTimestamps")) wf += "inCommitTimestamp"
+        if (conf.keys.exists(_.startsWith("graft.constraints."))) wf += "checkConstraints"
+        if (conf.keys.exists(_.startsWith("graft.generated."))) wf += "generatedColumns"
+        if (conf.keys.exists(_.startsWith("graft.identity."))) wf += "identityColumns"
+        if (m.schemaString.contains(ColumnMapping.PhysicalNameKey)) {
+          rf += "columnMapping"; wf += "columnMapping"
+        }
+      case _ => ()
+    }
+    (rf, wf)
+  }
+
+  /** Delta table-features auto-upgrade: the first commit that USES a
+    * feature carries the upgraded protocol — (3, 7) with explicit
+    * readerFeatures/writerFeatures — in the SAME commit, so a foreign
+    * reader can never replay past the feature without seeing its
+    * requirement. Feature-free commits pass through untouched (plain
+    * tables stay (1, 2), logs byte-identical); already-covered features
+    * add nothing. Also the WRITE-side feature gate: committing to a table
+    * whose protocol demands features this engine lacks fails here. */
+  private def upgradeProtocol(version: Long, actions: Seq[Action]): Seq[Action] = {
+    val (rf, wf) = requiredFeatures(actions)
+    val declared = actions.collectFirst { case p: Protocol => p }
+    if (rf.isEmpty && wf.isEmpty && declared.isEmpty) return actions
+    val current: Protocol = declared.orElse {
+      if (version == 0) None
+      else scala.util.Try(snapshot(Some(version - 1)).protocol).toOption.flatten
+    }.getOrElse(Protocol())
+    Protocol.assertWritable(tablePath.toString, current)
+    val needsUpgrade =
+      rf.exists(f => !current.readerFeatures.getOrElse(Nil).contains(f)) ||
+        wf.exists(f => !current.writerFeatures.getOrElse(Nil).contains(f))
+    if (!needsUpgrade) return actions
+    val upgraded = Protocol(
+      Protocol.MaxReaderVersion, Protocol.MaxWriterVersion,
+      Some((current.readerFeatures.getOrElse(Nil).toSet ++ rf).toSeq.sorted),
+      Some((current.writerFeatures.getOrElse(Nil).toSet ++ wf).toSeq.sorted))
+    val stripped = actions.filterNot(_.isInstanceOf[Protocol])
+    (upgraded: Action) +: stripped
   }
 
   /** Delta in-commit timestamps (`delta.enableInCommitTimestamps`, stored
@@ -286,7 +344,7 @@ class GwLog(val tablePath: Path, conf: Configuration,
           "(logRetention) and no checkpoint at or below the target survives")
       Snapshot.replay(upTo, versions.takeWhile(_ <= upTo).map(v => readVersion(v)))
     }
-    listCheckpoints().filter(_ <= upTo).lastOption match {
+    val snap = listCheckpoints().filter(_ <= upTo).lastOption match {
       case Some(cp) =>
         // a torn/corrupt checkpoint (crash mid-write) must never brick the
         // table — the version JSONs are always sufficient on their own
@@ -297,6 +355,12 @@ class GwLog(val tablePath: Path, conf: Configuration,
         } catch { case scala.util.control.NonFatal(_) => fullReplay() }
       case None => fullReplay()
     }
+    // reader feature gate (Delta forward compatibility): a table demanding
+    // reader features or versions this engine lacks is refused, never
+    // misread. Unknown WRITER-only features pass here — readers may read
+    // them by spec; the write paths gate separately (assertWritable).
+    snap.protocol.foreach(p => Protocol.assertReadable(tablePath.toString, p))
+    snap
   }
 
   /**

@@ -1592,6 +1592,57 @@ object GwCore {
     t.toDF
   }
 
+  // ---------------------------------------------------------------- gw46
+  /** Protocol table features (Delta reader/writer feature gating): plain
+    * tables stay at protocol (1, 2) with byte-identical logs; the FIRST
+    * commit that uses a feature (here: a deletion-vector delete) upgrades
+    * to (3, 7) with explicit readerFeatures/writerFeatures IN THE SAME
+    * COMMIT, so no reader can replay past the feature unaware; later
+    * features accumulate (enabling CDF adds the changeDataFeed writer
+    * feature); and a foreign table demanding features this engine does
+    * not implement is REFUSED with the feature named — never misread or
+    * corrupted (the spec's forward-compatibility contract). */
+  def gw46TableFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw46")
+    val loc = tmp.resolve("db/region").toString
+    val region = spark.read.parquet(s"$dir/region.parquet")
+    region.write.format("gwdelta").mode("append").save(loc) // v0 plain
+    val t = GwTable.forPath(spark, loc)
+    require(t.snapshot().protocol.contains(graft.log.Protocol(1, 2)),
+      "a feature-free table must stay at plain protocol (1, 2)")
+    require(t.delete(col("r_regionkey") === 1, mergeOnRead = true) == 1L)
+    val p = t.snapshot().protocol.getOrElse(graft.log.Protocol())
+    require(p.minReaderVersion == 3 && p.minWriterVersion == 7 &&
+      p.readerFeatures.exists(_.contains("deletionVectors")) &&
+      p.writerFeatures.exists(_.contains("deletionVectors")),
+      s"first DV use must upgrade to table-features protocol, got $p")
+    val v1 = t.log.readVersion(1L)
+    require(v1.exists(_.isInstanceOf[graft.log.Protocol]) &&
+      v1.exists { case a: graft.log.AddFile => a.dv.isDefined; case _ => false },
+      "the upgrade must ride the SAME commit as the deletion vector")
+    require(t.updateProperties(Map("graft.enableChangeDataFeed" -> "true")) == 2L)
+    val p2 = t.snapshot().protocol.getOrElse(graft.log.Protocol())
+    require(p2.writerFeatures.exists(f =>
+      f.contains("changeDataFeed") && f.contains("deletionVectors")),
+      s"features must accumulate across upgrades, got $p2")
+    // a table owned by a future engine is refused, with the feature named
+    val alienLoc = tmp.resolve("db/alien").toString
+    val alien = graft.log.GwLog.forTable(
+      spark.sparkContext.hadoopConfiguration, alienLoc)
+    alien.commitAt(0L, Seq(
+      graft.log.Protocol(3, 7, Some(Seq("futureMagic")), Some(Seq("futureMagic"))),
+      graft.log.Metadata("alien", t.snapshot().schema.json),
+      graft.log.CommitInfo(1L, "WRITE", "Overwrite", 0, 0,
+        isBlindAppend = false, "a0")))
+    val refused =
+      try { spark.read.format("gwdelta").load(alienLoc).count(); None }
+      catch { case e: Exception => Some(e) }
+    require(refused.exists(_.getMessage.contains("futureMagic")),
+      s"unsupported reader feature must refuse with the feature named, got $refused")
+    t.toDF
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1638,6 +1689,7 @@ object GwCore {
     "gw43_change_data_feed" -> gw43ChangeDataFeed _,
     "gw44_in_commit_timestamps" -> gw44InCommitTimestamps _,
     "gw45_log_retention" -> gw45LogRetention _,
+    "gw46_table_features" -> gw46TableFeatures _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1885,5 +1937,7 @@ object GwCore {
         |UNION ALL SELECT * FROM region""".stripMargin,
     "gw45_log_retention" ->
       "SELECT * FROM nation WHERE n_nationkey < 25",
+    "gw46_table_features" ->
+      "SELECT * FROM region WHERE r_regionkey <> 1",
   )
 }

@@ -240,9 +240,18 @@ object GwSink {
     None
   }
 
-  /** The table's current metadata, or None before the bootstrap commit. */
+  /** The table's current metadata, or None before the bootstrap commit.
+    * Every batch/stream WRITE resolves its target schema here, so this is
+    * also the writer feature gate: a table whose protocol demands writer
+    * features this engine lacks is refused before any bytes move. */
   private def tableMeta(log: GwLog): Option[Metadata] =
-    if (log.listVersions().isEmpty) None else log.snapshot(None).metadata
+    if (log.listVersions().isEmpty) None
+    else {
+      val snap = log.snapshot(None)
+      snap.protocol.foreach(p =>
+        graft.log.Protocol.assertWritable(log.tablePath.toString, p))
+      snap.metadata
+    }
 
   /** Batches arrive in LOGICAL names; files land in the table's PHYSICAL
     * layout (column mapping — a no-op on unmapped tables). */

@@ -101,6 +101,29 @@ class LogSpec extends AnyFunSuite {
     assert(Checkpoint.read(target, conf) == actions)
   }
 
+  test("table-features protocol round-trips through JSON and checkpoint") {
+    val p = Protocol(3, 7,
+      Some(Seq("columnMapping", "deletionVectors")),
+      Some(Seq("changeDataFeed", "deletionVectors")))
+    assert(Actions.fromJson(Actions.toJson(p)).contains(p))
+    // a plain protocol serializes WITHOUT the feature fields (golden logs)
+    assert(!Actions.toJson(Protocol(1, 2)).contains("Features"))
+    val conf = new Configuration()
+    val dir = Files.createTempDirectory("gwlog-feat")
+    val target = new org.apache.hadoop.fs.Path(dir.toString, "cp.parquet")
+    Checkpoint.write(target, conf, Seq(p))
+    assert(Checkpoint.read(target, conf) == Seq(p))
+    // the gates refuse what the engine does not implement, by name
+    val bad = Protocol(3, 7, Some(Seq("futureMagic")), Some(Seq("deletionVectors")))
+    val e = intercept[IllegalArgumentException](Protocol.assertReadable("t", bad))
+    assert(e.getMessage.contains("futureMagic"))
+    // writer-only unknown features still READ fine, but refuse writes
+    val wOnly = Protocol(1, 7, None, Some(Seq("rowTracking")))
+    Protocol.assertReadable("t", wOnly)
+    val w = intercept[IllegalArgumentException](Protocol.assertWritable("t", wOnly))
+    assert(w.getMessage.contains("rowTracking"))
+  }
+
   test("checkpoint parquet schema matches the Delta protocol checkpoint shape (golden)") {
     // Transcribed from the Delta transaction-log protocol's checkpoint
     // schema (one optional struct per action type; string-keyed maps for
@@ -123,6 +146,8 @@ class LogSpec extends AnyFunSuite {
     val golden = Set(
       "protocol.minReaderVersion" -> "INT32",
       "protocol.minWriterVersion" -> "INT32",
+      "protocol.readerFeatures.list.element" -> "BINARY",
+      "protocol.writerFeatures.list.element" -> "BINARY",
       "metaData.id" -> "BINARY",
       "metaData.schemaString" -> "BINARY",
       "metaData.partitionColumns.list.element" -> "BINARY",
