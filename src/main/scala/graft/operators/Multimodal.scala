@@ -142,6 +142,34 @@ object Multimodal {
       }
       (w.toLong, h.toLong, sum)
     }
+
+    /** Decode + 2x2 integer box filter: each output channel value is
+      * floor((p00 + p10 + p01 + p11) / 4); odd trailing row/col cropped.
+      * Returns (out_w, out_h, sum of all downsampled channel values). */
+    def decodeAndDownsample(payload: Array[Byte]): (Long, Long, Long) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val (ow, oh) = (img.getWidth / 2, img.getHeight / 2)
+      var sum = 0L
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) {
+          var c = 0
+          while (c < 3) {
+            val shift = 16 - 8 * c
+            def ch(px: Int, py: Int): Int = (img.getRGB(px, py) >> shift) & 0xff
+            sum += (ch(2 * x, 2 * y) + ch(2 * x + 1, 2 * y) +
+              ch(2 * x, 2 * y + 1) + ch(2 * x + 1, 2 * y + 1)) / 4
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (ow.toLong, oh.toLong, sum)
+    }
   }
 
   // ---------------------------------------------------------------- m04
@@ -235,11 +263,39 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------- m05
+  /** Real image RESIZE via mapPartitions: decode the stored PNG (m03's
+    * codec) and 2x2 box-downsample the raster with an explicit integer
+    * rule — floor of the 4-pixel channel sum / 4, trailing odd row/column
+    * cropped — the thumbnail/preprocess stage of a vision-training
+    * pipeline. The filter is defined on INTEGERS (not Java2D's scaler,
+    * whose rounding is unspecified), so the output raster is exactly
+    * SQL-predictable and the decode->resize round trip hash-checks like
+    * m03/m04. One decoder per partition; at scale the payload column
+    * streams through executors and only (id, dims, checksum) returns. */
+  def m05ImageResize(spark: SparkSession, dir: String): DataFrame = {
+    val input = pngPayloads(docs(spark, dir))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("out_w", LongType, nullable = false),
+      StructField("out_h", LongType, nullable = false),
+      StructField("out_sum", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    input.mapPartitions { rows =>
+      val decoder = new PngDecoder
+      rows.map { r =>
+        val (ow, oh, osum) = decoder.decodeAndDownsample(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), ow, oh, osum)
+      }
+    }(encoder)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> m01BinaryMeta _,
     "m02_frame_sample" -> m02FrameSample _,
     "m03_decode" -> m03Decode _,
     "m04_audio_decode" -> m04AudioDecode _,
+    "m05_image_resize" -> m05ImageResize _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -284,5 +340,32 @@ object Multimodal {
         |       FROM (SELECT unnest(generate_series(0, 499)) AS i) i
         |       WHERE i.i < n_chars % 400 + 100) AS BIGINT) AS energy
         |FROM documents""".stripMargin,
+    // replays the 2x2 integer box filter over PngCodec's pixel formula:
+    // floor((p00+p10+p01+p11)/4) per channel over the cropped even grid
+    "m05_image_resize" ->
+      """WITH d AS (
+        | SELECT doc_id, (n_chars % 40 + 8) // 2 AS ow, (doc_id % 24 + 8) // 2 AS oh
+        | FROM documents)
+        |SELECT d.doc_id,
+        | CAST(d.ow AS BIGINT) AS out_w,
+        | CAST(d.oh AS BIGINT) AS out_h,
+        | CAST(sum(
+        |   ((2*x.x*31   + 2*y.y*17 + d.doc_id*7) % 256
+        |  + ((2*x.x+1)*31 + 2*y.y*17 + d.doc_id*7) % 256
+        |  + (2*x.x*31   + (2*y.y+1)*17 + d.doc_id*7) % 256
+        |  + ((2*x.x+1)*31 + (2*y.y+1)*17 + d.doc_id*7) % 256) // 4
+        | + ((2*x.x*31   + 2*y.y*17 + d.doc_id*7 + 11) % 256
+        |  + ((2*x.x+1)*31 + 2*y.y*17 + d.doc_id*7 + 11) % 256
+        |  + (2*x.x*31   + (2*y.y+1)*17 + d.doc_id*7 + 11) % 256
+        |  + ((2*x.x+1)*31 + (2*y.y+1)*17 + d.doc_id*7 + 11) % 256) // 4
+        | + ((2*x.x*31   + 2*y.y*17 + d.doc_id*7 + 22) % 256
+        |  + ((2*x.x+1)*31 + 2*y.y*17 + d.doc_id*7 + 22) % 256
+        |  + (2*x.x*31   + (2*y.y+1)*17 + d.doc_id*7 + 22) % 256
+        |  + ((2*x.x+1)*31 + (2*y.y+1)*17 + d.doc_id*7 + 22) % 256) // 4
+        | ) AS BIGINT) AS out_sum
+        |FROM d
+        |JOIN (SELECT unnest(generate_series(0, 23)) AS x) x ON x.x < d.ow
+        |JOIN (SELECT unnest(generate_series(0, 15)) AS y) y ON y.y < d.oh
+        |GROUP BY d.doc_id, d.ow, d.oh""".stripMargin,
   )
 }
