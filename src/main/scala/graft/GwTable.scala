@@ -489,6 +489,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       val fresh = gwLog.snapshot(None)
       fresh.protocol.foreach(p =>
         graft.log.Protocol.assertWritable(tablePath.toString, p))
+      GwTable.assertNotAppendOnly(tablePath, fresh, operation)
       readSnap.foreach(r => graft.log.Occ.checkTableState(tablePath.toString, r, fresh))
       val live = fresh.files.map(f => f.path -> f).toMap
       // tombstoned + DV-re-asserted files are this op's DELETES; untouched
@@ -965,6 +966,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       val fresh = gwLog.snapshot(None)
       fresh.protocol.foreach(p =>
         graft.log.Protocol.assertWritable(tablePath.toString, p))
+      if (removes.nonEmpty) // MERGE with inserts only stays append-legal
+        GwTable.assertNotAppendOnly(tablePath, fresh, operation)
       readSnap.foreach(r => graft.log.Occ.checkTableState(tablePath.toString, r, fresh))
       val live = fresh.files.map(f => f.path -> f).toMap
       graft.log.Occ.checkFiles(tablePath.toString, live, deletes = removes)
@@ -1042,8 +1045,10 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     if (gwLog.listVersions().isEmpty) return -1L
     graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
       val now = System.currentTimeMillis()
+      val snap = gwLog.snapshot(None)
+      GwTable.assertNotAppendOnly(tablePath, snap, "TRUNCATE")
       val removes: Seq[Action] =
-        gwLog.snapshot(None).files.map(f => RemoveFile(f.path, f.size, now))
+        snap.files.map(f => RemoveFile(f.path, f.size, now))
       removes :+ CommitInfo(now, "DELETE", "Truncate",
         numFiles = 0, numOutputBytes = 0, isBlindAppend = false,
         txnId = java.util.UUID.randomUUID().toString)
@@ -1089,6 +1094,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
       val now = System.currentTimeMillis()
       val cur = gwLog.snapshot(None)
+      GwTable.assertNotAppendOnly(tablePath, cur, "RESTORE")
       val curByPath = cur.files.map(f => f.path -> f).toMap
       val removes: Seq[Action] = cur.files
         .filterNot(f => tgtByPath.get(f.path).contains(f))
@@ -1566,6 +1572,20 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
 
 object GwTable {
   def forPath(spark: SparkSession, tablePath: String): GwTable = new GwTable(spark, tablePath)
+
+  /** Delta `delta.appendOnly` (the appendOnly writer feature): row removal
+    * of any kind — DELETE/UPDATE/MERGE-with-matches, TRUNCATE, OVERWRITE,
+    * RESTORE, deletion vectors — is refused on an append-only table.
+    * Maintenance rewrites (`dataChange = false`) stay legal, per spec. */
+  private[graft] def assertNotAppendOnly(tablePath: String,
+      snap: graft.log.Snapshot, operation: String): Unit = {
+    val conf = snap.metadata.map(_.configuration).getOrElse(Map.empty)
+    val on = Seq("graft.appendOnly", "delta.appendOnly")
+      .exists(k => conf.get(k).exists(_.trim.equalsIgnoreCase("true")))
+    require(!on,
+      s"$operation on $tablePath is forbidden: the table is append-only " +
+        "(appendOnly); unset the property to allow row removal")
+  }
 
   /** Table-property namespace whose values are CHECK constraint SQL
     * expressions (Delta stores its constraints the same way, under

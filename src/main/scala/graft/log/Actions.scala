@@ -31,13 +31,16 @@ final case class Protocol(
     writerFeatures: Option[Seq[String]] = None) extends Action
 
 object Protocol {
-  /** Features this engine implements end to end. */
+  /** Features this engine implements end to end — nothing is listed on
+    * faith: every reader feature has a reconciling scan path, every
+    * writer feature an enforcing write path (appendOnly included:
+    * data-changing removes are refused on appendOnly tables). */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
+    Set("deletionVectors", "columnMapping", "timestampNtz")
   val SupportedWriterFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "timestampNtz", "changeDataFeed",
       "checkConstraints", "generatedColumns", "identityColumns",
-      "inCommitTimestamp", "appendOnly", "invariants")
+      "inCommitTimestamp", "appendOnly")
   val MaxReaderVersion = 3
   val MaxWriterVersion = 7
 

@@ -100,6 +100,7 @@ class GwLog(val tablePath: Path, conf: Configuration,
           .exists(k => conf.get(k).exists(_.trim.equalsIgnoreCase("true")))
         if (on("enableChangeDataFeed")) wf += "changeDataFeed"
         if (on("enableInCommitTimestamps")) wf += "inCommitTimestamp"
+        if (on("appendOnly")) wf += "appendOnly"
         if (conf.keys.exists(_.startsWith("graft.constraints."))) wf += "checkConstraints"
         if (conf.keys.exists(_.startsWith("graft.generated."))) wf += "generatedColumns"
         if (conf.keys.exists(_.startsWith("graft.identity."))) wf += "identityColumns"

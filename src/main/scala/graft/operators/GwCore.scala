@@ -1643,6 +1643,51 @@ object GwCore {
     t.toDF
   }
 
+  // ---------------------------------------------------------------- gw47
+  /** Append-only tables (Delta `delta.appendOnly` / the appendOnly writer
+    * feature, stored as `graft.appendOnly`): the audit-log contract —
+    * appends flow, but EVERY row-removal shape is refused typed before
+    * any commit: DELETE (both strategies), UPDATE, TRUNCATE, INSERT
+    * OVERWRITE, RESTORE. Maintenance compaction (dataChange=false) stays
+    * legal per spec — rows never disappear, only bytes reorganize. The
+    * property rides the protocol as the appendOnly writer feature, and
+    * unsetting it restores full DML. */
+  def gw47AppendOnly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tmp = Files.createTempDirectory("gw47")
+    val loc = tmp.resolve("db/region").toString
+    val region = spark.read.parquet(s"$dir/region.parquet")
+    region.write.format("gwdelta").mode("append").save(loc) // v0
+    val t = GwTable.forPath(spark, loc)
+    require(t.updateProperties(Map("graft.appendOnly" -> "true")) == 1L)
+    require(t.snapshot().protocol.exists(
+      _.writerFeatures.exists(_.contains("appendOnly"))),
+      "the appendOnly property must ride the protocol as a writer feature")
+    region.write.format("gwdelta").mode("append").save(loc) // appends still flow
+    def refused(what: String)(body: => Any): Unit = {
+      val e = try { body; None } catch { case ex: Exception => Some(ex) }
+      require(e.exists(_.getMessage.contains("append-only")),
+        s"$what must be refused on an append-only table, got $e")
+    }
+    refused("DELETE")(t.delete(col("r_regionkey") === 1))
+    refused("MOR DELETE")(t.delete(col("r_regionkey") === 1, mergeOnRead = true))
+    refused("UPDATE")(t.update(col("r_regionkey") === 1,
+      Map("r_name" -> lit("X"))))
+    refused("TRUNCATE")(t.truncate())
+    refused("OVERWRITE")(
+      region.write.format("gwdelta").mode("overwrite").save(loc))
+    refused("RESTORE")(t.restore(0L))
+    // nothing was removed by the refused operations
+    require(t.toDF.count() == 2 * region.count(),
+      "refused operations must leave the table untouched")
+    // compaction (dataChange = false) reorganizes bytes, not rows — legal
+    require(t.compact() > 0, "maintenance compaction stays legal")
+    // unsetting the property restores DML
+    require(t.updateProperties(Map.empty, unset = Seq("graft.appendOnly")) > 0)
+    require(t.delete(col("r_regionkey") === 1) > 0)
+    t.toDF
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1690,6 +1735,7 @@ object GwCore {
     "gw44_in_commit_timestamps" -> gw44InCommitTimestamps _,
     "gw45_log_retention" -> gw45LogRetention _,
     "gw46_table_features" -> gw46TableFeatures _,
+    "gw47_append_only" -> gw47AppendOnly _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1939,5 +1985,9 @@ object GwCore {
       "SELECT * FROM nation WHERE n_nationkey < 25",
     "gw46_table_features" ->
       "SELECT * FROM region WHERE r_regionkey <> 1",
+    // two appends of region, then the post-unset DELETE of key 1
+    "gw47_append_only" ->
+      """SELECT * FROM (SELECT * FROM region UNION ALL SELECT * FROM region)
+        |WHERE r_regionkey <> 1""".stripMargin,
   )
 }

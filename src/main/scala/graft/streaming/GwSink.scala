@@ -464,7 +464,12 @@ object GwSink {
       // changed the live set this overwrite must tombstone
       val removes: Seq[Action] =
         if (bootstrap) Nil
-        else log.snapshot(None).files.map(f => graft.log.RemoveFile(f.path, f.size, now))
+        else {
+          val fresh = log.snapshot(None)
+          graft.GwTable.assertNotAppendOnly(
+            log.tablePath.toString, fresh, "INSERT OVERWRITE")
+          fresh.files.map(f => graft.log.RemoveFile(f.path, f.size, now))
+        }
       val head: Seq[Action] =
         if (bootstrap)
           Seq(Protocol(), Metadata(
