@@ -1068,6 +1068,47 @@ object Pipelines {
         round(col("cos") * 1000000).cast("long").as("cos_micro"))
   }
 
+  /**
+   * SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023):
+   * assign every embedding to its nearest of `nCentroids` fixed centroids
+   * (the codegen'd argmax dot [[ivfTopK]] uses), then compare pairs ONLY
+   * within a cluster and drop every member that has a smaller-id
+   * near-duplicate (cosine >= `threshold`) in its cluster. This is the
+   * web-scale shape: the quadratic term shrinks from |corpus|² to
+   * sum(cluster²) ~ |corpus|²/k, the cluster key is one shuffle, and the
+   * paper's observation — true semantic duplicates land in the same
+   * cluster — is the recall contract (a cross-cluster near-dup pair is
+   * the accepted miss, exactly the IVF/LSH trade). Default centroids are
+   * seeded and data-independent, so the whole pipeline (assignment ties
+   * = first index, drop rule, survivor set) replays in SQL; pass
+   * [[trainIvfCentroids]] output for trained clusters — nothing else
+   * changes. Returns the SURVIVORS: (vec_id, cluster).
+   */
+  def semDedupClusters(corpus: DataFrame, id: Column, vec: Column,
+      dim: Int, nCentroids: Int = 16, threshold: Double = 0.9,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(hyperplanes(nCentroids, dim))
+    require(cents.length == nCentroids, "centroid count must match nCentroids")
+    def scores(e: Column): Column =
+      array((0 until nCentroids).map(c => dotProd(e, lit(cents(c)))): _*)
+    def assigned(e: Column): Column =
+      (array_position(scores(e), array_max(scores(e))) - 1).cast("int")
+    val c = corpus.select(id.as("vec_id"), vec.as("__emb"))
+      .withColumn("cl", assigned(col("__emb")))
+      .withColumn("__nrm", l2norm(col("__emb")))
+    val a = c.select(col("cl"), col("vec_id").as("id_a"),
+      col("__emb").as("emb_a"), col("__nrm").as("nrm_a"))
+    val b = c.select(col("cl"), col("vec_id").as("vec_id"),
+      col("__emb").as("emb_b"), col("__nrm").as("nrm_b"))
+    val dropped = a.join(b, Seq("cl"))
+      .filter(col("id_a") < col("vec_id"))
+      .filter(dotProd(col("emb_a"), col("emb_b")) /
+        (col("nrm_a") * col("nrm_b")) >= threshold)
+      .select("vec_id").distinct()
+    c.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cl").cast("long").as("cluster"))
+  }
+
   /** Deterministic sub-sample of oversized LSH buckets: keep at most `cap`
     * members per (band, bucket), ranked by a seedless hash of the id (so
     * the kept set is stable across runs and partitionings). A degenerate

@@ -231,5 +231,11 @@ package object api {
       * perplexity-filter shape); see [[Pipelines.lmSurprisalScore]]. */
     def lmSurprisalScore(id: Column, text: Column): DataFrame =
       Pipelines.lmSurprisalScore(df, id, text)
+
+    /** SemDeDup-style cluster-scoped semantic dedup (survivors + cluster);
+      * see [[Pipelines.semDedupClusters]]. */
+    def semDedupClusters(id: Column, vec: Column, dim: Int,
+        nCentroids: Int = 16, threshold: Double = 0.9): DataFrame =
+      Pipelines.semDedupClusters(df, id, vec, dim, nCentroids, threshold)
   }
 }

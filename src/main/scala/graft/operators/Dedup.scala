@@ -144,6 +144,15 @@ object Dedup {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** d16: SemDeDup-style cluster-scoped semantic dedup — nearest-centroid
+    * assignment (seeded, the s03 centroid family), then pairwise cosine
+    * only WITHIN clusters; a member with a smaller-id near-dup in its
+    * cluster drops. Survivors + cluster id, centroid-literal SQL replay. */
+  def d16SemDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Pipelines.semDedupClusters(embs(spark, dir),
+      col("vec_id"), col("embedding"), dim = 64, nCentroids = 16,
+      threshold = 0.35)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> d01ExactDedup _,
     "d02_dedup_minhash_lsh" -> d02MinHashLsh _,
@@ -160,6 +169,7 @@ object Dedup {
     "d13_substring_dedup" -> d13SubstringDedup _,
     "d14_membership_dedup" -> d14MembershipDedup _,
     "d15_cdc_chunks" -> d15CdcChunks _,
+    "d16_semdedup_clusters" -> d16SemDedupClusters _,
   )
 
   // shared SQL pieces so the d04 and d08 oracles cannot silently diverge
@@ -206,7 +216,28 @@ object Dedup {
        |WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.3""".stripMargin
   }
 
+  /** d16's oracle replays SemDeDup with the seeded centroids as literals:
+    * nearest-centroid assignment (first index on ties), within-cluster
+    * pair cosines, the smaller-id drop rule, survivors. */
+  private def d16OracleSql: String = {
+    val cents = graft.api.Pipelines.hyperplanes(16, 64)
+    val scores = (0 until 16)
+      .map(c => s"list_dot_product(emb, ${cents(c).mkString("[", ",", "]")})")
+      .mkString("[\n ", ",\n ", "\n]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |sc AS (SELECT vec_id, emb, $scores AS s FROM e),
+       |a AS (SELECT vec_id, emb, list_position(s, list_max(s)) - 1 AS cl FROM sc),
+       |dropped AS (
+       | SELECT DISTINCT y.vec_id
+       | FROM a x JOIN a y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       | WHERE list_cosine_similarity(x.emb, y.emb) >= 0.35)
+       |SELECT a.vec_id, CAST(a.cl AS BIGINT) AS cluster
+       |FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |WHERE d.vec_id IS NULL""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d16_semdedup_clusters" -> d16OracleSql,
     "d06_cosine_neardup_ann" -> d06OracleSql,
     // exact all-pairs form of minHashDedupPairs(numPerm=32, bands=8, 0.5):
     // valid because LSH recall on the fixtures is 1.0 at this threshold
