@@ -1711,4 +1711,98 @@ object Pipelines {
     topKByCosine(
       candidates.join(broadcast(q), Seq("q_id")).join(c, Seq("n_id")), k)
   }
+
+  // --------------------------------------------------- lexical retrieval
+
+  /**
+   * Okapi BM25 top-k lexical retrieval (s11): score every corpus document
+   * against each query document's term set — the "more-like-this" /
+   * sparse-retrieval complement to the dense cosine ladder (s01-s10), and
+   * the lexical half of hybrid retrieval ([[rrfFuse]]).
+   *
+   * Shape at 100 TB: corpus term frequencies are ONE shuffle of the
+   * exploded tokens (tf), document lengths and per-term document
+   * frequencies both derive from tf (re-aggregations of the already
+   * shuffled pairs, no second token pass); the query side is small by
+   * contract and broadcasts into the posting-list join (term-keyed
+   * inverted index — candidates are bounded by the query terms' posting
+   * lists, never corpus x queries); the final ranking goes through the
+   * bounded-heap [[graft.functions.TopKAgg]] (k*partitions rows cross the
+   * exchange). Corpus-global N/avgdl are a 2-double broadcast aggregate.
+   *
+   * Determinism contract (what makes the gate hash-exact): each term's
+   * BM25 contribution `idf * tf*(k1+1)/denom` is computed in IEEE double
+   * with a FIXED expression tree, micro-rounded to an integer PER TERM,
+   * and only then summed — integer addition commutes, so the score is
+   * independent of aggregation order in both engines. Ties rank by doc id.
+   */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, id: Column, text: Column,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    def toks(df: DataFrame, idName: String): DataFrame =
+      df.select(id.as(idName), explode(split(text, " ")).as("term"))
+        .filter(length(col("term")) > 0)
+    val tf = toks(corpus, "n_id").groupBy("n_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("n_id").agg(sum("tf").as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N and avgdl: exact integer sums -> one deterministic double each
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val qTerms = toks(queries, "q_id").distinct()
+
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    val contribMicro =
+      round(lit(1000000.0) * idf * (col("tf") * lit(k1 + 1.0) / denom))
+        .cast("long")
+
+    val scored = broadcast(qTerms)
+      .join(tf, Seq("term"))
+      .filter(col("n_id") =!= col("q_id"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("n_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy("q_id", "n_id")
+      .agg(sum(contribMicro).as("score_micro"))
+    scored
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.topk(
+        col("score_micro").cast("double"), col("n_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.n_id").as("n_id"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.score").cast("long").as("score_micro"))
+  }
+
+  /**
+   * Reciprocal-rank fusion (s12): merge any number of (q_id, n_id, rnk)
+   * rankings into one hybrid ranking by `sum over lists of 1/(c + rank)`
+   * (Cormack et al. 2009, c=60) — the standard glue between BM25 and
+   * dense retrieval. Score arithmetic is integer (parts-per-billion of
+   * the reciprocal, exact for c+rank <= ~10^9), so fusion is
+   * order-independent and oracle-exact; candidates absent from one list
+   * simply contribute nothing. Inputs are top-k lists (tiny vs corpus),
+   * so every join here is metadata-scale regardless of corpus size.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty && k >= 1, "need >= 1 ranking and k >= 1")
+    // integer floor-div: exact in any engine, no double-quotient edge cases
+    val contrib = expr(s"1000000000L div (${c}L + rnk)")
+    val pooled = rankings
+      .map(_.select(col("q_id"), col("n_id"), contrib.as("rrf_nano")))
+      .reduce(_ unionAll _)
+    pooled
+      .groupBy("q_id", "n_id")
+      .agg(sum("rrf_nano").as("rrf_nano"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.topk(
+        col("rrf_nano").cast("double"), col("n_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.n_id").as("n_id"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.score").cast("long").as("rrf_nano"))
+  }
 }

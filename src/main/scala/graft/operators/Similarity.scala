@@ -111,6 +111,31 @@ object Similarity {
       candidates = 20)
   }
 
+  /** s11: Okapi BM25 lexical retrieval over `documents` ("more-like-this":
+    * each query doc's term set scores the corpus). Per-term contributions
+    * micro-round to integers BEFORE summing, so the score — and therefore
+    * the ranking — is aggregation-order-independent and replays exactly in
+    * SQL. */
+  def s11Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    Pipelines.bm25TopK(d, d.filter(col("doc_id") < 5),
+      col("doc_id"), col("text"), k = 10)
+  }
+
+  /** s12: hybrid retrieval — reciprocal-rank fusion of the dense cosine
+    * ranking (s01 family, over `embeddings`) and the sparse BM25 ranking
+    * (s11, over `documents`), joined on the shared id space. Integer RRF
+    * contributions (nano-reciprocals via floor-div) make the fusion exact. */
+  def s12HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val dense = Pipelines.cosineTopK(e, e.filter(col("vec_id") < 5),
+      col("vec_id"), col("embedding"), k = 20)
+    val sparse = Pipelines.bm25TopK(d, d.filter(col("doc_id") < 5),
+      col("doc_id"), col("text"), k = 20)
+    Pipelines.rrfFuse(Seq(dense, sparse), k = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
@@ -122,7 +147,46 @@ object Similarity {
     "s08_mmr_topk" -> s08MmrTopK _,
     "s09_signbit_topk" -> s09SignBitTopK _,
     "s10_pq_topk" -> s10PqTopK _,
+    "s11_bm25_topk" -> s11Bm25TopK _,
+    "s12_hybrid_rrf" -> s12HybridRrf _,
   )
+
+  /** Shared BM25 replay (s11 and the sparse half of s12): identical
+    * tokenization (single-space split, empties dropped), tf/dl/df/avgdl
+    * derivations, the same fixed IEEE expression tree per term — micro-
+    * rounded per term, integer-summed — and (score DESC, n_id) ranking. */
+  private def bm25OracleCte(k: Int): String =
+    s"""tok AS (
+       | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (
+       | SELECT doc_id AS n_id, term, count(*) AS tf FROM tok
+       | WHERE len(term) > 0 GROUP BY 1, 2),
+       |dl AS (SELECT n_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (
+       | SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+       |qt AS (
+       | SELECT DISTINCT doc_id AS q_id, term FROM tok
+       | WHERE doc_id < 5 AND len(term) > 0),
+       |bm_scored AS (
+       | SELECT q.q_id, t.n_id,
+       |  CAST(sum(CAST(round(1000000.0
+       |    * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |    * (t.tf * (1.2 + 1.0)
+       |       / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / s.avgdl)))) AS BIGINT)
+       |  ) AS BIGINT) AS score_micro
+       | FROM qt q
+       | JOIN tf t USING (term)
+       | JOIN dfreq d USING (term)
+       | JOIN dl l ON l.n_id = t.n_id
+       | CROSS JOIN stats s
+       | WHERE t.n_id <> q.q_id
+       | GROUP BY 1, 2),
+       |bm_ranked AS (
+       | SELECT q_id, n_id, rnk, score_micro FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY score_micro DESC, n_id) AS rnk
+       |  FROM bm_scored) WHERE rnk <= $k)""".stripMargin
 
   /** s02's oracle REPLAYS the LSH: the hyperplanes are deterministic
     * (fixed seed, data-independent), so their doubles are rendered
@@ -254,7 +318,38 @@ object Similarity {
        |) WHERE rnk <= 5""".stripMargin
   }
 
+  private def s11OracleSql: String =
+    s"""WITH ${bm25OracleCte(10)}
+       |SELECT q_id, n_id, rnk, score_micro FROM bm_ranked""".stripMargin
+
+  /** s12: both rankings replayed (s01-pattern exact cosine at k=20, BM25
+    * CTE at k=20), fused with integer nano-reciprocals (BIGINT floor-div,
+    * exact in both engines), re-ranked (rrf_nano DESC, n_id). */
+  private def s12OracleSql: String =
+    s"""WITH ${bm25OracleCte(20)},
+       |cos_ranked AS (
+       | SELECT q_id, n_id, rnk FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |   row_number() OVER (
+       |     PARTITION BY q.vec_id
+       |     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+       |              c.vec_id) AS rnk
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 5
+       | ) WHERE rnk <= 20),
+       |fused AS (
+       | SELECT q_id, n_id, CAST(sum(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_nano
+       | FROM (SELECT q_id, n_id, rnk FROM cos_ranked
+       |       UNION ALL SELECT q_id, n_id, rnk FROM bm_ranked)
+       | GROUP BY 1, 2)
+       |SELECT q_id, n_id, rnk, rrf_nano FROM (
+       | SELECT *, row_number() OVER (
+       |   PARTITION BY q_id ORDER BY rrf_nano DESC, n_id) AS rnk
+       | FROM fused) WHERE rnk <= 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "s11_bm25_topk" -> s11OracleSql,
+    "s12_hybrid_rrf" -> s12OracleSql,
     "s02_ann_lsh" -> s02OracleSql,
     "s10_pq_topk" -> s10OracleSql,
     "s03_ivf_topk" -> s03OracleSql,

@@ -563,4 +563,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(counts.exists(_._2 > 1), "fixture should contain repeated chunks")
     assert(got == expected)
   }
+
+  test("s11 BM25: overlap-ranked synthetic corpus, candidates need a shared term") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // q0 = "apple banana": d1 shares both terms, d2 one, d3 none.
+    val corpus = Seq(
+      (0L, "apple banana"),
+      (1L, "apple banana cherry"),
+      (2L, "apple cherry durian"),
+      (3L, "cherry durian elderberry")).toDF("doc_id", "text")
+    val got = graft.api.Pipelines.bm25TopK(
+        corpus, corpus.filter($"doc_id" === 0L), col("doc_id"), col("text"), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // (n_id, rnk, score)
+      .sortBy(_._2)
+    // d3 shares no term -> never a candidate; d1 outranks d2 (two hits vs one)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), s"unexpected ranking: ${got.toSeq}")
+    assert(got.forall(_._3 > 0), "BM25 scores of overlapping docs must be positive")
+    // fixture run: k rows per query, no self-matches, no repeats
+    val fix = Similarity.s11Bm25TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(fix.length == 50 && fix.distinct.length == 50)
+    assert(fix.forall { case (q, n) => q != n })
+  }
+
+  test("s12 RRF fusion: exact integer nano-reciprocal arithmetic on synthetic lists") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val listA = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("q_id", "n_id", "rnk")
+    val listB = Seq((0L, 11L, 1L), (0L, 12L, 2L)).toDF("q_id", "n_id", "rnk")
+    val got = graft.api.Pipelines.rrfFuse(Seq(listA, listB), k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._2)
+    val r1 = 1000000000L / 61; val r2 = 1000000000L / 62
+    // doc 11 appears in both lists (rnk 2 + rnk 1) and must win
+    assert(got.toSeq == Seq((11L, 1L, r1 + r2), (10L, 2L, r1), (12L, 3L, r2)))
+  }
 }
