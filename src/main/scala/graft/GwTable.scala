@@ -251,8 +251,9 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
    * ago must survive the full window so time travel and in-flight
    * `changesSince` consumers can still read it. ONLY files under the
    * engine-owned namespaces — `<table>/_compacted/` (compaction rewrites),
-   * `<table>/_stream/` (GwSink batches) and `<table>/_dml/` (DELETE
-   * rewrites) — are candidates: the original
+   * `<table>/_stream/` (GwSink batches), `<table>/_dml/` (DELETE
+   * rewrites) and `<table>/_clone/` (deep-clone copies) — are candidates:
+   * the original
    * CDA files are a read-only source tree the engine shallow-clones and
    * must never delete. Engine outputs never referenced by any commit
    * (crash debris, e.g. a sink batch written but not committed) are swept
@@ -272,7 +273,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         "files mid-query. Set spark.graft.vacuum.retentionCheck=false to " +
         "force a short retention deliberately")
     val conf = spark.sparkContext.hadoopConfiguration
-    val ownedDirs = Seq("_compacted", "_stream", "_dml", "_dv", "_change_data")
+    val ownedDirs = Seq("_compacted", "_stream", "_dml", "_dv", "_change_data",
+        "_clone")
       .map(new Path(tablePath, _))
     val fs = ownedDirs.head.getFileSystem(conf)
     val presentDirs = ownedDirs.filter(fs.exists)
@@ -285,7 +287,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val liveSnap = gwLog.snapshot(None)
     val live = liveSnap.files.map(f => GwTable.uriKey(f.path)).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
-    val markers = Seq("/_compacted/", "/_stream/", "/_dml/", "/_dv/", "/_change_data/")
+    val markers = Seq("/_compacted/", "/_stream/", "/_dml/", "/_dv/",
+      "/_change_data/", "/_clone/")
     def owned(p: String): Boolean = markers.exists(p.contains)
     // walk the log once: latest removal tombstone per engine-owned path (a
     // later re-add cancels it) + every owned path any commit ever referenced
@@ -1144,6 +1147,84 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       val adds: Seq[Action] = snap.files.map(_.copy(dataChange = true))
       val info = CommitInfo(now, "CLONE", s"from=$tablePath@v${snap.version}",
         numFiles = snap.files.size, numOutputBytes = 0,
+        isBlindAppend = true, txnId = java.util.UUID.randomUUID().toString)
+      (graft.log.Protocol(): Action) +: (meta: Action) +: adds :+ info
+    }
+  }
+
+  /**
+   * DEEP CLONE: bootstrap a NEW table at `targetPath` that owns a physical
+   * COPY of this table's snapshot (at `versionAsOf`, default latest) — the
+   * archival complement to [[cloneTo]]: the clone references only files
+   * under its own tree, so a source `vacuum` (or the source disappearing
+   * entirely) can never break it. Deletion-vector state is preserved
+   * as-is: each distinct on-disk DV sidecar is copied ONCE into the
+   * clone's `_dv/` and every descriptor remaps to it (offsets unchanged —
+   * sidecars are copied whole); inline DVs ride through untouched. File
+   * stats and partition values carry over, so the clone plans with the
+   * same pruning the source had.
+   *
+   * Scale: the byte copy is one distributed job — a task per file batch,
+   * each task streaming source→target through the Hadoop FS API; only
+   * (path, size, mtime) triples return to the driver (metadata scale).
+   * Copies land before the commit; a crash mid-copy leaves debris under
+   * an uncommitted target, never a half-valid table. Returns the clone's
+   * bootstrap version (0).
+   */
+  def deepCloneTo(targetPath: String, versionAsOf: Option[Long] = None): Long = {
+    val snap = gwLog.snapshot(versionAsOf)
+    val conf0 = spark.sparkContext.hadoopConfiguration
+    val tgt = graft.log.GwLog.forTable(conf0, targetPath)
+    require(tgt.listVersions().isEmpty,
+      s"cannot DEEP CLONE into $targetPath: a table already exists there")
+    val tgtQual = new Path(targetPath).getFileSystem(conf0)
+      .makeQualified(new Path(targetPath))
+    // distinct on-disk DV sidecars: copy once, remap every descriptor
+    val dvDst: Map[String, String] = snap.files.flatMap(_.dv).filter(_.isOnDisk)
+      .map(_.pathOrInlineDv).distinct
+      .map(s => s -> new Path(tgtQual,
+        s"_dv/${java.util.UUID.randomUUID()}.bin").toString)
+      .toMap
+    val dataDst: Seq[(AddFile, String)] = snap.files.zipWithIndex.map {
+      case (f, i) =>
+        f -> new Path(tgtQual,
+          s"_clone/part-$i-${new Path(f.path).getName}").toString
+    }
+    val sconf = new SerializableHadoopConf(conf0)
+    val copies = dataDst.map { case (f, d) => (f.path, d) } ++ dvDst.toSeq
+    val copied: Map[String, (Long, Long)] = // dst -> (size, mtime)
+      if (copies.isEmpty) Map.empty
+      else spark.sparkContext
+        .parallelize(copies, math.max(1, math.min(copies.size,
+          spark.sparkContext.defaultParallelism)))
+        .map { case (src, dst) =>
+          val c = sconf.value
+          val sp = new Path(src); val dp = new Path(dst)
+          org.apache.hadoop.fs.FileUtil.copy(
+            sp.getFileSystem(c), sp, dp.getFileSystem(c), dp,
+            false, true, c)
+          val st = dp.getFileSystem(c).getFileStatus(dp)
+          (dst, (st.getLen, st.getModificationTime))
+        }.collect().toMap
+    graft.streaming.GwSink.commitWithRetry(tgt) { bootstrap =>
+      if (!bootstrap) throw new IllegalStateException(
+        s"concurrent table creation at $targetPath raced the clone; re-run")
+      val now = System.currentTimeMillis()
+      val meta = snap.metadata
+        .map(m => m.copy(id = java.util.UUID.randomUUID().toString, createdTime = now))
+        .getOrElse(graft.log.Metadata(
+          id = java.util.UUID.randomUUID().toString,
+          schemaString = snap.schema.json, createdTime = now))
+      val adds: Seq[Action] = dataDst.map { case (f, d) =>
+        val (sz, mt) = copied(d)
+        f.copy(path = d, size = sz, modificationTime = mt, dataChange = true,
+          dv = f.dv.map(v =>
+            if (v.isOnDisk) v.copy(pathOrInlineDv = dvDst(v.pathOrInlineDv))
+            else v))
+      }
+      val info = CommitInfo(now, "CLONE",
+        s"from=$tablePath@v${snap.version} mode=deep",
+        numFiles = adds.size, numOutputBytes = copied.map(_._2._1).sum,
         isBlindAppend = true, txnId = java.util.UUID.randomUUID().toString)
       (graft.log.Protocol(): Action) +: (meta: Action) +: adds :+ info
     }

@@ -1688,6 +1688,49 @@ object GwCore {
     t.toDF
   }
 
+  // ---------------------------------------------------------------- gw48
+  /** `CREATE TABLE ... CLONE` (bare CLONE = DEEP, Delta's default): the
+    * archival complement to gw30's shallow clone. Four insert commits, a
+    * merge-on-read DELETE (so the cloned snapshot carries deletion-vector
+    * state), then the deep clone — every clone file must live under the
+    * clone's OWN tree, DV reconciliation included. The property that
+    * separates deep from shallow is then proven destructively: the source
+    * is truncated and force-vacuumed (its data files physically deleted),
+    * and the clone must still serve the full pre-clone content. */
+  def gw48DeepClone(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (name, loc) = rangedOrdersTable(spark, dir, "gw48")
+    val table = GwTable.forPath(spark, loc)
+    require(table.delete(col("o_custkey") % 3 === 0, mergeOnRead = true) > 0,
+      "expected a merge-on-read DELETE commit")
+    require(table.snapshot().files.exists(_.dv.isDefined),
+      "expected deletion vectors on the cloned snapshot")
+    val morCount = spark.table(name).count()
+    val ns = name.split("\\.")(1)
+    val res = spark.sql(s"CREATE TABLE gw.$ns.copy CLONE $name").collect()
+    require(res.length == 1 && res.head.getLong(0) == 0L,
+      "deep clone bootstraps at v0")
+    val cloneLoc = res.head.getString(2)
+    val cloneSnap = GwTable.forPath(spark, cloneLoc).snapshot()
+    require(cloneSnap.files.forall(f =>
+      GwTable.uriKey(f.path).startsWith(GwTable.uriKey(cloneLoc))),
+      "every deep-clone data file must live under the clone's tree")
+    require(cloneSnap.files.flatMap(_.dv).filter(_.isOnDisk).forall(d =>
+      GwTable.uriKey(d.pathOrInlineDv).startsWith(GwTable.uriKey(cloneLoc))),
+      "every deep-clone DV sidecar must live under the clone's tree")
+    require(spark.table(s"gw.$ns.copy").count() == morCount,
+      "clone content must equal the source snapshot")
+    // destroy the source: truncate, then physically reclaim its files
+    spark.sql(s"DELETE FROM $name")
+    GwTable.withRetentionCheckDisabled(spark)(
+      spark.sql(s"VACUUM $name RETAIN 0 HOURS").collect())
+    require(spark.table(name).count() == 0L, "source is gone")
+    // the deep clone owns its bytes: still serves the full snapshot
+    spark.sql("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+      "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s, " +
+      s"o_orderpriority FROM gw.$ns.copy")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1736,6 +1779,7 @@ object GwCore {
     "gw45_log_retention" -> gw45LogRetention _,
     "gw46_table_features" -> gw46TableFeatures _,
     "gw47_append_only" -> gw47AppendOnly _,
+    "gw48_deep_clone" -> gw48DeepClone _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1989,5 +2033,12 @@ object GwCore {
     "gw47_append_only" ->
       """SELECT * FROM (SELECT * FROM region UNION ALL SELECT * FROM region)
         |WHERE r_regionkey <> 1""".stripMargin,
+    // the deep clone preserves the source snapshot (orders minus the MOR
+    // delete) even after the source is truncated and vacuumed away
+    "gw48_deep_clone" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        | o_orderpriority
+        |FROM orders WHERE o_custkey % 3 <> 0""".stripMargin,
   )
 }

@@ -45,7 +45,8 @@ object GwMaintenance {
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + TableRef +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
   private val Clone =
-    ("""(?is)^\s*CREATE\s+TABLE\s+""" + TableRef + """\s+SHALLOW\s+CLONE\s+""" +
+    ("""(?is)^\s*CREATE\s+TABLE\s+""" + TableRef +
+      """\s+(?:(SHALLOW|DEEP)\s+)?CLONE\s+""" +
       TableRef + """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
   private val Reorg =
@@ -65,9 +66,11 @@ object GwMaintenance {
     case Detail(ref) => Some(GwDescribeDetailCommand(ref))
     case Restore(ref, v) => Some(GwRestoreCommand(ref, v.toLong))
     case Reorg(ref) => Some(GwReorgCommand(ref))
-    case Clone(target, source, v, loc) =>
+    case Clone(target, mode, source, v, loc) =>
+      // Delta's contract: bare CLONE is deep; SHALLOW must be asked for
       Some(GwCloneCommand(target, source,
-        Option(v).map(_.toLong), Option(loc)))
+        Option(v).map(_.toLong), Option(loc),
+        deep = !"SHALLOW".equalsIgnoreCase(Option(mode).getOrElse("DEEP"))))
     case _ => None
   }
 
@@ -238,13 +241,18 @@ case class GwRestoreCommand(ref: String, version: Long) extends GwMaintenanceCom
   }
 }
 
-/** `CREATE TABLE t2 SHALLOW CLONE t1 [VERSION AS OF n] [LOCATION 'p']`:
-  * zero-copy clone ([[graft.GwTable.cloneTo]]) — the new table's bootstrap
-  * commit re-asserts the source snapshot's absolute-path files. An
-  * identifier target is registered in its catalog (managed location unless
-  * LOCATION is given); a quoted-path target clones straight to the path. */
+/** `CREATE TABLE t2 [SHALLOW|DEEP] CLONE t1 [VERSION AS OF n]
+  * [LOCATION 'p']`: SHALLOW is the zero-copy clone
+  * ([[graft.GwTable.cloneTo]] — the bootstrap commit re-asserts the source
+  * snapshot's absolute-path files); DEEP — Delta's default for a bare
+  * `CLONE` — physically copies the snapshot into the new table's tree
+  * ([[graft.GwTable.deepCloneTo]], distributed copy), so the clone
+  * survives source vacuum. An identifier target is registered in its
+  * catalog (managed location unless LOCATION is given); a quoted-path
+  * target clones straight to the path. */
 case class GwCloneCommand(target: String, source: String,
-    version: Option[Long], location: Option[String]) extends GwMaintenanceCommand {
+    version: Option[Long], location: Option[String],
+    deep: Boolean = false) extends GwMaintenanceCommand {
   override def ref: String = source // foreign-table fall-through checks the SOURCE
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -265,7 +273,9 @@ case class GwCloneCommand(target: String, source: String,
           s"catalog returned a non-gwdelta table for $target: ${other.getClass}")
       }
     }
-    val v = graft.GwTable.forPath(spark, srcPath).cloneTo(tgtPath, version)
+    val src = graft.GwTable.forPath(spark, srcPath)
+    val v = if (deep) src.deepCloneTo(tgtPath, version)
+            else src.cloneTo(tgtPath, version)
     Seq(Row(v, srcPath, tgtPath))
   }
 }

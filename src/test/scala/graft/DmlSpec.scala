@@ -1026,4 +1026,38 @@ class DmlSpec extends SparkSpec {
     val fin = spark.table(s"gw.$ns.t").collect().map(r => (r.get(0), r.getString(1)))
     assert(fin.toSet == Set((7, "ok")))
   }
+
+  test("deep clone copies on-disk DV sidecars and survives source deletion") {
+    val tmp = Files.createTempDirectory("deepclone")
+    val srcDir = tmp.resolve("src").toString
+    // one big file + a scattered MOR delete large enough to force the
+    // on-disk sidecar branch (inline cap is 512 bytes)
+    spark.read.parquet(s"$sf/lineitem.parquet").coalesce(1)
+      .write.format("gwdelta").mode("append").save(srcDir)
+    val t = GwTable.forPath(spark, srcDir)
+    assert(t.delete(col("l_orderkey") % 2 === 0, mergeOnRead = true) > 0)
+    val dvs = t.snapshot().files.flatMap(_.dv)
+    assert(dvs.nonEmpty && dvs.forall(_.isOnDisk),
+      s"expected an on-disk DV sidecar, got $dvs")
+    val expect = t.toDF.count()
+    val cloneDir = tmp.resolve("copy").toString
+    assert(t.deepCloneTo(cloneDir) == 0L)
+    val clone = GwTable.forPath(spark, cloneDir)
+    val cSnap = clone.snapshot()
+    val cKey = GwTable.uriKey(new org.apache.hadoop.fs.Path(cloneDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(new org.apache.hadoop.fs.Path(cloneDir)).toString)
+    assert(cSnap.files.forall(f => GwTable.uriKey(f.path).startsWith(cKey)))
+    val cdvs = cSnap.files.flatMap(_.dv)
+    assert(cdvs.nonEmpty && cdvs.forall(d =>
+      d.isOnDisk && GwTable.uriKey(d.pathOrInlineDv).startsWith(cKey)),
+      "clone DV descriptors must point into the clone's own _dv/")
+    assert(clone.toDF.count() == expect)
+    // obliterate the source tree entirely: the clone must not notice
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
+    assert(GwTable.forPath(spark, cloneDir).toDF.count() == expect)
+    // the clone evolves independently after the source is gone
+    assert(clone.delete(col("l_orderkey") % 4 === 1, mergeOnRead = true) > 0)
+    assert(clone.toDF.count() < expect)
+  }
 }
