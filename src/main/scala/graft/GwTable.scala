@@ -1527,6 +1527,52 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     }
   }
 
+  /** `ALTER TABLE ... ALTER COLUMN c TYPE t` — Delta's typeWidening
+    * feature: a METADATA-ONLY commit restating the column at a LOSSLESS
+    * wider type ([[GwTable.isWidening]] — integral up-casts, float→double,
+    * date→timestamp_ntz, decimal growth). No file rewrites: Spark's
+    * parquet reader up-converts old files' narrow physical values at scan
+    * time (int32 pages read into long/double/decimal vectors), new writes
+    * land at the wide type, and stats-based pruning stays sound because
+    * bounds compare numerically. The commit pins the change in the
+    * field's metadata (`gwTypeChanges`, audit parity with Delta's
+    * `delta.typeChanges`) and flips `graft.enableTypeWidening`, which
+    * rides the protocol as the typeWidening reader+writer feature — a
+    * foreign reader that would misread narrow physical bytes must refuse
+    * the table instead. Narrowing or any lossy change is refused typed. */
+  def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): Long = {
+    graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+      val snap = gwLog.snapshot(None)
+      val meta = snap.metadata.getOrElse(throw new IllegalStateException(
+        s"cannot ALTER a table with no schema in its log: $tablePath"))
+      val field = mappableColumn(meta, snap.schema, name, "widen")
+      require(GwTable.isWidening(field.dataType, to),
+        s"cannot ALTER COLUMN '$name' TYPE ${to.sql}: only lossless " +
+          s"widenings of ${field.dataType.sql} are supported (narrowing " +
+          "or cross-family changes would misread existing file bytes)")
+      val widened = org.apache.spark.sql.types.StructType(
+        snap.schema.fields.map { f =>
+          if (f.name != field.name) f
+          else f.copy(dataType = to, metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString("gwTypeChanges",
+                Option(f.metadata).filter(_.contains("gwTypeChanges"))
+                  .map(_.getString("gwTypeChanges") + ";").getOrElse("") +
+                  s"${field.dataType.typeName}->${to.typeName}@v${snap.version + 1}")
+              .build())
+        })
+      Seq(
+        meta.copy(schemaString = widened.json,
+          configuration =
+            meta.configuration + ("graft.enableTypeWidening" -> "true")),
+        CommitInfo(System.currentTimeMillis(), "ALTER COLUMN",
+          s"$name ${field.dataType.sql}->${to.sql}", numFiles = 0,
+          numOutputBytes = 0, isBlindAppend = false,
+          txnId = java.util.UUID.randomUUID().toString))
+    }
+  }
+
   /** `ALTER TABLE ... DROP COLUMN` — a METADATA-ONLY commit: the field
     * leaves the logical schema; the bytes stay in the files (pre-drop
     * versions read them via time travel), new scans never request them. */
@@ -1745,6 +1791,32 @@ object GwTable {
     * through java.net.URI converges it onto [[uriKey]]'s raw form — without
     * this, files inside partition directories whose values needed escaping
     * (e.g. `grp=a%2Fb c`) fail the snapshot lookup. */
+  /** Lossless type widenings the parquet scan up-converts in place
+    * (verified against Spark 4.1's vectorized reader): integral up-casts,
+    * integral→double, float→double, date→timestamp_ntz, and decimal
+    * targets with enough integer digits to hold every source value. */
+  def isWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def intDigits(dt: DataType): Int = dt match {
+      case ByteType => 3; case ShortType => 5; case IntegerType => 10
+      case LongType => 19; case _ => Int.MaxValue
+    }
+    (from, to) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (f @ (ByteType | ShortType | IntegerType | LongType), d: DecimalType) =>
+        d.precision - d.scale >= intDigits(f)
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case _ => false
+    }
+  }
+
   def uriKeyScanned(p: String): String =
     scala.util.Try(uriKey(new Path(new java.net.URI(p)).toString)).getOrElse(uriKey(p))
 }

@@ -36,11 +36,11 @@ object Protocol {
     * writer feature an enforcing write path (appendOnly included:
     * data-changing removes are refused on appendOnly tables). */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "timestampNtz")
+    Set("deletionVectors", "columnMapping", "timestampNtz", "typeWidening")
   val SupportedWriterFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "timestampNtz", "changeDataFeed",
       "checkConstraints", "generatedColumns", "identityColumns",
-      "inCommitTimestamp", "appendOnly")
+      "inCommitTimestamp", "appendOnly", "typeWidening")
   val MaxReaderVersion = 3
   val MaxWriterVersion = 7
 

@@ -101,6 +101,8 @@ class GwLog(val tablePath: Path, conf: Configuration,
         if (on("enableChangeDataFeed")) wf += "changeDataFeed"
         if (on("enableInCommitTimestamps")) wf += "inCommitTimestamp"
         if (on("appendOnly")) wf += "appendOnly"
+        // widened columns misread without up-conversion: reader-side too
+        if (on("enableTypeWidening")) { rf += "typeWidening"; wf += "typeWidening" }
         if (conf.keys.exists(_.startsWith("graft.constraints."))) wf += "checkConstraints"
         if (conf.keys.exists(_.startsWith("graft.generated."))) wf += "generatedColumns"
         if (conf.keys.exists(_.startsWith("graft.identity."))) wf += "identityColumns"

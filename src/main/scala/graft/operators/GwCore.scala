@@ -1731,6 +1731,65 @@ object GwCore {
       s"o_orderpriority FROM gw.$ns.copy")
   }
 
+  // ---------------------------------------------------------------- gw49
+  /** Type widening (Delta typeWidening feature): `ALTER TABLE ... ALTER
+    * COLUMN ... TYPE BIGINT` is a METADATA-ONLY commit — no file rewrites
+    * (pinned on the snapshot's file set) — after which the scan
+    * up-converts the old files' int32 pages AND a value beyond int32
+    * range inserts cleanly at the wide type. The feature rides the
+    * protocol as reader+writer typeWidening (foreign readers must refuse
+    * rather than misread narrow bytes), narrowing is refused typed, and
+    * the pre-widen schema stays time-travelable. */
+  def gw49TypeWidening(spark: SparkSession, dir: String): DataFrame = {
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val tmp = Files.createTempDirectory("gw49")
+    val loc = tmp.resolve("db/nation").toString
+    spark.read.parquet(s"$dir/nation.parquet")
+      .createOrReplaceTempView("gw49_nation_src")
+    spark.sql(s"CREATE TABLE gw.$ns.nation (n_nationkey INT, n_name STRING, " +
+      s"n_regionkey INT) USING gwdelta LOCATION '$loc'")
+    spark.sql(s"INSERT INTO gw.$ns.nation SELECT * FROM gw49_nation_src")
+    val t = GwTable.forPath(spark, loc)
+    val preWiden = t.snapshot()
+    spark.sql(s"ALTER TABLE gw.$ns.nation ALTER COLUMN n_nationkey TYPE BIGINT")
+    val snap = t.snapshot()
+    require(snap.files.map(f => (f.path, f.modificationTime)) ==
+      preWiden.files.map(f => (f.path, f.modificationTime)),
+      "widening must be metadata-only — no file rewrites")
+    require(snap.schema("n_nationkey").dataType ==
+      org.apache.spark.sql.types.LongType, "schema must restate at BIGINT")
+    require(snap.protocol.exists(p =>
+      p.readerFeatures.exists(_.contains("typeWidening")) &&
+        p.writerFeatures.exists(_.contains("typeWidening"))),
+      "typeWidening must ride the protocol on both faces")
+    // a value int32 cannot hold lands cleanly at the wide type
+    spark.sql(s"INSERT INTO gw.$ns.nation VALUES (3000000000, 'wide', 0)")
+    // narrowing dies in Spark's own up-cast analysis before reaching us
+    val narrow = try {
+      spark.sql(s"ALTER TABLE gw.$ns.nation ALTER COLUMN n_regionkey TYPE SMALLINT")
+      None
+    } catch { case e: Exception => Some(e) }
+    require(narrow.exists(_.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN")),
+      s"narrowing must be refused, got $narrow")
+    // a cast Spark's analyzer permits (int->string is an up-cast) but that
+    // would misread the narrow file bytes dies in OUR widening guard
+    val cross = try {
+      spark.sql(s"ALTER TABLE gw.$ns.nation ALTER COLUMN n_regionkey TYPE STRING")
+      None
+    } catch { case e: Exception => Some(e) }
+    require(cross.exists(e => (e.getMessage + Option(e.getCause)
+      .map(_.getMessage).getOrElse("")).contains("widen")),
+      s"cross-family retype must be refused by the widening guard, got $cross")
+    // the pre-widen schema is still what that version's readers see
+    require(spark.sql(s"SELECT * FROM gw.$ns.nation VERSION AS OF " +
+      s"${preWiden.version}").schema("n_nationkey").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      "time travel must serve the pre-widen schema")
+    spark.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM gw.$ns.nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1780,6 +1839,7 @@ object GwCore {
     "gw46_table_features" -> gw46TableFeatures _,
     "gw47_append_only" -> gw47AppendOnly _,
     "gw48_deep_clone" -> gw48DeepClone _,
+    "gw49_type_widening" -> gw49TypeWidening _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2040,5 +2100,12 @@ object GwCore {
         | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
         | o_orderpriority
         |FROM orders WHERE o_custkey % 3 <> 0""".stripMargin,
+    // the widened table = nation at BIGINT keys plus the beyond-int32 row
+    "gw49_type_widening" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        | CAST(n_regionkey AS INT) AS n_regionkey
+        |FROM nation
+        |UNION ALL
+        |SELECT CAST(3000000000 AS BIGINT), 'wide', CAST(0 AS INT)""".stripMargin,
   )
 }

@@ -241,24 +241,26 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
     loadAt(ident, None)
   }
 
-  /** ALTER TABLE ADD COLUMNS / SET TBLPROPERTIES / UNSET TBLPROPERTIES —
-    * the schema evolution and property changes the log supports natively
-    * (both metadata-only commits; old files null-fill at scan time, and
-    * `graft.constraints.*` properties become write-path CHECK constraints
-    * validated at set time). Everything else (drop/rename/retype) would
-    * orphan existing file data and stays unsupported. */
+  /** ALTER TABLE ADD COLUMNS / RENAME COLUMN / DROP COLUMN / ALTER COLUMN
+    * TYPE (lossless widening only) / SET TBLPROPERTIES / UNSET
+    * TBLPROPERTIES — the schema evolution and property changes the log
+    * supports natively (all metadata-only commits; old files null-fill or
+    * up-convert at scan time, and `graft.constraints.*` properties become
+    * write-path CHECK constraints validated at set time). Everything else
+    * would orphan or misread existing file data and stays unsupported. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
-        c.isInstanceOf[TableChange.DeleteColumn])
+        c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType])
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
         "gwdelta supports ALTER TABLE ADD COLUMNS, RENAME COLUMN, " +
-          "DROP COLUMN and SET/UNSET TBLPROPERTIES only; " +
-          s"got: ${unsupported.mkString(", ")}")
+          "DROP COLUMN, ALTER COLUMN TYPE (widening) and SET/UNSET " +
+          s"TBLPROPERTIES only; got: ${unsupported.mkString(", ")}")
     val renames = changes.collect { case r: TableChange.RenameColumn =>
       require(r.fieldNames.length == 1,
         s"cannot rename a nested field: ${r.fieldNames.mkString(".")}")
@@ -268,6 +270,11 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
       require(d.fieldNames.length == 1,
         s"cannot drop a nested field: ${d.fieldNames.mkString(".")}")
       d.fieldNames.head
+    }
+    val widens = changes.collect { case w: TableChange.UpdateColumnType =>
+      require(w.fieldNames.length == 1,
+        s"cannot retype a nested field: ${w.fieldNames.mkString(".")}")
+      w.fieldNames.head -> w.newDataType
     }
     val adds = changes.collect { case a: TableChange.AddColumn =>
       require(a.fieldNames.length == 1,
@@ -282,6 +289,7 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
     if (adds.nonEmpty) table.addColumns(adds: _*)
     renames.foreach { case (from, to) => table.renameColumn(from, to) }
     drops.foreach(table.dropColumn)
+    widens.foreach { case (name, to) => table.widenColumn(name, to) }
     if (sets.nonEmpty || removes.nonEmpty)
       table.updateProperties(sets.toMap, removes.toSeq)
     loadAt(ident, None)

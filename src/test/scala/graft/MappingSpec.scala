@@ -150,4 +150,44 @@ class MappingSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.renameColumn("n_name", "bad name"))
     intercept[IllegalArgumentException](t.dropColumn("nope"))
   }
+
+  test("type widening: metadata-only, composes with rename, guards hold") {
+    import org.apache.spark.sql.types._
+    val (_, t) = freshTable()
+    val files = t.snapshot().files.map(_.path).toSet
+    // rename first: the widen must ride the SAME physical pin
+    assert(t.renameColumn("n_nationkey", "nk") > 0)
+    assert(t.widenColumn("nk", LongType) > 0)
+    val snap = t.snapshot()
+    assert(snap.files.map(_.path).toSet == files, "no data file may move")
+    val f = snap.schema("nk")
+    assert(f.dataType == LongType)
+    assert(f.metadata.contains(ColumnMapping.PhysicalNameKey),
+      "the physical pin must survive the widen")
+    assert(f.metadata.getString("gwTypeChanges").contains("integer->long"))
+    // old int32 bytes read back as longs under the mapped name
+    val keys = t.toDF.select("nk").collect().map(_.getLong(0)).sorted
+    assert(keys.length == 25 && keys.head == 0L && keys.last == 24L)
+    // repeated widening appends to the audit trail
+    assert(t.widenColumn("nk", DecimalType(25, 2)) > 0)
+    assert(t.snapshot().schema("nk").metadata.getString("gwTypeChanges")
+      .matches(".*integer->long@v\\d+;long->decimal\\(25,2\\)@v\\d+.*"))
+    assert(t.toDF.select("nk").collect()
+      .map(_.getDecimal(0).longValueExact()).sorted.toSeq == (0L to 24L))
+    // guards: unknown column, non-widening, insufficient decimal digits
+    intercept[IllegalArgumentException](t.widenColumn("nope", LongType))
+    intercept[IllegalArgumentException](t.widenColumn("n_name", LongType))
+    intercept[IllegalArgumentException](
+      t.widenColumn("n_regionkey", DecimalType(9, 0)))
+    // the widening matrix itself
+    assert(GwTable.isWidening(IntegerType, LongType))
+    assert(GwTable.isWidening(FloatType, DoubleType))
+    assert(GwTable.isWidening(DateType, TimestampNTZType))
+    assert(GwTable.isWidening(DecimalType(10, 2), DecimalType(14, 4)))
+    assert(!GwTable.isWidening(DecimalType(10, 2), DecimalType(11, 4)))
+    assert(!GwTable.isWidening(LongType, IntegerType))
+    assert(!GwTable.isWidening(DoubleType, FloatType))
+    assert(!GwTable.isWidening(IntegerType, StringType))
+    assert(!GwTable.isWidening(IntegerType, IntegerType))
+  }
 }
