@@ -1573,6 +1573,70 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     }
   }
 
+  /** `ALTER TABLE ... ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT`
+    * (Delta `allowColumnDefaults`): a METADATA-ONLY commit recording the
+    * default in the field's metadata (Spark's `CURRENT_DEFAULT` key, the
+    * form the analyzer reads back through the catalog) — `None` drops it.
+    * Defaults materialize in the ANALYZER at insert time (the catalog
+    * declares `SUPPORT_COLUMN_DEFAULT_VALUE`), so files always carry the
+    * column physically and the scan never fills anything; changing a
+    * default therefore never rewrites or reinterprets existing rows. The
+    * expression must be a constant-foldable literal castable to the
+    * column's type — validated here, before the commit. */
+  def setColumnDefault(name: String, defaultSql: Option[String]): Long = {
+    graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+      val snap = gwLog.snapshot(None)
+      val meta = snap.metadata.getOrElse(throw new IllegalStateException(
+        s"cannot ALTER a table with no schema in its log: $tablePath"))
+      val field = snap.schema.fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot set default on column '$name': not in the table schema " +
+            s"(${snap.schema.fieldNames.mkString(", ")})"))
+      defaultSql.foreach { sql =>
+        val lit = try {
+          val e = spark.sessionState.sqlParser.parseExpression(sql)
+          require(e.foldable, s"not constant-foldable: $sql")
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            e, field.dataType, ansiEnabled = true).eval(null)
+        } catch { case ex: Exception =>
+          throw new IllegalArgumentException(
+            s"invalid DEFAULT for column '$name' ${field.dataType.sql}: " +
+              s"'$sql' must be a constant expression castable to the " +
+              s"column type (${ex.getMessage})")
+        }
+        require(lit != null || field.nullable,
+          s"DEFAULT NULL on non-nullable column '$name'")
+      }
+      val updated = org.apache.spark.sql.types.StructType(
+        snap.schema.fields.map { f =>
+          if (f.name != field.name) f
+          else {
+            val b = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            defaultSql match {
+              case Some(sql) =>
+                b.putString("CURRENT_DEFAULT", sql)
+                // EXISTS_DEFAULT is what a read-time fill WOULD use; our
+                // defaults are insert-time only, but the key must parse —
+                // keep it aligned with the current default for interop
+                b.putString("EXISTS_DEFAULT", sql)
+              case None =>
+                b.remove("CURRENT_DEFAULT")
+                b.remove("EXISTS_DEFAULT")
+            }
+            f.copy(metadata = b.build())
+          }
+        })
+      Seq(
+        meta.copy(schemaString = updated.json),
+        CommitInfo(System.currentTimeMillis(), "ALTER COLUMN",
+          defaultSql.map(s => s"$name SET DEFAULT $s")
+            .getOrElse(s"$name DROP DEFAULT"),
+          numFiles = 0, numOutputBytes = 0, isBlindAppend = false,
+          txnId = java.util.UUID.randomUUID().toString))
+    }
+  }
+
   /** `ALTER TABLE ... DROP COLUMN` — a METADATA-ONLY commit: the field
     * leaves the logical schema; the bytes stay in the files (pre-drop
     * versions read them via time travel), new scans never request them. */

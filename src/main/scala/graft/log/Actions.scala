@@ -40,7 +40,8 @@ object Protocol {
   val SupportedWriterFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "timestampNtz", "changeDataFeed",
       "checkConstraints", "generatedColumns", "identityColumns",
-      "inCommitTimestamp", "appendOnly", "typeWidening")
+      "inCommitTimestamp", "appendOnly", "typeWidening",
+      "allowColumnDefaults")
   val MaxReaderVersion = 3
   val MaxWriterVersion = 7
 

@@ -103,6 +103,9 @@ class GwLog(val tablePath: Path, conf: Configuration,
         if (on("appendOnly")) wf += "appendOnly"
         // widened columns misread without up-conversion: reader-side too
         if (on("enableTypeWidening")) { rf += "typeWidening"; wf += "typeWidening" }
+        // writer-only (Delta spec): readers see materialized values; only
+        // writers must know to fill omitted columns
+        if (m.schemaString.contains("CURRENT_DEFAULT")) wf += "allowColumnDefaults"
         if (conf.keys.exists(_.startsWith("graft.constraints."))) wf += "checkConstraints"
         if (conf.keys.exists(_.startsWith("graft.generated."))) wf += "generatedColumns"
         if (conf.keys.exists(_.startsWith("graft.identity."))) wf += "identityColumns"

@@ -1790,6 +1790,46 @@ object GwCore {
     spark.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM gw.$ns.nation")
   }
 
+  // ---------------------------------------------------------------- gw50
+  /** Column DEFAULT values (Delta `allowColumnDefaults` writer feature):
+    * defaults declared at CREATE fill omitted INSERT columns and the
+    * explicit `DEFAULT` keyword — materialized by the ANALYZER (the
+    * catalog declares SUPPORT_COLUMN_DEFAULT_VALUE), so files always
+    * carry the column physically and no read path ever fills anything.
+    * `ALTER COLUMN ... SET DEFAULT` is a metadata-only commit that
+    * changes FUTURE inserts while every stored row is untouched; `DROP
+    * DEFAULT` removes it (after which omitting a non-null column is
+    * refused at analysis). The feature rides the protocol writer-side
+    * only — readers see ordinary materialized values. */
+  def gw50ColumnDefaults(spark: SparkSession, dir: String): DataFrame = {
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val tmp = Files.createTempDirectory("gw50")
+    val loc = tmp.resolve("db/t").toString
+    spark.sql(s"CREATE TABLE gw.$ns.t (k INT, status STRING DEFAULT 'open', " +
+      s"score DOUBLE DEFAULT 1.5) USING gwdelta LOCATION '$loc'")
+    spark.sql(s"INSERT INTO gw.$ns.t (k) VALUES (1), (2)")
+    spark.sql(s"INSERT INTO gw.$ns.t VALUES (3, 'closed', 0.0)")
+    spark.sql(s"INSERT INTO gw.$ns.t (k, status) VALUES (4, DEFAULT)")
+    val t = GwTable.forPath(spark, loc)
+    val preAlter = t.snapshot()
+    spark.sql(s"ALTER TABLE gw.$ns.t ALTER COLUMN status SET DEFAULT 'pending'")
+    require(t.snapshot().files == preAlter.files,
+      "SET DEFAULT must be metadata-only — stored rows untouched")
+    spark.sql(s"INSERT INTO gw.$ns.t (k) VALUES (5)")
+    require(t.snapshot().protocol.exists(
+      _.writerFeatures.exists(_.contains("allowColumnDefaults"))),
+      "defaults must ride the protocol as the writer feature")
+    spark.sql(s"ALTER TABLE gw.$ns.t ALTER COLUMN status DROP DEFAULT")
+    val refused = try {
+      spark.sql(s"INSERT INTO gw.$ns.t (k) VALUES (6)"); false
+    } catch { case _: Exception => true }
+    require(refused,
+      "omitting a defaultless non-null column must be refused at analysis")
+    spark.sql(s"SELECT k, status, score FROM gw.$ns.t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1840,6 +1880,7 @@ object GwCore {
     "gw47_append_only" -> gw47AppendOnly _,
     "gw48_deep_clone" -> gw48DeepClone _,
     "gw49_type_widening" -> gw49TypeWidening _,
+    "gw50_column_defaults" -> gw50ColumnDefaults _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2107,5 +2148,11 @@ object GwCore {
         |FROM nation
         |UNION ALL
         |SELECT CAST(3000000000 AS BIGINT), 'wide', CAST(0 AS INT)""".stripMargin,
+    // defaults materialize at insert: 1-2 & 4 at CREATE's defaults, 3
+    // explicit, 5 under the altered default
+    "gw50_column_defaults" ->
+      """SELECT CAST(k AS INT) AS k, status, CAST(score AS DOUBLE) AS score
+        |FROM (VALUES (1, 'open', 1.5), (2, 'open', 1.5), (3, 'closed', 0.0),
+        |             (4, 'open', 1.5), (5, 'pending', 1.5)) v(k, status, score)""".stripMargin,
   )
 }

@@ -58,6 +58,17 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var warehouse: Path = _
 
+  /** Column DEFAULT values (Delta `allowColumnDefaults`): declaring the
+    * capability makes Spark's analyzer resolve `DEFAULT` in INSERT column
+    * lists / VALUES from the field metadata our schema.json persists —
+    * materialized BEFORE the write reaches the connector, so files always
+    * carry the column physically and reads never need a fill. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def conf: Configuration =
     SparkSession.active.sparkContext.hadoopConfiguration
   private def fs: FileSystem = warehouse.getFileSystem(conf)
@@ -255,7 +266,8 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
         c.isInstanceOf[TableChange.RemoveProperty] ||
         c.isInstanceOf[TableChange.RenameColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
-        c.isInstanceOf[TableChange.UpdateColumnType])
+        c.isInstanceOf[TableChange.UpdateColumnType] ||
+        c.isInstanceOf[TableChange.UpdateColumnDefaultValue])
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
         "gwdelta supports ALTER TABLE ADD COLUMNS, RENAME COLUMN, " +
@@ -276,9 +288,26 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
         s"cannot retype a nested field: ${w.fieldNames.mkString(".")}")
       w.fieldNames.head -> w.newDataType
     }
+    val defaults = changes.collect { case d: TableChange.UpdateColumnDefaultValue =>
+      require(d.fieldNames.length == 1,
+        s"cannot default a nested field: ${d.fieldNames.mkString(".")}")
+      // SET DEFAULT expr -> Some(sql); DROP DEFAULT arrives as null/""
+      // (read the structured DefaultValue first — the string accessor is
+      // not populated on newer Spark)
+      val sql = Option(d.newCurrentDefault()).map(_.getSql)
+        .orElse(Option(d.newDefaultValue())).filter(s => s != null && s.nonEmpty)
+      d.fieldNames.head -> sql
+    }
     val adds = changes.collect { case a: TableChange.AddColumn =>
       require(a.fieldNames.length == 1,
         s"cannot add a nested field: ${a.fieldNames.mkString(".")}")
+      // Delta's restriction: a default on a NEW column would need a
+      // read-time fill for every pre-existing file (EXISTS_DEFAULT) —
+      // defaults attach at CREATE or via ALTER COLUMN SET DEFAULT only
+      require(a.defaultValue() == null,
+        s"cannot ADD COLUMN '${a.fieldNames.head}' WITH DEFAULT: existing " +
+          "files would need a read-time fill; add the column, then " +
+          "ALTER COLUMN ... SET DEFAULT for future inserts")
       org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType, nullable = true)
     }
     val sets = changes.collect { case s: TableChange.SetProperty =>
@@ -290,6 +319,7 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
     renames.foreach { case (from, to) => table.renameColumn(from, to) }
     drops.foreach(table.dropColumn)
     widens.foreach { case (name, to) => table.widenColumn(name, to) }
+    defaults.foreach { case (name, sql) => table.setColumnDefault(name, sql) }
     if (sets.nonEmpty || removes.nonEmpty)
       table.updateProperties(sets.toMap, removes.toSeq)
     loadAt(ident, None)

@@ -1060,4 +1060,25 @@ class DmlSpec extends SparkSpec {
     assert(clone.delete(col("l_orderkey") % 4 === 1, mergeOnRead = true) > 0)
     assert(clone.toDF.count() < expect)
   }
+
+  test("setColumnDefault guards: foldable, castable, known column") {
+    val (_, t) = twoRangeTable()
+    // valid: literal castable to the column type, then dropped again
+    assert(t.setColumnDefault("n_name", Some("'unknown'")) > 0)
+    assert(t.snapshot().schema("n_name").metadata
+      .getString("CURRENT_DEFAULT") == "'unknown'")
+    assert(t.setColumnDefault("n_name", None) > 0)
+    assert(!t.snapshot().schema("n_name").metadata.contains("CURRENT_DEFAULT"))
+    // non-foldable expressions and impossible casts die before the commit
+    intercept[IllegalArgumentException](
+      t.setColumnDefault("n_name", Some("rand()")))
+    intercept[IllegalArgumentException](
+      t.setColumnDefault("n_regionkey", Some("'not-a-number'")))
+    intercept[IllegalArgumentException](
+      t.setColumnDefault("nope", Some("1")))
+    val v = t.snapshot().version
+    intercept[IllegalArgumentException](
+      t.setColumnDefault("n_name", Some("rand()")))
+    assert(t.snapshot().version == v, "failed validations must not commit")
+  }
 }
