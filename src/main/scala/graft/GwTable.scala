@@ -1041,6 +1041,67 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     }
   }
 
+  /**
+   * `df.write.mode("overwrite").option("replaceWhere", pred)` — Delta's
+   * predicate-scoped overwrite: ONE atomic commit replaces exactly the
+   * rows matching `cond` with `df`, leaving everything outside the
+   * predicate untouched. The partition-window reload shape at 100 TB:
+   * reprocess a day, overwrite that day, never touch the other 10 years.
+   *
+   * Semantics (Delta's contract): every incoming row must satisfy the
+   * predicate (checked BEFORE any IO — one scan of the batch); live files
+   * classify through the same stats-pruned three-tier split as DELETE
+   * (fully-matching files tombstone without being read, straddling files
+   * rewrite keeping only their non-matching LIVE rows, untouched files
+   * are never read); new data stages partitioned like any append. CDF
+   * tables log matched live rows as 'delete' and the batch as 'insert'.
+   * Conflict contract = the DML taxonomy: the commit aborts typed if a
+   * classified file was removed or mutated mid-flight.
+   */
+  def replaceWhere(df: DataFrame, cond: Column): Long = {
+    val snap = gwLog.snapshot(None)
+    val meta = snap.metadata.getOrElse(throw new IllegalStateException(
+      s"replaceWhere needs an existing table at $tablePath — the predicate " +
+        "would have nothing to replace; use a plain overwrite to bootstrap"))
+    graft.streaming.GwSink.checkAppendSchema(Some(meta), tablePath.toString, df.schema)
+    require(!meta.configuration.keys.exists(_.startsWith(GwTable.IdentityPrefix)),
+      s"replaceWhere on identity-column tables is not supported at $tablePath")
+    resolveCond(snap, cond) // unresolvable predicates fail before any IO
+    val hit = coalesce(cond, lit(false))
+    require(df.filter(not(hit)).isEmpty,
+      s"replaceWhere: the written batch contains rows that do not satisfy " +
+        s"the predicate ($cond) — Delta's contract is that an overwrite " +
+        "may only write inside the window it replaces")
+    val (fullFiles, partialFiles, _) = classifyByPredicate(snap, cond)
+    val rewrites: Seq[AddFile] =
+      if (partialFiles.isEmpty) Nil
+      else rewriteFiles(snap, partialFiles,
+        d => d.filter(not(hit)).coalesce(math.max(1, partialFiles.size)))
+    val parts = meta.partitionColumns
+    val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
+    graft.streaming.GwSink.stageWrite(
+      graft.log.ColumnMapping.toPhysicalDf(df, snap.schema), outDir, parts)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val newAdds: Seq[AddFile] = graft.sources.SchemaProbe
+      .harvestPartitioned(conf, outDir, dataChange = true, parts)
+    if (newAdds.isEmpty) outDir.getFileSystem(conf).delete(outDir, true)
+    val cdc: Seq[Action] =
+      if (!Cdc.enabled(snap)) Nil
+      else {
+        val deleted = Dv.readLive(spark, snap.schema, fullFiles)
+          .unionAll(Dv.readLive(spark, snap.schema, partialFiles).filter(hit))
+          .withColumn(Cdc.ChangeTypeCol, lit(Cdc.Delete))
+        val changes =
+          if (newAdds.isEmpty) deleted
+          else deleted.unionAll(graft.log.ColumnMapping
+            .readLogical(spark, snap.schema, newAdds.map(_.path))
+            .withColumn(Cdc.ChangeTypeCol, lit(Cdc.Insert)))
+        Cdc.write(spark, tablePath, snap, changes)
+      }
+    commitDml("REPLACE WHERE", fullFiles ++ partialFiles,
+      rewrites ++ newAdds, Some(snap), cdc)
+  }
+
   /** TRUNCATE: one metadata-only commit tombstoning every live file — no
     * data is read or written; the content stays time-travelable until
     * `vacuum`. Returns the committed version, or -1 on an empty log. */

@@ -1830,6 +1830,55 @@ object GwCore {
     spark.sql(s"SELECT k, status, score FROM gw.$ns.t")
   }
 
+  // ---------------------------------------------------------------- gw51
+  /** `replaceWhere` predicate-scoped overwrite — the partition-window
+    * reload: orders partitioned by status, the 'F' window reprocessed
+    * (exact IEEE repricing) and overwritten in ONE atomic commit. The
+    * untouched partitions' files must survive IDENTICALLY (never read,
+    * never rewritten — the 100 TB point of the operation), every prior
+    * 'F' file must be tombstoned, and a batch carrying rows OUTSIDE the
+    * predicate is refused before anything commits. */
+  def gw51ReplaceWhere(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw51")
+    val loc = tmp.resolve("db/orders").toString
+    val src = spark.read.parquet(s"$dir/orders.parquet")
+    src.write.format("gwdelta").partitionBy("o_orderstatus")
+      .mode("append").save(loc)
+    val t = GwTable.forPath(spark, loc)
+    val before = t.snapshot()
+    // a batch with rows outside the window must die before any commit
+    val bad = try {
+      src.filter(col("o_orderstatus") === "O")
+        .write.format("gwdelta").mode("overwrite")
+        .option("replaceWhere", "o_orderstatus = 'F'").save(loc)
+      None
+    } catch { case e: Exception => Some(e) }
+    require(bad.exists(e => (e.getMessage + Option(e.getCause)
+      .map(_.getMessage).getOrElse("")).contains("replaceWhere")),
+      s"out-of-window batch must be refused, got $bad")
+    require(t.snapshot().version == before.version,
+      "the refused write must not have committed anything")
+    // the reload: reprice the F window, replace it atomically
+    src.filter(col("o_orderstatus") === "F")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .write.format("gwdelta").mode("overwrite")
+      .option("replaceWhere", "o_orderstatus = 'F'").save(loc)
+    val after = t.snapshot()
+    require(after.version == before.version + 1, "one atomic commit")
+    val untouched = before.files.filterNot(
+      _.partitionValues.get("o_orderstatus").contains("F"))
+    require(untouched.forall(after.files.contains),
+      "files outside the window must survive byte-identically")
+    require(!after.files.exists(f => before.files.contains(f) &&
+      f.partitionValues.get("o_orderstatus").contains("F")),
+      "every prior F-window file must be tombstoned")
+    spark.read.format("gwdelta").load(loc)
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s",
+        "o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1881,6 +1930,7 @@ object GwCore {
     "gw48_deep_clone" -> gw48DeepClone _,
     "gw49_type_widening" -> gw49TypeWidening _,
     "gw50_column_defaults" -> gw50ColumnDefaults _,
+    "gw51_replace_where" -> gw51ReplaceWhere _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2154,5 +2204,13 @@ object GwCore {
       """SELECT CAST(k AS INT) AS k, status, CAST(score AS DOUBLE) AS score
         |FROM (VALUES (1, 'open', 1.5), (2, 'open', 1.5), (3, 'closed', 0.0),
         |             (4, 'open', 1.5), (5, 'pending', 1.5)) v(k, status, score)""".stripMargin,
+    // the F window doubled (exact IEEE *2), everything else untouched
+    "gw51_replace_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        | o_orderpriority
+        |FROM orders""".stripMargin,
   )
 }

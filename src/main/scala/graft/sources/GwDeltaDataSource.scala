@@ -147,7 +147,16 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
         graft.streaming.GwSink.append(data, path, txnId = txnId,
           partitionBy = parts, mergeSchema = mergeSchema)
       case org.apache.spark.sql.SaveMode.Overwrite =>
-        graft.streaming.GwSink.overwrite(data, path, parts, txnId = txnId)
+        parameters.get("replaceWhere") match {
+          case Some(pred) =>
+            require(txnId.isEmpty && !mergeSchema,
+              "replaceWhere does not combine with txnAppId/txnVersion or " +
+                "mergeSchema")
+            graft.GwTable.forPath(data.sparkSession, path)
+              .replaceWhere(data, org.apache.spark.sql.functions.expr(pred))
+          case None =>
+            graft.streaming.GwSink.overwrite(data, path, parts, txnId = txnId)
+        }
       case org.apache.spark.sql.SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"gwdelta table already exists at $path (mode ErrorIfExists)")

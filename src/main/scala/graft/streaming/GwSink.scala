@@ -159,7 +159,7 @@ object GwSink {
   /** Write the batch, hive-laying-out by `__gwp_<col>=` copies of the
     * partition columns so the REAL columns stay in the data files (see
     * SchemaProbe.PartitionDirPrefix for why). */
-  private def stageWrite(df: DataFrame, outDir: Path, parts: Seq[String]): Unit =
+  private[graft] def stageWrite(df: DataFrame, outDir: Path, parts: Seq[String]): Unit =
     if (parts.isEmpty) df.write.mode("overwrite").parquet(outDir.toString)
     else {
       import org.apache.spark.sql.functions.col
@@ -266,7 +266,7 @@ object GwSink {
   /** Non-bootstrap appends must match the logged schema (fail BEFORE bytes
     * when possible: a mismatched append would read back with missing
     * columns null, new columns invisible, type changes failing at scan). */
-  private def checkAppendSchema(meta: Option[Metadata], tablePath: String,
+  private[graft] def checkAppendSchema(meta: Option[Metadata], tablePath: String,
       schema: org.apache.spark.sql.types.StructType): Unit =
     meta.foreach { m =>
       // compare LOGICAL names with the mapping pins stripped — batches

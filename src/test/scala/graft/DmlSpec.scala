@@ -1061,6 +1061,31 @@ class DmlSpec extends SparkSpec {
     assert(clone.toDF.count() < expect)
   }
 
+  test("replaceWhere: straddling files rewrite, empty batch deletes the window") {
+    import org.apache.spark.sql.functions.{concat, lit => flit}
+    val (_, t) = twoRangeTable()
+    // replace keys [6, 18) with renamed rows: BOTH files straddle
+    val repl = spark.read.parquet(s"$sf/nation.parquet")
+      .filter(col("n_nationkey") >= 6 && col("n_nationkey") < 18)
+      .withColumn("n_name", concat(flit("NEW_"), col("n_name")))
+    assert(t.replaceWhere(repl,
+      col("n_nationkey") >= 6 && col("n_nationkey") < 18) > 0)
+    val names = t.toDF.collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(names.size == 25)
+    assert((6 until 18).forall(k => names(k).startsWith("NEW_")))
+    assert(((0 until 6) ++ (18 until 25)).forall(k => !names(k).startsWith("NEW_")))
+    // empty batch = predicate-scoped delete through the same surface
+    val empty = t.toDF.filter(flit(false))
+    assert(t.replaceWhere(empty, col("n_nationkey") >= 20) > 0)
+    assert(t.toDF.count() == 20)
+    // out-of-window rows refused, nothing committed
+    val v = t.snapshot().version
+    intercept[IllegalArgumentException](
+      t.replaceWhere(t.toDF.limit(5), col("n_nationkey") < 0))
+    assert(t.snapshot().version == v)
+  }
+
   test("setColumnDefault guards: foldable, castable, known column") {
     val (_, t) = twoRangeTable()
     // valid: literal castable to the column type, then dropped again
