@@ -41,7 +41,7 @@ object Protocol {
     Set("deletionVectors", "columnMapping", "timestampNtz", "changeDataFeed",
       "checkConstraints", "generatedColumns", "identityColumns",
       "inCommitTimestamp", "appendOnly", "typeWidening",
-      "allowColumnDefaults")
+      "allowColumnDefaults", "rowTracking")
   val MaxReaderVersion = 3
   val MaxWriterVersion = 7
 
@@ -111,7 +111,13 @@ final case class AddFile(
     dataChange: Boolean = true,
     partitionValues: Map[String, String] = Map.empty,
     stats: Option[String] = None,
-    dv: Option[DvDescriptor] = None) extends Action
+    dv: Option[DvDescriptor] = None,
+    // Row tracking (Delta rowTracking): first row id of this file and the
+    // commit version stamped when the id range was assigned. Re-assertions
+    // (DV growth, RESTORE) carry both through `copy`, so a file's ids are
+    // stable for as long as the file itself lives.
+    baseRowId: Option[Long] = None,
+    defaultRowCommitVersion: Option[Long] = None) extends Action
 
 final case class RemoveFile(
     path: String,
@@ -194,16 +200,19 @@ object Actions {
         val pc = n.putArray("partitionColumns")
         partCols.foreach(pc.add)
         n.put("createdTime", createdTime)
-      case AddFile(path, size, mtime, dataChange, partVals, stats, dv) =>
+      case a: AddFile =>
         val n = root.putObject("add")
-        n.put("path", path)
-        n.put("size", size)
-        putMap(n, "partitionValues", partVals)
-        n.put("modificationTime", mtime)
-        n.put("dataChange", dataChange)
-        stats.foreach(s => n.put("stats", s))
-        // only written when present, so pre-DV logs stay byte-identical
-        dv.foreach { d =>
+        n.put("path", a.path)
+        n.put("size", a.size)
+        putMap(n, "partitionValues", a.partitionValues)
+        n.put("modificationTime", a.modificationTime)
+        n.put("dataChange", a.dataChange)
+        // row-tracking fields and stats/DV are only written when present,
+        // so plain-table logs stay byte-identical to the golden files
+        a.baseRowId.foreach(b => n.put("baseRowId", b))
+        a.defaultRowCommitVersion.foreach(v => n.put("defaultRowCommitVersion", v))
+        a.stats.foreach(s => n.put("stats", s))
+        a.dv.foreach { d =>
           val dn = n.putObject("deletionVector")
           dn.put("storageType", d.storageType)
           dn.put("pathOrInlineDv", d.pathOrInlineDv)
@@ -292,7 +301,10 @@ object Actions {
           pathOrInlineDv = d.path("pathOrInlineDv").asText,
           offset = Option(d.get("offset")).map(_.asInt),
           sizeInBytes = d.path("sizeInBytes").asInt,
-          cardinality = d.path("cardinality").asLong))))
+          cardinality = d.path("cardinality").asLong)),
+        baseRowId = Option(n.get("baseRowId")).map(_.asLong),
+        defaultRowCommitVersion =
+          Option(n.get("defaultRowCommitVersion")).map(_.asLong)))
     } else if (root.has("remove")) {
       val n = root.get("remove")
       Some(RemoveFile(

@@ -73,6 +73,8 @@ object Checkpoint {
       |    optional int64 size;
       |    optional int64 modificationTime;
       |    optional boolean dataChange;
+      |    optional int64 baseRowId;
+      |    optional int64 defaultRowCommitVersion;
       |    optional binary stats (UTF8);
       |    optional group deletionVector {
       |      optional binary storageType (UTF8);
@@ -152,15 +154,18 @@ object Checkpoint {
           partCols.foreach(c => pc.addGroup("list").append("element", c))
           putMap(g, "configuration", configuration)
           g.append("createdTime", createdTime)
-        case AddFile(path, size, mtime, dataChange, partVals, stats, dv) =>
+        case a: AddFile =>
           val g = row.addGroup("add")
-          g.append("path", path)
-          putMap(g, "partitionValues", partVals)
-          g.append("size", size)
-          g.append("modificationTime", mtime)
-          g.append("dataChange", dataChange)
-          stats.foreach(s => g.append("stats", s))
-          dv.foreach { d =>
+          g.append("path", a.path)
+          putMap(g, "partitionValues", a.partitionValues)
+          g.append("size", a.size)
+          g.append("modificationTime", a.modificationTime)
+          g.append("dataChange", a.dataChange)
+          a.baseRowId.foreach(b => g.append("baseRowId", b))
+          a.defaultRowCommitVersion.foreach(v =>
+            g.append("defaultRowCommitVersion", v))
+          a.stats.foreach(s => g.append("stats", s))
+          a.dv.foreach { d =>
             val dg = g.addGroup("deletionVector")
             dg.append("storageType", d.storageType)
             dg.append("pathOrInlineDv", d.pathOrInlineDv)
@@ -234,6 +239,14 @@ object Checkpoint {
             partitionValues = readMap(g, "partitionValues"),
             stats =
               if (g.getFieldRepetitionCount("stats") > 0) Some(g.getString("stats", 0))
+              else None,
+            baseRowId =
+              if (g.getFieldRepetitionCount("baseRowId") > 0)
+                Some(g.getLong("baseRowId", 0))
+              else None,
+            defaultRowCommitVersion =
+              if (g.getFieldRepetitionCount("defaultRowCommitVersion") > 0)
+                Some(g.getLong("defaultRowCommitVersion", 0))
               else None,
             dv =
               if (g.getFieldRepetitionCount("deletionVector") > 0) {

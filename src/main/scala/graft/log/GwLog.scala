@@ -61,7 +61,8 @@ class GwLog(val tablePath: Path, conf: Configuration,
   def commit(actions: Seq[Action]): Long = {
     val version = latestVersion().map(_ + 1).getOrElse(0L)
     commitAt(version,
-      stampInCommitTimestamp(version, upgradeProtocol(version, actions)))
+      stampInCommitTimestamp(version,
+        upgradeProtocol(version, assignRowIds(version, actions))))
     if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0) {
       // checkpoints are a read optimization: the version JSON above IS the
       // committed truth, so a failed checkpoint write must not fail the
@@ -81,6 +82,60 @@ class GwLog(val tablePath: Path, conf: Configuration,
       } catch { case scala.util.control.NonFatal(_) => () }
     }
     version
+  }
+
+  /** Row tracking (Delta rowTracking, writer feature): on a tracked table,
+    * every NEW AddFile in a commit gets a contiguous row-id range —
+    * `baseRowId` = high-water + 1, advancing by the file's row count (from
+    * its harvested stats, which tracked tables therefore require) — and
+    * `defaultRowCommitVersion` = this commit's version. Re-asserted files
+    * (DV growth, RESTORE, clones of tracked tables) already carry a base
+    * and pass through untouched, which is exactly the stability contract:
+    * a row's id lives as long as its file does; copy-on-write rewrites
+    * mint fresh ids (the merge-on-read DML paths — the engine's preferred
+    * shape at scale — never rewrite, so ids survive them). The high-water
+    * mark rides the metadata (`graft.rowTracking.highWaterMark`), restated
+    * in the SAME commit, so the assignment is atomic with the files and a
+    * losing racer recomputes from the winner's mark on retry. */
+  private def assignRowIds(version: Long, actions: Seq[Action]): Seq[Action] = {
+    val commitMeta = actions.collectFirst { case m: Metadata => m }
+    val prevMeta =
+      if (version == 0) None
+      else scala.util.Try(snapshot(Some(version - 1)).metadata).toOption.flatten
+    val effMeta = commitMeta.orElse(prevMeta)
+    val tracked = effMeta.exists(m =>
+      Seq("graft.enableRowTracking", "delta.enableRowTracking")
+        .exists(k => m.configuration.get(k).exists(_.trim.equalsIgnoreCase("true"))))
+    if (!tracked) return actions
+    val unassigned = actions.collect {
+      case a: AddFile if a.baseRowId.isEmpty => a
+    }
+    if (unassigned.isEmpty) return actions
+    val hwKey = "graft.rowTracking.highWaterMark"
+    var hw = effMeta.flatMap(_.configuration.get(hwKey)).map(_.toLong).getOrElse(-1L)
+    val assigned = scala.collection.mutable.Map.empty[AddFile, AddFile]
+    unassigned.foreach { a =>
+      val n = graft.Dv.numRecords(a).getOrElse(throw new IllegalStateException(
+        s"row tracking needs per-file row counts: $tablePath add ${a.path} " +
+          "carries no numRecords stats — write through the engine's paths " +
+          "(they harvest footer stats) or disable graft.enableRowTracking"))
+      assigned(a) = a.copy(baseRowId = Some(hw + 1),
+        defaultRowCommitVersion = Some(version))
+      hw += n
+    }
+    val meta = effMeta.get.copy(configuration =
+      effMeta.get.configuration + (hwKey -> hw.toString))
+    val swapped = actions.map {
+      case a: AddFile => assigned.getOrElse(a, a)
+      case m: Metadata => meta
+      case other => other
+    }
+    if (commitMeta.isDefined) swapped
+    else {
+      // restate the previous metadata with the advanced mark, ahead of adds
+      val (pre, rest) = swapped.span(_.isInstanceOf[Protocol])
+      pre ++ (meta +: rest)
+    }
   }
 
   /** The Delta table features each action shape demands: (reader, writer)
@@ -106,6 +161,8 @@ class GwLog(val tablePath: Path, conf: Configuration,
         // writer-only (Delta spec): readers see materialized values; only
         // writers must know to fill omitted columns
         if (m.schemaString.contains("CURRENT_DEFAULT")) wf += "allowColumnDefaults"
+        // writer-only (Delta spec): a non-tracking reader just ignores ids
+        if (on("enableRowTracking")) wf += "rowTracking"
         if (conf.keys.exists(_.startsWith("graft.constraints."))) wf += "checkConstraints"
         if (conf.keys.exists(_.startsWith("graft.generated."))) wf += "generatedColumns"
         if (conf.keys.exists(_.startsWith("graft.identity."))) wf += "identityColumns"

@@ -1879,6 +1879,52 @@ object GwCore {
         "o_orderpriority")
   }
 
+  // ---------------------------------------------------------------- gw52
+  /** Row tracking (Delta rowTracking): every committed file gets a
+    * contiguous row-id range atomically with its commit (baseRowId +
+    * high-water mark riding the same metadata action), ids surface as the
+    * `__gw_row_id` metadata column (baseRowId + physical position), and —
+    * the point of the feature — they are STABLE under merge-on-read DML:
+    * a MOR delete grows a bitmap, never rewrites a file, so every
+    * surviving row keeps its id. Ordered single-file appends make the
+    * key→id mapping deterministic, so the gate is oracle-exact: copy 1 of
+    * nation gets ids 0..24 in key order, copy 2 gets 25..49, and the MOR
+    * delete of even keys must leave exactly the odd keys' original ids. */
+  def gw52RowTracking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw52")
+    val loc = tmp.resolve("db/nation").toString
+    val src = spark.read.parquet(s"$dir/nation.parquet")
+      .orderBy("n_nationkey").coalesce(1)
+    graft.streaming.GwSink.append(src, loc,
+      bootstrapProps = Map("graft.enableRowTracking" -> "true"))
+    graft.streaming.GwSink.append(src, loc)
+    val t = GwTable.forPath(spark, loc)
+    val snap = t.snapshot()
+    require(snap.protocol.exists(
+      _.writerFeatures.exists(_.contains("rowTracking"))),
+      "row tracking must ride the protocol as the writer feature")
+    require(snap.files.forall(_.baseRowId.isDefined),
+      "every tracked add must carry a baseRowId")
+    require(snap.metadata.exists(_.configuration
+      .get("graft.rowTracking.highWaterMark").contains("49")),
+      "high-water mark must advance atomically with the assigned files")
+    val preIds = spark.read.format("gwdelta").load(loc)
+      .select("n_nationkey", "__gw_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toSet
+    require(preIds.size == 50 && preIds.map(_._2) == (0L until 50L).toSet,
+      "ids must be a contiguous unique range across both appends")
+    // merge-on-read delete: files never rewrite, surviving ids must hold
+    require(t.delete(col("n_nationkey") % 2 === 0, mergeOnRead = true) > 0)
+    val postIds = spark.read.format("gwdelta").load(loc)
+      .select("n_nationkey", "__gw_row_id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toSet
+    require(postIds.subsetOf(preIds),
+      "a merge-on-read delete must not move any surviving row's id")
+    spark.read.format("gwdelta").load(loc)
+      .selectExpr("n_nationkey", "n_name", "__gw_row_id AS row_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1931,6 +1977,7 @@ object GwCore {
     "gw49_type_widening" -> gw49TypeWidening _,
     "gw50_column_defaults" -> gw50ColumnDefaults _,
     "gw51_replace_where" -> gw51ReplaceWhere _,
+    "gw52_row_tracking" -> gw52RowTracking _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2212,5 +2259,13 @@ object GwCore {
         | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
         | o_orderpriority
         |FROM orders""".stripMargin,
+    // ordered single-file appends pin the key->id mapping: copy 1 id = key,
+    // copy 2 id = key + 25; the MOR delete keeps odd keys' original ids
+    "gw52_row_tracking" ->
+      """SELECT n_nationkey, n_name, CAST(n_nationkey AS BIGINT) AS row_id
+        |FROM nation WHERE n_nationkey % 2 = 1
+        |UNION ALL
+        |SELECT n_nationkey, n_name, CAST(n_nationkey + 25 AS BIGINT)
+        |FROM nation WHERE n_nationkey % 2 = 1""".stripMargin,
   )
 }

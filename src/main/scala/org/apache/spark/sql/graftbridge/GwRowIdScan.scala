@@ -31,7 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
 object GwRowId {
   val FileCol = "__gw_file"
   val PosCol = "__gw_pos"
-  val names: Seq[String] = Seq(FileCol, PosCol)
+  /** Row-tracking id (`baseRowId + position`): stable for as long as the
+    * row's file lives — requires `graft.enableRowTracking`. */
+  val RowIdCol = "__gw_row_id"
+  val names: Seq[String] = Seq(FileCol, PosCol, RowIdCol)
 
   private class Col(n: String, t: DataType, c: String) extends MetadataColumn {
     override def name(): String = n
@@ -42,7 +45,9 @@ object GwRowId {
 
   val metadataColumns: Array[MetadataColumn] = Array(
     new Col(FileCol, StringType, "logged path of the data file holding the row"),
-    new Col(PosCol, LongType, "physical row index within the file"))
+    new Col(PosCol, LongType, "physical row index within the file"),
+    new Col(RowIdCol, LongType,
+      "row-tracking id (baseRowId + position; needs graft.enableRowTracking)"))
 
   /** Build a row-id-emitting scan over `candidates` serving `required`
     * (data columns in required order, the row-id columns as a suffix).
@@ -57,13 +62,20 @@ object GwRowId {
     require(required.fields.drop(dataFields.length).forall(f => names.contains(f.name)),
       s"row-id columns must be a suffix of the required schema $required — " +
         "Spark appends row-id attributes after the data attributes")
+    if (idFields.exists(_.name == RowIdCol))
+      candidates.find(_.baseRowId.isEmpty).foreach(f =>
+        throw new IllegalStateException(
+          s"$tableName: $RowIdCol needs row tracking — file ${f.path} has " +
+            "no baseRowId; set TBLPROPERTIES (graft.enableRowTracking = " +
+            "'true') and rewrite or re-add existing files"))
     val inner = ParquetTable(tableName, spark, options, candidates.map(_.path),
       Some(snapshot.schema), classOf[ParquetFileFormat]).newScanBuilder(options)
     inner.pruneColumns(StructType(dataFields))
     new GwRowIdScan(inner.build(), StructType(required.fields),
       idFields.map(_.name).toIndexedSeq,
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
-      candidates.map(f => graft.GwTable.uriKey(f.path) -> (f.path, f.dv)).toMap,
+      candidates.map(f =>
+        graft.GwTable.uriKey(f.path) -> (f.path, f.dv, f.baseRowId)).toMap,
       planned = candidates)
   }
 }
@@ -80,8 +92,8 @@ class GwRowIdScan(
     out: StructType,
     idCols: Seq[String], // subset of GwRowId.names actually requested, in order
     conf: SerializableHadoopConf,
-    // uriKey(path) -> (logged path, existing deletion vector)
-    fileByKey: Map[String, (String, Option[DvDescriptor])],
+    // uriKey(path) -> (logged path, existing deletion vector, baseRowId)
+    fileByKey: Map[String, (String, Option[DvDescriptor], Option[Long])],
     // every planned AddFile — log-exact plan statistics (GwScanStats)
     planned: Seq[AddFile] = Nil)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -105,10 +117,10 @@ class GwRowIdScan(
       }.groupBy(_.filePath.toPath.toString)
       byFile.toArray.zipWithIndex.map {
         case ((path, splits: Array[PartitionedFile]), i) =>
-          val (logged, dv) = fileByKey.getOrElse(graft.GwTable.uriKey(path),
+          val (logged, dv, base) = fileByKey.getOrElse(graft.GwTable.uriKey(path),
             throw new IllegalStateException(s"scanned file $path not planned"))
-          GwRowIdPartition(FilePartition(i, splits.sortBy(_.start)), logged, dv)
-            : InputPartition
+          GwRowIdPartition(FilePartition(i, splits.sortBy(_.start)), logged, dv,
+            base): InputPartition
       }
     }
 
@@ -117,9 +129,10 @@ class GwRowIdScan(
   }
 }
 
-/** One whole file's splits + its logged path and existing DV. */
+/** One whole file's splits + its logged path, existing DV and row-id base. */
 case class GwRowIdPartition(inner: FilePartition, loggedPath: String,
-    dv: Option[DvDescriptor]) extends InputPartition {
+    dv: Option[DvDescriptor], baseRowId: Option[Long] = None)
+    extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
@@ -133,7 +146,8 @@ class GwRowIdReaderFactory(
     // executor-side: the DV bitmap decodes in the task, never on the driver
     val deleted = p.dv.map(d => graft.Dv.readPositions(conf.value, d))
       .getOrElse(Array.emptyLongArray)
-    new GwRowIdReader(innerFactory.createReader(p.inner), p.loggedPath, idCols, deleted)
+    new GwRowIdReader(innerFactory.createReader(p.inner), p.loggedPath, idCols,
+      deleted, p.baseRowId)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
@@ -148,7 +162,8 @@ class GwRowIdReader(
     inner: PartitionReader[InternalRow],
     loggedPath: String,
     idCols: Seq[String],
-    deleted: Array[Long]) extends PartitionReader[InternalRow] {
+    deleted: Array[Long],
+    baseRowId: Option[Long] = None) extends PartitionReader[InternalRow] {
 
   private val file = UTF8String.fromString(loggedPath)
   private val idRow = new GenericInternalRow(idCols.length)
@@ -156,6 +171,8 @@ class GwRowIdReader(
     if (c == GwRowId.FileCol) idRow.update(i, file)
   }
   private val posSlot = idCols.indexOf(GwRowId.PosCol)
+  private val rowIdSlot = idCols.indexOf(GwRowId.RowIdCol)
+  private val base = baseRowId.getOrElse(0L)
   private val joined = new JoinedRow
   private var pos = -1L
   private var di = 0
@@ -171,6 +188,7 @@ class GwRowIdReader(
 
   override def get(): InternalRow = {
     if (posSlot >= 0) idRow.setLong(posSlot, pos)
+    if (rowIdSlot >= 0) idRow.setLong(rowIdSlot, base + pos)
     joined(inner.get(), idRow)
   }
 

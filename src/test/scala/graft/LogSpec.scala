@@ -118,10 +118,10 @@ class LogSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Protocol.assertReadable("t", bad))
     assert(e.getMessage.contains("futureMagic"))
     // writer-only unknown features still READ fine, but refuse writes
-    val wOnly = Protocol(1, 7, None, Some(Seq("rowTracking")))
+    val wOnly = Protocol(1, 7, None, Some(Seq("icebergCompatV2")))
     Protocol.assertReadable("t", wOnly)
     val w = intercept[IllegalArgumentException](Protocol.assertWritable("t", wOnly))
-    assert(w.getMessage.contains("rowTracking"))
+    assert(w.getMessage.contains("icebergCompatV2"))
   }
 
   test("checkpoint parquet schema matches the Delta protocol checkpoint shape (golden)") {
@@ -160,6 +160,9 @@ class LogSpec extends AnyFunSuite {
       "add.size" -> "INT64",
       "add.modificationTime" -> "INT64",
       "add.dataChange" -> "BOOLEAN",
+      // rowTracking (Delta spec): id-range base + assignment version
+      "add.baseRowId" -> "INT64",
+      "add.defaultRowCommitVersion" -> "INT64",
       "add.stats" -> "BINARY",
       "add.deletionVector.storageType" -> "BINARY",
       "add.deletionVector.pathOrInlineDv" -> "BINARY",
