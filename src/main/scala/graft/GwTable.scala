@@ -1825,6 +1825,60 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
 object GwTable {
   def forPath(spark: SparkSession, tablePath: String): GwTable = new GwTable(spark, tablePath)
 
+  /**
+   * `CONVERT TO GWDELTA parquet.`<dir>`` — in-place conversion of a plain
+   * parquet directory into a gwdelta table (Delta's CONVERT TO DELTA
+   * parity): ONE bootstrap commit whose adds point at the existing files
+   * where they lie — zero bytes move, and the directory is instantly a
+   * transactional table (time travel from v0, DML, streaming, OPTIMIZE).
+   * Per-file footer stats are harvested during the listing, so the very
+   * first query plans with stats-based file skipping. The schema is
+   * Spark's own parquet inference over the directory (footer-based).
+   *
+   * The original files keep the same contract as indexed CDA sources:
+   * they are the read-only bootstrap data, never vacuum candidates —
+   * maintenance rewrites land under the engine's owned namespaces.
+   * Hive-partitioned layouts (`col=value` dirs, where the column exists
+   * only in the directory name) are refused with guidance: the engine's
+   * partition model keeps real columns in the data files.
+   */
+  def convert(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val log = graft.log.GwLog.forTable(conf, dir)
+    require(!log.exists(),
+      s"$dir is already a gwdelta table — CONVERT is for plain parquet " +
+        "directories")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root), s"CONVERT: no such directory $dir")
+    fs.listStatus(root).find(st => st.isDirectory &&
+        st.getPath.getName.contains("=")).foreach(st =>
+      throw new IllegalArgumentException(
+        s"CONVERT: $dir is hive-partitioned (${st.getPath.getName}); the " +
+          "engine keeps partition columns in the data files — rewrite via " +
+          "CTAS with PARTITIONED BY instead"))
+    val adds = graft.sources.CdaLayout.listParquetFiles(conf, root.toString,
+      withStats = true).toSeq
+    require(adds.nonEmpty, s"CONVERT: no parquet files under $dir")
+    val schema = spark.read.parquet(dir).schema
+    graft.streaming.GwSink.commitWithRetry(log) { bootstrap =>
+      if (!bootstrap) throw new IllegalStateException(
+        s"concurrent table creation at $dir raced the CONVERT; the " +
+          "directory is already a table")
+      val now = System.currentTimeMillis()
+      (graft.log.Protocol(): graft.log.Action) +:
+        (graft.log.Metadata(
+          id = java.util.UUID.randomUUID().toString,
+          schemaString = schema.json,
+          createdTime = now): graft.log.Action) +:
+        (adds: Seq[graft.log.Action]) :+
+        graft.log.CommitInfo(now, "CONVERT", s"parquet.$dir",
+          numFiles = adds.size, numOutputBytes = adds.map(_.size).sum,
+          isBlindAppend = true,
+          txnId = java.util.UUID.randomUUID().toString)
+    }
+  }
+
   /** Delta `delta.appendOnly` (the appendOnly writer feature): row removal
     * of any kind — DELETE/UPDATE/MERGE-with-matches, TRUNCATE, OVERWRITE,
     * RESTORE, deletion vectors — is refused on an append-only table.

@@ -1925,6 +1925,60 @@ object GwCore {
       .selectExpr("n_nationkey", "n_name", "__gw_row_id AS row_id")
   }
 
+  // ---------------------------------------------------------------- gw53
+  /** `CONVERT TO GWDELTA parquet.`dir`` — in-place conversion of a plain
+    * parquet directory (two files staged from the nation fixture) into a
+    * transactional table: ONE bootstrap commit pointing at the files
+    * where they lie (zero bytes move, pinned on modification times), with
+    * footer stats harvested so the first filtered query already plans
+    * file-skipping (pinned: a selective read opens one file). The
+    * converted table is immediately fully transactional — DELETE, time
+    * travel back to the conversion snapshot — and re-converting or
+    * converting a hive-partitioned layout refuses typed. */
+  def gw53Convert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.GraftExtensions.register(spark)
+    val tmp = Files.createTempDirectory("gw53")
+    val loc = tmp.resolve("plain").toString
+    val src = spark.read.parquet(s"$dir/nation.parquet")
+    // a plain two-file parquet dataset, as any Spark job would leave it
+    src.filter(col("n_nationkey") < 12).coalesce(1)
+      .write.mode("append").parquet(loc)
+    src.filter(col("n_nationkey") >= 12).coalesce(1)
+      .write.mode("append").parquet(loc)
+    val preMtimes = new java.io.File(loc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val res = spark.sql(s"CONVERT TO GWDELTA parquet.`$loc`").collect()
+    require(res.length == 1 && res.head.getLong(1) == 0L,
+      "conversion is one bootstrap commit at v0")
+    val postMtimes = new java.io.File(loc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    require(preMtimes == postMtimes, "conversion must move zero bytes")
+    val t = GwTable.forPath(spark, loc)
+    require(t.snapshot().files.size == 2, "both files adopted")
+    // harvested stats make the very first filtered query skip files
+    val planned = spark.read.format("gwdelta").load(loc)
+      .filter(col("n_nationkey") >= 20)
+      .queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
+      }.head
+    require(planned == 1, s"stats skipping must plan 1 file, got $planned")
+    // instantly transactional: DML + time travel to the conversion snapshot
+    require(t.delete(col("n_nationkey") >= 20) > 0)
+    require(spark.read.format("gwdelta").option("versionAsOf", 0)
+      .load(loc).count() == 25,
+      "the conversion snapshot stays time-travelable")
+    val again = try { spark.sql(s"CONVERT TO GWDELTA parquet.`$loc`"); None }
+      catch { case e: Exception => Some(e) }
+    require(again.exists(_.getMessage.contains("already a gwdelta table")),
+      s"re-converting must refuse, got $again")
+    spark.read.format("gwdelta").load(loc)
+      .select("n_nationkey", "n_name", "n_regionkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -1978,6 +2032,7 @@ object GwCore {
     "gw50_column_defaults" -> gw50ColumnDefaults _,
     "gw51_replace_where" -> gw51ReplaceWhere _,
     "gw52_row_tracking" -> gw52RowTracking _,
+    "gw53_convert" -> gw53Convert _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2267,5 +2322,8 @@ object GwCore {
         |UNION ALL
         |SELECT n_nationkey, n_name, CAST(n_nationkey + 25 AS BIGINT)
         |FROM nation WHERE n_nationkey % 2 = 1""".stripMargin,
+    // the converted table after the post-conversion DELETE of keys >= 20
+    "gw53_convert" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 20",
   )
 }

@@ -52,6 +52,8 @@ object GwMaintenance {
   private val Reorg =
     ("""(?is)^\s*REORG\s+(?:TABLE\s+)?""" + TableRef +
       """\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
+  private val Convert =
+    """(?is)^\s*CONVERT\s+TO\s+GWDELTA\s+parquet\s*\.\s*(`[^`]+`|'[^']+'|"[^"]+")\s*;?\s*$""".r
 
   /** Maintenance statement -> command plan; None = not ours. */
   def parse(sql: String): Option[LogicalPlan] = sql match {
@@ -66,6 +68,8 @@ object GwMaintenance {
     case Detail(ref) => Some(GwDescribeDetailCommand(ref))
     case Restore(ref, v) => Some(GwRestoreCommand(ref, v.toLong))
     case Reorg(ref) => Some(GwReorgCommand(ref))
+    case Convert(path) =>
+      Some(GwConvertCommand(path.substring(1, path.length - 1)))
     case Clone(target, mode, source, v, loc) =>
       // Delta's contract: bare CLONE is deep; SHALLOW must be asked for
       Some(GwCloneCommand(target, source,
@@ -239,6 +243,18 @@ case class GwRestoreCommand(ref: String, version: Long) extends GwMaintenanceCom
     val v = graft.GwTable.forPath(spark, path).restore(version)
     Seq(Row(v, version))
   }
+}
+
+/** `CONVERT TO GWDELTA parquet.`<dir>``: in-place conversion of a plain
+  * parquet directory into a gwdelta table ([[graft.GwTable.convert]]) —
+  * one bootstrap commit pointing at the files where they lie. */
+case class GwConvertCommand(path: String) extends GwMaintenanceCommand {
+  override def ref: String = s"'$path'" // quoted form: never a foreign table
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(path, graft.GwTable.convert(spark, path)))
 }
 
 /** `CREATE TABLE t2 [SHALLOW|DEEP] CLONE t1 [VERSION AS OF n]

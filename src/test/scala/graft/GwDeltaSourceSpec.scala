@@ -722,4 +722,19 @@ class GwDeltaSourceSpec extends AnyFunSuite {
       .option("txnAppId", "a/b").option("txnVersion", "1").save(path))
       .contains("txnAppId"))
   }
+
+  test("CONVERT refuses hive-partitioned layouts and empty directories") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("convert")
+    val hive = tmp.resolve("hive").toString
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .write.partitionBy("n_regionkey").parquet(hive)
+    val e = intercept[IllegalArgumentException](GwTable.convert(spark, hive))
+    assert(e.getMessage.contains("hive-partitioned"))
+    val empty = tmp.resolve("empty")
+    java.nio.file.Files.createDirectory(empty)
+    val e2 = intercept[IllegalArgumentException](
+      GwTable.convert(spark, empty.toString))
+    assert(e2.getMessage.contains("no parquet files"))
+  }
 }
