@@ -604,6 +604,33 @@ object Pipelines {
   /** 4-hex-char threshold for a permille weight: bucket < threshold keeps
     * ~permille/1000 of uniform buckets ("zzzz" > every hex string = keep
     * all; "0000" keeps none under strict <). */
+  /**
+   * Temperature-flattened mixture sampling (t20) — the multilingual /
+   * source-balancing rule (sqrt scaling, temperature 2): per-source keep
+   * rates are computed FROM the data, `permille_s = round(1000 *
+   * sqrt(min_count / count_s))`, so the smallest source keeps everything
+   * and every larger source downsamples toward equal sqrt-mass — the
+   * standard compromise between natural and uniform source distributions
+   * for training mixtures. Selection reuses the deterministic md5-prefix
+   * bucket filter ([[mixtureSample]]).
+   *
+   * Scale: ONE count aggregation (a row per source reaches the driver —
+   * metadata scale) and one scan-side codegen filter; no row ever
+   * shuffles. Exactness: counts are integers, sqrt is correctly-rounded
+   * IEEE in any engine, and the rate collapses to an integer permille
+   * before thresholding — the whole pipeline replays in SQL.
+   */
+  def temperatureSample(df: DataFrame, group: Column, id: Column): DataFrame = {
+    val counts = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureSample: empty input")
+    val minN = counts.values.min
+    val permille = counts.map { case (g, n) =>
+      g -> math.round(1000.0 * math.sqrt(minN.toDouble / n)).toInt
+    }
+    mixtureSample(df, group, id, permille)
+  }
+
   private[graft] def hexThreshold(permille: Int): String = {
     require(permille >= 0 && permille <= 1000, s"permille out of range: $permille")
     if (permille >= 1000) "zzzz" else f"${permille * 65536 / 1000}%04x"

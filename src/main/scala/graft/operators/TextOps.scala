@@ -120,6 +120,16 @@ object TextOps {
       col("lang"), col("doc_id"), MixtureWeights)
       .select("doc_id", "lang", "bucket")
 
+  /** t20: temperature-flattened source mixture — keep rates derived from
+    * the data (sqrt scaling: the smallest source keeps everything), then
+    * the deterministic md5-bucket filter. Integer-permille rates + IEEE
+    * sqrt make the data-dependent rates replay exactly in SQL. */
+  def t20TemperatureSample(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.temperatureSample(
+      docs(spark, dir).select(col("doc_id"), col("lang")),
+      col("lang"), col("doc_id"))
+      .select("doc_id", "lang", "bucket")
+
   /** PII redaction (emails / IPv4 / phone numbers). The corpus itself is
     * clean, so the gate appends deterministic PII derived from `doc_id` —
     * the oracle builds the IDENTICAL text in SQL, so the redacted output
@@ -254,6 +264,7 @@ object TextOps {
     "t17_quality_classifier" -> t17QualityClassifier _,
     "t18_rare_words" -> t18RareWords _,
     "t19_lm_surprisal" -> t19LmSurprisal _,
+    "t20_temperature_sample" -> t20TemperatureSample _,
   )
 
   private def sqlList(lang: String): String =
@@ -415,6 +426,21 @@ object TextOps {
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(round(1000.0 * sum(bits) / count(*)) AS BIGINT) AS surprisal_milli
         |FROM sb GROUP BY doc_id""".stripMargin,
+    "t20_temperature_sample" ->
+      // identical data-dependent rates: integer counts -> correctly-rounded
+      // IEEE sqrt -> integer permille -> the t11 hex-threshold machinery
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |mn AS (SELECT min(n) AS mn FROM n),
+        |r AS (SELECT lang,
+        |  CAST(round(1000 * sqrt(CAST(mn AS DOUBLE) / n)) AS INT) AS pm
+        |  FROM n, mn),
+        |thr AS (SELECT lang,
+        |  CASE WHEN pm >= 1000 THEN 'zzzz'
+        |       ELSE printf('%04x', (pm * 65536) // 1000) END AS th FROM r)
+        |SELECT d.doc_id, d.lang,
+        |  substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS bucket
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.th""".stripMargin,
     "t09_heavy_hitters" ->
       // The verified-heavy-hitter contract is oracle-expressible exactly:
       // items with true frequency > n/(capacity+1), exact counts, top-5
