@@ -29,6 +29,12 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
   def timestampAsOf(ts: Long): DataFrame =
     versionAsOf(gwLog.versionAtTimestamp(ts))
 
+  /** Greatest version at or before `tsMillis` (the `TIMESTAMP AS OF` /
+    * `RESTORE TO TIMESTAMP AS OF` clock — in-commit timestamps when the
+    * table records them). */
+  def versionAtTimestamp(tsMillis: Long): Long =
+    gwLog.versionAtTimestamp(tsMillis)
+
   /** Incremental consumption: everything a downstream pipeline still has
     * to process after having consumed up to `sinceVersion`, computed by
     * walking the log's per-version actions (metadata only, no data read):
@@ -272,13 +278,23 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         "readers time-traveling or streaming within the window could lose " +
         "files mid-query. Set spark.graft.vacuum.retentionCheck=false to " +
         "force a short retention deliberately")
+    vacuumImpl(retentionMs, dryRun = false).size
+  }
+
+  /** `VACUUM ... DRY RUN`: the files a vacuum at `retentionMs` WOULD
+    * delete, without touching anything — preview an aggressive retention
+    * before committing to it, so the guard does not apply here. */
+  def vacuumDryRun(retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
+    vacuumImpl(retentionMs, dryRun = true)
+
+  private def vacuumImpl(retentionMs: Long, dryRun: Boolean): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ownedDirs = Seq("_compacted", "_stream", "_dml", "_dv", "_change_data",
         "_clone")
       .map(new Path(tablePath, _))
     val fs = ownedDirs.head.getFileSystem(conf)
     val presentDirs = ownedDirs.filter(fs.exists)
-    if (presentDirs.isEmpty) return 0
+    if (presentDirs.isEmpty) return Nil
     // ALL membership sets hold uriKeys: the log stores paths as written
     // (possibly scheme-less) while fs.listFiles returns fully-qualified
     // `file:/...` URIs — comparing raw strings would make every lookup
@@ -322,11 +338,12 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         case _ => ()
       }
     }
-    var deleted = 0
+    val affected = Seq.newBuilder[String]
     removedAt.foreach { case (p, removedTs) =>
       if (!live.contains(GwTable.uriKey(p)) && removedTs < cutoff) {
         val path = new Path(p)
-        if (fs.exists(path) && fs.delete(path, false)) deleted += 1
+        if (fs.exists(path) && (dryRun || fs.delete(path, false)))
+          affected += p
       }
     }
     // crash debris: data files in owned namespaces that no commit
@@ -347,11 +364,12 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
           (n.endsWith(".parquet") || n.endsWith(".bin"))
         if (st.isFile && isData && !referenced.contains(key) && !live.contains(key) &&
           st.getModificationTime < debrisCutoff) {
-          if (fs.delete(st.getPath, false)) deleted += 1
+          if (dryRun || fs.delete(st.getPath, false))
+            affected += st.getPath.toString
         }
       }
     }
-    deleted
+    affected.result()
   }
 
   /** Metadata retention: delete version JSONs below the newest checkpoint

@@ -1979,6 +1979,80 @@ object GwCore {
       .select("n_nationkey", "n_name", "n_regionkey")
   }
 
+  // ---------------------------------------------------------------- gw54
+  /** `VACUUM ... DRY RUN` (Delta parity): preview exactly what a vacuum
+    * would reclaim without touching anything — the guard does not apply
+    * (previewing an aggressive retention is the point). Pinned: the dry
+    * run lists the OPTIMIZE-superseded files, every listed file still
+    * exists afterwards, the real vacuum then deletes exactly that set,
+    * and a second dry run is empty. */
+  def gw54VacuumDryRun(spark: SparkSession, dir: String): DataFrame = {
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val tmp = Files.createTempDirectory("gw54")
+    val loc = tmp.resolve("db/region").toString
+    spark.read.parquet(s"$dir/region.parquet")
+      .createOrReplaceTempView("gw54_region_src")
+    spark.sql(s"CREATE TABLE gw.$ns.region (r_regionkey INT, r_name STRING) " +
+      s"USING gwdelta LOCATION '$loc'")
+    spark.sql(s"INSERT INTO gw.$ns.region SELECT * FROM gw54_region_src")
+    spark.sql(s"INSERT INTO gw.$ns.region SELECT * FROM gw54_region_src")
+    spark.sql(s"OPTIMIZE gw.$ns.region").collect()
+    val preview = spark.sql(s"VACUUM gw.$ns.region RETAIN 0 HOURS DRY RUN")
+      .collect().map(_.getString(0))
+    require(preview.length >= 2,
+      s"dry run must list the superseded insert files, got ${preview.toSeq}")
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(preview.forall(p => new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(conf).exists(new org.apache.hadoop.fs.Path(p))),
+      "DRY RUN must not delete anything")
+    val real = GwTable.withRetentionCheckDisabled(spark)(
+      spark.sql(s"VACUUM gw.$ns.region RETAIN 0 HOURS").collect())
+    require(real.head.getInt(1) == preview.length,
+      s"the real vacuum must delete exactly the previewed set: " +
+        s"${real.head.getInt(1)} vs ${preview.length}")
+    require(spark.sql(s"VACUUM gw.$ns.region RETAIN 0 HOURS DRY RUN")
+      .collect().isEmpty, "a second dry run must be empty")
+    spark.sql(s"SELECT r_regionkey, r_name FROM gw.$ns.region")
+  }
+
+  // ---------------------------------------------------------------- gw55
+  /** `RESTORE ... TO TIMESTAMP AS OF` (Delta parity): the restore target
+    * resolves on the same clock as `TIMESTAMP AS OF` reads — greatest
+    * version at or before the timestamp, taken here from DESCRIBE
+    * HISTORY's own rendering of the pre-delete commit. The delete is
+    * undone; the deleted era stays time-travelable. */
+  def gw55RestoreTimestamp(spark: SparkSession, dir: String): DataFrame = {
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val tmp = Files.createTempDirectory("gw55")
+    val loc = tmp.resolve("db/nation").toString
+    spark.read.parquet(s"$dir/nation.parquet")
+      .createOrReplaceTempView("gw55_nation_src")
+    spark.sql(s"CREATE TABLE gw.$ns.nation (n_nationkey INT, n_name STRING, " +
+      s"n_regionkey INT) USING gwdelta LOCATION '$loc'")
+    spark.sql(s"INSERT INTO gw.$ns.nation SELECT * FROM gw55_nation_src")
+    val full = spark.table(s"gw.$ns.nation").count()
+    // the delete must land on a LATER millisecond than the insert
+    Thread.sleep(15)
+    spark.sql(s"DELETE FROM gw.$ns.nation WHERE n_nationkey >= 10")
+    require(spark.table(s"gw.$ns.nation").count() < full)
+    // v0 = the bootstrap insert; its history timestamp (millis), rendered
+    // and re-parsed through the same local clock, round-trips exactly
+    val insertMs = spark.sql(s"DESCRIBE HISTORY gw.$ns.nation").collect()
+      .filter(_.getLong(0) == 0L).map(_.getLong(1)).head
+    val tsLit = new java.sql.Timestamp(insertMs).toString
+    val res = spark.sql(s"RESTORE TABLE gw.$ns.nation " +
+      s"TO TIMESTAMP AS OF '$tsLit'").collect()
+    require(res.length == 1 && res.head.getLong(1) == 0L,
+      s"timestamp must resolve to the insert version, got ${res.toSeq}")
+    require(spark.table(s"gw.$ns.nation").count() == full,
+      "the delete must be undone")
+    spark.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM gw.$ns.nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -2033,6 +2107,8 @@ object GwCore {
     "gw51_replace_where" -> gw51ReplaceWhere _,
     "gw52_row_tracking" -> gw52RowTracking _,
     "gw53_convert" -> gw53Convert _,
+    "gw54_vacuum_dry_run" -> gw54VacuumDryRun _,
+    "gw55_restore_timestamp" -> gw55RestoreTimestamp _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2325,5 +2401,15 @@ object GwCore {
     // the converted table after the post-conversion DELETE of keys >= 20
     "gw53_convert" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 20",
+    // content is untouched by the vacuum lifecycle (two region copies,
+    // compacted then reclaimed)
+    "gw54_vacuum_dry_run" ->
+      """SELECT CAST(r_regionkey AS INT) AS r_regionkey, r_name FROM region
+        |UNION ALL
+        |SELECT CAST(r_regionkey AS INT), r_name FROM region""".stripMargin,
+    // the timestamp restore undoes the DELETE: back to the full insert
+    "gw55_restore_timestamp" ->
+      """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+        | CAST(n_regionkey AS INT) AS n_regionkey FROM nation""".stripMargin,
   )
 }

@@ -15,11 +15,15 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringTyp
  * (everything else falls through to Spark's own):
  *
  * {{{
- *   OPTIMIZE <table> [ZORDER BY (col [, ...])]
- *   VACUUM <table> [RETAIN <n> HOURS]
+ *   OPTIMIZE <table> [WHERE <pred>] [ZORDER BY (col [, ...])]
+ *   VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]
  *   DESCRIBE HISTORY <table>
  *   DESCRIBE DETAIL <table>
  *   RESTORE [TABLE] <table> TO VERSION AS OF <n>
+ *   RESTORE [TABLE] <table> TO TIMESTAMP AS OF '<ts>'
+ *   CREATE TABLE <t2> [SHALLOW|DEEP] CLONE <t1> [VERSION AS OF <n>] [LOCATION '<p>']
+ *   REORG TABLE <table> APPLY (PURGE)
+ *   CONVERT TO GWDELTA parquet.`<dir>`
  * }}}
  *
  * `<table>` is a catalog identifier (`gw.ns.t`) or a quoted path
@@ -36,7 +40,7 @@ object GwMaintenance {
       """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val Vacuum =
     ("""(?is)^\s*VACUUM\s+""" + TableRef +
-      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?\s*;?\s*$""").r
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(?:\s+(DRY\s+RUN))?\s*;?\s*$""").r
   private val History =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + TableRef + """\s*;?\s*$""").r
   private val Detail =
@@ -44,6 +48,9 @@ object GwMaintenance {
   private val Restore =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + TableRef +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val RestoreTs =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + TableRef +
+      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""").r
   private val Clone =
     ("""(?is)^\s*CREATE\s+TABLE\s+""" + TableRef +
       """\s+(?:(SHALLOW|DEEP)\s+)?CLONE\s+""" +
@@ -62,11 +69,12 @@ object GwMaintenance {
         .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty)
       Some(GwOptimizeCommand(ref, cols, Option(where).map(_.trim)))
-    case Vacuum(ref, hours) =>
-      Some(GwVacuumCommand(ref, Option(hours).map(_.toLong)))
+    case Vacuum(ref, hours, dry) =>
+      Some(GwVacuumCommand(ref, Option(hours).map(_.toLong), dry != null))
     case History(ref) => Some(GwDescribeHistoryCommand(ref))
     case Detail(ref) => Some(GwDescribeDetailCommand(ref))
     case Restore(ref, v) => Some(GwRestoreCommand(ref, v.toLong))
+    case RestoreTs(ref, ts) => Some(GwRestoreTimestampCommand(ref, ts))
     case Reorg(ref) => Some(GwReorgCommand(ref))
     case Convert(path) =>
       Some(GwConvertCommand(path.substring(1, path.length - 1)))
@@ -175,19 +183,43 @@ case class GwReorgCommand(ref: String) extends GwMaintenanceCommand {
   }
 }
 
-case class GwVacuumCommand(ref: String, retainHours: Option[Long])
-  extends GwMaintenanceCommand {
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("path", StringType, nullable = false)(),
-    AttributeReference("deleted_files", IntegerType, nullable = false)())
+case class GwVacuumCommand(ref: String, retainHours: Option[Long],
+    dryRun: Boolean = false) extends GwMaintenanceCommand {
+  override val output: Seq[Attribute] =
+    if (dryRun) Seq(AttributeReference("path", StringType, nullable = false)())
+    else Seq(
+      AttributeReference("path", StringType, nullable = false)(),
+      AttributeReference("deleted_files", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GwMaintenance.resolvePath(spark, ref)
     val table = graft.GwTable.forPath(spark, path)
-    val deleted = retainHours match {
-      case Some(h) => table.vacuum(retentionMs = h * 3600L * 1000L)
-      case None => table.vacuum()
+    val retention = retainHours.map(_ * 3600L * 1000L)
+    if (dryRun)
+      // Delta's DRY RUN shape: one row per file that WOULD be deleted
+      retention.map(table.vacuumDryRun).getOrElse(table.vacuumDryRun())
+        .sorted.map(Row(_))
+    else {
+      val deleted = retention.map(table.vacuum).getOrElse(table.vacuum())
+      Seq(Row(path, deleted))
     }
-    Seq(Row(path, deleted))
+  }
+}
+
+/** `RESTORE TABLE t TO TIMESTAMP AS OF '<ts>'`: resolves the greatest
+  * version at or before the timestamp (same clock as `TIMESTAMP AS OF`
+  * reads — in-commit timestamps when the table records them) and
+  * restores to it. */
+case class GwRestoreTimestampCommand(ref: String, ts: String)
+  extends GwMaintenanceCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("restored_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GwMaintenance.resolvePath(spark, ref)
+    val millis = java.sql.Timestamp.valueOf(ts).getTime
+    val table = graft.GwTable.forPath(spark, path)
+    val target = table.versionAtTimestamp(millis)
+    Seq(Row(table.restore(target), target))
   }
 }
 
