@@ -268,4 +268,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"corpus shuffled against <=capacity candidates:\n$p")
   }
+
+  test("s11 BM25 broadcasts query terms into posting lists; heap ranking, no cartesian") {
+    val p = plan(Similarity.s11Bm25TopK(spark, sf))
+    // query-term set and df table broadcast onto the tf posting lists
+    assert(p.contains("BroadcastHashJoin"), s"query terms not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in BM25:\n$p")
+    // ranking goes through the bounded-heap aggregate, not a global window
+    // over the scored candidates
+    assert(p.contains("topk_agg"), s"ranking not on the bounded heap:\n$p")
+    assert(!p.contains("Window"), s"window over scored candidates:\n$p")
+  }
+
+  test("s12 RRF fusion is integer arithmetic on top-k lists, heap-ranked") {
+    val p = plan(Similarity.s12HybridRrf(spark, sf))
+    assert(p.contains("topk_agg"), s"fusion ranking not on the heap:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in fusion:\n$p")
+  }
+
+  test("t20 temperature sampling is a pure scan-side filter after the count agg") {
+    val p = plan(graft.operators.TextOps.t20TemperatureSample(spark, sf))
+    // the SAMPLING query itself (rates already folded to literals) must be
+    // a scan-side filter: no exchange, no join, no aggregate
+    assert(!p.contains("Exchange"), s"sampling shuffled:\n$p")
+    assert(!p.contains("Join"), s"sampling joined:\n$p")
+  }
 }
