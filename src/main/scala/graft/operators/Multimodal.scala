@@ -239,6 +239,45 @@ object Multimodal {
     }
   }
 
+  /** 64-bit block-mean perceptual hash (see [[m06PerceptualHash]]):
+    * pure integer block/total mean comparison, bit (bj*8+bi) per grid
+    * cell. Extension of [[PngDecoder]], kept beside the other raster
+    * passes. */
+  implicit final class PngHashOps(private val d: PngDecoder) {
+    def blockMeanHash(payload: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val blockSum = new Array[Long](64)
+      val blockN = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        val bj = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          val slot = bj * 8 + x * 8 / w
+          blockSum(slot) += gray
+          blockN(slot) += 1
+          total += gray
+          x += 1
+        }
+        y += 1
+      }
+      val nTotal = w.toLong * h
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (blockSum(i) * nTotal > total * blockN(i)) bits |= 1L << i
+        i += 1
+      }
+      bits
+    }
+  }
+
   /** Real audio codec: JDK `javax.sound.sampled` WAV decode (memory-only).
     * Returns (sampleRate, nSamples, energy = sum of squared samples). */
   final class WavDecoder {
@@ -261,6 +300,33 @@ object Multimodal {
         (fmt.getSampleRate.toLong, n.toLong, energy)
       } finally in.close()
     }
+  }
+
+  // ---------------------------------------------------------------- m06
+  /** Real image PERCEPTUAL HASH via mapPartitions: decode the stored PNG
+    * and compute a 64-bit block-mean hash (aHash family) — the raster
+    * partitions into an 8x8 grid of rectangular blocks (integer bounds:
+    * pixel x lands in block x*8/w), and bit (bj*8+bi) is set iff the
+    * block's mean gray exceeds the image mean. Means compare by integer
+    * CROSS-MULTIPLICATION (block_sum * n_total > total_sum * n_block), so
+    * the whole hash is exact integer arithmetic and replays in SQL.
+    * Near-identical images land within a few Hamming bits — the image
+    * near-dedup key, the visual sibling of d03's SimHash. One decoder per
+    * partition; only (id, hash, popcount) ever leaves the executor. */
+  def m06PerceptualHash(spark: SparkSession, dir: String): DataFrame = {
+    val input = pngPayloads(docs(spark, dir))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false),
+      StructField("n_bright", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    input.mapPartitions { rows =>
+      val decoder = new PngDecoder
+      rows.map { r =>
+        val bits = decoder.blockMeanHash(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), bits, java.lang.Long.bitCount(bits).toLong)
+      }
+    }(encoder)
   }
 
   // ---------------------------------------------------------------- m05
@@ -296,9 +362,38 @@ object Multimodal {
     "m03_decode" -> m03Decode _,
     "m04_audio_decode" -> m04AudioDecode _,
     "m05_image_resize" -> m05ImageResize _,
+    "m06_perceptual_hash" -> m06PerceptualHash _,
   )
 
   val oracles: Map[String, String] = Map(
+    // replays the pixel formula -> per-block gray sums -> cross-multiplied
+    // mean comparison -> packed bits (bit 63 via the min-long literal:
+    // DuckDB's << raises on 1<<63)
+    "m06_perceptual_hash" ->
+      """WITH d AS (
+        | SELECT doc_id, n_chars % 40 + 8 AS w, doc_id % 24 + 8 AS h
+        | FROM documents),
+        |px AS (
+        | SELECT d.doc_id,
+        |  (x.x*31 + y.y*17 + d.doc_id*7) % 256
+        |    + (x.x*31 + y.y*17 + d.doc_id*7 + 11) % 256
+        |    + (x.x*31 + y.y*17 + d.doc_id*7 + 22) % 256 AS gray,
+        |  (y.y * 8) // d.h * 8 + (x.x * 8) // d.w AS slot
+        | FROM d
+        | JOIN (SELECT unnest(generate_series(0, 46)) AS x) x ON x.x < d.w
+        | JOIN (SELECT unnest(generate_series(0, 30)) AS y) y ON y.y < d.h),
+        |blk AS (
+        | SELECT doc_id, slot, sum(gray) AS bs, count(*) AS bn
+        | FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(gray) AS ts, count(*) AS tn FROM px GROUP BY 1)
+        |SELECT b.doc_id,
+        | CAST(sum(CASE
+        |   WHEN b.bs * t.tn <= t.ts * b.bn THEN 0
+        |   WHEN b.slot = 63 THEN -9223372036854775807 - 1
+        |   ELSE 1::BIGINT << CAST(b.slot AS INT) END) AS BIGINT) AS ahash,
+        | CAST(sum(CASE WHEN b.bs * t.tn > t.ts * b.bn THEN 1 ELSE 0 END) AS BIGINT) AS n_bright
+        |FROM blk b JOIN tot t USING (doc_id)
+        |GROUP BY 1""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id,
         | CAST(strlen(text) AS BIGINT) AS n_bytes,

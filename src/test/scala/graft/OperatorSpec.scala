@@ -587,6 +587,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(fix.forall { case (q, n) => q != n })
   }
 
+  test("m06 block-mean hash: robust to a tiny perturbation, far for different images") {
+    import graft.operators.Multimodal.{PngCodec, PngDecoder, PngHashOps}
+    val d = new PngDecoder
+    def hash(bytes: Array[Byte]): Long = d.blockMeanHash(bytes)
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = hash(PngCodec.encode(7L, 123L))
+    // perturb ONE pixel's blue channel by +1 and re-encode
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(PngCodec.encode(7L, 123L)))
+    img.setRGB(3, 3, img.getRGB(3, 3) + 1)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val perturbed = hash(bos.toByteArray)
+    assert(hamming(base, perturbed) <= 2,
+      s"one-pixel perturbation moved ${hamming(base, perturbed)} bits")
+    // structurally different images land far apart
+    val others = (1L to 20L).filterNot(_ == 7L)
+      .map(id => hamming(base, hash(PngCodec.encode(id, 123L + id))))
+    assert(others.count(_ >= 8) >= 15,
+      s"different images should be hamming-far, got $others")
+  }
+
   test("s12 RRF fusion: exact integer nano-reciprocal arithmetic on synthetic lists") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
