@@ -30,6 +30,47 @@ class GwLog(val tablePath: Path, conf: Configuration,
   def checkpointPathFor(version: Long): Path =
     new Path(logDir, f"$version%020d.checkpoint.parquet")
 
+  /** Delta multi-part checkpoint naming: part `part` of `numParts`
+    * (1-based), `<v>.checkpoint.<part>.<numParts>.parquet`. */
+  def checkpointPartPathFor(version: Long, part: Int, numParts: Int): Path =
+    new Path(logDir, f"$version%020d.checkpoint.$part%010d.$numParts%010d.parquet")
+
+  /** The checkpoint's parquet files at `version`, in part order — the
+    * single-file form, or a COMPLETE multi-part set (all `numParts`
+    * present); an incomplete set (crash mid-write) yields Nil, so readers
+    * treat the checkpoint as absent and replay JSON — a torn multi-part
+    * checkpoint can never serve a partial snapshot. */
+  private[graft] def checkpointFilesFor(version: Long): Seq[Path] = {
+    val single = checkpointPathFor(version)
+    if (fs.exists(single)) return Seq(single)
+    val parts = checkpointPartArtifacts(version)
+    parts.headOption.map(_._2) match {
+      case Some(n) if parts.size == n &&
+          parts.map(_._1).sorted == (1 to n).toSeq &&
+          parts.forall(_._2 == n) =>
+        parts.sortBy(_._1).map(_._3)
+      case _ => Nil
+    }
+  }
+
+  /** Every on-disk part artifact of `version` (complete or not):
+    * (part, numParts, path). */
+  private def checkpointPartArtifacts(version: Long): Seq[(Int, Int, Path)] = {
+    val f = fs
+    if (!f.exists(logDir)) return Nil
+    val prefix = f"$version%020d.checkpoint."
+    f.listStatus(logDir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix) && p.getName.endsWith(".parquet"))
+      .flatMap { p =>
+        p.getName.stripPrefix(prefix).stripSuffix(".parquet").split("\\.") match {
+          case Array(pt, n) if pt.nonEmpty && pt.forall(_.isDigit) &&
+              n.nonEmpty && n.forall(_.isDigit) =>
+            Some((pt.toInt, n.toInt, p))
+          case _ => None
+        }
+      }
+  }
+
   private def lastCheckpointPath: Path = new Path(logDir, "_last_checkpoint")
 
   /** Sorted list of committed versions; empty when the table has no log. */
@@ -250,10 +291,29 @@ class GwLog(val tablePath: Path, conf: Configuration,
         snap.transactions.toSeq.map { case (app, v) => SetTransaction(app, v) } ++
         snap.files ++
         snap.tombstones.filter(_.deletionTimestamp >= tombstoneFloor)
-    Checkpoint.write(checkpointPathFor(version), conf, actions)
+    // Delta multi-part checkpoints: above `graft.checkpoint.partSize`
+    // actions the snapshot splits across N part files (sequential slices,
+    // so concatenating parts in order reproduces the action sequence) —
+    // at 100 TB a snapshot of millions of AddFiles cannot be one parquet
+    // file's write, nor one reader's sequential scan. Parts land before
+    // `_last_checkpoint`; readers only accept a COMPLETE set.
+    val partSize = conf.getInt("graft.checkpoint.partSize", Int.MaxValue)
+    val numParts =
+      math.max(1, math.ceil(actions.size.toDouble / partSize).toInt)
+    val partsField =
+      if (numParts == 1) {
+        Checkpoint.write(checkpointPathFor(version), conf, actions)
+        ""
+      } else {
+        actions.grouped(partSize).zipWithIndex.foreach { case (slice, i) =>
+          Checkpoint.write(
+            checkpointPartPathFor(version, i + 1, numParts), conf, slice)
+        }
+        s""","parts":$numParts"""
+      }
     val out = fs.create(lastCheckpointPath, /* overwrite = */ true)
     try out.write(
-      s"""{"version":$version,"size":${actions.size}}"""
+      s"""{"version":$version,"size":${actions.size}$partsField}"""
         .getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -263,14 +323,22 @@ class GwLog(val tablePath: Path, conf: Configuration,
   def listCheckpoints(): Seq[Long] = {
     val f = fs
     if (!f.exists(logDir)) Nil
-    else
-      f.listStatus(logDir).toSeq
-        .map(_.getPath.getName)
+    else {
+      val names = f.listStatus(logDir).toSeq.map(_.getPath.getName)
+      val single = names
         .filter(_.endsWith(".checkpoint.parquet"))
         .map(_.stripSuffix(".checkpoint.parquet"))
         .filter(_.forall(_.isDigit))
         .map(_.toLong)
-        .sorted
+      // multi-part candidates count only when the set is COMPLETE
+      val multi = names
+        .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet") &&
+          !n.endsWith(".checkpoint.parquet"))
+        .map(_.takeWhile(_.isDigit))
+        .filter(_.nonEmpty).map(_.toLong).distinct
+        .filter(v => checkpointFilesFor(v).nonEmpty)
+      (single ++ multi).distinct.sorted
+    }
   }
 
   /**
@@ -412,7 +480,9 @@ class GwLog(val tablePath: Path, conf: Configuration,
         // a torn/corrupt checkpoint (crash mid-write) must never brick the
         // table — the version JSONs are always sufficient on their own
         try {
-          val base = Checkpoint.read(checkpointPathFor(cp), conf)
+          val base = checkpointFilesFor(cp)
+            .flatMap(p => Checkpoint.read(p, conf))
+          require(base.nonEmpty, s"checkpoint $cp vanished mid-read")
           val tail = versions.filter(v => v > cp && v <= upTo)
           Snapshot.replay(upTo, base +: tail.map(v => readVersion(v)))
         } catch { case scala.util.control.NonFatal(_) => fullReplay() }
@@ -458,11 +528,17 @@ class GwLog(val tablePath: Path, conf: Configuration,
       if (f.getFileStatus(p).getModificationTime < cutoff && f.delete(p, false))
         deleted += 1
     }
-    cps.filter(_ < newestCp).foreach { v =>
-      val p = checkpointPathFor(v)
-      if (f.exists(p) && f.getFileStatus(p).getModificationTime < cutoff &&
-        f.delete(p, false)) deleted += 1
-    }
+    // every superseded checkpoint ARTIFACT below the newest complete one:
+    // single-file forms, multi-part files, and incomplete crash leftovers
+    // (which listCheckpoints deliberately does not report)
+    f.listStatus(logDir).toSeq.map(_.getPath)
+      .filter(p => p.getName.contains(".checkpoint.") &&
+        p.getName.endsWith(".parquet"))
+      .filter(_.getName.takeWhile(_.isDigit).toLong < newestCp)
+      .foreach { p =>
+        if (f.getFileStatus(p).getModificationTime < cutoff &&
+          f.delete(p, false)) deleted += 1
+      }
     deleted
   }
 

@@ -2053,6 +2053,48 @@ object GwCore {
     spark.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM gw.$ns.nation")
   }
 
+  // ---------------------------------------------------------------- gw56
+  /** Multi-part checkpoints (Delta `<v>.checkpoint.<part>.<N>.parquet`):
+    * above `graft.checkpoint.partSize` actions the snapshot splits across
+    * N part files — at 100 TB a checkpoint of millions of AddFiles cannot
+    * be one parquet file. Pinned E2E: the interval checkpoint lands as a
+    * complete part set (no single-file form), `_last_checkpoint` carries
+    * `parts`, the checkpoint-resumed snapshot serves the full content,
+    * and a TORN set (one part deleted — a crash mid-write) is treated as
+    * ABSENT: reads fall back to JSON replay with identical results,
+    * never a partial snapshot. */
+  def gw56MultipartCheckpoint(spark: SparkSession, dir: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt("graft.checkpoint.partSize", 5)
+    try {
+      val tmp = Files.createTempDirectory("gw56")
+      val loc = tmp.resolve("db/region").toString
+      val region = spark.read.parquet(s"$dir/region.parquet").coalesce(1)
+      for (_ <- 0 to 10) // v0..v10; v10 hits the checkpoint interval
+        region.write.format("gwdelta").mode("append").save(loc)
+      val log = graft.log.GwLog.forTable(hconf, loc)
+      require(log.listCheckpoints() == Seq(10L),
+        s"expected the v10 checkpoint, got ${log.listCheckpoints()}")
+      // 2 metadata actions + 11 adds = 13 actions at partSize 5 -> 3 parts
+      val fs = new org.apache.hadoop.fs.Path(loc).getFileSystem(hconf)
+      val parts = (1 to 3).map(p => log.checkpointPartPathFor(10L, p, 3))
+      require(parts.forall(fs.exists), "expected a complete 3-part set")
+      require(!fs.exists(log.checkpointPathFor(10L)),
+        "no single-file form for a multi-part checkpoint")
+      val expect = 11L * region.count()
+      require(spark.read.format("gwdelta").load(loc).count() == expect,
+        "checkpoint-resumed snapshot must serve the full content")
+      // torn set: reads must fall back to JSON replay, identical results
+      fs.delete(parts(1), false)
+      require(graft.log.GwLog.forTable(hconf, loc).listCheckpoints().isEmpty,
+        "a torn part set must not count as a checkpoint")
+      require(spark.read.format("gwdelta").load(loc).count() == expect,
+        "JSON replay must serve identical content past the torn checkpoint")
+      spark.read.format("gwdelta").load(loc)
+        .select("r_regionkey", "r_name")
+    } finally hconf.unset("graft.checkpoint.partSize")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -2109,6 +2151,7 @@ object GwCore {
     "gw53_convert" -> gw53Convert _,
     "gw54_vacuum_dry_run" -> gw54VacuumDryRun _,
     "gw55_restore_timestamp" -> gw55RestoreTimestamp _,
+    "gw56_multipart_checkpoint" -> gw56MultipartCheckpoint _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2411,5 +2454,9 @@ object GwCore {
     "gw55_restore_timestamp" ->
       """SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
         | CAST(n_regionkey AS INT) AS n_regionkey FROM nation""".stripMargin,
+    // eleven appended copies of region, served through the part set
+    "gw56_multipart_checkpoint" ->
+      """SELECT r_regionkey, r_name
+        |FROM region, (SELECT unnest(generate_series(1, 11)))""".stripMargin,
   )
 }

@@ -258,6 +258,52 @@ class LogSpec extends AnyFunSuite {
       s"expected the reconstruction-floor guard, got: ${guard.getMessage}")
   }
 
+  test("multi-part checkpoints: complete sets serve, torn sets fall back, cleanup sweeps parts") {
+    val conf = new Configuration()
+    conf.setInt("graft.checkpoint.partSize", 4)
+    val dir = Files.createTempDirectory("gwlog-multicp").toString
+    val log = new GwLog(new org.apache.hadoop.fs.Path(dir), conf)
+    log.commit(Seq(Protocol(),
+      Metadata("id0", new StructType().add("a", "long").json, createdTime = 1L),
+      AddFile("f0.parquet", 1, 1),
+      CommitInfo(1L, "WRITE", "Overwrite", 1, 1, isBlindAppend = false, "t0")))
+    for (i <- 1 to 10)
+      log.commit(Seq(AddFile(s"f$i.parquet", 1, 1),
+        CommitInfo(i, "WRITE", "Append", 1, 1, isBlindAppend = true, s"t$i")))
+    // v10 checkpoint: 2 + 11 adds = 13 actions at partSize 4 -> 4 parts
+    assert(log.listCheckpoints() == Seq(10L))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val parts = (1 to 4).map(p => log.checkpointPartPathFor(10L, p, 4))
+    assert(parts.forall(fs.exists), "all four parts must land")
+    assert(!fs.exists(log.checkpointPathFor(10L)),
+      "no single-file form for a multi-part checkpoint")
+    val lc = new String(fs.open(
+      new org.apache.hadoop.fs.Path(dir, "_delta_log/_last_checkpoint"))
+      .readAllBytes())
+    assert(lc.contains("\"parts\":4"), lc)
+    // the checkpoint-resumed snapshot equals a pure JSON replay
+    val replay = Snapshot.replay(10L,
+      log.listVersions().map(v => log.readVersion(v)))
+    val viaCp = log.snapshot(None)
+    assert(viaCp.files.toSet == replay.files.toSet &&
+      viaCp.metadata == replay.metadata)
+    // torn set (crash mid-write): the checkpoint is treated as ABSENT —
+    // never a partial snapshot — and JSON replay still serves
+    fs.delete(parts(2), false)
+    assert(log.listCheckpoints().isEmpty)
+    assert(log.snapshot(None).files.map(_.path).toSet ==
+      replay.files.map(_.path).toSet)
+    // the next interval re-checkpoints (complete); cleanup sweeps every
+    // leftover part of the torn v10 set
+    for (i <- 11 to 20)
+      log.commit(Seq(AddFile(s"f$i.parquet", 1, 1),
+        CommitInfo(i, "WRITE", "Append", 1, 1, isBlindAppend = true, s"t$i")))
+    assert(log.listCheckpoints() == Seq(20L))
+    assert(log.cleanupExpiredLogs(0L) > 0)
+    assert(!parts.exists(fs.exists), "torn v10 leftovers must be swept")
+    assert(log.snapshot(None).files.size == 21)
+  }
+
   test("checkpoint carries txn marks + unexpired tombstones; snapshot resumes them") {
     val conf = new Configuration()
     val dir = Files.createTempDirectory("gwlog-txncp").toString
