@@ -988,15 +988,32 @@ object Pipelines {
     // of a 64-column sum(when(...)) bank — same votes, constant state
     val sims = wordCounts.groupBy("__id")
       .agg(graft.functions.SimHashAgg(col("h"), col("cnt")).as("simhash"))
+    hammingNearDupPairs(sims, col("__id"), col("simhash"), maxHamming)
+  }
 
-    // pigeonhole banding over 16-bit chunks
-    val chunks = sims.select(col("__id"), col("simhash"), posexplode(
+  /**
+   * Near-dup pairs among 64-bit codes by Hamming distance — the shared
+   * candidate machinery behind SimHash text dedup (d03) and perceptual-
+   * hash image dedup (m07): pigeonhole banding over 16-bit chunks (a pair
+   * within Hamming distance 3 must agree on at least one of the 4 chunks),
+   * an equi self-join on (chunk, value) — never all-pairs — and an exact
+   * `bit_count(xor)` verify. At `maxHamming <= 3` the pigeonhole makes
+   * recall COMPLETE; above it (d03 runs at 6) banding is the standard
+   * best-effort candidate generator — precision stays exact either way
+   * (the verify), and the gates' oracles replay the same bands, so the
+   * reported set is deterministic regardless.
+   */
+  def hammingNearDupPairs(codes: DataFrame, id: Column, bits: Column,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0, s"negative maxHamming: $maxHamming")
+    val base = codes.select(id.as("__hid"), bits.as("__hbits"))
+    val chunks = base.select(col("__hid"), col("__hbits"), posexplode(
       array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+        shiftright(col("__hbits"), c * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
-    chunks.select(col("chunk"), col("chunk_val"), col("__id").as("doc_a"), col("simhash").as("sim_a"))
-      .join(chunks.select(col("chunk"), col("chunk_val"), col("__id").as("doc_b"), col("simhash").as("sim_b")),
+    chunks.select(col("chunk"), col("chunk_val"), col("__hid").as("doc_a"), col("__hbits").as("sim_a"))
+      .join(chunks.select(col("chunk"), col("chunk_val"), col("__hid").as("doc_b"), col("__hbits").as("sim_b")),
         Seq("chunk", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),

@@ -98,7 +98,9 @@ object Multimodal {
       ((nChars % 40 + 8).toInt, (docId % 24 + 8).toInt)
     def pixel(docId: Long, x: Int, y: Int, c: Int): Int =
       ((x * 31L + y * 17L + docId * 7L + c * 11L) % 256L).toInt
-    def encode(docId: Long, nChars: Long): Array[Byte] = {
+    /** `perturb` bumps ONE pixel's blue channel (wrap-safe) — the
+      * near-duplicate variant the perceptual-hash dedup (m07) must catch. */
+    def encode(docId: Long, nChars: Long, perturb: Boolean = false): Array[Byte] = {
       val (w, h) = dims(docId, nChars)
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -106,10 +108,13 @@ object Multimodal {
       while (y < h) {
         var x = 0
         while (x < w) {
+          val blue =
+            if (perturb && x == 3 && y == 3) (pixel(docId, x, y, 2) + 1) % 256
+            else pixel(docId, x, y, 2)
           img.setRGB(x, y,
             (pixel(docId, x, y, 0) << 16) |
               (pixel(docId, x, y, 1) << 8) |
-              pixel(docId, x, y, 2))
+              blue)
           x += 1
         }
         y += 1
@@ -329,6 +334,49 @@ object Multimodal {
     }(encoder)
   }
 
+  // ---------------------------------------------------------------- m07
+  /** Image near-dup pairs — the dedup machinery crossing into the image
+    * modality: every fifth document gets a near-duplicate variant (same
+    * image, one pixel's blue bumped), all members hash through the real
+    * decode ([[m06PerceptualHash]]'s block-mean hash), and pairs emerge
+    * from the SHARED Hamming pigeonhole ([[Pipelines.hammingNearDupPairs]]
+    * — the same banded self-join SimHash text dedup uses, never
+    * all-pairs). Every perturbed variant must pair with its original
+    * within 2 bits (pinned in-gate); the oracle replays the perturbed
+    * pixel formula, both hashes, the banding and the verify in SQL. */
+  def m07ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("member_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val members = docs(spark, dir)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (id, n) = (r.getLong(0), r.getLong(1))
+          val orig = Row(id, PngCodec.encode(id, n))
+          if (id % 5 == 0)
+            Iterator(orig, Row(id + 10000L, PngCodec.encode(id, n, perturb = true)))
+          else Iterator(orig)
+        }
+      }(enc)
+    val hashSchema = StructType(Seq(
+      StructField("member_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val hashEnc = org.apache.spark.sql.Encoders.row(hashSchema)
+    val hashes = members.mapPartitions { rows =>
+      val decoder = new PngDecoder
+      rows.map(r => Row(r.getLong(0),
+        decoder.blockMeanHash(r.getAs[Array[Byte]](1))))
+    }(hashEnc)
+    val pairs = graft.api.Pipelines.hammingNearDupPairs(
+      hashes, col("member_id"), col("ahash"), maxHamming = 2)
+    val found = pairs.filter(col("doc_b") === col("doc_a") + 10000L).count()
+    require(found == docs(spark, dir).filter(col("doc_id") % 5 === 0).count(),
+      s"every perturbed variant must pair with its original, found $found")
+    pairs
+  }
+
   // ---------------------------------------------------------------- m05
   /** Real image RESIZE via mapPartitions: decode the stored PNG (m03's
     * codec) and 2x2 box-downsample the raster with an explicit integer
@@ -363,6 +411,7 @@ object Multimodal {
     "m04_audio_decode" -> m04AudioDecode _,
     "m05_image_resize" -> m05ImageResize _,
     "m06_perceptual_hash" -> m06PerceptualHash _,
+    "m07_image_neardup" -> m07ImageNearDup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -394,6 +443,44 @@ object Multimodal {
         | CAST(sum(CASE WHEN b.bs * t.tn > t.ts * b.bn THEN 1 ELSE 0 END) AS BIGINT) AS n_bright
         |FROM blk b JOIN tot t USING (doc_id)
         |GROUP BY 1""".stripMargin,
+    // full SQL replay: members (originals + every-fifth perturbed variant),
+    // the perturbed pixel's blue bump, both block-mean hashes, the 16-bit
+    // pigeonhole bands, and the exact bit_count(xor) verify
+    "m07_image_neardup" ->
+      """WITH mem AS (
+        | SELECT doc_id AS mid, doc_id AS sid, 0 AS pert,
+        |  n_chars % 40 + 8 AS w, doc_id % 24 + 8 AS h FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000, doc_id, 1,
+        |  n_chars % 40 + 8, doc_id % 24 + 8 FROM documents WHERE doc_id % 5 = 0),
+        |px AS (
+        | SELECT m.mid,
+        |  (x.x*31 + y.y*17 + m.sid*7) % 256
+        |   + (x.x*31 + y.y*17 + m.sid*7 + 11) % 256
+        |   + CASE WHEN m.pert = 1 AND x.x = 3 AND y.y = 3
+        |      THEN ((x.x*31 + y.y*17 + m.sid*7 + 22) % 256 + 1) % 256
+        |      ELSE (x.x*31 + y.y*17 + m.sid*7 + 22) % 256 END AS gray,
+        |  (y.y * 8) // m.h * 8 + (x.x * 8) // m.w AS slot
+        | FROM mem m
+        | JOIN (SELECT unnest(generate_series(0, 46)) AS x) x ON x.x < m.w
+        | JOIN (SELECT unnest(generate_series(0, 30)) AS y) y ON y.y < m.h),
+        |blk AS (SELECT mid, slot, sum(gray) AS bs, count(*) AS bn FROM px GROUP BY 1, 2),
+        |tot AS (SELECT mid, sum(gray) AS ts, count(*) AS tn FROM px GROUP BY 1),
+        |hash AS (
+        | SELECT b.mid,
+        |  CAST(sum(CASE
+        |    WHEN b.bs * t.tn <= t.ts * b.bn THEN 0
+        |    WHEN b.slot = 63 THEN -9223372036854775807 - 1
+        |    ELSE 1::BIGINT << CAST(b.slot AS INT) END) AS BIGINT) AS ahash
+        | FROM blk b JOIN tot t USING (mid) GROUP BY 1),
+        |bands AS (
+        | SELECT mid, ahash, c.c AS chunk, (ahash >> (16 * c.c)) & 65535 AS chunk_val
+        | FROM hash, (SELECT unnest(generate_series(0, 3)) AS c) c)
+        |SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b,
+        | CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.mid < b.mid
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 2""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id,
         | CAST(strlen(text) AS BIGINT) AS n_bytes,
