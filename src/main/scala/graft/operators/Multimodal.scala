@@ -217,12 +217,33 @@ object Multimodal {
   }
 
   /** Deterministic WAV synthesis: mono PCM16 @8kHz, sample i of doc d =
-    * `(d*31 + i*7) % 2001 - 1000` — pure integers, SQL-replayable. */
+    * `(d*31 + i*7) % 2001 - 1000` — pure integers, SQL-replayable.
+    * `gain` scales every sample (the amplitude-changed re-encode of the
+    * same recording — what a loudness-invariant fingerprint must match). */
   object WavCodec {
     val SampleRate = 8000f
     def nSamples(nChars: Long): Int = (nChars % 400 + 100).toInt
     def sample(docId: Long, i: Int): Short =
       ((docId * 31L + i * 7L) % 2001L - 1000L).toShort
+    def encodeScaled(docId: Long, nChars: Long, gain: Int): Array[Byte] = {
+      val n = nSamples(nChars)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = (sample(docId, i) * gain).toShort // |v| <= 1000*gain, no clip for gain <= 32
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1,
+        /* signed = */ true, /* bigEndian = */ false)
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
     def encode(docId: Long, nChars: Long): Array[Byte] = {
       val n = nSamples(nChars)
       val pcm = new Array[Byte](n * 2)
@@ -280,6 +301,40 @@ object Multimodal {
         i += 1
       }
       bits
+    }
+  }
+
+  /** 64-bit energy-contour audio fingerprint (see [[m08AudioFingerprint]]):
+    * the decoded samples partition into 65 windows with integer bounds
+    * (sample i lands in window i*65/n), window energy = Σ v² (exact
+    * integers), and bit k is set iff window k+1's energy exceeds window
+    * k's — the energy CONTOUR. Positive gain scales every energy by gain²
+    * and preserves every comparison, so re-encodes at different loudness
+    * fingerprint identically — the Shazam/Chromaprint robustness property,
+    * here in exact arithmetic. */
+  implicit final class WavFingerprintOps(private val d: WavDecoder) {
+    def energyContourFingerprint(payload: Array[Byte]): Long = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        require(n >= 65, s"fingerprint needs >= 65 samples, got $n")
+        val energy = new Array[Long](65)
+        var i = 0
+        while (i < n) {
+          val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+          energy(((i.toLong * 65) / n).toInt) += v * v
+          i += 1
+        }
+        var bits = 0L
+        var k = 0
+        while (k < 64) {
+          if (energy(k + 1) > energy(k)) bits |= 1L << k
+          k += 1
+        }
+        bits
+      } finally in.close()
     }
   }
 
@@ -377,6 +432,49 @@ object Multimodal {
     pairs
   }
 
+  // ---------------------------------------------------------------- m08
+  /** Audio near-dup by energy-contour fingerprint: every fourth document
+    * gets a LOUDER re-encode of the same recording (gain 3, no clipping),
+    * all members decode through the real WAV codec and fingerprint via
+    * [[WavFingerprintOps]] — gain scales every window energy by gain², so
+    * the contour (and the fingerprint) is IDENTICAL, and the pair falls
+    * out of the shared Hamming machinery at distance 0. The oracle
+    * replays the sample formula, windowing, energies, contour bits and
+    * banding in SQL. */
+  def m08AudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("member_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val members = docs(spark, dir)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (id, n) = (r.getLong(0), r.getLong(1))
+          val orig = Row(id, WavCodec.encode(id, n))
+          if (id % 4 == 0)
+            Iterator(orig, Row(id + 10000L, WavCodec.encodeScaled(id, n, gain = 3)))
+          else Iterator(orig)
+        }
+      }(enc)
+    val fpSchema = StructType(Seq(
+      StructField("member_id", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+    val fpEnc = org.apache.spark.sql.Encoders.row(fpSchema)
+    val fps = members.mapPartitions { rows =>
+      val decoder = new WavDecoder
+      rows.map(r => Row(r.getLong(0),
+        decoder.energyContourFingerprint(r.getAs[Array[Byte]](1))))
+    }(fpEnc)
+    val pairs = graft.api.Pipelines.hammingNearDupPairs(
+      fps, col("member_id"), col("fp"), maxHamming = 0)
+    val planted = docs(spark, dir).filter(col("doc_id") % 4 === 0).count()
+    require(pairs.filter(col("doc_b") === col("doc_a") + 10000L)
+      .count() == planted,
+      "every gain-scaled re-encode must fingerprint identically")
+    pairs
+  }
+
   // ---------------------------------------------------------------- m05
   /** Real image RESIZE via mapPartitions: decode the stored PNG (m03's
     * codec) and 2x2 box-downsample the raster with an explicit integer
@@ -412,6 +510,7 @@ object Multimodal {
     "m05_image_resize" -> m05ImageResize _,
     "m06_perceptual_hash" -> m06PerceptualHash _,
     "m07_image_neardup" -> m07ImageNearDup _,
+    "m08_audio_fingerprint" -> m08AudioFingerprint _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -481,6 +580,38 @@ object Multimodal {
         |FROM bands a JOIN bands b
         |  ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.mid < b.mid
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 2""".stripMargin,
+    // full SQL replay: members (originals + every-fourth gain-3 re-encode),
+    // the integer-bounded 65-window energies (scaled samples squared), the
+    // contour bits, the banding and the exact-distance verify
+    "m08_audio_fingerprint" ->
+      """WITH mem AS (
+        | SELECT doc_id AS mid, doc_id AS sid, 1 AS gain,
+        |  n_chars % 400 + 100 AS n FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000, doc_id, 3, n_chars % 400 + 100
+        | FROM documents WHERE doc_id % 4 = 0),
+        |sm AS (
+        | SELECT m.mid, (i.i * 65) // m.n AS win,
+        |  ((m.sid*31 + i.i*7) % 2001 - 1000) * m.gain AS v
+        | FROM mem m
+        | JOIN (SELECT unnest(generate_series(0, 498)) AS i) i ON i.i < m.n),
+        |en AS (SELECT mid, win, sum(v*v) AS e FROM sm GROUP BY 1, 2),
+        |fp AS (
+        | SELECT a.mid,
+        |  CAST(sum(CASE
+        |    WHEN b.e <= a.e THEN 0
+        |    WHEN a.win = 63 THEN -9223372036854775807 - 1
+        |    ELSE 1::BIGINT << CAST(a.win AS INT) END) AS BIGINT) AS f
+        | FROM en a JOIN en b ON b.mid = a.mid AND b.win = a.win + 1
+        | WHERE a.win < 64 GROUP BY 1),
+        |bands AS (
+        | SELECT mid, f, c.c AS chunk, (f >> (16 * c.c)) & 65535 AS chunk_val
+        | FROM fp, (SELECT unnest(generate_series(0, 3)) AS c) c)
+        |SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b,
+        | CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.mid < b.mid
+        |WHERE bit_count(xor(a.f, b.f)) <= 0""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id,
         | CAST(strlen(text) AS BIGINT) AS n_bytes,
