@@ -1176,6 +1176,55 @@ object Pipelines {
     }
 
   /**
+   * Label-filtered ANN top-k (s13) — the attribute-constrained /
+   * multi-tenant search shape: each query retrieves only corpus vectors
+   * carrying ITS OWN label. The filter composes INTO candidate
+   * generation — the label joins the (band, bucket) key, so a selective
+   * filter SHRINKS the search (per-label buckets), instead of the
+   * post-filter anti-pattern (global top-k then filter, which starves k
+   * for rare labels and wastes the whole unfiltered search at 100 TB).
+   * The bucket cap bounds members per (band, bucket, label), and the
+   * shortlist is exact-cosine verified on the bounded heap as usual.
+   */
+  def filteredAnnTopK(corpus: DataFrame, queries: DataFrame, id: Column,
+      vec: Column, label: Column, k: Int, dim: Int, nPlanes: Int,
+      bands: Int, bucketCap: Int = 1024): DataFrame = {
+    require(nPlanes % bands == 0, "nPlanes must be divisible by bands")
+    val bitsPerBand = nPlanes / bands
+    val planes = hyperplanes(nPlanes, dim)
+    def bandKeys(e: Column): Seq[Column] = {
+      val bits = (0 until nPlanes).map { p =>
+        when(dotProd(e, lit(planes(p))) > 0, 1L).otherwise(0L)
+      }
+      (0 until bands).map { b =>
+        (0 until bitsPerBand).map(i => bits(b * bitsPerBand + i) * (1L << i)).reduce(_ + _)
+      }
+    }
+    def banded(df: DataFrame, prefix: String): DataFrame =
+      df.select(id.as(s"${prefix}_id"), vec.as(s"${prefix}_emb"), label.as("__lbl"))
+        .select(col(s"${prefix}_id"), col("__lbl"),
+          posexplode(array(bandKeys(col(s"${prefix}_emb")).map(_.cast("long")): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+    val cappedCorpus = {
+      val w = Window.partitionBy("band", "bucket", "__lbl")
+        .orderBy(xxhash64(col("n_id")), col("n_id"))
+      banded(corpus, "n").withColumn("__bkrank", row_number().over(w))
+        .filter(col("__bkrank") <= bucketCap).drop("__bkrank")
+    }
+    val candidates = banded(queries, "q")
+      .join(cappedCorpus, Seq("band", "bucket", "__lbl"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct()
+    val q = queries.select(id.as("q_id"), vec.as("q_emb"))
+      .withColumn("q_nrm", l2norm(col("q_emb")))
+    val c = corpus.select(id.as("n_id"), vec.as("n_emb"))
+      .withColumn("n_nrm", l2norm(col("n_emb")))
+    topKByCosine(
+      candidates.join(broadcast(q), Seq("q_id")).join(c, Seq("n_id")), k)
+  }
+
+  /**
    * Scale path for cosine near-dup: random-hyperplane LSH banding generates
    * candidate pairs sub-quadratically (only ids travel through the
    * band-bucket shuffle), then each candidate is exact-verified with the

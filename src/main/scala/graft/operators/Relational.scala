@@ -652,6 +652,22 @@ object Relational {
         countDistinct(col("k")).as("k_distinct"),
         count(col("miss")).as("n_missing"))
 
+  /** q35: UNPIVOT (wide→long melt, Spark's native `unpivot` — the inverse
+    * of q19's PIVOT): three measure columns fold into (metric, value)
+    * rows. A pure per-row generator fan-out: no shuffle, no join — the
+    * reshaping step feeding metric stores and long-format analytics. The
+    * output is row-level (no float aggregation), so it hash-compares
+    * exactly against DuckDB's native UNPIVOT. */
+  def q35Unpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 30)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+
   /** name -> query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -688,6 +704,7 @@ object Relational {
     "q32_interval_window" -> q32IntervalWindow _,
     "q33_recursive_cte" -> q33RecursiveCte _,
     "q34_variant" -> q34Variant _,
+    "q35_unpivot" -> q35Unpivot _,
   )
 
   /** name -> DuckDB oracle SQL (column names/aliases must match exactly). */
@@ -984,6 +1001,13 @@ object Relational {
         |)
         |SELECT CAST(node AS BIGINT) AS node, CAST(anc AS BIGINT) AS ancestor,
         |  depth FROM anc""".stripMargin,
+    "q35_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        | UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+        |          l_extendedprice, l_discount
+        |          FROM lineitem WHERE l_orderkey < 30)
+        | ON l_quantity, l_extendedprice, l_discount
+        | INTO NAME metric VALUE value)""".stripMargin,
     "q34_variant" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,

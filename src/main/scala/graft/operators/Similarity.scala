@@ -136,6 +136,24 @@ object Similarity {
     Pipelines.rrfFuse(Seq(dense, sparse), k = 10)
   }
 
+  /** s13: label-filtered ANN — each query searches only vectors carrying
+    * its own label (the label joins the band-bucket key, so the filter
+    * SHRINKS candidate generation instead of post-filtering a global
+    * search). In-gate: every neighbor shares its query's label. */
+  def s13FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val res = Pipelines.filteredAnnTopK(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("label"),
+      k = 3, dim = 64, nPlanes = 32, bands = 8)
+    val labels = e.select(col("vec_id"), col("label"))
+    val crossed = res
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("ql")), Seq("q_id"))
+      .join(labels.select(col("vec_id").as("n_id"), col("label").as("nl")), Seq("n_id"))
+      .filter(col("ql") =!= col("nl")).count()
+    require(crossed == 0, s"filtered search leaked $crossed cross-label results")
+    res
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
@@ -149,7 +167,38 @@ object Similarity {
     "s10_pq_topk" -> s10PqTopK _,
     "s11_bm25_topk" -> s11Bm25TopK _,
     "s12_hybrid_rrf" -> s12HybridRrf _,
+    "s13_filtered_ann" -> s13FilteredAnn _,
   )
+
+  /** s13's oracle: the s02 LSH replay with the label equality joined into
+    * the candidate stage — same hyperplane literals, same bands, same
+    * exact-cosine top-3, restricted to same-label candidates. */
+  private def s13OracleSql: String = {
+    val planes = Pipelines.hyperplanes(32, 64)
+    def planeLit(p: Array[Double]): String = p.mkString("[", ",", "]")
+    val bits = (0 until 32)
+      .map(i => s"CASE WHEN list_dot_product(emb, ${planeLit(planes(i))}) > 0" +
+        " THEN 1 ELSE 0 END")
+      .mkString("[\n ", ",\n ", "\n]")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+       |sig AS (SELECT vec_id, label, $bits AS bits FROM e),
+       |bands AS (
+       | SELECT vec_id, label, band,
+       |  bits[band*4+1] + 2*bits[band*4+2] + 4*bits[band*4+3] + 8*bits[band*4+4] AS bucket
+       | FROM sig, (SELECT unnest(generate_series(0, 7)) AS band)),
+       |cand AS (
+       | SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+       | FROM bands q JOIN bands n
+       |   ON q.band = n.band AND q.bucket = n.bucket AND q.label = n.label
+       | WHERE q.vec_id < 10 AND q.vec_id <> n.vec_id),
+       |scored AS (
+       | SELECT c.q_id, c.n_id, list_cosine_similarity(eq.emb, en.emb) AS cos
+       | FROM cand c JOIN e eq ON eq.vec_id = c.q_id JOIN e en ON en.vec_id = c.n_id)
+       |SELECT q_id, n_id, rnk, CAST(round(1000000 * cos) AS BIGINT) AS cos_micro
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
+       |WHERE rnk <= 3""".stripMargin
+  }
 
   /** Shared BM25 replay (s11 and the sparse half of s12): identical
     * tokenization (single-space split, empties dropped), tf/dl/df/avgdl
@@ -350,6 +399,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s11_bm25_topk" -> s11OracleSql,
     "s12_hybrid_rrf" -> s12OracleSql,
+    "s13_filtered_ann" -> s13OracleSql,
     "s02_ann_lsh" -> s02OracleSql,
     "s10_pq_topk" -> s10OracleSql,
     "s03_ivf_topk" -> s03OracleSql,
