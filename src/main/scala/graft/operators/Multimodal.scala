@@ -400,6 +400,19 @@ object Multimodal {
     * within 2 bits (pinned in-gate); the oracle replays the perturbed
     * pixel formula, both hashes, the banding and the verify in SQL. */
   def m07ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.api.Pipelines.hammingNearDupPairs(
+      imageMemberHashes(spark, dir), col("member_id"), col("ahash"),
+      maxHamming = 2)
+    val found = pairs.filter(col("doc_b") === col("doc_a") + 10000L).count()
+    require(found == docs(spark, dir).filter(col("doc_id") % 5 === 0).count(),
+      s"every perturbed variant must pair with its original, found $found")
+    pairs
+  }
+
+  /** Shared member corpus of m07/m09: every doc's PNG plus a one-pixel-
+    * perturbed variant (id + 10000) for every fifth doc, hashed through
+    * the real decode. */
+  private def imageMemberHashes(spark: SparkSession, dir: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("member_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
@@ -419,17 +432,34 @@ object Multimodal {
       StructField("member_id", LongType, nullable = false),
       StructField("ahash", LongType, nullable = false)))
     val hashEnc = org.apache.spark.sql.Encoders.row(hashSchema)
-    val hashes = members.mapPartitions { rows =>
+    members.mapPartitions { rows =>
       val decoder = new PngDecoder
       rows.map(r => Row(r.getLong(0),
         decoder.blockMeanHash(r.getAs[Array[Byte]](1))))
     }(hashEnc)
+  }
+
+  // ---------------------------------------------------------------- m09
+  /** End-to-end image dedup — m07's pairs composed through connected
+    * components and a canonical keep (min member id per cluster), the
+    * image analog of d10's semantic dedup: perceptual-hash pairs →
+    * duplicate clusters → one survivor each. Every perturbed variant
+    * clusters with its original (smaller id), so NO variant may survive —
+    * pinned in-gate; the oracle replays hashes, banding, pairs, a
+    * recursive-CTE component labeling and the keep rule in SQL. */
+  def m09ImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = imageMemberHashes(spark, dir)
     val pairs = graft.api.Pipelines.hammingNearDupPairs(
       hashes, col("member_id"), col("ahash"), maxHamming = 2)
-    val found = pairs.filter(col("doc_b") === col("doc_a") + 10000L).count()
-    require(found == docs(spark, dir).filter(col("doc_id") % 5 === 0).count(),
-      s"every perturbed variant must pair with its original, found $found")
-    pairs
+    val comps = graft.api.Pipelines.connectedComponents(
+      pairs, col("doc_a"), col("doc_b"))
+    val kept = hashes
+      .join(comps, hashes("member_id") === comps("node"), "left")
+      .filter(col("node").isNull || col("component") === col("member_id"))
+      .select(col("member_id"))
+    require(kept.filter(col("member_id") >= 10000L).count() == 0,
+      "every perturbed variant must dedup away to its original")
+    kept
   }
 
   // ---------------------------------------------------------------- m08
@@ -511,6 +541,7 @@ object Multimodal {
     "m06_perceptual_hash" -> m06PerceptualHash _,
     "m07_image_neardup" -> m07ImageNearDup _,
     "m08_audio_fingerprint" -> m08AudioFingerprint _,
+    "m09_image_dedup" -> m09ImageDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -542,6 +573,53 @@ object Multimodal {
         | CAST(sum(CASE WHEN b.bs * t.tn > t.ts * b.bn THEN 1 ELSE 0 END) AS BIGINT) AS n_bright
         |FROM blk b JOIN tot t USING (doc_id)
         |GROUP BY 1""".stripMargin,
+    // m07's replay chain + recursive component labeling + min-id keep
+    "m09_image_dedup" ->
+      """WITH RECURSIVE mem AS (
+        | SELECT doc_id AS mid, doc_id AS sid, 0 AS pert,
+        |  n_chars % 40 + 8 AS w, doc_id % 24 + 8 AS h FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000, doc_id, 1,
+        |  n_chars % 40 + 8, doc_id % 24 + 8 FROM documents WHERE doc_id % 5 = 0),
+        |px AS (
+        | SELECT m.mid,
+        |  (x.x*31 + y.y*17 + m.sid*7) % 256
+        |   + (x.x*31 + y.y*17 + m.sid*7 + 11) % 256
+        |   + CASE WHEN m.pert = 1 AND x.x = 3 AND y.y = 3
+        |      THEN ((x.x*31 + y.y*17 + m.sid*7 + 22) % 256 + 1) % 256
+        |      ELSE (x.x*31 + y.y*17 + m.sid*7 + 22) % 256 END AS gray,
+        |  (y.y * 8) // m.h * 8 + (x.x * 8) // m.w AS slot
+        | FROM mem m
+        | JOIN (SELECT unnest(generate_series(0, 46)) AS x) x ON x.x < m.w
+        | JOIN (SELECT unnest(generate_series(0, 30)) AS y) y ON y.y < m.h),
+        |blk AS (SELECT mid, slot, sum(gray) AS bs, count(*) AS bn FROM px GROUP BY 1, 2),
+        |tot AS (SELECT mid, sum(gray) AS ts, count(*) AS tn FROM px GROUP BY 1),
+        |hash AS (
+        | SELECT b.mid,
+        |  CAST(sum(CASE
+        |    WHEN b.bs * t.tn <= t.ts * b.bn THEN 0
+        |    WHEN b.slot = 63 THEN -9223372036854775807 - 1
+        |    ELSE 1::BIGINT << CAST(b.slot AS INT) END) AS BIGINT) AS ahash
+        | FROM blk b JOIN tot t USING (mid) GROUP BY 1),
+        |bands AS (
+        | SELECT mid, ahash, c.c AS chunk, (ahash >> (16 * c.c)) & 65535 AS chunk_val
+        | FROM hash, (SELECT unnest(generate_series(0, 3)) AS c) c),
+        |pairs AS (
+        | SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b
+        | FROM bands a JOIN bands b
+        |   ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.mid < b.mid
+        | WHERE bit_count(xor(a.ahash, b.ahash)) <= 2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach(node, lbl) AS (
+        | SELECT node, node FROM nodes
+        | UNION
+        | SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+        |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY 1)
+        |SELECT h.mid AS member_id FROM hash h
+        |LEFT JOIN comp ON h.mid = comp.node
+        |WHERE comp.node IS NULL OR comp.component = h.mid""".stripMargin,
     // full SQL replay: members (originals + every-fifth perturbed variant),
     // the perturbed pixel's blue bump, both block-mean hashes, the 16-bit
     // pigeonhole bands, and the exact bit_count(xor) verify
