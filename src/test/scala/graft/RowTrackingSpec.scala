@@ -96,6 +96,27 @@ class RowTrackingSpec extends SparkSpec {
     assert(compacted.values.toSet.size == compacted.size, "ids stay unique")
   }
 
+  test("concurrent appends on a tracked table allocate disjoint id ranges") {
+    val (dir, _) = trackedTable() // ids 0..24 committed
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+      .orderBy("n_nationkey").coalesce(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() =>
+        try graft.streaming.GwSink.append(src, dir)
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent appends failed: ${errs.toArray.toSeq}")
+    // a losing racer re-assigns from the winner's advanced mark, so the
+    // five commits' ranges tile 0..124 with no overlap and no gap
+    val allIds = spark.read.format("gwdelta").load(dir)
+      .select("__gw_row_id").collect().map(_.getLong(0))
+    assert(allIds.length == 125)
+    assert(allIds.toSet == (0L until 125L).toSet,
+      s"expected a perfect tiling, got ${allIds.sorted.take(30).toSeq}...")
+  }
+
   test("untracked tables refuse __gw_row_id with guidance") {
     val dir = Files.createTempDirectory("untracked").resolve("nation").toString
     spark.read.parquet(s"$sf/nation.parquet").coalesce(1)
