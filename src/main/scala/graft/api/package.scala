@@ -160,6 +160,26 @@ package object api {
     /** Deterministic per-group hash-threshold subsampling (domain/language
       * mixture reweighting); weights in permille, absent groups keep
       * `defaultPermille`. */
+    /** Okapi BM25 lexical top-k (sparse retrieval, s11);
+      * see [[Pipelines.bm25TopK]]. */
+    def bm25TopK(queries: DataFrame, id: Column, text: Column, k: Int,
+        k1: Double = 1.2, b: Double = 0.75): DataFrame =
+      Pipelines.bm25TopK(df, queries, id, text, k, k1, b)
+
+    /** Temperature-flattened source mixture (sqrt scaling, t20);
+      * see [[Pipelines.temperatureSample]]. */
+    def temperatureSample(group: Column, id: Column): DataFrame =
+      Pipelines.temperatureSample(df, group, id)
+
+    /** PII redaction with typed tokens + per-kind counts (t12);
+      * see [[Pipelines.redactPii]]. */
+    def redactPii(text: Column): DataFrame = Pipelines.redactPii(df, text)
+
+    /** Hamming near-dup pairs over 64-bit codes (SimHash / perceptual
+      * hashes); see [[Pipelines.hammingNearDupPairs]]. */
+    def hammingNearDupPairs(id: Column, bits: Column, maxHamming: Int): DataFrame =
+      Pipelines.hammingNearDupPairs(df, id, bits, maxHamming)
+
     def mixtureSample(group: Column, id: Column, weightsPermille: Map[String, Int],
         defaultPermille: Int = 1000): DataFrame =
       Pipelines.mixtureSample(df, group, id, weightsPermille, defaultPermille)
@@ -237,5 +257,19 @@ package object api {
     def semDedupClusters(id: Column, vec: Column, dim: Int,
         nCentroids: Int = 16, threshold: Double = 0.9): DataFrame =
       Pipelines.semDedupClusters(df, id, vec, dim, nCentroids, threshold)
+
+    /** MMR-diversified retrieval over the exact-cosine shortlist (s08);
+      * see [[Pipelines.mmrTopK]]. */
+    def mmrTopK(queries: DataFrame, id: Column, vec: Column, k: Int,
+        candidates: Int): DataFrame =
+      Pipelines.mmrTopK(df, queries, id, vec, k, candidates)
+
+    /** Label-filtered ANN top-k (attribute-constrained search, s13);
+      * see [[Pipelines.filteredAnnTopK]]. */
+    def filteredAnnTopK(queries: DataFrame, id: Column, vec: Column,
+        label: Column, k: Int, dim: Int, nPlanes: Int = 32,
+        bands: Int = 8): DataFrame =
+      Pipelines.filteredAnnTopK(df, queries, id, vec, label, k, dim,
+        nPlanes, bands)
   }
 }

@@ -316,4 +316,25 @@ class ApiSpec extends AnyFunSuite {
     val ends = out.filter(_._1 == 1L).sortBy(_._2).map(c => c._3 + c._4)
     assert(ends.sameElements(ends.sorted.distinct), s"chunk ends $ends")
   }
+
+  test("retrieval + sampling + hamming syntax (the late-wave surface)") {
+    val bm = docs.bm25TopK(docs.filter(col("doc_id") < 2),
+      col("doc_id"), col("text"), k = 3)
+    assert(bm.columns.toSeq == Seq("q_id", "n_id", "rnk", "score_micro"))
+    assert(bm.count() == 6)
+    val temp = docs.temperatureSample(col("lang"), col("doc_id"))
+    assert(temp.count() > 0 && temp.count() <= docs.count())
+    val red = docs.redactPii(col("text"))
+    assert(red.columns.contains("redacted"))
+    val fan = embs.filteredAnnTopK(embs.filter(col("vec_id") < 3),
+      col("vec_id"), col("embedding"), col("label"), k = 2, dim = 64)
+    assert(fan.columns.toSeq == Seq("q_id", "n_id", "rnk", "cos_micro"))
+    val mmr = embs.mmrTopK(embs.filter(col("vec_id") < 2),
+      col("vec_id"), col("embedding"), k = 3, candidates = 10)
+    assert(mmr.count() == 6)
+    val codes = docs.select(col("doc_id"),
+      xxhash64(col("lang")).as("code")) // same-lang docs share a code
+    val hp = codes.hammingNearDupPairs(col("doc_id"), col("code"), maxHamming = 0)
+    assert(hp.count() > 0 && hp.columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
+  }
 }
