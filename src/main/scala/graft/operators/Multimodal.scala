@@ -400,13 +400,20 @@ object Multimodal {
     * within 2 bits (pinned in-gate); the oracle replays the perturbed
     * pixel formula, both hashes, the banding and the verify in SQL. */
   def m07ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.api.Pipelines.hammingNearDupPairs(
-      imageMemberHashes(spark, dir), col("member_id"), col("ahash"),
-      maxHamming = 2)
-    val found = pairs.filter(col("doc_b") === col("doc_a") + 10000L).count()
-    require(found == docs(spark, dir).filter(col("doc_id") % 5 === 0).count(),
-      s"every perturbed variant must pair with its original, found $found")
-    pairs
+    // the decode+hash pass feeds candidate generation, the in-gate recall
+    // pin and the verify — cache it once (tiny: one id + one long per
+    // member), like the other eager near-dup stages
+    val hashes = imageMemberHashes(spark, dir).persist()
+    try {
+      val pairs = graft.api.Pipelines.hammingNearDupPairs(
+        hashes, col("member_id"), col("ahash"), maxHamming = 2)
+      val found = pairs.filter(col("doc_b") === col("doc_a") + 10000L).count()
+      require(found == docs(spark, dir).filter(col("doc_id") % 5 === 0).count(),
+        s"every perturbed variant must pair with its original, found $found")
+      val out = pairs.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq), pairs.schema)
+    } finally hashes.unpersist()
   }
 
   /** Shared member corpus of m07/m09: every doc's PNG plus a one-pixel-
@@ -448,18 +455,23 @@ object Multimodal {
     * pinned in-gate; the oracle replays hashes, banding, pairs, a
     * recursive-CTE component labeling and the keep rule in SQL. */
   def m09ImageDedup(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = imageMemberHashes(spark, dir)
-    val pairs = graft.api.Pipelines.hammingNearDupPairs(
-      hashes, col("member_id"), col("ahash"), maxHamming = 2)
-    val comps = graft.api.Pipelines.connectedComponents(
-      pairs, col("doc_a"), col("doc_b"))
-    val kept = hashes
-      .join(comps, hashes("member_id") === comps("node"), "left")
-      .filter(col("node").isNull || col("component") === col("member_id"))
-      .select(col("member_id"))
-    require(kept.filter(col("member_id") >= 10000L).count() == 0,
-      "every perturbed variant must dedup away to its original")
-    kept
+    // one decode+hash pass serves pairs, components, keep and the pin
+    val hashes = imageMemberHashes(spark, dir).persist()
+    try {
+      val pairs = graft.api.Pipelines.hammingNearDupPairs(
+        hashes, col("member_id"), col("ahash"), maxHamming = 2)
+      val comps = graft.api.Pipelines.connectedComponents(
+        pairs, col("doc_a"), col("doc_b"))
+      val kept = hashes
+        .join(comps, hashes("member_id") === comps("node"), "left")
+        .filter(col("node").isNull || col("component") === col("member_id"))
+        .select(col("member_id"))
+      require(kept.filter(col("member_id") >= 10000L).count() == 0,
+        "every perturbed variant must dedup away to its original")
+      val out = kept.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq), kept.schema)
+    } finally hashes.unpersist()
   }
 
   // ---------------------------------------------------------------- m08
@@ -496,13 +508,18 @@ object Multimodal {
       rows.map(r => Row(r.getLong(0),
         decoder.energyContourFingerprint(r.getAs[Array[Byte]](1))))
     }(fpEnc)
-    val pairs = graft.api.Pipelines.hammingNearDupPairs(
-      fps, col("member_id"), col("fp"), maxHamming = 0)
-    val planted = docs(spark, dir).filter(col("doc_id") % 4 === 0).count()
-    require(pairs.filter(col("doc_b") === col("doc_a") + 10000L)
-      .count() == planted,
-      "every gain-scaled re-encode must fingerprint identically")
-    pairs
+    val cached = fps.persist()
+    try {
+      val pairs = graft.api.Pipelines.hammingNearDupPairs(
+        cached, col("member_id"), col("fp"), maxHamming = 0)
+      val planted = docs(spark, dir).filter(col("doc_id") % 4 === 0).count()
+      require(pairs.filter(col("doc_b") === col("doc_a") + 10000L)
+        .count() == planted,
+        "every gain-scaled re-encode must fingerprint identically")
+      val out = pairs.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq), pairs.schema)
+    } finally cached.unpersist()
   }
 
   // ---------------------------------------------------------------- m05
