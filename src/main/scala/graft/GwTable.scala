@@ -1825,8 +1825,10 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       val c = ci.getOrElse(CommitInfo(0L, "UNKNOWN", "", 0L, 0L, isBlindAppend = false, ""))
       // the effective timestamp IS the time-travel clock: the monotonic
       // in-commit timestamp when the table enables ICT, wall clock else
-      (v, c.effectiveTimestamp, c.operation, c.mode, c.numFiles, c.numOutputBytes, c.isBlindAppend)
-    }.toDF("version", "timestamp", "operation", "mode", "numFiles", "numOutputBytes", "isBlindAppend")
+      (v, c.effectiveTimestamp, c.operation, c.mode, c.numFiles, c.numOutputBytes, c.isBlindAppend,
+        c.userMetadata.orNull)
+    }.toDF("version", "timestamp", "operation", "mode", "numFiles", "numOutputBytes", "isBlindAppend",
+      "userMetadata")
   }
 
   /** Reads go through the `gwdelta` connector so they inherit stats-based

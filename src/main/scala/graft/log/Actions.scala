@@ -139,7 +139,11 @@ final case class CommitInfo(
       * greater than the previous commit's, immune to wall-clock skew
       * between writers; `TIMESTAMP AS OF` resolves on it when present.
       * The wall-clock `timestamp` field stays for display parity. */
-    inCommitTimestamp: Option[Long] = None) extends Action {
+    inCommitTimestamp: Option[Long] = None,
+    /** Delta's `userMetadata`: a caller-supplied audit string riding the
+      * commit (`.option("userMetadata", ...)`), surfaced by DESCRIBE
+      * HISTORY. Written only when present — plain logs stay golden. */
+    userMetadata: Option[String] = None) extends Action {
   /** The timestamp time travel resolves on. */
   def effectiveTimestamp: Long = inCommitTimestamp.getOrElse(timestamp)
 }
@@ -238,12 +242,13 @@ object Actions {
         n.put("appId", appId)
         n.put("version", version)
         lastUpdated.foreach(ts => n.put("lastUpdated", ts))
-      case CommitInfo(ts, op, mode, numFiles, numBytes, blind, txnId, ict) =>
+      case CommitInfo(ts, op, mode, numFiles, numBytes, blind, txnId, ict, um) =>
         val n = root.putObject("commitInfo")
         n.put("timestamp", ts)
         // only written when the table enables in-commit timestamps, so
         // pre-ICT logs stay byte-identical
         ict.foreach(t => n.put("inCommitTimestamp", t))
+        um.foreach(u => n.put("userMetadata", u))
         n.put("operation", op)
         val p = n.putObject("operationParameters")
         p.put("mode", mode)
@@ -338,7 +343,8 @@ object Actions {
         numOutputBytes = metrics.flatMap(m => Option(m.get("numOutputBytes"))).map(_.asLong).getOrElse(0L),
         isBlindAppend = Option(n.get("isBlindAppend")).exists(_.asBoolean),
         txnId = Option(n.get("txnId")).map(_.asText).getOrElse(""),
-        inCommitTimestamp = Option(n.get("inCommitTimestamp")).map(_.asLong)))
+        inCommitTimestamp = Option(n.get("inCommitTimestamp")).map(_.asLong),
+        userMetadata = Option(n.get("userMetadata")).map(_.asText)))
     } else None
   }
 }

@@ -142,10 +142,13 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
     }
     // Delta-style auto schema evolution: .option("mergeSchema", "true")
     val mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)
+    // Delta's commit audit string: .option("userMetadata", ...)
+    val userMeta = parameters.get("userMetadata").filter(_.nonEmpty)
     mode match {
       case org.apache.spark.sql.SaveMode.Append =>
         graft.streaming.GwSink.append(data, path, txnId = txnId,
-          partitionBy = parts, mergeSchema = mergeSchema)
+          partitionBy = parts, mergeSchema = mergeSchema,
+          userMetadata = userMeta)
       case org.apache.spark.sql.SaveMode.Overwrite =>
         parameters.get("replaceWhere") match {
           case Some(pred) =>
@@ -155,7 +158,8 @@ class GwDeltaDataSource extends TableProvider with DataSourceRegister
             graft.GwTable.forPath(data.sparkSession, path)
               .replaceWhere(data, org.apache.spark.sql.functions.expr(pred))
           case None =>
-            graft.streaming.GwSink.overwrite(data, path, parts, txnId = txnId)
+            graft.streaming.GwSink.overwrite(data, path, parts, txnId = txnId,
+              userMetadata = userMeta)
         }
       case org.apache.spark.sql.SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(

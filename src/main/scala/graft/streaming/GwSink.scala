@@ -47,7 +47,8 @@ object GwSink {
     * schema to match the table's logged schema (nullability ignored). */
   def append(df: DataFrame, tablePath: String, txnId: Option[String] = None,
       partitionBy: Seq[String] = Nil, mergeSchema: Boolean = false,
-      bootstrapProps: Map[String, String] = Map.empty): Long = {
+      bootstrapProps: Map[String, String] = Map.empty,
+      userMetadata: Option[String] = None): Long = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val log = GwLog.forTable(conf, tablePath)
@@ -69,7 +70,7 @@ object GwSink {
       graft.sources.SchemaProbe.harvestPartitioned(conf, outDir, dataChange = true, parts)
     if (files.isEmpty) { fs.delete(outDir, true); return -1L }
     val v = commitAppend(log, df.schema, files, txnId, parts, readMeta, widened,
-      bootstrapProps)
+      bootstrapProps, userMetadata)
     maybeAutoCompact(spark, log, tablePath)
     v
   }
@@ -282,7 +283,8 @@ object GwSink {
       partitionColumns: Seq[String] = Nil,
       readMeta: Option[Metadata] = None,
       widened: Option[org.apache.spark.sql.types.StructType] = None,
-      bootstrapProps: Map[String, String] = Map.empty): Long =
+      bootstrapProps: Map[String, String] = Map.empty,
+      userMetadata: Option[String] = None): Long =
     commitReplayable(log, txnId) { bootstrap =>
       val freshMeta = if (bootstrap) None else log.snapshot(None).metadata
       if (!bootstrap)
@@ -314,7 +316,8 @@ object GwSink {
         numFiles = files.size,
         numOutputBytes = files.map(_.size).sum,
         isBlindAppend = !bootstrap,
-        txnId = txnId.getOrElse(java.util.UUID.randomUUID().toString))
+        txnId = txnId.getOrElse(java.util.UUID.randomUUID().toString),
+        userMetadata = userMetadata)
       // a parseable stream batch id also commits the spec's txn action, so
       // replay detection survives checkpoints and any log length
       val txn = txnId.flatMap(parseTxnId).map { case (app, batch) =>
@@ -439,7 +442,8 @@ object GwSink {
     * remove-all commit still happens, unlike `append`'s no-op). */
   def overwrite(df: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Nil, txnId: Option[String] = None,
-      bootstrapProps: Map[String, String] = Map.empty): Long = {
+      bootstrapProps: Map[String, String] = Map.empty,
+      userMetadata: Option[String] = None): Long = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val log = GwLog.forTable(conf, tablePath)
@@ -486,7 +490,8 @@ object GwSink {
         numFiles = files.size,
         numOutputBytes = files.map(_.size).sum,
         isBlindAppend = false,
-        txnId = txnId.getOrElse(java.util.UUID.randomUUID().toString))
+        txnId = txnId.getOrElse(java.util.UUID.randomUUID().toString),
+        userMetadata = userMetadata)
       val txn = txnId.flatMap(parseTxnId).map { case (app, v) =>
         graft.log.SetTransaction(app, v, Some(now))
       }

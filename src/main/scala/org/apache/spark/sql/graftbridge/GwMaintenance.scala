@@ -231,7 +231,8 @@ case class GwDescribeHistoryCommand(ref: String) extends GwMaintenanceCommand {
     AttributeReference("mode", StringType, nullable = false)(),
     AttributeReference("numFiles", LongType, nullable = false)(),
     AttributeReference("numOutputBytes", LongType, nullable = false)(),
-    AttributeReference("isBlindAppend", BooleanType, nullable = false)())
+    AttributeReference("isBlindAppend", BooleanType, nullable = false)(),
+    AttributeReference("userMetadata", StringType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GwMaintenance.resolvePath(spark, ref)
     graft.GwTable.forPath(spark, path).history.collect().toSeq

@@ -723,6 +723,37 @@ class GwDeltaSourceSpec extends AnyFunSuite {
       .contains("txnAppId"))
   }
 
+  test("userMetadata rides the commit, surfaces in history, stays golden when absent") {
+    val dir = java.nio.file.Files.createTempDirectory("usermeta")
+      .resolve("t").toString
+    val region = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    region.write.format("gwdelta").mode("append")
+      .option("userMetadata", "backfill #42").save(dir)
+    region.write.format("gwdelta").mode("overwrite")
+      .option("userMetadata", "quarterly reload").save(dir)
+    region.write.format("gwdelta").mode("append").save(dir) // no audit string
+    val h = GwTable.forPath(spark, dir).history.collect()
+      .map(r => r.getLong(0) -> r.getString(7)).toMap
+    assert(h(0L) == "backfill #42" && h(1L) == "quarterly reload")
+    assert(h(2L) == null)
+    // the plain commit's JSON must not even carry the key (golden parity)
+    val v2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log", f"${2L}%020d.json")))
+    assert(!v2.contains("userMetadata"), v2)
+    // round trip through the action codec
+    val ci = graft.log.Actions.fromJson(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_delta_log", f"${0L}%020d.json")))
+      .linesIterator.toSeq.last)
+    assert(ci.exists {
+      case c: graft.log.CommitInfo => c.userMetadata.contains("backfill #42")
+      case _ => false
+    })
+    // SQL surface: DESCRIBE HISTORY exposes the column
+    val sqlH = spark.sql(s"DESCRIBE HISTORY '$dir'").collect()
+      .map(r => r.getLong(0) -> r.getString(7)).toMap
+    assert(sqlH(1L) == "quarterly reload" && sqlH(2L) == null)
+  }
+
   test("CONVERT refuses hive-partitioned layouts and empty directories") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("convert")
