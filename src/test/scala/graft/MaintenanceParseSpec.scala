@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.graftbridge._
+
+/** The maintenance parser's statement forms ([[GwMaintenance.parse]]) —
+  * every supported shape resolves to its command with the right fields,
+  * and non-maintenance SQL falls through untouched. Parse-level only (no
+  * session), so a regex regression fails here with the statement text,
+  * not as a downstream delegate syntax error. */
+class MaintenanceParseSpec extends AnyFunSuite {
+
+  private def p(sql: String) = GwMaintenance.parse(sql)
+
+  test("VACUUM forms: retention, dry run, both, case-insensitive") {
+    assert(p("VACUUM t").exists {
+      case v: GwVacuumCommand => !v.dryRun && v.retainHours.isEmpty
+      case _ => false
+    })
+    assert(p("VACUUM t RETAIN 168 HOURS").exists {
+      case v: GwVacuumCommand => !v.dryRun && v.retainHours.contains(168L)
+      case _ => false
+    })
+    assert(p("VACUUM 'a/path' DRY RUN").exists {
+      case v: GwVacuumCommand => v.dryRun && v.retainHours.isEmpty
+      case _ => false
+    })
+    assert(p("vacuum t retain 0 hour dry run").exists {
+      case v: GwVacuumCommand => v.dryRun && v.retainHours.contains(0L)
+      case _ => false
+    })
+  }
+
+  test("CLONE forms: bare = deep, SHALLOW/DEEP explicit, version + location") {
+    assert(p("CREATE TABLE a CLONE b").exists {
+      case c: GwCloneCommand => c.deep && c.version.isEmpty
+      case _ => false
+    })
+    assert(p("CREATE TABLE a DEEP CLONE b").exists {
+      case c: GwCloneCommand => c.deep; case _ => false
+    })
+    assert(p("CREATE TABLE a SHALLOW CLONE b VERSION AS OF 3 LOCATION '/x'").exists {
+      case c: GwCloneCommand =>
+        !c.deep && c.version.contains(3L) && c.location.contains("/x")
+      case _ => false
+    })
+  }
+
+  test("RESTORE forms: version and timestamp") {
+    assert(p("RESTORE TABLE t TO VERSION AS OF 4").exists {
+      case r: GwRestoreCommand => r.version == 4L; case _ => false
+    })
+    assert(p("RESTORE t TO TIMESTAMP AS OF '2024-01-01 00:00:00'").exists {
+      case r: GwRestoreTimestampCommand => r.ts == "2024-01-01 00:00:00"
+      case _ => false
+    })
+  }
+
+  test("OPTIMIZE / REORG / CONVERT / DESCRIBE forms") {
+    assert(p("OPTIMIZE t WHERE a = 1 ZORDER BY (x, y)").exists {
+      case o: GwOptimizeCommand =>
+        o.zorderBy == Seq("x", "y") && o.where.contains("a = 1")
+      case _ => false
+    })
+    assert(p("REORG TABLE t APPLY (PURGE)").exists(_.isInstanceOf[GwReorgCommand]))
+    assert(p("CONVERT TO GWDELTA parquet.`/data/x`").exists {
+      case c: GwConvertCommand => c.path == "/data/x"; case _ => false
+    })
+    assert(p("DESCRIBE HISTORY t").exists(_.isInstanceOf[GwDescribeHistoryCommand]))
+    assert(p("DESC DETAIL 't'").exists(_.isInstanceOf[GwDescribeDetailCommand]))
+  }
+
+  test("everything else falls through to the delegate parser") {
+    assert(p("SELECT * FROM t").isEmpty)
+    assert(p("CREATE TABLE a (x INT) USING gwdelta").isEmpty)
+    assert(p("VACUUM").isEmpty)
+    assert(p("CONVERT TO DELTA parquet.`/x`").isEmpty) // another engine's statement
+  }
+}
