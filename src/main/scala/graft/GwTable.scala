@@ -1762,6 +1762,25 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         org.apache.spark.sql.graftbridge.GwConstraintRule
           .validate(spark, k.stripPrefix(GwTable.ConstraintPrefix), v,
             snapForValidate.get.schema)
+      else if (k == graft.log.Bloom.ColumnsProp) {
+        val schemaV = snapshot().schema
+        graft.log.Bloom.columnsOf(Map(k -> v)).foreach { c =>
+          val field = schemaV.fields.find(_.name.equalsIgnoreCase(c))
+            .getOrElse(throw new IllegalArgumentException(
+              s"bloom column '$c' is not in the table schema " +
+                s"(${schemaV.fieldNames.mkString(", ")})"))
+          val ok = field.dataType match {
+            case org.apache.spark.sql.types.ByteType |
+                 org.apache.spark.sql.types.ShortType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.StringType => true
+            case _ => false
+          }
+          require(ok, s"bloom column '$c' must be an integral or string " +
+            s"type (canonical-string hashing), got ${field.dataType.sql}")
+        }
+      }
       else if (k == GwTable.ClusterByProp) {
         val cols = v.split(",").map(_.trim).filter(_.nonEmpty)
         val schemaV = snapshot().schema

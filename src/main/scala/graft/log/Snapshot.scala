@@ -88,17 +88,41 @@ final case class Snapshot(
       // timestamp constraints are micros-encoded; only stats harvested
       // with the micros normalization (gwStatsV >= 2) may serve them —
       // v1 stats stored raw millis and would mis-prune matching files
-      if (c.minStatsVersion > Snapshot.statsVersion(f)) true
-      else Snapshot.statsBounds(f, c.column) match {
-        case Some((mn, mx)) =>
-          // keep unless the file's range PROVABLY misses [lower, upper];
-          // incomparable kinds (e.g. string stats vs numeric bound) prove
-          // nothing and keep the file
-          val belowLower = c.lower.exists(lo => Bound.cmp(mx, lo).exists(_ < 0))
-          val aboveUpper = c.upper.exists(up => Bound.cmp(mn, up).exists(_ > 0))
-          !belowLower && !aboveUpper
-        case None => true
-      }
+      val rangeKeep =
+        if (c.minStatsVersion > Snapshot.statsVersion(f)) true
+        else Snapshot.statsBounds(f, c.column) match {
+          case Some((mn, mx)) =>
+            // keep unless the file's range PROVABLY misses [lower, upper];
+            // incomparable kinds (e.g. string stats vs numeric bound) prove
+            // nothing and keep the file
+            val belowLower = c.lower.exists(lo => Bound.cmp(mx, lo).exists(_ < 0))
+            val aboveUpper = c.upper.exists(up => Bound.cmp(mn, up).exists(_ > 0))
+            !belowLower && !aboveUpper
+          case None => true
+        }
+      rangeKeep && bloomKeep(f, c)
+    }
+
+  /** Bloom-filter file skipping for POINT constraints (lower == upper):
+    * a definite miss in the file's per-column bloom prunes the file —
+    * the high-cardinality-key case min/max stats cannot help with (every
+    * file spans the domain). Files without a bloom for the column, and
+    * non-equality constraints, are untouched. The probe hashes the same
+    * canonical string the build hashed (bloom columns are restricted to
+    * integral/string types for exactly this determinism). */
+  private def bloomKeep(f: AddFile, c: ColRange): Boolean =
+    (c.lower, c.upper) match {
+      case (Some(lo), Some(up)) if lo == up =>
+        Bloom.ofFile(f, c.column) match {
+          case Some(bits) =>
+            val s = lo match {
+              case Bound.Num(v) => v.toString
+              case Bound.Str(v) => v
+            }
+            Bloom.mightContain(bits, Bloom.hashLiteral(s))
+          case None => true
+        }
+      case _ => true
     }
 }
 

@@ -2095,6 +2095,54 @@ object GwCore {
     } finally hconf.unset("graft.checkpoint.partSize")
   }
 
+  // ---------------------------------------------------------------- gw57
+  /** Bloom-filter file skipping: the point-lookup case min/max stats
+    * cannot touch — orders written in four `o_orderkey % 4` slices, so
+    * EVERY file's key range spans the whole domain and range stats prune
+    * nothing, while the per-file bloom (graft.bloom.columns) answers
+    * membership from the LOG. Pinned: each point lookup plans at most 2
+    * of the 4 files (exactly 1 modulo the documented ~1e-4 FP rate), a
+    * key that exists nowhere scans to zero rows, and the blooms survive
+    * the log round trip (they ride the stats JSON). Pruning is
+    * conservative by construction — the content compare is the proof. */
+  def gw57BloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw57")
+    val loc = tmp.resolve("db/orders").toString
+    val src = spark.read.parquet(s"$dir/orders.parquet")
+    (0 until 4).foreach { m =>
+      graft.streaming.GwSink.append(
+        src.filter(col("o_orderkey") % 4 === m).coalesce(1), loc,
+        bootstrapProps = Map(graft.log.Bloom.ColumnsProp -> "o_orderkey"))
+    }
+    val t = GwTable.forPath(spark, loc)
+    require(t.snapshot().files.forall(f =>
+      graft.log.Bloom.ofFile(f, "o_orderkey").isDefined),
+      "every committed file must carry the o_orderkey bloom")
+    val keys = src.orderBy("o_orderkey").limit(3)
+      .collect().map(_.getLong(0))
+    def planned(k: Long): Int =
+      spark.read.format("gwdelta").load(loc)
+        .filter(col("o_orderkey") === k)
+        .queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan.asInstanceOf[
+                org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+              .fileIndex.inputFiles.length
+        }.head
+    keys.foreach(k => require(planned(k) <= 2,
+      s"bloom must prune to <=2 of 4 files for key $k, planned ${planned(k)}"))
+    // a key no file contains: every bloom misses, nothing is read
+    require(spark.read.format("gwdelta").load(loc)
+      .filter(col("o_orderkey") === -1L).count() == 0L)
+    keys.map(k => spark.read.format("gwdelta").load(loc)
+        .filter(col("o_orderkey") === k))
+      .reduce(_ unionAll _)
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s",
+        "o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -2152,6 +2200,7 @@ object GwCore {
     "gw54_vacuum_dry_run" -> gw54VacuumDryRun _,
     "gw55_restore_timestamp" -> gw55RestoreTimestamp _,
     "gw56_multipart_checkpoint" -> gw56MultipartCheckpoint _,
+    "gw57_bloom_skipping" -> gw57BloomSkipping _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2458,5 +2507,12 @@ object GwCore {
     "gw56_multipart_checkpoint" ->
       """SELECT r_regionkey, r_name
         |FROM region, (SELECT unnest(generate_series(1, 11)))""".stripMargin,
+    // the three smallest order keys' rows, found through bloom skipping
+    "gw57_bloom_skipping" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        | o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY 1 LIMIT 3)""".stripMargin,
   )
 }

@@ -69,8 +69,13 @@ object GwSink {
     val files: Seq[AddFile] =
       graft.sources.SchemaProbe.harvestPartitioned(conf, outDir, dataChange = true, parts)
     if (files.isEmpty) { fs.delete(outDir, true); return -1L }
-    val v = commitAppend(log, df.schema, files, txnId, parts, readMeta, widened,
-      bootstrapProps, userMetadata)
+    // per-file Bloom build for tables declaring graft.bloom.columns (one
+    // extra columnar pass over the fresh files; no-op otherwise)
+    val withBlooms = graft.log.Bloom.augment(spark,
+      readMeta.map(_.configuration).getOrElse(bootstrapProps),
+      readMeta.map(_.schemaString), files)
+    val v = commitAppend(log, df.schema, withBlooms, txnId, parts, readMeta,
+      widened, bootstrapProps, userMetadata)
     maybeAutoCompact(spark, log, tablePath)
     v
   }
@@ -453,9 +458,12 @@ object GwSink {
     val parts = effectivePartitioning(log, df, partitionBy)
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
     stageWrite(physicalFrame(df, readMeta), outDir, parts)
-    val files: Seq[AddFile] =
+    val files0: Seq[AddFile] =
       graft.sources.SchemaProbe.harvestPartitioned(conf, outDir, dataChange = true, parts)
-    if (files.isEmpty) outDir.getFileSystem(conf).delete(outDir, true)
+    if (files0.isEmpty) outDir.getFileSystem(conf).delete(outDir, true)
+    val files = graft.log.Bloom.augment(spark,
+      readMeta.map(_.configuration).getOrElse(bootstrapProps),
+      readMeta.map(_.schemaString), files0)
     commitReplayable(log, txnId) { bootstrap =>
       val freshMeta = if (bootstrap) None else log.snapshot(None).metadata
       if (!bootstrap)
