@@ -110,20 +110,23 @@ final case class Snapshot(
     * non-equality constraints, are untouched. The probe hashes the same
     * canonical string the build hashed (bloom columns are restricted to
     * integral/string types for exactly this determinism). */
-  private def bloomKeep(f: AddFile, c: ColRange): Boolean =
-    (c.lower, c.upper) match {
+  private def bloomKeep(f: AddFile, c: ColRange): Boolean = {
+    def hit(bits: Array[Byte], b: Bound): Boolean = {
+      val s = b match {
+        case Bound.Num(v) => v.toString
+        case Bound.Str(v) => v
+      }
+      Bloom.mightContain(bits, Bloom.hashLiteral(s))
+    }
+    if (c.anyOf.nonEmpty)
+      // IN-list: the file survives iff ANY member might be present
+      Bloom.ofFile(f, c.column).forall(bits => c.anyOf.exists(hit(bits, _)))
+    else (c.lower, c.upper) match {
       case (Some(lo), Some(up)) if lo == up =>
-        Bloom.ofFile(f, c.column) match {
-          case Some(bits) =>
-            val s = lo match {
-              case Bound.Num(v) => v.toString
-              case Bound.Str(v) => v
-            }
-            Bloom.mightContain(bits, Bloom.hashLiteral(s))
-          case None => true
-        }
+        Bloom.ofFile(f, c.column).forall(hit(_, lo))
       case _ => true
     }
+  }
 }
 
 /**
@@ -172,7 +175,11 @@ final case class ColRange(
     column: String,
     lower: Option[Bound],
     upper: Option[Bound],
-    minStatsVersion: Int = 0)
+    minStatsVersion: Int = 0,
+    /** Non-empty = the constraint is `column IN anyOf` (lower/upper carry
+      * the set's [min, max] for range pruning); bloom probing then keeps a
+      * file iff ANY member might be present. */
+    anyOf: Seq[Bound] = Nil)
 
 object Snapshot {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

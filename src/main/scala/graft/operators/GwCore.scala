@@ -2135,6 +2135,17 @@ object GwCore {
     // a key no file contains: every bloom misses, nothing is read
     require(spark.read.format("gwdelta").load(loc)
       .filter(col("o_orderkey") === -1L).count() == 0L)
+    // IN-lists probe per member: three keys can touch at most three files
+    val inPlanned = spark.read.format("gwdelta").load(loc)
+      .filter(col("o_orderkey").isin(keys.map(Long.box): _*))
+      .queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
+      }.head
+    require(inPlanned <= 3,
+      s"IN-list bloom must prune to <=3 of 4 files, planned $inPlanned")
     keys.map(k => spark.read.format("gwdelta").load(loc)
         .filter(col("o_orderkey") === k))
       .reduce(_ unionAll _)

@@ -455,7 +455,8 @@ object GwStatsPruning {
         // mixed-kind lists can't sort meaningfully; same-kind lists can
         if (sorted.sliding(2).forall(p => p.size < 2 || Bound.cmp(p(0), p(1)).isDefined))
           Seq(ColRange(a.name, sorted.headOption, sorted.lastOption,
-            vs.map(v => minStatsVersion(v.asInstanceOf[Literal])).max))
+            vs.map(v => minStatsVersion(v.asInstanceOf[Literal])).max,
+            anyOf = sorted))
         else Nil
       }
     // col LIKE 'abc%': matching strings are >= 'abc' and < prefixSuccessor

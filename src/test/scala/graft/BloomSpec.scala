@@ -56,6 +56,15 @@ class BloomSpec extends SparkSpec {
       Some(Bound.Num(BigDecimal(999))), Some(Bound.Num(BigDecimal(999))))) == 0)
     assert(plannedFor(ColRange("n_nationkey",
       Some(Bound.Num(BigDecimal(0))), Some(Bound.Num(BigDecimal(24))))) == 2)
+    // IN-list constraints probe the bloom per member: {4, 6} both live in
+    // the even file; {4, 7} straddles; {990, 999} hits nothing
+    def inRange(vs: Int*): ColRange = {
+      val bs = vs.map(v => Bound.Num(BigDecimal(v)))
+      ColRange("n_nationkey", Some(bs.head), Some(bs.last), anyOf = bs)
+    }
+    assert(plannedFor(inRange(4, 6)) == 1)
+    assert(plannedFor(inRange(4, 7)) == 2)
+    assert(plannedFor(inRange(990, 999)) == 0)
     // full contents still read correctly through the connector
     assert(spark.read.format("gwdelta").load(dir).count() == 25)
     // maintenance rewrite drops blooms without breaking anything
