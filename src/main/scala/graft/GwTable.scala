@@ -290,7 +290,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
   private def vacuumImpl(retentionMs: Long, dryRun: Boolean): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ownedDirs = Seq("_compacted", "_stream", "_dml", "_dv", "_change_data",
-        "_clone")
+        "_clone", "_bloom")
       .map(new Path(tablePath, _))
     val fs = ownedDirs.head.getFileSystem(conf)
     val presentDirs = ownedDirs.filter(fs.exists)
@@ -304,7 +304,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val live = liveSnap.files.map(f => GwTable.uriKey(f.path)).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     val markers = Seq("/_compacted/", "/_stream/", "/_dml/", "/_dv/",
-      "/_change_data/", "/_clone/")
+      "/_change_data/", "/_clone/", "/_bloom/")
     def owned(p: String): Boolean = markers.exists(p.contains)
     // walk the log once: latest removal tombstone per engine-owned path (a
     // later re-add cancels it) + every owned path any commit ever referenced
@@ -319,6 +319,9 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     // current table state reads through
     liveSnap.files.flatMap(_.dv).filter(_.isOnDisk)
       .foreach(d => referenced += GwTable.uriKey(d.pathOrInlineDv))
+    // bloom sidecars referenced by the LIVE snapshot's stats, same reason
+    liveSnap.files.flatMap(graft.log.Bloom.sidecarPaths)
+      .foreach(p => referenced += GwTable.uriKey(p))
     gwLog.listVersions().foreach { v =>
       gwLog.readVersion(v).foreach {
         case r: graft.log.RemoveFile if owned(r.path) =>
@@ -330,6 +333,10 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
           }
           a.dv.filter(_.isOnDisk).foreach(d =>
             referenced += GwTable.uriKey(d.pathOrInlineDv))
+          // bloom sidecars live as long as any log version's adds
+          // reference them (the DV lifetime policy)
+          graft.log.Bloom.sidecarPaths(a).foreach(p =>
+            referenced += GwTable.uriKey(p))
         // change-data files are referenced by their commit for as long as
         // the log serves that version (same lifetime policy as on-disk DV
         // sidecars); only UNCOMMITTED cdc output is debris-swept
@@ -1186,8 +1193,25 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         // a re-assertion is a data change for consumers even when the
         // original add was a compaction's dataChange=false — rows reappear
         .map(_.copy(dataChange = true))
+      // the row-tracking high-water mark must stay MONOTONE across
+      // RESTORE: restating the target's metadata verbatim would rewind it
+      // and let assignRowIds re-issue id ranges already bound to files
+      // committed after the target version — the same __gw_row_id would
+      // then name two different rows. Carry forward the max of both marks
+      // (Delta keeps the mark monotone across RESTORE for the same reason).
+      val hwKey = "graft.rowTracking.highWaterMark"
+      def hwOf(m: Option[graft.log.Metadata]): Option[Long] =
+        m.flatMap(_.configuration.get(hwKey)).flatMap(s =>
+          scala.util.Try(s.toLong).toOption)
+      val restatedTarget = target.metadata.map { tm =>
+        (hwOf(cur.metadata), hwOf(Some(tm))) match {
+          case (Some(curHw), tgtHw) if tgtHw.forall(_ < curHw) =>
+            tm.copy(configuration = tm.configuration + (hwKey -> curHw.toString))
+          case _ => tm
+        }
+      }
       val meta: Seq[Action] =
-        if (target.metadata == cur.metadata) Nil else target.metadata.toSeq
+        if (restatedTarget == cur.metadata) Nil else restatedTarget.toSeq
       val info = CommitInfo(now, "RESTORE", s"toVersion=$version",
         numFiles = adds.size, numOutputBytes = 0,
         isBlindAppend = false, txnId = java.util.UUID.randomUUID().toString)
@@ -1769,15 +1793,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
             .getOrElse(throw new IllegalArgumentException(
               s"bloom column '$c' is not in the table schema " +
                 s"(${schemaV.fieldNames.mkString(", ")})"))
-          val ok = field.dataType match {
-            case org.apache.spark.sql.types.ByteType |
-                 org.apache.spark.sql.types.ShortType |
-                 org.apache.spark.sql.types.IntegerType |
-                 org.apache.spark.sql.types.LongType |
-                 org.apache.spark.sql.types.StringType => true
-            case _ => false
-          }
-          require(ok, s"bloom column '$c' must be an integral or string " +
+          require(graft.log.Bloom.hashableType(field.dataType),
+            s"bloom column '$c' must be an integral or string " +
             s"type (canonical-string hashing), got ${field.dataType.sql}")
         }
       }

@@ -620,15 +620,41 @@ object Pipelines {
    * IEEE in any engine, and the rate collapses to an integer permille
    * before thresholding — the whole pipeline replays in SQL.
    */
-  def temperatureSample(df: DataFrame, group: Column, id: Column): DataFrame = {
-    val counts = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+  def temperatureSample(df: DataFrame, group: Column, id: Column,
+      maxGroups: Int = 100000): DataFrame = {
+    // the per-group count row set is collected (metadata scale for real
+    // source columns: languages, domains, datasets) — a caller passing a
+    // high-cardinality group (a doc id, a URL) would silently turn this
+    // into an O(corpus) driver materialization, so the cardinality is
+    // guarded LOUDLY: count first (cheap, distributed), fail with
+    // guidance before collecting anything
+    val grouped = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+    val nGroups = grouped.count()
+    require(nGroups <= maxGroups,
+      s"temperatureSample: $nGroups distinct groups exceeds maxGroups=" +
+        s"$maxGroups — the per-source rate table is driver-resident by " +
+        "design (sources are metadata scale); pass a coarser group " +
+        "column (language, domain, dataset), or raise maxGroups " +
+        "deliberately if your source taxonomy is genuinely this large")
+    val counts = grouped
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "temperatureSample: empty input")
     val minN = counts.values.min
-    val permille = counts.map { case (g, n) =>
-      g -> math.round(1000.0 * math.sqrt(minN.toDouble / n)).toInt
+    // selection via a BROADCAST rate table, not mixtureSample's literal
+    // when-chain: a data-derived group set can be thousands of sources,
+    // and a when-chain that deep overflows the analyzer's stack (the
+    // chain shape is for small hand-written mixture maps). Same
+    // semantics: deterministic md5-prefix bucket < per-group threshold.
+    val rates = counts.toSeq.map { case (g, n) =>
+      (g, hexThreshold(math.round(1000.0 * math.sqrt(minN.toDouble / n)).toInt))
     }
-    mixtureSample(df, group, id, permille)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toDF("__g", "__thr")
+    df.withColumn("bucket", substring(md5(id.cast("string")), 1, 4))
+      .join(broadcast(rateDf), group === col("__g"))
+      .filter(col("bucket") < col("__thr"))
+      .drop("__g", "__thr")
   }
 
   private[graft] def hexThreshold(permille: Int): String = {
@@ -1004,14 +1030,35 @@ object Pipelines {
    * reported set is deterministic regardless.
    */
   def hammingNearDupPairs(codes: DataFrame, id: Column, bits: Column,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, bucketCap: Int = 65536): DataFrame = {
     require(maxHamming >= 0, s"negative maxHamming: $maxHamming")
     val base = codes.select(id.as("__hid"), bits.as("__hbits"))
-    val chunks = base.select(col("__hid"), col("__hbits"), posexplode(
+    val chunks0 = base.select(col("__hid"), col("__hbits"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("__hbits"), c * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
+    // Skew guard, same shape as the LSH paths' capBucketMembers: a
+    // (chunk, chunk_val) bucket of m members generates m²/2 candidates,
+    // and duplicate-heavy corpora produce EXACTLY that degeneracy
+    // (boilerplate pages collapsing to one SimHash, solid-color images
+    // sharing aHash chunks) — at 100 TB one hot bucket is a straggler
+    // that never finishes. Keep at most `bucketCap` members per bucket,
+    // ranked by a seedless hash of the id (deterministic across runs and
+    // partitionings); candidates are then bounded by cap²/2 per bucket no
+    // matter how adversarial the corpus. The ≤3-bit pigeonhole recall
+    // guarantee becomes CAP-CONDITIONAL: complete for every pair whose
+    // agreeing chunk's bucket holds ≤ cap members — mass dense enough to
+    // overflow a bucket is better handled by exact dedup upstream.
+    // cap <= 0 disables.
+    val chunks =
+      if (bucketCap <= 0) chunks0
+      else {
+        val w = Window.partitionBy("chunk", "chunk_val")
+          .orderBy(xxhash64(col("__hid")), col("__hid"))
+        chunks0.withColumn("__hrank", row_number().over(w))
+          .filter(col("__hrank") <= bucketCap).drop("__hrank")
+      }
     chunks.select(col("chunk"), col("chunk_val"), col("__hid").as("doc_a"), col("__hbits").as("sim_a"))
       .join(chunks.select(col("chunk"), col("chunk_val"), col("__hid").as("doc_b"), col("__hbits").as("sim_b")),
         Seq("chunk", "chunk_val"))

@@ -168,8 +168,9 @@ package object api {
 
     /** Temperature-flattened source mixture (sqrt scaling, t20);
       * see [[Pipelines.temperatureSample]]. */
-    def temperatureSample(group: Column, id: Column): DataFrame =
-      Pipelines.temperatureSample(df, group, id)
+    def temperatureSample(group: Column, id: Column,
+        maxGroups: Int = 100000): DataFrame =
+      Pipelines.temperatureSample(df, group, id, maxGroups)
 
     /** PII redaction with typed tokens + per-kind counts (t12);
       * see [[Pipelines.redactPii]]. */
@@ -177,8 +178,9 @@ package object api {
 
     /** Hamming near-dup pairs over 64-bit codes (SimHash / perceptual
       * hashes); see [[Pipelines.hammingNearDupPairs]]. */
-    def hammingNearDupPairs(id: Column, bits: Column, maxHamming: Int): DataFrame =
-      Pipelines.hammingNearDupPairs(df, id, bits, maxHamming)
+    def hammingNearDupPairs(id: Column, bits: Column, maxHamming: Int,
+        bucketCap: Int = 65536): DataFrame =
+      Pipelines.hammingNearDupPairs(df, id, bits, maxHamming, bucketCap)
 
     def mixtureSample(group: Column, id: Column, weightsPermille: Map[String, Int],
         defaultPermille: Int = 1000): DataFrame =

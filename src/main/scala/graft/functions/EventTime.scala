@@ -61,9 +61,19 @@ object EventTime {
     case _        => statValue
   }
 
+  // per-session memo of the UTC assertion: the check is plan-time, but
+  // every event-time query funnels through it and `conf.get` walks the
+  // session-state conf chain — one weak-keyed lookup per session instead
+  // of one per call (sessions that flip the zone mid-life are out of
+  // contract; the assertion exists to catch a misconfigured HARNESS)
+  private val utcChecked =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+
   private def requireUtcIfWallClock(df: DataFrame, dt: DataType, name: String): Unit =
     if (dt == TimestampNTZType) {
-      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+      val tz = utcChecked.computeIfAbsent(df.sparkSession,
+        s => s.conf.get("spark.sql.session.timeZone"))
       require(Set("UTC", "Etc/UTC", "GMT", "Z").contains(tz),
         s"event-time column `$name` is TIMESTAMP_NTZ (zoneless wall-clock); interpreting " +
           s"it as an instant requires spark.sql.session.timeZone=UTC (found '$tz') so the " +

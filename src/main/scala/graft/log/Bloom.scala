@@ -9,28 +9,45 @@ import org.apache.spark.sql.functions._
  * defeats range stats completely: every file's [min, max] spans the whole
  * domain, so `WHERE key = x` opens every file. An opt-in per-file Bloom
  * over the key column (`graft.bloom.columns = 'c1,c2'` table property)
- * answers "is x POSSIBLY in this file" from the LOG, before any file
- * opens — a miss prunes the file exactly like a stats miss, a maybe keeps
- * it (false positives only cost a read; pruning is always conservative).
+ * answers "is x POSSIBLY in this file" before any file opens — a miss
+ * prunes the file exactly like a stats miss, a maybe keeps it (false
+ * positives only cost a read; pruning is always conservative).
  *
  * Encoding: per (file, column), `k = 4` probes into an `m`-bit array,
- * positions taken from disjoint 22-bit windows of `xxhash64` of the
- * value's CANONICAL STRING (the one hash both the executor build and the
- * driver-side literal probe compute identically — which is why bloom
- * columns are restricted to integral/string types: their cast-to-string
- * is unambiguous). `m` sizes by the file's row count (20 bits/row,
- * clamped to [2^14, 2^22]) — FP stays ~1e-4 for typical file sizes; a
- * multi-million-row file saturates toward keep-everything, degrading to
- * exactly the no-bloom behavior (parquet's own internal bloom filters
- * remain the rowgroup-level tool at that granularity). The bitset rides
- * the AddFile's stats JSON (`gwBloom`), so it survives checkpoints and
- * costs nothing to read paths that never probe it.
+ * positions by DOUBLE HASHING (`h1 + i*h2` over the two 32-bit halves of
+ * `xxhash64` of the value's CANONICAL STRING — the one hash both the
+ * executor build and the driver-side literal probe compute identically,
+ * which is why bloom columns are restricted to integral/string types:
+ * their cast-to-string is unambiguous). `h2` is forced odd so every probe
+ * walks a full-period stride mod the power-of-two `m` — four genuinely
+ * independent positions (a windowed scheme can only cut <= 64 bits into
+ * overlapping windows). `m` sizes by the file's row count (20 bits/row,
+ * clamped to [2^14, 2^22]) — FP stays ~1e-4 for typical file sizes.
+ *
+ * Storage: bitsets live in SIDECAR files under `<table>/_bloom/` (the
+ * deletion-vector pattern — one sidecar per build task, each (file,
+ * column) bitset at a recorded offset). The AddFile's stats JSON carries
+ * only the tiny descriptor (`gwBloomRef`: path/offset/length/crc), so the
+ * LOG grows O(1) per file no matter how large the filters are — at 100 TB
+ * file counts, log-resident bitsets would add GBs to every checkpoint and
+ * to the driver's replay footprint. Bitsets load LAZILY, only when a
+ * point-lookup constraint actually probes the column, through a bounded
+ * in-memory cache; a missing/corrupt sidecar degrades to "keep the file"
+ * (CRC-verified — torn bytes must never fabricate a definite miss).
+ * A filter whose fill ratio exceeds [[Bloom.MaxFill]] is NOT persisted at
+ * all: past ~50% occupancy the FP rate (~fill^k) has lost its pruning
+ * power, which is precisely the multi-million-row-file regime — paying
+ * storage for a filter that keeps everything is the worst of both worlds
+ * (parquet's own internal bloom filters remain the rowgroup-level tool at
+ * that granularity).
  *
  * Scale: the build is ONE extra columnar pass over the freshly written
- * files (only the bloom columns are read), grouped per file executor-side
- * — the driver receives one base64 string per (file, column), metadata
- * scale. Maintenance rewrites drop blooms (min/max still harvested);
- * re-appending through the engine rebuilds them.
+ * files (only the bloom columns are read), grouped per file executor-side;
+ * sidecars are written by the build tasks themselves, so the driver only
+ * ever sees descriptors — metadata scale. Vacuum owns `_bloom/`: sidecars
+ * survive as long as any log version references them and are debris-swept
+ * afterwards, the DV lifetime policy. Maintenance rewrites drop blooms
+ * (min/max still harvested); re-appending through the engine rebuilds.
  */
 object Bloom {
 
@@ -40,9 +57,42 @@ object Bloom {
   val MaxBits = 1 << 22
   val BitsPerRow = 20L
 
+  /** Fill ratio above which a built filter is discarded, not persisted:
+    * FP ≈ fill^k is already ~6% at 0.5 and collapses toward 1 as the
+    * clamp saturates — storing it would cost bytes to prune nothing. */
+  val MaxFill = 0.5
+
   def columnsOf(config: Map[String, String]): Seq[String] =
     config.get(ColumnsProp).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Canonical-string hashing is only deterministic for types whose
+    * cast-to-string has one rendering on both build and probe sides —
+    * integrals and strings. Enforced at `ALTER TABLE` time, but ALSO at
+    * build time ([[augment]] filters by the actual schema): the property
+    * can arrive via bootstrap props or a foreign-written configuration,
+    * and a timestamp/double/decimal bloom would hash strings the probe's
+    * canonical form never matches — a guaranteed miss that silently
+    * prunes matching rows. */
+  def hashableType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.StringType => true
+    case _ => false
+  }
+
+  /** Persist-worthiness: past [[MaxFill]] occupancy the filter keeps
+    * ~everything — storing it would pay bytes for no pruning. This is the
+    * multi-million-row regime where the size clamp saturates: the cost is
+    * highest exactly where the benefit is lowest, so saturated filters
+    * are dropped instead of persisted. */
+  def worthPersisting(bits: Array[Byte]): Boolean = {
+    var pop = 0L
+    bits.foreach(b => pop += java.lang.Integer.bitCount(b & 0xff))
+    pop <= bits.length * 8L * MaxFill
+  }
 
   def bitsFor(rows: Long): Int = {
     var m = MinBits
@@ -50,13 +100,17 @@ object Bloom {
     m
   }
 
-  /** The k probe positions of a value hash in an m-bit array: disjoint
-    * 22-bit windows of the 64-bit hash, masked to m (a power of two). */
+  /** The k probe positions of a value hash in an m-bit array (m a power
+    * of two): double hashing `h1 + i*h2` from the two 32-bit halves of
+    * the 64-bit hash, `h2` forced odd (coprime to m → full-period
+    * stride, all k positions independent). */
   def positions(h: Long, mBits: Int): Array[Int] = {
+    val h1 = h.toInt
+    val h2 = (h >>> 32).toInt | 1
     val out = new Array[Int](Probes)
     var i = 0
     while (i < Probes) {
-      out(i) = ((h >>> (i * 22)) & (mBits - 1)).toInt
+      out(i) = (h1 + i * h2) & (mBits - 1)
       i += 1
     }
     out
@@ -81,34 +135,124 @@ object Bloom {
         org.apache.spark.sql.types.StringType)), 42L)
       .eval(null).asInstanceOf[Long]
 
-  /** A file's serialized bloom for `column` from its stats JSON, if any. */
-  def ofFile(f: AddFile, column: String): Option[Array[Byte]] =
-    f.stats.flatMap { s =>
+  /** Sidecar descriptor of one (file, column) bitset, as recorded in the
+    * stats JSON under `gwBloomRef.<column>`: absolute sidecar `p`ath,
+    * byte `o`ffset, `l`ength, and the bitset's `c`rc32 (torn or stale
+    * bytes must degrade to "no bloom", never to a fabricated miss). */
+  final case class Ref(path: String, offset: Long, length: Int, crc: Long)
+
+  private val mapperTL = new ThreadLocal[com.fasterxml.jackson.databind.ObjectMapper] {
+    override def initialValue() = new com.fasterxml.jackson.databind.ObjectMapper()
+  }
+
+  /** The sidecar descriptor for `column` in a file's stats JSON, if any. */
+  def refOf(f: AddFile, column: String): Option[Ref] =
+    f.stats.filter(_.contains("gwBloomRef")).flatMap { s =>
       scala.util.Try {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(s).path("gwBloom").path(column)
-        if (node.isTextual)
-          Some(java.util.Base64.getDecoder.decode(node.asText()))
+        val node = mapperTL.get.readTree(s).path("gwBloomRef").path(column)
+        if (node.isObject)
+          Some(Ref(node.path("p").asText(), node.path("o").asLong(),
+            node.path("l").asInt(), node.path("c").asLong()))
         else None
       }.toOption.flatten
     }
 
+  /** Every sidecar path a file's stats reference — vacuum's ownership
+    * walk (sidecars must outlive every log version whose adds point at
+    * them, the DV lifetime policy). */
+  def sidecarPaths(f: AddFile): Seq[String] =
+    f.stats.filter(_.contains("gwBloomRef")).toSeq.flatMap { s =>
+      scala.util.Try {
+        val node = mapperTL.get.readTree(s).path("gwBloomRef")
+        val it = node.fieldNames()
+        val out = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val p = node.path(it.next()).path("p")
+          if (p.isTextual) out += p.asText()
+        }
+        out.result()
+      }.getOrElse(Nil)
+    }.distinct
+
+  // Bounded LRU over loaded bitsets, keyed by descriptor. A snapshot
+  // probe touches each (file, column) once per query; repeated point
+  // lookups on a warm table plan entirely from here. Access-ordered,
+  // capped by total bitset bytes.
+  private val CacheMaxBytes = 64L << 20
+  private val cacheBytes = new java.util.concurrent.atomic.AtomicLong(0)
+  private val cache =
+    new java.util.LinkedHashMap[Ref, Array[Byte]](128, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Ref, Array[Byte]]): Boolean =
+        if (cacheBytes.get > CacheMaxBytes) {
+          cacheBytes.addAndGet(-e.getValue.length.toLong); true
+        } else false
+    }
+
+  /** A file's bitset for `column`, lazily loaded from its sidecar.
+    * Any failure — missing sidecar (vacuumed under a stale snapshot,
+    * deep-cloned table whose source is gone), short read, CRC mismatch —
+    * yields None: the probe keeps the file, pruning stays conservative. */
+  def ofFile(f: AddFile, column: String): Option[Array[Byte]] =
+    refOf(f, column).flatMap(load)
+
+  private def load(ref: Ref): Option[Array[Byte]] = {
+    cache.synchronized(Option(cache.get(ref))) match {
+      case some @ Some(_) => some
+      case None =>
+        val loaded = scala.util.Try {
+          val conf = SparkSession.getActiveSession
+            .map(_.sparkContext.hadoopConfiguration)
+            .getOrElse(new org.apache.hadoop.conf.Configuration())
+          val p = new org.apache.hadoop.fs.Path(ref.path)
+          val in = p.getFileSystem(conf).open(p)
+          try {
+            val buf = new Array[Byte](ref.length)
+            in.readFully(ref.offset, buf)
+            val crc = new java.util.zip.CRC32()
+            crc.update(buf)
+            if (crc.getValue == ref.crc) Some(buf) else None
+          } finally in.close()
+        }.toOption.flatten
+        loaded.foreach { b =>
+          cache.synchronized {
+            if (cache.put(ref, b) == null) cacheBytes.addAndGet(b.length.toLong)
+          }
+        }
+        loaded
+    }
+  }
+
   /** Build per-file blooms for the table's declared bloom columns over
-    * freshly written `files` and fold them into each AddFile's stats.
-    * One pass, grouped per file executor-side; column-mapped tables skip
-    * (logical/physical name translation is not plumbed here). */
+    * freshly written `files`: one columnar pass, bitsets grouped per file
+    * executor-side, each build task writing ONE sidecar under
+    * `<tablePath>/_bloom/` and returning only descriptors to the driver
+    * (metadata scale). Saturated filters (fill > [[MaxFill]]) are
+    * dropped. Columns whose actual type is not canonically hashable are
+    * skipped regardless of how the property entered the configuration.
+    * Column-mapped tables skip (logical/physical name translation is not
+    * plumbed here). */
   def augment(spark: SparkSession, config: Map[String, String],
-      schemaJson: Option[String], files: Seq[AddFile]): Seq[AddFile] = {
+      schemaJson: Option[String], tablePath: String,
+      files: Seq[AddFile]): Seq[AddFile] = {
     val cols = columnsOf(config)
     if (cols.isEmpty || files.isEmpty) return files
     if (schemaJson.exists(_.contains(ColumnMapping.PhysicalNameKey))) return files
     val raw = spark.read.parquet(files.map(_.path): _*)
-    val present = cols.filter(raw.columns.contains)
+    val present = cols.filter(c => raw.schema.fields.exists(f =>
+      f.name == c && hashableType(f.dataType)))
     if (present.isEmpty) return files
     val hashed: DataFrame = raw.select(
       col("_metadata.file_path").as("__enc") +:
         present.map(c => xxhash64(col(c).cast("string")).as(c)): _*)
-    val perFile: Map[String, Seq[(String, String)]] = hashed
+    val sconf = new graft.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val sidecarDir = new org.apache.hadoop.fs.Path(tablePath, "_bloom").toString
+    val runId = java.util.UUID.randomUUID().toString
+    // per file: hash all values of each bloom column, fold into a bitset
+    // sized by the file's row count; per TASK: stream the surviving
+    // bitsets into one sidecar, emitting (file, column, ref)
+    val refs: Seq[(String, Seq[(String, Ref)])] = hashed
       .groupByKey(r => r.getString(0))(Encoders.STRING)
       .mapGroups { (enc, rows) =>
         val hs = present.map(_ => scala.collection.mutable.ArrayBuffer.empty[Long])
@@ -122,30 +266,64 @@ object Bloom {
           }
         }
         val m = bitsFor(n)
-        val encoded = present.zipWithIndex.map { case (c, i) =>
+        val bitsets = present.zipWithIndex.flatMap { case (c, i) =>
           val bits = new Array[Byte](m / 8)
           hs(i).foreach(h => set(bits, h))
-          c -> java.util.Base64.getEncoder.encodeToString(bits)
+          if (worthPersisting(bits)) Some(c -> bits) else None
         }
-        (enc, encoded)
-      }(Encoders.product[(String, Seq[(String, String)])])
-      .collect().toMap
+        (enc, bitsets)
+      }(Encoders.product[(String, Seq[(String, Array[Byte])])])
+      .mapPartitions { groups =>
+        if (!groups.hasNext) Iterator.empty
+        else {
+          // attempt id in the name: a retried/speculated task writes its
+          // own sidecar instead of colliding with a half-written one (the
+          // loser's file becomes unreferenced debris, vacuum-swept)
+          val tc = org.apache.spark.TaskContext.get()
+          val out = new org.apache.hadoop.fs.Path(
+            s"$sidecarDir/$runId-p${tc.partitionId()}-a${tc.taskAttemptId()}.bin")
+          val fs = out.getFileSystem(sconf.value)
+          val os = fs.create(out, false)
+          val collected = Seq.newBuilder[(String, Seq[(String, Ref)])]
+          var offset = 0L
+          try {
+            groups.foreach { case (enc, bitsets) =>
+              val refs = bitsets.map { case (c, bits) =>
+                val crc = new java.util.zip.CRC32()
+                crc.update(bits)
+                os.write(bits)
+                val r = c -> Ref(out.toString, offset, bits.length, crc.getValue)
+                offset += bits.length
+                r
+              }
+              collected += ((enc, refs))
+            }
+          } finally os.close()
+          if (offset == 0L) fs.delete(out, false) // all filters saturated
+          collected.result().iterator
+        }
+      }(Encoders.product[(String, Seq[(String, Ref)])])
+      .collect().toIndexedSeq
     // scanned paths come back URL-encoded and fully qualified; normalize
     // both sides onto the same key form the engine uses everywhere
-    val byKey = perFile.map { case (enc, v) =>
+    val byKey = refs.map { case (enc, v) =>
       graft.GwTable.uriKeyScanned(enc) -> v
-    }
+    }.toMap
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     files.map { f =>
-      byKey.get(graft.GwTable.uriKey(f.path)) match {
+      byKey.get(graft.GwTable.uriKey(f.path)).filter(_.nonEmpty) match {
         case None => f
-        case Some(blooms) =>
+        case Some(colRefs) =>
           val root = f.stats
             .flatMap(s => scala.util.Try(mapper.readTree(s)).toOption)
             .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
             .getOrElse(mapper.createObjectNode())
-          val bn = root.putObject("gwBloom")
-          blooms.foreach { case (c, b64) => bn.put(c, b64) }
+          val bn = root.putObject("gwBloomRef")
+          colRefs.foreach { case (c, r) =>
+            val o = bn.putObject(c)
+            o.put("p", r.path); o.put("o", r.offset)
+            o.put("l", r.length); o.put("c", r.crc)
+          }
           f.copy(stats = Some(mapper.writeValueAsString(root)))
       }
     }

@@ -83,6 +83,41 @@ final case class Snapshot(
     afterPartition.filter(f => statsKeep(f, constraints))
   }
 
+  /** Per-column recorded type widenings (`gwTypeChanges` field metadata,
+    * written by ALTER COLUMN TYPE): `column -> Seq((fromTypeName,
+    * toTypeName))`. Stats and blooms are harvested under the type a file
+    * was WRITTEN with; a widening that changes the canonical encoding
+    * makes pre-widening entries unsound to probe — date stats store epoch
+    * DAYS while a timestamp_ntz constraint arrives in MICROS, and a bloom
+    * built over `'42'` never matches a probe for `'42.0'`. Per-file
+    * vintage is not recoverable (files don't carry a commit version
+    * outside row tracking), so pruning DISABLES itself for the affected
+    * column entirely — conservative: every file is kept, never one too
+    * few. Range stats stay sound for purely numeric widenings (bounds
+    * compare as BigDecimal), so only encoding-changing pairs disable
+    * them; the bloom's canonical string changes under ANY widening. */
+  private lazy val typeChangedCols: Map[String, Seq[(String, String)]] =
+    schema.fields.iterator.flatMap { f =>
+      val m = Option(f.metadata).filter(_.contains("gwTypeChanges"))
+        .map(_.getString("gwTypeChanges"))
+      m.map { s =>
+        f.name -> s.split(";").toSeq.flatMap { entry =>
+          entry.split("@").head.split("->") match {
+            case Array(from, to) => Some((from, to))
+            case _ => None
+          }
+        }
+      }
+    }.toMap
+
+  private lazy val rangeUnsafeCols: Set[String] =
+    typeChangedCols.collect {
+      case (c, pairs) if pairs.exists { case (from, to) =>
+        from == "date" && to.startsWith("timestamp") } => c
+    }.toSet
+
+  private lazy val bloomUnsafeCols: Set[String] = typeChangedCols.keySet
+
   private def statsKeep(f: AddFile, constraints: Seq[ColRange]): Boolean =
     constraints.forall { c =>
       // timestamp constraints are micros-encoded; only stats harvested
@@ -90,6 +125,7 @@ final case class Snapshot(
       // v1 stats stored raw millis and would mis-prune matching files
       val rangeKeep =
         if (c.minStatsVersion > Snapshot.statsVersion(f)) true
+        else if (rangeUnsafeCols.contains(c.column)) true
         else Snapshot.statsBounds(f, c.column) match {
           case Some((mn, mx)) =>
             // keep unless the file's range PROVABLY misses [lower, upper];
@@ -111,6 +147,7 @@ final case class Snapshot(
     * canonical string the build hashed (bloom columns are restricted to
     * integral/string types for exactly this determinism). */
   private def bloomKeep(f: AddFile, c: ColRange): Boolean = {
+    if (bloomUnsafeCols.contains(c.column)) return true
     def hit(bits: Array[Byte], b: Bound): Boolean = {
       val s = b match {
         case Bound.Num(v) => v.toString

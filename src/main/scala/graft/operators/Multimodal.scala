@@ -405,14 +405,17 @@ object Multimodal {
     // member), like the other eager near-dup stages
     val hashes = imageMemberHashes(spark, dir).persist()
     try {
+      // eager distributed freeze: the in-gate pin below must see the same
+      // rows the caller gets, and the returned frame must not recompute
+      // the decode after the finally-unpersist — localCheckpoint cuts the
+      // lineage without ever materializing the result on the driver
       val pairs = graft.api.Pipelines.hammingNearDupPairs(
         hashes, col("member_id"), col("ahash"), maxHamming = 2)
+        .localCheckpoint()
       val found = pairs.filter(col("doc_b") === col("doc_a") + 10000L).count()
       require(found == docs(spark, dir).filter(col("doc_id") % 5 === 0).count(),
         s"every perturbed variant must pair with its original, found $found")
-      val out = pairs.collect()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(out.toIndexedSeq), pairs.schema)
+      pairs
     } finally hashes.unpersist()
   }
 
@@ -462,15 +465,16 @@ object Multimodal {
         hashes, col("member_id"), col("ahash"), maxHamming = 2)
       val comps = graft.api.Pipelines.connectedComponents(
         pairs, col("doc_a"), col("doc_b"))
+      // distributed freeze before the pin — O(kept corpus) rows never
+      // touch the driver (see m07)
       val kept = hashes
         .join(comps, hashes("member_id") === comps("node"), "left")
         .filter(col("node").isNull || col("component") === col("member_id"))
         .select(col("member_id"))
+        .localCheckpoint()
       require(kept.filter(col("member_id") >= 10000L).count() == 0,
         "every perturbed variant must dedup away to its original")
-      val out = kept.collect()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(out.toIndexedSeq), kept.schema)
+      kept
     } finally hashes.unpersist()
   }
 
@@ -510,15 +514,15 @@ object Multimodal {
     }(fpEnc)
     val cached = fps.persist()
     try {
+      // distributed freeze before the pin (see m07)
       val pairs = graft.api.Pipelines.hammingNearDupPairs(
         cached, col("member_id"), col("fp"), maxHamming = 0)
+        .localCheckpoint()
       val planted = docs(spark, dir).filter(col("doc_id") % 4 === 0).count()
       require(pairs.filter(col("doc_b") === col("doc_a") + 10000L)
         .count() == planted,
         "every gain-scaled re-encode must fingerprint identically")
-      val out = pairs.collect()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(out.toIndexedSeq), pairs.schema)
+      pairs
     } finally cached.unpersist()
   }
 

@@ -73,7 +73,7 @@ object GwSink {
     // extra columnar pass over the fresh files; no-op otherwise)
     val withBlooms = graft.log.Bloom.augment(spark,
       readMeta.map(_.configuration).getOrElse(bootstrapProps),
-      readMeta.map(_.schemaString), files)
+      readMeta.map(_.schemaString), tablePath, files)
     val v = commitAppend(log, df.schema, withBlooms, txnId, parts, readMeta,
       widened, bootstrapProps, userMetadata)
     maybeAutoCompact(spark, log, tablePath)
@@ -463,7 +463,7 @@ object GwSink {
     if (files0.isEmpty) outDir.getFileSystem(conf).delete(outDir, true)
     val files = graft.log.Bloom.augment(spark,
       readMeta.map(_.configuration).getOrElse(bootstrapProps),
-      readMeta.map(_.schemaString), files0)
+      readMeta.map(_.schemaString), tablePath, files0)
     commitReplayable(log, txnId) { bootstrap =>
       val freshMeta = if (bootstrap) None else log.snapshot(None).metadata
       if (!bootstrap)

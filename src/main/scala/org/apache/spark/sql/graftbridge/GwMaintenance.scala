@@ -33,6 +33,32 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringTyp
  */
 object GwMaintenance {
 
+  /** `TIMESTAMP AS OF` literal -> epoch millis. Accepts the forms Delta
+    * accepts — date-only (`2026-08-01`), local datetime with space or `T`
+    * separator (fractional seconds included), and ISO instants with an
+    * explicit offset/zone — all zoneless forms interpreted in the JVM
+    * zone, matching `java.sql.Timestamp.valueOf` for the forms it could
+    * parse. Failures raise a typed error naming the statement and the
+    * accepted formats instead of surfacing a bare IllegalArgumentException
+    * from `Timestamp.valueOf`. */
+  def parseTsMillis(ts: String): Long = {
+    val t = ts.trim
+    val zone = java.time.ZoneId.systemDefault()
+    def tryAll: Option[java.time.Instant] =
+      scala.util.Try(java.time.Instant.parse(t)).toOption
+        .orElse(scala.util.Try(java.time.OffsetDateTime.parse(t).toInstant).toOption)
+        .orElse(scala.util.Try(
+          java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+            .atZone(zone).toInstant).toOption)
+        .orElse(scala.util.Try(
+          java.time.LocalDate.parse(t).atStartOfDay(zone).toInstant).toOption)
+    tryAll.map(_.toEpochMilli).getOrElse(throw new IllegalArgumentException(
+      s"RESTORE ... TO TIMESTAMP AS OF: cannot parse '$ts'; accepted " +
+        "formats: 'yyyy-MM-dd', 'yyyy-MM-dd HH:mm:ss[.SSS]' (space or 'T' " +
+        "separator), or an ISO-8601 instant with offset " +
+        "('2026-08-01T12:00:00Z')"))
+  }
+
   private val TableRef = """(`[^`]+`|'[^']+'|"[^"]+"|[\w.]+)"""
   private val Optimize =
     ("""(?is)^\s*OPTIMIZE\s+""" + TableRef +
@@ -216,7 +242,7 @@ case class GwRestoreTimestampCommand(ref: String, ts: String)
     AttributeReference("restored_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GwMaintenance.resolvePath(spark, ref)
-    val millis = java.sql.Timestamp.valueOf(ts).getTime
+    val millis = GwMaintenance.parseTsMillis(ts)
     val table = graft.GwTable.forPath(spark, path)
     val target = table.versionAtTimestamp(millis)
     Seq(Row(table.restore(target), target))

@@ -337,4 +337,45 @@ class ApiSpec extends AnyFunSuite {
     val hp = codes.hammingNearDupPairs(col("doc_id"), col("code"), maxHamming = 0)
     assert(hp.count() > 0 && hp.columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
   }
+
+  test("hamming bucket cap bounds a degenerate identical-code corpus") {
+    import spark.implicits._
+    // 500 documents sharing ONE code — the duplicate-heavy degeneracy
+    // (boilerplate pages collapsing to one SimHash): uncapped, the
+    // (chunk, chunk_val) self-join would generate 4 * 500²/2 candidates
+    val degenerate = (1L to 500L).map(i => (i, 0x0123456789ABCDEFL))
+      .toDF("doc_id", "code")
+    // cap at 20 members/bucket -> candidates bounded by 4 buckets * C(20,2)
+    val capped = graft.api.Pipelines.hammingNearDupPairs(
+      degenerate, col("doc_id"), col("code"), maxHamming = 0, bucketCap = 20)
+    val n = capped.count()
+    assert(n > 0 && n <= 4 * 20 * 19 / 2,
+      s"capped candidate pairs out of bound: $n")
+    // the kept set is deterministic (seedless hash ranking): same answer
+    // on a rerun regardless of partitioning
+    val again = graft.api.Pipelines.hammingNearDupPairs(
+      degenerate.repartition(7), col("doc_id"), col("code"),
+      maxHamming = 0, bucketCap = 20)
+    assert(again.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // default cap is far above gate cardinalities: results unchanged
+    val uncapped = graft.api.Pipelines.hammingNearDupPairs(
+      degenerate.limit(50), col("doc_id"), col("code"),
+      maxHamming = 0, bucketCap = 0)
+    val default = graft.api.Pipelines.hammingNearDupPairs(
+      degenerate.limit(50), col("doc_id"), col("code"), maxHamming = 0)
+    assert(uncapped.count() == default.count())
+  }
+
+  test("temperatureSample refuses a high-cardinality group column loudly") {
+    import spark.implicits._
+    val wide = (1L to 500L).map(i => (i, s"g$i")).toDF("id", "g")
+    val e = intercept[IllegalArgumentException](
+      graft.api.Pipelines.temperatureSample(
+        wide, col("g"), col("id"), maxGroups = 100))
+    assert(e.getMessage.contains("maxGroups"))
+    // within bounds it still works
+    assert(graft.api.Pipelines.temperatureSample(
+      wide, col("g"), col("id"), maxGroups = 1000).count() == 500L)
+  }
 }

@@ -19,11 +19,26 @@ class BloomSpec extends SparkSpec {
       "a bloom can never false-negative")
     val absent = (0 until 1000).count(i =>
       Bloom.mightContain(bits, Bloom.hashLiteral(s"other-$i")))
-    assert(absent < 100, s"FP rate out of band: $absent/1000")
+    // double hashing gives k=4 genuinely independent probes: at this
+    // load (1000 keys / 16384 bits) fill ≈ 0.22, FP ≈ fill^4 ≈ 0.2% —
+    // the band here allows 10x that
+    assert(absent < 30, s"FP rate out of band: $absent/1000")
     // sizing: grows with rows, clamped both ends
     assert(Bloom.bitsFor(10) == Bloom.MinBits)
     assert(Bloom.bitsFor(10000) == 1 << 18)
     assert(Bloom.bitsFor(Long.MaxValue / 32) == Bloom.MaxBits)
+    // probe positions: full m range reachable, k distinct for typical
+    // hashes (h2 forced odd -> full-period stride mod power-of-two m)
+    val ps = (0 until 1000).map(i =>
+      Bloom.positions(Bloom.hashLiteral(s"p-$i"), Bloom.MaxBits))
+    assert(ps.forall(_.forall(p => p >= 0 && p < Bloom.MaxBits)))
+    assert(ps.count(_.distinct.length == Bloom.Probes) > 990,
+      "4 probes must be independent, not windowed rehashes of each other")
+    assert(ps.flatten.count(_ >= Bloom.MaxBits / 2) > 1500,
+      "positions must cover the upper half of the array too")
+    // saturation rule: an empty filter persists, a full one never does
+    assert(Bloom.worthPersisting(new Array[Byte](2048)))
+    assert(!Bloom.worthPersisting(Array.fill[Byte](2048)(0xFF.toByte)))
   }
 
   test("build + probe E2E: point lookups skip files, conservatively") {
@@ -40,6 +55,20 @@ class BloomSpec extends SparkSpec {
     assert(snap.files.forall(f =>
       Bloom.ofFile(f, "n_nationkey").isDefined &&
         Bloom.ofFile(f, "n_name").isDefined))
+    // the LOG stays O(1) per file: bitsets live in _bloom/ sidecars, the
+    // stats JSON carries only path/offset/length/crc descriptors — at
+    // 100 TB file counts log-resident bitsets would add GBs to every
+    // checkpoint and to the driver's replay footprint
+    snap.files.foreach { f =>
+      val s = f.stats.get
+      assert(s.length < 1200, s"stats JSON must stay descriptor-sized: ${s.length}")
+      assert(!s.contains("\"gwBloom\":"), "no inline base64 bitsets in the log")
+      val ref = Bloom.refOf(f, "n_nationkey").get
+      assert(ref.path.contains("/_bloom/") && ref.length >= Bloom.MinBits / 8)
+      assert(new java.io.File(
+        new org.apache.hadoop.fs.Path(ref.path).toUri.getPath).exists,
+        s"sidecar must exist on disk: ${ref.path}")
+    }
     // equality constraints resolve through the bloom: key 4 lives in the
     // even file only
     import graft.log.{Bound, ColRange}
@@ -75,6 +104,61 @@ class BloomSpec extends SparkSpec {
       .filter(col("n_nationkey") === 4).count() == 1)
   }
 
+  test("sidecar lifecycle: vacuum sweeps orphans, referenced sidecars survive") {
+    val dir = Files.createTempDirectory("bloomvac").resolve("t").toString
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    Seq(0, 1).foreach { m =>
+      graft.streaming.GwSink.append(
+        src.filter(col("n_nationkey") % 2 === m).coalesce(1), dir,
+        bootstrapProps = Map(Bloom.ColumnsProp -> "n_nationkey"))
+    }
+    val t = GwTable.forPath(spark, dir)
+    val sidecars = t.snapshot().files.flatMap(Bloom.sidecarPaths).distinct
+      .map(p => new java.io.File(new org.apache.hadoop.fs.Path(p).toUri.getPath))
+    assert(sidecars.nonEmpty && sidecars.forall(_.exists))
+    // plant an orphan (a crashed build's debris) and backdate everything
+    // past the debris age floor — only the orphan may be swept
+    val orphan = new java.io.File(
+      new org.apache.hadoop.fs.Path(dir, "_bloom/orphan.bin").toUri.getPath)
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - GwTable.DebrisMinAgeMs - 3600 * 1000)
+    (orphan +: sidecars).foreach(f =>
+      java.nio.file.Files.setLastModifiedTime(f.toPath, old))
+    GwTable.withRetentionCheckDisabled(spark)(t.vacuum(retentionMs = 0L))
+    assert(!orphan.exists, "orphaned sidecar must be debris-swept")
+    assert(sidecars.forall(_.exists), "referenced sidecars must survive")
+    // probing still prunes after the sweep
+    import graft.log.{Bound, ColRange}
+    assert(t.snapshot().filesForRanges(Seq(ColRange("n_nationkey",
+      Some(Bound.Num(BigDecimal(4))), Some(Bound.Num(BigDecimal(4)))))).size == 1)
+  }
+
+  test("corrupt sidecar degrades to keep-the-file, never a fabricated miss") {
+    val dir = Files.createTempDirectory("bloomcrc").resolve("t").toString
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    Seq(0, 1).foreach { m =>
+      graft.streaming.GwSink.append(
+        src.filter(col("n_nationkey") % 2 === m).coalesce(1), dir,
+        bootstrapProps = Map(Bloom.ColumnsProp -> "n_nationkey"))
+    }
+    val t = GwTable.forPath(spark, dir)
+    // garbage every sidecar byte BEFORE any probe caches the real bits:
+    // CRC verification must reject the load and pruning must keep both
+    // files (conservative), not prune on garbage bits
+    t.snapshot().files.flatMap(Bloom.sidecarPaths).distinct.foreach { p =>
+      val f = new java.io.File(new org.apache.hadoop.fs.Path(p).toUri.getPath)
+      val garbage = Array.fill[Byte](f.length.toInt)(0)
+      java.nio.file.Files.write(f.toPath, garbage)
+    }
+    import graft.log.{Bound, ColRange}
+    assert(t.snapshot().filesForRanges(Seq(ColRange("n_nationkey",
+      Some(Bound.Num(BigDecimal(4))), Some(Bound.Num(BigDecimal(4)))))).size == 2,
+      "a CRC-failing sidecar must degrade to no-bloom (keep), not prune")
+    assert(spark.read.format("gwdelta").load(dir)
+      .filter(col("n_nationkey") === 4).count() == 1)
+  }
+
   test("property validation: unknown column and non-hashable type refuse") {
     val dir = Files.createTempDirectory("bloomval").resolve("t").toString
     spark.read.parquet(s"$sf/customer.parquet").coalesce(1)
@@ -85,5 +169,20 @@ class BloomSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       t.updateProperties(Map(Bloom.ColumnsProp -> "c_acctbal"))) // double
     assert(t.updateProperties(Map(Bloom.ColumnsProp -> "c_custkey,c_name")) > 0)
+    // the property can BYPASS updateProperties (bootstrap props, a
+    // foreign-written configuration): the BUILD must re-check types from
+    // the actual schema — a double/timestamp bloom would hash strings the
+    // probe's canonical form never matches, silently pruning matches
+    val dir2 = Files.createTempDirectory("bloomforeign").resolve("t").toString
+    graft.streaming.GwSink.append(
+      spark.read.parquet(s"$sf/customer.parquet").coalesce(1), dir2,
+      bootstrapProps = Map(Bloom.ColumnsProp -> "c_acctbal,c_custkey"))
+    val t2 = GwTable.forPath(spark, dir2)
+    t2.snapshot().files.foreach { f =>
+      assert(Bloom.refOf(f, "c_acctbal").isEmpty,
+        "non-hashable declared column must be SKIPPED at build time")
+      assert(Bloom.refOf(f, "c_custkey").isDefined,
+        "hashable declared columns still build")
+    }
   }
 }

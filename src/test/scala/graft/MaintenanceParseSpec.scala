@@ -56,6 +56,33 @@ class MaintenanceParseSpec extends AnyFunSuite {
     })
   }
 
+  test("TIMESTAMP AS OF literal parse: Delta-accepted forms, typed failure") {
+    val zone = java.time.ZoneId.systemDefault()
+    def local(s: String): Long =
+      java.time.LocalDateTime.parse(s).atZone(zone).toInstant.toEpochMilli
+    // classic Timestamp.valueOf form still parses identically
+    assert(GwMaintenance.parseTsMillis("2024-01-01 12:30:45") ==
+      local("2024-01-01T12:30:45"))
+    assert(GwMaintenance.parseTsMillis("2024-01-01 12:30:45.250") ==
+      local("2024-01-01T12:30:45.250"))
+    // date-only (Delta accepts; Timestamp.valueOf rejected)
+    assert(GwMaintenance.parseTsMillis("2024-01-01") ==
+      local("2024-01-01T00:00"))
+    // T separator and explicit-offset ISO instants
+    assert(GwMaintenance.parseTsMillis("2024-01-01T12:30:45") ==
+      local("2024-01-01T12:30:45"))
+    assert(GwMaintenance.parseTsMillis("2024-01-01T12:30:45Z") ==
+      java.time.Instant.parse("2024-01-01T12:30:45Z").toEpochMilli)
+    assert(GwMaintenance.parseTsMillis("2024-01-01T12:30:45+02:00") ==
+      java.time.OffsetDateTime.parse("2024-01-01T12:30:45+02:00")
+        .toInstant.toEpochMilli)
+    // failure is typed and names the statement + accepted formats
+    val e = intercept[IllegalArgumentException](
+      GwMaintenance.parseTsMillis("not-a-time"))
+    assert(e.getMessage.contains("TIMESTAMP AS OF") &&
+      e.getMessage.contains("yyyy-MM-dd"))
+  }
+
   test("OPTIMIZE / REORG / CONVERT / DESCRIBE forms") {
     assert(p("OPTIMIZE t WHERE a = 1 ZORDER BY (x, y)").exists {
       case o: GwOptimizeCommand =>

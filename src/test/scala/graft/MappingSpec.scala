@@ -190,4 +190,54 @@ class MappingSpec extends SparkSpec {
     assert(!GwTable.isWidening(IntegerType, StringType))
     assert(!GwTable.isWidening(IntegerType, IntegerType))
   }
+
+  test("widening keeps pruning SOUND: encoding-changed stats and blooms stand down") {
+    import org.apache.spark.sql.types._
+    import graft.log.{Bound, ColRange}
+    // date -> timestamp_ntz: pre-widening files harvested date stats as
+    // epoch DAYS, but post-widening constraints arrive as MICROS — range
+    // pruning on those stats would prune every file that actually matches
+    val dir1 = Files.createTempDirectory("widen1").resolve("t").toString
+    val days = spark.range(10).selectExpr(
+      "id", "date_add(date'2020-01-01', cast(id as int)) as d")
+    graft.streaming.GwSink.append(days.filter(col("id") < 5).coalesce(1), dir1)
+    graft.streaming.GwSink.append(days.filter(col("id") >= 5).coalesce(1), dir1)
+    val t1 = GwTable.forPath(spark, dir1)
+    assert(t1.widenColumn("d", TimestampNTZType) > 0)
+    // the raw probe shape GwStatsPruning emits for an NTZ literal
+    val us = BigDecimal(java.time.LocalDate.of(2020, 1, 3).toEpochDay) *
+      BigDecimal(86400L) * BigDecimal(1000000L)
+    val kept = t1.snapshot().filesForRanges(Seq(
+      ColRange("d", Some(Bound.Num(us)), Some(Bound.Num(us)), minStatsVersion = 2)))
+    assert(kept.size == 2,
+      "day-encoded stats must not serve micros probes — keep, never prune")
+    // end-to-end: the equality read finds its row
+    assert(spark.read.format("gwdelta").load(dir1)
+      .where("d = TIMESTAMP_NTZ'2020-01-03 00:00:00'").count() == 1)
+
+    // integral -> double: blooms hashed canonical '4'; a double probe
+    // hashes '4.0' — a guaranteed miss that would silently drop the file.
+    // After widening, bloom pruning stands down for the column; RANGE
+    // stats stay live (numeric bounds compare exactly)
+    val dir2 = Files.createTempDirectory("widen2").resolve("t").toString
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey").cast("int").as("nk"), col("n_name"))
+    Seq(0, 1).foreach { m =>
+      graft.streaming.GwSink.append(src.filter(col("nk") % 2 === m).coalesce(1),
+        dir2, bootstrapProps = Map(graft.log.Bloom.ColumnsProp -> "nk"))
+    }
+    val t2 = GwTable.forPath(spark, dir2)
+    // pre-widening the bloom prunes the odd file for an integral probe
+    assert(t2.snapshot().filesForRanges(Seq(ColRange("nk",
+      Some(Bound.Num(BigDecimal(4))), Some(Bound.Num(BigDecimal(4)))))).size == 1)
+    assert(t2.widenColumn("nk", DoubleType) > 0)
+    // a double-rendered probe ('4.0') must still KEEP the matching file
+    val keptD = t2.snapshot().filesForRanges(Seq(ColRange("nk",
+      Some(Bound.Num(BigDecimal("4.0"))), Some(Bound.Num(BigDecimal("4.0"))))))
+    assert(keptD.size == 2,
+      "post-widening probes must not consult pre-widening blooms — both " +
+        "files kept (ranges overlap 4), neither silently bloom-pruned")
+    assert(spark.read.format("gwdelta").load(dir2)
+      .where("nk = 4.0").count() == 1)
+  }
 }

@@ -286,11 +286,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in fusion:\n$p")
   }
 
-  test("t20 temperature sampling is a pure scan-side filter after the count agg") {
+  test("t20 temperature sampling never shuffles a corpus row") {
     val p = plan(graft.operators.TextOps.t20TemperatureSample(spark, sf))
-    // the SAMPLING query itself (rates already folded to literals) must be
-    // a scan-side filter: no exchange, no join, no aggregate
-    assert(!p.contains("Exchange"), s"sampling shuffled:\n$p")
-    assert(!p.contains("Join"), s"sampling joined:\n$p")
+    // the SAMPLING query joins the driver-computed rate table BROADCAST
+    // onto the scan (a literal when-chain would overflow the analyzer
+    // stack past a few hundred sources): corpus rows must meet the rates
+    // map-side — a broadcast exchange of the tiny rate table is the
+    // expected shape, a shuffle of corpus rows is the regression
+    assert(!p.contains("ShuffleExchange") && !p.contains("hashpartitioning"),
+      s"sampling shuffled corpus rows:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"rate join must not sort-merge:\n$p")
   }
 }

@@ -117,6 +117,27 @@ class RowTrackingSpec extends SparkSpec {
       s"expected a perfect tiling, got ${allIds.sorted.take(30).toSeq}...")
   }
 
+  test("RESTORE keeps the high-water mark monotone: no id reuse after rewind") {
+    val (dir, t) = trackedTable() // ids 0..24 at v0
+    val v0 = t.snapshot().version
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+      .orderBy("n_nationkey").coalesce(1)
+    graft.streaming.GwSink.append(src, dir) // ids 25..49 at v1
+    assert(t.restore(v0) > 0)
+    // restating the TARGET metadata verbatim would rewind the mark to 24
+    // and the next append would re-issue 25..49 — ids already bound to
+    // v1's rows, visible through time travel. The mark must carry forward.
+    val hw = t.snapshot().metadata.get
+      .configuration("graft.rowTracking.highWaterMark").toLong
+    assert(hw == 49L, s"high-water must survive RESTORE, got $hw")
+    graft.streaming.GwSink.append(src, dir)
+    val fresh = spark.read.format("gwdelta").load(dir)
+      .select("__gw_row_id").collect().map(_.getLong(0)).toSet
+    assert(fresh == (0L until 25L).toSet ++ (50L until 75L).toSet,
+      s"post-restore appends must allocate ABOVE the pre-restore mark: " +
+        s"${fresh.toSeq.sorted.mkString(",")}")
+  }
+
   test("untracked tables refuse __gw_row_id with guidance") {
     val dir = Files.createTempDirectory("untracked").resolve("nation").toString
     spark.read.parquet(s"$sf/nation.parquet").coalesce(1)
