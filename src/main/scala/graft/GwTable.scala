@@ -187,8 +187,14 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
             .sortWithinPartitions(col("__gw_zvalue"))
             .drop("__gw_zvalue")
         }
+      // parquet-native rowgroup blooms survive the rewrite that drops the
+      // engine-level file blooms (which a re-append would rebuild)
       graft.log.ColumnMapping.toPhysicalDf(arranged, snap.schema)
-        .write.mode("overwrite").parquet(outDir.toString)
+        .write.mode("overwrite")
+        .options(graft.log.Bloom.parquetWriteOptions(
+          snap.metadata.map(_.configuration).getOrElse(Map.empty),
+          snap.metadata.map(_.schemaString), snap.schema))
+        .parquet(outDir.toString)
       val adds = graft.sources.SchemaProbe
         .harvestAddFiles(conf, outDir, dataChange = false)
         .map(_.copy(partitionValues = partVals))
@@ -1288,13 +1294,23 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       .map(s => s -> new Path(tgtQual,
         s"_dv/${java.util.UUID.randomUUID()}.bin").toString)
       .toMap
+    // distinct bloom sidecars: copy once into the clone's _bloom/ and
+    // remap every stats descriptor (offsets unchanged — sidecars copy
+    // whole), same pattern as the DVs — a source vacuum must never be
+    // able to degrade the clone's point-lookup pruning
+    val bloomDst: Map[String, String] = snap.files
+      .flatMap(graft.log.Bloom.sidecarPaths).distinct
+      .map(s => s -> new Path(tgtQual,
+        s"_bloom/${java.util.UUID.randomUUID()}.bin").toString)
+      .toMap
     val dataDst: Seq[(AddFile, String)] = snap.files.zipWithIndex.map {
       case (f, i) =>
         f -> new Path(tgtQual,
           s"_clone/part-$i-${new Path(f.path).getName}").toString
     }
     val sconf = new SerializableHadoopConf(conf0)
-    val copies = dataDst.map { case (f, d) => (f.path, d) } ++ dvDst.toSeq
+    val copies = dataDst.map { case (f, d) => (f.path, d) } ++ dvDst.toSeq ++
+      bloomDst.toSeq
     val copied: Map[String, (Long, Long)] = // dst -> (size, mtime)
       if (copies.isEmpty) Map.empty
       else spark.sparkContext
@@ -1323,7 +1339,8 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         f.copy(path = d, size = sz, modificationTime = mt, dataChange = true,
           dv = f.dv.map(v =>
             if (v.isOnDisk) v.copy(pathOrInlineDv = dvDst(v.pathOrInlineDv))
-            else v))
+            else v),
+          stats = f.stats.map(graft.log.Bloom.remapStats(_, bloomDst)))
       }
       val info = CommitInfo(now, "CLONE",
         s"from=$tablePath@v${snap.version} mode=deep",

@@ -174,6 +174,33 @@ object Bloom {
       }.getOrElse(Nil)
     }.distinct
 
+  /** Rewrite a stats JSON's `gwBloomRef` sidecar paths through `mapping`
+    * (deep clone: sidecars copy whole into the clone's `_bloom/`, offsets
+    * unchanged, so only the path field moves — the DV remap pattern).
+    * Stats without bloom refs pass through untouched. */
+  def remapStats(stats: String, mapping: Map[String, String]): String =
+    if (mapping.isEmpty || !stats.contains("gwBloomRef")) stats
+    else scala.util.Try {
+      val mapper = mapperTL.get
+      mapper.readTree(stats) match {
+        case root: com.fasterxml.jackson.databind.node.ObjectNode =>
+          root.path("gwBloomRef") match {
+            case refs: com.fasterxml.jackson.databind.node.ObjectNode =>
+              val it = refs.fieldNames()
+              while (it.hasNext) {
+                refs.path(it.next()) match {
+                  case r: com.fasterxml.jackson.databind.node.ObjectNode =>
+                    mapping.get(r.path("p").asText()).foreach(r.put("p", _))
+                  case _ => ()
+                }
+              }
+            case _ => ()
+          }
+          mapper.writeValueAsString(root)
+        case _ => stats
+      }
+    }.getOrElse(stats)
+
   // Bounded LRU over loaded bitsets, keyed by descriptor. A snapshot
   // probe touches each (file, column) once per query; repeated point
   // lookups on a warm table plan entirely from here. Access-ordered,
@@ -221,6 +248,30 @@ object Bloom {
         }
         loaded
     }
+  }
+
+  /** Parquet write options enabling PARQUET-NATIVE per-rowgroup bloom
+    * filters for the table's declared bloom columns — the rowgroup-
+    * granularity complement to the log-level file blooms: the log bloom
+    * answers "which FILES can contain x" before any file opens, and once
+    * a multi-GB file IS opened (where the log bloom has saturated and
+    * been dropped), parquet's own bloom lets the reader skip row groups.
+    * Spark's vectorized reader consults these automatically for pushed
+    * point predicates; adaptive sizing right-sizes the filter to the row
+    * group's actual NDV. Maintenance rewrites (compaction) thread these
+    * too, so rowgroup skipping SURVIVES the rewrite that drops the
+    * engine-level blooms. Column-mapped tables skip (option keys are
+    * physical names; translation not plumbed — same boundary as
+    * [[augment]]). */
+  def parquetWriteOptions(config: Map[String, String],
+      schemaJson: Option[String],
+      schema: org.apache.spark.sql.types.StructType): Map[String, String] = {
+    if (schemaJson.exists(_.contains(ColumnMapping.PhysicalNameKey)))
+      return Map.empty
+    val cols = columnsOf(config).filter(schema.fieldNames.contains)
+    if (cols.isEmpty) Map.empty
+    else cols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap +
+      ("parquet.bloom.filter.adaptive.enabled" -> "true")
   }
 
   /** Build per-file blooms for the table's declared bloom columns over

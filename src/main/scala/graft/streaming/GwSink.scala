@@ -64,7 +64,10 @@ object GwSink {
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
     val physTarget = widened.orElse(readMeta.map(schemaOfMeta))
     stageWrite(physTarget.map(graft.log.ColumnMapping.toPhysicalDf(df, _))
-      .getOrElse(df), outDir, parts)
+      .getOrElse(df), outDir, parts,
+      graft.log.Bloom.parquetWriteOptions(
+        readMeta.map(_.configuration).getOrElse(bootstrapProps),
+        readMeta.map(_.schemaString), df.schema))
     val fs = outDir.getFileSystem(conf)
     val files: Seq[AddFile] =
       graft.sources.SchemaProbe.harvestPartitioned(conf, outDir, dataChange = true, parts)
@@ -165,13 +168,15 @@ object GwSink {
   /** Write the batch, hive-laying-out by `__gwp_<col>=` copies of the
     * partition columns so the REAL columns stay in the data files (see
     * SchemaProbe.PartitionDirPrefix for why). */
-  private[graft] def stageWrite(df: DataFrame, outDir: Path, parts: Seq[String]): Unit =
-    if (parts.isEmpty) df.write.mode("overwrite").parquet(outDir.toString)
+  private[graft] def stageWrite(df: DataFrame, outDir: Path, parts: Seq[String],
+      writeOptions: Map[String, String] = Map.empty): Unit =
+    if (parts.isEmpty)
+      df.write.mode("overwrite").options(writeOptions).parquet(outDir.toString)
     else {
       import org.apache.spark.sql.functions.col
       val pfx = graft.sources.SchemaProbe.PartitionDirPrefix
       val staged = parts.foldLeft(df)((d, c) => d.withColumn(s"$pfx$c", col(c)))
-      staged.write.mode("overwrite")
+      staged.write.mode("overwrite").options(writeOptions)
         .partitionBy(parts.map(pfx + _): _*).parquet(outDir.toString)
     }
 
@@ -457,7 +462,10 @@ object GwSink {
     checkAppendSchema(readMeta, tablePath, df.schema)
     val parts = effectivePartitioning(log, df, partitionBy)
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
-    stageWrite(physicalFrame(df, readMeta), outDir, parts)
+    stageWrite(physicalFrame(df, readMeta), outDir, parts,
+      graft.log.Bloom.parquetWriteOptions(
+        readMeta.map(_.configuration).getOrElse(bootstrapProps),
+        readMeta.map(_.schemaString), df.schema))
     val files0: Seq[AddFile] =
       graft.sources.SchemaProbe.harvestPartitioned(conf, outDir, dataChange = true, parts)
     if (files0.isEmpty) outDir.getFileSystem(conf).delete(outDir, true)

@@ -104,6 +104,46 @@ class BloomSpec extends SparkSpec {
       .filter(col("n_nationkey") === 4).count() == 1)
   }
 
+  test("parquet-native rowgroup blooms: written by sink + compaction for declared columns") {
+    import scala.jdk.CollectionConverters._
+    def hasNativeBloom(path: String, column: String): Boolean = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.forall { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column)
+          .exists { cc =>
+            cc.getBloomFilterOffset >= 0 &&
+              r.getBloomFilterDataReader(b).readBloomFilter(cc) != null
+          }
+      } finally r.close()
+    }
+    val dir = Files.createTempDirectory("pqbloom").resolve("t").toString
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    Seq(0, 1).foreach { m =>
+      graft.streaming.GwSink.append(
+        src.filter(col("n_nationkey") % 2 === m).coalesce(1), dir,
+        bootstrapProps = Map(Bloom.ColumnsProp -> "n_nationkey"))
+    }
+    val t = GwTable.forPath(spark, dir)
+    t.snapshot().files.foreach { f =>
+      assert(hasNativeBloom(f.path, "n_nationkey"),
+        s"sink-written file must carry a parquet-native bloom: ${f.path}")
+      assert(!hasNativeBloom(f.path, "n_name"),
+        "undeclared columns must not pay for a bloom")
+    }
+    // compaction drops the ENGINE blooms but must keep writing native
+    // ones — rowgroup skipping survives maintenance
+    assert(t.compact(targetFileBytes = 1L << 30) > 0)
+    val compacted = t.snapshot().files
+    assert(compacted.forall(f => Bloom.refOf(f, "n_nationkey").isEmpty))
+    compacted.foreach(f => assert(hasNativeBloom(f.path, "n_nationkey"),
+      s"compacted file must carry a parquet-native bloom: ${f.path}"))
+    assert(spark.read.format("gwdelta").load(dir)
+      .filter(col("n_nationkey") === 4).count() == 1)
+  }
+
   test("sidecar lifecycle: vacuum sweeps orphans, referenced sidecars survive") {
     val dir = Files.createTempDirectory("bloomvac").resolve("t").toString
     val src = spark.read.parquet(s"$sf/nation.parquet")
@@ -132,6 +172,33 @@ class BloomSpec extends SparkSpec {
     import graft.log.{Bound, ColRange}
     assert(t.snapshot().filesForRanges(Seq(ColRange("n_nationkey",
       Some(Bound.Num(BigDecimal(4))), Some(Bound.Num(BigDecimal(4)))))).size == 1)
+  }
+
+  test("deep clone owns its bloom sidecars: source deletion cannot degrade pruning") {
+    val root = Files.createTempDirectory("bloomclone")
+    val srcDir = root.resolve("src").toString
+    val cloneDir = root.resolve("clone").toString
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    Seq(0, 1).foreach { m =>
+      graft.streaming.GwSink.append(
+        src.filter(col("n_nationkey") % 2 === m).coalesce(1), srcDir,
+        bootstrapProps = Map(Bloom.ColumnsProp -> "n_nationkey"))
+    }
+    assert(GwTable.forPath(spark, srcDir).deepCloneTo(cloneDir) == 0L)
+    val c = GwTable.forPath(spark, cloneDir)
+    // every descriptor must point INSIDE the clone's tree
+    c.snapshot().files.foreach { f =>
+      val ref = Bloom.refOf(f, "n_nationkey").get
+      assert(ref.path.contains("/clone/") && ref.path.contains("/_bloom/"),
+        s"clone descriptor still points at the source: ${ref.path}")
+    }
+    // the source disappearing entirely must not cost the clone its pruning
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(srcDir))
+    import graft.log.{Bound, ColRange}
+    assert(c.snapshot().filesForRanges(Seq(ColRange("n_nationkey",
+      Some(Bound.Num(BigDecimal(4))), Some(Bound.Num(BigDecimal(4)))))).size == 1,
+      "clone-owned sidecars must keep point-lookup pruning alive")
+    assert(spark.read.format("gwdelta").load(cloneDir).count() == 25)
   }
 
   test("corrupt sidecar degrades to keep-the-file, never a fabricated miss") {
