@@ -1629,6 +1629,114 @@ object Pipelines {
       broadcast(q).join(c, Seq("list")).filter(col("q_id") =!= col("n_id")), k)
   }
 
+  /** Table property keys of a persisted IVF index (self-describing). */
+  val IvfCentroidsProp = "graft.ivf.centroids"
+  val IvfDimProp = "graft.ivf.dim"
+
+  /**
+   * PERSISTED IVF index (s14/s15) — the "train once, probe many" serving
+   * shape [[ivfTopK]] cannot give (it re-assigns the whole corpus per
+   * call): the inverted lists materialize as a gwdelta TABLE PARTITIONED
+   * BY `list`, so a search's `list IN (probed...)` prunes to exactly the
+   * probed lists' files from the LOG (per-member partition pruning — the
+   * on-disk inverted-file access path; at 100 TB a query plans
+   * ~nProbe/nCentroids of the corpus and never lists the rest). The
+   * centroids (k x dim doubles — metadata scale) ride the table
+   * configuration as JSON, so the index is self-describing: any session
+   * can probe or extend it with nothing but the path.
+   *
+   * [[appendToIvfIndex]] assigns NEW vectors against the FROZEN stored
+   * centroids and commits through the transactional append path (OCC,
+   * row tracking, blooms, auto-compaction all compose), which is the
+   * standard IVF maintenance trade: streaming ingest keeps the index
+   * fresh without retraining, while list balance slowly drifts with the
+   * data distribution — retrain = rebuild at a new path and swap.
+   * Returns the committed version.
+   */
+  def buildIvfIndex(corpus: DataFrame, id: Column, vec: Column, dim: Int,
+      indexPath: String, nCentroids: Int = 16,
+      centroids: Option[Array[Array[Double]]] = None): Long = {
+    val cents = centroids.getOrElse(hyperplanes(nCentroids, dim))
+    require(cents.length == nCentroids, "centroid count must match nCentroids")
+    graft.streaming.GwSink.append(
+      assignToLists(corpus, id, vec, cents), indexPath,
+      partitionBy = Seq("list"),
+      bootstrapProps = Map(
+        IvfCentroidsProp -> centroidsJson(cents),
+        IvfDimProp -> dim.toString))
+  }
+
+  /** Assign new vectors against the index's stored centroids and append —
+    * see [[buildIvfIndex]]. Partitioning is inherited from the table. */
+  def appendToIvfIndex(newVectors: DataFrame, id: Column, vec: Column,
+      indexPath: String): Long = {
+    val cents = storedCentroids(newVectors.sparkSession, indexPath)
+    graft.streaming.GwSink.append(
+      assignToLists(newVectors, id, vec, cents), indexPath,
+      partitionBy = Seq("list"))
+  }
+
+  /** Top-k cosine search against a persisted index: probe each query's
+    * `nProbe` closest stored centroids, scan ONLY those lists (the
+    * driver-side literal IN over the probed-list union is what partition-
+    * prunes the gwdelta scan; queries are broadcast-small by contract),
+    * exact-cosine rank within them — identical semantics and tiebreaks to
+    * [[ivfTopK]] over the same contents. */
+  def ivfIndexTopK(queries: DataFrame, id: Column, vec: Column,
+      indexPath: String, k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = storedCentroids(spark, indexPath)
+    val n = cents.length
+    def scores(e: Column): Column =
+      array((0 until n).map(c => dotProd(e, lit(cents(c)))): _*)
+    def probes(e: Column): Column = {
+      val ranked = sort_array(zip_with(scores(e),
+        sequence(lit(0), lit(n - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))), asc = false)
+      slice(transform(ranked, r => r.getField("i")), 1, nProbe)
+    }
+    val q = queries.select(id.as("q_id"), vec.as("q_emb"))
+      .withColumn("list", explode(probes(col("q_emb"))))
+      .withColumn("q_nrm", l2norm(col("q_emb")))
+    val probed = q.select("list").distinct().collect().map(_.getInt(0))
+    val idx = spark.read.format("gwdelta").load(indexPath)
+      .filter(col("list").isin(probed.map(Int.box).toSeq: _*))
+      .withColumn("n_nrm", l2norm(col("n_emb")))
+    topKByCosine(broadcast(q).join(idx, Seq("list"))
+      .filter(col("q_id") =!= col("n_id")), k)
+  }
+
+  private def assignToLists(corpus: DataFrame, id: Column, vec: Column,
+      cents: Array[Array[Double]]): DataFrame = {
+    val n = cents.length
+    def scores(e: Column): Column =
+      array((0 until n).map(c => dotProd(e, lit(cents(c)))): _*)
+    corpus.select(id.as("n_id"), vec.as("n_emb"))
+      .withColumn("list", (array_position(scores(col("n_emb")),
+        array_max(scores(col("n_emb")))) - 1).cast("int"))
+  }
+
+  /** Centroids from the index table's configuration. Double.toString /
+    * parseDouble round-trip exactly, so the stored centroids are the
+    * trained ones bit for bit. */
+  private[graft] def storedCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Array[Array[Double]] = {
+    val conf = graft.GwTable.forPath(spark, indexPath).snapshot()
+      .metadata.map(_.configuration).getOrElse(Map.empty)
+    val json = conf.getOrElse(IvfCentroidsProp, throw new IllegalArgumentException(
+      s"$indexPath is not an IVF index table: missing $IvfCentroidsProp " +
+        "in the table configuration (build one with buildIvfIndex)"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    Array.tabulate(node.size()) { i =>
+      val row = node.get(i)
+      Array.tabulate(row.size())(j => row.get(j).asDouble())
+    }
+  }
+
+  private[graft] def centroidsJson(cents: Array[Array[Double]]): String =
+    cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
   /** Seeded, data-independent PQ codebooks: `m` subspaces x `ks` centroids
     * x (dim/m) doubles (the hyperplanes family, seed 4242). The default
     * for [[pqTopK]]; [[trainPqCodebooks]] refines them on data. */

@@ -182,6 +182,24 @@ package object api {
         bucketCap: Int = 65536): DataFrame =
       Pipelines.hammingNearDupPairs(df, id, bits, maxHamming, bucketCap)
 
+    /** Persist this corpus as a list-partitioned IVF index table;
+      * see [[Pipelines.buildIvfIndex]]. */
+    def buildIvfIndex(id: Column, vec: Column, dim: Int, indexPath: String,
+        nCentroids: Int = 16,
+        centroids: Option[Array[Array[Double]]] = None): Long =
+      Pipelines.buildIvfIndex(df, id, vec, dim, indexPath, nCentroids, centroids)
+
+    /** Assign these vectors against a persisted index's frozen centroids
+      * and append; see [[Pipelines.appendToIvfIndex]]. */
+    def appendToIvfIndex(id: Column, vec: Column, indexPath: String): Long =
+      Pipelines.appendToIvfIndex(df, id, vec, indexPath)
+
+    /** Search a persisted IVF index with these rows as queries;
+      * see [[Pipelines.ivfIndexTopK]]. */
+    def ivfIndexTopK(id: Column, vec: Column, indexPath: String,
+        k: Int, nProbe: Int): DataFrame =
+      Pipelines.ivfIndexTopK(df, id, vec, indexPath, k, nProbe)
+
     def mixtureSample(group: Column, id: Column, weightsPermille: Map[String, Int],
         defaultPermille: Int = 1000): DataFrame =
       Pipelines.mixtureSample(df, group, id, weightsPermille, defaultPermille)

@@ -70,9 +70,16 @@ final case class Snapshot(
             f.partitionValues.get(c.column)
               .flatMap(tok => Snapshot.partitionBound(tok, types.get(c.column))) match {
               case None => true // no value or unparseable -> keep
+              case Some(b) if c.anyOf.nonEmpty =>
+                // IN-list against a partition column: the partition value
+                // is the column's single value for the whole file, so the
+                // check is EXACT per member — keep iff some member equals
+                // it (incomparable kinds keep, conservative). This is what
+                // makes `list IN (probed...)` on a list-partitioned
+                // inverted-file index read exactly the probed lists.
+                c.anyOf.exists(m => Bound.cmp(b, m).forall(_ == 0))
               case Some(b) =>
-                // the partition value is the column's single value for the
-                // whole file: keep iff it can sit inside [lower, upper]
+                // keep iff the single value can sit inside [lower, upper]
                 val belowLower = c.lower.exists(lo => Bound.cmp(b, lo).exists(_ < 0))
                 val aboveUpper = c.upper.exists(up => Bound.cmp(b, up).exists(_ > 0))
                 !belowLower && !aboveUpper
@@ -127,6 +134,17 @@ final case class Snapshot(
         if (c.minStatsVersion > Snapshot.statsVersion(f)) true
         else if (rangeUnsafeCols.contains(c.column)) true
         else Snapshot.statsBounds(f, c.column) match {
+          case Some((mn, mx)) if c.anyOf.nonEmpty =>
+            // IN-list: keep iff ANY member can sit inside the file's
+            // [mn, mx] — strictly stronger than the [min(vs), max(vs)]
+            // envelope (a file covering [4,6] survives IN (3, 7) under
+            // the envelope but provably misses every member), still
+            // conservative (incomparable members keep the file)
+            c.anyOf.exists { m =>
+              val below = Bound.cmp(m, mn).exists(_ < 0)
+              val above = Bound.cmp(m, mx).exists(_ > 0)
+              !below && !above
+            }
           case Some((mn, mx)) =>
             // keep unless the file's range PROVABLY misses [lower, upper];
             // incomparable kinds (e.g. string stats vs numeric bound) prove

@@ -154,6 +154,60 @@ object Similarity {
     res
   }
 
+  /** s14: PERSISTED IVF index — [[Pipelines.buildIvfIndex]] materializes
+    * the inverted lists as a list-partitioned gwdelta table (centroids in
+    * the table configuration, self-describing), and search reads ONLY the
+    * probed lists through per-member IN-list partition pruning (pinned
+    * in-gate: an `isin` over two lists plans strictly fewer files than
+    * the table holds). Same centroids, assignment and tiebreaks as s03's
+    * in-memory path, so the same SQL oracle replays the persisted path. */
+  def s14IvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("s14")
+      .resolve("ivf").toString
+    Pipelines.buildIvfIndex(e, col("vec_id"), col("embedding"),
+      dim = 64, indexPath = tmp)
+    val t = graft.GwTable.forPath(spark, tmp)
+    val total = t.snapshot().files.size
+    def planned(lists: Int*): Int =
+      spark.read.format("gwdelta").load(tmp)
+        .filter(col("list").isin(lists.map(Int.box): _*))
+        .queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan.asInstanceOf[
+                org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+              .fileIndex.inputFiles.length
+        }.head
+    require(planned(0, 15) < total,
+      s"IN-list partition pruning must plan only the probed lists' files " +
+        s"(planned ${planned(0, 15)} of $total)")
+    Pipelines.ivfIndexTopK(e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), tmp, k = 3, nProbe = 8)
+  }
+
+  /** s15: INCREMENTAL index maintenance — build the index without every
+    * tenth vector, then [[Pipelines.appendToIvfIndex]] the rest: new
+    * vectors assign against the FROZEN stored centroids and land as one
+    * transactional append (pinned: exactly 2 commits — no rebuild), and
+    * search immediately sees them. Contents now equal the one-shot build,
+    * so the oracle is the same replay over the full corpus. */
+  def s15IvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("s15")
+      .resolve("ivf").toString
+    Pipelines.buildIvfIndex(e.filter(col("vec_id") % 10 =!= 0),
+      col("vec_id"), col("embedding"), dim = 64, indexPath = tmp)
+    Pipelines.appendToIvfIndex(e.filter(col("vec_id") % 10 === 0),
+      col("vec_id"), col("embedding"), tmp)
+    val t = graft.GwTable.forPath(spark, tmp)
+    require(t.snapshot().version == 1L,
+      s"append must be incremental (one extra commit), at v${t.snapshot().version}")
+    val res = Pipelines.ivfIndexTopK(
+      e.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+      col("vec_id"), col("embedding"), tmp, k = 3, nProbe = 8)
+    res
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
@@ -168,6 +222,8 @@ object Similarity {
     "s11_bm25_topk" -> s11Bm25TopK _,
     "s12_hybrid_rrf" -> s12HybridRrf _,
     "s13_filtered_ann" -> s13FilteredAnn _,
+    "s14_ivf_index" -> s14IvfIndex _,
+    "s15_ivf_append" -> s15IvfAppend _,
   )
 
   /** s13's oracle: the s02 LSH replay with the label equality joined into
@@ -285,7 +341,17 @@ object Similarity {
     * probed lists. Valid because both engines compute the identical
     * double dot products (the s04 gate pins vec_dot == list_dot_product),
     * so every comparison falls the same way. */
-  private def s03OracleSql: String = {
+  private def s03OracleSql: String = ivfOracleSql("vec_id < 10")
+
+  /** s14's oracle IS s03's: the persisted index stores the same seeded
+    * centroids and the same assignment, so the replay is identical. s15
+    * replays over the full corpus too (build + append contents equal the
+    * one-shot build) with its own query window. */
+  private def s14OracleSql: String = ivfOracleSql("vec_id < 10")
+  private def s15OracleSql: String =
+    ivfOracleSql("vec_id >= 10 AND vec_id < 20")
+
+  private def ivfOracleSql(queryPred: String): String = {
     val cents = Pipelines.hyperplanes(16, 64)
     def centLit(p: Array[Double]): String = p.mkString("[", ",", "]")
     val scores = (0 until 16)
@@ -296,7 +362,7 @@ object Similarity {
        |corpus AS (SELECT vec_id, list_position(s, list_max(s)) - 1 AS cl FROM sc),
        |probe AS (
        | SELECT q.vec_id AS q_id, c.cl
-       | FROM (SELECT vec_id, s FROM sc WHERE vec_id < 10) q
+       | FROM (SELECT vec_id, s FROM sc WHERE $queryPred) q
        | CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS cl) c
        | QUALIFY row_number() OVER (
        |   PARTITION BY q.vec_id ORDER BY q.s[c.cl+1] DESC, c.cl DESC) <= 8),
@@ -403,6 +469,8 @@ object Similarity {
     "s02_ann_lsh" -> s02OracleSql,
     "s10_pq_topk" -> s10OracleSql,
     "s03_ivf_topk" -> s03OracleSql,
+    "s14_ivf_index" -> s14OracleSql,
+    "s15_ivf_append" -> s15OracleSql,
     "s07_knn_graph" -> lshTopKOracle(""),
     "s08_mmr_topk" ->
       // Recursive replay of the greedy MMR trajectory: each recursion
