@@ -674,6 +674,43 @@ object Pipelines {
    * (contaminated) rows reach the per-doc distinct aggregate, which is
    * partial-aggregated on the candidate set, not the corpus.
    */
+  /**
+   * SEMANTIC train/eval decontamination (d17) — the embedding-space
+   * complement to [[decontaminationReport]]'s lexical n-gram overlap: a
+   * paraphrased or lightly-rewritten benchmark item shares no 5-gram with
+   * its source but sits at near-1 cosine. Flags every train vector whose
+   * cosine to ANY eval vector reaches `thresholdMicro` (threshold and
+   * comparison in micro-rounded integers, so the report replays exactly
+   * in SQL), reporting its CLOSEST eval item (ties: smallest eval id) and
+   * the micro similarity.
+   *
+   * Shapes for 100 TB: eval suites are benchmark-sized, not crawl-sized —
+   * the eval side BROADCASTS and the corpus scans ONCE through a codegen
+   * dot product per (train, eval) pair (a broadcast nested-loop by
+   * construction, the same shape as [[cosineTopK]]'s query side); train
+   * vectors never shuffle, and only FLAGGED rows (the contamination, tiny
+   * by definition) reach the per-train-id window.
+   */
+  def semanticDecontaminationReport(train: DataFrame, evalSet: DataFrame,
+      id: Column, vec: Column, thresholdMicro: Long): DataFrame = {
+    val t = train.select(id.as("t_id"), vec.as("t_emb"))
+      .withColumn("t_nrm", l2norm(col("t_emb")))
+    val e = evalSet.select(id.as("e_id"), vec.as("e_emb"))
+      .withColumn("e_nrm", l2norm(col("e_emb")))
+    val flagged = t.crossJoin(broadcast(e))
+      .select(col("t_id"), col("e_id"),
+        round(dotProd(col("t_emb"), col("e_emb")) /
+          (col("t_nrm") * col("e_nrm")) * 1000000).cast("long").as("cos_micro"))
+      .filter(col("cos_micro") >= thresholdMicro)
+    // rank by the ROUNDED score (the value both engines share exactly),
+    // eval id as the deterministic tiebreak
+    val w = Window.partitionBy("t_id")
+      .orderBy(col("cos_micro").desc, col("e_id"))
+    flagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("t_id"), col("e_id").as("closest_eval"), col("cos_micro"))
+  }
+
   def decontaminationReport(train: DataFrame, evalSet: DataFrame,
       id: Column, text: Column, n: Int = 5): DataFrame = {
     require(n >= 1, "n must be positive")

@@ -122,6 +122,12 @@ package object api {
 
     /** Train docs sharing any word n-gram with `evalSet` (contamination
       * report: id + distinct shared-gram count); eval grams broadcast. */
+    /** Embedding-space decontamination vs a broadcast eval set;
+      * see [[Pipelines.semanticDecontaminationReport]]. */
+    def semanticDecontaminationReport(evalSet: DataFrame, id: Column,
+        vec: Column, thresholdMicro: Long): DataFrame =
+      Pipelines.semanticDecontaminationReport(df, evalSet, id, vec, thresholdMicro)
+
     def decontaminationReport(evalSet: DataFrame, id: Column, text: Column,
         n: Int = 5): DataFrame =
       Pipelines.decontaminationReport(df, evalSet, id, text, n)

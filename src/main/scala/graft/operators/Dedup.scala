@@ -105,6 +105,20 @@ object Dedup {
       .withColumnRenamed("__id", "doc_id")
   }
 
+  /** d17: SEMANTIC decontamination over the embeddings table — eval split
+    * = vec_id % 10 == 0, train = the rest; a train vector is contaminated
+    * when its cosine to any eval vector reaches 0.3 (micro threshold
+    * 300000, the d05 near-dup band). Oracle replays the broadcast
+    * cross-score, the micro rounding, the flag filter and the
+    * closest-eval window in SQL. */
+  def d17SemanticDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    Pipelines.semanticDecontaminationReport(
+      e.filter(col("vec_id") % 10 =!= 0),
+      e.filter(col("vec_id") % 10 === 0),
+      col("vec_id"), col("embedding"), thresholdMicro = 300000L)
+  }
+
   /** Character-level near-dup: exact Levenshtein within the same blocks as
     * d04 — catches the planted one-word edits at distance <= 20 (the corpus
     * noise floor sits at ~39). */
@@ -170,6 +184,7 @@ object Dedup {
     "d14_membership_dedup" -> d14MembershipDedup _,
     "d15_cdc_chunks" -> d15CdcChunks _,
     "d16_semdedup_clusters" -> d16SemDedupClusters _,
+    "d17_semantic_decontamination" -> d17SemanticDecontamination _,
   )
 
   // shared SQL pieces so the d04 and d08 oracles cannot silently diverge
@@ -238,6 +253,22 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d16_semdedup_clusters" -> d16OracleSql,
+    "d17_semantic_decontamination" ->
+      // Broadcast cross-score + micro rounding + closest-eval window,
+      // replayed over the same micro-integer comparisons Spark computes
+      // (list_cosine_similarity == VecDot/norms, the s01/s04 contract).
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |tr AS (SELECT vec_id AS t_id, emb AS t_emb FROM e WHERE vec_id % 10 <> 0),
+        |ev AS (SELECT vec_id AS e_id, emb AS e_emb FROM e WHERE vec_id % 10 = 0),
+        |flagged AS (
+        | SELECT t_id, e_id,
+        |   CAST(round(1000000 * list_cosine_similarity(t_emb, e_emb)) AS BIGINT) AS cos_micro
+        | FROM tr CROSS JOIN ev
+        | WHERE CAST(round(1000000 * list_cosine_similarity(t_emb, e_emb)) AS BIGINT) >= 300000)
+        |SELECT t_id, e_id AS closest_eval, cos_micro FROM (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY t_id ORDER BY cos_micro DESC, e_id) AS rn
+        | FROM flagged) WHERE rn = 1""".stripMargin,
     "d06_cosine_neardup_ann" -> d06OracleSql,
     // exact all-pairs form of minHashDedupPairs(numPerm=32, bands=8, 0.5):
     // valid because LSH recall on the fixtures is 1.0 at this threshold

@@ -367,6 +367,36 @@ class ApiSpec extends AnyFunSuite {
     assert(uncapped.count() == default.count())
   }
 
+  test("persisted IVF index answers exactly what the in-memory path answers") {
+    val e = embs
+    val dir = java.nio.file.Files.createTempDirectory("apiivf")
+      .resolve("ivf").toString
+    // build without every 7th vector, append them, search through the api
+    // syntax — the persisted path must equal ivfTopK over the SAME corpus
+    // (same centroids, same assignment, same tiebreaks)
+    e.filter(col("vec_id") % 7 =!= 0)
+      .buildIvfIndex(col("vec_id"), col("embedding"), dim = 64, indexPath = dir)
+    e.filter(col("vec_id") % 7 === 0)
+      .appendToIvfIndex(col("vec_id"), col("embedding"), dir)
+    val queries = e.filter(col("vec_id") < 6)
+    val persisted = queries
+      .ivfIndexTopK(col("vec_id"), col("embedding"), dir, k = 3, nProbe = 8)
+      .collect().map(_.toSeq).toSet
+    val inMemory = graft.api.Pipelines.ivfTopK(e, queries,
+      col("vec_id"), col("embedding"), k = 3, dim = 64,
+      nCentroids = 16, nProbe = 8)
+      .collect().map(_.toSeq).toSet
+    assert(persisted == inMemory,
+      s"persisted != in-memory: ${persisted.diff(inMemory)} / ${inMemory.diff(persisted)}")
+    // a non-index table refuses with guidance
+    val plain = java.nio.file.Files.createTempDirectory("apiivf2")
+      .resolve("t").toString
+    e.limit(5).write.format("gwdelta").mode("append").save(plain)
+    val err = intercept[IllegalArgumentException](
+      queries.ivfIndexTopK(col("vec_id"), col("embedding"), plain, 3, 8))
+    assert(err.getMessage.contains("buildIvfIndex"))
+  }
+
   test("temperatureSample refuses a high-cardinality group column loudly") {
     import spark.implicits._
     val wide = (1L to 500L).map(i => (i, s"g$i")).toDF("id", "g")

@@ -286,6 +286,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in fusion:\n$p")
   }
 
+  test("d17 semantic decontamination broadcasts the eval set, never a cartesian") {
+    val p = plan(graft.operators.Dedup.d17SemanticDecontamination(spark, sf))
+    // benchmark-sized eval side rides a broadcast nested loop onto the
+    // one corpus scan; only FLAGGED rows reach the closest-eval window's
+    // exchange — a CartesianProduct (unbroadcast cross) or a sort-merge
+    // join would mean train vectors shuffled
+    assert(p.contains("BroadcastNestedLoopJoin"), s"eval set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cross product:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"train side shuffled into a join:\n$p")
+  }
+
   test("t20 temperature sampling never shuffles a corpus row") {
     val p = plan(graft.operators.TextOps.t20TemperatureSample(spark, sf))
     // the SAMPLING query joins the driver-computed rate table BROADCAST
