@@ -1704,13 +1704,15 @@ object Pipelines {
   }
 
   /** Assign new vectors against the index's stored centroids and append —
-    * see [[buildIvfIndex]]. Partitioning is inherited from the table. */
+    * see [[buildIvfIndex]]. Partitioning is inherited from the table;
+    * `txnId` gives streaming ingest exactly-once batch replay (the sink's
+    * `txn` dedup — a replayed (stream, batch) id commits nothing). */
   def appendToIvfIndex(newVectors: DataFrame, id: Column, vec: Column,
-      indexPath: String): Long = {
+      indexPath: String, txnId: Option[String] = None): Long = {
     val cents = storedCentroids(newVectors.sparkSession, indexPath)
     graft.streaming.GwSink.append(
       assignToLists(newVectors, id, vec, cents), indexPath,
-      partitionBy = Seq("list"))
+      txnId = txnId, partitionBy = Seq("list"))
   }
 
   /** Top-k cosine search against a persisted index: probe each query's

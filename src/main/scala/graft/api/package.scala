@@ -197,8 +197,9 @@ package object api {
 
     /** Assign these vectors against a persisted index's frozen centroids
       * and append; see [[Pipelines.appendToIvfIndex]]. */
-    def appendToIvfIndex(id: Column, vec: Column, indexPath: String): Long =
-      Pipelines.appendToIvfIndex(df, id, vec, indexPath)
+    def appendToIvfIndex(id: Column, vec: Column, indexPath: String,
+        txnId: Option[String] = None): Long =
+      Pipelines.appendToIvfIndex(df, id, vec, indexPath, txnId)
 
     /** Search a persisted IVF index with these rows as queries;
       * see [[Pipelines.ivfIndexTopK]]. */

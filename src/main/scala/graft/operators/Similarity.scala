@@ -351,7 +351,7 @@ object Similarity {
   private def s15OracleSql: String =
     ivfOracleSql("vec_id >= 10 AND vec_id < 20")
 
-  private def ivfOracleSql(queryPred: String): String = {
+  private[graft] def ivfOracleSql(queryPred: String): String = {
     val cents = Pipelines.hyperplanes(16, 64)
     def centLit(p: Array[Double]): String = p.mkString("[", ",", "]")
     val scores = (0 until 16)

@@ -675,6 +675,52 @@ object StreamOps {
     replica
   }
 
+  /** st13: STREAMING index ingest — the online face of the persisted IVF
+    * index (s14/s15): a stream of fresh embeddings drains into the index
+    * table via `foreachBatch` + [[graft.api.Pipelines.appendToIvfIndex]]
+    * with a stream-scoped txnId per micro-batch, so ingest is
+    * EXACTLY-ONCE (pinned in-gate: re-applying the drained batch's txnId
+    * commits nothing) and every vector assigns against the FROZEN stored
+    * centroids. After the drain the index contents equal the one-shot
+    * build, so the oracle is the full-corpus IVF replay over this gate's
+    * query window. */
+  def st13StreamIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.Pipelines
+    val tmp = java.nio.file.Files.createTempDirectory("st13")
+      .resolve("ivf").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    Pipelines.buildIvfIndex(e.filter(col("vec_id") % 5 =!= 0),
+      col("vec_id"), col("embedding"), dim = 64, indexPath = tmp)
+    val t = graft.GwTable.forPath(spark, tmp)
+    val v0 = t.snapshot().version
+    val stage = java.nio.file.Files.createTempDirectory("st13stage")
+      .resolve("in").toString
+    e.filter(col("vec_id") % 5 === 0).coalesce(1).write.parquet(stage)
+    val streamId = java.util.UUID.randomUUID().toString
+    @volatile var lastBatch = -1L
+    val q = spark.readStream.schema(e.schema).parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lastBatch = batchId
+        Pipelines.appendToIvfIndex(batch, col("vec_id"), col("embedding"),
+          tmp, txnId = Some(s"$streamId/$batchId")); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val vAfter = t.snapshot().version
+    require(vAfter > v0 && lastBatch >= 0L, "the stream must commit")
+    // exactly-once: replaying the drained batch's txn commits NOTHING
+    Pipelines.appendToIvfIndex(e.filter(col("vec_id") % 5 === 0),
+      col("vec_id"), col("embedding"), tmp,
+      txnId = Some(s"$streamId/$lastBatch"))
+    require(t.snapshot().version == vAfter,
+      "a replayed (stream, batch) txn must not re-commit")
+    Pipelines.ivfIndexTopK(
+      e.filter(col("vec_id") >= 20 && col("vec_id") < 30),
+      col("vec_id"), col("embedding"), tmp, k = 3, nProbe = 8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> st01WindowedCounts _,
     "st02_stream_state" -> st02StatefulSessions _,
@@ -688,6 +734,7 @@ object StreamOps {
     "st10_stream_upsert" -> st10StreamUpsert _,
     "st11_transform_with_state" -> st11TransformWithState _,
     "st12_cdc_replicate" -> st12CdcReplicate _,
+    "st13_stream_index" -> st13StreamIndexIngest _,
   )
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming
@@ -746,6 +793,11 @@ object StreamOps {
         | CASE WHEN n_nationkey < 3 THEN upper(n_name) ELSE n_name END AS n_name,
         | n_regionkey
         |FROM nation WHERE n_nationkey NOT IN (7, 13)""".stripMargin,
+    // st13: after the drain the index contents equal the one-shot build,
+    // so the oracle is the full-corpus IVF replay (Similarity's seeded-
+    // centroid-literal SQL) over this gate's query window.
+    "st13_stream_index" ->
+      graft.operators.Similarity.ivfOracleSql("vec_id >= 20 AND vec_id < 30"),
     "st08_stream_sketch" ->
       // Bit-exact KMV replay: same 60-bit md5-prefix user hash, exact
       // distinct below k=64, else floor(63*2^60/h_64) — identical integer
