@@ -128,6 +128,12 @@ package object api {
         vec: Column, thresholdMicro: Long): DataFrame =
       Pipelines.semanticDecontaminationReport(df, evalSet, id, vec, thresholdMicro)
 
+    /** Fused Unicode normalization column appended as `norm` (NFC,
+      * accent fold, ROOT lowercase, whitespace collapse/trim — the
+      * curation front door); see [[graft.functions.NormalizeText]]. */
+    def normalizeText(text: Column): DataFrame =
+      df.withColumn("norm", graft.functions.NormalizeText(text))
+
     def decontaminationReport(evalSet: DataFrame, id: Column, text: Column,
         n: Int = 5): DataFrame =
       Pipelines.decontaminationReport(df, evalSet, id, text, n)

@@ -244,6 +244,23 @@ object TextOps {
     Pipelines.lmSurprisalScore(docs(spark, dir), col("doc_id"), col("text"))
       .withColumnRenamed("__id", "doc_id")
 
+  /** t21: Unicode text normalization — the curation front door (CCNet /
+    * C4 / FineWeb normalize BEFORE dedup and filtering, because 'Café'
+    * and 'Café' must hash identically). The decoration prefix makes
+    * every rule fire on every row: an NFD-form combining acute (NFC
+    * composition), precomposed accents (fold), uppercase (ROOT
+    * lowercase), doubled and trailing whitespace (collapse + trim). The
+    * fused codegen expression ([[graft.functions.NormalizeText]]) has an
+    * allocation-free ASCII fast path; the oracle replays the pipeline as
+    * `trim(regexp_replace(lower(strip_accents(nfc_normalize(...))), ...))`. */
+  def t21UnicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val deco = concat(
+      lit("Café  NAÏVE — Façade  "), col("text"))
+    docs(spark, dir).select(col("doc_id"),
+      graft.functions.NormalizeText(deco).as("norm"))
+      .withColumn("n_chars_norm", length(col("norm")).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -265,12 +282,25 @@ object TextOps {
     "t18_rare_words" -> t18RareWords _,
     "t19_lm_surprisal" -> t19LmSurprisal _,
     "t20_temperature_sample" -> t20TemperatureSample _,
+    "t21_unicode_normalize" -> t21UnicodeNormalize _,
   )
 
   private def sqlList(lang: String): String =
     Pipelines.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    // t21: the combining acute is built with chr(769) (encoding-proof
+    // through the JSON round trip); the pipeline is the documented
+    // NFC -> strip accents -> lower -> collapse -> trim contract.
+    "t21_unicode_normalize" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  trim(regexp_replace(lower(strip_accents(nfc_normalize(
+        |    'Cafe' || chr(769) || '  NAÏVE — Façade  ' || text))),
+        |    '\s+', ' ', 'g')) AS norm
+        | FROM documents)
+        |SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_norm
+        |FROM n""".stripMargin,
     "t01_langid" ->
       s"""WITH h AS (
          | SELECT doc_id, lang AS actual_lang,

@@ -397,6 +397,29 @@ class ApiSpec extends AnyFunSuite {
     assert(err.getMessage.contains("buildIvfIndex"))
   }
 
+  test("NormalizeText: ascii fast path and unicode path share one contract") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val f = graft.functions.NormalizeText
+    // ascii fast path: lowercase, collapse, trim — no allocation
+    assert(f.normalize(u("  Hello   WORLD\t\r\n")) == u("hello world"))
+    assert(f.normalize(u("plain")) == u("plain"))
+    assert(f.normalize(u("")) == u(""))
+    assert(f.normalize(u("   ")) == u(""))
+    // unicode path: NFD-form composes, accents fold, İ has no Turkish
+    // surprise (mark strips before the ROOT lowercase)
+    assert(f.normalize(u("Café  NAÏVE")) == u("cafe naive"))
+    assert(f.normalize(u("İstanbul")) == u("istanbul"))
+    assert(f.normalize(u("Façade — Øre")) == u("facade — øre"))
+    // a single non-ascii char must not change the ascii subset's behavior
+    assert(f.normalize(u("A  b é  c")) == u("a b e c"))
+    // and the codegen path through a real query agrees with eval
+    import spark.implicits._
+    val out = Seq("  MiXeD   Case ", "Café x")
+      .toDF("t").normalizeText(col("t"))
+      .select("norm").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("mixed case", "cafe x"))
+  }
+
   test("temperatureSample refuses a high-cardinality group column loudly") {
     import spark.implicits._
     val wide = (1L to 500L).map(i => (i, s"g$i")).toDF("id", "g")
