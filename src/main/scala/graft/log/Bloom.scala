@@ -216,21 +216,57 @@ object Bloom {
         } else false
     }
 
+  // Failed loads (vacuumed sidecar under a stale snapshot, deep clone
+  // whose source is gone, CRC damage) are remembered in a bounded set so
+  // a dead ref costs ONE FS round trip per process, not one per probe.
+  private val failedCap = 16384
+  private val failed = java.util.Collections.newSetFromMap(
+    new java.util.LinkedHashMap[Ref, java.lang.Boolean](128, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Ref, java.lang.Boolean]): Boolean =
+        size() > failedCap
+    })
+
   /** A file's bitset for `column`, lazily loaded from its sidecar.
     * Any failure — missing sidecar (vacuumed under a stale snapshot,
     * deep-cloned table whose source is gone), short read, CRC mismatch —
     * yields None: the probe keeps the file, pruning stays conservative. */
   def ofFile(f: AddFile, column: String): Option[Array[Byte]] =
-    refOf(f, column).flatMap(load)
+    refOf(f, column).flatMap(load(_, hadoopConf()))
 
-  private def load(ref: Ref): Option[Array[Byte]] = {
+  // resolved on the CALLING thread: the active-session thread-local does
+  // not reach fork-join pool workers, and losing it there would drop
+  // object-store credentials from parallel prefetch loads
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Warm the bitset cache for the candidate files' probe columns in
+    * PARALLEL. Planning a point lookup on a COLD driver would otherwise
+    * load sidecars serially inside the per-file filter — one FS open per
+    * candidate file, which on an object store at 100k-file counts turns
+    * planning into minutes. The probes themselves stay per-file and
+    * cache-hit after this; failures degrade per file as usual. */
+  def prefetch(files: Seq[AddFile], columns: Seq[String]): Unit = {
+    val refs = (for { f <- files; c <- columns; r <- refOf(f, c) } yield r).distinct
+    val missing = refs.filter(r =>
+      cache.synchronized(!cache.containsKey(r)) &&
+        failed.synchronized(!failed.contains(r)))
+    if (missing.length > 1) {
+      import scala.jdk.CollectionConverters._
+      val conf = hadoopConf()
+      missing.asJava.parallelStream().forEach(r => { load(r, conf); () })
+    }
+  }
+
+  private def load(ref: Ref,
+      conf: org.apache.hadoop.conf.Configuration): Option[Array[Byte]] = {
+    if (failed.synchronized(failed.contains(ref))) return None
     cache.synchronized(Option(cache.get(ref))) match {
       case some @ Some(_) => some
       case None =>
         val loaded = scala.util.Try {
-          val conf = SparkSession.getActiveSession
-            .map(_.sparkContext.hadoopConfiguration)
-            .getOrElse(new org.apache.hadoop.conf.Configuration())
           val p = new org.apache.hadoop.fs.Path(ref.path)
           val in = p.getFileSystem(conf).open(p)
           try {
@@ -241,10 +277,13 @@ object Bloom {
             if (crc.getValue == ref.crc) Some(buf) else None
           } finally in.close()
         }.toOption.flatten
-        loaded.foreach { b =>
-          cache.synchronized {
-            if (cache.put(ref, b) == null) cacheBytes.addAndGet(b.length.toLong)
-          }
+        loaded match {
+          case Some(b) =>
+            cache.synchronized {
+              if (cache.put(ref, b) == null) cacheBytes.addAndGet(b.length.toLong)
+            }
+          case None =>
+            failed.synchronized { failed.add(ref); () }
         }
         loaded
     }

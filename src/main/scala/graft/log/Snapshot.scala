@@ -45,8 +45,23 @@ final case class Snapshot(
       Some(Bound.Num(BigDecimal(lower))), Some(Bound.Num(BigDecimal(upper))))))
 
   /** Conjunction of typed range constraints (see [[ColRange]]). */
-  def filesForRanges(constraints: Seq[ColRange]): Seq[AddFile] =
+  def filesForRanges(constraints: Seq[ColRange]): Seq[AddFile] = {
+    prefetchBlooms(files, constraints)
     files.filter(f => statsKeep(f, constraints))
+  }
+
+  /** Parallel cache warm-up for the bloom bitsets the point/IN probes
+    * below will touch — without it a COLD driver loads sidecars serially
+    * inside the per-file filter (one FS open per candidate file: minutes
+    * at object-store latency and 100k-file counts). */
+  private def prefetchBlooms(candidates: Seq[AddFile],
+      constraints: Seq[ColRange]): Unit = {
+    val cols = constraints.filter(c =>
+      (c.anyOf.nonEmpty ||
+        (c.lower.isDefined && c.lower == c.upper)) &&
+        !bloomUnsafeCols.contains(c.column)).map(_.column).distinct
+    if (cols.nonEmpty) Bloom.prefetch(candidates, cols)
+  }
 
   /** Full file-skipping pipeline: PARTITION pruning first (exact, from the
     * log's `partitionValues` — no footer or stats read needed), then footer
@@ -87,6 +102,7 @@ final case class Snapshot(
           }
         }
       }
+    prefetchBlooms(afterPartition, constraints)
     afterPartition.filter(f => statsKeep(f, constraints))
   }
 

@@ -72,6 +72,33 @@ object PruningPropertySpec extends Properties("graft.pruning") {
       lowerOk && upperOk
     }
 
+  property("IN-list per-member pruning keeps every file containing a member") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(-50, 50), Gen.chooseNum(0, 30))),
+      Gen.nonEmptyListOf(Gen.chooseNum(-60, 60))) { (ranges, members) =>
+      import graft.log.{AddFile, ColRange, Snapshot}
+      val files = ranges.zipWithIndex.map { case ((lo, w), i) =>
+        AddFile(s"f$i", 1L, 1L, stats = Some(
+          s"""{"minValues":{"k":$lo},"maxValues":{"k":${lo + w}}}"""))
+      }
+      val snap = Snapshot(0L, None, None, files)
+      val bs = members.sorted.map(m => Bound.Num(BigDecimal(m)))
+      val kept = snap.filesForRanges(Seq(
+        ColRange("k", Some(bs.head), Some(bs.last), anyOf = bs)))
+        .map(_.path).toSet
+      // soundness: a file whose [mn, mx] contains ANY member must survive
+      val mustKeep = ranges.zipWithIndex.collect {
+        case ((lo, w), i) if members.exists(m => m >= lo && m <= lo + w) => s"f$i"
+      }.toSet
+      mustKeep.subsetOf(kept) && {
+        // strength: a file provably missing EVERY member is pruned
+        val mustPrune = ranges.zipWithIndex.collect {
+          case ((lo, w), i) if !members.exists(m => m >= lo && m <= lo + w) => s"f$i"
+        }.toSet
+        mustPrune.intersect(kept).isEmpty
+      }
+    }
+
   property("prefixSuccessor survives surrogate-adjacent chars") = {
     // U+D7FF + 1 lands in the surrogate block; the successor must overshoot,
     // not emit an unpaired surrogate that UTF-8-encodes as '?'
