@@ -449,6 +449,70 @@ object Multimodal {
     }(hashEnc)
   }
 
+  // ---------------------------------------------------------------- m10
+  /** Video near-dup by TEMPORAL-MAJORITY perceptual signature — the video
+    * rung of the near-dup ladder (m07 images, m08 audio): every doc's
+    * "video" is 3 real PNG frames (frame id = doc*10+f, so each frame has
+    * its own dims and content), each frame decodes through the real codec
+    * to its block-mean aHash, and the video signature is the per-bit
+    * MAJORITY of the 3 frame hashes — one bitwise expression
+    * `(h0&h1)|(h1&h2)|(h0&h2)`, no per-bit loop — which tolerates a
+    * minority of damaged/re-encoded frames by construction. Every sixth
+    * doc gets a fully re-encoded variant (each frame one-pixel-perturbed);
+    * since frames differ in dims, their flipped bits rarely coincide and
+    * the majority absorbs them — the variant must pair with its original
+    * within 3 bits through the shared Hamming pigeonhole (pinned). The
+    * oracle replays frames, hashes, majority, banding and verify in SQL. */
+  def m10VideoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val memSchema = StructType(Seq(
+      StructField("member_id", LongType, nullable = false),
+      StructField("frame", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val memEnc = org.apache.spark.sql.Encoders.row(memSchema)
+    val members = docs(spark, dir)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (id, n) = (r.getLong(0), r.getLong(1))
+          val orig = (0L until 3L).iterator.map(f =>
+            Row(id, f, PngCodec.encode(id * 10 + f, n)))
+          val pert =
+            if (id % 6 == 0)
+              (0L until 3L).iterator.map(f =>
+                Row(id + 10000L, f, PngCodec.encode(id * 10 + f, n, perturb = true)))
+            else Iterator.empty[Row]
+          orig ++ pert
+        }
+      }(memEnc)
+    val fhSchema = StructType(Seq(
+      StructField("member_id", LongType, nullable = false),
+      StructField("frame", LongType, nullable = false),
+      StructField("fh", LongType, nullable = false)))
+    val fhEnc = org.apache.spark.sql.Encoders.row(fhSchema)
+    val fhs = members.mapPartitions { rows =>
+      val decoder = new PngDecoder
+      rows.map(r => Row(r.getLong(0), r.getLong(1),
+        decoder.blockMeanHash(r.getAs[Array[Byte]](2))))
+    }(fhEnc)
+    def hOf(f: Int) = max(when(col("frame") === f, col("fh"))).as(s"h$f")
+    val sigs = fhs.groupBy("member_id").agg(hOf(0), hOf(1), hOf(2))
+      .select(col("member_id"),
+        col("h0").bitwiseAND(col("h1"))
+          .bitwiseOR(col("h1").bitwiseAND(col("h2")))
+          .bitwiseOR(col("h0").bitwiseAND(col("h2"))).as("vhash"))
+      .persist()
+    try {
+      val pairs = graft.api.Pipelines.hammingNearDupPairs(
+        sigs, col("member_id"), col("vhash"), maxHamming = 3)
+        .localCheckpoint()
+      val planted = docs(spark, dir).filter(col("doc_id") % 6 === 0).count()
+      val found = pairs.filter(col("doc_b") === col("doc_a") + 10000L).count()
+      require(found == planted,
+        s"every re-encoded video must pair with its original: $found/$planted")
+      pairs
+    } finally sigs.unpersist()
+  }
+
   // ---------------------------------------------------------------- m09
   /** End-to-end image dedup — m07's pairs composed through connected
     * components and a canonical keep (min member id per cluster), the
@@ -563,9 +627,60 @@ object Multimodal {
     "m07_image_neardup" -> m07ImageNearDup _,
     "m08_audio_fingerprint" -> m08AudioFingerprint _,
     "m09_image_dedup" -> m09ImageDedup _,
+    "m10_video_neardup" -> m10VideoNearDup _,
   )
 
   val oracles: Map[String, String] = Map(
+    // m10: per-frame replay of the m06/m07 hash chain (frame id =
+    // doc*10+f gives each frame its own dims and pixels), the bitwise
+    // 2-of-3 majority signature, and the shared banding + verify
+    "m10_video_neardup" ->
+      """WITH vids AS (
+        | SELECT doc_id, n_chars, 0 AS pert, doc_id AS mid FROM documents
+        | UNION ALL
+        | SELECT doc_id, n_chars, 1, doc_id + 10000 FROM documents
+        | WHERE doc_id % 6 = 0),
+        |frames AS (
+        | SELECT v.mid, v.pert, f.f, v.doc_id * 10 + f.f AS fid,
+        |  v.n_chars % 40 + 8 AS w, (v.doc_id * 10 + f.f) % 24 + 8 AS h
+        | FROM vids v, (SELECT unnest(generate_series(0, 2)) AS f) f),
+        |px AS (
+        | SELECT fr.mid, fr.f,
+        |  (x.x*31 + y.y*17 + fr.fid*7) % 256
+        |   + (x.x*31 + y.y*17 + fr.fid*7 + 11) % 256
+        |   + CASE WHEN fr.pert = 1 AND x.x = 3 AND y.y = 3
+        |      THEN ((x.x*31 + y.y*17 + fr.fid*7 + 22) % 256 + 1) % 256
+        |      ELSE (x.x*31 + y.y*17 + fr.fid*7 + 22) % 256 END AS gray,
+        |  (y.y * 8) // fr.h * 8 + (x.x * 8) // fr.w AS slot
+        | FROM frames fr
+        | JOIN (SELECT unnest(generate_series(0, 46)) AS x) x ON x.x < fr.w
+        | JOIN (SELECT unnest(generate_series(0, 30)) AS y) y ON y.y < fr.h),
+        |blk AS (SELECT mid, f, slot, sum(gray) AS bs, count(*) AS bn
+        |        FROM px GROUP BY 1, 2, 3),
+        |tot AS (SELECT mid, f, sum(gray) AS ts, count(*) AS tn
+        |        FROM px GROUP BY 1, 2),
+        |fh AS (
+        | SELECT b.mid, b.f,
+        |  CAST(sum(CASE
+        |    WHEN b.bs * t.tn <= t.ts * b.bn THEN 0
+        |    WHEN b.slot = 63 THEN -9223372036854775807 - 1
+        |    ELSE 1::BIGINT << CAST(b.slot AS INT) END) AS BIGINT) AS h
+        | FROM blk b JOIN tot t USING (mid, f) GROUP BY 1, 2),
+        |sig AS (
+        | SELECT mid,
+        |  (max(CASE WHEN f = 0 THEN h END) & max(CASE WHEN f = 1 THEN h END))
+        |  | (max(CASE WHEN f = 1 THEN h END) & max(CASE WHEN f = 2 THEN h END))
+        |  | (max(CASE WHEN f = 0 THEN h END) & max(CASE WHEN f = 2 THEN h END))
+        |    AS vhash
+        | FROM fh GROUP BY 1),
+        |bands AS (
+        | SELECT mid, vhash, c.c AS chunk, (vhash >> (16 * c.c)) & 65535 AS chunk_val
+        | FROM sig, (SELECT unnest(generate_series(0, 3)) AS c) c)
+        |SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b,
+        | CAST(bit_count(xor(a.vhash, b.vhash)) AS INT) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.mid < b.mid
+        |WHERE bit_count(xor(a.vhash, b.vhash)) <= 3""".stripMargin,
     // replays the pixel formula -> per-block gray sums -> cross-multiplied
     // mean comparison -> packed bits (bit 63 via the min-long literal:
     // DuckDB's << raises on 1<<63)
