@@ -1,6 +1,6 @@
 package graft
 
-import graft.log.{Action, AddFile, Metadata, RemoveFile, Snapshot}
+import graft.log.{Action, AddFile, Bloom, Metadata, RemoveFile, Snapshot}
 import org.apache.spark.sql.types._
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
@@ -104,5 +104,41 @@ object LogPropertySpec extends Properties("graft.log") {
       val rerun = Snapshot.replay(99L, versions ++ versions.lastOption.toSeq)
       once.files.map(f => f.path -> f.size).toMap ==
         rerun.files.map(f => f.path -> f.size).toMap
+    }
+
+  private val genRef: Gen[(String, Bloom.Ref)] = for {
+    col <- Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+    p <- Gen.chooseNum(0, 9).map(i => s"/t/_bloom/run-$i.bin")
+    off <- Gen.chooseNum(0L, 1L << 30)
+    len <- Gen.chooseNum(1, 1 << 19)
+    crc <- Gen.chooseNum(0L, (1L << 32) - 1)
+  } yield col -> Bloom.Ref(p, off, len, crc)
+
+  property("bloom refs survive the stats JSON round trip and remap moves only paths") =
+    forAll(Gen.nonEmptyListOf(genRef), Gen.chooseNum(1L, 1000L)) { (refs0, rows) =>
+      // distinct columns (a JSON object has one entry per key)
+      val refs = refs0.groupBy(_._1).map(_._2.head).toSeq
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.createObjectNode()
+      root.put("numRecords", rows)
+      val bn = root.putObject("gwBloomRef")
+      refs.foreach { case (c, r) =>
+        val o = bn.putObject(c)
+        o.put("p", r.path); o.put("o", r.offset)
+        o.put("l", r.length); o.put("c", r.crc)
+      }
+      val f = AddFile("f.parquet", 1L, 1L,
+        stats = Some(mapper.writeValueAsString(root)))
+      val readBack = refs.forall { case (c, r) => Bloom.refOf(f, c).contains(r) }
+      val paths = Bloom.sidecarPaths(f).toSet == refs.map(_._2.path).toSet
+      // remap: every mapped path moves, offsets/lengths/crc/other stats hold
+      val mapping = refs.map(_._2.path).distinct.map(p => p -> s"$p.clone").toMap
+      val remapped = f.copy(stats = f.stats.map(Bloom.remapStats(_, mapping)))
+      val moved = refs.forall { case (c, r) =>
+        Bloom.refOf(remapped, c).contains(r.copy(path = s"${r.path}.clone"))
+      }
+      val rowsHold = mapper.readTree(remapped.stats.get)
+        .path("numRecords").asLong() == rows
+      readBack && paths && moved && rowsHold
     }
 }
