@@ -208,6 +208,36 @@ object Similarity {
     res
   }
 
+  /** s16: index MAINTENANCE — streaming/incremental ingest fragments the
+    * inverted lists (every append lands >= one file per touched list), and
+    * OPTIMIZE heals them: compaction groups by partition tuple, so each
+    * list's small files fold WITHIN the list (pinned: fewer files after,
+    * every rewritten file still carries its `list` partition value) and
+    * probe-time partition pruning survives untouched. Search answers the
+    * same oracle as s14 — maintenance must be invisible to results. */
+  def s16IvfOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("s16")
+      .resolve("ivf").toString
+    Pipelines.buildIvfIndex(e.filter(col("vec_id") % 4 === 0),
+      col("vec_id"), col("embedding"), dim = 64, indexPath = tmp)
+    (1 until 4).foreach { m =>
+      Pipelines.appendToIvfIndex(e.filter(col("vec_id") % 4 === m),
+        col("vec_id"), col("embedding"), tmp)
+    }
+    val t = graft.GwTable.forPath(spark, tmp)
+    val before = t.snapshot().files.size
+    require(t.compact(targetFileBytes = 1L << 30) > 0,
+      "fragmented lists must have something to compact")
+    val snap = t.snapshot()
+    require(snap.files.size < before,
+      s"OPTIMIZE must fold list fragments: $before -> ${snap.files.size}")
+    require(snap.files.forall(_.partitionValues.contains("list")),
+      "rewritten files must keep their list partition value (pruning survives)")
+    Pipelines.ivfIndexTopK(e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), tmp, k = 3, nProbe = 8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
@@ -224,6 +254,7 @@ object Similarity {
     "s13_filtered_ann" -> s13FilteredAnn _,
     "s14_ivf_index" -> s14IvfIndex _,
     "s15_ivf_append" -> s15IvfAppend _,
+    "s16_ivf_optimize" -> s16IvfOptimize _,
   )
 
   /** s13's oracle: the s02 LSH replay with the label equality joined into
@@ -471,6 +502,9 @@ object Similarity {
     "s03_ivf_topk" -> s03OracleSql,
     "s14_ivf_index" -> s14OracleSql,
     "s15_ivf_append" -> s15OracleSql,
+    // s16: contents equal the full corpus after build+appends+OPTIMIZE,
+    // so maintenance must answer s14's replay verbatim
+    "s16_ivf_optimize" -> ivfOracleSql("vec_id < 10"),
     "s07_knn_graph" -> lshTopKOracle(""),
     "s08_mmr_topk" ->
       // Recursive replay of the greedy MMR trajectory: each recursion
