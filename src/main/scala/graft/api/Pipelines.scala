@@ -651,8 +651,11 @@ object Pipelines {
     val spark = df.sparkSession
     import spark.implicits._
     val rateDf = rates.toDF("__g", "__thr")
+    // null-safe equality: a NULL source group is a real group (it got its
+    // own rate row above) — a plain === join would silently DROP those
+    // rows, a data loss the when-chain path never had
     df.withColumn("bucket", substring(md5(id.cast("string")), 1, 4))
-      .join(broadcast(rateDf), group === col("__g"))
+      .join(broadcast(rateDf), group <=> col("__g"))
       .filter(col("bucket") < col("__thr"))
       .drop("__g", "__thr")
   }
@@ -692,11 +695,26 @@ object Pipelines {
    * by definition) reach the per-train-id window.
    */
   def semanticDecontaminationReport(train: DataFrame, evalSet: DataFrame,
-      id: Column, vec: Column, thresholdMicro: Long): DataFrame = {
+      id: Column, vec: Column, thresholdMicro: Long,
+      maxEvalRows: Long = 100000): DataFrame = {
     val t = train.select(id.as("t_id"), vec.as("t_emb"))
       .withColumn("t_nrm", l2norm(col("t_emb")))
     val e = evalSet.select(id.as("e_id"), vec.as("e_emb"))
       .withColumn("e_nrm", l2norm(col("e_emb")))
+    // the eval side broadcasts AND multiplies the corpus scan (every train
+    // row dots every eval row) — a caller passing a corpus as `evalSet`
+    // would get a driver OOM or a silent O(n*m) blow-up, so the
+    // benchmark-sized contract is enforced LOUDLY: count first (cheap,
+    // distributed), fail with guidance before broadcasting anything (the
+    // temperatureSample maxGroups pattern)
+    val nEval = e.count()
+    require(nEval <= maxEvalRows,
+      s"semanticDecontaminationReport: $nEval eval rows exceeds " +
+        s"maxEvalRows=$maxEvalRows — the eval set broadcasts to every " +
+        "executor and scores against every train vector by design (eval " +
+        "suites are benchmark-sized); if you meant corpus-vs-corpus " +
+        "similarity use cosineNearDupPairs/annTopK, or raise maxEvalRows " +
+        "deliberately if your eval suite is genuinely this large")
     val flagged = t.crossJoin(broadcast(e))
       .select(col("t_id"), col("e_id"),
         round(dotProd(col("t_emb"), col("e_emb")) /
@@ -1087,7 +1105,11 @@ object Pipelines {
     // guarantee becomes CAP-CONDITIONAL: complete for every pair whose
     // agreeing chunk's bucket holds ≤ cap members — mass dense enough to
     // overflow a bucket is better handled by exact dedup upstream.
-    // cap <= 0 disables.
+    // cap <= 0 disables. DETECTABILITY: the cap drops members with no
+    // runtime signal on this lazily-planned path — callers who need to
+    // know whether the <=3-bit guarantee was weakened on THEIR corpus run
+    // [[hammingBucketAudit]] (same banding, returns every over-cap bucket
+    // with its member/dropped counts; empty result = unconditional recall).
     val chunks =
       if (bucketCap <= 0) chunks0
       else {
@@ -1104,6 +1126,30 @@ object Pipelines {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Audit for [[hammingNearDupPairs]]'s bucket cap: the (chunk, chunk_val)
+   * pigeonhole buckets whose membership exceeds `bucketCap`, with the
+   * member and dropped counts — an EMPTY result certifies the <=3-bit
+   * pigeonhole recall guarantee held unconditionally on this corpus; a
+   * non-empty one names exactly which code regions were degraded to
+   * cap-conditional recall (and how much mass was dropped), so the caller
+   * can route that mass through exact dedup instead. One banding pass +
+   * one partial-aggregated count — no joins, no candidate generation.
+   */
+  def hammingBucketAudit(codes: DataFrame, id: Column, bits: Column,
+      bucketCap: Int = 65536): DataFrame = {
+    require(bucketCap > 0, s"bucketCap must be positive: $bucketCap")
+    codes.select(id.as("__hid"), bits.as("__hbits"))
+      .select(posexplode(array((0 until 4).map(c =>
+        shiftright(col("__hbits"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+      .groupBy("chunk", "chunk_val")
+      .agg(count(lit(1)).as("members"))
+      .filter(col("members") > bucketCap)
+      .withColumn("dropped", col("members") - bucketCap)
   }
 
   /**

@@ -64,17 +64,24 @@ object EventTime {
   // per-session memo of the UTC assertion: the check is plan-time, but
   // every event-time query funnels through it and `conf.get` walks the
   // session-state conf chain — one weak-keyed lookup per session instead
-  // of one per call (sessions that flip the zone mid-life are out of
-  // contract; the assertion exists to catch a misconfigured HARNESS)
+  // of one per call. Only SUCCESSFUL (UTC) checks memoize: a session that
+  // first failed here and then fixed its zone re-reads the conf and
+  // passes, instead of failing forever on the stale cached value. (A
+  // session that passed once and later flips AWAY from UTC is out of
+  // contract — the assertion exists to catch a misconfigured harness,
+  // not to police mid-life zone flips.)
+  private val UtcZones = Set("UTC", "Etc/UTC", "GMT", "Z")
   private val utcChecked =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
 
   private def requireUtcIfWallClock(df: DataFrame, dt: DataType, name: String): Unit =
     if (dt == TimestampNTZType) {
-      val tz = utcChecked.computeIfAbsent(df.sparkSession,
-        s => s.conf.get("spark.sql.session.timeZone"))
-      require(Set("UTC", "Etc/UTC", "GMT", "Z").contains(tz),
+      val sess = df.sparkSession
+      val tz = Option(utcChecked.get(sess))
+        .getOrElse(sess.conf.get("spark.sql.session.timeZone"))
+      if (UtcZones.contains(tz)) { utcChecked.put(sess, tz); () }
+      require(UtcZones.contains(tz),
         s"event-time column `$name` is TIMESTAMP_NTZ (zoneless wall-clock); interpreting " +
           s"it as an instant requires spark.sql.session.timeZone=UTC (found '$tz') so the " +
           "NTZ->instant cast matches the oracle's epoch_us semantics")

@@ -208,17 +208,32 @@ object Bloom {
   private val CacheMaxBytes = 64L << 20
   private val cacheBytes = new java.util.concurrent.atomic.AtomicLong(0)
   private val cache =
-    new java.util.LinkedHashMap[Ref, Array[Byte]](128, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Ref, Array[Byte]]): Boolean =
-        if (cacheBytes.get > CacheMaxBytes) {
-          cacheBytes.addAndGet(-e.getValue.length.toLong); true
-        } else false
-    }
+    new java.util.LinkedHashMap[Ref, Array[Byte]](128, 0.75f, true)
 
-  // Failed loads (vacuumed sidecar under a stale snapshot, deep clone
-  // whose source is gone, CRC damage) are remembered in a bounded set so
-  // a dead ref costs ONE FS round trip per process, not one per probe.
+  /** Insert under the byte budget: evict access-order-eldest entries until
+    * the cache PLUS the incoming bitset fits (looping — a single-eviction
+    * rule lets the cache settle one max-size bitset above budget). Caller
+    * holds the cache lock. */
+  private def putBounded(ref: Ref, b: Array[Byte]): Unit = {
+    if (cache.containsKey(ref)) return
+    val it = cache.entrySet().iterator()
+    while (cacheBytes.get + b.length > CacheMaxBytes && it.hasNext) {
+      val e = it.next()
+      cacheBytes.addAndGet(-e.getValue.length.toLong)
+      it.remove()
+    }
+    cache.put(ref, b)
+    cacheBytes.addAndGet(b.length.toLong)
+    ()
+  }
+
+  // PERMANENTLY failed loads (vacuumed sidecar under a stale snapshot,
+  // deep clone whose source is gone, CRC damage) are remembered in a
+  // bounded set so a dead ref costs ONE FS round trip per process, not
+  // one per probe. Only failures that cannot heal enter here — a
+  // TRANSIENT IO error (an object-store 503, a network blip) is retried
+  // on the next probe instead of silently disabling the bloom's pruning
+  // for the life of the driver.
   private val failedCap = 16384
   private val failed = java.util.Collections.newSetFromMap(
     new java.util.LinkedHashMap[Ref, java.lang.Boolean](128, 0.75f, false) {
@@ -253,7 +268,7 @@ object Bloom {
     val missing = refs.filter(r =>
       cache.synchronized(!cache.containsKey(r)) &&
         failed.synchronized(!failed.contains(r)))
-    if (missing.length > 1) {
+    if (missing.nonEmpty) {
       import scala.jdk.CollectionConverters._
       val conf = hadoopConf()
       missing.asJava.parallelStream().forEach(r => { load(r, conf); () })
@@ -266,24 +281,33 @@ object Bloom {
     cache.synchronized(Option(cache.get(ref))) match {
       case some @ Some(_) => some
       case None =>
-        val loaded = scala.util.Try {
-          val p = new org.apache.hadoop.fs.Path(ref.path)
-          val in = p.getFileSystem(conf).open(p)
+        // permanent = the bytes can never come back right (gone, short, or
+        // CRC-damaged at the recorded offset); transient = this ATTEMPT
+        // failed (connection reset, throttling 503) but the sidecar may be
+        // healthy — retried next probe, never negative-cached
+        var permanent = false
+        val loaded =
           try {
-            val buf = new Array[Byte](ref.length)
-            in.readFully(ref.offset, buf)
-            val crc = new java.util.zip.CRC32()
-            crc.update(buf)
-            if (crc.getValue == ref.crc) Some(buf) else None
-          } finally in.close()
-        }.toOption.flatten
+            val p = new org.apache.hadoop.fs.Path(ref.path)
+            val in = p.getFileSystem(conf).open(p)
+            try {
+              val buf = new Array[Byte](ref.length)
+              in.readFully(ref.offset, buf)
+              val crc = new java.util.zip.CRC32()
+              crc.update(buf)
+              if (crc.getValue == ref.crc) Some(buf)
+              else { permanent = true; None } // stored bytes are wrong
+            } finally in.close()
+          } catch {
+            case _: java.io.FileNotFoundException |
+                 _: java.io.EOFException => // vacuumed / truncated sidecar
+              permanent = true; None
+            case scala.util.control.NonFatal(_) => None // transient: retry
+          }
         loaded match {
-          case Some(b) =>
-            cache.synchronized {
-              if (cache.put(ref, b) == null) cacheBytes.addAndGet(b.length.toLong)
-            }
-          case None =>
-            failed.synchronized { failed.add(ref); () }
+          case Some(b) => cache.synchronized(putBounded(ref, b))
+          case None if permanent => failed.synchronized { failed.add(ref); () }
+          case None => ()
         }
         loaded
     }
@@ -339,29 +363,24 @@ object Bloom {
       spark.sparkContext.hadoopConfiguration)
     val sidecarDir = new org.apache.hadoop.fs.Path(tablePath, "_bloom").toString
     val runId = java.util.UUID.randomUUID().toString
-    // per file: hash all values of each bloom column, fold into a bitset
-    // sized by the file's row count; per TASK: stream the surviving
+    // per-file bit widths, driver-computed from the harvested footer
+    // numRecords already in the stats JSON — partials can only OR-merge
+    // when they agree on width, and only the driver knows each file's
+    // total row count up front (see [[graft.functions.BloomBitsetAgg]])
+    val sizes: Map[String, Int] = files.flatMap(f =>
+      graft.Dv.numRecords(f).map(n =>
+        graft.GwTable.uriKey(f.path) -> bitsFor(n))).toMap
+    // per file: one OR-merging bitset aggregate per bloom column —
+    // ObjectHashAggregate folds each input partition's rows into local
+    // per-file bitsets (map-side combine), so the exchange carries one
+    // partial bitset per (file x partition) instead of every row's
+    // (path, hash); per TASK after the final merge: stream the surviving
     // bitsets into one sidecar, emitting (file, column, ref)
-    val refs: Seq[(String, Seq[(String, Ref)])] = hashed
-      .groupByKey(r => r.getString(0))(Encoders.STRING)
-      .mapGroups { (enc, rows) =>
-        val hs = present.map(_ => scala.collection.mutable.ArrayBuffer.empty[Long])
-        var n = 0L
-        rows.foreach { r =>
-          n += 1
-          var i = 0
-          while (i < present.length) {
-            if (!r.isNullAt(i + 1)) hs(i) += r.getLong(i + 1)
-            i += 1
-          }
-        }
-        val m = bitsFor(n)
-        val bitsets = present.zipWithIndex.flatMap { case (c, i) =>
-          val bits = new Array[Byte](m / 8)
-          hs(i).foreach(h => set(bits, h))
-          if (worthPersisting(bits)) Some(c -> bits) else None
-        }
-        (enc, bitsets)
+    val refs: Seq[(String, Seq[(String, Ref)])] = aggFrame(hashed, present, sizes)
+      .map { r =>
+        (r.getString(0), present.indices.toList.flatMap(i =>
+          if (r.isNullAt(i + 1)) None
+          else Some(present(i) -> r.getAs[Array[Byte]](i + 1))): Seq[(String, Array[Byte])])
       }(Encoders.product[(String, Seq[(String, Array[Byte])])])
       .mapPartitions { groups =>
         if (!groups.hasNext) Iterator.empty
@@ -417,6 +436,17 @@ object Bloom {
           f.copy(stats = Some(mapper.writeValueAsString(root)))
       }
     }
+  }
+
+  /** The build's aggregation frame: group by scanned file path, one
+    * [[graft.functions.BloomBitsetAgg]] per bloom column. Split out so the
+    * spec can pin the PHYSICAL shape — a partial ObjectHashAggregate below
+    * the exchange (map-side combine) and a final one above it. */
+  private[graft] def aggFrame(hashed: DataFrame, present: Seq[String],
+      sizes: Map[String, Int]): DataFrame = {
+    val aggs = present.map(c =>
+      graft.functions.BloomBitsetAgg(col("__enc"), col(c), sizes).as(c))
+    hashed.groupBy(col("__enc")).agg(aggs.head, aggs.tail: _*)
   }
 
   private def Encoders = org.apache.spark.sql.Encoders

@@ -431,4 +431,51 @@ class ApiSpec extends AnyFunSuite {
     assert(graft.api.Pipelines.temperatureSample(
       wide, col("g"), col("id"), maxGroups = 1000).count() == 500L)
   }
+
+  test("temperatureSample keeps NULL-group rows at their own derived rate") {
+    import spark.implicits._
+    // 3 sources, one of them NULL: a plain === join would silently drop
+    // every null-group row; the null-safe join must keep them — and the
+    // NULL group is the smallest source, so its rate is 1000 permille
+    // (kept in full)
+    val rows = (1L to 200L).map(i => (i, "big")) ++
+      (201L to 260L).map(i => (i, "mid")) ++
+      (261L to 270L).map(i => (i, null: String))
+    val df = rows.toDF("id", "g")
+    val kept = graft.api.Pipelines.temperatureSample(df, col("g"), col("id"))
+    assert(kept.filter(col("g").isNull).count() == 10L,
+      "the smallest (NULL) source must be kept in full, not dropped by the join")
+    assert(kept.count() < 270L, "larger sources must downsample")
+  }
+
+  test("semanticDecontaminationReport refuses a corpus-sized eval set loudly") {
+    val e = intercept[IllegalArgumentException](
+      graft.api.Pipelines.semanticDecontaminationReport(
+        embs, embs, col("vec_id"), col("embedding"),
+        thresholdMicro = 990000L, maxEvalRows = 10).count())
+    assert(e.getMessage.contains("maxEvalRows") &&
+      e.getMessage.contains("broadcast"),
+      s"guard must carry guidance: ${e.getMessage}")
+    // benchmark-sized eval still works
+    assert(graft.api.Pipelines.semanticDecontaminationReport(
+      embs, embs.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      thresholdMicro = 999999L).count() >= 5)
+  }
+
+  test("hammingBucketAudit names exactly the over-cap buckets") {
+    import spark.implicits._
+    val degenerate = (1L to 100L).map(i => (i, 0x0123456789ABCDEFL))
+      .toDF("doc_id", "code")
+    // 100 identical codes: all 4 chunks overflow a cap of 60
+    val audit = graft.api.Pipelines.hammingBucketAudit(
+      degenerate, col("doc_id"), col("code"), bucketCap = 60).collect()
+    assert(audit.length == 4, s"expected 4 over-cap buckets, got ${audit.length}")
+    assert(audit.forall(r => r.getAs[Long]("members") == 100L &&
+      r.getAs[Long]("dropped") == 40L))
+    // a spread-out corpus certifies unconditional recall: empty audit
+    val spread = (1L to 100L).map(i => (i, i * 0x9E3779B97F4A7C15L))
+      .toDF("doc_id", "code")
+    assert(graft.api.Pipelines.hammingBucketAudit(
+      spread, col("doc_id"), col("code"), bucketCap = 60).count() == 0L)
+  }
 }

@@ -252,4 +252,56 @@ class BloomSpec extends SparkSpec {
         "hashable declared columns still build")
     }
   }
+
+  test("build plan: map-side partial aggregation, no raw per-row hash shuffle") {
+    // the CONVERT/backfill scale contract: the build's exchange must carry
+    // one partially-built bitset per (file x partition), never every row's
+    // (path, hash) — pinned as ObjectHashAggregate(partial) BELOW the
+    // exchange and the final merge above it (a groupByKey.mapGroups shape
+    // would plan MapGroups with the full row stream crossing the shuffle)
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+      .select(org.apache.spark.sql.functions.col("_metadata.file_path").as("__enc"),
+        org.apache.spark.sql.functions.xxhash64(
+          col("n_nationkey").cast("string")).as("n_nationkey"))
+    val frame = Bloom.aggFrame(src, Seq("n_nationkey"),
+      Map("dummy" -> Bloom.MinBits))
+    val plan = frame.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val aggs = plan.collect { case a: ObjectHashAggregateExec => a }
+    assert(aggs.size == 2, s"expected partial+final ObjectHashAggregate, got:\n$plan")
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, Final}
+    assert(aggs.exists(_.aggregateExpressions.forall(_.mode == Partial)),
+      "map-side partial bitset aggregation must sit below the exchange")
+    assert(aggs.exists(_.aggregateExpressions.forall(_.mode == Final)),
+      "final OR-merge must sit above the exchange")
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
+      "partial/final split must straddle a shuffle exchange")
+    // the partial aggregate must be the exchange's CHILD (combine before shuffle)
+    val ex = plan.collect { case e: ShuffleExchangeExec => e }.head
+    assert(ex.child.collectFirst { case a: ObjectHashAggregateExec => a }
+      .exists(_.aggregateExpressions.forall(_.mode == Partial)),
+      "the exchange input must already be partially aggregated")
+  }
+
+  test("aggregate build produces the same bitsets as a direct fold") {
+    // one file, known rows: the BloomBitsetAgg result must equal folding
+    // the same canonical-string hashes into a bitset sized by numRecords
+    val dir = Files.createTempDirectory("bloomagg").resolve("t").toString
+    val src = spark.read.parquet(s"$sf/nation.parquet").coalesce(1)
+    graft.streaming.GwSink.append(src, dir,
+      bootstrapProps = Map(Bloom.ColumnsProp -> "n_name"))
+    val f = GwTable.forPath(spark, dir).snapshot().files.head
+    val bits = Bloom.ofFile(f, "n_name").get
+    val n = graft.Dv.numRecords(f).get
+    val expected = new Array[Byte](Bloom.bitsFor(n) / 8)
+    src.select(col("n_name")).collect().foreach(r =>
+      Bloom.set(expected, Bloom.hashLiteral(r.getString(0))))
+    assert(java.util.Arrays.equals(bits, expected),
+      "aggregate-built bitset must be byte-identical to the direct fold")
+  }
 }

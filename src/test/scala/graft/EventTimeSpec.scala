@@ -132,4 +132,18 @@ class EventTimeSpec extends SparkSpec {
       s"stream drain on nanos encoding diverged from batch: " +
         s"${got.take(3).toSeq} vs ${expected.take(3).toSeq}")
   }
+
+  test("UTC assertion recovers after the session fixes its zone (no stale memo)") {
+    // a session first checked under a WRONG zone must not fail forever:
+    // only successful (UTC) checks memoize, so fixing the conf re-validates
+    val s2 = spark.newSession()
+    val ntz = s2.sql("SELECT timestamp_ntz'2020-01-01 00:00:00' AS ts")
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val e = intercept[IllegalArgumentException](EventTime.micros(ntz))
+    assert(e.getMessage.contains("UTC"))
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    // would throw on the stale cached 'America/New_York' before the fix
+    assert(ntz.select(EventTime.micros(ntz).as("us")).head().getLong(0) ==
+      1577836800000000L)
+  }
 }
