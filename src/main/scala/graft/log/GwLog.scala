@@ -13,7 +13,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  *
  * Commit concurrency control is optimistic and scheme-aware (see
  * [[GwLog.commitAt]]): atomic create-no-overwrite where the filesystem
- * provides it (file/hdfs), write-temp + rename-claim on object stores.
+ * provides it (file/hdfs); on object stores a CONDITIONAL PUT
+ * (If-None-Match, negotiated via Hadoop's createFile() builder must-key)
+ * lets the store itself elect the winner, with write-temp + rename-claim
+ * as the fallback where the capability is absent.
  * The indexer's fan-out guarantees a single writer per table
  * (reference behavior: one Spark task per table, Guidewire.scala:71-74),
  * so conflicts only arise from concurrent maintenance writers; losers get
@@ -371,7 +374,62 @@ class GwLog(val tablePath: Path, conf: Configuration,
     val payload = actions.map(Actions.toJson).mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8)
     if (GwLog.atomicCreateScheme(f.getScheme)) commitViaCreate(version, target, payload)
-    else commitViaRename(version, target, payload)
+    else if (!commitViaConditionalPut(version, target, payload))
+      commitViaRename(version, target, payload)
+  }
+
+  /**
+   * Object-store claim via CONDITIONAL PUT (If-None-Match: *), the claim
+   * that closes rename-claim's residual window entirely: the store itself
+   * rejects the upload's completion when an object already exists at the
+   * version path, so two concurrent writers racing one version get exactly
+   * one winner decided SERVER-SIDE — no HEAD-then-PUT gap, no rename
+   * metadata-op window, and nothing partial ever visible (the object only
+   * materializes when the PUT completes).
+   *
+   * Negotiated through Hadoop's public createFile() builder contract
+   * (HADOOP-19256, hadoop 3.4.1+): `must(fs.option.create.conditional.
+   * overwrite)` is a MANDATORY key, and the builder spec requires stores
+   * that do not understand it to reject at `build()` — that rejection is
+   * the capability probe, and this method returns false so [[commitAt]]
+   * falls back to the write-temp + rename-claim protocol (correct
+   * everywhere, merely wider-windowed). A conflict can surface at open
+   * (connectors that pre-check) or at close (the PUT's completion carries
+   * the precondition) — both map to [[VersionConflictException]]; any
+   * other close-time failure is re-checked against the target so a plain
+   * IO error is never misreported as a competing commit.
+   */
+  private[graft] def commitViaConditionalPut(
+      version: Long, target: Path, payload: Array[Byte]): Boolean = {
+    val f = fs
+    val out =
+      try {
+        val b = f.createFile(target).overwrite(false)
+        b.must(GwLog.ConditionalCreateOpt, true)
+        b.build()
+      } catch {
+        // builder contract: unknown mandatory key -> IllegalArgument;
+        // stores that know the key but cannot honor it -> Unsupported.
+        // Either way: no conditional-create capability, fall back.
+        case _: IllegalArgumentException => return false
+        case _: UnsupportedOperationException => return false
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new VersionConflictException(version, target, e)
+      }
+    try {
+      try out.write(payload) finally out.close()
+    } catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new VersionConflictException(version, target, e)
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionConflictException(version, target, e)
+      case e: java.io.IOException if f.exists(target) =>
+        // the PUT's precondition failed mid-flight (s3a surfaces the 412
+        // as an IOException subtype this module cannot name offline): a
+        // winner IS at the target, so this is a conflict, not an IO error
+        throw new VersionConflictException(version, target, e)
+    }
+    true
   }
 
   private[graft] def commitViaCreate(version: Long, target: Path, payload: Array[Byte]): Unit = {
@@ -567,6 +625,13 @@ class GwLog(val tablePath: Path, conf: Configuration,
 
 object GwLog {
   val LogDirName = "_delta_log"
+
+  /** Hadoop's public createFile() option for a conditional (If-None-Match)
+    * create — `Options.CreateFileOptionKeys.FS_OPTION_CREATE_CONDITIONAL_
+    * OVERWRITE` (HADOOP-19256, hadoop 3.4.1+). Set as a MUST key so
+    * stores without the capability reject at build() and the commit falls
+    * back to rename-claim. */
+  val ConditionalCreateOpt = "fs.option.create.conditional.overwrite"
 
   /** Checkpoint every N commits — delta's default cadence. */
   val DefaultCheckpointInterval = 10

@@ -169,4 +169,69 @@ class OccSpec extends SparkSpec {
     assert(keys == (10L until 25L).toSet,
       s"deleted keys resurrected or lost: $keys")
   }
+
+  test("object-store conditional-PUT claim: server-side single winner per version") {
+    // cross-process-shaped stress through a FileSystem modeling the
+    // HADOOP-19256 If-None-Match semantics (conflict surfaces at close):
+    // 16 writers race the SAME version — the store must elect exactly one,
+    // the losers must see VersionConflictException, and the winning
+    // payload must be complete (nothing partial is ever AT the path)
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.cput.impl", classOf[CondPutFileSystem].getName)
+    val dir = Files.createTempDirectory("cput").resolve("t")
+    val log = GwLog.forTable(conf, "cput://" + dir.toString)
+    val before = CondPutFileSystem.conditionalBuilds.get()
+    def ci(i: Int) = graft.log.CommitInfo(
+      timestamp = 1000L + i, operation = s"op-$i", mode = "Append",
+      numFiles = 0, numOutputBytes = 0, isBlindAppend = true, txnId = s"t-$i")
+    val winners = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val losers = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 16).map { i =>
+      new Thread(() => {
+        try {
+          gate.await()
+          log.commitAt(0L, Seq(ci(i)))
+          winners.add(i); ()
+        } catch {
+          case _: graft.log.VersionConflictException => losers.incrementAndGet(); ()
+          case e: Throwable => errors.add(e); ()
+        }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(errors.isEmpty, s"unexpected failure: ${Option(errors.peek())}")
+    assert(winners.size == 1 && losers.get == 15,
+      s"conditional PUT must elect exactly one winner: ${winners.size} won")
+    assert(CondPutFileSystem.conditionalBuilds.get() > before,
+      "the claim must have negotiated the conditional-create path, not a fallback")
+    // the committed version is the WINNER's payload, parsed whole
+    val committed = log.readVersion(0L)
+      .collectFirst { case c: graft.log.CommitInfo => c.operation }
+    assert(committed.contains(s"op-${winners.peek()}"),
+      s"payload at version 0 must be the winner's: $committed")
+  }
+
+  test("stores without conditional create negotiate down to rename-claim") {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.noput.impl", classOf[NoCondPutFileSystem].getName)
+    val dir = Files.createTempDirectory("noput").resolve("t")
+    val log = GwLog.forTable(conf, "noput://" + dir.toString)
+    def ci(i: Int) = graft.log.CommitInfo(
+      timestamp = 1000L + i, operation = s"op-$i", mode = "Append",
+      numFiles = 0, numOutputBytes = 0, isBlindAppend = true, txnId = s"t-$i")
+    // the capability probe must return false (default builder rejects the
+    // unknown mandatory key), not throw — that IS the negotiation
+    log.commitAt(0L, Seq(ci(0)))
+    assert(!log.commitViaConditionalPut(9L, log.logPathFor(9L), Array[Byte](120)),
+      "a store rejecting the must() key must report no-capability, not fail")
+    log.commitAt(1L, Seq(ci(1)))
+    assert(log.listVersions() == Seq(0L, 1L),
+      "rename-claim fallback must keep committing normally")
+    // and a second writer at a taken version still conflicts
+    intercept[graft.log.VersionConflictException](log.commitAt(1L, Seq(ci(2))))
+  }
 }
