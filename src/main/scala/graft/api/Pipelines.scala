@@ -1761,6 +1761,46 @@ object Pipelines {
       txnId = txnId, partitionBy = Seq("list"))
   }
 
+  /**
+   * REINDEX (s17) — the maintenance step [[appendToIvfIndex]] deliberately
+   * does not do: incremental appends assign against FROZEN centroids, so
+   * on a drifting corpus the partitioning silently degrades — new mass
+   * piles into lists whose centroids never represented it, and
+   * fixed-nProbe searches start missing true neighbors that straddle
+   * stale list boundaries (the one degradation no result-equality gate
+   * can see; pinned instead by the recall-under-drift property test).
+   * Rebuild RETRAINS centroids over the index's CURRENT contents
+   * (spherical k-means, [[trainIvfCentroids]]), reassigns every vector,
+   * and lands contents + centroids as ONE transactional overwrite
+   * (`setProps` restates `graft.ivf.centroids` atomically with the file
+   * swap), so a reader either probes the old index whole or the new index
+   * whole — never new lists under old centroids.
+   *
+   * Scale: training is iterations x (one narrow assignment scan + a
+   * (cluster, dim)-keyed partial aggregate — k*dim rows shuffle);
+   * reassignment is one codegen argmax pass; the overwrite stages files
+   * before touching the log, and old files remain time-travel-readable
+   * until vacuum. Pass `centroids` to skip training and land a chosen
+   * family (the deterministic replay path the s17 gate uses).
+   * Returns the committed version.
+   */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, nCentroids: Int = 16, iterations: Int = 3,
+      centroids: Option[Array[Array[Double]]] = None): Long = {
+    val dim = storedDim(spark, indexPath)
+    val current = spark.read.format("gwdelta").load(indexPath)
+      .select(col("n_id"), col("n_emb"))
+    val cents = centroids.getOrElse(
+      trainIvfCentroids(current, col("n_emb"), dim, nCentroids, iterations))
+    require(cents.length == nCentroids, "centroid count must match nCentroids")
+    require(cents.forall(_.length == dim),
+      s"rebuild centroids must keep the index dimension $dim")
+    graft.streaming.GwSink.overwrite(
+      assignToLists(current, col("n_id"), col("n_emb"), cents), indexPath,
+      partitionBy = Seq("list"),
+      setProps = Map(IvfCentroidsProp -> centroidsJson(cents)))
+  }
+
   /** Top-k cosine search against a persisted index: probe each query's
     * `nProbe` closest stored centroids, scan ONLY those lists (the
     * driver-side literal IN over the probed-list union is what partition-
@@ -1804,6 +1844,16 @@ object Pipelines {
   /** Centroids from the index table's configuration. Double.toString /
     * parseDouble round-trip exactly, so the stored centroids are the
     * trained ones bit for bit. */
+  /** The index's embedding dimension from its table configuration. */
+  private[graft] def storedDim(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Int = {
+    val conf = graft.GwTable.forPath(spark, indexPath).snapshot()
+      .metadata.map(_.configuration).getOrElse(Map.empty)
+    conf.getOrElse(IvfDimProp, throw new IllegalArgumentException(
+      s"$indexPath is not an IVF index table: missing $IvfDimProp " +
+        "in the table configuration (build one with buildIvfIndex)")).toInt
+  }
+
   private[graft] def storedCentroids(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Array[Array[Double]] = {

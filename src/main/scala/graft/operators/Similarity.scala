@@ -238,6 +238,42 @@ object Similarity {
       col("vec_id"), col("embedding"), tmp, k = 3, nProbe = 8)
   }
 
+  /** s17: REINDEX — build (16 seeded centroids) + append fragments the
+    * index, then [[Pipelines.rebuildIvfIndex]] retrains/reassigns and
+    * lands contents + centroids as ONE transactional overwrite (pinned:
+    * exactly one commit past the append; stored centroids swapped to the
+    * new 8-family atomically; every rewritten file keeps its `list`
+    * partition value so probe pruning survives). The gate rebuilds onto a
+    * PINNED centroid family (`hyperplanes(8, 64)`) so the oracle replays
+    * the same assignment with 8-centroid literals; the RETRAINING path
+    * (data-dependent, not SQL-renderable) is pinned by the
+    * recall-under-drift property test in OperatorSpec. */
+  def s17IvfRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("s17")
+      .resolve("ivf").toString
+    Pipelines.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), dim = 64, indexPath = tmp)
+    Pipelines.appendToIvfIndex(e.filter(col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"), tmp)
+    Pipelines.rebuildIvfIndex(spark, tmp, nCentroids = 8,
+      centroids = Some(Pipelines.hyperplanes(8, 64)))
+    val t = graft.GwTable.forPath(spark, tmp)
+    val snap = t.snapshot()
+    require(snap.version == 2L,
+      s"rebuild must be ONE transactional overwrite commit, at v${snap.version}")
+    require(Pipelines.storedCentroids(spark, tmp).length == 8,
+      "rebuilt centroids must be restated atomically with the content swap")
+    require(snap.files.forall(_.partitionValues.contains("list")),
+      "reassigned files must keep their list partition value (pruning survives)")
+    // time travel still serves the PRE-rebuild index whole (old centroids
+    // with old lists — never a mix)
+    require(spark.read.format("gwdelta").option("versionAsOf", "1")
+      .load(tmp).count() == e.count(), "pre-rebuild contents must time-travel")
+    Pipelines.ivfIndexTopK(e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), tmp, k = 3, nProbe = 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
@@ -255,6 +291,7 @@ object Similarity {
     "s14_ivf_index" -> s14IvfIndex _,
     "s15_ivf_append" -> s15IvfAppend _,
     "s16_ivf_optimize" -> s16IvfOptimize _,
+    "s17_ivf_rebuild" -> s17IvfRebuild _,
   )
 
   /** s13's oracle: the s02 LSH replay with the label equality joined into
@@ -382,10 +419,11 @@ object Similarity {
   private def s15OracleSql: String =
     ivfOracleSql("vec_id >= 10 AND vec_id < 20")
 
-  private[graft] def ivfOracleSql(queryPred: String): String = {
-    val cents = Pipelines.hyperplanes(16, 64)
+  private[graft] def ivfOracleSql(queryPred: String, nCentroids: Int = 16,
+      nProbe: Int = 8): String = {
+    val cents = Pipelines.hyperplanes(nCentroids, 64)
     def centLit(p: Array[Double]): String = p.mkString("[", ",", "]")
-    val scores = (0 until 16)
+    val scores = (0 until nCentroids)
       .map(c => s"list_dot_product(emb, ${centLit(cents(c))})")
       .mkString("[\n ", ",\n ", "\n]")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -394,9 +432,9 @@ object Similarity {
        |probe AS (
        | SELECT q.vec_id AS q_id, c.cl
        | FROM (SELECT vec_id, s FROM sc WHERE $queryPred) q
-       | CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS cl) c
+       | CROSS JOIN (SELECT unnest(generate_series(0, ${nCentroids - 1})) AS cl) c
        | QUALIFY row_number() OVER (
-       |   PARTITION BY q.vec_id ORDER BY q.s[c.cl+1] DESC, c.cl DESC) <= 8),
+       |   PARTITION BY q.vec_id ORDER BY q.s[c.cl+1] DESC, c.cl DESC) <= $nProbe),
        |cand AS (
        | SELECT p.q_id, n.vec_id AS n_id
        | FROM probe p JOIN corpus n ON n.cl = p.cl
@@ -505,6 +543,10 @@ object Similarity {
     // s16: contents equal the full corpus after build+appends+OPTIMIZE,
     // so maintenance must answer s14's replay verbatim
     "s16_ivf_optimize" -> ivfOracleSql("vec_id < 10"),
+    // s17: after the rebuild the contents are the full corpus REASSIGNED
+    // to the pinned 8-centroid family — the replay is the same IVF SQL
+    // with 8-centroid literals and the gate's nProbe=4
+    "s17_ivf_rebuild" -> ivfOracleSql("vec_id < 10", nCentroids = 8, nProbe = 4),
     "s07_knn_graph" -> lshTopKOracle(""),
     "s08_mmr_topk" ->
       // Recursive replay of the greedy MMR trajectory: each recursion

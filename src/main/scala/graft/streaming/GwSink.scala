@@ -453,7 +453,8 @@ object GwSink {
   def overwrite(df: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Nil, txnId: Option[String] = None,
       bootstrapProps: Map[String, String] = Map.empty,
-      userMetadata: Option[String] = None): Long = {
+      userMetadata: Option[String] = None,
+      setProps: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val log = GwLog.forTable(conf, tablePath)
@@ -478,7 +479,15 @@ object GwSink {
         graft.log.Occ.checkAppendState(log.tablePath.toString, readMeta, freshMeta)
       // the watermark only ever ADVANCES: an overwrite replaces content but
       // never reuses identity values (Delta's contract)
-      val idMeta = identityAdvance(log.tablePath.toString, files, freshMeta)
+      val idMeta0 = identityAdvance(log.tablePath.toString, files, freshMeta)
+      // property restatement ATOMIC with the content swap (`setProps`):
+      // readers see old content + old properties or new + new, never a
+      // mix — the REINDEX contract (e.g. an IVF rebuild landing retrained
+      // centroids with their reassigned lists in one commit)
+      val idMeta =
+        if (bootstrap || setProps.isEmpty) idMeta0
+        else idMeta0.orElse(freshMeta)
+          .map(m => m.copy(configuration = m.configuration ++ setProps))
       val now = System.currentTimeMillis()
       // removes recomputed per attempt: a conflicting commit may have
       // changed the live set this overwrite must tombstone

@@ -68,6 +68,63 @@ class OperatorSpec extends AnyFunSuite {
     assert(full == exact, "nProbe = nCentroids must equal the exact top-k")
   }
 
+  test("s17 REINDEX: rebuild recovers recall a frozen index loses under drift") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val P = graft.api.Pipelines
+    val dim = 16
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // tight clusters around seeded random directions; `idBase` separates
+    // the two corpora in one id space
+    def clusters(seed: Int, nClusters: Int, perCluster: Int,
+        idBase: Long): Seq[(Long, Array[Double])] = {
+      val rng = new scala.util.Random(seed)
+      val centers = Array.fill(nClusters)(unit(Array.fill(dim)(rng.nextGaussian())))
+      for (c <- 0 until nClusters; i <- 0 until perCluster) yield {
+        val noise = Array.fill(dim)(rng.nextGaussian() * 0.12)
+        (idBase + c * perCluster + i,
+          unit(centers(c).zip(noise).map { case (a, b) => a + b }))
+      }
+    }
+    val original = clusters(seed = 11, nClusters = 8, perCluster = 40, idBase = 0L)
+    val drifted = clusters(seed = 99, nClusters = 12, perCluster = 25, idBase = 10000L)
+    val oDf = original.toDF("id", "emb")
+    val dDf = drifted.toDF("id", "emb")
+    val tmp = java.nio.file.Files.createTempDirectory("s17drift")
+      .resolve("ivf").toString
+    // FROZEN index: centroids trained on the ORIGINAL distribution only,
+    // then the drifted corpus arrives through incremental appends — the
+    // standard serving lifecycle rebuildIvfIndex exists to heal
+    val frozen = P.trainIvfCentroids(oDf, col("emb"), dim,
+      nCentroids = 16, iterations = 3)
+    P.buildIvfIndex(oDf, col("id"), col("emb"), dim, tmp,
+      nCentroids = 16, centroids = Some(frozen))
+    P.appendToIvfIndex(dDf, col("id"), col("emb"), tmp)
+    // drifted queries vs exact ground truth over the whole corpus
+    val queries = dDf.filter(col("id") % 25 === 0)
+    val truth = P.cosineTopK(oDf.union(dDf), queries,
+      col("id"), col("emb"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallNow(): Double = {
+      val got = P.ivfIndexTopK(queries, col("id"), col("emb"), tmp,
+        k = 10, nProbe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val frozenRecall = recallNow()
+    // REINDEX: retrain over current contents (original + drifted),
+    // reassign, one transactional overwrite
+    P.rebuildIvfIndex(spark, tmp, nCentroids = 16, iterations = 3)
+    val rebuiltRecall = recallNow()
+    assert(rebuiltRecall > frozenRecall,
+      s"retraining must recover recall the frozen partitioning lost under " +
+        s"drift: frozen=$frozenRecall rebuilt=$rebuiltRecall")
+    assert(rebuiltRecall >= 0.7,
+      s"rebuilt index must serve drifted queries well: $rebuiltRecall")
+  }
+
   test("s10 PQ: Lloyd training lowers distortion; trained codes raise recall machinery intact") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
