@@ -128,4 +128,116 @@ class LogConformanceSpec extends AnyFunSuite {
     Checkpoint.write(target, conf, all)
     assert(Checkpoint.read(target, conf) == all)
   }
+
+  // ---- feature-COMBINATION goldens (`/delta-conformance-combo/`): one
+  // log where in-commit timestamps, rowTracking fields, cdc actions, a
+  // rowTracking domainMetadata, and (engine-written) MULTI-PART
+  // checkpointing all co-occur — each feature is spec-conformant alone;
+  // these pin that they stay conformant TOGETHER through parse, replay,
+  // the ICT clock, and the multi-part checkpoint round trip.
+
+  private def comboLines: Seq[(Long, Seq[String])] =
+    (0L to 2L).map { v =>
+      val url = getClass.getResource(f"/delta-conformance-combo/$v%020d.json")
+      val text = new String(
+        Files.readAllBytes(Paths.get(url.toURI)), StandardCharsets.UTF_8)
+      v -> text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+
+  private def materializeCombo(): (java.nio.file.Path, GwLog, Configuration) = {
+    val dir = Files.createTempDirectory("combo").resolve("t")
+    val logDir = dir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    comboLines.foreach { case (v, lines) =>
+      Files.write(logDir.resolve(f"$v%020d.json"),
+        (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    }
+    val conf = new Configuration()
+    (dir, GwLog.forTable(conf, dir.toString), conf)
+  }
+
+  test("combo: ICT + rowTracking + cdc co-occurring parse and replay to spec state") {
+    val (_, log, _) = materializeCombo()
+    // every line parses except the one domainMetadata (forward-compat skip)
+    val parsed = comboLines.flatMap(_._2).map(l => l -> Actions.fromJson(l))
+    assert(parsed.count(_._2.isEmpty) == 1 &&
+      parsed.filter(_._2.isEmpty).forall(_._1.contains("domainMetadata")))
+    val s = log.snapshot(None)
+    // live files after the CDC UPDATE rewrite + append: the rewrite's add
+    // REPLACED part-00000 and minted fresh row ids; survivors keep theirs
+    assert(s.files.map(f => (f.path, f.baseRowId, f.defaultRowCommitVersion))
+      .sortBy(_._1) == Seq(
+      ("part-00001-dddd.c000.snappy.parquet", Some(2L), Some(0L)),
+      ("part-00002-eeee.c000.snappy.parquet", Some(4L), Some(1L)),
+      ("part-00003-abcd.c000.snappy.parquet", Some(6L), Some(2L))))
+    // cdc files are commit-scoped, never table state; txn high-water rides
+    assert(!s.files.exists(_.path.startsWith("_change_data/")))
+    assert(s.transactions == Map("combo-stream" -> 3L))
+    assert(s.tombstones.map(_.path) == Seq("part-00000-cccc.c000.snappy.parquet"))
+    // the cdc action itself parsed typed in its commit
+    assert(log.readVersion(1L).collectFirst { case c: CdcFile => c }
+      .exists(c => c.path.startsWith("_change_data/") && !c.dataChange))
+  }
+
+  test("combo: the ICT clock resolves time travel, immune to wall-clock regression") {
+    val (_, log, _) = materializeCombo()
+    // v1's WALL clock (1700000099000) runs BEHIND v0's, but its
+    // inCommitTimestamp (prev + 1) keeps the commit clock monotone —
+    // TIMESTAMP AS OF must resolve on the ICT, never the wall clock
+    assert(log.versionAtTimestamp(1700000100123L) == 0L)
+    assert(log.versionAtTimestamp(1700000100124L) == 1L)
+    assert(log.versionAtTimestamp(1700000200499L) == 1L)
+    assert(log.versionAtTimestamp(1700000200500L) == 2L)
+    val icts = log.history().flatMap(_._2).map(_.effectiveTimestamp)
+    assert(icts == icts.sorted && icts.distinct == icts,
+      s"effective commit clock must be strictly monotone: $icts")
+  }
+
+  test("combo: multi-part checkpoint round-trips the full feature state") {
+    val (_, log0, conf) = materializeCombo()
+    val before = log0.snapshot(None)
+    // force parts: 6 checkpointable actions (protocol, metadata, 3 adds,
+    // txn; the 2023-dated tombstone ages OUT per the spec's retention) at
+    // 2 actions/part = 3 parts
+    conf.setInt("graft.checkpoint.partSize", 2)
+    log0.writeCheckpoint(2L)
+    val parts = (1 to 3).map(p => log0.checkpointPartPathFor(2L, p, 3))
+    parts.foreach(p => assert(
+      new java.io.File(p.toUri.getPath).exists, s"missing part $p"))
+    assert(!new java.io.File(
+      log0.checkpointPathFor(2L).toUri.getPath).exists,
+      "no single-file checkpoint when parts were written")
+    assert(log0.listCheckpoints() == Seq(2L))
+    // TORN SET: hide one part — the reader must refuse the partial set and
+    // serve the identical snapshot from JSON replay
+    val hidden = new java.io.File(parts(1).toUri.getPath)
+    val aside = new java.io.File(hidden.getParentFile, "aside.bin")
+    assert(hidden.renameTo(aside))
+    val torn = log0.snapshot(None)
+    assert(torn.files.map(_.path).sorted == before.files.map(_.path).sorted &&
+      torn.transactions == before.transactions,
+      "a torn multi-part set must fall back to JSON replay, never partial state")
+    assert(aside.renameTo(hidden))
+    // RESUME PATH: delete the pre-checkpoint JSONs (metadata-retention
+    // shape) so the state can ONLY come from the parts — every feature
+    // field must survive the parquet transcription across parts
+    Seq(0L, 1L).foreach(v =>
+      assert(new java.io.File(log0.logPathFor(v).toUri.getPath).delete()))
+    val resumed = GwLog.forTable(conf, log0.tablePath.toString).snapshot(None)
+    assert(resumed.version == 2L)
+    assert(resumed.files.map(f =>
+      (f.path, f.baseRowId, f.defaultRowCommitVersion, f.stats)).sortBy(_._1) ==
+      before.files.map(f =>
+        (f.path, f.baseRowId, f.defaultRowCommitVersion, f.stats)).sortBy(_._1),
+      "row-tracking fields and stats must survive the multi-part transcription")
+    assert(resumed.transactions == before.transactions)
+    assert(resumed.metadata.map(_.configuration) == before.metadata.map(_.configuration))
+    assert(resumed.protocol == before.protocol)
+    // expired tombstone dropped at checkpoint time (spec retention)
+    assert(before.tombstones.nonEmpty && resumed.tombstones.isEmpty)
+    // file-skipping still prunes from checkpoint-borne stats
+    assert(resumed.filesForRange("k", 100, 200).isEmpty)
+    assert(resumed.filesForRange("k", 5, 7).map(_.path) ==
+      Seq("part-00003-abcd.c000.snappy.parquet"))
+  }
 }
