@@ -187,17 +187,28 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
             .sortWithinPartitions(col("__gw_zvalue"))
             .drop("__gw_zvalue")
         }
-      // parquet-native rowgroup blooms survive the rewrite that drops the
-      // engine-level file blooms (which a re-append would rebuild)
+      // parquet-native rowgroup blooms thread through the rewrite too —
+      // rowgroup-level skipping inside the (large) compacted files, on
+      // top of the file-level blooms rebuilt below
       graft.log.ColumnMapping.toPhysicalDf(arranged, snap.schema)
         .write.mode("overwrite")
         .options(graft.log.Bloom.parquetWriteOptions(
           snap.metadata.map(_.configuration).getOrElse(Map.empty),
           snap.metadata.map(_.schemaString), snap.schema))
         .parquet(outDir.toString)
-      val adds = graft.sources.SchemaProbe
+      val adds0 = graft.sources.SchemaProbe
         .harvestAddFiles(conf, outDir, dataChange = false)
         .map(_.copy(partitionValues = partVals))
+      // REBUILD the engine-level file blooms on the rewritten files
+      // (declared graft.bloom.columns): without this, every OPTIMIZE
+      // permanently demotes point-lookup pruning from file-level to
+      // rowgroup-level on the compacted mass — precisely the big, old,
+      // many-times-compacted files a 100 TB table is mostly made of. One
+      // extra columnar pass over the freshly rewritten files, the same
+      // cost contract as the append-side build; no-op without the property.
+      val adds = graft.log.Bloom.augment(spark,
+        snap.metadata.map(_.configuration).getOrElse(Map.empty),
+        snap.metadata.map(_.schemaString), tablePath, adds0)
       val removes = files.map(f =>
         RemoveFile(f.path, f.size, now, dataChange = false,
           partitionValues = f.partitionValues))
@@ -976,10 +987,18 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     * layout (column mapping). */
   private def writeDml(df: DataFrame, snap: Snapshot): Seq[AddFile] = {
     val outDir = new Path(tablePath, s"_dml/${java.util.UUID.randomUUID()}")
+    val config = snap.metadata.map(_.configuration).getOrElse(Map.empty)
+    val schemaJson = snap.metadata.map(_.schemaString)
     graft.log.ColumnMapping.toPhysicalDf(df, snap.schema)
-      .write.mode("overwrite").parquet(outDir.toString)
-    graft.sources.SchemaProbe.harvestAddFiles(
-      spark.sparkContext.hadoopConfiguration, outDir, dataChange = true)
+      .write.mode("overwrite")
+      .options(graft.log.Bloom.parquetWriteOptions(config, schemaJson, snap.schema))
+      .parquet(outDir.toString)
+    // copy-on-write rewrites rebuild the file blooms like every other
+    // write path — without this a declared-bloom table loses file-level
+    // point-lookup pruning on exactly the rows DML just touched
+    graft.log.Bloom.augment(spark, config, schemaJson, tablePath,
+      graft.sources.SchemaProbe.harvestAddFiles(
+        spark.sparkContext.hadoopConfiguration, outDir, dataChange = true))
   }
 
   /** One atomic DML commit: tombstone `removes`, add `newAdds`. Retries past
@@ -1111,11 +1130,16 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val parts = meta.partitionColumns
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
     graft.streaming.GwSink.stageWrite(
-      graft.log.ColumnMapping.toPhysicalDf(df, snap.schema), outDir, parts)
+      graft.log.ColumnMapping.toPhysicalDf(df, snap.schema), outDir, parts,
+      graft.log.Bloom.parquetWriteOptions(meta.configuration,
+        Some(meta.schemaString), snap.schema))
     val conf = spark.sparkContext.hadoopConfiguration
-    val newAdds: Seq[AddFile] = graft.sources.SchemaProbe
+    val newAdds0: Seq[AddFile] = graft.sources.SchemaProbe
       .harvestPartitioned(conf, outDir, dataChange = true, parts)
-    if (newAdds.isEmpty) outDir.getFileSystem(conf).delete(outDir, true)
+    if (newAdds0.isEmpty) outDir.getFileSystem(conf).delete(outDir, true)
+    // the replacement batch carries blooms like any other committed files
+    val newAdds = graft.log.Bloom.augment(spark, meta.configuration,
+      Some(meta.schemaString), tablePath, newAdds0)
     val cdc: Seq[Action] =
       if (!Cdc.enabled(snap)) Nil
       else {

@@ -46,8 +46,9 @@ import org.apache.spark.sql.functions._
  * sidecars are written by the build tasks themselves, so the driver only
  * ever sees descriptors — metadata scale. Vacuum owns `_bloom/`: sidecars
  * survive as long as any log version references them and are debris-swept
- * afterwards, the DV lifetime policy. Maintenance rewrites drop blooms
- * (min/max still harvested); re-appending through the engine rebuilds.
+ * afterwards, the DV lifetime policy. Maintenance rewrites (compaction)
+ * REBUILD the blooms over the rewritten files in the same operation, so
+ * file-level point-lookup pruning survives OPTIMIZE.
  */
 object Bloom {
 

@@ -96,10 +96,14 @@ class BloomSpec extends SparkSpec {
     assert(plannedFor(inRange(990, 999)) == 0)
     // full contents still read correctly through the connector
     assert(spark.read.format("gwdelta").load(dir).count() == 25)
-    // maintenance rewrite drops blooms without breaking anything
+    // maintenance rewrite REBUILDS the blooms on the compacted files:
+    // point-lookup pruning survives OPTIMIZE instead of silently demoting
+    // to rowgroup-level on the compacted mass
     assert(t.compact(targetFileBytes = 1L << 30) > 0)
     val folded = t.snapshot().files
-    assert(folded.forall(f => Bloom.ofFile(f, "n_nationkey").isEmpty))
+    assert(folded.forall(f => Bloom.ofFile(f, "n_nationkey").isDefined &&
+      Bloom.ofFile(f, "n_name").isDefined),
+      "compacted files must carry rebuilt blooms for every declared column")
     assert(spark.read.format("gwdelta").load(dir)
       .filter(col("n_nationkey") === 4).count() == 1)
   }
@@ -133,11 +137,12 @@ class BloomSpec extends SparkSpec {
       assert(!hasNativeBloom(f.path, "n_name"),
         "undeclared columns must not pay for a bloom")
     }
-    // compaction drops the ENGINE blooms but must keep writing native
-    // ones — rowgroup skipping survives maintenance
+    // compaction rebuilds the ENGINE blooms AND keeps writing native
+    // ones — file-level and rowgroup skipping both survive maintenance
     assert(t.compact(targetFileBytes = 1L << 30) > 0)
     val compacted = t.snapshot().files
-    assert(compacted.forall(f => Bloom.refOf(f, "n_nationkey").isEmpty))
+    assert(compacted.forall(f => Bloom.refOf(f, "n_nationkey").isDefined),
+      "compacted files must carry rebuilt engine blooms")
     compacted.foreach(f => assert(hasNativeBloom(f.path, "n_nationkey"),
       s"compacted file must carry a parquet-native bloom: ${f.path}"))
     assert(spark.read.format("gwdelta").load(dir)
