@@ -1831,6 +1831,132 @@ object Pipelines {
       .filter(col("q_id") =!= col("n_id")), k)
   }
 
+  /** Table property key of a persisted IVF+PQ index's codebooks. */
+  val IvfPqCodebooksProp = "graft.ivfpq.codebooks"
+
+  /**
+   * PERSISTED IVF+PQ index (s18) — the full IVFADC serving shape (Jégou
+   * et al. 2011) on top of the s14 inverted-file table: vectors land in
+   * their centroid's list (partition pruning gives the probed-lists scan)
+   * AND carry their `m` product-quantization codes, so the candidate
+   * stage inside the probed lists reads CODES ONLY — column pruning keeps
+   * the float vectors out of the ADC scan entirely, and the exact rerank
+   * touches floats for the `candidates`-deep shortlist alone. At 100 TB
+   * this composes the two big levers: nProbe/nCentroids of the corpus is
+   * LISTED (partition pruning), and of that slice only m bytes per row
+   * are READ (column pruning + PQ compression) until the shortlist.
+   *
+   * Centroids, dimension, and codebooks all ride the table configuration
+   * (metadata scale), so the index is self-describing like s14's.
+   * Returns the committed version.
+   */
+  def buildIvfPqIndex(corpus: DataFrame, id: Column, vec: Column, dim: Int,
+      indexPath: String, nCentroids: Int = 16, m: Int = 8, ks: Int = 16,
+      centroids: Option[Array[Array[Double]]] = None,
+      codebooks: Option[Array[Array[Array[Double]]]] = None): Long = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val cents = centroids.getOrElse(hyperplanes(nCentroids, dim))
+    require(cents.length == nCentroids, "centroid count must match nCentroids")
+    val books = codebooks.getOrElse(pqCodebooks(dim, m, ks))
+    require(books.length == m && books.forall(_.length == ks),
+      s"codebooks must be m=$m x ks=$ks")
+    val sub = dim / m
+    def codes(e: Column): Column = array((0 until m).map { mi =>
+      val s = pqScores(e, mi, sub, books)
+      (array_position(s, array_max(s)) - 1).cast("int")
+    }: _*)
+    val assigned = assignToLists(corpus, id, vec, cents)
+      .withColumn("n_codes", codes(col("n_emb")))
+    graft.streaming.GwSink.append(assigned, indexPath,
+      partitionBy = Seq("list"),
+      bootstrapProps = Map(
+        IvfCentroidsProp -> centroidsJson(cents),
+        IvfDimProp -> dim.toString,
+        IvfPqCodebooksProp -> codebooksJson(books)))
+  }
+
+  /** Top-k cosine search against a persisted IVF+PQ index: probe each
+    * query's `nProbe` closest stored centroids (list partition pruning),
+    * rank candidates INSIDE the probed lists by asymmetric-distance codes
+    * only (the scan never reads the vectors — column pruning), then
+    * exact-cosine rerank of the `candidates`-deep shortlist. Identical
+    * assignment/probe/ADC/tiebreak contracts to [[ivfTopK]] and
+    * [[pqTopK]], so the composition replays in SQL from the stored
+    * centroid + codebook literals. */
+  def ivfPqIndexTopK(queries: DataFrame, id: Column, vec: Column,
+      indexPath: String, k: Int, nProbe: Int, candidates: Int): DataFrame = {
+    require(k >= 1 && candidates >= k,
+      s"need candidates >= k >= 1, got k=$k candidates=$candidates")
+    val spark = queries.sparkSession
+    val cents = storedCentroids(spark, indexPath)
+    val books = storedCodebooks(spark, indexPath)
+    val dim = storedDim(spark, indexPath)
+    val m = books.length
+    val sub = dim / m
+    val n = cents.length
+    def scores(e: Column): Column =
+      array((0 until n).map(c => dotProd(e, lit(cents(c)))): _*)
+    def probes(e: Column): Column = {
+      val ranked = sort_array(zip_with(scores(e),
+        sequence(lit(0), lit(n - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))), asc = false)
+      slice(transform(ranked, r => r.getField("i")), 1, nProbe)
+    }
+    def lut(e: Column, mi: Int): Column = {
+      val qm = slice(e, mi * sub + 1, sub)
+      array(books(mi).indices.map(c => dotProd(qm, lit(books(mi)(c)))): _*)
+    }
+    val qBase = queries.select(id.as("q_id"), vec.as("q_emb"))
+    val qProbe = qBase.withColumn("list", explode(probes(col("q_emb"))))
+    val probed = qProbe.select("list").distinct().collect().map(_.getInt(0))
+    def probedScan() = spark.read.format("gwdelta").load(indexPath)
+      .filter(col("list").isin(probed.map(Int.box).toSeq: _*))
+    // ADC stage: codes only — the projection prunes n_emb out of this scan
+    val codesScan = probedScan().select(col("list"), col("n_id"), col("n_codes"))
+    val qLut = qProbe.select((col("q_id") +: col("list") +:
+      (0 until m).map(mi => lut(col("q_emb"), mi).as(s"lut_$mi"))): _*)
+    val adc = (0 until m).map { mi =>
+      element_at(col(s"lut_$mi"), element_at(col("n_codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+    val shortlist = broadcast(qLut).join(codesScan, Seq("list"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), adc.as("adc"), col("n_id"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.topk(col("adc"), col("n_id"), candidates).as("top"))
+      .select(col("q_id"), explode(col("top.n_id")).as("n_id"))
+    // rerank: floats load for the shortlist rows only (probed lists scan,
+    // joined down to candidates first)
+    val c = probedScan().select(col("n_id"), col("n_emb"))
+      .withColumn("n_nrm", l2norm(col("n_emb")))
+    val q = qBase.withColumn("q_nrm", l2norm(col("q_emb")))
+    topKByCosine(
+      shortlist.join(c, Seq("n_id")).join(broadcast(q), Seq("q_id")), k)
+  }
+
+  /** Codebooks from the index table's configuration (see
+    * [[storedCentroids]] — the same exact Double round trip). */
+  private[graft] def storedCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Array[Array[Array[Double]]] = {
+    val conf = graft.GwTable.forPath(spark, indexPath).snapshot()
+      .metadata.map(_.configuration).getOrElse(Map.empty)
+    val json = conf.getOrElse(IvfPqCodebooksProp, throw new IllegalArgumentException(
+      s"$indexPath is not an IVF+PQ index table: missing $IvfPqCodebooksProp " +
+        "in the table configuration (build one with buildIvfPqIndex)"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    Array.tabulate(node.size()) { mi =>
+      val sub = node.get(mi)
+      Array.tabulate(sub.size()) { c =>
+        val row = sub.get(c)
+        Array.tabulate(row.size())(j => row.get(j).asDouble())
+      }
+    }
+  }
+
+  private[graft] def codebooksJson(books: Array[Array[Array[Double]]]): String =
+    books.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
   private def assignToLists(corpus: DataFrame, id: Column, vec: Column,
       cents: Array[Array[Double]]): DataFrame = {
     val n = cents.length

@@ -274,6 +274,39 @@ object Similarity {
       col("vec_id"), col("embedding"), tmp, k = 3, nProbe = 4)
   }
 
+  /** s18: persisted IVF+PQ index (IVFADC) — the s14 inverted-file table
+    * with per-vector PQ codes: search probes its lists (partition pruning,
+    * pinned), ranks candidates by ADC over the CODES-ONLY scan (column
+    * pruning pinned: the ADC projection's parquet scan must not read
+    * `n_emb`), and pays floats only for the shortlist rerank. Seeded
+    * centroids + codebooks ride the table config, so the oracle replays
+    * probe, assignment, codes, LUTs, ADC ranking, and rerank from
+    * literals (the s03 x s10 composition). */
+  def s18IvfPqIndex(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("s18")
+      .resolve("ivfpq").toString
+    Pipelines.buildIvfPqIndex(e, col("vec_id"), col("embedding"),
+      dim = 64, indexPath = tmp)
+    val t = graft.GwTable.forPath(spark, tmp)
+    val total = t.snapshot().files.size
+    val adcShape = spark.read.format("gwdelta").load(tmp)
+      .filter(col("list").isin(0, 15)).select("n_id", "n_codes")
+    val scan = adcShape.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+    }.head
+    require(scan.fileIndex.inputFiles.length < total,
+      s"probed-list partition pruning must plan fewer files " +
+        s"(planned ${scan.fileIndex.inputFiles.length} of $total)")
+    require(!scan.readDataSchema.fieldNames.contains("n_emb"),
+      "the ADC stage must scan codes only — column pruning lost n_emb " +
+        s"exclusion: ${scan.readDataSchema.fieldNames.mkString(",")}")
+    Pipelines.ivfPqIndexTopK(e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), tmp, k = 5, nProbe = 8, candidates = 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
@@ -292,6 +325,7 @@ object Similarity {
     "s15_ivf_append" -> s15IvfAppend _,
     "s16_ivf_optimize" -> s16IvfOptimize _,
     "s17_ivf_rebuild" -> s17IvfRebuild _,
+    "s18_ivfpq_index" -> s18IvfPqIndex _,
   )
 
   /** s13's oracle: the s02 LSH replay with the label equality joined into
@@ -502,6 +536,79 @@ object Similarity {
        |) WHERE rnk <= 5""".stripMargin
   }
 
+  /** s18's oracle composes the s03 IVF replay (centroid literals: corpus
+    * assignment + top-8 probed lists) with the s10 PQ replay (codebook
+    * literals: argmin codes, per-query LUTs, left-to-right ADC sum)
+    * RESTRICTED to the probed lists, then the exact-cosine rerank of the
+    * 20-deep shortlist — every stage's ties fall identically in both
+    * engines (list_position/array_position, adc DESC + n_id, cos DESC +
+    * n_id). */
+  private def s18OracleSql: String = {
+    val cents = Pipelines.hyperplanes(16, 64)
+    def centLit(p: Array[Double]): String = p.mkString("[", ",", "]")
+    val centScores = (0 until 16)
+      .map(c => s"list_dot_product(emb, ${centLit(cents(c))})")
+      .mkString("[\n ", ",\n ", "\n]")
+    val books = Pipelines.pqCodebooks(64, 8, 16)
+    val m = 8
+    val sub = 8
+    def litArr(p: Array[Double]): String = p.mkString("[", ",", "]")
+    def sliceExpr(mi: Int): String = s"emb[${mi * sub + 1}:${(mi + 1) * sub}]"
+    def scoreArr(mi: Int): String =
+      books(mi).indices.map { c =>
+        val c2h = books(mi)(c).map(x => x * x).sum / 2.0
+        s"list_dot_product(${sliceExpr(mi)}, ${litArr(books(mi)(c))}) - ($c2h)"
+      }.mkString("[\n  ", ",\n  ", "\n ]")
+    def lutArr(mi: Int): String =
+      books(mi).indices
+        .map(c => s"list_dot_product(${sliceExpr(mi)}, ${litArr(books(mi)(c))})")
+        .mkString("[\n  ", ",\n  ", "\n ]")
+    val scoreCols = (0 until m).map(mi => s"${scoreArr(mi)} AS s$mi").mkString(",\n ")
+    val codeCols = (0 until m)
+      .map(mi => s"list_position(s$mi, list_max(s$mi)) - 1 AS c$mi").mkString(",\n ")
+    val lutCols = (0 until m).map(mi => s"${lutArr(mi)} AS l$mi").mkString(",\n ")
+    val adc = (0 until m).map(mi => s"ql.l$mi[nc.c$mi + 1]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |sc AS (SELECT vec_id, emb, $centScores AS s FROM e),
+       |corpus AS (SELECT vec_id, list_position(s, list_max(s)) - 1 AS cl FROM sc),
+       |probe AS (
+       | SELECT q.vec_id AS q_id, c.cl
+       | FROM (SELECT vec_id, s FROM sc WHERE vec_id < 10) q
+       | CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS cl) c
+       | QUALIFY row_number() OVER (
+       |   PARTITION BY q.vec_id ORDER BY q.s[c.cl+1] DESC, c.cl DESC) <= 8),
+       |nc AS (
+       | SELECT vec_id,
+       | $codeCols
+       | FROM (SELECT vec_id,
+       | $scoreCols
+       | FROM e)),
+       |ql AS (
+       | SELECT vec_id,
+       | $lutCols
+       | FROM e WHERE vec_id < 10),
+       |cand AS (
+       | SELECT p.q_id, n.vec_id AS n_id
+       | FROM probe p JOIN corpus n ON n.cl = p.cl
+       | WHERE n.vec_id <> p.q_id),
+       |pre AS (
+       | SELECT c.q_id, c.n_id,
+       |  row_number() OVER (PARTITION BY c.q_id ORDER BY
+       |    ($adc) DESC, c.n_id) AS prernk
+       | FROM cand c JOIN ql ON ql.vec_id = c.q_id JOIN nc ON nc.vec_id = c.n_id),
+       |short AS (SELECT q_id, n_id FROM pre WHERE prernk <= 20)
+       |SELECT q_id, n_id, rnk, CAST(round(1000000 * cos) AS BIGINT) AS cos_micro
+       |FROM (
+       | SELECT s.q_id, s.n_id,
+       |  list_cosine_similarity(eq.emb, en.emb) AS cos,
+       |  row_number() OVER (PARTITION BY s.q_id
+       |    ORDER BY list_cosine_similarity(eq.emb, en.emb) DESC, s.n_id) AS rnk
+       | FROM short s
+       | JOIN e eq ON eq.vec_id = s.q_id
+       | JOIN e en ON en.vec_id = s.n_id
+       |) WHERE rnk <= 5""".stripMargin
+  }
+
   private def s11OracleSql: String =
     s"""WITH ${bm25OracleCte(10)}
        |SELECT q_id, n_id, rnk, score_micro FROM bm_ranked""".stripMargin
@@ -547,6 +654,7 @@ object Similarity {
     // to the pinned 8-centroid family — the replay is the same IVF SQL
     // with 8-centroid literals and the gate's nProbe=4
     "s17_ivf_rebuild" -> ivfOracleSql("vec_id < 10", nCentroids = 8, nProbe = 4),
+    "s18_ivfpq_index" -> s18OracleSql,
     "s07_knn_graph" -> lshTopKOracle(""),
     "s08_mmr_topk" ->
       // Recursive replay of the greedy MMR trajectory: each recursion

@@ -397,6 +397,34 @@ class ApiSpec extends AnyFunSuite {
     assert(err.getMessage.contains("buildIvfIndex"))
   }
 
+  test("persisted IVF+PQ index: probe-all search equals the in-memory PQ path") {
+    val e = embs.filter(col("vec_id") < 200)
+    val dir = java.nio.file.Files.createTempDirectory("apiivfpq")
+      .resolve("ivfpq").toString
+    graft.api.Pipelines.buildIvfPqIndex(
+      e, col("vec_id"), col("embedding"), dim = 64, indexPath = dir)
+    val queries = e.filter(col("vec_id") < 5)
+    // probing every list removes the IVF filter, so the index path must
+    // reproduce pqTopK over the same corpus EXACTLY (same codebooks, same
+    // argmax-code ties, same left-to-right ADC sum, same shortlist heap)
+    val persisted = graft.api.Pipelines.ivfPqIndexTopK(queries,
+      col("vec_id"), col("embedding"), dir, k = 3, nProbe = 16, candidates = 20)
+      .collect().map(_.toSeq).toSet
+    val inMemory = graft.api.Pipelines.pqTopK(e, queries,
+      col("vec_id"), col("embedding"), k = 3, dim = 64, candidates = 20)
+      .collect().map(_.toSeq).toSet
+    assert(persisted == inMemory,
+      s"persisted != pq in-memory: ${persisted.diff(inMemory)} / ${inMemory.diff(persisted)}")
+    // a plain IVF index (no codebooks in config) refuses with guidance
+    val plain = java.nio.file.Files.createTempDirectory("apiivfpq2")
+      .resolve("ivf").toString
+    e.buildIvfIndex(col("vec_id"), col("embedding"), dim = 64, indexPath = plain)
+    val err = intercept[IllegalArgumentException](
+      graft.api.Pipelines.ivfPqIndexTopK(queries,
+        col("vec_id"), col("embedding"), plain, 3, 8, 20))
+    assert(err.getMessage.contains("buildIvfPqIndex"))
+  }
+
   test("NormalizeText: ascii fast path and unicode path share one contract") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
     val f = graft.functions.NormalizeText
