@@ -90,13 +90,80 @@ class GwLog(val tablePath: Path, conf: Configuration,
 
   def latestVersion(): Option[Long] = listVersions().lastOption
 
-  def readVersion(version: Long): Seq[Action] = {
-    val in = fs.open(logPathFor(version))
+  def readVersion(version: Long): Seq[Action] = readActionsAt(logPathFor(version))
+
+  private def readActionsAt(path: Path): Seq[Action] = {
+    val in = fs.open(path)
     try {
       val text = new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
       text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).flatMap(Actions.fromJson).toSeq
     } finally in.close()
   }
+
+  /** Delta minor-log-compaction naming: `<start>.<end>.compacted.json`
+    * holds the reconciled actions of commit range [start, end]. */
+  def compactedPathFor(start: Long, end: Long): Path =
+    new Path(logDir, f"$start%020d.$end%020d.compacted.json")
+
+  /** Committed compacted segments as (start, end) ranges, start-ordered. */
+  def listCompacted(): Seq[(Long, Long)] = {
+    val f = fs
+    if (!f.exists(logDir)) Nil
+    else
+      f.listStatus(logDir).toSeq
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".compacted.json"))
+        .flatMap { n =>
+          n.stripSuffix(".compacted.json").split('.') match {
+            case Array(s, e) if s.forall(_.isDigit) && e.forall(_.isDigit) =>
+              Some((s.toLong, e.toLong))
+            case _ => None
+          }
+        }
+        .sorted
+  }
+
+  /**
+   * Minor log compaction (Delta's `<start>.<end>.compacted.json`): fold
+   * the commit range [start, end] into ONE reconciled segment that
+   * replays exactly like the range it covers — latest protocol/metadata
+   * in range, live adds, surviving remove tombstones, per-app txn
+   * high-water marks; commit-scoped actions (commitInfo, cdc) drop, which
+   * is sound because history / CDF / time-travel readers keep reading the
+   * original version JSONs (compaction deletes nothing — retention does).
+   *
+   * Why it exists at 100 TB: a busy table commits thousands of times
+   * between checkpoints, and every snapshot pays one small-object read
+   * per commit in the tail — on an object store that is thousands of
+   * round trips for KBs each. The reconciled segment collapses the tail
+   * to O(1) reads, the same lever as a checkpoint but cheap enough to run
+   * every few commits (it rewrites KBs of JSON, not the full state).
+   *
+   * The segment lands via write-temp + rename so a crash never leaves a
+   * torn file visible; readers additionally treat an unreadable segment
+   * as absent (the version JSONs remain the committed truth).
+   */
+  def writeCompacted(start: Long, end: Long): Unit = {
+    require(start >= 0 && end >= start, s"bad compaction range [$start, $end]")
+    val have = listVersions().filter(v => v >= start && v <= end)
+    require(have == (start to end),
+      s"compaction range [$start, $end] is not fully present (have $have)")
+    val actions = GwLog.reconcile((start to end).map(readVersion))
+    val payload = actions.map(Actions.toJson).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val f = fs
+    val target = compactedPathFor(start, end)
+    val tmp = new Path(logDir, s".${target.getName}.${java.util.UUID.randomUUID}.tmp")
+    val out = f.create(tmp, false)
+    try out.write(payload) finally out.close()
+    if (!f.rename(tmp, target)) { f.delete(tmp, false); () }
+  }
+
+  /** What the most recent [[snapshot]] call on this instance actually
+    * read: (checkpoint used, commit JSONs read, compacted segments read).
+    * Diagnostic only — gates pin that compaction shrinks the replay tail. */
+  @volatile private[graft] var lastReplayReads: (Option[Long], Seq[Long], Seq[(Long, Long)]) =
+    (None, Nil, Nil)
 
   /** Write `actions` as the next version; returns the committed version.
     * Every `checkpointInterval` commits the replayed snapshot is also
@@ -124,6 +191,17 @@ class GwLog(val tablePath: Path, conf: Configuration,
           cleanupExpiredLogs(retention)
         }
       } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    // minor log compaction rides an ENGINE conf (Delta's own trigger is
+    // engine-side, not table metadata): every n commits fold the last n
+    // into one segment. Like checkpoints it is a read optimization — a
+    // failed write never fails the commit (set via
+    // spark.hadoop.graft.logCompaction.interval)
+    val compactEvery = conf.getInt("graft.logCompaction.interval",
+      conf.getInt("delta.logCompaction.interval", 0))
+    if (compactEvery > 0 && (version + 1) % compactEvery == 0) {
+      try writeCompacted(version - compactEvery + 1, version)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     version
   }
@@ -522,6 +600,39 @@ class GwLog(val tablePath: Path, conf: Configuration,
     require(
       versions.contains(upTo),
       s"Version $upTo not found at $logDir (have ${versions.headOption.getOrElse(-1L)}..${versions.lastOption.getOrElse(-1L)})")
+    // the replay tail with compacted segments substituted greedily: at
+    // each expected version, the widest committed `<v>.<e>.compacted.json`
+    // with e <= upTo replaces reading commits v..e one by one; an
+    // unreadable segment falls back to the covered JSONs (originals are
+    // the committed truth — compaction deletes nothing)
+    def readTail(tail: Seq[Long], cp: Option[Long]): Seq[Seq[Action]] = {
+      val byStart = listCompacted()
+        .filter { case (s, e) => e <= upTo && tail.contains(s) && tail.contains(e) }
+        .groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).max }
+      val chunks = Seq.newBuilder[Seq[Action]]
+      val commitsRead = Seq.newBuilder[Long]
+      val compactedRead = Seq.newBuilder[(Long, Long)]
+      var i = 0
+      while (i < tail.length) {
+        val v = tail(i)
+        byStart.get(v) match {
+          case Some(e) =>
+            val seg = try Some(readActionsAt(compactedPathFor(v, e)))
+              catch { case scala.util.control.NonFatal(_) => None }
+            seg match {
+              case Some(actions) =>
+                chunks += actions; compactedRead += ((v, e))
+                while (i < tail.length && tail(i) <= e) i += 1
+              case None =>
+                chunks += readVersion(v); commitsRead += v; i += 1
+            }
+          case None =>
+            chunks += readVersion(v); commitsRead += v; i += 1
+        }
+      }
+      lastReplayReads = (cp, commitsRead.result(), compactedRead.result())
+      chunks.result()
+    }
     def fullReplay(): Snapshot = {
       // after metadata cleanup ([[cleanupExpiredLogs]]) the log may start
       // past 0; a replay that silently skipped the missing prefix would
@@ -531,7 +642,7 @@ class GwLog(val tablePath: Path, conf: Configuration,
         s"Version $upTo at $logDir predates the earliest reconstructible " +
           s"state: versions below ${versions.head} were cleaned up " +
           "(logRetention) and no checkpoint at or below the target survives")
-      Snapshot.replay(upTo, versions.takeWhile(_ <= upTo).map(v => readVersion(v)))
+      Snapshot.replay(upTo, readTail(versions.takeWhile(_ <= upTo), None))
     }
     val snap = listCheckpoints().filter(_ <= upTo).lastOption match {
       case Some(cp) =>
@@ -542,7 +653,7 @@ class GwLog(val tablePath: Path, conf: Configuration,
             .flatMap(p => Checkpoint.read(p, conf))
           require(base.nonEmpty, s"checkpoint $cp vanished mid-read")
           val tail = versions.filter(v => v > cp && v <= upTo)
-          Snapshot.replay(upTo, base +: tail.map(v => readVersion(v)))
+          Snapshot.replay(upTo, base +: readTail(tail, Some(cp)))
         } catch { case scala.util.control.NonFatal(_) => fullReplay() }
       case None => fullReplay()
     }
@@ -597,6 +708,13 @@ class GwLog(val tablePath: Path, conf: Configuration,
         if (f.getFileStatus(p).getModificationTime < cutoff &&
           f.delete(p, false)) deleted += 1
       }
+    // compacted segments fully below the newest checkpoint are superseded
+    // the same way their covered version JSONs are
+    listCompacted().filter(_._2 < newestCp).foreach { case (s, e) =>
+      val p = compactedPathFor(s, e)
+      if (f.getFileStatus(p).getModificationTime < cutoff &&
+        f.delete(p, false)) deleted += 1
+    }
     deleted
   }
 
@@ -625,6 +743,33 @@ class GwLog(val tablePath: Path, conf: Configuration,
 
 object GwLog {
   val LogDirName = "_delta_log"
+
+  /** Reconcile a contiguous commit range into one action sequence whose
+    * single-chunk replay equals replaying the range commit by commit:
+    * latest protocol/metadata in range, live adds, surviving remove
+    * tombstones, latest txn mark per appId; commit-scoped actions
+    * (commitInfo, cdc) drop. Each path ends in at most one of
+    * live/tombstone, so intra-segment ordering is immaterial — mirrors
+    * [[Snapshot.replay]]'s state machine (property-tested equivalent). */
+  private[graft] def reconcile(versions: Seq[Seq[Action]]): Seq[Action] = {
+    var protocol: Option[Protocol] = None
+    var metadata: Option[Metadata] = None
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val gone = scala.collection.mutable.LinkedHashMap.empty[String, RemoveFile]
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, SetTransaction]
+    versions.foreach(_.foreach {
+      case p: Protocol => protocol = Some(p)
+      case m: Metadata => metadata = Some(m)
+      case a: AddFile => live(a.path) = a; gone.remove(a.path)
+      case r: RemoveFile => live.remove(r.path); gone(r.path) = r
+      case t: SetTransaction =>
+        if (txns.get(t.appId).forall(_.version <= t.version)) txns(t.appId) = t
+      case _: CommitInfo => ()
+      case _: CdcFile => ()
+    })
+    protocol.toSeq ++ metadata.toSeq ++ txns.values.toSeq ++
+      live.values.toSeq ++ gone.values.toSeq
+  }
 
   /** Hadoop's public createFile() option for a conditional (If-None-Match)
     * create — `Options.CreateFileOptionKeys.FS_OPTION_CREATE_CONDITIONAL_

@@ -2154,6 +2154,84 @@ object GwCore {
         "o_orderpriority")
   }
 
+  // ---------------------------------------------------------------- gw58
+  /** Minor log compaction (Delta `<start>.<end>.compacted.json`): every
+    * `graft.logCompaction.interval` commits (an ENGINE conf, like Delta's
+    * own trigger) the last n commits fold into one reconciled segment, so
+    * a snapshot's replay tail costs O(1) small-object reads instead of
+    * one per commit — at 100 TB a busy table commits thousands of times
+    * between checkpoints and the tail reads ARE the snapshot latency.
+    * Pinned here: segments land at the trigger cadence; a checkpoint-free
+    * replay of 12 commits reads THREE segments and ZERO commit JSONs
+    * (lastReplayReads); a segment covering a DELETE replays its remove
+    * tombstone identically (contents equal the uncompacted replay at
+    * every probed version); a CORRUPTED segment falls back to the covered
+    * version JSONs — originals stay the committed truth; and retention
+    * cleanup deletes segments superseded by a newer checkpoint. */
+  def gw58LogCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw58")
+    val loc = tmp.resolve("db/nation").toString
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt("graft.logCompaction.interval", 4)
+    try {
+      for (i <- 0 to 10) // v0..v10: one single-file append per key
+        nation.filter(col("n_nationkey") === i).coalesce(1)
+          .write.format("gwdelta").mode("append").save(loc)
+      val t = GwTable.forPath(spark, loc)
+      val delVersion = t.delete(col("n_nationkey") === 5) // v11
+      require(delVersion == 11L, s"delete must commit as v11, got $delVersion")
+      require(t.log.listCompacted() == Seq((0L, 3L), (4L, 7L), (8L, 11L)),
+        s"trigger cadence: ${t.log.listCompacted()}")
+      val expectHead = t.toDF.collect().map(_.toSeq).toSet
+      val hpath = new org.apache.hadoop.fs.Path(loc)
+      val fs = hpath.getFileSystem(hconf)
+      // checkpoints are an optimization, JSONs + segments the truth: drop
+      // v10's checkpoint and the whole 12-commit tail replays as THREE
+      // segment reads and ZERO commit JSONs — the delete's remove
+      // tombstone riding segment (8,11) replays identically
+      require(fs.delete(t.log.checkpointPathFor(10L), false),
+        "checkpoint v10 must exist to delete")
+      val bare = new graft.log.GwLog(hpath, hconf)
+      val viaSegments = bare.snapshot()
+      require(bare.lastReplayReads ==
+        ((None, Seq.empty[Long], Seq((0L, 3L), (4L, 7L), (8L, 11L)))),
+        s"segments must replace every commit read: ${bare.lastReplayReads}")
+      require(spark.read.format("gwdelta").load(loc)
+        .collect().map(_.toSeq).toSet == expectHead,
+        "segment-only replay must serve the same table")
+      // time travel BELOW the newest segment mixes segments + commit JSONs
+      require(bare.snapshot(Some(9L)).files.size == 10 &&
+        bare.lastReplayReads._2 == Seq(8L, 9L) &&
+        bare.lastReplayReads._3 == Seq((0L, 3L), (4L, 7L)),
+        s"partial tail: ${bare.lastReplayReads}")
+      require(t.versionAsOf(9).collect().map(_.toSeq).toSet ==
+        nation.filter(col("n_nationkey") <= 9).collect().map(_.toSeq).toSet,
+        "time travel through segments must equal the uncompacted replay")
+      // a torn/corrupt segment can never serve a wrong snapshot: readers
+      // fall back to the covered version JSONs
+      val seg = t.log.compactedPathFor(0L, 3L)
+      val out = fs.create(seg, true)
+      try out.write("not json".getBytes("UTF-8")) finally out.close()
+      require(bare.snapshot().filePaths.toSet == viaSegments.filePaths.toSet,
+        "corrupt segment must fall back to version JSONs")
+      require(bare.lastReplayReads._2 == (0L to 3L) &&
+        bare.lastReplayReads._3 == Seq((4L, 7L), (8L, 11L)),
+        s"fallback reads: ${bare.lastReplayReads}")
+      // retention: segments below the newest checkpoint are superseded
+      // artifacts and age out with their covered JSONs
+      bare.writeCheckpoint(10L)
+      val ncleaned = t.cleanupMetadata(retentionMs = 0L)
+      require(ncleaned > 0, s"cleanup must delete artifacts, got $ncleaned")
+      require(t.log.listCompacted() == Seq((8L, 11L)),
+        s"superseded segments must age out: ${t.log.listCompacted()}")
+      require(t.toDF.collect().map(_.toSeq).toSet == expectHead,
+        "cleanup must not change the live snapshot")
+      t.toDF
+    } finally hconf.unset("graft.logCompaction.interval")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -2212,6 +2290,7 @@ object GwCore {
     "gw55_restore_timestamp" -> gw55RestoreTimestamp _,
     "gw56_multipart_checkpoint" -> gw56MultipartCheckpoint _,
     "gw57_bloom_skipping" -> gw57BloomSkipping _,
+    "gw58_log_compaction" -> gw58LogCompaction _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2525,5 +2604,9 @@ object GwCore {
         | o_orderpriority
         |FROM orders
         |WHERE o_orderkey IN (SELECT o_orderkey FROM orders ORDER BY 1 LIMIT 3)""".stripMargin,
+    // keys 0..10 appended one commit each, then key 5 deleted — served
+    // through three compacted log segments
+    "gw58_log_compaction" ->
+      "SELECT * FROM nation WHERE n_nationkey <= 10 AND n_nationkey <> 5",
   )
 }

@@ -141,4 +141,23 @@ object LogPropertySpec extends Properties("graft.log") {
         .path("numRecords").asLong() == rows
       readBack && paths && moved && rowsHold
     }
+
+  property("a reconciled segment replays exactly like the range it covers") =
+    forAll(genCommits, Gen.chooseNum(0, 7), Gen.chooseNum(0, 7)) {
+      (commits, a, b) =>
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        val versions = commits.zipWithIndex
+          .map { case (ops, v) => actionsFor(ops, v == 0) }
+        val segment = graft.log.GwLog.reconcile(versions.slice(lo, hi + 1))
+        val substituted =
+          versions.take(lo) ++ Seq(segment) ++ versions.drop(hi + 1)
+        val direct = Snapshot.replay(commits.length - 1L, versions)
+        val via = Snapshot.replay(commits.length - 1L, substituted)
+        via.files.map(f => f.path -> f.size).toMap ==
+          direct.files.map(f => f.path -> f.size).toMap &&
+          via.metadata == direct.metadata &&
+          via.tombstones.map(_.path).toSet ==
+            direct.tombstones.map(_.path).toSet &&
+          via.transactions == direct.transactions
+    }
 }
