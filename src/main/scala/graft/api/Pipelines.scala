@@ -113,6 +113,49 @@ object Pipelines {
         when(col("page_keep") === 1, array_join(kept, "\n")).otherwise(lit("")))
   }
 
+  /**
+   * Cross-document boilerplate line removal (t22) — the CCNet/RefinedWeb
+   * paragraph-dedup pass: a line whose normalized form (lower + trim)
+   * appears in at least `minDocs` DISTINCT documents is template chrome
+   * (nav bars, cookie banners, copyright footers), not content, and is
+   * dropped from EVERY document that carries it. This is the dedup class
+   * exact/doc-level dedup cannot see: no two pages are duplicates, yet
+   * 30% of the corpus is the same footer.
+   *
+   * Returns one row per document: `n_lines`, `n_boiler` (lines removed),
+   * and `cleaned` (surviving lines joined in original order).
+   *
+   * 100 TB posture: lines shuffle ONCE, keyed by the md5 of the
+   * normalized line (32 hex chars cross the exchange, never the line
+   * text), into a partially-aggregated distinct-doc count; the
+   * boilerplate key set — heavy hitters by construction — joins back by
+   * the same key (AQE broadcasts it when small); one regroup by document
+   * rebuilds the cleaned text with order restored by the carried line
+   * index. No collect, no driver state; both shuffles are on
+   * high-cardinality keys. md5 (not a faster hash) is deliberate: the
+   * pass replays exactly in any engine with md5, so the oracle checks
+   * the distributed df-count bit for bit.
+   */
+  def boilerplateLines(df: DataFrame, text: Column, id: Column,
+      minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(id.as("doc_id"), posexplode(split(text, "\n")))
+      .toDF("doc_id", "__i", "__line")
+      .withColumn("__k", md5(lower(trim(col("__line")))))
+    val boiler = lines.groupBy("__k")
+      .agg(count_distinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDocs)
+    lines.join(boiler, Seq("__k"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__df").isNotNull, 1L).otherwise(0L)).as("n_boiler"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__df").isNull, struct(col("__i"), col("__line"))))),
+          s => s.getField("__line")), "\n").as("cleaned"))
+  }
+
   /** Query parameters dropped by [[canonicalizeUrls]]: tracking/attribution
     * noise that fragments otherwise-identical fetches. */
   val TrackingParamRegex: String =

@@ -261,6 +261,38 @@ object TextOps {
       .withColumn("n_chars_norm", length(col("norm")).cast("long"))
   }
 
+  /** t22: CCNet/RefinedWeb cross-document boilerplate line removal — a
+    * line whose normalized form recurs in >= 5 distinct documents is
+    * template chrome and drops from every carrier. Synthetic pages reuse
+    * t15's 7-word-line construction plus two injected boilerplate lines
+    * (a copyright header on every 5th doc — UPPERCASED on every 10th, so
+    * the removal is pinned to the NORMALIZED form — and a newsletter
+    * footer on every 7th); the oracle replays the page build, the md5
+    * line-key df-count, the threshold, and the order-preserving rebuild. */
+  def t22BoilerplateLines(spark: SparkSession, dir: String): DataFrame = {
+    val synth = docs(spark, dir).select(col("doc_id"), col("text"))
+      .withColumn("__w", split(col("text"), " "))
+      .withColumn("__nl", expr("greatest(1L, (size(__w) + 6) div 7)"))
+      .withColumn("__lines", expr(
+        "transform(sequence(0L, __nl - 1), i -> " +
+          "array_join(slice(__w, cast(i*7+1 as int), 7), ' '))"))
+      .withColumn("__lines2", concat(
+        when(col("doc_id") % 10 === 0,
+          array(lit("ALL RIGHTS RESERVED COPYRIGHT NOTICE.")))
+          .when(col("doc_id") % 5 === 0,
+            array(lit("all rights reserved copyright notice.")))
+          .otherwise(lit(Array.empty[String])),
+        col("__lines"),
+        when(col("doc_id") % 7 === 0,
+          array(lit("Subscribe to our newsletter for updates!")))
+          .otherwise(lit(Array.empty[String]))))
+      .withColumn("page_text", array_join(col("__lines2"), "\n"))
+    Pipelines.boilerplateLines(synth, col("page_text"), col("doc_id"),
+      minDocs = 5)
+      .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+        md5(col("cleaned")).as("clean_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -283,6 +315,7 @@ object TextOps {
     "t19_lm_surprisal" -> t19LmSurprisal _,
     "t20_temperature_sample" -> t20TemperatureSample _,
     "t21_unicode_normalize" -> t21UnicodeNormalize _,
+    "t22_boilerplate_lines" -> t22BoilerplateLines _,
   )
 
   private def sqlList(lang: String): String =
@@ -301,6 +334,42 @@ object TextOps {
         | FROM documents)
         |SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_norm
         |FROM n""".stripMargin,
+    // page build replayed, then the md5 line-key distinct-doc count, the
+    // >=5 threshold, and the order-preserving cleaned-text rebuild
+    "t22_boilerplate_lines" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split(text, ' ') AS ws,
+        |  greatest(1, (len(string_split(text, ' ')) + 6) // 7) AS nl
+        | FROM documents),
+        |base AS (
+        | SELECT doc_id,
+        |  list_transform(generate_series(0, nl - 1), i ->
+        |    array_to_string(ws[i*7+1 : i*7+7], ' ')) AS lines
+        | FROM w),
+        |aug AS (
+        | SELECT doc_id,
+        |  (CASE WHEN doc_id % 10 = 0 THEN ['ALL RIGHTS RESERVED COPYRIGHT NOTICE.']
+        |        WHEN doc_id % 5 = 0 THEN ['all rights reserved copyright notice.']
+        |        ELSE [] END)
+        |  || lines
+        |  || (CASE WHEN doc_id % 7 = 0 THEN ['Subscribe to our newsletter for updates!'] ELSE [] END) AS lines
+        | FROM base),
+        |l AS (
+        | SELECT doc_id, i, lines[i] AS line,
+        |  md5(lower(trim(lines[i]))) AS k
+        | FROM aug, UNNEST(generate_series(1, len(lines))) AS t(i)),
+        |boiler AS (
+        | SELECT k FROM l GROUP BY k HAVING count(DISTINCT doc_id) >= 5),
+        |tagged AS (
+        | SELECT l.doc_id, l.i, l.line, (b.k IS NOT NULL) AS is_boiler
+        | FROM l LEFT JOIN boiler b ON l.k = b.k)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        | md5(array_to_string(list(CASE WHEN NOT is_boiler THEN line END ORDER BY i)
+        |   FILTER (NOT is_boiler), chr(10))) AS clean_md5
+        |FROM tagged
+        |GROUP BY doc_id""".stripMargin,
     "t01_langid" ->
       s"""WITH h AS (
          | SELECT doc_id, lang AS actual_lang,

@@ -677,4 +677,37 @@ class OperatorSpec extends AnyFunSuite {
     // doc 11 appears in both lists (rnk 2 + rnk 1) and must win
     assert(got.toSeq == Seq((11L, 1L, r1 + r2), (10L, 2L, r1), (12L, 3L, r2)))
   }
+
+  test("t22 boilerplate lines: normalized-form removal, order kept, threshold exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 6 docs share a footer (3 of them UPPERCASED — removal keys on the
+    // NORMALIZED form); 4 docs share a header (below the minDocs=5
+    // threshold — kept); every doc has a unique body line
+    val pages = (0 until 8).map { i =>
+      val footer = if (i < 6) Some(if (i % 2 == 0) "SHARED FOOTER LINE." else "shared footer line.") else None
+      val header = if (i < 4) Some("rare header line.") else None
+      val body = Seq(s"unique body $i alpha", s"unique body $i beta")
+      (i.toLong, (header.toSeq ++ body ++ footer.toSeq).mkString("\n"))
+    }.toDF("doc_id", "page")
+    val out = graft.api.Pipelines.boilerplateLines(
+      pages, col("page"), col("doc_id"), minDocs = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    (0 until 8).foreach { i =>
+      val (nLines, nBoiler, cleaned) = out(i.toLong)
+      val wantHeader = if (i < 4) Seq("rare header line.") else Nil
+      assert(nLines == (if (i < 6) 1 else 0) + (if (i < 4) 1 else 0) + 2)
+      assert(nBoiler == (if (i < 6) 1L else 0L),
+        s"doc $i: footer removed regardless of case, header kept")
+      assert(cleaned.split("\n").toSeq ==
+        wantHeader ++ Seq(s"unique body $i alpha", s"unique body $i beta"),
+        s"doc $i: original order preserved")
+    }
+    // repartitioning must not change the distributed df-count decision
+    val again = graft.api.Pipelines.boilerplateLines(
+      pages.repartition(7), col("page"), col("doc_id"), minDocs = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(again == out.map { case (d, (a, b, c)) => (d, a, b, c) }.toSet)
+  }
 }
