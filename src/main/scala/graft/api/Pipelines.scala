@@ -1874,6 +1874,33 @@ object Pipelines {
       .filter(col("q_id") =!= col("n_id")), k)
   }
 
+  /**
+   * Recall@k evaluation (s19) — the quality harness every ANN deployment
+   * runs before trading exactness for speed: per query, the fraction of
+   * the EXACT top-k ground truth that the approximate result recovered.
+   * `truth` and `approx` are any two (q_id, n_id) neighbor lists (the
+   * outputs of [[cosineTopK]], [[annTopK]], [[ivfTopK]], [[pqTopK]],
+   * [[ivfPqIndexTopK]], ... all qualify). Returns one row per query:
+   * `truth_k`, `hits`, and `recall_milli` = floor(1000 * hits / truth_k)
+   * — integer so the metric replays exactly in SQL.
+   *
+   * 100 TB posture: both inputs are k-rows-per-query result sets —
+   * thousands of times smaller than the corpus that produced them — so
+   * the (q_id, n_id) equi-join and the per-query fold are metadata-scale
+   * next to the searches themselves; no corpus data is touched.
+   */
+  def recallAtK(approx: DataFrame, truth: DataFrame): DataFrame = {
+    val a = approx.select(col("q_id"), col("n_id"))
+      .withColumn("__hit", lit(1L))
+    truth.select(col("q_id"), col("n_id"))
+      .join(a, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(
+        count(lit(1)).as("truth_k"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .withColumn("recall_milli", expr("hits * 1000 DIV truth_k"))
+  }
+
   /** Table property key of a persisted IVF+PQ index's codebooks. */
   val IvfPqCodebooksProp = "graft.ivfpq.codebooks"
 

@@ -307,6 +307,21 @@ object Similarity {
       col("vec_id"), col("embedding"), tmp, k = 5, nProbe = 8, candidates = 20)
   }
 
+  /** s19: recall@5 of the banded-LSH ANN against exact brute-force ground
+    * truth — the eval harness run before trusting any approximate index.
+    * Both sides replay in SQL (s01's brute force, s02's plane-literal LSH
+    * at k=5), so the metric itself — hits and floor-milli recall per
+    * query — is oracle-exact, not just sanity-bounded. */
+  def s19AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val queries = e.filter(col("vec_id") < 10)
+    val truth = Pipelines.cosineTopK(e, queries,
+      col("vec_id"), col("embedding"), k = 5)
+    val approx = Pipelines.annTopK(e, queries,
+      col("vec_id"), col("embedding"), k = 5, dim = 64, nPlanes = 32, bands = 8)
+    Pipelines.recallAtK(approx, truth)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
@@ -326,6 +341,7 @@ object Similarity {
     "s16_ivf_optimize" -> s16IvfOptimize _,
     "s17_ivf_rebuild" -> s17IvfRebuild _,
     "s18_ivfpq_index" -> s18IvfPqIndex _,
+    "s19_ann_recall" -> s19AnnRecall _,
   )
 
   /** s13's oracle: the s02 LSH replay with the label equality joined into
@@ -407,7 +423,7 @@ object Similarity {
     * k-NN graph (every vector is a query): hyperplanes rendered as double
     * literals, DuckDB recomputes sign bits, band buckets, candidates, and
     * the exact-cosine top-3. */
-  private def lshTopKOracle(queryFilter: String): String = {
+  private def lshTopKOracle(queryFilter: String, k: Int = 3): String = {
     val planes = Pipelines.hyperplanes(32, 64)
     def planeLit(p: Array[Double]): String = p.mkString("[", ",", "]")
     val bits = (0 until 32)
@@ -430,7 +446,34 @@ object Similarity {
        |SELECT q_id, n_id, rnk, CAST(round(1000000 * cos) AS BIGINT) AS cos_micro
        |FROM (SELECT *, row_number() OVER (
        |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
-       |WHERE rnk <= 3""".stripMargin
+       |WHERE rnk <= $k""".stripMargin
+  }
+
+  /** s19's oracle composes the s01 brute-force replay (ground truth) with
+    * the s02 plane-literal LSH replay at k=5 (the approximate side), then
+    * computes the identical integer metric: per-query hits via the
+    * (q_id, n_id) left join, recall_milli by floor division. */
+  private def s19OracleSql: String = {
+    val brute =
+      """SELECT q_id, n_id FROM (
+        | SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |  row_number() OVER (
+        |    PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |             c.vec_id) AS rnk
+        | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        | WHERE q.vec_id < 10
+        |) WHERE rnk <= 5""".stripMargin
+    s"""SELECT q_id, truth_k, hits, recall_milli FROM (
+       | SELECT t.q_id,
+       |  CAST(count(*) AS BIGINT) AS truth_k,
+       |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1000
+       |    // count(*) AS BIGINT) AS recall_milli
+       | FROM ($brute) t
+       | LEFT JOIN (${lshTopKOracle("q.vec_id < 10 AND ", k = 5)}) a
+       |   ON a.q_id = t.q_id AND a.n_id = t.n_id
+       | GROUP BY t.q_id)""".stripMargin
   }
 
   /** s03's oracle replays the IVF the way s02 replays its LSH: the 16
@@ -655,6 +698,7 @@ object Similarity {
     // with 8-centroid literals and the gate's nProbe=4
     "s17_ivf_rebuild" -> ivfOracleSql("vec_id < 10", nCentroids = 8, nProbe = 4),
     "s18_ivfpq_index" -> s18OracleSql,
+    "s19_ann_recall" -> s19OracleSql,
     "s07_knn_graph" -> lshTopKOracle(""),
     "s08_mmr_topk" ->
       // Recursive replay of the greedy MMR trajectory: each recursion
