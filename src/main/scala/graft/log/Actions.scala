@@ -36,12 +36,13 @@ object Protocol {
     * writer feature an enforcing write path (appendOnly included:
     * data-changing removes are refused on appendOnly tables). */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "timestampNtz", "typeWidening")
+    Set("deletionVectors", "columnMapping", "timestampNtz", "typeWidening",
+      "v2Checkpoint")
   val SupportedWriterFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "timestampNtz", "changeDataFeed",
       "checkConstraints", "generatedColumns", "identityColumns",
       "inCommitTimestamp", "appendOnly", "typeWidening",
-      "allowColumnDefaults", "rowTracking")
+      "allowColumnDefaults", "rowTracking", "v2Checkpoint")
   val MaxReaderVersion = 3
   val MaxWriterVersion = 7
 
@@ -173,6 +174,20 @@ final case class SetTransaction(
     version: Long,
     lastUpdated: Option[Long] = None) extends Action
 
+/** Delta's `checkpointMetadata` action (v2Checkpoint reader feature): the
+  * self-description a V2 checkpoint carries — it only ever appears inside
+  * a checkpoint file, never a commit. */
+final case class CheckpointMetadata(version: Long) extends Action
+
+/** Delta's `sidecar` action (v2Checkpoint): a reference from a V2
+  * checkpoint manifest to a sidecar parquet holding a slice of the
+  * snapshot's FILE actions. `path` is a file name relative to
+  * `_delta_log/_sidecars/` (or absolute, per spec). */
+final case class SidecarFile(
+    path: String,
+    sizeInBytes: Long,
+    modificationTime: Long) extends Action
+
 object Actions {
   private val mapper = new ObjectMapper()
 
@@ -242,6 +257,13 @@ object Actions {
         n.put("appId", appId)
         n.put("version", version)
         lastUpdated.foreach(ts => n.put("lastUpdated", ts))
+      case CheckpointMetadata(version) =>
+        root.putObject("checkpointMetadata").put("version", version)
+      case SidecarFile(path, sizeInBytes, modificationTime) =>
+        val n = root.putObject("sidecar")
+        n.put("path", path)
+        n.put("sizeInBytes", sizeInBytes)
+        n.put("modificationTime", modificationTime)
       case CommitInfo(ts, op, mode, numFiles, numBytes, blind, txnId, ict, um) =>
         val n = root.putObject("commitInfo")
         n.put("timestamp", ts)
@@ -331,6 +353,16 @@ object Actions {
         appId = n.get("appId").asText,
         version = n.get("version").asLong,
         lastUpdated = Option(n.get("lastUpdated")).map(_.asLong)))
+    } else if (root.has("checkpointMetadata")) {
+      Some(CheckpointMetadata(
+        root.get("checkpointMetadata").get("version").asLong))
+    } else if (root.has("sidecar")) {
+      val n = root.get("sidecar")
+      Some(SidecarFile(
+        path = n.get("path").asText,
+        sizeInBytes = Option(n.get("sizeInBytes")).map(_.asLong).getOrElse(0L),
+        modificationTime =
+          Option(n.get("modificationTime")).map(_.asLong).getOrElse(0L)))
     } else if (root.has("commitInfo")) {
       val n = root.get("commitInfo")
       val params = Option(n.get("operationParameters"))

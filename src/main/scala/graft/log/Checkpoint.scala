@@ -101,6 +101,14 @@ object Checkpoint {
       |    optional int64 version;
       |    optional int64 lastUpdated;
       |  }
+      |  optional group checkpointMetadata {
+      |    optional int64 version;
+      |  }
+      |  optional group sidecar {
+      |    optional binary path (UTF8);
+      |    optional int64 sizeInBytes;
+      |    optional int64 modificationTime;
+      |  }
       |}""".stripMargin
 
   private val schema = MessageTypeParser.parseMessageType(SchemaText)
@@ -185,6 +193,13 @@ object Checkpoint {
           g.append("appId", appId)
           g.append("version", version)
           lastUpdated.foreach(ts => g.append("lastUpdated", ts))
+        case CheckpointMetadata(version) =>
+          row.addGroup("checkpointMetadata").append("version", version)
+        case SidecarFile(path, sizeInBytes, modificationTime) =>
+          val g = row.addGroup("sidecar")
+          g.append("path", path)
+          g.append("sizeInBytes", sizeInBytes)
+          g.append("modificationTime", modificationTime)
         case other =>
           throw new IllegalArgumentException(
             s"checkpoints store snapshot state, not $other")
@@ -278,6 +293,15 @@ object Checkpoint {
               if (g.getFieldRepetitionCount("lastUpdated") > 0)
                 Some(g.getLong("lastUpdated", 0))
               else None)
+        } else if (row.getFieldRepetitionCount("checkpointMetadata") > 0) {
+          out += CheckpointMetadata(
+            row.getGroup("checkpointMetadata", 0).getLong("version", 0))
+        } else if (row.getFieldRepetitionCount("sidecar") > 0) {
+          val g = row.getGroup("sidecar", 0)
+          out += SidecarFile(
+            path = g.getString("path", 0),
+            sizeInBytes = g.getLong("sizeInBytes", 0),
+            modificationTime = g.getLong("modificationTime", 0))
         }
         row = reader.read()
       }

@@ -38,6 +38,15 @@ class GwLog(val tablePath: Path, conf: Configuration,
   def checkpointPartPathFor(version: Long, part: Int, numParts: Int): Path =
     new Path(logDir, f"$version%020d.checkpoint.$part%010d.$numParts%010d.parquet")
 
+  /** Delta V2 checkpoint naming: `<v>.checkpoint.<uuid>.parquet` — the
+    * manifest holding protocol/metadata/txns + checkpointMetadata +
+    * sidecar refs; file actions live under [[sidecarDir]]. */
+  def checkpointV2PathFor(version: Long, uuid: String): Path =
+    new Path(logDir, f"$version%020d.checkpoint.$uuid.parquet")
+
+  /** V2-checkpoint sidecar namespace (Delta `_delta_log/_sidecars/`). */
+  def sidecarDir: Path = new Path(logDir, "_sidecars")
+
   /** The checkpoint's parquet files at `version`, in part order — the
     * single-file form, or a COMPLETE multi-part set (all `numParts`
     * present); an incomplete set (crash mid-write) yields Nil, so readers
@@ -46,6 +55,22 @@ class GwLog(val tablePath: Path, conf: Configuration,
   private[graft] def checkpointFilesFor(version: Long): Seq[Path] = {
     val single = checkpointPathFor(version)
     if (fs.exists(single)) return Seq(single)
+    // V2 form: `<v>.checkpoint.<uuid>.parquet` — one manifest file (the
+    // uuid token contains hyphens, never dots, so it cannot be mistaken
+    // for a `<part>.<numParts>` pair)
+    val v2 = {
+      val prefix = f"$version%020d.checkpoint."
+      if (!fs.exists(logDir)) Nil
+      else fs.listStatus(logDir).toSeq.map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith(prefix) && n.endsWith(".parquet") && {
+            val mid = n.stripPrefix(prefix).stripSuffix(".parquet")
+            !mid.contains('.') && mid.nonEmpty && !mid.forall(_.isDigit)
+          }
+        }
+    }
+    if (v2.nonEmpty) return Seq(v2.maxBy(_.getName))
     val parts = checkpointPartArtifacts(version)
     parts.headOption.map(_._2) match {
       case Some(n) if parts.size == n &&
@@ -280,6 +305,11 @@ class GwLog(val tablePath: Path, conf: Configuration,
         if (on("appendOnly")) wf += "appendOnly"
         // widened columns misread without up-conversion: reader-side too
         if (on("enableTypeWidening")) { rf += "typeWidening"; wf += "typeWidening" }
+        // v2 checkpoints change how READERS must discover snapshot state
+        if (Seq("graft.checkpointPolicy", "delta.checkpointPolicy")
+            .exists(k => conf.get(k).exists(_.trim.equalsIgnoreCase("v2")))) {
+          rf += "v2Checkpoint"; wf += "v2Checkpoint"
+        }
         // writer-only (Delta spec): readers see materialized values; only
         // writers must know to fill omitted columns
         if (m.schemaString.contains("CURRENT_DEFAULT")) wf += "allowColumnDefaults"
@@ -379,18 +409,50 @@ class GwLog(val tablePath: Path, conf: Configuration,
     // file's write, nor one reader's sequential scan. Parts land before
     // `_last_checkpoint`; readers only accept a COMPLETE set.
     val partSize = conf.getInt("graft.checkpoint.partSize", Int.MaxValue)
-    val numParts =
-      math.max(1, math.ceil(actions.size.toDouble / partSize).toInt)
+    // Delta checkpointPolicy=v2 (v2Checkpoint table feature): file actions
+    // land in UUID-named sidecar parquets under `_sidecars/` (partSize
+    // actions each), and the checkpoint itself is one small MANIFEST —
+    // protocol/metadata/txns + checkpointMetadata + sidecar refs. At
+    // 100 TB this is the shape that lets a coordinator read table-level
+    // state without touching millions of file entries, lets sidecars be
+    // written/read in parallel, and lets an incremental checkpointer
+    // REUSE unchanged sidecars across checkpoints (refs are by name).
+    // Sidecars land BEFORE the manifest, so a visible manifest is always
+    // complete; a torn manifest falls back to JSON replay like classic.
+    val v2Policy = Seq("graft.checkpointPolicy", "delta.checkpointPolicy")
+      .exists(k => snap.metadata.map(_.configuration).getOrElse(Map.empty)
+        .get(k).exists(_.trim.equalsIgnoreCase("v2")))
     val partsField =
-      if (numParts == 1) {
-        Checkpoint.write(checkpointPathFor(version), conf, actions)
+      if (v2Policy) {
+        val header = snap.protocol.toSeq ++ snap.metadata.toSeq ++
+          snap.transactions.toSeq.map { case (app, v) => SetTransaction(app, v) }
+        val fileActions = actions.drop(header.size)
+        fs.mkdirs(sidecarDir)
+        val refs = fileActions.grouped(math.max(1, math.min(partSize,
+          fileActions.size max 1))).toSeq.map { slice =>
+          val name = s"${java.util.UUID.randomUUID}.parquet"
+          val p = new Path(sidecarDir, name)
+          Checkpoint.write(p, conf, slice)
+          val st = fs.getFileStatus(p)
+          SidecarFile(name, st.getLen, st.getModificationTime)
+        }
+        Checkpoint.write(
+          checkpointV2PathFor(version, java.util.UUID.randomUUID.toString),
+          conf, header ++ (CheckpointMetadata(version) +: refs))
         ""
       } else {
-        actions.grouped(partSize).zipWithIndex.foreach { case (slice, i) =>
-          Checkpoint.write(
-            checkpointPartPathFor(version, i + 1, numParts), conf, slice)
+        val numParts =
+          math.max(1, math.ceil(actions.size.toDouble / partSize).toInt)
+        if (numParts == 1) {
+          Checkpoint.write(checkpointPathFor(version), conf, actions)
+          ""
+        } else {
+          actions.grouped(partSize).zipWithIndex.foreach { case (slice, i) =>
+            Checkpoint.write(
+              checkpointPartPathFor(version, i + 1, numParts), conf, slice)
+          }
+          s""","parts":$numParts"""
         }
-        s""","parts":$numParts"""
       }
     val out = fs.create(lastCheckpointPath, /* overwrite = */ true)
     try out.write(
@@ -398,6 +460,22 @@ class GwLog(val tablePath: Path, conf: Configuration,
         .getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  /** The checkpointed actions of `version`, with V2 sidecar refs expanded
+    * in order (classic/multi-part forms pass through; a missing sidecar
+    * throws, which [[snapshot]]'s torn-checkpoint guard turns into a JSON
+    * replay — never a partial snapshot). */
+  private[graft] def readCheckpointActions(version: Long): Seq[Action] =
+    checkpointFilesFor(version)
+      .flatMap(p => Checkpoint.read(p, conf))
+      .flatMap {
+        case s: SidecarFile =>
+          val raw = new Path(s.path)
+          val p = if (raw.isAbsolute) raw else new Path(sidecarDir, s.path)
+          Checkpoint.read(p, conf)
+        case _: CheckpointMetadata => Nil
+        case a => Seq(a)
+      }
 
   /** Committed checkpoint versions (from dir listing — `_last_checkpoint`
     * is a hint, not the source of truth, exactly like delta). */
@@ -649,8 +727,7 @@ class GwLog(val tablePath: Path, conf: Configuration,
         // a torn/corrupt checkpoint (crash mid-write) must never brick the
         // table — the version JSONs are always sufficient on their own
         try {
-          val base = checkpointFilesFor(cp)
-            .flatMap(p => Checkpoint.read(p, conf))
+          val base = readCheckpointActions(cp)
           require(base.nonEmpty, s"checkpoint $cp vanished mid-read")
           val tail = versions.filter(v => v > cp && v <= upTo)
           Snapshot.replay(upTo, base +: readTail(tail, Some(cp)))
@@ -715,6 +792,22 @@ class GwLog(val tablePath: Path, conf: Configuration,
       if (f.getFileStatus(p).getModificationTime < cutoff &&
         f.delete(p, false)) deleted += 1
     }
+    // sidecars: after superseded V2 manifests are gone, any `_sidecars/`
+    // file no surviving manifest references (and old enough) is debris —
+    // an incremental checkpointer may share sidecars ACROSS checkpoints,
+    // so liveness is by reference, never by age alone
+    if (f.exists(sidecarDir)) {
+      val referenced = listCheckpoints()
+        .flatMap(v => scala.util.Try(
+          checkpointFilesFor(v).flatMap(p => Checkpoint.read(p, conf))).toOption
+          .getOrElse(Nil))
+        .collect { case s: SidecarFile => new Path(sidecarDir, s.path).getName }
+        .toSet
+      f.listStatus(sidecarDir).toSeq
+        .filter(st => !referenced.contains(st.getPath.getName) &&
+          st.getModificationTime < cutoff)
+        .foreach { st => if (f.delete(st.getPath, false)) deleted += 1 }
+    }
     deleted
   }
 
@@ -766,6 +859,8 @@ object GwLog {
         if (txns.get(t.appId).forall(_.version <= t.version)) txns(t.appId) = t
       case _: CommitInfo => ()
       case _: CdcFile => ()
+      case _: CheckpointMetadata => ()
+      case _: SidecarFile => ()
     })
     protocol.toSeq ++ metadata.toSeq ++ txns.values.toSeq ++
       live.values.toSeq ++ gone.values.toSeq

@@ -320,6 +320,10 @@ object Snapshot {
         // change-data files are commit-scoped metadata for the CDF readers,
         // never table state (Delta spec: cdc actions don't affect snapshots)
         case _: CdcFile => ()
+        // v2-checkpoint bookkeeping rides checkpoint files only; the log
+        // reader expands sidecar refs before replay, so these are inert
+        case _: CheckpointMetadata => ()
+        case _: SidecarFile => ()
       }
     }
     Snapshot(version, protocol, metadata, live.values.toSeq,

@@ -2232,6 +2232,97 @@ object GwCore {
     } finally hconf.unset("graft.logCompaction.interval")
   }
 
+  // ---------------------------------------------------------------- gw59
+  /** V2 checkpoints (Delta `checkpointPolicy=v2`, the `v2Checkpoint`
+    * table feature): the checkpoint becomes a small UUID-named MANIFEST —
+    * protocol/metadata/txns + a `checkpointMetadata` self-description +
+    * `sidecar` refs — while the file actions land in parallel-readable
+    * sidecar parquets under `_delta_log/_sidecars/`. At 100 TB this is
+    * what lets a coordinator read table-level state without scanning
+    * millions of file entries, and what an incremental checkpointer needs
+    * to REUSE unchanged sidecars across checkpoints. Pinned: the policy
+    * property upgrades the protocol in the SAME commit (reader+writer
+    * feature); the v10 checkpoint is manifest+sidecars with no inline
+    * adds; replay resumes from it after the covered JSONs age out; a
+    * missing sidecar can never serve a partial snapshot (falls back to
+    * JSON replay); a newer checkpoint supersedes the old manifest AND
+    * strands its sidecars for reference-based GC. */
+  def gw59V2Checkpoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw59")
+    val loc = tmp.resolve("db/region").toString
+    val region = spark.read.parquet(s"$dir/region.parquet")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt("graft.checkpoint.partSize", 3)
+    try {
+      graft.streaming.GwSink.append(
+        region.filter(col("r_regionkey") === 0).coalesce(1), loc,
+        bootstrapProps = Map("graft.checkpointPolicy" -> "v2"))
+      val t = GwTable.forPath(spark, loc)
+      val p0 = t.snapshot().protocol.getOrElse(graft.log.Protocol())
+      require(p0.readerFeatures.exists(_.contains("v2Checkpoint")) &&
+        p0.writerFeatures.exists(_.contains("v2Checkpoint")),
+        s"declaring the v2 policy must carry the feature upgrade, got $p0")
+      for (i <- 1 to 10) // v1..v10; checkpoint fires at v10
+        region.filter(col("r_regionkey") === i % 5).coalesce(1)
+          .write.format("gwdelta").mode("append").save(loc)
+      val cpFiles = t.log.checkpointFilesFor(10L)
+      require(cpFiles.size == 1 &&
+        cpFiles.head.getName.matches(raw"0*10\.checkpoint\.[0-9a-f-]{36}\.parquet"),
+        s"v10 checkpoint must be one UUID manifest, got $cpFiles")
+      val manifest = graft.log.Checkpoint.read(cpFiles.head, hconf)
+      val refs = manifest.collect { case s: graft.log.SidecarFile => s }
+      require(manifest.exists {
+        case graft.log.CheckpointMetadata(10L) => true; case _ => false },
+        "manifest must self-describe via checkpointMetadata")
+      require(refs.size >= 4, s"11 adds at partSize 3 need >=4 sidecars, got ${refs.size}")
+      require(!manifest.exists(_.isInstanceOf[graft.log.AddFile]),
+        "file actions belong in sidecars, not the manifest")
+      val fs = t.log.sidecarDir.getFileSystem(hconf)
+      refs.foreach(r => require(
+        fs.exists(new org.apache.hadoop.fs.Path(t.log.sidecarDir, r.path)),
+        s"sidecar ${r.path} missing"))
+      region.filter(col("r_regionkey") === 11 % 5).coalesce(1)
+        .write.format("gwdelta").mode("append").save(loc) // v11
+      val expectHead = t.toDF.collect().map(_.toSeq).toSet
+      // a missing sidecar must never yield a partial snapshot
+      val hidden = new org.apache.hadoop.fs.Path(t.log.sidecarDir, refs.head.path)
+      val aside = new org.apache.hadoop.fs.Path(t.log.sidecarDir, "hidden.tmp")
+      require(fs.rename(hidden, aside), "sidecar rename failed")
+      val bare = new graft.log.GwLog(new org.apache.hadoop.fs.Path(loc), hconf)
+      require(bare.snapshot().files.map(_.path).toSet ==
+        t.snapshot().files.map(_.path).toSet,
+        "missing sidecar must fall back to full JSON replay")
+      require(bare.lastReplayReads._1.isEmpty,
+        s"fallback must not claim the checkpoint: ${bare.lastReplayReads}")
+      require(fs.rename(aside, hidden), "sidecar restore failed")
+      // replay resumes from the v2 checkpoint once covered JSONs age out
+      require(t.cleanupMetadata(retentionMs = 0L) > 0, "cleanup must act")
+      val fresh = new graft.log.GwLog(new org.apache.hadoop.fs.Path(loc), hconf)
+      require(fresh.snapshot().filePaths.toSet ==
+        t.snapshot().filePaths.toSet, "post-cleanup replay must agree")
+      require(fresh.lastReplayReads._1.contains(10L),
+        s"replay must resume from the manifest: ${fresh.lastReplayReads}")
+      require(spark.read.format("gwdelta").load(loc)
+        .collect().map(_.toSeq).toSet == expectHead,
+        "post-cleanup reads must resume from the v2 checkpoint")
+      // a newer checkpoint supersedes the manifest; its sidecars become
+      // unreferenced and reference-based GC reclaims them
+      for (i <- 12 to 21) // v12..v21; checkpoint fires at v20
+        region.filter(col("r_regionkey") === i % 5).coalesce(1)
+          .write.format("gwdelta").mode("append").save(loc)
+      require(t.log.checkpointFilesFor(20L).nonEmpty, "v20 checkpoint missing")
+      val before = fs.listStatus(t.log.sidecarDir).length
+      require(t.cleanupMetadata(retentionMs = 0L) > 0, "second cleanup must act")
+      require(t.log.checkpointFilesFor(10L).isEmpty,
+        "the superseded v10 manifest must age out")
+      val after = fs.listStatus(t.log.sidecarDir).length
+      require(after < before,
+        s"unreferenced sidecars must be GC'd ($before -> $after)")
+      t.toDF
+    } finally hconf.unset("graft.checkpoint.partSize")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -2291,6 +2382,7 @@ object GwCore {
     "gw56_multipart_checkpoint" -> gw56MultipartCheckpoint _,
     "gw57_bloom_skipping" -> gw57BloomSkipping _,
     "gw58_log_compaction" -> gw58LogCompaction _,
+    "gw59_v2_checkpoint" -> gw59V2Checkpoint _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2608,5 +2700,11 @@ object GwCore {
     // through three compacted log segments
     "gw58_log_compaction" ->
       "SELECT * FROM nation WHERE n_nationkey <= 10 AND n_nationkey <> 5",
+    // region key i%5 appended once per commit i in 0..21, served through
+    // the v20 V2 checkpoint manifest + sidecars
+    "gw59_v2_checkpoint" ->
+      """SELECT r.* FROM region r
+        |JOIN (SELECT unnest(generate_series(0, 21)) % 5 AS k) c
+        |  ON c.k = r.r_regionkey""".stripMargin,
   )
 }

@@ -177,7 +177,13 @@ class LogSpec extends AnyFunSuite {
       "remove.partitionValues.key_value.value" -> "BINARY",
       "txn.appId" -> "BINARY",
       "txn.version" -> "INT64",
-      "txn.lastUpdated" -> "INT64")
+      "txn.lastUpdated" -> "INT64",
+      // v2Checkpoint (Delta spec): the manifest's self-description and its
+      // sidecar references
+      "checkpointMetadata.version" -> "INT64",
+      "sidecar.path" -> "BINARY",
+      "sidecar.sizeInBytes" -> "INT64",
+      "sidecar.modificationTime" -> "INT64")
     assert(cols == golden,
       s"checkpoint schema drifted from the Delta spec:\n" +
         s" unexpected=${(cols -- golden).toSeq.sorted.mkString(", ")}\n" +
