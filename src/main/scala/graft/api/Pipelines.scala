@@ -1253,6 +1253,31 @@ object Pipelines {
     * `aggregate(zip_with(x, y, (p,q) -> double(p)*double(q)), 0d, +)`. */
   def dotProd(x: Column, y: Column): Column = graft.functions.VecDot(x, y)
 
+  /** Above this many centroids, [[centroidScores]] switches representation. */
+  private[graft] val LiteralCentroidMax = 256
+
+  /** Per-row centroid score array — `dot(e, cents(c))` for every c — in
+    * one of two representations with BITWISE-identical results: up to
+    * [[LiteralCentroidMax]] centroids the matrix inlines as codegen'd
+    * [[dotProd]] literals (fastest, the common case); beyond it the
+    * matrix rides ONE nested-array literal and a higher-order transform
+    * evaluates the dots per row — same left-to-right IEEE accumulation as
+    * VecDot, no 64KB-codegen blowup, and still ZERO shuffle (the matrix
+    * ships inside the serialized plan to every executor, exactly like the
+    * literals). A many-thousand-list deployment pays an interpreted
+    * constant factor per row, never an exchange — this closes the
+    * documented centroid-literal honest limit. */
+  private[graft] def centroidScores(e: Column, cents: Array[Array[Double]],
+      forceLarge: Boolean = false): Column =
+    if (cents.length <= LiteralCentroidMax && !forceLarge)
+      array(cents.indices.map(c => dotProd(e, lit(cents(c)))): _*)
+    else {
+      val m = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+      transform(m, c => aggregate(
+        zip_with(e.cast("array<double>"), c, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v))
+    }
+
   /** Vector L2 norm (sequential fold). */
   def l2norm(x: Column): Column = sqrt(dotProd(x, x))
 
@@ -1306,8 +1331,7 @@ object Pipelines {
       centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val cents = centroids.getOrElse(hyperplanes(nCentroids, dim))
     require(cents.length == nCentroids, "centroid count must match nCentroids")
-    def scores(e: Column): Column =
-      array((0 until nCentroids).map(c => dotProd(e, lit(cents(c)))): _*)
+    def scores(e: Column): Column = centroidScores(e, cents)
     def assigned(e: Column): Column =
       (array_position(scores(e), array_max(scores(e))) - 1).cast("int")
     val c = corpus.select(id.as("vec_id"), vec.as("__emb"))
@@ -1684,8 +1708,7 @@ object Pipelines {
       nCentroids: Int = 16, iterations: Int = 3): Array[Array[Double]] = {
     var cents = normalizeRows(hyperplanes(nCentroids, dim))
     for (_ <- 0 until iterations) {
-      def scores(e: Column): Column =
-        array((0 until nCentroids).map(c => dotProd(e, lit(cents(c)))): _*)
+      def scores(e: Column): Column = centroidScores(e, cents)
       def assigned(e: Column): Column =
         (array_position(scores(e), array_max(scores(e))) - 1).cast("int")
       val sums = corpus
@@ -1731,8 +1754,9 @@ object Pipelines {
       centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val cents = centroids.getOrElse(hyperplanes(nCentroids, dim))
     require(cents.length == nCentroids, "centroid count must match nCentroids")
-    // per-vector centroid scores: dot with each centroid (codegen'd)
-    def scores(e: Column): Column = array((0 until nCentroids).map(c => dotProd(e, lit(cents(c)))): _*)
+    // per-vector centroid scores: dot with each centroid (representation
+    // by count -- see centroidScores)
+    def scores(e: Column): Column = centroidScores(e, cents)
     // corpus side: argmax centroid = its single inverted list
     def assigned(e: Column): Column =
       (array_position(scores(e), array_max(scores(e))) - 1).cast("int")
@@ -1855,8 +1879,7 @@ object Pipelines {
     val spark = queries.sparkSession
     val cents = storedCentroids(spark, indexPath)
     val n = cents.length
-    def scores(e: Column): Column =
-      array((0 until n).map(c => dotProd(e, lit(cents(c)))): _*)
+    def scores(e: Column): Column = centroidScores(e, cents)
     def probes(e: Column): Column = {
       val ranked = sort_array(zip_with(scores(e),
         sequence(lit(0), lit(n - 1)),
@@ -1964,8 +1987,7 @@ object Pipelines {
     val m = books.length
     val sub = dim / m
     val n = cents.length
-    def scores(e: Column): Column =
-      array((0 until n).map(c => dotProd(e, lit(cents(c)))): _*)
+    def scores(e: Column): Column = centroidScores(e, cents)
     def probes(e: Column): Column = {
       val ranked = sort_array(zip_with(scores(e),
         sequence(lit(0), lit(n - 1)),
@@ -2030,8 +2052,7 @@ object Pipelines {
   private def assignToLists(corpus: DataFrame, id: Column, vec: Column,
       cents: Array[Array[Double]]): DataFrame = {
     val n = cents.length
-    def scores(e: Column): Column =
-      array((0 until n).map(c => dotProd(e, lit(cents(c)))): _*)
+    def scores(e: Column): Column = centroidScores(e, cents)
     corpus.select(id.as("n_id"), vec.as("n_emb"))
       .withColumn("list", (array_position(scores(col("n_emb")),
         array_max(scores(col("n_emb")))) - 1).cast("int"))

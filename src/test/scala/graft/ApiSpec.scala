@@ -425,6 +425,31 @@ class ApiSpec extends AnyFunSuite {
     assert(err.getMessage.contains("buildIvfPqIndex"))
   }
 
+  test("centroidScores: literal and large-matrix representations agree bitwise") {
+    val e = embs.limit(100)
+    val cents = graft.api.Pipelines.hyperplanes(12, 64)
+    def collectScores(force: Boolean) = e.select(col("vec_id"),
+      graft.api.Pipelines.centroidScores(col("embedding"), cents,
+        forceLarge = force).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaLiterals = collectScores(false)
+    val viaMatrix = collectScores(true)
+    // bitwise equality: both paths accumulate left to right in doubles,
+    // so the large-deployment representation changes NOTHING downstream
+    // (assignment argmax, probe ranking, every oracle)
+    viaLiterals.foreach { case (id, s) =>
+      assert(s.map(java.lang.Double.doubleToLongBits) ==
+        viaMatrix(id).map(java.lang.Double.doubleToLongBits),
+        s"representations diverged for vec $id")
+    }
+    // and a beyond-the-literal-limit IVF search runs end to end through
+    // the matrix path (300 centroids > LiteralCentroidMax)
+    val big = graft.api.Pipelines.ivfTopK(embs.limit(400),
+      embs.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+      k = 3, dim = 64, nCentroids = 300, nProbe = 20)
+    assert(big.count() == 9, "3 queries x k=3 through the matrix path")
+  }
+
   test("NormalizeText: ascii fast path and unicode path share one contract") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
     val f = graft.functions.NormalizeText
