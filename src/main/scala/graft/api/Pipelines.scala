@@ -57,6 +57,67 @@ object Pipelines {
       .withColumn("keep",
         when(col("n_words") >= 5 && col("alpha_permille") >= 500, 1).otherwise(0))
 
+  /** The Gopher stop-word list (Rae et al. 2021 §A1.1): a document must
+    * contain at least two of these to look like running English prose. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher quality rules (t23, Rae et al. 2021 Appendix A1.1) — the
+   * published heuristic bundle MassiveWeb was filtered with, kept as the
+   * paper states them: word count in [50, 100k]; mean word length in
+   * [3, 10]; symbol-to-word ratio (# and ...) below 0.1; under 90% of
+   * lines starting with a bullet; under 30% ending in an ellipsis; at
+   * least 80% of words containing an alphabetic character; and at least
+   * two [[GopherStopWords]]. Every metric lands as an INTEGER
+   * (centi/milli fixed point, floor division) so keep decisions replay
+   * exactly in any engine; regexes use the Java-regex/RE2 common subset.
+   *
+   * 100 TB posture: pure per-row string work — zero shuffle, runs at
+   * scan speed; the two higher-order filters iterate each row's own
+   * words/lines once (per-row-once interpreted HOFs, the same budget the
+   * IVF probe construction spends).
+   */
+  def gopherQualityFilters(df: DataFrame, text: Column): DataFrame = {
+    val words = split(trim(text), "\\s+")
+    val lines = split(text, "\n")
+    df.withColumn("n_words", size(words).cast("long"))
+      .withColumn("__wchars", aggregate(
+        transform(words, w => length(w).cast("long")), lit(0L), (a, x) => a + x))
+      .withColumn("__alpha_words",
+        size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long"))
+      .withColumn("__symbols",
+        regexp_count(text, lit("#|\\.\\.\\.")).cast("long"))
+      .withColumn("__n_lines", size(lines).cast("long"))
+      .withColumn("__bullet_lines",
+        size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long"))
+      .withColumn("__ellipsis_lines",
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long"))
+      .withColumn("stop_hits", size(array_intersect(
+        array_distinct(split(text, " ")),
+        typedLit(GopherStopWords))).cast("long"))
+      .withColumn("mean_word_len_centi",
+        expr("__wchars * 100 DIV greatest(n_words, 1)"))
+      .withColumn("symbol_ratio_milli",
+        expr("__symbols * 1000 DIV greatest(n_words, 1)"))
+      .withColumn("bullet_frac_milli",
+        expr("__bullet_lines * 1000 DIV greatest(__n_lines, 1)"))
+      .withColumn("ellipsis_frac_milli",
+        expr("__ellipsis_lines * 1000 DIV greatest(__n_lines, 1)"))
+      .withColumn("alpha_frac_milli",
+        expr("__alpha_words * 1000 DIV greatest(n_words, 1)"))
+      .withColumn("keep", when(
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len_centi").between(300L, 1000L) &&
+          col("symbol_ratio_milli") < 100L &&
+          col("bullet_frac_milli") < 900L &&
+          col("ellipsis_frac_milli") < 300L &&
+          col("alpha_frac_milli") > 800L &&
+          col("stop_hits") >= 2L, 1L).otherwise(0L))
+      .drop("__wchars", "__alpha_words", "__symbols", "__n_lines",
+        "__bullet_lines", "__ellipsis_lines")
+  }
+
   def tokenCounts(df: DataFrame, text: Column): DataFrame =
     df.withColumn("ws_tokens", size(split(trim(text), "\\s+")))
       .withColumn("word_tokens", regexp_count(text, lit("[a-zA-Z]+")))

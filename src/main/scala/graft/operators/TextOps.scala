@@ -293,6 +293,35 @@ object TextOps {
         md5(col("cleaned")).as("clean_md5"))
   }
 
+  /** t23: the published Gopher quality-rule bundle over synthetic pages —
+    * t15's 7-word-line construction plus doc-dependent bullet lines
+    * (every 4th doc) and ellipsis endings (every 6th), so the line-shape
+    * rules actually fire; every metric is integer fixed-point and every
+    * regex sits in the Java/RE2 common subset, so the whole bundle —
+    * metrics AND keep decisions — replays exactly. */
+  def t23GopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val synth = docs(spark, dir).select(col("doc_id"), col("text"))
+      .withColumn("__w", split(col("text"), " "))
+      .withColumn("__nl", expr("greatest(1L, (size(__w) + 6) div 7)"))
+      .withColumn("__lines", expr(
+        "transform(sequence(0L, __nl - 1), i -> " +
+          "array_join(slice(__w, cast(i*7+1 as int), 7), ' '))"))
+      .withColumn("__lines2", concat(
+        when(col("doc_id") % 4 === 0,
+          array(lit("- first bullet item"), lit("* second bullet item")))
+          .otherwise(lit(Array.empty[String])),
+        col("__lines"),
+        when(col("doc_id") % 6 === 0,
+          array(lit("to be continued...")))
+          .otherwise(lit(Array.empty[String]))))
+      .withColumn("page_text", array_join(col("__lines2"), "\n"))
+    Pipelines.gopherQualityFilters(synth, col("page_text"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len_centi"),
+        col("symbol_ratio_milli"), col("bullet_frac_milli"),
+        col("ellipsis_frac_milli"), col("alpha_frac_milli"),
+        col("stop_hits"), col("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -316,6 +345,7 @@ object TextOps {
     "t20_temperature_sample" -> t20TemperatureSample _,
     "t21_unicode_normalize" -> t21UnicodeNormalize _,
     "t22_boilerplate_lines" -> t22BoilerplateLines _,
+    "t23_gopher_quality" -> t23GopherQuality _,
   )
 
   private def sqlList(lang: String): String =
@@ -334,6 +364,59 @@ object TextOps {
         | FROM documents)
         |SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS n_chars_norm
         |FROM n""".stripMargin,
+    // page build replayed, then every Gopher metric in integer fixed
+    // point and the conjunctive keep, exactly as the operator computes
+    "t23_gopher_quality" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split(text, ' ') AS ws,
+        |  greatest(1, (len(string_split(text, ' ')) + 6) // 7) AS nl
+        | FROM documents),
+        |base AS (
+        | SELECT doc_id,
+        |  list_transform(generate_series(0, nl - 1), i ->
+        |    array_to_string(ws[i*7+1 : i*7+7], ' ')) AS lines
+        | FROM w),
+        |aug AS (
+        | SELECT doc_id,
+        |  (CASE WHEN doc_id % 4 = 0 THEN ['- first bullet item', '* second bullet item'] ELSE [] END)
+        |  || lines
+        |  || (CASE WHEN doc_id % 6 = 0 THEN ['to be continued...'] ELSE [] END) AS lines
+        | FROM base),
+        |p AS (SELECT doc_id, array_to_string(lines, chr(10)) AS page FROM aug),
+        |m AS (
+        | SELECT doc_id,
+        |  regexp_split_to_array(trim(page), '\s+') AS words,
+        |  string_split(page, chr(10)) AS lns,
+        |  len(regexp_extract_all(page, '#|\.\.\.')) AS symbols,
+        |  len(list_intersect(list_distinct(string_split(page, ' ')),
+        |    ['the','be','to','of','and','that','have','with'])) AS stop_hits
+        | FROM p),
+        |agg AS (
+        | SELECT doc_id,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT) AS wchars,
+        |  CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+        |  CAST(symbols AS BIGINT) AS symbols,
+        |  CAST(len(lns) AS BIGINT) AS n_lines,
+        |  CAST(len(list_filter(lns, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS bullet_lines,
+        |  CAST(len(list_filter(lns, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS ellipsis_lines,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits
+        | FROM m)
+        |SELECT doc_id, n_words,
+        | wchars * 100 // greatest(n_words, 1) AS mean_word_len_centi,
+        | symbols * 1000 // greatest(n_words, 1) AS symbol_ratio_milli,
+        | bullet_lines * 1000 // greatest(n_lines, 1) AS bullet_frac_milli,
+        | ellipsis_lines * 1000 // greatest(n_lines, 1) AS ellipsis_frac_milli,
+        | alpha_words * 1000 // greatest(n_words, 1) AS alpha_frac_milli,
+        | stop_hits,
+        | CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |   AND wchars * 100 // greatest(n_words, 1) BETWEEN 300 AND 1000
+        |   AND symbols * 1000 // greatest(n_words, 1) < 100
+        |   AND bullet_lines * 1000 // greatest(n_lines, 1) < 900
+        |   AND ellipsis_lines * 1000 // greatest(n_lines, 1) < 300
+        |   AND alpha_words * 1000 // greatest(n_words, 1) > 800
+        |   AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM agg""".stripMargin,
     // page build replayed, then the md5 line-key distinct-doc count, the
     // >=5 threshold, and the order-preserving cleaned-text rebuild
     "t22_boilerplate_lines" ->
