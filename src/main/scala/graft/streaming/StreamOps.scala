@@ -721,6 +721,53 @@ object StreamOps {
       col("vec_id"), col("embedding"), tmp, k = 3, nProbe = 8)
   }
 
+  /** st14: rate-limited backfill admission — the 100 TB onboarding shape:
+    * tailing a table whose INITIAL snapshot is far larger than one
+    * micro-batch's budget, `maxFilesPerTrigger` slices the snapshot into
+    * bounded batches (by file index), AvailableNow drains them all, every
+    * row lands exactly once (per-batch txn ids), and a restart from the
+    * checkpoint admits nothing new. In-gate pins: >= 6 batches of <= 1
+    * file each for a 6-file snapshot; the restart is a no-op commit-wise;
+    * the drained output equals the table (the oracle). */
+  def st14BackfillAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("st14")
+    val loc = tmp.resolve("db/nation").toString
+    val out = tmp.resolve("db/out").toString
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    for (i <- 0 until 6) // 6 commits, one single-row file each
+      nation.filter(col("n_nationkey") === i).coalesce(1)
+        .write.format("gwdelta").mode("append").save(loc)
+    val streamId = java.util.UUID.randomUUID().toString
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val maxRows = new java.util.concurrent.atomic.AtomicLong(0)
+    def drain(ckptSuffix: String): Unit = {
+      val q = spark.readStream.format("gwdelta")
+        .option("maxFilesPerTrigger", "1").load(loc)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve(s"ckpt$ckptSuffix").toString)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          batches.incrementAndGet()
+          maxRows.getAndUpdate(m => math.max(m, b.count()))
+          GwSink.append(b, out, txnId = Some(s"$streamId/$ckptSuffix/$id")); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain("a")
+    val t = graft.GwTable.forPath(spark, out)
+    val vDrained = t.snapshot().version
+    require(batches.get() >= 6,
+      s"a 6-file snapshot at maxFilesPerTrigger=1 must take >=6 batches, got ${batches.get()}")
+    require(maxRows.get() <= 1,
+      s"admission must bound every batch to one file's rows, got ${maxRows.get()}")
+    // restart from the SAME checkpoint: nothing new to admit, no commit
+    drain("a")
+    require(t.snapshot().version == vDrained,
+      "a checkpoint restart with no new data must not re-commit")
+    t.toDF
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> st01WindowedCounts _,
     "st02_stream_state" -> st02StatefulSessions _,
@@ -735,6 +782,7 @@ object StreamOps {
     "st11_transform_with_state" -> st11TransformWithState _,
     "st12_cdc_replicate" -> st12CdcReplicate _,
     "st13_stream_index" -> st13StreamIndexIngest _,
+    "st14_backfill_admission" -> st14BackfillAdmission _,
   )
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming
@@ -798,6 +846,9 @@ object StreamOps {
     // centroid-literal SQL) over this gate's query window.
     "st13_stream_index" ->
       graft.operators.Similarity.ivfOracleSql("vec_id >= 20 AND vec_id < 30"),
+    // admission slices the initial snapshot but must deliver it exactly
+    "st14_backfill_admission" ->
+      "SELECT * FROM nation WHERE n_nationkey < 6",
     "st08_stream_sketch" ->
       // Bit-exact KMV replay: same 60-bit md5-prefix user hash, exact
       // distinct below k=64, else floor(63*2^60/h_64) — identical integer
