@@ -996,6 +996,78 @@ object Pipelines {
           .as("surprisal_milli"))
   }
 
+  /**
+   * DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling"): pick raw-corpus
+   * documents whose hashed n-gram profile resembles a TARGET corpus, by
+   * importance weights between two smoothed bag-of-hashed-ngrams models.
+   * The pretraining-data-selection shape: target = a small trusted set
+   * (curated wiki/books), raw = the crawl; selection keeps raw docs in
+   * proportion to target-likeness instead of a hard classifier cut.
+   *
+   *  1. Features: unigrams + adjacent bigrams of the lowercased text,
+   *     hashed into `buckets` ([[linearQualityScore]]'s featurizer).
+   *  2. Per-bucket importance weight = log p_target(b) - log p_raw(b)
+   *     under add-one smoothing, QUANTIZED TO INTEGER BITS exactly like
+   *     [[lmSurprisalScore]] (floor-log2 via binary bit length) — `ln`'s
+   *     last-ulp varies across libms, bit lengths never do, so the gate
+   *     stays hash-exact while staying within 2 bits of the real ratio.
+   *  3. Per-doc score = sum of its features' weights (integer fold,
+   *     order-independent — faithfully log of the doc's importance ratio
+   *     under the bag model).
+   *  4. Resample: keep each doc with probability 2^(score - max_score) —
+   *     importance sampling proportional to its (quantized) ratio. The
+   *     coin is the doc id's own 60-bit hash against a SHIFTED power of
+   *     two, so acceptance is pure integer compare: deterministic,
+   *     replayable, and exactly the stated probability (the top-scored
+   *     doc is always kept; a doc 60+ bits below never is).
+   *
+   * 100 TB posture: the weight table is at most `buckets` rows and
+   * BROADCASTS; the raw corpus pays its featurization window plus ONE
+   * doc-keyed partial-agg shuffle for the score fold; the target corpus
+   * (benchmark-scale by contract) contributes only bucket counts. Two
+   * passes over raw (count, then score) — inherent to estimating p_raw
+   * from the corpus itself; with a pre-fit p_raw the first pass drops.
+   * Returns every raw doc as (__id, score_bits, kept).
+   */
+  def dsirResample(raw: DataFrame, target: DataFrame, id: Column,
+      text: Column, buckets: Int = 512): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def feats(df: DataFrame): DataFrame = {
+      val byDoc = Window.partitionBy("__id").orderBy("pos")
+      val toks = df.select(id.as("__id"), posexplode(split(lower(text), " ")))
+        .withColumn("w2", lead("col", 1).over(byDoc))
+      toks.select(col("__id"), col("col").as("f"))
+        .unionAll(toks.filter(col("w2").isNotNull)
+          .select(col("__id"), concat_ws(" ", col("col"), col("w2")).as("f")))
+        .select(col("__id"),
+          pmod(graft.functions.KmvDistinctAgg.hash60(col("f")),
+            lit(buckets.toLong)).as("bucket"))
+    }
+    def bits(x: Column): Column = length(bin(x)) - 1
+    val rawB = feats(raw)
+    val rc = rawB.groupBy("bucket").agg(count(lit(1)).as("rc"))
+    val tc = feats(target).groupBy("bucket").agg(count(lit(1)).as("tc"))
+    val totals = rc.agg(sum("rc").as("rn")).crossJoin(tc.agg(sum("tc").as("tn")))
+    // weights only for buckets the RAW corpus can produce (scoring joins
+    // from raw features, so target-only buckets are unreachable)
+    val w = rc.join(tc, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        ((bits(coalesce(col("tc"), lit(0L)) + 1L) - bits(col("tn") + lit(buckets.toLong)))
+          - (bits(col("rc") + 1L) - bits(col("rn") + lit(buckets.toLong))))
+          .cast("long").as("w"))
+    val scored = rawB.join(broadcast(w), Seq("bucket"))
+      .groupBy("__id").agg(sum("w").as("score_bits"))
+    val pivot = scored.agg(max("score_bits").as("__t"))
+    scored.crossJoin(broadcast(pivot))
+      .withColumn("__e", greatest(col("score_bits") - col("__t"), lit(-60L)))
+      .withColumn("kept",
+        graft.functions.KmvDistinctAgg.hash60(col("__id")) <
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(60 + __e AS INT))"))
+      .select(col("__id"), col("score_bits"), col("kept"))
+  }
+
   /** One row per (id, consecutive word n-gram) — duplicates preserved. */
   private def wordGrams(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     val w = split(text, " ")
@@ -1838,6 +1910,49 @@ object Pipelines {
 
     topKByCosine(
       broadcast(q).join(c, Seq("list")).filter(col("q_id") =!= col("n_id")), k)
+  }
+
+  /**
+   * IVF RANGE search (radius query): every (query, corpus) pair inside the
+   * probed lists whose cosine similarity is at least `minSimMicro`
+   * micro-units. Top-k answers "the k closest"; range answers "ALL
+   * neighbors within tau" — the retrieval shape dedup and contamination
+   * sweeps actually want (d05/d06 bound candidates by RANK, which clips
+   * dense neighborhoods; a radius query is threshold-complete within the
+   * probed lists). Same probe economics as [[ivfTopK]] — each query plans
+   * ~nProbe/nCentroids of the corpus — and unlike top-k there is no
+   * per-query heap: the threshold filters candidates streaming out of the
+   * list join, so the operator is one broadcast join + one codegen filter
+   * with NO shuffle at all. The threshold compares the ROUNDED integer
+   * micro-similarity, so the result-set boundary is exact and
+   * engine-independent (no float `>=` straddling an ulp).
+   */
+  def ivfRangeSearch(corpus: DataFrame, queries: DataFrame, id: Column,
+      vec: Column, minSimMicro: Long, dim: Int, nCentroids: Int = 16,
+      nProbe: Int = 4, centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(hyperplanes(nCentroids, dim))
+    require(cents.length == nCentroids, "centroid count must match nCentroids")
+    def scores(e: Column): Column = centroidScores(e, cents)
+    def assigned(e: Column): Column =
+      (array_position(scores(e), array_max(scores(e))) - 1).cast("int")
+    def probes(e: Column): Column = {
+      val ranked = sort_array(zip_with(scores(e),
+        sequence(lit(0), lit(nCentroids - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))), asc = false)
+      slice(transform(ranked, r => r.getField("i")), 1, nProbe)
+    }
+    val c = corpus.select(id.as("n_id"), vec.as("n_emb"))
+      .withColumn("list", assigned(col("n_emb")))
+      .withColumn("n_nrm", l2norm(col("n_emb")))
+    val q = queries.select(id.as("q_id"), vec.as("q_emb"))
+      .withColumn("list", explode(probes(col("q_emb"))))
+      .withColumn("q_nrm", l2norm(col("q_emb")))
+    broadcast(q).join(c, Seq("list"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(dotProd(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))
+          * 1000000).cast("long").as("cos_micro"))
+      .filter(col("cos_micro") >= minSimMicro)
   }
 
   /** Table property keys of a persisted IVF index (self-describing). */

@@ -30,6 +30,58 @@ class GwLog(val tablePath: Path, conf: Configuration,
 
   def logPathFor(version: Long): Path = new Path(logDir, f"$version%020d.json")
 
+  /** Delta version-checksum naming: `<version>.crc`. */
+  def checksumPathFor(version: Long): Path = new Path(logDir, f"$version%020d.crc")
+
+  /** Write `version`'s state summary ([[VersionChecksum]]) from its
+    * replayed snapshot. The replay resumes from the nearest checkpoint /
+    * compacted segment like any reader's, so the write path re-validates
+    * the exact read path every commit — which is the point. Idempotent:
+    * an existing crc (a retried commit, a concurrent reader's backfill)
+    * is left in place. */
+  def writeChecksum(version: Long): Unit = {
+    val f = fs
+    val target = checksumPathFor(version)
+    if (f.exists(target)) return
+    val line = VersionChecksum.toJson(VersionChecksum.of(snapshot(Some(version))))
+    val out = f.create(target, false)
+    try out.write((line + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The stored checksum at `version` — None when absent OR unparseable
+    * (a damaged crc reads as absent; it is advisory, never load-bearing). */
+  def readChecksum(version: Long): Option[VersionChecksum] = {
+    val p = checksumPathFor(version)
+    val f = fs
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+        finally in.close()
+      VersionChecksum.fromJson(text.trim)
+    }
+  }
+
+  /** Cross-check this engine's replay of `version` against the stored
+    * checksum. Returns the verified checksum when one exists and matches;
+    * None when no (parseable) crc is stored; THROWS when a stored crc
+    * disagrees with the replay — that means either the log was corrupted
+    * after commit or a replay bug is serving a wrong snapshot, and both
+    * must stop a pipeline loudly rather than silently mis-serve 100 TB. */
+  def verifyChecksum(version: Long): Option[VersionChecksum] =
+    readChecksum(version).map { stored =>
+      val replayed = VersionChecksum.of(snapshot(Some(version)))
+      if (replayed != stored)
+        throw new IllegalStateException(
+          s"version checksum mismatch at $tablePath v$version: " +
+            s"stored $stored but replay computed $replayed — the log was " +
+            "damaged after commit or a replay bug is live; do not trust " +
+            "this snapshot")
+      stored
+    }
+
   def checkpointPathFor(version: Long): Path =
     new Path(logDir, f"$version%020d.checkpoint.parquet")
 
@@ -199,6 +251,12 @@ class GwLog(val tablePath: Path, conf: Configuration,
     commitAt(version,
       stampInCommitTimestamp(version,
         upgradeProtocol(version, assignRowIds(version, actions))))
+    // version checksum (Delta `<version>.crc`): a best-effort state
+    // summary of the post-commit replay — see [[VersionChecksum]]. The
+    // version JSON above IS the committed truth, so a failed crc write
+    // must never fail the commit.
+    try writeChecksum(version)
+    catch { case scala.util.control.NonFatal(_) => () }
     if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0) {
       // checkpoints are a read optimization: the version JSON above IS the
       // committed truth, so a failed checkpoint write must not fail the
@@ -774,6 +832,19 @@ class GwLog(val tablePath: Path, conf: Configuration,
       if (f.getFileStatus(p).getModificationTime < cutoff && f.delete(p, false))
         deleted += 1
     }
+    // version checksums ride the same retention as their version JSONs:
+    // a crc below the newest checkpoint summarizes a version nobody can
+    // replay past cleanup anyway
+    f.listStatus(logDir).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.endsWith(".crc") && n.stripSuffix(".crc").forall(_.isDigit) &&
+          n.stripSuffix(".crc").toLong < newestCp
+      }
+      .foreach { p =>
+        if (f.getFileStatus(p).getModificationTime < cutoff &&
+          f.delete(p, false)) deleted += 1
+      }
     // every superseded checkpoint ARTIFACT below the newest complete one:
     // single-file forms, multi-part files, and incomplete crash leftovers
     // (which listCheckpoints deliberately does not report)

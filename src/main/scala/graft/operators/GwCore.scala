@@ -1575,7 +1575,8 @@ object GwCore {
       "expected 25 commits with checkpoints at 10 and 20")
     val before = t.toDF.collect().map(_.toSeq).toSet
     val removed = t.cleanupMetadata(retentionMs = 0L)
-    require(removed == 21, s"20 version JSONs + 1 old checkpoint, got $removed")
+    require(removed == 41,
+      s"20 version JSONs + their 20 crcs + 1 old checkpoint, got $removed")
     require(t.log.listVersions() == (20L to 24L),
       s"only the checkpoint tail survives, got ${t.log.listVersions()}")
     // surviving versions replay exactly; the snapshot is unchanged
@@ -2323,6 +2324,76 @@ object GwCore {
     } finally hconf.unset("graft.checkpoint.partSize")
   }
 
+  // ---------------------------------------------------------------- gw60
+  /** Version checksums (Delta `<version>.crc`, OSS VersionChecksum): every
+    * commit summarizes its post-state — tableSizeBytes / numFiles / DV
+    * counts — in a one-line advisory file. Pinned here: a crc exists for
+    * every commit and verifies against an independent replay; merge-on-read
+    * DELETE surfaces its deletion vectors in the counts; a TAMPERED crc
+    * fails verification loudly (the whole point — silent metadata
+    * corruption is the one failure a result-equality gate can never see);
+    * an unparseable crc reads as absent, never as a failure; a deleted crc
+    * backfills from replay; metadata cleanup retires crcs with their
+    * version JSONs. */
+  def gw60VersionChecksum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (name, loc) = rangedOrdersTable(spark, dir, "gw60")
+    val table = GwTable.forPath(spark, loc)
+    val log = table.log
+    val head = table.snapshot().version
+    (0L to head).foreach { v =>
+      val stored = log.verifyChecksum(v)
+      require(stored.isDefined, s"commit $v must carry a verifiable crc")
+      require(stored.get == graft.log.VersionChecksum.of(log.snapshot(Some(v))),
+        s"verify must return the replay-equal checksum at $v")
+    }
+    require(log.readChecksum(head).get.numFiles ==
+      table.snapshot().files.size.toLong, "head crc must count live files")
+    // merge-on-read DELETE: the DVs land in the counts; the deleted-row
+    // count is cross-checked against the INDEPENDENT before/after reads,
+    // not the snapshot the crc was computed from
+    val preCount = spark.table(name).count()
+    require(table.delete(col("o_custkey") % 7 === 0, mergeOnRead = true) > 0,
+      "expected a merge-on-read DELETE commit")
+    val rowsDeleted = preCount - spark.table(name).count()
+    require(rowsDeleted > 0, "the DELETE must hit rows")
+    val afterDv = log.readChecksum(table.snapshot().version)
+    require(afterDv.exists(_.numDeletionVectors > 0),
+      s"crc must count deletion vectors, got $afterDv")
+    require(afterDv.exists(_.numDeletedRecords == rowsDeleted),
+      s"crc numDeletedRecords must equal the DELETE's row count $rowsDeleted, got $afterDv")
+    // tampering: a crc that PARSES but disagrees with replay must throw
+    val fs = log.checksumPathFor(head).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val target = log.checksumPathFor(head)
+    val forged = afterDv.get.copy(numFiles = afterDv.get.numFiles + 99)
+    fs.delete(target, false)
+    val out = fs.create(target, true)
+    try out.write((graft.log.VersionChecksum.toJson(forged) + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val err = try { log.verifyChecksum(head); None }
+      catch { case e: IllegalStateException => Some(e.getMessage) }
+    require(err.exists(_.contains("checksum mismatch")),
+      s"a forged crc must fail verification loudly, got $err")
+    // damage: an UNPARSEABLE crc reads as absent (advisory, not load-bearing)
+    val out2 = fs.create(target, true)
+    try out2.write("not json at all".getBytes("UTF-8")) finally out2.close()
+    require(log.readChecksum(head).isEmpty && log.verifyChecksum(head).isEmpty,
+      "a damaged crc must read as absent")
+    // backfill: delete + rewrite from replay, verification green again
+    fs.delete(target, false)
+    log.writeChecksum(head)
+    require(log.verifyChecksum(head).isDefined, "backfilled crc must verify")
+    // retention: crcs retire with their version JSONs
+    log.writeCheckpoint(table.snapshot().version)
+    require(log.cleanupExpiredLogs(retentionMs = 0L) > 0, "cleanup must act")
+    require(log.readChecksum(0L).isEmpty,
+      "crcs below the newest checkpoint must age out with their commits")
+    spark.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+      "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate_s, " +
+      s"o_orderpriority FROM $name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -2383,6 +2454,7 @@ object GwCore {
     "gw57_bloom_skipping" -> gw57BloomSkipping _,
     "gw58_log_compaction" -> gw58LogCompaction _,
     "gw59_v2_checkpoint" -> gw59V2Checkpoint _,
+    "gw60_version_checksum" -> gw60VersionChecksum _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2706,5 +2778,12 @@ object GwCore {
       """SELECT r.* FROM region r
         |JOIN (SELECT unnest(generate_series(0, 21)) % 5 AS k) c
         |  ON c.k = r.r_regionkey""".stripMargin,
+    // the full orders fixture minus the merge-on-read DELETE's rows; the
+    // crc/verification invariants are require()-pinned inside the gate
+    "gw60_version_checksum" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+        |  o_orderpriority
+        |FROM orders WHERE o_custkey % 7 <> 0""".stripMargin,
   )
 }

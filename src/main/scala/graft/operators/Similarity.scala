@@ -322,6 +322,19 @@ object Similarity {
     Pipelines.recallAtK(approx, truth)
   }
 
+  /** s20: IVF RANGE search (radius query) — all corpus neighbors of each
+    * query within a cosine threshold, probing the s03 lists. Top-k clips
+    * dense neighborhoods; the radius form is threshold-complete within
+    * the probed lists, which is what dedup/contamination sweeps want. The
+    * threshold compares ROUNDED micro-similarity, so the set boundary is
+    * integer-exact and the oracle replays it verbatim. */
+  def s20IvfRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Pipelines.ivfRangeSearch(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), minSimMicro = 250000L,
+      dim = 64, nCentroids = 16, nProbe = 8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
@@ -342,6 +355,7 @@ object Similarity {
     "s17_ivf_rebuild" -> s17IvfRebuild _,
     "s18_ivfpq_index" -> s18IvfPqIndex _,
     "s19_ann_recall" -> s19AnnRecall _,
+    "s20_ivf_range_search" -> s20IvfRangeSearch _,
   )
 
   /** s13's oracle: the s02 LSH replay with the label equality joined into
@@ -496,8 +510,11 @@ object Similarity {
   private def s15OracleSql: String =
     ivfOracleSql("vec_id >= 10 AND vec_id < 20")
 
-  private[graft] def ivfOracleSql(queryPred: String, nCentroids: Int = 16,
-      nProbe: Int = 8): String = {
+  /** Shared IVF candidate-generation CTEs (seeded centroids rendered as
+    * literals): yields `scored(q_id, n_id, cos)` for the final SELECT the
+    * top-k (s03/s14/s15) and range (s20) oracles each append. */
+  private def ivfScoredCte(queryPred: String, nCentroids: Int,
+      nProbe: Int): String = {
     val cents = Pipelines.hyperplanes(nCentroids, 64)
     def centLit(p: Array[Double]): String = p.mkString("[", ",", "]")
     val scores = (0 until nCentroids)
@@ -518,12 +535,24 @@ object Similarity {
        | WHERE n.vec_id <> p.q_id),
        |scored AS (
        | SELECT c.q_id, c.n_id, list_cosine_similarity(eq.emb, en.emb) AS cos
-       | FROM cand c JOIN e eq ON eq.vec_id = c.q_id JOIN e en ON en.vec_id = c.n_id)
+       | FROM cand c JOIN e eq ON eq.vec_id = c.q_id JOIN e en ON en.vec_id = c.n_id)""".stripMargin
+  }
+
+  private[graft] def ivfOracleSql(queryPred: String, nCentroids: Int = 16,
+      nProbe: Int = 8): String =
+    s"""${ivfScoredCte(queryPred, nCentroids, nProbe)}
        |SELECT q_id, n_id, rnk, CAST(round(1000000 * cos) AS BIGINT) AS cos_micro
        |FROM (SELECT *, row_number() OVER (
        |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
        |WHERE rnk <= 3""".stripMargin
-  }
+
+  /** s20: the same candidate generation, finished by the integer-micro
+    * threshold instead of a rank cut. */
+  private def s20OracleSql: String =
+    s"""${ivfScoredCte("vec_id < 10", 16, 8)}
+       |SELECT q_id, n_id, CAST(round(1000000 * cos) AS BIGINT) AS cos_micro
+       |FROM scored
+       |WHERE CAST(round(1000000 * cos) AS BIGINT) >= 250000""".stripMargin
 
   /** s10's oracle replays the PQ end to end with the seeded codebooks as
     * literals: per-subspace argmin codes (first index on ties, the shared
@@ -699,6 +728,7 @@ object Similarity {
     "s17_ivf_rebuild" -> ivfOracleSql("vec_id < 10", nCentroids = 8, nProbe = 4),
     "s18_ivfpq_index" -> s18OracleSql,
     "s19_ann_recall" -> s19OracleSql,
+    "s20_ivf_range_search" -> s20OracleSql,
     "s07_knn_graph" -> lshTopKOracle(""),
     "s08_mmr_topk" ->
       // Recursive replay of the greedy MMR trajectory: each recursion

@@ -322,6 +322,19 @@ object TextOps {
         col("stop_hits"), col("keep"))
   }
 
+  /** t24: DSIR importance resampling — the target distribution is the
+    * corpus's own English slice (the standard fixture shape: a trusted
+    * subset steers selection over the whole crawl). Every doc comes back
+    * with its integer-bits importance score and the resampling verdict;
+    * the oracle replays featurization, both smoothed hashed-ngram models,
+    * the bit-length log quantization, and the shifted-power-of-two coin. */
+  def t24DsirResample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Pipelines.dsirResample(d, d.filter(col("lang") === "en"),
+      col("doc_id"), col("text"), buckets = 512)
+      .select(col("__id").as("doc_id"), col("score_bits"), col("kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -346,6 +359,7 @@ object TextOps {
     "t21_unicode_normalize" -> t21UnicodeNormalize _,
     "t22_boilerplate_lines" -> t22BoilerplateLines _,
     "t23_gopher_quality" -> t23GopherQuality _,
+    "t24_dsir_resample" -> t24DsirResample _,
   )
 
   private def sqlList(lang: String): String =
@@ -775,5 +789,42 @@ object TextOps {
         |  CASE WHEN p.fill + d.tokens > 1000 THEN CAST(0 AS BIGINT) ELSE p.pack_pos + 1 END
         | FROM d JOIN p ON d.lang = p.lang AND d.rn = p.rn + 1)
         |SELECT lang, doc_id, tokens, pack_id, pack_pos FROM p""".stripMargin,
+    // full DSIR replay: unigram+bigram features into 512 md5-prefix
+    // buckets, add-one-smoothed target (lang='en') vs raw models with
+    // bit-length log2 quantization, per-doc integer score fold, and the
+    // hash < 2^(60 + score - max) resampling coin
+    "t24_dsir_resample" ->
+      """WITH f AS (
+        | SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS f
+        | FROM documents
+        | UNION ALL
+        | SELECT doc_id, lang, unnest(list_transform(
+        |   generate_series(1, len(string_split(lower(text), ' ')) - 1),
+        |   i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |        string_split(lower(text), ' ')[i+1])) AS f
+        | FROM documents),
+        |bk AS (
+        | SELECT doc_id, lang,
+        |  CAST(CONCAT('0x', substr(md5(f), 1, 15)) AS BIGINT) % 512 AS bucket
+        | FROM f),
+        |rc AS (SELECT bucket, count(*) AS rc FROM bk GROUP BY 1),
+        |tc AS (SELECT bucket, count(*) AS tc FROM bk WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(rc) FROM rc) AS rn, (SELECT sum(tc) FROM tc) AS tn),
+        |w AS (
+        | SELECT rc.bucket,
+        |  ((length(bin(CAST(coalesce(tc.tc, 0) + 1 AS BIGINT))) - 1
+        |     - (length(bin(CAST(tot.tn + 512 AS BIGINT))) - 1))
+        |   - (length(bin(CAST(rc.rc + 1 AS BIGINT))) - 1
+        |     - (length(bin(CAST(tot.rn + 512 AS BIGINT))) - 1))) AS w
+        | FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket CROSS JOIN tot),
+        |sc AS (
+        | SELECT bk.doc_id, CAST(sum(w.w) AS BIGINT) AS score_bits
+        | FROM bk JOIN w ON bk.bucket = w.bucket GROUP BY 1),
+        |mx AS (SELECT max(score_bits) AS t FROM sc)
+        |SELECT sc.doc_id, sc.score_bits,
+        |  (CAST(CONCAT('0x', substr(md5(CAST(sc.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |    < (CAST(1 AS BIGINT) << CAST(60 + greatest(sc.score_bits - mx.t, -60) AS INT)))
+        |  AS kept
+        |FROM sc CROSS JOIN mx""".stripMargin,
   )
 }

@@ -73,6 +73,44 @@ class LogSpec extends AnyFunSuite {
     intercept[Exception] { log.commitAt(1L, Seq(add)) }
   }
 
+  test("every commit writes a verifiable version checksum; tampering trips verify") {
+    val dir = Files.createTempDirectory("gwlog-crc").toString
+    val log = GwLog.forTable(new Configuration(), dir)
+    log.commit(Seq(Protocol(), Metadata("id0", new StructType().json, createdTime = 1L),
+      AddFile("a.parquet", 10, 1000),
+      CommitInfo(1L, "WRITE", "Overwrite", 1, 10, isBlindAppend = false, "t0")))
+    log.commit(Seq(AddFile("b.parquet", 25, 2000),
+      CommitInfo(2L, "WRITE", "Append", 1, 25, isBlindAppend = true, "t1")))
+    log.commit(Seq(RemoveFile("a.parquet", 10, 3000),
+      CommitInfo(3L, "WRITE", "Append", 0, 0, isBlindAppend = false, "t2")))
+    // per-version state summaries, incremental and replay-equal
+    assert(log.verifyChecksum(0L).contains(VersionChecksum(10, 1, 1, 1, 0, 0)))
+    assert(log.verifyChecksum(1L).contains(VersionChecksum(35, 2, 1, 1, 0, 0)))
+    assert(log.verifyChecksum(2L).contains(VersionChecksum(25, 1, 1, 1, 0, 0)))
+    // JSON round-trip
+    val c = log.readChecksum(1L).get
+    assert(VersionChecksum.fromJson(VersionChecksum.toJson(c)).contains(c))
+    // a parseable-but-wrong crc must throw; unparseable must read absent
+    val fs = log.checksumPathFor(2L).getFileSystem(new Configuration())
+    val out = fs.create(log.checksumPathFor(2L), true)
+    out.write(VersionChecksum.toJson(c.copy(numFiles = 99)).getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalStateException] { log.verifyChecksum(2L) }
+    assert(e.getMessage.contains("checksum mismatch"))
+    val out2 = fs.create(log.checksumPathFor(2L), true)
+    out2.write("garbage".getBytes("UTF-8")); out2.close()
+    assert(log.readChecksum(2L).isEmpty && log.verifyChecksum(2L).isEmpty)
+    // backfill restores verification
+    fs.delete(log.checksumPathFor(2L), false)
+    log.writeChecksum(2L)
+    assert(log.verifyChecksum(2L).isDefined)
+    // retention retires crcs with their version JSONs
+    log.writeCheckpoint(2L)
+    log.cleanupExpiredLogs(retentionMs = 0L)
+    assert(log.readChecksum(0L).isEmpty && log.readChecksum(1L).isEmpty)
+    assert(log.readChecksum(2L).isDefined)
+  }
+
   test("add-by-path is last-writer-wins; remove deletes") {
     val a1 = AddFile("p1", 1, 1)
     val a1b = AddFile("p1", 5, 5)
@@ -248,7 +286,7 @@ class LogSpec extends AnyFunSuite {
       log.commit(Seq(AddFile(s"f$i.parquet", 1, 1),
         CommitInfo(i, "WRITE", "Append", 1, 1, isBlindAppend = true, s"t$i")))
     assert(log.listCheckpoints() == Seq(5L))
-    assert(log.cleanupExpiredLogs(0L) == 5) // versions 0-4
+    assert(log.cleanupExpiredLogs(0L) == 10) // versions 0-4 + their crcs
     assert(log.listVersions() == (5L to 7L))
     // state reads fine through the surviving checkpoint
     assert(log.snapshot(None).files.size == 8)

@@ -710,4 +710,50 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
     assert(again == out.map { case (d, (a, b, c)) => (d, a, b, c) }.toSet)
   }
+
+  test("s20 range search: threshold-complete within probed lists, superset of top-k hits") {
+    import org.apache.spark.sql.functions.col
+    val range = Similarity.s20IvfRangeSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(range.nonEmpty, "fixture should contain in-radius pairs")
+    // every reported pair really clears the threshold
+    assert(range.forall(_._3 >= 250000L))
+    // completeness within the probed lists: every top-k (same probes)
+    // result above the threshold must appear in the range result
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val topk = graft.api.Pipelines.ivfTopK(e, e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), k = 3, dim = 64, nCentroids = 16, nProbe = 8)
+      .filter(col("cos_micro") >= 250000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rangePairs = range.map(t => (t._1, t._2)).toSet
+    assert(topk.nonEmpty && (topk -- rangePairs).isEmpty,
+      s"range search missed in-radius top-k pairs: ${topk -- rangePairs}")
+  }
+
+  test("t24 DSIR: max-score doc always kept, scores favor target-like docs, deterministic") {
+    import org.apache.spark.sql.functions.col
+    val out = TextOps.t24DsirResample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.nonEmpty)
+    val maxScore = out.map(_._2).max
+    // the resampling coin is 2^(score - max): the argmax doc is certain
+    assert(out.filter(_._2 == maxScore).forall(_._3),
+      "every max-score doc must be kept with probability 1")
+    assert(out.exists(_._3) && out.exists(!_._3),
+      "fixture should both keep and drop")
+    // target-likeness: English docs (the target slice) must score higher
+    // on average than the rest — the whole point of importance weighting
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (en, other) = out.partition(t => docs(t._1) == "en")
+    assert(en.nonEmpty && other.nonEmpty)
+    assert(en.map(_._2).sum.toDouble / en.length >
+      other.map(_._2).sum.toDouble / other.length,
+      "target-language docs must out-score the rest on average")
+    // determinism: a second run reproduces the verdicts exactly
+    val again = TextOps.t24DsirResample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(again == out.toSet)
+  }
 }
