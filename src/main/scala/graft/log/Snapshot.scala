@@ -281,6 +281,28 @@ object Snapshot {
     }
   }
 
+  /** Metadata-only column maximum across a snapshot's live files, from the
+    * harvested footer stats (micros for timestamps — gwStatsV 2 normalizes
+    * them at harvest). None unless EVERY live file carries a v2 numeric
+    * max for the column: a partial maximum would silently UNDERSTATE (the
+    * streaming watermark recovery this serves would then re-admit data it
+    * already saw as on-time). At 100 TB this is the difference between one
+    * log read and a full-table aggregation to recover a high-water mark. */
+  def statsMaxMicros(snapshot: Snapshot, column: String): Option[Long] = {
+    val maxes = snapshot.files.map { f =>
+      f.stats.flatMap { s =>
+        scala.util.Try {
+          val root = mapper.readTree(s)
+          val v = root.path("maxValues").path(column)
+          if (root.path("gwStatsV").asInt(0) >= 2 && v.isNumber)
+            Some(v.asLong()) else None
+        }.toOption.flatten
+      }
+    }
+    if (maxes.nonEmpty && maxes.forall(_.isDefined)) Some(maxes.flatten.max)
+    else None
+  }
+
   /** Typed (min, max) of `column` from a file's stats JSON, if present. */
   private[log] def statsBounds(f: AddFile, column: String): Option[(Bound, Bound)] =
     f.stats.flatMap { s =>

@@ -768,6 +768,111 @@ object StreamOps {
     t.toDF
   }
 
+  // ---------------------------------------------------------------- st15
+  /** Late-data dead-letter routing: Structured Streaming's watermark
+    * DROPS late rows silently inside stateful operators — a production
+    * ingest wants them CAPTURED instead, routed to a dead-letter table
+    * for replay/repair while on-time rows flow to the main table.
+    *
+    * The high-water mark is NOT in-memory state: it is recovered per
+    * batch as max(event time) over the MAIN table — an invariant, because
+    * a late row is by definition below the mark and so can never raise
+    * it, so the main table's maximum IS the mark. Recovery reads the
+    * log's harvested footer stats ([[graft.log.Snapshot.statsMaxMicros]]),
+    * one metadata read instead of a 100 TB aggregation, falling back to a
+    * real max() scan only when some live file lacks stats. Stateless =
+    * restart-safe: a resumed stream recomputes the same mark from the
+    * same committed table, and per-(table, batch) txn ids make both
+    * appends exactly-once — there is nothing in driver memory to lose.
+    */
+  def lateDataRoute(spark: SparkSession, srcPath: String, mainPath: String,
+      dlqPath: String, tsCol: String, delayMicros: Long, streamId: String,
+      ckptDir: String): Unit = {
+    def highMicros(s: SparkSession): Option[Long] =
+      scala.util.Try(graft.GwTable.forPath(s, mainPath).snapshot()).toOption
+        .map { snap =>
+          graft.log.Snapshot.statsMaxMicros(snap, tsCol).getOrElse {
+            val m = s.read.format("gwdelta").load(mainPath)
+            m.agg(max(EventTime.micros(m, tsCol))).head().getLong(0)
+          }
+        }
+    val q = spark.readStream.format("gwdelta")
+      .option("maxFilesPerTrigger", "1").load(srcPath)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        // replay guard, ORDER-CRITICAL: the main append goes LAST, so its
+        // txn mark covering this batch proves the whole batch routed. A
+        // crash between the two appends replays with main — and therefore
+        // the recovered mark — unchanged (same split, late deduped by its
+        // own txn); without this guard a crash AFTER the main append would
+        // replay against a mark the batch itself raised, reclassifying its
+        // own tail rows as late and duplicating them into the DLQ.
+        val done = scala.util.Try(
+          graft.GwTable.forPath(b.sparkSession, mainPath).snapshot())
+          .toOption.flatMap(_.transactions.get(s"$streamId/main")).exists(_ >= id)
+        if (!done) {
+          val cut = highMicros(b.sparkSession).map(_ - delayMicros)
+          val isLate = cut.map(c => EventTime.micros(b, tsCol) < lit(c))
+            .getOrElse(lit(false))
+          val late = b.filter(isLate)
+          val ontime = b.filter(!isLate)
+          if (!late.isEmpty)
+            GwSink.append(late, dlqPath, txnId = Some(s"$streamId/late/$id"))
+          if (!ontime.isEmpty)
+            GwSink.append(ontime, mainPath, txnId = Some(s"$streamId/main/$id"))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** st15 gate: events land in 6 single-file commits whose event-time
+    * order is deliberately SCRAMBLED (hour-bucket permutation 2,0,4,1,5,3),
+    * so the later batches carry genuinely late data. One file per trigger
+    * makes the batch sequence the commit sequence, so the whole admission
+    * fold — per-batch mark recovery included — replays exactly in SQL with
+    * the permutation as a literal. A checkpoint restart must route nothing
+    * new (exactly-once on BOTH tables). */
+  def st15LateDataDlq(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("st15")
+    val src = tmp.resolve("db/src").toString
+    val main = tmp.resolve("db/main").toString
+    val dlq = tmp.resolve("db/dlq").toString
+    val ev0 = spark.read.parquet(s"$dir/events.parquet")
+    val ev = ev0
+      .withColumn("__us", EventTime.micros(ev0, "ts"))
+      .withColumn("__b", pmod(expr("__us div 3600000000"), lit(6L)))
+      .drop("__us")
+    Seq(2L, 0L, 4L, 1L, 5L, 3L).foreach { b =>
+      ev.filter(col("__b") === b).drop("__b").coalesce(1)
+        .write.format("gwdelta").mode("append").save(src)
+    }
+    val streamId = java.util.UUID.randomUUID().toString
+    val ckpt = tmp.resolve("ckpt").toString
+    lateDataRoute(spark, src, main, dlq, "ts",
+      delayMicros = 3600000000L, streamId = streamId, ckptDir = ckpt)
+    val mainT = graft.GwTable.forPath(spark, main)
+    val dlqT = graft.GwTable.forPath(spark, dlq)
+    require(!dlqT.toDF.isEmpty, "the scrambled fixture must produce late rows")
+    val (vm, vd) = (mainT.snapshot().version, dlqT.snapshot().version)
+    // restart: same checkpoint, no new source data -> no new commits
+    lateDataRoute(spark, src, main, dlq, "ts",
+      delayMicros = 3600000000L, streamId = streamId, ckptDir = ckpt)
+    require(mainT.snapshot().version == vm && dlqT.snapshot().version == vd,
+      "a checkpoint restart with no new data must not re-commit")
+    def side(path: String, tag: String) = {
+      val t = spark.read.format("gwdelta").load(path)
+      t.select(col("user_id"), col("event_type"),
+        EventTime.micros(t, "ts").as("ts_us"),
+        round(col("value") * 100).cast("long").as("value_c"),
+        lit(tag).as("side"))
+    }
+    side(main, "main").unionAll(side(dlq, "late"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> st01WindowedCounts _,
     "st02_stream_state" -> st02StatefulSessions _,
@@ -783,6 +888,7 @@ object StreamOps {
     "st12_cdc_replicate" -> st12CdcReplicate _,
     "st13_stream_index" -> st13StreamIndexIngest _,
     "st14_backfill_admission" -> st14BackfillAdmission _,
+    "st15_late_data_dlq" -> st15LateDataDlq _,
   )
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming
@@ -849,6 +955,26 @@ object StreamOps {
     // admission slices the initial snapshot but must deliver it exactly
     "st14_backfill_admission" ->
       "SELECT * FROM nation WHERE n_nationkey < 6",
+    // full admission replay: per-batch (= per hour-bucket, permutation
+    // literal) high-water mark is the prefix max of prior batches' event
+    // times; a row is late iff it trails the mark by over the delay
+    "st15_late_data_dlq" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS value_c,
+        |  (epoch_us(ts) // 3600000000) % 6 AS b
+        | FROM events),
+        |ord AS (SELECT * FROM (VALUES (0, 2), (1, 0), (2, 4), (3, 1), (4, 5), (5, 3)) AS t(j, b)),
+        |bm AS (SELECT b, max(us) AS mx FROM e GROUP BY b),
+        |pre AS (
+        | SELECT o.b,
+        |  max(bm.mx) OVER (ORDER BY o.j
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS h
+        | FROM ord o LEFT JOIN bm ON bm.b = o.b)
+        |SELECT e.user_id, e.event_type, e.us AS ts_us, e.value_c,
+        | CASE WHEN pre.h IS NOT NULL AND e.us < pre.h - 3600000000
+        |      THEN 'late' ELSE 'main' END AS side
+        |FROM e JOIN pre ON e.b = pre.b""".stripMargin,
     "st08_stream_sketch" ->
       // Bit-exact KMV replay: same 60-bit md5-prefix user hash, exact
       // distinct below k=64, else floor(63*2^60/h_64) — identical integer

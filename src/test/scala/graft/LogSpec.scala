@@ -111,6 +111,25 @@ class LogSpec extends AnyFunSuite {
     assert(log.readChecksum(2L).isDefined)
   }
 
+  test("statsMaxMicros: metadata max only when EVERY live file carries a v2 stat") {
+    def f(path: String, stats: Option[String]) = AddFile(path, 1, 1, stats = stats)
+    def snap(files: AddFile*) = Snapshot(0, None, None, files)
+    val a = f("a", Some("""{"gwStatsV":2,"maxValues":{"ts":100}}"""))
+    val b = f("b", Some("""{"gwStatsV":2,"maxValues":{"ts":250}}"""))
+    assert(Snapshot.statsMaxMicros(snap(a, b), "ts").contains(250L))
+    // a single stat-less file forbids the metadata answer (a partial max
+    // would understate the recovered watermark)
+    assert(Snapshot.statsMaxMicros(snap(a, f("c", None)), "ts").isEmpty)
+    // v1 stats (raw millis) must not serve as micros
+    assert(Snapshot.statsMaxMicros(
+      snap(a, f("d", Some("""{"maxValues":{"ts":999}}"""))), "ts").isEmpty)
+    // column missing from one file's stats
+    assert(Snapshot.statsMaxMicros(
+      snap(a, f("e", Some("""{"gwStatsV":2,"maxValues":{"other":1}}"""))), "ts").isEmpty)
+    // empty snapshot: no files, no claim
+    assert(Snapshot.statsMaxMicros(snap(), "ts").isEmpty)
+  }
+
   test("add-by-path is last-writer-wins; remove deletes") {
     val a1 = AddFile("p1", 1, 1)
     val a1b = AddFile("p1", 5, 5)
