@@ -1242,10 +1242,19 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       }
       val meta: Seq[Action] =
         if (restatedTarget == cur.metadata) Nil else restatedTarget.toSeq
+      // metadata domains revert with the rest of the state: re-assert the
+      // target's domains where they differ, tombstone domains created
+      // since the target version (Delta RESTORE semantics)
+      val doms: Seq[Action] =
+        target.domains.toSeq.collect {
+          case (d, c) if !cur.domains.get(d).contains(c) =>
+            graft.log.DomainMetadata(d, c)
+        } ++ (cur.domains.keySet -- target.domains.keySet).toSeq.sorted.map(
+          d => graft.log.DomainMetadata(d, "", removed = true))
       val info = CommitInfo(now, "RESTORE", s"toVersion=$version",
         numFiles = adds.size, numOutputBytes = 0,
         isBlindAppend = false, txnId = java.util.UUID.randomUUID().toString)
-      meta ++ removes ++ adds :+ info
+      meta ++ doms ++ removes ++ adds :+ info
     }
   }
 
@@ -1278,10 +1287,13 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
           id = java.util.UUID.randomUUID().toString,
           schemaString = snap.schema.json, createdTime = now))
       val adds: Seq[Action] = snap.files.map(_.copy(dataChange = true))
+      // Delta spec: clones carry the source's metadata domains
+      val doms: Seq[Action] =
+        snap.domains.toSeq.map { case (d, c) => graft.log.DomainMetadata(d, c) }
       val info = CommitInfo(now, "CLONE", s"from=$tablePath@v${snap.version}",
         numFiles = snap.files.size, numOutputBytes = 0,
         isBlindAppend = true, txnId = java.util.UUID.randomUUID().toString)
-      (graft.log.Protocol(): Action) +: (meta: Action) +: adds :+ info
+      (graft.log.Protocol(): Action) +: (meta: Action) +: (doms ++ adds) :+ info
     }
   }
 
@@ -1366,11 +1378,14 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
             else v),
           stats = f.stats.map(graft.log.Bloom.remapStats(_, bloomDst)))
       }
+      // Delta spec: clones carry the source's metadata domains
+      val doms: Seq[Action] =
+        snap.domains.toSeq.map { case (d, c) => graft.log.DomainMetadata(d, c) }
       val info = CommitInfo(now, "CLONE",
         s"from=$tablePath@v${snap.version} mode=deep",
         numFiles = adds.size, numOutputBytes = copied.map(_._2._1).sum,
         isBlindAppend = true, txnId = java.util.UUID.randomUUID().toString)
-      (graft.log.Protocol(): Action) +: (meta: Action) +: adds :+ info
+      (graft.log.Protocol(): Action) +: (meta: Action) +: (doms ++ adds) :+ info
     }
   }
 
@@ -1890,6 +1905,45 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         meta.copy(configuration = conf),
         CommitInfo(System.currentTimeMillis(),
           if (set.nonEmpty) "SET TBLPROPERTIES" else "UNSET TBLPROPERTIES",
+          "Upgrade", numFiles = 0, numOutputBytes = 0, isBlindAppend = false,
+          txnId = java.util.UUID.randomUUID().toString))
+    }
+  }
+
+  /** Live metadata domains (Delta `domainMetadata`): domain name →
+    * configuration JSON, at the current snapshot. */
+  def domainMetadata: Map[String, String] = snapshot().domains
+
+  /** Set (create or overwrite) a metadata domain — Delta's `domainMetadata`
+    * writer feature: an opaque per-table configuration slot keyed by a
+    * domain name, the extension point features like clustering hang state
+    * on. One metadata-only commit; the first use upgrades the protocol
+    * with the `domainMetadata` writer feature in the SAME commit. Returns
+    * the committed version. */
+  def setDomainMetadata(domain: String, configuration: String): Long = {
+    require(domain.nonEmpty, "domain name must be non-empty")
+    graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+      Seq(
+        graft.log.DomainMetadata(domain, configuration),
+        CommitInfo(System.currentTimeMillis(), "SET DOMAIN METADATA",
+          "Upgrade", numFiles = 0, numOutputBytes = 0, isBlindAppend = false,
+          txnId = java.util.UUID.randomUUID().toString))
+    }
+  }
+
+  /** Remove a metadata domain by committing its tombstone (`removed =
+    * true`) — replaying past it can never resurrect the old configuration.
+    * Removing an absent domain fails loudly (a silent no-op would mask a
+    * misspelled domain in an operational runbook). Returns the committed
+    * version. */
+  def removeDomainMetadata(domain: String): Long = {
+    graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+      require(gwLog.snapshot(None).domains.contains(domain),
+        s"no metadata domain '$domain' on $tablePath (live domains: " +
+          s"${gwLog.snapshot(None).domains.keys.mkString(", ")})")
+      Seq(
+        graft.log.DomainMetadata(domain, "", removed = true),
+        CommitInfo(System.currentTimeMillis(), "REMOVE DOMAIN METADATA",
           "Upgrade", numFiles = 0, numOutputBytes = 0, isBlindAppend = false,
           txnId = java.util.UUID.randomUUID().toString))
     }

@@ -42,7 +42,7 @@ object Protocol {
     Set("deletionVectors", "columnMapping", "timestampNtz", "changeDataFeed",
       "checkConstraints", "generatedColumns", "identityColumns",
       "inCommitTimestamp", "appendOnly", "typeWidening",
-      "allowColumnDefaults", "rowTracking", "v2Checkpoint")
+      "allowColumnDefaults", "rowTracking", "v2Checkpoint", "domainMetadata")
   val MaxReaderVersion = 3
   val MaxWriterVersion = 7
 
@@ -174,6 +174,19 @@ final case class SetTransaction(
     version: Long,
     lastUpdated: Option[Long] = None) extends Action
 
+/** Delta's `domainMetadata` action (writer feature `domainMetadata`,
+  * PROTOCOL.md): a named metadata domain with an opaque configuration
+  * string — the extension point table features hang per-table state on
+  * (Delta's own liquid clustering keeps its column set in one). Replay is
+  * latest-per-domain wins; `removed = true` is the domain's tombstone (it
+  * erases the domain from the snapshot, and replaying past it can never
+  * resurrect the old configuration). Writer-only: readers that don't know
+  * a domain just carry it. */
+final case class DomainMetadata(
+    domain: String,
+    configuration: String,
+    removed: Boolean = false) extends Action
+
 /** Delta's `checkpointMetadata` action (v2Checkpoint reader feature): the
   * self-description a V2 checkpoint carries — it only ever appears inside
   * a checkpoint file, never a commit. */
@@ -257,6 +270,11 @@ object Actions {
         n.put("appId", appId)
         n.put("version", version)
         lastUpdated.foreach(ts => n.put("lastUpdated", ts))
+      case DomainMetadata(domain, configuration, removed) =>
+        val n = root.putObject("domainMetadata")
+        n.put("domain", domain)
+        n.put("configuration", configuration)
+        n.put("removed", removed)
       case CheckpointMetadata(version) =>
         root.putObject("checkpointMetadata").put("version", version)
       case SidecarFile(path, sizeInBytes, modificationTime) =>
@@ -353,6 +371,12 @@ object Actions {
         appId = n.get("appId").asText,
         version = n.get("version").asLong,
         lastUpdated = Option(n.get("lastUpdated")).map(_.asLong)))
+    } else if (root.has("domainMetadata")) {
+      val n = root.get("domainMetadata")
+      Some(DomainMetadata(
+        domain = n.get("domain").asText,
+        configuration = Option(n.get("configuration")).map(_.asText).getOrElse(""),
+        removed = Option(n.get("removed")).exists(_.asBoolean)))
     } else if (root.has("checkpointMetadata")) {
       Some(CheckpointMetadata(
         root.get("checkpointMetadata").get("version").asLong))

@@ -101,6 +101,11 @@ object Checkpoint {
       |    optional int64 version;
       |    optional int64 lastUpdated;
       |  }
+      |  optional group domainMetadata {
+      |    optional binary domain (UTF8);
+      |    optional binary configuration (UTF8);
+      |    optional boolean removed;
+      |  }
       |  optional group checkpointMetadata {
       |    optional int64 version;
       |  }
@@ -193,6 +198,11 @@ object Checkpoint {
           g.append("appId", appId)
           g.append("version", version)
           lastUpdated.foreach(ts => g.append("lastUpdated", ts))
+        case DomainMetadata(domain, configuration, removed) =>
+          val g = row.addGroup("domainMetadata")
+          g.append("domain", domain)
+          g.append("configuration", configuration)
+          g.append("removed", removed)
         case CheckpointMetadata(version) =>
           row.addGroup("checkpointMetadata").append("version", version)
         case SidecarFile(path, sizeInBytes, modificationTime) =>
@@ -293,6 +303,12 @@ object Checkpoint {
               if (g.getFieldRepetitionCount("lastUpdated") > 0)
                 Some(g.getLong("lastUpdated", 0))
               else None)
+        } else if (row.getFieldRepetitionCount("domainMetadata") > 0) {
+          val g = row.getGroup("domainMetadata", 0)
+          out += DomainMetadata(
+            domain = g.getString("domain", 0),
+            configuration = g.getString("configuration", 0),
+            removed = g.getBoolean("removed", 0))
         } else if (row.getFieldRepetitionCount("checkpointMetadata") > 0) {
           out += CheckpointMetadata(
             row.getGroup("checkpointMetadata", 0).getLong("version", 0))

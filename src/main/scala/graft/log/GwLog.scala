@@ -33,20 +33,57 @@ class GwLog(val tablePath: Path, conf: Configuration,
   /** Delta version-checksum naming: `<version>.crc`. */
   def checksumPathFor(version: Long): Path = new Path(logDir, f"$version%020d.crc")
 
-  /** Write `version`'s state summary ([[VersionChecksum]]) from its
-    * replayed snapshot. The replay resumes from the nearest checkpoint /
-    * compacted segment like any reader's, so the write path re-validates
-    * the exact read path every commit — which is the point. Idempotent:
-    * an existing crc (a retried commit, a concurrent reader's backfill)
-    * is left in place. */
-  def writeChecksum(version: Long): Unit = {
+  /** Write `version`'s state summary ([[VersionChecksum]]). Two paths:
+    *
+    *  - **Incremental** (the hot path): a BLIND append's AddFile paths are
+    *    fresh by construction (the engine stages every append under a
+    *    UUID directory), so when the previous version's crc exists the new
+    *    one is prev + this commit's adds — one small-object read, zero
+    *    replay. Guarded strictly: any remove, any DV-carrying or
+    *    non-dataChange add, or a non-blind CommitInfo falls through (those
+    *    commits can re-assert live paths, which incremental accounting
+    *    would double-count).
+    *  - **Replay**: everything else recomputes from `snapshot(version)` —
+    *    which resumes from the nearest checkpoint/compacted segment like
+    *    any reader's, so the non-append write paths re-validate the exact
+    *    read path as they go.
+    *
+    * Without the incremental path a busy table pays O(checkpoint-interval)
+    * log reads per commit just for its own summary — at object-store
+    * latency that doubles commit round trips. Idempotent: an existing crc
+    * (a retried commit, a reader's backfill) is left in place. */
+  def writeChecksum(version: Long, committed: Option[Seq[Action]] = None): Unit = {
     val f = fs
     val target = checksumPathFor(version)
     if (f.exists(target)) return
-    val line = VersionChecksum.toJson(VersionChecksum.of(snapshot(Some(version))))
+    val crc = incrementalChecksum(version, committed)
+      .getOrElse(VersionChecksum.of(snapshot(Some(version))))
+    val line = VersionChecksum.toJson(crc)
     val out = f.create(target, false)
     try out.write((line + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** prev crc + this commit's actions, ONLY when the commit is provably a
+    * blind append of fresh paths (see [[writeChecksum]]). */
+  private def incrementalChecksum(version: Long,
+      committed: Option[Seq[Action]]): Option[VersionChecksum] = {
+    if (version == 0) return None
+    val actions = committed.getOrElse(readVersion(version))
+    val blind = actions.collectFirst { case ci: CommitInfo => ci.isBlindAppend }
+      .getOrElse(false)
+    val adds = actions.collect { case a: AddFile => a }
+    val safe = blind && adds.nonEmpty &&
+      adds.forall(a => a.dataChange && a.dv.isEmpty) &&
+      !actions.exists(_.isInstanceOf[RemoveFile]) &&
+      !actions.exists(_.isInstanceOf[Metadata]) &&
+      !actions.exists(_.isInstanceOf[Protocol])
+    if (!safe) return None
+    readChecksum(version - 1).map { prev =>
+      prev.copy(
+        tableSizeBytes = prev.tableSizeBytes + adds.map(_.size).sum,
+        numFiles = prev.numFiles + adds.size)
+    }
   }
 
   /** The stored checksum at `version` — None when absent OR unparseable
@@ -248,14 +285,14 @@ class GwLog(val tablePath: Path, conf: Configuration,
     * replaying every version JSON (see [[Checkpoint]]). */
   def commit(actions: Seq[Action]): Long = {
     val version = latestVersion().map(_ + 1).getOrElse(0L)
-    commitAt(version,
-      stampInCommitTimestamp(version,
-        upgradeProtocol(version, assignRowIds(version, actions))))
+    val stamped = stampInCommitTimestamp(version,
+      upgradeProtocol(version, assignRowIds(version, actions)))
+    commitAt(version, stamped)
     // version checksum (Delta `<version>.crc`): a best-effort state
-    // summary of the post-commit replay — see [[VersionChecksum]]. The
+    // summary of the post-commit state — see [[VersionChecksum]]. The
     // version JSON above IS the committed truth, so a failed crc write
     // must never fail the commit.
-    try writeChecksum(version)
+    try writeChecksum(version, Some(stamped))
     catch { case scala.util.control.NonFatal(_) => () }
     if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0) {
       // checkpoints are a read optimization: the version JSON above IS the
@@ -354,6 +391,8 @@ class GwLog(val tablePath: Path, conf: Configuration,
       case a: AddFile if a.dv.isDefined =>
         rf += "deletionVectors"; wf += "deletionVectors"
       case _: CdcFile => wf += "changeDataFeed"
+      // writer-only (Delta spec): an unaware reader just carries domains
+      case _: DomainMetadata => wf += "domainMetadata"
       case m: Metadata =>
         val conf = m.configuration
         def on(base: String) = Seq(s"graft.$base", s"delta.$base")
@@ -458,6 +497,7 @@ class GwLog(val tablePath: Path, conf: Configuration,
     val actions: Seq[Action] =
       snap.protocol.toSeq ++ snap.metadata.toSeq ++
         snap.transactions.toSeq.map { case (app, v) => SetTransaction(app, v) } ++
+        snap.domains.toSeq.map { case (d, c) => DomainMetadata(d, c) } ++
         snap.files ++
         snap.tombstones.filter(_.deletionTimestamp >= tombstoneFloor)
     // Delta multi-part checkpoints: above `graft.checkpoint.partSize`
@@ -483,7 +523,8 @@ class GwLog(val tablePath: Path, conf: Configuration,
     val partsField =
       if (v2Policy) {
         val header = snap.protocol.toSeq ++ snap.metadata.toSeq ++
-          snap.transactions.toSeq.map { case (app, v) => SetTransaction(app, v) }
+          snap.transactions.toSeq.map { case (app, v) => SetTransaction(app, v) } ++
+          snap.domains.toSeq.map { case (d, c) => DomainMetadata(d, c) }
         val fileActions = actions.drop(header.size)
         fs.mkdirs(sidecarDir)
         val refs = fileActions.grouped(math.max(1, math.min(partSize,

@@ -20,7 +20,11 @@ final case class Snapshot(
     transactions: Map[String, Long] = Map.empty,
     // latest remove tombstone per still-gone path (checkpointed within
     // retention so vacuum semantics survive a future log cleanup)
-    tombstones: Seq[RemoveFile] = Nil) {
+    tombstones: Seq[RemoveFile] = Nil,
+    // live metadata domains (Delta domainMetadata): domain -> configuration;
+    // removed domains are absent (the checkpoint stores the replayed live
+    // set, so a resume can never resurrect a removed domain)
+    domains: Map[String, String] = Map.empty) {
 
   def schema: StructType =
     metadata
@@ -330,6 +334,7 @@ object Snapshot {
     // Delta spec (vacuum safety / exactly-once past a checkpoint)
     val gone = scala.collection.mutable.LinkedHashMap.empty[String, RemoveFile]
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val doms = scala.collection.mutable.LinkedHashMap.empty[String, String]
     versions.foreach { actions =>
       actions.foreach {
         case p: Protocol => protocol = Some(p)
@@ -338,6 +343,8 @@ object Snapshot {
         case r: RemoveFile => live.remove(r.path); gone(r.path) = r
         case t: SetTransaction =>
           if (txns.get(t.appId).forall(_ <= t.version)) txns(t.appId) = t.version
+        case d: DomainMetadata =>
+          if (d.removed) doms.remove(d.domain) else doms(d.domain) = d.configuration
         case _: CommitInfo => ()
         // change-data files are commit-scoped metadata for the CDF readers,
         // never table state (Delta spec: cdc actions don't affect snapshots)
@@ -349,6 +356,7 @@ object Snapshot {
       }
     }
     Snapshot(version, protocol, metadata, live.values.toSeq,
-      transactions = txns.toMap, tombstones = gone.values.toSeq)
+      transactions = txns.toMap, tombstones = gone.values.toSeq,
+      domains = doms.toMap)
   }
 }

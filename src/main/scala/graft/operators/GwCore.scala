@@ -2394,6 +2394,73 @@ object GwCore {
       s"o_orderpriority FROM $name")
   }
 
+  // ---------------------------------------------------------------- gw61
+  /** Domain metadata (Delta `domainMetadata` writer feature): named,
+    * opaque per-table configuration domains in the log — the extension
+    * point features like liquid clustering hang state on. Pinned: first
+    * use upgrades the protocol (writer-only, same commit); latest-per-
+    * domain wins; removal tombstones erase and never resurrect across a
+    * checkpoint resume; time travel sees historical configurations;
+    * clones carry domains; RESTORE reverts them (re-asserting removed
+    * ones, tombstoning ones created since). */
+  def gw61DomainMetadata(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw61")
+    val loc = tmp.resolve("db/region").toString
+    val region = spark.read.parquet(s"$dir/region.parquet")
+    graft.streaming.GwSink.append(region.coalesce(1), loc)
+    val t = GwTable.forPath(spark, loc)
+    require(t.snapshot().protocol.forall(
+      _.writerFeatures.forall(!_.contains("domainMetadata"))),
+      "a fresh table must not declare the feature")
+    val vSet = t.setDomainMetadata("graft.clustering", """{"cols":["r_regionkey"]}""")
+    val p = t.snapshot().protocol.getOrElse(graft.log.Protocol())
+    require(p.writerFeatures.exists(_.contains("domainMetadata")) &&
+      p.readerFeatures.forall(!_.contains("domainMetadata")),
+      s"first use must add the WRITER-only feature in the same commit, got $p")
+    require(t.domainMetadata ==
+      Map("graft.clustering" -> """{"cols":["r_regionkey"]}"""),
+      s"domain must be live, got ${t.domainMetadata}")
+    // latest wins; a second domain coexists
+    t.setDomainMetadata("graft.clustering", """{"cols":["r_name"]}""")
+    t.setDomainMetadata("graft.retention", """{"days":30}""")
+    require(t.domainMetadata("graft.clustering") == """{"cols":["r_name"]}""",
+      "latest configuration must win")
+    // time travel sees the historical configuration
+    require(t.snapshot(Some(vSet)).domains("graft.clustering") ==
+      """{"cols":["r_regionkey"]}""", "time travel must see the old config")
+    // clones carry domains
+    val cloneLoc = tmp.resolve("db/clone").toString
+    t.cloneTo(cloneLoc)
+    require(GwTable.forPath(spark, cloneLoc).domainMetadata == t.domainMetadata,
+      "a clone must carry the source's domains")
+    // removal: tombstoned, loud on a second attempt
+    val vPreRemove = t.snapshot().version
+    t.removeDomainMetadata("graft.retention")
+    require(t.domainMetadata.keySet == Set("graft.clustering"),
+      "a removed domain must leave the snapshot")
+    val dup = try { t.removeDomainMetadata("graft.retention"); None }
+      catch { case e: IllegalArgumentException => Some(e.getMessage) }
+    require(dup.exists(_.contains("no metadata domain")),
+      s"removing an absent domain must fail loudly, got $dup")
+    // RESTORE reverts domains: the removed domain comes back
+    t.restore(vPreRemove)
+    require(t.domainMetadata.keySet == Set("graft.clustering", "graft.retention"),
+      s"RESTORE must re-assert the removed domain, got ${t.domainMetadata}")
+    // checkpoint + cleanup: domains survive the resume, and a domain
+    // removed before the checkpoint never resurrects (the checkpoint
+    // stores the replayed LIVE set)
+    t.removeDomainMetadata("graft.retention")
+    t.log.writeCheckpoint(t.snapshot().version)
+    require(t.cleanupMetadata(retentionMs = 0L) > 0, "cleanup must act")
+    val fresh = new graft.log.GwLog(
+      new org.apache.hadoop.fs.Path(loc), spark.sparkContext.hadoopConfiguration)
+    require(fresh.snapshot().domains == Map(
+      "graft.clustering" -> """{"cols":["r_name"]}"""),
+      s"checkpoint resume must serve live domains only, got ${fresh.snapshot().domains}")
+    t.toDF.select(col("r_regionkey"), col("r_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -2455,6 +2522,7 @@ object GwCore {
     "gw58_log_compaction" -> gw58LogCompaction _,
     "gw59_v2_checkpoint" -> gw59V2Checkpoint _,
     "gw60_version_checksum" -> gw60VersionChecksum _,
+    "gw61_domain_metadata" -> gw61DomainMetadata _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2785,5 +2853,10 @@ object GwCore {
         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
         |  o_orderpriority
         |FROM orders WHERE o_custkey % 7 <> 0""".stripMargin,
+    // the region fixture unchanged end to end — every domain-metadata
+    // invariant (feature upgrade, latest-wins, tombstones, checkpoint
+    // survival, clone carry, RESTORE revert) is require()-pinned in-gate
+    "gw61_domain_metadata" ->
+      "SELECT r_regionkey, r_name FROM region",
   )
 }

@@ -17,7 +17,10 @@ import org.scalatest.funsuite.AnyFunSuite
  * adds carrying partitionValues + stats + row-tracking fields + an inline
  * deletion vector, remove with `extendedFileMetadata`, `cdc`, `txn` with
  * `lastUpdated`, commitInfo with STRING-typed operationMetrics /
- * `engineInfo` / `userMetadata`, and an unknown `domainMetadata` action.
+ * `engineInfo` / `userMetadata`, a foreign-written `domainMetadata`
+ * action (parsed typed since the engine implements the feature), and a
+ * fabricated `futureCompactionHint` action no engine knows (the
+ * forward-compat skip case).
  *
  * This is the offline stand-in for foreign-reader interop (no delta jar
  * in the environment): the engine's reader must accept logs a FOREIGN
@@ -38,11 +41,15 @@ class LogConformanceSpec extends AnyFunSuite {
 
   test("every spec action parses; unknown action types skip (forward compat)") {
     val parsed = fixtureLines.flatMap(_._2).map(l => l -> Actions.fromJson(l))
-    // exactly one line is an unknown action (domainMetadata) — None, not a crash
+    // exactly one line is an unknown action (futureCompactionHint) —
+    // None, not a crash; the foreign domainMetadata parses TYPED
     val unknown = parsed.filter(_._2.isEmpty)
-    assert(unknown.map(_._1).forall(_.contains("domainMetadata")),
-      s"only domainMetadata may be unknown: ${unknown.map(_._1)}")
+    assert(unknown.map(_._1).forall(_.contains("futureCompactionHint")),
+      s"only futureCompactionHint may be unknown: ${unknown.map(_._1)}")
     assert(unknown.size == 1)
+    assert(parsed.exists(_._2.exists(_ ==
+      DomainMetadata("delta.clustering", """{"clusteringColumns":[]}"""))),
+      "the foreign domainMetadata must parse typed")
     // every parsed action semantically round-trips through OUR writer
     // (byte order may differ — field order is the foreign writer's)
     parsed.collect { case (_, Some(a)) =>
@@ -107,9 +114,12 @@ class LogConformanceSpec extends AnyFunSuite {
     assert(dvFile.dv.isDefined, "DV'd add must replace the plain add")
     assert(s1.transactions == Map("stream-app-1" -> 7L))
     assert(!s1.files.exists(_.path.startsWith("_change_data/")))
-    // v2: remove tombstones p=b; the unknown domainMetadata changes nothing
+    // v2: remove tombstones p=b; the foreign domainMetadata lands as a
+    // live domain; the unknown futureCompactionHint changes nothing
     val s2 = log.snapshot(None)
     assert(s2.version == 2L)
+    assert(s2.domains ==
+      Map("delta.clustering" -> """{"clusteringColumns":[]}"""))
     assert(s2.files.map(_.path) == Seq("p=a/part-00000-aaaa.c000.snappy.parquet"))
     assert(s2.tombstones.map(_.path) ==
       Seq("p=b/part-00001-bbbb.c000.snappy.parquet"))
@@ -158,11 +168,14 @@ class LogConformanceSpec extends AnyFunSuite {
 
   test("combo: ICT + rowTracking + cdc co-occurring parse and replay to spec state") {
     val (_, log, _) = materializeCombo()
-    // every line parses except the one domainMetadata (forward-compat skip)
+    // every line parses, the domainMetadata typed (the engine implements
+    // the feature) and landing as a live domain
     val parsed = comboLines.flatMap(_._2).map(l => l -> Actions.fromJson(l))
-    assert(parsed.count(_._2.isEmpty) == 1 &&
-      parsed.filter(_._2.isEmpty).forall(_._1.contains("domainMetadata")))
+    assert(parsed.forall(_._2.isDefined),
+      s"unparsed: ${parsed.filter(_._2.isEmpty).map(_._1)}")
     val s = log.snapshot(None)
+    assert(s.domains ==
+      Map("delta.rowTracking" -> """{"rowIdHighWaterMark":3}"""))
     // live files after the CDC UPDATE rewrite + append: the rewrite's add
     // REPLACED part-00000 and minted fresh row ids; survivors keep theirs
     assert(s.files.map(f => (f.path, f.baseRowId, f.defaultRowCommitVersion))
@@ -196,12 +209,12 @@ class LogConformanceSpec extends AnyFunSuite {
   test("combo: multi-part checkpoint round-trips the full feature state") {
     val (_, log0, conf) = materializeCombo()
     val before = log0.snapshot(None)
-    // force parts: 6 checkpointable actions (protocol, metadata, 3 adds,
-    // txn; the 2023-dated tombstone ages OUT per the spec's retention) at
-    // 2 actions/part = 3 parts
+    // force parts: 7 checkpointable actions (protocol, metadata, txn, the
+    // rowTracking domainMetadata, 3 adds; the 2023-dated tombstone ages
+    // OUT per the spec's retention) at 2 actions/part = 4 parts
     conf.setInt("graft.checkpoint.partSize", 2)
     log0.writeCheckpoint(2L)
-    val parts = (1 to 3).map(p => log0.checkpointPartPathFor(2L, p, 3))
+    val parts = (1 to 4).map(p => log0.checkpointPartPathFor(2L, p, 4))
     parts.foreach(p => assert(
       new java.io.File(p.toUri.getPath).exists, s"missing part $p"))
     assert(!new java.io.File(
@@ -233,6 +246,8 @@ class LogConformanceSpec extends AnyFunSuite {
     assert(resumed.transactions == before.transactions)
     assert(resumed.metadata.map(_.configuration) == before.metadata.map(_.configuration))
     assert(resumed.protocol == before.protocol)
+    assert(resumed.domains == before.domains && resumed.domains.nonEmpty,
+      "live domains must survive the multi-part transcription")
     // expired tombstone dropped at checkpoint time (spec retention)
     assert(before.tombstones.nonEmpty && resumed.tombstones.isEmpty)
     // file-skipping still prunes from checkpoint-borne stats

@@ -111,6 +111,26 @@ class LogSpec extends AnyFunSuite {
     assert(log.readChecksum(2L).isDefined)
   }
 
+  test("domainMetadata: wire roundtrip, latest-wins replay, tombstones, checkpoint carry") {
+    val d = DomainMetadata("graft.clustering", """{"cols":["a"]}""")
+    assert(Actions.fromJson(Actions.toJson(d)).contains(d))
+    val rm = DomainMetadata("graft.clustering", "", removed = true)
+    assert(Actions.fromJson(Actions.toJson(rm)).contains(rm))
+    val snap = Snapshot.replay(2, Seq(
+      Seq(DomainMetadata("a", "1"), DomainMetadata("b", "1")),
+      Seq(DomainMetadata("a", "2")),
+      Seq(DomainMetadata("b", "", removed = true))))
+    assert(snap.domains == Map("a" -> "2"))
+    // a tombstone for a never-set domain is inert
+    assert(Snapshot.replay(0,
+      Seq(Seq(DomainMetadata("x", "", removed = true)))).domains.isEmpty)
+    val conf = new Configuration()
+    val dir = Files.createTempDirectory("gwlog-dm")
+    val target = new org.apache.hadoop.fs.Path(dir.toString, "cp.parquet")
+    Checkpoint.write(target, conf, Seq(d))
+    assert(Checkpoint.read(target, conf) == Seq(d))
+  }
+
   test("statsMaxMicros: metadata max only when EVERY live file carries a v2 stat") {
     def f(path: String, stats: Option[String]) = AddFile(path, 1, 1, stats = stats)
     def snap(files: AddFile*) = Snapshot(0, None, None, files)
@@ -235,6 +255,10 @@ class LogSpec extends AnyFunSuite {
       "txn.appId" -> "BINARY",
       "txn.version" -> "INT64",
       "txn.lastUpdated" -> "INT64",
+      // domainMetadata (Delta spec): named opaque configuration domains
+      "domainMetadata.domain" -> "BINARY",
+      "domainMetadata.configuration" -> "BINARY",
+      "domainMetadata.removed" -> "BOOLEAN",
       // v2Checkpoint (Delta spec): the manifest's self-description and its
       // sidecar references
       "checkpointMetadata.version" -> "INT64",
