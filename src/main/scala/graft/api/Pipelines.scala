@@ -1033,13 +1033,18 @@ object Pipelines {
   def dsirResample(raw: DataFrame, target: DataFrame, id: Column,
       text: Column, buckets: Int = 512): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // featurization is a pure per-row generator — the token array zips
+    // with its own tail for bigrams, so no window, NO SHUFFLE (the
+    // posexplode+lead formulation would shuffle the corpus doc-keyed
+    // twice, once per model pass)
     def feats(df: DataFrame): DataFrame = {
-      val byDoc = Window.partitionBy("__id").orderBy("pos")
-      val toks = df.select(id.as("__id"), posexplode(split(lower(text), " ")))
-        .withColumn("w2", lead("col", 1).over(byDoc))
-      toks.select(col("__id"), col("col").as("f"))
-        .unionAll(toks.filter(col("w2").isNotNull)
-          .select(col("__id"), concat_ws(" ", col("col"), col("w2")).as("f")))
+      val w = split(lower(text), " ")
+      val bigrams = transform(
+        sequence(lit(0), greatest(size(w) - 2, lit(-1))).cast("array<int>"),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2)))
+      df.select(id.as("__id"),
+        explode(concat(w, when(size(w) >= 2, bigrams)
+          .otherwise(array().cast("array<string>")))).as("f"))
         .select(col("__id"),
           pmod(graft.functions.KmvDistinctAgg.hash60(col("f")),
             lit(buckets.toLong)).as("bucket"))

@@ -160,4 +160,31 @@ object LogPropertySpec extends Properties("graft.log") {
             direct.tombstones.map(_.path).toSet &&
           via.transactions == direct.transactions
     }
+
+  property("every commit's crc equals the replayed state (incremental = replay)") =
+    forAll(genCommits) { commits =>
+      val dir = java.nio.file.Files.createTempDirectory("gwlog-crcprop").toString
+      val log = graft.log.GwLog.forTable(
+        new org.apache.hadoop.conf.Configuration(), dir)
+      commits.zipWithIndex.foreach { case (ops, v) =>
+        // a BLIND append's paths are fresh by the engine's append
+        // invariant (UUID staging) — the incremental crc path relies on
+        // it; mixed/removing commits reuse paths and take the replay path
+        val blind = ops.forall(_.isInstanceOf[Add])
+        val acts =
+          if (blind) (if (v == 0) Seq(meta) else Nil) ++
+            ops.zipWithIndex.map { case (Add(_, s), i) =>
+              AddFile(s"fresh-$v-$i.parquet", s, 0L)
+            case _ => throw new MatchError("unreachable")
+            }
+          else actionsFor(ops, v == 0)
+        log.commit(acts :+ graft.log.CommitInfo(v.toLong, "WRITE",
+          if (blind) "Append" else "Mixed", ops.size.toLong, 0L,
+          isBlindAppend = blind, s"t$v"))
+      }
+      commits.indices.forall { v =>
+        log.readChecksum(v.toLong).contains(
+          graft.log.VersionChecksum.of(log.snapshot(Some(v.toLong))))
+      }
+    }
 }
