@@ -873,6 +873,111 @@ object StreamOps {
     side(main, "main").unionAll(side(dlq, "late"))
   }
 
+  // ---------------------------------------------------------------- st16
+  /**
+   * STREAMING AS-OF JOIN — the streaming counterpart of the batch as-of
+   * join (q17), which Spark has no native operator for: enrich each fact
+   * row with the most recent dimension row at-or-before its event time,
+   * per key (trades against the prevailing quote, events against the
+   * user's profile version that was live at the time).
+   *
+   * Shape: both sides union into ONE keyed stream (side-tagged), so one
+   * watermark governs completeness for both. Per key, a
+   * flatMapGroupsWithState buffer holds pending facts and the dimension
+   * versions; a fact emits ONLY once the watermark passes its event time
+   * — at that point every dimension at-or-before it has either arrived
+   * or is provably late — joined to the greatest (us, seq) dimension at
+   * or before it, NULL when none exists. Ties break on the total order
+   * (us, seq), so the answer is deterministic under any arrival order.
+   *
+   * State is watermark-bounded, the 100 TB requirement: pending facts
+   * live only inside the delay window, and dimensions COMPACT to the
+   * versions at-or-after the watermark plus the single latest older one
+   * (any older version can never again be the as-of answer for a
+   * still-admissible fact). Emission happens on normal invocations AND
+   * on event-time timers, so quiet keys still flush as the watermark
+   * advances.
+   *
+   * Input contract: (key, us, vc, seq, side) + a watermarked
+   * `event_time`; side 0 = dimension, 1 = fact, anything else ignored
+   * (flush sentinels ride through without touching state). Output:
+   * (key, fact_us, fact_c, seq, dim_c nullable).
+   */
+  def streamingAsOfJoin(tagged: org.apache.spark.sql.Dataset[
+      (Long, Long, Long, Long, Int, java.sql.Timestamp)]):
+      org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Option[Long])] = {
+    import tagged.sparkSession.implicits._
+    tagged
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        // state = (dimension versions, pending facts), each (us, vc, seq)
+        (key: Long, rows: Iterator[(Long, Long, Long, Long, Int, java.sql.Timestamp)],
+         state: GroupState[(Seq[(Long, Long, Long)], Seq[(Long, Long, Long)])]) =>
+          val (dims0, facts0) = state.getOption.getOrElse((Nil, Nil))
+          var dims = dims0
+          var facts = facts0
+          rows.foreach {
+            case (_, us, vc, seq, 0, _) => dims = dims :+ ((us, vc, seq))
+            case (_, us, vc, seq, 1, _) => facts = facts :+ ((us, vc, seq))
+            case _ => () // sentinel / unknown side: watermark fuel only
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = facts.partition(_._1 < wmUs)
+          val out = ready.map { case (fus, fvc, fseq) =>
+            val best = dims.filter(_._1 <= fus) match {
+              case Nil => None
+              case ds => Some(ds.maxBy(d => (d._1, d._3))._2)
+            }
+            (key, fus, fvc, fseq, best)
+          }
+          // compact: versions >= watermark stay; of the older ones only
+          // the latest can still win for any future (>= watermark) fact
+          val (fresh, old) = dims.partition(_._1 >= wmUs)
+          val kept = fresh ++ (old match {
+            case Nil => Nil
+            case ds => Seq(ds.maxBy(d => (d._1, d._3)))
+          })
+          if (kept.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update((kept, pending))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          }
+          out.iterator
+      }
+  }
+
+  /** st16 gate: the events table splits by `event_id % 3` into a
+    * dimension stream (quotes) and a fact stream (trades), both keyed by
+    * user; a far-future sentinel drains the watermark so every fact
+    * flushes. Oracle = the batch as-of join (a correlated greatest-at-
+    * or-before lookup with the identical (us, seq) tiebreak). */
+  def st16StreamingAsofJoin(spark: SparkSession, dir: String): DataFrame = withRocksDb(spark) {
+    import spark.implicits._
+    val name = nextName()
+    val src = withEventTime(eventStream(spark, dir, withSentinel = true))
+      .withWatermark("event_time", "1 hour")
+    // the watermarked event_time column rides in the typed view: the
+    // analyzer requires it present for EventTimeTimeout (st03 note)
+    val tagged = src
+      .select(col("user_id"), EventTime.micros(src).as("us"),
+        round(col("value") * 100).cast("long").as("vc"), col("event_id"),
+        when(col("event_type") === SentinelType, lit(2))
+          .when(col("event_id") % 3 === 0, lit(0)).otherwise(lit(1)).as("side"),
+        col("event_time"))
+      .as[(Long, Long, Long, Long, Int, java.sql.Timestamp)]
+    val q = streamingAsOfJoin(tagged)
+      .toDF("user_id", "fact_us", "fact_c", "event_id", "dim_c")
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> st01WindowedCounts _,
     "st02_stream_state" -> st02StatefulSessions _,
@@ -889,6 +994,7 @@ object StreamOps {
     "st13_stream_index" -> st13StreamIndexIngest _,
     "st14_backfill_admission" -> st14BackfillAdmission _,
     "st15_late_data_dlq" -> st15LateDataDlq _,
+    "st16_streaming_asof_join" -> st16StreamingAsofJoin _,
   )
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming
@@ -975,6 +1081,18 @@ object StreamOps {
         | CASE WHEN pre.h IS NOT NULL AND e.us < pre.h - 3600000000
         |      THEN 'late' ELSE 'main' END AS side
         |FROM e JOIN pre ON e.b = pre.b""".stripMargin,
+    // batch as-of replay: greatest (us, event_id) dimension at or before
+    // each fact, per user — the identical tiebreak the state fold applies
+    "st16_streaming_asof_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS vc, event_id FROM events),
+        |d AS (SELECT * FROM e WHERE event_id % 3 = 0),
+        |f AS (SELECT * FROM e WHERE event_id % 3 <> 0)
+        |SELECT f.user_id, f.us AS fact_us, f.vc AS fact_c, f.event_id,
+        | (SELECT d.vc FROM d
+        |  WHERE d.user_id = f.user_id AND d.us <= f.us
+        |  ORDER BY d.us DESC, d.event_id DESC LIMIT 1) AS dim_c
+        |FROM f""".stripMargin,
     "st08_stream_sketch" ->
       // Bit-exact KMV replay: same 60-bit md5-prefix user hash, exact
       // distinct below k=64, else floor(63*2^60/h_64) — identical integer
