@@ -167,6 +167,26 @@ object Dedup {
       col("vec_id"), col("embedding"), dim = 64, nCentroids = 16,
       threshold = 0.35)
 
+  /** d18: FUZZY dedup end to end — the 100 TB default lifecycle composed:
+    * MinHash+LSH banded candidates (d02's generator, subquadratic — the
+    * corpus never all-pairs), exact-Jaccard verification, connected
+    * components over the verified pairs, canonical keep (min doc_id per
+    * cluster plus every unpaired doc). d10 is the same lifecycle over
+    * exact pairs; this is the shape that actually runs at scale. The
+    * oracle replays the exact all-pairs form — valid because LSH recall
+    * is 1.0 at this threshold on the fixtures (the d02 equivalence,
+    * verified at sf0.001 and sf0.01) — then the identical component
+    * recurrence and keep rule. */
+  def d18FuzzyDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = Pipelines.minHashDedupPairs(d, col("doc_id"), col("text"),
+      numPerm = 32, bands = 8, threshold = 0.5)
+    val comps = Pipelines.connectedComponents(pairs, col("doc_a"), col("doc_b"))
+    d.join(comps, d("doc_id") === comps("node"), "left")
+      .filter(col("node").isNull || col("component") === col("doc_id"))
+      .select(d("doc_id"), d("lang"), d("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_dedup_exact" -> d01ExactDedup _,
     "d02_dedup_minhash_lsh" -> d02MinHashLsh _,
@@ -185,6 +205,7 @@ object Dedup {
     "d15_cdc_chunks" -> d15CdcChunks _,
     "d16_semdedup_clusters" -> d16SemDedupClusters _,
     "d17_semantic_decontamination" -> d17SemanticDecontamination _,
+    "d18_fuzzy_dedup_apply" -> d18FuzzyDedupApply _,
   )
 
   // shared SQL pieces so the d04 and d08 oracles cannot silently diverge
@@ -284,6 +305,27 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         | count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // the d02 exact-equivalence pairs (LSH recall 1.0 at >= 500 permille
+    // on the fixtures) through the d08 component recurrence, then the
+    // canonical keep: unpaired docs survive, paired ones keep min doc_id
+    "d18_fuzzy_dedup_apply" ->
+      s"""WITH RECURSIVE $ShingleCte,
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM s a JOIN s b ON a.doc_id < b.doc_id
+        | WHERE $JaccExpr >= 500),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach(node, label) AS (
+        | SELECT node, node FROM nodes
+        | UNION
+        | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+        |comp AS (SELECT node AS doc_id, min(label) AS component
+        |         FROM reach GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        |WHERE c.doc_id IS NULL OR c.component = d.doc_id""".stripMargin,
     "d07_dedup_apply" ->
       """SELECT doc_id, lang, n_chars FROM (
         | SELECT doc_id, lang, n_chars,
