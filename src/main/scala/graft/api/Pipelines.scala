@@ -542,6 +542,30 @@ object Pipelines {
   }
 
   /**
+   * Memorization-exposure scoring: per-document share of characters
+   * covered by corpus-duplicated windows — the document-level risk
+   * metric over [[substringDedupSpans]]'s machinery (Lee et al. 2022
+   * measure near-duplicate text by duplicated-substring coverage; a doc
+   * mostly covered by spans that recur elsewhere is memorization fuel
+   * and weights a training mix down or out). Integer permille so the
+   * metric is engine-exact. Adds one doc-keyed partial-agg fold over the
+   * span rows (metadata-scale next to the corpus) on top of the span
+   * computation's own cost. Returns (__id, n_chars_t, dup_chars,
+   * dup_permille) for EVERY doc — uncontaminated docs score 0.
+   */
+  def memorizationExposure(df: DataFrame, id: Column, text: Column,
+      L: Int = 40): DataFrame = {
+    val spans = substringDedupSpans(df, id, text, L)
+      .groupBy(col("id").as("__id")).agg(sum("span_len").as("dup_chars"))
+    df.select(id.as("__id"), length(text).cast("long").as("n_chars_t"))
+      .join(spans, Seq("__id"), "left")
+      .select(col("__id"), col("n_chars_t"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .withColumn("dup_permille",
+        expr("dup_chars * 1000 div greatest(n_chars_t, 1)"))
+  }
+
+  /**
    * Content-defined chunking dedup (the CDC/FastCDC storage-dedup family,
    * Muthitacharoen et al. 2001 LBFS): chunk boundaries are placed where a
    * rolling window's hash satisfies `h % divisor == 0` — boundaries

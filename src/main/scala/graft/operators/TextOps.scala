@@ -335,6 +335,13 @@ object TextOps {
       .select(col("__id").as("doc_id"), col("score_bits"), col("kept"))
   }
 
+  /** t25: memorization exposure — per-doc permille of characters covered
+    * by corpus-duplicated 40-char windows, the doc-level risk score over
+    * the d13 span machinery; oracle replays spans + the integer fold. */
+  def t25MemorizationExposure(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.memorizationExposure(docs(spark, dir), col("doc_id"), col("text"), L = 40)
+      .withColumnRenamed("__id", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -360,6 +367,7 @@ object TextOps {
     "t22_boilerplate_lines" -> t22BoilerplateLines _,
     "t23_gopher_quality" -> t23GopherQuality _,
     "t24_dsir_resample" -> t24DsirResample _,
+    "t25_memorization_exposure" -> t25MemorizationExposure _,
   )
 
   private def sqlList(lang: String): String =
@@ -826,5 +834,31 @@ object TextOps {
         |    < (CAST(1 AS BIGINT) << CAST(60 + greatest(sc.score_bits - mx.t, -60) AS INT)))
         |  AS kept
         |FROM sc CROSS JOIN mx""".stripMargin,
+    // the d13 span replay (same windows, hash, islands) + the per-doc
+    // integer coverage fold; docs without spans score 0
+    "t25_memorization_exposure" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    CAST(CONCAT('0x', substr(md5(substr(text, i + 1, 40)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents, UNNEST(range(0, length(text) - 39)) AS t(i)),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+        |pr AS (SELECT doc_id, pos,
+        |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |       FROM hits),
+        |isl AS (SELECT doc_id, pos,
+        |          sum(CASE WHEN prev IS NULL OR pos > prev + 40 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM pr),
+        |spans AS (SELECT doc_id,
+        |            CAST(max(pos) + 40 - min(pos) AS BIGINT) AS span_len
+        |          FROM isl GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_chars
+        |        FROM spans GROUP BY 1)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars_t,
+        |  COALESCE(a.dup_chars, 0) AS dup_chars,
+        |  COALESCE(a.dup_chars, 0) * 1000 // greatest(CAST(length(d.text) AS BIGINT), 1)
+        |    AS dup_permille
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
   )
 }
