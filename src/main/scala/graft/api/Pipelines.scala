@@ -2103,6 +2103,44 @@ object Pipelines {
   }
 
   /**
+   * Radius search ON the persisted index (s21): [[ivfRangeSearch]]'s
+   * threshold-complete semantics through [[buildIvfIndex]]'s on-disk
+   * access path — queries assign against the STORED centroids, the
+   * `list IN (probed...)` filter partition-prunes to exactly the probed
+   * lists' files (the unprobed lists are never even LISTED), and the
+   * integer micro threshold filters candidates streaming out of the list
+   * join with no heap and no shuffle. The serving-side radius query: the
+   * index is built once, and each radius sweep plans ~nProbe/nCentroids
+   * of the corpus.
+   */
+  def ivfIndexRangeSearch(queries: DataFrame, id: Column, vec: Column,
+      indexPath: String, minSimMicro: Long, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = storedCentroids(spark, indexPath)
+    val n = cents.length
+    def scores(e: Column): Column = centroidScores(e, cents)
+    def probes(e: Column): Column = {
+      val ranked = sort_array(zip_with(scores(e),
+        sequence(lit(0), lit(n - 1)),
+        (s, i) => struct(s.as("s"), i.as("i"))), asc = false)
+      slice(transform(ranked, r => r.getField("i")), 1, nProbe)
+    }
+    val q = queries.select(id.as("q_id"), vec.as("q_emb"))
+      .withColumn("list", explode(probes(col("q_emb"))))
+      .withColumn("q_nrm", l2norm(col("q_emb")))
+    val probed = q.select("list").distinct().collect().map(_.getInt(0))
+    val idx = spark.read.format("gwdelta").load(indexPath)
+      .filter(col("list").isin(probed.map(Int.box).toSeq: _*))
+      .withColumn("n_nrm", l2norm(col("n_emb")))
+    broadcast(q).join(idx, Seq("list"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(dotProd(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm"))
+          * 1000000).cast("long").as("cos_micro"))
+      .filter(col("cos_micro") >= minSimMicro)
+  }
+
+  /**
    * Recall@k evaluation (s19) — the quality harness every ANN deployment
    * runs before trading exactness for speed: per query, the fraction of
    * the EXACT top-k ground truth that the approximate result recovered.

@@ -335,6 +335,35 @@ object Similarity {
       dim = 64, nCentroids = 16, nProbe = 8)
   }
 
+  /** s21: radius search ON the persisted index — s20's threshold-complete
+    * semantics through the s14 on-disk access path (stored centroids,
+    * probed-lists partition pruning, pinned in-gate). Index contents =
+    * the full corpus under the same seeded centroid family, so s20's
+    * oracle replays this path verbatim. */
+  def s21IvfIndexRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("s21")
+      .resolve("ivf").toString
+    Pipelines.buildIvfIndex(e, col("vec_id"), col("embedding"),
+      dim = 64, indexPath = tmp)
+    val t = graft.GwTable.forPath(spark, tmp)
+    val total = t.snapshot().files.size
+    val planned = spark.read.format("gwdelta").load(tmp)
+      .filter(col("list").isin(0, 15))
+      .queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
+      }.head
+    require(planned < total,
+      s"the radius sweep must partition-prune to the probed lists' files " +
+        s"(planned $planned of $total)")
+    Pipelines.ivfIndexRangeSearch(e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), tmp,
+      minSimMicro = 250000L, nProbe = 8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
@@ -356,6 +385,7 @@ object Similarity {
     "s18_ivfpq_index" -> s18IvfPqIndex _,
     "s19_ann_recall" -> s19AnnRecall _,
     "s20_ivf_range_search" -> s20IvfRangeSearch _,
+    "s21_index_range_search" -> s21IvfIndexRangeSearch _,
   )
 
   /** s13's oracle: the s02 LSH replay with the label equality joined into
@@ -729,6 +759,9 @@ object Similarity {
     "s18_ivfpq_index" -> s18OracleSql,
     "s19_ann_recall" -> s19OracleSql,
     "s20_ivf_range_search" -> s20OracleSql,
+    // the persisted index holds the full corpus under the same seeded
+    // centroids, so the s20 replay covers the on-disk path verbatim
+    "s21_index_range_search" -> s20OracleSql,
     "s07_knn_graph" -> lshTopKOracle(""),
     "s08_mmr_topk" ->
       // Recursive replay of the greedy MMR trajectory: each recursion
