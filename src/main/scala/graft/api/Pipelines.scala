@@ -1075,8 +1075,14 @@ object Pipelines {
     }
     def bits(x: Column): Column = length(bin(x)) - 1
     val rawB = feats(raw)
-    val rc = rawB.groupBy("bucket").agg(count(lit(1)).as("rc"))
-    val tc = feats(target).groupBy("bucket").agg(count(lit(1)).as("tc"))
+    // the per-bucket count tables are <= `buckets` rows — cache them so
+    // the totals, the weight build, and the weight broadcast reuse one
+    // computation instead of re-running the corpus featurization through
+    // their lineages. persist (lazy), NOT localCheckpoint: eager
+    // materialization serializes the rc/tc jobs ahead of everything and
+    // measured 1.3x SLOWER end to end at sf0.1
+    val rc = rawB.groupBy("bucket").agg(count(lit(1)).as("rc")).persist()
+    val tc = feats(target).groupBy("bucket").agg(count(lit(1)).as("tc")).persist()
     val totals = rc.agg(sum("rc").as("rn")).crossJoin(tc.agg(sum("tc").as("tn")))
     // weights only for buckets the RAW corpus can produce (scoring joins
     // from raw features, so target-only buckets are unreachable)
