@@ -2654,4 +2654,61 @@ object Pipelines {
         (col("pos") + 1).cast("long").as("rnk"),
         col("col.score").cast("long").as("rrf_nano"))
   }
+
+  /**
+   * Distributed BPE merge training (t26) — the tokenizer-training
+   * primitive (Sennrich et al. 2016). The 100 TB-dominant step is the ONE
+   * corpus scan that aggregates word frequencies (map-side-combined
+   * groupBy); every merge round after that iterates over the compact
+   * distinct-word table: adjacent-symbol pair counts (small shuffle on
+   * pair), a single-row argmax collect (metadata-scale, like the k-means
+   * centroid pulls), and a narrow codegen `replace` of the winning pair
+   * with a private-use sentinel char. Sentinels keep "one char = one
+   * symbol" true forever, so pair extraction stays `substring(w, i, 2)`
+   * in every round, and the whole loop — argmax included — is expressible
+   * in the DuckDB oracle as scalar-subquery CTE rounds. `replace` is
+   * left-to-right non-overlapping in both engines, which is exactly
+   * greedy BPE application; replacement is invertible (sentinels never
+   * collide with input), so distinct words stay distinct and the state
+   * needs no re-aggregation between rounds.
+   *
+   * Returns the learned merges `(round, pair, cnt)` — `pair` in
+   * sentinel-compressed form — and the post-merge word-frequency state
+   * for downstream pair statistics or further rounds. Ties break on
+   * (count DESC, pair ASC), binary collation in both engines.
+   */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int)
+      : (Seq[(Int, String, Long)], DataFrame) = {
+    require(numMerges >= 0 && numMerges <= 256,
+      s"numMerges must be in [0, 256] (one private-use sentinel each): $numMerges")
+    val base = df
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .persist() // the compact iterating state; corpus is scanned ONCE
+    var words = base
+    val merges = (1 to numMerges).flatMap { r =>
+      val top = bpePairStats(words)
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect() // one row: the argmax merge of this round
+      top.headOption.map { row =>
+        val pair = row.getString(0)
+        val sentinel = (0xE000 + r - 1).toChar.toString
+        words = words.withColumn("w",
+          replace(col("w"), lit(pair), lit(sentinel)))
+        (r, pair, row.getLong(1))
+      }
+    }
+    (merges, words)
+  }
+
+  /** Adjacent-symbol pair frequencies over a `(w, cnt)` word-frequency
+    * state (one char = one symbol; see [[bpeTrain]]). Codegen end to end:
+    * sequence/transform/substring + an explode + a map-side-combined sum. */
+  def bpePairStats(words: DataFrame): DataFrame = words
+    .filter(length(col("w")) >= 2)
+    .select(col("cnt"), explode(expr(
+      "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+      .as("pair"))
+    .groupBy("pair").agg(sum("cnt").as("cnt"))
 }

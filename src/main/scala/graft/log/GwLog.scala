@@ -508,13 +508,25 @@ class GwLog(val tablePath: Path, conf: Configuration,
     // `_last_checkpoint`; readers only accept a COMPLETE set.
     val partSize = conf.getInt("graft.checkpoint.partSize", Int.MaxValue)
     // Delta checkpointPolicy=v2 (v2Checkpoint table feature): file actions
-    // land in UUID-named sidecar parquets under `_sidecars/` (partSize
+    // land in UUID-named sidecar parquets under `_sidecars/` (~partSize
     // actions each), and the checkpoint itself is one small MANIFEST —
     // protocol/metadata/txns + checkpointMetadata + sidecar refs. At
     // 100 TB this is the shape that lets a coordinator read table-level
-    // state without touching millions of file entries, lets sidecars be
-    // written/read in parallel, and lets an incremental checkpointer
-    // REUSE unchanged sidecars across checkpoints (refs are by name).
+    // state without touching millions of file entries, and lets sidecars
+    // be written/read in parallel.
+    //
+    // INCREMENTAL checkpointing: sidecar membership is a stable hash of
+    // the action's file path (not a sequential slice, which any single
+    // add/remove would re-shard), and the sidecar's NAME is a type-3 UUID
+    // of its canonical content — so a bucket whose contents are unchanged
+    // since the previous checkpoint resolves to the SAME file name and is
+    // reused with zero bytes written. A 10M-file table that churned 100
+    // files between checkpoints rewrites only the touched buckets, not
+    // the full snapshot. Reference-based GC already keys liveness on the
+    // names live manifests reference, so sharing is safe; a sidecar GC'd
+    // between reuse-check and manifest publish can at worst produce a
+    // dangling ref, which the torn-checkpoint guard turns into full JSON
+    // replay — never a partial snapshot.
     // Sidecars land BEFORE the manifest, so a visible manifest is always
     // complete; a torn manifest falls back to JSON replay like classic.
     val v2Policy = Seq("graft.checkpointPolicy", "delta.checkpointPolicy")
@@ -527,11 +539,38 @@ class GwLog(val tablePath: Path, conf: Configuration,
           snap.domains.toSeq.map { case (d, c) => DomainMetadata(d, c) }
         val fileActions = actions.drop(header.size)
         fs.mkdirs(sidecarDir)
-        val refs = fileActions.grouped(math.max(1, math.min(partSize,
-          fileActions.size max 1))).toSeq.map { slice =>
-          val name = s"${java.util.UUID.randomUUID}.parquet"
+        // Bucket count: next power of two above ceil(n/partSize). Power-
+        // of-two rounding keeps the count stable across moderate growth
+        // (a count change re-shards every bucket and forfeits one
+        // checkpoint's worth of reuse — correct, just not incremental).
+        val targetParts = math.max(1, math.ceil(
+          fileActions.size.toDouble / math.max(1, partSize)).toInt)
+        val numBuckets =
+          if (Integer.bitCount(targetParts) == 1) targetParts
+          else Integer.highestOneBit(targetParts) << 1
+        def pathOf(a: Action): String = a match {
+          case ad: AddFile    => ad.path
+          case rm: RemoveFile => rm.path
+          case other          => Actions.toJson(other)
+        }
+        val buckets =
+          Array.fill(numBuckets)(Vector.newBuilder[Action])
+        fileActions.foreach { a =>
+          val h = pathOf(a).hashCode % numBuckets
+          buckets(if (h < 0) h + numBuckets else h) += a
+        }
+        val refs = buckets.toSeq.map { b =>
+          // Canonical content: sorted by (kind, path) so logically-equal
+          // buckets serialize to identical bytes regardless of arrival
+          // order; `live`/`gone` are path-disjoint in a snapshot, so
+          // cross-bucket replay order is immaterial.
+          val slice = b.result()
+            .sortBy(a => (a.getClass.getName, pathOf(a)))
+          val canon = slice.map(Actions.toJson).mkString("\n")
+            .getBytes(StandardCharsets.UTF_8)
+          val name = s"${java.util.UUID.nameUUIDFromBytes(canon)}.parquet"
           val p = new Path(sidecarDir, name)
-          Checkpoint.write(p, conf, slice)
+          if (!fs.exists(p)) Checkpoint.write(p, conf, slice)
           val st = fs.getFileStatus(p)
           SidecarFile(name, st.getLen, st.getModificationTime)
         }

@@ -2461,6 +2461,86 @@ object GwCore {
     t.toDF.select(col("r_regionkey"), col("r_name"))
   }
 
+  // ---------------------------------------------------------------- gw62
+  /** Incremental V2 checkpoints: sidecar membership is a stable hash of
+    * the action's file path, and sidecar names are content-addressed
+    * (type-3 UUID of the bucket's canonical bytes) — so a checkpoint
+    * writes only the buckets that changed since the previous one. This is
+    * THE v2-checkpoint payoff at 100 TB: a 10M-file table that churned
+    * 100 files between checkpoints rewrites a handful of buckets, not a
+    * multi-GB snapshot. Pinned: a metadata-only commit epoch
+    * re-checkpoints with ZERO sidecar writes (ref-for-ref identical,
+    * sidecar dir untouched); one data append rewrites exactly ONE bucket
+    * (every other ref reused by name); replay resumes from the
+    * incremental manifest and equals full JSON replay; reference-based
+    * GC reclaims superseded bucket versions while keeping every sidecar
+    * the live manifest still references. */
+  def gw62IncrementalCheckpoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw62")
+    val loc = tmp.resolve("db/region").toString
+    val region = spark.read.parquet(s"$dir/region.parquet")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setInt("graft.checkpoint.partSize", 3)
+    try {
+      graft.streaming.GwSink.append(
+        region.filter(col("r_regionkey") === 0).coalesce(1), loc,
+        bootstrapProps = Map("graft.checkpointPolicy" -> "v2"))
+      val t = GwTable.forPath(spark, loc)
+      for (i <- 1 to 10) // v1..v10; the v10 checkpoint covers 11 adds
+        region.filter(col("r_regionkey") === i % 5).coalesce(1)
+          .write.format("gwdelta").mode("append").save(loc)
+      def refsOf(v: Long): Seq[graft.log.SidecarFile] =
+        t.log.checkpointFilesFor(v)
+          .flatMap(p => graft.log.Checkpoint.read(p, hconf))
+          .collect { case s: graft.log.SidecarFile => s }
+      val refs10 = refsOf(10L)
+      require(refs10.size == 4, s"11 adds at partSize 3 -> 4 buckets, got ${refs10.size}")
+      val fs = t.log.sidecarDir.getFileSystem(hconf)
+      val dirAt10 = fs.listStatus(t.log.sidecarDir).map(_.getPath.getName).toSet
+      // v11..v20 are metadata-only commits: the v20 checkpoint must reuse
+      // every data sidecar — a metadata epoch re-checkpoints for free
+      for (i <- 1 to 10) t.setDomainMetadata("graft.epoch", s"""{"n":$i}""")
+      require(t.snapshot().version == 20L,
+        s"expected v20 after ten domain commits, got ${t.snapshot().version}")
+      val refs20 = refsOf(20L)
+      require(refs20.map(_.path) == refs10.map(_.path),
+        s"a metadata-only epoch must reuse every sidecar ref-for-ref:\n" +
+          s"  v10=${refs10.map(_.path)}\n  v20=${refs20.map(_.path)}")
+      require(fs.listStatus(t.log.sidecarDir).map(_.getPath.getName).toSet == dirAt10,
+        "a fully-reused checkpoint must write no new sidecar files")
+      // one data append: exactly one bucket's content changes
+      region.filter(col("r_regionkey") === 2).coalesce(1)
+        .write.format("gwdelta").mode("append").save(loc) // v21
+      t.log.writeCheckpoint(21L)
+      val refs21 = refsOf(21L)
+      require(refs21.size == 4, s"12 adds at partSize 3 -> 4 buckets, got ${refs21.size}")
+      val changed = refs20.map(_.path).zip(refs21.map(_.path)).count { case (a, b) => a != b }
+      require(changed == 1,
+        s"one new file must rewrite exactly one bucket, got $changed changed:\n" +
+          s"  v20=${refs20.map(_.path)}\n  v21=${refs21.map(_.path)}")
+      // replay equivalence: resume from the incremental manifest after the
+      // covered JSONs age out, serving the same rows as full JSON replay
+      val expect = t.toDF.collect().map(_.toSeq).toSet
+      require(t.cleanupMetadata(retentionMs = 0L) > 0, "cleanup must act")
+      val fresh = new graft.log.GwLog(new org.apache.hadoop.fs.Path(loc), hconf)
+      require(fresh.snapshot().filePaths.toSet == t.snapshot().filePaths.toSet,
+        "post-cleanup replay must agree with the live log")
+      require(fresh.lastReplayReads._1.contains(21L),
+        s"replay must resume from the v21 manifest: ${fresh.lastReplayReads}")
+      require(spark.read.format("gwdelta").load(loc)
+        .collect().map(_.toSeq).toSet == expect,
+        "post-cleanup reads must match the pre-cleanup table")
+      // GC keeps exactly the live manifest's sidecars: the superseded
+      // version of the rewritten bucket is reclaimed, shared ones survive
+      val liveNames = refs21.map(_.path).toSet
+      val onDisk = fs.listStatus(t.log.sidecarDir).map(_.getPath.getName).toSet
+      require(onDisk == liveNames,
+        s"GC must keep exactly the referenced sidecars: disk=$onDisk live=$liveNames")
+      t.toDF
+    } finally hconf.unset("graft.checkpoint.partSize")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -2521,6 +2601,7 @@ object GwCore {
     "gw57_bloom_skipping" -> gw57BloomSkipping _,
     "gw58_log_compaction" -> gw58LogCompaction _,
     "gw59_v2_checkpoint" -> gw59V2Checkpoint _,
+    "gw62_incremental_checkpoint" -> gw62IncrementalCheckpoint _,
     "gw60_version_checksum" -> gw60VersionChecksum _,
     "gw61_domain_metadata" -> gw61DomainMetadata _,
   )
@@ -2845,6 +2926,14 @@ object GwCore {
     "gw59_v2_checkpoint" ->
       """SELECT r.* FROM region r
         |JOIN (SELECT unnest(generate_series(0, 21)) % 5 AS k) c
+        |  ON c.k = r.r_regionkey""".stripMargin,
+    // region key i%5 appended per commit i in 0..10 plus one extra key-2
+    // append, all served through the incremental v21 manifest after the
+    // covered JSONs aged out; the reuse/GC invariants are require()-pinned
+    "gw62_incremental_checkpoint" ->
+      """SELECT r.* FROM region r
+        |JOIN (SELECT unnest(generate_series(0, 10)) % 5 AS k
+        |      UNION ALL SELECT 2) c
         |  ON c.k = r.r_regionkey""".stripMargin,
     // the full orders fixture minus the merge-on-read DELETE's rows; the
     // crc/verification invariants are require()-pinned inside the gate

@@ -342,6 +342,27 @@ object TextOps {
     Pipelines.memorizationExposure(docs(spark, dir), col("doc_id"), col("text"), L = 40)
       .withColumnRenamed("__id", "doc_id")
 
+  // ---------------------------------------------------------------- t26
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016, the
+    * subword-vocabulary algorithm behind GPT-2/LLaMA tokenizers): one
+    * corpus scan aggregates word frequencies, then each greedy merge
+    * round iterates over the compact word table — see
+    * [[Pipelines.bpeTrain]]. Output: the three learned merges (round,
+    * pair, weighted count) plus the round-4 top-20 pair statistics over
+    * the merged state, all oracle-exact — the argmax of every round is
+    * replayed in SQL as a scalar-subquery CTE, merged pairs compressed to
+    * the same U+E000.. sentinels on both sides. */
+  def t26BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, words) = Pipelines.bpeTrain(
+      docs(spark, dir).select(col("text")), "text", numMerges = 3)
+    import spark.implicits._
+    val mergesDf = merges.toDF("round", "pair", "cnt")
+    val p4 = Pipelines.bpePairStats(words)
+      .orderBy(col("cnt").desc, col("pair").asc).limit(20)
+      .select(lit(4).as("round"), col("pair"), col("cnt"))
+    mergesDf.select(col("round"), col("pair"), col("cnt")).unionAll(p4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -368,12 +389,43 @@ object TextOps {
     "t23_gopher_quality" -> t23GopherQuality _,
     "t24_dsir_resample" -> t24DsirResample _,
     "t25_memorization_exposure" -> t25MemorizationExposure _,
+    "t26_bpe_merges" -> t26BpeMerges _,
   )
 
   private def sqlList(lang: String): String =
     Pipelines.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** t26's oracle: the full greedy BPE loop in static SQL. Round r's
+    * argmax pair is a scalar subquery over that round's pair counts;
+    * applying it is `replace(w, pair, chr(57344 + r - 1))` — left-to-
+    * right non-overlapping in DuckDB exactly like Spark's `replace`,
+    * which IS greedy BPE application for a single pair. */
+  private def bpeOracleSql: String = {
+    def pairsCte(src: String): String =
+      s"""SELECT substr(w, i, 2) AS pair, sum(cnt)::BIGINT AS cnt FROM (
+         |  SELECT w, cnt, unnest(generate_series(1, length(w) - 1)) AS i
+         |  FROM $src WHERE length(w) >= 2) GROUP BY 1""".stripMargin
+    val rounds = (1 to 3).map { r =>
+      s"""p$r AS (${pairsCte(s"w${r - 1}")}),
+         |m$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |w$r AS (SELECT replace(w, (SELECT pair FROM m$r),
+         |  chr(${57344 + r - 1})) AS w, cnt FROM w${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (
+       | SELECT w, count(*)::BIGINT AS cnt FROM (
+       |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+       |  FROM documents) WHERE w <> '' GROUP BY 1),
+       |$rounds,
+       |p4 AS (${pairsCte("w3")})
+       |SELECT 1 AS round, pair, cnt FROM m1
+       |UNION ALL SELECT 2 AS round, pair, cnt FROM m2
+       |UNION ALL SELECT 3 AS round, pair, cnt FROM m3
+       |UNION ALL SELECT 4 AS round, pair, cnt FROM (
+       | SELECT pair, cnt FROM p4 ORDER BY cnt DESC, pair LIMIT 20)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "t26_bpe_merges" -> bpeOracleSql,
     // t21: the combining acute is built with chr(769) (encoding-proof
     // through the JSON round trip); the pipeline is the documented
     // NFC -> strip accents -> lower -> collapse -> trim contract.

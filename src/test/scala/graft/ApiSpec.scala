@@ -531,4 +531,37 @@ class ApiSpec extends AnyFunSuite {
     assert(graft.api.Pipelines.hammingBucketAudit(
       spread, col("doc_id"), col("code"), bucketCap = 60).count() == 0L)
   }
+
+  test("bpeTrain learns the hand-computed merges on the classic corpus") {
+    import spark.implicits._
+    // Sennrich et al. 2016's worked example, char-level without the
+    // end-of-word marker: low x5, lower x2, newest x6, widest x3.
+    val corpus = Seq((Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val (merges, words) = graft.api.Pipelines.bpeTrain(corpus, "text", 3)
+    // round 1: es/st tie at 9 -> pair-ASC tie-break picks "es";
+    // round 2: (\uE000="es") "\uE000t" at 9 (newest 6 + widest 3);
+    // round 3: lo/ow tie at 7 -> "lo".
+    assert(merges == Seq((1, "es", 9L), (2, "\uE000t", 9L), (3, "lo", 7L)),
+      s"got $merges")
+    // replacement is invertible: distinct words stay distinct, and the
+    // final state pairs are the hand-derived ones
+    val state = words.as[(String, Long)].collect().toMap
+    assert(state == Map(
+      "\uE002w" -> 5L, "\uE002wer" -> 2L, "new\uE001" -> 6L, "wid\uE001" -> 3L),
+      s"got $state")
+    val p4 = graft.api.Pipelines.bpePairStats(words)
+      .as[(String, Long)].collect().toMap
+    assert(p4("\uE002w") == 7L && p4("ne") == 6L && p4("w\uE001") == 6L &&
+      p4("d\uE001") == 3L && p4.get("es").isEmpty, s"got $p4")
+  }
+
+  test("bpeTrain on zero merges returns the raw word-frequency state") {
+    import spark.implicits._
+    val (merges, words) =
+      graft.api.Pipelines.bpeTrain(Seq("a b a").toDF("text"), "text", 0)
+    assert(merges.isEmpty)
+    assert(words.as[(String, Long)].collect().toMap == Map("a" -> 2L, "b" -> 1L))
+  }
 }
