@@ -2711,4 +2711,45 @@ object Pipelines {
       "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
       .as("pair"))
     .groupBy("pair").agg(sum("cnt").as("cnt"))
+
+  /**
+   * Deterministic train/val/test split + sharded global shuffle (t27) —
+   * the last step before a corpus feeds a trainer. One md5 per row drives
+   * everything: the first 16 bits pick the split (so membership is a pure
+   * function of (seed, id) — stable across reruns, cluster sizes, and
+   * partitionings, and a changed seed re-deals the whole corpus), the
+   * next 60 bits pick a shard, and the full digest orders rows within a
+   * (split, shard) — the deterministic "global shuffle" a training job
+   * reads back shard by shard. No RNG state anywhere, so adding documents
+   * never moves existing ones between splits (the holdout stays clean).
+   *
+   * Scale: the only wide operation is the per-(split, shard) sort —
+   * parallelism is `splits x shards`, so `shards` is the knob that bounds
+   * sort-partition size at 100 TB (pick corpus / ~1 GB); a single global
+   * ORDER BY would funnel into one partition and is exactly what this
+   * avoids. Everything before the sort is scan-speed codegen.
+   */
+  def splitShuffle(df: DataFrame, idCol: Column, seed: String,
+      trainPermille: Int = 960, valPermille: Int = 20,
+      shards: Int = 8): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000,
+      s"permilles must be >= 0 and sum <= 1000: $trainPermille/$valPermille")
+    require(shards >= 1 && shards <= (1 << 20), s"shards out of range: $shards")
+    val m = md5(concat(lit(seed), lit(":"), idCol.cast("string")))
+    df.withColumn("__m", m)
+      .withColumn("split",
+        when(substring(col("__m"), 1, 4) < lit(hexThreshold(trainPermille)),
+          lit("train"))
+          .when(substring(col("__m"), 1, 4) <
+            lit(hexThreshold(trainPermille + valPermille)), lit("val"))
+          .otherwise(lit("test")))
+      .withColumn("shard",
+        (conv(substring(col("__m"), 5, 15), 16, 10).cast("long")
+          % shards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("split"), col("shard"))
+          .orderBy(col("__m"), idCol)).cast("long") - 1)
+      .drop("__m")
+  }
 }

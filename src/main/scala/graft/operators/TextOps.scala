@@ -363,6 +363,17 @@ object TextOps {
     mergesDf.select(col("round"), col("pair"), col("cnt")).unionAll(p4)
   }
 
+  // ---------------------------------------------------------------- t27
+  /** Deterministic split + sharded shuffle (see [[Pipelines.splitShuffle]]):
+    * 96/2/2 train/val/test by the id's seeded md5, 8 shards, and a
+    * deterministic within-shard order — the trainer-facing deal of the
+    * corpus, stable under reruns and corpus growth. Oracle-exact: both
+    * engines compute the same md5, hex thresholds, and window. */
+  def t27SplitShuffle(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.splitShuffle(
+      docs(spark, dir).select(col("doc_id")), col("doc_id"), seed = "graft")
+      .select(col("doc_id"), col("split"), col("shard"), col("pos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_langid" -> t01LangId _,
     "t02_quality" -> t02Quality _,
@@ -390,6 +401,7 @@ object TextOps {
     "t24_dsir_resample" -> t24DsirResample _,
     "t25_memorization_exposure" -> t25MemorizationExposure _,
     "t26_bpe_merges" -> t26BpeMerges _,
+    "t27_split_shuffle" -> t27SplitShuffle _,
   )
 
   private def sqlList(lang: String): String =
@@ -424,8 +436,30 @@ object TextOps {
        | SELECT pair, cnt FROM p4 ORDER BY cnt DESC, pair LIMIT 20)""".stripMargin
   }
 
+  /** t27's oracle: same md5, same hex thresholds (rendered from the very
+    * hexThreshold the operator uses), same window — engine-exact. */
+  private def splitShuffleOracleSql: String = {
+    val t1 = Pipelines.hexThreshold(960)
+    val t2 = Pipelines.hexThreshold(980)
+    s"""WITH s AS (
+       | SELECT doc_id, md5('graft:' || doc_id::VARCHAR) AS m FROM documents),
+       |a AS (
+       | SELECT doc_id, m,
+       |  CASE WHEN substr(m, 1, 4) < '$t1' THEN 'train'
+       |       WHEN substr(m, 1, 4) < '$t2' THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  CAST(CAST(CONCAT('0x', substr(m, 5, 15)) AS BIGINT) % 8 AS INTEGER)
+       |    AS shard
+       | FROM s)
+       |SELECT doc_id, split, shard,
+       | row_number() OVER (PARTITION BY split, shard ORDER BY m, doc_id) - 1
+       |   AS pos
+       |FROM a""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "t26_bpe_merges" -> bpeOracleSql,
+    "t27_split_shuffle" -> splitShuffleOracleSql,
     // t21: the combining acute is built with chr(769) (encoding-proof
     // through the JSON round trip); the pipeline is the documented
     // NFC -> strip accents -> lower -> collapse -> trim contract.

@@ -309,4 +309,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"rate table not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"rate join must not sort-merge:\n$p")
   }
+
+  test("t27 split+shuffle sorts within (split, shard), never globally") {
+    val p = plan(graft.operators.TextOps.t27SplitShuffle(spark, sf))
+    // the window must partition on (split, shard) — parallelism is
+    // splits x shards; a global ORDER BY (rangepartitioning into one
+    // effective sink, or an empty window partition spec) is the
+    // regression that funnels 100 TB through one task
+    assert(p.contains("hashpartitioning(split"),
+      s"window not hash-partitioned on (split, shard):\n$p")
+    assert(!p.contains("rangepartitioning"), s"global sort crept in:\n$p")
+    // one md5 per row feeds split/shard/order; scan reads only doc_id
+    assert(!p.contains("text"), s"unpruned documents scan:\n$p")
+  }
 }
