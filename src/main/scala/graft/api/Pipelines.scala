@@ -2202,18 +2202,85 @@ object Pipelines {
     val books = codebooks.getOrElse(pqCodebooks(dim, m, ks))
     require(books.length == m && books.forall(_.length == ks),
       s"codebooks must be m=$m x ks=$ks")
-    val sub = dim / m
-    def codes(e: Column): Column = array((0 until m).map { mi =>
-      val s = pqScores(e, mi, sub, books)
-      (array_position(s, array_max(s)) - 1).cast("int")
-    }: _*)
     val assigned = assignToLists(corpus, id, vec, cents)
-      .withColumn("n_codes", codes(col("n_emb")))
+      .withColumn("n_codes", pqCodes(col("n_emb"), dim, books))
     graft.streaming.GwSink.append(assigned, indexPath,
       partitionBy = Seq("list"),
       bootstrapProps = Map(
         IvfCentroidsProp -> centroidsJson(cents),
         IvfDimProp -> dim.toString,
+        IvfPqCodebooksProp -> codebooksJson(books)))
+  }
+
+  /** Per-subspace PQ code assignment (argmax of the shared score array,
+    * `array_position` tiebreak — the [[pqTopK]] contract). */
+  private def pqCodes(vec: Column, dim: Int,
+      books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length
+    val sub = dim / m
+    array((0 until m).map { mi =>
+      val s = pqScores(vec, mi, sub, books)
+      (array_position(s, array_max(s)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** Assign new vectors against the IVF+PQ index's FROZEN stored
+    * centroids + codebooks and append — [[appendToIvfIndex]]'s contract
+    * for the IVFADC table: one transactional commit, `txnId` for
+    * exactly-once streaming ingest, search sees the rows immediately.
+    * Both the coarse partitioning and the code geometry stay frozen;
+    * [[rebuildIvfPqIndex]] is the maintenance step that refreshes them. */
+  def appendToIvfPqIndex(newVectors: DataFrame, id: Column, vec: Column,
+      indexPath: String, txnId: Option[String] = None): Long = {
+    val spark = newVectors.sparkSession
+    val cents = storedCentroids(spark, indexPath)
+    val books = storedCodebooks(spark, indexPath)
+    val dim = storedDim(spark, indexPath)
+    graft.streaming.GwSink.append(
+      assignToLists(newVectors, id, vec, cents)
+        .withColumn("n_codes", pqCodes(col("n_emb"), dim, books)),
+      indexPath, txnId = txnId, partitionBy = Seq("list"))
+  }
+
+  /**
+   * REINDEX for the IVF+PQ index (s22) — [[rebuildIvfIndex]]'s argument
+   * applies TWICE here: incremental appends freeze the coarse centroids
+   * (stale list boundaries degrade probe recall) AND the PQ codebooks
+   * (codes quantize drifted vectors against cells trained on the old
+   * distribution, so ADC ranking quietly loses fidelity — reconstruction
+   * distortion rises with no result-equality signal). Rebuild retrains
+   * both over the index's CURRENT contents ([[trainIvfCentroids]] +
+   * [[trainPqCodebooks]]), reassigns lists and recomputes every code, and
+   * lands contents + centroids + codebooks as ONE transactional overwrite
+   * (`setProps` restates both properties atomically with the file swap) —
+   * a reader never sees new codes under old codebooks or any other mix.
+   * Pass `centroids`/`codebooks` to land a chosen family (the
+   * deterministic replay path the s22 gate uses). Returns the version.
+   */
+  def rebuildIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, nCentroids: Int = 16, m: Int = 8, ks: Int = 16,
+      iterations: Int = 3,
+      centroids: Option[Array[Array[Double]]] = None,
+      codebooks: Option[Array[Array[Array[Double]]]] = None): Long = {
+    val dim = storedDim(spark, indexPath)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val current = spark.read.format("gwdelta").load(indexPath)
+      .select(col("n_id"), col("n_emb"))
+    val cents = centroids.getOrElse(
+      trainIvfCentroids(current, col("n_emb"), dim, nCentroids, iterations))
+    require(cents.length == nCentroids, "centroid count must match nCentroids")
+    require(cents.forall(_.length == dim),
+      s"rebuild centroids must keep the index dimension $dim")
+    val books = codebooks.getOrElse(
+      trainPqCodebooks(current, col("n_emb"), dim, m, ks, iterations))
+    require(books.length == m && books.forall(_.length == ks),
+      s"codebooks must be m=$m x ks=$ks")
+    graft.streaming.GwSink.overwrite(
+      assignToLists(current, col("n_id"), col("n_emb"), cents)
+        .withColumn("n_codes", pqCodes(col("n_emb"), dim, books)),
+      indexPath, partitionBy = Seq("list"),
+      setProps = Map(
+        IvfCentroidsProp -> centroidsJson(cents),
         IvfPqCodebooksProp -> codebooksJson(books)))
   }
 

@@ -307,6 +307,56 @@ object Similarity {
       col("vec_id"), col("embedding"), tmp, k = 5, nProbe = 8, candidates = 20)
   }
 
+  /** s22: REINDEX for the IVF+PQ index — s17's maintenance step where
+    * BOTH frozen families refresh: [[Pipelines.rebuildIvfPqIndex]]
+    * retrains coarse centroids AND PQ codebooks over the index's current
+    * contents, reassigns lists, recomputes every code, and lands
+    * contents + both config properties as ONE transactional overwrite
+    * (pinned: exactly one commit past the append; stored centroids AND
+    * codebooks swap atomically; rewritten files keep `list` partition
+    * values; the pre-rebuild index time-travels whole — never new codes
+    * under old codebooks). The gate rebuilds onto PINNED families
+    * (8 hyperplane centroids + the negated default codebook grid) so the
+    * oracle replays the post-rebuild IVFADC pipeline from the NEW
+    * literals; the retraining path is covered by trainPqCodebooks'
+    * distortion-monotonicity property test. */
+  def s22IvfPqRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("s22")
+      .resolve("ivfpq").toString
+    Pipelines.buildIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), dim = 64, indexPath = tmp)
+    Pipelines.appendToIvfPqIndex(e.filter(col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"), tmp)
+    val newCents = Pipelines.hyperplanes(8, 64)
+    val newBooks = s22RebuildBooks
+    Pipelines.rebuildIvfPqIndex(spark, tmp, nCentroids = 8,
+      centroids = Some(newCents), codebooks = Some(newBooks))
+    val t = graft.GwTable.forPath(spark, tmp)
+    val snap = t.snapshot()
+    require(snap.version == 2L,
+      s"rebuild must be ONE transactional overwrite commit, at v${snap.version}")
+    require(Pipelines.storedCentroids(spark, tmp).length == 8,
+      "rebuilt centroids must be restated atomically with the content swap")
+    require(Pipelines.storedCodebooks(spark, tmp).head.head.head ==
+      newBooks.head.head.head,
+      "rebuilt codebooks must be restated atomically with the content swap")
+    require(snap.files.forall(_.partitionValues.contains("list")),
+      "reassigned files must keep their list partition value (pruning survives)")
+    require(spark.read.format("gwdelta").option("versionAsOf", "1")
+      .load(tmp).count() == e.count(),
+      "pre-rebuild contents must time-travel whole")
+    Pipelines.ivfPqIndexTopK(e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), tmp, k = 3, nProbe = 4, candidates = 8)
+  }
+
+  /** The pinned post-rebuild codebook family: the default deterministic
+    * grid, negated — a genuinely different quantizer (scores flip around
+    * the |c|^2/2 penalty, so assignments differ) that both the gate and
+    * its oracle can render as literals. */
+  private def s22RebuildBooks: Array[Array[Array[Double]]] =
+    Pipelines.pqCodebooks(64, 8, 16).map(_.map(_.map(x => -x)))
+
   /** s19: recall@5 of the banded-LSH ANN against exact brute-force ground
     * truth — the eval harness run before trusting any approximate index.
     * Both sides replay in SQL (s01's brute force, s02's plane-literal LSH
@@ -386,6 +436,7 @@ object Similarity {
     "s19_ann_recall" -> s19AnnRecall _,
     "s20_ivf_range_search" -> s20IvfRangeSearch _,
     "s21_index_range_search" -> s21IvfIndexRangeSearch _,
+    "s22_ivfpq_rebuild" -> s22IvfPqRebuild _,
   )
 
   /** s13's oracle: the s02 LSH replay with the label equality joined into
@@ -645,15 +696,32 @@ object Similarity {
     * 20-deep shortlist — every stage's ties fall identically in both
     * engines (list_position/array_position, adc DESC + n_id, cos DESC +
     * n_id). */
-  private def s18OracleSql: String = {
-    val cents = Pipelines.hyperplanes(16, 64)
+  private def s18OracleSql: String =
+    ivfPqOracleSql(Pipelines.hyperplanes(16, 64),
+      Pipelines.pqCodebooks(64, 8, 16), "vec_id < 10",
+      nProbe = 8, candidates = 20, k = 5)
+
+  /** s22 replays the SAME IVFADC pipeline from the POST-rebuild literals:
+    * the 8-centroid family + negated codebooks the rebuild landed, at the
+    * gate's nProbe/candidates/k — correct only if the overwrite really
+    * swapped contents, centroids, and codebooks together. */
+  private def s22OracleSql: String =
+    ivfPqOracleSql(Pipelines.hyperplanes(8, 64), s22RebuildBooks,
+      "vec_id < 10", nProbe = 4, candidates = 8, k = 3)
+
+  /** Shared IVF+PQ (IVFADC) replay: probe/assignment/codes/LUTs/ADC/
+    * rerank from centroid + codebook literals — s18 with the build-time
+    * family, s22 with the family the rebuild landed. */
+  private def ivfPqOracleSql(cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], queryPred: String,
+      nProbe: Int, candidates: Int, k: Int): String = {
+    val nCent = cents.length
     def centLit(p: Array[Double]): String = p.mkString("[", ",", "]")
-    val centScores = (0 until 16)
+    val centScores = (0 until nCent)
       .map(c => s"list_dot_product(emb, ${centLit(cents(c))})")
       .mkString("[\n ", ",\n ", "\n]")
-    val books = Pipelines.pqCodebooks(64, 8, 16)
-    val m = 8
-    val sub = 8
+    val m = books.length
+    val sub = 64 / m
     def litArr(p: Array[Double]): String = p.mkString("[", ",", "]")
     def sliceExpr(mi: Int): String = s"emb[${mi * sub + 1}:${(mi + 1) * sub}]"
     def scoreArr(mi: Int): String =
@@ -675,10 +743,10 @@ object Similarity {
        |corpus AS (SELECT vec_id, list_position(s, list_max(s)) - 1 AS cl FROM sc),
        |probe AS (
        | SELECT q.vec_id AS q_id, c.cl
-       | FROM (SELECT vec_id, s FROM sc WHERE vec_id < 10) q
-       | CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS cl) c
+       | FROM (SELECT vec_id, s FROM sc WHERE $queryPred) q
+       | CROSS JOIN (SELECT unnest(generate_series(0, ${nCent - 1})) AS cl) c
        | QUALIFY row_number() OVER (
-       |   PARTITION BY q.vec_id ORDER BY q.s[c.cl+1] DESC, c.cl DESC) <= 8),
+       |   PARTITION BY q.vec_id ORDER BY q.s[c.cl+1] DESC, c.cl DESC) <= $nProbe),
        |nc AS (
        | SELECT vec_id,
        | $codeCols
@@ -688,7 +756,7 @@ object Similarity {
        |ql AS (
        | SELECT vec_id,
        | $lutCols
-       | FROM e WHERE vec_id < 10),
+       | FROM e WHERE $queryPred),
        |cand AS (
        | SELECT p.q_id, n.vec_id AS n_id
        | FROM probe p JOIN corpus n ON n.cl = p.cl
@@ -698,7 +766,7 @@ object Similarity {
        |  row_number() OVER (PARTITION BY c.q_id ORDER BY
        |    ($adc) DESC, c.n_id) AS prernk
        | FROM cand c JOIN ql ON ql.vec_id = c.q_id JOIN nc ON nc.vec_id = c.n_id),
-       |short AS (SELECT q_id, n_id FROM pre WHERE prernk <= 20)
+       |short AS (SELECT q_id, n_id FROM pre WHERE prernk <= $candidates)
        |SELECT q_id, n_id, rnk, CAST(round(1000000 * cos) AS BIGINT) AS cos_micro
        |FROM (
        | SELECT s.q_id, s.n_id,
@@ -708,7 +776,7 @@ object Similarity {
        | FROM short s
        | JOIN e eq ON eq.vec_id = s.q_id
        | JOIN e en ON en.vec_id = s.n_id
-       |) WHERE rnk <= 5""".stripMargin
+       |) WHERE rnk <= $k""".stripMargin
   }
 
   private def s11OracleSql: String =
@@ -762,6 +830,7 @@ object Similarity {
     // the persisted index holds the full corpus under the same seeded
     // centroids, so the s20 replay covers the on-disk path verbatim
     "s21_index_range_search" -> s20OracleSql,
+    "s22_ivfpq_rebuild" -> s22OracleSql,
     "s07_knn_graph" -> lshTopKOracle(""),
     "s08_mmr_topk" ->
       // Recursive replay of the greedy MMR trajectory: each recursion

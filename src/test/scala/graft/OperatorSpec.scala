@@ -125,6 +125,51 @@ class OperatorSpec extends AnyFunSuite {
       s"rebuilt index must serve drifted queries well: $rebuiltRecall")
   }
 
+  test("s22 PQ REINDEX: rebuild lowers the quantization distortion frozen codebooks accrue under drift") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val P = graft.api.Pipelines
+    val dim = 16
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def clusters(seed: Int, nClusters: Int, perCluster: Int,
+        idBase: Long): Seq[(Long, Array[Double])] = {
+      val rng = new scala.util.Random(seed)
+      val centers = Array.fill(nClusters)(unit(Array.fill(dim)(rng.nextGaussian())))
+      for (c <- 0 until nClusters; i <- 0 until perCluster) yield {
+        val noise = Array.fill(dim)(rng.nextGaussian() * 0.12)
+        (idBase + c * perCluster + i,
+          unit(centers(c).zip(noise).map { case (a, b) => a + b }))
+      }
+    }
+    val oDf = clusters(seed = 21, nClusters = 8, perCluster = 40, idBase = 0L)
+      .toDF("id", "emb")
+    val dDf = clusters(seed = 77, nClusters = 12, perCluster = 25, idBase = 10000L)
+      .toDF("id", "emb")
+    val tmp = java.nio.file.Files.createTempDirectory("s22drift")
+      .resolve("ivfpq").toString
+    // codebooks trained on the ORIGINAL distribution, then the drifted
+    // corpus arrives through appends that quantize against them frozen
+    val m = 4
+    val frozenBooks = P.trainPqCodebooks(oDf, col("emb"), dim, m = m,
+      ks = 16, iterations = 3)
+    P.buildIvfPqIndex(oDf, col("id"), col("emb"), dim, tmp, nCentroids = 8,
+      m = m, ks = 16, codebooks = Some(frozenBooks))
+    P.appendToIvfPqIndex(dDf, col("id"), col("emb"), tmp)
+    val contents = spark.read.format("gwdelta").load(tmp)
+      .select(col("n_emb").as("emb"))
+    val frozenDist = P.pqDistortion(contents, col("emb"), dim, frozenBooks)
+    // REINDEX retrains codebooks (and centroids) over current contents
+    P.rebuildIvfPqIndex(spark, tmp, nCentroids = 8, m = m, ks = 16,
+      iterations = 3)
+    val rebuiltBooks = P.storedCodebooks(spark, tmp)
+    val rebuiltDist = P.pqDistortion(contents, col("emb"), dim, rebuiltBooks)
+    assert(rebuiltDist < frozenDist,
+      s"retraining must lower the reconstruction distortion frozen " +
+        s"codebooks accrue under drift: frozen=$frozenDist rebuilt=$rebuiltDist")
+  }
+
   test("s10 PQ: Lloyd training lowers distortion; trained codes raise recall machinery intact") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
