@@ -1,7 +1,8 @@
 package graft
 
 import graft.log.{Action, AddFile, CommitInfo, GwLog, Metadata, RemoveFile, Snapshot}
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, count, lit, not, sum, when}
 
@@ -363,36 +364,30 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       }
     }
     val affected = Seq.newBuilder[String]
-    removedAt.foreach { case (p, removedTs) =>
-      if (!live.contains(GwTable.uriKey(p)) && removedTs < cutoff) {
-        val path = new Path(p)
-        if (fs.exists(path) && (dryRun || fs.delete(path, false)))
-          affected += p
-      }
-    }
+    // tombstone-driven deletes: candidates come from the LOG (never a
+    // listing); past the distribution threshold the deletes themselves
+    // ship to executors — a post-OPTIMIZE vacuum at 100 TB has millions
+    // of tombstones, and sequential driver-side object-store deletes at
+    // ~50/s would take days
+    val tombCands = removedAt.iterator.collect {
+      case (p, removedTs)
+        if !live.contains(GwTable.uriKey(p)) && removedTs < cutoff => p
+    }.toSeq
+    affected ++= GwTable.sweepPaths(spark, conf, tombCands, dryRun)
     // crash debris: data files in owned namespaces that no commit
     // references. mtime cannot distinguish true debris from an IN-FLIGHT
     // write (a sink batch written but not yet committed), so the sweep
     // applies a minimum age floor regardless of how short `retentionMs`
     // is — an uncommitted write older than the floor is a real crash.
+    // The recursive LISTING is the other 100 TB cost: it shards by
+    // top-level child (one cheap listStatus per owned dir), and past the
+    // threshold each shard lists + filters + deletes on an executor.
     val debrisCutoff = math.min(cutoff,
       System.currentTimeMillis() - GwTable.DebrisMinAgeMs)
-    presentDirs.foreach { dir =>
-      val it = fs.listFiles(dir, /* recursive = */ true)
-      while (it.hasNext) {
-        val st = it.next()
-        val key = GwTable.uriKey(st.getPath.toString)
-        val n = st.getPath.getName
-        // .bin = DV sidecars: crash debris too when no commit references them
-        val isData = !n.startsWith(".") && !n.startsWith("_") &&
-          (n.endsWith(".parquet") || n.endsWith(".bin"))
-        if (st.isFile && isData && !referenced.contains(key) && !live.contains(key) &&
-          st.getModificationTime < debrisCutoff) {
-          if (dryRun || fs.delete(st.getPath, false))
-            affected += st.getPath.toString
-        }
-      }
-    }
+    val shards = presentDirs.flatMap(dir =>
+      fs.listStatus(dir).map(_.getPath.toString))
+    affected ++= GwTable.sweepDebris(spark, conf, shards,
+      referenced.toSet ++ live, debrisCutoff, dryRun)
     affected.result()
   }
 
@@ -2108,6 +2103,72 @@ object GwTable {
     * `compact()`. */
   val TargetDmlFileBytes: Long = 128L * 1024 * 1024
 
+  /** Below this many paths/shards a vacuum sweep stays a driver loop (a
+    * Spark job's fixed cost dwarfs a handful of deletes); at or above it
+    * the sweep ships to executors. Package-visible so tests can pin both
+    * paths. */
+  private[graft] val VacuumDistributeMin = 256
+
+  /** Delete (or dry-run probe) `paths`, returning the ones that existed
+    * and were affected. Driver loop below [[VacuumDistributeMin]]; a
+    * distributed foreach above it — object-store deletes are ~50/s
+    * sequential, so a post-OPTIMIZE million-tombstone vacuum needs the
+    * cluster. Results collect back as paths only (metadata scale). */
+  private[graft] def sweepPaths(spark: org.apache.spark.sql.SparkSession,
+      conf: Configuration, paths: Seq[String], dryRun: Boolean): Seq[String] = {
+    def sweepLocal(fs: FileSystem, ps: Iterator[String]): Iterator[String] =
+      ps.filter { p =>
+        val path = new Path(p)
+        fs.exists(path) && (dryRun || fs.delete(path, false))
+      }
+    if (paths.isEmpty) Nil
+    else if (paths.size < VacuumDistributeMin) {
+      val fs = new Path(paths.head).getFileSystem(conf)
+      sweepLocal(fs, paths.iterator).toSeq
+    } else {
+      val sconf = new SerializableHadoopConf(conf)
+      val slices = math.min(paths.size, 64)
+      spark.sparkContext.parallelize(paths, slices)
+        .mapPartitions { ps =>
+          val buf = ps.toArray
+          if (buf.isEmpty) Iterator.empty
+          else sweepLocal(new Path(buf.head).getFileSystem(sconf.value),
+            buf.iterator)
+        }.collect().toSeq
+    }
+  }
+
+  /** Debris sweep over the engine-owned namespaces, sharded by top-level
+    * child: each shard recursively lists its subtree and reaps data files
+    * (`*.parquet` / DV `*.bin`) that no commit references and that are
+    * older than `floor`. Driver loop below [[VacuumDistributeMin]] shards;
+    * distributed above it — the LISTING of a 100 TB table's millions of
+    * files is the cost, and it parallelizes per shard. `keep` holds every
+    * referenced-or-live uriKey (broadcast once, read by all shards). */
+  private[graft] def sweepDebris(spark: org.apache.spark.sql.SparkSession,
+      conf: Configuration, shards: Seq[String], keep: Set[String],
+      floor: Long, dryRun: Boolean): Seq[String] =
+    if (shards.isEmpty) Nil
+    else if (shards.size < VacuumDistributeMin) {
+      val fs = new Path(shards.head).getFileSystem(conf)
+      shards.flatMap(s => VacuumSweep.sweepShard(fs, s, keep, floor, dryRun))
+    } else {
+      val sconf = new SerializableHadoopConf(conf)
+      val keepBc = spark.sparkContext.broadcast(keep)
+      val slices = math.min(shards.size, 64)
+      try spark.sparkContext.parallelize(shards, slices)
+        .mapPartitions { ss =>
+          val buf = ss.toArray
+          if (buf.isEmpty) Iterator.empty
+          else {
+            val fs = new Path(buf.head).getFileSystem(sconf.value)
+            buf.iterator.flatMap(s =>
+              VacuumSweep.sweepShard(fs, s, keepBc.value, floor, dryRun))
+          }
+        }.collect().toSeq
+      finally keepBc.unpersist(blocking = false)
+    }
+
   /** Scheme-insensitive identity for a file path: the scan's
     * `_metadata.file_path` comes back as a full URI (`file:///t/p.parquet`)
     * while log paths may be plain (`/t/p.parquet`) — both must key equal. */
@@ -2149,4 +2210,29 @@ object GwTable {
 
   def uriKeyScanned(p: String): String =
     scala.util.Try(uriKey(new Path(new java.net.URI(p)).toString)).getOrElse(uriKey(p))
+}
+
+/** Executor-side worker for `GwTable.sweepDebris`: its own top-level module
+  * (Serializable) so the distributed closure captures IT, not the GwTable
+  * companion. One shard = one recursive listing = one task. */
+private[graft] object VacuumSweep extends Serializable {
+  def sweepShard(fs: FileSystem, shard: String, keep: Set[String],
+      floor: Long, dryRun: Boolean): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(new Path(shard), /* recursive = */ true)
+    while (it.hasNext) {
+      val st = it.next()
+      val key = GwTable.uriKey(st.getPath.toString)
+      val n = st.getPath.getName
+      // .bin = DV sidecars: crash debris too when no commit references them
+      val isData = !n.startsWith(".") && !n.startsWith("_") &&
+        (n.endsWith(".parquet") || n.endsWith(".bin"))
+      if (st.isFile && isData && !keep.contains(key) &&
+        st.getModificationTime < floor) {
+        if (dryRun || fs.delete(st.getPath, false))
+          out += st.getPath.toString
+      }
+    }
+    out.result()
+  }
 }
