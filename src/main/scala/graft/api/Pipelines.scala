@@ -1413,6 +1413,70 @@ object Pipelines {
     } finally { sh.unpersist(); () }
   }
 
+  /**
+   * Directed containment near-dup pairs (d19) — C(A→B) =
+   * |shingles(A) ∩ shingles(B)| / |shingles(A)|, the one-sided Jaccard.
+   * A 200-word document quoted whole inside a 20k-word one has symmetric
+   * Jaccard ~0.01 (invisible to d04 at any usable threshold) but
+   * containment ~1.0 — this is the measure that catches embedded quotes,
+   * concatenated corpora, and boilerplate-wrapped reposts.
+   *
+   * Candidate generation is the prefix filter applied to the CONTAINED
+   * side only: if 1000·|A∩B| >= t·|A|, at most |A| - ceil(t·|A|/1000)
+   * of A's shingles can miss B, so A's (|A| - ceil(t·|A|/1000) + 1)
+   * rarest shingles must hit B — A's prefix joins the FULL shingle index
+   * (recall 1.0; deliberately NO length blocking, containment is
+   * length-asymmetric by design). Rarest-first prefixes keep the join
+   * keys rare, so the inverted-index fan-out stays bounded; the exact
+   * intersection count then verifies every candidate, with the threshold
+   * as an integer cross-multiply (engine-exact, no rounding at the
+   * boundary). Output: (doc_a contained-in doc_b, cont_permille), both
+   * directions reported independently.
+   */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+      blocks: Seq[Column], thresholdPermille: Int): DataFrame = {
+    require(thresholdPermille >= 1 && thresholdPermille <= 1000,
+      s"thresholdPermille must be in [1, 1000]: $thresholdPermille")
+    val sh = shingleRows(df, id, text, blocks).persist()
+    try {
+      val blockNames = sh.columns.filter(c => c != "__id" && c != "s").toSeq
+      val joinKeys = blockNames :+ "s"
+      val freq = sh.groupBy(joinKeys.map(col): _*).agg(count(lit(1)).as("df"))
+      val byRarity = Window.partitionBy("__id").orderBy(col("df"), col("s"))
+      val prefix = sh
+        .join(freq, joinKeys)
+        .withColumn("pos_in_doc", row_number().over(byRarity))
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("__id")))
+        // integer ceil: ceil(t*sz/1000) = (t*sz + 999) div 1000 — exact,
+        // no double-rounding epsilon needed
+        .filter(expr(s"pos_in_doc <= sz - " +
+          s"((${thresholdPermille}L * sz + 999L) div 1000L) + 1"))
+        .select((joinKeys.map(col) :+ col("__id")): _*)
+      val candidates = prefix
+        .select((joinKeys.map(col) :+ col("__id").as("doc_a")): _*)
+        .join(sh.select((joinKeys.map(col) :+ col("__id").as("doc_b")): _*),
+          joinKeys)
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+      val sizes = sh.groupBy("__id").agg(count(lit(1)).as("sz"))
+      val inter = candidates
+        .join(sh.select(col("__id").as("doc_a"), col("s")), Seq("doc_a"))
+        .join(sh.select(col("__id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("__id").as("doc_a"), col("sz").as("sz_a")),
+          Seq("doc_a"))
+        .filter(lit(1000L) * col("inter") >=
+          lit(thresholdPermille.toLong) * col("sz_a"))
+        .select(col("doc_a"), col("doc_b"),
+          round(lit(1000.0) * col("inter") / col("sz_a"))
+            .cast("long").as("cont_permille"))
+        .localCheckpoint(true)
+    } finally { sh.unpersist(); () }
+  }
+
   // ------------------------------------------------------------- vectors
 
   /** Sequential-fold dot product in doubles over array<float> columns —

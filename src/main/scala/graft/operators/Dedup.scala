@@ -39,6 +39,17 @@ object Dedup {
     Pipelines.ngramJaccardPairs(docs(spark, dir), col("doc_id"), col("text"),
       Seq(col("lang"), expr("n_chars div 100").as("len_block")), threshold = 0.2)
 
+  /** d19: directed containment pairs — the one-sided Jaccard (see
+    * [[Pipelines.containmentPairs]]) that catches a short document
+    * embedded in a longer one, which symmetric Jaccard dilutes below any
+    * usable threshold. Language-blocked only: NO length block, because
+    * containment is length-asymmetric by design. Oracle = exact directed
+    * all-pairs (valid by the contained-side prefix filter's recall 1.0),
+    * thresholded by the same integer cross-multiply. */
+  def d19ContainmentDedup(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.containmentPairs(docs(spark, dir), col("doc_id"), col("text"),
+      Seq(col("lang")), thresholdPermille = 500)
+
   /** Explicitly the EXACT all-pairs form: d05 is the oracle-checkable gate
     * for near-dup arithmetic; the library default (`cosineNearDupPairs`)
     * routes to the sub-quadratic ANN path gated as d06. */
@@ -206,6 +217,7 @@ object Dedup {
     "d16_semdedup_clusters" -> d16SemDedupClusters _,
     "d17_semantic_decontamination" -> d17SemanticDecontamination _,
     "d18_fuzzy_dedup_apply" -> d18FuzzyDedupApply _,
+    "d19_containment_dedup" -> d19ContainmentDedup _,
   )
 
   // shared SQL pieces so the d04 and d08 oracles cannot silently diverge
@@ -384,6 +396,16 @@ object Dedup {
         | $JaccExpr AS jacc_permille
         |$PairJoin
         |WHERE $JaccExpr >= 200""".stripMargin,
+    // directed all-pairs containment within lang (exact form: valid by the
+    // contained-side prefix filter's recall 1.0), integer cross-multiply
+    // threshold so the boundary is engine-exact
+    "d19_containment_dedup" ->
+      s"""WITH $ShingleCte
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(round(1000.0 * len(list_intersect(a.sh, b.sh)) / len(a.sh)) AS BIGINT)
+        |   AS cont_permille
+        |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |WHERE 1000 * len(list_intersect(a.sh, b.sh)) >= 500 * len(a.sh)""".stripMargin,
     "d09_chunk_dedup" ->
       """WITH w AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS w,
