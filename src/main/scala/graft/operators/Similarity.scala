@@ -712,7 +712,7 @@ object Similarity {
   /** Shared IVF+PQ (IVFADC) replay: probe/assignment/codes/LUTs/ADC/
     * rerank from centroid + codebook literals — s18 with the build-time
     * family, s22 with the family the rebuild landed. */
-  private def ivfPqOracleSql(cents: Array[Array[Double]],
+  private[graft] def ivfPqOracleSql(cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]], queryPred: String,
       nProbe: Int, candidates: Int, k: Int): String = {
     val nCent = cents.length

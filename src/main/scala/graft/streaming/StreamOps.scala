@@ -978,6 +978,55 @@ object StreamOps {
     spark.table(name)
   }
 
+
+  /** st17: streaming ingest into the PERSISTED IVF+PQ index — st13's
+    * exactly-once contract through the IVFADC table: each micro-batch
+    * assigns against the FROZEN stored centroids, quantizes against the
+    * FROZEN stored codebooks, and lands as one transactional append with
+    * a stream-scoped txnId (a replayed (stream, batch) commits nothing,
+    * pinned in-gate by re-appending the drained batch). Search sees the
+    * streamed vectors immediately; contents equal the one-shot build, so
+    * the oracle is the full-corpus IVFADC replay. Codebook refresh is
+    * [[graft.api.Pipelines.rebuildIvfPqIndex]]'s job (s22), never the
+    * stream's. */
+  def st17StreamPqIndexIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.Pipelines
+    val tmp = java.nio.file.Files.createTempDirectory("st17")
+      .resolve("ivfpq").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    Pipelines.buildIvfPqIndex(e.filter(col("vec_id") % 5 =!= 0),
+      col("vec_id"), col("embedding"), dim = 64, indexPath = tmp)
+    val t = graft.GwTable.forPath(spark, tmp)
+    val v0 = t.snapshot().version
+    val stage = java.nio.file.Files.createTempDirectory("st17stage")
+      .resolve("in").toString
+    e.filter(col("vec_id") % 5 === 0).coalesce(1).write.parquet(stage)
+    val streamId = java.util.UUID.randomUUID().toString
+    @volatile var lastBatch = -1L
+    val q = spark.readStream.schema(e.schema).parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lastBatch = batchId
+        Pipelines.appendToIvfPqIndex(batch, col("vec_id"), col("embedding"),
+          tmp, txnId = Some(s"$streamId/$batchId")); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val vAfter = t.snapshot().version
+    require(vAfter > v0 && lastBatch >= 0L, "the stream must commit")
+    // exactly-once: replaying the drained batch's txn commits NOTHING
+    Pipelines.appendToIvfPqIndex(e.filter(col("vec_id") % 5 === 0),
+      col("vec_id"), col("embedding"), tmp,
+      txnId = Some(s"$streamId/$lastBatch"))
+    require(t.snapshot().version == vAfter,
+      "a replayed (stream, batch) txn must not re-commit")
+    Pipelines.ivfPqIndexTopK(
+      e.filter(col("vec_id") >= 20 && col("vec_id") < 30),
+      col("vec_id"), col("embedding"), tmp, k = 5, nProbe = 8,
+      candidates = 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> st01WindowedCounts _,
     "st02_stream_state" -> st02StatefulSessions _,
@@ -995,6 +1044,7 @@ object StreamOps {
     "st14_backfill_admission" -> st14BackfillAdmission _,
     "st15_late_data_dlq" -> st15LateDataDlq _,
     "st16_streaming_asof_join" -> st16StreamingAsofJoin _,
+    "st17_stream_pq_index" -> st17StreamPqIndexIngest _,
   )
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming
@@ -1058,6 +1108,13 @@ object StreamOps {
     // centroid-literal SQL) over this gate's query window.
     "st13_stream_index" ->
       graft.operators.Similarity.ivfOracleSql("vec_id >= 20 AND vec_id < 30"),
+    // full-corpus IVFADC replay (build + streamed appends = the corpus)
+    // with st17's own query window
+    "st17_stream_pq_index" ->
+      graft.operators.Similarity.ivfPqOracleSql(
+        graft.api.Pipelines.hyperplanes(16, 64),
+        graft.api.Pipelines.pqCodebooks(64, 8, 16),
+        "vec_id >= 20 AND vec_id < 30", nProbe = 8, candidates = 20, k = 5),
     // admission slices the initial snapshot but must deliver it exactly
     "st14_backfill_admission" ->
       "SELECT * FROM nation WHERE n_nationkey < 6",
