@@ -617,6 +617,68 @@ object Multimodal {
     }(encoder)
   }
 
+
+  // ---------------------------------------------------------------- m11
+  /** Cross-modal duplicate clustering: a "post" is an (image, caption)
+    * pair and duplication spreads through EITHER modality — an image
+    * repost under a fresh caption (every 5th doc: one-pixel-perturbed
+    * PNG) and a caption repost over a different image (every 7th doc:
+    * same text, new image basis) must land in the ORIGINAL's cluster even
+    * though no single modality connects all three members. Edges =
+    * perceptual Hamming pairs (m07's real-decode aHash, <= 2 bits) UNION
+    * exact-caption pairs (content-digest equality, the d01 shape);
+    * components via the shared min-label propagation; isolated members
+    * keep their own id. The oracle replays hashes, banding, caption
+    * pairs, and the component recurrence in SQL. */
+  def m11CrossModalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val memSchema = StructType(Seq(
+      StructField("member_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("caption", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(memSchema)
+    val members = docs(spark, dir)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"),
+        col("text"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (id, n, tx) = (r.getLong(0), r.getLong(1), r.getString(2))
+          val out = scala.collection.mutable.ArrayBuffer(
+            Row(id, PngCodec.encode(id, n), tx))
+          if (id % 5 == 0)
+            out += Row(id + 10000L, PngCodec.encode(id, n, perturb = true),
+              s"variant-$id")
+          if (id % 7 == 0)
+            out += Row(id + 20000L, PngCodec.encode(id + 20000L, n), tx)
+          out.iterator
+        }
+      }(enc).persist()
+    try {
+      val hashSchema = StructType(Seq(
+        StructField("member_id", LongType, nullable = false),
+        StructField("ahash", LongType, nullable = false)))
+      val hashEnc = org.apache.spark.sql.Encoders.row(hashSchema)
+      val hashes = members.mapPartitions { rows =>
+        val decoder = new PngDecoder
+        rows.map(r => Row(r.getLong(0),
+          decoder.blockMeanHash(r.getAs[Array[Byte]](1))))
+      }(hashEnc)
+      val imgPairs = graft.api.Pipelines.hammingNearDupPairs(
+        hashes, col("member_id"), col("ahash"), maxHamming = 2)
+        .select(col("doc_a"), col("doc_b"))
+      val tkey = members.select(col("member_id"), md5(col("caption")).as("k"))
+      val textPairs = tkey.as("a").join(tkey.as("b"),
+        col("a.k") === col("b.k") && col("a.member_id") < col("b.member_id"))
+        .select(col("a.member_id").as("doc_a"), col("b.member_id").as("doc_b"))
+      val comps = graft.api.Pipelines.connectedComponents(
+        imgPairs.unionAll(textPairs).distinct(), col("doc_a"), col("doc_b"))
+      members.select(col("member_id"))
+        .join(comps, col("member_id") === col("node"), "left")
+        .select(col("member_id"),
+          coalesce(col("component"), col("member_id")).as("component"))
+        .localCheckpoint(true)
+    } finally { members.unpersist(); () }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> m01BinaryMeta _,
     "m02_frame_sample" -> m02FrameSample _,
@@ -628,9 +690,69 @@ object Multimodal {
     "m08_audio_fingerprint" -> m08AudioFingerprint _,
     "m09_image_dedup" -> m09ImageDedup _,
     "m10_video_neardup" -> m10VideoNearDup _,
+    "m11_crossmodal_dedup" -> m11CrossModalDedup _,
   )
 
   val oracles: Map[String, String] = Map(
+    // cross-modal components: the m07 aHash replay over the 3-class member
+    // zoo, caption-equality pairs, and the d08 component recurrence
+    "m11_crossmodal_dedup" ->
+      """WITH RECURSIVE mem AS (
+        | SELECT doc_id AS mid, doc_id AS sid, 0 AS pert,
+        |  n_chars % 40 + 8 AS w, doc_id % 24 + 8 AS h, text AS cap
+        | FROM documents
+        | UNION ALL
+        | SELECT doc_id + 10000, doc_id, 1,
+        |  n_chars % 40 + 8, doc_id % 24 + 8, 'variant-' || doc_id
+        | FROM documents WHERE doc_id % 5 = 0
+        | UNION ALL
+        | SELECT doc_id + 20000, doc_id + 20000, 0,
+        |  n_chars % 40 + 8, (doc_id + 20000) % 24 + 8, text
+        | FROM documents WHERE doc_id % 7 = 0),
+        |px AS (
+        | SELECT m.mid,
+        |  (x.x*31 + y.y*17 + m.sid*7) % 256
+        |   + (x.x*31 + y.y*17 + m.sid*7 + 11) % 256
+        |   + CASE WHEN m.pert = 1 AND x.x = 3 AND y.y = 3
+        |      THEN ((x.x*31 + y.y*17 + m.sid*7 + 22) % 256 + 1) % 256
+        |      ELSE (x.x*31 + y.y*17 + m.sid*7 + 22) % 256 END AS gray,
+        |  (y.y * 8) // m.h * 8 + (x.x * 8) // m.w AS slot
+        | FROM mem m
+        | JOIN (SELECT unnest(generate_series(0, 46)) AS x) x ON x.x < m.w
+        | JOIN (SELECT unnest(generate_series(0, 30)) AS y) y ON y.y < m.h),
+        |blk AS (SELECT mid, slot, sum(gray) AS bs, count(*) AS bn FROM px GROUP BY 1, 2),
+        |tot AS (SELECT mid, sum(gray) AS ts, count(*) AS tn FROM px GROUP BY 1),
+        |hash AS (
+        | SELECT b.mid,
+        |  CAST(sum(CASE
+        |    WHEN b.bs * t.tn <= t.ts * b.bn THEN 0
+        |    WHEN b.slot = 63 THEN -9223372036854775807 - 1
+        |    ELSE 1::BIGINT << CAST(b.slot AS INT) END) AS BIGINT) AS ahash
+        | FROM blk b JOIN tot t USING (mid) GROUP BY 1),
+        |bands AS (
+        | SELECT mid, ahash, c.c AS chunk, (ahash >> (16 * c.c)) & 65535 AS chunk_val
+        | FROM hash, (SELECT unnest(generate_series(0, 3)) AS c) c),
+        |ipairs AS (
+        | SELECT DISTINCT a.mid AS doc_a, b.mid AS doc_b
+        | FROM bands a JOIN bands b
+        |   ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.mid < b.mid
+        | WHERE bit_count(xor(a.ahash, b.ahash)) <= 2),
+        |tpairs AS (
+        | SELECT a.mid AS doc_a, b.mid AS doc_b
+        | FROM mem a JOIN mem b ON a.cap = b.cap AND a.mid < b.mid),
+        |upairs AS (SELECT * FROM ipairs UNION SELECT * FROM tpairs),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM upairs
+        |          UNION SELECT doc_b, doc_a FROM upairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach(node, label) AS (
+        | SELECT node, node FROM nodes
+        | UNION
+        | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+        |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY 1)
+        |SELECT m.mid AS member_id,
+        | CAST(coalesce(c.component, m.mid) AS BIGINT) AS component
+        |FROM mem m LEFT JOIN comp c ON c.node = m.mid""".stripMargin,
+
     // m10: per-frame replay of the m06/m07 hash chain (frame id =
     // doc*10+f gives each frame its own dims and pixels), the bitwise
     // 2-of-3 majority signature, and the shared banding + verify
