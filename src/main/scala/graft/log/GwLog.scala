@@ -276,6 +276,8 @@ class GwLog(val tablePath: Path, conf: Configuration,
   /** What the most recent [[snapshot]] call on this instance actually
     * read: (checkpoint used, commit JSONs read, compacted segments read).
     * Diagnostic only — gates pin that compaction shrinks the replay tail. */
+  @volatile private var snapCache: (Long, Snapshot) = _
+
   @volatile private[graft] var lastReplayReads: (Option[Long], Seq[Long], Seq[(Long, Long)]) =
     (None, Nil, Nil)
 
@@ -816,6 +818,18 @@ class GwLog(val tablePath: Path, conf: Configuration,
     require(
       versions.contains(upTo),
       s"Version $upTo not found at $logDir (have ${versions.headOption.getOrElse(-1L)}..${versions.lastOption.getOrElse(-1L)})")
+    // Content at a fixed version is immutable (commits are never
+    // rewritten; checkpoints/segments only change HOW a version replays,
+    // never what it contains), so the last materialized snapshot is
+    // cached per instance keyed by its resolved version. A commit's 4-6
+    // internal snapshot() calls collapse to one replay — at object-store
+    // latencies this is most of the non-write commit cost. The version
+    // check above still runs on every call, so an external writer's new
+    // commit is always picked up. Replay DIAGNOSTICS (lastReplayReads)
+    // update only on a real replay: mechanism assertions (torn-artifact
+    // fallbacks etc.) belong on a fresh reader instance.
+    val cached = snapCache
+    if (cached != null && cached._1 == upTo) return cached._2
     // the replay tail with compacted segments substituted greedily: at
     // each expected version, the widest committed `<v>.<e>.compacted.json`
     // with e <= upTo replaces reading commits v..e one by one; an
@@ -877,6 +891,7 @@ class GwLog(val tablePath: Path, conf: Configuration,
     // misread. Unknown WRITER-only features pass here — readers may read
     // them by spec; the write paths gate separately (assertWritable).
     snap.protocol.foreach(p => Protocol.assertReadable(tablePath.toString, p))
+    snapCache = (upTo, snap)
     snap
   }
 
