@@ -117,6 +117,59 @@ object Dv {
     inline ++ onDisk
   }
 
+  /** Distributed [[writeDvs]]: each non-empty partition of `perFile`
+    * frames its bitmaps into its OWN sidecar under `<table>/_dv/` (same
+    * per-DV `[size][bitmap][CRC-32]` layout, one file per task instead of
+    * one per commit) and ships back DESCRIPTORS only — so the driver's
+    * memory stays O(DV'd files), never O(deleted rows / 8), which is what
+    * a DELETE touching a million files of a 100 TB table needs. Small
+    * bitmaps still become inline descriptors (no file open per scan task).
+    * A retried/speculated task leaves an unreferenced sidecar behind;
+    * vacuum's debris sweep owns `_dv/` and reaps exactly those. */
+  def writeDvsDistributed(spark: SparkSession, tablePath: String,
+      perFile: org.apache.spark.sql.Dataset[(String, Array[Byte], Long)]): Map[String, DvDescriptor] = {
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val tp = tablePath
+    perFile.mapPartitions { iter =>
+      var out: org.apache.hadoop.fs.FSDataOutputStream = null
+      var target: Path = null
+      var offset = 1L
+      val res = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, String, Int, Int, Long)]
+      try {
+        iter.foreach { case (p, bytes, card) =>
+          if (bytes.length <= InlineMaxBytes)
+            res += ((p, "i", RoaringBitmapArray.z85Encode(bytes), -1,
+              bytes.length, card))
+          else {
+            if (out == null) {
+              val unq = new Path(tp, s"_dv/${java.util.UUID.randomUUID()}.bin")
+              val fs = unq.getFileSystem(conf.value)
+              target = fs.makeQualified(unq)
+              fs.mkdirs(target.getParent)
+              out = fs.create(target, false)
+              out.write(1) // sidecar format version
+            }
+            require(offset <= Int.MaxValue.toLong - bytes.length - 8,
+              s"DV sidecar exceeds 2 GiB at $target — split the operation")
+            res += ((p, "p", target.toString, offset.toInt, bytes.length, card))
+            out.writeInt(bytes.length)
+            out.write(bytes)
+            val crc = new CRC32()
+            crc.update(bytes)
+            out.writeInt(crc.getValue.toInt)
+            offset += 4L + bytes.length + 4L
+          }
+        }
+      } finally if (out != null) out.close()
+      res.iterator
+    }.collect().map { case (p, st, pi, off, size, card) =>
+      GwTable.uriKey(p) -> DvDescriptor(
+        st, pi, if (off < 0) None else Some(off), size, card)
+    }.toMap
+  }
+
   /** All (dv_path, pos) rows of `files`' CURRENT deletion vectors as a
     * distributed DataFrame: the driver ships descriptors only; each task
     * decodes its slice of bitmaps executor-side. `dv_path` is the DATA

@@ -467,9 +467,11 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
   /** Re-assert `files` with deletion vectors grown by the positions of
     * every row matching `hit` (rows an earlier DV already deleted union
     * in harmlessly). Each file's bitmap is built by the EXECUTORS
-    * (groupByKey on the file path); the driver collects only the
-    * compressed bitmaps — ≈ cardinality/8 bits worst case, usually far
-    * less — and frames them into one sidecar (small ones inline).
+    * ([[graft.functions.DvPositionsAgg]], map-side combining, one
+    * exchange of packed position blobs), and the sidecars are WRITTEN by
+    * the executors too ([[Dv.writeDvsDistributed]], one per task); the
+    * driver collects descriptors only — O(DV'd files), independent of how
+    * many rows the predicate deletes.
     * Returns (original snapshot entry, DV'd re-assertion) pairs — the
     * commit needs the original to detect concurrent mutation. */
   private def buildDvAdds(snap: Snapshot, files: Seq[AddFile],
@@ -491,19 +493,20 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         .select(col("enc_path"), col("pos"))
         .join(org.apache.spark.sql.functions.broadcast(mapping), Seq("enc_path"))
         .select("dv_path", "pos")
+      // ONE map-side-combining aggregate, not distinct()+groupByKey: each
+      // input partition packs its positions per file locally and the
+      // single exchange carries packed blobs, not per-row (path, pos)
+      // Tungsten rows twice over; eval sorts+dedups, which is what the
+      // distinct() bought (see DvPositionsAgg scaladoc)
       val perFile = newRows
         .unionByName(Dv.positionsDF(spark, files))
-        .distinct()
-        .as[(String, Long)]
-        .groupByKey(_._1)
-        .mapGroups { (path, rows) =>
-          val pos = rows.map(_._2).toArray
-          java.util.Arrays.sort(pos)
-          (path, graft.log.RoaringBitmapArray.serialize(pos), pos.length.toLong)
-        }
-        .collect().toSeq
-      val descs = Dv.writeDvs(
-        spark.sparkContext.hadoopConfiguration, tablePath, perFile)
+        .groupBy(col("dv_path"))
+        .agg(graft.functions.DvPositionsAgg(col("pos")).as("dv"))
+        .select(col("dv_path"), col("dv.bitmap"), col("dv.card"))
+        .as[(String, Array[Byte], Long)]
+      // sidecars written WHERE the bitmaps land (one per task); the driver
+      // collects descriptors only — O(DV'd files), never O(deleted rows)
+      val descs = Dv.writeDvsDistributed(spark, tablePath, perFile)
       files.map { f =>
         val d = descs.getOrElse(GwTable.uriKey(f.path),
           throw new IllegalStateException(
