@@ -1947,6 +1947,90 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     }
   }
 
+  /**
+   * `ALTER TABLE ... DROP FEATURE <name> [TRUNCATE HISTORY]` — the
+   * protocol DOWNGRADE path (Delta's drop-feature contract, the exit door
+   * the auto-upgrade in [[graft.log.GwLog]] has no reverse for). Dropping
+   * is refused until the feature is genuinely unused:
+   *
+   *  1. The CURRENT snapshot must carry no trace (live deletion vectors,
+   *     a mapped schema, an enabling table property, live domains, ...) —
+   *     each refusal names the maintenance step that clears it (REORG,
+   *     UNSET TBLPROPERTIES, ...).
+   *  2. For READER features the retained HISTORY must be trace-free too: a
+   *     downgraded reader replays old commits, and an add carrying a
+   *     deletion vector (or a mapped schema, NTZ column, v2-checkpoint
+   *     policy) in any retained version would be misread. `TRUNCATE
+   *     HISTORY` clears this the way Delta does — checkpoint the head,
+   *     expire every older version (time travel below the checkpoint is
+   *     deliberately lost) — and is required exactly when traces remain.
+   *     Writer-only features skip this: an old reader never ran the
+   *     write-path enforcement in the first place.
+   *
+   * The downgrade itself is one metadata-scale commit (a [[graft.log.Protocol]]
+   * with the feature removed from both lists), re-validated against the
+   * fresh snapshot on every OCC retry so a concurrent writer re-using the
+   * feature aborts the drop instead of being stranded unreadable. History
+   * walks are one small-object read per retained version — maintenance
+   * cost, independent of data size. Returns the committed version.
+   */
+  def dropFeature(feature: String, truncateHistory: Boolean = false): Long = {
+    import graft.log.Protocol
+    val snap0 = gwLog.snapshot(None)
+    val p0 = snap0.protocol.getOrElse(throw new IllegalArgumentException(
+      s"$tablePath uses the legacy protocol — it lists no table features to drop"))
+    def listed(p: Protocol): Boolean =
+      p.readerFeatures.getOrElse(Nil).contains(feature) ||
+        p.writerFeatures.getOrElse(Nil).contains(feature)
+    require(listed(p0),
+      s"feature '$feature' is not in $tablePath's protocol (reader: " +
+        s"${p0.readerFeatures.getOrElse(Nil).mkString(", ")}; writer: " +
+        s"${p0.writerFeatures.getOrElse(Nil).mkString(", ")})")
+    GwTable.featureTraceInSnapshot(feature, snap0).foreach(msg =>
+      throw new IllegalStateException(
+        s"cannot drop feature '$feature' from $tablePath: $msg"))
+    if (p0.readerFeatures.getOrElse(Nil).contains(feature)) {
+      def traced: Seq[Long] = gwLog.listVersions().filter(v =>
+        gwLog.readVersion(v).exists(GwTable.actionUsesFeature(feature, _)))
+      val before = traced
+      if (before.nonEmpty && !truncateHistory)
+        throw new IllegalStateException(
+          s"cannot drop reader feature '$feature' from $tablePath: retained " +
+            s"history still carries it (version${if (before.size == 1) "" else "s"} " +
+            s"${before.take(8).mkString(", ")}${if (before.size > 8) ", ..." else ""}) " +
+            "and a downgraded reader would misread those versions. Re-run as " +
+            s"ALTER TABLE ... DROP FEATURE $feature TRUNCATE HISTORY to " +
+            "checkpoint the head and expire them (time travel below the new " +
+            "checkpoint is lost)")
+      if (truncateHistory && before.nonEmpty) {
+        gwLog.latestVersion().foreach(gwLog.writeCheckpoint)
+        cleanupMetadata(retentionMs = 0L)
+        val after = traced
+        require(after.isEmpty,
+          s"TRUNCATE HISTORY left feature traces at version" +
+            s"${if (after.size == 1) "" else "s"} ${after.mkString(", ")} — " +
+            "the head commit itself still uses the feature; clear the " +
+            "current state first")
+      }
+    }
+    graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+      val snap = gwLog.snapshot(None)
+      GwTable.featureTraceInSnapshot(feature, snap).foreach(msg =>
+        throw new IllegalStateException(
+          s"cannot drop feature '$feature' from $tablePath: a concurrent " +
+            s"commit re-introduced it ($msg)"))
+      val p = snap.protocol.getOrElse(Protocol())
+      val down = p.copy(
+        readerFeatures = p.readerFeatures.map(_.filterNot(_ == feature)),
+        writerFeatures = p.writerFeatures.map(_.filterNot(_ == feature)))
+      Seq(
+        down,
+        CommitInfo(System.currentTimeMillis(), "DROP FEATURE", "Downgrade",
+          numFiles = 0, numOutputBytes = 0, isBlindAppend = false,
+          txnId = java.util.UUID.randomUUID().toString))
+    }
+  }
+
   /** Commit history as a DataFrame (version, timestamp, operation, ...). */
   def history: DataFrame = {
     import spark.implicits._
@@ -2080,6 +2164,116 @@ object GwTable {
     * the ingest path by the injected rule, see
     * [[org.apache.spark.sql.graftbridge.GwConstraintRule]]). */
   val GeneratedPrefix = "graft.generated."
+
+  /** Does the CURRENT snapshot still use `feature`? Some(guidance) when it
+    * does — every refusal names the maintenance step that clears the trace
+    * — None when the feature is droppable as far as current state goes. */
+  private[graft] def featureTraceInSnapshot(
+      feature: String, snap: Snapshot): Option[String] = {
+    val conf = snap.metadata.map(_.configuration).getOrElse(Map.empty)
+    def propOn(base: String): Boolean = Seq(s"graft.$base", s"delta.$base")
+      .exists(k => conf.get(k).exists(_.trim.equalsIgnoreCase("true")))
+    def unsetMsg(base: String): Option[String] =
+      if (propOn(base))
+        Some(s"table property graft.$base is still true — " +
+          s"ALTER TABLE ... UNSET TBLPROPERTIES ('graft.$base') first")
+      else None
+    def prefixed(prefix: String, what: String): Option[String] = {
+      val ks = conf.keys.filter(_.startsWith(prefix)).toSeq.sorted
+      if (ks.nonEmpty)
+        Some(s"$what still declared (${ks.take(4).mkString(", ")}" +
+          s"${if (ks.size > 4) ", ..." else ""}) — unset them first")
+      else None
+    }
+    def hasNtz(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.TimestampNTZType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasNtz(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasNtz(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
+      case _ => false
+    }
+    feature match {
+      case "deletionVectors" =>
+        val n = snap.files.count(_.dv.isDefined)
+        if (n > 0)
+          Some(s"$n live file${if (n == 1) "" else "s"} still carry deletion " +
+            "vectors — run REORG TABLE ... APPLY (PURGE) first")
+        else None
+      case "columnMapping" =>
+        if (graft.log.ColumnMapping.hasMapping(snap.schema) ||
+            conf.keys.exists(_.startsWith(DroppedPhysicalPrefix)))
+          Some("the schema is still mapped (or dropped-column tombstones " +
+            "remain) — run REORG TABLE ... APPLY (PURGE) first")
+        else None
+      case "timestampNtz" =>
+        val cols = snap.schema.fields.filter(f => hasNtz(f.dataType)).map(_.name)
+        if (cols.nonEmpty)
+          Some(s"column${if (cols.length == 1) "" else "s"} " +
+            s"${cols.mkString(", ")} still typed TIMESTAMP_NTZ — change the " +
+            "type (or drop the column) first")
+        else None
+      case "typeWidening" =>
+        unsetMsg("enableTypeWidening").orElse {
+          val widened = snap.schema.fields
+            .filter(f => Option(f.metadata).exists(_.contains("gwTypeChanges")))
+            .map(_.name)
+          if (widened.nonEmpty)
+            Some(s"column${if (widened.length == 1) "" else "s"} " +
+              s"${widened.mkString(", ")} carr${if (widened.length == 1) "ies" else "y"} " +
+              "recorded type changes; files written under the narrow type " +
+              "still need up-conversion — REORG TABLE ... APPLY (PURGE) " +
+              "rewrites them and clears the records")
+          else None
+        }
+      case "v2Checkpoint" =>
+        if (Seq("graft.checkpointPolicy", "delta.checkpointPolicy")
+            .exists(k => conf.get(k).exists(_.trim.equalsIgnoreCase("v2"))))
+          Some("checkpointPolicy is still 'v2' — ALTER TABLE ... UNSET " +
+            "TBLPROPERTIES ('graft.checkpointPolicy') first")
+        else None
+      case "changeDataFeed" => unsetMsg("enableChangeDataFeed")
+      case "inCommitTimestamp" => unsetMsg("enableInCommitTimestamps")
+      case "appendOnly" => unsetMsg("appendOnly")
+      case "rowTracking" => unsetMsg("enableRowTracking")
+      case "checkConstraints" => prefixed(ConstraintPrefix, "CHECK constraints")
+      case "generatedColumns" => prefixed(GeneratedPrefix, "generated columns")
+      case "identityColumns" => prefixed(IdentityPrefix, "identity columns")
+      case "allowColumnDefaults" =>
+        if (snap.metadata.exists(_.schemaString.contains("CURRENT_DEFAULT")))
+          Some("columns still declare defaults — ALTER TABLE ... ALTER " +
+            "COLUMN ... DROP DEFAULT first")
+        else None
+      case "domainMetadata" =>
+        if (snap.domains.nonEmpty)
+          Some(s"live metadata domains remain (${snap.domains.keys.mkString(", ")}) " +
+            "— remove them first")
+        else None
+      case other =>
+        Some(s"this engine does not know how to verify '$other' is unused; " +
+          "refusing to downgrade blindly")
+    }
+  }
+
+  /** Does one LOGGED action use `feature`? The retained-history scan
+    * behind reader-feature drops: any true hit in any retained version
+    * means a downgraded reader would misread that version. */
+  private[graft] def actionUsesFeature(feature: String, a: Action): Boolean =
+    (feature, a) match {
+      case ("deletionVectors", add: AddFile) => add.dv.isDefined
+      case ("columnMapping", m: Metadata) =>
+        m.schemaString.contains(graft.log.ColumnMapping.PhysicalNameKey) ||
+          m.configuration.keys.exists(_.startsWith(DroppedPhysicalPrefix))
+      case ("timestampNtz", m: Metadata) =>
+        m.schemaString.contains("timestamp_ntz")
+      case ("typeWidening", m: Metadata) =>
+        m.schemaString.contains("gwTypeChanges") ||
+          Seq("graft.enableTypeWidening", "delta.enableTypeWidening")
+            .exists(k => m.configuration.get(k).exists(_.trim.equalsIgnoreCase("true")))
+      case ("v2Checkpoint", m: Metadata) =>
+        Seq("graft.checkpointPolicy", "delta.checkpointPolicy")
+          .exists(k => m.configuration.get(k).exists(_.trim.equalsIgnoreCase("v2")))
+      case _ => false
+    }
 
   /** Run `body` with the vacuum retention guard disabled (scoped): the
     * explicit opt-in for DELIBERATE short-retention vacuums — CI cleanup,

@@ -2541,6 +2541,106 @@ object GwCore {
     } finally hconf.unset("graft.checkpoint.partSize")
   }
 
+  // ---------------------------------------------------------------- gw63
+  /** `ALTER TABLE ... DROP FEATURE <f> [TRUNCATE HISTORY]` — the protocol
+    * DOWNGRADE the auto-upgrade has no reverse for. Pinned: (1) dropping
+    * deletionVectors refuses while LIVE files carry DVs, naming REORG as
+    * the fix; (2) after REORG the drop still refuses WITHOUT TRUNCATE
+    * HISTORY — retained history carries DV'd adds a downgraded reader
+    * would misread; (3) WITH TRUNCATE HISTORY the head checkpoints, old
+    * versions expire (time travel below dies), and the protocol sheds the
+    * feature from BOTH lists; (4) a fresh reader replays the downgraded
+    * table; (5) writer-only features (domainMetadata) drop with NO
+    * truncation once live traces clear — old readers never ran the write
+    * path; (6) unknown features refuse loudly rather than downgrade
+    * blindly; (7) content is untouched end to end (the oracle). */
+  def gw63DropFeature(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val tmp = Files.createTempDirectory("gw63")
+    val loc = tmp.resolve("db/nation").toString
+    spark.read.parquet(s"$dir/nation.parquet").createOrReplaceTempView("gw63_src")
+    spark.sql(s"CREATE TABLE gw.$ns.t (n_nationkey BIGINT, n_name STRING, " +
+      s"n_regionkey BIGINT) USING gwdelta LOCATION '$loc'")
+    spark.sql(s"INSERT INTO gw.$ns.t SELECT n_nationkey, n_name, n_regionkey FROM gw63_src")
+    val t = GwTable.forPath(spark, loc)
+    require(t.delete(col("n_nationkey") < 3, mergeOnRead = true) > 0)
+    val p1 = t.snapshot().protocol.get
+    require(p1.readerFeatures.exists(_.contains("deletionVectors")),
+      s"setup needs the DV feature, got $p1")
+    // (1) live DVs block the drop, guidance names REORG
+    val liveRefuse = try {
+      spark.sql(s"ALTER TABLE gw.$ns.t DROP FEATURE deletionVectors"); None
+    } catch { case e: Exception => Some(rootMessage(e)) }
+    require(liveRefuse.exists(m => m.contains("REORG") && m.contains("deletion")),
+      s"live DVs must refuse with REORG guidance, got: $liveRefuse")
+    spark.sql(s"REORG TABLE gw.$ns.t APPLY (PURGE)")
+    require(t.snapshot().files.forall(_.dv.isEmpty), "REORG must fold DVs")
+    // (2) history still carries DV'd adds: reader-feature drop demands
+    // TRUNCATE HISTORY
+    val histRefuse = try {
+      spark.sql(s"ALTER TABLE gw.$ns.t DROP FEATURE deletionVectors"); None
+    } catch { case e: Exception => Some(rootMessage(e)) }
+    require(histRefuse.exists(_.contains("TRUNCATE HISTORY")),
+      s"history traces must demand TRUNCATE HISTORY, got: $histRefuse")
+    // (6) unknown feature: refuse, never downgrade blindly
+    val unknownRefuse = try {
+      spark.sql(s"ALTER TABLE gw.$ns.t DROP FEATURE shinyNewThing"); None
+    } catch { case e: Exception => Some(rootMessage(e)) }
+    require(unknownRefuse.exists(_.contains("not in")),
+      s"unknown feature must refuse, got: $unknownRefuse")
+    // (3) the real drop
+    val res = spark.sql(
+      s"ALTER TABLE gw.$ns.t DROP FEATURE deletionVectors TRUNCATE HISTORY")
+      .collect()
+    require(res.length == 1 && res.head.getString(1) == "deletionVectors",
+      s"drop must report the feature, got ${res.toSeq}")
+    val p2 = t.snapshot().protocol.get
+    require(!p2.readerFeatures.exists(_.contains("deletionVectors")) &&
+      !p2.writerFeatures.exists(_.contains("deletionVectors")),
+      s"protocol must shed the feature from BOTH lists, got $p2")
+    // truncation: version 1 (the MOR delete) is gone; time travel dies
+    val ttDead = try { t.versionAsOf(1); false }
+      catch { case _: Exception => true }
+    require(ttDead, "time travel below the truncation checkpoint must fail")
+    // (4) a fresh reader replays the downgraded table
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fresh = new graft.log.GwLog(new org.apache.hadoop.fs.Path(loc), hconf)
+    require(fresh.snapshot().files.forall(_.dv.isEmpty) &&
+      !fresh.snapshot().protocol.get.readerFeatures.exists(_.contains("deletionVectors")),
+      "fresh replay must see the downgraded protocol")
+    // (5) writer-only feature lifecycle: domains on, domains off, drop
+    // WITHOUT truncation even though history carries the domain actions
+    t.setDomainMetadata("gw63.domain", """{"k":1}""")
+    val domRefuse = try {
+      spark.sql(s"ALTER TABLE gw.$ns.t DROP FEATURE domainMetadata"); None
+    } catch { case e: Exception => Some(rootMessage(e)) }
+    require(domRefuse.exists(_.contains("remove them first")),
+      s"live domains must refuse the drop, got: $domRefuse")
+    t.removeDomainMetadata("gw63.domain")
+    spark.sql(s"ALTER TABLE gw.$ns.t DROP FEATURE domainMetadata")
+    val p3 = t.snapshot().protocol.get
+    require(!p3.writerFeatures.exists(_.contains("domainMetadata")),
+      s"writer-only drop must work without TRUNCATE HISTORY, got $p3")
+    // (7) the data was never touched
+    spark.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM gw.$ns.t")
+  }
+
+  /** The deepest non-null message in a (possibly wrapped) failure chain —
+    * maintenance commands surface engine messages wrapped in Spark's
+    * command-execution exceptions. */
+  private def rootMessage(e: Throwable): String = {
+    var cur: Throwable = e
+    val sb = new StringBuilder
+    while (cur != null) {
+      if (cur.getMessage != null) { sb.append(cur.getMessage); sb.append(" | ") }
+      cur = cur.getCause
+    }
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gw01_index_read" -> gw01IndexRead _,
     "gw02_time_travel" -> gw02TimeTravel _,
@@ -2602,6 +2702,7 @@ object GwCore {
     "gw58_log_compaction" -> gw58LogCompaction _,
     "gw59_v2_checkpoint" -> gw59V2Checkpoint _,
     "gw62_incremental_checkpoint" -> gw62IncrementalCheckpoint _,
+    "gw63_drop_feature" -> gw63DropFeature _,
     "gw60_version_checksum" -> gw60VersionChecksum _,
     "gw61_domain_metadata" -> gw61DomainMetadata _,
   )
@@ -2935,6 +3036,13 @@ object GwCore {
         |JOIN (SELECT unnest(generate_series(0, 10)) % 5 AS k
         |      UNION ALL SELECT 2) c
         |  ON c.k = r.r_regionkey""".stripMargin,
+    // the nation fixture minus the MOR-deleted keys, untouched by the
+    // REORG + two protocol downgrades; every drop-feature invariant
+    // (refusals, truncation, fresh replay) is require()-pinned in-gate
+    "gw63_drop_feature" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_nationkey >= 3""".stripMargin,
     // the full orders fixture minus the merge-on-read DELETE's rows; the
     // crc/verification invariants are require()-pinned inside the gate
     "gw60_version_checksum" ->

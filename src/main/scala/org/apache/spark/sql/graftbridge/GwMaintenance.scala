@@ -87,6 +87,9 @@ object GwMaintenance {
       """\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
   private val Convert =
     """(?is)^\s*CONVERT\s+TO\s+GWDELTA\s+parquet\s*\.\s*(`[^`]+`|'[^']+'|"[^"]+")\s*;?\s*$""".r
+  private val DropFeature =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableRef +
+      """\s+DROP\s+FEATURE\s+(\w+)(?:\s+(TRUNCATE\s+HISTORY))?\s*;?\s*$""").r
 
   /** Maintenance statement -> command plan; None = not ours. */
   def parse(sql: String): Option[LogicalPlan] = sql match {
@@ -102,6 +105,8 @@ object GwMaintenance {
     case Restore(ref, v) => Some(GwRestoreCommand(ref, v.toLong))
     case RestoreTs(ref, ts) => Some(GwRestoreTimestampCommand(ref, ts))
     case Reorg(ref) => Some(GwReorgCommand(ref))
+    case DropFeature(ref, feat, trunc) =>
+      Some(GwDropFeatureCommand(ref, feat, trunc != null))
     case Convert(path) =>
       Some(GwConvertCommand(path.substring(1, path.length - 1)))
     case Clone(target, mode, source, v, loc) =>
@@ -206,6 +211,24 @@ case class GwReorgCommand(ref: String) extends GwMaintenanceCommand {
       .getOption("spark.graft.optimize.targetFileBytes")
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
     Seq(Row(path, graft.GwTable.forPath(spark, path).reorg(target)))
+  }
+}
+
+/** `ALTER TABLE t DROP FEATURE f [TRUNCATE HISTORY]`: protocol downgrade
+  * once the feature is provably unused — current-state traces refuse with
+  * the clearing maintenance step; reader features with traces in retained
+  * history demand TRUNCATE HISTORY ([[graft.GwTable.dropFeature]]). */
+case class GwDropFeatureCommand(ref: String, feature: String,
+    truncateHistory: Boolean) extends GwMaintenanceCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("feature", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GwMaintenance.resolvePath(spark, ref)
+    val v = graft.GwTable.forPath(spark, path)
+      .dropFeature(feature, truncateHistory)
+    Seq(Row(path, feature, v))
   }
 }
 
