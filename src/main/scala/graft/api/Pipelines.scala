@@ -1004,6 +1004,90 @@ object Pipelines {
    * finishes; totals ride a broadcast one-row frame, never the driver.
    * Returns (id, n_tokens, surprisal_milli) — milli-bits per token.
    */
+  /**
+   * Trigram-LM surprisal with stupid backoff (t28) — the CCNet/KenLM
+   * perplexity-filter shape one order up from [[lmSurprisalScore]]'s
+   * unigram: a token in a FREQUENT context scores cheap, a token its
+   * context has never licensed scores expensive, which separates fluent
+   * text from shuffled-word salad that unigram statistics cannot see.
+   *
+   * Model: corpus trigram/bigram/unigram counts; trigrams below
+   * `minTriCount` are PRUNED (the standard KenLM size lever — pruned
+   * lookups fall through to backoff, so pruning trades model size for
+   * score sharpness, never correctness). Score of `t` after `(w1, w2)`,
+   * in INTEGER BITS (floor-log2 via binary bit length, same engine-exact
+   * trick as [[lmSurprisalScore]] — no libm `ln` anywhere):
+   *
+   *   seen trigram:        bits(c(w1 w2)) - bits(c(w1 w2 t))
+   *   backoff to bigram:   2 + bits(c(w2)) - bits(c(w2 t))
+   *   backoff to unigram:  4 + bits(N + V) - bits(c(t) + 1)
+   *
+   * (+2 bits per backoff level = stupid backoff with alpha = 1/4, chosen
+   * so the penalty stays exact integer.)
+   *
+   * 100 TB posture: n-gram streams are built ARRAY-SIDE inside each
+   * document row (`transform` over the token array — no window, no
+   * pre-shuffle) and scoring happens at TYPE level, not token level: the
+   * (doc, trigram)-keyed partial-agg shuffle produces per-doc type counts
+   * once; the count tables and the bits-per-type join then touch only
+   * DISTINCT trigram types (orders of magnitude fewer rows than the token
+   * stream); the per-doc fold reuses the (doc, type) aggregate. All joins
+   * are equi-joins on n-gram keys — Catalyst broadcasts the count tables
+   * when they fit and shuffles them when they don't, which is the honest
+   * distributed-LM shape. Docs with fewer than 3 tokens have no trigrams
+   * and drop out (callers wanting them keep a left join on the id).
+   *
+   * Returns (id, n_trigrams, surprisal3_milli) — milli-bits per trigram.
+   */
+  def trigramLmScore(df: DataFrame, id: Column, text: Column,
+      minTriCount: Long = 2L): DataFrame = {
+    val toks = df.select(id.as("__id"), split(text, " ").as("a"))
+    def grams(n: Int, names: Seq[String]): DataFrame = {
+      val fields = names.zipWithIndex
+        .map { case (f, j) => s"a[i + $j] AS $f" }.mkString(", ")
+      toks.select(col("__id"), explode(expr(
+        s"if(size(a) < $n, array(), " +
+          s"transform(sequence(0, size(a) - $n), i -> struct($fields)))")).as("g"))
+        .select(col("__id") +: names.map(f => col(s"g.$f")): _*)
+    }
+    val tris = grams(3, Seq("w1", "w2", "t"))
+    // ONE (doc, type)-keyed aggregate feeds everything downstream: the
+    // global model counts roll up from it, and the per-doc fold never
+    // re-touches the raw trigram stream
+    val triDoc = tris.groupBy("__id", "w1", "w2", "t").agg(count(lit(1)).as("k"))
+    val tri = triDoc.groupBy("w1", "w2", "t").agg(sum("k").as("c3"))
+      .filter(col("c3") >= minTriCount)
+    val bi = grams(2, Seq("b1", "b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("c2"))
+    val uni = toks.select(explode(col("a")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum("c1").as("n"), count(lit(1)).as("v"))
+    def bits(x: Column): Column = length(bin(x)) - 1
+    val typeBits = triDoc.select("w1", "w2", "t").distinct()
+      .join(tri, Seq("w1", "w2", "t"), "left")
+      .join(bi.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("c2").as("c2_ctx")), Seq("w1", "w2"), "left")
+      .join(bi.select(col("b1").as("w2"), col("b2").as("t"),
+        col("c2").as("c2_bt")), Seq("w2", "t"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1_w2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("t"), col("c1").as("c1_t")), Seq("t"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("t"),
+        when(col("c3").isNotNull, bits(col("c2_ctx")) - bits(col("c3")))
+          .when(col("c2_bt").isNotNull,
+            lit(2) + bits(col("c1_w2")) - bits(col("c2_bt")))
+          .otherwise(
+            lit(4) + bits(col("n") + col("v")) -
+              bits(coalesce(col("c1_t"), lit(0L)) + 1))
+          .as("tb"))
+    triDoc
+      .join(typeBits, Seq("w1", "w2", "t"))
+      .groupBy("__id")
+      .agg(sum("k").as("n_trigrams"),
+        round(lit(1000.0) * sum(col("k") * col("tb")) / sum("k")).cast("long")
+          .as("surprisal3_milli"))
+  }
+
   def lmSurprisalScore(df: DataFrame, id: Column, text: Column): DataFrame = {
     val words = df.select(id.as("__id"), explode(split(text, " ")).as("w"))
     val lm = words.groupBy("w").agg(count(lit(1)).as("c"))

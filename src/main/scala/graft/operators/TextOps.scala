@@ -244,6 +244,17 @@ object TextOps {
     Pipelines.lmSurprisalScore(docs(spark, dir), col("doc_id"), col("text"))
       .withColumnRenamed("__id", "doc_id")
 
+  /** t28: trigram-LM surprisal with stupid backoff — the CCNet/KenLM
+    * perplexity-filter shape one order above t19's unigram: shuffled-word
+    * salad that unigram statistics cannot see scores expensive here
+    * because its CONTEXTS are unattested. Integer bits throughout (floor-
+    * log2 via binary length, +2 bits per backoff level), trigrams pruned
+    * below count 2 — both choices keep the oracle hash-exact with no libm
+    * `ln` on either side. */
+  def t28TrigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    Pipelines.trigramLmScore(docs(spark, dir), col("doc_id"), col("text"))
+      .withColumnRenamed("__id", "doc_id")
+
   /** t21: Unicode text normalization — the curation front door (CCNet /
     * C4 / FineWeb normalize BEFORE dedup and filtering, because 'Café'
     * and 'Café' must hash identically). The decoration prefix makes
@@ -402,6 +413,7 @@ object TextOps {
     "t25_memorization_exposure" -> t25MemorizationExposure _,
     "t26_bpe_merges" -> t26BpeMerges _,
     "t27_split_shuffle" -> t27SplitShuffle _,
+    "t28_trigram_surprisal" -> t28TrigramSurprisal _,
   )
 
   private def sqlList(lang: String): String =
@@ -460,6 +472,51 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "t26_bpe_merges" -> bpeOracleSql,
     "t27_split_shuffle" -> splitShuffleOracleSql,
+    // identical integer-bits trigram surprisal: array-side n-gram streams,
+    // trigrams pruned below count 2, stupid backoff at +2 bits per level,
+    // floor-log2 via binary length on both sides — no libm ln anywhere
+    "t28_trigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |tri AS (
+        |  SELECT doc_id, a[i] AS w1, a[i+1] AS w2, a[i+2] AS t
+        |  FROM toks, LATERAL unnest(generate_series(1, len(a) - 2)) AS g(i)
+        |  WHERE len(a) >= 3),
+        |c3 AS (SELECT w1, w2, t, count(*) AS c FROM tri GROUP BY 1, 2, 3
+        |       HAVING count(*) >= 2),
+        |bi AS (
+        |  SELECT a[i] AS b1, a[i+1] AS b2, count(*) AS c
+        |  FROM toks, LATERAL unnest(generate_series(1, len(a) - 1)) AS g(i)
+        |  WHERE len(a) >= 2 GROUP BY 1, 2),
+        |uni AS (SELECT w, count(*) AS c
+        |        FROM (SELECT unnest(a) AS w FROM toks) GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
+        |typ AS (SELECT DISTINCT w1, w2, t FROM tri),
+        |tb AS (
+        |  SELECT typ.w1, typ.w2, typ.t,
+        |    CASE WHEN c3.c IS NOT NULL THEN
+        |        (length(bin(CAST(b12.c AS BIGINT))) - 1)
+        |          - (length(bin(CAST(c3.c AS BIGINT))) - 1)
+        |      WHEN b2t.c IS NOT NULL THEN
+        |        2 + (length(bin(CAST(u2.c AS BIGINT))) - 1)
+        |          - (length(bin(CAST(b2t.c AS BIGINT))) - 1)
+        |      ELSE
+        |        4 + (length(bin(CAST(tot.n + tot.v AS BIGINT))) - 1)
+        |          - (length(bin(CAST(coalesce(ut.c, 0) + 1 AS BIGINT))) - 1)
+        |    END AS tb
+        |  FROM typ
+        |  LEFT JOIN c3 ON c3.w1 = typ.w1 AND c3.w2 = typ.w2 AND c3.t = typ.t
+        |  LEFT JOIN bi b12 ON b12.b1 = typ.w1 AND b12.b2 = typ.w2
+        |  LEFT JOIN bi b2t ON b2t.b1 = typ.w2 AND b2t.b2 = typ.t
+        |  LEFT JOIN uni u2 ON u2.w = typ.w2
+        |  LEFT JOIN uni ut ON ut.w = typ.t
+        |  CROSS JOIN tot),
+        |sb AS (
+        |  SELECT tri.doc_id, tb.tb FROM tri
+        |  JOIN tb ON tb.w1 = tri.w1 AND tb.w2 = tri.w2 AND tb.t = tri.t)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  CAST(round(1000.0 * sum(tb) / count(*)) AS BIGINT) AS surprisal3_milli
+        |FROM sb GROUP BY doc_id""".stripMargin,
     // t21: the combining acute is built with chr(769) (encoding-proof
     // through the JSON round trip); the pipeline is the documented
     // NFC -> strip accents -> lower -> collapse -> trim contract.
