@@ -158,7 +158,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val groupsToDo = groups.filter(_._2.size >= 2)
     if (groupsToDo.isEmpty) return -1L
     val now = System.currentTimeMillis()
-    val rewritten: Seq[Action] = groupsToDo.flatMap { case (partVals, files) =>
+    val rewritten: Seq[Action] = GwTable.concurrentGroups(groupsToDo) { case (partVals, files) =>
       val outDir = new Path(tablePath, s"_compacted/${java.util.UUID.randomUUID()}")
       val nOut = math.max(1, math.ceil(
         files.map(_.size).sum.toDouble / targetFileBytes).toInt)
@@ -1586,7 +1586,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     val groups: Seq[(Map[String, String], Seq[AddFile])] =
       if (partCols.isEmpty) Seq(Map.empty[String, String] -> toRewrite)
       else toRewrite.groupBy(_.partitionValues).toSeq.sortBy(_._1.toSeq.mkString("|"))
-    val rewritten: Seq[Action] = groups.filter(_._2.nonEmpty).flatMap {
+    val rewritten: Seq[Action] = GwTable.concurrentGroups(groups.filter(_._2.nonEmpty)) {
       case (partVals, files) =>
         val outDir = new Path(tablePath, s"_compacted/${java.util.UUID.randomUUID()}")
         val nOut = math.max(1, math.ceil(
@@ -2273,6 +2273,37 @@ object GwTable {
         Seq("graft.checkpointPolicy", "delta.checkpointPolicy")
           .exists(k => m.configuration.get(k).exists(_.trim.equalsIgnoreCase("v2")))
       case _ => false
+    }
+
+  /** Per-partition-group rewrite jobs with BOUNDED driver-side
+    * concurrency: OPTIMIZE/REORG rewrite each partition tuple as its own
+    * Spark job (a rewrite may never merge rows across partition values),
+    * and running those jobs one by one serializes the whole maintenance
+    * pass on driver round trips — at 10k stale partitions that is 10k
+    * sequential job submissions, hours of pure orchestration on a 100 TB
+    * table while the cluster idles. Spark schedules concurrent jobs from
+    * one session fine (FIFO within the pool); 8 in flight keeps the
+    * cluster fed without flooding the scheduler. Results keep `items`'
+    * order, so commit action order stays deterministic; a failing group
+    * rethrows its ORIGINAL exception (typed OCC/validation errors
+    * surface unwrapped). */
+  private[graft] def concurrentGroups[A, B](items: Seq[A], maxConcurrent: Int = 8)(
+      f: A => Seq[B]): Seq[B] =
+    if (items.size <= 1) items.flatMap(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxConcurrent, items.size))
+      try {
+        val futs = items.map(a => pool.submit(
+          new java.util.concurrent.Callable[Seq[B]] { def call(): Seq[B] = f(a) }))
+        futs.flatMap { fut =>
+          try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
+      } finally pool.shutdownNow()
     }
 
   /** Run `body` with the vacuum retention guard disabled (scoped): the
