@@ -259,4 +259,31 @@ class CompactionSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("clusterBy"))
   }
+
+  test("concurrentGroups: order kept, genuinely concurrent, errors unwrapped") {
+    // order: results concatenate in ITEM order regardless of completion
+    // order (slow first group must not reorder the commit's actions)
+    val out = GwTable.concurrentGroups(Seq(30, 1, 10)) { ms =>
+      Thread.sleep(ms.toLong); Seq(ms, ms * 100)
+    }
+    assert(out == Seq(30, 3000, 1, 100, 10, 1000), s"order broke: $out")
+    // concurrency: two groups each await the OTHER's arrival — only a
+    // pool actually running >= 2 groups at once can pass within the
+    // timeout (a sequential fallback would deadlock until await fails)
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    val met = GwTable.concurrentGroups(Seq(1, 2)) { i =>
+      latch.countDown()
+      Seq(latch.await(20, java.util.concurrent.TimeUnit.SECONDS))
+    }
+    assert(met == Seq(true, true), "groups never overlapped in flight")
+    // failures rethrow the ORIGINAL exception (typed OCC/validation
+    // messages must survive the executor boundary unwrapped)
+    val boom = intercept[IllegalStateException] {
+      GwTable.concurrentGroups(Seq(1, 2, 3)) { i =>
+        if (i == 2) throw new IllegalStateException("typed group failure")
+        Seq(i)
+      }
+    }
+    assert(boom.getMessage == "typed group failure")
+  }
 }
