@@ -1037,29 +1037,46 @@ object Pipelines {
    * distributed-LM shape. Docs with fewer than 3 tokens have no trigrams
    * and drop out (callers wanting them keep a left join on the id).
    *
+   * When `train` is given, the model counts come from THAT corpus's
+   * `text` column and only `df` is scored — the production shape (train
+   * on a trusted corpus, score the crawl), and the only shape where the
+   * unigram floor genuinely fires: scored against its OWN counts, every
+   * trigram occurrence embeds its backoff bigram, so backoff never
+   * reaches below the bigram level.
+   *
    * Returns (id, n_trigrams, surprisal3_milli) — milli-bits per trigram.
    */
   def trigramLmScore(df: DataFrame, id: Column, text: Column,
-      minTriCount: Long = 2L): DataFrame = {
+      minTriCount: Long = 2L, train: Option[DataFrame] = None): DataFrame = {
     val toks = df.select(id.as("__id"), split(text, " ").as("a"))
-    def grams(n: Int, names: Seq[String]): DataFrame = {
+    val trainToks = train
+      .map(t => t.select(split(text, " ").as("a")))
+      .getOrElse(toks.select(col("a")))
+    def grams(src: DataFrame, n: Int, names: Seq[String]): DataFrame = {
       val fields = names.zipWithIndex
         .map { case (f, j) => s"a[i + $j] AS $f" }.mkString(", ")
-      toks.select(col("__id"), explode(expr(
+      val keep = src.columns.filter(_ != "a").map(col).toSeq
+      src.select(keep :+ explode(expr(
         s"if(size(a) < $n, array(), " +
-          s"transform(sequence(0, size(a) - $n), i -> struct($fields)))")).as("g"))
-        .select(col("__id") +: names.map(f => col(s"g.$f")): _*)
+          s"transform(sequence(0, size(a) - $n), i -> struct($fields)))")).as("g"): _*)
+        .select(keep ++ names.map(f => col(s"g.$f")): _*)
     }
-    val tris = grams(3, Seq("w1", "w2", "t"))
-    // ONE (doc, type)-keyed aggregate feeds everything downstream: the
-    // global model counts roll up from it, and the per-doc fold never
-    // re-touches the raw trigram stream
+    val tris = grams(toks, 3, Seq("w1", "w2", "t"))
+    // ONE (doc, type)-keyed aggregate feeds the per-doc fold; the model
+    // counts roll up from the TRAINING stream (the same frame when
+    // self-trained), and neither side re-touches raw trigrams after this
     val triDoc = tris.groupBy("__id", "w1", "w2", "t").agg(count(lit(1)).as("k"))
-    val tri = triDoc.groupBy("w1", "w2", "t").agg(sum("k").as("c3"))
-      .filter(col("c3") >= minTriCount)
-    val bi = grams(2, Seq("b1", "b2"))
+    // self-trained: the model's trigram counts ROLL UP from the (doc,
+    // type) aggregate — no second pass over the corpus; cross-trained:
+    // one extraction over the (smaller, trusted) training corpus
+    val tri = (train match {
+      case None => triDoc.groupBy("w1", "w2", "t").agg(sum("k").as("c3"))
+      case Some(_) => grams(trainToks, 3, Seq("w1", "w2", "t"))
+        .groupBy("w1", "w2", "t").agg(count(lit(1)).cast("long").as("c3"))
+    }).filter(col("c3") >= minTriCount)
+    val bi = grams(trainToks, 2, Seq("b1", "b2"))
       .groupBy("b1", "b2").agg(count(lit(1)).as("c2"))
-    val uni = toks.select(explode(col("a")).as("w"))
+    val uni = trainToks.select(explode(col("a")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
     val tot = uni.agg(sum("c1").as("n"), count(lit(1)).as("v"))
     def bits(x: Column): Column = length(bin(x)) - 1

@@ -251,9 +251,17 @@ object TextOps {
     * log2 via binary length, +2 bits per backoff level), trigrams pruned
     * below count 2 — both choices keep the oracle hash-exact with no libm
     * `ln` on either side. */
-  def t28TrigramSurprisal(spark: SparkSession, dir: String): DataFrame =
-    Pipelines.trigramLmScore(docs(spark, dir), col("doc_id"), col("text"))
+  def t28TrigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    // cross-trained (the production shape): the model's counts come from
+    // the even-id half only, so scoring the full corpus exercises every
+    // backoff level INCLUDING the unigram floor — self-trained scoring
+    // structurally never reaches it (each trigram embeds its own backoff
+    // bigram)
+    val d = docs(spark, dir)
+    Pipelines.trigramLmScore(d, col("doc_id"), col("text"),
+      train = Some(d.filter(col("doc_id") % 2 === 0)))
       .withColumnRenamed("__id", "doc_id")
+  }
 
   /** t21: Unicode text normalization — the curation front door (CCNet /
     * C4 / FineWeb normalize BEFORE dedup and filtering, because 'Café'
@@ -473,23 +481,27 @@ object TextOps {
     "t26_bpe_merges" -> bpeOracleSql,
     "t27_split_shuffle" -> splitShuffleOracleSql,
     // identical integer-bits trigram surprisal: array-side n-gram streams,
-    // trigrams pruned below count 2, stupid backoff at +2 bits per level,
-    // floor-log2 via binary length on both sides — no libm ln anywhere
+    // model counts from the even-id training half, trigrams pruned below
+    // count 2, stupid backoff at +2 bits per level down to the add-one
+    // unigram floor, floor-log2 via binary length — no libm ln anywhere
     "t28_trigram_surprisal" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |ttoks AS (SELECT a FROM toks WHERE doc_id % 2 = 0),
         |tri AS (
         |  SELECT doc_id, a[i] AS w1, a[i+1] AS w2, a[i+2] AS t
         |  FROM toks, LATERAL unnest(generate_series(1, len(a) - 2)) AS g(i)
         |  WHERE len(a) >= 3),
-        |c3 AS (SELECT w1, w2, t, count(*) AS c FROM tri GROUP BY 1, 2, 3
-        |       HAVING count(*) >= 2),
+        |c3 AS (
+        |  SELECT a[i] AS w1, a[i+1] AS w2, a[i+2] AS t, count(*) AS c
+        |  FROM ttoks, LATERAL unnest(generate_series(1, len(a) - 2)) AS g(i)
+        |  WHERE len(a) >= 3 GROUP BY 1, 2, 3 HAVING count(*) >= 2),
         |bi AS (
         |  SELECT a[i] AS b1, a[i+1] AS b2, count(*) AS c
-        |  FROM toks, LATERAL unnest(generate_series(1, len(a) - 1)) AS g(i)
+        |  FROM ttoks, LATERAL unnest(generate_series(1, len(a) - 1)) AS g(i)
         |  WHERE len(a) >= 2 GROUP BY 1, 2),
         |uni AS (SELECT w, count(*) AS c
-        |        FROM (SELECT unnest(a) AS w FROM toks) GROUP BY 1),
+        |        FROM (SELECT unnest(a) AS w FROM ttoks) GROUP BY 1),
         |tot AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
         |typ AS (SELECT DISTINCT w1, w2, t FROM tri),
         |tb AS (

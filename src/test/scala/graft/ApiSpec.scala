@@ -564,4 +564,32 @@ class ApiSpec extends AnyFunSuite {
     assert(merges.isEmpty)
     assert(words.as[(String, Long)].collect().toMap == Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("trigramLmScore: hand-checked bits at every backoff level") {
+    import spark.implicits._
+    // self-trained corpus: uni a4 b4 c2 d2 (N=12, V=4); bi ab3 bc2 ca1
+    // bd1 ba1 ad1; trigram abc x2 survives pruning, the rest prune.
+    //  d1 = abc(0) + bca(2+bits(2)-bits(1)=3) + cab(2+bits(4)-bits(3)=3)
+    //       + abc(0) over 4 trigrams -> 1500 milli-bits
+    //  d2 = abd -> bigram backoff (b,d): 2+bits(4)-bits(1)=4 -> 4000
+    //  d3 = bad -> bigram backoff (a,d): 2+bits(4)-bits(1)=4 -> 4000
+    val self = Seq((1L, "a b c a b c"), (2L, "a b d"), (3L, "b a d"))
+      .toDF("id", "tx")
+    val got = Pipelines.trigramLmScore(self, col("id"), col("tx"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((4L, 1500L)), 2L -> ((1L, 4000L)),
+      3L -> ((1L, 4000L))), s"self-trained bits broke: $got")
+    // cross-trained: model from "a b c a b c" alone (uni a2 b2 c2, N=6,
+    // V=3, bi ab2 bc2 ca1; only abc survives pruning).
+    //  "b c a" -> bca pruned, bigram backoff (c,a)=1: 2+bits(2)-bits(1)=3
+    //  "x y z" -> nothing attested anywhere: UNIGRAM floor
+    //             4 + bits(N+V=9) - bits(0+1) = 4+3-0 = 7
+    val train = Seq(Tuple1("a b c a b c")).toDF("tx")
+    val score = Seq((10L, "b c a"), (11L, "x y z")).toDF("id", "tx")
+    val cross = Pipelines.trigramLmScore(score, col("id"), col("tx"),
+      train = Some(train))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cross == Map(10L -> ((1L, 3000L)), 11L -> ((1L, 7000L))),
+      s"cross-trained backoff/floor broke: $cross")
+  }
 }
