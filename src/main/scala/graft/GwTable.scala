@@ -787,6 +787,14 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
    * make one MERGE a complete CDC applier: upsert the postimages, drop
    * the deletes, skip inserting delete markers (st12).
    *
+   * `schemaEvolution = true` is Delta's MERGE WITH SCHEMA EVOLUTION:
+   * source columns absent from the target append to the schema (nullable,
+   * ALTER ADD COLUMNS rules) in the SAME commit as the merged rows —
+   * matched rows take them only via explicit `whenMatchedSet`, inserts by
+   * name, untouched files null-fill at scan time. Off (default): extra
+   * source columns are ignored. A merge that commits nothing (-1) evolves
+   * nothing.
+   *
    * Shape at scale: the match pass touches only (matched rows → their
    * files) with partial aggregation; only files that actually contain a
    * matched row are rewritten; the not-matched anti-join is the one
@@ -800,14 +808,55 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       whenMatchedSet: Map[String, Column] = Map.empty,
       insertNotMatched: Boolean = true,
       whenMatchedDeleteIf: Option[Column] = None,
-      insertNotMatchedIf: Option[Column] = None): Long = {
+      insertNotMatchedIf: Option[Column] = None,
+      schemaEvolution: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{first, max, monotonically_increasing_id}
     require(whenMatchedSet.nonEmpty || insertNotMatched || whenMatchedDeleteIf.nonEmpty,
       "MERGE needs a matched-update, matched-delete and/or not-matched-insert action")
     require(gwLog.exists(), s"MERGE target has no transaction log at $tablePath")
     require(!source.columns.exists(_.startsWith("__gw_")),
       "source columns must not use the reserved __gw_ prefix")
-    val snap = gwLog.snapshot(None)
+    val snap0 = gwLog.snapshot(None)
+    // MERGE WITH SCHEMA EVOLUTION (Delta parity, API form): source columns
+    // absent from the target append to the schema (forced nullable, fresh
+    // physical name if a dropped name is being re-added — same rules as
+    // ALTER ADD COLUMNS) and the restated Metadata rides the SAME commit
+    // as the merged rows. Existing files simply lack the columns and
+    // null-fill at scan time; matched rows take the new columns only
+    // through explicit whenMatchedSet assignments, inserts map them by
+    // name. Without the flag, extra source columns are ignored (the
+    // documented by-name contract).
+    val evolvedMeta: Option[Metadata] =
+      if (!schemaEvolution) None
+      else {
+        val existing = snap0.schema.fieldNames.map(_.toLowerCase).toSet
+        val newCols = source.schema.fields
+          .filter(f => !existing.contains(f.name.toLowerCase))
+        if (newCols.isEmpty) None
+        else {
+          val meta = snap0.metadata.getOrElse(throw new IllegalStateException(
+            s"MERGE target has no schema in its log: $tablePath"))
+          val dropped = meta.configuration.keys
+            .filter(_.startsWith(GwTable.DroppedPhysicalPrefix))
+            .map(_.stripPrefix(GwTable.DroppedPhysicalPrefix)).toSet
+          val added = newCols.map { c =>
+            val base = c.copy(nullable = true)
+            if (!dropped.contains(c.name.toLowerCase)) base
+            else base.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(base.metadata)
+                .putString(graft.log.ColumnMapping.PhysicalNameKey,
+                  s"gwcm_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+                .build())
+          }
+          Some(meta.copy(schemaString = org.apache.spark.sql.types
+            .StructType(snap0.schema.fields ++ added).json))
+        }
+      }
+    val snap = evolvedMeta match {
+      case Some(m) => snap0.copy(metadata = Some(m))
+      case None => snap0
+    }
     val fields = snap.schema.fields
     whenMatchedSet.keys.foreach { k =>
       require(fields.exists(_.name == k),
@@ -918,7 +967,10 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
                 .map(ch => Cdc.write(spark, tablePath, snap, ch))
                 .getOrElse(Nil)
             }
-          commitDml("MERGE", touched, newAdds, Some(snap), cdc)
+          // OCC validates against the snapshot actually READ (snap0) —
+          // the evolved copy differs from fresh by construction
+          commitDml("MERGE", touched, newAdds, Some(snap0), cdc,
+            metaRestate = evolvedMeta)
         }
     }
   }
@@ -1011,7 +1063,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     * the snapshot the operation planned on). */
   private def commitDml(operation: String, removes: Seq[AddFile],
       newAdds: Seq[AddFile], readSnap: Option[Snapshot] = None,
-      cdc: Seq[Action] = Nil): Long =
+      cdc: Seq[Action] = Nil, metaRestate: Option[Metadata] = None): Long =
     graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
       val now = System.currentTimeMillis()
       val fresh = gwLog.snapshot(None)
@@ -1026,7 +1078,11 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       val info = CommitInfo(now, operation, "CopyOnWrite",
         numFiles = newAdds.size, numOutputBytes = newAdds.map(_.size).sum,
         isBlindAppend = false, txnId = java.util.UUID.randomUUID().toString)
-      rms ++ newAdds ++ cdc :+ info
+      // schema evolution rides the SAME commit as its data (a reader can
+      // never see evolved rows under the old schema or vice versa); OCC's
+      // metadata check above aborts if anyone else restated mid-flight,
+      // so the planning-time restatement can never clobber foreign DDL
+      metaRestate.toSeq ++ rms ++ newAdds ++ cdc :+ info
     }
 
   /** Connector commit hook for SQL UPDATE / MERGE INTO (`ReplaceData`,

@@ -2628,6 +2628,66 @@ object GwCore {
     spark.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM gw.$ns.t")
   }
 
+  // ---------------------------------------------------------------- gw64
+  /** MERGE WITH SCHEMA EVOLUTION (API form of Delta's
+    * `withSchemaEvolution()`): source columns the target lacks append to
+    * the schema IN THE SAME COMMIT as the merged rows. Pinned: (1) the
+    * default contract first — extra source columns are IGNORED without
+    * the flag (schema unchanged); (2) the evolving merge grows the schema
+    * exactly once, updates matched rows (new column via explicit SET),
+    * inserts unmatched rows by name, and null-fills the new column on
+    * every untouched pre-evolution row at scan time; (3) evolution and
+    * data land as ONE commit (history shows a single MERGE version);
+    * (4) time travel below it serves the OLD schema. */
+  def gw64MergeEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, length, lit}
+    val tmp = Files.createTempDirectory("gw64")
+    val loc = tmp.resolve("db/nation").toString
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+    graft.streaming.GwSink.append(
+      nation.filter(col("n_nationkey") <= 14).coalesce(1), loc)
+    val t = GwTable.forPath(spark, loc)
+    val vSeed = t.log.latestVersion().get
+    val source = nation
+      .filter(col("n_nationkey").between(10, 24))
+      .withColumn("n_len", length(col("n_name")).cast("long"))
+    // (1) without the flag the extra column is ignored by the by-name
+    // contract — schema must NOT change
+    require(t.merge(source.filter(col("n_nationkey") === 10),
+      col("t.n_nationkey") === col("s.n_nationkey"),
+      whenMatchedSet = Map("n_name" -> col("s.n_name")),
+      insertNotMatched = false) > 0, "no-flag merge must commit")
+    require(t.snapshot().schema.fieldNames.toSeq == Seq("n_nationkey", "n_name"),
+      s"extra source columns must be ignored without the flag, got " +
+        s"${t.snapshot().schema.fieldNames.toSeq}")
+    // (2)+(3) the evolving merge: one commit, schema + rows together
+    val vBefore = t.log.latestVersion().get
+    val vMerge = t.merge(source,
+      col("t.n_nationkey") === col("s.n_nationkey"),
+      whenMatchedSet = Map(
+        "n_name" -> concat(col("s.n_name"), lit("*")),
+        "n_len" -> col("s.n_len")),
+      insertNotMatched = true, schemaEvolution = true)
+    require(vMerge == vBefore + 1,
+      s"evolution and data must land as ONE commit: $vBefore -> $vMerge")
+    val after = t.snapshot()
+    require(after.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name", "n_len"),
+      s"schema must grow by the source-only column, got " +
+        s"${after.schema.fieldNames.toSeq}")
+    require(after.schema.fields.find(_.name == "n_len").forall(_.nullable),
+      "evolved column must be nullable")
+    // (4) time travel below the evolution serves the OLD schema
+    require(t.versionAsOf(vSeed).schema.fieldNames.toSeq ==
+      Seq("n_nationkey", "n_name"),
+      "pre-evolution versions must keep the old schema")
+    // pre-evolution untouched rows (keys 0-9) null-fill the new column
+    val nulls = t.toDF.filter(col("n_len").isNull)
+      .select(col("n_nationkey")).collect().map(_.getLong(0)).toSet
+    require(nulls == (0L to 9L).toSet, s"null-fill keys wrong: $nulls")
+    t.toDF
+  }
+
   /** The deepest non-null message in a (possibly wrapped) failure chain —
     * maintenance commands surface engine messages wrapped in Spark's
     * command-execution exceptions. */
@@ -2703,6 +2763,7 @@ object GwCore {
     "gw59_v2_checkpoint" -> gw59V2Checkpoint _,
     "gw62_incremental_checkpoint" -> gw62IncrementalCheckpoint _,
     "gw63_drop_feature" -> gw63DropFeature _,
+    "gw64_merge_evolution" -> gw64MergeEvolution _,
     "gw60_version_checksum" -> gw60VersionChecksum _,
     "gw61_domain_metadata" -> gw61DomainMetadata _,
   )
@@ -3036,6 +3097,17 @@ object GwCore {
         |JOIN (SELECT unnest(generate_series(0, 10)) % 5 AS k
         |      UNION ALL SELECT 2) c
         |  ON c.k = r.r_regionkey""".stripMargin,
+    // seed keys 0-14, evolving merge over keys 10-24: matched rows take
+    // starred names + the NEW n_len column, unmatched insert by name,
+    // pre-evolution rows null-fill; single-commit/old-schema invariants
+    // are require()-pinned in-gate
+    "gw64_merge_evolution" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CASE WHEN n_nationkey BETWEEN 10 AND 14
+        |       THEN n_name || '*' ELSE n_name END AS n_name,
+        |  CASE WHEN n_nationkey >= 10
+        |       THEN CAST(length(n_name) AS BIGINT) END AS n_len
+        |FROM nation WHERE n_nationkey <= 24""".stripMargin,
     // the nation fixture minus the MOR-deleted keys, untouched by the
     // REORG + two protocol downgrades; every drop-feature invariant
     // (refusals, truncation, fresh replay) is require()-pinned in-gate
