@@ -2688,6 +2688,42 @@ object GwCore {
     t.toDF
   }
 
+  // ---------------------------------------------------------------- gw65
+  /** Optimized writes (Delta `autoOptimize.optimizeWrite` parity): output
+    * file counts must track the DATA, not the incoming task layout — a
+    * 16-task micro-batch into a 5-value partitioned table writes up to
+    * one file per (task x value) without it, and a year of such batches
+    * IS the small-file problem. Pinned: (1) the control table (no
+    * property) fans out past the partition-value count; (2) with the
+    * property, the same batch lands at most one file per partition value
+    * (REBALANCE on partition columns); (3) unpartitioned, AQE's
+    * size-based coalescing packs the tiny batch into a couple of files;
+    * (4) content is byte-equal either way (the oracle). */
+  def gw65OptimizeWrite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw65")
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+    val batch = nation.repartition(16)
+    val locA = tmp.resolve("db/control").toString
+    graft.streaming.GwSink.append(batch, locA, partitionBy = Seq("n_regionkey"))
+    val a = GwTable.forPath(spark, locA).snapshot().files.size
+    require(a > 5, s"control must fan out past the 5 partition values, got $a")
+    val locB = tmp.resolve("db/optimized").toString
+    graft.streaming.GwSink.append(batch, locB, partitionBy = Seq("n_regionkey"),
+      bootstrapProps = Map("graft.autoOptimize.optimizeWrite" -> "true"))
+    val t = GwTable.forPath(spark, locB)
+    val b = t.snapshot().files.size
+    require(b <= 5, s"optimized write must land <= one file per value, got $b")
+    val locC = tmp.resolve("db/flat").toString
+    graft.streaming.GwSink.append(batch, locC,
+      bootstrapProps = Map("graft.autoOptimize.optimizeWrite" -> "true"))
+    val c = GwTable.forPath(spark, locC).snapshot().files.size
+    require(c <= 2, s"AQE-coalesced flat write must pack the batch, got $c")
+    t.toDF.select("n_nationkey", "n_name", "n_regionkey")
+  }
+
   /** The deepest non-null message in a (possibly wrapped) failure chain —
     * maintenance commands surface engine messages wrapped in Spark's
     * command-execution exceptions. */
@@ -2764,6 +2800,7 @@ object GwCore {
     "gw62_incremental_checkpoint" -> gw62IncrementalCheckpoint _,
     "gw63_drop_feature" -> gw63DropFeature _,
     "gw64_merge_evolution" -> gw64MergeEvolution _,
+    "gw65_optimize_write" -> gw65OptimizeWrite _,
     "gw60_version_checksum" -> gw60VersionChecksum _,
     "gw61_domain_metadata" -> gw61DomainMetadata _,
   )
@@ -3097,6 +3134,12 @@ object GwCore {
         |JOIN (SELECT unnest(generate_series(0, 10)) % 5 AS k
         |      UNION ALL SELECT 2) c
         |  ON c.k = r.r_regionkey""".stripMargin,
+    // the nation fixture unchanged through the optimized write; the
+    // file-count invariants (control fan-out, <=1 per value, AQE packing)
+    // are require()-pinned in-gate
+    "gw65_optimize_write" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,
     // seed keys 0-14, evolving merge over keys 10-24: matched rows take
     // starred names + the NEW n_len column, unmatched insert by name,
     // pre-evolution rows null-fill; single-commit/old-schema invariants

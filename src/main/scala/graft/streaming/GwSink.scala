@@ -63,8 +63,10 @@ object GwSink {
     val parts = effectivePartitioning(log, df, partitionBy)
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
     val physTarget = widened.orElse(readMeta.map(schemaOfMeta))
-    stageWrite(physTarget.map(graft.log.ColumnMapping.toPhysicalDf(df, _))
-      .getOrElse(df), outDir, parts,
+    val arranged = maybeOptimizeWrite(df,
+      readMeta.map(_.configuration).getOrElse(bootstrapProps), parts)
+    stageWrite(physTarget.map(graft.log.ColumnMapping.toPhysicalDf(arranged, _))
+      .getOrElse(arranged), outDir, parts,
       graft.log.Bloom.parquetWriteOptions(
         readMeta.map(_.configuration).getOrElse(bootstrapProps),
         readMeta.map(_.schemaString), df.schema))
@@ -81,6 +83,33 @@ object GwSink {
       widened, bootstrapProps, userMetadata)
     maybeAutoCompact(spark, log, tablePath)
     v
+  }
+
+  /** Optimized writes (Delta `autoOptimize.optimizeWrite` parity): with
+    * the `graft.autoOptimize.optimizeWrite = true` table property (or the
+    * `delta.` spelling), ingest batches shuffle ONCE before staging so
+    * output file counts track the DATA, not the incoming task layout —
+    * without it, a 32-task batch into a 5-value partitioned table writes
+    * up to 160 files per commit, and a year of streaming micro-batches is
+    * the small-file problem autoCompact then has to mop up. Partitioned
+    * tables REBALANCE on the partition columns, unpartitioned ones
+    * REBALANCE round-robin — the AQE-optimizable exchange (the same
+    * primitive Delta's optimized writes use) whose size-based coalescing
+    * packs outputs toward the advisory partition size and whose skew
+    * splitting keeps one hot partition value from producing one giant
+    * task. Applied on the INGEST paths (append / overwrite); DML rewrites
+    * already size their outputs explicitly. */
+  private def maybeOptimizeWrite(df: DataFrame,
+      config: Map[String, String], parts: Seq[String]): DataFrame = {
+    val on = Seq("graft.autoOptimize.optimizeWrite", "delta.autoOptimize.optimizeWrite")
+      .exists(k => config.get(k).exists(_.trim.equalsIgnoreCase("true")))
+    if (!on) df
+    else if (parts.nonEmpty)
+      // unresolved attributes: the REBALANCE hint resolver rejects
+      // pre-resolved references
+      df.hint("rebalance",
+        parts.map(org.apache.spark.sql.functions.col): _*)
+    else df.hint("rebalance")
   }
 
   /** Auto-compaction (Delta `autoOptimize.autoCompact` parity): with the
@@ -463,7 +492,9 @@ object GwSink {
     checkAppendSchema(readMeta, tablePath, df.schema)
     val parts = effectivePartitioning(log, df, partitionBy)
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
-    stageWrite(physicalFrame(df, readMeta), outDir, parts,
+    stageWrite(physicalFrame(maybeOptimizeWrite(df,
+        readMeta.map(_.configuration).getOrElse(bootstrapProps), parts), readMeta),
+      outDir, parts,
       graft.log.Bloom.parquetWriteOptions(
         readMeta.map(_.configuration).getOrElse(bootstrapProps),
         readMeta.map(_.schemaString), df.schema))
