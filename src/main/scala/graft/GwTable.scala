@@ -302,6 +302,51 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
   /** `VACUUM ... DRY RUN`: the files a vacuum at `retentionMs` WOULD
     * delete, without touching anything — preview an aggressive retention
     * before committing to it, so the guard does not apply here. */
+  /**
+   * `GENERATE symlink_format_manifest FOR TABLE t` (Delta parity): write
+   * the Hive-symlink manifest layout external engines (Presto / Trino /
+   * Athena) read a Delta table through —
+   * `_symlink_format_manifest/[<col>=<val>/...]manifest`, one text file
+   * per live partition tuple listing its data files' absolute URIs, the
+   * unpartitioned table as the single root manifest. Regeneration is a
+   * full swap: the previous manifest tree is deleted first, so a
+   * partition whose rows were all removed never leaves a stale manifest
+   * behind pointing external readers at tombstoned files. Writes run
+   * with the same bounded driver-side concurrency as the OPTIMIZE group
+   * rewrites ([[GwTable.concurrentGroups]]) — one small file per
+   * partition tuple, metadata scale. Returns the number of manifest
+   * files written.
+   *
+   * The manifest is a SNAPSHOT export, not a live view: external readers
+   * see the table as of generation until the next GENERATE (exactly
+   * Delta's contract — pair it with a post-commit hook or scheduled
+   * regeneration in production).
+   */
+  def generateSymlinkManifest(): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val snap = gwLog.snapshot(None)
+    val root = new Path(tablePath, "_symlink_format_manifest")
+    val fs = root.getFileSystem(conf)
+    fs.delete(root, true)
+    val partCols = snap.metadata.map(_.partitionColumns).getOrElse(Nil)
+    val groups: Seq[(Seq[String], Seq[AddFile])] =
+      if (partCols.isEmpty) Seq(Nil -> snap.files)
+      else snap.files.groupBy(f => partCols.map(c =>
+        s"$c=${f.partitionValues.getOrElse(c, "__HIVE_DEFAULT_PARTITION__")}"))
+        .toSeq.sortBy(_._1.mkString("/"))
+    val written = GwTable.concurrentGroups(groups.filter(_._2.nonEmpty)) {
+      case (dirs, files) =>
+        val dir = dirs.foldLeft(root)(new Path(_, _))
+        fs.mkdirs(dir)
+        val out = fs.create(new Path(dir, "manifest"), true)
+        try files.map(f => fs.makeQualified(new Path(f.path)).toUri.toString)
+          .sorted.foreach(u => out.write((u + "\n").getBytes("UTF-8")))
+        finally out.close()
+        Seq(1)
+    }
+    written.sum
+  }
+
   def vacuumDryRun(retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
     vacuumImpl(retentionMs, dryRun = true)
 

@@ -2724,6 +2724,64 @@ object GwCore {
     t.toDF.select("n_nationkey", "n_name", "n_regionkey")
   }
 
+  // ---------------------------------------------------------------- gw66
+  /** `GENERATE symlink_format_manifest` — the Hive-symlink export
+    * external engines (Presto/Trino/Athena) read Delta tables through.
+    * Pinned: (1) one manifest per live partition tuple, Hive-layout
+    * directories; (2) the files each manifest lists ARE that partition's
+    * live files, absolute URIs; (3) reading every listed file back
+    * reproduces the table exactly (the oracle); (4) regeneration is a
+    * full swap — after a whole partition's rows are deleted, its stale
+    * manifest DISAPPEARS rather than pointing external readers at
+    * tombstoned files. */
+  def gw66SymlinkManifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw66")
+    val loc = tmp.resolve("db/nation").toString
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+    graft.streaming.GwSink.append(nation, loc, partitionBy = Seq("n_regionkey"))
+    val t = GwTable.forPath(spark, loc)
+    val res = spark.sql(s"GENERATE symlink_format_manifest FOR TABLE '$loc'").collect()
+    require(res.length == 1 && res.head.getInt(1) == 5,
+      s"5 partition values need 5 manifests, got ${res.toSeq}")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(loc, "_symlink_format_manifest")
+    val fs = root.getFileSystem(hconf)
+    val snap = t.snapshot()
+    (0L to 4L).foreach { r =>
+      val mf = new org.apache.hadoop.fs.Path(root, s"n_regionkey=$r/manifest")
+      require(fs.exists(mf), s"missing manifest for n_regionkey=$r")
+      val listed = scala.io.Source.fromInputStream(fs.open(mf), "UTF-8")
+        .getLines().toSet
+      val expect = snap.files
+        .filter(_.partitionValues.get("n_regionkey").contains(r.toString))
+        .map(f => fs.makeQualified(new org.apache.hadoop.fs.Path(f.path))
+          .toUri.toString).toSet
+      require(listed == expect,
+        s"manifest for r=$r lists $listed, snapshot has $expect")
+    }
+    // (3) external-reader equivalence: the union of listed files IS the table
+    val allListed = (0L to 4L).flatMap { r =>
+      val mf = new org.apache.hadoop.fs.Path(root, s"n_regionkey=$r/manifest")
+      scala.io.Source.fromInputStream(fs.open(mf), "UTF-8").getLines()
+    }
+    val external = spark.read.parquet(allListed: _*)
+      .collect().map(_.toSeq).toSet
+    // partition values live in the directory layout, not the file bytes —
+    // an external reader recovers them from the Hive path, so compare the
+    // data columns here
+    require(external == nation.drop("n_regionkey").collect().map(_.toSeq).toSet,
+      "reading the manifests' files must reproduce the table")
+    // (4) full-partition delete, regenerate: the stale manifest must go
+    require(t.delete(col("n_regionkey") === 4L) > 0)
+    require(t.generateSymlinkManifest() == 4, "regenerate must write 4")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "n_regionkey=4")),
+      "a deleted partition's manifest must disappear on regenerate")
+    t.toDF.select("n_nationkey", "n_name", "n_regionkey")
+  }
+
   /** The deepest non-null message in a (possibly wrapped) failure chain —
     * maintenance commands surface engine messages wrapped in Spark's
     * command-execution exceptions. */
@@ -2801,6 +2859,7 @@ object GwCore {
     "gw63_drop_feature" -> gw63DropFeature _,
     "gw64_merge_evolution" -> gw64MergeEvolution _,
     "gw65_optimize_write" -> gw65OptimizeWrite _,
+    "gw66_symlink_manifest" -> gw66SymlinkManifest _,
     "gw60_version_checksum" -> gw60VersionChecksum _,
     "gw61_domain_metadata" -> gw61DomainMetadata _,
   )
@@ -3134,6 +3193,12 @@ object GwCore {
         |JOIN (SELECT unnest(generate_series(0, 10)) % 5 AS k
         |      UNION ALL SELECT 2) c
         |  ON c.k = r.r_regionkey""".stripMargin,
+    // nation minus the deleted n_regionkey=4 partition; the manifest
+    // layout/content/regeneration invariants are require()-pinned in-gate
+    "gw66_symlink_manifest" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey <> 4""".stripMargin,
     // the nation fixture unchanged through the optimized write; the
     // file-count invariants (control fan-out, <=1 per value, AQE packing)
     // are require()-pinned in-gate

@@ -90,6 +90,9 @@ object GwMaintenance {
   private val DropFeature =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableRef +
       """\s+DROP\s+FEATURE\s+(\w+)(?:\s+(TRUNCATE\s+HISTORY))?\s*;?\s*$""").r
+  private val Generate =
+    ("""(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+""" +
+      TableRef + """\s*;?\s*$""").r
 
   /** Maintenance statement -> command plan; None = not ours. */
   def parse(sql: String): Option[LogicalPlan] = sql match {
@@ -107,6 +110,7 @@ object GwMaintenance {
     case Reorg(ref) => Some(GwReorgCommand(ref))
     case DropFeature(ref, feat, trunc) =>
       Some(GwDropFeatureCommand(ref, feat, trunc != null))
+    case Generate(ref) => Some(GwGenerateCommand(ref))
     case Convert(path) =>
       Some(GwConvertCommand(path.substring(1, path.length - 1)))
     case Clone(target, mode, source, v, loc) =>
@@ -229,6 +233,19 @@ case class GwDropFeatureCommand(ref: String, feature: String,
     val v = graft.GwTable.forPath(spark, path)
       .dropFeature(feature, truncateHistory)
     Seq(Row(path, feature, v))
+  }
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE t`: the Hive-symlink
+  * manifest export external engines read Delta tables through
+  * ([[graft.GwTable.generateSymlinkManifest]]). */
+case class GwGenerateCommand(ref: String) extends GwMaintenanceCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("manifests", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GwMaintenance.resolvePath(spark, ref)
+    Seq(Row(path, graft.GwTable.forPath(spark, path).generateSymlinkManifest()))
   }
 }
 
