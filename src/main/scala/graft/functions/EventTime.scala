@@ -61,26 +61,16 @@ object EventTime {
     case _        => statValue
   }
 
-  // per-session memo of the UTC assertion: the check is plan-time, but
-  // every event-time query funnels through it and `conf.get` walks the
-  // session-state conf chain — one weak-keyed lookup per session instead
-  // of one per call. Only SUCCESSFUL (UTC) checks memoize: a session that
-  // first failed here and then fixed its zone re-reads the conf and
-  // passes, instead of failing forever on the stale cached value. (A
-  // session that passed once and later flips AWAY from UTC is out of
-  // contract — the assertion exists to catch a misconfigured harness,
-  // not to police mid-life zone flips.)
+  // The UTC assertion reads the LIVE conf on every call (no memo): the
+  // check is plan-time — one conf lookup per query build, not per row —
+  // and any caching scheme either keeps failing after the user fixes the
+  // zone or keeps passing after a mid-life flip away from UTC, which is
+  // exactly the misconfiguration the assertion exists to catch.
   private val UtcZones = Set("UTC", "Etc/UTC", "GMT", "Z")
-  private val utcChecked =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
 
   private def requireUtcIfWallClock(df: DataFrame, dt: DataType, name: String): Unit =
     if (dt == TimestampNTZType) {
-      val sess = df.sparkSession
-      val tz = Option(utcChecked.get(sess))
-        .getOrElse(sess.conf.get("spark.sql.session.timeZone"))
-      if (UtcZones.contains(tz)) { utcChecked.put(sess, tz); () }
+      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
       require(UtcZones.contains(tz),
         s"event-time column `$name` is TIMESTAMP_NTZ (zoneless wall-clock); interpreting " +
           s"it as an instant requires spark.sql.session.timeZone=UTC (found '$tz') so the " +

@@ -133,17 +133,24 @@ class EventTimeSpec extends SparkSpec {
         s"${got.take(3).toSeq} vs ${expected.take(3).toSeq}")
   }
 
-  test("UTC assertion recovers after the session fixes its zone (no stale memo)") {
-    // a session first checked under a WRONG zone must not fail forever:
-    // only successful (UTC) checks memoize, so fixing the conf re-validates
+  test("UTC assertion tracks the LIVE session zone in both directions") {
+    // no memo: a session first checked under a WRONG zone must not fail
+    // forever after fixing it, and a session that passed under UTC must
+    // not silently keep passing after flipping AWAY from UTC
     val s2 = spark.newSession()
     val ntz = s2.sql("SELECT timestamp_ntz'2020-01-01 00:00:00' AS ts")
     s2.conf.set("spark.sql.session.timeZone", "America/New_York")
     val e = intercept[IllegalArgumentException](EventTime.micros(ntz))
     assert(e.getMessage.contains("UTC"))
     s2.conf.set("spark.sql.session.timeZone", "UTC")
-    // would throw on the stale cached 'America/New_York' before the fix
+    // would throw on a stale cached 'America/New_York' under a first-seen memo
     assert(ntz.select(EventTime.micros(ntz).as("us")).head().getLong(0) ==
       1577836800000000L)
+    // ...and the reverse flip re-validates too (would silently pass under
+    // a success-only memo)
+    s2.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    val e2 = intercept[IllegalArgumentException](EventTime.micros(ntz))
+    assert(e2.getMessage.contains("Asia/Tokyo"))
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
   }
 }
