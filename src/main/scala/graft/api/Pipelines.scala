@@ -2945,6 +2945,48 @@ object Pipelines {
     .groupBy("pair").agg(sum("cnt").as("cnt"))
 
   /**
+   * Distributed BPE ENCODE (t29) — apply a trained merge table
+   * ([[bpeTrain]]'s output) to the whole corpus and report each
+   * document's token count, the other half of the tokenizer lifecycle:
+   * t26 trains, this prices every document in tokens — the number every
+   * mixture/packing/budget decision downstream actually consumes
+   * ([[sequencePack]] packs by it, data budgets are set in it).
+   *
+   * Application is the same greedy left-to-right, rank-ordered merge
+   * replay as training: merge r rewrites its pair to the round-r
+   * private-use sentinel, IN training order, so later merges see earlier
+   * sentinels exactly as the trainer did — after the chain, one char =
+   * one token, and a word's token count is just `length`.
+   *
+   * Shapes for 100 TB: ONE corpus scan, ZERO shuffle — split + transform
+   * + an `aggregate` fold are all per-row codegen (the merge chain is a
+   * fused `replace(replace(...))` expression, not a join against the
+   * merge table), and the merge table itself is a few hundred literals
+   * baked into the plan. Documents with no alphabetic words are dropped
+   * (they have no token mass), matching the SQL replay's GROUP BY.
+   *
+   * Returns (id, n_words, n_chars, n_tokens): alphabetic words, their
+   * pre-merge character total, and the post-merge token total.
+   */
+  def bpeEncode(df: DataFrame, id: Column, text: Column,
+      merges: Seq[(Int, String, Long)]): DataFrame = {
+    require(merges.size <= 256, s"merge table too large: ${merges.size}")
+    def chain(w: Column): Column = merges.sortBy(_._1).foldLeft(w) {
+      case (acc, (r, pair, _)) =>
+        replace(acc, lit(pair), lit((0xE000 + r - 1).toChar.toString))
+    }
+    df.select(id.as("__id"),
+      filter(split(lower(text), "[^a-z]+"), w => w =!= "").as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .select(col("__id").as("id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        aggregate(col("__ws"), lit(0L), (acc, w) => acc + length(w))
+          .as("n_chars"),
+        aggregate(col("__ws"), lit(0L), (acc, w) => acc + length(chain(w)))
+          .as("n_tokens"))
+  }
+
+  /**
    * Deterministic train/val/test split + sharded global shuffle (t27) —
    * the last step before a corpus feeds a trainer. One md5 per row drives
    * everything: the first 16 bits pick the split (so membership is a pure

@@ -382,6 +382,17 @@ object TextOps {
     mergesDf.select(col("round"), col("pair"), col("cnt")).unionAll(p4)
   }
 
+  // ---------------------------------------------------------------- t29
+  /** BPE encode (see [[Pipelines.bpeEncode]]): train the same three
+    * merges as t26, then price every document in tokens — one zero-
+    * shuffle codegen scan with the merge chain baked in as literals. */
+  def t29BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val (merges, _) = Pipelines.bpeTrain(d.select(col("text")), "text", 3)
+    Pipelines.bpeEncode(d, col("doc_id"), col("text"), merges)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   // ---------------------------------------------------------------- t27
   /** Deterministic split + sharded shuffle (see [[Pipelines.splitShuffle]]):
     * 96/2/2 train/val/test by the id's seeded md5, 8 shards, and a
@@ -422,39 +433,66 @@ object TextOps {
     "t26_bpe_merges" -> t26BpeMerges _,
     "t27_split_shuffle" -> t27SplitShuffle _,
     "t28_trigram_surprisal" -> t28TrigramSurprisal _,
+    "t29_bpe_encode" -> t29BpeEncode _,
   )
 
   private def sqlList(lang: String): String =
     Pipelines.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
-  /** t26's oracle: the full greedy BPE loop in static SQL. Round r's
+  /** The shared BPE-training CTE block (w0 word counts + three greedy
+    * merge rounds m1..m3/w1..w3) used by BOTH the t26 and t29 oracles, so
+    * the trained merges cannot silently diverge between them. Round r's
     * argmax pair is a scalar subquery over that round's pair counts;
     * applying it is `replace(w, pair, chr(57344 + r - 1))` — left-to-
     * right non-overlapping in DuckDB exactly like Spark's `replace`,
     * which IS greedy BPE application for a single pair. */
-  private def bpeOracleSql: String = {
-    def pairsCte(src: String): String =
-      s"""SELECT substr(w, i, 2) AS pair, sum(cnt)::BIGINT AS cnt FROM (
-         |  SELECT w, cnt, unnest(generate_series(1, length(w) - 1)) AS i
-         |  FROM $src WHERE length(w) >= 2) GROUP BY 1""".stripMargin
+  private def bpePairsCte(src: String): String =
+    s"""SELECT substr(w, i, 2) AS pair, sum(cnt)::BIGINT AS cnt FROM (
+       |  SELECT w, cnt, unnest(generate_series(1, length(w) - 1)) AS i
+       |  FROM $src WHERE length(w) >= 2) GROUP BY 1""".stripMargin
+
+  private def bpeTrainCtes: String = {
     val rounds = (1 to 3).map { r =>
-      s"""p$r AS (${pairsCte(s"w${r - 1}")}),
+      s"""p$r AS (${bpePairsCte(s"w${r - 1}")}),
          |m$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
          |w$r AS (SELECT replace(w, (SELECT pair FROM m$r),
          |  chr(${57344 + r - 1})) AS w, cnt FROM w${r - 1})""".stripMargin
     }.mkString(",\n")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        | SELECT w, count(*)::BIGINT AS cnt FROM (
        |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
        |  FROM documents) WHERE w <> '' GROUP BY 1),
-       |$rounds,
-       |p4 AS (${pairsCte("w3")})
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracleSql: String =
+    s"""WITH $bpeTrainCtes,
+       |p4 AS (${bpePairsCte("w3")})
        |SELECT 1 AS round, pair, cnt FROM m1
        |UNION ALL SELECT 2 AS round, pair, cnt FROM m2
        |UNION ALL SELECT 3 AS round, pair, cnt FROM m3
        |UNION ALL SELECT 4 AS round, pair, cnt FROM (
        | SELECT pair, cnt FROM p4 ORDER BY cnt DESC, pair LIMIT 20)""".stripMargin
-  }
+
+  /** t29's oracle: re-train the same three merges (shared CTEs), then
+    * re-encode every document with the same ordered replace chain and
+    * count words/chars/tokens per document. */
+  private def bpeEncodeOracleSql: String =
+    s"""WITH $bpeTrainCtes,
+       |dw AS (
+       | SELECT doc_id,
+       |  unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+       | FROM documents),
+       |enc AS (
+       | SELECT doc_id, length(w) AS wlen,
+       |  length(replace(replace(replace(w,
+       |    (SELECT pair FROM m1), chr(57344)),
+       |    (SELECT pair FROM m2), chr(57345)),
+       |    (SELECT pair FROM m3), chr(57346))) AS tlen
+       | FROM dw WHERE w <> '')
+       |SELECT doc_id, count(*)::BIGINT AS n_words,
+       | sum(wlen)::BIGINT AS n_chars, sum(tlen)::BIGINT AS n_tokens
+       |FROM enc GROUP BY 1""".stripMargin
 
   /** t27's oracle: same md5, same hex thresholds (rendered from the very
     * hexThreshold the operator uses), same window — engine-exact. */
@@ -479,6 +517,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "t26_bpe_merges" -> bpeOracleSql,
+    "t29_bpe_encode" -> bpeEncodeOracleSql,
     "t27_split_shuffle" -> splitShuffleOracleSql,
     // identical integer-bits trigram surprisal: array-side n-gram streams,
     // model counts from the even-id training half, trigrams pruned below

@@ -557,6 +557,34 @@ class ApiSpec extends AnyFunSuite {
       p4("d\uE001") == 3L && p4.get("es").isEmpty, s"got $p4")
   }
 
+  test("bpeEncode prices documents with the trained merge chain, in order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+      (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")),
+      (3L, "...!!!"), // no alphabetic words: dropped, not a zero row
+    ).toDF("doc_id", "text")
+    val (merges, _) = graft.api.Pipelines.bpeTrain(
+      corpus.select(col("text")), "text", 3)
+    assert(merges == Seq((1, "es", 9L), (2, "t", 9L), (3, "lo", 7L)))
+    val got = graft.api.Pipelines.bpeEncode(
+      corpus, col("doc_id"), col("text"), merges)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 1: 5 x low (3 chars -> "w" = 2 tokens)
+    //       + 2 x lower (5 chars -> "wer" = 4 tokens)
+    //   n_words 7, n_chars 5*3+2*5=25, n_tokens 5*2+2*4=18
+    // doc 2: newest (6 -> "new" = 4), widest (6 -> "wid" = 4)
+    //   n_words 9, n_chars 9*6=54, n_tokens 9*4=36
+    assert(got == Seq((1L, 7L, 25L, 18L), (2L, 9L, 54L, 36L)), s"got $got")
+    // merge ORDER matters: round 2's pair contains round 1's sentinel, so
+    // a reversed table must NOT produce the same counts
+    val reversed = graft.api.Pipelines.bpeEncode(
+      corpus, col("doc_id"), col("text"),
+      merges.zip(merges.map(_._1).reverse).map { case ((_, p, c), r) => (r, p, c) })
+    val rev = reversed.as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rev != got, "reversed merge order should change token counts")
+  }
+
   test("bpeTrain on zero merges returns the raw word-frequency state") {
     import spark.implicits._
     val (merges, words) =
