@@ -916,6 +916,66 @@ object Pipelines {
   }
 
   /**
+   * Persisted fingerprint index bootstrap (d20) — land the historical
+   * corpus's content digests as a transactional gwdelta table: one
+   * `(fp, src_id)` row per DISTINCT digest (smallest source id wins, so
+   * the canonical-keeper rule is stable under re-runs). This is the
+   * state [[incrementalExactDedup]] dedups new batches against — after
+   * bootstrap the historical corpus itself is NEVER rescanned.
+   *
+   * Scale: one map-side-combined groupBy over the corpus (digests are
+   * ~50 B/doc — the index is orders of magnitude smaller than what it
+   * indexes), one transactional commit. Returns the committed version.
+   */
+  def buildFingerprintIndex(df: DataFrame, id: Column, text: Column,
+      indexPath: String): Long =
+    graft.streaming.GwSink.append(
+      df.select(md5(text).as("fp"), id.cast("long").as("src_id"))
+        .groupBy("fp").agg(min("src_id").as("src_id")),
+      indexPath)
+
+  /**
+   * Incremental exact dedup against a PERSISTED fingerprint index (d20)
+   * — the production dedup shape at 100 TB: history lives as digests in
+   * a gwdelta table ([[buildFingerprintIndex]]), each new batch is
+   * checked against THAT (plus itself), and the survivors' digests
+   * append in the same call as ONE commit — `txnId` makes a retried
+   * batch exactly-once (the sink's txn replay commits nothing).
+   *
+   * Join shape: the INDEX never shuffles — the batch's distinct digests
+   * broadcast onto one streamed index scan (left-semi), and the hit set
+   * (bounded by the batch, not the index) broadcasts back onto the
+   * batch; only the batch pays a digest-keyed exchange, for its own
+   * first-id window. The report is pinned to the index version BEFORE
+   * this batch's append, so re-evaluating the returned frame after
+   * later appends cannot change it.
+   *
+   * Returns (id, fp, dup_of_index, dup_in_batch, kept): kept = first
+   * occurrence of a digest never seen before.
+   */
+  def incrementalExactDedup(batch: DataFrame, id: Column, text: Column,
+      indexPath: String, txnId: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val table = graft.GwTable.forPath(spark, indexPath)
+    val pinned = table.versionAsOf(table.snapshot().version).select(col("fp"))
+    val b = batch.select(id.cast("long").as("id"), md5(text).as("fp"))
+    val probe = b.select("fp").distinct()
+    val hits = pinned.join(broadcast(probe), Seq("fp"), "left_semi")
+      .distinct().withColumn("__hit", lit(true))
+    val w = Window.partitionBy("fp").orderBy("id")
+    val report = b
+      .join(broadcast(hits), Seq("fp"), "left")
+      .withColumn("dup_of_index", coalesce(col("__hit"), lit(false)))
+      .withColumn("dup_in_batch", row_number().over(w) > 1)
+      .withColumn("kept", !col("dup_of_index") && !col("dup_in_batch"))
+      .select("id", "fp", "dup_of_index", "dup_in_batch", "kept")
+    graft.streaming.GwSink.append(
+      report.filter(col("kept")).select(col("fp"), col("id").as("src_id")),
+      indexPath, txnId = txnId)
+    report
+  }
+
+  /**
    * Model-based quality scoring (the fastText / CCNet-style linear
    * classifier step of a pretraining pipeline): token unigrams and bigrams
    * hash into `buckets` feature slots (the hashing trick — vocabulary-free,

@@ -50,6 +50,42 @@ object Dedup {
     Pipelines.containmentPairs(docs(spark, dir), col("doc_id"), col("text"),
       Seq(col("lang")), thresholdPermille = 500)
 
+  /** d20: incremental exact dedup against a PERSISTED fingerprint index —
+    * the production lifecycle: bootstrap the index from the history slice
+    * (doc_id % 3 == 0), dedup batch 1 (% 3 == 1) against it and append
+    * its survivors in one txn-id'd commit, prove the commit is
+    * exactly-once (a replayed txn changes nothing), then dedup batch 2
+    * (% 3 == 2) against the GROWN index — batch-2 duplicates of batch-1
+    * survivors must drop, which only happens if the append truly
+    * extended the membership state. Oracle replays both batches' digest
+    * joins in SQL. */
+  def d20IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("d20")
+      .resolve("fpidx").toString
+    Pipelines.buildFingerprintIndex(
+      d.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"), idx)
+    val t = graft.GwTable.forPath(spark, idx)
+    val v0 = t.snapshot().version
+    val b1 = Pipelines.incrementalExactDedup(
+      d.filter(col("doc_id") % 3 === 1), col("doc_id"), col("text"), idx,
+      txnId = Some("d20/batch-1"))
+    val v1 = t.snapshot().version
+    require(v1 > v0, "batch-1 survivors must commit to the index")
+    // exactly-once: retrying batch 1 under the same txn commits NOTHING
+    Pipelines.incrementalExactDedup(
+      d.filter(col("doc_id") % 3 === 1), col("doc_id"), col("text"), idx,
+      txnId = Some("d20/batch-1"))
+    require(t.snapshot().version == v1,
+      "a replayed batch txn must not re-commit")
+    val b2 = Pipelines.incrementalExactDedup(
+      d.filter(col("doc_id") % 3 === 2), col("doc_id"), col("text"), idx,
+      txnId = Some("d20/batch-2"))
+    b1.withColumn("batch", lit(1L)).unionByName(b2.withColumn("batch", lit(2L)))
+      .withColumnRenamed("id", "doc_id")
+      .select("batch", "doc_id", "fp", "dup_of_index", "dup_in_batch", "kept")
+  }
+
   /** Explicitly the EXACT all-pairs form: d05 is the oracle-checkable gate
     * for near-dup arithmetic; the library default (`cosineNearDupPairs`)
     * routes to the sub-quadratic ANN path gated as d06. */
@@ -218,6 +254,7 @@ object Dedup {
     "d17_semantic_decontamination" -> d17SemanticDecontamination _,
     "d18_fuzzy_dedup_apply" -> d18FuzzyDedupApply _,
     "d19_containment_dedup" -> d19ContainmentDedup _,
+    "d20_incremental_dedup" -> d20IncrementalDedup _,
   )
 
   // shared SQL pieces so the d04 and d08 oracles cannot silently diverge
@@ -520,5 +557,30 @@ object Dedup {
         |  WHERE r.doc_id % 7 = 0
         |    AND concat_ws('|', d.lang, d.n_chars // 10)
         |      = concat_ws('|', r.lang, r.n_chars // 10))""".stripMargin,
+    // d20: the index after batch 1 holds history digests UNION batch-1
+    // digests (each kept row contributes its fp; duplicates collapse), so
+    // batch 2's "seen before" set is exactly hist ∪ b1-fps
+    "d20_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0),
+        |b1 AS (
+        | SELECT doc_id, fp,
+        |  fp IN (SELECT fp FROM hist) AS dup_of_index,
+        |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+        |    AS dup_in_batch
+        | FROM f WHERE doc_id % 3 = 1),
+        |idx2 AS (SELECT fp FROM hist
+        |         UNION SELECT fp FROM f WHERE doc_id % 3 = 1),
+        |b2 AS (
+        | SELECT doc_id, fp,
+        |  fp IN (SELECT fp FROM idx2) AS dup_of_index,
+        |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+        |    AS dup_in_batch
+        | FROM f WHERE doc_id % 3 = 2)
+        |SELECT 1::BIGINT AS batch, doc_id, fp, dup_of_index, dup_in_batch,
+        |  NOT (dup_of_index OR dup_in_batch) AS kept FROM b1
+        |UNION ALL
+        |SELECT 2::BIGINT AS batch, doc_id, fp, dup_of_index, dup_in_batch,
+        |  NOT (dup_of_index OR dup_in_batch) AS kept FROM b2""".stripMargin,
   )
 }

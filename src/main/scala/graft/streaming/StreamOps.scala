@@ -1027,6 +1027,70 @@ object StreamOps {
       candidates = 20)
   }
 
+  // ---------------------------------------------------------------- st18
+  /** Streaming incremental exact dedup — the streaming face of d20: a
+    * document stream dedups each micro-batch against the PERSISTED
+    * fingerprint index and appends its survivors' digests in the same
+    * call ([[graft.api.Pipelines.incrementalExactDedup]]), so later
+    * batches see earlier batches' survivors as "already seen". The two
+    * staged batches arrive as two single-file gwdelta commits sliced by
+    * `maxFilesPerTrigger=1` (st14's deterministic admission), per-batch
+    * reports land in a report table under per-(stream, batch) txn ids,
+    * and a checkpoint-restart drain proves the whole lifecycle
+    * exactly-once: no new commit on the index OR the report table.
+    * Result = the report table; same oracle semantics as d20. */
+  def st18StreamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.Pipelines
+    val tmp = java.nio.file.Files.createTempDirectory("st18")
+    val idx = tmp.resolve("fpidx").toString
+    val src = tmp.resolve("src").toString
+    val rep = tmp.resolve("report").toString
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    Pipelines.buildFingerprintIndex(
+      d.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"), idx)
+    // the arriving batches: two single-file commits, admitted in order
+    d.filter(col("doc_id") % 3 === 1).coalesce(1)
+      .write.format("gwdelta").mode("append").save(src)
+    d.filter(col("doc_id") % 3 === 2).coalesce(1)
+      .write.format("gwdelta").mode("append").save(src)
+    val streamId = java.util.UUID.randomUUID().toString
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    def drain(): Unit = {
+      val q = spark.readStream.format("gwdelta")
+        .option("maxFilesPerTrigger", "1").load(src)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batches.incrementAndGet()
+          val report = Pipelines.incrementalExactDedup(
+            batch, col("doc_id"), col("text"), idx,
+            txnId = Some(s"$streamId/idx/$batchId"))
+          GwSink.append(
+            report.withColumn("batch", lit(batchId + 1))
+              .withColumnRenamed("id", "doc_id")
+              .select("batch", "doc_id", "fp", "dup_of_index",
+                "dup_in_batch", "kept"),
+            rep, txnId = Some(s"$streamId/rep/$batchId")); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    require(batches.get() >= 2,
+      s"two staged single-file commits must admit as >= 2 batches, got ${batches.get()}")
+    val idxV = graft.GwTable.forPath(spark, idx).snapshot().version
+    val repV = graft.GwTable.forPath(spark, rep).snapshot().version
+    // checkpoint restart: nothing new to admit, NOTHING re-commits
+    drain()
+    require(graft.GwTable.forPath(spark, idx).snapshot().version == idxV,
+      "a checkpoint restart must not re-commit to the index")
+    require(graft.GwTable.forPath(spark, rep).snapshot().version == repV,
+      "a checkpoint restart must not re-commit to the report table")
+    graft.GwTable.forPath(spark, rep).toDF
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> st01WindowedCounts _,
     "st02_stream_state" -> st02StatefulSessions _,
@@ -1045,11 +1109,16 @@ object StreamOps {
     "st15_late_data_dlq" -> st15LateDataDlq _,
     "st16_streaming_asof_join" -> st16StreamingAsofJoin _,
     "st17_stream_pq_index" -> st17StreamPqIndexIngest _,
+    "st18_stream_incr_dedup" -> st18StreamIncrementalDedup _,
   )
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming
     * results must equal these exactly. */
   val oracles: Map[String, String] = Map(
+    // st18 is the streaming face of d20 over the same batch partitioning
+    // (st14-deterministic admission), so the batch oracle IS its oracle
+    "st18_stream_incr_dedup" ->
+      graft.operators.Dedup.oracles("d20_incremental_dedup"),
     "st01_stream_window" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
         | count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c

@@ -557,6 +557,40 @@ class ApiSpec extends AnyFunSuite {
       p4("d\uE001") == 3L && p4.get("es").isEmpty, s"got $p4")
   }
 
+  test("incrementalExactDedup: membership grows across batches, txn replay is a no-op") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("incdedup")
+      .resolve("fpidx").toString
+    graft.api.Pipelines.buildFingerprintIndex(
+      Seq((1L, "aaa"), (2L, "bbb")).toDF("id", "text"),
+      col("id"), col("text"), idx)
+    val b1 = Seq((3L, "aaa"), (4L, "ccc"), (5L, "ccc")).toDF("id", "text")
+    val r1 = graft.api.Pipelines.incrementalExactDedup(
+      b1, col("id"), col("text"), idx, txnId = Some("t/1"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(r1(3L) == ((true, false, false)), s"dup of history: ${r1(3L)}")
+    assert(r1(4L) == ((false, false, true)), "first ccc is kept")
+    assert(r1(5L) == ((false, true, false)), "second ccc is an in-batch dup")
+    val t = graft.GwTable.forPath(spark, idx)
+    val v1 = t.snapshot().version
+    // replaying batch 1's txn commits nothing
+    graft.api.Pipelines.incrementalExactDedup(
+      b1, col("id"), col("text"), idx, txnId = Some("t/1"))
+    assert(t.snapshot().version == v1)
+    // batch 2 sees batch 1's survivor as already-indexed
+    val r2 = graft.api.Pipelines.incrementalExactDedup(
+      Seq((6L, "ccc"), (7L, "ddd")).toDF("id", "text"),
+      col("id"), col("text"), idx, txnId = Some("t/2"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(!r2(6L), "batch-2 dup of a batch-1 survivor must drop")
+    assert(r2(7L), "a never-seen digest is kept")
+    // the index now holds all four distinct digests with first-seen ids
+    val state = spark.read.format("gwdelta").load(idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state.values.toSet == Set(1L, 2L, 4L, 7L), s"got $state")
+  }
+
   test("bpeEncode prices documents with the trained merge chain, in order") {
     import spark.implicits._
     val corpus = Seq(
