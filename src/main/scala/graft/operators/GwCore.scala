@@ -326,7 +326,7 @@ object GwCore {
     val planned = table.toDF.filter(org.apache.spark.sql.functions.col("r_regionkey") === 0)
       .queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+          org.apache.spark.sql.graftbridge.GwScanPeel.peel(b.scan).asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
             .fileIndex.inputFiles.length
       }.head
     require(planned < files, s"clustered stats must prune: planned $planned of $files")
@@ -651,11 +651,8 @@ object GwCore {
       .filter(col("n_regionkey") === 2)
       .queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          val batchScan = b.scan match {
-            case w: org.apache.spark.sql.graftbridge.GwDeltaScan => w.innerScan
-            case s => s
-          }
-          batchScan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+          org.apache.spark.sql.graftbridge.GwScanPeel.peel(b.scan)
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
             .fileIndex.inputFiles.length
       }.head
     val expected = snap1.files.count(_.partitionValues.get("n_regionkey").contains("2"))
@@ -918,7 +915,7 @@ object GwCore {
     def planned(df: DataFrame): Int =
       df.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+          org.apache.spark.sql.graftbridge.GwScanPeel.peel(b.scan).asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
             .fileIndex.inputFiles.length
       }.head
     val read = spark.read.format("gwdelta").load(loc)
@@ -1413,7 +1410,7 @@ object GwCore {
     def planned(df: DataFrame): Int =
       df.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+          org.apache.spark.sql.graftbridge.GwScanPeel.peel(b.scan).asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
             .fileIndex.inputFiles.length
       }.head
     val read = spark.read.format("gwdelta").load(loc)
@@ -1962,7 +1959,7 @@ object GwCore {
       .filter(col("n_nationkey") >= 20)
       .queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[
+          org.apache.spark.sql.graftbridge.GwScanPeel.peel(b.scan).asInstanceOf[
               org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
             .fileIndex.inputFiles.length
       }.head
@@ -2127,7 +2124,7 @@ object GwCore {
         .filter(col("o_orderkey") === k)
         .queryExecution.executedPlan.collect {
           case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-            b.scan.asInstanceOf[
+            org.apache.spark.sql.graftbridge.GwScanPeel.peel(b.scan).asInstanceOf[
                 org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
               .fileIndex.inputFiles.length
         }.head
@@ -2141,7 +2138,7 @@ object GwCore {
       .filter(col("o_orderkey").isin(keys.map(Long.box): _*))
       .queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[
+          org.apache.spark.sql.graftbridge.GwScanPeel.peel(b.scan).asInstanceOf[
               org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
             .fileIndex.inputFiles.length
       }.head
@@ -2782,6 +2779,71 @@ object GwCore {
     t.toDF.select("n_nationkey", "n_name", "n_regionkey")
   }
 
+  /** gw67: dynamic FILE pruning — the fact side of a broadcast join is a
+    * gwdelta table with range-disjoint files on the join key; Spark's
+    * runtime-filtering planner delivers the (selective) dim side's key
+    * set into the scan at execution time (`SupportsRuntimeFiltering`),
+    * and the scan prunes fact FILES by footer stats/blooms before opening
+    * them — semi-join reduction from a plain `fact.join(dim, key)`, no
+    * manual orchestration. In-gate pins: a runtime filter is present on
+    * the fact scan AND strictly fewer files than the snapshot are
+    * planned; the oracle replays the join in SQL. */
+  def gw67DynamicFilePruning(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    val tmp = Files.createTempDirectory("gw67")
+    val loc = tmp.resolve("db/lineitem").toString
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.format("gwdelta").save(loc)
+    val total = GwTable.forPath(spark, loc).snapshot().files.size
+    require(total >= 6, s"expected >= 6 range-disjoint files, got $total")
+    val dim = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") < 600)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val fact = spark.read.format("gwdelta").load(loc)
+    val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"),
+        count(lit(1)).as("n"))
+    joined.collect() // materialize: runtime filters only exist at execution
+    val scans = collectRuntimeFilteringScans(joined.queryExecution.executedPlan)
+    require(scans.nonEmpty, "no runtime-filtering fact scan in the executed plan")
+    val (b, s) = scans.head
+    require(b.runtimeFilters.nonEmpty,
+      "the planner must insert a dynamic-pruning filter on the fact scan")
+    require(s.plannedFiles.size < total,
+      s"runtime keys < 600 must prune high-range files: planned " +
+        s"${s.plannedFiles.size} of $total")
+    joined
+  }
+
+  /** AQE-aware walk to the gwdelta runtime-filtering scans of an executed
+    * plan (descends into adaptive stages). */
+  private def collectRuntimeFilteringScans(
+      p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[(org.apache.spark.sql.execution.datasources.v2.BatchScanExec,
+             org.apache.spark.sql.graftbridge.GwRuntimeFilteringScan)] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectRuntimeFilteringScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectRuntimeFilteringScans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        (b.scan match {
+          case s: org.apache.spark.sql.graftbridge.GwRuntimeFilteringScan =>
+            Some((b, s))
+          case w: org.apache.spark.sql.graftbridge.GwDeltaScan =>
+            w.innerScan match {
+              case s: org.apache.spark.sql.graftbridge.GwRuntimeFilteringScan =>
+                Some((b, s))
+              case _ => None
+            }
+          case _ => None
+        }).toSeq
+    }.flatten
+
   /** The deepest non-null message in a (possibly wrapped) failure chain —
     * maintenance commands surface engine messages wrapped in Spark's
     * command-execution exceptions. */
@@ -2860,6 +2922,7 @@ object GwCore {
     "gw64_merge_evolution" -> gw64MergeEvolution _,
     "gw65_optimize_write" -> gw65OptimizeWrite _,
     "gw66_symlink_manifest" -> gw66SymlinkManifest _,
+    "gw67_dynamic_file_pruning" -> gw67DynamicFilePruning _,
     "gw60_version_checksum" -> gw60VersionChecksum _,
     "gw61_domain_metadata" -> gw61DomainMetadata _,
   )
@@ -3199,6 +3262,15 @@ object GwCore {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation WHERE n_regionkey <> 4""".stripMargin,
+    // gw67: result-exact replay of the dynamically-pruned join; the
+    // file-pruning invariants are require()-pinned in-gate
+    "gw67_dynamic_file_pruning" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey < 600
+        |GROUP BY 1""".stripMargin,
     // the nation fixture unchanged through the optimized write; the
     // file-count invariants (control fan-out, <=1 per value, AQE packing)
     // are require()-pinned in-gate

@@ -174,7 +174,7 @@ object Similarity {
         .filter(col("list").isin(lists.map(Int.box): _*))
         .queryExecution.executedPlan.collect {
           case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-            b.scan.asInstanceOf[
+            org.apache.spark.sql.graftbridge.GwScanPeel.peel(b.scan).asInstanceOf[
                 org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
               .fileIndex.inputFiles.length
         }.head
@@ -294,7 +294,7 @@ object Similarity {
       .filter(col("list").isin(0, 15)).select("n_id", "n_codes")
     val scan = adcShape.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan.asInstanceOf[
+        org.apache.spark.sql.graftbridge.GwScanPeel.peel(b.scan).asInstanceOf[
           org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
     }.head
     require(scan.fileIndex.inputFiles.length < total,
@@ -402,7 +402,7 @@ object Similarity {
       .filter(col("list").isin(0, 15))
       .queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[
+          org.apache.spark.sql.graftbridge.GwScanPeel.peel(b.scan).asInstanceOf[
               org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
             .fileIndex.inputFiles.length
       }.head
@@ -412,6 +412,35 @@ object Similarity {
     Pipelines.ivfIndexRangeSearch(e.filter(col("vec_id") < 10),
       col("vec_id"), col("embedding"), tmp,
       minSimMicro = 250000L, nProbe = 8)
+  }
+
+  /** s23: index DELETE — the unlearning/right-to-be-forgotten face of the
+    * persisted index: vectors leave through the engine's merge-on-read
+    * row-level delete, so NO index file is rewritten (the delete lands as
+    * deletion-vector sidecars re-asserted onto the same files — pinned:
+    * identical data-file path set, at least one DV) and the next search
+    * simply never surfaces them. Oracle: the same centroid-literal IVF
+    * replay over the corpus MINUS the deleted ids. */
+  def s23IvfDelete(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("s23")
+      .resolve("ivf").toString
+    Pipelines.buildIvfIndex(e, col("vec_id"), col("embedding"),
+      dim = 64, indexPath = tmp)
+    val t = graft.GwTable.forPath(spark, tmp)
+    val paths0 = t.snapshot().files.map(_.path).toSet
+    require(t.delete(col("n_id") % 10 === 0, mergeOnRead = true) > 0,
+      "the unlearning delete must commit")
+    val snap = t.snapshot()
+    require(snap.files.map(_.path).toSet == paths0,
+      "a merge-on-read index delete must not rewrite index files")
+    require(snap.files.exists(_.dv.isDefined),
+      "the delete must land as deletion vectors")
+    val res = Pipelines.ivfIndexTopK(e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), tmp, k = 3, nProbe = 8)
+    require(res.filter(col("n_id") % 10 === 0).count() == 0,
+      "no deleted vector may surface as a neighbor")
+    res
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -437,6 +466,7 @@ object Similarity {
     "s20_ivf_range_search" -> s20IvfRangeSearch _,
     "s21_index_range_search" -> s21IvfIndexRangeSearch _,
     "s22_ivfpq_rebuild" -> s22IvfPqRebuild _,
+    "s23_ivf_delete" -> s23IvfDelete _,
   )
 
   /** s13's oracle: the s02 LSH replay with the label equality joined into
@@ -595,7 +625,7 @@ object Similarity {
     * literals): yields `scored(q_id, n_id, cos)` for the final SELECT the
     * top-k (s03/s14/s15) and range (s20) oracles each append. */
   private def ivfScoredCte(queryPred: String, nCentroids: Int,
-      nProbe: Int): String = {
+      nProbe: Int, corpusPred: String = "TRUE"): String = {
     val cents = Pipelines.hyperplanes(nCentroids, 64)
     def centLit(p: Array[Double]): String = p.mkString("[", ",", "]")
     val scores = (0 until nCentroids)
@@ -603,7 +633,8 @@ object Similarity {
       .mkString("[\n ", ",\n ", "\n]")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |sc AS (SELECT vec_id, emb, $scores AS s FROM e),
-       |corpus AS (SELECT vec_id, list_position(s, list_max(s)) - 1 AS cl FROM sc),
+       |corpus AS (SELECT vec_id, list_position(s, list_max(s)) - 1 AS cl FROM sc
+       |          WHERE $corpusPred),
        |probe AS (
        | SELECT q.vec_id AS q_id, c.cl
        | FROM (SELECT vec_id, s FROM sc WHERE $queryPred) q
@@ -620,8 +651,8 @@ object Similarity {
   }
 
   private[graft] def ivfOracleSql(queryPred: String, nCentroids: Int = 16,
-      nProbe: Int = 8): String =
-    s"""${ivfScoredCte(queryPred, nCentroids, nProbe)}
+      nProbe: Int = 8, corpusPred: String = "TRUE"): String =
+    s"""${ivfScoredCte(queryPred, nCentroids, nProbe, corpusPred)}
        |SELECT q_id, n_id, rnk, CAST(round(1000000 * cos) AS BIGINT) AS cos_micro
        |FROM (SELECT *, row_number() OVER (
        |        PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM scored)
@@ -817,6 +848,9 @@ object Similarity {
     "s03_ivf_topk" -> s03OracleSql,
     "s14_ivf_index" -> s14OracleSql,
     "s15_ivf_append" -> s15OracleSql,
+    // s23: the s14 replay over the corpus minus the unlearned ids
+    "s23_ivf_delete" ->
+      ivfOracleSql("vec_id < 10", corpusPred = "vec_id % 10 <> 0"),
     // s16: contents equal the full corpus after build+appends+OPTIMIZE,
     // so maintenance must answer s14's replay verbatim
     "s16_ivf_optimize" -> ivfOracleSql("vec_id < 10"),

@@ -141,9 +141,26 @@ class GwDeltaScan(
     streamSchema: StructType,
     readOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   /** The wrapped batch scan (plan observability in tests/gates). */
   def innerScan: Scan = inner
+
+  // dynamic file pruning passes through to the wrapped batch scan (a
+  // non-filtering inner scan reports no attributes, which disables the
+  // planner's runtime-filter insertion entirely)
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        f.filterAttributes()
+      case _ => Array.empty
+    }
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    inner match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeFiltering =>
+        f.filter(filters)
+      case _ => ()
+    }
   /** Forward the wrapped scan's statistics (parquet estimate or
     * log-exact GwScanStats) — a wrapper must not hide them or Spark
     * assumes "huge" and never broadcasts the table. */

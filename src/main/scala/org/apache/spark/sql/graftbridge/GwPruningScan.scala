@@ -289,11 +289,16 @@ class GwPruningScanBuilder(
     inner
   }
 
+  // the physical filters as pushed (kept so a runtime-filter rebuild can
+  // re-push them into the re-planned inner scan)
+  private var pushedPf: Seq[Expression] = Nil
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     // physical names from here down: footer stats and partitionValues are
     // keyed by the ON-FILE names (partition columns are unrenameable, so
     // their logical == physical)
     val pf = physFilters(filters)
+    pushedPf = pf
     val constraints = GwStatsPruning.ranges(pf)
     // partition pruning (exact, metadata-only) runs before stats pruning
     if (constraints.nonEmpty) candidates = snapshot.filesForConstraints(constraints)
@@ -341,21 +346,41 @@ class GwPruningScanBuilder(
       return GwRowId.buildScan(tableName, spark, options, snapshot,
         candidates, required.get)
     }
-    val dvd = dvFiles
-    val scan =
-      if (dvd.isEmpty) ensureInner().build()
-      else {
-        val cleanScan = if (cleanFiles.isEmpty) None else Some(ensureInner().build())
-        // filter-free, column-pruned scan over the DV'd files
-        val dvScan = makeInner(dvd.map(_.path)).build()
-        new GwMorScan(cleanScan, dvScan,
-          new graft.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
-          dvd.map(f => graft.GwTable.uriKey(f.path) -> f.dv.get).toMap,
-          planned = candidates)
-      }
+    val scan = assembleScan(candidates)
     // surface LOGICAL names to Spark: rows are positional, only the
-    // reported schema translates
-    if (!mapped) scan else new GwLogicalNamesScan(scan, logiType(scan.readSchema()))
+    // reported schema translates. Runtime filtering is forgone on mapped
+    // tables (runtime filters arrive in logical names; the stats are
+    // physical) — consistent with DPP being forgone there.
+    if (mapped) new GwLogicalNamesScan(scan, logiType(scan.readSchema()))
+    else new GwRuntimeFilteringScan(scan, snapshot, candidates, assembleScan)
+  }
+
+  /** Assemble the batch scan over an explicit candidate set — the initial
+    * build and every runtime-filter re-plan go through here, so a pruned
+    * re-plan preserves the pushed filters, the column pruning, and the
+    * clean/DV split exactly. */
+  private def assembleScan(cands: Seq[graft.log.AddFile]): Scan = {
+    val clean = cands.filter(_.dv.isEmpty)
+    val dvd = cands.filter(_.dv.isDefined)
+    if (dvd.isEmpty) {
+      val b = makeInner(clean.map(_.path))
+      if (pushedPf.nonEmpty) b.pushFilters(pushedPf)
+      b.build()
+    } else {
+      val cleanScan =
+        if (clean.isEmpty) None
+        else {
+          val b = makeInner(clean.map(_.path))
+          if (pushedPf.nonEmpty) b.pushFilters(pushedPf)
+          Some(b.build())
+        }
+      // filter-free, column-pruned scan over the DV'd files
+      val dvScan = makeInner(dvd.map(_.path)).build()
+      new GwMorScan(cleanScan, dvScan,
+        new graft.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration),
+        dvd.map(f => graft.GwTable.uriKey(f.path) -> f.dv.get).toMap,
+        planned = cands)
+    }
   }
 }
 

@@ -138,7 +138,7 @@ class CompactionSpec extends AnyFunSuite {
     def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+          ScanPeel.peel(b.scan).asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
             .fileIndex.inputFiles.length
       }.head
 
@@ -189,11 +189,7 @@ class CompactionSpec extends AnyFunSuite {
     def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          val inner = b.scan match {
-            case w: org.apache.spark.sql.graftbridge.GwDeltaScan => w.innerScan
-            case s => s
-          }
-          inner.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+          ScanPeel.peel(b.scan).asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
             .fileIndex.inputFiles.length
       }.head
     val onA = plannedFiles(spark.sql(s"SELECT * FROM gw.$ns.t WHERE a < 60"))
@@ -230,7 +226,7 @@ class CompactionSpec extends AnyFunSuite {
     def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+          ScanPeel.peel(b.scan).asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
             .fileIndex.inputFiles.length
       }.head
 

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{GwRuntimeFilteringScan, GwRuntimeFilterTranslation}
+
+/**
+ * Dynamic FILE pruning through Spark's runtime-filtering planner: a
+ * broadcast join against a selective dim side must deliver the dim's key
+ * set into the gwdelta scan at execution time (`SupportsRuntimeFiltering`)
+ * and prune fact FILES by footer stats before they are opened — semi-join
+ * reduction with zero manual orchestration.
+ */
+class DynamicPruningSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The fact scans of the EXECUTED plan (AQE-final if adaptive,
+    * descending into materialized query stages), with their scan. */
+  private def factScans(df: DataFrame): Seq[(BatchScanExec, GwRuntimeFilteringScan)] = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[(BatchScanExec, GwRuntimeFilteringScan)] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case b: BatchScanExec =>
+          (b.scan match {
+            case s: GwRuntimeFilteringScan => Some((b, s))
+            case w: org.apache.spark.sql.graftbridge.GwDeltaScan =>
+              w.innerScan match {
+                case s: GwRuntimeFilteringScan => Some((b, s))
+                case _ => None
+              }
+            case _ => None
+          }).toSeq
+      }.flatten
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("broadcast join runtime-filters the fact scan to the files its keys can touch") {
+    val loc = Files.createTempDirectory("dfp").resolve("lineitem").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    // 8 range-disjoint files on the join key: footer min/max carry the
+    // layout the runtime IN-set prunes against
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.format("gwdelta").save(loc)
+    val total = GwTable.forPath(spark, loc).snapshot().files.size
+    assert(total >= 6, s"expected >= 6 range files, got $total")
+
+    val dim = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") < 600) // selective: keys live in the low files
+      .select("o_orderkey", "o_orderpriority")
+    val fact = spark.read.format("gwdelta").load(loc)
+    val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n"))
+
+    val got = joined.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    // oracle: the same join straight over parquet
+    val expected = li.join(
+        spark.read.parquet(s"$sf/orders.parquet")
+          .filter(col("o_orderkey") < 600).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.sameElements(expected), "runtime pruning changed the join result")
+
+    val scans = factScans(joined)
+    assert(scans.nonEmpty, "no runtime-filtering fact scan in the executed plan")
+    val (b, s) = scans.head
+    assert(b.runtimeFilters.nonEmpty,
+      "the planner must insert a dynamic-pruning filter on the fact scan")
+    assert(s.plannedFiles.size < total,
+      s"runtime keys under 600 must prune the high-range files: " +
+        s"planned ${s.plannedFiles.size} of $total")
+  }
+
+  test("runtime filter translation: IN, comparisons, envelope fallback, safe failure") {
+    import org.apache.spark.sql.sources
+    val in = GwRuntimeFilterTranslation.toRanges(
+      sources.In("k", Array(5L, 1L, 9L)))
+    assert(in.size == 1 && in.head.anyOf.size == 3)
+    assert(in.head.lower.contains(graft.log.Bound.Num(BigDecimal(1))) &&
+      in.head.upper.contains(graft.log.Bound.Num(BigDecimal(9))))
+    // above the member cap: the [min, max] envelope survives, anyOf drops
+    val big = GwRuntimeFilterTranslation.toRanges(
+      sources.In("k", (0 until 10001).map(i => Long.box(i.toLong)).toArray[Any]))
+    assert(big.size == 1 && big.head.anyOf.isEmpty &&
+      big.head.upper.contains(graft.log.Bound.Num(BigDecimal(10000))))
+    val cmp = GwRuntimeFilterTranslation.toRanges(
+      sources.And(sources.GreaterThan("k", 3), sources.LessThanOrEqual("k", 8)))
+    assert(cmp.size == 2)
+    // timestamps and unknown kinds translate to NOTHING (prune nothing)
+    assert(GwRuntimeFilterTranslation.toRanges(
+      sources.EqualTo("t", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).isEmpty)
+    assert(GwRuntimeFilterTranslation.toRanges(
+      sources.In("k", Array[Any](1L, "mixed"))).isEmpty)
+    assert(GwRuntimeFilterTranslation.toRanges(
+      sources.EqualTo("a.b", 1L)).isEmpty, "nested refs must not translate")
+  }
+}

@@ -162,7 +162,7 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+          ScanPeel.peel(b.scan).asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
             .fileIndex.inputFiles.length
       }.head
 
@@ -219,7 +219,7 @@ class GwDeltaSourceSpec extends AnyFunSuite {
     def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+          ScanPeel.peel(b.scan).asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
             .fileIndex.inputFiles.length
       }.head
 

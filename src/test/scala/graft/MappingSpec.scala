@@ -67,15 +67,9 @@ class MappingSpec extends SparkSpec {
     def plannedFiles(d: org.apache.spark.sql.DataFrame): Int =
       d.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan match {
-            case s: org.apache.spark.sql.graftbridge.GwLogicalNamesScan =>
-              s.innerScan.asInstanceOf[
-                org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
-                .fileIndex.inputFiles.length
-            case s => s.asInstanceOf[
-              org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
-              .fileIndex.inputFiles.length
-          }
+          ScanPeel.peel(b.scan).asInstanceOf[
+            org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
       }.head
     assert(t.snapshot().files.size == 2)
     // stats pruning through the mapping: only file B (keys >= 12) planned

@@ -14,10 +14,7 @@ class PartitionSpec extends AnyFunSuite {
   private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        (b.scan match {
-          case w: org.apache.spark.sql.graftbridge.GwDeltaScan => w.innerScan
-          case s => s
-        }) match {
+        ScanPeel.peel(b.scan) match {
           case m: org.apache.spark.sql.graftbridge.GwMorScan => m.inputFiles.length
           case p => p
             .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]

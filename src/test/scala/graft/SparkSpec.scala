@@ -9,6 +9,15 @@ trait SparkSpec extends AnyFunSuite {
   implicit def implicitSpark: SparkSession = spark
 }
 
+/** Peel observability wrappers off a V2 scan down to the parquet/MOR core
+  * (GwDeltaScan streaming face, GwRuntimeFilteringScan dynamic pruning,
+  * GwLogicalNamesScan column mapping) — test plan assertions target the
+  * core scan whatever faces the table carries. */
+object ScanPeel {
+  import org.apache.spark.sql.connector.read.Scan
+  def peel(s: Scan): Scan = org.apache.spark.sql.graftbridge.GwScanPeel.peel(s)
+}
+
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
