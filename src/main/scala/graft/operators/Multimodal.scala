@@ -360,6 +360,68 @@ object Multimodal {
         (fmt.getSampleRate.toLong, n.toLong, energy)
       } finally in.close()
     }
+
+    /** Per-frame integer energies (sum of squared samples) over fixed
+      * `frameLen`-sample frames; the final frame may be partial. The VAD
+      * primitive (m12) — pure integers, SQL-replayable. */
+    def frameEnergies(payload: Array[Byte], frameLen: Int): Array[Long] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"unexpected WAV shape: $fmt")
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        val out = new Array[Long]((n + frameLen - 1) / frameLen)
+        var i = 0
+        while (i < n) {
+          val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toLong
+          out(i / frameLen) += v * v
+          i += 1
+        }
+        out
+      } finally in.close()
+    }
+  }
+
+  // ---------------------------------------------------------------- m12
+  /** Energy-based voice-activity segmentation (VAD) through the REAL WAV
+    * decode: 80-sample (10 ms @ 8 kHz) frames, integer per-frame energy
+    * (sum of squared PCM16 samples), a frame is ACTIVE iff its energy
+    * reaches the threshold, and consecutive active frames merge into
+    * segments — the speech-region primitive an audio curation pipeline
+    * runs before transcription/training (silence trim, speech-density
+    * filters). Everything after the decode is exact integer arithmetic,
+    * so frame energies, the activity mask, segment count and the longest
+    * run all replay in SQL from the codec's sample formula. One decoder
+    * per partition; only five longs per doc leave the executor. */
+  def m12AudioVad(spark: SparkSession, dir: String): DataFrame = {
+    val input = wavPayloads(docs(spark, dir))
+    val frameLen = 80
+    val threshold = 26700000L // ~E[s^2]*80 for the +/-1000 synth: splits
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("active_frames", LongType, nullable = false),
+      StructField("n_segments", LongType, nullable = false),
+      StructField("max_run", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    input.mapPartitions { rows =>
+      val decoder = new WavDecoder
+      rows.map { r =>
+        val es = decoder.frameEnergies(r.getAs[Array[Byte]](1), frameLen)
+        var act = 0L; var segs = 0L; var run = 0L; var maxRun = 0L
+        es.foreach { e =>
+          if (e >= threshold) {
+            act += 1; run += 1
+            if (run == 1) segs += 1
+            if (run > maxRun) maxRun = run
+          } else run = 0
+        }
+        Row(r.getLong(0), es.length.toLong, act, segs, maxRun)
+      }
+    }(encoder)
   }
 
   // ---------------------------------------------------------------- m06
@@ -691,9 +753,47 @@ object Multimodal {
     "m09_image_dedup" -> m09ImageDedup _,
     "m10_video_neardup" -> m10VideoNearDup _,
     "m11_crossmodal_dedup" -> m11CrossModalDedup _,
+    "m12_audio_vad" -> m12AudioVad _,
   )
 
   val oracles: Map[String, String] = Map(
+    // m12: WavCodec's sample formula -> 80-sample frame energies ->
+    // threshold mask -> gaps-and-islands segments, all exact integers
+    "m12_audio_vad" ->
+      """WITH f AS (
+        | SELECT doc_id, i.i // 80 AS frame,
+        |  sum(((doc_id*31 + i.i*7) % 2001 - 1000)
+        |    * ((doc_id*31 + i.i*7) % 2001 - 1000)) AS e
+        | FROM documents, (SELECT unnest(generate_series(0, 499)) AS i) i
+        | WHERE i.i < n_chars % 400 + 100
+        | GROUP BY 1, 2),
+        |a0 AS (SELECT doc_id, frame, e >= 26700000 AS active FROM f),
+        |a AS (
+        | SELECT doc_id, frame, active,
+        |  CASE WHEN active AND NOT coalesce(
+        |    lag(active) OVER (PARTITION BY doc_id ORDER BY frame), FALSE)
+        |   THEN 1 ELSE 0 END AS seg_start
+        | FROM a0),
+        |r AS (
+        | SELECT doc_id, active,
+        |  sum(seg_start) OVER (PARTITION BY doc_id ORDER BY frame) AS seg_id
+        | FROM a),
+        |agg AS (
+        | SELECT doc_id, count(*) AS n_frames,
+        |  sum(CASE WHEN active THEN 1 ELSE 0 END) AS active_frames
+        | FROM r GROUP BY 1),
+        |segs AS (
+        | SELECT doc_id, seg_id, count(*) AS len
+        | FROM r WHERE active GROUP BY 1, 2),
+        |mx AS (
+        | SELECT doc_id, count(*) AS n_segments, max(len) AS max_run
+        | FROM segs GROUP BY 1)
+        |SELECT agg.doc_id,
+        | CAST(agg.n_frames AS BIGINT) AS n_frames,
+        | CAST(agg.active_frames AS BIGINT) AS active_frames,
+        | CAST(coalesce(mx.n_segments, 0) AS BIGINT) AS n_segments,
+        | CAST(coalesce(mx.max_run, 0) AS BIGINT) AS max_run
+        |FROM agg LEFT JOIN mx USING (doc_id)""".stripMargin,
     // cross-modal components: the m07 aHash replay over the 3-class member
     // zoo, caption-equality pairs, and the d08 component recurrence
     "m11_crossmodal_dedup" ->
