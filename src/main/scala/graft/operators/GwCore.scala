@@ -2765,11 +2765,13 @@ object GwCore {
       scala.io.Source.fromInputStream(fs.open(mf), "UTF-8").getLines()
     }
     val external = spark.read.parquet(allListed: _*)
+      .select("n_nationkey", "n_name", "n_regionkey")
       .collect().map(_.toSeq).toSet
-    // partition values live in the directory layout, not the file bytes —
-    // an external reader recovers them from the Hive path, so compare the
-    // data columns here
-    require(external == nation.drop("n_regionkey").collect().map(_.toSeq).toSet,
+    // the engine stores partition columns IN the file bytes (partition
+    // ADDRESSING lives in the log's partitionValues, under mangled
+    // staging dir names) — so a symlink-manifest reader recovers the
+    // complete row from the files alone, no Hive-path parsing needed
+    require(external == nation.collect().map(_.toSeq).toSet,
       "reading the manifests' files must reproduce the table")
     // (4) full-partition delete, regenerate: the stale manifest must go
     require(t.delete(col("n_regionkey") === 4L) > 0)
