@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // properties) — runs once after resolution, wraps batch ingest plans
     ext.injectPostHocResolutionRule(session =>
       org.apache.spark.sql.graftbridge.GwConstraintRule(session))
+    // partitionOverwriteMode=dynamic INSERT OVERWRITE (Spark has no V1
+    // fallback for OverwritePartitionsDynamic) — planned into the sink's
+    // one-commit dynamic overwrite
+    ext.injectPlannerStrategy(session =>
+      new org.apache.spark.sql.graftbridge.GwDynamicOverwriteStrategy(session))
   }
 }
 

@@ -2781,6 +2781,60 @@ object GwCore {
     t.toDF.select("n_nationkey", "n_name", "n_regionkey")
   }
 
+  /** gw68: DYNAMIC partition overwrite (Spark's
+    * `partitionOverwriteMode=dynamic` on INSERT OVERWRITE): only the
+    * partitions the batch TOUCHES are replaced — at 100 TB, restating one
+    * day of a date-partitioned table tombstones that day's files, not the
+    * decade's. In-gate pins: dynamic overwrite of region 2 leaves every
+    * other partition's FILES untouched (path-set equality) and tombstones
+    * exactly region 2's; the conf off (static mode) replaces everything.
+    * Oracle: the final contents after region 2's restatement. */
+  def gw68DynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.read.parquet(s"$dir/nation.parquet")
+      .createOrReplaceTempView("gw68_nation_src")
+    val tmp = Files.createTempDirectory("gw68")
+    val loc = tmp.resolve("db/nation").toString
+    spark.sql(s"CREATE TABLE gw.$ns.nation USING gwdelta " +
+      s"PARTITIONED BY (n_regionkey) LOCATION '$loc' " +
+      "AS SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, " +
+      "CAST(n_regionkey AS BIGINT) AS n_regionkey FROM gw68_nation_src")
+    val table = GwTable.forPath(spark, loc)
+    def filesByRegion(): Map[String, Set[String]] =
+      table.snapshot().files
+        .groupBy(_.partitionValues.getOrElse("n_regionkey", "?"))
+        .map { case (k, v) => k -> v.map(_.path).toSet }
+    val before = filesByRegion()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(s"INSERT OVERWRITE TABLE gw.$ns.nation " +
+      "SELECT CAST(n_nationkey AS BIGINT), concat('DYN_', n_name), " +
+      "CAST(n_regionkey AS BIGINT) FROM gw68_nation_src WHERE n_regionkey = 2")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val after = filesByRegion()
+    Seq("0", "1", "3", "4").foreach { r =>
+      require(after(r) == before(r),
+        s"dynamic overwrite must not touch partition $r's files")
+    }
+    require(after("2").nonEmpty && after("2").intersect(before("2")).isEmpty,
+      "dynamic overwrite must replace exactly the touched partition's files")
+    val mid = spark.table(s"gw.$ns.nation").collect()
+    require(mid.count(_.getString(1).startsWith("DYN_")) ==
+      mid.count(r => r.getLong(2) == 2L) && mid.length == 25,
+      "region 2 restated, everything else intact")
+    val vDyn = table.snapshot().version
+    // static mode (conf off): INSERT OVERWRITE replaces the WHOLE table
+    spark.sql(s"INSERT OVERWRITE TABLE gw.$ns.nation " +
+      "SELECT CAST(n_nationkey AS BIGINT), n_name, " +
+      "CAST(n_regionkey AS BIGINT) FROM gw68_nation_src WHERE n_regionkey = 0")
+    require(spark.table(s"gw.$ns.nation").count() == 5,
+      "static INSERT OVERWRITE must replace the whole table")
+    // the oracle checks the post-dynamic state, via time travel
+    table.versionAsOf(vDyn).select("n_nationkey", "n_name", "n_regionkey")
+  }
+
   /** gw67: dynamic FILE pruning — the fact side of a broadcast join is a
     * gwdelta table with range-disjoint files on the join key; Spark's
     * runtime-filtering planner delivers the (selective) dim side's key
@@ -2925,6 +2979,7 @@ object GwCore {
     "gw65_optimize_write" -> gw65OptimizeWrite _,
     "gw66_symlink_manifest" -> gw66SymlinkManifest _,
     "gw67_dynamic_file_pruning" -> gw67DynamicFilePruning _,
+    "gw68_dynamic_overwrite" -> gw68DynamicOverwrite _,
     "gw60_version_checksum" -> gw60VersionChecksum _,
     "gw61_domain_metadata" -> gw61DomainMetadata _,
   )
@@ -3264,6 +3319,14 @@ object GwCore {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation WHERE n_regionkey <> 4""".stripMargin,
+    // gw68: nation after region 2's dynamic restatement; file-level
+    // untouched/replaced invariants are require()-pinned in-gate
+    "gw68_dynamic_overwrite" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CASE WHEN n_regionkey = 2 THEN concat('DYN_', n_name)
+        |       ELSE n_name END AS n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin,
     // gw67: result-exact replay of the dynamically-pruned join; the
     // file-pruning invariants are require()-pinned in-gate
     "gw67_dynamic_file_pruning" ->

@@ -166,7 +166,8 @@ class GwCatalog extends TableCatalog with SupportsNamespaces {
         // only the LATEST snapshot accepts writes or streams; time travel
         // is a read-only batch relation
         writable = version.isEmpty,
-        streaming = version.isEmpty)
+        streaming = version.isEmpty,
+        v2BatchWrite = version.isEmpty)
     }
   }
 

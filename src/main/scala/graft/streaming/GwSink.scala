@@ -479,11 +479,19 @@ object GwSink {
     * the old content to the new; the tombstoned files stay readable for
     * time travel until `vacuum`. An EMPTY batch is a plain TRUNCATE (the
     * remove-all commit still happens, unlike `append`'s no-op). */
+  /** `dynamicPartitions = true` is Spark's
+    * `partitionOverwriteMode=dynamic` contract: only the partitions the
+    * incoming batch actually TOUCHES are replaced — untouched partitions'
+    * files are not tombstoned (at 100 TB, restating one day of a
+    * date-partitioned table tombstones that day, not the decade). Falls
+    * back to the full overwrite on an unpartitioned table, matching
+    * Spark's own datasource behavior. */
   def overwrite(df: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Nil, txnId: Option[String] = None,
       bootstrapProps: Map[String, String] = Map.empty,
       userMetadata: Option[String] = None,
-      setProps: Map[String, String] = Map.empty): Long = {
+      setProps: Map[String, String] = Map.empty,
+      dynamicPartitions: Boolean = false): Long = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val log = GwLog.forTable(conf, tablePath)
@@ -528,7 +536,16 @@ object GwSink {
           val fresh = log.snapshot(None)
           graft.GwTable.assertNotAppendOnly(
             log.tablePath.toString, fresh, "INSERT OVERWRITE")
-          fresh.files.map(f => graft.log.RemoveFile(f.path, f.size, now))
+          val victims =
+            if (!dynamicPartitions || parts.isEmpty) fresh.files
+            else {
+              // dynamic mode tombstones ONLY the partitions the batch
+              // touches; tokens compare exactly because old and new
+              // AddFiles render partitionValues through the same harvest
+              val touched = files.map(_.partitionValues).toSet
+              fresh.files.filter(f => touched.contains(f.partitionValues))
+            }
+          victims.map(f => graft.log.RemoveFile(f.path, f.size, now))
         }
       val head: Seq[Action] =
         if (bootstrap)

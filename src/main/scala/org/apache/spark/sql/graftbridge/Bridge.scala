@@ -28,6 +28,15 @@ object Bridge {
       .getOrElse(Nil)
   }
 
+  /** A DataFrame over an arbitrary logical plan (`Dataset.ofRows` is
+    * private[sql]) — the reverse of [[logicalPlan]], for physical nodes
+    * that re-enter the engine's DataFrame-level write path. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** A DataFrame's analyzed logical plan (private[sql] on the classic
     * Dataset) — lets a table-valued function splice an engine-built frame
     * into the calling query. */

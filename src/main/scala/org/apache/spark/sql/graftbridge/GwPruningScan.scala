@@ -32,7 +32,12 @@ class GwDeltaTable(
     options: CaseInsensitiveStringMap,
     snapshot: Snapshot,
     writable: Boolean = false,
-    streaming: Boolean = false) extends Table with SupportsRead
+    streaming: Boolean = false,
+    // catalog-loaded tables declare the strict v2 BATCH_WRITE capability
+    // (required by dynamic partition overwrite); the PATH-based
+    // DataFrameWriter face keeps V1-only so its option wiring (txnAppId/
+    // userMetadata/mergeSchema/replaceWhere) stays on the V1 provider
+    v2BatchWrite: Boolean = false) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -64,6 +69,18 @@ class GwDeltaTable(
       caps.add(TableCapability.V1_BATCH_WRITE)
       caps.add(TableCapability.TRUNCATE)
       caps.add(TableCapability.STREAMING_WRITE)
+      if (v2BatchWrite) {
+        // partitionOverwriteMode=dynamic INSERT OVERWRITE — planned by
+        // GwDynamicOverwriteStrategy into the sink's dynamic overwrite.
+        // The capability check for dynamic requires strict BATCH_WRITE
+        // (no V1 fallback clause); declaring it is safe here because
+        // physical dispatch keys on the built Write's type (ours stay
+        // V1Write) and the injected strategy intercepts
+        // OverwritePartitionsDynamic before the built-in strategy would
+        // try V1Write.toBatch
+        caps.add(TableCapability.BATCH_WRITE)
+        caps.add(TableCapability.OVERWRITE_DYNAMIC)
+      }
     }
     if (streaming) caps.add(TableCapability.MICRO_BATCH_READ)
     caps
@@ -161,9 +178,18 @@ private[graftbridge] object GwWriteBuilders {
       info: Option[LogicalWriteInfo] = None,
       partitionBy: Seq[String] = Nil,
       bootstrapProps: Map[String, String] = Map.empty): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var truncateFirst = false
+      private var dynamicOverwrite = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
+      // the V2Writes rule requires this interface to plan
+      // OverwritePartitionsDynamic; execution then goes through
+      // GwDynamicOverwriteStrategy, but the flag also routes the V1
+      // insert face correctly if anything drives it directly
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamicOverwrite = true; this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -177,10 +203,11 @@ private[graftbridge] object GwWriteBuilders {
               // partitionBy matters on the BOOTSTRAP insert (it fixes the
               // table's partitionColumns); later appends re-derive the
               // layout from the log either way
-              if (truncateFirst || overwrite)
+              if (truncateFirst || overwrite || dynamicOverwrite) {
                 graft.streaming.GwSink.overwrite(data, path, partitionBy,
-                  bootstrapProps = bootstrapProps)
-              else graft.streaming.GwSink.append(data, path,
+                  bootstrapProps = bootstrapProps,
+                  dynamicPartitions = dynamicOverwrite)
+              } else graft.streaming.GwSink.append(data, path,
                 txnId = None, partitionBy = partitionBy,
                 bootstrapProps = bootstrapProps)
               ()
