@@ -916,6 +916,31 @@ object Pipelines {
   }
 
   /**
+   * Quality-aware canonical keep (d21) — the apply step production
+   * pipelines run over near-dup clusters: a min-id keep discards an
+   * arbitrary member, but duplicate clusters usually mix a clean copy
+   * with boilerplate-wrapped or truncated variants — keeping the
+   * HIGHEST-QUALITY member preserves the best copy of every duplicated
+   * document. Winner per cluster = greatest (quality...) with smallest-id
+   * tiebreak; quality columns compare in the order given.
+   *
+   * Scale: ONE window pass partitioned by cluster — the only shuffle is
+   * cluster-keyed, and clusters are tiny by construction (they came out
+   * of a banded candidate generator). Returns (id, cluster, kept).
+   */
+  def qualityAwareKeep(members: DataFrame, id: Column, cluster: Column,
+      quality: Seq[Column]): DataFrame = {
+    require(quality.nonEmpty, "need at least one quality column")
+    val base = members.select(
+      (id.as("id") +: cluster.as("cluster") +:
+        quality.zipWithIndex.map { case (q, i) => q.as(s"__q$i") }): _*)
+    val w = Window.partitionBy("cluster")
+      .orderBy(quality.indices.map(i => col(s"__q$i").desc) :+ col("id").asc: _*)
+    base.withColumn("kept", row_number().over(w) === 1)
+      .select("id", "cluster", "kept")
+  }
+
+  /**
    * Persisted fingerprint index bootstrap (d20) — land the historical
    * corpus's content digests as a transactional gwdelta table: one
    * `(fp, src_id)` row per DISTINCT digest (smallest source id wins, so

@@ -116,6 +116,24 @@ object Dedup {
       d04NgramJaccard(spark, dir), col("doc_a"), col("doc_b"))
       .select(col("node").as("doc_id"), col("component"))
 
+  /** d21: quality-aware canonical keep — d08's near-dup clusters applied
+    * with the production rule: keep each cluster's HIGHEST-quality member
+    * (alpha_permille, then word count, then smallest id), not an
+    * arbitrary min-id. Oracle replays the component recursion + the t02
+    * quality formula + the same window. */
+  def d21QualityKeep(spark: SparkSession, dir: String): DataFrame = {
+    val comps = d08DupComponents(spark, dir)
+    val q = Pipelines.textQuality(
+      docs(spark, dir).select(col("doc_id"), col("text")), col("text"))
+    Pipelines.qualityAwareKeep(
+      comps.join(q.select(col("doc_id"), col("alpha_permille"),
+        col("n_words")), Seq("doc_id")),
+      col("doc_id"), col("component"),
+      Seq(col("alpha_permille"), col("n_words")))
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("cluster", "component")
+  }
+
   /** Corpus-level chunk dedup (C4-style boilerplate rule over 5-word
     * windows): every occurrence of a chunk text seen more than once in the
     * corpus is dropped, documents reassembled from the survivors. */
@@ -255,6 +273,7 @@ object Dedup {
     "d18_fuzzy_dedup_apply" -> d18FuzzyDedupApply _,
     "d19_containment_dedup" -> d19ContainmentDedup _,
     "d20_incremental_dedup" -> d20IncrementalDedup _,
+    "d21_quality_keep" -> d21QualityKeep _,
   )
 
   // shared SQL pieces so the d04 and d08 oracles cannot silently diverge
@@ -396,6 +415,35 @@ object Dedup {
         | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
         |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
         |FROM reach GROUP BY 1""".stripMargin,
+    // d21: d08's component recursion + the t02 alpha/word-count quality
+    // formula + the same (quality DESC, id) keep window
+    "d21_quality_keep" ->
+      s"""WITH RECURSIVE $ShingleCte,
+        |pairs AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | $PairJoin
+        | WHERE $JaccExpr >= 200),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach(node, label) AS (
+        | SELECT node, node FROM nodes
+        | UNION
+        | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+        |comp AS (
+        | SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+        | FROM reach GROUP BY 1),
+        |q AS (
+        | SELECT doc_id,
+        |  CAST(round(1000.0 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |    / length(text)) AS BIGINT) AS alpha_permille,
+        |  len(string_split(text, ' ')) AS n_words
+        | FROM documents)
+        |SELECT c.doc_id, c.component,
+        | row_number() OVER (PARTITION BY c.component
+        |   ORDER BY q.alpha_permille DESC, q.n_words DESC, c.doc_id) = 1
+        |  AS kept
+        |FROM comp c JOIN q USING (doc_id)""".stripMargin,
     // full SimHash replay: 60-bit md5-prefix term hash (identical hex on
     // both engines), per-bit weighted votes, 16-bit chunk pigeonhole,
     // exact hamming verify — same constants as simHashDedupPairs(6)
