@@ -967,11 +967,14 @@ object Pipelines {
    * append in the same call as ONE commit — `txnId` makes a retried
    * batch exactly-once (the sink's txn replay commits nothing).
    *
-   * Join shape: the INDEX never shuffles — the batch's distinct digests
-   * broadcast onto one streamed index scan (left-semi), and the hit set
-   * (bounded by the batch, not the index) broadcasts back onto the
-   * batch; only the batch pays a digest-keyed exchange, for its own
-   * first-id window. The report is pinned to the index version BEFORE
+   * Join shape, adaptive on the batch's distinct-digest count (one cheap
+   * distributed count): below `broadcastMaxDigests` the INDEX never
+   * shuffles — the batch's distinct digests broadcast onto one streamed
+   * index scan (left-semi), and the hit set (bounded by the batch, not
+   * the index) broadcasts back onto the batch. A larger batch would OOM
+   * the driver through that broadcast, so it takes a digest-keyed
+   * shuffle semi-join instead — both sides exchange once on `fp`, still
+   * never all-pairs. The report is pinned to the index version BEFORE
    * this batch's append, so re-evaluating the returned frame after
    * later appends cannot change it.
    *
@@ -979,17 +982,21 @@ object Pipelines {
    * occurrence of a digest never seen before.
    */
   def incrementalExactDedup(batch: DataFrame, id: Column, text: Column,
-      indexPath: String, txnId: Option[String] = None): DataFrame = {
+      indexPath: String, txnId: Option[String] = None,
+      broadcastMaxDigests: Long = 4000000L): DataFrame = {
     val spark = batch.sparkSession
     val table = graft.GwTable.forPath(spark, indexPath)
     val pinned = table.versionAsOf(table.snapshot().version).select(col("fp"))
     val b = batch.select(id.cast("long").as("id"), md5(text).as("fp"))
     val probe = b.select("fp").distinct()
-    val hits = pinned.join(broadcast(probe), Seq("fp"), "left_semi")
-      .distinct().withColumn("__hit", lit(true))
+    val small = probe.count() <= broadcastMaxDigests
+    val hits0 =
+      if (small) pinned.join(broadcast(probe), Seq("fp"), "left_semi")
+      else pinned.join(probe, Seq("fp"), "left_semi")
+    val hits = hits0.distinct().withColumn("__hit", lit(true))
     val w = Window.partitionBy("fp").orderBy("id")
     val report = b
-      .join(broadcast(hits), Seq("fp"), "left")
+      .join(if (small) broadcast(hits) else hits, Seq("fp"), "left")
       .withColumn("dup_of_index", coalesce(col("__hit"), lit(false)))
       .withColumn("dup_in_batch", row_number().over(w) > 1)
       .withColumn("kept", !col("dup_of_index") && !col("dup_in_batch"))

@@ -589,6 +589,18 @@ class ApiSpec extends AnyFunSuite {
     val state = spark.read.format("gwdelta").load(idx)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(state.values.toSet == Set(1L, 2L, 4L, 7L), s"got $state")
+    // over the broadcast threshold the digest-keyed SHUFFLE semi-join
+    // must answer identically (fresh index, same batch 1)
+    val idx2 = java.nio.file.Files.createTempDirectory("incdedup2")
+      .resolve("fpidx").toString
+    graft.api.Pipelines.buildFingerprintIndex(
+      Seq((1L, "aaa"), (2L, "bbb")).toDF("id", "text"),
+      col("id"), col("text"), idx2)
+    val r1s = graft.api.Pipelines.incrementalExactDedup(
+      b1, col("id"), col("text"), idx2, broadcastMaxDigests = 0L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(r1s == r1, s"shuffle path diverged: $r1s vs $r1")
   }
 
   test("bpeEncode prices documents with the trained merge chain, in order") {

@@ -81,6 +81,30 @@ class DynamicPruningSpec extends SparkSpec {
         s"planned ${s.plannedFiles.size} of $total")
   }
 
+  test("pruning soundness property: random key sets never lose matching rows") {
+    // end-to-end: if any stats/bloom path wrongly dropped a file, rows
+    // would go missing from the isin result — seeded, deterministic
+    val rnd = new scala.util.Random(20260815L)
+    val loc = Files.createTempDirectory("dfp-prop").resolve("t").toString
+    val rows = (0 until 4000).map(_ => rnd.nextLong() % 100000L)
+    import spark.implicits._
+    rows.toDF("k").repartitionByRange(7, col("k"))
+      .sortWithinPartitions("k")
+      .write.format("gwdelta").save(loc)
+    val t = spark.read.format("gwdelta").load(loc)
+    (1 to 5).foreach { _ =>
+      val keys = (0 until (1 + rnd.nextInt(30)))
+        .map(_ => if (rnd.nextBoolean()) rows(rnd.nextInt(rows.length))
+                  else rnd.nextLong() % 100000L)
+      val expected = rows.filter(keys.contains).sorted
+      val got = t.filter(col("k").isin(keys.map(Long.box): _*))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expected,
+        s"pruned scan lost rows for keys ${keys.take(5)}...: " +
+          s"${got.length} vs ${expected.length}")
+    }
+  }
+
   test("runtime filter translation: IN, comparisons, envelope fallback, safe failure") {
     import org.apache.spark.sql.sources
     val in = GwRuntimeFilterTranslation.toRanges(
