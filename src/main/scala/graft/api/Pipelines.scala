@@ -915,6 +915,138 @@ object Pipelines {
       .select("id")
   }
 
+  val MinHashPermProp = "graft.minhash.numPerm"
+  val MinHashBandsProp = "graft.minhash.bands"
+
+  /** md5-lane banded MinHash signatures: (band, bucket, doc_id, sig).
+    * Lane p of a doc = min over its DISTINCT 3-word shingles of the
+    * 60-bit md5 prefix of "p:shingle" — md5 is the one keyed hash both
+    * engines compute identically (the SimHash/winnow trick), so the
+    * signatures, band buckets, and estimated Jaccards all replay in SQL.
+    * Docs with fewer than 3 words have no shingles and no signature.
+    * One shingle shuffle, one per-doc aggregate; the band fan-out is a
+    * per-row explode of `bands` small structs. */
+  private def bandedMinHash(df: DataFrame, id: Column, text: Column,
+      numPerm: Int, bands: Int): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val r = numPerm / bands
+    val sh = df.select(id.cast("long").as("__id"), split(text, " ").as("a"))
+      .filter(size(col("a")) >= 3)
+      .select(col("__id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(a) - 2), " +
+          "i -> concat_ws(' ', a[i-1], a[i], a[i+1]))"))).as("s"))
+    def lane(p: Int) = min(conv(substring(md5(
+      concat_ws(":", lit(p), col("s"))), 1, 15), 16, 10).cast("long")).as(s"mh$p")
+    val mh = sh.groupBy("__id").agg(lane(0), (1 until numPerm).map(lane): _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (lit(b) +: (0 until r).map(i => col(s"mh${b * r + i}"))): _*)
+          .as("bucket"))
+    }
+    mh.select(col("__id").as("doc_id"),
+        array((0 until numPerm).map(p => col(s"mh$p")): _*).as("sig"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("doc_id"), col("sig"))
+  }
+
+  /** Estimated Jaccard from two aligned MinHash signatures, in integer
+    * permille: matching lanes / numPerm — the decision rule that makes
+    * INCREMENTAL fuzzy dedup possible without storing any text. */
+  private def estJaccardPermille(a: Column, b: Column, numPerm: Int): Column =
+    round(lit(1000.0) * aggregate(
+      zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v) / numPerm).cast("long")
+
+  /**
+   * Persisted MinHash signature index bootstrap (d22) — the fuzzy
+   * counterpart of [[buildFingerprintIndex]]: the historical corpus's
+   * banded signatures land as a transactional gwdelta table PARTITIONED
+   * BY band, and are never recomputed. Signatures are a few hundred
+   * bytes per document — the index is orders smaller than the corpus.
+   */
+  def buildMinHashIndex(df: DataFrame, id: Column, text: Column,
+      indexPath: String, numPerm: Int = 32, bands: Int = 8): Long =
+    graft.streaming.GwSink.append(
+      bandedMinHash(df, id, text, numPerm, bands), indexPath,
+      partitionBy = Seq("band"),
+      bootstrapProps = Map(MinHashPermProp -> numPerm.toString,
+        MinHashBandsProp -> bands.toString))
+
+  /**
+   * Incremental FUZZY dedup against the persisted signature index (d22)
+   * — d20's lifecycle for NEAR duplicates: each batch's banded
+   * signatures join the index on (band, bucket) for candidates, the
+   * decision is the ESTIMATED Jaccard from the stored signatures
+   * (>= thresholdPermille drops; no text is ever stored or rescanned),
+   * and survivors' banded rows append under a batch txn id. In-batch
+   * dups drop when a smaller-id batch member estimates over threshold.
+   *
+   * Scale: the index never broadcasts — the (band, bucket) equi-join
+   * streams it (band partition pruning applies when probing few bands);
+   * the batch side is capped per bucket (`bucketCap`, the shared LSH
+   * skew guard) so one boilerplate bucket cannot go quadratic. Bucket
+   * saturation on the INDEX side is observable with
+   * [[minHashIndexBucketAudit]]. Returns (id, dup_of_index,
+   * dup_in_batch, kept) for every batch doc with >= 3 words.
+   */
+  def incrementalFuzzyDedup(batch: DataFrame, id: Column, text: Column,
+      indexPath: String, thresholdPermille: Int,
+      txnId: Option[String] = None, bucketCap: Int = 65536): DataFrame = {
+    val spark = batch.sparkSession
+    val t = graft.GwTable.forPath(spark, indexPath)
+    val conf = t.snapshot().metadata.map(_.configuration).getOrElse(Map.empty)
+    def prop(k: String): Int = conf.getOrElse(k, throw new IllegalArgumentException(
+      s"$indexPath is not a MinHash index table: missing $k " +
+        "in the table configuration (build one with buildMinHashIndex)")).toInt
+    val numPerm = prop(MinHashPermProp)
+    val bands = prop(MinHashBandsProp)
+    val pinned = t.versionAsOf(t.snapshot().version)
+    val bb = capBucketMembers(
+      bandedMinHash(batch, id, text, numPerm, bands), "doc_id", bucketCap)
+    val candIdx = bb.select(col("band"), col("bucket"),
+        col("doc_id").as("id"), col("sig"))
+      .join(pinned.select(col("band"), col("bucket"),
+        col("doc_id").as("h_id"), col("sig").as("h_sig")), Seq("band", "bucket"))
+      .select("id", "h_id", "sig", "h_sig").distinct()
+    val dupIdx = candIdx
+      .filter(estJaccardPermille(col("sig"), col("h_sig"), numPerm)
+        >= thresholdPermille)
+      .select("id").distinct().withColumn("__di", lit(true))
+    val candB = bb.select(col("band"), col("bucket"),
+        col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      .join(bb.select(col("band"), col("bucket"),
+        col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+    val dupB = candB
+      .filter(estJaccardPermille(col("sig_a"), col("sig_b"), numPerm)
+        >= thresholdPermille)
+      .select(col("id_b").as("id")).distinct().withColumn("__db", lit(true))
+    val report = bb.select(col("doc_id").as("id")).distinct()
+      .join(dupIdx, Seq("id"), "left")
+      .join(dupB, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__di"), lit(false)).as("dup_of_index"),
+        coalesce(col("__db"), lit(false)).as("dup_in_batch"))
+      .withColumn("kept", !col("dup_of_index") && !col("dup_in_batch"))
+    graft.streaming.GwSink.append(
+      bb.join(report.filter(col("kept")).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+        .select("band", "bucket", "doc_id", "sig"),
+      indexPath, txnId = txnId, partitionBy = Seq("band"))
+    report
+  }
+
+  /** Bucket census of a persisted MinHash index: (band, bucket, members)
+    * above `minMembers` — one partial-aggregated groupBy over the index,
+    * the saturation observability d22's banded join needs at scale. */
+  def minHashIndexBucketAudit(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, minMembers: Long = 1024L): DataFrame =
+    spark.read.format("gwdelta").load(indexPath)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("members"))
+      .filter(col("members") >= minMembers)
+
   /**
    * Quality-aware canonical keep (d21) — the apply step production
    * pipelines run over near-dup clusters: a min-id keep discards an

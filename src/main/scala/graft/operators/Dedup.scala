@@ -134,6 +134,39 @@ object Dedup {
       .withColumnRenamed("cluster", "component")
   }
 
+  /** d22: incremental FUZZY dedup against a persisted MinHash signature
+    * index — d20's lifecycle for NEAR duplicates: bootstrap banded
+    * signatures from the history slice (doc_id % 3 == 0), dedup batch 1
+    * (% 3 == 1) by ESTIMATED Jaccard from stored signatures (no text is
+    * stored or rescanned), append survivors' signatures in one txn-id'd
+    * commit (replay proven a no-op), then batch 2 (% 3 == 2) against the
+    * GROWN index. Oracle replays md5-lane signatures, band buckets,
+    * both batches' candidate joins and the estimated-Jaccard rule. */
+  def d22IncrementalFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("d22")
+      .resolve("mhidx").toString
+    Pipelines.buildMinHashIndex(
+      d.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"), idx)
+    val t = graft.GwTable.forPath(spark, idx)
+    val b1 = Pipelines.incrementalFuzzyDedup(
+      d.filter(col("doc_id") % 3 === 1), col("doc_id"), col("text"), idx,
+      thresholdPermille = 500, txnId = Some("d22/batch-1"))
+    val v1 = t.snapshot().version
+    // exactly-once: retrying batch 1 under the same txn commits NOTHING
+    Pipelines.incrementalFuzzyDedup(
+      d.filter(col("doc_id") % 3 === 1), col("doc_id"), col("text"), idx,
+      thresholdPermille = 500, txnId = Some("d22/batch-1"))
+    require(t.snapshot().version == v1,
+      "a replayed batch txn must not re-commit")
+    val b2 = Pipelines.incrementalFuzzyDedup(
+      d.filter(col("doc_id") % 3 === 2), col("doc_id"), col("text"), idx,
+      thresholdPermille = 500, txnId = Some("d22/batch-2"))
+    b1.withColumn("batch", lit(1L)).unionByName(b2.withColumn("batch", lit(2L)))
+      .withColumnRenamed("id", "doc_id")
+      .select("batch", "doc_id", "dup_of_index", "dup_in_batch", "kept")
+  }
+
   /** Corpus-level chunk dedup (C4-style boilerplate rule over 5-word
     * windows): every occurrence of a chunk text seen more than once in the
     * corpus is dropped, documents reassembled from the survivors. */
@@ -274,7 +307,65 @@ object Dedup {
     "d19_containment_dedup" -> d19ContainmentDedup _,
     "d20_incremental_dedup" -> d20IncrementalDedup _,
     "d21_quality_keep" -> d21QualityKeep _,
+    "d22_incremental_fuzzy" -> d22IncrementalFuzzy _,
   )
+
+  /** d22's oracle: md5-lane MinHash signatures, band buckets, candidate
+    * joins and the estimated-Jaccard decision for both staged batches —
+    * the full incremental lifecycle in static SQL (index after batch 1 =
+    * history plus batch-1 keepers). */
+  private def d22OracleSql: String = {
+    def est(a: String, b: String): String =
+      s"""CAST(round(1000.0 * list_sum(list_transform(generate_series(1, 32),
+         |  i -> CASE WHEN $a[i] = $b[i] THEN 1 ELSE 0 END)) / 32) AS BIGINT)""".stripMargin
+    def batchCtes(n: Int, histPred: String): String =
+      s"""cand$n AS (
+         | SELECT DISTINCT x.doc_id AS id, x.sig AS xs, h.sig AS hs
+         | FROM bnd x JOIN bnd h ON x.band = h.band AND x.bucket = h.bucket
+         | WHERE x.doc_id % 3 = $n AND $histPred),
+         |di$n AS (SELECT DISTINCT id FROM cand$n
+         |         WHERE ${est("xs", "hs")} >= 500),
+         |cb$n AS (
+         | SELECT DISTINCT a.doc_id AS ida, a.sig AS sa, c.doc_id AS idb, c.sig AS sb
+         | FROM bnd a JOIN bnd c
+         |  ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+         | WHERE a.doc_id % 3 = $n AND c.doc_id % 3 = $n),
+         |db$n AS (SELECT DISTINCT idb AS id FROM cb$n
+         |         WHERE ${est("sa", "sb")} >= 500),
+         |r$n AS (
+         | SELECT doc_id,
+         |  doc_id IN (SELECT id FROM di$n) AS dup_of_index,
+         |  doc_id IN (SELECT id FROM db$n) AS dup_in_batch
+         | FROM sig WHERE doc_id % 3 = $n)""".stripMargin
+    s"""WITH toks AS (
+       | SELECT doc_id, string_split(text, ' ') AS a FROM documents
+       | WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       | SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
+       | FROM toks, LATERAL unnest(generate_series(1, len(a) - 2)) AS g(i)),
+       |lanes AS (
+       | SELECT doc_id, p.p AS p,
+       |  min(CAST(CONCAT('0x', substr(md5(concat_ws(':', p.p, s)), 1, 15)) AS BIGINT)) AS mh
+       | FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS p) p
+       | GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM lanes GROUP BY 1),
+       |bnd AS (
+       | SELECT doc_id, sig, b.b AS band,
+       |  concat_ws('|', b.b, sig[b.b*4+1], sig[b.b*4+2], sig[b.b*4+3], sig[b.b*4+4])
+       |    AS bucket
+       | FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b),
+       |${batchCtes(1, "h.doc_id % 3 = 0")},
+       |idx2 AS (
+       | SELECT doc_id FROM sig WHERE doc_id % 3 = 0
+       | UNION ALL
+       | SELECT doc_id FROM r1 WHERE NOT (dup_of_index OR dup_in_batch)),
+       |${batchCtes(2, "h.doc_id IN (SELECT doc_id FROM idx2)")}
+       |SELECT 1::BIGINT AS batch, doc_id, dup_of_index, dup_in_batch,
+       | NOT (dup_of_index OR dup_in_batch) AS kept FROM r1
+       |UNION ALL
+       |SELECT 2::BIGINT AS batch, doc_id, dup_of_index, dup_in_batch,
+       | NOT (dup_of_index OR dup_in_batch) AS kept FROM r2""".stripMargin
+  }
 
   // shared SQL pieces so the d04 and d08 oracles cannot silently diverge
   // (both must mirror ngramJaccardPairs(threshold = 0.2) on (lang, len_block))
@@ -415,6 +506,7 @@ object Dedup {
         | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
         |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
         |FROM reach GROUP BY 1""".stripMargin,
+    "d22_incremental_fuzzy" -> d22OracleSql,
     // d21: d08's component recursion + the t02 alpha/word-count quality
     // formula + the same (quality DESC, id) keep window
     "d21_quality_keep" ->
