@@ -3227,6 +3227,40 @@ object Pipelines {
    * ORDER BY would funnel into one partition and is exactly what this
    * avoids. Everything before the sort is scan-speed codegen.
    */
+  /**
+   * Leakage-free split (t30) — [[splitShuffle]]'s assignment with the
+   * constraint real evaluation hygiene demands: near-duplicate documents
+   * must land in the SAME split, or the held-out set leaks through
+   * paraphrases of training documents and measures memorization instead
+   * of generalization. Every dup cluster (connected components over the
+   * caller's near-dup `pairs`) takes the split of its REPRESENTATIVE
+   * (the component's min id): the split hash keys on the representative,
+   * so members follow it wherever it lands; unpaired docs are their own
+   * representative — their assignment is exactly [[splitShuffle]]'s.
+   *
+   * Scale: components over near-dup pairs (pairs are sparse — they came
+   * out of a banded generator), one broadcast-sized join of the label
+   * map if clusters are few or a keyed join otherwise (Spark decides),
+   * one codegen hash per row. Returns (id, rep, split).
+   */
+  def leakageFreeSplit(df: DataFrame, id: Column, pairs: DataFrame,
+      seed: String, trainPermille: Int = 960, valPermille: Int = 20): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000,
+      s"permilles must be >= 0 and sum <= 1000: $trainPermille/$valPermille")
+    val comps = connectedComponents(pairs, col("doc_a"), col("doc_b"))
+      .withColumnRenamed("node", "id")
+    val rep = df.select(id.as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("rep"))
+    val m = md5(concat(lit(seed), lit(":"), col("rep").cast("string")))
+    rep.withColumn("split",
+      when(substring(m, 1, 4) < lit(hexThreshold(trainPermille)), lit("train"))
+        .when(substring(m, 1, 4) <
+          lit(hexThreshold(trainPermille + valPermille)), lit("val"))
+        .otherwise(lit("test")))
+  }
+
   def splitShuffle(df: DataFrame, idCol: Column, seed: String,
       trainPermille: Int = 960, valPermille: Int = 20,
       shards: Int = 8): DataFrame = {

@@ -369,15 +369,15 @@ object Dedup {
 
   // shared SQL pieces so the d04 and d08 oracles cannot silently diverge
   // (both must mirror ngramJaccardPairs(threshold = 0.2) on (lang, len_block))
-  private val ShingleCte =
+  private[operators] val ShingleCte =
     """s AS (
       | SELECT doc_id, lang, n_chars // 100 AS len_block,
       |  list_distinct(list_transform(generate_series(1, len(string_split(text,' '))-2),
       |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
       | FROM documents WHERE len(string_split(text, ' ')) >= 3)""".stripMargin
-  private val JaccExpr =
+  private[operators] val JaccExpr =
     "CAST(round(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) AS BIGINT)"
-  private val PairJoin =
+  private[operators] val PairJoin =
     """FROM s a JOIN s b
       | ON a.lang = b.lang AND a.len_block = b.len_block AND a.doc_id < b.doc_id""".stripMargin
 

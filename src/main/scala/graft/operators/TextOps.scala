@@ -393,6 +393,23 @@ object TextOps {
       .withColumnRenamed("id", "doc_id")
   }
 
+  // ---------------------------------------------------------------- t30
+  /** Leakage-free split (see [[Pipelines.leakageFreeSplit]]): near-dup
+    * clusters (d04's pairs) land WHOLE in one split — the representative's
+    * hash decides for every member — so the held-out set cannot leak
+    * through paraphrases of training documents. In-gate pin: no cluster
+    * straddles a split boundary. */
+  def t30LeakageFreeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val res = Pipelines.leakageFreeSplit(d, col("doc_id"),
+      Dedup.d04NgramJaccard(spark, dir), seed = "graft")
+    val straddlers = res.groupBy("rep")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    require(straddlers == 0, s"$straddlers clusters straddle a split boundary")
+    res.withColumnRenamed("id", "doc_id")
+  }
+
   // ---------------------------------------------------------------- t27
   /** Deterministic split + sharded shuffle (see [[Pipelines.splitShuffle]]):
     * 96/2/2 train/val/test by the id's seeded md5, 8 shards, and a
@@ -434,7 +451,39 @@ object TextOps {
     "t27_split_shuffle" -> t27SplitShuffle _,
     "t28_trigram_surprisal" -> t28TrigramSurprisal _,
     "t29_bpe_encode" -> t29BpeEncode _,
+    "t30_leakage_free_split" -> t30LeakageFreeSplit _,
   )
+
+  /** t30's oracle: d08's component recursion over the d04 pairs, rep =
+    * component (or self), then splitShuffle's exact md5 thresholds keyed
+    * on the representative. */
+  private def leakageFreeSplitOracleSql: String = {
+    val t1 = Pipelines.hexThreshold(960)
+    val t2 = Pipelines.hexThreshold(980)
+    s"""WITH RECURSIVE ${Dedup.ShingleCte},
+       |pairs AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | ${Dedup.PairJoin}
+       | WHERE ${Dedup.JaccExpr} >= 200),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |reach(node, label) AS (
+       | SELECT node, node FROM nodes
+       | UNION
+       | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+       |comp AS (
+       | SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+       | FROM reach GROUP BY 1),
+       |r AS (
+       | SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+       | FROM documents d LEFT JOIN comp c USING (doc_id))
+       |SELECT doc_id, rep,
+       | CASE WHEN substr(md5('graft:' || rep::VARCHAR), 1, 4) < '$t1' THEN 'train'
+       |      WHEN substr(md5('graft:' || rep::VARCHAR), 1, 4) < '$t2' THEN 'val'
+       |      ELSE 'test' END AS split
+       |FROM r""".stripMargin
+  }
 
   private def sqlList(lang: String): String =
     Pipelines.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -518,6 +567,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "t26_bpe_merges" -> bpeOracleSql,
     "t29_bpe_encode" -> bpeEncodeOracleSql,
+    "t30_leakage_free_split" -> leakageFreeSplitOracleSql,
     "t27_split_shuffle" -> splitShuffleOracleSql,
     // identical integer-bits trigram surprisal: array-side n-gram streams,
     // model counts from the even-id training half, trigrams pruned below
