@@ -198,7 +198,9 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
           snap.metadata.map(_.schemaString), snap.schema))
         .parquet(outDir.toString)
       val adds0 = graft.sources.SchemaProbe
-        .harvestAddFiles(conf, outDir, dataChange = false)
+        .harvestPartitioned(conf, outDir, dataChange = false, Nil,
+          statsCols = graft.streaming.GwSink.statsColumnFilter(
+            snap.metadata.map(_.configuration).getOrElse(Map.empty), snap.schema))
         .map(_.copy(partitionValues = partVals))
       // REBUILD the engine-level file blooms on the rewritten files
       // (declared graft.bloom.columns): without this, every OPTIMIZE
@@ -1092,8 +1094,9 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     // write path — without this a declared-bloom table loses file-level
     // point-lookup pruning on exactly the rows DML just touched
     graft.log.Bloom.augment(spark, config, schemaJson, tablePath,
-      graft.sources.SchemaProbe.harvestAddFiles(
-        spark.sparkContext.hadoopConfiguration, outDir, dataChange = true))
+      graft.sources.SchemaProbe.harvestPartitioned(
+        spark.sparkContext.hadoopConfiguration, outDir, dataChange = true, Nil,
+        statsCols = graft.streaming.GwSink.statsColumnFilter(config, snap.schema)))
   }
 
   /** One atomic DML commit: tombstone `removes`, add `newAdds`. Retries past
@@ -1234,7 +1237,9 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         Some(meta.schemaString), snap.schema))
     val conf = spark.sparkContext.hadoopConfiguration
     val newAdds0: Seq[AddFile] = graft.sources.SchemaProbe
-      .harvestPartitioned(conf, outDir, dataChange = true, parts)
+      .harvestPartitioned(conf, outDir, dataChange = true, parts,
+        statsCols = graft.streaming.GwSink.statsColumnFilter(
+          meta.configuration, snap.schema))
     if (newAdds0.isEmpty) outDir.getFileSystem(conf).delete(outDir, true)
     // the replacement batch carries blooms like any other committed files
     val newAdds = graft.log.Bloom.augment(spark, meta.configuration,
@@ -1697,7 +1702,9 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         Dv.readLive(spark, snap.schema, files).coalesce(nOut)
           .write.mode("overwrite").parquet(outDir.toString)
         val adds = graft.sources.SchemaProbe
-          .harvestAddFiles(conf, outDir, dataChange = false)
+          .harvestPartitioned(conf, outDir, dataChange = false, Nil,
+            statsCols = graft.streaming.GwSink.statsColumnFilter(
+              snap.metadata.map(_.configuration).getOrElse(Map.empty), snap.schema))
           .map(_.copy(partitionValues = partVals))
         val removes = files.map(f =>
           RemoveFile(f.path, f.size, now, dataChange = false,

@@ -2835,6 +2835,58 @@ object GwCore {
     table.versionAsOf(vDyn).select("n_nationkey", "n_name", "n_regionkey")
   }
 
+  /** gw69: per-table STATS-COLUMN control (`graft.stats.columns` /
+    * `graft.stats.numIndexedCols`, Delta `dataSkippingNumIndexedCols`
+    * parity): on a wide table the log otherwise carries min/max/nullCount
+    * JSON for EVERY column of EVERY file — at 100 TB width the stats
+    * become their own metadata problem. Declared columns keep harvesting
+    * (and pruning); undeclared columns get NO stats, and their filters
+    * simply plan every file — conservative, never wrong. In-gate pins:
+    * stats JSON carries only the declared column (+ numRecords), the
+    * declared column still file-prunes, the undeclared one plans all
+    * files, and the numIndexedCols spelling behaves identically. */
+  def gw69StatsColumns(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw69")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        col("o_orderpriority"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    def build(locName: String, props: Map[String, String]): graft.GwTable = {
+      val loc = tmp.resolve(locName).toString
+      graft.streaming.GwSink.append(o, loc, bootstrapProps = props)
+      GwTable.forPath(spark, loc)
+    }
+    def pinStats(t: graft.GwTable): Unit =
+      t.snapshot().files.foreach { f =>
+        val s = f.stats.getOrElse(
+          throw new IllegalStateException("missing stats"))
+        require(s.contains("\"o_orderkey\"") && !s.contains("o_custkey") &&
+          !s.contains("o_orderpriority"), s"stats filter leaked: $s")
+        require(s.contains("numRecords"), "numRecords must survive filtering")
+      }
+    val t = build("db/orders", Map("graft.stats.columns" -> "o_orderkey"))
+    pinStats(t)
+    pinStats(build("db/orders2", Map("graft.stats.numIndexedCols" -> "1")))
+    val total = t.snapshot().files.size
+    require(total >= 3, s"expected >= 3 range files, got $total")
+    def planned(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          org.apache.spark.sql.graftbridge.GwScanPeel.peel(b.scan)
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
+      }.head
+    require(planned(t.toDF.filter(col("o_orderkey") < 100)) < total,
+      "the declared stats column must still file-prune")
+    require(planned(t.toDF.filter(col("o_custkey") === 1L)) == total,
+      "an undeclared column has no stats: every file plans (never wrong)")
+    t.toDF.filter(col("o_custkey") % 10 === 0)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+  }
+
   /** gw67: dynamic FILE pruning — the fact side of a broadcast join is a
     * gwdelta table with range-disjoint files on the join key; Spark's
     * runtime-filtering planner delivers the (selective) dim side's key
@@ -2980,6 +3032,7 @@ object GwCore {
     "gw66_symlink_manifest" -> gw66SymlinkManifest _,
     "gw67_dynamic_file_pruning" -> gw67DynamicFilePruning _,
     "gw68_dynamic_overwrite" -> gw68DynamicOverwrite _,
+    "gw69_stats_columns" -> gw69StatsColumns _,
     "gw60_version_checksum" -> gw60VersionChecksum _,
     "gw61_domain_metadata" -> gw61DomainMetadata _,
   )
@@ -3319,6 +3372,12 @@ object GwCore {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation WHERE n_regionkey <> 4""".stripMargin,
+    // gw69: content unchanged through the stats-column filter; the
+    // stats-shape and pruning invariants are require()-pinned in-gate
+    "gw69_stats_columns" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(o_custkey AS BIGINT) AS o_custkey, o_orderpriority
+        |FROM orders WHERE o_custkey % 10 = 0""".stripMargin,
     // gw68: nation after region 2's dynamic restatement; file-level
     // untouched/replaced invariants are require()-pinned in-gate
     "gw68_dynamic_overwrite" ->

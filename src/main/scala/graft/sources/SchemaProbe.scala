@@ -59,7 +59,8 @@ object SchemaProbe {
    * 100 TB must open every live file. Timestamp/decimal byte-encodings are
    * skipped rather than guessed; absent stats never exclude a file.
    */
-  def readStats(conf: Configuration, file: String): Option[String] = Try {
+  def readStats(conf: Configuration, file: String,
+      statsCols: Option[Set[String]] = None): Option[String] = Try {
     val in = HadoopInputFile.fromPath(new Path(file), conf)
     val reader = ParquetFileReader.open(in)
     try {
@@ -102,7 +103,11 @@ object SchemaProbe {
       val maxN = root.putObject("maxValues")
       val nullN = root.putObject("nullCount")
       aggs.foreach { case (name, agg) =>
-        if (agg.ok) {
+        // per-table stats-column control (graft.stats.columns /
+        // graft.stats.numIndexedCols): undeclared columns get NO min/max/
+        // nullCount — on a wide table the log would otherwise carry stats
+        // JSON for every column of every file; numRecords always stays
+        if (agg.ok && statsCols.forall(_.contains(name.toLowerCase))) {
           putStat(minN, name, agg.min, schema)
           putStat(maxN, name, agg.max, schema)
           nullN.put(name, agg.nulls)
@@ -261,7 +266,8 @@ object SchemaProbe {
     * decoded values as the AddFile's `partitionValues` — the Delta-protocol
     * field partition pruning reads back (Snapshot.filesForConstraints). */
   def harvestPartitioned(conf: Configuration, dir: Path, dataChange: Boolean,
-      partitionColumns: Seq[String]): Seq[AddFile] = {
+      partitionColumns: Seq[String],
+      statsCols: Option[Set[String]] = None): Seq[AddFile] = {
     val fs = dir.getFileSystem(conf)
     def walk(d: Path, values: Map[String, String]): Seq[AddFile] =
       fs.listStatus(d).toSeq.flatMap { st =>
@@ -272,7 +278,7 @@ object SchemaProbe {
             values + (col.stripPrefix(PartitionDirPrefix) -> unescapePathToken(tok.tail)))
         } else if (st.isFile && !n.startsWith(".") && !n.startsWith("_") &&
             n.endsWith(".parquet") && st.getLen > 0) {
-          val stats = readStats(conf, st.getPath.toString)
+          val stats = readStats(conf, st.getPath.toString, statsCols)
           // a zero-row part file is footer-only output: committing it would
           // only add a file-open cost to every future scan
           if (stats.exists(_.contains("\"numRecords\":0"))) None

@@ -72,7 +72,10 @@ object GwSink {
         readMeta.map(_.schemaString), df.schema))
     val fs = outDir.getFileSystem(conf)
     val files: Seq[AddFile] =
-      graft.sources.SchemaProbe.harvestPartitioned(conf, outDir, dataChange = true, parts)
+      graft.sources.SchemaProbe.harvestPartitioned(conf, outDir,
+        dataChange = true, parts,
+        statsCols = statsColumnFilter(
+          readMeta.map(_.configuration).getOrElse(bootstrapProps), df.schema))
     if (files.isEmpty) { fs.delete(outDir, true); return -1L }
     // per-file Bloom build for tables declaring graft.bloom.columns (one
     // extra columnar pass over the fresh files; no-op otherwise)
@@ -84,6 +87,26 @@ object GwSink {
     maybeAutoCompact(spark, log, tablePath)
     v
   }
+
+
+  /** Per-table stats-column control: `graft.stats.columns` (comma list)
+    * declares exactly which columns harvest min/max/nullCount;
+    * `graft.stats.numIndexedCols` (Delta `dataSkippingNumIndexedCols`
+    * parity) takes the schema's FIRST n columns instead. Absent both,
+    * every eligible column harvests (None). At 100 TB width this is the
+    * knob that keeps the log's stats JSON proportional to the columns
+    * queries actually filter on. */
+  def statsColumnFilter(config: Map[String, String],
+      schema: org.apache.spark.sql.types.StructType): Option[Set[String]] =
+    config.get("graft.stats.columns") match {
+      case Some(cols) =>
+        Some(cols.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+      case None => config.get("graft.stats.numIndexedCols").map { n =>
+        val k = n.trim.toInt
+        require(k >= 0, s"graft.stats.numIndexedCols must be >= 0: $n")
+        schema.fieldNames.take(k).map(_.toLowerCase).toSet
+      }
+    }
 
   /** Optimized writes (Delta `autoOptimize.optimizeWrite` parity): with
     * the `graft.autoOptimize.optimizeWrite = true` table property (or the
@@ -507,7 +530,10 @@ object GwSink {
         readMeta.map(_.configuration).getOrElse(bootstrapProps),
         readMeta.map(_.schemaString), df.schema))
     val files0: Seq[AddFile] =
-      graft.sources.SchemaProbe.harvestPartitioned(conf, outDir, dataChange = true, parts)
+      graft.sources.SchemaProbe.harvestPartitioned(conf, outDir,
+        dataChange = true, parts,
+        statsCols = statsColumnFilter(
+          readMeta.map(_.configuration).getOrElse(bootstrapProps), df.schema))
     if (files0.isEmpty) outDir.getFileSystem(conf).delete(outDir, true)
     val files = graft.log.Bloom.augment(spark,
       readMeta.map(_.configuration).getOrElse(bootstrapProps),

@@ -165,7 +165,11 @@ class GwDeltaWrite(
       val adds = inner match {
         case Some(b) =>
           b.commit(msgs.flatMap(_.inner))
-          graft.sources.SchemaProbe.harvestAddFiles(conf, outDir, dataChange = true)
+          graft.sources.SchemaProbe.harvestPartitioned(
+            conf, outDir, dataChange = true, Nil,
+            statsCols = graft.streaming.GwSink.statsColumnFilter(
+              readSnap.metadata.map(_.configuration).getOrElse(Map.empty),
+              readSnap.schema))
         case None => Nil
       }
       val deletes = msgs.flatMap(_.dvs).groupBy(_._1).toSeq.map {

@@ -167,7 +167,11 @@ class GwReplaceDataWrite(
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       inner.commit(messages)
       val conf = spark.sparkContext.hadoopConfiguration
-      val adds = graft.sources.SchemaProbe.harvestAddFiles(conf, outDir, dataChange = true)
+      val adds = graft.sources.SchemaProbe.harvestPartitioned(
+        conf, outDir, dataChange = true, Nil,
+        statsCols = graft.streaming.GwSink.statsColumnFilter(
+          readSnap.metadata.map(_.configuration).getOrElse(Map.empty),
+          readSnap.schema))
       val scanned = scannedFiles()
       graft.GwTable.forPath(spark, tablePath)
         .replaceFiles(operation, scanned.map(_.path).toSet, adds, scanned,

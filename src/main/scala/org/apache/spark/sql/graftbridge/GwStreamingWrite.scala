@@ -67,10 +67,17 @@ class GwStreamingWrite(
     val epochDir = new Path(s"$epochBase/$epochId")
     // the shared harvesting rule (stats, zero-row drop, partition values
     // from the __gwp_ layout), restricted to files committed tasks reported
+    val log0 = graft.log.GwLog.forTable(conf, tablePath)
+    val tableConfig =
+      if (!log0.exists()) Map.empty[String, String]
+      else log0.snapshot(None).metadata.map(_.configuration)
+        .getOrElse(Map.empty[String, String])
     val files: Seq[AddFile] =
       if (written.isEmpty) Nil
       else graft.sources.SchemaProbe
-        .harvestPartitioned(conf, epochDir, dataChange = true, partitionColumns)
+        .harvestPartitioned(conf, epochDir, dataChange = true, partitionColumns,
+          statsCols = graft.streaming.GwSink.statsColumnFilter(
+            tableConfig, info.schema()))
         .filter(f => written.contains(f.path) ||
           written.contains(new Path(f.path).toUri.getPath))
     graft.streaming.GwSink.commitHarvested(conf, tablePath, info.schema(), files,
