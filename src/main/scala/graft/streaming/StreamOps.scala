@@ -1091,6 +1091,59 @@ object StreamOps {
     graft.GwTable.forPath(spark, rep).toDF
   }
 
+  // ---------------------------------------------------------------- st19
+  /** Streaming incremental FUZZY dedup — st18's lifecycle through the
+    * persisted MinHash signature index (d22): each admitted micro-batch
+    * dedups by ESTIMATED Jaccard against the stored signatures and
+    * appends its survivors' signatures in the same call; batch reports
+    * land txn-id'd in a report table, and a checkpoint-restart drain
+    * proves the whole lifecycle exactly-once on BOTH tables. Same oracle
+    * semantics as d22. */
+  def st19StreamFuzzyDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.Pipelines
+    val tmp = java.nio.file.Files.createTempDirectory("st19")
+    val idx = tmp.resolve("mhidx").toString
+    val src = tmp.resolve("src").toString
+    val rep = tmp.resolve("report").toString
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    Pipelines.buildMinHashIndex(
+      d.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"), idx)
+    d.filter(col("doc_id") % 3 === 1).coalesce(1)
+      .write.format("gwdelta").mode("append").save(src)
+    d.filter(col("doc_id") % 3 === 2).coalesce(1)
+      .write.format("gwdelta").mode("append").save(src)
+    val streamId = java.util.UUID.randomUUID().toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("gwdelta")
+        .option("maxFilesPerTrigger", "1").load(src)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val report = Pipelines.incrementalFuzzyDedup(
+            batch, col("doc_id"), col("text"), idx,
+            thresholdPermille = 500, txnId = Some(s"$streamId/idx/$batchId"))
+          GwSink.append(
+            report.withColumn("batch", lit(batchId + 1))
+              .withColumnRenamed("id", "doc_id")
+              .select("batch", "doc_id", "dup_of_index", "dup_in_batch", "kept"),
+            rep, txnId = Some(s"$streamId/rep/$batchId")); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val idxV = graft.GwTable.forPath(spark, idx).snapshot().version
+    val repV = graft.GwTable.forPath(spark, rep).snapshot().version
+    drain() // checkpoint restart: nothing admits, NOTHING re-commits
+    require(graft.GwTable.forPath(spark, idx).snapshot().version == idxV,
+      "a checkpoint restart must not re-commit to the signature index")
+    require(graft.GwTable.forPath(spark, rep).snapshot().version == repV,
+      "a checkpoint restart must not re-commit to the report table")
+    graft.GwTable.forPath(spark, rep).toDF
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_window" -> st01WindowedCounts _,
     "st02_stream_state" -> st02StatefulSessions _,
@@ -1110,6 +1163,7 @@ object StreamOps {
     "st16_streaming_asof_join" -> st16StreamingAsofJoin _,
     "st17_stream_pq_index" -> st17StreamPqIndexIngest _,
     "st18_stream_incr_dedup" -> st18StreamIncrementalDedup _,
+    "st19_stream_fuzzy_dedup" -> st19StreamFuzzyDedup _,
   )
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming
@@ -1119,6 +1173,9 @@ object StreamOps {
     // (st14-deterministic admission), so the batch oracle IS its oracle
     "st18_stream_incr_dedup" ->
       graft.operators.Dedup.oracles("d20_incremental_dedup"),
+    // st19 is the streaming face of d22 over the same batch partitioning
+    "st19_stream_fuzzy_dedup" ->
+      graft.operators.Dedup.oracles("d22_incremental_fuzzy"),
     "st01_stream_window" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
         | count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
