@@ -81,6 +81,32 @@ class DynamicPruningSpec extends SparkSpec {
         s"planned ${s.plannedFiles.size} of $total")
   }
 
+  test("runtime filtering re-plans the clean/DV split on a merge-on-read table") {
+    // a DV'd table's runtime-filter rebuild goes through the same
+    // assembleScan as the initial build: the clean/DV split re-derives
+    // from the PRUNED candidates, and deleted rows stay deleted
+    val loc = Files.createTempDirectory("dfp-mor").resolve("t").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    li.repartitionByRange(6, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.format("gwdelta").save(loc)
+    val t = GwTable.forPath(spark, loc)
+    assert(t.delete(col("l_quantity") >= 49.0, mergeOnRead = true) > 0)
+    assert(t.snapshot().files.exists(_.dv.isDefined), "need DV'd files")
+    val dim = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderkey") < 600).select("o_orderkey")
+    val fact = spark.read.format("gwdelta").load(loc)
+    val got = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      .agg(count(lit(1)), sum(round(col("l_quantity") * 100).cast("long")))
+      .head()
+    val expected = li.filter(col("l_quantity") < 49.0)
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)), sum(round(col("l_quantity") * 100).cast("long")))
+      .head()
+    assert(got == expected, s"MOR + runtime filtering diverged: $got vs $expected")
+  }
+
   test("pruning soundness property: random key sets never lose matching rows") {
     // end-to-end: if any stats/bloom path wrongly dropped a file, rows
     // would go missing from the isin result — seeded, deterministic
