@@ -919,24 +919,33 @@ object Pipelines {
   val MinHashBandsProp = "graft.minhash.bands"
 
   /** md5-lane banded MinHash signatures: (band, bucket, doc_id, sig).
-    * Lane p of a doc = min over its DISTINCT 3-word shingles of the
-    * 60-bit md5 prefix of "p:shingle" — md5 is the one keyed hash both
-    * engines compute identically (the SimHash/winnow trick), so the
-    * signatures, band buckets, and estimated Jaccards all replay in SQL.
-    * Docs with fewer than 3 words have no shingles and no signature.
-    * One shingle shuffle, one per-doc aggregate; the band fan-out is a
-    * per-row explode of `bands` small structs. */
+    * ONE md5 per DISTINCT 3-word shingle; lane p = min over shingles of
+    * `h1 + p*h2` (the classic two-hash permutation family: h1 = 60-bit
+    * digest prefix, h2 = 52-bit digest suffix forced odd — overflow-free
+    * in signed 64-bit for p < 2^11). md5 is the one keyed hash both
+    * engines compute identically, so the signatures, band buckets, and
+    * estimated Jaccards all replay in SQL — at 1/numPerm-th the hashing
+    * cost of a digest per (lane, shingle). Docs with fewer than 3 words
+    * have no shingles and no signature. One shingle shuffle, one per-doc
+    * aggregate; the band fan-out is a per-row explode of `bands` small
+    * structs. */
   private def bandedMinHash(df: DataFrame, id: Column, text: Column,
       numPerm: Int, bands: Int): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    require(numPerm <= 2048, s"numPerm beyond the overflow-free family: $numPerm")
     val r = numPerm / bands
     val sh = df.select(id.cast("long").as("__id"), split(text, " ").as("a"))
       .filter(size(col("a")) >= 3)
       .select(col("__id"), explode(array_distinct(expr(
         "transform(sequence(1, size(a) - 2), " +
           "i -> concat_ws(' ', a[i-1], a[i], a[i+1]))"))).as("s"))
-    def lane(p: Int) = min(conv(substring(md5(
-      concat_ws(":", lit(p), col("s"))), 1, 15), 16, 10).cast("long")).as(s"mh$p")
+      .withColumn("__m", md5(col("s")))
+      .select(col("__id"),
+        conv(substring(col("__m"), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(col("__m"), 17, 13), 16, 10).cast("long")
+          .bitwiseOR(lit(1L)).as("h2"))
+    def lane(p: Int) =
+      min(col("h1") + lit(p.toLong) * col("h2")).as(s"mh$p")
     val mh = sh.groupBy("__id").agg(lane(0), (1 until numPerm).map(lane): _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
