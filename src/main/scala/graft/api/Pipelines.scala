@@ -920,15 +920,17 @@ object Pipelines {
 
   /** md5-lane banded MinHash signatures: (band, bucket, doc_id, sig).
     * ONE md5 per DISTINCT 3-word shingle; lane p = min over shingles of
-    * `h1 + p*h2` (the classic two-hash permutation family: h1 = 60-bit
-    * digest prefix, h2 = 52-bit digest suffix forced odd — overflow-free
-    * in signed 64-bit for p < 2^11). md5 is the one keyed hash both
-    * engines compute identically, so the signatures, band buckets, and
-    * estimated Jaccards all replay in SQL — at 1/numPerm-th the hashing
-    * cost of a digest per (lane, shingle). Docs with fewer than 3 words
-    * have no shingles and no signature. One shingle shuffle, one per-doc
-    * aggregate; the band fan-out is a per-row explode of `bands` small
-    * structs. */
+    * `((2p+1)*x + p) mod 2^32` where x is the digest's 32-bit prefix —
+    * multiplication by an odd constant mod 2^32 is a bijection of
+    * Z_2^32, so each lane is a genuinely different permutation of the
+    * shingle space (an additive-only family degenerates: one globally
+    * minimal shingle wins every lane and the estimator collapses to
+    * 0-or-1000). Products stay under 2^44 — overflow-free in BOTH
+    * engines' signed 64-bit, so signatures, buckets, and estimated
+    * Jaccards replay exactly in SQL at one digest per shingle. Docs
+    * with fewer than 3 words have no shingles and no signature. One
+    * shingle shuffle, one per-doc aggregate; the band fan-out is a
+    * per-row explode of `bands` small structs. */
   private def bandedMinHash(df: DataFrame, id: Column, text: Column,
       numPerm: Int, bands: Int): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
@@ -939,13 +941,11 @@ object Pipelines {
       .select(col("__id"), explode(array_distinct(expr(
         "transform(sequence(1, size(a) - 2), " +
           "i -> concat_ws(' ', a[i-1], a[i], a[i+1]))"))).as("s"))
-      .withColumn("__m", md5(col("s")))
       .select(col("__id"),
-        conv(substring(col("__m"), 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(col("__m"), 17, 13), 16, 10).cast("long")
-          .bitwiseOR(lit(1L)).as("h2"))
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("x"))
+    val M = 4294967296L // 2^32
     def lane(p: Int) =
-      min(col("h1") + lit(p.toLong) * col("h2")).as(s"mh$p")
+      min((lit(2L * p + 1) * col("x") + lit(p.toLong)) % M).as(s"mh$p")
     val mh = sh.groupBy("__id").agg(lane(0), (1 until numPerm).map(lane): _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -1001,7 +1001,9 @@ object Pipelines {
    */
   def incrementalFuzzyDedup(batch: DataFrame, id: Column, text: Column,
       indexPath: String, thresholdPermille: Int,
-      txnId: Option[String] = None, bucketCap: Int = 65536): DataFrame = {
+      txnId: Option[String] = None, bucketCap: Int = 65536,
+      indexBucketCap: Int = 65536): DataFrame = {
+    require(indexBucketCap > 0, s"indexBucketCap must be positive: $indexBucketCap")
     val spark = batch.sparkSession
     val t = graft.GwTable.forPath(spark, indexPath)
     val conf = t.snapshot().metadata.map(_.configuration).getOrElse(Map.empty)
@@ -1039,11 +1041,27 @@ object Pipelines {
         coalesce(col("__di"), lit(false)).as("dup_of_index"),
         coalesce(col("__db"), lit(false)).as("dup_in_batch"))
       .withColumn("kept", !col("dup_of_index") && !col("dup_in_batch"))
-    graft.streaming.GwSink.append(
-      bb.join(report.filter(col("kept")).select(col("id").as("doc_id")),
+    // index-side saturation guard: a bucket already holding
+    // `indexBucketCap` members stops accepting new banded rows, so one
+    // boilerplate content region cannot grow a bucket without bound
+    // across the index's lifetime. The membership count reuses the
+    // candidate join's work (only buckets the batch touches can grow);
+    // a kept doc still appends through its UNSATURATED bands — the
+    // membership weakening is cap-conditional and bucket-local, same
+    // contract as the Hamming/LSH caps, observable via
+    // [[minHashIndexBucketAudit]].
+    val bucketSizes = pinned
+      .join(broadcast(bb.select("band", "bucket").distinct()),
+        Seq("band", "bucket"), "left_semi")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("__members"))
+    val survivors = bb
+      .join(report.filter(col("kept")).select(col("id").as("doc_id")),
         Seq("doc_id"), "left_semi")
-        .select("band", "bucket", "doc_id", "sig"),
-      indexPath, txnId = txnId, partitionBy = Seq("band"))
+      .join(bucketSizes, Seq("band", "bucket"), "left")
+      .filter(coalesce(col("__members"), lit(0L)) < indexBucketCap)
+      .select("band", "bucket", "doc_id", "sig")
+    graft.streaming.GwSink.append(
+      survivors, indexPath, txnId = txnId, partitionBy = Seq("band"))
     report
   }
 

@@ -345,11 +345,11 @@ object Dedup {
        | FROM toks, LATERAL unnest(generate_series(1, len(a) - 2)) AS g(i)),
        |hv AS (
        | SELECT doc_id,
-       |  CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h1,
-       |  CAST(CONCAT('0x', substr(md5(s), 17, 13)) AS BIGINT) | 1 AS h2
+       |  CAST(CONCAT('0x', substr(md5(s), 1, 8)) AS BIGINT) AS x
        | FROM sh),
        |lanes AS (
-       | SELECT doc_id, p.p AS p, min(h1 + p.p * h2) AS mh
+       | SELECT doc_id, p.p AS p,
+       |  min(((2*p.p + 1) * x + p.p) % 4294967296) AS mh
        | FROM hv CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS p) p
        | GROUP BY 1, 2),
        |sig AS (SELECT doc_id, list(mh ORDER BY p) AS sig FROM lanes GROUP BY 1),

@@ -603,6 +603,37 @@ class ApiSpec extends AnyFunSuite {
     assert(r1s == r1, s"shuffle path diverged: $r1s vs $r1")
   }
 
+  test("incrementalFuzzyDedup: index bucket cap bounds membership per bucket") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("fuzzycap")
+      .resolve("mhidx").toString
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    // B = A with one word changed: most lanes (mins over all shingles)
+    // survive, so A and B share many band buckets — but under
+    // threshold 1000 (ALL lanes must match) B is KEPT
+    val a = Seq((1L, base)).toDF("id", "text")
+    val b = Seq((2L, base.replace("w20", "zzz"))).toDF("id", "text")
+    graft.api.Pipelines.buildMinHashIndex(a, col("id"), col("text"), idx)
+    val rep = graft.api.Pipelines.incrementalFuzzyDedup(
+      b, col("id"), col("text"), idx, thresholdPermille = 1000,
+      txnId = None, indexBucketCap = 1)
+      .collect()
+    assert(rep.length == 1 && rep.head.getBoolean(3), "B must be kept")
+    val byBucket = spark.read.format("gwdelta").load(idx)
+      .groupBy("band", "bucket")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect()
+    assert(byBucket.forall(_.getLong(2) == 1L),
+      s"cap=1 must keep every bucket at one member: ${byBucket.mkString(", ")}")
+    // B still advertises through its unsaturated bands — but the bands it
+    // shares with A (6 of 8 under the multiply-mod family) are capped out
+    val bRows = spark.read.format("gwdelta").load(idx)
+      .filter(col("doc_id") === 2L).count()
+    assert(bRows >= 1 && bRows < 8,
+      s"kept doc must append ONLY through unsaturated bands, got $bRows rows")
+  }
+
   test("bpeEncode prices documents with the trained merge chain, in order") {
     import spark.implicits._
     val corpus = Seq(
