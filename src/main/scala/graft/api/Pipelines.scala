@@ -2432,11 +2432,12 @@ object Pipelines {
    */
   def buildIvfIndex(corpus: DataFrame, id: Column, vec: Column, dim: Int,
       indexPath: String, nCentroids: Int = 16,
-      centroids: Option[Array[Array[Double]]] = None): Long = {
+      centroids: Option[Array[Array[Double]]] = None,
+      payload: Seq[Column] = Nil): Long = {
     val cents = centroids.getOrElse(hyperplanes(nCentroids, dim))
     require(cents.length == nCentroids, "centroid count must match nCentroids")
     graft.streaming.GwSink.append(
-      assignToLists(corpus, id, vec, cents), indexPath,
+      assignToLists(corpus, id, vec, cents, payload), indexPath,
       partitionBy = Seq("list"),
       bootstrapProps = Map(
         IvfCentroidsProp -> centroidsJson(cents),
@@ -2448,10 +2449,11 @@ object Pipelines {
     * `txnId` gives streaming ingest exactly-once batch replay (the sink's
     * `txn` dedup — a replayed (stream, batch) id commits nothing). */
   def appendToIvfIndex(newVectors: DataFrame, id: Column, vec: Column,
-      indexPath: String, txnId: Option[String] = None): Long = {
+      indexPath: String, txnId: Option[String] = None,
+      payload: Seq[Column] = Nil): Long = {
     val cents = storedCentroids(newVectors.sparkSession, indexPath)
     graft.streaming.GwSink.append(
-      assignToLists(newVectors, id, vec, cents), indexPath,
+      assignToLists(newVectors, id, vec, cents, payload), indexPath,
       txnId = txnId, partitionBy = Seq("list"))
   }
 
@@ -2502,7 +2504,8 @@ object Pipelines {
     * exact-cosine rank within them — identical semantics and tiebreaks to
     * [[ivfTopK]] over the same contents. */
   def ivfIndexTopK(queries: DataFrame, id: Column, vec: Column,
-      indexPath: String, k: Int, nProbe: Int): DataFrame = {
+      indexPath: String, k: Int, nProbe: Int,
+      filter: Option[Column] = None): DataFrame = {
     val spark = queries.sparkSession
     val cents = storedCentroids(spark, indexPath)
     val n = cents.length
@@ -2517,10 +2520,18 @@ object Pipelines {
       .withColumn("list", explode(probes(col("q_emb"))))
       .withColumn("q_nrm", l2norm(col("q_emb")))
     val probed = q.select("list").distinct().collect().map(_.getInt(0))
-    val idx = spark.read.format("gwdelta").load(indexPath)
+    // `filter` is a predicate over the index's PAYLOAD columns
+    // (buildIvfIndex(payload = ...)): it composes with the list pruning
+    // INSIDE the scan — a payload equality/range predicate pushes down to
+    // the probed lists' files (footer stats, blooms if declared), so a
+    // selective filter SHRINKS the candidate read instead of post-
+    // filtering scored results (s13's semantics through the on-disk path)
+    val idx0 = spark.read.format("gwdelta").load(indexPath)
       .filter(col("list").isin(probed.map(Int.box).toSeq: _*))
+    val idx = filter.fold(idx0)(idx0.filter)
       .withColumn("n_nrm", l2norm(col("n_emb")))
-    topKByCosine(broadcast(q).join(idx, Seq("list"))
+    topKByCosine(broadcast(q).join(idx.select(col("list"), col("n_id"),
+        col("n_emb"), col("n_nrm")), Seq("list"))
       .filter(col("q_id") =!= col("n_id")), k)
   }
 
@@ -2782,10 +2793,10 @@ object Pipelines {
       .mkString("[", ",", "]")
 
   private def assignToLists(corpus: DataFrame, id: Column, vec: Column,
-      cents: Array[Array[Double]]): DataFrame = {
+      cents: Array[Array[Double]], payload: Seq[Column] = Nil): DataFrame = {
     val n = cents.length
     def scores(e: Column): Column = centroidScores(e, cents)
-    corpus.select(id.as("n_id"), vec.as("n_emb"))
+    corpus.select(id.as("n_id") +: vec.as("n_emb") +: payload: _*)
       .withColumn("list", (array_position(scores(col("n_emb")),
         array_max(scores(col("n_emb")))) - 1).cast("int"))
   }

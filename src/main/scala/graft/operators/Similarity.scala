@@ -443,6 +443,30 @@ object Similarity {
     res
   }
 
+  /** s24: metadata-FILTERED search over the persisted index — the index
+    * carries PAYLOAD columns ([[Pipelines.buildIvfIndex]]'s `payload`),
+    * and the filter composes INTO the probed-list scan (footer-stats
+    * pushdown on the payload column), so a selective filter shrinks the
+    * candidate read instead of post-filtering scored results — s13's
+    * semantics through the on-disk access path. In-gate: every neighbor
+    * carries the filter label. */
+  def s24FilteredIndexSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("s24")
+      .resolve("ivf").toString
+    Pipelines.buildIvfIndex(e, col("vec_id"), col("embedding"),
+      dim = 64, indexPath = tmp,
+      payload = Seq(col("label").cast("string").as("label")))
+    val res = Pipelines.ivfIndexTopK(e.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), tmp, k = 3, nProbe = 8,
+      filter = Some(col("label") === "3"))
+    val labels = e.select(col("vec_id").as("n_id"),
+      col("label").cast("string").as("lb"))
+    require(res.join(labels, Seq("n_id")).filter(col("lb") =!= "3").count() == 0,
+      "filtered index search must only surface the filter label")
+    res
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_topk_bruteforce" -> s01TopKBruteForce _,
     "s02_ann_lsh" -> s02AnnLsh _,
@@ -467,6 +491,7 @@ object Similarity {
     "s21_index_range_search" -> s21IvfIndexRangeSearch _,
     "s22_ivfpq_rebuild" -> s22IvfPqRebuild _,
     "s23_ivf_delete" -> s23IvfDelete _,
+    "s24_filtered_index_search" -> s24FilteredIndexSearch _,
   )
 
   /** s13's oracle: the s02 LSH replay with the label equality joined into
@@ -631,8 +656,8 @@ object Similarity {
     val scores = (0 until nCentroids)
       .map(c => s"list_dot_product(emb, ${centLit(cents(c))})")
       .mkString("[\n ", ",\n ", "\n]")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |sc AS (SELECT vec_id, emb, $scores AS s FROM e),
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+       |sc AS (SELECT vec_id, label, emb, $scores AS s FROM e),
        |corpus AS (SELECT vec_id, list_position(s, list_max(s)) - 1 AS cl FROM sc
        |          WHERE $corpusPred),
        |probe AS (
@@ -851,6 +876,9 @@ object Similarity {
     // s23: the s14 replay over the corpus minus the unlearned ids
     "s23_ivf_delete" ->
       ivfOracleSql("vec_id < 10", corpusPred = "vec_id % 10 <> 0"),
+    // s24: the s14 replay over the corpus restricted to the filter label
+    "s24_filtered_index_search" ->
+      ivfOracleSql("vec_id < 10", corpusPred = "label::VARCHAR = '3'"),
     // s16: contents equal the full corpus after build+appends+OPTIMIZE,
     // so maintenance must answer s14's replay verbatim
     "s16_ivf_optimize" -> ivfOracleSql("vec_id < 10"),
