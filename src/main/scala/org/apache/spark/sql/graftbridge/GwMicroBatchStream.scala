@@ -182,4 +182,13 @@ class GwDeltaScan(
     inner.supportedCustomMetrics()
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GwMicroBatchStream(spark, tablePath, streamSchema, readOptions)
+
+  // value equality over the inner scan (whose own equality covers the
+  // file set) so Spark's exchange/scan reuse keeps working when the same
+  // table is read twice in one plan
+  override def equals(other: Any): Boolean = other match {
+    case g: GwDeltaScan => g.innerScan == inner
+    case _ => false
+  }
+  override def hashCode(): Int = inner.hashCode()
 }

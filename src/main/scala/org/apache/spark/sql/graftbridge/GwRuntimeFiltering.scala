@@ -91,6 +91,18 @@ class GwRuntimeFilteringScan(
     override def createReaderFactory(): PartitionReaderFactory =
       current.toBatch.createReaderFactory()
   }
+
+  // value equality over the CURRENT state (inner scan + planned file
+  // set): two unfiltered scans of the same snapshot compare equal, so
+  // Spark's exchange/scan reuse keeps working across self-joins; scans
+  // diverged by different runtime filters correctly compare unequal
+  override def equals(other: Any): Boolean = other match {
+    case g: GwRuntimeFilteringScan =>
+      g.innerScan == current &&
+        g.plannedFiles.map(_.path) == planned.map(_.path)
+    case _ => false
+  }
+  override def hashCode(): Int = current.hashCode()
 }
 
 /** Peel observability/feature wrappers off a V2 scan down to the
