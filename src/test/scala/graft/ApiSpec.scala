@@ -603,6 +603,24 @@ class ApiSpec extends AnyFunSuite {
     assert(r1s == r1, s"shuffle path diverged: $r1s vs $r1")
   }
 
+  test("incrementalFuzzyDedup: the estimator separates high from low Jaccard") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("fuzzyest")
+      .resolve("mhidx").toString
+    val w = (1 to 100).map(i => s"w$i")
+    val a = w.mkString(" ")                                        // reference
+    val b = (w.take(90) ++ (91 to 100).map(i => s"u$i")).mkString(" ") // J ~ 0.8
+    val c = (w.take(20) ++ (21 to 100).map(i => s"v$i")).mkString(" ") // J ~ 0.16
+    graft.api.Pipelines.buildMinHashIndex(
+      Seq((1L, a)).toDF("id", "text"), col("id"), col("text"), idx)
+    val rep = graft.api.Pipelines.incrementalFuzzyDedup(
+      Seq((2L, b), (3L, c)).toDF("id", "text"), col("id"), col("text"),
+      idx, thresholdPermille = 700)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rep(2L), "J~0.8 must estimate over the 0.7 threshold")
+    assert(!rep(3L), "J~0.16 must estimate under the 0.7 threshold")
+  }
+
   test("incrementalFuzzyDedup: index bucket cap bounds membership per bucket") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("fuzzycap")
