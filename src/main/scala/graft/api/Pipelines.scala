@@ -994,15 +994,31 @@ object Pipelines {
    * Scale: the index never broadcasts — the (band, bucket) equi-join
    * streams it (band partition pruning applies when probing few bands);
    * the batch side is capped per bucket (`bucketCap`, the shared LSH
-   * skew guard) so one boilerplate bucket cannot go quadratic. Bucket
-   * saturation on the INDEX side is observable with
-   * [[minHashIndexBucketAudit]]. Returns (id, dup_of_index,
-   * dup_in_batch, kept) for every batch doc with >= 3 words.
+   * skew guard) so one boilerplate bucket cannot go quadratic. The
+   * banded-signature frame is localCheckpoint'd ONCE — it feeds the
+   * candidate joins, the report, the bucket census and the survivor
+   * append, so the expensive stage (shingle shuffle + lane aggregate)
+   * runs once, not per consumer. Bucket saturation on the INDEX side is
+   * observable with [[minHashIndexBucketAudit]]. Returns (id,
+   * dup_of_index, dup_in_batch, kept) for every batch doc with >= 3
+   * words — including docs the skew cap dropped from every bucket
+   * (they report kept with no advertised bands, the same cap-conditional
+   * membership weakening the exact caps document).
+   *
+   * Exactly-once replay: document ids must be globally unique across
+   * batches (they are the identity the whole report keys on). On a
+   * crash-retry with the same `txnId` the index already holds THIS
+   * batch's own banded rows from the first attempt; candidate rows whose
+   * index-side id is one of the batch's own ids are anti-joined out, so
+   * the replayed report equals the first attempt's instead of
+   * self-matching every kept doc (the append side was already a replay
+   * no-op).
    */
   def incrementalFuzzyDedup(batch: DataFrame, id: Column, text: Column,
       indexPath: String, thresholdPermille: Int,
       txnId: Option[String] = None, bucketCap: Int = 65536,
-      indexBucketCap: Int = 65536): DataFrame = {
+      indexBucketCap: Int = 65536,
+      broadcastMaxKeys: Long = 4000000L): DataFrame = {
     require(indexBucketCap > 0, s"indexBucketCap must be positive: $indexBucketCap")
     val spark = batch.sparkSession
     val t = graft.GwTable.forPath(spark, indexPath)
@@ -1013,12 +1029,23 @@ object Pipelines {
     val numPerm = prop(MinHashPermProp)
     val bands = prop(MinHashBandsProp)
     val pinned = t.versionAsOf(t.snapshot().version)
-    val bb = capBucketMembers(
-      bandedMinHash(batch, id, text, numPerm, bands), "doc_id", bucketCap)
+    // materialize the signatures once (shingle shuffle + lane aggregate —
+    // the dominant cost); every consumer below reads the checkpointed
+    // blocks. The cap is windowed over the materialized frame.
+    val banded0 = bandedMinHash(batch, id, text, numPerm, bands)
+      .localCheckpoint()
+    val bb = capBucketMembers(banded0, "doc_id", bucketCap).localCheckpoint()
+    // replay self-exclusion (see scaladoc): the anti-join runs on the
+    // candidate rows — batch-bounded — never as an extra shuffle of the
+    // index itself. On a first attempt it is a no-op (ids are unique).
+    val selfIds = bb.select(col("doc_id").as("h_id")).distinct()
+    val smallIds = selfIds.count() <= broadcastMaxKeys
     val candIdx = bb.select(col("band"), col("bucket"),
         col("doc_id").as("id"), col("sig"))
       .join(pinned.select(col("band"), col("bucket"),
         col("doc_id").as("h_id"), col("sig").as("h_sig")), Seq("band", "bucket"))
+      .join(if (smallIds) broadcast(selfIds) else selfIds,
+        Seq("h_id"), "left_anti")
       .select("id", "h_id", "sig", "h_sig").distinct()
     val dupIdx = candIdx
       .filter(estJaccardPermille(col("sig"), col("h_sig"), numPerm)
@@ -1034,7 +1061,9 @@ object Pipelines {
       .filter(estJaccardPermille(col("sig_a"), col("sig_b"), numPerm)
         >= thresholdPermille)
       .select(col("id_b").as("id")).distinct().withColumn("__db", lit(true))
-    val report = bb.select(col("doc_id").as("id")).distinct()
+    // report base = every signed doc BEFORE the skew cap, so capping can
+    // shed advertised rows but never a whole doc from the report
+    val report = banded0.select(col("doc_id").as("id")).distinct()
       .join(dupIdx, Seq("id"), "left")
       .join(dupB, Seq("id"), "left")
       .select(col("id"),
@@ -1049,9 +1078,15 @@ object Pipelines {
     // a kept doc still appends through its UNSATURATED bands — the
     // membership weakening is cap-conditional and bucket-local, same
     // contract as the Hamming/LSH caps, observable via
-    // [[minHashIndexBucketAudit]].
+    // [[minHashIndexBucketAudit]]. The batch's bucket keys broadcast
+    // only below `broadcastMaxKeys` (one cheap count over the
+    // checkpointed frame); a bootstrap-sized batch falls back to a keyed
+    // semi-join instead of OOMing the driver — the adaptive guard
+    // mirrors [[incrementalExactDedup]]'s `broadcastMaxDigests`.
+    val batchKeys = bb.select("band", "bucket").distinct()
+    val smallKeys = batchKeys.count() <= broadcastMaxKeys
     val bucketSizes = pinned
-      .join(broadcast(bb.select("band", "bucket").distinct()),
+      .join(if (smallKeys) broadcast(batchKeys) else batchKeys,
         Seq("band", "bucket"), "left_semi")
       .groupBy("band", "bucket").agg(count(lit(1)).as("__members"))
     val survivors = bb
@@ -1137,6 +1172,16 @@ object Pipelines {
    * this batch's append, so re-evaluating the returned frame after
    * later appends cannot change it.
    *
+   * Exactly-once replay: document ids must be globally unique across
+   * batches (they are the identity the report keys on, and the index
+   * stores each digest's first-seen id). On a crash-retry with the same
+   * `txnId` the index already holds THIS batch's own (fp, src_id) rows
+   * from the first attempt; index rows whose src_id is one of the
+   * batch's own ids are anti-joined out of the probe, so the replayed
+   * report equals the first attempt's instead of marking every
+   * originally-kept doc dup_of_index (the append side was already a
+   * replay no-op). On a first attempt the anti-join is a no-op.
+   *
    * Returns (id, fp, dup_of_index, dup_in_batch, kept): kept = first
    * occurrence of a digest never seen before.
    */
@@ -1145,13 +1190,26 @@ object Pipelines {
       broadcastMaxDigests: Long = 4000000L): DataFrame = {
     val spark = batch.sparkSession
     val table = graft.GwTable.forPath(spark, indexPath)
-    val pinned = table.versionAsOf(table.snapshot().version).select(col("fp"))
     val b = batch.select(id.cast("long").as("id"), md5(text).as("fp"))
     val probe = b.select("fp").distinct()
-    val small = probe.count() <= broadcastMaxDigests
+    // one pass decides BOTH broadcasts — a degenerate batch (few digests,
+    // many ids, or vice versa) must not sneak a big frame past the guard
+    val cnts = b.agg(count_distinct(col("fp")).as("nfp"),
+      count_distinct(col("id")).as("nid")).head()
+    val small = cnts.getLong(0) <= broadcastMaxDigests
+    val smallIds = cnts.getLong(1) <= broadcastMaxDigests
+    val selfIds = b.select(col("id").as("src_id")).distinct()
+    val pinned = table.versionAsOf(table.snapshot().version)
+    // digest semi-join FIRST (the index holds one row per fp, so the
+    // output is bounded by the batch's digest count), THEN the replay
+    // self-exclusion anti-join on that bounded set — the index never
+    // pays an extra full exchange for the idempotence check
     val hits0 =
-      if (small) pinned.join(broadcast(probe), Seq("fp"), "left_semi")
-      else pinned.join(probe, Seq("fp"), "left_semi")
+      (if (small) pinned.join(broadcast(probe), Seq("fp"), "left_semi")
+       else pinned.join(probe, Seq("fp"), "left_semi"))
+        .join(if (smallIds) broadcast(selfIds) else selfIds,
+          Seq("src_id"), "left_anti")
+        .select(col("fp"))
     val hits = hits0.distinct().withColumn("__hit", lit(true))
     val w = Window.partitionBy("fp").orderBy("id")
     val report = b
@@ -1676,8 +1734,11 @@ object Pipelines {
     val chunks =
       if (bucketCap <= 0) chunks0
       else {
+        // per-chunk salt, same rationale as capBucketMembers: an
+        // unsalted rank drops the same codes from every chunk's bucket,
+        // losing a code's entire candidacy instead of one chunk's
         val w = Window.partitionBy("chunk", "chunk_val")
-          .orderBy(xxhash64(col("__hid")), col("__hid"))
+          .orderBy(xxhash64(col("__hid"), col("chunk")), col("__hid"))
         chunks0.withColumn("__hrank", row_number().over(w))
           .filter(col("__hrank") <= bucketCap).drop("__hrank")
       }
@@ -1950,8 +2011,13 @@ object Pipelines {
   private def capBucketMembers(banded: DataFrame, idCol: String, cap: Int): DataFrame =
     if (cap <= 0) banded
     else {
+      // the rank hash is salted PER BAND: an unsalted order ranks the
+      // same ids last in every band, so on a degenerate corpus (cap+1
+      // identical docs) one doc falls past the cap in ALL bands and
+      // vanishes from the candidate generator entirely — salting bounds
+      // the loss to rows (per-band advertisements), never whole docs
       val w = Window.partitionBy("band", "bucket")
-        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .orderBy(xxhash64(col(idCol), col("band")), col(idCol))
       banded.withColumn("__bkrank", row_number().over(w))
         .filter(col("__bkrank") <= cap).drop("__bkrank")
     }

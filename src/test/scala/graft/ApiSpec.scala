@@ -652,6 +652,103 @@ class ApiSpec extends AnyFunSuite {
       s"kept doc must append ONLY through unsaturated bands, got $bRows rows")
   }
 
+  test("incrementalExactDedup: a replayed txn returns the FIRST attempt's report") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("replayexact")
+      .resolve("fpidx").toString
+    graft.api.Pipelines.buildFingerprintIndex(
+      Seq((1L, "aaa")).toDF("id", "text"), col("id"), col("text"), idx)
+    val b = Seq((2L, "aaa"), (3L, "bbb"), (4L, "bbb")).toDF("id", "text")
+    def run() = graft.api.Pipelines.incrementalExactDedup(
+        b, col("id"), col("text"), idx, txnId = Some("s/7"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).sortBy(_._1).toSeq
+    val first = run()
+    assert(first.map(t => t._1 -> t._5).toMap == Map(2L -> false, 3L -> true, 4L -> false))
+    // the crash-retry window: the index now holds doc 3's digest from the
+    // first attempt — the replayed report must NOT invert kept to false
+    val replay = run()
+    assert(replay == first,
+      s"replayed report diverged:\n  first  $first\n  replay $replay")
+  }
+
+  test("incrementalFuzzyDedup: a replayed txn returns the FIRST attempt's report") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("replayfuzzy")
+      .resolve("mhidx").toString
+    val w = (1 to 60).map(i => s"w$i")
+    val a = w.mkString(" ")
+    val near = (w.take(55) ++ (56 to 60).map(i => s"u$i")).mkString(" ")
+    val far = (1 to 60).map(i => s"z$i").mkString(" ")
+    graft.api.Pipelines.buildMinHashIndex(
+      Seq((1L, a)).toDF("id", "text"), col("id"), col("text"), idx)
+    val b = Seq((2L, near), (3L, far)).toDF("id", "text")
+    def run() = graft.api.Pipelines.incrementalFuzzyDedup(
+        b, col("id"), col("text"), idx, thresholdPermille = 600,
+        txnId = Some("s/9"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    val first = run()
+    assert(first.map(t => t._1 -> t._4).toMap == Map(2L -> false, 3L -> true),
+      s"got $first")
+    // doc 3's own signatures are in the index now; the replay must not
+    // self-match them into dup_of_index
+    val replay = run()
+    assert(replay == first,
+      s"replayed report diverged:\n  first  $first\n  replay $replay")
+    assert(graft.GwTable.forPath(spark, idx).snapshot().version == 1L,
+      "replay must not re-commit")
+  }
+
+  test("incrementalFuzzyDedup: broadcast and shuffle census paths agree byte-for-byte") {
+    import spark.implicits._
+    val docs = (1 to 12).map(i => (i.toLong,
+      (1 to 40).map(j => s"w${(i % 4) * 100 + j}").mkString(" ")))
+    def run(maxKeys: Long) = {
+      val idx = java.nio.file.Files.createTempDirectory(s"fuzzypath$maxKeys")
+        .resolve("mhidx").toString
+      graft.api.Pipelines.buildMinHashIndex(
+        docs.take(4).toDF("id", "text"), col("id"), col("text"), idx)
+      val rep = graft.api.Pipelines.incrementalFuzzyDedup(
+          docs.drop(4).toDF("id", "text"), col("id"), col("text"), idx,
+          thresholdPermille = 900, broadcastMaxKeys = maxKeys)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+          r.getBoolean(3))).sortBy(_._1).toSeq
+      val state = spark.read.format("gwdelta").load(idx)
+        .select("band", "bucket", "doc_id")
+        .as[(Int, String, Long)].collect().sorted.toSeq
+      (rep, state)
+    }
+    val (repB, stateB) = run(4000000L) // broadcast path
+    val (repS, stateS) = run(0L)       // shuffle semi-join path
+    assert(repB == repS, s"reports diverged:\n  bcast $repB\n  shuffle $repS")
+    assert(stateB == stateS, "post-append index state diverged between paths")
+  }
+
+  test("incrementalFuzzyDedup: the skew cap never drops a doc from the report") {
+    import spark.implicits._
+    // cap+1 IDENTICAL docs: under an unsalted rank the same doc falls
+    // past the cap in every band and vanishes; the per-band salt keeps
+    // every doc in >= 1 band, and the report base covers all signed docs
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = (1 to 5).map(i => (i.toLong, text))
+    val idx = java.nio.file.Files.createTempDirectory("fuzzycapdoc")
+      .resolve("mhidx").toString
+    graft.api.Pipelines.buildMinHashIndex(
+      Seq((100L, "completely different corpus seed text here")).toDF("id", "text"),
+      col("id"), col("text"), idx)
+    val rep = graft.api.Pipelines.incrementalFuzzyDedup(
+        docs.toDF("id", "text"), col("id"), col("text"), idx,
+        thresholdPermille = 1000, bucketCap = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(rep.keySet == Set(1L, 2L, 3L, 4L, 5L),
+      s"every batch doc with >= 3 words must appear in the report: ${rep.keySet}")
+    // identical docs at threshold 1000: exactly one kept among the pairs
+    // the capped candidate generator still surfaces — at minimum the
+    // smallest id is kept
+    assert(rep(1L), "the smallest id of an identical clique must be kept")
+  }
+
   test("bpeEncode prices documents with the trained merge chain, in order") {
     import spark.implicits._
     val corpus = Seq(
