@@ -29,9 +29,9 @@ import org.apache.spark.sql.types._
  * Spark materializes the batch and delivers the filters in.
  */
 class GwRuntimeFilteringScan(
-    initial: Scan,
+    private val initial: Scan,
     snapshot: Snapshot,
-    initialCandidates: Seq[AddFile],
+    private val initialCandidates: Seq[AddFile],
     rebuild: Seq[AddFile] => Scan)
   extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -43,17 +43,35 @@ class GwRuntimeFilteringScan(
   /** Files the scan will open after any runtime pruning (observability). */
   def plannedFiles: Seq[AddFile] = planned
 
-  /** Every top-level atomic column of the scan's (column-pruned) output
-    * is a legal runtime-filter target — the planner resolves these
-    * against the scan relation's output, so declaring a pruned-away
-    * column would fail analysis. Whether a given filter actually prunes
-    * is decided per file by the harvested stats/blooms (absent stats keep
-    * the file, never drop it). */
-  override def filterAttributes(): Array[NamedReference] =
+  /** Runtime-filter targets: only columns that can actually PRUNE —
+    * partition columns, harvested-stats columns (all eligible columns
+    * when the table declares no stats control; the declared set when
+    * `graft.stats.columns` / `graft.stats.numIndexedCols` restricts the
+    * harvest), and bloom columns — intersected with the scan's
+    * (column-pruned) atomic output. Declaring a column here makes Spark
+    * plan AND execute a build-side key collection (a driver-collected
+    * IN-set) against it, so a column whose filters can never drop a file
+    * is pure per-query overhead. Whether a given filter actually prunes
+    * is still decided per file by the harvested stats/blooms (absent
+    * stats keep the file, never drop it). */
+  override def filterAttributes(): Array[NamedReference] = {
+    val conf = snapshot.metadata.map(_.configuration).getOrElse(Map.empty)
+    val parts = snapshot.metadata.map(_.partitionColumns).getOrElse(Nil)
+      .map(_.toLowerCase).toSet
+    val blooms = conf.get(graft.log.Bloom.ColumnsProp).toSeq
+      .flatMap(_.split(",")).map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+    // None = no stats control declared = every eligible column harvests
+    val stats = graft.streaming.GwSink.statsColumnFilter(conf,
+      if (snapshot.metadata.isDefined) snapshot.schema else current.readSchema())
+    def prunable(name: String): Boolean = {
+      val n = name.toLowerCase
+      parts.contains(n) || blooms.contains(n) || stats.forall(_.contains(n))
+    }
     current.readSchema().fields.collect {
-      case f if GwRuntimeFilterTranslation.atomic(f.dataType) =>
+      case f if GwRuntimeFilterTranslation.atomic(f.dataType) && prunable(f.name) =>
         Expressions.column(f.name)
     }
+  }
 
   override def filter(filters: Array[Filter]): Unit = {
     val constraints =
@@ -92,17 +110,23 @@ class GwRuntimeFilteringScan(
       current.toBatch.createReaderFactory()
   }
 
-  // value equality over the CURRENT state (inner scan + planned file
-  // set): two unfiltered scans of the same snapshot compare equal, so
-  // Spark's exchange/scan reuse keeps working across self-joins; scans
-  // diverged by different runtime filters correctly compare unequal
+  // value equality over IMMUTABLE identity only (initial scan + initial
+  // candidate set): two scans of the same snapshot compare equal, so
+  // Spark's exchange/scan reuse keeps working across self-joins — and
+  // because a runtime filter arriving via `filter()` mutates state that
+  // equality deliberately ignores, a scan stored in a hash-keyed reuse
+  // structure BEFORE the filter lands can still be looked up after.
+  // Runtime-pruned divergence is not lost: the enclosing BatchScanExec's
+  // own equality covers `runtimeFilters`, so differently-filtered scan
+  // NODES never unify.
   override def equals(other: Any): Boolean = other match {
     case g: GwRuntimeFilteringScan =>
-      g.innerScan == current &&
-        g.plannedFiles.map(_.path) == planned.map(_.path)
+      g.initial == initial &&
+        g.initialCandidates.map(_.path) == initialCandidates.map(_.path)
     case _ => false
   }
-  override def hashCode(): Int = current.hashCode()
+  override def hashCode(): Int =
+    31 * initial.hashCode() + initialCandidates.map(_.path).hashCode()
 }
 
 /** Peel observability/feature wrappers off a V2 scan down to the
@@ -121,12 +145,19 @@ object GwScanPeel {
 /**
  * V1 runtime `Filter` -> stats-pruning constraint translation. Total
  * failure is SAFE (an untranslatable filter prunes nothing); values are
- * external Scala types, and only kinds with a sound `Bound` encoding
- * translate — timestamps/dates are deliberately skipped (their runtime
- * encodings don't match the harvested stat encodings version-for-version,
- * and a wrong guess would prune files that match).
+ * external Scala types. Dates and timestamps translate onto the SAME
+ * encodings the static pruning path and the stats harvest use — epoch
+ * days for dates, micros for timestamps (via Spark's own
+ * `DateTimeUtils`, the exact inverse of how Catalyst externalized the
+ * value) — because `fact JOIN dim ON date_key` is the single most common
+ * dynamic-pruning shape in a star schema. Timestamp constraints carry
+ * `minStatsVersion = 2` exactly like the static path: v1 stats stored
+ * raw millis, and a micros bound against a millis stat would prune files
+ * that match.
  */
 object GwRuntimeFilterTranslation {
+
+  import org.apache.spark.sql.catalyst.util.DateTimeUtils
 
   /** Above this many IN members, per-member range/bloom checks cost more
     * driver time than they save — fall back to the [min, max] envelope. */
@@ -141,24 +172,26 @@ object GwRuntimeFilterTranslation {
   def toRanges(f: Filter): Seq[ColRange] = f match {
     case And(l, r) => toRanges(l) ++ toRanges(r)
     case EqualTo(a, v) if flat(a) =>
-      bound(v).map(b => ColRange(a, Some(b), Some(b))).toSeq
+      bound(v).map { case (b, sv) => ColRange(a, Some(b), Some(b), sv) }.toSeq
     case GreaterThan(a, v) if flat(a) =>
-      bound(v).map(b => ColRange(a, Some(b), None)).toSeq
+      bound(v).map { case (b, sv) => ColRange(a, Some(b), None, sv) }.toSeq
     case GreaterThanOrEqual(a, v) if flat(a) =>
-      bound(v).map(b => ColRange(a, Some(b), None)).toSeq
+      bound(v).map { case (b, sv) => ColRange(a, Some(b), None, sv) }.toSeq
     case LessThan(a, v) if flat(a) =>
-      bound(v).map(b => ColRange(a, None, Some(b))).toSeq
+      bound(v).map { case (b, sv) => ColRange(a, None, Some(b), sv) }.toSeq
     case LessThanOrEqual(a, v) if flat(a) =>
-      bound(v).map(b => ColRange(a, None, Some(b))).toSeq
+      bound(v).map { case (b, sv) => ColRange(a, None, Some(b), sv) }.toSeq
     case In(a, vs) if flat(a) && vs.nonEmpty =>
       val bs = vs.toSeq.map(bound)
       if (bs.exists(_.isEmpty)) Nil
       else {
         val members = bs.flatten
-        val sorted = members.sortWith((x, y) => Bound.cmp(x, y).exists(_ < 0))
+        val sorted = members.map(_._1)
+          .sortWith((x, y) => Bound.cmp(x, y).exists(_ < 0))
         // mixed-kind member lists can't order soundly — no constraint
         if (!sorted.sliding(2).forall(p => p.size < 2 || Bound.cmp(p(0), p(1)).isDefined)) Nil
         else Seq(ColRange(a, sorted.headOption, sorted.lastOption,
+          members.map(_._2).max,
           anyOf = if (members.length <= MaxInMembers) sorted else Nil))
       }
     case _ => Nil
@@ -167,16 +200,32 @@ object GwRuntimeFilterTranslation {
   private def flat(attr: String): Boolean =
     !attr.contains('.') && !attr.contains('`')
 
-  private def bound(v: Any): Option[Bound] = v match {
+  /** External runtime value -> (typed bound, minimum stats-encoding
+    * version a file must carry for the bound to be trusted). */
+  private def bound(v: Any): Option[(Bound, Int)] = v match {
     case null => None
     case f: java.lang.Float if f.isNaN || f.isInfinite => None
     case d: java.lang.Double if d.isNaN || d.isInfinite => None
     case n @ (_: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
               _: java.lang.Long | _: java.lang.Float | _: java.lang.Double) =>
-      Some(Bound.Num(BigDecimal(n.toString)))
-    case n: java.math.BigDecimal => Some(Bound.Num(BigDecimal(n)))
-    case n: BigDecimal => Some(Bound.Num(n))
-    case s: String => Some(Bound.Str(s))
+      Some((Bound.Num(BigDecimal(n.toString)), 0))
+    case n: java.math.BigDecimal => Some((Bound.Num(BigDecimal(n)), 0))
+    case n: BigDecimal => Some((Bound.Num(n), 0))
+    case s: String => Some((Bound.Str(s), 0))
+    // DateType externalizes as java.sql.Date or java.time.LocalDate —
+    // stats store epoch DAYS (same as Catalyst's internal Int days)
+    case d: java.sql.Date =>
+      Some((Bound.Num(BigDecimal(DateTimeUtils.fromJavaDate(d).toLong)), 0))
+    case d: java.time.LocalDate =>
+      Some((Bound.Num(BigDecimal(DateTimeUtils.localDateToDays(d).toLong)), 0))
+    // TimestampType externalizes as java.sql.Timestamp or Instant;
+    // TimestampNTZ as LocalDateTime — stats store MICROS under gwStatsV 2
+    case t: java.sql.Timestamp =>
+      Some((Bound.Num(BigDecimal(DateTimeUtils.fromJavaTimestamp(t))), 2))
+    case t: java.time.Instant =>
+      Some((Bound.Num(BigDecimal(DateTimeUtils.instantToMicros(t))), 2))
+    case t: java.time.LocalDateTime =>
+      Some((Bound.Num(BigDecimal(DateTimeUtils.localDateTimeToMicros(t))), 2))
     case _ => None
   }
 }

@@ -146,12 +146,126 @@ class DynamicPruningSpec extends SparkSpec {
     val cmp = GwRuntimeFilterTranslation.toRanges(
       sources.And(sources.GreaterThan("k", 3), sources.LessThanOrEqual("k", 8)))
     assert(cmp.size == 2)
-    // timestamps and unknown kinds translate to NOTHING (prune nothing)
-    assert(GwRuntimeFilterTranslation.toRanges(
-      sources.EqualTo("t", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).isEmpty)
+    // unknown kinds translate to NOTHING (prune nothing)
     assert(GwRuntimeFilterTranslation.toRanges(
       sources.In("k", Array[Any](1L, "mixed"))).isEmpty)
     assert(GwRuntimeFilterTranslation.toRanges(
       sources.EqualTo("a.b", 1L)).isEmpty, "nested refs must not translate")
+  }
+
+  test("runtime filter translation: dates as days, timestamps as micros gated on gwStatsV 2") {
+    import org.apache.spark.sql.sources
+    import graft.log.Bound
+    // epoch-day encoding, both external date kinds
+    val d1 = GwRuntimeFilterTranslation.toRanges(
+      sources.EqualTo("d", java.time.LocalDate.parse("1995-03-15")))
+    val days = java.time.LocalDate.parse("1995-03-15").toEpochDay
+    assert(d1 == Seq(graft.log.ColRange("d",
+      Some(Bound.Num(BigDecimal(days))), Some(Bound.Num(BigDecimal(days))))))
+    val d2 = GwRuntimeFilterTranslation.toRanges(
+      sources.GreaterThan("d", java.sql.Date.valueOf("1995-03-15")))
+    assert(d2.size == 1 && d2.head.lower.contains(Bound.Num(BigDecimal(days))) &&
+      d2.head.upper.isEmpty && d2.head.minStatsVersion == 0)
+    // micros encoding; timestamp constraints trust only v2 (micros) stats
+    val inst = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val t1 = GwRuntimeFilterTranslation.toRanges(sources.EqualTo("t", inst))
+    assert(t1.size == 1 && t1.head.minStatsVersion == 2 &&
+      t1.head.lower.contains(Bound.Num(BigDecimal(inst.getEpochSecond * 1000000L))))
+    val t2 = GwRuntimeFilterTranslation.toRanges(sources.LessThan("t",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    assert(t2.size == 1 && t2.head.minStatsVersion == 2 &&
+      t2.head.upper.exists(_.isInstanceOf[Bound.Num]))
+    // IN over dates keeps the per-member set and the [min, max] envelope
+    val din = GwRuntimeFilterTranslation.toRanges(sources.In("d",
+      Array[Any](java.sql.Date.valueOf("1995-03-17"), java.sql.Date.valueOf("1995-03-15"))))
+    assert(din.size == 1 && din.head.anyOf.size == 2 &&
+      din.head.lower.contains(Bound.Num(BigDecimal(days))))
+  }
+
+  test("broadcast join on a DATE key runtime-prunes the fact files") {
+    val loc = Files.createTempDirectory("dfp-date").resolve("orders").toString
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    o.repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions("o_orderdate")
+      .write.format("gwdelta").save(loc)
+    val total = GwTable.forPath(spark, loc).snapshot().files.size
+    assert(total >= 6, s"expected >= 6 date-range files, got $total")
+    // selective dim side: only the earliest dates — the most common star
+    // schema shape (fact JOIN date_dim ON date_key)
+    val dim = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderdate").as("dd")).distinct()
+      .filter(col("dd") < lit("1993-01-01").cast("date"))
+    val fact = spark.read.format("gwdelta").load(loc)
+    val joined = fact.join(dim, fact("o_orderdate") === dim("dd"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sp"))
+    val got = joined.head()
+    val expected = o.join(
+        o.select(col("o_orderdate").as("dd")).distinct()
+          .filter(col("dd") < lit("1993-01-01").cast("date")),
+        col("o_orderdate") === col("dd"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sp"))
+      .head()
+    assert(got == expected, s"date-key runtime pruning changed results: $got vs $expected")
+    val scans = factScans(joined)
+    assert(scans.nonEmpty, "no runtime-filtering fact scan in the executed plan")
+    val (b, s) = scans.head
+    assert(b.runtimeFilters.nonEmpty,
+      "the planner must insert a dynamic-pruning filter on the date key")
+    assert(s.plannedFiles.size < total,
+      s"early-date keys must prune late-date files: planned " +
+        s"${s.plannedFiles.size} of $total")
+  }
+
+  test("filterAttributes declares only columns that can prune") {
+    import spark.implicits._
+    // stats restricted to k: a runtime filter on v could never drop a
+    // file, so v must NOT be declared (Spark would plan and execute a
+    // dead build-side key collection for it); b is a bloom column and
+    // stays filterable even though it harvests no min/max
+    val loc = Files.createTempDirectory("dfp-attrs").resolve("t").toString
+    graft.streaming.GwSink.append(
+      Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("k", "v", "b"),
+      loc, bootstrapProps = Map(
+        "graft.stats.columns" -> "k",
+        graft.log.Bloom.ColumnsProp -> "b"))
+    val df = spark.read.format("gwdelta").load(loc).filter(col("k") > 0)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case bs: BatchScanExec => bs.scan
+    }.flatMap {
+      case s: GwRuntimeFilteringScan => Some(s)
+      case w: org.apache.spark.sql.graftbridge.GwDeltaScan =>
+        w.innerScan match {
+          case s: GwRuntimeFilteringScan => Some(s)
+          case _ => None
+        }
+      case _ => None
+    }
+    assert(scan.isDefined, "expected a runtime-filtering scan")
+    val attrs = scan.get.filterAttributes().map(_.describe()).toSet
+    assert(attrs.contains("k"), s"stats column must be filterable: $attrs")
+    assert(attrs.contains("b"), s"bloom column must be filterable: $attrs")
+    assert(!attrs.contains("v"),
+      s"a column with no stats, bloom, or partition role must not be declared: $attrs")
+    // unrestricted tables keep every atomic output column filterable
+    val loc2 = Files.createTempDirectory("dfp-attrs2").resolve("t").toString
+    Seq((1L, "x")).toDF("k", "v").write.format("gwdelta").save(loc2)
+    val df2 = spark.read.format("gwdelta").load(loc2)
+    df2.collect()
+    val scan2 = df2.queryExecution.executedPlan.collectFirst {
+      case bs: BatchScanExec => bs.scan
+    }.flatMap {
+      case s: GwRuntimeFilteringScan => Some(s)
+      case w: org.apache.spark.sql.graftbridge.GwDeltaScan =>
+        w.innerScan match {
+          case s: GwRuntimeFilteringScan => Some(s)
+          case _ => None
+        }
+      case _ => None
+    }
+    assert(scan2.exists(_.filterAttributes().map(_.describe()).toSet == Set("k", "v")))
   }
 }
