@@ -349,6 +349,100 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     written.sum
   }
 
+  /**
+   * `ANALYZE TABLE t COMPUTE DELTA STATISTICS` parity: METADATA-ONLY
+   * stats backfill for live files whose harvested stats predate the
+   * table's current stats declaration — files committed before
+   * `graft.stats.columns` was set (or adopted via CONVERT/index paths
+   * with stats off, or carrying pre-micros v1 stats) keep their old
+   * stats forever otherwise, so declaring skipping columns on an
+   * existing 100 TB table would buy nothing until every file was
+   * rewritten. This re-reads ONLY parquet footers (distributed, one
+   * footer per target file — no data rewrite, no row movement) and
+   * re-asserts the AddFiles with fresh stats in one `dataChange = false`
+   * commit.
+   *
+   * A file is a target when it has no stats JSON, pre-v2 (raw-millis
+   * timestamp) stats, or has never harvested one of the
+   * currently-declared atomic columns; `allFiles = true` re-harvests
+   * every live file regardless (Delta's ANALYZE semantics).
+   *
+   * Concurrency: the commit is OCC-checked and REBASED — each target's
+   * CURRENT AddFile (fresh snapshot at commit time) receives the new
+   * stats, so a concurrent MOR DELETE's deletion vector or row-tracking
+   * metadata is never clobbered by this command's older view, and
+   * targets removed mid-flight simply drop out. Returns the number of
+   * files whose stats were refreshed.
+   */
+  def computeStats(allFiles: Boolean = false): Int = {
+    val snap = snapshot()
+    val tableConf = snap.metadata.map(_.configuration).getOrElse(Map.empty)
+    if (snap.metadata.exists(_.schemaString
+        .contains(graft.log.ColumnMapping.PhysicalNameKey)))
+      throw new UnsupportedOperationException(
+        "COMPUTE STATISTICS on a column-mapped table is not supported " +
+          "(footer stats are keyed by physical names)")
+    val statsCols = graft.streaming.GwSink.statsColumnFilter(tableConf, snap.schema)
+    // the columns a complete harvest would cover: declared ∩ atomic
+    // top-level schema fields (nested/array columns never carry
+    // single-chunk footer stats and must not flag files forever)
+    val want: Set[String] = {
+      val atomic = snap.schema.fields.collect {
+        case f if org.apache.spark.sql.graftbridge
+          .GwRuntimeFilterTranslation.atomic(f.dataType) => f.name.toLowerCase
+      }.toSet
+      statsCols.map(_.intersect(atomic)).getOrElse(atomic)
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def needs(f: AddFile): Boolean = f.stats match {
+      case None => true
+      case Some(s) => scala.util.Try {
+        val root = mapper.readTree(s)
+        root.path("gwStatsV").asInt(0) < 2 || {
+          val have = scala.jdk.CollectionConverters
+            .IteratorHasAsScala(root.path("nullCount").fieldNames())
+            .asScala.map(_.toLowerCase).toSet
+          !want.subsetOf(have)
+        }
+      }.getOrElse(true)
+    }
+    val targets = if (allFiles) snap.files else snap.files.filter(needs)
+    if (targets.isEmpty) return 0
+    // distributed footer re-harvest: executors read footers only and ship
+    // one small JSON string per file back — metadata scale by design
+    val sconf = new graft.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val paths = targets.map(_.path)
+    val par = math.max(1, math.min(paths.size,
+      spark.sparkContext.defaultParallelism))
+    val harvested: Map[String, String] = spark.sparkContext
+      .parallelize(paths, par)
+      .mapPartitions { it =>
+        it.flatMap(p => graft.sources.SchemaProbe
+          .readStats(sconf.value, p, statsCols).map(p -> _))
+      }.collect().toMap
+    if (harvested.isEmpty) return 0
+    val now = System.currentTimeMillis()
+    var refreshed = 0
+    try graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+      val fresh = gwLog.snapshot(None)
+      graft.log.Occ.checkTableState(tablePath.toString, snap, fresh)
+      val liveNow = fresh.files.map(f => f.path -> f).toMap
+      // rebase onto the files as they are NOW: stats derive from the
+      // immutable file bytes, so they graft onto whatever DV/row-tracking
+      // state the current AddFile carries
+      val adds: Seq[Action] = harvested.keys.toSeq.sorted.flatMap(p =>
+        liveNow.get(p).map(cur =>
+          cur.copy(stats = Some(harvested(p)), dataChange = false)))
+      refreshed = adds.size
+      if (adds.isEmpty) throw new GwTable.NothingToCommit
+      adds :+ CommitInfo(now, "COMPUTE STATISTICS", "Analyze",
+        numFiles = adds.size, numOutputBytes = 0, isBlindAppend = false,
+        txnId = java.util.UUID.randomUUID().toString)
+    } catch { case _: GwTable.NothingToCommit => return 0 }
+    refreshed
+  }
+
   def vacuumDryRun(retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
     vacuumImpl(retentionMs, dryRun = true)
 
@@ -2444,6 +2538,10 @@ object GwTable {
     * the sweep ships to executors. Package-visible so tests can pin both
     * paths. */
   private[graft] val VacuumDistributeMin = 256
+
+  /** Control-flow sentinel: a rebase left nothing to commit (all backfill
+    * targets were concurrently removed) — abort the commit, return 0. */
+  private[graft] final class NothingToCommit extends RuntimeException
 
   /** Delete (or dry-run probe) `paths`, returning the ones that existed
     * and were affected. Driver loop below [[VacuumDistributeMin]]; a

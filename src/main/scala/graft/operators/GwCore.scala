@@ -2887,6 +2887,65 @@ object GwCore {
       .select("o_orderkey", "o_custkey", "o_orderpriority")
   }
 
+  /** gw70: metadata-only STATS BACKFILL (`ANALYZE TABLE ... COMPUTE
+    * DELTA STATISTICS`, Delta parity) — the missing half of gw69: files
+    * committed BEFORE a stats declaration (or adopted via CONVERT /
+    * index paths with stats off) keep their old stats forever, so
+    * declaring skipping columns on an existing 100 TB table buys nothing
+    * until every file is rewritten — unless stats can be re-harvested
+    * from footers alone. In-gate pins: no pruning before the backfill
+    * (with or without the declaration), the backfill refreshes every
+    * live file WITHOUT any data rewrite (identical paths + sizes), the
+    * selective filter then plans strictly fewer files, and a second
+    * ANALYZE is a no-op (0 refreshed). */
+  def gw70StatsBackfill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw70")
+    val loc = tmp.resolve("db/orders").toString
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"),
+        col("o_orderpriority"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    // adopted with NO per-column stats (numIndexedCols = 0): the shape a
+    // CONVERTed or reference-indexed (withStats off) table arrives in
+    graft.streaming.GwSink.append(o, loc,
+      bootstrapProps = Map("graft.stats.numIndexedCols" -> "0"))
+    val t = GwTable.forPath(spark, loc)
+    val total = t.snapshot().files.size
+    require(total >= 3, s"expected >= 3 range files, got $total")
+    def planned(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          org.apache.spark.sql.graftbridge.GwScanPeel.peel(b.scan)
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
+      }.head
+    require(planned(t.toDF.filter(col("o_orderkey") < 100)) == total,
+      "no per-column stats yet: every file must plan")
+    // declaring the columns is NOT enough — existing files keep old stats
+    t.updateProperties(Map("graft.stats.columns" -> "o_orderkey"),
+      unset = Seq("graft.stats.numIndexedCols"))
+    require(planned(t.toDF.filter(col("o_orderkey") < 100)) == total,
+      "declaration alone must not change pre-existing files' stats")
+    val before = t.snapshot().files.map(f => (f.path, f.size)).sortBy(_._1)
+    val res = spark.sql(s"ANALYZE TABLE '$loc' COMPUTE DELTA STATISTICS").head()
+    require(res.getInt(1) == total,
+      s"backfill must refresh all $total stat-less files, got ${res.getInt(1)}")
+    val after = t.snapshot()
+    require(after.files.map(f => (f.path, f.size)).sortBy(_._1) == before,
+      "ANALYZE is metadata-only: identical file paths and sizes")
+    after.files.foreach(f => require(
+      f.stats.exists(s => s.contains("\"o_orderkey\"") && !s.contains("o_custkey")),
+      s"backfilled stats must carry exactly the declared column: ${f.stats}"))
+    require(planned(t.toDF.filter(col("o_orderkey") < 100)) < total,
+      "backfilled stats must file-prune the selective filter")
+    require(t.computeStats() == 0, "a second ANALYZE must be a no-op")
+    t.toDF.filter(col("o_custkey") % 7 === 0)
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+  }
+
   /** gw67: dynamic FILE pruning — the fact side of a broadcast join is a
     * gwdelta table with range-disjoint files on the join key; Spark's
     * runtime-filtering planner delivers the (selective) dim side's key
@@ -3033,6 +3092,7 @@ object GwCore {
     "gw67_dynamic_file_pruning" -> gw67DynamicFilePruning _,
     "gw68_dynamic_overwrite" -> gw68DynamicOverwrite _,
     "gw69_stats_columns" -> gw69StatsColumns _,
+    "gw70_stats_backfill" -> gw70StatsBackfill _,
     "gw60_version_checksum" -> gw60VersionChecksum _,
     "gw61_domain_metadata" -> gw61DomainMetadata _,
   )
@@ -3378,6 +3438,13 @@ object GwCore {
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  CAST(o_custkey AS BIGINT) AS o_custkey, o_orderpriority
         |FROM orders WHERE o_custkey % 10 = 0""".stripMargin,
+    // gw70: content unchanged through the metadata-only stats backfill;
+    // the no-rewrite/pruning/idempotence invariants are require()-pinned
+    // in-gate
+    "gw70_stats_backfill" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(o_custkey AS BIGINT) AS o_custkey, o_orderpriority
+        |FROM orders WHERE o_custkey % 7 = 0""".stripMargin,
     // gw68: nation after region 2's dynamic restatement; file-level
     // untouched/replaced invariants are require()-pinned in-gate
     "gw68_dynamic_overwrite" ->

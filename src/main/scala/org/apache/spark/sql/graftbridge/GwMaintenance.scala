@@ -93,6 +93,11 @@ object GwMaintenance {
   private val Generate =
     ("""(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+""" +
       TableRef + """\s*;?\s*$""").r
+  // ONLY the DELTA spelling is ours — plain `ANALYZE TABLE ... COMPUTE
+  // STATISTICS` stays Spark's own catalog-statistics statement
+  private val Analyze =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+""" + TableRef +
+      """\s+COMPUTE\s+DELTA\s+STATISTICS(\s+FOR\s+ALL\s+FILES)?\s*;?\s*$""").r
 
   /** Maintenance statement -> command plan; None = not ours. */
   def parse(sql: String): Option[LogicalPlan] = sql match {
@@ -111,6 +116,7 @@ object GwMaintenance {
     case DropFeature(ref, feat, trunc) =>
       Some(GwDropFeatureCommand(ref, feat, trunc != null))
     case Generate(ref) => Some(GwGenerateCommand(ref))
+    case Analyze(ref, allFiles) => Some(GwAnalyzeCommand(ref, allFiles != null))
     case Convert(path) =>
       Some(GwConvertCommand(path.substring(1, path.length - 1)))
     case Clone(target, mode, source, v, loc) =>
@@ -233,6 +239,21 @@ case class GwDropFeatureCommand(ref: String, feature: String,
     val v = graft.GwTable.forPath(spark, path)
       .dropFeature(feature, truncateHistory)
     Seq(Row(path, feature, v))
+  }
+}
+
+/** `ANALYZE TABLE t COMPUTE DELTA STATISTICS [FOR ALL FILES]`: the
+  * metadata-only stats backfill ([[graft.GwTable.computeStats]]) — fresh
+  * footer stats for live files missing the currently-declared columns
+  * (or every live file with FOR ALL FILES), no data rewrite. */
+case class GwAnalyzeCommand(ref: String, allFiles: Boolean)
+    extends GwMaintenanceCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("files_refreshed", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GwMaintenance.resolvePath(spark, ref)
+    Seq(Row(path, graft.GwTable.forPath(spark, path).computeStats(allFiles)))
   }
 }
 

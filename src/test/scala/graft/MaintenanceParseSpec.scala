@@ -97,6 +97,20 @@ class MaintenanceParseSpec extends AnyFunSuite {
     assert(p("DESC DETAIL 't'").exists(_.isInstanceOf[GwDescribeDetailCommand]))
   }
 
+  test("ANALYZE forms: DELTA spelling is ours, Spark's own ANALYZE is not") {
+    assert(p("ANALYZE TABLE t COMPUTE DELTA STATISTICS").exists {
+      case a: GwAnalyzeCommand => a.ref == "t" && !a.allFiles
+      case _ => false
+    })
+    assert(p("analyze table 'a/path' compute delta statistics for all files;").exists {
+      case a: GwAnalyzeCommand => a.ref == "'a/path'" && a.allFiles
+      case _ => false
+    })
+    // plain COMPUTE STATISTICS stays Spark's catalog-statistics statement
+    assert(p("ANALYZE TABLE t COMPUTE STATISTICS").isEmpty)
+    assert(p("ANALYZE TABLE t COMPUTE STATISTICS FOR ALL COLUMNS").isEmpty)
+  }
+
   test("everything else falls through to the delegate parser") {
     assert(p("SELECT * FROM t").isEmpty)
     assert(p("CREATE TABLE a (x INT) USING gwdelta").isEmpty)
