@@ -89,24 +89,36 @@ object GwSink {
   }
 
 
-  /** Per-table stats-column control: `graft.stats.columns` (comma list)
-    * declares exactly which columns harvest min/max/nullCount;
-    * `graft.stats.numIndexedCols` (Delta `dataSkippingNumIndexedCols`
-    * parity) takes the schema's FIRST n columns instead. Absent both,
-    * every eligible column harvests (None). At 100 TB width this is the
-    * knob that keeps the log's stats JSON proportional to the columns
-    * queries actually filter on. */
+  /** Per-table stats-column control: `graft.stats.columns` (comma list,
+    * Delta `delta.dataSkippingStatsColumns` also accepted) declares
+    * exactly which columns harvest min/max/nullCount;
+    * `graft.stats.numIndexedCols` (Delta
+    * `delta.dataSkippingNumIndexedCols` also accepted) takes the
+    * schema's FIRST n TOP-LEVEL fields instead — the count is over
+    * top-level fields, not leaf columns (the harvest records stats for
+    * top-level primitives only, so leaf-counting would buy nothing and
+    * surprise on nested schemas). The explicit column list wins when
+    * both spellings of both knobs appear, and the `graft.` spelling of
+    * each knob wins over the `delta.` one. Absent all, every eligible
+    * column harvests (None). At 100 TB width this is the knob that
+    * keeps the log's stats JSON proportional to the columns queries
+    * actually filter on. */
   def statsColumnFilter(config: Map[String, String],
-      schema: org.apache.spark.sql.types.StructType): Option[Set[String]] =
-    config.get("graft.stats.columns") match {
+      schema: org.apache.spark.sql.types.StructType): Option[Set[String]] = {
+    def first(keys: String*): Option[String] =
+      keys.flatMap(config.get).headOption
+    first("graft.stats.columns", "delta.dataSkippingStatsColumns") match {
       case Some(cols) =>
         Some(cols.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
-      case None => config.get("graft.stats.numIndexedCols").map { n =>
-        val k = n.trim.toInt
-        require(k >= 0, s"graft.stats.numIndexedCols must be >= 0: $n")
-        schema.fieldNames.take(k).map(_.toLowerCase).toSet
-      }
+      case None =>
+        first("graft.stats.numIndexedCols",
+          "delta.dataSkippingNumIndexedCols").map { n =>
+          val k = n.trim.toInt
+          require(k >= 0, s"stats numIndexedCols must be >= 0: $n")
+          schema.fieldNames.take(k).map(_.toLowerCase).toSet
+        }
     }
+  }
 
   /** Optimized writes (Delta `autoOptimize.optimizeWrite` parity): with
     * the `graft.autoOptimize.optimizeWrite = true` table property (or the

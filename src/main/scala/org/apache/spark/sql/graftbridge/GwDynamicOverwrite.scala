@@ -23,7 +23,7 @@ class GwDynamicOverwriteStrategy(session: SparkSession)
       case r: DataSourceV2Relation if r.table.isInstanceOf[GwDeltaTable] =>
         val t = r.table.asInstanceOf[GwDeltaTable]
         GwDynamicOverwriteExec(t.tablePath,
-          t.schema().fieldNames.toSeq, o.query) :: Nil
+          t.schema().fieldNames.toSeq, o.query, o.writeOptions) :: Nil
       case _ => Nil
     }
     case _ => Nil
@@ -34,15 +34,30 @@ class GwDynamicOverwriteStrategy(session: SparkSession)
   * query as a DataFrame and lands it through the engine's dynamic
   * overwrite. Output columns rename positionally to the table's schema —
   * the analyzer has already checked compatibility, but the sink's strict
-  * schema check compares NAMES. */
+  * schema check compares NAMES. The statement's write options thread
+  * through with the V1 path's spellings: `txnAppId`+`txnVersion`
+  * (idempotent writes) and `userMetadata` (commit audit string). */
 case class GwDynamicOverwriteExec(
     tablePath: String,
     tableColumns: Seq[String],
-    query: LogicalPlan) extends V2CommandExec with LeafExecNode {
+    query: LogicalPlan,
+    writeOptions: Map[String, String] = Map.empty) extends V2CommandExec with LeafExecNode {
   override def output: Seq[Attribute] = Nil
   override def run(): Seq[InternalRow] = {
     val df = Bridge.ofRows(session, query).toDF(tableColumns: _*)
-    graft.streaming.GwSink.overwrite(df, tablePath, dynamicPartitions = true)
+    val txnId = (writeOptions.get("txnAppId"), writeOptions.get("txnVersion")) match {
+      case (Some(app), Some(v)) =>
+        require(!app.contains("/"), s"txnAppId must not contain '/': $app")
+        val ver = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"txnVersion must be a long, got '$v'"))
+        Some(s"$app/$ver")
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "txnAppId and txnVersion must be set together")
+    }
+    graft.streaming.GwSink.overwrite(df, tablePath, txnId = txnId,
+      userMetadata = writeOptions.get("userMetadata").filter(_.nonEmpty),
+      dynamicPartitions = true)
     Nil
   }
 }

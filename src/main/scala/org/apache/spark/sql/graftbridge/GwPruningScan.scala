@@ -69,15 +69,19 @@ class GwDeltaTable(
       caps.add(TableCapability.V1_BATCH_WRITE)
       caps.add(TableCapability.TRUNCATE)
       caps.add(TableCapability.STREAMING_WRITE)
-      if (v2BatchWrite) {
+      if (v2BatchWrite && GwDeltaTable.dynamicOverwriteStrategyInstalled) {
         // partitionOverwriteMode=dynamic INSERT OVERWRITE — planned by
         // GwDynamicOverwriteStrategy into the sink's dynamic overwrite.
         // The capability check for dynamic requires strict BATCH_WRITE
-        // (no V1 fallback clause); declaring it is safe here because
-        // physical dispatch keys on the built Write's type (ours stay
-        // V1Write) and the injected strategy intercepts
-        // OverwritePartitionsDynamic before the built-in strategy would
-        // try V1Write.toBatch
+        // (no V1 fallback clause); declaring it is safe ONLY when the
+        // injected strategy is actually present to intercept
+        // OverwritePartitionsDynamic — physical dispatch keys on the
+        // built Write's type (ours stay V1Write), so a session with the
+        // catalog configured but WITHOUT GraftExtensions would otherwise
+        // pass analysis and then die at runtime in V1Write.toBatch
+        // inside Spark's OverwritePartitionsDynamicExec. Guarded, such a
+        // session fails analysis with the capability's clear
+        // "does not support dynamic overwrite" instead.
         caps.add(TableCapability.BATCH_WRITE)
         caps.add(TableCapability.OVERWRITE_DYNAMIC)
       }
@@ -163,6 +167,17 @@ class GwDeltaTable(
     graft.GwTable.forPath(spark, options.get("path")).truncate()
     true
   }
+}
+
+object GwDeltaTable {
+  /** Whether the active session's planner carries
+    * [[GwDynamicOverwriteStrategy]] (i.e. GraftExtensions is installed) —
+    * the OVERWRITE_DYNAMIC capability is only sound with the strategy
+    * present to plan the statement. */
+  private[graftbridge] def dynamicOverwriteStrategyInstalled: Boolean =
+    SparkSession.getActiveSession.exists(
+      _.sessionState.planner.strategies.exists(
+        _.isInstanceOf[GwDynamicOverwriteStrategy]))
 }
 
 /** Shared V1Write builders for gwdelta tables (live + pending); when the

@@ -81,6 +81,41 @@ class DmlSpec extends SparkSpec {
     assert(rows(t.versionAsOf(v - 1)) == rows(spark.read.parquet(s"$sf/nation.parquet")))
   }
 
+  test("dynamic partition overwrite threads writeOptions: txn replay + userMetadata") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dynopts").resolve("t").toString
+    Seq((1L, "a", 0L), (2L, "b", 1L)).toDF("k", "v", "p")
+      .write.format("gwdelta").partitionBy("p").save(dir)
+    val ns = s"dml${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    spark.sql(s"CREATE TABLE gw.$ns.t USING gwdelta LOCATION '$dir'")
+    val t = GwTable.forPath(spark, dir)
+    val v0 = t.snapshot().version
+    def overwriteP1(): Unit =
+      Seq((9L, "z", 1L)).toDF("k", "v", "p")
+        .writeTo(s"gw.$ns.t")
+        .option("txnAppId", "dynow").option("txnVersion", "1")
+        .option("userMetadata", "audit-dyn-1")
+        .overwritePartitions()
+    overwriteP1()
+    val v1 = t.snapshot().version
+    assert(v1 == v0 + 1)
+    // only partition p=1 was restated
+    assert(t.toDF.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 0L), (9L, "z", 1L)))
+    // the audit string landed on the commit
+    val ci = t.log.readVersion(v1).collectFirst {
+      case c: graft.log.CommitInfo => c }.get
+    assert(ci.userMetadata.contains("audit-dyn-1"),
+      s"userMetadata must thread through the dynamic overwrite: $ci")
+    // identical (app, version) txn: the replayed statement commits NOTHING
+    overwriteP1()
+    assert(t.snapshot().version == v1,
+      "a replayed txnAppId/txnVersion dynamic overwrite must be a no-op")
+  }
+
   test("SQL DELETE FROM + TRUNCATE TABLE through the catalog") {
     graft.operators.GwCore.ensureGwCatalog(spark)
     val (dir, t) = twoRangeTable()

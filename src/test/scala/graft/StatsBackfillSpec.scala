@@ -57,6 +57,26 @@ class StatsBackfillSpec extends SparkSpec {
       "FOR ALL FILES must refresh everything regardless of need")
   }
 
+  test("statsColumnFilter accepts the delta.* spellings; graft.* wins") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", LongType)))
+    val f = graft.streaming.GwSink.statsColumnFilter _
+    assert(f(Map("delta.dataSkippingStatsColumns" -> "a, c"), schema)
+      .contains(Set("a", "c")))
+    assert(f(Map("delta.dataSkippingNumIndexedCols" -> "2"), schema)
+      .contains(Set("a", "b")))
+    // graft spelling wins over delta; the explicit list wins over counts
+    assert(f(Map("graft.stats.columns" -> "b",
+      "delta.dataSkippingStatsColumns" -> "a"), schema).contains(Set("b")))
+    assert(f(Map("graft.stats.numIndexedCols" -> "1",
+      "delta.dataSkippingNumIndexedCols" -> "3"), schema).contains(Set("a")))
+    assert(f(Map("delta.dataSkippingStatsColumns" -> "c",
+      "delta.dataSkippingNumIndexedCols" -> "3"), schema).contains(Set("c")))
+    assert(f(Map.empty, schema).isEmpty, "absent all: harvest everything")
+  }
+
   test("a column-mapped table refuses with a typed message") {
     val loc = Files.createTempDirectory("backfillmap").resolve("t").toString
     spark.read.parquet(s"$sf/nation.parquet").write.format("gwdelta").save(loc)
