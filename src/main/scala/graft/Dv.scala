@@ -230,11 +230,12 @@ object Dv {
   /** Physical row count of a file from its harvested stats, if recorded —
     * lets a DV that covers every row upgrade to a plain remove. */
   def numRecords(f: AddFile): Option[Long] =
-    f.stats.flatMap { s =>
-      scala.util.Try {
-        val n = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(s).path("numRecords")
-        if (n.isNumber) Some(n.asLong) else None
-      }.toOption.flatten
-    }
+    f.parsedStats.map(_.numRecords).getOrElse(
+      f.stats.flatMap { s =>
+        scala.util.Try {
+          val n = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(s).path("numRecords")
+          if (n.isNumber) Some(n.asLong) else None
+        }.toOption.flatten
+      })
 }

@@ -118,7 +118,27 @@ final case class AddFile(
     // (DV growth, RESTORE) carry both through `copy`, so a file's ids are
     // stable for as long as the file itself lives.
     baseRowId: Option[Long] = None,
-    defaultRowCommitVersion: Option[Long] = None) extends Action
+    defaultRowCommitVersion: Option[Long] = None) extends Action {
+  /** Typed stats decoded from a checkpoint's `statsParsed` struct (Delta
+    * `writeStatsAsStruct` parity) — populated by [[Checkpoint.read]] ONLY,
+    * never serialized, never part of equality/`copy` (it is a read-side
+    * cache: absent, the consumers parse the `stats` JSON as always). At
+    * 10 M files this is what lets a snapshot loaded from a checkpoint
+    * prune without one JSON parse per file. */
+  @transient private[graft] var parsedStats: Option[ParsedStats] = None
+}
+
+/** Pre-parsed per-file stats, the typed twin of `AddFile.stats` JSON:
+  * bounds carry the SAME `Bound` kinds pruning uses, with numeric values
+  * preserved as exact decimal text at the parquet layer so the struct
+  * path replays the JSON path bit-for-bit (a float64 re-encoding would
+  * diverge on values like 0.1 and flip boundary prunes). */
+final case class ParsedStats(
+    numRecords: Option[Long],
+    gwStatsV: Int,
+    minValues: Map[String, Bound],
+    maxValues: Map[String, Bound],
+    nullCount: Map[String, Long])
 
 final case class RemoveFile(
     path: String,

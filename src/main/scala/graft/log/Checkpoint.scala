@@ -76,6 +76,34 @@ object Checkpoint {
       |    optional int64 baseRowId;
       |    optional int64 defaultRowCommitVersion;
       |    optional binary stats (UTF8);
+      |    optional group statsParsed {
+      |      optional int64 numRecords;
+      |      optional int32 gwStatsV;
+      |      optional group minValues (MAP) {
+      |        repeated group key_value {
+      |          required binary key (UTF8);
+      |          optional group value {
+      |            optional binary num (UTF8);
+      |            optional binary str (UTF8);
+      |          }
+      |        }
+      |      }
+      |      optional group maxValues (MAP) {
+      |        repeated group key_value {
+      |          required binary key (UTF8);
+      |          optional group value {
+      |            optional binary num (UTF8);
+      |            optional binary str (UTF8);
+      |          }
+      |        }
+      |      }
+      |      optional group nullCount (MAP) {
+      |        repeated group key_value {
+      |          required binary key (UTF8);
+      |          optional int64 value;
+      |        }
+      |      }
+      |    }
       |    optional group deletionVector {
       |      optional binary storageType (UTF8);
       |      optional binary pathOrInlineDv (UTF8);
@@ -137,6 +165,97 @@ object Checkpoint {
       }.toMap
     }
 
+  private val statsMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Stats JSON -> `statsParsed` group. Numbers travel as their exact
+    * JSON text; booleans are skipped (the pruning JSON path skips them
+    * too); malformed JSON writes nothing. */
+  private def writeParsedStats(add: Group, statsJson: String): Unit =
+    scala.util.Try {
+      val root = statsMapper.readTree(statsJson)
+      val g = add.addGroup("statsParsed")
+      val nr = root.path("numRecords")
+      if (nr.isNumber) g.append("numRecords", nr.asLong())
+      g.append("gwStatsV", root.path("gwStatsV").asInt(0))
+      def putBounds(field: String): Unit = {
+        val node = root.path(field)
+        if (node.isObject) {
+          val m = g.addGroup(field)
+          val it = node.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.isNumber || e.getValue.isTextual) {
+              val kv = m.addGroup("key_value")
+              kv.append("key", e.getKey)
+              val v = kv.addGroup("value")
+              if (e.getValue.isNumber) v.append("num", e.getValue.asText())
+              else v.append("str", e.getValue.asText())
+            }
+          }
+        }
+      }
+      putBounds("minValues")
+      putBounds("maxValues")
+      val nc = root.path("nullCount")
+      if (nc.isObject) {
+        val m = g.addGroup("nullCount")
+        val it = nc.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isNumber) {
+            val kv = m.addGroup("key_value")
+            kv.append("key", e.getKey)
+            kv.append("value", e.getValue.asLong())
+          }
+        }
+      }
+    }.getOrElse(())
+
+  /** `statsParsed` group -> [[ParsedStats]], the typed twin pruning
+    * prefers over re-parsing the JSON. */
+  private def readParsedStats(add: Group): Option[ParsedStats] =
+    if (add.getFieldRepetitionCount("statsParsed") == 0) None
+    else scala.util.Try {
+      val g = add.getGroup("statsParsed", 0)
+      def bounds(field: String): Map[String, Bound] =
+        if (g.getFieldRepetitionCount(field) == 0) Map.empty
+        else {
+          val m = g.getGroup(field, 0)
+          (0 until m.getFieldRepetitionCount("key_value")).flatMap { i =>
+            val kv = m.getGroup("key_value", i)
+            val v = kv.getGroup("value", 0)
+            val b: Option[Bound] =
+              if (v.getFieldRepetitionCount("num") > 0)
+                Some(Bound.Num(BigDecimal(v.getString("num", 0))))
+              else if (v.getFieldRepetitionCount("str") > 0)
+                Some(Bound.Str(v.getString("str", 0)))
+              else None
+            b.map(kv.getString("key", 0) -> _)
+          }.toMap
+        }
+      val nulls: Map[String, Long] =
+        if (g.getFieldRepetitionCount("nullCount") == 0) Map.empty
+        else {
+          val m = g.getGroup("nullCount", 0)
+          (0 until m.getFieldRepetitionCount("key_value")).map { i =>
+            val kv = m.getGroup("key_value", i)
+            kv.getString("key", 0) -> kv.getLong("value", 0)
+          }.toMap
+        }
+      ParsedStats(
+        numRecords =
+          if (g.getFieldRepetitionCount("numRecords") > 0)
+            Some(g.getLong("numRecords", 0))
+          else None,
+        gwStatsV =
+          if (g.getFieldRepetitionCount("gwStatsV") > 0)
+            g.getInteger("gwStatsV", 0)
+          else 0,
+        minValues = bounds("minValues"),
+        maxValues = bounds("maxValues"),
+        nullCount = nulls)
+    }.toOption
+
   /** Write snapshot-state actions (protocol / metadata / adds) to `target`. */
   def write(target: Path, conf: Configuration, actions: Seq[Action]): Unit = {
     val writer = ExampleParquetWriter.builder(target)
@@ -177,7 +296,16 @@ object Checkpoint {
           a.baseRowId.foreach(b => g.append("baseRowId", b))
           a.defaultRowCommitVersion.foreach(v =>
             g.append("defaultRowCommitVersion", v))
-          a.stats.foreach(s => g.append("stats", s))
+          a.stats.foreach { s =>
+            g.append("stats", s)
+            // Delta writeStatsAsStruct parity: the SAME stats, pre-parsed
+            // into a typed struct, so a snapshot served from this
+            // checkpoint prunes without one JSON parse per file. Values
+            // ride as exact decimal TEXT (see [[ParsedStats]]) — a parse
+            // failure just skips the struct, the JSON column stays
+            // authoritative for replay/goldens either way.
+            writeParsedStats(g, s)
+          }
           a.dv.foreach { d =>
             val dg = g.addGroup("deletionVector")
             dg.append("storageType", d.storageType)
@@ -256,7 +384,7 @@ object Checkpoint {
             createdTime = g.getLong("createdTime", 0))
         } else if (row.getFieldRepetitionCount("add") > 0) {
           val g = row.getGroup("add", 0)
-          out += AddFile(
+          val add = AddFile(
             path = g.getString("path", 0),
             size = g.getLong("size", 0),
             modificationTime = g.getLong("modificationTime", 0),
@@ -286,6 +414,8 @@ object Checkpoint {
                   sizeInBytes = dg.getInteger("sizeInBytes", 0),
                   cardinality = dg.getLong("cardinality", 0)))
               } else None)
+          add.parsedStats = readParsedStats(g)
+          out += add
         } else if (row.getFieldRepetitionCount("remove") > 0) {
           val g = row.getGroup("remove", 0)
           out += RemoveFile(

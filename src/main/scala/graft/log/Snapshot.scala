@@ -259,11 +259,13 @@ final case class ColRange(
 object Snapshot {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Stats-encoding version of a file's harvested stats (0 = pre-marker). */
+  /** Stats-encoding version of a file's harvested stats (0 = pre-marker).
+    * Served from the checkpoint's pre-parsed struct when present. */
   private[log] def statsVersion(f: AddFile): Int =
-    f.stats.flatMap { s =>
-      scala.util.Try(mapper.readTree(s).path("gwStatsV").asInt(0)).toOption
-    }.getOrElse(0)
+    f.parsedStats.map(_.gwStatsV).getOrElse(
+      f.stats.flatMap { s =>
+        scala.util.Try(mapper.readTree(s).path("gwStatsV").asInt(0)).toOption
+      }.getOrElse(0))
 
   /** Partition-directory token -> typed bound, by the column's schema type.
     * Tokens that cannot parse (or the hive null marker) yield None = the
@@ -294,33 +296,49 @@ object Snapshot {
     * log read and a full-table aggregation to recover a high-water mark. */
   def statsMaxMicros(snapshot: Snapshot, column: String): Option[Long] = {
     val maxes = snapshot.files.map { f =>
-      f.stats.flatMap { s =>
-        scala.util.Try {
-          val root = mapper.readTree(s)
-          val v = root.path("maxValues").path(column)
-          if (root.path("gwStatsV").asInt(0) >= 2 && v.isNumber)
-            Some(v.asLong()) else None
-        }.toOption.flatten
+      f.parsedStats match {
+        case Some(p) =>
+          if (p.gwStatsV >= 2)
+            p.maxValues.get(column).collect { case Bound.Num(v) => v.toLong }
+          else None
+        case None => f.stats.flatMap { s =>
+          scala.util.Try {
+            val root = mapper.readTree(s)
+            val v = root.path("maxValues").path(column)
+            if (root.path("gwStatsV").asInt(0) >= 2 && v.isNumber)
+              Some(v.asLong()) else None
+          }.toOption.flatten
+        }
       }
     }
     if (maxes.nonEmpty && maxes.forall(_.isDefined)) Some(maxes.flatten.max)
     else None
   }
 
-  /** Typed (min, max) of `column` from a file's stats JSON, if present. */
+  /** Typed (min, max) of `column` from a file's stats — the checkpoint's
+    * pre-parsed struct when present (no JSON work at all: the hot path
+    * for snapshots served from a checkpoint at millions of files), the
+    * stats JSON otherwise. */
   private[log] def statsBounds(f: AddFile, column: String): Option[(Bound, Bound)] =
-    f.stats.flatMap { s =>
-      scala.util.Try {
-        val root = mapper.readTree(s)
-        def bound(node: com.fasterxml.jackson.databind.JsonNode): Option[Bound] =
-          if (node.isNumber) Some(Bound.Num(BigDecimal(node.decimalValue())))
-          else if (node.isTextual) Some(Bound.Str(node.asText()))
-          else None
+    f.parsedStats match {
+      case Some(p) =>
         for {
-          mn <- bound(root.path("minValues").path(column))
-          mx <- bound(root.path("maxValues").path(column))
+          mn <- p.minValues.get(column)
+          mx <- p.maxValues.get(column)
         } yield (mn, mx)
-      }.toOption.flatten
+      case None => f.stats.flatMap { s =>
+        scala.util.Try {
+          val root = mapper.readTree(s)
+          def bound(node: com.fasterxml.jackson.databind.JsonNode): Option[Bound] =
+            if (node.isNumber) Some(Bound.Num(BigDecimal(node.decimalValue())))
+            else if (node.isTextual) Some(Bound.Str(node.asText()))
+            else None
+          for {
+            mn <- bound(root.path("minValues").path(column))
+            mx <- bound(root.path("maxValues").path(column))
+          } yield (mn, mx)
+        }.toOption.flatten
+      }
     }
 
   /** Fold per-version action batches (ordered by version) into a snapshot. */

@@ -178,6 +178,50 @@ class LogSpec extends AnyFunSuite {
     assert(Checkpoint.read(target, conf) == actions)
   }
 
+  test("checkpoint statsParsed: pruning is served from the struct, no JSON parse") {
+    val conf = new Configuration()
+    val dir = Files.createTempDirectory("gwlog-statsparsed")
+    val target = new org.apache.hadoop.fs.Path(dir.toString, "cp.parquet")
+    val statsJson =
+      """{"numRecords":7,"gwStatsV":2,
+        |"minValues":{"k":5,"s":"aa","d":0.1},
+        |"maxValues":{"k":50,"s":"zz","d":2.5},
+        |"nullCount":{"k":0,"s":1,"d":0}}""".stripMargin.replace("\n", "")
+    val add = AddFile("p.parquet", 10, 1000, stats = Some(statsJson))
+    Checkpoint.write(target, conf, Seq(add))
+    val Seq(back: AddFile) = Checkpoint.read(target, conf)
+    assert(back == add, "the JSON stats column round-trips unchanged")
+    val p = back.parsedStats.getOrElse(fail("statsParsed must be populated"))
+    assert(p.numRecords.contains(7L) && p.gwStatsV == 2)
+    // struct-borne bounds equal the JSON-parsed ones EXACTLY (decimal
+    // text encoding — 0.1 must not pass through a float64)
+    assert(p.minValues("k") == graft.log.Bound.Num(BigDecimal(5)))
+    assert(p.minValues("d") == graft.log.Bound.Num(BigDecimal("0.1")))
+    assert(p.maxValues("s") == graft.log.Bound.Str("zz"))
+    assert(p.nullCount == Map("k" -> 0L, "s" -> 1L, "d" -> 0L))
+    // the struct is AUTHORITATIVE: garbage in the JSON column cannot
+    // matter once parsedStats is attached — proves no JSON replay happens
+    val garbled = AddFile("p.parquet", 10, 1000, stats = Some("NOT JSON"))
+    garbled.parsedStats = back.parsedStats
+    val snap = Snapshot(0L, None, None, Seq(garbled))
+    assert(snap.filesForConstraints(Seq(
+      graft.log.ColRange("k", Some(Bound.Num(BigDecimal(60))), None, 2))).isEmpty,
+      "a constraint past the struct max must prune the file")
+    assert(snap.filesForConstraints(Seq(
+      graft.log.ColRange("k", Some(Bound.Num(BigDecimal(40))), None, 2))).size == 1,
+      "a constraint inside the struct range must keep the file")
+    // numRecords is served from the struct too (Dv.numRecords fallback)
+    assert(graft.Dv.numRecords(garbled).contains(7L))
+    // and statsMaxMicros: struct path, gwStatsV gate intact
+    assert(Snapshot.statsMaxMicros(snap, "k").contains(50L))
+    // without parsedStats, garbage JSON means no stats: file kept, no max
+    val bare = AddFile("p.parquet", 10, 1000, stats = Some("NOT JSON"))
+    val bareSnap = Snapshot(0L, None, None, Seq(bare))
+    assert(bareSnap.filesForConstraints(Seq(
+      graft.log.ColRange("k", Some(Bound.Num(BigDecimal(60))), None, 2))).size == 1)
+    assert(Snapshot.statsMaxMicros(bareSnap, "k").isEmpty)
+  }
+
   test("table-features protocol round-trips through JSON and checkpoint") {
     val p = Protocol(3, 7,
       Some(Seq("columnMapping", "deletionVectors")),
@@ -241,6 +285,21 @@ class LogSpec extends AnyFunSuite {
       "add.baseRowId" -> "INT64",
       "add.defaultRowCommitVersion" -> "INT64",
       "add.stats" -> "BINARY",
+      // statsParsed (Delta writeStatsAsStruct parity, engine-internal
+      // encoding): pre-parsed stats so checkpoint-served snapshots prune
+      // without per-file JSON parsing; bounds ride as exact decimal text
+      // (see ParsedStats) — foreign readers ignore the unknown column and
+      // keep reading the JSON `stats`
+      "add.statsParsed.numRecords" -> "INT64",
+      "add.statsParsed.gwStatsV" -> "INT32",
+      "add.statsParsed.minValues.key_value.key" -> "BINARY",
+      "add.statsParsed.minValues.key_value.value.num" -> "BINARY",
+      "add.statsParsed.minValues.key_value.value.str" -> "BINARY",
+      "add.statsParsed.maxValues.key_value.key" -> "BINARY",
+      "add.statsParsed.maxValues.key_value.value.num" -> "BINARY",
+      "add.statsParsed.maxValues.key_value.value.str" -> "BINARY",
+      "add.statsParsed.nullCount.key_value.key" -> "BINARY",
+      "add.statsParsed.nullCount.key_value.value" -> "INT64",
       "add.deletionVector.storageType" -> "BINARY",
       "add.deletionVector.pathOrInlineDv" -> "BINARY",
       "add.deletionVector.offset" -> "INT32",

@@ -252,17 +252,30 @@ class OperatorSpec extends AnyFunSuite {
     // every vector identical -> all n land in the SAME (band, bucket) for
     // every band: uncapped, that is n(n-1)/2 candidate pairs (the classic
     // LSH skew blowup); with the cap, at most cap members survive per
-    // bucket, so emitted pairs are bounded by cap(cap-1)/2
+    // bucket, so emitted pairs are bounded by bands * cap(cap-1)/2 — the
+    // rank hash is salted PER BAND (each band keeps a DIFFERENT cap-sized
+    // subset, so capping sheds per-band advertisements, never whole docs)
     val n = 200
     val cap = 16
+    val bands = 8 // cosineNearDupPairsAnn default
     val vec = Array.fill(64)(0.5f)
     val corpus = (0 until n).map(i => (i.toLong, vec)).toDF("vec_id", "embedding")
-    val capped = graft.api.Pipelines.cosineNearDupPairsAnn(
+    val cappedPairs = graft.api.Pipelines.cosineNearDupPairsAnn(
       corpus, col("vec_id"), col("embedding"),
-      threshold = 0.9, dim = 64, bucketCap = cap).count()
+      threshold = 0.9, dim = 64, bucketCap = cap)
+    val capped = cappedPairs.count()
     assert(capped > 0, "capped run must still emit pairs among kept members")
-    assert(capped <= cap.toLong * (cap - 1) / 2,
-      s"cap=$cap must bound pairs to ${cap * (cap - 1) / 2}, got $capped")
+    assert(capped <= bands.toLong * cap * (cap - 1) / 2,
+      s"cap=$cap over $bands bands must bound pairs to " +
+        s"${bands * cap * (cap - 1) / 2}, got $capped")
+    // the per-band salt's point: participation spreads past one band's
+    // cap-sized clique instead of freezing the same cap docs everywhere
+    val participants = cappedPairs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array(col("vec_a"), col("vec_b"))))
+      .distinct().count()
+    assert(participants > cap,
+      s"per-band salt must advertise more than one band's clique: $participants")
     // disabled cap (<= 0) restores the exhaustive behavior
     val uncapped = graft.api.Pipelines.cosineNearDupPairsAnn(
       corpus, col("vec_id"), col("embedding"),
