@@ -1007,12 +1007,15 @@ object Pipelines {
    *
    * Exactly-once replay: document ids must be globally unique across
    * batches (they are the identity the whole report keys on). On a
-   * crash-retry with the same `txnId` the index already holds THIS
-   * batch's own banded rows from the first attempt; candidate rows whose
-   * index-side id is one of the batch's own ids are anti-joined out, so
-   * the replayed report equals the first attempt's instead of
-   * self-matching every kept doc (the append side was already a replay
-   * no-op).
+   * crash-retry with the same `txnId` — detected METADATA-ONLY from the
+   * log's txn high-water mark, zero cost on the common first-attempt
+   * path — the index already holds THIS batch's own banded rows from the
+   * first attempt; candidate rows whose index-side id is one of the
+   * batch's own ids are then anti-joined out, so the replayed report
+   * equals the first attempt's instead of self-matching every kept doc
+   * (the append side was already a replay no-op). Calls WITHOUT a txnId
+   * have no exactly-once contract: re-running one re-dedups against
+   * whatever the index holds, own signatures included.
    */
   def incrementalFuzzyDedup(batch: DataFrame, id: Column, text: Column,
       indexPath: String, thresholdPermille: Int,
@@ -1035,17 +1038,23 @@ object Pipelines {
     val banded0 = bandedMinHash(batch, id, text, numPerm, bands)
       .localCheckpoint()
     val bb = capBucketMembers(banded0, "doc_id", bucketCap).localCheckpoint()
-    // replay self-exclusion (see scaladoc): the anti-join runs on the
-    // candidate rows — batch-bounded — never as an extra shuffle of the
-    // index itself. On a first attempt it is a no-op (ids are unique).
-    val selfIds = bb.select(col("doc_id").as("h_id")).distinct()
-    val smallIds = selfIds.count() <= broadcastMaxKeys
-    val candIdx = bb.select(col("band"), col("bucket"),
+    // replay self-exclusion (see scaladoc): only on a DETECTED replay,
+    // and then on the candidate rows — batch-bounded — never as an extra
+    // shuffle of the index itself; the common path pays nothing
+    val isReplay = txnId.isDefined &&
+      graft.streaming.GwSink.replayedVersion(t.log, txnId).isDefined
+    val candBase = bb.select(col("band"), col("bucket"),
         col("doc_id").as("id"), col("sig"))
       .join(pinned.select(col("band"), col("bucket"),
         col("doc_id").as("h_id"), col("sig").as("h_sig")), Seq("band", "bucket"))
-      .join(if (smallIds) broadcast(selfIds) else selfIds,
-        Seq("h_id"), "left_anti")
+    val candIdx =
+      (if (!isReplay) candBase
+       else {
+         val selfIds = bb.select(col("doc_id").as("h_id")).distinct()
+         val smallIds = selfIds.count() <= broadcastMaxKeys
+         candBase.join(if (smallIds) broadcast(selfIds) else selfIds,
+           Seq("h_id"), "left_anti")
+       })
       .select("id", "h_id", "sig", "h_sig").distinct()
     val dupIdx = candIdx
       .filter(estJaccardPermille(col("sig"), col("h_sig"), numPerm)
@@ -1175,12 +1184,15 @@ object Pipelines {
    * Exactly-once replay: document ids must be globally unique across
    * batches (they are the identity the report keys on, and the index
    * stores each digest's first-seen id). On a crash-retry with the same
-   * `txnId` the index already holds THIS batch's own (fp, src_id) rows
-   * from the first attempt; index rows whose src_id is one of the
-   * batch's own ids are anti-joined out of the probe, so the replayed
-   * report equals the first attempt's instead of marking every
-   * originally-kept doc dup_of_index (the append side was already a
-   * replay no-op). On a first attempt the anti-join is a no-op.
+   * `txnId` — detected METADATA-ONLY from the log's txn high-water mark,
+   * zero cost on the common first-attempt path — the index already holds
+   * THIS batch's own (fp, src_id) rows from the first attempt; index
+   * rows whose src_id is one of the batch's own ids are then anti-joined
+   * out of the probe, so the replayed report equals the first attempt's
+   * instead of marking every originally-kept doc dup_of_index (the
+   * append side was already a replay no-op). Calls WITHOUT a txnId have
+   * no exactly-once contract: re-running one re-dedups against whatever
+   * the index holds, own digests included.
    *
    * Returns (id, fp, dup_of_index, dup_in_batch, kept): kept = first
    * occurrence of a digest never seen before.
@@ -1190,26 +1202,27 @@ object Pipelines {
       broadcastMaxDigests: Long = 4000000L): DataFrame = {
     val spark = batch.sparkSession
     val table = graft.GwTable.forPath(spark, indexPath)
+    val isReplay = txnId.isDefined &&
+      graft.streaming.GwSink.replayedVersion(table.log, txnId).isDefined
     val b = batch.select(id.cast("long").as("id"), md5(text).as("fp"))
     val probe = b.select("fp").distinct()
-    // one pass decides BOTH broadcasts — a degenerate batch (few digests,
-    // many ids, or vice versa) must not sneak a big frame past the guard
-    val cnts = b.agg(count_distinct(col("fp")).as("nfp"),
-      count_distinct(col("id")).as("nid")).head()
-    val small = cnts.getLong(0) <= broadcastMaxDigests
-    val smallIds = cnts.getLong(1) <= broadcastMaxDigests
-    val selfIds = b.select(col("id").as("src_id")).distinct()
+    val small = probe.count() <= broadcastMaxDigests
     val pinned = table.versionAsOf(table.snapshot().version)
     // digest semi-join FIRST (the index holds one row per fp, so the
-    // output is bounded by the batch's digest count), THEN the replay
-    // self-exclusion anti-join on that bounded set — the index never
-    // pays an extra full exchange for the idempotence check
+    // output is bounded by the batch's digest count); the replay
+    // self-exclusion anti-join runs on that bounded set, and ONLY on a
+    // detected replay — the common path pays nothing for idempotence
+    val hitsBase =
+      if (small) pinned.join(broadcast(probe), Seq("fp"), "left_semi")
+      else pinned.join(probe, Seq("fp"), "left_semi")
     val hits0 =
-      (if (small) pinned.join(broadcast(probe), Seq("fp"), "left_semi")
-       else pinned.join(probe, Seq("fp"), "left_semi"))
-        .join(if (smallIds) broadcast(selfIds) else selfIds,
-          Seq("src_id"), "left_anti")
-        .select(col("fp"))
+      if (!isReplay) hitsBase.select(col("fp"))
+      else {
+        val selfIds = b.select(col("id").as("src_id")).distinct()
+        val smallIds = selfIds.count() <= broadcastMaxDigests
+        hitsBase.join(if (smallIds) broadcast(selfIds) else selfIds,
+          Seq("src_id"), "left_anti").select(col("fp"))
+      }
     val hits = hits0.distinct().withColumn("__hit", lit(true))
     val w = Window.partitionBy("fp").orderBy("id")
     val report = b

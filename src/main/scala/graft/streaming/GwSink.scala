@@ -281,7 +281,7 @@ object GwSink {
     * and ANY log length; the bounded tail walk over `CommitInfo.txnId`
     * resolves the exact version (and remains the only detector for legacy
     * logs written before `txn` actions). */
-  private def replayedVersion(log: GwLog, txnId: Option[String]): Option[Long] = {
+  private[graft] def replayedVersion(log: GwLog, txnId: Option[String]): Option[Long] = {
     for (id <- txnId) {
       def walk(): Option[Long] = {
         val prefix = id.lastIndexOf('/') match {
