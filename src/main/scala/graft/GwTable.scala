@@ -446,7 +446,28 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
   def vacuumDryRun(retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
     vacuumImpl(retentionMs, dryRun = true)
 
-  private def vacuumImpl(retentionMs: Long, dryRun: Boolean): Seq[String] = {
+  /** `VACUUM ... LITE` (Delta 4.0 parity): reclaim ONLY what the log's
+    * remove tombstones name — no filesystem listing at all. The debris
+    * sweep (uncommitted crash output) is the part of a full vacuum whose
+    * cost is a recursive LISTING of the table's owned namespaces; at
+    * 100 TB that listing dominates, while the tombstone-driven deletes
+    * are metadata-priced (candidates come from the log, deletes
+    * distribute). LITE after every OPTIMIZE keeps storage bounded for
+    * pennies; run a FULL vacuum occasionally to mop up crash debris.
+    * Same retention guard as the full form. Returns files deleted. */
+  def vacuumLite(retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val checkOn = spark.conf
+      .getOption("spark.graft.vacuum.retentionCheck").forall(_.toBoolean)
+    require(!checkOn || retentionMs >= 7L * 24 * 3600 * 1000,
+      s"vacuum retention ${retentionMs}ms is below the 7-day default; " +
+        "readers time-traveling or streaming within the window could lose " +
+        "files mid-query. Set spark.graft.vacuum.retentionCheck=false to " +
+        "force a short retention deliberately")
+    vacuumImpl(retentionMs, dryRun = false, lite = true).size
+  }
+
+  private def vacuumImpl(retentionMs: Long, dryRun: Boolean,
+      lite: Boolean = false): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val ownedDirs = Seq("_compacted", "_stream", "_dml", "_dv", "_change_data",
         "_clone", "_bloom")
@@ -523,12 +544,16 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     // The recursive LISTING is the other 100 TB cost: it shards by
     // top-level child (one cheap listStatus per owned dir), and past the
     // threshold each shard lists + filters + deletes on an executor.
-    val debrisCutoff = math.min(cutoff,
-      System.currentTimeMillis() - GwTable.DebrisMinAgeMs)
-    val shards = presentDirs.flatMap(dir =>
-      fs.listStatus(dir).map(_.getPath.toString))
-    affected ++= GwTable.sweepDebris(spark, conf, shards,
-      referenced.toSet ++ live, debrisCutoff, dryRun)
+    // LITE mode skips this stage entirely — log-named deletes only,
+    // zero filesystem listing (Delta's VACUUM LITE contract).
+    if (!lite) {
+      val debrisCutoff = math.min(cutoff,
+        System.currentTimeMillis() - GwTable.DebrisMinAgeMs)
+      val shards = presentDirs.flatMap(dir =>
+        fs.listStatus(dir).map(_.getPath.toString))
+      affected ++= GwTable.sweepDebris(spark, conf, shards,
+        referenced.toSet ++ live, debrisCutoff, dryRun)
+    }
     affected.result()
   }
 

@@ -1109,6 +1109,41 @@ object Pipelines {
     report
   }
 
+  /**
+   * Right-to-be-forgotten for the persisted EXACT-dedup state (d23): a
+   * deletion-request id set removes ITS rows from the fingerprint index
+   * ([[buildFingerprintIndex]]) through the engine's own MERGE
+   * (matched-delete), so a later identical submission is KEPT again —
+   * the dedup counterpart of the vector index's unlearning (s23). The
+   * forgotten doc's digest leaves the membership state entirely; if
+   * other copies should stay deduplicated, re-index one surviving copy.
+   *
+   * Scale: the request frame joins the index on its key — MERGE's match
+   * pass rewrites only the files holding a matched row; neither the
+   * corpus nor the index history is rescanned, and the commit is
+   * OCC-checked like any DML. Returns the committed version, or -1 when
+   * the ids held no index rows (nothing to forget).
+   */
+  def forgetFingerprints(ids: DataFrame, id: Column, indexPath: String): Long =
+    graft.GwTable.forPath(ids.sparkSession, indexPath).merge(
+      ids.select(id.cast("long").as("src_id")).distinct(),
+      on = col("t.src_id") === col("s.src_id"),
+      insertNotMatched = false,
+      whenMatchedDeleteIf = Some(lit(true)))
+
+  /** d23's fuzzy twin: forget a deletion-request id set's banded MinHash
+    * signature rows ([[buildMinHashIndex]]) — every band row of a
+    * forgotten doc leaves the index in one MERGE matched-delete commit
+    * (band partition pruning bounds the rewrite to touched partitions),
+    * so a later near-duplicate of it no longer matches the index.
+    * Returns the committed version, or -1 when nothing matched. */
+  def forgetSignatures(ids: DataFrame, id: Column, indexPath: String): Long =
+    graft.GwTable.forPath(ids.sparkSession, indexPath).merge(
+      ids.select(id.cast("long").as("doc_id")).distinct(),
+      on = col("t.doc_id") === col("s.doc_id"),
+      insertNotMatched = false,
+      whenMatchedDeleteIf = Some(lit(true)))
+
   /** Bucket census of a persisted MinHash index: (band, bucket, members)
     * above `minMembers` — one partial-aggregated groupBy over the index,
     * the saturation observability d22's banded join needs at scale. */

@@ -167,6 +167,44 @@ object Dedup {
       .select("batch", "doc_id", "dup_of_index", "dup_in_batch", "kept")
   }
 
+  /** d23: right-to-be-forgotten across the persisted dedup state — d20's
+    * lifecycle with a DELETION REQUEST between batches: bootstrap the
+    * fingerprint index from history (doc_id % 3 == 0), dedup + append
+    * batch 1 (% 3 == 1), then FORGET every doc with doc_id % 5 == 0
+    * (their digest rows leave the index via MERGE matched-delete, one
+    * OCC-checked commit, no corpus rescan), and dedup batch 2 (% 3 == 2)
+    * against the post-forget membership: a batch-2 copy of a forgotten
+    * doc must now be KEPT. In-gate pins: the forget commits exactly one
+    * version, a second identical forget is a no-op (-1), and forgotten
+    * ids hold zero index rows. Oracle replays the digest joins with the
+    * forget subtraction in SQL. */
+  def d23ForgetDedupState(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("d23")
+      .resolve("fpidx").toString
+    Pipelines.buildFingerprintIndex(
+      d.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"), idx)
+    Pipelines.incrementalExactDedup(
+      d.filter(col("doc_id") % 3 === 1), col("doc_id"), col("text"), idx,
+      txnId = Some("d23/batch-1")).count()
+    val t = graft.GwTable.forPath(spark, idx)
+    val vBefore = t.snapshot().version
+    val forgetIds = d.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    val vForget = Pipelines.forgetFingerprints(forgetIds, col("doc_id"), idx)
+    require(vForget == vBefore + 1,
+      s"the forget must commit exactly one version: $vBefore -> $vForget")
+    require(Pipelines.forgetFingerprints(forgetIds, col("doc_id"), idx) == -1L,
+      "a second identical forget must match nothing and commit nothing")
+    require(spark.read.format("gwdelta").load(idx)
+      .filter(col("src_id") % 5 === 0).count() == 0,
+      "forgotten ids must hold zero index rows")
+    Pipelines.incrementalExactDedup(
+      d.filter(col("doc_id") % 3 === 2), col("doc_id"), col("text"), idx,
+      txnId = Some("d23/batch-2"))
+      .withColumnRenamed("id", "doc_id")
+      .select("doc_id", "fp", "dup_of_index", "dup_in_batch", "kept")
+  }
+
   /** Corpus-level chunk dedup (C4-style boilerplate rule over 5-word
     * windows): every occurrence of a chunk text seen more than once in the
     * corpus is dropped, documents reassembled from the survivors. */
@@ -308,6 +346,7 @@ object Dedup {
     "d20_incremental_dedup" -> d20IncrementalDedup _,
     "d21_quality_keep" -> d21QualityKeep _,
     "d22_incremental_fuzzy" -> d22IncrementalFuzzy _,
+    "d23_forget_dedup_state" -> d23ForgetDedupState _,
   )
 
   /** d22's oracle: md5-lane MinHash signatures, band buckets, candidate
@@ -725,6 +764,32 @@ object Dedup {
         |  NOT (dup_of_index OR dup_in_batch) AS kept FROM b1
         |UNION ALL
         |SELECT 2::BIGINT AS batch, doc_id, fp, dup_of_index, dup_in_batch,
+        |  NOT (dup_of_index OR dup_in_batch) AS kept FROM b2""".stripMargin,
+    // d23: batch-2 digest join against the post-forget membership — the
+    // index after batch 1 keyed by FIRST-SEEN src_id, minus every row
+    // whose src_id % 5 = 0 (forget-commit/no-op/zero-rows invariants are
+    // require()-pinned in-gate)
+    "d23_forget_dedup_state" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |hist AS (SELECT fp, min(doc_id) AS src_id FROM f
+        |         WHERE doc_id % 3 = 0 GROUP BY fp),
+        |b1keep AS (
+        | SELECT doc_id AS src_id, fp FROM (
+        |  SELECT doc_id, fp,
+        |   fp IN (SELECT fp FROM hist) AS di,
+        |   row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1 AS db
+        |  FROM f WHERE doc_id % 3 = 1)
+        | WHERE NOT (di OR db)),
+        |idx AS (SELECT fp, src_id FROM hist UNION ALL
+        |        SELECT fp, src_id FROM b1keep),
+        |after_forget AS (SELECT fp FROM idx WHERE src_id % 5 <> 0),
+        |b2 AS (
+        | SELECT doc_id, fp,
+        |  fp IN (SELECT fp FROM after_forget) AS dup_of_index,
+        |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+        |    AS dup_in_batch
+        | FROM f WHERE doc_id % 3 = 2)
+        |SELECT doc_id, fp, dup_of_index, dup_in_batch,
         |  NOT (dup_of_index OR dup_in_batch) AS kept FROM b2""".stripMargin,
   )
 }

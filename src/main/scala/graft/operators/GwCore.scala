@@ -2946,6 +2946,51 @@ object GwCore {
       .select("o_orderkey", "o_custkey", "o_orderpriority")
   }
 
+  /** gw71: `VACUUM ... LITE` (Delta 4.0 parity) — tombstone-named
+    * reclaim with ZERO filesystem listing: at 100 TB the debris sweep's
+    * recursive listing dominates a vacuum's cost, while the log already
+    * names every superseded file. In-gate pins: LITE deletes exactly the
+    * compaction-orphaned rewrite, planted uncommitted crash debris
+    * SURVIVES the lite pass (no listing = never seen) and a subsequent
+    * FULL vacuum sweeps it, the SQL form routes mode + retention, and
+    * content is unchanged throughout. */
+  def gw71VacuumLite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw71")
+    val loc = tmp.resolve("db/nation").toString
+    val src = spark.read.parquet(s"$dir/nation.parquet")
+    src.filter(col("n_nationkey") < 12).coalesce(1)
+      .write.format("gwdelta").mode("append").save(loc)
+    src.filter(col("n_nationkey") >= 12).coalesce(1)
+      .write.format("gwdelta").mode("append").save(loc)
+    val t = GwTable.forPath(spark, loc)
+    require(t.compact() > 0, "compaction must commit (orphans the originals)")
+    // plant uncommitted crash debris in an engine-owned namespace, aged
+    // past the in-flight floor — a FULL vacuum's listing finds it, LITE
+    // must never even look
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val debris = new org.apache.hadoop.fs.Path(loc, "_stream/debris/part-junk.parquet")
+    fs.mkdirs(debris.getParent)
+    val os = fs.create(debris, true)
+    os.write("junk".getBytes("UTF-8")); os.close()
+    fs.setTimes(debris, System.currentTimeMillis() - 2 * GwTable.DebrisMinAgeMs, -1)
+    val expected = t.toDF.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val lite = GwTable.withRetentionCheckDisabled(spark)(
+      spark.sql(s"VACUUM '$loc' LITE RETAIN 0 HOURS").head().getInt(1))
+    require(lite == 2,
+      s"LITE must reclaim exactly the two tombstoned originals, got $lite")
+    require(fs.exists(debris),
+      "LITE performs no listing: uncommitted debris must survive")
+    require(t.toDF.collect().map(_.toSeq.mkString("|")).sorted.toSeq == expected,
+      "content must be unchanged by the lite vacuum")
+    val full = GwTable.withRetentionCheckDisabled(spark)(t.vacuum(retentionMs = 0))
+    require(!fs.exists(debris), "a FULL vacuum must sweep the planted debris")
+    require(full >= 1, s"full vacuum reports the swept debris, got $full")
+    t.toDF.select(col("n_nationkey").cast("long").as("n_nationkey"),
+      col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+  }
+
   /** gw67: dynamic FILE pruning — the fact side of a broadcast join is a
     * gwdelta table with range-disjoint files on the join key; Spark's
     * runtime-filtering planner delivers the (selective) dim side's key
@@ -3093,6 +3138,7 @@ object GwCore {
     "gw68_dynamic_overwrite" -> gw68DynamicOverwrite _,
     "gw69_stats_columns" -> gw69StatsColumns _,
     "gw70_stats_backfill" -> gw70StatsBackfill _,
+    "gw71_vacuum_lite" -> gw71VacuumLite _,
     "gw60_version_checksum" -> gw60VersionChecksum _,
     "gw61_domain_metadata" -> gw61DomainMetadata _,
   )
@@ -3438,6 +3484,12 @@ object GwCore {
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  CAST(o_custkey AS BIGINT) AS o_custkey, o_orderpriority
         |FROM orders WHERE o_custkey % 10 = 0""".stripMargin,
+    // gw71: nation unchanged through compaction + LITE vacuum + full
+    // vacuum; the no-listing/debris-survival/reclaim-count invariants are
+    // require()-pinned in-gate
+    "gw71_vacuum_lite" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation""".stripMargin,
     // gw70: content unchanged through the metadata-only stats backfill;
     // the no-rewrite/pruning/idempotence invariants are require()-pinned
     // in-gate

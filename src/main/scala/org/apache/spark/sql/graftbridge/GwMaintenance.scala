@@ -66,6 +66,7 @@ object GwMaintenance {
       """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val Vacuum =
     ("""(?is)^\s*VACUUM\s+""" + TableRef +
+      """(?:\s+(LITE|FULL))?""" +
       """(?:\s+RETAIN\s+(\d+)\s+HOURS?)?(?:\s+(DRY\s+RUN))?\s*;?\s*$""").r
   private val History =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + TableRef + """\s*;?\s*$""").r
@@ -106,8 +107,9 @@ object GwMaintenance {
         .flatMap(_.split(",")).map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty)
       Some(GwOptimizeCommand(ref, cols, Option(where).map(_.trim)))
-    case Vacuum(ref, hours, dry) =>
-      Some(GwVacuumCommand(ref, Option(hours).map(_.toLong), dry != null))
+    case Vacuum(ref, mode, hours, dry) =>
+      Some(GwVacuumCommand(ref, Option(hours).map(_.toLong), dry != null,
+        lite = "LITE".equalsIgnoreCase(Option(mode).getOrElse("FULL"))))
     case History(ref) => Some(GwDescribeHistoryCommand(ref))
     case Detail(ref) => Some(GwDescribeDetailCommand(ref))
     case Restore(ref, v) => Some(GwRestoreCommand(ref, v.toLong))
@@ -271,7 +273,10 @@ case class GwGenerateCommand(ref: String) extends GwMaintenanceCommand {
 }
 
 case class GwVacuumCommand(ref: String, retainHours: Option[Long],
-    dryRun: Boolean = false) extends GwMaintenanceCommand {
+    dryRun: Boolean = false,
+    /** `VACUUM t LITE` (Delta 4.0): tombstone-named deletes only, zero
+      * filesystem listing ([[graft.GwTable.vacuumLite]]). */
+    lite: Boolean = false) extends GwMaintenanceCommand {
   override val output: Seq[Attribute] =
     if (dryRun) Seq(AttributeReference("path", StringType, nullable = false)())
     else Seq(
@@ -285,7 +290,11 @@ case class GwVacuumCommand(ref: String, retainHours: Option[Long],
       // Delta's DRY RUN shape: one row per file that WOULD be deleted
       retention.map(table.vacuumDryRun).getOrElse(table.vacuumDryRun())
         .sorted.map(Row(_))
-    else {
+    else if (lite) {
+      val deleted =
+        retention.map(table.vacuumLite).getOrElse(table.vacuumLite())
+      Seq(Row(path, deleted))
+    } else {
       val deleted = retention.map(table.vacuum).getOrElse(table.vacuum())
       Seq(Row(path, deleted))
     }

@@ -749,6 +749,38 @@ class ApiSpec extends AnyFunSuite {
     assert(rep(1L), "the smallest id of an identical clique must be kept")
   }
 
+  test("forgetSignatures: a forgotten doc's bands leave the index; near-dups of it are kept again") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("forgetsig")
+      .resolve("mhidx").toString
+    val w = (1 to 80).map(i => s"w$i")
+    val a = w.mkString(" ")
+    val near1 = (w.take(75) ++ (76 to 80).map(i => s"u$i")).mkString(" ")
+    val near2 = (w.take(75) ++ (76 to 80).map(i => s"v$i")).mkString(" ")
+    graft.api.Pipelines.buildMinHashIndex(
+      Seq((1L, a)).toDF("id", "text"), col("id"), col("text"), idx)
+    val r1 = graft.api.Pipelines.incrementalFuzzyDedup(
+      Seq((2L, near1)).toDF("id", "text"), col("id"), col("text"), idx,
+      thresholdPermille = 700).collect()
+    assert(!r1.head.getBoolean(3), "near-dup of an indexed doc must drop")
+    // the deletion request: doc 1 (and doc 2's appended rows stay — it
+    // was a dup, nothing of it was ever appended)
+    val v = graft.api.Pipelines.forgetSignatures(
+      Seq(1L).toDF("id"), col("id"), idx)
+    assert(v > 0, s"forget must commit: $v")
+    assert(spark.read.format("gwdelta").load(idx)
+      .filter(col("doc_id") === 1L).count() == 0,
+      "every band row of the forgotten doc must leave the index")
+    assert(graft.api.Pipelines.forgetSignatures(
+      Seq(1L).toDF("id"), col("id"), idx) == -1L,
+      "a second identical forget matches nothing")
+    val r2 = graft.api.Pipelines.incrementalFuzzyDedup(
+      Seq((3L, near2)).toDF("id", "text"), col("id"), col("text"), idx,
+      thresholdPermille = 700).collect()
+    assert(r2.head.getBoolean(3),
+      "after the forget, a near-dup of the forgotten doc must be KEPT")
+  }
+
   test("bpeEncode prices documents with the trained merge chain, in order") {
     import spark.implicits._
     val corpus = Seq(

@@ -25,8 +25,20 @@ class MaintenanceParseSpec extends AnyFunSuite {
       case v: GwVacuumCommand => v.dryRun && v.retainHours.isEmpty
       case _ => false
     })
+    assert(p("VACUUM t LITE").exists {
+      case v: GwVacuumCommand => v.lite && !v.dryRun && v.retainHours.isEmpty
+      case _ => false
+    })
+    assert(p("vacuum 'a/path' lite retain 0 hours").exists {
+      case v: GwVacuumCommand => v.lite && v.retainHours.contains(0L)
+      case _ => false
+    })
+    assert(p("VACUUM t FULL RETAIN 24 HOURS").exists {
+      case v: GwVacuumCommand => !v.lite && v.retainHours.contains(24L)
+      case _ => false
+    })
     assert(p("vacuum t retain 0 hour dry run").exists {
-      case v: GwVacuumCommand => v.dryRun && v.retainHours.contains(0L)
+      case v: GwVacuumCommand => v.dryRun && !v.lite && v.retainHours.contains(0L)
       case _ => false
     })
   }
