@@ -1350,8 +1350,12 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         d => d.filter(not(hit)).coalesce(math.max(1, partialFiles.size)))
     val parts = meta.partitionColumns
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
+    // replaceWhere ingests NEW rows: declared CHECK constraints bind here
+    // exactly like append/overwrite
+    val checked = org.apache.spark.sql.graftbridge.GwConstraintRule
+      .enforce(df, meta.configuration)
     graft.streaming.GwSink.stageWrite(
-      graft.log.ColumnMapping.toPhysicalDf(df, snap.schema), outDir, parts,
+      graft.log.ColumnMapping.toPhysicalDf(checked, snap.schema), outDir, parts,
       graft.log.Bloom.parquetWriteOptions(meta.configuration,
         Some(meta.schemaString), snap.schema))
     val conf = spark.sparkContext.hadoopConfiguration

@@ -2946,6 +2946,60 @@ object GwCore {
       .select("o_orderkey", "o_custkey", "o_orderpriority")
   }
 
+  /** gw72: CHECK constraints on the PATH-BASED write face — the catalog
+    * analysis rule only sees DSv2 write plans, so without sink-side
+    * enforcement a `df.write.format("gwdelta").save(path)` (or
+    * GwSink.append / overwrite / replaceWhere) against a table carrying
+    * `graft.constraints.*` silently bypasses its own declared
+    * constraints; Delta enforces invariants on every write. In-gate
+    * pins: a violating path append raises the typed CHECK error and
+    * commits NOTHING (version unchanged), a violating replaceWhere and
+    * overwrite raise too, valid batches land, SQL-standard NULL passes.
+    * Oracle = the surviving content. */
+  def gw72PathConstraints(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("gw72")
+    val loc = tmp.resolve("db/nation").toString
+    val src = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+    src.filter(col("n_regionkey") < 4).write.format("gwdelta").save(loc)
+    val t = GwTable.forPath(spark, loc)
+    t.updateProperties(Map(
+      "graft.constraints.region_range" -> "n_regionkey >= 0 AND n_regionkey < 4"))
+    val v0 = t.snapshot().version
+    // violating path append: typed error, NOTHING commits
+    val e = try {
+      src.filter(col("n_regionkey") === 4)
+        .write.format("gwdelta").mode("append").save(loc)
+      null
+    } catch { case ex: Throwable => ex }
+    def messages(ex: Throwable): Seq[String] =
+      Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    require(e != null && messages(e).exists(_.contains("region_range")),
+      s"violating append must raise the named CHECK error, got $e")
+    require(t.snapshot().version == v0,
+      "a failed constraint append must commit nothing")
+    // violating replaceWhere raises too
+    val e2 = try {
+      t.replaceWhere(src.filter(col("n_regionkey") === 4),
+        col("n_regionkey") === 4)
+      null
+    } catch { case ex: Throwable => ex }
+    require(e2 != null, "violating replaceWhere must raise")
+    require(t.snapshot().version == v0, "failed replaceWhere commits nothing")
+    // a valid batch (including a NULL row — SQL-standard CHECK passes
+    // NULL) lands normally through the same face
+    import spark.implicits._
+    val valid = Seq((900L, "NULLREGION", Option.empty[Long]))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    valid.write.format("gwdelta").mode("append").save(loc)
+    require(t.snapshot().version == v0 + 1, "valid append commits")
+    t.toDF
+  }
+
   /** gw71: `VACUUM ... LITE` (Delta 4.0 parity) — tombstone-named
     * reclaim with ZERO filesystem listing: at 100 TB the debris sweep's
     * recursive listing dominates a vacuum's cost, while the log already
@@ -3139,6 +3193,7 @@ object GwCore {
     "gw69_stats_columns" -> gw69StatsColumns _,
     "gw70_stats_backfill" -> gw70StatsBackfill _,
     "gw71_vacuum_lite" -> gw71VacuumLite _,
+    "gw72_path_constraints" -> gw72PathConstraints _,
     "gw60_version_checksum" -> gw60VersionChecksum _,
     "gw61_domain_metadata" -> gw61DomainMetadata _,
   )
@@ -3484,6 +3539,16 @@ object GwCore {
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  CAST(o_custkey AS BIGINT) AS o_custkey, o_orderpriority
         |FROM orders WHERE o_custkey % 10 = 0""".stripMargin,
+    // gw72: regions 0-3 survive (the violating region-4 batches raised
+    // and committed nothing) plus the NULL-region row CHECK passes by
+    // SQL-standard semantics; the typed-error/no-commit invariants are
+    // require()-pinned in-gate
+    "gw72_path_constraints" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey < 4
+        |UNION ALL
+        |SELECT 900, 'NULLREGION', CAST(NULL AS BIGINT)""".stripMargin,
     // gw71: nation unchanged through compaction + LITE vacuum + full
     // vacuum; the no-listing/debris-survival/reclaim-count invariants are
     // require()-pinned in-gate

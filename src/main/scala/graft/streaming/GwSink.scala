@@ -63,7 +63,11 @@ object GwSink {
     val parts = effectivePartitioning(log, df, partitionBy)
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
     val physTarget = widened.orElse(readMeta.map(schemaOfMeta))
-    val arranged = maybeOptimizeWrite(df,
+    // declared CHECK constraints bind here too — the path-based face must
+    // not bypass what the catalog face enforces
+    val checked = org.apache.spark.sql.graftbridge.GwConstraintRule.enforce(
+      df, readMeta.map(_.configuration).getOrElse(bootstrapProps))
+    val arranged = maybeOptimizeWrite(checked,
       readMeta.map(_.configuration).getOrElse(bootstrapProps), parts)
     stageWrite(physTarget.map(graft.log.ColumnMapping.toPhysicalDf(arranged, _))
       .getOrElse(arranged), outDir, parts,
@@ -535,7 +539,10 @@ object GwSink {
     checkAppendSchema(readMeta, tablePath, df.schema)
     val parts = effectivePartitioning(log, df, partitionBy)
     val outDir = new Path(tablePath, s"_stream/${java.util.UUID.randomUUID()}")
-    stageWrite(physicalFrame(maybeOptimizeWrite(df,
+    // path-face CHECK enforcement, same as append
+    val checked = org.apache.spark.sql.graftbridge.GwConstraintRule.enforce(
+      df, readMeta.map(_.configuration).getOrElse(bootstrapProps))
+    stageWrite(physicalFrame(maybeOptimizeWrite(checked,
         readMeta.map(_.configuration).getOrElse(bootstrapProps), parts), readMeta),
       outDir, parts,
       graft.log.Bloom.parquetWriteOptions(

@@ -163,11 +163,18 @@ case class GwConstraintRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def wrapConstraints(query: LogicalPlan,
-      constraints: Seq[(String, String)]): LogicalPlan = {
+      constraints: Seq[(String, String)]): LogicalPlan =
+    GwConstraintRule.wrapConstraintsPlan(spark, query, constraints)
+}
+
+object GwConstraintRule {
+
+  private[graftbridge] def wrapConstraintsPlan(spark: SparkSession,
+      query: LogicalPlan, constraints: Seq[(String, String)]): LogicalPlan = {
     if (constraints.isEmpty) return query
     val head = query.output.head
     val guarded = constraints.foldLeft(head: Expression) { case (inner, (name, sql)) =>
-      val cond = GwConstraintRule.bind(spark, sql, query.output)
+      val cond = bind(spark, sql, query.output)
       // SQL-standard CHECK: NULL passes, only definite FALSE rejects
       val pass = Or(IsNull(cond), cond)
       val err = RaiseError(Literal(
@@ -181,9 +188,29 @@ case class GwConstraintRule(spark: SparkSession) extends Rule[LogicalPlan] {
       else org.apache.spark.sql.catalyst.expressions.KnownNotNull(guarded)
     Project(Alias(typed, head.name)() +: query.output.tail, query)
   }
-}
 
-object GwConstraintRule {
+  /** CHECK-constraint enforcement on the DataFrame face — what the
+    * PATH-BASED sink ingest paths apply (`GwSink.append` / `overwrite` /
+    * `replaceWhere`): the catalog analysis rule above only sees DSv2
+    * write plans, so a `df.write.format("gwdelta").save(path)` against a
+    * table carrying `graft.constraints.*` would otherwise bypass its own
+    * declared constraints entirely (Delta enforces invariants on every
+    * write). Same guard shape, same SQL-standard null-passes semantics,
+    * same typed RaiseError. No constraints declared = the frame returns
+    * untouched. */
+  def enforce(df: org.apache.spark.sql.DataFrame,
+      config: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    val prefix = graft.GwTable.ConstraintPrefix
+    val cs = config.toSeq
+      .collect { case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v }
+      .sortBy(_._1)
+    if (cs.isEmpty) df
+    else {
+      val spark = df.sparkSession
+      Bridge.ofRows(spark,
+        wrapConstraintsPlan(spark, df.queryExecution.analyzed, cs))
+    }
+  }
 
   /** Parse `sql`, bind its attribute references against `out` by
     * case-insensitive name, and run the analyzer's type coercion (so e.g.
