@@ -53,6 +53,14 @@ case class GwConstraintRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case o @ OverwritePartitionsDynamic(r: DataSourceV2Relation, query, _, _, _)
         if needsWrap(r, query) =>
       o.copy(query = wrapAll(r, query))
+    // the V2 STREAMING write face (`writeStream.toTable`): each
+    // micro-batch's IncrementalExecution re-analyzes the plan with this
+    // node at the root, so the same wrap binds per batch — without it,
+    // streaming ingest would bypass the table's declared constraints
+    // (the V1/foreachBatch face is enforced sink-side)
+    case w: org.apache.spark.sql.execution.streaming.sources.WriteToMicroBatchDataSource
+        if w.relation.exists(r => needsWrap(r, w.query)) =>
+      w.copy(query = wrapAll(w.relation.get, w.query))
   }
 
   private def needsWrap(r: DataSourceV2Relation, query: LogicalPlan): Boolean =

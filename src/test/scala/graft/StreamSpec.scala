@@ -169,4 +169,52 @@ class StreamSpec extends SparkSpec {
     assert(table.toDF.count() == 15, "only the new file's rows were appended")
     assert(table.snapshot().version == 2L, "no duplicate commits on resume")
   }
+
+  test("writeStream.toTable enforces declared CHECK constraints per micro-batch") {
+    import java.nio.file.Files
+    import spark.implicits._
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val root = Files.createTempDirectory("gwstream-chk")
+    val loc = root.resolve("t").toString
+    // bootstrap + declare the constraint
+    Seq((1L, 10L)).toDF("k", "v").write.format("gwdelta").save(loc)
+    spark.sql(s"CREATE TABLE gw.$ns.t USING gwdelta LOCATION '$loc'")
+    GwTable.forPath(spark, loc)
+      .updateProperties(Map("graft.constraints.v_pos" -> "v >= 0"))
+    val stage = root.resolve("stage").toString
+    def drain(cpName: String): Unit = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(stage)
+        .writeStream
+        .option("checkpointLocation", root.resolve(cpName).toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"gw.$ns.t")
+      q.awaitTermination()
+    }
+    // a valid batch streams through
+    Seq((2L, 20L)).toDF("k", "v").write.mode("append").parquet(stage)
+    drain("cp1")
+    assert(spark.table(s"gw.$ns.t").count() == 2)
+    val v1 = GwTable.forPath(spark, loc).snapshot().version
+    // a violating batch fails the stream with the NAMED constraint error
+    // and commits nothing
+    Seq((3L, -5L)).toDF("k", "v").write.mode("append").parquet(stage)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain("cp2")
+    }
+    def msgs(ex: Throwable): Seq[String] =
+      Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("v_pos")),
+      s"stream must fail with the named CHECK error: ${msgs(e).mkString(" | ")}")
+    assert(GwTable.forPath(spark, loc).snapshot().version == v1,
+      "a failed constraint micro-batch must commit nothing")
+  }
 }
