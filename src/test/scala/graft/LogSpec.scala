@@ -222,6 +222,53 @@ class LogSpec extends AnyFunSuite {
     assert(Snapshot.statsMaxMicros(bareSnap, "k").isEmpty)
   }
 
+  test("a name-binding spec reader projects our checkpoint without seeing statsParsed") {
+    // simulate a FOREIGN Delta reader at the parquet layer: request ONLY
+    // the spec's add columns by name (parquet projection) over a
+    // checkpoint that carries the engine's statsParsed extension — the
+    // projection must bind cleanly and serve the spec-shaped rows, the
+    // extension column invisible
+    val conf = new Configuration()
+    val dir = Files.createTempDirectory("gwlog-foreignproj")
+    val target = new org.apache.hadoop.fs.Path(dir.toString, "cp.parquet")
+    val add = AddFile("p=a/part-0.parquet", 10, 1000,
+      partitionValues = Map("p" -> "a"),
+      stats = Some("""{"numRecords":3,"gwStatsV":2,"minValues":{"k":1},"maxValues":{"k":9},"nullCount":{"k":0}}"""))
+    Checkpoint.write(target, conf, Seq(add))
+    val specSchema =
+      """message spec {
+        |  optional group add {
+        |    optional binary path (UTF8);
+        |    optional group partitionValues (MAP) {
+        |      repeated group key_value {
+        |        required binary key (UTF8);
+        |        optional binary value (UTF8);
+        |      }
+        |    }
+        |    optional int64 size;
+        |    optional boolean dataChange;
+        |    optional binary stats (UTF8);
+        |  }
+        |}""".stripMargin
+    val rconf = new Configuration(conf)
+    rconf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, specSchema)
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), target)
+      .withConf(rconf).build()
+    try {
+      val row = reader.read()
+      assert(row != null, "projection must serve the add row")
+      val g = row.getGroup("add", 0)
+      assert(g.getString("path", 0) == "p=a/part-0.parquet")
+      assert(g.getLong("size", 0) == 10L)
+      assert(g.getString("stats", 0).contains("\"numRecords\":3"),
+        "the spec JSON stats column is what a foreign reader consumes")
+      assert(scala.util.Try(g.getGroup("statsParsed", 0)).isFailure,
+        "the projected schema must not surface the engine extension")
+      assert(reader.read() == null, "exactly one row")
+    } finally reader.close()
+  }
+
   test("table-features protocol round-trips through JSON and checkpoint") {
     val p = Protocol(3, 7,
       Some(Seq("columnMapping", "deletionVectors")),
