@@ -3000,6 +3000,62 @@ object GwCore {
     t.toDF
   }
 
+  /** gw73: GENERATED-column partition filter derivation (Delta parity:
+    * "generated column partition filters") — the star-schema ingest
+    * shape: a table partitioned by `mon = trunc(o_orderdate, 'month')`
+    * is queried by a predicate on `o_orderdate` ONLY; the scan derives
+    * the month-partition range from the declared generation expression
+    * (widened 2 days for zone wobble) and prunes partition directories
+    * the predicate provably cannot touch. Stats are restricted to `mon`,
+    * so the pruning pinned in-gate can only come from the derivation,
+    * never from source-column stats. Oracle replays the filter in SQL. */
+  def gw73GeneratedPartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, trunc}
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val tmp = Files.createTempDirectory("gw73")
+    val loc = tmp.resolve("db/orders").toString
+    spark.sql(s"CREATE TABLE gw.$ns.t (o_orderkey BIGINT, o_orderdate DATE, " +
+      s"mon DATE) USING gwdelta PARTITIONED BY (mon) LOCATION '$loc'")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      .withColumn("mon", trunc(col("o_orderdate"), "month"))
+    o.filter(col("o_orderdate") < "1997-01-01").writeTo(s"gw.$ns.t").append()
+    val t = GwTable.forPath(spark, loc)
+    t.updateProperties(Map(
+      "graft.generated.mon" -> "trunc(o_orderdate, 'month')",
+      "graft.stats.columns" -> "mon"))
+    o.filter(col("o_orderdate") >= "1997-01-01").writeTo(s"gw.$ns.t").append()
+    val total = t.snapshot().files.size
+    require(total >= 12, s"expected >= 12 month partitions, got $total")
+    val q = spark.table(s"gw.$ns.t")
+      .filter(col("o_orderdate") >= org.apache.spark.sql.functions
+        .lit("1999-06-15").cast("date"))
+    q.collect() // materialize so the executed plan is final
+    val planned = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        org.apache.spark.sql.graftbridge.GwScanPeel.peel(b.scan)
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+          .fileIndex.inputFiles.length
+    }.head
+    require(planned < total,
+      s"the o_orderdate predicate must prune month partitions through the " +
+        s"generated-column derivation: planned $planned of $total")
+    // the widened derived bound: only partitions at/after 1999-05 can plan
+    val surviving = t.snapshot().files.count(_.partitionValues.get("mon")
+      .exists(_ >= "1999-05-01"))
+    require(planned <= surviving,
+      s"planned ($planned) must sit inside the derived month window ($surviving)")
+    // dates travel as ISO strings: the driver compare is dtype-exact and
+    // parquet date32 vs DuckDB date surface differently in pandas
+    q.select(col("o_orderkey"),
+      org.apache.spark.sql.functions.date_format(col("o_orderdate"), "yyyy-MM-dd")
+        .as("o_orderdate"),
+      org.apache.spark.sql.functions.date_format(col("mon"), "yyyy-MM-dd").as("mon"))
+  }
+
   /** gw71: `VACUUM ... LITE` (Delta 4.0 parity) — tombstone-named
     * reclaim with ZERO filesystem listing: at 100 TB the debris sweep's
     * recursive listing dominates a vacuum's cost, while the log already
@@ -3194,6 +3250,7 @@ object GwCore {
     "gw70_stats_backfill" -> gw70StatsBackfill _,
     "gw71_vacuum_lite" -> gw71VacuumLite _,
     "gw72_path_constraints" -> gw72PathConstraints _,
+    "gw73_generated_pruning" -> gw73GeneratedPartitionPruning _,
     "gw60_version_checksum" -> gw60VersionChecksum _,
     "gw61_domain_metadata" -> gw61DomainMetadata _,
   )
@@ -3539,6 +3596,15 @@ object GwCore {
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  CAST(o_custkey AS BIGINT) AS o_custkey, o_orderpriority
         |FROM orders WHERE o_custkey % 10 = 0""".stripMargin,
+    // gw73: the date-predicate slice with its generated month column;
+    // the partition-pruning invariants are require()-pinned in-gate
+    "gw73_generated_pruning" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+        |  CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+        |    AS VARCHAR) AS mon
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1999-06-15'""".stripMargin,
     // gw72: regions 0-3 survive (the violating region-4 batches raised
     // and committed nothing) plus the NULL-region row CHECK passes by
     // SQL-standard semantics; the typed-error/no-commit invariants are

@@ -145,15 +145,25 @@ case class GwConstraintRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * output columns only (self/cross-generated references were rejected at
     * set time; binding without the slot makes that structural). */
   private def generateColumns(query: LogicalPlan,
-      gens: Seq[(String, String)]): LogicalPlan = {
+      gens: Seq[(String, String)]): LogicalPlan =
+    GwConstraintRule.generateColumnsPlan(spark, query, gens)
+
+  private def wrapConstraints(query: LogicalPlan,
+      constraints: Seq[(String, String)]): LogicalPlan =
+    GwConstraintRule.wrapConstraintsPlan(spark, query, constraints)
+}
+
+object GwConstraintRule {
+
+  private[graftbridge] def generateColumnsPlan(spark: SparkSession,
+      query: LogicalPlan, gens: Seq[(String, String)]): LogicalPlan = {
     if (gens.isEmpty) return query
     val projected = query.output.map { attr =>
       gens.find(_._1.equalsIgnoreCase(attr.name)) match {
         case None => attr: org.apache.spark.sql.catalyst.expressions.NamedExpression
         case Some((name, sql)) =>
           val others = query.output.filterNot(_.name.equalsIgnoreCase(name))
-          val expected = Cast(
-            GwConstraintRule.bindExpr(spark, sql, others), attr.dataType)
+          val expected = Cast(bindExpr(spark, sql, others), attr.dataType)
           val err = RaiseError(Literal(
             s"generated column $name = ($sql) does not match the value " +
               "provided by the ingest"))
@@ -169,13 +179,6 @@ case class GwConstraintRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     Project(projected, query)
   }
-
-  private def wrapConstraints(query: LogicalPlan,
-      constraints: Seq[(String, String)]): LogicalPlan =
-    GwConstraintRule.wrapConstraintsPlan(spark, query, constraints)
-}
-
-object GwConstraintRule {
 
   private[graftbridge] def wrapConstraintsPlan(spark: SparkSession,
       query: LogicalPlan, constraints: Seq[(String, String)]): LogicalPlan = {
@@ -197,26 +200,32 @@ object GwConstraintRule {
     Project(Alias(typed, head.name)() +: query.output.tail, query)
   }
 
-  /** CHECK-constraint enforcement on the DataFrame face — what the
-    * PATH-BASED sink ingest paths apply (`GwSink.append` / `overwrite` /
-    * `replaceWhere`): the catalog analysis rule above only sees DSv2
-    * write plans, so a `df.write.format("gwdelta").save(path)` against a
-    * table carrying `graft.constraints.*` would otherwise bypass its own
-    * declared constraints entirely (Delta enforces invariants on every
-    * write). Same guard shape, same SQL-standard null-passes semantics,
-    * same typed RaiseError. No constraints declared = the frame returns
+  /** CHECK-constraint + generated-column enforcement on the DataFrame
+    * face — what the PATH-BASED sink ingest paths apply
+    * (`GwSink.append` / `overwrite` / `replaceWhere`): the catalog
+    * analysis rule above only sees DSv2 write plans, so a
+    * `df.write.format("gwdelta").save(path)` against a table carrying
+    * `graft.constraints.*` / `graft.generated.*` would otherwise bypass
+    * its own declared invariants entirely (Delta enforces them on every
+    * write). Same wrap shapes, same typed RaiseErrors; generated-column
+    * enforcement on this face is also what keeps the generated-column
+    * PARTITION PRUNING derivation ([[GwGeneratedPruning]]) sound — no
+    * write path can land a row where the generated column disagrees
+    * with its expression. Nothing declared = the frame returns
     * untouched. */
   def enforce(df: org.apache.spark.sql.DataFrame,
       config: Map[String, String]): org.apache.spark.sql.DataFrame = {
-    val prefix = graft.GwTable.ConstraintPrefix
-    val cs = config.toSeq
+    def props(prefix: String): Seq[(String, String)] = config.toSeq
       .collect { case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v }
       .sortBy(_._1)
-    if (cs.isEmpty) df
+    val cs = props(graft.GwTable.ConstraintPrefix)
+    val gens = props(graft.GwTable.GeneratedPrefix)
+    if (cs.isEmpty && gens.isEmpty) df
     else {
       val spark = df.sparkSession
       Bridge.ofRows(spark,
-        wrapConstraintsPlan(spark, df.queryExecution.analyzed, cs))
+        wrapConstraintsPlan(spark,
+          generateColumnsPlan(spark, df.queryExecution.analyzed, gens), cs))
     }
   }
 

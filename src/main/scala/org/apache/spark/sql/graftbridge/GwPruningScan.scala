@@ -341,7 +341,11 @@ class GwPruningScanBuilder(
     // their logical == physical)
     val pf = physFilters(filters)
     pushedPf = pf
-    val constraints = GwStatsPruning.ranges(pf)
+    val direct = GwStatsPruning.ranges(pf)
+    // generated-column derivation: a range on the SOURCE column implies a
+    // range on its generated (usually partition) column — `WHERE ts >= X`
+    // prunes `day = CAST(ts AS DATE)` directories with no filter on `day`
+    val constraints = direct ++ GwGeneratedPruning.derive(spark, snapshot, direct)
     // partition pruning (exact, metadata-only) runs before stats pruning
     if (constraints.nonEmpty) candidates = snapshot.filesForConstraints(constraints)
     inner = makeInner(cleanFiles.map(_.path))

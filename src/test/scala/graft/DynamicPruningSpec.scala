@@ -184,26 +184,37 @@ class DynamicPruningSpec extends SparkSpec {
 
   test("broadcast join on a DATE key runtime-prunes the fact files") {
     val loc = Files.createTempDirectory("dfp-date").resolve("orders").toString
+    // the fixture ships o_orderdate as TIMESTAMP: cast to a true DATE key
     val o = spark.read.parquet(s"$sf/orders.parquet")
-      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
     o.repartitionByRange(8, col("o_orderdate"))
       .sortWithinPartitions("o_orderdate")
       .write.format("gwdelta").save(loc)
     val total = GwTable.forPath(spark, loc).snapshot().files.size
     assert(total >= 6, s"expected >= 6 date-range files, got $total")
     // selective dim side: only the earliest dates — the most common star
-    // schema shape (fact JOIN date_dim ON date_key)
+    // schema shape (fact JOIN date_dim ON date_key). o_orderdate spans
+    // 1995-01..2001-08 in the fixture, so the cut must be NON-EMPTY for
+    // the test to mean anything
     val dim = spark.read.parquet(s"$sf/orders.parquet")
-      .select(col("o_orderdate").as("dd")).distinct()
-      .filter(col("dd") < lit("1993-01-01").cast("date"))
+      .select(col("o_orderdate").cast("date").as("dd")).distinct()
+      .filter(col("dd") < lit("1995-07-01").cast("date"))
+    assert(dim.count() > 0, "the dim cut must be non-empty")
     val fact = spark.read.format("gwdelta").load(loc)
     val joined = fact.join(dim, fact("o_orderdate") === dim("dd"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("sp"))
-    val got = joined.head()
+    // collect() (NOT head()): head() executes a separate limit-plan
+    // QueryExecution, leaving joined's own plan unexecuted — its scans
+    // would never receive the runtime filter and the pins below would
+    // inspect a plan that never ran
+    val got = joined.collect().head
+    assert(got.getLong(0) > 0, "the pruned join must still match rows")
     val expected = o.join(
-        o.select(col("o_orderdate").as("dd")).distinct()
-          .filter(col("dd") < lit("1993-01-01").cast("date")),
+        o.select(col("o_orderdate").cast("date").as("dd")).distinct()
+          .filter(col("dd") < lit("1995-07-01").cast("date")),
         col("o_orderdate") === col("dd"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("sp"))
