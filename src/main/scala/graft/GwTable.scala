@@ -443,8 +443,9 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     refreshed
   }
 
-  def vacuumDryRun(retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
-    vacuumImpl(retentionMs, dryRun = true)
+  def vacuumDryRun(retentionMs: Long = 7L * 24 * 3600 * 1000,
+      lite: Boolean = false): Seq[String] =
+    vacuumImpl(retentionMs, dryRun = true, lite = lite)
 
   /** `VACUUM ... LITE` (Delta 4.0 parity): reclaim ONLY what the log's
     * remove tombstones name — no filesystem listing at all. The debris

@@ -575,6 +575,73 @@ object Multimodal {
     } finally sigs.unpersist()
   }
 
+  // ---------------------------------------------------------------- m13
+  /** Video SCENE-CHANGE detection / keyframe selection — the sampling
+    * step a video training pipeline runs before any expensive per-frame
+    * model: uniform frame sampling wastes budget inside static scenes,
+    * so frames are decoded (REAL PNG codec), perceptually hashed
+    * (block-mean, m06's primitive), and a scene boundary is declared
+    * where the frame-to-frame Hamming distance exceeds a threshold; each
+    * scene's FIRST frame is its keyframe. Every doc is an 8-frame video
+    * whose frames repeat a per-scene seed (planted cuts at
+    * `(doc_id*13 + f*7) % 3 == 0`), so within-scene hash distance is 0
+    * by construction and the boundary rule is content-derived, not
+    * metadata-derived — the oracle replays pixels → hashes → lag
+    * distances → gaps-and-islands scenes in SQL, byte-exact. Shape:
+    * decode fan-out (one codec per partition, streaming batches), ONE
+    * per-doc window pass for the boundaries — no joins, no driver data. */
+  def m13SceneDetect(spark: SparkSession, dir: String): DataFrame = {
+    val FramesPerDoc = 8L
+    def sceneOf(id: Long, f: Long): Long =
+      (1L to f).count(i => (id * 13 + i * 7) % 3 == 0).toLong
+    val memSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val memEnc = org.apache.spark.sql.Encoders.row(memSchema)
+    val frames = docs(spark, dir)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val (id, n) = (r.getLong(0), r.getLong(1))
+          (0L until FramesPerDoc).iterator.map(f =>
+            Row(id, f, PngCodec.encode(id * 100 + sceneOf(id, f), n)))
+        }
+      }(memEnc)
+    val fhSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame", LongType, nullable = false),
+      StructField("fh", LongType, nullable = false)))
+    val fhEnc = org.apache.spark.sql.Encoders.row(fhSchema)
+    val fhs = frames.mapPartitions { rows =>
+      val decoder = new PngDecoder
+      rows.map(r => Row(r.getLong(0), r.getLong(1),
+        decoder.blockMeanHash(r.getAs[Array[Byte]](2))))
+    }(fhEnc)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame")
+    val scenes = fhs
+      .withColumn("prev", lag(col("fh"), 1).over(byDoc))
+      .withColumn("boundary",
+        when(col("prev").isNull, 1)
+          .when(bit_count(col("fh").bitwiseXOR(col("prev"))) > 8, 1)
+          .otherwise(0))
+      .withColumn("scene_id",
+        sum(col("boundary")).over(byDoc).cast("long") - 1L)
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(col("frame")).as("keyframe"),
+        count(lit(1)).as("n_frames"))
+    // light in-gate sanity (the oracle is the real check): frame 0 always
+    // opens scene 0, and scenes can only MERGE planted cuts, never split
+    val audit = scenes.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scenes"), min("keyframe").as("first"))
+      .agg(max(when(col("first") =!= 0L, 1).otherwise(0)).as("badFirst"),
+        max("n_scenes").as("maxScenes")).head()
+    require(audit.getInt(0) == 0, "scene 0 must start at frame 0")
+    require(audit.getLong(1) <= FramesPerDoc, "more scenes than frames")
+    scenes
+  }
+
   // ---------------------------------------------------------------- m09
   /** End-to-end image dedup — m07's pairs composed through connected
     * components and a canonical keep (min member id per cluster), the
@@ -754,9 +821,64 @@ object Multimodal {
     "m10_video_neardup" -> m10VideoNearDup _,
     "m11_crossmodal_dedup" -> m11CrossModalDedup _,
     "m12_audio_vad" -> m12AudioVad _,
+    "m13_scene_detect" -> m13SceneDetect _,
   )
 
   val oracles: Map[String, String] = Map(
+    // m13: planted per-scene frame seeds -> pixel formula -> block-mean
+    // hashes -> lag Hamming distances -> gaps-and-islands scenes; the
+    // boundary rule is CONTENT-derived on both sides, so adjacent scenes
+    // that happen to hash within the threshold merge identically
+    "m13_scene_detect" ->
+      """WITH fr0 AS (
+        | SELECT doc_id, n_chars, f.f AS frame,
+        |  CASE WHEN f.f > 0 AND (doc_id*13 + f.f*7) % 3 = 0
+        |   THEN 1 ELSE 0 END AS cut
+        | FROM documents, (SELECT unnest(generate_series(0, 7)) AS f) f),
+        |fr AS (
+        | SELECT doc_id, frame,
+        |  doc_id*100 + sum(cut) OVER (PARTITION BY doc_id ORDER BY frame)
+        |    AS fid,
+        |  n_chars % 40 + 8 AS w
+        | FROM fr0),
+        |frh AS (SELECT doc_id, frame, fid, w, fid % 24 + 8 AS h FROM fr),
+        |px AS (
+        | SELECT fr.doc_id, fr.frame,
+        |  (x.x*31 + y.y*17 + fr.fid*7) % 256
+        |   + (x.x*31 + y.y*17 + fr.fid*7 + 11) % 256
+        |   + (x.x*31 + y.y*17 + fr.fid*7 + 22) % 256 AS gray,
+        |  (y.y * 8) // fr.h * 8 + (x.x * 8) // fr.w AS slot
+        | FROM frh fr
+        | JOIN (SELECT unnest(generate_series(0, 46)) AS x) x ON x.x < fr.w
+        | JOIN (SELECT unnest(generate_series(0, 30)) AS y) y ON y.y < fr.h),
+        |blk AS (SELECT doc_id, frame, slot, sum(gray) AS bs, count(*) AS bn
+        |        FROM px GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, frame, sum(gray) AS ts, count(*) AS tn
+        |        FROM px GROUP BY 1, 2),
+        |fh AS (
+        | SELECT b.doc_id, b.frame,
+        |  CAST(sum(CASE
+        |    WHEN b.bs * t.tn <= t.ts * b.bn THEN 0
+        |    WHEN b.slot = 63 THEN -9223372036854775807 - 1
+        |    ELSE 1::BIGINT << CAST(b.slot AS INT) END) AS BIGINT) AS h
+        | FROM blk b JOIN tot t USING (doc_id, frame) GROUP BY 1, 2),
+        |lagd AS (
+        | SELECT doc_id, frame, h,
+        |  lag(h) OVER (PARTITION BY doc_id ORDER BY frame) AS prev
+        | FROM fh),
+        |b AS (
+        | SELECT doc_id, frame,
+        |  CASE WHEN prev IS NULL THEN 1
+        |       WHEN bit_count(xor(h, prev)) > 8 THEN 1 ELSE 0 END AS boundary
+        | FROM lagd),
+        |s AS (
+        | SELECT doc_id, frame,
+        |  CAST(sum(boundary) OVER (PARTITION BY doc_id ORDER BY frame)
+        |    AS BIGINT) - 1 AS scene_id
+        | FROM b)
+        |SELECT doc_id, scene_id, min(frame) AS keyframe,
+        |  count(*) AS n_frames
+        |FROM s GROUP BY 1, 2""".stripMargin,
     // m12: WavCodec's sample formula -> 80-sample frame energies ->
     // threshold mask -> gaps-and-islands segments, all exact integers
     "m12_audio_vad" ->

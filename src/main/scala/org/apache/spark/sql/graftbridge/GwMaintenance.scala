@@ -287,8 +287,10 @@ case class GwVacuumCommand(ref: String, retainHours: Option[Long],
     val table = graft.GwTable.forPath(spark, path)
     val retention = retainHours.map(_ * 3600L * 1000L)
     if (dryRun)
-      // Delta's DRY RUN shape: one row per file that WOULD be deleted
-      retention.map(table.vacuumDryRun).getOrElse(table.vacuumDryRun())
+      // Delta's DRY RUN shape: one row per file that WOULD be deleted —
+      // a LITE dry run previews the tombstone-named set only
+      retention.map(table.vacuumDryRun(_, lite))
+        .getOrElse(table.vacuumDryRun(lite = lite))
         .sorted.map(Row(_))
     else if (lite) {
       val deleted =
