@@ -2126,6 +2126,33 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
             snapForValidate.get.schema, (existing ++ declared).toSet)
       }
     }
+    // Second pass, AFTER every static check: rows written BEFORE a
+    // generated-column declaration were never enforced, yet
+    // GwGeneratedPruning will prune files assuming P = expr holds for
+    // EVERY row — a declaration that pre-existing data does not satisfy
+    // would silently drop matching files from scans. Delta avoids the
+    // hole by only allowing generation expressions at CREATE; we allow
+    // the (re)declaration but make it PROVE the invariant over existing
+    // data first, with the exact write-enforcement predicate (NULL-safe
+    // equality against the expression cast to the column type). One
+    // column-pruned scan at ALTER time; empty tables skip it.
+    set.foreach { case (k, v) =>
+      if (k.startsWith(GwTable.GeneratedPrefix) &&
+          snapForValidate.exists(_.files.nonEmpty)) {
+        val colName = k.stripPrefix(GwTable.GeneratedPrefix)
+        val field = snapForValidate.get.schema.fields
+          .find(_.name.equalsIgnoreCase(colName)).get // validated above
+        import org.apache.spark.sql.functions.{col, expr, not}
+        val violating = toDF.filter(
+          not(col(s"`${field.name}`") <=> expr(v).cast(field.dataType)))
+        require(violating.isEmpty,
+          s"cannot declare generated column '$colName' = ($v): existing " +
+            "rows violate the generation invariant (scans would " +
+            "silently prune files containing matching rows) — backfill " +
+            "the column to match the expression first, e.g. " +
+            s"UPDATE ... SET $colName = $v")
+      }
+    }
     graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
       val snap = gwLog.snapshot(None)
       val meta = snap.metadata.getOrElse(throw new IllegalStateException(

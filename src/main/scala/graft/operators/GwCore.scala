@@ -3005,7 +3005,8 @@ object GwCore {
     * shape: a table partitioned by `mon = trunc(o_orderdate, 'month')`
     * is queried by a predicate on `o_orderdate` ONLY; the scan derives
     * the month-partition range from the declared generation expression
-    * (widened 2 days for zone wobble) and prunes partition directories
+    * (widened one month + 2 days — unit shift + zone wobble) and prunes
+    * partition directories
     * the predicate provably cannot touch. Stats are restricted to `mon`,
     * so the pruning pinned in-gate can only come from the derivation,
     * never from source-column stats. Oracle replays the filter in SQL. */

@@ -582,7 +582,7 @@ object Multimodal {
     * so frames are decoded (REAL PNG codec), perceptually hashed
     * (block-mean, m06's primitive), and a scene boundary is declared
     * where the frame-to-frame Hamming distance exceeds a threshold; each
-    * scene's FIRST frame is its keyframe. Every doc is an 8-frame video
+    * scene's FIRST frame is its keyframe. Every doc is a 6-frame video
     * whose frames repeat a per-scene seed (planted cuts at
     * `(doc_id*13 + f*7) % 3 == 0`), so within-scene hash distance is 0
     * by construction and the boundary rule is content-derived, not

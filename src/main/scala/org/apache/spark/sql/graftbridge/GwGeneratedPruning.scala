@@ -22,17 +22,25 @@ import org.apache.spark.sql.types._
  *
  * Soundness: the generation invariant (P = expr(X) for every row) is
  * enforced on EVERY write face ([[GwConstraintRule]] on catalog +
- * streaming plans, [[GwConstraintRule.enforce]] on the path sink), so
- * the derivation only has to respect monotonicity. Zone wobble —
- * DST transitions make micros→wall-clock non-monotone by up to an hour,
- * and a reader session zone may differ from the writer's — is absorbed
- * by WIDENING every derived bound by a unit margin (2 days for
- * date-family outputs, covering even a ±14h writer/reader zone split; 1
- * for `year`): at most a couple of extra partitions scan, and a pruned
- * file provably holds no matching row. Derivation skips column-mapped
- * tables, multi-source or non-whitelisted expressions, and NULL
- * evaluations — skipping only costs pruning, never correctness (null X
- * rows cannot satisfy the range predicate on X anyway).
+ * streaming plans, [[GwConstraintRule.enforce]] on the path sink), and
+ * rows that PRE-DATE the declaration are validated when the
+ * `graft.generated.*` property is set ([[graft.GwTable.updateProperties]]
+ * scans existing data and rejects the ALTER on any violating row — Delta
+ * sidesteps the same hole by only allowing generation expressions at
+ * CREATE). So the derivation only has to respect monotonicity. Zone
+ * wobble — DST transitions make micros→wall-clock non-monotone by up to
+ * an hour, and a reader session zone may differ from the writer's (up to
+ * ~26h split) — is absorbed by WIDENING every derived bound by a margin
+ * sized to the TRUNCATION UNIT of the expression: 2 days for
+ * day-or-finer granularity (covers the full zone split), one whole unit
+ * plus 2 days for `date_trunc`/`trunc` to week/month/quarter/year (a
+ * zone split near a unit boundary shifts the generated value by an
+ * entire unit, not just the wobble), 1 for `year()`. At most a few extra
+ * partitions scan, and a pruned file provably holds no matching row.
+ * Derivation skips column-mapped tables, multi-source or non-whitelisted
+ * expressions, unknown truncation formats, and NULL evaluations —
+ * skipping only costs pruning, never correctness (null X rows cannot
+ * satisfy the range predicate on X anyway).
  */
 object GwGeneratedPruning {
 
@@ -55,9 +63,10 @@ object GwGeneratedPruning {
         bound <- Try(GwConstraintRule.bindExpr(spark, sql, attrs)).toOption
         src <- sourceAttr(bound)
         if temporalSource(src.dataType)
-        widen <- widenFor(bound.dataType)
-        cr <- constraints.find(c => c.column.equalsIgnoreCase(src.name) &&
-          (c.lower.nonEmpty || c.upper.nonEmpty))
+        widen <- widenFor(bound)
+        cr <- foldRanges(constraints.filter(c =>
+          c.column.equalsIgnoreCase(src.name) &&
+            (c.lower.nonEmpty || c.upper.nonEmpty)))
         derived <- {
           val lo = cr.lower.flatMap(evalAt(bound, src, _)).map(v => Bound.Num(v - widen))
           val hi = cr.upper.flatMap(evalAt(bound, src, _)).map(v => Bound.Num(v + widen))
@@ -75,13 +84,61 @@ object GwGeneratedPruning {
     case _ => 0
   }
 
-  /** Unit margin per output type (see soundness note above). */
-  private def widenFor(out: DataType): Option[BigDecimal] = out match {
-    case DateType => Some(BigDecimal(2)) // days
-    case IntegerType => Some(BigDecimal(1)) // year(x)
-    case TimestampType | TimestampNTZType =>
-      Some(BigDecimal(2L * 86400L * 1000000L)) // micros
-    case _ => None
+  /** Widening margin in the OUTPUT column's stats encoding (see
+    * soundness note above). The margin scales with the TRUNCATION UNIT,
+    * not just the output type: `date_trunc('month', ts)` under a
+    * writer/reader zone split near a month boundary shifts the generated
+    * value by a whole month — a flat 2-day margin would prune files that
+    * hold matching rows. One whole unit (max-length: 366/92/31/7 days)
+    * plus the 2-day wobble covers any split; unknown formats derive
+    * nothing. */
+  private def widenFor(gen: Expression): Option[BigDecimal] = {
+    val units = gen.collect {
+      case t: TruncTimestamp => t.format
+      case t: TruncDate => t.format
+    }.map {
+      case Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        unitDays(f.toString)
+      case _ => None // non-literal format: not derivable
+    }
+    if (units.exists(_.isEmpty)) return None
+    val unitMargin = (units.flatten :+ 0L).max + 2L // days
+    gen.dataType match {
+      case DateType => Some(BigDecimal(unitMargin))
+      case IntegerType => Some(BigDecimal(1)) // year(x): one year unit
+      case TimestampType | TimestampNTZType =>
+        Some(BigDecimal(unitMargin * 86400L * 1000000L)) // micros
+      case _ => None
+    }
+  }
+
+  /** Max length in days of a trunc unit; 0 for day-or-finer granularity
+    * (the flat 2-day wobble margin already covers those); None =
+    * unrecognized format (trunc evaluates it to NULL — skip derivation). */
+  private def unitDays(fmt: String): Option[Long] =
+    fmt.toLowerCase(java.util.Locale.ROOT) match {
+      case "year" | "yyyy" | "yy" => Some(366L)
+      case "quarter" => Some(92L)
+      case "month" | "mm" | "mon" => Some(31L)
+      case "week" => Some(7L)
+      case "day" | "dd" | "hour" | "minute" | "second" |
+           "millisecond" | "microsecond" => Some(0L)
+      case _ => None
+    }
+
+  /** Fold every pushed range on the source column into one combined
+    * [lower, upper]: a BETWEEN arrives as TWO one-sided ColRanges (the
+    * And split in `GwPruningScan.rangeOf`), so taking only the first
+    * would miss one side. Tightest numeric bound wins per side; string
+    * bounds are skipped (evalAt cannot use them anyway). */
+  private def foldRanges(crs: Seq[ColRange]): Option[ColRange] = {
+    if (crs.isEmpty) return None
+    val los = crs.flatMap(_.lower).collect { case n: Bound.Num => n.v }
+    val his = crs.flatMap(_.upper).collect { case n: Bound.Num => n.v }
+    if (los.isEmpty && his.isEmpty) None
+    else Some(ColRange(crs.head.column,
+      if (los.isEmpty) None else Some(Bound.Num(los.max)),
+      if (his.isEmpty) None else Some(Bound.Num(his.min))))
   }
 
   private def temporalSource(dt: DataType): Boolean = dt match {

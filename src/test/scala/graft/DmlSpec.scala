@@ -602,7 +602,14 @@ class DmlSpec extends SparkSpec {
         "graft.generated.n_name" -> "cast(n_regionkey as string)"))
     }
     assert(e4.getMessage.contains("unknown column"))
-    // a valid declaration commits metadata-only
+    // existing rows that violate the expression reject the declaration
+    // (scans would otherwise prune files holding matching rows); the
+    // fixture's regionkey is nationkey % 5, so % 3 genuinely mismatches
+    val e5 = intercept[IllegalArgumentException] {
+      t.updateProperties(Map("graft.generated.n_regionkey" -> "n_nationkey % 3"))
+    }
+    assert(e5.getMessage.contains("violate the generation invariant"))
+    // a declaration existing rows DO satisfy commits metadata-only
     val files = t.snapshot().files.size
     assert(t.updateProperties(Map("graft.generated.n_regionkey" -> "n_nationkey % 5")) > 0)
     assert(t.snapshot().files.size == files)

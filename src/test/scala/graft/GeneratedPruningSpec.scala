@@ -115,4 +115,114 @@ class GeneratedPruningSpec extends SparkSpec {
     assert(planned(q2) == total, "multi-source expressions must not derive")
     assert(q2.select("v").as[Long].collect().sorted.toSeq == expected)
   }
+
+  test("declaring a generation expression that existing rows violate is rejected") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    import spark.implicits._
+    val ns = s"gp${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val loc = Files.createTempDirectory("genprune-bad").resolve("t").toString
+    spark.sql(s"CREATE TABLE gw.$ns.t (ts TIMESTAMP, v BIGINT, day DATE) " +
+      s"USING gwdelta LOCATION '$loc'")
+    // day is WRONG for the expression about to be declared (off by one)
+    (0 until 5).map { i =>
+      (java.sql.Timestamp.valueOf(s"2024-03-0${i + 1} 10:00:00"), i.toLong)
+    }.toDF("ts", "v")
+      .withColumn("day", date_add(to_date(col("ts")), 1))
+      .writeTo(s"gw.$ns.t").append()
+    val t = GwTable.forPath(spark, loc)
+    val e = intercept[IllegalArgumentException] {
+      t.updateProperties(Map("graft.generated.day" -> "CAST(ts AS DATE)"))
+    }
+    assert(e.getMessage.contains("violate the generation invariant"))
+    // the ALTER must not have landed: no derivation, full scans stay exact
+    assert(!t.snapshot().metadata.exists(
+      _.configuration.contains("graft.generated.day")))
+    val q = spark.table(s"gw.$ns.t")
+      .filter(col("ts") >= lit("2024-03-03 00:00:00").cast("timestamp"))
+    assert(q.select("v").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("month-trunc derivation widens by a whole month: reader/writer zone split keeps matching files") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    import spark.implicits._
+    val ns = s"gp${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val loc = Files.createTempDirectory("genprune-mo").resolve("t").toString
+    spark.sql(s"CREATE TABLE gw.$ns.t (ts TIMESTAMP, v BIGINT, mo DATE) " +
+      s"USING gwdelta PARTITIONED BY (mo) LOCATION '$loc'")
+    // one row per month Jan..Aug 2024, written under UTC; the May row sits
+    // just before the June boundary — the row a +14h reader zone shifts
+    // across the month line
+    val rows = Seq(
+      "2024-01-15 12:00:00", "2024-02-15 12:00:00", "2024-03-15 12:00:00",
+      "2024-04-15 12:00:00", "2024-05-31 23:00:00", "2024-06-15 12:00:00",
+      "2024-07-15 12:00:00", "2024-08-15 12:00:00").zipWithIndex
+      .map { case (s, i) => (java.sql.Timestamp.valueOf(s), i.toLong) }
+    rows.toDF("ts", "v")
+      .withColumn("mo", trunc(to_date(col("ts")), "month"))
+      .writeTo(s"gw.$ns.t").append()
+    val t = GwTable.forPath(spark, loc)
+    t.updateProperties(Map(
+      "graft.generated.mo" -> "trunc(CAST(ts AS DATE), 'month')",
+      "graft.stats.columns" -> "mo"))
+    val total = t.snapshot().files.size
+    assert(total >= 8)
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // reader 14h ahead of the (UTC) writer: local 2024-06-01 12:00 is
+      // 2024-05-31 22:00 UTC, so the May-31 23:00 UTC row MATCHES — a
+      // flat 2-day margin would derive mo >= 2024-05-30 and prune the
+      // May partition (mo = 2024-05-01) that holds it
+      spark.conf.set("spark.sql.session.timeZone", "Etc/GMT-14")
+      val q = spark.table(s"gw.$ns.t")
+        .filter(col("ts") >= lit("2024-06-01 12:00:00").cast("timestamp"))
+      val got = q.select("v").as[Long].collect().sorted.toSeq
+      assert(got == Seq(4L, 5L, 6L, 7L),
+        s"zone-split read must keep the boundary row: $got")
+      val p = planned(q)
+      assert(p < total, s"month derivation must still prune: $p of $total")
+      // widened bound = 2024-06-01 minus (31 + 2) days = 2024-04-29:
+      // April and earlier prune, May survives for the boundary row
+      val surviving = t.snapshot().files.count(_.partitionValues.get("mo")
+        .exists(_ >= "2024-04-29"))
+      assert(p <= surviving, s"planned $p must be within the widened window $surviving")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+  }
+
+  test("BETWEEN derives both sides: two one-sided ranges fold into one window") {
+    graft.operators.GwCore.ensureGwCatalog(spark)
+    import spark.implicits._
+    val ns = s"gp${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val loc = Files.createTempDirectory("genprune-btw").resolve("t").toString
+    spark.sql(s"CREATE TABLE gw.$ns.t (ts TIMESTAMP, v BIGINT, day DATE) " +
+      s"USING gwdelta PARTITIONED BY (day) LOCATION '$loc'")
+    val rows = (0 until 20).map { i =>
+      val micros = java.time.Instant.parse("2024-03-01T06:00:00Z")
+        .plusSeconds(i * 86400L)
+      (java.sql.Timestamp.from(micros), i.toLong)
+    }
+    rows.toDF("ts", "v").withColumn("day", to_date(col("ts")))
+      .writeTo(s"gw.$ns.t").append()
+    val t = GwTable.forPath(spark, loc)
+    t.updateProperties(Map(
+      "graft.generated.day" -> "CAST(ts AS DATE)",
+      "graft.stats.columns" -> "day"))
+    val total = t.snapshot().files.size
+    assert(total >= 20)
+    val q = spark.table(s"gw.$ns.t").filter(
+      col("ts").between(
+        lit("2024-03-09 00:00:00").cast("timestamp"),
+        lit("2024-03-12 00:00:00").cast("timestamp")))
+    assert(q.select("v").as[Long].collect().sorted.toSeq == Seq(8L, 9L, 10L))
+    val p = planned(q)
+    // both sides derived: [03-09 - 2d, 03-12 + 2d] = [03-07, 03-14] keeps
+    // at most 8 of the 20 day partitions
+    val surviving = t.snapshot().files.count(_.partitionValues.get("day")
+      .exists(d => d >= "2024-03-07" && d <= "2024-03-14"))
+    assert(p <= surviving,
+      s"BETWEEN must prune BOTH sides: planned $p, two-sided window $surviving of $total")
+    assert(surviving <= 8)
+  }
 }
