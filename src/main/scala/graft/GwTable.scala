@@ -976,8 +976,14 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       insertNotMatched: Boolean = true,
       whenMatchedDeleteIf: Option[Column] = None,
       insertNotMatchedIf: Option[Column] = None,
-      schemaEvolution: Boolean = false): Long = {
+      schemaEvolution: Boolean = false,
+      txnId: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{first, max, monotonically_increasing_id}
+    // exactly-once (same contract as GwSink.append): a merge whose txnId
+    // already committed is a crash replay — skip every scan and return the
+    // original version; the guard re-checks inside the commit retry loop
+    graft.streaming.GwSink.replayedVersion(gwLog, txnId)
+      .foreach(v => return v)
     require(whenMatchedSet.nonEmpty || insertNotMatched || whenMatchedDeleteIf.nonEmpty,
       "MERGE needs a matched-update, matched-delete and/or not-matched-insert action")
     require(gwLog.exists(), s"MERGE target has no transaction log at $tablePath")
@@ -1137,7 +1143,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
           // OCC validates against the snapshot actually READ (snap0) —
           // the evolved copy differs from fresh by construction
           commitDml("MERGE", touched, newAdds, Some(snap0), cdc,
-            metaRestate = evolvedMeta)
+            metaRestate = evolvedMeta, txnId = txnId)
         }
     }
   }
@@ -1231,8 +1237,9 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     * the snapshot the operation planned on). */
   private def commitDml(operation: String, removes: Seq[AddFile],
       newAdds: Seq[AddFile], readSnap: Option[Snapshot] = None,
-      cdc: Seq[Action] = Nil, metaRestate: Option[Metadata] = None): Long =
-    graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+      cdc: Seq[Action] = Nil, metaRestate: Option[Metadata] = None,
+      txnId: Option[String] = None): Long =
+    graft.streaming.GwSink.commitReplayable(gwLog, txnId) { _ =>
       val now = System.currentTimeMillis()
       val fresh = gwLog.snapshot(None)
       fresh.protocol.foreach(p =>
@@ -1245,12 +1252,18 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       val rms: Seq[Action] = removes.map(f => RemoveFile(f.path, f.size, now))
       val info = CommitInfo(now, operation, "CopyOnWrite",
         numFiles = newAdds.size, numOutputBytes = newAdds.map(_.size).sum,
-        isBlindAppend = false, txnId = java.util.UUID.randomUUID().toString)
+        isBlindAppend = false,
+        txnId = txnId.getOrElse(java.util.UUID.randomUUID().toString))
+      // a parseable "<app>/<batch>" txnId also commits the spec's txn
+      // action, exactly like the sink's appends — replay detection then
+      // survives checkpoints and any log length
+      val txn = txnId.flatMap(graft.streaming.GwSink.parseTxnId)
+        .map { case (app, batch) => graft.log.SetTransaction(app, batch, Some(now)) }
       // schema evolution rides the SAME commit as its data (a reader can
       // never see evolved rows under the old schema or vice versa); OCC's
       // metadata check above aborts if anyone else restated mid-flight,
       // so the planning-time restatement can never clobber foreign DDL
-      metaRestate.toSeq ++ rms ++ newAdds ++ cdc :+ info
+      metaRestate.toSeq ++ rms ++ newAdds ++ cdc ++ txn.toSeq :+ info
     }
 
   /** Connector commit hook for SQL UPDATE / MERGE INTO (`ReplaceData`,

@@ -1154,6 +1154,124 @@ object Pipelines {
       .filter(col("members") >= minMembers)
 
   /**
+   * Persisted duplicate-cluster membership bootstrap (d24) — land the
+   * historical corpus's cluster assignment as a transactional gwdelta
+   * table: one `(node, component)` row per clustered document, component
+   * label = the cluster's smallest member id (the d08 convention, so the
+   * canonical keeper falls out of the label). This is the state
+   * [[mergeClusterBatch]] maintains incrementally — after bootstrap the
+   * historical EDGE SET is never recomputed or rescanned.
+   */
+  def buildClusterIndex(pairs: DataFrame, a: Column, b: Column,
+      clusterPath: String): Long =
+    graft.streaming.GwSink.append(
+      connectedComponents(pairs, a, b)
+        .select(col("node").cast("long").as("node"),
+          col("component").cast("long").as("component")),
+      clusterPath)
+
+  /**
+   * Incremental duplicate-cluster maintenance (d24) — the last from-
+   * scratch step of the 100 TB dedup lifecycle made incremental: d20/d22
+   * admit batches against persisted digest/signature indexes, but cluster
+   * assembly used to re-propagate min-labels over ALL pairs every run.
+   * Here a batch's NEW edges merge into the persisted membership
+   * ([[buildClusterIndex]]) union-find style:
+   *
+   *  1. resolve the batch's endpoints to their current components (one
+   *     semi-join of the membership table against the batch's endpoint
+   *     set — broadcast under `broadcastMaxKeys`, shuffle above it; an
+   *     unseen endpoint is its own component);
+   *  2. contract each new edge to a COMPONENT-level edge and run the
+   *     min-label propagation on that REDUCED graph only — its size is
+   *     bounded by the batch, never the corpus, so the propagation cost
+   *     tracks what actually changed;
+   *  3. upsert: membership rows whose component merged take the new
+   *     (smaller) label, unseen endpoints insert — one transactional
+   *     MERGE that rewrites only files holding touched components.
+   *
+   * The final membership provably equals the from-scratch recompute over
+   * the union of all batches' edges: a component's label is its minimum
+   * member id, and min is associative — merging per-batch minima yields
+   * the global minimum (gate d24 pins hash-equality against the full
+   * d08 recursion).
+   *
+   * Exactly-once: with `txnId`, a replayed batch is detected from the
+   * log (metadata-only) BEFORE any scan and returns an empty upsert
+   * frame without committing — the membership already reflects this
+   * batch. Returns the upsert rows `(node, component, was_member)`
+   * pinned to the pre-merge table version (re-evaluating the frame after
+   * later merges cannot change it).
+   */
+  def mergeClusterBatch(pairs: DataFrame, a: Column, b: Column,
+      clusterPath: String, txnId: Option[String] = None,
+      broadcastMaxKeys: Long = 4000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val table = graft.GwTable.forPath(spark, clusterPath)
+    val emptyUpserts = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("was_member",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
+    if (txnId.isDefined &&
+        graft.streaming.GwSink.replayedVersion(table.log, txnId).isDefined)
+      return emptyUpserts
+    val edges = pairs.select(a.cast("long").as("ea"), b.cast("long").as("eb"))
+      .filter(col("ea") =!= col("eb")).distinct()
+    val nodes = edges.select(col("ea").as("node"))
+      .union(edges.select(col("eb").as("node"))).distinct()
+      .localCheckpoint(true)
+    val membership = table.versionAsOf(table.snapshot().version)
+    val small = nodes.count() <= broadcastMaxKeys
+    def bcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // (node, component) for the batch endpoints the membership knows —
+    // ONE streamed scan of the membership table, output bounded by the
+    // batch's endpoint count
+    val known = membership.join(bcast(nodes), Seq("node"), "left_semi")
+      .localCheckpoint(true)
+    // every endpoint's current component; unseen endpoints are their own
+    val compOf = nodes.join(bcast(known), Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("comp"))
+      .localCheckpoint(true)
+    // contract edges to component level; drop intra-component edges (they
+    // merge nothing) — what remains is the graph of components this batch
+    // actually connects
+    val reduced = edges
+      .join(bcast(compOf.select(col("node").as("ea"), col("comp").as("ca"))), Seq("ea"))
+      .join(bcast(compOf.select(col("node").as("eb"), col("comp").as("cb"))), Seq("eb"))
+      .select(col("ca"), col("cb")).filter(col("ca") =!= col("cb")).distinct()
+    // min-label propagation on the REDUCED graph (batch-bounded); only
+    // labels that actually change matter downstream
+    val relabel = connectedComponents(reduced, col("ca"), col("cb"))
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("oldc"), col("component").as("newc"))
+      .localCheckpoint(true)
+    // rows to upsert: members of merged components take the new label
+    // (second streamed membership scan, component-keyed); unseen
+    // endpoints insert with their final label
+    val updates = membership.join(bcast(relabel),
+        membership("component") === col("oldc"))
+      .select(col("node"), col("newc").as("component"),
+        lit(true).as("was_member"))
+    val inserts = compOf
+      .join(bcast(known.select("node")), Seq("node"), "left_anti")
+      .join(bcast(relabel), compOf("comp") === col("oldc"), "left")
+      .select(col("node"), coalesce(col("newc"), col("comp")).as("component"),
+        lit(false).as("was_member"))
+    val upserts = updates.unionByName(inserts).localCheckpoint(true)
+    if (!upserts.isEmpty)
+      table.merge(upserts.select("node", "component"),
+        on = col("t.node") === col("s.node"),
+        whenMatchedSet = Map("component" -> col("s.component")),
+        insertNotMatched = true, txnId = txnId)
+    upserts
+  }
+
+  /**
    * Quality-aware canonical keep (d21) — the apply step production
    * pipelines run over near-dup clusters: a min-id keep discards an
    * arbitrary member, but duplicate clusters usually mix a clean copy

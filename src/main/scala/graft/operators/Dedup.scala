@@ -205,6 +205,39 @@ object Dedup {
       .select("doc_id", "fp", "dup_of_index", "dup_in_batch", "kept")
   }
 
+  /** d24: incremental duplicate-cluster maintenance — the last from-
+    * scratch step of the dedup lifecycle made incremental: bootstrap the
+    * persisted `(node, component)` membership from the FIRST half of the
+    * near-dup edge set (pairs with even doc_a+doc_b), then MERGE the
+    * second half as a batch of new edges — endpoints resolve against the
+    * stored membership, min-label propagation runs on the batch-bounded
+    * REDUCED component graph only, and one transactional MERGE relabels
+    * merged components / inserts unseen nodes. In-gate pins: the merge
+    * commits (the index genuinely grew), a replayed txn commits NOTHING,
+    * and the final membership is the gate output — hash-equal to the
+    * from-scratch d08 recursion over ALL pairs (min is associative, so
+    * per-batch merging must reproduce the global labels exactly). */
+  def d24ClusterMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d04NgramJaccard(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("d24")
+      .resolve("clidx").toString
+    val b1 = pairs.filter((col("doc_a") + col("doc_b")) % 2 === 0)
+    val b2 = pairs.filter((col("doc_a") + col("doc_b")) % 2 === 1)
+    Pipelines.buildClusterIndex(b1, col("doc_a"), col("doc_b"), idx)
+    val t = graft.GwTable.forPath(spark, idx)
+    val v1 = t.snapshot().version
+    Pipelines.mergeClusterBatch(b2, col("doc_a"), col("doc_b"), idx,
+      txnId = Some("d24/batch-2"))
+    val v2 = t.snapshot().version
+    require(v2 > v1, "the batch-2 cluster merge must commit")
+    val replayed = Pipelines.mergeClusterBatch(b2, col("doc_a"), col("doc_b"),
+      idx, txnId = Some("d24/batch-2"))
+    require(replayed.isEmpty && t.snapshot().version == v2,
+      "a replayed cluster-merge txn must upsert and commit nothing")
+    spark.read.format("gwdelta").load(idx)
+      .select(col("node").as("doc_id"), col("component"))
+  }
+
   /** Corpus-level chunk dedup (C4-style boilerplate rule over 5-word
     * windows): every occurrence of a chunk text seen more than once in the
     * corpus is dropped, documents reassembled from the survivors. */
@@ -347,6 +380,7 @@ object Dedup {
     "d21_quality_keep" -> d21QualityKeep _,
     "d22_incremental_fuzzy" -> d22IncrementalFuzzy _,
     "d23_forget_dedup_state" -> d23ForgetDedupState _,
+    "d24_cluster_maintenance" -> d24ClusterMaintenance _,
   )
 
   /** d22's oracle: md5-lane MinHash signatures, band buckets, candidate
@@ -423,6 +457,25 @@ object Dedup {
   private[operators] val PairJoin =
     """FROM s a JOIN s b
       | ON a.lang = b.lang AND a.len_block = b.len_block AND a.doc_id < b.doc_id""".stripMargin
+
+  /** The full from-scratch component recursion over all d04 pairs —
+    * shared by d08 (direct recompute) and d24 (whose incremental merge
+    * must reproduce it exactly). */
+  private[operators] val DupComponentsOracle: String =
+    s"""WITH RECURSIVE $ShingleCte,
+      |pairs AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | $PairJoin
+      | WHERE $JaccExpr >= 200),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS node FROM edges),
+      |reach(node, label) AS (
+      | SELECT node, node FROM nodes
+      | UNION
+      | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
+      |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+      |FROM reach GROUP BY 1""".stripMargin
 
   /** d06's oracle replays the LSH like s02's: the deterministic
     * hyperplanes (24 planes, 8 bands x 3 bits) render into the SQL as
@@ -534,21 +587,11 @@ object Dedup {
         |  row_number() OVER (PARTITION BY lang, n_chars ORDER BY doc_id) AS rn
         | FROM documents
         |) WHERE rn = 1""".stripMargin,
-    "d08_dup_components" ->
-      s"""WITH RECURSIVE $ShingleCte,
-        |pairs AS (
-        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        | $PairJoin
-        | WHERE $JaccExpr >= 200),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |          UNION SELECT doc_b, doc_a FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS node FROM edges),
-        |reach(node, label) AS (
-        | SELECT node, node FROM nodes
-        | UNION
-        | SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
-        |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
-        |FROM reach GROUP BY 1""".stripMargin,
+    "d08_dup_components" -> DupComponentsOracle,
+    // d24: the incremental two-batch merge must reproduce the from-
+    // scratch components over ALL pairs exactly (min-label associativity)
+    // — so its oracle IS d08's full recursion
+    "d24_cluster_maintenance" -> DupComponentsOracle,
     "d22_incremental_fuzzy" -> d22OracleSql,
     // d21: d08's component recursion + the t02 alpha/word-count quality
     // formula + the same (quality DESC, id) keep window

@@ -273,7 +273,7 @@ object GwSink {
   /** `"<streamId>/<batchId>"` -> (streamId, batchId) when the suffix is a
     * number — the shape the streaming writers use, and the shape that maps
     * onto the log's `txn` (SetTransaction) high-water marks. */
-  private def parseTxnId(id: String): Option[(String, Long)] =
+  private[graft] def parseTxnId(id: String): Option[(String, Long)] =
     id.lastIndexOf('/') match {
       case -1 => None
       case i => id.substring(i + 1).toLongOption.map(id.substring(0, i) -> _)

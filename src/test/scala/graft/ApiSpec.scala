@@ -603,6 +603,56 @@ class ApiSpec extends AnyFunSuite {
     assert(r1s == r1, s"shuffle path diverged: $r1s vs $r1")
   }
 
+  test("mergeClusterBatch: only touched components rewrite; labels merge; replay is a no-op") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("clmaint")
+      .resolve("clidx").toString
+    // three appends -> disjoint file sets, each holding one component
+    graft.api.Pipelines.buildClusterIndex(
+      Seq((4L, 5L)).toDF("a", "b"), col("a"), col("b"), idx)
+    val t = graft.GwTable.forPath(spark, idx)
+    val bootFiles = t.snapshot().files.map(_.path).toSet
+    graft.streaming.GwSink.append(
+      Seq((10L, 10L), (11L, 10L)).toDF("node", "component"), idx)
+    val comp10Files = t.snapshot().files.map(_.path).toSet -- bootFiles
+    graft.streaming.GwSink.append(
+      Seq((20L, 20L), (21L, 20L)).toDF("node", "component"), idx)
+    val comp20Files = t.snapshot().files.map(_.path).toSet --
+      bootFiles -- comp10Files
+    assert(bootFiles.nonEmpty && comp10Files.nonEmpty && comp20Files.nonEmpty)
+    // batch: (5,30) extends component 4 with a new node; (2,10) merges a
+    // SMALLER new node into component 10, relabeling its members to 2;
+    // component 20 is untouched. The merge reads membership + this
+    // batch's edges only — never any prior batch's edge history.
+    val batch = Seq((5L, 30L), (2L, 10L)).toDF("a", "b")
+    val ups = graft.api.Pipelines.mergeClusterBatch(
+      batch, col("a"), col("b"), idx, txnId = Some("cm/1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(ups == Set((10L, 2L, true), (11L, 2L, true),
+      (30L, 4L, false), (2L, 2L, false)), s"got $ups")
+    // file-level minimal-rewrite pin: only component 10's file (the one
+    // holding matched rows) was rewritten; components 4 and 20 survive
+    val live = t.snapshot().files.map(_.path).toSet
+    assert(bootFiles.subsetOf(live), "component 4's rows were relabel-free")
+    assert(comp20Files.subsetOf(live), "untouched component 20 must not rewrite")
+    assert((comp10Files & live).isEmpty, "component 10's file must be replaced")
+    // final membership equals the from-scratch recompute over all edges
+    val fin = spark.read.format("gwdelta").load(idx)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin == Map(4L -> 4L, 5L -> 4L, 30L -> 4L,
+      10L -> 2L, 11L -> 2L, 2L -> 2L, 20L -> 20L, 21L -> 20L), s"got $fin")
+    // exactly-once: the replayed txn upserts and commits nothing
+    val v = t.snapshot().version
+    val rep = graft.api.Pipelines.mergeClusterBatch(
+      batch, col("a"), col("b"), idx, txnId = Some("cm/1"))
+    assert(rep.isEmpty && t.snapshot().version == v)
+    // an all-intra-component batch (no merges, no new nodes) is a no-op
+    val noop = graft.api.Pipelines.mergeClusterBatch(
+      Seq((4L, 5L)).toDF("a", "b"), col("a"), col("b"), idx,
+      txnId = Some("cm/2"))
+    assert(noop.isEmpty && t.snapshot().version == v)
+  }
+
   test("incrementalFuzzyDedup: the estimator separates high from low Jaccard") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("fuzzyest")
