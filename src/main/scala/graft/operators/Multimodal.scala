@@ -761,7 +761,10 @@ object Multimodal {
     * exact-caption pairs (content-digest equality, the d01 shape);
     * components via the shared min-label propagation; isolated members
     * keep their own id. The oracle replays hashes, banding, caption
-    * pairs, and the component recurrence in SQL. */
+    * pairs, and the component recurrence in SQL. Runs over the even half
+    * of the corpus (the m13 trim): the PNG encode+decode volume is the
+    * gate's entire cost and half the docs — variants included — exercise
+    * identical machinery. */
   def m11CrossModalDedup(spark: SparkSession, dir: String): DataFrame = {
     val memSchema = StructType(Seq(
       StructField("member_id", LongType, nullable = false),
@@ -769,6 +772,7 @@ object Multimodal {
       StructField("caption", StringType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(memSchema)
     val members = docs(spark, dir)
+      .filter(col("doc_id") % 2 === 0)
       .select(col("doc_id").cast("long"), col("n_chars").cast("long"),
         col("text"))
       .mapPartitions { rows =>
@@ -926,15 +930,15 @@ object Multimodal {
       """WITH RECURSIVE mem AS (
         | SELECT doc_id AS mid, doc_id AS sid, 0 AS pert,
         |  n_chars % 40 + 8 AS w, doc_id % 24 + 8 AS h, text AS cap
-        | FROM documents
+        | FROM documents WHERE doc_id % 2 = 0
         | UNION ALL
         | SELECT doc_id + 10000, doc_id, 1,
         |  n_chars % 40 + 8, doc_id % 24 + 8, 'variant-' || doc_id
-        | FROM documents WHERE doc_id % 5 = 0
+        | FROM documents WHERE doc_id % 2 = 0 AND doc_id % 5 = 0
         | UNION ALL
         | SELECT doc_id + 20000, doc_id + 20000, 0,
         |  n_chars % 40 + 8, (doc_id + 20000) % 24 + 8, text
-        | FROM documents WHERE doc_id % 7 = 0),
+        | FROM documents WHERE doc_id % 2 = 0 AND doc_id % 7 = 0),
         |px AS (
         | SELECT m.mid,
         |  (x.x*31 + y.y*17 + m.sid*7) % 256
