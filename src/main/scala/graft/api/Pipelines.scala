@@ -3480,6 +3480,161 @@ object Pipelines {
           .as("n_tokens"))
   }
 
+  /** Penalty for a substring absent from the unigram vocabulary: large
+    * enough to dominate any real path (scores are a few bits each, words
+    * are short), small enough that `maxWordLen` of them cannot overflow
+    * a BIGINT sum. Single characters are always seeded, so real training
+    * paths never pay it — it only keeps [[unigramSegment]] total on
+    * foreign inputs with unseen characters. */
+  private val UnigramMissPenalty = 1000000000000L
+
+  /**
+   * Viterbi segmentation under a unigram vocabulary (t31's E-step and
+   * the unigram tokenizer's apply face): split each word into the
+   * vocabulary pieces minimizing total integer-bit surprisal. Pure
+   * whole-stage codegen — the DP over positions is an `aggregate` fold
+   * (state = array of (cost, n_pieces, backpointer) structs, one per
+   * prefix length), the backtrack a second fold, and the vocabulary a
+   * broadcast-free LITERAL MAP baked into the plan; ZERO shuffle, one
+   * scan, exactly the bpeEncode posture.
+   *
+   * Determinism contract (what makes the gate hash-exact): scores are
+   * INTEGER bits, and ties break lexicographically on
+   * (cost, piece count, backpointer) — fewer pieces first, then the
+   * longer final piece — which DuckDB replays as a row_number over the
+   * same triple. Appends a `pieces` array column named `out`.
+   */
+  def unigramSegment(words: DataFrame, word: Column, vocab: Seq[(String, Long)],
+      maxPieceLen: Int, out: String = "pieces"): DataFrame = {
+    require(vocab.nonEmpty, "unigram vocabulary must not be empty")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1: $maxPieceLen")
+    val scoreMap = map(vocab.sortBy(_._1)
+      .flatMap { case (p, s) => Seq(lit(p), lit(s)) }: _*)
+    val w = words.withColumn("__w", word).withColumn("__m", scoreMap)
+    // forward DP: element i+1 of the state array = best (cost, np, bp)
+    // for the length-i prefix; candidates at i are the <= maxPieceLen
+    // pieces ending there, compared as a struct (lexicographic = the
+    // documented tiebreak); bp = predecessor prefix length
+    val dp =
+      s"""aggregate(
+         |  sequence(1, length(__w)),
+         |  array(named_struct('cost', 0L, 'np', 0L, 'bp', -1L)),
+         |  (acc, i) -> array_append(acc, array_min(
+         |    transform(sequence(greatest(1, i - ${maxPieceLen - 1}), i),
+         |      s -> named_struct(
+         |        'cost', element_at(acc, s).cost +
+         |          coalesce(element_at(__m, substring(__w, s, i - s + 1)),
+         |            ${UnigramMissPenalty}L),
+         |        'np', element_at(acc, s).np + 1L,
+         |        'bp', cast(s - 1 as bigint))))))""".stripMargin
+    // backtrack: walk bp from the full length to 0, collecting pieces
+    // (appended back-to-front, reversed at the end)
+    val bt =
+      s"""reverse(aggregate(
+         |  sequence(1, length(__w)),
+         |  named_struct('pos', cast(length(__w) as bigint),
+         |    'ps', cast(array() as array<string>)),
+         |  (acc, t) -> if(acc.pos <= 0L, acc, named_struct(
+         |    'pos', element_at(__st, cast(acc.pos as int) + 1).bp,
+         |    'ps', array_append(acc.ps,
+         |      substring(__w, cast(element_at(__st, cast(acc.pos as int) + 1).bp as int) + 1,
+         |        cast(acc.pos - element_at(__st, cast(acc.pos as int) + 1).bp as int))))),
+         |  acc -> acc.ps))""".stripMargin
+    w.withColumn("__st", expr(dp))
+      .withColumn(out, expr(bt))
+      .drop("__w", "__m", "__st")
+  }
+
+  /**
+   * Unigram-LM tokenizer training (t31) — the SentencePiece-style
+   * sibling of [[bpeTrain]] (Kudo 2018): the two dominant public
+   * tokenizer families are BPE and unigram, and a pipeline that trains
+   * one should train both. Engine-exact by construction:
+   *
+   *  - SEED: every substring of length <= `maxPieceLen` of the distinct
+   *    training words (one corpus scan builds the word table, one
+   *    codegen fan-out the substring counts); all single characters
+   *    enter the vocabulary unconditionally, multi-char pieces take the
+   *    top `seedSize` by (freq * len DESC, piece ASC) — SentencePiece's
+   *    frequency-length seed score with a binary-collation tiebreak.
+   *  - E-STEP: Viterbi segmentation of the distinct-word table under
+   *    the current scores ([[unigramSegment]] — codegen fold, no
+   *    shuffle beyond the piece-count aggregate), piece counts weighted
+   *    by word frequency.
+   *  - M-STEP: scores re-estimate as INTEGER BITS — score(p) =
+   *    bits(T + V) - bits(cnt(p) + 1) with bits(x) = floor(log2 x) via
+   *    binary bit length, the t19/t28 libm-free quantization — so every
+   *    round replays exactly in SQL.
+   *  - PRUNE (by loss, at the exact-zero boundary): a multi-char piece
+   *    with Viterbi count 0 sits on no best path, so removing it
+   *    changes no segmentation and increases the corpus loss by exactly
+   *    nothing — drop it; single characters never prune (they keep the
+   *    model total — every string stays segmentable).
+   *
+   * `emIters` fixed iterations of (E -> M -> prune). The vocabulary is
+   * metadata-scale throughout (seedSize + alphabet), so score updates
+   * are driver arithmetic exactly like bpeTrain's argmax — the corpus
+   * is touched once to build the word table and once per E-step.
+   *
+   * Returns (vocab, segmented): the final vocabulary
+   * (piece, cnt, score_bits) with cnt from the last E-step and scores
+   * from the last M-step, and a function segmenting any word frame
+   * under the final scores (the apply face).
+   */
+  def unigramTrain(df: DataFrame, textCol: String, maxPieceLen: Int = 4,
+      seedSize: Int = 64, emIters: Int = 2, maxWordLen: Int = 8)
+      : (Seq[(String, Long, Long)], DataFrame => DataFrame) = {
+    require(emIters >= 1, s"emIters must be >= 1: $emIters")
+    require(maxWordLen >= 1 && maxPieceLen >= 1 && seedSize >= 0,
+      s"bad unigram params: $maxPieceLen/$seedSize/$maxWordLen")
+    val spark = df.sparkSession
+    def bits(x: Long): Long = {
+      require(x >= 1, s"bits() needs a positive count: $x")
+      63L - java.lang.Long.numberOfLeadingZeros(x)
+    }
+    val words = df
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .persist() // the compact iterating state; corpus is scanned ONCE
+    try {
+      val subs = words
+        .select(col("cnt"), explode(expr(
+          s"""flatten(transform(sequence(1, length(w)),
+             |  i -> transform(sequence(1, least($maxPieceLen, length(w) - i + 1)),
+             |    l -> substring(w, i, l))))""".stripMargin)).as("piece"))
+        .groupBy("piece").agg(sum("cnt").as("freq"))
+      val singles = subs.filter(length(col("piece")) === 1)
+      val multis = subs.filter(length(col("piece")) > 1)
+        .orderBy((col("freq") * length(col("piece"))).desc, col("piece").asc)
+        .limit(seedSize)
+      val seed = singles.unionByName(multis)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      require(seed.nonEmpty, "no training words after the length filter")
+      val t0 = seed.map(_._2).sum
+      val v0 = seed.size.toLong
+      var vocab: Seq[(String, Long, Long)] = seed.map { case (p, f) =>
+        (p, f, bits(t0 + v0) - bits(f + 1))
+      }
+      for (_ <- 1 to emIters) {
+        val scores = vocab.map { case (p, _, s) => (p, s) }
+        val counts = unigramSegment(words, col("w"), scores, maxPieceLen)
+          .select(col("cnt"), explode(col("pieces")).as("piece"))
+          .groupBy("piece").agg(sum("cnt").as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val kept = vocab
+          .map { case (p, _, _) => (p, counts.getOrElse(p, 0L)) }
+          .filter { case (p, c) => p.length == 1 || c > 0 }
+        val t = kept.map(_._2).sum
+        val v = kept.size.toLong
+        vocab = kept.map { case (p, c) => (p, c, bits(t + v) - bits(c + 1)) }
+      }
+      val finalScores = vocab.map { case (p, _, s) => (p, s) }
+      (vocab, (in: DataFrame) =>
+        unigramSegment(in, col("w"), finalScores, maxPieceLen))
+    } finally { words.unpersist(); () }
+  }
+
   /**
    * Deterministic train/val/test split + sharded global shuffle (t27) —
    * the last step before a corpus feeds a trainer. One md5 per row drives

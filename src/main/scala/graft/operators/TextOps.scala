@@ -382,6 +382,25 @@ object TextOps {
     mergesDf.select(col("round"), col("pair"), col("cnt")).unionAll(p4)
   }
 
+  // ---------------------------------------------------------------- t31
+  /** Unigram-LM tokenizer training (Kudo 2018, the SentencePiece
+    * algorithm — the other dominant public tokenizer family next to
+    * t26's BPE): substring-count seeding, Viterbi E-steps, integer-bits
+    * M-steps, zero-loss pruning — see [[Pipelines.unigramTrain]]. The
+    * oracle replays the ENTIRE training loop in SQL: seed fan-out and
+    * top-K selection, both EM rounds' position-unrolled Viterbi DP
+    * (row_number over the same (cost, pieces, backpointer) tiebreak),
+    * backtracked piece counts, bit-length score re-estimation, and the
+    * prune rule — so the gate pins every step, not just the final
+    * shape. Output: the final vocabulary (piece, cnt, score_bits). */
+  def t31UnigramVocab(spark: SparkSession, dir: String): DataFrame = {
+    val (vocab, _) = Pipelines.unigramTrain(
+      docs(spark, dir).select(col("text")), "text",
+      maxPieceLen = 4, seedSize = 64, emIters = 2, maxWordLen = 8)
+    import spark.implicits._
+    vocab.toDF("piece", "cnt", "score_bits")
+  }
+
   // ---------------------------------------------------------------- t29
   /** BPE encode (see [[Pipelines.bpeEncode]]): train the same three
     * merges as t26, then price every document in tokens — one zero-
@@ -452,7 +471,100 @@ object TextOps {
     "t28_trigram_surprisal" -> t28TrigramSurprisal _,
     "t29_bpe_encode" -> t29BpeEncode _,
     "t30_leakage_free_split" -> t30LeakageFreeSplit _,
+    "t31_unigram_vocab" -> t31UnigramVocab _,
   )
+
+  /** t31's oracle: the full unigram training loop in static SQL. The
+    * Viterbi DP unrolls by position (words cap at maxWordLen = 8), each
+    * position's argmin replayed as a row_number over the exact
+    * (cost, np, bp) tiebreak [[Pipelines.unigramSegment]] uses; the
+    * backtrack unrolls the same way. Two EM rounds, then the final
+    * (piece, cnt, score_bits) state. */
+  private def unigramOracleSql: String = {
+    val P = 4; val S = 64; val EM = 2; val L = 8
+    val BIG = "1000000000000"
+    def bitsOf(x: String) = s"(length(bin(CAST($x AS BIGINT))) - 1)"
+    def emRound(k: Int): String = {
+      val dps = (1 to L).map { i =>
+        val branches = (math.max(0, i - P) until i).map { j =>
+          s"""   SELECT d.w, d.cnt,
+             |    d.cost + coalesce(v.score, $BIG) AS cost,
+             |    d.np + 1 AS np, CAST($j AS BIGINT) AS bp
+             |   FROM d${k}_$j d LEFT JOIN voc$k v
+             |     ON v.piece = substr(d.w, ${j + 1}, ${i - j})
+             |   WHERE length(d.w) >= $i""".stripMargin
+        }.mkString("\n   UNION ALL\n")
+        s"""d${k}_$i AS MATERIALIZED (
+           | SELECT w, cnt, cost, np, bp FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY w ORDER BY cost, np, bp) AS rn
+           |  FROM (
+           |$branches
+           |  )) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val dall = (1 to L).map(i =>
+        s" SELECT w, CAST($i AS BIGINT) AS pos, bp FROM d${k}_$i")
+        .mkString("\n UNION ALL\n")
+      val bts = (1 to L).map { t =>
+        s"""bt${k}_$t AS MATERIALIZED (
+           | SELECT b.w, b.cnt, d.bp AS pos,
+           |  substr(b.w, CAST(d.bp + 1 AS INT), CAST(b.pos - d.bp AS INT)) AS piece
+           | FROM bt${k}_${t - 1} b JOIN dall$k d ON d.w = b.w AND d.pos = b.pos
+           | WHERE b.pos > 0)""".stripMargin
+      }.mkString(",\n")
+      val pieces = (1 to L).map(t => s" SELECT piece, cnt FROM bt${k}_$t")
+        .mkString("\n UNION ALL\n")
+      s"""d${k}_0 AS MATERIALIZED (SELECT w, cnt, CAST(0 AS BIGINT) AS cost,
+         |  CAST(0 AS BIGINT) AS np, CAST(-1 AS BIGINT) AS bp FROM w0),
+         |$dps,
+         |dall$k AS MATERIALIZED (
+         |$dall),
+         |bt${k}_0 AS MATERIALIZED (SELECT w, cnt, CAST(length(w) AS BIGINT) AS pos,
+         |  '' AS piece FROM w0),
+         |$bts,
+         |cnt$k AS MATERIALIZED (
+         | SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         |$pieces
+         | ) GROUP BY 1),
+         |keep$k AS MATERIALIZED (
+         | SELECT v.piece, coalesce(c.cnt, 0) AS cnt
+         | FROM voc$k v LEFT JOIN cnt$k c USING (piece)
+         | WHERE length(v.piece) = 1 OR coalesce(c.cnt, 0) > 0),
+         |tv${k + 1} AS MATERIALIZED (SELECT sum(cnt) AS t, count(*) AS v FROM keep$k),
+         |voc${k + 1} AS MATERIALIZED (
+         | SELECT piece, cnt,
+         |  ${bitsOf("t + v")} - ${bitsOf("cnt + 1")} AS score
+         | FROM keep$k, tv${k + 1})""".stripMargin
+    }
+    s"""WITH w0 AS MATERIALIZED (
+       | SELECT w, count(*) AS cnt FROM (
+       |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |  FROM documents)
+       | WHERE w <> '' AND length(w) <= $L
+       | GROUP BY 1),
+       |subs AS MATERIALIZED (
+       | SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+       |  SELECT substr(w, i.i, l.l) AS piece, cnt
+       |  FROM w0,
+       |   LATERAL unnest(generate_series(1, length(w))) AS i(i),
+       |   LATERAL unnest(generate_series(1, $P)) AS l(l)
+       |  WHERE i.i + l.l - 1 <= length(w))
+       | GROUP BY 1),
+       |seed AS MATERIALIZED (
+       | SELECT piece, freq FROM subs WHERE length(piece) = 1
+       | UNION ALL
+       | SELECT piece, freq FROM (
+       |  SELECT piece, freq,
+       |   row_number() OVER (ORDER BY freq * length(piece) DESC, piece) AS rn
+       |  FROM subs WHERE length(piece) > 1) WHERE rn <= $S),
+       |tv0 AS MATERIALIZED (SELECT sum(freq) AS t, count(*) AS v FROM seed),
+       |voc0 AS MATERIALIZED (
+       | SELECT piece, freq AS cnt,
+       |  ${bitsOf("t + v")} - ${bitsOf("freq + 1")} AS score
+       | FROM seed, tv0),
+       |${(0 until EM).map(emRound).mkString(",\n")}
+       |SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+       | CAST(score AS BIGINT) AS score_bits FROM voc$EM""".stripMargin
+  }
 
   /** t30's oracle: d08's component recursion over the d04 pairs, rep =
     * component (or self), then splitShuffle's exact md5 thresholds keyed
@@ -568,6 +680,7 @@ object TextOps {
     "t26_bpe_merges" -> bpeOracleSql,
     "t29_bpe_encode" -> bpeEncodeOracleSql,
     "t30_leakage_free_split" -> leakageFreeSplitOracleSql,
+    "t31_unigram_vocab" -> unigramOracleSql,
     "t27_split_shuffle" -> splitShuffleOracleSql,
     // identical integer-bits trigram surprisal: array-side n-gram streams,
     // model counts from the even-id training half, trigrams pruned below

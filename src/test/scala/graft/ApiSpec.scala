@@ -831,6 +831,50 @@ class ApiSpec extends AnyFunSuite {
       "after the forget, a near-dup of the forgotten doc must be KEPT")
   }
 
+  test("unigramTrain: hand-checked EM round on the micro corpus") {
+    import spark.implicits._
+    // words: aa x2, b x1. Seeds: a(freq 4), b(1), aa(2); T0=7, V0=3.
+    // score0: a = bits(10)-bits(5) = 3-2 = 1; aa = 3-bits(3) = 2; b = 3-1 = 2.
+    // Viterbi("aa"): [aa] cost 2 np 1 beats [a,a] cost 2 np 2 (np tiebreak).
+    // counts: aa=2, b=1, a=0 -> a kept (single char), T1=3, V1=3:
+    // a = bits(6)-bits(1) = 2-0 = 2; aa = 2-bits(3) = 1; b = 2-bits(2) = 1.
+    val docs = Seq("aa aa b").toDF("text")
+    val (vocab, segment) = graft.api.Pipelines.unigramTrain(
+      docs, "text", maxPieceLen = 2, seedSize = 8, emIters = 1)
+    assert(vocab.toSet == Set(("a", 0L, 2L), ("aa", 2L, 1L), ("b", 1L, 1L)),
+      s"got $vocab")
+    val seg = segment(Seq("aa", "b", "aab").toDF("w"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(seg("aa") == Seq("aa") && seg("b") == Seq("b"))
+    assert(seg("aab") == Seq("aa", "b"), s"got ${seg("aab")}")
+  }
+
+  test("unigramTrain: invariants on a compound corpus; segmentation is total and lossless") {
+    import spark.implicits._
+    // 'ab' saturates the corpus: the trained model must price ab-family
+    // pieces cheaply enough that 'ababab' never segments char-by-char
+    val docs = Seq.fill(8)("ababab").mkString(" ") + " cd qq"
+    val (vocab, segment) = graft.api.Pipelines.unigramTrain(
+      Seq(docs).toDF("text"), "text", maxPieceLen = 4, seedSize = 16,
+      emIters = 2)
+    val byPiece = vocab.map(v => v._1 -> v).toMap
+    // every single training char survives pruning; counts conserve mass
+    assert(Seq("a", "b", "c", "d", "q").forall(byPiece.contains))
+    // every multi-char survivor carries a positive Viterbi count
+    assert(vocab.filter(_._1.length > 1).forall(_._2 > 0), s"got $vocab")
+    val seg = segment(Seq("ababab", "cd", "abq", "zzz").toDF("w"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // lossless: pieces reassemble the word, even for unseen chars
+    assert(seg.forall { case (w, ps) => ps.mkString == w })
+    assert(seg("ababab").length <= 3,
+      s"dominant bigram must compress: ${seg("ababab")}")
+    // deterministic: a second training run reproduces the exact state
+    val (vocab2, _) = graft.api.Pipelines.unigramTrain(
+      Seq(docs).toDF("text"), "text", maxPieceLen = 4, seedSize = 16,
+      emIters = 2)
+    assert(vocab2 == vocab)
+  }
+
   test("bpeEncode prices documents with the trained merge chain, in order") {
     import spark.implicits._
     val corpus = Seq(
