@@ -469,6 +469,14 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
 
   private def vacuumImpl(retentionMs: Long, dryRun: Boolean,
       lite: Boolean = false): Seq[String] = {
+    // vacuumProtocolCheck (Delta parity): vacuum deletes files, so it
+    // must pass the WRITER protocol gate even though it commits nothing —
+    // a downlevel writer that doesn't understand a feature (deletion
+    // vectors, say) would otherwise reap sidecars the feature still
+    // reads through. The table feature's whole point is forcing this
+    // check; this engine performs it unconditionally.
+    gwLog.snapshot(None).protocol.foreach(p =>
+      graft.log.Protocol.assertWritable(tablePath.toString, p))
     val conf = spark.sparkContext.hadoopConfiguration
     val ownedDirs = Seq("_compacted", "_stream", "_dml", "_dv", "_change_data",
         "_clone", "_bloom")
@@ -2126,6 +2134,19 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
               "column arrives as a NULL slot and is allocated in-flight)")
         }
       }
+      else if (k.startsWith("graft.feature.") || k.startsWith("delta.feature.")) {
+        // Delta's generic feature-enable property: validate at SET time so
+        // a typo'd feature name fails the ALTER, not some later vacuum
+        val name = k.stripPrefix("graft.feature.").stripPrefix("delta.feature.")
+        require(graft.log.Protocol.SupportedReaderFeatures.contains(name) ||
+          graft.log.Protocol.SupportedWriterFeatures.contains(name),
+          s"unknown table feature '$name' — this engine supports: " +
+            (graft.log.Protocol.SupportedReaderFeatures ++
+              graft.log.Protocol.SupportedWriterFeatures).toSeq.sorted.mkString(", "))
+        require(Seq("supported", "enabled", "true")
+          .exists(v.trim.equalsIgnoreCase),
+          s"feature property $k must be 'supported', got '$v'")
+      }
       else if (k.startsWith(GwTable.GeneratedPrefix)) {
         // every generated name in play: this ALTER's plus the table's
         val existing = snapForValidate.get.metadata
@@ -2261,6 +2282,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     GwTable.featureTraceInSnapshot(feature, snap0).foreach(msg =>
       throw new IllegalStateException(
         s"cannot drop feature '$feature' from $tablePath: $msg"))
+    var truncated = false
     if (p0.readerFeatures.getOrElse(Nil).contains(feature)) {
       def traced: Seq[Long] = gwLog.listVersions().filter(v =>
         gwLog.readVersion(v).exists(GwTable.actionUsesFeature(feature, _)))
@@ -2283,6 +2305,7 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
             s"${if (after.size == 1) "" else "s"} ${after.mkString(", ")} — " +
             "the head commit itself still uses the feature; clear the " +
             "current state first")
+        truncated = true
       }
     }
     graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
@@ -2292,10 +2315,27 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
           s"cannot drop feature '$feature' from $tablePath: a concurrent " +
             s"commit re-introduced it ($msg)"))
       val p = snap.protocol.getOrElse(Protocol())
-      val down = p.copy(
+      val down0 = p.copy(
         readerFeatures = p.readerFeatures.map(_.filterNot(_ == feature)),
         writerFeatures = p.writerFeatures.map(_.filterNot(_ == feature)))
-      Seq(
+      // checkpointProtection (Delta 4.x): a truncating drop leaves the
+      // boundary checkpoint as the ONLY safe bootstrap point for
+      // downgraded readers — the SAME commit marks every version up to
+      // and including this downgrade as protected
+      // (`requireCheckpointProtectionBeforeVersion` = this commit + 1),
+      // so later metadata cleanup must clear past the boundary in one
+      // run or touch nothing ([[graft.log.GwLog.cleanupExpiredLogs]])
+      val down =
+        if (!truncated) down0
+        else down0.copy(writerFeatures = Some(
+          (down0.writerFeatures.getOrElse(Nil).toSet + "checkpointProtection")
+            .toSeq.sorted))
+      val metaRestate: Seq[Action] =
+        if (!truncated) Nil
+        else snap.metadata.toSeq.map(m => m.copy(configuration =
+          m.configuration + ("delta.requireCheckpointProtectionBeforeVersion"
+            -> (snap.version + 2).toString)))
+      metaRestate ++ Seq(
         down,
         CommitInfo(System.currentTimeMillis(), "DROP FEATURE", "Downgrade",
           numFiles = 0, numOutputBytes = 0, isBlindAppend = false,
@@ -2519,6 +2559,22 @@ object GwTable {
         if (snap.domains.nonEmpty)
           Some(s"live metadata domains remain (${snap.domains.keys.mkString(", ")}) " +
             "— remove them first")
+        else None
+      case "checkpointProtection" =>
+        val ks = Seq("graft.requireCheckpointProtectionBeforeVersion",
+          "delta.requireCheckpointProtectionBeforeVersion").filter(conf.contains)
+        if (ks.nonEmpty)
+          Some(s"table property ${ks.head} is still set — the history " +
+            "below it still needs its boundary checkpoint; UNSET " +
+            s"TBLPROPERTIES ('${ks.head}') only once every retained " +
+            "checkpoint sits at or above that version")
+        else None
+      case "vacuumProtocolCheck" =>
+        val ks = Seq("graft.feature.vacuumProtocolCheck",
+          "delta.feature.vacuumProtocolCheck").filter(conf.contains)
+        if (ks.nonEmpty)
+          Some(s"table property ${ks.head} is still set — ALTER TABLE ... " +
+            s"UNSET TBLPROPERTIES ('${ks.head}') first")
         else None
       case other =>
         Some(s"this engine does not know how to verify '$other' is unused; " +

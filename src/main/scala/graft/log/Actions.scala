@@ -37,12 +37,13 @@ object Protocol {
     * data-changing removes are refused on appendOnly tables). */
   val SupportedReaderFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "timestampNtz", "typeWidening",
-      "v2Checkpoint")
+      "v2Checkpoint", "vacuumProtocolCheck")
   val SupportedWriterFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "timestampNtz", "changeDataFeed",
       "checkConstraints", "generatedColumns", "identityColumns",
       "inCommitTimestamp", "appendOnly", "typeWidening",
-      "allowColumnDefaults", "rowTracking", "v2Checkpoint", "domainMetadata")
+      "allowColumnDefaults", "rowTracking", "v2Checkpoint", "domainMetadata",
+      "vacuumProtocolCheck", "checkpointProtection")
   val MaxReaderVersion = 3
   val MaxWriterVersion = 7
 

@@ -417,6 +417,25 @@ class GwLog(val tablePath: Path, conf: Configuration,
         if (conf.keys.exists(_.startsWith("graft.constraints."))) wf += "checkConstraints"
         if (conf.keys.exists(_.startsWith("graft.generated."))) wf += "generatedColumns"
         if (conf.keys.exists(_.startsWith("graft.identity."))) wf += "identityColumns"
+        // writer-only (Delta spec): the protected-history marker TRUNCATE
+        // HISTORY leaves behind — cleanup below it must go past it in one run
+        if (Seq("graft.requireCheckpointProtectionBeforeVersion",
+            "delta.requireCheckpointProtectionBeforeVersion")
+            .exists(conf.contains)) wf += "checkpointProtection"
+        // Delta's generic feature-enable property: `<engine>.feature.<name>
+        // = supported` demands the feature without any other trace (the
+        // vacuumProtocolCheck path — validated at SET time)
+        conf.foreach { case (k, v) =>
+          Seq("graft.feature.", "delta.feature.")
+            .find(k.startsWith).foreach { pfx =>
+              val name = k.stripPrefix(pfx)
+              if (Seq("supported", "enabled", "true")
+                  .exists(v.trim.equalsIgnoreCase)) {
+                if (Protocol.SupportedReaderFeatures.contains(name)) rf += name
+                if (Protocol.SupportedWriterFeatures.contains(name)) wf += name
+              }
+            }
+        }
         if (m.schemaString.contains(ColumnMapping.PhysicalNameKey)) {
           rf += "columnMapping"; wf += "columnMapping"
         }
@@ -919,6 +938,19 @@ class GwLog(val tablePath: Path, conf: Configuration,
     val cps = listCheckpoints()
     if (cps.isEmpty) return 0
     val newestCp = cps.last
+    // checkpointProtection (Delta 4.x): with
+    // `requireCheckpointProtectionBeforeVersion = N`, metadata cleanup
+    // below N is only legal when it cleans up to AT LEAST N in one run —
+    // a partial sweep could delete the checkpoint a downgraded reader
+    // needs to bootstrap past dropped-feature history. This cleanup
+    // deletes everything below the newest checkpoint, so the one-run rule
+    // reduces to: newest checkpoint at or above N, else touch nothing.
+    val protectN = snapshot(None).metadata.flatMap(m =>
+      Seq("graft.requireCheckpointProtectionBeforeVersion",
+        "delta.requireCheckpointProtectionBeforeVersion")
+        .flatMap(m.configuration.get).headOption
+        .flatMap(_.trim.toLongOption))
+    if (protectN.exists(_ > newestCp)) return 0
     val f = fs
     val cutoff = System.currentTimeMillis() - retentionMs
     var deleted = 0

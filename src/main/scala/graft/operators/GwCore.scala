@@ -3057,6 +3057,115 @@ object GwCore {
       org.apache.spark.sql.functions.date_format(col("mon"), "yyyy-MM-dd").as("mon"))
   }
 
+  // ---------------------------------------------------------------- gw74
+  /** gw74: `checkpointProtection` + `vacuumProtocolCheck` table features
+    * (Delta 4.x parity) — the two protocol features guarding destructive
+    * maintenance. In-gate pins: (1) a TRUNCATE HISTORY feature drop
+    * writes the `checkpointProtection` writer feature AND the
+    * `requireCheckpointProtectionBeforeVersion` marker (= downgrade
+    * version + 1) in the SAME commit; (2) while the marker sits above
+    * the newest checkpoint, metadata cleanup refuses to touch ANYTHING —
+    * the boundary checkpoint a downgraded reader bootstraps from
+    * survives a retention-0 sweep; (3) once checkpoints cover the
+    * boundary (here: after the marker is unset), the same sweep proceeds
+    * in one run; (4) enabling `vacuumProtocolCheck` via the generic
+    * `graft.feature.* = supported` property upgrades the protocol on
+    * BOTH lists, unknown feature names refuse the ALTER, this engine's
+    * own vacuum passes its protocol check, and a vacuum against a
+    * foreign table demanding an unimplemented writer feature REFUSES
+    * instead of reaping files it cannot reason about. Content is
+    * unchanged end to end (the MOR delete's rows are re-inserted). */
+  def gw74ProtocolProtection(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    ensureGwCatalog(spark)
+    val ns = s"ns${System.nanoTime()}"
+    spark.sql(s"CREATE NAMESPACE gw.$ns")
+    val tmp = Files.createTempDirectory("gw74")
+    val loc = tmp.resolve("db/nation").toString
+    spark.read.parquet(s"$dir/nation.parquet").createOrReplaceTempView("gw74_src")
+    spark.sql(s"CREATE TABLE gw.$ns.t (n_nationkey BIGINT, n_name STRING, " +
+      s"n_regionkey BIGINT) USING gwdelta LOCATION '$loc'")
+    spark.sql(s"INSERT INTO gw.$ns.t SELECT n_nationkey, n_name, n_regionkey " +
+      "FROM gw74_src")
+    val t = GwTable.forPath(spark, loc)
+    // DV feature into HISTORY, current state purged
+    require(t.delete(col("n_nationkey") < 3, mergeOnRead = true) > 0)
+    spark.sql(s"REORG TABLE gw.$ns.t APPLY (PURGE)")
+    // (1) the truncating drop writes protection in the SAME commit
+    val dropV = t.dropFeature("deletionVectors", truncateHistory = true)
+    val snap1 = t.snapshot()
+    val p1 = snap1.protocol.get
+    require(p1.writerFeatures.exists(_.contains("checkpointProtection")),
+      s"truncating drop must add checkpointProtection, got $p1")
+    val marker = snap1.metadata.get.configuration
+      .get("delta.requireCheckpointProtectionBeforeVersion").map(_.toLong)
+    require(marker.contains(dropV + 1),
+      s"marker must cover the downgrade commit: $marker vs ${dropV + 1}")
+    // the marker blocks dropping checkpointProtection itself
+    val protRefuse = try { t.dropFeature("checkpointProtection"); None }
+      catch { case e: Exception => Some(rootMessage(e)) }
+    require(protRefuse.exists(_.contains("requireCheckpointProtectionBeforeVersion")),
+      s"marker must block the protection drop, got: $protRefuse")
+    // (2) protection blocks PARTIAL cleanup: stale versions + an old
+    // checkpoint below the newest one, marker raised beyond every
+    // checkpoint — a retention-0 sweep must delete NOTHING
+    spark.sql(s"INSERT INTO gw.$ns.t SELECT n_nationkey, n_name, n_regionkey " +
+      "FROM gw74_src WHERE n_nationkey < 3") // restore the deleted rows
+    t.log.latestVersion().foreach(t.log.writeCheckpoint)
+    t.updateProperties(Map(
+      "delta.requireCheckpointProtectionBeforeVersion" -> "999999"))
+    t.log.latestVersion().foreach(t.log.writeCheckpoint)
+    val cpsBefore = t.log.listCheckpoints()
+    require(cpsBefore.size >= 2, s"need stacked checkpoints, got $cpsBefore")
+    require(t.cleanupMetadata(retentionMs = 0L) == 0,
+      "cleanup below the protection boundary must delete NOTHING")
+    require(t.log.listCheckpoints() == cpsBefore,
+      "the protected checkpoint must survive a retention-0 sweep")
+    // (3) boundary cleared -> the same sweep proceeds in one run
+    t.updateProperties(Map.empty,
+      unset = Seq("delta.requireCheckpointProtectionBeforeVersion"))
+    t.log.latestVersion().foreach(t.log.writeCheckpoint)
+    require(t.cleanupMetadata(retentionMs = 0L) > 0,
+      "an unprotected retention-0 sweep must reclaim the stale versions")
+    require(t.log.listCheckpoints().size == 1,
+      "one-run cleanup keeps only the covering checkpoint")
+    // (4) vacuumProtocolCheck lifecycle
+    t.updateProperties(Map("graft.feature.vacuumProtocolCheck" -> "supported"))
+    val p2 = t.snapshot().protocol.get
+    require(p2.readerFeatures.exists(_.contains("vacuumProtocolCheck")) &&
+      p2.writerFeatures.exists(_.contains("vacuumProtocolCheck")),
+      s"the feature property must upgrade BOTH lists, got $p2")
+    val badFeat = try {
+      t.updateProperties(Map("graft.feature.vacuumV9" -> "supported")); None
+    } catch { case e: Exception => Some(rootMessage(e)) }
+    require(badFeat.exists(_.contains("unknown table feature")),
+      s"unknown feature names must refuse the ALTER, got: $badFeat")
+    // this engine passes its own vacuum protocol gate
+    spark.conf.set("spark.graft.vacuum.retentionCheck", "false")
+    try require(t.vacuum(retentionMs = 0L) >= 0)
+    finally spark.conf.unset("spark.graft.vacuum.retentionCheck")
+    // a foreign table demanding an unimplemented WRITER feature: vacuum
+    // refuses rather than reaping files whose liveness rules it cannot know
+    val floc = tmp.resolve("db/foreign").toString
+    spark.range(3).selectExpr("id AS n_nationkey")
+      .write.format("gwdelta").save(floc)
+    val flog = GwTable.forPath(spark, floc).log
+    val fs = flog.logPathFor(1L).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(flog.logPathFor(1L), false)
+    out.write(("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["vacuumProtocolCheck"],""" +
+      """"writerFeatures":["vacuumProtocolCheck","futureVacuumV9"]}}""" + "\n")
+      .getBytes("UTF-8"))
+    out.close()
+    val refuse = try { GwTable.forPath(spark, floc).vacuum(); None }
+      catch { case e: Exception => Some(rootMessage(e)) }
+    require(refuse.exists(m => m.contains("futureVacuumV9") &&
+      m.contains("does not implement")),
+      s"downlevel vacuum must refuse, got: $refuse")
+    spark.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM gw.$ns.t")
+  }
+
   /** gw71: `VACUUM ... LITE` (Delta 4.0 parity) — tombstone-named
     * reclaim with ZERO filesystem listing: at 100 TB the debris sweep's
     * recursive listing dominates a vacuum's cost, while the log already
@@ -3252,6 +3361,7 @@ object GwCore {
     "gw71_vacuum_lite" -> gw71VacuumLite _,
     "gw72_path_constraints" -> gw72PathConstraints _,
     "gw73_generated_pruning" -> gw73GeneratedPartitionPruning _,
+    "gw74_protocol_protection" -> gw74ProtocolProtection _,
     "gw60_version_checksum" -> gw60VersionChecksum _,
     "gw61_domain_metadata" -> gw61DomainMetadata _,
   )
@@ -3597,6 +3707,13 @@ object GwCore {
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |  CAST(o_custkey AS BIGINT) AS o_custkey, o_orderpriority
         |FROM orders WHERE o_custkey % 10 = 0""".stripMargin,
+    // gw74: the nation fixture unchanged end to end (the MOR delete's
+    // rows are re-inserted); every protection/refusal invariant is
+    // require()-pinned in-gate
+    "gw74_protocol_protection" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation""".stripMargin,
     // gw73: the date-predicate slice with its generated month column;
     // the partition-pruning invariants are require()-pinned in-gate
     "gw73_generated_pruning" ->

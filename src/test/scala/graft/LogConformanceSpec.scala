@@ -326,4 +326,56 @@ class LogConformanceSpec extends AnyFunSuite {
         "stats-borne skipping must survive the sidecar transcription")
     } finally conf.unset("graft.checkpoint.partSize")
   }
+
+  test("checkpointProtection + vacuumProtocolCheck: foreign wire shapes parse; cleanup honors the marker") {
+    val dir = Files.createTempDirectory("conformance-cp").resolve("t")
+    val logDir = dir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    def write(v: Long, lines: Seq[String]): Unit =
+      Files.write(logDir.resolve(f"$v%020d.json"),
+        (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    // delta-spark wire shapes, hand-authored from the protocol spec: the
+    // (3,7) feature lists plus the protected-history marker a TRUNCATE
+    // HISTORY drop leaves behind
+    write(0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["vacuumProtocolCheck"],"writerFeatures":["vacuumProtocolCheck","checkpointProtection"]}}""",
+      """{"metaData":{"id":"aaaabbbb-1111-2222-3333-444455556666","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{"delta.requireCheckpointProtectionBeforeVersion":"4"},"createdTime":1700000000000}}""",
+      """{"add":{"path":"part-0.parquet","partitionValues":{},"size":100,"modificationTime":1700000000000,"dataChange":true}}"""))
+    write(1L, Seq(
+      """{"add":{"path":"part-1.parquet","partitionValues":{},"size":100,"modificationTime":1700000001000,"dataChange":true}}"""))
+    write(2L, Seq(
+      """{"add":{"path":"part-2.parquet","partitionValues":{},"size":100,"modificationTime":1700000002000,"dataChange":true}}"""))
+    val log = GwLog.forTable(new Configuration(), dir.toString)
+    val s = log.snapshot(None)
+    assert(s.protocol.exists(p =>
+      p.writerFeatures.exists(_.contains("checkpointProtection")) &&
+        p.writerFeatures.exists(_.contains("vacuumProtocolCheck")) &&
+        p.readerFeatures.exists(_.contains("vacuumProtocolCheck"))))
+    assert(s.metadata.exists(_.configuration
+      .get("delta.requireCheckpointProtectionBeforeVersion").contains("4")))
+    // this engine implements both features: readable AND writable
+    Protocol.assertReadable("t", s.protocol.get)
+    Protocol.assertWritable("t", s.protocol.get)
+    // a downlevel writer (no vacuumProtocolCheck) must refuse — the
+    // feature's whole point is gating maintenance behind a protocol check
+    intercept[IllegalArgumentException] {
+      Protocol.assertWritable("t", s.protocol.get.copy(writerFeatures =
+        Some(Seq("vacuumProtocolCheck", "aFutureVacuumRule"))))
+    }
+    // checkpoint BELOW the marker: a retention-0 cleanup must refuse the
+    // partial sweep (it cannot clear past version 4 in one run)
+    log.writeCheckpoint(2L)
+    assert(log.cleanupExpiredLogs(0L) == 0,
+      "cleanup below requireCheckpointProtectionBeforeVersion must no-op")
+    assert(log.listVersions() == Seq(0L, 1L, 2L))
+    // a foreign commit clears the marker: the same sweep now reclaims
+    val meta = s.metadata.get
+    write(3L, Seq(Actions.toJson(meta.copy(configuration =
+      meta.configuration - "delta.requireCheckpointProtectionBeforeVersion"))))
+    val log2 = GwLog.forTable(new Configuration(), dir.toString)
+    log2.writeCheckpoint(3L)
+    assert(log2.cleanupExpiredLogs(0L) > 0)
+    assert(log2.listVersions().headOption.contains(3L),
+      "one-run cleanup past the boundary reclaims the old versions")
+  }
 }
