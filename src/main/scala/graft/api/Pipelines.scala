@@ -2832,6 +2832,53 @@ object Pipelines {
       .withColumn("recall_milli", expr("hits * 1000 DIV truth_k"))
   }
 
+  /**
+   * Streaming recall monitor (st20) — s19's recall@k as a CONTINUOUS
+   * quality signal over the streaming index-ingest faces (st13/st17): a
+   * drifting approximate index serves silently-degrading neighbors, and
+   * nothing in the ingest path notices (appends succeed, counts match) —
+   * the only honest signal is periodically re-measuring the index
+   * against exact ground truth on a pinned probe set.
+   *
+   * One call = one measurement: approximate top-k through the index's
+   * real serving path ([[ivfIndexTopK]] — stored frozen centroids,
+   * probed-lists partition pruning), exact top-k by brute force over the
+   * SAME stored contents, and the integer metric ([[recallAtK]] —
+   * floor-milli recall, engine-exact). The metric rows
+   * `(batch, q_id, truth_k, hits, recall_milli)` append to a gwdelta
+   * metrics table in ONE commit; with `txnId` a crash-retried batch is
+   * detected metadata-only and the ORIGINAL rows are returned instead of
+   * re-measured (the index may have grown since — re-measuring would
+   * rewrite history).
+   *
+   * Scale: probes are a pinned handful, so the approximate side scans
+   * only probed lists and the exact side is one broadcast of the probes
+   * against a streamed contents scan per measurement — the monitor's
+   * cost tracks the probe set, never the ingest volume.
+   */
+  def ivfRecallProbe(probes: DataFrame, id: Column, vec: Column,
+      indexPath: String, metricsPath: String, k: Int, nProbe: Int,
+      batch: Long, txnId: Option[String] = None): DataFrame = {
+    val spark = probes.sparkSession
+    val metricsLog = graft.log.GwLog.forTable(
+      spark.sparkContext.hadoopConfiguration, metricsPath)
+    if (txnId.isDefined && metricsLog.exists() &&
+        graft.streaming.GwSink.replayedVersion(metricsLog, txnId).isDefined)
+      return spark.read.format("gwdelta").load(metricsPath)
+        .filter(col("batch") === batch)
+    val q = probes.select(id.cast("long").as("pid"), vec.as("pemb"))
+    val contents = spark.read.format("gwdelta").load(indexPath)
+      .select(col("n_id").as("pid"), col("n_emb").as("pemb"))
+    val truth = cosineTopK(contents, q, col("pid"), col("pemb"), k)
+    val approx = ivfIndexTopK(q, col("pid"), col("pemb"), indexPath, k, nProbe)
+    val metrics = recallAtK(approx, truth)
+      .select(lit(batch).as("batch"), col("q_id"), col("truth_k"),
+        col("hits"), col("recall_milli"))
+      .localCheckpoint(true) // freeze: later ingest must not move this row
+    graft.streaming.GwSink.append(metrics, metricsPath, txnId = txnId)
+    metrics
+  }
+
   /** Table property key of a persisted IVF+PQ index's codebooks. */
   val IvfPqCodebooksProp = "graft.ivfpq.codebooks"
 

@@ -1027,6 +1027,82 @@ object StreamOps {
       candidates = 20)
   }
 
+  // ---------------------------------------------------------------- st20
+  /** st20: streaming RECALL MONITOR — the continuous quality signal the
+    * index-ingest faces (st13/st17) need in production: a drifting
+    * approximate index degrades silently (appends succeed, counts
+    * match), so each micro-batch, after its ingest lands, re-measures
+    * the index against exact ground truth on a PINNED probe set and
+    * appends one metric batch exactly-once
+    * ([[graft.api.Pipelines.ivfRecallProbe]] — floor-milli recall,
+    * engine-exact). Lifecycle pinned in-gate: two st14-deterministic
+    * micro-batches each ingest + measure (batches 0, 1), a crash-retried
+    * monitor txn returns the ORIGINAL rows and commits nothing, then the
+    * s17 maintenance step (REINDEX onto the pinned 8-family) runs and
+    * the next tick (batch 2) measures the rebuilt index. The oracle
+    * replays every tick: per-batch contents-so-far, the frozen-centroid
+    * probe path, brute-force truth over the same contents, and the
+    * integer metric. The drift scenario itself (recall falling under
+    * out-of-distribution ingest, recovering after retraining) is pinned
+    * by the StreamSpec property test — retrained centroids are
+    * data-dependent and not SQL-renderable, exactly the s17 split. */
+  def st20StreamRecallMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.Pipelines
+    val tmp = java.nio.file.Files.createTempDirectory("st20")
+    val idx = tmp.resolve("ivf").toString
+    val met = tmp.resolve("metrics").toString
+    val src = tmp.resolve("src").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    Pipelines.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), dim = 64, indexPath = idx)
+    val probes = e.filter(col("vec_id") < 10)
+    // the arriving batches: two single-file commits, admitted in order
+    e.filter(col("vec_id") % 4 === 1).coalesce(1)
+      .write.format("gwdelta").mode("append").save(src)
+    e.filter(col("vec_id") % 4 === 3).coalesce(1)
+      .write.format("gwdelta").mode("append").save(src)
+    val streamId = java.util.UUID.randomUUID().toString
+    @volatile var lastBatch = -1L
+    val q = spark.readStream.format("gwdelta")
+      .option("maxFilesPerTrigger", "1").load(src)
+      .writeStream
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lastBatch = batchId
+        Pipelines.appendToIvfIndex(batch, col("vec_id"), col("embedding"),
+          idx, txnId = Some(s"$streamId/ingest/$batchId"))
+        Pipelines.ivfRecallProbe(probes, col("vec_id"), col("embedding"),
+          idx, met, k = 3, nProbe = 2, batch = batchId,
+          txnId = Some(s"$streamId/mon/$batchId")); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(lastBatch == 1L, s"expected two admitted micro-batches, got $lastBatch")
+    val mt = graft.GwTable.forPath(spark, met)
+    val vm = mt.snapshot().version
+    // exactly-once: a crash-retried monitor batch returns the ORIGINAL
+    // rows (the index has grown since — re-measuring would rewrite
+    // history) and commits nothing
+    val replay = Pipelines.ivfRecallProbe(probes, col("vec_id"),
+      col("embedding"), idx, met, k = 3, nProbe = 2, batch = 1L,
+      txnId = Some(s"$streamId/mon/1"))
+    require(mt.snapshot().version == vm,
+      "a replayed monitor txn must not re-commit")
+    require(replay.count() == probes.count(),
+      "the replay must return the original metric rows")
+    // maintenance: REINDEX onto the pinned 8-family (s17), next tick
+    // measures the rebuilt index
+    Pipelines.rebuildIvfIndex(spark, idx, nCentroids = 8,
+      centroids = Some(Pipelines.hyperplanes(8, 64)))
+    Pipelines.ivfRecallProbe(probes, col("vec_id"), col("embedding"),
+      idx, met, k = 3, nProbe = 2, batch = 2L,
+      txnId = Some(s"$streamId/mon/2"))
+    spark.read.format("gwdelta").load(met)
+      .select(col("batch"), col("q_id"), col("truth_k"), col("hits"),
+        col("recall_milli"))
+  }
+
   // ---------------------------------------------------------------- st18
   /** Streaming incremental exact dedup — the streaming face of d20: a
     * document stream dedups each micro-batch against the PERSISTED
@@ -1164,7 +1240,45 @@ object StreamOps {
     "st17_stream_pq_index" -> st17StreamPqIndexIngest _,
     "st18_stream_incr_dedup" -> st18StreamIncrementalDedup _,
     "st19_stream_fuzzy_dedup" -> st19StreamFuzzyDedup _,
+    "st20_recall_monitor" -> st20StreamRecallMonitor _,
   )
+
+  /** st20's oracle: one metric block per monitor tick — tick b's index
+    * contents are the build slice plus the admitted batches so far
+    * (st14-deterministic order), the approximate side is the
+    * centroid-literal IVF replay (16-family for ticks 0/1, the pinned
+    * 8-family after the REINDEX for tick 2), the truth side brute-force
+    * top-3 over the SAME contents, and the metric the identical integer
+    * floor-milli recall. */
+  private def st20OracleSql: String = {
+    val ticks = Seq(
+      (0L, "vec_id % 2 = 0 OR vec_id % 4 = 1", 16),
+      (1L, "TRUE", 16),
+      (2L, "TRUE", 8))
+    ticks.map { case (b, corpusPred, nCents) =>
+      val approx = graft.operators.Similarity.ivfOracleSql(
+        "vec_id < 10", nCentroids = nCents, nProbe = 2,
+        corpusPred = corpusPred)
+      val cPred = corpusPred.replace("vec_id", "c.vec_id")
+      val truth =
+        s"""SELECT q_id, n_id FROM (
+           | SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |  row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+           |      c.embedding::DOUBLE[]) DESC, c.vec_id) AS rnk
+           | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           | WHERE q.vec_id < 10 AND ($cPred)
+           |) WHERE rnk <= 3""".stripMargin
+      s"""SELECT CAST($b AS BIGINT) AS batch, t.q_id,
+         | CAST(count(*) AS BIGINT) AS truth_k,
+         | CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         | CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1000
+         |   // count(*) AS BIGINT) AS recall_milli
+         |FROM ($truth) t
+         |LEFT JOIN ($approx) a ON a.q_id = t.q_id AND a.n_id = t.n_id
+         |GROUP BY t.q_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
 
   /** Batch equivalents: AvailableNow drains the source, so the streaming
     * results must equal these exactly. */
@@ -1176,6 +1290,7 @@ object StreamOps {
     // st19 is the streaming face of d22 over the same batch partitioning
     "st19_stream_fuzzy_dedup" ->
       graft.operators.Dedup.oracles("d22_incremental_fuzzy"),
+    "st20_recall_monitor" -> st20OracleSql,
     "st01_stream_window" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
         | count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c

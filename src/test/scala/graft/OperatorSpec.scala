@@ -125,6 +125,58 @@ class OperatorSpec extends AnyFunSuite {
       s"rebuilt index must serve drifted queries well: $rebuiltRecall")
   }
 
+  test("st20 monitor: the recall metric falls under drift and recovers after REINDEX") {
+    import org.apache.spark.sql.functions.{avg, col}
+    import spark.implicits._
+    val P = graft.api.Pipelines
+    val dim = 16
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def clusters(seed: Int, nClusters: Int, perCluster: Int,
+        idBase: Long): Seq[(Long, Array[Double])] = {
+      val rng = new scala.util.Random(seed)
+      val centers = Array.fill(nClusters)(unit(Array.fill(dim)(rng.nextGaussian())))
+      for (c <- 0 until nClusters; i <- 0 until perCluster) yield {
+        val noise = Array.fill(dim)(rng.nextGaussian() * 0.12)
+        (idBase + c * perCluster + i,
+          unit(centers(c).zip(noise).map { case (a, b) => a + b }))
+      }
+    }
+    val original = clusters(seed = 11, nClusters = 8, perCluster = 40, idBase = 0L)
+    val drifted = clusters(seed = 99, nClusters = 12, perCluster = 25, idBase = 10000L)
+    val tmp = java.nio.file.Files.createTempDirectory("st20drift")
+    val idx = tmp.resolve("ivf").toString
+    val met = tmp.resolve("metrics").toString
+    // frozen index: centroids trained on the ORIGINAL distribution
+    val frozen = P.trainIvfCentroids(original.toDF("id", "emb"), col("emb"),
+      dim, nCentroids = 16, iterations = 3)
+    P.buildIvfIndex(original.toDF("id", "emb"), col("id"), col("emb"), dim,
+      idx, nCentroids = 16, centroids = Some(frozen))
+    // the PINNED probe set every monitor tick re-measures
+    val probes = drifted.filter(_._1 % 25 == 0).toDF("id", "emb")
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg("recall_milli")).head().getDouble(0)
+    val r0 = mean(P.ivfRecallProbe(probes, col("id"), col("emb"), idx, met,
+      k = 10, nProbe = 1, batch = 0L, txnId = Some("mon/0")))
+    // drift arrives through the ingest face: the frozen partitioning
+    // splinters the new clusters across lists
+    P.appendToIvfIndex(drifted.toDF("id", "emb"), col("id"), col("emb"), idx)
+    val r1 = mean(P.ivfRecallProbe(probes, col("id"), col("emb"), idx, met,
+      k = 10, nProbe = 1, batch = 1L, txnId = Some("mon/1")))
+    // REINDEX retrains on the current contents, the monitor sees recovery
+    P.rebuildIvfIndex(spark, idx, nCentroids = 16, iterations = 3)
+    val r2 = mean(P.ivfRecallProbe(probes, col("id"), col("emb"), idx, met,
+      k = 10, nProbe = 1, batch = 2L, txnId = Some("mon/2")))
+    assert(r1 < r0, s"drift must register as a FALLING metric: $r0 -> $r1")
+    assert(r2 > r1, s"REINDEX must register as RECOVERY: $r1 -> $r2")
+    // the monitor's history is the quality timeline, exactly-once per tick
+    val timeline = spark.read.format("gwdelta").load(met)
+      .groupBy("batch").agg(avg("recall_milli").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(timeline(0L) == r0 && timeline(1L) == r1 && timeline(2L) == r2)
+  }
+
   test("s22 PQ REINDEX: rebuild lowers the quantization distortion frozen codebooks accrue under drift") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
