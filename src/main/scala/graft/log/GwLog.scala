@@ -613,11 +613,53 @@ class GwLog(val tablePath: Path, conf: Configuration,
           s""","parts":$numParts"""
         }
       }
+    // The hint carries delta-spark's optional size fields too —
+    // `sizeInBytes` (total checkpoint bytes) and `numOfAddFiles` — so a
+    // foreign reader planning from the hint sees the same metadata the
+    // reference writers emit. The hint stays a HINT: resolution is by
+    // listing ([[listCheckpoints]]), exactly like delta.
+    val cpBytes = checkpointFilesFor(version)
+      .map(p => fs.getFileStatus(p).getLen).sum
+    val nAdds = actions.count(_.isInstanceOf[AddFile])
     val out = fs.create(lastCheckpointPath, /* overwrite = */ true)
     try out.write(
-      s"""{"version":$version,"size":${actions.size}$partsField}"""
+      (s"""{"version":$version,"size":${actions.size}$partsField""" +
+        s""","sizeInBytes":$cpBytes,"numOfAddFiles":$nAdds}""")
         .getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Typed view of `_delta_log/_last_checkpoint` (Delta's
+    * `LastCheckpointInfo` JSON): `version`/`size` are mandatory,
+    * everything else optional per the spec — `parts` (multi-part form),
+    * `sizeInBytes`/`numOfAddFiles` (planning hints), `checkpointSchema`
+    * (kept as raw JSON — the schema of the checkpoint rows themselves)
+    * and `checksum`. Unknown fields are ignored (forward compat). The
+    * file is a HINT, not the source of truth: a stale or missing hint
+    * must never change snapshot resolution, so readers here only ever
+    * consume it through this accessor and validate against the listing. */
+  def lastCheckpointHint(): Option[GwLog.LastCheckpointInfo] = {
+    if (!fs.exists(lastCheckpointPath)) return None
+    val in = fs.open(lastCheckpointPath)
+    val raw = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    scala.util.Try {
+      val n = GwLog.hintMapper.readTree(raw)
+      def optLong(f: String): Option[Long] =
+        if (n.has(f) && n.get(f).canConvertToLong) Some(n.get(f).asLong) else None
+      def optStr(f: String): Option[String] =
+        if (n.has(f)) Some(
+          if (n.get(f).isTextual) n.get(f).asText else n.get(f).toString)
+        else None
+      GwLog.LastCheckpointInfo(
+        version = n.get("version").asLong,
+        size = n.get("size").asLong,
+        parts = optLong("parts").map(_.toInt),
+        sizeInBytes = optLong("sizeInBytes"),
+        numOfAddFiles = optLong("numOfAddFiles"),
+        checkpointSchema = optStr("checkpointSchema"),
+        checksum = optStr("checksum"))
+    }.toOption
   }
 
   /** The checkpointed actions of `version`, with V2 sidecar refs expanded
@@ -1034,6 +1076,18 @@ class GwLog(val tablePath: Path, conf: Configuration,
 
 object GwLog {
   val LogDirName = "_delta_log"
+
+  /** Delta's `_last_checkpoint` JSON, typed (see [[GwLog.lastCheckpointHint]]). */
+  final case class LastCheckpointInfo(
+      version: Long,
+      size: Long,
+      parts: Option[Int],
+      sizeInBytes: Option[Long],
+      numOfAddFiles: Option[Long],
+      checkpointSchema: Option[String],
+      checksum: Option[String])
+
+  private[log] val hintMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Reconcile a contiguous commit range into one action sequence whose
     * single-chunk replay equals replaying the range commit by commit:

@@ -327,6 +327,85 @@ class LogConformanceSpec extends AnyFunSuite {
     } finally conf.unset("graft.checkpoint.partSize")
   }
 
+  test("_last_checkpoint: typed parse of the full delta-spark schema; stale hints never mislead") {
+    val dir = Files.createTempDirectory("conformance-lc").resolve("t")
+    val logDir = dir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    def commitLine(v: Long, path: String): Unit =
+      Files.write(logDir.resolve(f"$v%020d.json"), (Seq(
+        if (v == 0L)
+          """{"metaData":{"id":"cccc-1","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{},"createdTime":1700000000000}}"""
+        else "") .filter(_.nonEmpty) ++ Seq(
+        s"""{"add":{"path":"$path","partitionValues":{},"size":100,"modificationTime":1700000000000,"dataChange":true}}"""))
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    commitLine(0L, "part-0.parquet")
+    commitLine(1L, "part-1.parquet")
+    commitLine(2L, "part-2.parquet")
+    val log = GwLog.forTable(new Configuration(), dir.toString)
+    // OUR emission round-trips typed with the delta-spark size fields
+    log.writeCheckpoint(1L)
+    val own = log.lastCheckpointHint().get
+    assert(own.version == 1L && own.size > 0 &&
+      own.sizeInBytes.exists(_ > 0L) && own.numOfAddFiles.contains(2L),
+      s"got $own")
+    // a FOREIGN delta-spark hint with the full optional field set parses
+    // typed; unknown fields are carried past (forward compat). (Overwrite
+    // through the hadoop fs so the local-fs CRC sidecar follows.)
+    val hfs = new org.apache.hadoop.fs.Path(dir.toString)
+      .getFileSystem(new Configuration())
+    def putHint(s: String): Unit = {
+      val out = hfs.create(new org.apache.hadoop.fs.Path(
+        logDir.resolve("_last_checkpoint").toString), true)
+      try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+    putHint("""{"version":2,"size":7,"parts":2,"sizeInBytes":123456,""" +
+      """"numOfAddFiles":3,"checkpointSchema":{"type":"struct","fields":[]},""" +
+      """"checksum":"abcd1234","tags":{"foo":"bar"},"futureField":9}""")
+    val h = log.lastCheckpointHint().get
+    assert(h == GwLog.LastCheckpointInfo(2L, 7L, Some(2), Some(123456L),
+      Some(3L), Some("""{"type":"struct","fields":[]}"""), Some("abcd1234")),
+      s"got $h")
+    // the foreign hint is STALE/WRONG (no checkpoint exists at v2):
+    // resolution stays listing-driven — snapshot serves all three adds
+    // from the v1 checkpoint + JSON tail, never a torn v2 view
+    assert(log.listCheckpoints() == Seq(1L))
+    assert(log.snapshot(None).files.map(_.path).sorted ==
+      Seq("part-0.parquet", "part-1.parquet", "part-2.parquet"))
+    // a garbage hint parses to None and changes nothing
+    putHint("not json")
+    assert(log.lastCheckpointHint().isEmpty)
+    assert(log.snapshot(None).files.size == 3)
+  }
+
+  test("foreign writer-only features the engine never writes replay typed; writes refuse") {
+    val dir = Files.createTempDirectory("conformance-wf").resolve("t")
+    val logDir = dir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    // invariants + icebergCompatV2: writer-burden features this engine
+    // READS THROUGH (they constrain writers, not the read path) but must
+    // never write through
+    Files.write(logDir.resolve(f"${0L}%020d.json"), (Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors","invariants","icebergCompatV2"]}}""",
+      """{"metaData":{"id":"dddd-1","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"k\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{"delta.enableIcebergCompatV2":"true"},"createdTime":1700000000000}}""",
+      """{"add":{"path":"part-0.parquet","partitionValues":{},"size":100,"modificationTime":1700000000000,"dataChange":true,"stats":"{\"numRecords\":2,\"minValues\":{\"k\":1},\"maxValues\":{\"k\":4},\"nullCount\":{\"k\":0}}"}}""")
+      .mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    val log = GwLog.forTable(new Configuration(), dir.toString)
+    val s = log.snapshot(None)
+    // replay is fully typed: protocol lists carried verbatim, stats serve
+    assert(s.protocol.exists(_.writerFeatures.exists(_.contains("icebergCompatV2"))))
+    assert(s.files.size == 1 && s.filesForRange("k", 5, 9).isEmpty &&
+      s.filesForRange("k", 2, 3).size == 1)
+    Protocol.assertReadable("t", s.protocol.get)
+    // ...but this engine must refuse to WRITE (it does not implement the
+    // writer burdens those features impose) — the gate every batch/stream
+    // write face resolves through (GwSink.tableMeta / GwTable.commitDml)
+    val e = intercept[IllegalArgumentException] {
+      Protocol.assertWritable("t", s.protocol.get)
+    }
+    assert(e.getMessage.contains("invariants") ||
+      e.getMessage.contains("icebergCompatV2"))
+  }
+
   test("checkpointProtection + vacuumProtocolCheck: foreign wire shapes parse; cleanup honors the marker") {
     val dir = Files.createTempDirectory("conformance-cp").resolve("t")
     val logDir = dir.resolve("_delta_log")
