@@ -1220,8 +1220,12 @@ object Pipelines {
     if (txnId.isDefined &&
         graft.streaming.GwSink.replayedVersion(table.log, txnId).isDefined)
       return emptyUpserts
+    // freeze the batch edges once: nodes, the contraction join and the
+    // upsert assembly all reuse them, and the caller's pair GENERATOR
+    // (a banded candidate join) must not re-run per consumer
     val edges = pairs.select(a.cast("long").as("ea"), b.cast("long").as("eb"))
       .filter(col("ea") =!= col("eb")).distinct()
+      .localCheckpoint(true)
     val nodes = edges.select(col("ea").as("node"))
       .union(edges.select(col("eb").as("node"))).distinct()
       .localCheckpoint(true)
@@ -3680,6 +3684,59 @@ object Pipelines {
       (vocab, (in: DataFrame) =>
         unigramSegment(in, col("w"), finalScores, maxPieceLen))
     } finally { words.unpersist(); () }
+  }
+
+  /**
+   * Unigram ENCODE (t32) — apply a trained unigram vocabulary
+   * ([[unigramTrain]]'s scores) to the whole corpus and report each
+   * document's token count, the other half of the unigram lifecycle
+   * exactly as t29 is to t26: t31 trains, this prices every document in
+   * tokens — the number packing/mixture/budget decisions downstream
+   * consume.
+   *
+   * Shapes for 100 TB: ONE corpus scan, ZERO shuffle — the per-word
+   * Viterbi DP runs as a fold NESTED inside the per-document word-array
+   * fold (all whole-stage codegen; the vocabulary is a literal map baked
+   * into the plan), and only the per-doc totals come out. Words longer
+   * than `maxWordLen` (the training cap) price at CHARACTER fallback —
+   * one token per char, the segmentation single-char seeding always
+   * admits — so pricing is total and the rule replays as `length(w)` in
+   * SQL. Documents with no alphabetic words drop (no token mass),
+   * matching the replay's GROUP BY.
+   *
+   * Returns (id, n_words, n_chars, n_tokens).
+   */
+  def unigramEncode(df: DataFrame, id: Column, text: Column,
+      vocab: Seq[(String, Long)], maxPieceLen: Int = 4,
+      maxWordLen: Int = 8): DataFrame = {
+    require(vocab.nonEmpty, "unigram vocabulary must not be empty")
+    val scoreMap = map(vocab.sortBy(_._1)
+      .flatMap { case (p, s) => Seq(lit(p), lit(s)) }: _*)
+    // per-word token count: the unigramSegment DP without the backtrack —
+    // (cost, np) state only, np of the full-length prefix IS the price
+    val tokens =
+      s"""aggregate(__ws, 0L, (tot, w) -> tot +
+         |  if(length(w) > $maxWordLen, cast(length(w) as bigint),
+         |    aggregate(
+         |      sequence(1, length(w)),
+         |      array(named_struct('cost', 0L, 'np', 0L)),
+         |      (acc, i) -> array_append(acc, array_min(
+         |        transform(sequence(greatest(1, i - ${maxPieceLen - 1}), i),
+         |          s -> named_struct(
+         |            'cost', element_at(acc, s).cost +
+         |              coalesce(element_at(__m, substring(w, s, i - s + 1)),
+         |                ${UnigramMissPenalty}L),
+         |            'np', element_at(acc, s).np + 1L)))),
+         |      acc -> element_at(acc, length(w) + 1).np)))""".stripMargin
+    df.withColumn("__m", scoreMap)
+      .select(id.as("id"), col("__m"),
+        filter(split(lower(text), "[^a-z]+"), w => w =!= "").as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .select(col("id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        aggregate(col("__ws"), lit(0L), (acc, w) => acc + length(w))
+          .as("n_chars"),
+        expr(tokens).as("n_tokens"))
   }
 
   /**

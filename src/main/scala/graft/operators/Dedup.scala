@@ -218,7 +218,10 @@ object Dedup {
     * from-scratch d08 recursion over ALL pairs (min is associative, so
     * per-batch merging must reproduce the global labels exactly). */
   def d24ClusterMaintenance(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = d04NgramJaccard(spark, dir)
+    // freeze the pair set once: the banded candidate join feeds both the
+    // bootstrap and the merge batch (pairs are sparse — tiny next to the
+    // corpus that produced them)
+    val pairs = d04NgramJaccard(spark, dir).localCheckpoint(true)
     val idx = java.nio.file.Files.createTempDirectory("d24")
       .resolve("clidx").toString
     val b1 = pairs.filter((col("doc_a") + col("doc_b")) % 2 === 0)

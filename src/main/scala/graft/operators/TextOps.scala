@@ -401,6 +401,21 @@ object TextOps {
     vocab.toDF("piece", "cnt", "score_bits")
   }
 
+  // ---------------------------------------------------------------- t32
+  /** Unigram ENCODE (see [[Pipelines.unigramEncode]]): train the same
+    * vocabulary as t31, then price every document in tokens — the
+    * per-word Viterbi DP nested inside the per-doc word fold, one
+    * zero-shuffle codegen scan with the scores baked in as a literal
+    * map; over-cap words price at character fallback. */
+  def t32UnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val (vocab, _) = Pipelines.unigramTrain(d.select(col("text")), "text",
+      maxPieceLen = 4, seedSize = 64, emIters = 2, maxWordLen = 8)
+    Pipelines.unigramEncode(d, col("doc_id"), col("text"),
+      vocab.map(v => (v._1, v._3)), maxPieceLen = 4, maxWordLen = 8)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   // ---------------------------------------------------------------- t29
   /** BPE encode (see [[Pipelines.bpeEncode]]): train the same three
     * merges as t26, then price every document in tokens — one zero-
@@ -472,6 +487,7 @@ object TextOps {
     "t29_bpe_encode" -> t29BpeEncode _,
     "t30_leakage_free_split" -> t30LeakageFreeSplit _,
     "t31_unigram_vocab" -> t31UnigramVocab _,
+    "t32_unigram_encode" -> t32UnigramEncode _,
   )
 
   /** t31's oracle: the full unigram training loop in static SQL. The
@@ -481,26 +497,84 @@ object TextOps {
     * backtrack unrolls the same way. Two EM rounds, then the final
     * (piece, cnt, score_bits) state. */
   private def unigramOracleSql: String = {
-    val P = 4; val S = 64; val EM = 2; val L = 8
-    val BIG = "1000000000000"
+    val EM = UnigramEm
+    s"""WITH ${unigramTrainCtes()}
+       |SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+       | CAST(score AS BIGINT) AS score_bits FROM voc$EM""".stripMargin
+  }
+
+  /** t32's oracle: the t31 training CTEs verbatim (so gate and oracle
+    * can never diverge on the model), then one more position-unrolled DP
+    * pass over the distinct word table under the FINAL scores — the
+    * full-length prefix's piece count IS the word's price — joined back
+    * to per-document word multiplicities; words beyond the training cap
+    * price at character fallback (`length(w)`). */
+  private def unigramEncodeOracleSql: String = {
+    val EM = UnigramEm; val L = UnigramMaxWordLen
+    s"""WITH ${unigramTrainCtes()},
+       |${unigramDpCtes(EM)},
+       |etok AS MATERIALIZED (
+       | SELECT w, np FROM (
+       |${(1 to L).map(i =>
+           s"  SELECT w, CAST($i AS BIGINT) AS pos, np FROM d${EM}_$i")
+           .mkString("\n  UNION ALL\n")}
+       | ) WHERE pos = length(w)),
+       |dw AS MATERIALIZED (
+       | SELECT doc_id, w, count(*) AS cnt FROM (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |  FROM documents)
+       | WHERE w <> '' GROUP BY 1, 2)
+       |SELECT d.doc_id,
+       | CAST(sum(d.cnt) AS BIGINT) AS n_words,
+       | CAST(sum(d.cnt * length(d.w)) AS BIGINT) AS n_chars,
+       | CAST(sum(d.cnt * CASE WHEN length(d.w) > $L THEN length(d.w)
+       |   ELSE t.np END) AS BIGINT) AS n_tokens
+       |FROM dw d LEFT JOIN etok t ON t.w = d.w
+       |GROUP BY 1""".stripMargin
+  }
+
+  private val UnigramP = 4
+  private val UnigramSeed = 64
+  private val UnigramEm = 2
+  private val UnigramMaxWordLen = 8
+  private val UnigramBig = "1000000000000"
+
+  /** The position-unrolled Viterbi DP over `w0` under `voc{k}`:
+    * CTEs `d{k}_0 .. d{k}_L`, argmin per position replayed as a
+    * row_number over the exact (cost, np, bp) tiebreak
+    * [[Pipelines.unigramSegment]]'s struct array_min uses. */
+  private def unigramDpCtes(k: Int): String = {
+    val P = UnigramP; val L = UnigramMaxWordLen; val BIG = UnigramBig
+    val dps = (1 to L).map { i =>
+      val branches = (math.max(0, i - P) until i).map { j =>
+        s"""   SELECT d.w, d.cnt,
+           |    d.cost + coalesce(v.score, $BIG) AS cost,
+           |    d.np + 1 AS np, CAST($j AS BIGINT) AS bp
+           |   FROM d${k}_$j d LEFT JOIN voc$k v
+           |     ON v.piece = substr(d.w, ${j + 1}, ${i - j})
+           |   WHERE length(d.w) >= $i""".stripMargin
+      }.mkString("\n   UNION ALL\n")
+      s"""d${k}_$i AS MATERIALIZED (
+         | SELECT w, cnt, cost, np, bp FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY w ORDER BY cost, np, bp) AS rn
+         |  FROM (
+         |$branches
+         |  )) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""d${k}_0 AS MATERIALIZED (SELECT w, cnt, CAST(0 AS BIGINT) AS cost,
+       |  CAST(0 AS BIGINT) AS np, CAST(-1 AS BIGINT) AS bp FROM w0),
+       |$dps""".stripMargin
+  }
+
+  /** The full t31 training chain as WITH-body CTEs (seed fan-out, top-K
+    * selection, `UnigramEm` rounds of DP + backtrack + count + prune +
+    * re-estimate), ending at `voc{UnigramEm}` — shared by the t31 and
+    * t32 oracles so the trained model is literally the same SQL. */
+  private def unigramTrainCtes(): String = {
+    val P = UnigramP; val S = UnigramSeed; val EM = UnigramEm
+    val L = UnigramMaxWordLen
     def bitsOf(x: String) = s"(length(bin(CAST($x AS BIGINT))) - 1)"
     def emRound(k: Int): String = {
-      val dps = (1 to L).map { i =>
-        val branches = (math.max(0, i - P) until i).map { j =>
-          s"""   SELECT d.w, d.cnt,
-             |    d.cost + coalesce(v.score, $BIG) AS cost,
-             |    d.np + 1 AS np, CAST($j AS BIGINT) AS bp
-             |   FROM d${k}_$j d LEFT JOIN voc$k v
-             |     ON v.piece = substr(d.w, ${j + 1}, ${i - j})
-             |   WHERE length(d.w) >= $i""".stripMargin
-        }.mkString("\n   UNION ALL\n")
-        s"""d${k}_$i AS MATERIALIZED (
-           | SELECT w, cnt, cost, np, bp FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY w ORDER BY cost, np, bp) AS rn
-           |  FROM (
-           |$branches
-           |  )) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
       val dall = (1 to L).map(i =>
         s" SELECT w, CAST($i AS BIGINT) AS pos, bp FROM d${k}_$i")
         .mkString("\n UNION ALL\n")
@@ -513,9 +587,7 @@ object TextOps {
       }.mkString(",\n")
       val pieces = (1 to L).map(t => s" SELECT piece, cnt FROM bt${k}_$t")
         .mkString("\n UNION ALL\n")
-      s"""d${k}_0 AS MATERIALIZED (SELECT w, cnt, CAST(0 AS BIGINT) AS cost,
-         |  CAST(0 AS BIGINT) AS np, CAST(-1 AS BIGINT) AS bp FROM w0),
-         |$dps,
+      s"""${unigramDpCtes(k)},
          |dall$k AS MATERIALIZED (
          |$dall),
          |bt${k}_0 AS MATERIALIZED (SELECT w, cnt, CAST(length(w) AS BIGINT) AS pos,
@@ -535,7 +607,7 @@ object TextOps {
          |  ${bitsOf("t + v")} - ${bitsOf("cnt + 1")} AS score
          | FROM keep$k, tv${k + 1})""".stripMargin
     }
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        | SELECT w, count(*) AS cnt FROM (
        |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
        |  FROM documents)
@@ -561,9 +633,7 @@ object TextOps {
        | SELECT piece, freq AS cnt,
        |  ${bitsOf("t + v")} - ${bitsOf("freq + 1")} AS score
        | FROM seed, tv0),
-       |${(0 until EM).map(emRound).mkString(",\n")}
-       |SELECT piece, CAST(cnt AS BIGINT) AS cnt,
-       | CAST(score AS BIGINT) AS score_bits FROM voc$EM""".stripMargin
+       |${(0 until EM).map(emRound).mkString(",\n")}""".stripMargin
   }
 
   /** t30's oracle: d08's component recursion over the d04 pairs, rep =
@@ -681,6 +751,7 @@ object TextOps {
     "t29_bpe_encode" -> bpeEncodeOracleSql,
     "t30_leakage_free_split" -> leakageFreeSplitOracleSql,
     "t31_unigram_vocab" -> unigramOracleSql,
+    "t32_unigram_encode" -> unigramEncodeOracleSql,
     "t27_split_shuffle" -> splitShuffleOracleSql,
     // identical integer-bits trigram surprisal: array-side n-gram streams,
     // model counts from the even-id training half, trigrams pruned below

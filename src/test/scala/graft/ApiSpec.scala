@@ -849,6 +849,35 @@ class ApiSpec extends AnyFunSuite {
     assert(seg("aab") == Seq("aa", "b"), s"got ${seg("aab")}")
   }
 
+  test("unigramEncode prices documents: DP pieces within the cap, char fallback beyond it") {
+    import spark.implicits._
+    // trained on the micro corpus: vocab a(2 bits), aa(1), b(1) — see the
+    // hand-checked EM test above
+    val (vocab, _) = graft.api.Pipelines.unigramTrain(
+      Seq("aa aa b").toDF("text"), "text", maxPieceLen = 2, seedSize = 8,
+      emIters = 1, maxWordLen = 8)
+    val scores = vocab.map(v => (v._1, v._3))
+    val docs = Seq(
+      (1L, "aa aa b"),        // 3 words: [aa]+[aa]+[b] = 3 tokens
+      (2L, "aab4aa"),         // split on the digit: aab -> [aa][b], aa -> [aa] = 3
+      (3L, "abcdefghij"),     // 10 chars > cap 8 -> char fallback = 10
+      (4L, "zz"),             // unseen chars: the whole unknown run
+                              // collapses into ONE unk-piece (the DP
+                              // minimizes miss count — SentencePiece's
+                              // <unk> behavior) = 1 token
+      (5L, "123 456")         // no alphabetic words -> dropped
+    ).toDF("id", "text")
+    val got = graft.api.Pipelines.unigramEncode(docs, col("id"), col("text"),
+      scores, maxPieceLen = 2, maxWordLen = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((3L, 5L, 3L)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 5L, 3L)), s"got ${got(2L)}")
+    assert(got(3L) == ((1L, 10L, 10L)), s"got ${got(3L)}")
+    assert(got(4L) == ((1L, 2L, 1L)), s"got ${got(4L)}")
+    assert(!got.contains(5L), "no-token-mass docs drop")
+  }
+
   test("unigramTrain: invariants on a compound corpus; segmentation is total and lossless") {
     import spark.implicits._
     // 'ab' saturates the corpus: the trained model must price ab-family
