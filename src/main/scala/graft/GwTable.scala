@@ -371,10 +371,20 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
    * CURRENT AddFile (fresh snapshot at commit time) receives the new
    * stats, so a concurrent MOR DELETE's deletion vector or row-tracking
    * metadata is never clobbered by this command's older view, and
-   * targets removed mid-flight simply drop out. Returns the number of
-   * files whose stats were refreshed.
+   * targets removed mid-flight simply drop out.
+   *
+   * `maxFilesPerCommit` bounds the DRIVER: a commit's JSON must hold one
+   * re-asserted AddFile per target, so a 10M-file backfill runs as a
+   * sequence of bounded `dataChange=false` commits instead of one
+   * driver-OOM-sized action list — partial progress is always valid
+   * table state (stats derive from immutable file bytes), and a crashed
+   * backfill just resumes with fewer remaining targets. Returns the
+   * number of files whose stats were refreshed.
    */
-  def computeStats(allFiles: Boolean = false): Int = {
+  def computeStats(allFiles: Boolean = false,
+      maxFilesPerCommit: Int = 1 << 20): Int = {
+    require(maxFilesPerCommit >= 1,
+      s"maxFilesPerCommit must be >= 1: $maxFilesPerCommit")
     val snap = snapshot()
     val tableConf = snap.metadata.map(_.configuration).getOrElse(Map.empty)
     if (snap.metadata.exists(_.schemaString
@@ -408,38 +418,51 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
     }
     val targets = if (allFiles) snap.files else snap.files.filter(needs)
     if (targets.isEmpty) return 0
-    // distributed footer re-harvest: executors read footers only and ship
-    // one small JSON string per file back — metadata scale by design
     val sconf = new graft.SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
-    val paths = targets.map(_.path)
-    val par = math.max(1, math.min(paths.size,
-      spark.sparkContext.defaultParallelism))
-    val harvested: Map[String, String] = spark.sparkContext
-      .parallelize(paths, par)
-      .mapPartitions { it =>
-        it.flatMap(p => graft.sources.SchemaProbe
-          .readStats(sconf.value, p, statsCols).map(p -> _))
-      }.collect().toMap
-    if (harvested.isEmpty) return 0
-    val now = System.currentTimeMillis()
+    // BATCHED commits (`maxFilesPerCommit`): the driver only ever holds
+    // one batch's stats strings and one batch's AddFile re-assertions —
+    // a 10M-file backfill is a sequence of bounded metadata commits, not
+    // one driver-OOM-sized JSON. Each batch rebases onto the CURRENT
+    // snapshot independently (stats derive from immutable file bytes, so
+    // partial progress is always valid table state).
     var refreshed = 0
-    try graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
-      val fresh = gwLog.snapshot(None)
-      graft.log.Occ.checkTableState(tablePath.toString, snap, fresh)
-      val liveNow = fresh.files.map(f => f.path -> f).toMap
-      // rebase onto the files as they are NOW: stats derive from the
-      // immutable file bytes, so they graft onto whatever DV/row-tracking
-      // state the current AddFile carries
-      val adds: Seq[Action] = harvested.keys.toSeq.sorted.flatMap(p =>
-        liveNow.get(p).map(cur =>
-          cur.copy(stats = Some(harvested(p)), dataChange = false)))
-      refreshed = adds.size
-      if (adds.isEmpty) throw new GwTable.NothingToCommit
-      adds :+ CommitInfo(now, "COMPUTE STATISTICS", "Analyze",
-        numFiles = adds.size, numOutputBytes = 0, isBlindAppend = false,
-        txnId = java.util.UUID.randomUUID().toString)
-    } catch { case _: GwTable.NothingToCommit => return 0 }
+    targets.grouped(maxFilesPerCommit).foreach { batch =>
+      // distributed footer re-harvest: executors read footers only and
+      // ship one small JSON string per file back — metadata scale
+      val paths = batch.map(_.path)
+      val par = math.max(1, math.min(paths.size,
+        spark.sparkContext.defaultParallelism))
+      val harvested: Map[String, String] = spark.sparkContext
+        .parallelize(paths, par)
+        .mapPartitions { it =>
+          it.flatMap(p => graft.sources.SchemaProbe
+            .readStats(sconf.value, p, statsCols).map(p -> _))
+        }.collect().toMap
+      if (harvested.nonEmpty) {
+        val now = System.currentTimeMillis()
+        var committed = 0 // assigned per OCC attempt; added once on success
+        try {
+          graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+            val fresh = gwLog.snapshot(None)
+            graft.log.Occ.checkTableState(tablePath.toString, snap, fresh)
+            val liveNow = fresh.files.map(f => f.path -> f).toMap
+            // rebase onto the files as they are NOW: stats derive from the
+            // immutable file bytes, so they graft onto whatever
+            // DV/row-tracking state the current AddFile carries
+            val adds: Seq[Action] = harvested.keys.toSeq.sorted.flatMap(p =>
+              liveNow.get(p).map(cur =>
+                cur.copy(stats = Some(harvested(p)), dataChange = false)))
+            if (adds.isEmpty) throw new GwTable.NothingToCommit
+            committed = adds.size
+            adds :+ CommitInfo(now, "COMPUTE STATISTICS", "Analyze",
+              numFiles = adds.size, numOutputBytes = 0, isBlindAppend = false,
+              txnId = java.util.UUID.randomUUID().toString)
+          }
+          refreshed += committed
+        } catch { case _: GwTable.NothingToCommit => () }
+      }
+    }
     refreshed
   }
 

@@ -45,6 +45,26 @@ class StatsBackfillSpec extends SparkSpec {
     assert(t.computeStats() == 0, "second pass finds nothing to do")
   }
 
+  test("maxFilesPerCommit batches a large backfill into bounded commits") {
+    val (_, t) = freshNoStats()
+    val files = t.snapshot().files.size
+    assert(files >= 4, s"fixture needs >= 4 files, got $files")
+    t.updateProperties(Map("graft.stats.columns" -> "l_orderkey"),
+      unset = Seq("graft.stats.numIndexedCols"))
+    val v0 = t.snapshot().version
+    // batch size 2: a 4-file backfill must land as ceil(4/2) = 2 commits,
+    // every file refreshed exactly once, partial progress always valid
+    val n = t.computeStats(maxFilesPerCommit = 2)
+    assert(n == files, s"all $files files must refresh, got $n")
+    val commits = t.snapshot().version - v0
+    assert(commits == (files + 1) / 2,
+      s"expected ${(files + 1) / 2} bounded commits, got $commits")
+    assert(t.snapshot().files.forall(_.stats.exists(_.contains("l_orderkey"))),
+      "every live file carries the backfilled column stats")
+    // idempotence survives the batched path
+    assert(t.computeStats(maxFilesPerCommit = 2) == 0)
+  }
+
   test("FOR ALL FILES re-harvests even files whose stats are complete") {
     val (loc, t) = freshNoStats()
     t.updateProperties(Map("graft.stats.columns" -> "l_orderkey"),
