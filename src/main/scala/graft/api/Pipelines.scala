@@ -1109,6 +1109,137 @@ object Pipelines {
     report
   }
 
+  val EmbIdxDimProp = "graft.embidx.dim"
+  val EmbIdxPlanesProp = "graft.embidx.planes"
+  val EmbIdxBandsProp = "graft.embidx.bands"
+
+  /** Banded sign-LSH rows of an embedding frame: one (band, bucket,
+    * vec_id, emb) row per band, buckets from the seeded hyperplane
+    * family (the s02/d06 candidate machinery). The embedding rides along
+    * because the incremental-dedup DECISION is exact cosine — candidates
+    * are approximate, verdicts never are. */
+  private def bandedEmbeddings(df: DataFrame, id: Column, vec: Column,
+      dim: Int, nPlanes: Int, bands: Int): DataFrame = {
+    require(nPlanes % bands == 0, "nPlanes must be divisible by bands")
+    val bitsPerBand = nPlanes / bands
+    val planes = hyperplanes(nPlanes, dim)
+    def bandKeys(e: Column): Seq[Column] = {
+      val bits = (0 until nPlanes).map { p =>
+        when(dotProd(e, lit(planes(p))) > 0, 1L).otherwise(0L)
+      }
+      (0 until bands).map { b =>
+        (0 until bitsPerBand).map(i => bits(b * bitsPerBand + i) * (1L << i))
+          .reduce(_ + _)
+      }
+    }
+    df.select(id.cast("long").as("vec_id"), vec.as("emb"))
+      .select(col("vec_id"), col("emb"),
+        posexplode(array(bandKeys(col("emb")).map(_.cast("long")): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+      .select("band", "bucket", "vec_id", "emb")
+  }
+
+  /**
+   * Persisted EMBEDDING index bootstrap (d25) — the semantic counterpart
+   * of [[buildFingerprintIndex]] (exact) and [[buildMinHashIndex]]
+   * (fuzzy): the historical corpus's sign-LSH banded rows land as a
+   * transactional gwdelta table PARTITIONED BY band, embedding attached
+   * (the exact-cosine verify needs it), and the corpus itself is never
+   * rescanned. The hyperplane family is seeded and data-independent; its
+   * shape rides the table configuration so the index is self-describing.
+   */
+  def buildEmbeddingIndex(df: DataFrame, id: Column, vec: Column, dim: Int,
+      indexPath: String, nPlanes: Int = 24, bands: Int = 8): Long =
+    graft.streaming.GwSink.append(
+      bandedEmbeddings(df, id, vec, dim, nPlanes, bands), indexPath,
+      partitionBy = Seq("band"),
+      bootstrapProps = Map(EmbIdxDimProp -> dim.toString,
+        EmbIdxPlanesProp -> nPlanes.toString,
+        EmbIdxBandsProp -> bands.toString))
+
+  /**
+   * Incremental SEMANTIC dedup against the persisted embedding index
+   * (d25) — the third face of the incremental-dedup lifecycle: d20
+   * admits by content digest, d22 by estimated Jaccard, this by EXACT
+   * COSINE over LSH-banded candidates — a paraphrase or re-embedding of
+   * an already-admitted vector drops even though no digest or shingle
+   * matches. Candidates come from the (band, bucket) equi-join against
+   * the stored banded rows (never all-pairs, band partition pruning
+   * applies); the decision compares ROUNDED micro-cosine
+   * (`>= thresholdMicro` drops) so the boundary is integer-exact and
+   * SQL-replayable; survivors' banded rows append under the batch txn in
+   * the same call.
+   *
+   * Scale: the index never broadcasts (streamed equi-join); the batch
+   * side is bucket-capped (the shared LSH skew guard); the banded batch
+   * frame is checkpointed ONCE for its consumers. Exactly-once replay
+   * mirrors d20/d22: on a DETECTED replay the batch's own index rows are
+   * anti-joined out of the candidate set, so the replayed report equals
+   * the first attempt's. Returns (id, dup_of_index, dup_in_batch, kept).
+   */
+  def incrementalSemanticDedup(batch: DataFrame, id: Column, vec: Column,
+      indexPath: String, thresholdMicro: Long,
+      txnId: Option[String] = None, bucketCap: Int = 65536,
+      broadcastMaxKeys: Long = 4000000L): DataFrame = {
+    val spark = batch.sparkSession
+    val t = graft.GwTable.forPath(spark, indexPath)
+    val conf = t.snapshot().metadata.map(_.configuration).getOrElse(Map.empty)
+    def prop(k: String): Int = conf.getOrElse(k, throw new IllegalArgumentException(
+      s"$indexPath is not an embedding index table: missing $k " +
+        "in the table configuration (build one with buildEmbeddingIndex)")).toInt
+    val dim = prop(EmbIdxDimProp)
+    val nPlanes = prop(EmbIdxPlanesProp)
+    val bands = prop(EmbIdxBandsProp)
+    val pinned = t.versionAsOf(t.snapshot().version)
+    def cosMicro(a: Column, b: Column): Column =
+      round(dotProd(a, b) / (l2norm(a) * l2norm(b)) * 1000000).cast("long")
+    val banded0 = bandedEmbeddings(batch, id, vec, dim, nPlanes, bands)
+      .localCheckpoint()
+    val bb = capBucketMembers(banded0, "vec_id", bucketCap).localCheckpoint()
+    val isReplay = txnId.isDefined &&
+      graft.streaming.GwSink.replayedVersion(t.log, txnId).isDefined
+    val candBase = bb.select(col("band"), col("bucket"),
+        col("vec_id").as("id"), col("emb"))
+      .join(pinned.select(col("band"), col("bucket"),
+        col("vec_id").as("h_id"), col("emb").as("h_emb")), Seq("band", "bucket"))
+    val candIdx =
+      (if (!isReplay) candBase
+       else {
+         val selfIds = bb.select(col("vec_id").as("h_id")).distinct()
+         val smallIds = selfIds.count() <= broadcastMaxKeys
+         candBase.join(if (smallIds) broadcast(selfIds) else selfIds,
+           Seq("h_id"), "left_anti")
+       })
+      .select("id", "h_id", "emb", "h_emb").distinct()
+    val dupIdx = candIdx
+      .filter(cosMicro(col("emb"), col("h_emb")) >= thresholdMicro)
+      .select("id").distinct().withColumn("__di", lit(true))
+    val candB = bb.select(col("band"), col("bucket"),
+        col("vec_id").as("id_a"), col("emb").as("emb_a"))
+      .join(bb.select(col("band"), col("bucket"),
+        col("vec_id").as("id_b"), col("emb").as("emb_b")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "emb_a", "emb_b").distinct()
+    val dupB = candB
+      .filter(cosMicro(col("emb_a"), col("emb_b")) >= thresholdMicro)
+      .select(col("id_b").as("id")).distinct().withColumn("__db", lit(true))
+    val report = banded0.select(col("vec_id").as("id")).distinct()
+      .join(dupIdx, Seq("id"), "left")
+      .join(dupB, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__di"), lit(false)).as("dup_of_index"),
+        coalesce(col("__db"), lit(false)).as("dup_in_batch"))
+      .withColumn("kept", !col("dup_of_index") && !col("dup_in_batch"))
+    val survivors = bb
+      .join(report.filter(col("kept")).select(col("id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .select("band", "bucket", "vec_id", "emb")
+    graft.streaming.GwSink.append(
+      survivors, indexPath, txnId = txnId, partitionBy = Seq("band"))
+    report
+  }
+
   /**
    * Right-to-be-forgotten for the persisted EXACT-dedup state (d23): a
    * deletion-request id set removes ITS rows from the fingerprint index
@@ -1141,6 +1272,20 @@ object Pipelines {
     graft.GwTable.forPath(ids.sparkSession, indexPath).merge(
       ids.select(id.cast("long").as("doc_id")).distinct(),
       on = col("t.doc_id") === col("s.doc_id"),
+      insertNotMatched = false,
+      whenMatchedDeleteIf = Some(lit(true)))
+
+  /** d23's semantic twin: forget a deletion-request id set's banded
+    * embedding rows ([[buildEmbeddingIndex]]) — every band row of a
+    * forgotten vector leaves the index in one MERGE matched-delete
+    * commit (band partition pruning bounds the rewrite), so a later
+    * near-duplicate of it is ADMITTED again by
+    * [[incrementalSemanticDedup]]. Returns the committed version, or -1
+    * when nothing matched. */
+  def forgetEmbeddings(ids: DataFrame, id: Column, indexPath: String): Long =
+    graft.GwTable.forPath(ids.sparkSession, indexPath).merge(
+      ids.select(id.cast("long").as("vec_id")).distinct(),
+      on = col("t.vec_id") === col("s.vec_id"),
       insertNotMatched = false,
       whenMatchedDeleteIf = Some(lit(true)))
 

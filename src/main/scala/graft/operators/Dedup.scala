@@ -241,6 +241,42 @@ object Dedup {
       .select(col("node").as("doc_id"), col("component"))
   }
 
+  /** d25: incremental SEMANTIC dedup against a persisted embedding index
+    * — the third face of the incremental lifecycle (d20 exact digests,
+    * d22 estimated Jaccard, this EXACT COSINE over sign-LSH candidates):
+    * bootstrap banded embeddings from the history slice (vec_id % 3 ==
+    * 0), dedup batch 1 (% 3 == 1) against it — a batch vector whose
+    * micro-cosine to any stored vector reaches the d05 near-dup band
+    * drops — append survivors' banded rows in one txn-id'd commit
+    * (replay proven a no-op), then batch 2 (% 3 == 2) against the GROWN
+    * index. Oracle replays the plane-literal bands, both batches'
+    * candidate joins, and the integer micro-cosine rule. */
+  def d25IncrementalSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("d25")
+      .resolve("embidx").toString
+    Pipelines.buildEmbeddingIndex(
+      e.filter(col("vec_id") % 3 === 0), col("vec_id"), col("embedding"),
+      dim = 64, indexPath = idx)
+    val t = graft.GwTable.forPath(spark, idx)
+    val b1 = Pipelines.incrementalSemanticDedup(
+      e.filter(col("vec_id") % 3 === 1), col("vec_id"), col("embedding"),
+      idx, thresholdMicro = 300000L, txnId = Some("d25/batch-1"))
+    val v1 = t.snapshot().version
+    // exactly-once: retrying batch 1 under the same txn commits NOTHING
+    Pipelines.incrementalSemanticDedup(
+      e.filter(col("vec_id") % 3 === 1), col("vec_id"), col("embedding"),
+      idx, thresholdMicro = 300000L, txnId = Some("d25/batch-1"))
+    require(t.snapshot().version == v1,
+      "a replayed batch txn must not re-commit")
+    val b2 = Pipelines.incrementalSemanticDedup(
+      e.filter(col("vec_id") % 3 === 2), col("vec_id"), col("embedding"),
+      idx, thresholdMicro = 300000L, txnId = Some("d25/batch-2"))
+    b1.withColumn("batch", lit(1L)).unionByName(b2.withColumn("batch", lit(2L)))
+      .withColumnRenamed("id", "vec_id")
+      .select("batch", "vec_id", "dup_of_index", "dup_in_batch", "kept")
+  }
+
   /** Corpus-level chunk dedup (C4-style boilerplate rule over 5-word
     * windows): every occurrence of a chunk text seen more than once in the
     * corpus is dropped, documents reassembled from the survivors. */
@@ -384,7 +420,61 @@ object Dedup {
     "d22_incremental_fuzzy" -> d22IncrementalFuzzy _,
     "d23_forget_dedup_state" -> d23ForgetDedupState _,
     "d24_cluster_maintenance" -> d24ClusterMaintenance _,
+    "d25_incremental_semantic" -> d25IncrementalSemantic _,
   )
+
+  /** d25's oracle: the d06 plane-literal LSH bands, then d22's staged
+    * two-batch structure with the integer micro-cosine decision — index
+    * membership after batch 1 = history plus batch-1 keepers. */
+  private def d25OracleSql: String = {
+    val planes = Pipelines.hyperplanes(24, 64)
+    def planeLit(p: Array[Double]): String = p.mkString("[", ",", "]")
+    val bits = (0 until 24)
+      .map(i => s"CASE WHEN list_dot_product(emb, ${planeLit(planes(i))}) > 0" +
+        " THEN 1 ELSE 0 END")
+      .mkString("[\n ", ",\n ", "\n]")
+    val cos = "CAST(round(1000000 * list_cosine_similarity(ea.emb, eb.emb)) AS BIGINT)"
+    def batchCtes(n: Int, histPred: String): String =
+      s"""cand$n AS (
+         | SELECT DISTINCT x.vec_id AS id, h.vec_id AS h_id
+         | FROM bands x JOIN bands h ON x.band = h.band AND x.bucket = h.bucket
+         | WHERE x.vec_id % 3 = $n AND $histPred),
+         |di$n AS (
+         | SELECT DISTINCT c.id FROM cand$n c
+         | JOIN e ea ON ea.vec_id = c.id JOIN e eb ON eb.vec_id = c.h_id
+         | WHERE $cos >= 300000),
+         |cb$n AS (
+         | SELECT DISTINCT a.vec_id AS ida, c.vec_id AS idb
+         | FROM bands a JOIN bands c
+         |  ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+         | WHERE a.vec_id % 3 = $n AND c.vec_id % 3 = $n),
+         |db$n AS (
+         | SELECT DISTINCT p.idb AS id FROM cb$n p
+         | JOIN e ea ON ea.vec_id = p.ida JOIN e eb ON eb.vec_id = p.idb
+         | WHERE $cos >= 300000),
+         |r$n AS (
+         | SELECT vec_id,
+         |  vec_id IN (SELECT id FROM di$n) AS dup_of_index,
+         |  vec_id IN (SELECT id FROM db$n) AS dup_in_batch
+         | FROM e WHERE vec_id % 3 = $n)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |sig AS (SELECT vec_id, $bits AS bits FROM e),
+       |bands AS (
+       | SELECT vec_id, band,
+       |  bits[band*3+1] + 2*bits[band*3+2] + 4*bits[band*3+3] AS bucket
+       | FROM sig, (SELECT unnest(generate_series(0, 7)) AS band)),
+       |${batchCtes(1, "h.vec_id % 3 = 0")},
+       |idx2 AS (
+       | SELECT vec_id FROM e WHERE vec_id % 3 = 0
+       | UNION ALL
+       | SELECT vec_id FROM r1 WHERE NOT (dup_of_index OR dup_in_batch)),
+       |${batchCtes(2, "h.vec_id IN (SELECT vec_id FROM idx2)")}
+       |SELECT 1::BIGINT AS batch, vec_id, dup_of_index, dup_in_batch,
+       | NOT (dup_of_index OR dup_in_batch) AS kept FROM r1
+       |UNION ALL
+       |SELECT 2::BIGINT AS batch, vec_id, dup_of_index, dup_in_batch,
+       | NOT (dup_of_index OR dup_in_batch) AS kept FROM r2""".stripMargin
+  }
 
   /** d22's oracle: md5-lane MinHash signatures, band buckets, candidate
     * joins and the estimated-Jaccard decision for both staged batches —
@@ -596,6 +686,7 @@ object Dedup {
     // — so its oracle IS d08's full recursion
     "d24_cluster_maintenance" -> DupComponentsOracle,
     "d22_incremental_fuzzy" -> d22OracleSql,
+    "d25_incremental_semantic" -> d25OracleSql,
     // d21: d08's component recursion + the t02 alpha/word-count quality
     // formula + the same (quality DESC, id) keep window
     "d21_quality_keep" ->

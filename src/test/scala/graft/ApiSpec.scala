@@ -653,6 +653,59 @@ class ApiSpec extends AnyFunSuite {
     assert(noop.isEmpty && t.snapshot().version == v)
   }
 
+  test("incrementalSemanticDedup: clones drop across batches; forget re-admits") {
+    import spark.implicits._
+    val dim = 8
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rng = new scala.util.Random(7)
+    def rand() = unit(Array.fill(dim)(rng.nextGaussian()))
+    val base = (0L until 6L).map(i => (i, rand()))
+    val idx = java.nio.file.Files.createTempDirectory("semdedup")
+      .resolve("embidx").toString
+    graft.api.Pipelines.buildEmbeddingIndex(
+      base.toDF("id", "emb"), col("id"), col("emb"), dim, idx, nPlanes = 16)
+    // batch 1: a clone of history vector 2 (drops), a fresh vector (kept),
+    // and an in-batch clone pair (larger id drops)
+    val fresh = rand(); val pairv = rand()
+    val b1 = Seq((10L, base(2)._2), (11L, fresh), (12L, pairv), (13L, pairv))
+      .toDF("id", "emb")
+    val r1 = graft.api.Pipelines.incrementalSemanticDedup(
+      b1, col("id"), col("emb"), idx, thresholdMicro = 999000L,
+      txnId = Some("sem/1"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(r1(10L) == ((true, false, false)), s"clone of history: ${r1(10L)}")
+    assert(r1(11L) == ((false, false, true)), s"fresh vector kept: ${r1(11L)}")
+    assert(r1(12L) == ((false, false, true)) &&
+      r1(13L) == ((false, true, false)), s"in-batch pair: ${r1(12L)} ${r1(13L)}")
+    val t = graft.GwTable.forPath(spark, idx)
+    val v1 = t.snapshot().version
+    // replay: same report, no commit
+    val r1b = graft.api.Pipelines.incrementalSemanticDedup(
+      b1, col("id"), col("emb"), idx, thresholdMicro = 999000L,
+      txnId = Some("sem/1"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(r1b == r1 && t.snapshot().version == v1)
+    // batch 2 sees batch-1 survivors as members; forget re-admits
+    val r2 = graft.api.Pipelines.incrementalSemanticDedup(
+      Seq((20L, fresh)).toDF("id", "emb"), col("id"), col("emb"), idx,
+      thresholdMicro = 999000L, txnId = Some("sem/2"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!r2(20L), "a clone of a batch-1 survivor must drop")
+    assert(graft.api.Pipelines.forgetEmbeddings(
+      Seq(11L).toDF("id"), col("id"), idx) > 0)
+    assert(graft.api.Pipelines.forgetEmbeddings(
+      Seq(11L).toDF("id"), col("id"), idx) == -1L, "second forget = no-op")
+    val r3 = graft.api.Pipelines.incrementalSemanticDedup(
+      Seq((30L, fresh)).toDF("id", "emb"), col("id"), col("emb"), idx,
+      thresholdMicro = 999000L, txnId = Some("sem/3"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(r3(30L), "a clone of a FORGOTTEN vector must be re-admitted")
+  }
+
   test("incrementalFuzzyDedup: the estimator separates high from low Jaccard") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("fuzzyest")
