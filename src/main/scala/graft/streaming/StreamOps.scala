@@ -1167,6 +1167,68 @@ object StreamOps {
     graft.GwTable.forPath(spark, rep).toDF
   }
 
+  // ---------------------------------------------------------------- st21
+  /** st21: streaming incremental SEMANTIC dedup — st18's lifecycle
+    * through the persisted embedding index (d25), completing the
+    * streaming symmetry (d20→st18 exact, d22→st19 fuzzy, d25→this):
+    * each admitted micro-batch dedups by EXACT COSINE over sign-LSH
+    * candidates against the stored banded embeddings and appends its
+    * survivors' rows in the same call; batch reports land txn-id'd in a
+    * report table, and a checkpoint-restart drain proves the whole
+    * lifecycle exactly-once on BOTH tables. Same oracle semantics as
+    * d25. */
+  def st21StreamSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.Pipelines
+    val tmp = java.nio.file.Files.createTempDirectory("st21")
+    val idx = tmp.resolve("embidx").toString
+    val src = tmp.resolve("src").toString
+    val rep = tmp.resolve("report").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    Pipelines.buildEmbeddingIndex(
+      e.filter(col("vec_id") % 3 === 0), col("vec_id"), col("embedding"),
+      dim = 64, indexPath = idx)
+    e.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.format("gwdelta").mode("append").save(src)
+    e.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.format("gwdelta").mode("append").save(src)
+    val streamId = java.util.UUID.randomUUID().toString
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    def drain(): Unit = {
+      val q = spark.readStream.format("gwdelta")
+        .option("maxFilesPerTrigger", "1").load(src)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batches.incrementAndGet()
+          val report = Pipelines.incrementalSemanticDedup(
+            batch, col("vec_id"), col("embedding"), idx,
+            thresholdMicro = 300000L, txnId = Some(s"$streamId/idx/$batchId"))
+          GwSink.append(
+            report.withColumn("batch", lit(batchId + 1))
+              .withColumnRenamed("id", "vec_id")
+              .select("batch", "vec_id", "dup_of_index",
+                "dup_in_batch", "kept"),
+            rep, txnId = Some(s"$streamId/rep/$batchId")); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    require(batches.get() >= 2,
+      s"two staged single-file commits must admit as >= 2 batches, got ${batches.get()}")
+    val idxV = graft.GwTable.forPath(spark, idx).snapshot().version
+    val repV = graft.GwTable.forPath(spark, rep).snapshot().version
+    // checkpoint restart: nothing new to admit, NOTHING re-commits
+    drain()
+    require(graft.GwTable.forPath(spark, idx).snapshot().version == idxV,
+      "a checkpoint restart must not re-commit to the index")
+    require(graft.GwTable.forPath(spark, rep).snapshot().version == repV,
+      "a checkpoint restart must not re-commit to the report table")
+    graft.GwTable.forPath(spark, rep).toDF
+  }
+
   // ---------------------------------------------------------------- st19
   /** Streaming incremental FUZZY dedup — st18's lifecycle through the
     * persisted MinHash signature index (d22): each admitted micro-batch
@@ -1241,6 +1303,7 @@ object StreamOps {
     "st18_stream_incr_dedup" -> st18StreamIncrementalDedup _,
     "st19_stream_fuzzy_dedup" -> st19StreamFuzzyDedup _,
     "st20_recall_monitor" -> st20StreamRecallMonitor _,
+    "st21_stream_semantic_dedup" -> st21StreamSemanticDedup _,
   )
 
   /** st20's oracle: one metric block per monitor tick — tick b's index
@@ -1291,6 +1354,9 @@ object StreamOps {
     "st19_stream_fuzzy_dedup" ->
       graft.operators.Dedup.oracles("d22_incremental_fuzzy"),
     "st20_recall_monitor" -> st20OracleSql,
+    // st21 is the streaming face of d25 over the same batch partitioning
+    "st21_stream_semantic_dedup" ->
+      graft.operators.Dedup.oracles("d25_incremental_semantic"),
     "st01_stream_window" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
         | count(*) AS n, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
