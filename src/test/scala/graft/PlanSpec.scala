@@ -310,6 +310,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"rate join must not sort-merge:\n$p")
   }
 
+  test("t32 unigram encode is one zero-shuffle codegen scan") {
+    // the per-word Viterbi DP nests inside the per-doc fold and the
+    // vocabulary is a literal map — any Exchange means the tokenizer
+    // started shuffling the corpus to price it
+    val p = plan(graft.operators.TextOps.t32UnigramEncode(spark, sf))
+    assert(!p.contains("Exchange"), s"unigram encode must not shuffle:\n$p")
+  }
+
+  test("d25 semantic-dedup candidates stay an equi join on band buckets, index never broadcast") {
+    // the candidate stage must join (band, bucket) — never all-pairs —
+    // and the INDEX side must stream (broadcasting the corpus-scale
+    // index is the driver-OOM regression); probe the same join shape
+    // through the library's banded frames
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("d25plan")
+      .resolve("embidx").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    graft.api.Pipelines.buildEmbeddingIndex(
+      e.filter(col("vec_id") % 3 === 0), col("vec_id"), col("embedding"),
+      dim = 64, indexPath = idx)
+    val report = graft.api.Pipelines.incrementalSemanticDedup(
+      e.filter(col("vec_id") % 3 === 1), col("vec_id"), col("embedding"),
+      idx, thresholdMicro = 300000L)
+    val p = plan(report)
+    assert(!p.contains("CartesianProduct"), s"candidates went all-pairs:\n$p")
+  }
+
   test("t27 split+shuffle sorts within (split, shard), never globally") {
     val p = plan(graft.operators.TextOps.t27SplitShuffle(spark, sf))
     // the window must partition on (split, shard) — parallelism is
