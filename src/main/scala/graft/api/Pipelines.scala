@@ -868,6 +868,58 @@ object Pipelines {
   }
 
   /**
+   * Persisted eval-gram index bootstrap (d26) — [[decontaminationReport]]'s
+   * production face: the held-out set is FIXED, so its n-gram membership
+   * lands ONCE as a transactional gwdelta table and every later ingest
+   * batch probes THAT — the eval set is never re-read, re-tokenized, or
+   * re-fanned per batch (the d20-family contract for a read-only state).
+   * The index stores 60-bit md5-prefix gram KEYS, never gram text: the
+   * held-out benchmark's contents do not leak into a shared scratch
+   * table, and the key join replays engine-exact. Returns the committed
+   * version.
+   */
+  def buildEvalGramIndex(evalSet: DataFrame, id: Column, text: Column,
+      indexPath: String, n: Int = 5): Long = {
+    require(n >= 1, "n must be positive")
+    graft.streaming.GwSink.append(
+      wordGrams(evalSet, id, text, n)
+        .select(conv(substring(md5(col("gram")), 1, 15), 16, 10)
+          .cast("long").as("gk"))
+        .distinct(),
+      indexPath, bootstrapProps = Map(EvalGramNProp -> n.toString))
+  }
+
+  val EvalGramNProp = "graft.evalgrams.n"
+
+  /**
+   * Incremental decontamination against the persisted eval-gram index
+   * (d26): per batch document, how many of its distinct n-grams occur in
+   * the held-out set — [[decontaminationReport]]'s semantics with the
+   * eval side served from [[buildEvalGramIndex]]'s stored keys. The
+   * batch pays one gram-keyed fan-out; the index STREAMS through the
+   * key equi-join (never broadcasts — at benchmark-suite scale Spark may
+   * choose to, which is fine; the plan never REQUIRES it), and nothing
+   * writes — decontamination is a read-only probe, so batches need no
+   * txn machinery. Returns (id, n_shared) for batch docs sharing at
+   * least one gram, exactly the report's contract.
+   */
+  def decontaminateBatch(batch: DataFrame, id: Column, text: Column,
+      indexPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val t = graft.GwTable.forPath(spark, indexPath)
+    val conf = t.snapshot().metadata.map(_.configuration).getOrElse(Map.empty)
+    val n = conf.getOrElse(EvalGramNProp, throw new IllegalArgumentException(
+      s"$indexPath is not an eval-gram index table: missing $EvalGramNProp " +
+        "in the table configuration (build one with buildEvalGramIndex)")).toInt
+    wordGrams(batch, id, text, n)
+      .withColumn("gk", conv(substring(md5(col("gram")), 1, 15), 16, 10)
+        .cast("long"))
+      .join(spark.read.format("gwdelta").load(indexPath), Seq("gk"), "left_semi")
+      .groupBy("__id")
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
+  /**
    * Cross-corpus exact-membership report (blocklist / reference-corpus
    * dedup): the corpus rows whose `key` also occurs in `reference` —
    * the "drop training docs that appear in a do-not-train list / an

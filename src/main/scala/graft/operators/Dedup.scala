@@ -313,6 +313,40 @@ object Dedup {
       .withColumnRenamed("__id", "doc_id")
   }
 
+  /** d26: incremental decontamination against a persisted eval-gram
+    * index — d11's production face: the held-out set (doc_id % 10 == 0)
+    * lands ONCE as 60-bit md5-prefix gram keys (no eval text leaves the
+    * benchmark), then two ingest batches (train split by parity) probe
+    * the stored keys — the eval set is never re-read or re-fanned per
+    * batch. Pinned in-gate: the index schema carries keys only (no text
+    * column), and probing commits nothing (read-only lifecycle). Oracle
+    * replays d11's gram joins per batch. */
+  def d26IncrementalDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("d26")
+      .resolve("evalgrams").toString
+    Pipelines.buildEvalGramIndex(
+      d.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"), idx)
+    val t = graft.GwTable.forPath(spark, idx)
+    require(t.snapshot().schema.fieldNames.toSeq == Seq("gk"),
+      "the index must hold gram KEYS only — eval text must not leak")
+    val v0 = t.snapshot().version
+    val b1 = Pipelines.decontaminateBatch(
+      d.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 2 === 1),
+      col("doc_id"), col("text"), idx)
+    val b2 = Pipelines.decontaminateBatch(
+      d.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), idx)
+    val out = b1.withColumn("batch", lit(1L))
+      .unionByName(b2.withColumn("batch", lit(2L)))
+      .withColumnRenamed("__id", "doc_id")
+      .select("batch", "doc_id", "n_shared")
+      .localCheckpoint(true)
+    require(t.snapshot().version == v0,
+      "decontamination probes must commit nothing")
+    out
+  }
+
   /** d17: SEMANTIC decontamination over the embeddings table — eval split
     * = vec_id % 10 == 0, train = the rest; a train vector is contaminated
     * when its cosine to any eval vector reaches 0.3 (micro threshold
@@ -421,6 +455,7 @@ object Dedup {
     "d23_forget_dedup_state" -> d23ForgetDedupState _,
     "d24_cluster_maintenance" -> d24ClusterMaintenance _,
     "d25_incremental_semantic" -> d25IncrementalSemantic _,
+    "d26_incremental_decontamination" -> d26IncrementalDecontamination _,
   )
 
   /** d25's oracle: the d06 plane-literal LSH bands, then d22's staged
@@ -687,6 +722,19 @@ object Dedup {
     "d24_cluster_maintenance" -> DupComponentsOracle,
     "d22_incremental_fuzzy" -> d22OracleSql,
     "d25_incremental_semantic" -> d25OracleSql,
+    // d26: d11's gram joins, staged per ingest batch (train parity
+    // split); the md5-key join is value-equivalent to joining gram text
+    "d26_incremental_decontamination" ->
+      """WITH g AS (
+        | SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+        |   i -> array_to_string(w[i:i+4], ' '))) AS gram
+        | FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
+        |SELECT CASE WHEN g.doc_id % 2 = 1 THEN 1 ELSE 2 END::BIGINT AS batch,
+        | g.doc_id, count(DISTINCT g.gram) AS n_shared
+        |FROM g JOIN ev USING (gram)
+        |WHERE g.doc_id % 10 <> 0
+        |GROUP BY 1, 2""".stripMargin,
     // d21: d08's component recursion + the t02 alpha/word-count quality
     // formula + the same (quality DESC, id) keep window
     "d21_quality_keep" ->
