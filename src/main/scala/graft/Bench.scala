@@ -12,6 +12,13 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // NOTE (r12, measured): coalescing post-shuffle partitions to the
+      // advisory byte size (parallelismFirst=false) was tried and REVERTED —
+      // this suite's shuffles are tiny in bytes but CPU-heavy per row
+      // (md5 shingles, levenshtein), so byte-sized coalescing serialized
+      // them onto one core: d08 5.2s -> 15s, d10 6.7s -> 26s. The AQE
+      // default (parallelismFirst=true) is the right call here; see
+      // OPTIMIZATION_r12.md.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/JIT/FS metadata so the first timed query doesn't

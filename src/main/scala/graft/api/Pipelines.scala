@@ -687,8 +687,13 @@ object Pipelines {
       blocks: Seq[Column], maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val bcols = blocks.zipWithIndex.map { case (c, i) => c.as(s"__b$i") }
-    val left = df.select((id.as("doc_a") +: text.as("__ta") +: bcols): _*)
-    val right = df.select((id.as("doc_b") +: text.as("__tb") +: bcols): _*)
+    // the histogram gate + banded DP below are the dominant per-pair cost:
+    // spread a narrow scan so the verify runs cluster-wide instead of on
+    // the one task a small parquet input scans as (no-op at scale)
+    val left = spreadForCompute(
+      df.select((id.as("doc_a") +: text.as("__ta") +: bcols): _*), col("doc_a"))
+    val right = spreadForCompute(
+      df.select((id.as("doc_b") +: text.as("__tb") +: bcols): _*), col("doc_b"))
     // |len(a) - len(b)| <= maxDist is NECESSARY for dist <= maxDist: the
     // length gate kills most block pairs before any DP runs, and the
     // THRESHOLD-BOUNDED levenshtein (O(maxDist * len) banded DP, -1 past
@@ -1851,7 +1856,10 @@ object Pipelines {
             lit(buckets.toLong)).as("bucket"))
     }
     def bits(x: Column): Column = length(bin(x)) - 1
-    val rawB = feats(raw)
+    // featurization is CPU-heavy per row (a 60-bit hash per token and
+    // bigram): spread a narrow scan first so it parallelizes — still zero
+    // shuffles at scale (spreadForCompute is a no-op on wide inputs)
+    val rawB = feats(spreadForCompute(raw, id))
     // the per-bucket count tables are <= `buckets` rows — cache them so
     // the totals, the weight build, and the weight broadcast reuse one
     // computation instead of re-running the corpus featurization through
@@ -1859,7 +1867,8 @@ object Pipelines {
     // materialization serializes the rc/tc jobs ahead of everything and
     // measured 1.3x SLOWER end to end at sf0.1
     val rc = rawB.groupBy("bucket").agg(count(lit(1)).as("rc")).persist()
-    val tc = feats(target).groupBy("bucket").agg(count(lit(1)).as("tc")).persist()
+    val tc = feats(spreadForCompute(target, id))
+      .groupBy("bucket").agg(count(lit(1)).as("tc")).persist()
     val totals = rc.agg(sum("rc").as("rn")).crossJoin(tc.agg(sum("tc").as("tn")))
     // weights only for buckets the RAW corpus can produce (scoring joins
     // from raw features, so target-only buckets are unreachable)
@@ -1878,6 +1887,23 @@ object Pipelines {
         graft.functions.KmvDistinctAgg.hash60(col("__id")) <
           expr("shiftleft(CAST(1 AS BIGINT), CAST(60 + __e AS INT))"))
       .select(col("__id"), col("score_bits"), col("kept"))
+  }
+
+  /**
+   * Ensure at least the cluster's default parallelism ahead of CPU-heavy
+   * per-row work (optimization guide §2.6, idle capacity): a small parquet
+   * input (often a single row group) scans as ONE task, serializing an
+   * expensive verify/decode/featurization on one core while the rest of
+   * the cluster idles. Hash-repartitions by `key` (deterministic, no
+   * round-robin pre-sort) ONLY when the input is narrower than the
+   * default parallelism — at production scale inputs already exceed it
+   * and this is an exact no-op, so no extra exchange is ever added to a
+   * 100 TB plan.
+   */
+  def spreadForCompute(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
   }
 
   /** One row per (id, consecutive word n-gram) — duplicates preserved. */
@@ -1929,7 +1955,10 @@ object Pipelines {
       // one shuffle over the shingles: all minhash lanes + the set size
       val aggCols = (0 until numPerm).map(p => min(xxhash64(lit(p), col("s"))).as(s"mh$p")) :+
         count(lit(1)).as("sz")
-      val mh = sh.groupBy("__id").agg(aggCols.head, aggCols.tail: _*)
+      // referenced by BOTH sides of the candidate self-join and by `sizes`
+      // below — persist so the 32-lane minhash aggregation runs once, not
+      // three times (the branches differ, so exchange reuse cannot dedupe)
+      val mh = sh.groupBy("__id").agg(aggCols.head, aggCols.tail: _*).persist()
       val bandCols = (0 until bands).map { b =>
         xxhash64((lit(b) +: (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}"))): _*)
       }
@@ -1950,7 +1979,9 @@ object Pipelines {
         .join(sh.select(col("__id").as("doc_b"), col("s")), Seq("doc_b", "s"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("inter"))
-      jaccardFromCounts(inter, sizes, threshold).localCheckpoint(true)
+      val out = jaccardFromCounts(inter, sizes, threshold).localCheckpoint(true)
+      mh.unpersist()
+      out
     } finally { sh.unpersist(); () }
   }
 
@@ -1978,8 +2009,14 @@ object Pipelines {
    */
   def connectedComponents(pairs: DataFrame, a: Column, b: Column,
       maxIterations: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
-    val edges = pairs.select(a.as("src"), b.as("dst"))
-      .union(pairs.select(b.as("src"), a.as("dst")))
+    // single-pass symmetrization: one generator fan-out per pair row
+    // instead of a two-branch union — a union re-evaluates the (often
+    // expensive) pair-producing subtree once per branch, and exchange
+    // reuse cannot dedupe the branches because their column orders differ
+    val edges = pairs.select(explode(array(
+        struct(a.as("src"), b.as("dst")),
+        struct(b.as("src"), a.as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       .persist()
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
@@ -2109,14 +2146,24 @@ object Pipelines {
         chunks0.withColumn("__hrank", row_number().over(w))
           .filter(col("__hrank") <= bucketCap).drop("__hrank")
       }
-    chunks.select(col("chunk"), col("chunk_val"), col("__hid").as("doc_a"), col("__hbits").as("sim_a"))
-      .join(chunks.select(col("chunk"), col("chunk_val"), col("__hid").as("doc_b"), col("__hbits").as("sim_b")),
+    // the candidate self-join references `chunks` twice with differing
+    // column names, so exchange reuse cannot dedupe the branches — without
+    // the persist the whole upstream (image/audio DECODE for the
+    // perceptual-hash callers, the SimHash aggregation for d03) runs
+    // twice. Eager result + unpersist = same cache hygiene as the LSH
+    // paths (the pair set is metadata-scale next to the corpus).
+    val cached = chunks.persist()
+    val out = cached.select(col("chunk"), col("chunk_val"), col("__hid").as("doc_a"), col("__hbits").as("sim_a"))
+      .join(cached.select(col("chunk"), col("chunk_val"), col("__hid").as("doc_b"), col("__hbits").as("sim_b")),
         Seq("chunk", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(true)
+    cached.unpersist()
+    out
   }
 
   /**
@@ -2177,6 +2224,10 @@ object Pipelines {
         // ceil to 3 and shave the prefix below the safe length)
         .filter(col("pos_in_doc") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
         .select((joinKeys.map(col) :+ col("__id")): _*)
+        // the self-join below references this subtree TWICE, and its two
+        // branches differ (doc_a vs doc_b) so exchange reuse cannot dedupe
+        // them — persist so the freq join + rarity windows run once
+        .persist()
 
       val candidates = prefix.select((joinKeys.map(col) :+ col("__id").as("doc_a")): _*)
         .join(prefix.select((joinKeys.map(col) :+ col("__id").as("doc_b")): _*), joinKeys)
@@ -2189,7 +2240,9 @@ object Pipelines {
         .join(sh.select(col("__id").as("doc_b"), col("s")), Seq("doc_b", "s"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("inter"))
-      jaccardFromCounts(inter, sizes, threshold).localCheckpoint(true)
+      val out = jaccardFromCounts(inter, sizes, threshold).localCheckpoint(true)
+      prefix.unpersist()
+      out
     } finally { sh.unpersist(); () }
   }
 

@@ -24,9 +24,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * fast rather than retry.
  */
 class GwLog(val tablePath: Path, conf: Configuration,
-    checkpointInterval: Int = GwLog.DefaultCheckpointInterval) {
+    checkpointInterval: Int = GwLog.DefaultCheckpointInterval,
+    private val shareSnapshots: Boolean = false) {
   private val logDir = new Path(tablePath, GwLog.LogDirName)
   private def fs: FileSystem = logDir.getFileSystem(conf)
+  private[log] def hadoopConf: Configuration = conf
 
   def logPathFor(version: Long): Path = new Path(logDir, f"$version%020d.json")
 
@@ -52,7 +54,8 @@ class GwLog(val tablePath: Path, conf: Configuration,
     * log reads per commit just for its own summary — at object-store
     * latency that doubles commit round trips. Idempotent: an existing crc
     * (a retried commit, a reader's backfill) is left in place. */
-  def writeChecksum(version: Long, committed: Option[Seq[Action]] = None): Unit = {
+  def writeChecksum(version: Long, committed: Option[Seq[Action]] = None): Unit =
+      LogMetrics.timed(LogMetrics.checksumNanos, LogMetrics.checksums) {
     val f = fs
     val target = checksumPathFor(version)
     if (f.exists(target)) return
@@ -191,7 +194,8 @@ class GwLog(val tablePath: Path, conf: Configuration,
   private def lastCheckpointPath: Path = new Path(logDir, "_last_checkpoint")
 
   /** Sorted list of committed versions; empty when the table has no log. */
-  def listVersions(): Seq[Long] = {
+  def listVersions(): Seq[Long] = LogMetrics.timed(
+      LogMetrics.listNanos, LogMetrics.lists) {
     val f = fs
     if (!f.exists(logDir)) Nil
     else
@@ -206,7 +210,8 @@ class GwLog(val tablePath: Path, conf: Configuration,
 
   def readVersion(version: Long): Seq[Action] = readActionsAt(logPathFor(version))
 
-  private def readActionsAt(path: Path): Seq[Action] = {
+  private def readActionsAt(path: Path): Seq[Action] = LogMetrics.timed(
+      LogMetrics.readVersionNanos, LogMetrics.readVersions) {
     val in = fs.open(path)
     try {
       val text = new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
@@ -512,7 +517,8 @@ class GwLog(val tablePath: Path, conf: Configuration,
     * Alongside protocol/metadata/adds, the checkpoint carries the Delta
     * spec's other snapshot state: app-transaction high-water marks (`txn`)
     * and remove tombstones still inside the vacuum retention window. */
-  def writeCheckpoint(version: Long): Unit = {
+  def writeCheckpoint(version: Long): Unit = LogMetrics.timed(
+      LogMetrics.checkpointWriteNanos, LogMetrics.checkpointWrites) {
     val snap = snapshot(Some(version))
     val tombstoneFloor = System.currentTimeMillis() - GwLog.TombstoneRetentionMs
     val actions: Seq[Action] =
@@ -553,6 +559,7 @@ class GwLog(val tablePath: Path, conf: Configuration,
     val v2Policy = Seq("graft.checkpointPolicy", "delta.checkpointPolicy")
       .exists(k => snap.metadata.map(_.configuration).getOrElse(Map.empty)
         .get(k).exists(_.trim.equalsIgnoreCase("v2")))
+    var writtenPaths: Seq[Path] = Nil
     val partsField =
       if (v2Policy) {
         val header = snap.protocol.toSeq ++ snap.metadata.toSeq ++
@@ -595,21 +602,25 @@ class GwLog(val tablePath: Path, conf: Configuration,
           val st = fs.getFileStatus(p)
           SidecarFile(name, st.getLen, st.getModificationTime)
         }
-        Checkpoint.write(
-          checkpointV2PathFor(version, java.util.UUID.randomUUID.toString),
-          conf, header ++ (CheckpointMetadata(version) +: refs))
+        val manifest =
+          checkpointV2PathFor(version, java.util.UUID.randomUUID.toString)
+        Checkpoint.write(manifest, conf, header ++ (CheckpointMetadata(version) +: refs))
+        writtenPaths = Seq(manifest)
         ""
       } else {
         val numParts =
           math.max(1, math.ceil(actions.size.toDouble / partSize).toInt)
         if (numParts == 1) {
           Checkpoint.write(checkpointPathFor(version), conf, actions)
+          writtenPaths = Seq(checkpointPathFor(version))
           ""
         } else {
-          actions.grouped(partSize).zipWithIndex.foreach { case (slice, i) =>
-            Checkpoint.write(
-              checkpointPartPathFor(version, i + 1, numParts), conf, slice)
-          }
+          val parts = actions.grouped(partSize).zipWithIndex.map { case (slice, i) =>
+            val p = checkpointPartPathFor(version, i + 1, numParts)
+            Checkpoint.write(p, conf, slice)
+            p
+          }.toSeq
+          writtenPaths = parts
           s""","parts":$numParts"""
         }
       }
@@ -617,9 +628,11 @@ class GwLog(val tablePath: Path, conf: Configuration,
     // `sizeInBytes` (total checkpoint bytes) and `numOfAddFiles` — so a
     // foreign reader planning from the hint sees the same metadata the
     // reference writers emit. The hint stays a HINT: resolution is by
-    // listing ([[listCheckpoints]]), exactly like delta.
-    val cpBytes = checkpointFilesFor(version)
-      .map(p => fs.getFileStatus(p).getLen).sum
+    // listing ([[listCheckpoints]]), exactly like delta. Sized from the
+    // files THIS call just wrote (same set checkpointFilesFor(version)
+    // resolves — the v2 form counts the manifest only, matching the
+    // resolver) instead of re-listing the whole log directory per write.
+    val cpBytes = writtenPaths.map(p => fs.getFileStatus(p).getLen).sum
     val nAdds = actions.count(_.isInstanceOf[AddFile])
     val out = fs.create(lastCheckpointPath, /* overwrite = */ true)
     try out.write(
@@ -667,6 +680,7 @@ class GwLog(val tablePath: Path, conf: Configuration,
     * throws, which [[snapshot]]'s torn-checkpoint guard turns into a JSON
     * replay — never a partial snapshot). */
   private[graft] def readCheckpointActions(version: Long): Seq[Action] =
+    LogMetrics.timed(LogMetrics.checkpointReadNanos, LogMetrics.checkpointReads) {
     checkpointFilesFor(version)
       .flatMap(p => Checkpoint.read(p, conf))
       .flatMap {
@@ -677,10 +691,12 @@ class GwLog(val tablePath: Path, conf: Configuration,
         case _: CheckpointMetadata => Nil
         case a => Seq(a)
       }
+    }
 
   /** Committed checkpoint versions (from dir listing — `_last_checkpoint`
     * is a hint, not the source of truth, exactly like delta). */
-  def listCheckpoints(): Seq[Long] = {
+  def listCheckpoints(): Seq[Long] = LogMetrics.timed(
+      LogMetrics.listNanos, LogMetrics.lists) {
     val f = fs
     if (!f.exists(logDir)) Nil
     else {
@@ -890,7 +906,38 @@ class GwLog(val tablePath: Path, conf: Configuration,
     // update only on a real replay: mechanism assertions (torn-artifact
     // fallbacks etc.) belong on a fresh reader instance.
     val cached = snapCache
-    if (cached != null && cached._1 == upTo) return cached._2
+    if (cached != null && cached._1 == upTo) {
+      LogMetrics.snapshotCacheHits.increment()
+      return cached._2
+    }
+    // Cross-instance sharing (forTable-built logs only — the production
+    // entry point; directly-constructed readers keep fresh-replay
+    // mechanics for the diagnostics gates): a snapshot at a fixed version
+    // replays deterministically, so one process-wide replay per (table,
+    // version, replay route) suffices. The key guards against every way
+    // the served state could differ from a fresh replay's:
+    //  - a table DELETED and RECREATED at the same path — pinned by the
+    //    (length, mtime) identity of the version's own commit JSON (a
+    //    collision needs a different log to reproduce the same version,
+    //    byte length and millisecond, which the UUID-bearing metadata /
+    //    commitInfo lines make practically impossible);
+    //  - the RESUME ROUTE changing (a checkpoint written, deleted, or
+    //    replaced since the entry landed) — checkpoint-resumed snapshots
+    //    legitimately drop expired remove tombstones, so the route is
+    //    part of the content; pinned by the resolved checkpoint version
+    //    plus the identity of its artifacts.
+    // At 100 TB this is the delta-style "one DeltaLog per table" behavior:
+    // a pipeline touching one table from N operators replays once, not N
+    // times.
+    val routeCp = listCheckpoints().filter(_ <= upTo).lastOption
+    if (shareSnapshots) {
+      GwLog.sharedSnapshotGet(this, upTo, routeCp).foreach { s =>
+        snapCache = (upTo, s)
+        LogMetrics.snapshotCacheHits.increment()
+        return s
+      }
+    }
+    val __replayT0 = System.nanoTime()
     // the replay tail with compacted segments substituted greedily: at
     // each expected version, the widest committed `<v>.<e>.compacted.json`
     // with e <= upTo replaces reading commits v..e one by one; an
@@ -935,7 +982,7 @@ class GwLog(val tablePath: Path, conf: Configuration,
           "(logRetention) and no checkpoint at or below the target survives")
       Snapshot.replay(upTo, readTail(versions.takeWhile(_ <= upTo), None))
     }
-    val snap = listCheckpoints().filter(_ <= upTo).lastOption match {
+    val snap = routeCp match {
       case Some(cp) =>
         // a torn/corrupt checkpoint (crash mid-write) must never brick the
         // table — the version JSONs are always sufficient on their own
@@ -953,6 +1000,9 @@ class GwLog(val tablePath: Path, conf: Configuration,
     // them by spec; the write paths gate separately (assertWritable).
     snap.protocol.foreach(p => Protocol.assertReadable(tablePath.toString, p))
     snapCache = (upTo, snap)
+    if (shareSnapshots) GwLog.sharedSnapshotPut(this, upTo, routeCp, snap)
+    LogMetrics.snapshotReplayNanos.add(System.nanoTime() - __replayT0)
+    LogMetrics.snapshotReplays.increment()
     snap
   }
 
@@ -1148,7 +1198,60 @@ object GwLog {
     })
 
   def forTable(conf: Configuration, tablePath: String): GwLog =
-    new GwLog(new Path(tablePath), conf)
+    new GwLog(new Path(tablePath), conf, shareSnapshots = true)
+
+  /** Process-wide snapshot cache for [[forTable]] logs: (table, version) ->
+    * (commit-JSON identity, snapshot). Bounded crudely — snapshots here are
+    * metadata-scale, and a full clear only costs re-replays. */
+  private final case class SharedSnap(commitId: (Long, Long), routeCp: Option[Long],
+      cpIds: Seq[(String, Long, Long)], snap: Snapshot)
+  private val sharedSnaps =
+    new java.util.concurrent.ConcurrentHashMap[String, SharedSnap]()
+  private val SharedSnapsMax = 512
+
+  private def sharedKey(log: GwLog, version: Long): String =
+    log.tablePath.toString + "@" + version
+
+  /** (len, mtime) identity of the version's commit JSON, or None when it
+    * cannot be statted (deleted, permissions — treat as a miss). */
+  private def commitIdentity(log: GwLog, version: Long): Option[(Long, Long)] =
+    try {
+      val p = log.logPathFor(version)
+      val st = p.getFileSystem(log.hadoopConf).getFileStatus(p)
+      Some((st.getLen, st.getModificationTime))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Identity of the resolved checkpoint's artifacts (path, len, mtime). */
+  private def cpIdentity(log: GwLog, cp: Option[Long]): Seq[(String, Long, Long)] =
+    cp.toSeq.flatMap { v =>
+      log.checkpointFilesFor(v).flatMap { p =>
+        try {
+          val st = p.getFileSystem(log.hadoopConf).getFileStatus(p)
+          Seq((p.getName, st.getLen, st.getModificationTime))
+        } catch { case scala.util.control.NonFatal(_) => Seq(("?", -1L, -1L)) }
+      }
+    }
+
+  private def sharedSnapshotGet(log: GwLog, version: Long,
+      routeCp: Option[Long]): Option[Snapshot] = {
+    val e = sharedSnaps.get(sharedKey(log, version))
+    if (e == null) return None
+    val ok = e.routeCp == routeCp &&
+      commitIdentity(log, version).contains(e.commitId) &&
+      cpIdentity(log, routeCp) == e.cpIds
+    if (ok) Some(e.snap)
+    else { sharedSnaps.remove(sharedKey(log, version)); None }
+  }
+
+  private def sharedSnapshotPut(log: GwLog, version: Long,
+      routeCp: Option[Long], snap: Snapshot): Unit = {
+    commitIdentity(log, version).foreach { id =>
+      if (sharedSnaps.size() >= SharedSnapsMax) sharedSnaps.clear()
+      sharedSnaps.put(sharedKey(log, version),
+        SharedSnap(id, routeCp, cpIdentity(log, routeCp), snap))
+      ()
+    }
+  }
 }
 
 /** Another writer committed this version first. The losing writer's state

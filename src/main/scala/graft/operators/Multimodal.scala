@@ -82,7 +82,11 @@ object Multimodal {
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    df.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    // codec work is CPU-heavy per row and the docs scan is one small row
+    // group = ONE task: spread first (no-op at scale — see spreadForCompute)
+    graft.api.Pipelines.spreadForCompute(
+      df.select(col("doc_id").cast("long"), col("n_chars").cast("long")),
+      col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
           Row(r.getLong(0), PngCodec.encode(r.getLong(0), r.getLong(1)))
@@ -208,7 +212,10 @@ object Multimodal {
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    df.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    // see pngPayloads: spread the narrow scan ahead of the codec pass
+    graft.api.Pipelines.spreadForCompute(
+      df.select(col("doc_id").cast("long"), col("n_chars").cast("long")),
+      col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
           Row(r.getLong(0), WavCodec.encode(r.getLong(0), r.getLong(1)))
@@ -489,8 +496,9 @@ object Multimodal {
       StructField("member_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    val members = docs(spark, dir)
-      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    val members = graft.api.Pipelines.spreadForCompute(docs(spark, dir)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long")),
+      col("doc_id"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val (id, n) = (r.getLong(0), r.getLong(1))
@@ -531,8 +539,9 @@ object Multimodal {
       StructField("frame", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     val memEnc = org.apache.spark.sql.Encoders.row(memSchema)
-    val members = docs(spark, dir)
-      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    val members = graft.api.Pipelines.spreadForCompute(docs(spark, dir)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long")),
+      col("doc_id"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val (id, n) = (r.getLong(0), r.getLong(1))
@@ -601,9 +610,10 @@ object Multimodal {
     val memEnc = org.apache.spark.sql.Encoders.row(memSchema)
     // every other doc: the decode fan-out is the gate's entire cost and
     // half the corpus exercises the machinery identically
-    val frames = docs(spark, dir)
+    val frames = graft.api.Pipelines.spreadForCompute(docs(spark, dir)
       .filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long")),
+      col("doc_id"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val (id, n) = (r.getLong(0), r.getLong(1))
@@ -688,8 +698,9 @@ object Multimodal {
       StructField("member_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    val members = docs(spark, dir)
-      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    val members = graft.api.Pipelines.spreadForCompute(docs(spark, dir)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long")),
+      col("doc_id"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val (id, n) = (r.getLong(0), r.getLong(1))
@@ -771,10 +782,11 @@ object Multimodal {
       StructField("payload", BinaryType, nullable = false),
       StructField("caption", StringType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(memSchema)
-    val members = docs(spark, dir)
+    val members = graft.api.Pipelines.spreadForCompute(docs(spark, dir)
       .filter(col("doc_id") % 2 === 0)
       .select(col("doc_id").cast("long"), col("n_chars").cast("long"),
-        col("text"))
+        col("text")),
+      col("doc_id"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val (id, n, tx) = (r.getLong(0), r.getLong(1), r.getString(2))

@@ -267,10 +267,19 @@ object SchemaProbe {
     * field partition pruning reads back (Snapshot.filesForConstraints). */
   def harvestPartitioned(conf: Configuration, dir: Path, dataChange: Boolean,
       partitionColumns: Seq[String],
-      statsCols: Option[Set[String]] = None): Seq[AddFile] = {
+      statsCols: Option[Set[String]] = None): Seq[AddFile] =
+      graft.log.LogMetrics.timed(
+        graft.log.LogMetrics.harvestNanos, graft.log.LogMetrics.harvests) {
     val fs = dir.getFileSystem(conf)
-    def walk(d: Path, values: Map[String, String]): Seq[AddFile] =
-      fs.listStatus(d).toSeq.flatMap { st =>
+    // two phases: a cheap sequential directory walk collecting candidates,
+    // then the expensive per-file footer opens in PARALLEL (a fixed small
+    // pool; at 100 TB a commit stages hundreds of part files and a
+    // sequential footer harvest serializes the whole commit on one
+    // driver-side round-trip chain). Candidate ORDER is preserved exactly
+    // (results land by index), so commit JSON bytes are unchanged.
+    val listed = Vector.newBuilder[(org.apache.hadoop.fs.FileStatus, Map[String, String])]
+    def walk(d: Path, values: Map[String, String]): Unit =
+      fs.listStatus(d).foreach { st =>
         val n = st.getPath.getName
         if (st.isDirectory && n.startsWith(PartitionDirPrefix) && n.contains("=")) {
           val (col, tok) = n.splitAt(n.indexOf('='))
@@ -278,20 +287,40 @@ object SchemaProbe {
             values + (col.stripPrefix(PartitionDirPrefix) -> unescapePathToken(tok.tail)))
         } else if (st.isFile && !n.startsWith(".") && !n.startsWith("_") &&
             n.endsWith(".parquet") && st.getLen > 0) {
-          val stats = readStats(conf, st.getPath.toString, statsCols)
-          // a zero-row part file is footer-only output: committing it would
-          // only add a file-open cost to every future scan
-          if (stats.exists(_.contains("\"numRecords\":0"))) None
-          else Some(AddFile(
-            path = st.getPath.toString,
-            size = st.getLen,
-            modificationTime = st.getModificationTime,
-            dataChange = dataChange,
-            partitionValues = values,
-            stats = stats))
-        } else Nil
+          listed += ((st, values))
+        }
       }
-    val files = walk(dir, Map.empty)
+    walk(dir, Map.empty)
+    val cands = listed.result()
+    val statsByIdx: IndexedSeq[Option[String]] =
+      if (cands.size <= 1)
+        cands.map(c => readStats(conf, c._1.getPath.toString, statsCols))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, cands.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks = cands.map { c =>
+            new java.util.concurrent.Callable[Option[String]] {
+              override def call(): Option[String] =
+                readStats(conf, c._1.getPath.toString, statsCols)
+            }
+          }
+          pool.invokeAll(tasks.asJava).asScala.toIndexedSeq.map(_.get())
+        } finally pool.shutdown()
+      }
+    val files = cands.zip(statsByIdx).flatMap { case ((st, values), stats) =>
+      // a zero-row part file is footer-only output: committing it would
+      // only add a file-open cost to every future scan
+      if (stats.exists(_.contains("\"numRecords\":0"))) None
+      else Some(AddFile(
+        path = st.getPath.toString,
+        size = st.getLen,
+        modificationTime = st.getModificationTime,
+        dataChange = dataChange,
+        partitionValues = values,
+        stats = stats))
+    }
     // every partition column the caller declared must be present on every
     // harvested file — a miss means the staged layout is malformed
     partitionColumns.foreach { c =>

@@ -88,7 +88,8 @@ object GwSink {
       readMeta.map(_.schemaString), tablePath, files)
     val v = commitAppend(log, df.schema, withBlooms, txnId, parts, readMeta,
       widened, bootstrapProps, userMetadata)
-    maybeAutoCompact(spark, log, tablePath)
+    maybeAutoCompact(spark, log, tablePath,
+      readMeta.map(_.configuration).getOrElse(bootstrapProps))
     v
   }
 
@@ -161,11 +162,12 @@ object GwSink {
     * is already committed; the next trigger retries), and declared
     * clustering (graft.clusterBy) applies automatically. */
   private def maybeAutoCompact(spark: org.apache.spark.sql.SparkSession,
-      log: GwLog, tablePath: String): Unit = {
+      log: GwLog, tablePath: String, config: Map[String, String]): Unit = {
+    // the flag is read from the configuration the append already resolved
+    // (an append never changes it) — the common autoCompact-off path must
+    // not pay a full snapshot replay per commit just to learn it is off
+    if (!config.get("graft.autoOptimize.autoCompact").exists(_.toBoolean)) return
     val snap = try log.snapshot(None) catch { case scala.util.control.NonFatal(_) => return }
-    val enabled = snap.metadata.exists(
-      _.configuration.get("graft.autoOptimize.autoCompact").exists(_.toBoolean))
-    if (!enabled) return
     val minFiles = spark.conf.getOption("spark.graft.autoCompact.minNumFiles")
       .map(_.toInt).getOrElse(50)
     val target = spark.conf.getOption("spark.graft.optimize.targetFileBytes")
