@@ -516,7 +516,11 @@ object Pipelines {
    */
   def substringDedupSpans(df: DataFrame, id: Column, text: Column, L: Int = 40): DataFrame = {
     require(L >= 8, s"window length must be >= 8 chars; got $L")
-    val base = df.select(id.as("__id"), text.as("__t")).filter(length(col("__t")) >= L)
+    // the per-character md5 fan-out below is the dominant cost and would
+    // otherwise run on the narrow scan's single task (no-op at scale)
+    val base = spreadForCompute(
+      df.select(id.as("__id"), text.as("__t")).filter(length(col("__t")) >= L),
+      col("__id"))
     val grams = base
       .select(col("__id"),
         explode(sequence(lit(0), length(col("__t")) - L)).as("__p"),
@@ -594,7 +598,10 @@ object Pipelines {
   def cdcChunkDedup(df: DataFrame, id: Column, text: Column,
       w: Int = 16, divisor: Int = 64): DataFrame = {
     require(w >= 4 && divisor >= 2, s"need w >= 4, divisor >= 2; got $w/$divisor")
-    val base = df.select(id.as("__id"), text.as("__t"))
+    // see substringDedupSpans: spread the narrow scan ahead of the
+    // per-position rolling-hash fan-out
+    val base = spreadForCompute(
+      df.select(id.as("__id"), text.as("__t")), col("__id"))
     // cut AFTER position p+w when the window starting at p hash-matches;
     // every document also cuts at its end (the final chunk)
     val cuts = base
@@ -651,8 +658,12 @@ object Pipelines {
       k: Int = 8, w: Int = 8): DataFrame = {
     require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2; got k=$k w=$w")
     require(k + w <= 64, "k + w beyond any plausible fingerprint scale")
-    val base = df.select(id.as("__id"), text.as("__t"))
-      .filter(length(col("__t")) >= k + w - 1)
+    // the per-position md5 in `grams` is the dominant cost: spread a
+    // narrow scan so it parallelizes (no-op at scale)
+    val base = spreadForCompute(
+      df.select(id.as("__id"), text.as("__t"))
+        .filter(length(col("__t")) >= k + w - 1),
+      col("__id"))
     val grams = base
       .select(col("__id"),
         explode(sequence(lit(0), length(col("__t")) - k)).as("__p"),
@@ -1923,7 +1934,10 @@ object Pipelines {
    */
   def shingleRows(df: DataFrame, id: Column, text: Column, blocks: Seq[Column] = Nil): DataFrame = {
     val byPos = Window.partitionBy("__id").orderBy("pos")
-    df.select((id.as("__id") +: blocks) :+ posexplode(split(text, " ")): _*)
+    // spread a narrow scan before the word fan-out so tokenization and the
+    // shingle hashing parallelize (no-op at scale)
+    spreadForCompute(df, id)
+      .select((id.as("__id") +: blocks) :+ posexplode(split(text, " ")): _*)
       .withColumn("w2", lead("col", 1).over(byPos))
       .withColumn("w3", lead("col", 2).over(byPos))
       .filter(col("w3").isNotNull)
@@ -2034,14 +2048,21 @@ object Pipelines {
         .withColumn("label", col("node")), eager = true)
       if (labels.isEmpty)
         return labels.select(col("node"), col("label").as("component"))
-      // one min-label propagation pass (pure plan, no action)
+      // one min-label propagation pass (pure plan, no action) over a
+      // (node, __ol, label) frame — the round-entry label `__ol` rides
+      // THROUGH the hops, so convergence needs no join back to the
+      // previous round (that join cost two exchanges per round); the
+      // neighbor scan projects (node, label) only, so the carried column
+      // never shuffles with the edges
       def propagate(ls: DataFrame): DataFrame = {
         val neighborMin = edges
-          .join(ls, edges("dst") === ls("node"))
+          .join(ls.select(col("node").as("__n"), col("label").as("__l")),
+            edges("dst") === col("__n"))
           .groupBy(col("src"))
-          .agg(min(col("label")).as("nlabel"))
+          .agg(min(col("__l")).as("nlabel"))
         ls.join(neighborMin, ls("node") === neighborMin("src"), "left")
-          .select(ls("node"), least(ls("label"), coalesce(col("nlabel"), ls("label"))).as("label"))
+          .select(ls("node"), ls("__ol"),
+            least(ls("label"), coalesce(col("nlabel"), ls("label"))).as("label"))
       }
       var converged = false
       var iter = 0
@@ -2049,11 +2070,8 @@ object Pipelines {
         // TWO hops per materialization: checkpoint + convergence count are
         // the per-round fixed cost (two Spark jobs), so unrolling halves
         // the job count; an extra hop on converged labels is a no-op
-        // the old label rides along into the checkpoint so convergence is a
-        // filter over the already-materialized round output — no second join
-        val updated = truncate(propagate(propagate(labels))
-          .join(labels.select(col("node"), col("label").as("__ol")), "node")
-          .select(col("node"), col("__ol"), col("label")),
+        val updated = truncate(
+          propagate(propagate(labels.withColumn("__ol", col("label")))),
           // lazy: the convergence count right below is the first action, so
           // it materializes the checkpoint — an eager one would pay a whole
           // extra Spark job per round for the same blocks

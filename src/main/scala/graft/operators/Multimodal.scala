@@ -212,10 +212,12 @@ object Multimodal {
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    // see pngPayloads: spread the narrow scan ahead of the codec pass
-    graft.api.Pipelines.spreadForCompute(
-      df.select(col("doc_id").cast("long"), col("n_chars").cast("long")),
-      col("doc_id"))
+    // deliberately NOT spread (unlike pngPayloads): the WAV decode path
+    // goes through javax.sound's AudioSystem, whose provider lookup
+    // contends globally across threads — a controlled bracket measured
+    // m04 2.2x / m12 3.1x SLOWER with the 32-way spread than with the
+    // narrow single-task decode
+    df.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
       .mapPartitions { rows =>
         rows.map { r =>
           Row(r.getLong(0), WavCodec.encode(r.getLong(0), r.getLong(1)))
@@ -698,9 +700,9 @@ object Multimodal {
       StructField("member_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    val members = graft.api.Pipelines.spreadForCompute(docs(spark, dir)
-      .select(col("doc_id").cast("long"), col("n_chars").cast("long")),
-      col("doc_id"))
+    val members = docs(spark, dir)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      // not spread: WAV decode contends in javax.sound (see wavPayloads)
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val (id, n) = (r.getLong(0), r.getLong(1))
