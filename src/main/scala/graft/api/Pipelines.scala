@@ -1004,8 +1004,11 @@ object Pipelines {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     require(numPerm <= 2048, s"numPerm beyond the overflow-free family: $numPerm")
     val r = numPerm / bands
-    val sh = df.select(id.cast("long").as("__id"), split(text, " ").as("a"))
-      .filter(size(col("a")) >= 3)
+    // spread a narrow input (a one-file micro-batch scans as one task)
+    // ahead of the shingle md5 fan-out — no-op at scale
+    val sh = spreadForCompute(
+      df.select(id.cast("long").as("__id"), split(text, " ").as("a"))
+        .filter(size(col("a")) >= 3), col("__id"))
       .select(col("__id"), explode(array_distinct(expr(
         "transform(sequence(1, size(a) - 2), " +
           "i -> concat_ws(' ', a[i-1], a[i], a[i+1]))"))).as("s"))
@@ -2064,8 +2067,16 @@ object Pipelines {
           .select(ls("node"), ls("__ol"),
             least(ls("label"), coalesce(col("nlabel"), ls("label"))).as("label"))
       }
+      // NOTE (r12, measured): a hash-to-min pointer-jump "shortcut" per
+      // round (label := label's label, O(log D) rounds) was tried and
+      // REVERTED — the near-dup graphs here are shallow (2 rounds for the
+      // text pairs, ~6 for the image graph), and the extra join per round
+      // cost more in AQE stage jobs than the saved rounds returned
+      // (d10 5.4s -> 8.0s). Worth revisiting only for genuinely deep
+      // graphs.
       var converged = false
       var iter = 0
+      val sc = pairs.sparkSession.sparkContext
       while (!converged && iter < maxIterations) {
         // TWO hops per materialization: checkpoint + convergence count are
         // the per-round fixed cost (two Spark jobs), so unrolling halves
@@ -2078,10 +2089,13 @@ object Pipelines {
           eager = false)
         // any-change detector: type-agnostic, null-safe, short-circuits at
         // the first changed label
-        val changed = updated
-          .filter(!(col("label") <=> col("__ol")))
-          .limit(1)
-          .count()
+        sc.setJobDescription(s"cc round $iter") // guide §1.5: label the loop
+        val changed =
+          try updated
+            .filter(!(col("label") <=> col("__ol")))
+            .limit(1)
+            .count()
+          finally sc.setJobDescription(null)
         labels = updated.select("node", "label")
         converged = changed == 0
         iter += 1
