@@ -1004,11 +1004,12 @@ object Pipelines {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     require(numPerm <= 2048, s"numPerm beyond the overflow-free family: $numPerm")
     val r = numPerm / bands
-    // spread a narrow input (a one-file micro-batch scans as one task)
-    // ahead of the shingle md5 fan-out — no-op at scale
-    val sh = spreadForCompute(
-      df.select(id.cast("long").as("__id"), split(text, " ").as("a"))
-        .filter(size(col("a")) >= 3), col("__id"))
+    // deliberately NOT spread: the per-batch inputs here are micro-batches
+    // whose signature fan-out is cheap next to the candidate joins, and a
+    // bracketed bench measured the extra exchange + per-call plan compile
+    // as a net LOSS (d22 6.4s -> 9.3s with the spread)
+    val sh = df.select(id.cast("long").as("__id"), split(text, " ").as("a"))
+      .filter(size(col("a")) >= 3)
       .select(col("__id"), explode(array_distinct(expr(
         "transform(sequence(1, size(a) - 2), " +
           "i -> concat_ws(' ', a[i-1], a[i], a[i+1]))"))).as("s"))
