@@ -2214,6 +2214,36 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
       val snap = gwLog.snapshot(None)
       val meta = snap.metadata.getOrElse(throw new IllegalStateException(
         s"cannot ALTER a table with no schema in its log: $tablePath"))
+      // TOCTOU close (round-11 ADVICE): the generated-column invariant
+      // above was proven against `snapForValidate`'s FILE SET, and this
+      // commit block retries on version conflicts — a concurrent append
+      // planned under pre-ALTER metadata can land rows between the
+      // validation scan and the winning attempt that are neither
+      // validated nor write-enforced, which GwGeneratedPruning would then
+      // silently prune against. Any growth of the file set re-proves the
+      // invariant over the fresh snapshot (pinned to this attempt's
+      // version) before the ALTER may commit; winning the version race
+      // then guarantees no unvalidated file predates the declaration.
+      val genKeys = set.keys.filter(_.startsWith(GwTable.GeneratedPrefix)).toSeq
+      if (genKeys.nonEmpty && snap.files.nonEmpty) {
+        val validated = snapForValidate
+          .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+        if (snap.files.exists(f => !validated.contains(f.path))) {
+          genKeys.foreach { k =>
+            val colName = k.stripPrefix(GwTable.GeneratedPrefix)
+            val field = snap.schema.fields
+              .find(_.name.equalsIgnoreCase(colName)).get // validated above
+            import org.apache.spark.sql.functions.{col, expr, not}
+            val violating = versionAsOf(snap.version).filter(
+              not(col(s"`${field.name}`") <=> expr(set(k)).cast(field.dataType)))
+            require(violating.isEmpty,
+              s"cannot declare generated column '$colName' = (${set(k)}): " +
+                "rows appended concurrently with this ALTER violate the " +
+                "generation invariant — backfill the column to match the " +
+                "expression first")
+          }
+        }
+      }
       val conf = meta.configuration ++ set -- unset
       Seq(
         meta.copy(configuration = conf),

@@ -335,6 +335,15 @@ class PlanSpec extends SparkSpec {
       idx, thresholdMicro = 300000L)
     val p = plan(report)
     assert(!p.contains("CartesianProduct"), s"candidates went all-pairs:\n$p")
+    // the comment above promises the INDEX never broadcasts (broadcasting
+    // a corpus-scale index is a driver OOM at 100 TB) — pin it: no
+    // BroadcastExchange whose subtree scans the index table's files
+    val badBroadcasts = report.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          if b.child.collectLeaves().map(_.toString).exists(_.contains("embidx")) => b
+    }
+    assert(badBroadcasts.isEmpty,
+      s"the index side must stream, never broadcast:\n${badBroadcasts.mkString("\n")}")
   }
 
   test("t27 split+shuffle sorts within (split, shard), never globally") {
