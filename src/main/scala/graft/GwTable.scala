@@ -2210,7 +2210,17 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
             s"UPDATE ... SET $colName = $v")
       }
     }
-    graft.streaming.GwSink.commitWithRetry(gwLog) { _ =>
+    // Pinned-version retry (round-12 ADVICE): each attempt validates
+    // against a fresh snapshot and commits at EXACTLY snap.version + 1 —
+    // a concurrent append landing anywhere inside the validate-to-commit
+    // window (the re-validation scan can take long on a big table) now
+    // surfaces as a VersionConflictException and re-runs the validation,
+    // instead of the ALTER silently landing at a later version on top of
+    // rows it never proved the generation invariant over.
+    var __alterAttempt = 0
+    var __alterVersion = -1L
+    while (__alterVersion < 0) {
+      __alterAttempt += 1
       val snap = gwLog.snapshot(None)
       val meta = snap.metadata.getOrElse(throw new IllegalStateException(
         s"cannot ALTER a table with no schema in its log: $tablePath"))
@@ -2245,13 +2255,18 @@ final class GwTable private (spark: SparkSession, tablePath: String) {
         }
       }
       val conf = meta.configuration ++ set -- unset
-      Seq(
+      val actions: Seq[graft.log.Action] = Seq(
         meta.copy(configuration = conf),
         CommitInfo(System.currentTimeMillis(),
           if (set.nonEmpty) "SET TBLPROPERTIES" else "UNSET TBLPROPERTIES",
           "Upgrade", numFiles = 0, numOutputBytes = 0, isBlindAppend = false,
           txnId = java.util.UUID.randomUUID().toString))
+      try __alterVersion = gwLog.commitPinned(snap.version + 1, actions)
+      catch {
+        case _: graft.log.VersionConflictException if __alterAttempt < 10 => ()
+      }
     }
+    __alterVersion
   }
 
   /** Live metadata domains (Delta `domainMetadata`): domain name →

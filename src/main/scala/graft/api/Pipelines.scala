@@ -1916,6 +1916,10 @@ object Pipelines {
    * 100 TB plan.
    */
   def spreadForCompute(df: DataFrame, key: Column): DataFrame = {
+    // streaming Datasets cannot answer rdd.getNumPartitions (AnalysisException
+    // at physical planning) — and a micro-batch plan is re-planned per batch
+    // anyway, so the narrow-scan problem this solves does not arise there
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target, key)
@@ -1969,6 +1973,10 @@ object Pipelines {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val rowsPerBand = numPerm / bands
     val sh = shingleRows(df, id, text).persist()
+    // declared outside the try so the finally can release it on ANY exit —
+    // an exception between persist() and the eager localCheckpoint must not
+    // leak the cached blocks for the session's lifetime (round-12 ADVICE)
+    var mh: DataFrame = null
     try {
       // one shuffle over the shingles: all minhash lanes + the set size
       val aggCols = (0 until numPerm).map(p => min(xxhash64(lit(p), col("s"))).as(s"mh$p")) :+
@@ -1976,7 +1984,7 @@ object Pipelines {
       // referenced by BOTH sides of the candidate self-join and by `sizes`
       // below — persist so the 32-lane minhash aggregation runs once, not
       // three times (the branches differ, so exchange reuse cannot dedupe)
-      val mh = sh.groupBy("__id").agg(aggCols.head, aggCols.tail: _*).persist()
+      mh = sh.groupBy("__id").agg(aggCols.head, aggCols.tail: _*).persist()
       val bandCols = (0 until bands).map { b =>
         xxhash64((lit(b) +: (0 until rowsPerBand).map(i => col(s"mh${b * rowsPerBand + i}"))): _*)
       }
@@ -1997,10 +2005,12 @@ object Pipelines {
         .join(sh.select(col("__id").as("doc_b"), col("s")), Seq("doc_b", "s"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("inter"))
-      val out = jaccardFromCounts(inter, sizes, threshold).localCheckpoint(true)
-      mh.unpersist()
-      out
-    } finally { sh.unpersist(); () }
+      jaccardFromCounts(inter, sizes, threshold).localCheckpoint(true)
+    } finally {
+      sh.unpersist()
+      if (mh != null) mh.unpersist()
+      ()
+    }
   }
 
   /**
@@ -2239,6 +2249,9 @@ object Pipelines {
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       blocks: Seq[Column], threshold: Double): DataFrame = {
     val sh = shingleRows(df, id, text, blocks).persist()
+    // released in the finally on ANY exit (round-12 ADVICE: a success-path
+    // unpersist leaks the cached blocks when the verify join throws)
+    var prefix: DataFrame = null
     try {
       val blockNames = sh.columns.filter(c => c != "__id" && c != "s").toSeq
       val sizes = sh.groupBy("__id").agg(count(lit(1)).as("sz"))
@@ -2248,7 +2261,7 @@ object Pipelines {
       // each document's prefix
       val freq = sh.groupBy(joinKeys.map(col): _*).agg(count(lit(1)).as("df"))
       val byRarity = Window.partitionBy("__id").orderBy(col("df"), col("s"))
-      val prefix = sh
+      prefix = sh
         .join(freq, joinKeys)
         .withColumn("pos_in_doc", row_number().over(byRarity))
         // set size over the same partitioning — no extra shuffle for a join
@@ -2273,10 +2286,12 @@ object Pipelines {
         .join(sh.select(col("__id").as("doc_b"), col("s")), Seq("doc_b", "s"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("inter"))
-      val out = jaccardFromCounts(inter, sizes, threshold).localCheckpoint(true)
-      prefix.unpersist()
-      out
-    } finally { sh.unpersist(); () }
+      jaccardFromCounts(inter, sizes, threshold).localCheckpoint(true)
+    } finally {
+      sh.unpersist()
+      if (prefix != null) prefix.unpersist()
+      ()
+    }
   }
 
   /**

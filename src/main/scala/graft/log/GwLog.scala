@@ -290,11 +290,25 @@ class GwLog(val tablePath: Path, conf: Configuration,
     * Every `checkpointInterval` commits the replayed snapshot is also
     * checkpointed to parquet so later reads resume in O(1) instead of
     * replaying every version JSON (see [[Checkpoint]]). */
-  def commit(actions: Seq[Action]): Long = {
-    val version = latestVersion().map(_ + 1).getOrElse(0L)
+  def commit(actions: Seq[Action]): Long =
+    commitPinned(latestVersion().map(_ + 1).getOrElse(0L), actions)
+
+  /** [[commit]] pinned to exactly `version`: for writers whose validation
+    * ran against the snapshot at `version - 1` — any intervening commit
+    * then surfaces as a [[VersionConflictException]] (forcing the caller's
+    * retry loop to re-validate) instead of silently landing the write at a
+    * later version on top of state it never saw. */
+  def commitPinned(version: Long, actions: Seq[Action]): Long = {
+    // basis snapshot resolved BEFORE the commit lands: the fold state the
+    // post-commit snapshot advance below continues from
+    val basis: Option[Snapshot] = {
+      val c = snapCache
+      if (version > 0 && c != null && c._1 == version - 1) Some(c._2) else None
+    }
     val stamped = stampInCommitTimestamp(version,
-      upgradeProtocol(version, assignRowIds(version, actions)))
+      upgradeProtocol(version, assignRowIds(version, actions)), basis)
     commitAt(version, stamped)
+    advanceSnapshot(version, basis, stamped)
     // version checksum (Delta `<version>.crc`): a best-effort state
     // summary of the post-commit state — see [[VersionChecksum]]. The
     // version JSON above IS the committed truth, so a failed crc write
@@ -332,6 +346,34 @@ class GwLog(val tablePath: Path, conf: Configuration,
     }
     version
   }
+
+  /** Post-commit snapshot (guide §5, driver-side work): continue the
+    * replay fold from the basis snapshot over the just-committed actions —
+    * [[Snapshot.replay]] is a pure fold over action chunks and a snapshot
+    * IS its fold state (live adds in commit order, surviving tombstones,
+    * txn high-water marks, live domains), so this is byte-identical to the
+    * fresh replay the next reader would otherwise pay: a lifecycle of N
+    * commits replays the log tail once, not N times (Delta's post-commit
+    * snapshot). Restricted to [[GwLog.forTable]] instances so the
+    * replay-mechanics diagnostic gates (directly-constructed readers,
+    * lastReplayReads pins) keep observing real replays. Best-effort: any
+    * failure just leaves the next snapshot() to replay from disk. */
+  private def advanceSnapshot(version: Long, basis: Option[Snapshot],
+      committed: Seq[Action]): Unit =
+    if (shareSnapshots) basis.foreach { p =>
+      try {
+        val state: Seq[Action] =
+          p.protocol.toSeq ++ p.metadata.toSeq ++
+            p.transactions.toSeq.map { case (app, v) => SetTransaction(app, v) } ++
+            p.domains.toSeq.map { case (d, c) => DomainMetadata(d, c) } ++
+            p.files ++ p.tombstones
+        val snap = Snapshot.replay(version, Seq(state, committed))
+        snap.protocol.foreach(pr => Protocol.assertReadable(tablePath.toString, pr))
+        snapCache = (version, snap)
+        GwLog.sharedSnapshotPut(this, version,
+          listCheckpoints().filter(_ <= version).lastOption, snap)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   /** Row tracking (Delta rowTracking, writer feature): on a tracked table,
     * every NEW AddFile in a commit gets a contiguous row-id range —
@@ -490,16 +532,25 @@ class GwLog(val tablePath: Path, conf: Configuration,
     * any other commit inherits from whether the PREVIOUS CommitInfo was
     * stamped — one O(1) version read, which the chain also needs for the
     * previous timestamp. */
-  private def stampInCommitTimestamp(version: Long, actions: Seq[Action]): Seq[Action] = {
+  private def stampInCommitTimestamp(version: Long, actions: Seq[Action],
+      basis: Option[Snapshot] = None): Seq[Action] = {
     def enabledIn(m: Metadata): Boolean =
       Seq("graft.enableInCommitTimestamps", "delta.enableInCommitTimestamps")
         .exists(k => m.configuration.get(k).exists(_.trim.equalsIgnoreCase("true")))
-    val prevCi: Option[CommitInfo] =
+    lazy val prevCi: Option[CommitInfo] =
       if (version == 0) None
       else scala.util.Try(readVersion(version - 1)
         .collectFirst { case ci: CommitInfo => ci }).toOption.flatten
     val enabled = actions.collectFirst { case m: Metadata => m } match {
       case Some(m) => enabledIn(m)
+      // ICT enablement rides the table property, and the enabling commit
+      // must itself carry the Metadata action (it stamps itself) — so when
+      // the basis snapshot's metadata does NOT enable it, the previous
+      // CommitInfo cannot be stamped and the per-commit O(1) version read
+      // that only existed to check that is skipped (the common, ICT-off
+      // path). Enabled tables still read the previous CommitInfo — its
+      // timestamp is the monotonicity floor either way.
+      case None if basis.exists(b => !b.metadata.exists(enabledIn)) => false
       case None => prevCi.exists(_.inCommitTimestamp.isDefined)
     }
     if (!enabled) actions
@@ -1203,22 +1254,43 @@ object GwLog {
   /** Process-wide snapshot cache for [[forTable]] logs: (table, version) ->
     * (commit-JSON identity, snapshot). Bounded crudely — snapshots here are
     * metadata-scale, and a full clear only costs re-replays. */
-  private final case class SharedSnap(commitId: (Long, Long), routeCp: Option[Long],
+  private final case class SharedSnap(commitId: (Long, Long, Int), routeCp: Option[Long],
       cpIds: Seq[(String, Long, Long)], snap: Snapshot)
   private val sharedSnaps =
     new java.util.concurrent.ConcurrentHashMap[String, SharedSnap]()
   private val SharedSnapsMax = 512
 
-  private def sharedKey(log: GwLog, version: Long): String =
-    log.tablePath.toString + "@" + version
+  /** Keyed by the FS-QUALIFIED table URI: two GwLogs built with different
+    * Hadoop configs (different fs.defaultFS) resolving the same unqualified
+    * path to different filesystems must never share entries. */
+  private def sharedKey(log: GwLog, version: Long): String = {
+    val p = log.tablePath
+    val q = try p.getFileSystem(log.hadoopConf).makeQualified(p).toString
+      catch { case scala.util.control.NonFatal(_) => p.toString }
+    q + "@" + version
+  }
 
-  /** (len, mtime) identity of the version's commit JSON, or None when it
-    * cannot be statted (deleted, permissions — treat as a miss). */
-  private def commitIdentity(log: GwLog, version: Long): Option[(Long, Long)] =
+  /** (len, mtime, head-hash) identity of the version's commit JSON, or None
+    * when it cannot be read (deleted, permissions — treat as a miss). The
+    * first-bytes hash closes the residual (len, mtime) collision window on
+    * a delete-and-recreate within one mtime granule: commit JSONs lead with
+    * UUID-bearing commitInfo/metaData lines, so two different logs cannot
+    * share a head. */
+  private def commitIdentity(log: GwLog, version: Long): Option[(Long, Long, Int)] =
     try {
       val p = log.logPathFor(version)
-      val st = p.getFileSystem(log.hadoopConf).getFileStatus(p)
-      Some((st.getLen, st.getModificationTime))
+      val f = p.getFileSystem(log.hadoopConf)
+      val st = f.getFileStatus(p)
+      val in = f.open(p)
+      val head = try {
+        val buf = new Array[Byte](256)
+        var off = 0
+        var n = 0
+        while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
+          off += n
+        java.util.Arrays.hashCode(java.util.Arrays.copyOf(buf, off))
+      } finally in.close()
+      Some((st.getLen, st.getModificationTime, head))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Identity of the resolved checkpoint's artifacts (path, len, mtime). */

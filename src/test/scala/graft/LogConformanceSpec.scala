@@ -457,4 +457,70 @@ class LogConformanceSpec extends AnyFunSuite {
     assert(log2.listVersions().headOption.contains(3L),
       "one-run cleanup past the boundary reclaims the old versions")
   }
+
+  test("snapshot cache: delete-and-recreate with identical (len, mtime) still misses") {
+    // the shared snapshot cache's freshness identity must survive the
+    // worst case: a table DELETED and RECREATED at the same path whose new
+    // commit JSON has the SAME byte length and the SAME mtime (coarse
+    // mtime granularity on some stores) — only the content hash prefix
+    // can tell them apart
+    val dir = Files.createTempDirectory("cacheid").resolve("t")
+    val logDir = dir.resolve("_delta_log")
+    Files.createDirectories(logDir)
+    val v0 = logDir.resolve(f"${0L}%020d.json")
+    def payload(name: String): Array[Byte] =
+      (Actions.toJson(AddFile(s"$name.parquet", 1L, 0L)) + "\n")
+        .getBytes(StandardCharsets.UTF_8)
+    val mtime = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+    Files.write(v0, payload("aa"))
+    Files.setLastModifiedTime(v0, mtime)
+    val conf = new Configuration()
+    assert(GwLog.forTable(conf, dir.toString).snapshot(None)
+      .files.map(_.path) == Seq("aa.parquet"))
+    // recreate: same length, same mtime, different content
+    Files.delete(v0)
+    Files.write(v0, payload("bb"))
+    Files.setLastModifiedTime(v0, mtime)
+    assert(Files.size(v0) == payload("aa").length.toLong)
+    assert(GwLog.forTable(conf, dir.toString).snapshot(None)
+      .files.map(_.path) == Seq("bb.parquet"),
+      "the shared snapshot cache served a stale snapshot for a recreated log")
+  }
+
+  test("post-commit snapshot advance is identical to a fresh replay, commit by commit") {
+    // the advance continues the replay fold over the committed actions —
+    // it must be STRUCTURALLY equal (file order included) to what a fresh
+    // reader replays from disk, for every commit shape: bootstrap,
+    // blind append, remove+re-add (DML shape), txn marks, domains,
+    // metadata restatement
+    val dir = Files.createTempDirectory("advance").resolve("t")
+    val conf = new Configuration()
+    val log = GwLog.forTable(conf, dir.toString)
+    val meta = Metadata(id = "fixed", schemaString = """{"type":"struct","fields":[]}""",
+      partitionColumns = Nil, configuration = Map.empty, createdTime = 1L)
+    def ci(op: String, blind: Boolean) = CommitInfo(1L, op, "Append",
+      numFiles = 1, numOutputBytes = 1, isBlindAppend = blind, txnId = "t-" + op)
+    val shapes: Seq[Seq[Action]] = Seq(
+      Seq(Protocol(), meta, AddFile("a.parquet", 1L, 0L), ci("CREATE TABLE", false)),
+      Seq(AddFile("b.parquet", 2L, 0L), SetTransaction("app", 3L, Some(1L)),
+        ci("WRITE", true)),
+      Seq(RemoveFile("a.parquet", 1L, 5L), AddFile("c.parquet", 3L, 0L),
+        DomainMetadata("d1", "{}"), ci("MERGE", false)),
+      Seq(meta.copy(configuration = Map("k" -> "v")),
+        AddFile("a.parquet", 9L, 1L), // re-add of a tombstoned path
+        SetTransaction("app", 5L, Some(2L)), ci("WRITE", false)))
+    shapes.zipWithIndex.foreach { case (actions, i) =>
+      log.commit(actions)
+      LogMetrics.reset()
+      val cached = log.snapshot(None)
+      // the bootstrap commit has no basis snapshot to advance from; every
+      // later commit must serve the post-commit snapshot without a replay
+      if (i > 0) assert(LogMetrics.snapshotReplays.sum() == 0L,
+        "the post-commit advance must serve snapshot() without a replay")
+      val fresh = new GwLog(new org.apache.hadoop.fs.Path(dir.toString), conf)
+        .snapshot(None)
+      assert(cached == fresh,
+        s"advanced snapshot diverged from a fresh replay at v${fresh.version}")
+    }
+  }
 }

@@ -344,6 +344,30 @@ class PlanSpec extends SparkSpec {
     }
     assert(badBroadcasts.isEmpty,
       s"the index side must stream, never broadcast:\n${badBroadcasts.mkString("\n")}")
+    // adaptive pin (round-12 ADVICE): the static sparkPlan check above can
+    // be defeated by an AQE runtime join-strategy switch — execute the
+    // query and assert over the FINAL adaptive plan, traversing through
+    // AdaptiveSparkPlanExec / query stages / reused exchanges
+    report.count()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val badFinal = flatten(report.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          if flatten(b.child).map(_.toString).exists(_.contains("embidx")) => b
+    }
+    assert(badFinal.isEmpty,
+      s"AQE switched the index side to a broadcast at runtime:\n${badFinal.mkString("\n")}")
   }
 
   test("t27 split+shuffle sorts within (split, shard), never globally") {
