@@ -24,6 +24,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Local-FS permission ops fork a `chmod` process per file create when
+    // the hadoop native library is absent — every driver-side commit,
+    // checkpoint write and committer setup pays it (see
+    // GwNioRawLocalFileSystem). Swap in the NIO-based local FS for the
+    // session's hadoop conf unless the deployment already chose one;
+    // cluster schemes (hdfs/s3) are untouched by construction.
+    org.apache.spark.sql.graftbridge.Bridge.activeHadoopConf.foreach { hc =>
+      if (hc.get("fs.file.impl") == null)
+        hc.set("fs.file.impl", "graft.sources.GwNioLocalFileSystem")
+    }
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }

@@ -1007,7 +1007,9 @@ object Pipelines {
     // deliberately NOT spread: the per-batch inputs here are micro-batches
     // whose signature fan-out is cheap next to the candidate joins, and a
     // bracketed bench measured the extra exchange + per-call plan compile
-    // as a net LOSS (d22 6.4s -> 9.3s with the spread)
+    // as a net LOSS (r12: d22 6.4s -> 9.3s; RE-MEASURED in r13 after the
+    // log-layer fixes with the spread on the pre-explode doc rows:
+    // d22 4.9 -> 8.2s, st19 5.0 -> 7.0s — still a clear loss, reverted)
     val sh = df.select(id.cast("long").as("__id"), split(text, " ").as("a"))
       .filter(size(col("a")) >= 3)
       .select(col("__id"), explode(array_distinct(expr(
@@ -1143,7 +1145,10 @@ object Pipelines {
         >= thresholdPermille)
       .select(col("id_b").as("id")).distinct().withColumn("__db", lit(true))
     // report base = every signed doc BEFORE the skew cap, so capping can
-    // shed advertised rows but never a whole doc from the report
+    // shed advertised rows but never a whole doc from the report.
+    // Materialized ONCE (guide §2.3/§2.4): the report feeds the survivor
+    // append below AND the caller (report-table append / count) — without
+    // the checkpoint the candidate joins + estimator re-run per consumer.
     val report = banded0.select(col("doc_id").as("id")).distinct()
       .join(dupIdx, Seq("id"), "left")
       .join(dupB, Seq("id"), "left")
@@ -1151,6 +1156,7 @@ object Pipelines {
         coalesce(col("__di"), lit(false)).as("dup_of_index"),
         coalesce(col("__db"), lit(false)).as("dup_in_batch"))
       .withColumn("kept", !col("dup_of_index") && !col("dup_in_batch"))
+      .localCheckpoint(false)
     // index-side saturation guard: a bucket already holding
     // `indexBucketCap` members stops accepting new banded rows, so one
     // boilerplate content region cannot grow a bucket without bound
@@ -1296,6 +1302,9 @@ object Pipelines {
     val dupB = candB
       .filter(cosMicro(col("emb_a"), col("emb_b")) >= thresholdMicro)
       .select(col("id_b").as("id")).distinct().withColumn("__db", lit(true))
+    // materialized ONCE (guide §2.3/§2.4): feeds the survivor append AND
+    // the caller — without the checkpoint the candidate joins + exact
+    // cosine re-run per consumer
     val report = banded0.select(col("vec_id").as("id")).distinct()
       .join(dupIdx, Seq("id"), "left")
       .join(dupB, Seq("id"), "left")
@@ -1303,6 +1312,7 @@ object Pipelines {
         coalesce(col("__di"), lit(false)).as("dup_of_index"),
         coalesce(col("__db"), lit(false)).as("dup_in_batch"))
       .withColumn("kept", !col("dup_of_index") && !col("dup_in_batch"))
+      .localCheckpoint(false)
     val survivors = bb
       .join(report.filter(col("kept")).select(col("id").as("vec_id")),
         Seq("vec_id"), "left_semi")
@@ -1599,6 +1609,12 @@ object Pipelines {
       }
     val hits = hits0.distinct().withColumn("__hit", lit(true))
     val w = Window.partitionBy("fp").orderBy("id")
+    // NOT checkpointed, deliberately (r13, measured): the fuzzy/semantic
+    // variants materialize their report once because re-running their
+    // candidate joins is expensive, but the exact report's recompute is a
+    // single broadcast semi-join + window over the batch — cheaper at this
+    // shape than the checkpoint's extra planning (d20 1.48 -> 1.75s with
+    // the checkpoint, flat without).
     val report = b
       .join(if (small) broadcast(hits) else hits, Seq("fp"), "left")
       .withColumn("dup_of_index", coalesce(col("__hit"), lit(false)))

@@ -122,21 +122,26 @@ object StreamOps {
   private def withRocksDb[A](spark: SparkSession)(body: => A): A = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val partKey = "spark.sql.shuffle.partitions"
+    // Changelog checkpointing (r13): per batch, upload the CHANGELOG of
+    // the store instead of a full RocksDB snapshot — the documented
+    // at-scale posture for RocksDB state stores (snapshot cost becomes
+    // periodic + amortized instead of per-batch per-partition).
+    val clogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevProv = spark.conf.getOption(provKey)
     val prevPart = spark.conf.getOption(partKey)
+    val prevClog = spark.conf.getOption(clogKey)
     spark.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark.conf.set(partKey, "8")
+    spark.conf.set(clogKey, "true")
     try body
     finally {
-      prevProv match {
-        case Some(v) => spark.conf.set(provKey, v)
-        case None    => spark.conf.unset(provKey)
-      }
-      prevPart match {
-        case Some(v) => spark.conf.set(partKey, v)
-        case None    => spark.conf.unset(partKey)
-      }
+      Seq((provKey, prevProv), (partKey, prevPart), (clogKey, prevClog))
+        .foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
     }
   }
 

@@ -14,6 +14,12 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The active SparkContext's hadoop conf (`SparkContext.getActive` is
+    * private[spark]) — the session-extensions hook mutates it before any
+    * query runs (see graft.GraftExtensions). */
+  def activeHadoopConf: Option[org.apache.hadoop.conf.Configuration] =
+    org.apache.spark.SparkContext.getActive.map(_.hadoopConfiguration)
+
   /** `DataType.sameType` (equality ignoring nullability) is private[sql]. */
   def sameType(a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
